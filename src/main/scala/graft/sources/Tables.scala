@@ -1,0 +1,97 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-provided parquet tables (TESTDATA.md) plus the
+  * derivations that map them onto the reference pipeline's input schemas
+  * (FIXTURES.md §3).
+  *
+  * The `events` table's `ts` column is parquet TIMESTAMP(NANOS), which
+  * Spark's vectorized reader rejects outright; we read it as a nanosecond
+  * long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
+  * microseconds with integer division — bit-identical to how DuckDB (the
+  * correctness oracle) narrows ns → µs.
+  */
+object Tables {
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+}
+
+/** Deterministic mapping of the `events` stream onto the reference
+  * pipeline's four input tables (impressions + 3 action streams).
+  *
+  * event_type → stream: click→clicks, view→add_to_carts, purchase→orders;
+  * purchases additionally form the impression carousels (one carousel per
+  * (user, day), items ordered by event_id, `is_order` = value > 100).
+  * item ids are `event_id % 1000`. Every derivation is plain arithmetic so
+  * the DuckDB oracle can reproduce it exactly.
+  */
+object EventFixtures {
+
+  private def typed(spark: SparkSession, dir: String, eventType: String): DataFrame =
+    Tables.events(spark, dir).filter(col("event_type") === eventType)
+
+  def clicks(spark: SparkSession, dir: String): DataFrame =
+    typed(spark, dir, "click").select(
+      date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+      col("user_id").as("customer_id"),
+      (col("event_id") % 1000).as("item_id"),
+      col("ts").as("click_time"))
+
+  def addToCarts(spark: SparkSession, dir: String): DataFrame =
+    typed(spark, dir, "view").select(
+      date_format(col("ts"), "yyyy-MM-dd").as("dt"),
+      col("user_id").as("customer_id"),
+      (col("event_id") % 1000).as("config_id"),
+      (col("event_id") % 10).cast("int").as("simple_id"),
+      col("ts").as("occurred_at"))
+
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    typed(spark, dir, "purchase").select(
+      date_format(col("ts"), "yyyy-MM-dd").as("order_date"),
+      col("user_id").as("customer_id"),
+      (col("event_id") % 1000).as("config_id"),
+      (col("event_id") % 10).cast("int").as("simple_id"),
+      col("ts").as("occurred_at"))
+
+  def impressions(spark: SparkSession, dir: String): DataFrame =
+    typed(spark, dir, "purchase")
+      .select(
+        col("user_id").as("customer_id"),
+        col("ts").cast("date").as("d"),
+        col("event_id"),
+        (col("event_id") % 1000).as("item_id"),
+        (col("value") > 100).as("is_order"))
+      .groupBy(col("customer_id"), col("d"))
+      .agg(
+        min(col("event_id")).as("rid"),
+        sort_array(collect_list(struct(col("event_id"), col("item_id"), col("is_order"))))
+          .as("items"))
+      .select(
+        date_format(col("d"), "yyyy-MM-dd").as("dt"),
+        col("rid").cast("string").as("ranking_id"),
+        col("customer_id"),
+        transform(
+          col("items"),
+          x => struct(
+            x.getField("item_id").as("item_id"),
+            x.getField("is_order").as("is_order"))).as("impressions"))
+}
