@@ -5,7 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.TrainingPipeline
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Multimodal, Similarity, TrainingPipeline}
 import graft.sources.{EventFixtures, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -173,7 +174,68 @@ object SparkEntry {
           count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"),
           count_distinct(col("user_id")).as("n_users"))
-        .orderBy("day", "event_type")))
+        .orderBy("day", "event_type")),
+
+    // Text analysis: per-document shape/quality statistics.
+    "q13_text_stats" -> ((s, dir) =>
+      TextAnalysis.textStats(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Text analysis: regex token counting.
+    "q14_token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCount(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Text analysis: stopword-profile language identification.
+    "q15_language_id" -> ((s, dir) =>
+      TextAnalysis.languageId(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Text analysis: min-hash document fingerprint (winnowing primitive).
+    "q16_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Dedup: exact content-hash duplicate groups.
+    "q17_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(Tables.documents(s, dir)).orderBy("content_hash")),
+
+    // Dedup: MinHash signatures banded for LSH.
+    "q18_minhash_bands" -> ((s, dir) =>
+      Dedup.minhashBands(Tables.documents(s, dir)).orderBy("doc_id", "band")),
+
+    // Dedup: LSH candidate near-duplicate pairs.
+    "q19_lsh_pairs" -> ((s, dir) =>
+      Dedup.lshCandidatePairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // Dedup: exact 3-shingle Jaccard over co-shingled pairs.
+    "q20_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // Dedup: 64-bit tf-weighted SimHash.
+    "q21_simhash" -> ((s, dir) =>
+      TextAnalysis.simhash(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Similarity: exact top-10 cosine neighbors for the first 10 vectors.
+    "q22_knn_bruteforce" -> ((s, dir) =>
+      Similarity.knnBruteForce(Tables.embeddings(s, dir)).orderBy("query_id", "rnk")),
+
+    // Similarity: all-pairs cosine near-dup detection (exact baseline).
+    "q23_cosine_pairs" -> ((s, dir) =>
+      Similarity.cosinePairs(Tables.embeddings(s, dir), 0.45).orderBy("vec_a", "vec_b")),
+
+    // Multimodal: binary payload + metadata + stub feature extraction.
+    // Not SQL-expressible (typed mapPartitions decode) → rows-only check.
+    "q24_multimodal_features" -> ((s, dir) => {
+      val media = Multimodal.toMedia(Tables.documents(s, dir))
+      val feats = Multimodal.extractFeatures(s, media).toDF()
+      media
+        .select(
+          col("doc_id"),
+          col("meta.n_bytes").as("n_bytes"),
+          col("meta.n_frames").as("n_frames"))
+        .join(feats, "doc_id")
+        .select(
+          col("doc_id"), col("n_bytes"), col("n_frames"),
+          element_at(col("features"), 1).as("f0"))
+        .orderBy("doc_id")
+    }))
 
   /** Shared oracle CTE: the events stream exactly as Spark sees it (DuckDB
     * already truncates the parquet ns timestamps to µs the same way our
@@ -320,7 +382,186 @@ object SparkEntry {
         |       COUNT(DISTINCT user_id) AS n_users
         |FROM events
         |GROUP BY day, event_type
-        |ORDER BY day, event_type""".stripMargin)
+        |ORDER BY day, event_type""".stripMargin,
+
+    "q13_text_stats" ->
+      """SELECT doc_id, lang, source, n_chars,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
+        |       CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'max') AS BIGINT) AS max_word_len,
+        |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q14_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS n_token_types
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q15_language_id" ->
+      """SELECT doc_id, lang,
+        |       CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','fast','slow','big','small'))) AS BIGINT) AS hits_en,
+        |       CAST(len(list_filter(string_split(text, ' '), w -> w IN ('join','scan','merge','hash','sort','agg'))) AS BIGINT) AS hits_db,
+        |       CAST(len(list_filter(string_split(text, ' '), w -> w IN ('query','table','column','row','key','value'))) AS BIGINT) AS hits_sql,
+        |       CASE WHEN hits_en >= hits_db AND hits_en >= hits_sql THEN 'en'
+        |            WHEN hits_db >= hits_sql THEN 'db'
+        |            ELSE 'sql' END AS predicted
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q16_fingerprint" ->
+      s"""WITH $docShingles
+         |SELECT doc_id, min(md5(sh)) AS fingerprint
+         |FROM sh GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q17_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs
+        |FROM documents
+        |GROUP BY content_hash
+        |ORDER BY content_hash""".stripMargin,
+
+    "q18_minhash_bands" ->
+      s"""WITH $docShingles,
+         |$minhashBands
+         |SELECT doc_id, band, band_sig FROM bands
+         |ORDER BY doc_id, band""".stripMargin,
+
+    "q19_lsh_pairs" ->
+      s"""WITH $docShingles,
+         |$minhashBands
+         |SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q20_jaccard_pairs" ->
+      s"""WITH $docShingles,
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT doc_a, doc_b, n_common, na.n_sh AS n_a, nb.n_sh AS n_b,
+         |       CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jaccard
+         |FROM common
+         |JOIN counts na ON doc_a = na.doc_id
+         |JOIN counts nb ON doc_b = nb.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q21_simhash" ->
+      """WITH wh AS (
+        |  SELECT doc_id, md5(w) AS h
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |),
+        |nib AS (
+        |  SELECT doc_id, np,
+        |         instr('0123456789abcdef', substr(h, CAST(np + 1 AS INT), 1)) - 1 AS v
+        |  FROM wh CROSS JOIN (SELECT unnest(range(16)) AS np)
+        |),
+        |bits AS (
+        |  SELECT doc_id, np, COUNT(*) AS cnt,
+        |         SUM(v % 2) AS s0, SUM((v // 2) % 2) AS s1,
+        |         SUM((v // 4) % 2) AS s2, SUM((v // 8) % 2) AS s3
+        |  FROM nib GROUP BY doc_id, np
+        |),
+        |ch AS (
+        |  SELECT doc_id, np,
+        |         substr('0123456789abcdef',
+        |           CAST((CASE WHEN 2*s0 >= cnt THEN 1 ELSE 0 END)
+        |              + 2*(CASE WHEN 2*s1 >= cnt THEN 1 ELSE 0 END)
+        |              + 4*(CASE WHEN 2*s2 >= cnt THEN 1 ELSE 0 END)
+        |              + 8*(CASE WHEN 2*s3 >= cnt THEN 1 ELSE 0 END) + 1 AS INT), 1) AS c
+        |  FROM bits
+        |)
+        |SELECT doc_id, string_agg(c, '' ORDER BY np) AS simhash
+        |FROM ch GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q22_knn_bruteforce" ->
+      s"""WITH $quantizedEmbeddings,
+         |q AS (SELECT vec_id AS query_id, qe AS q_qe, n2 AS q_n2 FROM n WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, n.vec_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * q.q_qe[i])) AS BIGINT) AS dp,
+         |         n.n2, q.q_n2
+         |  FROM n CROSS JOIN q
+         |  WHERE n.vec_id <> q.query_id
+         |),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY dp DESC, vec_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, rnk, dp,
+         |       CAST(dp AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE))) AS cosine
+         |FROM ranked
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q23_cosine_pairs" ->
+      s"""WITH $quantizedEmbeddings,
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dp,
+         |         a.n2 AS n2a, b.n2 AS n2b
+         |  FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |),
+         |c AS (
+         |  SELECT vec_a, vec_b, dp,
+         |         CAST(dp AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cosine
+         |  FROM p
+         |)
+         |SELECT vec_a, vec_b, dp, cosine FROM c
+         |WHERE cosine >= 0.45
+         |ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** Shared oracle CTE: distinct word 3-shingles per document (lead-window
+    * formulation — equivalent to the engine's array-native shingling).
+    */
+  private val docShingles =
+    """words AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         unnest(range(len(string_split(text, ' ')))) AS pos
+      |  FROM documents
+      |),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win AS sh
+      |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY sh IS NOT NULL
+      |)""".stripMargin
+
+  /** Shared oracle CTE: 8 seeded MinHash signatures per doc, banded 4×2. */
+  private val minhashBands =
+    """hs AS (
+      |  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || sh)) AS sig
+      |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j)
+      |  GROUP BY doc_id, j
+      |),
+      |bands AS (
+      |  SELECT doc_id, CAST(j // 2 AS INT) AS band,
+      |         md5(string_agg(sig, '' ORDER BY j)) AS band_sig
+      |  FROM hs GROUP BY doc_id, CAST(j // 2 AS INT)
+      |)""".stripMargin
+
+  /** Shared oracle CTE: embeddings quantized to exact longs + self dot. */
+  private val quantizedEmbeddings =
+    """e AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+      |  FROM embeddings
+      |),
+      |n AS (
+      |  SELECT vec_id, qe,
+      |         CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2
+      |  FROM e
+      |)""".stripMargin
 
   private def trainingExamplesOracle: String =
     s"""WITH $evActions,

@@ -1,0 +1,137 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM-data-pipeline curation over a
+  * `documents(doc_id, text, lang, source, n_chars)` table.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * expressions — no UDFs — so whole-stage codegen covers the hot path and
+  * filters/projections still push down to the parquet scan. Shingling is
+  * array-native (`transform` over `sequence`) rather than window-based:
+  * narrow, zero-shuffle, and it scales linearly with corpus size.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of `text` as an array column. */
+  def wordsCol: Column = split(col("text"), " ")
+
+  /** One row per (doc_id, pos, w) token. Narrow (a single Generate). */
+  def tokenize(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w")))
+
+  /** Array of word k-shingles ("w1 w2 … wk"), in document order.
+    * Array-native: no shuffle, stays in whole-stage codegen.
+    */
+  def shinglesCol(k: Int): Column = {
+    val words = wordsCol
+    // Guard: Spark's sequence(0, n) generates a DESCENDING sequence when
+    // n < 0, so short documents need an explicit empty array.
+    when(
+      size(words) >= k,
+      transform(
+        sequence(lit(0), size(words) - k),
+        i => array_join(slice(words, i + 1, lit(k)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** One row per distinct (doc_id, shingle). */
+  def shingles(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(shinglesCol(k))).as("sh"))
+
+  /** Per-document quality/shape statistics. `avg_word_len` is a single IEEE
+    * division of two exact integers — deterministic across engines.
+    */
+  def textStats(docs: DataFrame): DataFrame = {
+    val words = wordsCol
+    docs.select(
+      col("doc_id"), col("lang"), col("source"), col("n_chars"),
+      size(words).cast("long").as("n_words"),
+      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
+      size(array_distinct(words)).cast("long").as("n_distinct_words"),
+      array_max(transform(words, w => length(w))).cast("long").as("max_word_len"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        size(words).cast("double")).as("avg_word_len"))
+  }
+
+  /** Regex ("BPE-ish") token counting: alpha runs and digit runs. */
+  def tokenCount(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("size(regexp_extract_all(text, '[a-z]+|[0-9]+', 0))").cast("long").as("n_tokens"),
+      expr("size(array_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)))")
+        .cast("long").as("n_token_types"))
+
+  /** Stopword-profile language/register identification: count hits against
+    * three fixed profiles, predict the best-scoring one (ties broken by
+    * profile order). The n-gram-profile method in miniature, with profiles
+    * chosen for this corpus's vocabulary.
+    */
+  val ProfileEn: Seq[String] = Seq("the", "a", "fast", "slow", "big", "small")
+  val ProfileDb: Seq[String] = Seq("join", "scan", "merge", "hash", "sort", "agg")
+  val ProfileSql: Seq[String] = Seq("query", "table", "column", "row", "key", "value")
+
+  private def hits(profile: Seq[String]): Column =
+    size(filter(wordsCol, w => w.isInCollection(profile))).cast("long")
+
+  def languageId(docs: DataFrame): DataFrame =
+    docs.select(
+        col("doc_id"), col("lang"),
+        hits(ProfileEn).as("hits_en"),
+        hits(ProfileDb).as("hits_db"),
+        hits(ProfileSql).as("hits_sql"))
+      .withColumn(
+        "predicted",
+        when(col("hits_en") >= col("hits_db") && col("hits_en") >= col("hits_sql"), "en")
+          .when(col("hits_db") >= col("hits_sql"), "db")
+          .otherwise("sql"))
+
+  /** Document fingerprint: lexicographic min of the md5s of the k-shingles —
+    * a deterministic 1-hash MinHash, the winnowing primitive.
+    */
+  def fingerprint(docs: DataFrame, k: Int = 3): DataFrame =
+    docs.select(
+      col("doc_id"),
+      array_min(transform(array_distinct(shinglesCol(k)), s => md5(s))).as("fingerprint"))
+
+  /** 64-bit SimHash as a 16-char lowercase hex string, tf-weighted over
+    * whitespace tokens, with md5 as the per-token hash.
+    *
+    * Computed nibble-wise: explode (token × 16 hex positions), split each
+    * hex digit into its 4 bits, take per-bit majorities, reassemble. Two
+    * partial-aggregate shuffles on (doc_id, nibble_pos) then (doc_id) —
+    * both map-side combined, so the shuffle carries ≤ 16 rows per document.
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val tokenHash = tokenize(docs).select(col("doc_id"), md5(col("w")).as("h"))
+    val nib = tokenHash
+      .select(col("doc_id"), explode(sequence(lit(0), lit(15))).as("np"), col("h"))
+      .select(
+        col("doc_id"), col("np"),
+        (expr("instr('0123456789abcdef', substr(h, np + 1, 1))") - 1).as("v"))
+    val bitSums = nib
+      .groupBy(col("doc_id"), col("np"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("v") % 2).as("s0"),
+        sum(expr("(v DIV 2) % 2")).as("s1"),
+        sum(expr("(v DIV 4) % 2")).as("s2"),
+        sum(expr("(v DIV 8) % 2")).as("s3"))
+    def bit(s: String): Column = when(col(s) * 2 >= col("cnt"), 1).otherwise(0)
+    val nibbles = bitSums.select(
+      col("doc_id"), col("np"),
+      (bit("s0") + bit("s1") * 2 + bit("s2") * 4 + bit("s3") * 8).as("nibv"))
+      .select(
+        col("doc_id"), col("np"),
+        expr("substr('0123456789abcdef', nibv + 1, 1)").as("ch"))
+    nibbles
+      .groupBy(col("doc_id"))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("np"), col("ch")))),
+            x => x.getField("ch")),
+          "").as("simhash"))
+  }
+}

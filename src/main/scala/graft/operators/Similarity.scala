@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Determinism: float embeddings are quantized per-element to
+  * `floor(x * 1e6)` longs, so dot products are exact integer sums —
+  * order-independent, hence reproducible across engines and partitionings.
+  * Cosine is then derived with single correctly-rounded IEEE ops (sqrt,
+  * multiply, divide) on exact inputs, which is bit-identical everywhere.
+  *
+  * Scale: the brute-force path broadcasts the (small) query set and scans
+  * the corpus once — linear, no shuffle of the corpus itself; the window
+  * ranks only `|queries| × k`-bounded groups after a partial top-k. The LSH
+  * path ([[signBuckets]], [[annLsh]]) buckets by random-hyperplane sign
+  * bits so candidate generation is an equi-join on the bucket key.
+  */
+object Similarity {
+
+  /** Per-element quantization to exact longs (floor(x * 1e6)). */
+  def quantize(c: Column): Column =
+    transform(c, x => floor(x.cast("double") * 1000000).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  private def withQuantized(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .withColumn("n2", dot(col("qe"), col("qe")))
+
+  /** Brute-force exact top-k cosine neighbors for the query set
+    * `vec_id < numQueries`. Output: (query_id, neighbor_id, rnk, dp, cosine).
+    */
+  def knnBruteForce(embeddings: DataFrame, numQueries: Int = 10, k: Int = 10): DataFrame = {
+    val e = withQuantized(embeddings)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dp", dot(col("qe"), col("q_qe")))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dp").desc, col("vec_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("query_id"),
+        col("vec_id").as("neighbor_id"),
+        col("rnk"),
+        col("dp"),
+        (col("dp").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("q_n2").cast("double")))).as("cosine"))
+  }
+
+  /** All-pairs cosine near-duplicate detection above `minCosine` — the
+    * exact quadratic baseline ([[annLsh]] is the scale path).
+    */
+  def cosinePairs(embeddings: DataFrame, minCosine: Double): DataFrame = {
+    val e = withQuantized(embeddings)
+    val b = e.select(col("vec_id").as("vec_b"), col("qe").as("qe_b"), col("n2").as("n2_b"))
+    e.join(b, col("vec_id") < col("vec_b"))
+      .withColumn("dp", dot(col("qe"), col("qe_b")))
+      .withColumn(
+        "cosine",
+        col("dp").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_id").as("vec_a"), col("vec_b"), col("dp"), col("cosine"))
+  }
+
+  /** Deterministic random hyperplanes: component (p, d) is derived from
+    * md5(p ":" d), mapped to [-1, 1). Fixed given (numPlanes, dim) — no RNG
+    * state, so plans are reproducible and resumable.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (0 until numPlanes).map { p =>
+      (0 until dim).map { d =>
+        val h = digest.digest(s"$p:$d".getBytes("UTF-8"))
+        ((h(0) & 0xff) - 127.5) / 128.0
+      }
+    }
+  }
+
+  /** Sign-LSH bucket key: one bit per hyperplane (sign of the projection),
+    * assembled into a long. Narrow computation — no shuffle.
+    */
+  def signBuckets(embeddings: DataFrame, numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+    val planes = hyperplanes(numPlanes, dim)
+    val bucketBits = planes.zipWithIndex.map { case (plane, p) =>
+      val planeCol = array(plane.map(lit): _*)
+      val proj = aggregate(
+        zip_with(col("embedding"), planeCol, (x, c) => x.cast("double") * c),
+        lit(0.0d), (acc, v) => acc + v)
+      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    }
+    embeddings.withColumn("bucket", bucketBits.reduce((a, b) => a + b))
+  }
+
+  /** Approximate top-k: rank only candidates sharing the query's LSH
+    * bucket. Trades recall for replacing the full scan with an equi-join
+    * on the bucket key — the 100 TB path; [[knnBruteForce]] is its oracle
+    * in tests.
+    */
+  def annLsh(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 10,
+      numPlanes: Int = 12): DataFrame = {
+    val e = signBuckets(embeddings, numPlanes)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"), col("bucket"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("bucket"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dp").desc, col("vec_id"))
+    e.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dp", dot(col("qe"), col("q_qe")))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("dp"))
+  }
+}
