@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the spark engine " +
+      "scans sorts joins and aggregates large columnar tables every day"
+
+  private def docs = Seq(
+    (0L, base, "en", "s0", base.length.toLong),
+    (1L, base, "en", "s0", base.length.toLong), // exact duplicate of 0
+    (2L, base.replace("lazy", "sleepy"), "en", "s1", base.length.toLong), // near-dup of 0
+    (3L, "completely different words about databases and airplanes and " +
+      "oceans with nothing shared beyond articles", "en", "s2", 100L))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("exact dedup groups identical content under the min doc_id") {
+    val groups = Dedup.exactDuplicates(docs).collect()
+    assert(groups.length === 3)
+    val dup = groups.find(_.getAs[Long]("n_docs") == 2L).get
+    assert(dup.getAs[Long]("canonical_id") === 0L)
+  }
+
+  test("LSH candidates include near-dups and exclude unrelated docs") {
+    val pairs = Dedup.lshCandidatePairs(docs, k = 3, numHashes = 8, numBands = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always collides
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L))) // near-dup
+    assert(!pairs.exists { case (a, b) => a == 3L || b == 3L }) // unrelated
+  }
+
+  test("jaccard pairs verify candidates with exact set overlap") {
+    val pairs = Dedup.jaccardPairs(docs, k = 3, minJaccard = 0.2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        r.getAs[Double]("jaccard"))
+      .toMap
+    assert(pairs((0L, 1L)) === 1.0) // identical shingle sets
+    assert(pairs((0L, 2L)) > 0.5 && pairs((0L, 2L)) < 1.0)
+    assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs agree, near-dups differ in few nibbles") {
+    val hashes = graft.functions.TextAnalysis.simhash(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap
+    assert(hashes(0L).length === 16)
+    assert(hashes(0L) === hashes(1L))
+    val diffNibbles = hashes(0L).zip(hashes(2L)).count { case (a, b) => a != b }
+    assert(diffNibbles <= 6, s"near-dup simhash too far: ${hashes(0L)} vs ${hashes(2L)}")
+    assert(hashes(0L) !== hashes(3L))
+  }
+
+  private def vecs = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+    (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0), // closest to 0
+    (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1), // orthogonal to 0
+    (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 2)) // opposite of 0
+    .toDF("vec_id", "embedding", "label")
+
+  test("brute-force knn ranks by cosine with self excluded") {
+    val out = Similarity.knnBruteForce(vecs, numQueries = 1, k = 3)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    val cosines = out.map(_.getAs[Double]("cosine"))
+    assert(math.abs(cosines(0) - 0.9 / math.sqrt(0.81 + 0.01)) < 1e-6)
+    assert(math.abs(cosines(1)) < 1e-6)
+    assert(math.abs(cosines(2) + 1.0) < 1e-6)
+  }
+
+  test("cosine pairs finds the single close pair above threshold") {
+    val pairs = Similarity.cosinePairs(vecs, minCosine = 0.9).collect()
+    assert(pairs.length === 1)
+    assert(pairs.head.getAs[Long]("vec_a") === 0L)
+    assert(pairs.head.getAs[Long]("vec_b") === 1L)
+  }
+
+  test("sign-LSH buckets put identical vectors together; ANN finds exact dup") {
+    val withDup = vecs.union(
+      Seq((4L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val buckets = Similarity.signBuckets(withDup, numPlanes = 8, dim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
+    assert(buckets(0L) === buckets(4L)) // identical vectors, identical bucket
+    val ann = Similarity.annLsh(withDup, numQueries = 1, k = 2, numPlanes = 8)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    assert(ann.contains(4L)) // the exact duplicate is always recalled
+  }
+
+  test("quantized dot products are exact and order-independent") {
+    val a = Seq((0L, Seq(0.123456f, -0.654321f), 0), (1L, Seq(0.111111f, 0.222222f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val one = Similarity.cosinePairs(a, minCosine = -1.0).collect().head
+    // floor(0.123456*1e6)=123455 or 123456 depending on float repr — but it
+    // must be IDENTICAL across repeated runs and partitionings.
+    val again = Similarity.cosinePairs(a.repartition(7), minCosine = -1.0).collect().head
+    assert(one.getAs[Long]("dp") === again.getAs[Long]("dp"))
+    assert(one.getAs[Double]("cosine") === again.getAs[Double]("cosine"))
+  }
+}

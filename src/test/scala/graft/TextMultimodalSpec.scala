@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.Multimodal
+
+class TextMultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def doc(id: Long, text: String) =
+    (id, text, "en", "src", text.length.toLong)
+
+  private def docs = Seq(
+    doc(0L, "the a the join scan query table"),
+    doc(1L, "x y"))
+    .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("text stats count words, letters, distinct words") {
+    val r = TextAnalysis.textStats(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_words") === 7L)
+    assert(r(0).getAs[Long]("n_distinct_words") === 6L)
+    assert(r(0).getAs[Long]("n_letters") === 25L)
+    assert(r(0).getAs[Long]("max_word_len") === 5L)
+    assert(math.abs(r(0).getAs[Double]("avg_word_len") - 25.0 / 7.0) < 1e-12)
+  }
+
+  test("language id scores stopword profiles with deterministic tie-break") {
+    val r = TextAnalysis.languageId(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("hits_en") === 3L) // the, a, the
+    assert(r(0).getAs[Long]("hits_db") === 2L) // join, scan
+    assert(r(0).getAs[Long]("hits_sql") === 2L) // query, table
+    assert(r(0).getAs[String]("predicted") === "en")
+    assert(r(1).getAs[String]("predicted") === "en") // 0/0/0 ties → first profile
+  }
+
+  test("shingling is array-native and guards short docs") {
+    val sh = TextAnalysis.shingles(docs, 3).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("sh")))
+    assert(sh.count(_._1 == 0L) === 5) // 7 words → 5 shingles
+    assert(sh.forall(_._1 == 0L)) // 2-word doc yields none (no crash)
+    assert(sh.map(_._2).contains("the a the"))
+  }
+
+  test("fingerprint is stable and order-sensitive") {
+    val f1 = TextAnalysis.fingerprint(docs).orderBy("doc_id").collect()
+    val f2 = TextAnalysis.fingerprint(docs.repartition(5)).orderBy("doc_id").collect()
+    assert(f1.map(_.getString(1)).toSeq === f2.map(_.getString(1)).toSeq)
+    val reversed = Seq(doc(0L, "table query scan join the a the"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val fr = TextAnalysis.fingerprint(reversed).collect().head.getString(1)
+    assert(fr !== f1(0).getString(1))
+  }
+
+  test("multimodal payload metadata and frame sampling shapes") {
+    val media = Multimodal.toMedia(docs)
+    val m = media.orderBy("doc_id").collect()
+    val text0 = "the a the join scan query table"
+    assert(m(0).getAs[org.apache.spark.sql.Row]("meta").getAs[Long]("n_bytes")
+      === text0.getBytes("UTF-8").length.toLong)
+    assert(new String(m(0).getAs[Array[Byte]]("payload"), "UTF-8") === text0)
+
+    val frames = Multimodal.sampleFrames(media, stride = 1).orderBy("doc_id").collect()
+    val fr0 = frames(0).getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("frames")
+    assert(fr0.length === math.ceil(text0.length / 64.0).toInt)
+    assert(fr0.head.getAs[Int]("frame_idx") === 0)
+    // Frame payloads reassemble the original.
+    val joined = fr0.map(r => new String(r.getAs[Array[Byte]]("frame"), "UTF-8")).mkString
+    assert(joined === text0)
+  }
+
+  test("stub feature extraction: histogram over byte values sums to 1") {
+    val media = Multimodal.toMedia(docs)
+    val feats = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.length === 2)
+    feats.foreach { f =>
+      assert(f.features.length === 16)
+      assert(math.abs(f.features.sum - 1.0f) < 1e-3)
+    }
+    // Deterministic: same input → same features.
+    val again = Multimodal.extractFeatures(spark, media).collect()
+    assert(feats.sortBy(_.doc_id).map(_.features) === again.sortBy(_.doc_id).map(_.features))
+  }
+
+  test("simhash emits 16 lowercase hex nibbles") {
+    val h = TextAnalysis.simhash(docs).collect()
+    assert(h.length === 2)
+    h.foreach(r => assert(r.getAs[String]("simhash").matches("[0-9a-f]{16}")))
+  }
+}
