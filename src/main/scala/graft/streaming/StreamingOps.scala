@@ -1,0 +1,81 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+/** Structured Streaming operators: the streaming twins of the batch engine.
+  *
+  * The reference is batch-only (SURVEY §2.8 — "all of streaming" absent),
+  * but its README motivates the pipeline with "raw Kafka-level data"
+  * (README.md:72); these operators are that production path, Spark-first:
+  * `readStream` sources compose with the exact same projection/union logic
+  * as the batch `normalizeActions` (a streaming DataFrame accepts the same
+  * expressions), watermarked tumbling windows handle late events, and
+  * gap-based sessionization is `mapGroupsWithState` keyed by user.
+  *
+  * Scale: state stores are keyed by (user | window×type) — both bounded;
+  * watermarks expire window state, and session state is O(1) per user.
+  */
+object StreamingOps {
+
+  /** Tumbling-window action counts with a late-data watermark.
+    * Works on any (streaming or batch) frame with the normalized-actions
+    * schema produced by `TrainingPipeline.normalizeActions`.
+    */
+  def windowedActionCounts(
+      actions: DataFrame,
+      windowDuration: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame =
+    actions
+      .withWatermark("action_time", watermarkDelay)
+      .groupBy(window(col("action_time"), windowDuration), col("action_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("action_type"),
+        col("n"))
+
+  case class SessionState(sessionId: Int, firstUs: Long, lastUs: Long, nEvents: Long)
+
+  case class SessionUpdate(
+      user_id: Long,
+      session_id: Int,
+      n_events: Long,
+      first_us: Long,
+      last_us: Long)
+
+  /** Gap-based sessionization (default 30 min) via `mapGroupsWithState` —
+    * the streaming twin of the batch `q11_sessionize` query. Each update
+    * emits the user's current open session; a new session starts when the
+    * gap since the last seen event exceeds `gapUs`.
+    */
+  def sessionize(
+      spark: SparkSession,
+      events: DataFrame,
+      gapUs: Long = 1800L * 1000000L): Dataset[SessionUpdate] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var s = state.getOption.getOrElse(SessionState(0, sorted.head, sorted.head, 0L))
+          sorted.foreach { us =>
+            s =
+              if (s.nEvents > 0L && us - s.lastUs > gapUs)
+                SessionState(s.sessionId + 1, us, us, 1L)
+              else
+                s.copy(
+                  firstUs = if (s.nEvents == 0L) us else s.firstUs,
+                  lastUs = us,
+                  nEvents = s.nEvents + 1L)
+          }
+          state.update(s)
+          SessionUpdate(uid, s.sessionId, s.nEvents, s.firstUs, s.lastUs)
+      }
+  }
+}
