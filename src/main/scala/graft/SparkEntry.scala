@@ -537,16 +537,24 @@ object SparkEntry {
       |  QUALIFY sh IS NOT NULL
       |)""".stripMargin
 
-  /** Shared oracle CTE: 8 seeded MinHash signatures per doc, banded 4×2. */
+  /** Shared oracle CTE: 8 MinHash signatures per doc via the h1 + j*h2
+    * tabulation family (matching Dedup.minhashSignatures), banded 4×2.
+    */
   private val minhashBands =
-    """hs AS (
-      |  SELECT doc_id, j, MIN(md5(CAST(j AS VARCHAR) || ':' || sh)) AS sig
-      |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS j)
+    """hh AS (
+      |  SELECT doc_id,
+      |         CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h1,
+      |         CAST('0x' || substr(md5(sh), 17, 13) AS BIGINT) AS h2
+      |  FROM sh
+      |),
+      |hs AS (
+      |  SELECT doc_id, j, MIN(h1 + j * h2) AS sig
+      |  FROM hh CROSS JOIN (SELECT unnest(range(8)) AS j)
       |  GROUP BY doc_id, j
       |),
       |bands AS (
       |  SELECT doc_id, CAST(j // 2 AS INT) AS band,
-      |         md5(string_agg(sig, '' ORDER BY j)) AS band_sig
+      |         string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
       |  FROM hs GROUP BY doc_id, CAST(j // 2 AS INT)
       |)""".stripMargin
 

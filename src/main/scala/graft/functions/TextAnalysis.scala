@@ -17,28 +17,41 @@ object TextAnalysis {
   /** Whitespace tokens of `text` as an array column. */
   def wordsCol: Column = split(col("text"), " ")
 
+  /** Small-input-heavy-compute guard: testdata-sized doc tables arrive as
+    * one parquet partition, which would serialize all downstream per-token
+    * work onto one core; spreading 5k rows costs ~nothing. At real scale
+    * (many input splits) this is a cheap hash exchange that co-locates by
+    * doc and still wins by feeding every core.
+    */
+  private def spread(docs: DataFrame): DataFrame = docs.repartition(col("doc_id"))
+
   /** One row per (doc_id, pos, w) token. Narrow (a single Generate). */
   def tokenize(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w")))
+    spread(docs).select(col("doc_id"), posexplode(wordsCol).as(Seq("pos", "w")))
 
   /** Array of word k-shingles ("w1 w2 … wk"), in document order.
     * Array-native: no shuffle, stays in whole-stage codegen.
     */
-  def shinglesCol(k: Int): Column = {
-    val words = wordsCol
-    // Guard: Spark's sequence(0, n) generates a DESCENDING sequence when
-    // n < 0, so short documents need an explicit empty array.
+  // Guard inside shinglesOf: Spark's sequence(0, n) generates a DESCENDING
+  // sequence when n < 0, so short documents need an explicit empty array.
+  def shinglesCol(k: Int): Column = shinglesOf(wordsCol, k)
+
+  /** One row per distinct (doc_id, shingle). The words array is projected
+    * once (CSE across the k slices per shingle), then shingled.
+    */
+  def shingles(docs: DataFrame, k: Int): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), wordsCol.as("words"))
+      .select(col("doc_id"), explode(array_distinct(shinglesOf(col("words"), k))).as("sh"))
+
+  /** k-shingles of a pre-computed words array column. */
+  def shinglesOf(words: Column, k: Int): Column =
     when(
       size(words) >= k,
       transform(
         sequence(lit(0), size(words) - k),
         i => array_join(slice(words, i + 1, lit(k)), " ")))
       .otherwise(array().cast("array<string>"))
-  }
-
-  /** One row per distinct (doc_id, shingle). */
-  def shingles(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"), explode(array_distinct(shinglesCol(k))).as("sh"))
 
   /** Per-document quality/shape statistics. `avg_word_len` is a single IEEE
     * division of two exact integers — deterministic across engines.
@@ -91,9 +104,12 @@ object TextAnalysis {
     * a deterministic 1-hash MinHash, the winnowing primitive.
     */
   def fingerprint(docs: DataFrame, k: Int = 3): DataFrame =
-    docs.select(
-      col("doc_id"),
-      array_min(transform(array_distinct(shinglesCol(k)), s => md5(s))).as("fingerprint"))
+    spread(docs)
+      .select(col("doc_id"), wordsCol.as("words"))
+      .select(
+        col("doc_id"),
+        array_min(transform(array_distinct(shinglesOf(col("words"), k)), s => md5(s)))
+          .as("fingerprint"))
 
   /** 64-bit SimHash as a 16-char lowercase hex string, tf-weighted over
     * whitespace tokens, with md5 as the per-token hash.

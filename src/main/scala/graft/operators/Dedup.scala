@@ -25,23 +25,32 @@ object Dedup {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_docs"))
 
-  /** MinHash signatures: for each of `numHashes` hash functions j, the
-    * signature is the lexicographic min over the document's k-shingles of
-    * md5(j ++ ":" ++ shingle) — a seeded-permutation MinHash family built
-    * entirely from codegen'd built-ins.
+  /** MinHash signatures via the standard `h1 + j*h2` tabulation family:
+    * one md5 per shingle yields two independent sub-hashes (60-bit and
+    * 52-bit hex slices — widths chosen so `h1 + 7*h2 < 2^63` never
+    * overflows, which DuckDB would reject and Spark would silently wrap),
+    * and hash function j is the cheap long combination. Signature j is the
+    * min over the document's k-shingles.
+    *
+    * Scale: md5 count is |shingles|, not |shingles| × numHashes, and the
+    * shuffle carries 8-byte longs instead of 32-byte digest strings; the
+    * (doc, j) aggregation is map-side combined.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame =
     TextAnalysis.shingles(docs, k)
       .select(
         col("doc_id"),
-        explode(sequence(lit(0), lit(numHashes - 1))).as("j"),
-        col("sh"))
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h1"),
+        conv(substring(md5(col("sh")), 17, 13), 16, 10).cast("long").as("h2"))
+      .select(
+        col("doc_id"), col("h1"), col("h2"),
+        explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
       .groupBy(col("doc_id"), col("j"))
-      .agg(min(md5(concat(col("j").cast("string"), lit(":"), col("sh")))).as("sig"))
+      .agg(min(col("h1") + col("j") * col("h2")).as("sig"))
 
-  /** LSH banding: concatenate the signatures of each band of
-    * `numHashes / numBands` consecutive hash functions and digest them into
-    * one 32-byte band key. Documents sharing any (band, band_sig) are
+  /** LSH banding: join the signatures of each band of
+    * `numHashes / numBands` consecutive hash functions into one compact
+    * band key string. Documents sharing any (band, band_sig) are
     * near-duplicate candidates.
     */
   def minhashBands(docs: DataFrame, k: Int = 3, numHashes: Int = 8, numBands: Int = 4): DataFrame = {
@@ -50,27 +59,38 @@ object Dedup {
       .withColumn("band", expr(s"CAST(j DIV $rowsPerBand AS INT)"))
       .groupBy(col("doc_id"), col("band"))
       .agg(
-        md5(array_join(
+        array_join(
           transform(
             sort_array(collect_list(struct(col("j"), col("sig")))),
-            x => x.getField("sig")),
-          "")).as("band_sig"))
+            x => x.getField("sig").cast("string")),
+          "_").as("band_sig"))
   }
 
-  /** Candidate near-duplicate pairs: bucket-join on (band, band_sig).
-    * Output is distinct (doc_a < doc_b) pairs. At scale this is a
-    * self-equi-join on a 36-byte key — no cross product anywhere.
+  /** Candidate near-duplicate pairs: group docs by (band, band_sig) bucket
+    * and expand each bucket's (doc_a < doc_b) pairs with array
+    * combinatorics. One pass over the signatures (a self-join would
+    * recompute the whole MinHash subtree for each side) and one shuffle on
+    * the 36-byte bucket key; per-bucket work is quadratic only in the
+    * bucket's size, which LSH keeps small by construction.
     */
-  def lshCandidatePairs(docs: DataFrame, k: Int = 3, numHashes: Int = 8, numBands: Int = 4): DataFrame = {
-    val bands = minhashBands(docs, k, numHashes, numBands)
-    bands.alias("a")
-      .join(
-        bands.alias("b"),
-        col("a.band") === col("b.band") && col("a.band_sig") === col("b.band_sig") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+  def lshCandidatePairs(docs: DataFrame, k: Int = 3, numHashes: Int = 8, numBands: Int = 4): DataFrame =
+    bucketPairs(
+      minhashBands(docs, k, numHashes, numBands),
+      Seq("band", "band_sig"), "doc_id")
+      .toDF("doc_a", "doc_b")
       .distinct()
-  }
+
+  /** Expand each group's sorted (a < b) element pairs. */
+  private[operators] def bucketPairs(df: DataFrame, keys: Seq[String], elem: String): DataFrame =
+    df.groupBy(keys.map(col): _*)
+      .agg(sort_array(collect_list(col(elem))).as("es"))
+      .filter(size(col("es")) > 1)
+      .select(explode(flatten(transform(
+        col("es"),
+        (a, i) => transform(
+          slice(col("es"), i + 2, size(col("es"))),
+          b => struct(a.as("a"), b.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b"))
 
   /** Exact k-shingle Jaccard similarity for every pair of documents sharing
     * at least one shingle, thresholded. The join is on the shingle string,
@@ -80,6 +100,10 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.2): DataFrame = {
     val sh = TextAnalysis.shingles(docs, k)
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // Shuffle self-join on the shingle, NOT bucketPairs: common shingles
+    // have high doc-multiplicity, and a join spreads each hot key's m²
+    // pair expansion across tasks instead of materializing it as one
+    // giant in-memory array per bucket.
     val common = sh.alias("a")
       .join(sh.alias("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))

@@ -1,0 +1,18 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge from a Catalyst `Expression` to a user-facing `Column`.
+  *
+  * Spark 4 moved this conversion behind `private[sql]`
+  * (`org.apache.spark.sql.classic.ExpressionUtils.column`); custom-expression
+  * libraries conventionally reach it from a sub-package of
+  * `org.apache.spark.sql`. The SQL-side registration path
+  * ([[graft.GraftExtensions]]) complements this for `spark.sql(...)` users.
+  */
+object bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
