@@ -220,6 +220,50 @@ object SparkEntry {
     "q23_cosine_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(Tables.embeddings(s, dir), 0.45).orderBy("vec_a", "vec_b")),
 
+    // Dedup at scale: LSH candidates verified by exact set intersection.
+    "q25_lsh_verified_pairs" -> ((s, dir) =>
+      Dedup.lshVerifiedPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+
+    // Pivot: per-day event-type matrix (conditional aggregation).
+    "q26_event_type_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("day")),
+
+    // Rollup with subtotal rows (grouping-set machinery).
+    "q27_pricing_rollup" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+
+    // Explode + agg + windowed top-K composition over text.
+    "q28_top_words_per_lang" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("w"))
+      Tables.documents(s, dir)
+        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("lang"), col("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 5)
+        .select(col("lang"), col("rnk"), col("w"), col("cnt"))
+        .orderBy("lang", "rnk")
+    }),
+
+    // Approximate NN via deterministic sign-LSH buckets (the scale path;
+    // q22 is the exact baseline).
+    "q29_ann_lsh" -> ((s, dir) =>
+      Similarity.annLsh(Tables.embeddings(s, dir)).orderBy("query_id", "rnk")),
+
     // Multimodal: binary payload + metadata + stub feature extraction.
     // Not SQL-expressible (typed mapPartitions decode) → rows-only check.
     "q24_multimodal_features" -> ((s, dir) => {
@@ -390,7 +434,10 @@ object SparkEntry {
         |       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
         |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
         |       CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'max') AS BIGINT) AS max_word_len,
-        |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len
+        |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
+        |       CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','fast','slow','big','small'))) AS DOUBLE)
+        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |       (n_words BETWEEN 20 AND 1000) AND (stopword_ratio <= 0.3) AS is_quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 
@@ -504,6 +551,62 @@ object SparkEntry {
          |WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
 
+    "q25_lsh_verified_pairs" ->
+      s"""WITH $docShingles,
+         |$minhashBands,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |),
+         |sets AS (SELECT doc_id, list(sh) AS shl, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS n_common,
+         |         sa.n_sh AS n_a, sb.n_sh AS n_b
+         |  FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
+         |)
+         |SELECT doc_a, doc_b, n_common, n_a, n_b,
+         |       CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+         |FROM v
+         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.2
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q26_event_type_pivot" ->
+      """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+        |       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+        |       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events
+        |GROUP BY day
+        |ORDER BY day""".stripMargin,
+
+    "q27_pricing_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q28_top_words_per_lang" ->
+      """WITH wc AS (
+        |  SELECT lang, w, COUNT(*) AS cnt
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY lang, w
+        |),
+        |r AS (
+        |  SELECT lang, w, cnt,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY cnt DESC, w) AS INT) AS rnk
+        |  FROM wc
+        |)
+        |SELECT lang, rnk, w, cnt FROM r WHERE rnk <= 5
+        |ORDER BY lang, rnk""".stripMargin,
+
+    "q29_ann_lsh" -> annLshOracle,
+
     "q23_cosine_pairs" ->
       s"""WITH $quantizedEmbeddings,
          |p AS (
@@ -557,6 +660,40 @@ object SparkEntry {
       |         string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
       |  FROM hs GROUP BY doc_id, CAST(j // 2 AS INT)
       |)""".stripMargin
+
+  /** Oracle for the sign-LSH ANN query: the deterministic hyperplanes are
+    * generated by the same Scala code as the engine
+    * (Similarity.hyperplanes), quantized identically, and embedded as SQL
+    * list literals.
+    */
+  private def annLshOracle: String = {
+    val planes = graft.operators.Similarity
+      .hyperplanes(graft.operators.Similarity.DefaultNumPlanes, 64)
+      .map(_.map(c => math.floor(c * 1000000).toLong))
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), ii -> qe[ii] * ($planeLit)[ii])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n         + ")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |),
+       |b AS (SELECT vec_id, qe, $bucketExpr AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, qe AS q_qe, bucket FROM b WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, b.vec_id,
+       |         CAST(list_sum(list_transform(range(1, 65), ii -> b.qe[ii] * q.q_qe[ii])) AS BIGINT) AS dp
+       |  FROM b JOIN q USING (bucket)
+       |  WHERE b.vec_id <> q.query_id
+       |),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS INT) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, rnk, dp FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   /** Shared oracle CTE: embeddings quantized to exact longs + self dot. */
   private val quantizedEmbeddings =

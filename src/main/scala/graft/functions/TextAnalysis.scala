@@ -59,13 +59,18 @@ object TextAnalysis {
   def textStats(docs: DataFrame): DataFrame = {
     val words = wordsCol
     docs.select(
-      col("doc_id"), col("lang"), col("source"), col("n_chars"),
-      size(words).cast("long").as("n_words"),
-      length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
-      size(array_distinct(words)).cast("long").as("n_distinct_words"),
-      array_max(transform(words, w => length(w))).cast("long").as("max_word_len"),
-      (length(regexp_replace(col("text"), " ", "")).cast("double") /
-        size(words).cast("double")).as("avg_word_len"))
+        col("doc_id"), col("lang"), col("source"), col("n_chars"),
+        size(words).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
+        size(array_distinct(words)).cast("long").as("n_distinct_words"),
+        array_max(transform(words, w => length(w))).cast("long").as("max_word_len"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+          size(words).cast("double")).as("avg_word_len"),
+        (hits(ProfileEn).cast("double") / size(words).cast("double")).as("stopword_ratio"))
+      // Quality gate in the Gopher/C4 style: length band + stopword share.
+      .withColumn(
+        "is_quality",
+        col("n_words") >= 20 && col("n_words") <= 1000 && col("stopword_ratio") <= 0.3)
   }
 
   /** Regex ("BPE-ish") token counting: alpha runs and digit runs. */
@@ -85,7 +90,7 @@ object TextAnalysis {
   val ProfileDb: Seq[String] = Seq("join", "scan", "merge", "hash", "sort", "agg")
   val ProfileSql: Seq[String] = Seq("query", "table", "column", "row", "key", "value")
 
-  private def hits(profile: Seq[String]): Column =
+  def hits(profile: Seq[String]): Column =
     size(filter(wordsCol, w => w.isInCollection(profile))).cast("long")
 
   def languageId(docs: DataFrame): DataFrame =

@@ -92,6 +92,38 @@ object Dedup {
           b => struct(a.as("a"), b.as("b")))))).as("p"))
       .select(col("p.a"), col("p.b"))
 
+  /** The 100 TB dedup path: LSH candidate generation followed by exact
+    * Jaccard verification via sorted-shingle-set intersection — quadratic
+    * work only inside LSH buckets, never across the corpus. The candidate
+    * set bounds recall (pairs below ~(1/bands)^(1/rowsPerBand) similarity
+    * are increasingly likely to be missed), which is the standard
+    * accuracy/scale trade; [[jaccardPairs]] is the exact baseline.
+    */
+  def lshVerifiedPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 8,
+      numBands: Int = 4,
+      minJaccard: Double = 0.2): DataFrame = {
+    val shSets = TextAnalysis.shingles(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("sh"))).as("shl"), count(lit(1)).as("n_sh"))
+    lshCandidatePairs(docs, k, numHashes, numBands)
+      .join(
+        shSets.select(col("doc_id"), col("shl").as("shl_a"), col("n_sh").as("n_a")),
+        col("doc_a") === col("doc_id")).drop("doc_id")
+      .join(
+        shSets.select(col("doc_id"), col("shl").as("shl_b"), col("n_sh").as("n_b")),
+        col("doc_b") === col("doc_id")).drop("doc_id")
+      .withColumn("n_common", size(array_intersect(col("shl_a"), col("shl_b"))).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+
   /** Exact k-shingle Jaccard similarity for every pair of documents sharing
     * at least one shingle, thresholded. The join is on the shingle string,
     * so only co-shingled pairs are ever materialized; `jaccard` is a single

@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Default sign-LSH plane count: 2^6 = 64 buckets — sized so the provided
+    * embeddings corpora keep several vectors per bucket (12+ planes make
+    * nearly every bucket a singleton and starve the candidate set).
+    */
+  val DefaultNumPlanes = 6
+
   /** Per-element quantization to exact longs (floor(x * 1e6)). */
   def quantize(c: Column): Column =
     transform(c, x => floor(x.cast("double") * 1000000).cast("long"))
@@ -94,7 +100,7 @@ object Similarity {
   /** Sign-LSH bucket key: one bit per hyperplane (sign of the projection),
     * assembled into a long. Narrow computation — no shuffle.
     */
-  def signBuckets(embeddings: DataFrame, numPlanes: Int = 12, dim: Int = 64): DataFrame = {
+  def signBuckets(embeddings: DataFrame, numPlanes: Int = DefaultNumPlanes, dim: Int = 64): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     // Quantize the plane components too, so the projection sign comes from
     // the codegen'd integer dot product (sign-preserving up to quantization
@@ -116,7 +122,7 @@ object Similarity {
       embeddings: DataFrame,
       numQueries: Int = 10,
       k: Int = 10,
-      numPlanes: Int = 12): DataFrame = {
+      numPlanes: Int = DefaultNumPlanes): DataFrame = {
     val e = signBuckets(embeddings, numPlanes)
       .select(col("vec_id"), quantize(col("embedding")).as("qe"), col("bucket"))
     val q = e.filter(col("vec_id") < numQueries)

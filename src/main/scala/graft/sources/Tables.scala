@@ -35,6 +35,30 @@ object Tables {
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 }
 
+/** Output sinks. The reference only *recommends* its storage layout
+  * (README.md:38,65,71: parquet + snappy, partitioned by dt) and never
+  * codes it; here it is the engine's real sink.
+  */
+object Sinks {
+
+  /** Write training examples partitioned by day — partition pruning then
+    * serves day-ranged training reads without touching other days.
+    */
+  def writeTrainingExamples(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write
+      .mode(mode)
+      .option("compression", "snappy")
+      .partitionBy("dt")
+      .parquet(path)
+
+  /** Generic partitioned-parquet sink for any engine output. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      mode: String = "overwrite"): Unit = {
+    val w = df.write.mode(mode).option("compression", "snappy")
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
+  }
+}
+
 /** Deterministic mapping of the `events` stream onto the reference
   * pipeline's four input tables (impressions + 3 action streams).
   *
