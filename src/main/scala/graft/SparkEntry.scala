@@ -264,6 +264,35 @@ object SparkEntry {
     "q29_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(Tables.embeddings(s, dir)).orderBy("query_id", "rnk")),
 
+    // JSON extraction from the events props column + aggregation.
+    "q30_json_props" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(
+          col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy(col("event_type"), (col("k") % 10).as("k_bucket"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .orderBy("event_type", "k_bucket")),
+
+    // Scalar-function kitchen sink (dates, strings, math) + global
+    // ORDER BY/LIMIT — operator classes absent from the reference.
+    "q31_scalar_limit" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .select(
+          col("o_orderkey"),
+          upper(col("o_orderpriority")).as("pri"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since"),
+          lpad((col("o_orderkey") % 100).cast("string"), 3, "0").as("key_pad"),
+          floor(col("o_totalprice")).cast("long").as("price_floor"),
+          abs(col("o_custkey") - 750).as("cust_dist"))
+        .orderBy("o_orderkey")
+        .limit(100)),
+
     // Multimodal: binary payload + metadata + stub feature extraction.
     // Not SQL-expressible (typed mapPartitions decode) → rows-only check.
     "q24_multimodal_features" -> ((s, dir) => {
@@ -606,6 +635,27 @@ object SparkEntry {
         |ORDER BY lang, rnk""".stripMargin,
 
     "q29_ann_lsh" -> annLshOracle,
+
+    "q30_json_props" ->
+      """SELECT event_type,
+        |       CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type, k_bucket
+        |ORDER BY event_type, k_bucket""".stripMargin,
+
+    "q31_scalar_limit" ->
+      """SELECT o_orderkey,
+        |       upper(o_orderpriority) AS pri,
+        |       strftime(o_orderdate, '%Y-%m') AS ym,
+        |       CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since,
+        |       lpad(CAST(o_orderkey % 100 AS VARCHAR), 3, '0') AS key_pad,
+        |       CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+        |       abs(o_custkey - 750) AS cust_dist
+        |FROM orders
+        |ORDER BY o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q23_cosine_pairs" ->
       s"""WITH $quantizedEmbeddings,

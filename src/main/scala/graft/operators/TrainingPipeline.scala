@@ -148,28 +148,51 @@ object TrainingPipeline {
       addToCarts: DataFrame,
       orders: DataFrame,
       maxHistory: Int = DefaultMaxHistory,
-      repartitionNum: Option[Int] = None): DataFrame = {
-    val actions = normalizeActions(clicks, addToCarts, orders)
+      repartitionNum: Option[Int] = None,
+      saltBuckets: Option[Int] = None,
+      persistActions: Boolean = false): DataFrame = {
+    val actions0 = normalizeActions(clicks, addToCarts, orders)
+    // README.md:64 advice (persist all_actions across multi-day runs) as a
+    // real flag rather than a comment.
+    val actions =
+      if (persistActions)
+        actions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else actions0
     val ex = explodeImpressions(impressions)
       .withColumn("cutoff_ts", to_timestamp(concat(col("dt"), lit(" 00:00:00"))))
 
     // Optional explicit co-location on the join key (reference hard-codes
     // repartition(200) at pipeline.py:153-156); by default the join's own
     // hash exchange + AQE handle sizing.
-    val (exP, actP) = repartitionNum match {
+    val (exP0, actP0) = repartitionNum match {
       case Some(n) => (
         ex.repartition(n, col("customer_id")),
         actions.repartition(n, col("customer_id")))
       case None => (ex, actions)
     }
 
+    // Hot-customer skew salting (README.md:70's "split hot customers" as a
+    // real mechanism): actions spread deterministically over N sub-keys,
+    // impressions replicated over all N, join key becomes (customer, salt).
+    // Null-extension still works per (impression, salt) row; empty-bucket
+    // nulls are dropped by the conditional collect below.
+    val (exP, actP, joinKeyExtra) = saltBuckets match {
+      case Some(n) =>
+        (
+          exP0.withColumn("_salt", explode(sequence(lit(0), lit(n - 1)))),
+          actP0.withColumn("_salt", pmod(hash(col("item_id"), col("action_time")), lit(n))),
+          Some(col("ex._salt") === col("act._salt")))
+      case None => (exP0, actP0, None)
+    }
+
     // Anti-leakage predicate in the ON clause (fix #1): null-extended rows
     // for history-less customers survive the left join.
+    val baseCond = col("ex.customer_id") === col("act.customer_id") &&
+      col("act.action_time") < col("ex.cutoff_ts")
     val joined = exP.alias("ex")
       .join(
         actP.alias("act"),
-        col("ex.customer_id") === col("act.customer_id") &&
-          col("act.action_time") < col("ex.cutoff_ts"),
+        joinKeyExtra.map(baseCond && _).getOrElse(baseCond),
         "left_outer")
       .select(
         col("ex.dt").as("dt"),
@@ -209,6 +232,21 @@ object TrainingPipeline {
         col("dt"), col("ranking_id"), col("customer_id"),
         col("impression_pos"), col("impression_item_id"), col("label")) ++
         paddedArrays(maxHistory): _*)
+  }
+
+  /** Typed variant of O4: same plan, surfaced as `Dataset[TrainingExample]`
+    * (SURVEY §1.4's typed entry point).
+    */
+  def produceTrainingExamplesTyped(
+      spark: org.apache.spark.sql.SparkSession,
+      impressions: DataFrame,
+      clicks: DataFrame,
+      addToCarts: DataFrame,
+      orders: DataFrame,
+      maxHistory: Int = DefaultMaxHistory): org.apache.spark.sql.Dataset[graft.model.TrainingExample] = {
+    import spark.implicits._
+    produceTrainingExamples(impressions, clicks, addToCarts, orders, maxHistory)
+      .as[graft.model.TrainingExample]
   }
 
   /** O4 via the O3 precompute: join impressions against the compact

@@ -148,6 +148,27 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("salted skew join produces identical results to the plain join") {
+    val (impressions, clicks, carts, orders) = basicFixture
+    val plain = TrainingPipeline
+      .produceTrainingExamples(impressions, clicks, carts, orders, maxHistory = 5)
+    val salted = TrainingPipeline
+      .produceTrainingExamples(impressions, clicks, carts, orders, maxHistory = 5,
+        saltBuckets = Some(4))
+    assert(plain.exceptAll(salted).count() === 0)
+    assert(salted.exceptAll(plain).count() === 0)
+  }
+
+  test("typed API returns Dataset[TrainingExample] with intact semantics") {
+    val (impressions, clicks, carts, orders) = basicFixture
+    val ds = TrainingPipeline.produceTrainingExamplesTyped(
+      spark, impressions, clicks, carts, orders, maxHistory = 5)
+    val rows = ds.collect().sortBy(r => (r.customer_id, r.impression_pos: Int))
+    assert(rows.length === 3)
+    assert(rows.head.actions === Seq(10L, 20L, 30L, 0L, 0L))
+    assert(rows.last.actions === Seq.fill(5)(0L))
+  }
+
   test("normalizeActions drops null keys and tags sources 1/2/3") {
     val clicks = Seq(
       Click("2025-08-13", 1L, 10L, ts("2025-08-13 12:00:00"))).toDF()
