@@ -516,10 +516,14 @@ object SparkEntry {
 
     "q20_jaccard_pairs" ->
       s"""WITH $docShingles,
-         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |shh AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+         |  FROM sh
+         |),
+         |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
          |common AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-         |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id
          |)
          |SELECT doc_a, doc_b, n_common, na.n_sh AS n_a, nb.n_sh AS n_b,

@@ -37,7 +37,10 @@ object Dedup {
     * (doc, j) aggregation is map-side combined.
     */
   def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame =
-    TextAnalysis.shingles(docs, k)
+    signaturesFromShingles(TextAnalysis.shingles(docs, k), numHashes)
+
+  private def signaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame =
+    sh
       .select(
         col("doc_id"),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h1"),
@@ -53,9 +56,12 @@ object Dedup {
     * band key string. Documents sharing any (band, band_sig) are
     * near-duplicate candidates.
     */
-  def minhashBands(docs: DataFrame, k: Int = 3, numHashes: Int = 8, numBands: Int = 4): DataFrame = {
+  def minhashBands(docs: DataFrame, k: Int = 3, numHashes: Int = 8, numBands: Int = 4): DataFrame =
+    bandsFromSignatures(minhashSignatures(docs, k, numHashes), numHashes, numBands)
+
+  private def bandsFromSignatures(sigs: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    minhashSignatures(docs, k, numHashes)
+    sigs
       .withColumn("band", expr(s"CAST(j DIV $rowsPerBand AS INT)"))
       .groupBy(col("doc_id"), col("band"))
       .agg(
@@ -105,10 +111,17 @@ object Dedup {
       numHashes: Int = 8,
       numBands: Int = 4,
       minJaccard: Double = 0.2): DataFrame = {
-    val shSets = TextAnalysis.shingles(docs, k)
+    // Materialize the shingle table once (localCheckpoint truncates the
+    // lineage) — candidates, verification sets, and counts all reuse it
+    // instead of re-shingling the corpus three times.
+    val sh = TextAnalysis.shingles(docs, k).localCheckpoint()
+    val shSets = sh
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("sh"))).as("shl"), count(lit(1)).as("n_sh"))
-    lshCandidatePairs(docs, k, numHashes, numBands)
+    val bands = bandsFromSignatures(signaturesFromShingles(sh, numHashes), numHashes, numBands)
+    bucketPairs(bands, Seq("band", "band_sig"), "doc_id")
+      .toDF("doc_a", "doc_b")
+      .distinct()
       .join(
         shSets.select(col("doc_id"), col("shl").as("shl_a"), col("n_sh").as("n_a")),
         col("doc_a") === col("doc_id")).drop("doc_id")
@@ -130,14 +143,22 @@ object Dedup {
     * IEEE division of exact integers (deterministic across engines).
     */
   def jaccardPairs(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+    // Join on a 60-bit digest of the shingle, not the string (~3× less
+    // shuffle volume, collisions ~n²/2^60), and materialize the digested
+    // table once — both self-join sides and the per-doc counts reuse it
+    // instead of re-shingling the corpus three times.
     val sh = TextAnalysis.shingles(docs, k)
+      .select(
+        col("doc_id"),
+        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("shh"))
+      .localCheckpoint()
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // Shuffle self-join on the shingle, NOT bucketPairs: common shingles
-    // have high doc-multiplicity, and a join spreads each hot key's m²
-    // pair expansion across tasks instead of materializing it as one
-    // giant in-memory array per bucket.
+    // Shuffle self-join on the shingle hash, NOT bucketPairs: common
+    // shingles have high doc-multiplicity, and a join spreads each hot
+    // key's m² pair expansion across tasks instead of materializing it as
+    // one giant in-memory array per bucket.
     val common = sh.alias("a")
-      .join(sh.alias("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .join(sh.alias("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common
