@@ -264,6 +264,19 @@ object SparkEntry {
     "q29_ann_lsh" -> ((s, dir) =>
       Similarity.annLsh(Tables.embeddings(s, dir)).orderBy("query_id", "rnk")),
 
+    // Set operations (absent from the reference): customers active in both
+    // / only the first half of the event month.
+    "q32_set_ops" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val firstHalf = ev.filter(dayofmonth(col("ts")) <= 15).select(col("user_id"))
+      val secondHalf = ev.filter(dayofmonth(col("ts")) > 15).select(col("user_id"))
+      val both = firstHalf.intersect(secondHalf)
+        .withColumn("activity", lit("both_halves"))
+      val onlyFirst = firstHalf.except(secondHalf)
+        .withColumn("activity", lit("first_half_only"))
+      both.unionByName(onlyFirst).orderBy("activity", "user_id")
+    }),
+
     // JSON extraction from the events props column + aggregation.
     "q30_json_props" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -639,6 +652,14 @@ object SparkEntry {
         |ORDER BY lang, rnk""".stripMargin,
 
     "q29_ann_lsh" -> annLshOracle,
+
+    "q32_set_ops" ->
+      """WITH fh AS (SELECT DISTINCT user_id FROM events WHERE CAST(strftime(ts, '%d') AS INT) <= 15),
+        |sh AS (SELECT DISTINCT user_id FROM events WHERE CAST(strftime(ts, '%d') AS INT) > 15)
+        |SELECT user_id, 'both_halves' AS activity FROM (SELECT user_id FROM fh INTERSECT SELECT user_id FROM sh)
+        |UNION ALL
+        |SELECT user_id, 'first_half_only' AS activity FROM (SELECT user_id FROM fh EXCEPT SELECT user_id FROM sh)
+        |ORDER BY activity, user_id""".stripMargin,
 
     "q30_json_props" ->
       """SELECT event_type,

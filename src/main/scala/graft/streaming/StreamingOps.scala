@@ -37,6 +37,22 @@ object StreamingOps {
         col("action_type"),
         col("n"))
 
+  /** Streaming exact dedup: drop events whose `idCols` were already seen
+    * within the watermark horizon — the streaming face of
+    * `Dedup.exactDuplicates`. State is bounded by the watermark: ids older
+    * than `watermarkDelay` are expired from the state store, which is what
+    * makes this viable on an unbounded 100 TB/day stream (a plain
+    * `dropDuplicates` would grow state forever).
+    */
+  def dedupStream(
+      events: DataFrame,
+      timeCol: String,
+      idCols: Seq[String],
+      watermarkDelay: String = "1 hour"): DataFrame =
+    events
+      .withWatermark(timeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(idCols)
+
   case class SessionState(sessionId: Int, firstUs: Long, lastUs: Long, nEvents: Long)
 
   case class SessionUpdate(

@@ -62,6 +62,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.contains((7L, 1, 1L)))
   }
 
+  test("streaming dedup drops repeated ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("event_id", "ts")
+
+    val query = StreamingOps.dedupStream(events, "ts", Seq("event_id"), "10 minutes")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode(OutputMode.Append()).start()
+
+    input.addData((1L, ts("2025-08-13 12:00:00")), (2L, ts("2025-08-13 12:00:30")),
+      (1L, ts("2025-08-13 12:01:00"))) // dup within batch
+    query.processAllAvailable()
+    input.addData((2L, ts("2025-08-13 12:02:00")), (3L, ts("2025-08-13 12:03:00"))) // dup across batches
+    query.processAllAvailable()
+
+    val ids = spark.table("dedup_stream").collect().map(_.getAs[Long]("event_id")).sorted
+    query.stop()
+    assert(ids === Array(1L, 2L, 3L)) // each id exactly once
+  }
+
   test("the batch normalizeActions projection composes with readStream frames") {
     implicit val sqlCtx = spark.sqlContext
     val clicksIn = MemoryStream[(String, Long, Long, java.sql.Timestamp)]
