@@ -15,15 +15,20 @@ object Bench {
     // JVM/codegen warm-up so startup cost isn't attributed to whichever
     // query happens to run first.
     spark.range(1000).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst prune the computed columns away) without
-      // attributing file-writing cost to the query.
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      // attributing file-writing cost to the query. Min of two runs:
+      // single samples on a shared host swing ±25% from GC/contention, and
+      // the second run amortizes per-query codegen compilation.
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
