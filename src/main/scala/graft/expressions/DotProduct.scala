@@ -39,7 +39,12 @@ case class DotProductLong(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) {
+      throw new IllegalArgumentException(
+        s"graft_dot: vector length mismatch ($n vs ${y.numElements()}) — " +
+          "refusing to silently truncate corrupt/mixed-dimension embeddings")
+    }
     var s = 0L
     var i = 0
     while (i < n) {
@@ -55,7 +60,11 @@ case class DotProductLong(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "graft_dot: vector length mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += $a.getLong($i) * $b.getLong($i);

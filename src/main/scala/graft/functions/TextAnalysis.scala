@@ -115,6 +115,9 @@ object TextAnalysis {
         col("doc_id"),
         array_min(transform(array_distinct(shinglesOf(col("words"), k)), s => md5(s)))
           .as("fingerprint"))
+      // Shingle-less documents (< k words) have no fingerprint — drop them
+      // rather than emitting a NULL row (matches the per-shingle oracle).
+      .filter(col("fingerprint").isNotNull)
 
   /** 64-bit SimHash as a 16-char lowercase hex string, tf-weighted over
     * whitespace tokens, with md5 as the per-token hash.

@@ -72,12 +72,18 @@ object Multimodal {
   def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame =
     media.select(
       col("doc_id"),
-      transform(
-        filter(
-          sequence(lit(0), col("meta.n_frames") - 1),
-          i => i % stride === 0),
-        i => struct(
-          i.cast("int").as("frame_idx"),
-          col("payload").substr(i.cast("int") * FrameBytes + 1, lit(FrameBytes))
-            .as("frame"))).as("frames"))
+      // Guard n_frames = 0: Spark's sequence(0, -1) DESCENDS ([0, -1])
+      // instead of returning [] — an empty payload must yield zero frames.
+      when(
+        col("meta.n_frames") > 0,
+        transform(
+          filter(
+            sequence(lit(0), col("meta.n_frames") - 1),
+            i => i % stride === 0),
+          i => struct(
+            i.cast("int").as("frame_idx"),
+            col("payload").substr(i.cast("int") * FrameBytes + 1, lit(FrameBytes))
+              .as("frame"))))
+        .otherwise(array().cast("array<struct<frame_idx:int,frame:binary>>"))
+        .as("frames"))
 }

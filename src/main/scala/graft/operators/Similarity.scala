@@ -100,7 +100,13 @@ object Similarity {
   /** Sign-LSH bucket key: one bit per hyperplane (sign of the projection),
     * assembled into a long. Narrow computation — no shuffle.
     */
-  def signBuckets(embeddings: DataFrame, numPlanes: Int = DefaultNumPlanes, dim: Int = 64): DataFrame = {
+  def signBuckets(embeddings: DataFrame, numPlanes: Int = DefaultNumPlanes, dim: Int = 64): DataFrame =
+    signBucketsQuantized(embeddings, numPlanes, dim).drop("_qe")
+
+  /** As [[signBuckets]] but keeps the quantized vector as `_qe` so callers
+    * (annLsh) don't re-quantize the corpus a second time.
+    */
+  private def signBucketsQuantized(embeddings: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     // Quantize the plane components too, so the projection sign comes from
     // the codegen'd integer dot product (sign-preserving up to quantization
@@ -110,7 +116,7 @@ object Similarity {
       val planeCol = array(plane.map(c => lit(math.floor(c * 1000000).toLong)): _*)
       when(dot(col("_qe"), planeCol) >= 0, lit(1L << p)).otherwise(lit(0L))
     }
-    withQ.withColumn("bucket", bucketBits.reduce((a, b) => a + b)).drop("_qe")
+    withQ.withColumn("bucket", bucketBits.reduce((a, b) => a + b))
   }
 
   /** Approximate top-k: rank only candidates sharing the query's LSH
@@ -122,9 +128,10 @@ object Similarity {
       embeddings: DataFrame,
       numQueries: Int = 10,
       k: Int = 10,
-      numPlanes: Int = DefaultNumPlanes): DataFrame = {
-    val e = signBuckets(embeddings, numPlanes)
-      .select(col("vec_id"), quantize(col("embedding")).as("qe"), col("bucket"))
+      numPlanes: Int = DefaultNumPlanes,
+      dim: Int = 64): DataFrame = {
+    val e = signBucketsQuantized(embeddings, numPlanes, dim)
+      .select(col("vec_id"), col("_qe").as("qe"), col("bucket"))
     val q = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("bucket"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dp").desc, col("vec_id"))

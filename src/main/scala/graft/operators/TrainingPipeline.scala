@@ -153,11 +153,28 @@ object TrainingPipeline {
       persistActions: Boolean = false): DataFrame = {
     val actions0 = normalizeActions(clicks, addToCarts, orders)
     // README.md:64 advice (persist all_actions across multi-day runs) as a
-    // real flag rather than a comment.
+    // real flag. NOTE: the cached frame is method-local, so repeated
+    // persistActions=true invocations each cache a fresh copy — for daily
+    // reruns prefer persisting normalizeActions' output yourself and
+    // calling [[produceTrainingExamplesFromActions]].
     val actions =
       if (persistActions)
         actions0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else actions0
+    produceTrainingExamplesFromActions(
+      impressions, actions, maxHistory, repartitionNum, saltBuckets)
+  }
+
+  /** O4 from a pre-normalized (and possibly caller-persisted) actions
+    * table — the entry point for repeated daily runs where `all_actions`
+    * lives across invocations (README.md:64).
+    */
+  def produceTrainingExamplesFromActions(
+      impressions: DataFrame,
+      actions: DataFrame,
+      maxHistory: Int = DefaultMaxHistory,
+      repartitionNum: Option[Int] = None,
+      saltBuckets: Option[Int] = None): DataFrame = {
     val ex = explodeImpressions(impressions)
       .withColumn("cutoff_ts", to_timestamp(concat(col("dt"), lit(" 00:00:00"))))
 

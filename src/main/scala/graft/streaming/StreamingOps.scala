@@ -62,10 +62,17 @@ object StreamingOps {
       first_us: Long,
       last_us: Long)
 
-  /** Gap-based sessionization (default 30 min) via `mapGroupsWithState` —
-    * the streaming twin of the batch `q11_sessionize` query. Each update
-    * emits the user's current open session; a new session starts when the
-    * gap since the last seen event exceeds `gapUs`.
+  /** Gap-based sessionization (default 30 min) via
+    * `flatMapGroupsWithState` — the streaming twin of the batch
+    * `q11_sessionize` query. Each batch emits the final stats of every
+    * session CLOSED within it plus the current open session; a new session
+    * starts when the gap since the latest seen event exceeds `gapUs`.
+    *
+    * Late (cross-batch out-of-order) events that arrive while a session is
+    * open are folded into it without regressing its time bounds — they can
+    * extend `firstUs` backwards but never re-open a closed session (the
+    * bounded-state trade; pair with a watermark-sized gap for stricter
+    * late-data semantics).
     */
   def sessionize(
       spark: SparkSession,
@@ -76,22 +83,26 @@ object StreamingOps {
       .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"))
       .as[(Long, Long)]
       .groupByKey(_._1)
-      .mapGroupsWithState[SessionState, SessionUpdate](GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionUpdate](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
           val sorted = rows.map(_._2).toSeq.sorted
+          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
           var s = state.getOption.getOrElse(SessionState(0, sorted.head, sorted.head, 0L))
           sorted.foreach { us =>
-            s =
-              if (s.nEvents > 0L && us - s.lastUs > gapUs)
-                SessionState(s.sessionId + 1, us, us, 1L)
-              else
-                s.copy(
-                  firstUs = if (s.nEvents == 0L) us else s.firstUs,
-                  lastUs = us,
-                  nEvents = s.nEvents + 1L)
+            if (s.nEvents > 0L && us - s.lastUs > gapUs) {
+              closed += SessionUpdate(uid, s.sessionId, s.nEvents, s.firstUs, s.lastUs)
+              s = SessionState(s.sessionId + 1, us, us, 1L)
+            } else {
+              s = s.copy(
+                firstUs = if (s.nEvents == 0L) us else math.min(s.firstUs, us),
+                lastUs = math.max(s.lastUs, us),
+                nEvents = s.nEvents + 1L)
+            }
           }
           state.update(s)
-          SessionUpdate(uid, s.sessionId, s.nEvents, s.firstUs, s.lastUs)
+          (closed :+ SessionUpdate(uid, s.sessionId, s.nEvents, s.firstUs, s.lastUs)).iterator
       }
   }
 }

@@ -86,7 +86,7 @@ class DedupSimilaritySpec extends SparkSpec {
     val buckets = Similarity.signBuckets(withDup, numPlanes = 8, dim = 4)
       .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("bucket")).toMap
     assert(buckets(0L) === buckets(4L)) // identical vectors, identical bucket
-    val ann = Similarity.annLsh(withDup, numQueries = 1, k = 2, numPlanes = 8)
+    val ann = Similarity.annLsh(withDup, numQueries = 1, k = 2, numPlanes = 8, dim = 4)
       .collect().map(_.getAs[Long]("neighbor_id")).toSet
     assert(ann.contains(4L)) // the exact duplicate is always recalled
   }

@@ -47,19 +47,27 @@ class StreamingOpsSpec extends SparkSpec {
     // Batch 1: two events 10 min apart → one session of 2.
     input.addData((7L, ts("2025-08-13 12:00:00")), (7L, ts("2025-08-13 12:10:00")))
     query.processAllAvailable()
-    // Batch 2: 10 more min (same session) then a 2h gap (new session).
+    // Batch 2: 10 more min (same session) then a 2h gap (new session) —
+    // session 0 closes mid-batch and must emit its FINAL stats (3 events).
     input.addData((7L, ts("2025-08-13 12:20:00")), (7L, ts("2025-08-13 14:30:00")))
+    query.processAllAvailable()
+    // Batch 3: a LATE event (12:25, before the open session started) must
+    // not regress the open session's bounds or re-open session 0.
+    input.addData((7L, ts("2025-08-13 12:25:00")))
     query.processAllAvailable()
 
     val rows = spark.table("sessions")
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("session_id"),
-        r.getAs[Long]("n_events")))
+        r.getAs[Long]("n_events"), r.getAs[Long]("last_us")))
     query.stop()
 
-    // Update-mode emissions: after batch 1 session 0 has 2 events; after
-    // batch 2 the open session is id 1 with 1 event (the 14:30 one).
-    assert(rows.contains((7L, 0, 2L)))
-    assert(rows.contains((7L, 1, 1L)))
+    assert(rows.exists(r => r._1 == 7L && r._2 == 0 && r._3 == 2L)) // batch-1 open emit
+    assert(rows.exists(r => r._1 == 7L && r._2 == 0 && r._3 == 3L)) // batch-2 CLOSED final
+    assert(rows.exists(r => r._1 == 7L && r._2 == 1 && r._3 == 1L)) // batch-2 open emit
+    // Late event folded into session 1 without regressing last_us (14:30).
+    val late = rows.filter(r => r._2 == 1 && r._3 == 2L)
+    assert(late.nonEmpty && late.forall(_._4 ==
+      ts("2025-08-13 14:30:00").getTime * 1000L))
   }
 
   test("streaming dedup drops repeated ids across micro-batches") {
