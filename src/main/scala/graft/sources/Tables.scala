@@ -57,6 +57,26 @@ object Sinks {
     val w = df.write.mode(mode).option("compression", "snappy")
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
+
+  /** Bucketed managed table — the shuffle-elision lever for the 100 TB
+    * join: both sides of the daily impressions×actions join bucketed by
+    * `customer_id` make the join exchange-free (Catalyst recognizes the
+    * matching bucketing and drops both Exchanges; BucketedJoinSpec pins
+    * this). Bucketed tables require the table catalog, not a bare path.
+    */
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      numBuckets: Int,
+      mode: String = "overwrite"): Unit =
+    df.write
+      .mode(mode)
+      .option("compression", "snappy")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
 }
 
 /** Deterministic mapping of the `events` stream onto the reference
