@@ -277,6 +277,31 @@ object SparkEntry {
       both.unionByName(onlyFirst).orderBy("activity", "user_id")
     }),
 
+    // Full cube over the pricing keys (all grouping-set combinations).
+    "q33_pricing_cube" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(dec("l_quantity")).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"))
+        .orderBy("rf", "ls")),
+
+    // Exact interpolated quantiles (identical linear-interpolation formula
+    // over the same sorted doubles in both engines → bit-equal).
+    "q34_order_quantiles" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n"),
+          expr("percentile(o_totalprice, 0.5D)").as("median_price"),
+          expr("percentile(o_totalprice, 0.25D)").as("q1_price"),
+          expr("percentile(o_totalprice, 0.75D)").as("q3_price"))
+        .orderBy("o_orderpriority")),
+
     // JSON extraction from the events props column + aggregation.
     "q30_json_props" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -660,6 +685,23 @@ object SparkEntry {
         |UNION ALL
         |SELECT user_id, 'first_half_only' AS activity FROM (SELECT user_id FROM fh EXCEPT SELECT user_id FROM sh)
         |ORDER BY activity, user_id""".stripMargin,
+
+    "q33_pricing_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf, COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q34_order_quantiles" ->
+      """SELECT o_orderpriority, COUNT(*) AS n,
+        |       quantile_cont(o_totalprice, 0.5) AS median_price,
+        |       quantile_cont(o_totalprice, 0.25) AS q1_price,
+        |       quantile_cont(o_totalprice, 0.75) AS q3_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q30_json_props" ->
       """SELECT event_type,
