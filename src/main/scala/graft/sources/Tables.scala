@@ -58,6 +58,22 @@ object Sinks {
     (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w).parquet(path)
   }
 
+  /** CSV sink/source pair (header + explicit schema on read — never infer
+    * in production: inference costs an extra full scan and drifts).
+    */
+  def writeCsv(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).option("header", "true").csv(path)
+
+  def readCsv(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON-lines sink/source pair (same explicit-schema posture). */
+  def writeJson(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).json(path)
+
+  def readJson(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Bucketed managed table — the shuffle-elision lever for the 100 TB
     * join: both sides of the daily impressions×actions join bucketed by
     * `customer_id` make the join exchange-free (Catalyst recognizes the
