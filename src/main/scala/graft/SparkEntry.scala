@@ -38,6 +38,15 @@ object SparkEntry {
 
   private def dec(c: String): org.apache.spark.sql.Column = col(c).cast(DecimalType(18, 4))
 
+  /** The driver's pandas-based oracle compare cannot sort/hash array cells,
+    * so gate queries surface history arrays as comma-joined strings
+    * (mirrored by `array_to_string(..., ',')` in the DuckDB oracles).
+    * Long/int → string casts are format-identical across both engines.
+    */
+  private def scalarizeHist(df: DataFrame): DataFrame = df
+    .withColumn("actions", concat_ws(",", col("actions").cast("array<string>")))
+    .withColumn("action_types", concat_ws(",", col("action_types").cast("array<string>")))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -59,12 +68,12 @@ object SparkEntry {
 
     // O4 — full training-example pipeline (flagship; SURVEY §2.1, §3.1).
     "q03_training_examples" -> ((s, dir) =>
-      TrainingPipeline.produceTrainingExamples(
+      scalarizeHist(TrainingPipeline.produceTrainingExamples(
         EventFixtures.impressions(s, dir),
         EventFixtures.clicks(s, dir),
         EventFixtures.addToCarts(s, dir),
         EventFixtures.orders(s, dir),
-        maxHistory = MaxHist)
+        maxHistory = MaxHist))
         .orderBy("dt", "ranking_id", "customer_id", "impression_pos", "impression_item_id")),
 
     // O3 — materialized per-(customer, dt) history precompute (SURVEY §2.1).
@@ -74,7 +83,7 @@ object SparkEntry {
         EventFixtures.addToCarts(s, dir),
         EventFixtures.orders(s, dir))
       val dts = EventFixtures.impressions(s, dir).select("dt").distinct()
-      TrainingPipeline.customerHistoryBeforeDt(actions, dts, MaxHist)
+      scalarizeHist(TrainingPipeline.customerHistoryBeforeDt(actions, dts, MaxHist))
         .orderBy("customer_id", "dt")
     }),
 
@@ -87,7 +96,7 @@ object SparkEntry {
       val imps = EventFixtures.impressions(s, dir)
       val hist = TrainingPipeline.customerHistoryBeforeDt(
         actions, imps.select("dt").distinct(), MaxHist)
-      TrainingPipeline.produceTrainingExamplesPrecomputed(imps, hist, MaxHist)
+      scalarizeHist(TrainingPipeline.produceTrainingExamplesPrecomputed(imps, hist, MaxHist))
         .orderBy("dt", "ranking_id", "customer_id", "impression_pos", "impression_item_id")
     }),
 
@@ -414,8 +423,8 @@ object SparkEntry {
          |  GROUP BY customer_id, dt
          |)
          |SELECT customer_id, dt,
-         |       (COALESCE(acts, CAST([] AS BIGINT[])) || CAST([0,0,0,0,0,0,0,0] AS BIGINT[]))[1:8] AS actions,
-         |       (COALESCE(atys, CAST([] AS INT[])) || CAST([0,0,0,0,0,0,0,0] AS INT[]))[1:8] AS action_types
+         |       array_to_string((COALESCE(acts, CAST([] AS BIGINT[])) || CAST([0,0,0,0,0,0,0,0] AS BIGINT[]))[1:8], ',') AS actions,
+         |       array_to_string((COALESCE(atys, CAST([] AS INT[])) || CAST([0,0,0,0,0,0,0,0] AS INT[]))[1:8], ',') AS action_types
          |FROM agg
          |ORDER BY customer_id, dt""".stripMargin,
 
@@ -849,8 +858,8 @@ object SparkEntry {
        |  GROUP BY dt, ranking_id, customer_id, impression_pos, impression_item_id, label
        |)
        |SELECT dt, ranking_id, customer_id, impression_pos, impression_item_id, label,
-       |       (COALESCE(acts, CAST([] AS BIGINT[])) || CAST([0,0,0,0,0,0,0,0] AS BIGINT[]))[1:8] AS actions,
-       |       (COALESCE(atys, CAST([] AS INT[])) || CAST([0,0,0,0,0,0,0,0] AS INT[]))[1:8] AS action_types
+       |       array_to_string((COALESCE(acts, CAST([] AS BIGINT[])) || CAST([0,0,0,0,0,0,0,0] AS BIGINT[]))[1:8], ',') AS actions,
+       |       array_to_string((COALESCE(atys, CAST([] AS INT[])) || CAST([0,0,0,0,0,0,0,0] AS INT[]))[1:8], ',') AS action_types
        |FROM agg
        |ORDER BY dt, ranking_id, customer_id, impression_pos, impression_item_id""".stripMargin
 }

@@ -114,27 +114,60 @@ object TrainingPipeline {
     * (customer_id, dt) with the customer's `maxHistory` most recent actions
     * strictly before dt 00:00:00, as fixed-length arrays.
     *
-    * Scale: actions×dts is a broadcast range join (dts is tiny — days),
-    * then one shuffle on (customer_id, dt) for the window+aggregate pair.
+    * Scale design (two compact stages, no raw-action blowup):
+    *
+    *  1. Per-(customer, action-day) top-K: each action belongs to exactly
+    *     ONE group — the ranking window runs once over the raw actions, and
+    *     Spark 3.5+'s WindowGroupLimit bounds each group to `maxHistory`
+    *     rows before the full sort. The K most recent actions before any
+    *     cutoff are necessarily within the top-K of their own day (an
+    *     action outranked by ≥K same-day actions is outranked by them
+    *     before every later cutoff), so day-level top-K loses nothing.
+    *  2. The compact daily chunks (≤ maxHistory structs per (customer, day))
+    *     broadcast-join to the cutoff days and merge. Only pre-bounded
+    *     aggregates — never raw actions — are replicated per cutoff.
+    *
+    * An earlier formulation joined RAW actions to cutoffs
+    * (`action_time < cutoff_ts`), replicating every action once per future
+    * cutoff day before a window ranked the blown-up table — O(actions × dts)
+    * at 100 TB. Stage 2 here replicates only day-aggregates, and
+    * `horizonDays` (production knob: "history within H days") bounds even
+    * that to O(H) copies per daily chunk. `horizonDays = None` keeps the
+    * reference's unbounded-lookback semantics exactly.
     */
   def customerHistoryBeforeDt(
       actions: DataFrame,
       dts: DataFrame,
-      maxHistory: Int = DefaultMaxHistory): DataFrame = {
-    val cutoffs = dts.select(
-      col("dt"),
-      to_timestamp(concat(col("dt"), lit(" 00:00:00"))).as("cutoff_ts"))
-    val w = Window
-      .partitionBy(col("customer_id"), col("dt"))
+      maxHistory: Int = DefaultMaxHistory,
+      horizonDays: Option[Int] = None): DataFrame = {
+    val cutoffs = dts.select(col("dt"), to_date(col("dt")).as("cutoff_day"))
+
+    // Stage 1: bounded per-(customer, day) top-K. Struct field order makes
+    // ascending lexicographic sort = (action_time DESC, item_id,
+    // action_type) — the pipeline's total order.
+    val wDay = Window
+      .partitionBy(col("customer_id"), col("action_day"))
       .orderBy(col("action_time").desc, col("item_id"), col("action_type"))
-    val ranked = actions
-      .join(broadcast(cutoffs), col("action_time") < col("cutoff_ts"))
-      .withColumn("rn", row_number().over(w))
+    val daily = actions
+      .withColumn("action_day", to_date(col("action_time")))
+      .withColumn("rn", row_number().over(wDay))
       .filter(col("rn") <= maxHistory)
-    val agg = ranked
+      .groupBy(col("customer_id"), col("action_day"))
+      .agg(collect_list(struct(
+        (-unix_micros(col("action_time"))).as("neg_us"),
+        col("item_id"),
+        col("action_type"))).as("chunk"))
+
+    // Stage 2: fan compact chunks out to qualifying cutoffs, merge, re-rank.
+    val inRange = col("action_day") < col("cutoff_day")
+    val joinCond = horizonDays match {
+      case Some(h) => inRange && col("action_day") >= date_sub(col("cutoff_day"), h)
+      case None    => inRange
+    }
+    val agg = daily
+      .join(broadcast(cutoffs), joinCond)
       .groupBy(col("customer_id"), col("dt"))
-      .agg(sort_array(collect_list(struct(col("rn"), col("item_id"), col("action_type"))))
-        .as("hist"))
+      .agg(slice(array_sort(flatten(collect_list(col("chunk")))), 1, maxHistory).as("hist"))
     agg.select(Seq(col("customer_id"), col("dt")) ++ paddedArrays(maxHistory): _*)
   }
 
