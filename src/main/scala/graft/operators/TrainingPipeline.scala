@@ -158,13 +158,25 @@ object TrainingPipeline {
         col("item_id"),
         col("action_type"))).as("chunk"))
 
+    // Relevance window: a chunk is dead for cutoff D once the customer has
+    // K whole LATER chunks before D — each later chunk carries ≥1 strictly
+    // newer action, so K of them saturate the top-K. The K-th next chunk's
+    // day is therefore the last cutoff day this chunk can matter for
+    // (inclusive: same-day chunks as D itself are excluded by `< D`).
+    // Exact filter, one lead() — keeps each (customer, cutoff) merge group
+    // at ≤ K+1 chunks no matter how many cutoff days follow.
+    val wCust = Window.partitionBy(col("customer_id")).orderBy(col("action_day"))
+    val dailyWithExpiry = daily
+      .withColumn("expiry_day", lead(col("action_day"), maxHistory).over(wCust))
+
     // Stage 2: fan compact chunks out to qualifying cutoffs, merge, re-rank.
-    val inRange = col("action_day") < col("cutoff_day")
+    val inRange = col("action_day") < col("cutoff_day") &&
+      (col("expiry_day").isNull || col("cutoff_day") <= col("expiry_day"))
     val joinCond = horizonDays match {
       case Some(h) => inRange && col("action_day") >= date_sub(col("cutoff_day"), h)
       case None    => inRange
     }
-    val agg = daily
+    val agg = dailyWithExpiry
       .join(broadcast(cutoffs), joinCond)
       .groupBy(col("customer_id"), col("dt"))
       .agg(slice(array_sort(flatten(collect_list(col("chunk")))), 1, maxHistory).as("hist"))
@@ -207,7 +219,8 @@ object TrainingPipeline {
       actions: DataFrame,
       maxHistory: Int = DefaultMaxHistory,
       repartitionNum: Option[Int] = None,
-      saltBuckets: Option[Int] = None): DataFrame = {
+      saltBuckets: Option[Int] = None,
+      saltOnlyCustomers: Option[Seq[Long]] = None): DataFrame = {
     val ex = explodeImpressions(impressions)
       .withColumn("cutoff_ts", to_timestamp(concat(col("dt"), lit(" 00:00:00"))))
 
@@ -226,11 +239,26 @@ object TrainingPipeline {
     // impressions replicated over all N, join key becomes (customer, salt).
     // Null-extension still works per (impression, salt) row; empty-bucket
     // nulls are dropped by the conditional collect below.
+    //
+    // `saltOnlyCustomers` narrows the mechanism to a known hot-key set
+    // (from [[detectHotCustomers]] or ops knowledge): everyone else keeps
+    // salt 0 and is NOT replicated, so the ×N replication cost is paid only
+    // where the skew is — the form that survives 100 TB, where replicating
+    // every impression N× would N× the dominant shuffle.
     val (exP, actP, joinKeyExtra) = saltBuckets match {
       case Some(n) =>
+        val allSalts = sequence(lit(0), lit(n - 1))
+        val actSalt = pmod(hash(col("item_id"), col("action_time")), lit(n))
+        val (exSalts, actSaltCol) = saltOnlyCustomers match {
+          case Some(hot) =>
+            val isHot = col("customer_id").isInCollection(hot)
+            (when(isHot, allSalts).otherwise(array(lit(0))),
+              when(isHot, actSalt).otherwise(lit(0)))
+          case None => (allSalts, actSalt)
+        }
         (
-          exP0.withColumn("_salt", explode(sequence(lit(0), lit(n - 1)))),
-          actP0.withColumn("_salt", pmod(hash(col("item_id"), col("action_time")), lit(n))),
+          exP0.withColumn("_salt", explode(exSalts)),
+          actP0.withColumn("_salt", actSaltCol),
           Some(col("ex._salt") === col("act._salt")))
       case None => (exP0, actP0, None)
     }
@@ -283,6 +311,18 @@ object TrainingPipeline {
         col("impression_pos"), col("impression_item_id"), col("label")) ++
         paddedArrays(maxHistory): _*)
   }
+
+  /** Hot-key detection for targeted salting: customers whose action count
+    * exceeds `threshold`. One partial-aggregated count per customer; the
+    * collect is metadata-sized (hot keys are few by definition — `cap`
+    * guards a mis-set threshold from flooding the driver).
+    */
+  def detectHotCustomers(actions: DataFrame, threshold: Long, cap: Int = 1000): Seq[Long] =
+    actions.groupBy(col("customer_id")).count()
+      .filter(col("count") > threshold)
+      .orderBy(col("count").desc)
+      .limit(cap)
+      .select("customer_id").collect().map(_.getLong(0)).toSeq
 
   /** Typed variant of O4: same plan, surfaced as `Dataset[TrainingExample]`
     * (SURVEY §1.4's typed entry point).
