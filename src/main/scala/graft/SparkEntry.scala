@@ -353,7 +353,8 @@ object SparkEntry {
         .join(feats, "doc_id")
         .select(
           col("doc_id"), col("n_bytes"), col("n_frames"),
-          element_at(col("features"), 1).as("f0"))
+          element_at(col("features"), 1).as("f0"),
+          element_at(col("features"), 7).as("f6"))
         .orderBy("doc_id")
     }))
 
@@ -563,9 +564,13 @@ object SparkEntry {
 
     "q20_jaccard_pairs" ->
       s"""WITH $docShingles,
-         |shh AS (
+         |shh_all AS (
          |  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
          |  FROM sh
+         |),
+         |shh AS (
+         |  SELECT * FROM shh_all
+         |  WHERE h NOT IN (SELECT h FROM shh_all GROUP BY h HAVING COUNT(*) > 100)
          |),
          |counts AS (SELECT doc_id, COUNT(*) AS n_sh FROM shh GROUP BY doc_id),
          |common AS (
@@ -651,6 +656,21 @@ object SparkEntry {
          |FROM v
          |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // The stub "decoder" is a 16-bin byte histogram over the UTF-8 payload;
+    // documents are pure ASCII (verified at generation), so byte-range
+    // counts equal char-class counts. f0 / f6 are single float32 divisions
+    // of exact small integers — bit-identical across engines.
+    "q24_multimodal_features" ->
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames,
+        |       CAST(length(text) - length(regexp_replace(text, '[\x00-\x0f]', '', 'g')) AS FLOAT)
+        |         / CAST(greatest(octet_length(encode(text)), 1) AS FLOAT) AS f0,
+        |       CAST(length(text) - length(regexp_replace(text, '[\x60-\x6f]', '', 'g')) AS FLOAT)
+        |         / CAST(greatest(octet_length(encode(text)), 1) AS FLOAT) AS f6
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q26_event_type_pivot" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

@@ -18,12 +18,18 @@ object TextAnalysis {
   def wordsCol: Column = split(col("text"), " ")
 
   /** Small-input-heavy-compute guard: testdata-sized doc tables arrive as
-    * one parquet partition, which would serialize all downstream per-token
-    * work onto one core; spreading 5k rows costs ~nothing. At real scale
-    * (many input splits) this is a cheap hash exchange that co-locates by
-    * doc and still wins by feeding every core.
+    * ONE parquet partition, which would serialize all downstream per-token
+    * work onto one core; spreading a few thousand rows costs ~nothing.
+    * Conditional: when the scan already yields at least as many splits as
+    * cores — the normal case at real scale — the per-doc work here is
+    * narrow and needs no co-location, so shuffling the full document text
+    * would be pure waste and the input passes through untouched.
     */
-  private def spread(docs: DataFrame): DataFrame = docs.repartition(col("doc_id"))
+  private def spread(docs: DataFrame): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions < parallelism) docs.repartition(col("doc_id"))
+    else docs
+  }
 
   /** One row per (doc_id, pos, w) token. Narrow (a single Generate). */
   def tokenize(docs: DataFrame): DataFrame =

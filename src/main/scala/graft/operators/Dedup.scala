@@ -141,17 +141,35 @@ object Dedup {
     * at least one shingle, thresholded. The join is on the shingle string,
     * so only co-shingled pairs are ever materialized; `jaccard` is a single
     * IEEE division of exact integers (deterministic across engines).
+    *
+    * `maxDocFreq` drops shingles present in more than that many documents
+    * before the self-join — the standard exact-Jaccard-at-scale guard: a
+    * boilerplate shingle (license header, template phrase) in m documents
+    * would otherwise emit m²/2 join rows. Jaccard is then exact over the
+    * filtered shingle universe (hot shingles leave both the intersection
+    * and the per-doc counts, so near-identical boilerplate alone no longer
+    * counts as similarity — usually the WANTED semantics for dedup).
     */
-  def jaccardPairs(docs: DataFrame, k: Int = 3, minJaccard: Double = 0.2): DataFrame = {
+  def jaccardPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      minJaccard: Double = 0.2,
+      maxDocFreq: Int = 100): DataFrame = {
     // Join on a 60-bit digest of the shingle, not the string (~3× less
     // shuffle volume, collisions ~n²/2^60), and materialize the digested
     // table once — both self-join sides and the per-doc counts reuse it
     // instead of re-shingling the corpus three times.
-    val sh = TextAnalysis.shingles(docs, k)
+    val shAll = TextAnalysis.shingles(docs, k)
       .select(
         col("doc_id"),
         conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("shh"))
       .localCheckpoint()
+    // shingles() emits distinct (doc_id, sh), so a plain count is the
+    // document frequency. Hot digests are few — broadcast the anti-join.
+    val hot = shAll.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("shh")
+    val sh = shAll.join(broadcast(hot), Seq("shh"), "left_anti")
     val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // Shuffle self-join on the shingle hash, NOT bucketPairs: common
     // shingles have high doc-multiplicity, and a join spreads each hot

@@ -46,6 +46,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("jaccard doc-frequency cap bounds hot-shingle pair blowup") {
+    // 120 docs share one boilerplate shingle but nothing else: uncapped,
+    // every pair co-shingles (120·119/2 = 7140 pairs at jaccard exactly
+    // 1/5); with the cap at 100 the hot shingle is dropped from both the
+    // intersection and the counts, and no pair survives.
+    val boiler = (0L until 120L).map { i =>
+      (i, s"common boiler plate u${i}a u${i}b", "en", "s", 30L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val uncapped = Dedup.jaccardPairs(boiler, k = 3, minJaccard = 0.2, maxDocFreq = 1000)
+    assert(uncapped.count() === 7140L)
+    val capped = Dedup.jaccardPairs(boiler, k = 3, minJaccard = 0.2, maxDocFreq = 100)
+    assert(capped.count() === 0L)
+  }
+
   test("simhash: identical docs agree, near-dups differ in few nibbles") {
     val hashes = graft.functions.TextAnalysis.simhash(docs).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("simhash")).toMap

@@ -26,6 +26,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(r(0).getAs[Double]("avg_word_len") - 25.0 / 7.0) < 1e-12)
   }
 
+  test("spread repartitions single-partition input and passes split input through") {
+    def textDf(parts: Int) = spark.range(0, 50, 1, parts)
+      .select(
+        col("id").as("doc_id"),
+        concat(lit("word"), col("id"), lit(" tail")).as("text"))
+    // One input split on a multi-core session → hash exchange on doc_id.
+    val narrow = TextAnalysis.tokenize(textDf(1))
+    assert(narrow.queryExecution.executedPlan.toString.contains("Exchange"))
+    // Already at least one split per core → no shuffle of the corpus text.
+    val split = TextAnalysis.tokenize(textDf(spark.sparkContext.defaultParallelism))
+    assert(!split.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
+
   test("language id scores stopword profiles with deterministic tie-break") {
     val r = TextAnalysis.languageId(docs).orderBy("doc_id").collect()
     assert(r(0).getAs[Long]("hits_en") === 3L) // the, a, the
