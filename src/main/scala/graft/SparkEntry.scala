@@ -816,6 +816,9 @@ object SparkEntry {
     val planes = graft.operators.Similarity
       .hyperplanes(graft.operators.Similarity.DefaultNumPlanes, 64)
       .map(_.map(c => math.floor(c * 1000000).toLong))
+    val probeMaskList = graft.operators.Similarity
+      .probeMasks(graft.operators.Similarity.DefaultNumPlanes, probeBits = 1)
+      .mkString("[", ",", "]")
     val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
       val planeLit = p.mkString("[", ",", "]")
       s"(CASE WHEN list_sum(list_transform(range(1, 65), ii -> qe[ii] * ($planeLit)[ii])) >= 0 THEN ${1L << i} ELSE 0 END)"
@@ -827,11 +830,15 @@ object SparkEntry {
        |),
        |b AS (SELECT vec_id, qe, $bucketExpr AS bucket FROM e),
        |q AS (SELECT vec_id AS query_id, qe AS q_qe, bucket FROM b WHERE vec_id < 10),
+       |probes AS (
+       |  SELECT query_id, q_qe, xor(bucket, m) AS bucket
+       |  FROM q CROSS JOIN (SELECT unnest($probeMaskList) AS m)
+       |),
        |scored AS (
-       |  SELECT q.query_id, b.vec_id,
-       |         CAST(list_sum(list_transform(range(1, 65), ii -> b.qe[ii] * q.q_qe[ii])) AS BIGINT) AS dp
-       |  FROM b JOIN q USING (bucket)
-       |  WHERE b.vec_id <> q.query_id
+       |  SELECT probes.query_id, b.vec_id,
+       |         CAST(list_sum(list_transform(range(1, 65), ii -> b.qe[ii] * probes.q_qe[ii])) AS BIGINT) AS dp
+       |  FROM b JOIN probes USING (bucket)
+       |  WHERE b.vec_id <> probes.query_id
        |),
        |r AS (
        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS INT) AS rnk

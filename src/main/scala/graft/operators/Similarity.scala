@@ -119,21 +119,38 @@ object Similarity {
     withQ.withColumn("bucket", bucketBits.reduce((a, b) => a + b))
   }
 
-  /** Approximate top-k: rank only candidates sharing the query's LSH
-    * bucket. Trades recall for replacing the full scan with an equi-join
-    * on the bucket key — the 100 TB path; [[knnBruteForce]] is its oracle
-    * in tests.
+  /** All bucket-key XOR masks within Hamming distance `probeBits` of zero —
+    * the multi-probe neighborhood. Driver-side enumeration; numPlanes is
+    * small by construction (bucket count is 2^numPlanes).
+    */
+  def probeMasks(numPlanes: Int, probeBits: Int): Seq[Long] =
+    (0L until (1L << numPlanes)).filter(m => java.lang.Long.bitCount(m) <= probeBits)
+
+  /** Approximate top-k: rank only candidates in the query's LSH bucket or
+    * any bucket within `probeBits` flipped sign bits (multi-probe LSH —
+    * near neighbors most often land one flipped hyperplane away, so
+    * probing the 1-bit neighborhood recovers most of the recall a single
+    * probe loses, at (numPlanes+1)/2^numPlanes of the corpus instead of
+    * another full hash table). Probed buckets are distinct and each corpus
+    * vector lives in exactly one, so candidates need no dedup and the join
+    * stays a plain equi-join on the bucket key — the 100 TB shape;
+    * [[knnBruteForce]] is its recall oracle in tests.
     */
   def annLsh(
       embeddings: DataFrame,
       numQueries: Int = 10,
       k: Int = 10,
       numPlanes: Int = DefaultNumPlanes,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64,
+      probeBits: Int = 1): DataFrame = {
     val e = signBucketsQuantized(embeddings, numPlanes, dim)
       .select(col("vec_id"), col("_qe").as("qe"), col("bucket"))
+    val masks = probeMasks(numPlanes, probeBits)
     val q = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("bucket"))
+      .select(
+        col("vec_id").as("query_id"),
+        col("qe").as("q_qe"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("dp").desc, col("vec_id"))
     e.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))

@@ -73,36 +73,64 @@ object StreamingOps {
     * extend `firstUs` backwards but never re-open a closed session (the
     * bounded-state trade; pair with a watermark-sized gap for stricter
     * late-data semantics).
+    *
+    * State EXPIRES: once the event-time watermark (`watermarkDelay` behind
+    * the max seen event time) passes a user's last event + gap, the open
+    * session is emitted as final and the state entry is removed — on an
+    * unbounded user population, per-user state would otherwise grow
+    * forever. A user who returns after eviction starts a fresh state
+    * (session ids restart at 0 — make ids unique downstream with
+    * `first_us` if needed).
     */
   def sessionize(
       spark: SparkSession,
       events: DataFrame,
-      gapUs: Long = 1800L * 1000000L): Dataset[SessionUpdate] = {
+      gapUs: Long = 1800L * 1000000L,
+      watermarkDelay: String = "2 hours"): Dataset[SessionUpdate] = {
     import spark.implicits._
+    // The watermarked event-time column must reach the stateful operator
+    // as a timestamp (converting to long drops the event-time tag the
+    // EventTimeTimeout checker looks for) — µs conversion happens in the
+    // lambda instead.
     events
-      .select(col("user_id").cast("long"), unix_micros(col("ts")).as("us"))
-      .as[(Long, Long)]
+      .select(col("user_id").cast("long").as("user_id"), col("ts"))
+      .withWatermark("ts", watermarkDelay)
+      .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionUpdate](
         org.apache.spark.sql.streaming.OutputMode.Update(),
-        GroupStateTimeout.NoTimeout) {
-        (uid: Long, rows: Iterator[(Long, Long)], state: GroupState[SessionState]) =>
-          val sorted = rows.map(_._2).toSeq.sorted
-          val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
-          var s = state.getOption.getOrElse(SessionState(0, sorted.head, sorted.head, 0L))
-          sorted.foreach { us =>
-            if (s.nEvents > 0L && us - s.lastUs > gapUs) {
-              closed += SessionUpdate(uid, s.sessionId, s.nEvents, s.firstUs, s.lastUs)
-              s = SessionState(s.sessionId + 1, us, us, 1L)
-            } else {
-              s = s.copy(
-                firstUs = if (s.nEvents == 0L) us else math.min(s.firstUs, us),
-                lastUs = math.max(s.lastUs, us),
-                nEvents = s.nEvents + 1L)
-            }
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, tsRows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionState]) =>
+          val rows = tsRows.map { case (u, t) =>
+            (u, t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L)
           }
-          state.update(s)
-          (closed :+ SessionUpdate(uid, s.sessionId, s.nEvents, s.firstUs, s.lastUs)).iterator
+          if (state.hasTimedOut) {
+            // Idle past gap + watermark: close the open session, drop state.
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionUpdate(uid, s.sessionId, s.nEvents, s.firstUs, s.lastUs))
+          } else {
+            val sorted = rows.map(_._2).toSeq.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[SessionUpdate]
+            var s = state.getOption.getOrElse(SessionState(0, sorted.head, sorted.head, 0L))
+            sorted.foreach { us =>
+              if (s.nEvents > 0L && us - s.lastUs > gapUs) {
+                closed += SessionUpdate(uid, s.sessionId, s.nEvents, s.firstUs, s.lastUs)
+                s = SessionState(s.sessionId + 1, us, us, 1L)
+              } else {
+                s = s.copy(
+                  firstUs = if (s.nEvents == 0L) us else math.min(s.firstUs, us),
+                  lastUs = math.max(s.lastUs, us),
+                  nEvents = s.nEvents + 1L)
+              }
+            }
+            state.update(s)
+            // Evict once the watermark clears the session gap (must stay
+            // strictly ahead of the current watermark or Spark rejects it).
+            state.setTimeoutTimestamp(
+              math.max(s.lastUs / 1000L + gapUs / 1000L, state.getCurrentWatermarkMs() + 1L))
+            (closed :+ SessionUpdate(uid, s.sessionId, s.nEvents, s.firstUs, s.lastUs)).iterator
+          }
       }
   }
 }

@@ -105,6 +105,52 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ann.contains(4L)) // the exact duplicate is always recalled
   }
 
+  test("multi-probe ANN recalls >=0.9 of exact top-k on clustered vectors") {
+    // 10 clusters × 20 vectors (base pattern + small deterministic noise):
+    // the regime LSH is built for, where true neighbors sit ~one flipped
+    // sign bit away. Queries are vec_id < 10, one per cluster.
+    val dim = 64
+    val rows = (0 until 200).map { i =>
+      val c = i % 10
+      val v = (0 until dim).map { d =>
+        val base = if ((c * dim + d) % 7 < 3) 1.0f else -1.0f
+        val noise = 0.08f * (((i * 31 + d * 17) % 11) - 5) / 5.0f
+        base + noise
+      }
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(Similarity.knnBruteForce(rows))
+    val single = pairsOf(Similarity.annLsh(rows, probeBits = 0))
+    val multi = pairsOf(Similarity.annLsh(rows, probeBits = 1))
+    val recallSingle = (exact intersect single).size.toDouble / exact.size
+    val recallMulti = (exact intersect multi).size.toDouble / exact.size
+    assert(recallMulti >= 0.9, f"multi-probe recall $recallMulti%.2f < 0.9")
+    assert(recallMulti >= recallSingle)
+    // Candidate generation stays bucketed: 7 of 64 buckets probed, so the
+    // scored candidate set is a small fraction of all query×corpus pairs.
+    val cands = Similarity.annLsh(rows, k = Int.MaxValue, probeBits = 1).count()
+    assert(cands < 10L * 200 / 2, s"candidate count $cands not sub-quadratic")
+  }
+
+  test("deeper probing monotonically recovers recall on the testdata corpus") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = Similarity.knnBruteForce(emb).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recalls = (0 to 2).map { pb =>
+      val got = Similarity.annLsh(emb, probeBits = pb)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      (exact intersect got).size.toDouble / exact.size
+    }
+    // This corpus is near-random (max pairwise cosine ≈ 0.5), the worst
+    // case for LSH — absolute recall is low by nature, but each extra
+    // probe bit must strictly widen what the bucket join recovers.
+    assert(recalls(0) < recalls(1) && recalls(1) < recalls(2), recalls.toString)
+  }
+
   test("quantized dot products are exact and order-independent") {
     val a = Seq((0L, Seq(0.123456f, -0.654321f), 0), (1L, Seq(0.111111f, 0.222222f), 0))
       .toDF("vec_id", "embedding", "label")

@@ -51,9 +51,12 @@ class StreamingOpsSpec extends SparkSpec {
     // session 0 closes mid-batch and must emit its FINAL stats (3 events).
     input.addData((7L, ts("2025-08-13 12:20:00")), (7L, ts("2025-08-13 14:30:00")))
     query.processAllAvailable()
-    // Batch 3: a LATE event (12:25, before the open session started) must
-    // not regress the open session's bounds or re-open session 0.
-    input.addData((7L, ts("2025-08-13 12:25:00")))
+    // Batch 3: a LATE event (12:35 — after the 2h watermark of 12:30 so it
+    // is delivered, but before the open session started) must not regress
+    // the open session's bounds or re-open session 0. (An event OLDER than
+    // the watermark would be dropped outright — that's the watermark
+    // contract, pinned by the eviction test below.)
+    input.addData((7L, ts("2025-08-13 12:35:00")))
     query.processAllAvailable()
 
     val rows = spark.table("sessions")
@@ -68,6 +71,45 @@ class StreamingOpsSpec extends SparkSpec {
     val late = rows.filter(r => r._2 == 1 && r._3 == 2L)
     assert(late.nonEmpty && late.forall(_._4 ==
       ts("2025-08-13 14:30:00").getTime * 1000L))
+  }
+
+  test("sessionize evicts idle users via event-time timeout and still closes the session") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "ts")
+
+    // 10-min gap, zero watermark delay: the watermark is simply the max
+    // event time seen, so another user's later events advance it past an
+    // idle user's (last event + gap) and trigger the timeout path.
+    val query = StreamingOps.sessionize(
+      spark, events, gapUs = 600L * 1000000L, watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("session_evict")
+      .outputMode(OutputMode.Update()).start()
+
+    input.addData((7L, ts("2025-08-13 12:00:00")), (7L, ts("2025-08-13 12:05:00")))
+    query.processAllAvailable()
+    // User 8 pushes the watermark to 14:00 > 12:05 + 10 min.
+    input.addData((8L, ts("2025-08-13 14:00:00")))
+    query.processAllAvailable()
+    // Timeouts fire on the batch AFTER the watermark advances.
+    input.addData((8L, ts("2025-08-13 14:01:00")))
+    query.processAllAvailable()
+    // User 7 returns: state was evicted, so this starts a FRESH state
+    // (session_id back to 0, n_events 1) instead of continuing the old one.
+    input.addData((7L, ts("2025-08-13 15:00:00")))
+    query.processAllAvailable()
+
+    val rows = spark.table("session_evict")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("session_id"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("first_us")))
+    query.stop()
+
+    val evictedFinal = rows.filter(r => r._1 == 7L && r._3 == 2L)
+    assert(evictedFinal.nonEmpty, s"timed-out session not emitted: ${rows.mkString(",")}")
+    val fresh = rows.filter(r =>
+      r._1 == 7L && r._4 == ts("2025-08-13 15:00:00").getTime * 1000L)
+    assert(fresh.nonEmpty && fresh.forall(r => r._2 == 0 && r._3 == 1L),
+      s"state not evicted (session continued): ${rows.mkString(",")}")
   }
 
   test("streaming dedup drops repeated ids across micro-batches") {
