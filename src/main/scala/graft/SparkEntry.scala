@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, Multimodal, Similarity, TrainingPipeline}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TrainingPipeline}
 import graft.sources.{EventFixtures, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -310,6 +310,26 @@ object SparkEntry {
           expr("percentile(o_totalprice, 0.25D)").as("q1_price"),
           expr("percentile(o_totalprice, 0.75D)").as("q3_price"))
         .orderBy("o_orderpriority")),
+
+    // Curation: training context-window chunking (overlapping strides).
+    "q35_chunk_tokens" -> ((s, dir) =>
+      Curation.chunkTokens(Tables.documents(s, dir), chunkSize = 64, stride = 48)
+        .orderBy("doc_id", "chunk_id")),
+
+    // Curation: per-source document quota (bounded windowed top-N).
+    "q36_source_quota" -> ((s, dir) =>
+      Curation.sourceQuota(Tables.documents(s, dir), maxPerSource = 50)
+        .orderBy("source", "rnk")),
+
+    // Curation: deterministic hash-based train/val/test assignment.
+    "q37_hash_split" -> ((s, dir) =>
+      Curation.hashSplit(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Curation: duplicate groups over normalized text (case/punct-blind).
+    "q38_normalized_dedup" -> ((s, dir) =>
+      Curation.normalizedDuplicates(Tables.documents(s, dir))
+        .withColumn("members", concat_ws(",", col("members").cast("array<string>")))
+        .orderBy("content_hash")),
 
     // JSON extraction from the events props column + aggregation.
     "q30_json_props" -> ((s, dir) =>
@@ -731,6 +751,50 @@ object SparkEntry {
         |FROM orders
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+
+    "q35_chunk_tokens" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(w) AS n, w,
+        |         CAST(unnest(range(CAST(ceil(len(w) / 48.0) AS INT))) AS INT) AS chunk_id
+        |  FROM w
+        |)
+        |SELECT doc_id, chunk_id,
+        |       CAST(least(n - chunk_id * 48, 64) AS INT) AS chunk_tokens,
+        |       array_to_string(w[chunk_id * 48 + 1 : chunk_id * 48 + 64], ' ') AS chunk_text
+        |FROM c
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q36_source_quota" ->
+      """SELECT source, rnk, doc_id, n_chars FROM (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY source ORDER BY n_chars DESC, doc_id) AS INT) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 50
+        |ORDER BY source, rnk""".stripMargin,
+
+    "q37_hash_split" ->
+      """SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q38_normalized_dedup" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS h
+        |  FROM documents
+        |)
+        |SELECT h AS content_hash, MIN(doc_id) AS canonical_id, COUNT(*) AS n_docs,
+        |       array_to_string(list(doc_id ORDER BY doc_id), ',') AS members
+        |FROM n GROUP BY h
+        |ORDER BY content_hash""".stripMargin,
 
     "q30_json_props" ->
       """SELECT event_type,

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs
+  * beyond dedup/similarity: context-window chunking, per-source quotas,
+  * deterministic train/val/test splits, and text normalization.
+  *
+  * All are narrow or single-shuffle, built from codegen'd expressions —
+  * no UDFs — and every derivation is plain arithmetic/regex so the DuckDB
+  * oracle reproduces results bit-for-bit.
+  */
+object Curation {
+
+  /** Split each document's whitespace tokens into training context windows
+    * of `chunkSize` tokens taken every `stride` tokens (stride < chunkSize
+    * ⇒ overlapping windows). Output one row per (doc_id, chunk_id) with
+    * the chunk text and its token count.
+    *
+    * Narrow: one `transform(sequence(...))` + explode per doc — no
+    * shuffle at any scale; chunk counts are bounded by document length.
+    */
+  def chunkTokens(docs: DataFrame, chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && chunkSize > 0)
+    val nChunks = // one chunk per stride start strictly below n_tokens
+      ceil(size(col("w")).cast("double") / stride).cast("int")
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(
+        col("doc_id"),
+        size(col("w")).as("n_tokens"),
+        explode(transform(
+          sequence(lit(0), nChunks - 1),
+          i => struct(
+            i.cast("int").as("chunk_id"),
+            array_join(slice(col("w"), i * stride + 1, lit(chunkSize)), " ").as("chunk_text"),
+            least(size(col("w")) - i * stride, lit(chunkSize)).as("chunk_tokens")))).as("c"))
+      .select(
+        col("doc_id"), col("c.chunk_id"), col("c.chunk_tokens"), col("c.chunk_text"))
+  }
+
+  /** Per-source quota: keep at most `maxPerSource` documents per `source`,
+    * preferring longer documents (n_chars DESC) with doc_id as the total
+    * tie-break — the standard "cap any one domain's share of the corpus"
+    * curation step. One bounded shuffle: Spark's WindowGroupLimit caps
+    * each group to `maxPerSource` rows map-side before the exchange.
+    */
+  def sourceQuota(docs: DataFrame, maxPerSource: Int = 50): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    docs
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= maxPerSource)
+      .select(col("source"), col("rnk"), col("doc_id"), col("n_chars"))
+  }
+
+  /** Deterministic train/val/test assignment by content-independent key
+    * hash: bucket = first 60 bits of md5(doc_id) mod 100, split by
+    * cumulative percentage. Pure projection — no shuffle, stable across
+    * runs/partitionings, and any engine reproduces it (the 15-hex-digit
+    * slice keeps the value inside a signed 64-bit int everywhere).
+    */
+  def hashSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct + valPct < 100)
+    val bucket = pmod(
+      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(100L))
+    docs.select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
+  /** Canonical text normalization for dedup robustness: lowercase, strip
+    * everything but [a-z0-9 ], collapse runs of spaces, trim. Regexes use
+    * only literal character classes, which Java and RE2 interpret
+    * identically. Narrow — no shuffle.
+    */
+  def normalizedTextCol(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** Exact duplicate groups over NORMALIZED text — catches near-dups that
+    * differ only in case/punctuation, which raw [[Dedup.exactDuplicates]]
+    * misses. Same scale shape: the shuffle key is the 128-bit digest of
+    * the normalized text, never the text itself.
+    */
+  def normalizedDuplicates(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), md5(normalizedTextCol(col("text"))).as("content_hash"))
+      .groupBy(col("content_hash"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("doc_id"))).as("members"))
+}

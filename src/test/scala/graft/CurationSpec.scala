@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Curation
+
+class CurationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def doc(id: Long, text: String, source: String = "s0") =
+    (id, text, "en", source, text.length.toLong)
+
+  test("chunkTokens produces strided overlapping windows with exact boundaries") {
+    val docs = Seq(doc(0L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val chunks = Curation.chunkTokens(docs, chunkSize = 4, stride = 3)
+      .orderBy("chunk_id").collect()
+    // 10 tokens, starts 0/3/6/9 → lengths 4/4/4/1.
+    assert(chunks.map(_.getAs[Int]("chunk_tokens")).toSeq === Seq(4, 4, 4, 1))
+    assert(chunks(0).getAs[String]("chunk_text") === "t1 t2 t3 t4")
+    assert(chunks(1).getAs[String]("chunk_text") === "t4 t5 t6 t7") // overlap of 1
+    assert(chunks(3).getAs[String]("chunk_text") === "t10")
+  }
+
+  test("sourceQuota caps each source, preferring longer documents") {
+    val docs = Seq(
+      doc(0L, "a" * 10, "big"), doc(1L, "a" * 30, "big"), doc(2L, "a" * 20, "big"),
+      doc(3L, "a" * 5, "small"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Curation.sourceQuota(docs, maxPerSource = 2)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Int]("rnk"), r.getAs[Long]("doc_id")))
+    assert(kept.toSet === Set(("big", 1, 1L), ("big", 2, 2L), ("small", 1, 3L)))
+  }
+
+  test("hashSplit is deterministic, content-independent, and roughly proportioned") {
+    val docs = (0L until 1000L).map(i => doc(i, s"text $i"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Curation.hashSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val b = Curation.hashSplit(docs.repartition(7)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(a === b) // partitioning-independent
+    val frac = a.values.count(_ == "train").toDouble / a.size
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac far from 80%")
+  }
+
+  test("normalizedDuplicates groups case/punctuation variants raw dedup misses") {
+    val docs = Seq(
+      doc(0L, "Hello, World!"),
+      doc(1L, "hello   world"),
+      doc(2L, "HELLO WORLD."),
+      doc(3L, "entirely different"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val groups = Curation.normalizedDuplicates(docs).collect()
+    assert(groups.length === 2)
+    val dup = groups.find(_.getAs[Long]("n_docs") == 3L).get
+    assert(dup.getAs[Long]("canonical_id") === 0L)
+    assert(dup.getAs[Seq[Long]]("members") === Seq(0L, 1L, 2L))
+  }
+}
