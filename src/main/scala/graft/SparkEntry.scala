@@ -331,6 +331,15 @@ object SparkEntry {
         .withColumn("members", concat_ws(",", col("members").cast("array<string>")))
         .orderBy("content_hash")),
 
+    // Similarity: IVF coarse-quantizer search (second ANN scale path;
+    // q22 exact / q29 LSH are its baselines).
+    "q39_ivf_search" -> ((s, dir) =>
+      Similarity.ivfSearch(Tables.embeddings(s, dir)).orderBy("query_id", "rnk")),
+
+    // Curation: concat-split sequence packing into fixed token budgets.
+    "q40_pack_sequences" -> ((s, dir) =>
+      Curation.packSequences(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // JSON extraction from the events props column + aggregation.
     "q30_json_props" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -784,6 +793,58 @@ object SparkEntry {
         |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bucket
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "q39_ivf_search" ->
+      s"""WITH $quantizedEmbeddings,
+         |cents AS (SELECT vec_id AS cent_id, qe AS c_qe, n2 AS c_n2 FROM n WHERE vec_id < 16),
+         |assign AS (
+         |  SELECT vec_id, qe, cell FROM (
+         |    SELECT n.vec_id, n.qe, c.cent_id AS cell,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * c.c_qe[i])) AS DOUBLE)
+         |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+         |             c.cent_id) AS rn
+         |    FROM n CROSS JOIN cents c)
+         |  WHERE rn = 1
+         |),
+         |probes AS (
+         |  SELECT query_id, q_qe, cell FROM (
+         |    SELECT n.vec_id AS query_id, n.qe AS q_qe, c.cent_id AS cell,
+         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * c.c_qe[i])) AS DOUBLE)
+         |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+         |             c.cent_id) AS pn
+         |    FROM n CROSS JOIN cents c WHERE n.vec_id < 10)
+         |  WHERE pn <= 4
+         |),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * p.q_qe[i])) AS BIGINT) AS dp
+         |  FROM assign a JOIN probes p USING (cell)
+         |  WHERE a.vec_id <> p.query_id
+         |),
+         |r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, rnk, dp FROM r WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q40_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, doc_id % 32 AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |s AS (
+        |  SELECT doc_id, shard, n_tokens,
+        |         COALESCE(SUM(n_tokens) OVER (
+        |           PARTITION BY shard ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+        |  FROM t
+        |)
+        |SELECT doc_id, shard, n_tokens, tb // 512 AS seq_in_shard, tb % 512 AS seq_offset
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "q38_normalized_dedup" ->
       """WITH n AS (

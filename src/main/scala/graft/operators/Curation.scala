@@ -74,6 +74,36 @@ object Curation {
         .otherwise("test").as("split"))
   }
 
+  /** Concat-split sequence packing: documents are laid end-to-end in
+    * doc_id order within a hash shard and cut every `budgetTokens` tokens —
+    * the standard pretraining packing where documents may straddle a
+    * sequence boundary (equivalent to tokenize-concatenate-chunk). Output
+    * maps each doc to its shard, the sequence index its FIRST token lands
+    * in, and its token offset within that sequence.
+    *
+    * Scale: packing is per-shard (`pmod(doc_id, numShards)`), so the
+    * running-sum window parallelizes across shards instead of forcing one
+    * global sort — shard count is the parallelism knob, and sequences are
+    * globally identified by (shard, seq_in_shard).
+    */
+  def packSequences(
+      docs: DataFrame,
+      budgetTokens: Int = 512,
+      numShards: Int = 32): DataFrame = {
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(
+        col("doc_id"),
+        pmod(col("doc_id"), lit(numShards.toLong)).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(
+        col("doc_id"), col("shard"), col("n_tokens"),
+        floor(col("tokens_before") / budgetTokens).cast("long").as("seq_in_shard"),
+        (col("tokens_before") % budgetTokens).as("seq_offset"))
+  }
+
   /** Canonical text normalization for dedup robustness: lowercase, strip
     * everything but [a-z0-9 ], collapse runs of spaces, trim. Regexes use
     * only literal character classes, which Java and RE2 interpret

@@ -119,6 +119,65 @@ object Similarity {
     withQ.withColumn("bucket", bucketBits.reduce((a, b) => a + b))
   }
 
+  /** IVF-style cell assignment: each vector joins the cell of its nearest
+    * (by cosine, centroid id as tie-break) coarse centroid. Centroids are
+    * the deterministic "sample" `vec_id < numCentroids` — at real scale
+    * they'd come from k-means, but assignment/search mechanics (the part
+    * that must scale) are identical. The centroid set broadcasts; the
+    * corpus is scanned once; output adds a `cell` column.
+    */
+  def ivfAssign(embeddings: DataFrame, numCentroids: Int = 16): DataFrame = {
+    val e = withQuantized(embeddings)
+    val cents = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cent_id"), col("qe").as("c_qe"), col("n2").as("c_n2"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    e.join(broadcast(cents))
+      .withColumn(
+        "cos_c",
+        dot(col("qe"), col("c_qe")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("qe"), col("n2"), col("cent_id").as("cell"))
+  }
+
+  /** IVF search: each query probes its `nProbe` nearest cells and ranks
+    * only the vectors indexed there — the inverted-file analog of
+    * [[annLsh]]. Candidate generation is an equi-join on the cell id, so
+    * the plan shape survives a billion-vector corpus (cells partition the
+    * data; nProbe bounds the scanned fraction).
+    */
+  def ivfSearch(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 10,
+      numCentroids: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    val e = withQuantized(embeddings)
+    val cents = e.filter(col("vec_id") < numCentroids)
+      .select(col("vec_id").as("cent_id"), col("qe").as("c_qe"), col("n2").as("c_n2"))
+    val assigned = ivfAssign(embeddings, numCentroids)
+    // Query → its nProbe nearest cells (small cross product, broadcast).
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val probes = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
+      .join(broadcast(cents))
+      .withColumn(
+        "cos_c",
+        dot(col("q_qe"), col("c_qe")).cast("double") /
+          (sqrt(dot(col("q_qe"), col("q_qe")).cast("double")) * sqrt(col("c_n2").cast("double"))))
+      .withColumn("pn", row_number().over(wq))
+      .filter(col("pn") <= nProbe)
+      .select(col("query_id"), col("q_qe"), col("cent_id").as("cell"))
+    val wr = Window.partitionBy(col("query_id")).orderBy(col("dp").desc, col("vec_id"))
+    assigned.join(probes, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("dp", dot(col("qe"), col("q_qe")))
+      .withColumn("rnk", row_number().over(wr).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("dp"))
+  }
+
   /** All bucket-key XOR masks within Hamming distance `probeBits` of zero —
     * the multi-probe neighborhood. Driver-side enumeration; numPlanes is
     * small by construction (bucket count is 2^numPlanes).

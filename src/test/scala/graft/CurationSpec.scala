@@ -43,6 +43,20 @@ class CurationSpec extends SparkSpec {
     assert(frac > 0.7 && frac < 0.9, s"train fraction $frac far from 80%")
   }
 
+  test("packSequences lays docs end-to-end per shard and cuts at the budget") {
+    // One shard (numShards=1), budget 10: docs of 6/7/4 tokens →
+    // offsets 0, 6, 13%10=3; the 7-token doc straddles seq 0→1.
+    val docs = Seq(
+      doc(0L, (1 to 6).map(_ => "w").mkString(" ")),
+      doc(1L, (1 to 7).map(_ => "w").mkString(" ")),
+      doc(2L, (1 to 4).map(_ => "w").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val packed = Curation.packSequences(docs, budgetTokens = 10, numShards = 1)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("seq_in_shard"), r.getAs[Long]("seq_offset")))
+    assert(packed.toSeq === Seq((0L, 0L, 0L), (1L, 0L, 6L), (2L, 1L, 3L)))
+  }
+
   test("normalizedDuplicates groups case/punctuation variants raw dedup misses") {
     val docs = Seq(
       doc(0L, "Hello, World!"),

@@ -151,6 +151,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recalls(0) < recalls(1) && recalls(1) < recalls(2), recalls.toString)
   }
 
+  test("IVF assigns vectors to their nearest centroid cell and search recalls clusters") {
+    // Same clustered corpus shape as the multi-probe test: centroids are
+    // the first vectors of each cluster (vec_id < 10 ⇒ one per cluster),
+    // so assignment must put ~every vector in its own cluster's cell and
+    // probing nProbe cells must recover most exact neighbors.
+    val dim = 64
+    val rows = (0 until 200).map { i =>
+      val c = i % 10
+      val v = (0 until dim).map { d =>
+        // (2c + d) mod 11: 2 is invertible mod 11, so all 10 cluster
+        // patterns are distinct shifts (the %7 variant used elsewhere
+        // makes clusters c and c+7 identical — degenerate for cell tests).
+        val base = if ((2 * c + d) % 11 < 5) 1.0f else -1.0f
+        base + 0.08f * (((i * 31 + d * 17) % 11) - 5) / 5.0f
+      }
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    val cells = Similarity.ivfAssign(rows, numCentroids = 10)
+      .select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.size === 200)
+    val own = cells.count { case (v, cell) => cell == v % 10 }
+    assert(own >= 190, s"only $own/200 vectors landed in their cluster's cell")
+    val exact = Similarity.knnBruteForce(rows).select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfSearch(rows, numCentroids = 10, nProbe = 2)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, f"IVF recall $recall%.2f < 0.9")
+  }
+
   test("quantized dot products are exact and order-independent") {
     val a = Seq((0L, Seq(0.123456f, -0.654321f), 0), (1L, Seq(0.111111f, 0.222222f), 0))
       .toDF("vec_id", "embedding", "label")
