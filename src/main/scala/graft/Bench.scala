@@ -18,10 +18,14 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst prune the computed columns away) without
-      // attributing file-writing cost to the query. Min of two runs:
-      // single samples on a shared host swing ±25% from GC/contention, and
-      // the second run amortizes per-query codegen compilation.
-      val times = (1 to 2).map { _ =>
+      // attributing file-writing cost to the query. GC fence first: the
+      // shingle-heavy queries leave enough garbage to inflate whichever
+      // query happens to run next, and queries run alphabetically in one
+      // JVM. Min of three runs: single samples on a shared host swing
+      // ±25% from GC/contention, and the first run amortizes per-query
+      // codegen compilation.
+      System.gc()
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch {
