@@ -169,15 +169,22 @@ object Dedup {
     val hot = shAll.groupBy(col("shh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("shh")
-    val sh = shAll.join(broadcast(hot), Seq("shh"), "left_anti")
-    val counts = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    // Shuffle self-join on the shingle hash, NOT bucketPairs: common
-    // shingles have high doc-multiplicity, and a join spreads each hot
-    // key's m² pair expansion across tasks instead of materializing it as
-    // one giant in-memory array per bucket.
-    val common = sh.alias("a")
-      .join(sh.alias("b"), col("a.shh") === col("b.shh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    // One aggregation groups each surviving shingle's docs into a sorted
+    // list — bounded at maxDocFreq elements BECAUSE hot shingles are
+    // already gone, so no group buffer can blow up. Pairs then expand
+    // NARROWLY from each list (doc_a < doc_b for free from the sort)
+    // instead of shuffling the shingle table through a second self-join
+    // side and a sort-merge — one wide shuffle replaces three.
+    val grp = shAll.join(broadcast(hot), Seq("shh"), "left_anti")
+      .groupBy(col("shh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .localCheckpoint()
+    val counts = grp.select(explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = grp
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"), explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common
       .join(counts.select(col("doc_id"), col("n_sh").as("n_a")), col("doc_a") === col("doc_id"))

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.{Dedup, Similarity, TrainingPipeline}
+import graft.sources.EventFixtures
+
+/** Physical-plan regression tests: the scale design IS the plan shape, so
+  * pin it — a change that silently adds a shuffle or drops a pushdown
+  * should fail CI, not surface as a 100 TB incident. String-matching the
+  * executed plan is deliberate: it works with AQE on (the initial plan is
+  * printed) and survives operator renames in our own code.
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  private def shuffles(df: DataFrame): Int =
+    "Exchange (hash|range)partitioning".r.findAllIn(plan(df)).length
+
+  test("customer history precompute: 3 bounded shuffles, map-side group limit, pushdown") {
+    val actions = TrainingPipeline.normalizeActions(
+      EventFixtures.clicks(spark, dir),
+      EventFixtures.addToCarts(spark, dir),
+      EventFixtures.orders(spark, dir))
+    val dts = EventFixtures.impressions(spark, dir).select("dt").distinct()
+    val df = TrainingPipeline.customerHistoryBeforeDt(actions, dts, 8)
+    val p = plan(df)
+    // (customer, day) window+agg share one exchange; the lead() window
+    // re-partitions compact chunks by customer; dts' distinct adds one.
+    // The cutoff join must be a broadcast, never a shuffle of chunks.
+    assert(shuffles(df) <= 3, s"history precompute grew a shuffle:\n$p")
+    assert(p.contains("WindowGroupLimit"), "raw actions no longer bounded map-side")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "cutoff join stopped broadcasting")
+    assert(p.contains("PushedFilters: [IsNotNull"), "scan pushdown lost")
+  }
+
+  test("flagship pipeline: join + window + aggregate plan with pushdown") {
+    val df = TrainingPipeline.produceTrainingExamples(
+      EventFixtures.impressions(spark, dir),
+      EventFixtures.clicks(spark, dir),
+      EventFixtures.addToCarts(spark, dir),
+      EventFixtures.orders(spark, dir),
+      maxHistory = 8)
+    val p = plan(df)
+    // One exchange pair for the customer join (both sides) + one for the
+    // impression-key window/agg; the window and its aggregate share
+    // partitioning, so 4 is the ceiling.
+    assert(shuffles(df) <= 4, s"flagship pipeline grew a shuffle:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull"), "scan pushdown lost")
+  }
+
+  test("jaccard pairs expand narrowly from grouped doc lists, not a self-join") {
+    // The shingle table is checkpointed before this plan, so the visible
+    // stages are exactly the pair path: per-doc counts, the narrow pair
+    // expansion + pair aggregate, and the two count joins.
+    val df = Dedup.jaccardPairs(Tables(dir), k = 3)
+    val p = plan(df)
+    assert(!p.contains("SortMergeJoin Inner"), s"pair generation regressed to a self-join:\n$p")
+    assert(shuffles(df) <= 5, s"jaccard pair path grew a shuffle:\n$p")
+  }
+
+  test("brute-force knn broadcasts the query side and never shuffles the corpus") {
+    val df = Similarity.knnBruteForce(spark.read.parquet(s"$dir/embeddings.parquet"))
+    val p = plan(df)
+    assert(p.contains("BroadcastNestedLoopJoin"), s"query side stopped broadcasting:\n$p")
+    // Only the |queries|×k-bounded window output is ever exchanged.
+    assert(shuffles(df) <= 1, s"corpus-side shuffle appeared:\n$p")
+  }
+
+  private def Tables(d: String): DataFrame =
+    graft.sources.Tables.documents(spark, d)
+}
