@@ -62,6 +62,65 @@ class PipelineDifferentialSpec extends SparkSpec {
     (imps, clicks, carts, orders)
   }
 
+  test("history precompute equals a naive model, with and without lookback horizon") {
+    val rng = new Random(7)
+    for (round <- 1 to 5) {
+      val (imps, clicks, carts, orders) = randomDataset(rng)
+      val normActions =
+        clicks.map(c => Action(c.customer_id, c.item_id, c.click_time, 1)) ++
+          carts.map(c => Action(c.customer_id, c.config_id, c.occurred_at, 2)) ++
+          orders.map(o => Action(o.customer_id, o.config_id, o.occurred_at, 3))
+      val dts = imps.map(_.dt).distinct
+
+      def naive(horizonDays: Option[Int]): Set[(Long, String, Seq[Long], Seq[Int])] =
+        (for {
+          dt <- dts
+          cutoff = Timestamp.valueOf(dt + " 00:00:00")
+          floor = horizonDays.map(h =>
+            Timestamp.valueOf(java.time.LocalDate.parse(dt).minusDays(h).atStartOfDay))
+          cust <- normActions.map(_.customer_id).distinct
+          hist = normActions
+            .filter(a => a.customer_id == cust && a.action_time.before(cutoff) &&
+              floor.forall(f => !a.action_time.before(f)))
+            .sortBy(a => (-a.action_time.getTime, a.item_id, a.action_type))
+            .take(MaxHist)
+          if hist.nonEmpty
+        } yield (
+          cust, dt,
+          (hist.map(_.item_id) ++ Seq.fill(MaxHist)(0L)).take(MaxHist),
+          (hist.map(_.action_type) ++ Seq.fill(MaxHist)(0)).take(MaxHist))).toSet
+
+      for (horizon <- Seq(None, Some(3), Some(100))) {
+        val got = TrainingPipeline.customerHistoryBeforeDt(
+          TrainingPipeline.normalizeActions(clicks.toDF(), carts.toDF(), orders.toDF()),
+          dts.toDF("dt"), MaxHist, horizon)
+          .collect()
+          .map(r => (
+            r.getAs[Long]("customer_id"), r.getAs[String]("dt"),
+            r.getAs[scala.collection.Seq[Long]]("actions").toSeq,
+            r.getAs[scala.collection.Seq[Int]]("action_types").toSeq))
+          .toSet
+        assert(got === naive(horizon), s"O3 differential mismatch round $round horizon $horizon")
+      }
+    }
+  }
+
+  test("precomputed-history flagship path equals the direct path on random datasets") {
+    val rng = new Random(99)
+    for (round <- 1 to 5) {
+      val (imps, clicks, carts, orders) = randomDataset(rng)
+      val actions = TrainingPipeline.normalizeActions(clicks.toDF(), carts.toDF(), orders.toDF())
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toString).toSet
+      val direct = TrainingPipeline.produceTrainingExamples(
+        imps.toDF(), clicks.toDF(), carts.toDF(), orders.toDF(), maxHistory = MaxHist)
+      val hist = TrainingPipeline.customerHistoryBeforeDt(
+        actions, imps.toDF().select("dt").distinct(), MaxHist)
+      val precomputed = TrainingPipeline.produceTrainingExamplesPrecomputed(
+        imps.toDF(), hist, MaxHist)
+      assert(rows(direct) === rows(precomputed), s"path divergence in round $round")
+    }
+  }
+
   test("pipeline output equals the naive model on random datasets") {
     val rng = new Random(42)
     for (round <- 1 to 5) {
