@@ -107,7 +107,13 @@ object SparkEntry {
         .agg(
           sum(dec("l_quantity")).cast("double").as("sum_qty"),
           sum(dec("l_extendedprice")).cast("double").as("sum_base_price"),
-          sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec("l_discount")))
+          // The product's declared scale is 8 but its true scale is 4
+          // (2+2 decimals), so round(4) is lossless — and it keeps the
+          // decimal→double conversion's integer significand below 2^53,
+          // where DuckDB's int128 path would otherwise double-round and
+          // drift 1 ulp from Spark's correctly-rounded BigDecimal cast
+          // (bites from sf0.1 up).
+          round(sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec("l_discount"))), 4)
             .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")),
@@ -120,7 +126,7 @@ object SparkEntry {
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
         .agg(
-          sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec("l_discount")))
+          round(sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec("l_discount"))), 4)
             .cast("double").as("revenue"),
           count_distinct(col("o_orderkey")).as("n_orders"))
         .orderBy("n_name")),
@@ -464,7 +470,7 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus,
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS sum_disc_price,
         |       COUNT(*) AS count_order
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
@@ -472,7 +478,7 @@ object SparkEntry {
 
     "q07_revenue_by_nation" ->
       """SELECT n_name,
-        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
         |       COUNT(DISTINCT o_orderkey) AS n_orders
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

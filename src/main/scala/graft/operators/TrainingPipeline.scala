@@ -93,7 +93,7 @@ object TrainingPipeline {
     * two parallel arrays truncated/zero-padded to exactly `maxHistory`.
     * Pure array expressions — stays inside whole-stage codegen.
     */
-  private def paddedArrays(maxHistory: Int): Seq[org.apache.spark.sql.Column] = Seq(
+  private[graft] def paddedArrays(maxHistory: Int): Seq[org.apache.spark.sql.Column] = Seq(
     slice(
       concat(
         transform(col("hist"), h => h.getField("item_id")),

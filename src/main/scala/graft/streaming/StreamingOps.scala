@@ -53,6 +53,60 @@ object StreamingOps {
       .withWatermark(timeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark(idCols)
 
+  /** Stream-static twin of the flagship pipeline: impressions arrive as a
+    * STREAM, the normalized action table is a maintained STATIC table
+    * (README.md:64's persisted `all_actions`), and each micro-batch emits
+    * updated training examples for the carousels it saw. This is the
+    * production shape the reference's README gestures at ("raw Kafka-level
+    * data") — a daily-refresh action table joined by an always-on stream.
+    *
+    * Window functions are unsupported on streams, so ranking reuses the
+    * history precompute's collect→sort→slice merge (`neg_us` struct order
+    * = the pipeline's total order); results match the batch
+    * `produceTrainingExamples` exactly (pinned by spec). Aggregation state
+    * is keyed by the impression key including the event-time `cutoff_ts`
+    * and expires `watermarkDelay` behind the newest impression day — state
+    * is bounded by (carousels per watermark horizon), not by stream
+    * lifetime.
+    */
+  def streamingTrainingExamples(
+      impressions: DataFrame,
+      actions: DataFrame,
+      maxHistory: Int = 100,
+      watermarkDelay: String = "2 days"): DataFrame = {
+    val ex = graft.operators.TrainingPipeline.explodeImpressions(impressions)
+      .withColumn("cutoff_ts", to_timestamp(col("dt")))
+      .withWatermark("cutoff_ts", watermarkDelay)
+    val act = actions
+      .select(
+        col("customer_id").as("act_customer_id"),
+        col("item_id"),
+        col("action_time"),
+        col("action_type"))
+    val joined = ex.join(
+      act,
+      col("customer_id") === col("act_customer_id") &&
+        col("action_time") < col("cutoff_ts"),
+      "left_outer")
+    val agg = joined
+      .groupBy(
+        col("cutoff_ts"), col("dt"), col("ranking_id"), col("customer_id"),
+        col("impression_pos"), col("impression_item_id"), col("label"))
+      .agg(slice(
+        array_sort(collect_list(when(
+          col("action_time").isNotNull,
+          struct(
+            (-unix_micros(col("action_time"))).as("neg_us"),
+            col("item_id"),
+            col("action_type"))))),
+        1, maxHistory).as("hist"))
+    agg.select(
+      Seq(
+        col("dt"), col("ranking_id"), col("customer_id"),
+        col("impression_pos"), col("impression_item_id"), col("label")) ++
+        graft.operators.TrainingPipeline.paddedArrays(maxHistory): _*)
+  }
+
   case class SessionState(sessionId: Int, firstUs: Long, lastUs: Long, nEvents: Long)
 
   case class SessionUpdate(

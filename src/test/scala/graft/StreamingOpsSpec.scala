@@ -132,6 +132,45 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids === Array(1L, 2L, 3L)) // each id exactly once
   }
 
+  test("streaming training examples over a static action table match the batch pipeline") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{Action, Impression, ImpressionItem}
+    val actions = Seq(
+      Action(1L, 10L, ts("2025-08-10 09:00:00"), 1),
+      Action(1L, 11L, ts("2025-08-11 10:00:00"), 2),
+      Action(1L, 12L, ts("2025-08-12 11:00:00"), 3),
+      Action(2L, 20L, ts("2025-08-11 08:00:00"), 1)).toDF()
+    val imps = Seq(
+      Impression("2025-08-12", "r1", 1L, Seq(ImpressionItem(5L, true), ImpressionItem(6L, false))),
+      Impression("2025-08-12", "r2", 2L, Seq(ImpressionItem(7L, false))),
+      Impression("2025-08-13", "r3", 1L, Seq(ImpressionItem(8L, false))))
+
+    val input = MemoryStream[Impression]
+    val query = StreamingOps.streamingTrainingExamples(input.toDF(), actions, maxHistory = 2)
+      .writeStream.format("memory").queryName("stream_tex")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(imps(0), imps(1))
+    query.processAllAvailable()
+    input.addData(imps(2)) // later day in a later micro-batch
+    query.processAllAvailable()
+
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[String]("dt"), r.getAs[String]("ranking_id"), r.getAs[Long]("customer_id"),
+      r.getAs[Int]("impression_pos"), r.getAs[Long]("impression_item_id"),
+      r.getAs[Int]("label"),
+      r.getAs[scala.collection.Seq[Long]]("actions").toSeq,
+      r.getAs[scala.collection.Seq[Int]]("action_types").toSeq)
+    val streamed = spark.table("stream_tex").collect().map(key).toSet
+    query.stop()
+    val batch = graft.operators.TrainingPipeline
+      .produceTrainingExamplesFromActions(imps.toDF(), actions, maxHistory = 2)
+      .collect().map(key).toSet
+    assert(streamed === batch)
+    // Sanity: the 08-13 impression must see the 08-12 action (and only the
+    // 2 most recent), proving cross-day history with anti-leakage cutoffs.
+    assert(batch.exists(t => t._1 == "2025-08-13" && t._7 == Seq(12L, 11L)))
+  }
+
   test("the batch normalizeActions projection composes with readStream frames") {
     implicit val sqlCtx = spark.sqlContext
     val clicksIn = MemoryStream[(String, Long, Long, java.sql.Timestamp)]
