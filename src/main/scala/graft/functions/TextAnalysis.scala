@@ -24,8 +24,13 @@ object TextAnalysis {
     * cores — the normal case at real scale — the per-doc work here is
     * narrow and needs no co-location, so shuffling the full document text
     * would be pure waste and the input passes through untouched.
+    *
+    * Streaming frames can't be partition-counted (`.rdd` rejects them),
+    * so they keep the unconditional repartition — harmless per micro-batch
+    * and preserves the pre-guard streaming compatibility.
     */
-  private def spread(docs: DataFrame): DataFrame = {
+  private[graft] def spread(docs: DataFrame): DataFrame = {
+    if (docs.isStreaming) return docs.repartition(col("doc_id"))
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
     if (docs.rdd.getNumPartitions < parallelism) docs.repartition(col("doc_id"))
     else docs

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{Hashing, TextAnalysis}
+
 /** Corpus-curation operators a large-scale training-data pipeline needs
   * beyond dedup/similarity: context-window chunking, per-source quotas,
   * deterministic train/val/test splits, and text normalization.
@@ -26,7 +28,7 @@ object Curation {
     require(stride > 0 && chunkSize > 0)
     val nChunks = // one chunk per stride start strictly below n_tokens
       ceil(size(col("w")).cast("double") / stride).cast("int")
-    docs
+    TextAnalysis.spread(docs) // single-split scans serialize per-token work
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .select(
         col("doc_id"),
@@ -63,9 +65,7 @@ object Curation {
     */
   def hashSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct + valPct < 100)
-    val bucket = pmod(
-      conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"),
-      lit(100L))
+    val bucket = pmod(Hashing.md5Long60(col("doc_id").cast("string")), lit(100L))
     docs.select(
       col("doc_id"),
       bucket.as("bucket"),
@@ -92,7 +92,9 @@ object Curation {
       numShards: Int = 32): DataFrame = {
     val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    // Tokenize before the shard exchange (spread keeps it parallel on
+    // single-split scans) so only (doc_id, shard, n_tokens) shuffles.
+    TextAnalysis.spread(docs)
       .select(
         col("doc_id"),
         pmod(col("doc_id"), lit(numShards.toLong)).as("shard"),
@@ -118,7 +120,7 @@ object Curation {
     * the normalized text, never the text itself.
     */
   def normalizedDuplicates(docs: DataFrame): DataFrame =
-    docs
+    TextAnalysis.spread(docs) // regex normalization is the heavy step
       .select(col("doc_id"), md5(normalizedTextCol(col("text"))).as("content_hash"))
       .groupBy(col("content_hash"))
       .agg(

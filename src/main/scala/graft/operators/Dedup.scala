@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextAnalysis
+import graft.functions.{Hashing, TextAnalysis}
 
 /** Deduplication operators for LLM-corpus curation over `documents`.
   *
@@ -43,8 +43,8 @@ object Dedup {
     sh
       .select(
         col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("h1"),
-        conv(substring(md5(col("sh")), 17, 13), 16, 10).cast("long").as("h2"))
+        Hashing.md5Long60(col("sh")).as("h1"),
+        Hashing.md5Long52(col("sh")).as("h2"))
       .select(
         col("doc_id"), col("h1"), col("h2"),
         explode(sequence(lit(0), lit(numHashes - 1))).as("j"))
@@ -162,7 +162,7 @@ object Dedup {
     val shAll = TextAnalysis.shingles(docs, k)
       .select(
         col("doc_id"),
-        conv(substring(md5(col("sh")), 1, 15), 16, 10).cast("long").as("shh"))
+        Hashing.md5Long60(col("sh")).as("shh"))
       .localCheckpoint()
     // shingles() emits distinct (doc_id, sh), so a plain count is the
     // document frequency. Hot digests are few — broadcast the anti-join.

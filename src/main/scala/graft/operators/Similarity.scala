@@ -119,33 +119,53 @@ object Similarity {
     withQ.withColumn("bucket", bucketBits.reduce((a, b) => a + b))
   }
 
-  /** IVF-style cell assignment: each vector joins the cell of its nearest
-    * (by cosine, centroid id as tie-break) coarse centroid. Centroids are
-    * the deterministic "sample" `vec_id < numCentroids` — at real scale
-    * they'd come from k-means, but assignment/search mechanics (the part
-    * that must scale) are identical. The centroid set broadcasts; the
-    * corpus is scanned once; output adds a `cell` column.
+  /** One-row frame holding every centroid as a struct — the deterministic
+    * "sample" `vec_id < numCentroids` (at real scale they'd come from
+    * k-means, but assignment/search mechanics are identical). Broadcast as
+    * a single row so cell assignment is a per-row argmax EXPRESSION, not a
+    * join + window: the corpus is never replicated or shuffled.
+    */
+  private def centroidArray(e: DataFrame, numCentroids: Int): DataFrame =
+    e.filter(col("vec_id") < numCentroids)
+      .agg(collect_list(struct(
+        col("vec_id").as("cent_id"),
+        col("qe").as("c_qe"),
+        col("n2").as("c_n2"))).as("cents"))
+
+  /** Nearest-centroid cell as a narrow expression over the broadcast
+    * centroid array: `array_max` over struct(cosine, -cent_id) picks the
+    * highest cosine with the LOWEST centroid id on ties — the same total
+    * order the DuckDB oracle's `ROW_NUMBER` uses.
+    */
+  private def withCell(vectors: DataFrame, centsArr: DataFrame, qeCol: String): DataFrame =
+    vectors.crossJoin(broadcast(centsArr))
+      .withColumn("_best", array_max(transform(col("cents"), c =>
+        struct(
+          (dot(col(qeCol), c.getField("c_qe")).cast("double") /
+            (sqrt(dot(col(qeCol), col(qeCol)).cast("double")) *
+              sqrt(c.getField("c_n2").cast("double")))).as("cos_c"),
+          (-c.getField("cent_id")).as("neg_cent")))))
+      .withColumn("cell", -col("_best.neg_cent"))
+      .drop("_best", "cents")
+
+  /** IVF-style cell assignment: each vector gets the cell of its nearest
+    * (by cosine, centroid id on ties) coarse centroid. Fully narrow — the
+    * centroid set broadcasts as one row and the argmax is a per-row
+    * expression, so a billion-vector corpus is scanned once with zero
+    * shuffle.
     */
   def ivfAssign(embeddings: DataFrame, numCentroids: Int = 16): DataFrame = {
     val e = withQuantized(embeddings)
-    val cents = e.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cent_id"), col("qe").as("c_qe"), col("n2").as("c_n2"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
-    e.join(broadcast(cents))
-      .withColumn(
-        "cos_c",
-        dot(col("qe"), col("c_qe")).cast("double") /
-          (sqrt(col("n2").cast("double")) * sqrt(col("c_n2").cast("double"))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("qe"), col("n2"), col("cent_id").as("cell"))
+    withCell(e, centroidArray(e, numCentroids), "qe")
+      .select(col("vec_id"), col("qe"), col("n2"), col("cell"))
   }
 
   /** IVF search: each query probes its `nProbe` nearest cells and ranks
     * only the vectors indexed there — the inverted-file analog of
-    * [[annLsh]]. Candidate generation is an equi-join on the cell id, so
-    * the plan shape survives a billion-vector corpus (cells partition the
-    * data; nProbe bounds the scanned fraction).
+    * [[annLsh]]. The corpus is quantized and cell-assigned once (shared
+    * scan), candidates come from a broadcast equi-join on the cell id, and
+    * only the candidate set ever shuffles (for the per-query ranking) —
+    * the plan shape survives a billion-vector corpus.
     */
   def ivfSearch(
       embeddings: DataFrame,
@@ -154,23 +174,26 @@ object Similarity {
       numCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val e = withQuantized(embeddings)
-    val cents = e.filter(col("vec_id") < numCentroids)
-      .select(col("vec_id").as("cent_id"), col("qe").as("c_qe"), col("n2").as("c_n2"))
-    val assigned = ivfAssign(embeddings, numCentroids)
-    // Query → its nProbe nearest cells (small cross product, broadcast).
+    val centsArr = centroidArray(e, numCentroids)
+    val assigned = withCell(e, centsArr, "qe")
+    // Query → its nProbe nearest cells: tiny (numQueries × numCentroids)
+    // cross product, ranked per query.
     val wq = Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cent_id"))
     val probes = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
-      .join(broadcast(cents))
-      .withColumn(
-        "cos_c",
-        dot(col("q_qe"), col("c_qe")).cast("double") /
-          (sqrt(dot(col("q_qe"), col("q_qe")).cast("double")) * sqrt(col("c_n2").cast("double"))))
+      .crossJoin(broadcast(centsArr))
+      .select(col("query_id"), col("q_qe"), explode(col("cents")).as("c"))
+      .select(
+        col("query_id"), col("q_qe"),
+        col("c.cent_id").as("cent_id"),
+        (dot(col("q_qe"), col("c.c_qe")).cast("double") /
+          (sqrt(dot(col("q_qe"), col("q_qe")).cast("double")) *
+            sqrt(col("c.c_n2").cast("double")))).as("cos_c"))
       .withColumn("pn", row_number().over(wq))
       .filter(col("pn") <= nProbe)
       .select(col("query_id"), col("q_qe"), col("cent_id").as("cell"))
     val wr = Window.partitionBy(col("query_id")).orderBy(col("dp").desc, col("vec_id"))
-    assigned.join(probes, Seq("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("dp", dot(col("qe"), col("q_qe")))
       .withColumn("rnk", row_number().over(wr).cast("int"))

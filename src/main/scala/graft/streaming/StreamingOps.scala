@@ -72,7 +72,7 @@ object StreamingOps {
   def streamingTrainingExamples(
       impressions: DataFrame,
       actions: DataFrame,
-      maxHistory: Int = 100,
+      maxHistory: Int = graft.operators.TrainingPipeline.DefaultMaxHistory,
       watermarkDelay: String = "2 days"): DataFrame = {
     val ex = graft.operators.TrainingPipeline.explodeImpressions(impressions)
       .withColumn("cutoff_ts", to_timestamp(col("dt")))
