@@ -346,6 +346,10 @@ object SparkEntry {
     "q40_pack_sequences" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Text analysis: n-gram repetition scoring (Gopher-style signal).
+    "q41_repetition" -> ((s, dir) =>
+      TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
+
     // JSON extraction from the events props column + aggregation.
     "q30_json_props" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -851,6 +855,24 @@ object SparkEntry {
         |)
         |SELECT doc_id, shard, n_tokens, tb // 512 AS seq_in_shard, tb % 512 AS seq_offset
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q41_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS sh
+        |  FROM (SELECT doc_id, w, CAST(unnest(range(1, len(w))) AS INT) AS i FROM w WHERE len(w) >= 2)
+        |),
+        |c AS (SELECT doc_id, sh, COUNT(*) AS cnt FROM g GROUP BY doc_id, sh),
+        |d AS (
+        |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams, MAX(cnt) AS top_gram_cnt,
+        |         COUNT(*) AS n_distinct_grams
+        |  FROM c GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_grams, n_distinct_grams, top_gram_cnt,
+        |       CAST(top_gram_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE) AS top_gram_share,
+        |       CAST(top_gram_cnt AS DOUBLE) / CAST(n_grams AS DOUBLE) > 0.2 AS is_repetitive
+        |FROM d
+        |ORDER BY doc_id""".stripMargin,
 
     "q38_normalized_dedup" ->
       """WITH n AS (

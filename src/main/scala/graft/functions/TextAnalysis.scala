@@ -84,6 +84,33 @@ object TextAnalysis {
         col("n_words") >= 20 && col("n_words") <= 1000 && col("stopword_ratio") <= 0.3)
   }
 
+  /** N-gram repetition scoring (the Gopher-rules "fraction of characters
+    * in the most common n-gram" signal, word-level): share of a document's
+    * n-grams taken by its single most frequent one, plus the distinct
+    * ratio. Highly repetitive machine-generated text scores near 1.
+    *
+    * Two combiner-friendly aggregations — (doc, gram) counts, then per-doc
+    * max/sum — so the shuffle carries counts, never text beyond the gram
+    * strings. Documents with fewer than `n` words have no n-grams and are
+    * absent from the output.
+    */
+  def repetition(docs: DataFrame, n: Int = 2, maxShare: Double = 0.2): DataFrame =
+    spread(docs)
+      .select(col("doc_id"), explode(shinglesCol(n)).as("sh"))
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).as("n_grams"),
+        max(col("cnt")).as("top_gram_cnt"),
+        count(lit(1)).as("n_distinct_grams"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_distinct_grams"), col("top_gram_cnt"),
+        (col("top_gram_cnt").cast("double") / col("n_grams").cast("double"))
+          .as("top_gram_share"))
+      .withColumn("is_repetitive",
+        col("top_gram_cnt").cast("double") / col("n_grams").cast("double") > maxShare)
+
   /** Regex ("BPE-ish") token counting: alpha runs and digit runs. */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(

@@ -39,6 +39,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(!split.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("repetition scoring flags a looping document and passes varied text") {
+    val docs = Seq(
+      doc(0L, "buy now buy now buy now buy now"),         // "now buy"/"buy now" dominate
+      doc(1L, "the quick brown fox jumps over lazy dogs"), // all bigrams unique
+      doc(2L, "x"))                                        // too short: no bigrams
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.repetition(docs, n = 2).orderBy("doc_id").collect()
+    assert(r.length === 2) // doc 2 absent
+    assert(r(0).getAs[Boolean]("is_repetitive"))
+    assert(r(0).getAs[Long]("n_grams") === 7L)
+    assert(r(0).getAs[Long]("top_gram_cnt") === 4L) // "buy now" ×4
+    assert(!r(1).getAs[Boolean]("is_repetitive"))
+    assert(r(1).getAs[Long]("n_distinct_grams") === r(1).getAs[Long]("n_grams"))
+  }
+
   test("language id scores stopword profiles with deterministic tie-break") {
     val r = TextAnalysis.languageId(docs).orderBy("doc_id").collect()
     assert(r(0).getAs[Long]("hits_en") === 3L) // the, a, the
