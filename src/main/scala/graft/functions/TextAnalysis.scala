@@ -92,7 +92,10 @@ object TextAnalysis {
     * Two combiner-friendly aggregations — (doc, gram) counts, then per-doc
     * max/sum — so the shuffle carries counts, never text beyond the gram
     * strings. Documents with fewer than `n` words have no n-grams and are
-    * absent from the output.
+    * absent from the output. (A shuffle-free sorted-array run-length scan
+    * via the `aggregate` HOF measured 1.4× SLOWER at sf0.1 — interpreted
+    * lambda overhead exceeds the wordcount-shaped shuffle's cost — so the
+    * distributed formulation stands.)
     */
   def repetition(docs: DataFrame, n: Int = 2, maxShare: Double = 0.2): DataFrame =
     spread(docs)
