@@ -27,13 +27,16 @@ object Bench {
       System.gc()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch {
           case e: Throwable =>
-            // A failed query must be visible, not a suspiciously fast time.
+            // A failed run must be visible and must not win the min as a
+            // near-zero "time" — poison the sample instead.
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            Double.MaxValue
         }
-        (System.nanoTime() - t0) / 1e9
       }
       name -> times.min
     }.toMap

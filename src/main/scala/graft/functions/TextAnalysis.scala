@@ -111,8 +111,7 @@ object TextAnalysis {
         col("doc_id"), col("n_grams"), col("n_distinct_grams"), col("top_gram_cnt"),
         (col("top_gram_cnt").cast("double") / col("n_grams").cast("double"))
           .as("top_gram_share"))
-      .withColumn("is_repetitive",
-        col("top_gram_cnt").cast("double") / col("n_grams").cast("double") > maxShare)
+      .withColumn("is_repetitive", col("top_gram_share") > maxShare)
 
   /** Regex ("BPE-ish") token counting: alpha runs and digit runs. */
   def tokenCount(docs: DataFrame): DataFrame =

@@ -155,6 +155,12 @@ object Dedup {
       k: Int = 3,
       minJaccard: Double = 0.2,
       maxDocFreq: Int = 100): DataFrame = {
+    // The narrow pair expansion below materializes ≤ maxDocFreq²/2 rows
+    // from ONE task's group — safe only while maxDocFreq is genuinely
+    // small. Corpora needing a looser cap should use lshVerifiedPairs,
+    // whose candidate generation never concentrates a key.
+    require(maxDocFreq <= 1000, s"maxDocFreq=$maxDocFreq concentrates ~maxDocFreq²/2 " +
+      "pair rows in one task; use lshVerifiedPairs for loosely-capped corpora")
     // Join on a 60-bit digest of the shingle, not the string (~3× less
     // shuffle volume, collisions ~n²/2^60), and materialize the digested
     // table once — both self-join sides and the per-doc counts reuse it

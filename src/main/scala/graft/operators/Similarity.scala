@@ -139,10 +139,13 @@ object Similarity {
     */
   private def withCell(vectors: DataFrame, centsArr: DataFrame, qeCol: String): DataFrame =
     vectors.crossJoin(broadcast(centsArr))
+      // `n2` (the row's own norm from withQuantized) is loop-invariant —
+      // recomputing dot(qe, qe) inside the lambda would redo a 64-element
+      // dot per centroid.
       .withColumn("_best", array_max(transform(col("cents"), c =>
         struct(
           (dot(col(qeCol), c.getField("c_qe")).cast("double") /
-            (sqrt(dot(col(qeCol), col(qeCol)).cast("double")) *
+            (sqrt(col("n2").cast("double")) *
               sqrt(c.getField("c_n2").cast("double")))).as("cos_c"),
           (-c.getField("cent_id")).as("neg_cent")))))
       .withColumn("cell", -col("_best.neg_cent"))
