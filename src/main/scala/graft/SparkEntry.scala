@@ -350,6 +350,22 @@ object SparkEntry {
     "q41_repetition" -> ((s, dir) =>
       TextAnalysis.repetition(Tables.documents(s, dir)).orderBy("doc_id")),
 
+    // Curation: incremental dedup of a "new snapshot" (doc_id >= 250)
+    // against the already-kept reference corpus (doc_id < 250).
+    "q42_dedup_against" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.dedupAgainst(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    }),
+
+    // Curation: deterministic per-source stratified sampling.
+    "q43_stratified_sample" -> ((s, dir) =>
+      Curation.stratifiedSample(Tables.documents(s, dir), pct = 10)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // JSON extraction from the events props column + aggregation.
     "q30_json_props" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -855,6 +871,24 @@ object SparkEntry {
         |)
         |SELECT doc_id, shard, n_tokens, tb // 512 AS seq_in_shard, tb % 512 AS seq_offset
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q42_dedup_against" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_hash
+        |  FROM documents
+        |)
+        |SELECT doc_id, content_hash
+        |FROM h
+        |WHERE doc_id >= 250
+        |  AND content_hash NOT IN (SELECT content_hash FROM h WHERE doc_id < 250)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q43_stratified_sample" ->
+      """SELECT doc_id, source
+        |FROM documents
+        |WHERE CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
+        |ORDER BY doc_id""".stripMargin,
 
     "q41_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

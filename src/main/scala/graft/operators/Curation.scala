@@ -114,6 +114,37 @@ object Curation {
   def normalizedTextCol(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Incremental cross-corpus dedup: drop incoming documents whose
+    * normalized content already exists in the reference corpus — the
+    * "dedup the new crawl snapshot against everything already kept" step
+    * of a continuously-growing corpus. Shuffle key is the 128-bit digest;
+    * text never leaves its partition. Output keeps the incoming schema
+    * plus the digest (for appending to the reference's hash index).
+    */
+  def dedupAgainst(incoming: DataFrame, reference: DataFrame): DataFrame = {
+    def hashed(df: DataFrame) = TextAnalysis.spread(df)
+      .withColumn("content_hash", md5(normalizedTextCol(col("text"))))
+    hashed(incoming).join(
+      hashed(reference).select("content_hash").distinct(),
+      Seq("content_hash"), "left_anti")
+  }
+
+  /** Deterministic stratified sampling: keep ~`pct`% of documents per
+    * `source`, chosen by content-independent key hash — every engine and
+    * every run picks the same rows, and each stratum is sampled at the
+    * same rate regardless of its size (a global sample would let big
+    * sources crowd out small ones). Pure projection + filter: no shuffle,
+    * pushdown-friendly.
+    */
+  def stratifiedSample(docs: DataFrame, pct: Int = 10): DataFrame = {
+    require(pct >= 0 && pct <= 100)
+    // Salt the hash with the source so strata draw independent samples
+    // (hashing doc_id alone would select the same ids in every stratum).
+    docs.filter(
+      pmod(Hashing.md5Long60(concat_ws("|", col("source"), col("doc_id").cast("string"))),
+        lit(100L)) < pct)
+  }
+
   /** Exact duplicate groups over NORMALIZED text — catches near-dups that
     * differ only in case/punctuation, which raw [[Dedup.exactDuplicates]]
     * misses. Same scale shape: the shuffle key is the 128-bit digest of

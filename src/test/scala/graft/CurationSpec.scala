@@ -57,6 +57,32 @@ class CurationSpec extends SparkSpec {
     assert(packed.toSeq === Seq((0L, 0L, 0L), (1L, 0L, 6L), (2L, 1L, 3L)))
   }
 
+  test("dedupAgainst drops incoming docs whose normalized text the reference holds") {
+    val reference = Seq(doc(0L, "Hello, World!"), doc(1L, "something old"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val incoming = Seq(
+      doc(10L, "hello world"),     // normalized dup of reference doc 0
+      doc(11L, "something new"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kept = Curation.dedupAgainst(incoming, reference)
+      .collect().map(_.getAs[Long]("doc_id"))
+    assert(kept.toSeq === Seq(11L))
+  }
+
+  test("stratifiedSample is deterministic, per-stratum, and near the target rate") {
+    val docs = (0L until 2000L).map(i => doc(i, s"text $i", source = s"s${i % 2}"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a = Curation.stratifiedSample(docs, pct = 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Curation.stratifiedSample(docs.repartition(5), pct = 10).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b) // partitioning-independent
+    val perSource = Curation.stratifiedSample(docs, pct = 10)
+      .groupBy("source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    perSource.values.foreach(n => assert(n > 50 && n < 150, s"stratum rate off: $perSource"))
+  }
+
   test("normalizedDuplicates groups case/punctuation variants raw dedup misses") {
     val docs = Seq(
       doc(0L, "Hello, World!"),

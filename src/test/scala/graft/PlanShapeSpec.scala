@@ -63,6 +63,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(df) <= 5, s"jaccard pair path grew a shuffle:\n$p")
   }
 
+  test("IVF search: corpus assigned narrowly, only ranked candidates shuffle") {
+    val df = Similarity.ivfSearch(spark.read.parquet(s"$dir/embeddings.parquet"))
+    val p = plan(df)
+    // Cell assignment is a per-row argmax over a broadcast centroid array —
+    // the CORPUS is never exchanged. The two permitted shuffles are both
+    // bounded: ranking the (numQueries × numCentroids)-row probe table and
+    // ranking the nProbe-bounded candidate set per query.
+    assert(shuffles(df) <= 2, s"IVF corpus path grew a shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"), s"centroids/probes stopped broadcasting:\n$p")
+  }
+
   test("brute-force knn broadcasts the query side and never shuffles the corpus") {
     val df = Similarity.knnBruteForce(spark.read.parquet(s"$dir/embeddings.parquet"))
     val p = plan(df)
