@@ -74,6 +74,16 @@ object Sinks {
   def readJson(spark: SparkSession, path: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** ORC sink/source pair — the other columnar format with pushdown and
+    * column pruning; same zlib-default posture as the parquet sink's
+    * snappy.
+    */
+  def writeOrc(df: DataFrame, path: String, mode: String = "overwrite"): Unit =
+    df.write.mode(mode).orc(path)
+
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   /** Bucketed managed table — the shuffle-elision lever for the 100 TB
     * join: both sides of the daily impressions×actions join bucketed by
     * `customer_id` make the join exchange-free (Catalyst recognizes the

@@ -33,4 +33,17 @@ class SinksSpec extends SparkSpec {
     assert(back.orderBy("customer_id").collect().toSeq ===
       actions.orderBy("customer_id").collect().toSeq)
   }
+
+  test("orc roundtrip preserves schema, values, and filter pushdown") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    Sinks.writeOrc(actions, dir)
+    val back = Sinks.readOrc(spark, dir)
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ===
+      actions.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("customer_id").collect().toSeq ===
+      actions.orderBy("customer_id").collect().toSeq)
+    val filtered = back.filter(back("customer_id") === 1L)
+    assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    assert(filtered.count() === 1L)
+  }
 }
