@@ -864,12 +864,16 @@ object SparkEntry {
         |),
         |s AS (
         |  SELECT doc_id, shard, n_tokens,
-        |         COALESCE(SUM(n_tokens) OVER (
+        |         -- DuckDB windowed SUM(BIGINT) yields HUGEINT, which pandas renders as
+        |         -- float64 and breaks the driver's row hash; pin back to BIGINT.
+        |         CAST(COALESCE(SUM(n_tokens) OVER (
         |           PARTITION BY shard ORDER BY doc_id
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tb
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tb
         |  FROM t
         |)
-        |SELECT doc_id, shard, n_tokens, tb // 512 AS seq_in_shard, tb % 512 AS seq_offset
+        |SELECT doc_id, shard, n_tokens,
+        |       CAST(tb // 512 AS BIGINT) AS seq_in_shard,
+        |       CAST(tb % 512 AS BIGINT) AS seq_offset
         |FROM s ORDER BY doc_id""".stripMargin,
 
     "q42_dedup_against" ->
