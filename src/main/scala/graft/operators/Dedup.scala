@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.{Hashing, TextAnalysis}
 
@@ -111,10 +112,12 @@ object Dedup {
       numHashes: Int = 8,
       numBands: Int = 4,
       minJaccard: Double = 0.2): DataFrame = {
-    // Materialize the shingle table once (localCheckpoint truncates the
-    // lineage) — candidates, verification sets, and counts all reuse it
-    // instead of re-shingling the corpus three times.
-    val sh = TextAnalysis.shingles(docs, k).localCheckpoint()
+    // Cache the shingle table once — candidates, verification sets, and
+    // counts all reuse it instead of re-shingling the corpus three times.
+    // persist (not localCheckpoint) keeps the lineage: on a real cluster a
+    // lost executor recomputes the block instead of killing the job, and
+    // materialization stays lazy.
+    val sh = TextAnalysis.shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     val shSets = sh
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("sh"))).as("shl"), count(lit(1)).as("n_sh"))
@@ -162,14 +165,15 @@ object Dedup {
     require(maxDocFreq <= 1000, s"maxDocFreq=$maxDocFreq concentrates ~maxDocFreq²/2 " +
       "pair rows in one task; use lshVerifiedPairs for loosely-capped corpora")
     // Join on a 60-bit digest of the shingle, not the string (~3× less
-    // shuffle volume, collisions ~n²/2^60), and materialize the digested
-    // table once — both self-join sides and the per-doc counts reuse it
-    // instead of re-shingling the corpus three times.
+    // shuffle volume, collisions ~n²/2^60), and cache the digested table
+    // once — both self-join sides and the per-doc counts reuse it instead
+    // of re-shingling the corpus three times. persist keeps lineage
+    // (executor-loss-safe on a cluster, unlike localCheckpoint).
     val shAll = TextAnalysis.shingles(docs, k)
       .select(
         col("doc_id"),
         Hashing.md5Long60(col("sh")).as("shh"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // shingles() emits distinct (doc_id, sh), so a plain count is the
     // document frequency. Hot digests are few — broadcast the anti-join.
     val hot = shAll.groupBy(col("shh")).agg(count(lit(1)).as("df"))
@@ -184,12 +188,16 @@ object Dedup {
     val grp = shAll.join(broadcast(hot), Seq("shh"), "left_anti")
       .groupBy(col("shh"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .localCheckpoint()
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = grp.select(explode(col("ds")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = grp
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
       .select(col("doc_a"), explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
+      // A 60-bit digest collision between two shingles of the SAME doc puts
+      // that doc_id in `ds` twice, which would emit a self-pair; ~2^-60 per
+      // shingle pair, but the guard is free.
+      .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     common

@@ -1,6 +1,13 @@
 package graft
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 import graft.operators.{Dedup, Similarity, TrainingPipeline}
 import graft.sources.EventFixtures
@@ -17,8 +24,30 @@ class PlanShapeSpec extends SparkSpec {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
-  private def shuffles(df: DataFrame): Int =
-    "Exchange (hash|range)partitioning".r.findAllIn(plan(df)).length
+  /** Count the DATA shuffles this plan will EXECUTE (hash/range exchanges;
+    * one-row SinglePartition collects don't move data at scale): walk the
+    * physical tree, descending into each distinct cached (persisted)
+    * subtree exactly once — a cached plan materializes once no matter how
+    * many times the query references it, so its exchanges must not be
+    * multiply counted (nor may re-references hide work: the first
+    * reference charges the full build).
+    */
+  private def shuffles(df: DataFrame): Int = {
+    val seenCaches = mutable.Set[Int]()
+    def walk(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case s: InMemoryTableScanExec =>
+        if (seenCaches.add(System.identityHashCode(s.relation.cacheBuilder)))
+          walk(s.relation.cachedPlan)
+        else 0
+      case sh: ShuffleExchangeLike =>
+        val moves = sh.outputPartitioning.isInstanceOf[HashPartitioning] ||
+          sh.outputPartitioning.isInstanceOf[RangePartitioning]
+        (if (moves) 1 else 0) + sh.children.map(walk).sum
+      case other => other.children.map(walk).sum
+    }
+    walk(df.queryExecution.executedPlan)
+  }
 
   test("customer history precompute: 3 bounded shuffles, map-side group limit, pushdown") {
     val actions = TrainingPipeline.normalizeActions(
@@ -54,13 +83,14 @@ class PlanShapeSpec extends SparkSpec {
   }
 
   test("jaccard pairs expand narrowly from grouped doc lists, not a self-join") {
-    // The shingle table is checkpointed before this plan, so the visible
-    // stages are exactly the pair path: per-doc counts, the narrow pair
-    // expansion + pair aggregate, and the two count joins.
+    // End-to-end charge including the cached shingle build: the spread
+    // repartition, the doc-frequency agg, the grouped-list agg, the
+    // per-doc counts, and the pair aggregate — the count joins must stay
+    // broadcasts.
     val df = Dedup.jaccardPairs(Tables(dir), k = 3)
     val p = plan(df)
     assert(!p.contains("SortMergeJoin Inner"), s"pair generation regressed to a self-join:\n$p")
-    assert(shuffles(df) <= 5, s"jaccard pair path grew a shuffle:\n$p")
+    assert(shuffles(df) <= 6, s"jaccard pair path grew a shuffle:\n$p")
   }
 
   test("IVF search: corpus assigned narrowly, only ranked candidates shuffle") {
