@@ -135,16 +135,24 @@ object TrainingPipeline {
     * that to O(H) copies per daily chunk. `horizonDays = None` keeps the
     * reference's unbounded-lookback semantics exactly.
     */
-  def customerHistoryBeforeDt(
-      actions: DataFrame,
-      dts: DataFrame,
-      maxHistory: Int = DefaultMaxHistory,
-      horizonDays: Option[Int] = None): DataFrame = {
-    val cutoffs = dts.select(col("dt"), to_date(col("dt")).as("cutoff_day"))
-
-    // Stage 1: bounded per-(customer, day) top-K. Struct field order makes
-    // ascending lexicographic sort = (action_time DESC, item_id,
-    // action_type) — the pipeline's total order.
+  /** O3 stage 1, reusable: compress raw actions to one row per
+    * (customer, action-day) holding that day's top-`maxHistory` actions as
+    * a sorted struct array (`chunk`), plus the chunk's relevance-expiry
+    * day. Struct field order makes ascending lexicographic sort =
+    * (action_time DESC, item_id, action_type) — the pipeline's total
+    * order. Each action belongs to exactly one group and WindowGroupLimit
+    * bounds groups map-side, so the output is ≤ maxHistory structs per
+    * (customer, day) regardless of how hot the customer is.
+    *
+    * `expiry_day`: a chunk is dead for cutoff D once the customer has K
+    * whole LATER chunks before D — each later chunk carries ≥1 strictly
+    * newer action, so K of them saturate the top-K. The K-th next chunk's
+    * day is therefore the last cutoff day this chunk can matter for. Any
+    * consumer joining chunks to cutoffs with
+    * [[chunkQualifies]] gets ≤ K+1 chunks per (customer, cutoff) — the
+    * bound both the batch precompute and the streaming twin rely on.
+    */
+  def dailyTopKChunks(actions: DataFrame, maxHistory: Int = DefaultMaxHistory): DataFrame = {
     val wDay = Window
       .partitionBy(col("customer_id"), col("action_day"))
       .orderBy(col("action_time").desc, col("item_id"), col("action_type"))
@@ -157,21 +165,29 @@ object TrainingPipeline {
         (-unix_micros(col("action_time"))).as("neg_us"),
         col("item_id"),
         col("action_type"))).as("chunk"))
-
-    // Relevance window: a chunk is dead for cutoff D once the customer has
-    // K whole LATER chunks before D — each later chunk carries ≥1 strictly
-    // newer action, so K of them saturate the top-K. The K-th next chunk's
-    // day is therefore the last cutoff day this chunk can matter for
-    // (inclusive: same-day chunks as D itself are excluded by `< D`).
-    // Exact filter, one lead() — keeps each (customer, cutoff) merge group
-    // at ≤ K+1 chunks no matter how many cutoff days follow.
     val wCust = Window.partitionBy(col("customer_id")).orderBy(col("action_day"))
-    val dailyWithExpiry = daily
-      .withColumn("expiry_day", lead(col("action_day"), maxHistory).over(wCust))
+    daily.withColumn("expiry_day", lead(col("action_day"), maxHistory).over(wCust))
+  }
+
+  /** The chunk-vs-cutoff relevance predicate paired with
+    * [[dailyTopKChunks]]: strictly-before-cutoff, and not expired (≤ K
+    * later chunks exist before the cutoff).
+    */
+  def chunkQualifies(actionDay: org.apache.spark.sql.Column, cutoffDay: org.apache.spark.sql.Column,
+      expiryDay: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    actionDay < cutoffDay && (expiryDay.isNull || cutoffDay <= expiryDay)
+
+  def customerHistoryBeforeDt(
+      actions: DataFrame,
+      dts: DataFrame,
+      maxHistory: Int = DefaultMaxHistory,
+      horizonDays: Option[Int] = None): DataFrame = {
+    val cutoffs = dts.select(col("dt"), to_date(col("dt")).as("cutoff_day"))
+
+    val dailyWithExpiry = dailyTopKChunks(actions, maxHistory)
 
     // Stage 2: fan compact chunks out to qualifying cutoffs, merge, re-rank.
-    val inRange = col("action_day") < col("cutoff_day") &&
-      (col("expiry_day").isNull || col("cutoff_day") <= col("expiry_day"))
+    val inRange = chunkQualifies(col("action_day"), col("cutoff_day"), col("expiry_day"))
     val joinCond = horizonDays match {
       case Some(h) => inRange && col("action_day") >= date_sub(col("cutoff_day"), h)
       case None    => inRange

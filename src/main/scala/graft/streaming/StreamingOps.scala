@@ -68,43 +68,54 @@ object StreamingOps {
     * and expires `watermarkDelay` behind the newest impression day — state
     * is bounded by (carousels per watermark horizon), not by stream
     * lifetime.
+    *
+    * Per-group state is ALSO bounded: the static side is not raw actions
+    * but O3-stage-1 per-(customer, day) top-K chunks
+    * ([[graft.operators.TrainingPipeline.dailyTopKChunks]]), and the join
+    * carries the chunk-expiry predicate, so each impression group
+    * aggregates ≤ maxHistory+1 chunk arrays no matter how many actions a
+    * hot customer has — the same bound the batch precompute enforces. (A
+    * raw-action join would collect a hot customer's ENTIRE pre-cutoff
+    * history into the state store before slicing.)
+    *
+    * The chunk table is a deterministic function of `actions`; for an
+    * actions table refreshed daily, compute it once per refresh and pass
+    * it pre-persisted via `precomputedChunks` so micro-batches don't
+    * re-aggregate the static side.
     */
   def streamingTrainingExamples(
       impressions: DataFrame,
       actions: DataFrame,
       maxHistory: Int = graft.operators.TrainingPipeline.DefaultMaxHistory,
-      watermarkDelay: String = "2 days"): DataFrame = {
-    val ex = graft.operators.TrainingPipeline.explodeImpressions(impressions)
+      watermarkDelay: String = "2 days",
+      precomputedChunks: Option[DataFrame] = None): DataFrame = {
+    import graft.operators.TrainingPipeline
+    val ex = TrainingPipeline.explodeImpressions(impressions)
       .withColumn("cutoff_ts", to_timestamp(col("dt")))
+      .withColumn("cutoff_day", to_date(col("dt")))
       .withWatermark("cutoff_ts", watermarkDelay)
-    val act = actions
+    val chunks = precomputedChunks
+      .getOrElse(TrainingPipeline.dailyTopKChunks(actions, maxHistory))
       .select(
         col("customer_id").as("act_customer_id"),
-        col("item_id"),
-        col("action_time"),
-        col("action_type"))
+        col("action_day"), col("expiry_day"), col("chunk"))
     val joined = ex.join(
-      act,
+      chunks,
       col("customer_id") === col("act_customer_id") &&
-        col("action_time") < col("cutoff_ts"),
+        TrainingPipeline.chunkQualifies(col("action_day"), col("cutoff_day"), col("expiry_day")),
       "left_outer")
     val agg = joined
       .groupBy(
         col("cutoff_ts"), col("dt"), col("ranking_id"), col("customer_id"),
         col("impression_pos"), col("impression_item_id"), col("label"))
       .agg(slice(
-        array_sort(collect_list(when(
-          col("action_time").isNotNull,
-          struct(
-            (-unix_micros(col("action_time"))).as("neg_us"),
-            col("item_id"),
-            col("action_type"))))),
+        array_sort(flatten(collect_list(when(col("chunk").isNotNull, col("chunk"))))),
         1, maxHistory).as("hist"))
     agg.select(
       Seq(
         col("dt"), col("ranking_id"), col("customer_id"),
         col("impression_pos"), col("impression_item_id"), col("label")) ++
-        graft.operators.TrainingPipeline.paddedArrays(maxHistory): _*)
+        TrainingPipeline.paddedArrays(maxHistory): _*)
   }
 
   case class SessionState(sessionId: Int, firstUs: Long, lastUs: Long, nEvents: Long)

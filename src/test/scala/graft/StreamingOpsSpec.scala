@@ -171,6 +171,59 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.exists(t => t._1 == "2025-08-13" && t._7 == Seq(12L, 11L)))
   }
 
+  test("stream-static twin state is bounded for a hot customer (≤ K+1 chunks per group)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.model.{Action, Impression, ImpressionItem}
+    val k = 2
+    // One hot customer: 120 actions spread over 30 days — a raw-action
+    // join would feed all 120 into the impression group's aggregation
+    // state before slicing.
+    val hotActions = (0 until 120).map { i =>
+      Action(1L, 100L + i,
+        ts(f"2025-07-${1 + i % 30}%02d ${1 + i / 30}%02d:00:00"), 1 + i % 3)
+    }
+    val actions = (hotActions :+ Action(2L, 20L, ts("2025-07-15 08:00:00"), 1)).toDF()
+    val imps = Seq(
+      Impression("2025-08-01", "r1", 1L, Seq(ImpressionItem(5L, true), ImpressionItem(6L, false))),
+      Impression("2025-08-01", "r2", 2L, Seq(ImpressionItem(7L, false))))
+
+    val input = MemoryStream[Impression]
+    val query = StreamingOps.streamingTrainingExamples(input.toDF(), actions, maxHistory = k)
+      .writeStream.format("memory").queryName("stream_tex_hot")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(imps: _*)
+    query.processAllAvailable()
+
+    def key(r: org.apache.spark.sql.Row) = (
+      r.getAs[String]("dt"), r.getAs[String]("ranking_id"), r.getAs[Long]("customer_id"),
+      r.getAs[Int]("impression_pos"), r.getAs[Long]("impression_item_id"),
+      r.getAs[Int]("label"),
+      r.getAs[scala.collection.Seq[Long]]("actions").toSeq,
+      r.getAs[scala.collection.Seq[Int]]("action_types").toSeq)
+    val streamed = spark.table("stream_tex_hot").collect().map(key).toSet
+    query.stop()
+    val batch = graft.operators.TrainingPipeline
+      .produceTrainingExamplesFromActions(imps.toDF(), actions, maxHistory = k)
+      .collect().map(key).toSet
+    assert(streamed === batch)
+
+    // The state bound itself: replay the twin's exact static-side join in
+    // batch and count chunk rows per impression group — the aggregation
+    // buffer ingests at most K+1 chunks even for the 120-action customer.
+    val chunks = graft.operators.TrainingPipeline.dailyTopKChunks(actions.toDF(), k)
+    val ex = graft.operators.TrainingPipeline.explodeImpressions(imps.toDF())
+      .withColumn("cutoff_day", to_date(col("dt")))
+    val perGroup = ex.join(
+      chunks.withColumnRenamed("customer_id", "act_customer_id"),
+      col("customer_id") === col("act_customer_id") &&
+        graft.operators.TrainingPipeline.chunkQualifies(
+          col("action_day"), col("cutoff_day"), col("expiry_day")))
+      .groupBy(col("ranking_id"), col("impression_pos"))
+      .count().collect().map(_.getAs[Long]("count"))
+    assert(perGroup.nonEmpty && perGroup.forall(_ <= k + 1),
+      s"per-group chunk fan-in exceeded K+1: ${perGroup.mkString(",")}")
+  }
+
   test("the batch normalizeActions projection composes with readStream frames") {
     implicit val sqlCtx = spark.sqlContext
     val clicksIn = MemoryStream[(String, Long, Long, java.sql.Timestamp)]
