@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -163,6 +164,94 @@ object Similarity {
       .select(col("vec_id"), col("qe"), col("n2"), col("cell"))
   }
 
+  /** Deterministic Lloyd (k-means) fit of the IVF coarse quantizer over a
+    * bounded sample of the corpus — the real trainer behind
+    * [[ivfSearchLearned]] (the `vec_id < k` placeholder of [[ivfSearch]]
+    * gives cells only as good as the first k vectors).
+    *
+    * Determinism, no RNG state: the sample is the `sampleSize` vectors
+    * with the smallest `md5(vec_id)` (hash order is uncorrelated with any
+    * data ordering), the seeds are the first `numCentroids` of them in the
+    * same order, and every update is exact integer arithmetic (per-cell
+    * per-dimension long sums, integral division) — identical centroids on
+    * every run and every partitioning.
+    *
+    * Scale: each iteration is one narrow scan of the cached sample
+    * (broadcast-argmax assignment, same expression the full-corpus path
+    * uses) plus a (numCentroids × dim)-row aggregate; only
+    * metadata-sized centroid rows ever reach the driver. The full corpus
+    * is NEVER scanned during training — standard coarse-quantizer
+    * practice (train on a sample, assign everything with the result).
+    */
+  def trainIvfCentroids(
+      embeddings: DataFrame,
+      numCentroids: Int = 16,
+      iters: Int = 8,
+      sampleSize: Int = 4096): Seq[(Long, Seq[Long])] = {
+    val e = withQuantized(embeddings)
+    val sampled = e
+      .withColumn("_r", md5(col("vec_id").cast("string")))
+      .orderBy(col("_r"), col("vec_id"))
+      .limit(sampleSize)
+      .select(col("qe"), col("n2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cents: Seq[(Long, Seq[Long])] = sampled.limit(numCentroids).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("qe").toSeq)
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    for (_ <- 1 to iters) {
+      val perCell = withCell(sampled, centroidFrame(embeddings.sparkSession, cents), "qe")
+        .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("cell"), col("pos"), expr("s DIV n").as("m"))
+        .groupBy(col("cell"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .collect()
+        .map { r =>
+          r.getAs[Long]("cell") ->
+            r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("dims")
+              .map(_.getAs[Long]("m")).toSeq
+        }.toMap
+      // An emptied cell keeps its previous centroid (deterministic, and
+      // leaves it eligible to re-acquire vectors next iteration).
+      cents = cents.map { case (id, v) => (id, perCell.getOrElse(id, v)) }
+    }
+    sampled.unpersist()
+    cents
+  }
+
+  /** One-row broadcastable centroid frame (the [[centroidArray]] shape)
+    * from driver-side centroid vectors — k × dim longs, metadata-sized.
+    */
+  def centroidFrame(spark: SparkSession, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val structs = cents.sortBy(_._1).map { case (id, v) =>
+      struct(
+        lit(id).as("cent_id"),
+        array(v.map(lit): _*).as("c_qe"),
+        lit(v.map(x => x * x).sum).as("c_n2"))
+    }
+    spark.range(1).select(array(structs: _*).as("cents"))
+  }
+
+  /** [[ivfSearch]] with a LEARNED coarse quantizer: fit centroids with
+    * [[trainIvfCentroids]], then run the identical broadcast-argmax
+    * assign + probe + rank plan.
+    */
+  def ivfSearchLearned(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 10,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      iters: Int = 8,
+      sampleSize: Int = 4096): DataFrame = {
+    val cents = trainIvfCentroids(embeddings, numCentroids, iters, sampleSize)
+    ivfSearchFrom(
+      withQuantized(embeddings),
+      centroidFrame(embeddings.sparkSession, cents),
+      numQueries, k, nProbe)
+  }
+
   /** IVF search: each query probes its `nProbe` nearest cells and ranks
     * only the vectors indexed there — the inverted-file analog of
     * [[annLsh]]. The corpus is quantized and cell-assigned once (shared
@@ -177,7 +266,15 @@ object Similarity {
       numCentroids: Int = 16,
       nProbe: Int = 4): DataFrame = {
     val e = withQuantized(embeddings)
-    val centsArr = centroidArray(e, numCentroids)
+    ivfSearchFrom(e, centroidArray(e, numCentroids), numQueries, k, nProbe)
+  }
+
+  private def ivfSearchFrom(
+      e: DataFrame,
+      centsArr: DataFrame,
+      numQueries: Int,
+      k: Int,
+      nProbe: Int): DataFrame = {
     val assigned = withCell(e, centsArr, "qe")
     // Query → its nProbe nearest cells: tiny (numQueries × numCentroids)
     // cross product, ranked per query.

@@ -183,6 +183,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, f"IVF recall $recall%.2f < 0.9")
   }
 
+  test("learned IVF centroids recall >=0.9 where the placeholder sample is degenerate") {
+    // Block cluster layout (c = i / 20): the first 20 vec_ids are ALL
+    // cluster 0, so the `vec_id < k` placeholder quantizer gets k copies
+    // of one cluster and scatters the rest of the corpus arbitrarily —
+    // exactly the failure mode a real trainer must fix. Queries
+    // (vec_id < 10) are cluster-0 vectors whose true neighbors split
+    // across whatever cells the quantizer made.
+    val dim = 64
+    val rows = (0 until 200).map { i =>
+      val c = i / 20
+      val v = (0 until dim).map { d =>
+        val base = if ((2 * c + d) % 11 < 5) 1.0f else -1.0f
+        base + 0.08f * (((i * 31 + d * 17) % 11) - 5) / 5.0f
+      }
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(Similarity.knnBruteForce(rows))
+    val learned = pairsOf(Similarity.ivfSearchLearned(rows, numCentroids = 16, nProbe = 4))
+    val placeholder = pairsOf(Similarity.ivfSearch(rows, numCentroids = 16, nProbe = 4))
+    val recallLearned = (exact intersect learned).size.toDouble / exact.size
+    val recallPlaceholder = (exact intersect placeholder).size.toDouble / exact.size
+    assert(recallLearned >= 0.9, f"learned-centroid recall $recallLearned%.2f < 0.9")
+    assert(recallLearned > recallPlaceholder,
+      f"training didn't beat the degenerate placeholder ($recallLearned%.2f <= $recallPlaceholder%.2f)")
+    // Determinism: a second fit returns bit-identical centroids.
+    val c1 = Similarity.trainIvfCentroids(rows, numCentroids = 16)
+    val c2 = Similarity.trainIvfCentroids(rows, numCentroids = 16)
+    assert(c1 === c2)
+  }
+
   test("quantized dot products are exact and order-independent") {
     val a = Seq((0L, Seq(0.123456f, -0.654321f), 0), (1L, Seq(0.111111f, 0.222222f), 0))
       .toDF("vec_id", "embedding", "label")
