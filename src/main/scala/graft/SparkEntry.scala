@@ -366,6 +366,16 @@ object SparkEntry {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // Dedup: incremental NEAR-dup dedup of a new snapshot against the kept
+    // corpus's MinHash signature index (catches the planted jaccard≈0.98
+    // rewordings that the exact-digest q42 keeps).
+    "q44_near_dedup_against" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.nearDupAgainst(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
+        .orderBy("doc_id")
+    }),
+
     // JSON extraction from the events props column + aggregation.
     "q30_json_props" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -894,6 +904,28 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
 
+    "q44_near_dedup_against" ->
+      s"""WITH $docShingles,
+         |$minhashBands,
+         |cands AS (
+         |  SELECT DISTINCT s.doc_id AS new_doc, kb.doc_id AS kept_doc
+         |  FROM bands s JOIN bands kb
+         |    ON s.band = kb.band AND s.band_sig = kb.band_sig
+         |  WHERE s.doc_id >= 250 AND kb.doc_id < 250
+         |),
+         |agree AS (
+         |  SELECT c.new_doc,
+         |         SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS n_agree
+         |  FROM cands c
+         |  JOIN hs a ON a.doc_id = c.new_doc
+         |  JOIN hs b ON b.doc_id = c.kept_doc AND b.j = a.j
+         |  GROUP BY c.new_doc, c.kept_doc
+         |)
+         |SELECT doc_id FROM documents
+         |WHERE doc_id >= 250
+         |  AND doc_id NOT IN (SELECT new_doc FROM agree WHERE n_agree >= 6)
+         |ORDER BY doc_id""".stripMargin,
+
     "q41_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |g AS (
@@ -977,8 +1009,11 @@ object SparkEntry {
       |  QUALIFY sh IS NOT NULL
       |)""".stripMargin
 
-  /** Shared oracle CTE: 8 MinHash signatures per doc via the h1 + j*h2
-    * tabulation family (matching Dedup.minhashSignatures), banded 4×2.
+  /** Shared oracle CTE: 8 MinHash signatures per doc via the
+    * rotate_j(h1) XOR h2 family (matching Dedup.minhashSignatures — see
+    * its scaladoc for why h1 + j*h2 and h2-only rotations are unusable),
+    * banded 4×2. The power-of-two factors are exact in DOUBLE for these
+    * exponents.
     */
   private val minhashBands =
     """hh AS (
@@ -988,7 +1023,11 @@ object SparkEntry {
       |  FROM sh
       |),
       |hs AS (
-      |  SELECT doc_id, j, MIN(h1 + j * h2) AS sig
+      |  SELECT doc_id, j,
+      |         MIN(xor((h1 % CAST(power(2, 60 - (1 + 7*j)) AS BIGINT))
+      |                   * CAST(power(2, 1 + 7*j) AS BIGINT)
+      |                 + h1 // CAST(power(2, 60 - (1 + 7*j)) AS BIGINT),
+      |                 h2)) AS sig
       |  FROM hh CROSS JOIN (SELECT unnest(range(8)) AS j)
       |  GROUP BY doc_id, j
       |),

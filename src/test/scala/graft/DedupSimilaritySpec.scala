@@ -46,6 +46,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("incremental near-dup dedup drops snapshot rewordings of the kept corpus") {
+    val kept = docs.filter("doc_id <= 1")
+    val snapshot = Seq(
+      (10L, base.replace("lazy", "sleepy"), "en", "s1", base.length.toLong), // near-dup of kept 0
+      (11L, base, "en", "s0", base.length.toLong),                           // exact dup of kept 0
+      (12L, "completely different words about databases and airplanes and " +
+        "oceans with nothing shared beyond articles", "en", "s2", 100L),     // novel
+      (13L, "tiny", "en", "s3", 4L))                                         // too short to shingle
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val survivors = Dedup.nearDupAgainst(kept, snapshot)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(survivors === Set(12L, 13L),
+      s"expected the reworded and exact dups dropped, got survivors $survivors")
+    // The production shape: the kept corpus represented ONLY by its
+    // persisted signature index must give the identical answer.
+    val index = Dedup.minhashSignatures(kept)
+    val viaIndex = Dedup.nearDupAgainst(
+      kept.limit(0), snapshot, keptSignatures = Some(index))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(viaIndex === survivors)
+  }
+
   test("jaccard doc-frequency cap bounds hot-shingle pair blowup") {
     // 120 docs share one boilerplate shingle but nothing else: uncapped,
     // every pair co-shingles (120·119/2 = 7140 pairs at jaccard exactly
