@@ -932,6 +932,8 @@ object SparkEntry {
         |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS sh
         |  FROM (SELECT doc_id, w, CAST(unnest(range(1, len(w))) AS INT) AS i FROM w WHERE len(w) >= 2)
         |),
+        |-- the engine shuffles xxhash64(gram) digests; counts are identical
+        |-- under the digest, so the oracle stays string-keyed
         |c AS (SELECT doc_id, sh, COUNT(*) AS cnt FROM g GROUP BY doc_id, sh),
         |d AS (
         |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams, MAX(cnt) AS top_gram_cnt,

@@ -90,16 +90,22 @@ object TextAnalysis {
     * ratio. Highly repetitive machine-generated text scores near 1.
     *
     * Two combiner-friendly aggregations — (doc, gram) counts, then per-doc
-    * max/sum — so the shuffle carries counts, never text beyond the gram
-    * strings. Documents with fewer than `n` words have no n-grams and are
-    * absent from the output. (A shuffle-free sorted-array run-length scan
-    * via the `aggregate` HOF measured 1.4× SLOWER at sf0.1 — interpreted
+    * max/sum — and the first shuffle keys on xxhash64(gram), an 8-byte
+    * long, not the gram string (counts are unchanged under the digest up
+    * to ~n²/2^64 collisions; the scoring needs only counts, never the
+    * winning gram's text, so the oracle can stay string-keyed). xxhash64
+    * rather than the md5 idiom: it's codegen'd with no hex/string
+    * round-trip, and the digest never needs cross-engine reproduction.
+    * Documents with fewer than `n` words have no n-grams and are absent
+    * from the output. (A shuffle-free sorted-array run-length scan via
+    * the `aggregate` HOF measured 1.4× SLOWER at sf0.1 — interpreted
     * lambda overhead exceeds the wordcount-shaped shuffle's cost — so the
     * distributed formulation stands.)
     */
   def repetition(docs: DataFrame, n: Int = 2, maxShare: Double = 0.2): DataFrame =
     spread(docs)
-      .select(col("doc_id"), explode(shinglesCol(n)).as("sh"))
+      .select(col("doc_id"), explode(shinglesCol(n)).as("gram"))
+      .select(col("doc_id"), xxhash64(col("gram")).as("sh"))
       .groupBy(col("doc_id"), col("sh"))
       .agg(count(lit(1)).as("cnt"))
       .groupBy(col("doc_id"))
