@@ -110,6 +110,38 @@ object Probe {
     val tSaltHot = (1 to 2).map(_ => time(flagship(Some(8), Some(hot)))).min
     println(f"""{"probe":"salted_skew_join","hot_customers":${hot.length},"sec_plain":$tPlain%.3f,"sec_salt_all":$tSaltAll%.3f,"sec_salt_hot":$tSaltHot%.3f,"speedup_hot":${tPlain / tSaltHot}%.2f,"pass":${tSaltHot < tPlain}}""")
 
+    // --- Probe 3: precomputed O3 histories vs the direct flagship -------
+    // The reference README's production claim (README.md:69-72): when
+    // training runs recur over the same days, materialize the
+    // per-(customer, dt) history table once and join each run against it,
+    // instead of re-ranking raw actions per run. Modeled as `runs`
+    // repeated flagship executions: the direct path pays the
+    // actions-join + window every time; the precompute path pays O3 once
+    // (persisted, standing in for the production parquet table) and then
+    // only the cheap (customer, dt) equi-join per run.
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.unset("spark.sql.adaptive.skewJoin.enabled")
+    spark.conf.unset("spark.sql.adaptive.coalescePartitions.enabled")
+    val impsReal = EventFixtures.impressions(spark, sfDir).persist()
+    impsReal.count()
+    val runs = 5
+    def direct(): Unit =
+      TrainingPipeline.produceTrainingExamplesFromActions(impsReal, actions, 8)
+        .write.format("noop").mode("overwrite").save()
+    direct() // warm-up
+    val tDirect = (1 to runs).map(_ => time(direct())).sum
+    val hist = TrainingPipeline
+      .customerHistoryBeforeDt(actions, impsReal.select("dt").distinct(), 8)
+      .persist()
+    val tBuild = time { hist.count() }
+    def viaPrecomputed(): Unit =
+      TrainingPipeline.produceTrainingExamplesPrecomputed(impsReal, hist, 8)
+        .write.format("noop").mode("overwrite").save()
+    viaPrecomputed() // warm-up
+    val tPre = (1 to runs).map(_ => time(viaPrecomputed())).sum
+    val tPreTotal = tBuild + tPre
+    println(f"""{"probe":"precomputed_flagship","runs":$runs,"sec_direct_total":$tDirect%.3f,"sec_o3_build":$tBuild%.3f,"sec_precomputed_runs":$tPre%.3f,"sec_precomputed_total":$tPreTotal%.3f,"speedup":${tDirect / tPreTotal}%.2f,"pass":${tPreTotal < tDirect}}""")
+
     spark.stop()
   }
 }

@@ -25,6 +25,12 @@ object TextAnalysis {
     * narrow and needs no co-location, so shuffling the full document text
     * would be pure waste and the input passes through untouched.
     *
+    * The partition count is memoized per logical plan: `.rdd` forces a
+    * full physical-plan/RDD conversion (including scan file-listing
+    * resolution), and operators like lshVerifiedPairs reach spread several
+    * times for the same input frame — one planning pass instead of one
+    * per call.
+    *
     * Streaming frames can't be partition-counted (`.rdd` rejects them),
     * so they keep the unconditional repartition — harmless per micro-batch
     * and preserves the pre-guard streaming compatibility.
@@ -32,8 +38,24 @@ object TextAnalysis {
   private[graft] def spread(docs: DataFrame): DataFrame = {
     if (docs.isStreaming) return docs.repartition(col("doc_id"))
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if (docs.rdd.getNumPartitions < parallelism) docs.repartition(col("doc_id"))
+    if (numPartitionsOf(docs) < parallelism) docs.repartition(col("doc_id"))
     else docs
+  }
+
+  private val partsMemo =
+    new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]()
+
+  private def numPartitionsOf(docs: DataFrame): Int = {
+    val key = docs.queryExecution.logical
+    partsMemo.synchronized {
+      val cached = partsMemo.get(key)
+      if (cached != null) cached.intValue
+      else {
+        val n = docs.rdd.getNumPartitions
+        partsMemo.put(key, n)
+        n
+      }
+    }
   }
 
   /** One row per (doc_id, pos, w) token. Narrow (a single Generate). */
