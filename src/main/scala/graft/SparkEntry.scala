@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TrainingPipeline}
+import graft.operators.{Curation, Dedup, Joins, Multimodal, Similarity, TrainingPipeline}
 import graft.sources.{EventFixtures, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -374,6 +374,42 @@ object SparkEntry {
       Dedup.nearDupAgainst(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
         .orderBy("doc_id")
+    }),
+
+    // As-of join: each purchase matched to the user's most recent view at
+    // or before it (union + one window pass — no inequality join).
+    "q45_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("t", unix_micros(col("ts")))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("t"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(
+          col("user_id"),
+          col("event_id").as("view_event_id"),
+          col("t").as("view_t"))
+      Joins.asOfJoin(purchases, views, Seq("user_id"), "t", "view_t", Seq("view_event_id"))
+        .select(
+          col("user_id"), col("event_id"), col("t"),
+          coalesce(col("matched_view_t"), lit(-1L)).as("view_t"),
+          coalesce(col("matched_view_event_id"), lit(-1L)).as("view_event_id"))
+        .orderBy("user_id", "t", "event_id")
+    }),
+
+    // Range join: clicks landing within 10 minutes after an error by the
+    // same user (bucketized equi-join — no inequality cross product).
+    "q46_range_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).withColumn("t", unix_micros(col("ts")))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("t").as("click_t"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(
+          col("user_id"), col("event_id").as("error_id"),
+          col("t").as("err_start"), (col("t") + lit(600000000L)).as("err_end"))
+      Joins.rangeJoin(
+        clicks, errors, Seq("user_id"), "click_t", "err_start", "err_end",
+        bucketWidth = 600000000L)
+        .select("user_id", "error_id", "click_id", "click_t", "err_start")
+        .orderBy("user_id", "error_id", "click_id")
     }),
 
     // JSON extraction from the events props column + aggregation.
@@ -903,6 +939,37 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "q45_asof_join" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'view'),
+        |u AS (
+        |  SELECT user_id, t, 1 AS side, event_id, NULL::BIGINT AS v_id, NULL::BIGINT AS v_t FROM p
+        |  UNION ALL
+        |  SELECT user_id, t, 0, NULL, event_id, t FROM v
+        |),
+        |w AS (
+        |  SELECT user_id, t, side, event_id,
+        |         max(CASE WHEN side = 0 THEN {'t': v_t, 'id': v_id} END)
+        |           OVER (PARTITION BY user_id ORDER BY t, side
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m
+        |  FROM u
+        |)
+        |SELECT user_id, event_id, t,
+        |       CAST(COALESCE(m.t, -1) AS BIGINT) AS view_t,
+        |       CAST(COALESCE(m.id, -1) AS BIGINT) AS view_event_id
+        |FROM w WHERE side = 1
+        |ORDER BY user_id, t, event_id""".stripMargin,
+
+    "q46_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS t, event_type FROM events)
+        |SELECT c.user_id, er.event_id AS error_id, c.event_id AS click_id,
+        |       c.t AS click_t, er.t AS err_start
+        |FROM e c JOIN e er
+        |  ON c.user_id = er.user_id
+        | AND c.event_type = 'click' AND er.event_type = 'error'
+        | AND c.t >= er.t AND c.t <= er.t + 600000000
+        |ORDER BY c.user_id, error_id, click_id""".stripMargin,
 
     "q44_near_dedup_against" ->
       s"""WITH $docShingles,

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Temporal join operators Spark lacks natively, in their scale-correct
+  * formulations.
+  *
+  * The naive as-of join (`l JOIN r ON key AND r.t <= l.t` + argmax) and the
+  * naive range join (`p JOIN i ON key AND p.t BETWEEN i.s AND i.e`) both
+  * plan as inequality joins — per-key cross products that explode on hot
+  * keys. Both operators here are single-equi-shuffle plans instead: the
+  * as-of join is a union + one window pass, the range join replicates each
+  * interval to the fixed-width time buckets it covers and equi-joins on
+  * (key, bucket). Those are the shapes that survive a 100 TB event table.
+  */
+object Joins {
+
+  /** As-of join: for every left row, the single most recent right row with
+    * the same key and `rightTime <= leftTime` (ties on time broken by the
+    * largest right payload, lexicographically — a total, engine-portable
+    * order).
+    *
+    * Plan: tag and union both sides, then one window
+    * (partitionBy keys, orderBy (time, side)) computes a running
+    * `max(struct(rightTime, rightCols*))` over right rows only — `max`
+    * ignores the nulls the left rows carry in that slot, and the
+    * right-before-left side order makes an exactly-simultaneous right row
+    * visible to its left peer. One shuffle on the key, no inequality-join
+    * row explosion; skew equals key skew, same as any keyed window.
+    *
+    * `maxLookback` (same unit as the time columns) optionally voids
+    * matches older than `leftTime - maxLookback` — the bounded-staleness
+    * knob real pipelines need (a "most recent view" from three years ago
+    * is noise).
+    *
+    * Output: every left column, plus the match's time and each of
+    * `rightCols` as `matched_<name>` (null when no right row qualifies —
+    * left rows always survive).
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightCols: Seq[String],
+      maxLookback: Option[Long] = None): DataFrame = {
+    val leftPayloadCols = left.columns.filterNot(keys.contains).toSeq
+    val rFields = Seq(rightTime) ++ rightCols
+    val lType = StructType(leftPayloadCols.map(left.schema(_)))
+    val rType = StructType(rFields.map(right.schema(_)))
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("_t"),
+        lit(1).as("_side"),
+        struct(leftPayloadCols.map(col): _*).as("_l"),
+        lit(null).cast(rType).as("_r")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("_t"),
+        lit(0).as("_side"),
+        lit(null).cast(lType).as("_l"),
+        struct(rFields.map(col): _*).as("_r")): _*)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched0 = max(col("_r")).over(w)
+    val matched = maxLookback match {
+      case Some(lb) =>
+        when(matched0.getField(rightTime) >= col("_t") - lit(lb), matched0)
+      case None => matched0
+    }
+    l.unionByName(r)
+      .withColumn("_m", matched)
+      .filter(col("_side") === 1)
+      .select(
+        keys.map(col) ++
+          leftPayloadCols.map(c => col(s"_l.$c").as(c)) ++
+          rFields.map(c => col(s"_m.$c").as(s"matched_$c")): _*)
+  }
+
+  /** Range (interval-containment) join: every (point, interval) pair with
+    * the same key and `pointTime` in `[startCol, endCol]` (inclusive,
+    * integral time units), without the inequality-join cross product.
+    *
+    * Plan: each interval replicates to the `bucketWidth`-sized time
+    * buckets it covers; points carry their single bucket; the join is a
+    * plain equi-join on (keys, bucket) plus the exact containment filter.
+    * A matching pair meets in exactly one bucket (the point's), so no
+    * dedup shuffle is needed. Replication factor is
+    * `len(interval)/bucketWidth + 1` — pick `bucketWidth` near the
+    * typical interval length (a handful of copies), which keeps cost
+    * linear while the join shuffles narrowly on (key, bucket); long-tail
+    * intervals cost proportionally more copies, never a cross product.
+    *
+    * Column names (other than `keys`) must be disjoint between the two
+    * inputs; output is every point column + every interval column.
+    */
+  def rangeJoin(
+      points: DataFrame,
+      intervals: DataFrame,
+      keys: Seq[String],
+      pointTime: String,
+      startCol: String,
+      endCol: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val p = points.withColumn("_b", expr(s"`$pointTime` DIV ${bucketWidth}L"))
+    val i = intervals
+      .filter(col(endCol) >= col(startCol))
+      .withColumn(
+        "_b",
+        explode(sequence(
+          expr(s"`$startCol` DIV ${bucketWidth}L"),
+          expr(s"`$endCol` DIV ${bucketWidth}L"))))
+    p.join(i, keys :+ "_b")
+      .filter(col(pointTime) >= col(startCol) && col(pointTime) <= col(endCol))
+      .drop("_b")
+  }
+}
