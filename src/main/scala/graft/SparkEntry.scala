@@ -265,7 +265,7 @@ object SparkEntry {
     "q28_top_words_per_lang" -> ((s, dir) => {
       val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("w"))
       Tables.documents(s, dir)
-        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
         .groupBy(col("lang"), col("w"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rnk", row_number().over(w).cast("int"))
@@ -608,13 +608,13 @@ object SparkEntry {
 
     "q13_text_stats" ->
       """SELECT doc_id, lang, source, n_chars,
-        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |       CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_letters,
-        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct_words,
-        |       CAST(list_aggregate(list_transform(string_split(text, ' '), w -> length(w)), 'max') AS BIGINT) AS max_word_len,
-        |       CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_word_len,
-        |       CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','fast','slow','big','small'))) AS DOUBLE)
-        |         / CAST(len(string_split(text, ' ')) AS DOUBLE) AS stopword_ratio,
+        |       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_words,
+        |       CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS BIGINT) AS n_letters,
+        |       CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_distinct_words,
+        |       CAST(list_aggregate(list_transform(regexp_split_to_array(trim(text), '\s+'), w -> length(w)), 'max') AS BIGINT) AS max_word_len,
+        |       CAST(length(regexp_replace(trim(text), '\s', '', 'g')) AS DOUBLE) / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS avg_word_len,
+        |       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('the','a','fast','slow','big','small'))) AS DOUBLE)
+        |         / CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS stopword_ratio,
         |       (n_words BETWEEN 20 AND 1000) AND (stopword_ratio <= 0.3) AS is_quality
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
@@ -628,9 +628,9 @@ object SparkEntry {
 
     "q15_language_id" ->
       """SELECT doc_id, lang,
-        |       CAST(len(list_filter(string_split(text, ' '), w -> w IN ('the','a','fast','slow','big','small'))) AS BIGINT) AS hits_en,
-        |       CAST(len(list_filter(string_split(text, ' '), w -> w IN ('join','scan','merge','hash','sort','agg'))) AS BIGINT) AS hits_db,
-        |       CAST(len(list_filter(string_split(text, ' '), w -> w IN ('query','table','column','row','key','value'))) AS BIGINT) AS hits_sql,
+        |       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('the','a','fast','slow','big','small'))) AS BIGINT) AS hits_en,
+        |       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('join','scan','merge','hash','sort','agg'))) AS BIGINT) AS hits_db,
+        |       CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'), w -> w IN ('query','table','column','row','key','value'))) AS BIGINT) AS hits_sql,
         |       CASE WHEN hits_en >= hits_db AND hits_en >= hits_sql THEN 'en'
         |            WHEN hits_db >= hits_sql THEN 'db'
         |            ELSE 'sql' END AS predicted
@@ -690,7 +690,7 @@ object SparkEntry {
     "q21_simhash" ->
       """WITH wh AS (
         |  SELECT doc_id, md5(w) AS h
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
         |),
         |nib AS (
         |  SELECT doc_id, np,
@@ -795,7 +795,7 @@ object SparkEntry {
     "q28_top_words_per_lang" ->
       """WITH wc AS (
         |  SELECT lang, w, COUNT(*) AS cnt
-        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+        |  FROM (SELECT lang, unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
         |  GROUP BY lang, w
         |),
         |r AS (
@@ -834,7 +834,7 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin,
 
     "q35_chunk_tokens" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |c AS (
         |  SELECT doc_id, len(w) AS n, w,
         |         CAST(unnest(range(CAST(ceil(len(w) / 48.0) AS INT))) AS INT) AS chunk_id
@@ -905,7 +905,7 @@ object SparkEntry {
     "q40_pack_sequences" ->
       """WITH t AS (
         |  SELECT doc_id, doc_id % 32 AS shard,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |  FROM documents
         |),
         |s AS (
@@ -994,7 +994,7 @@ object SparkEntry {
          |ORDER BY doc_id""".stripMargin,
 
     "q41_repetition" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
         |g AS (
         |  SELECT doc_id, w[i] || ' ' || w[i + 1] AS sh
         |  FROM (SELECT doc_id, w, CAST(unnest(range(1, len(w))) AS INT) AS i FROM w WHERE len(w) >= 2)
@@ -1067,8 +1067,8 @@ object SparkEntry {
     */
   private val docShingles =
     """words AS (
-      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
-      |         unnest(range(len(string_split(text, ' ')))) AS pos
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+      |         unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS pos
       |  FROM documents
       |),
       |sh AS (

@@ -14,8 +14,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of `text` as an array column. */
-  def wordsCol: Column = split(col("text"), " ")
+  /** Whitespace tokens of `text` as an array column: any run of Unicode
+    * whitespace separates tokens, outer whitespace is trimmed first (a
+    * single-space split silently mis-tokenizes real corpora with tabs,
+    * newlines, or double spaces). Oracles mirror it with DuckDB
+    * `regexp_split_to_array(trim(text), '\s+')` — both engines yield
+    * `[""]` for an all-whitespace document.
+    */
+  def wordsCol: Column = split(trim(col("text")), "\\s+")
 
   /** Small-input-heavy-compute guard: testdata-sized doc tables arrive as
     * ONE parquet partition, which would serialize all downstream per-token
@@ -94,10 +100,10 @@ object TextAnalysis {
     docs.select(
         col("doc_id"), col("lang"), col("source"), col("n_chars"),
         size(words).cast("long").as("n_words"),
-        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_letters"),
+        length(regexp_replace(trim(col("text")), "\\s", "")).cast("long").as("n_letters"),
         size(array_distinct(words)).cast("long").as("n_distinct_words"),
         array_max(transform(words, w => length(w))).cast("long").as("max_word_len"),
-        (length(regexp_replace(col("text"), " ", "")).cast("double") /
+        (length(regexp_replace(trim(col("text")), "\\s", "")).cast("double") /
           size(words).cast("double")).as("avg_word_len"),
         (hits(ProfileEn).cast("double") / size(words).cast("double")).as("stopword_ratio"))
       // Quality gate in the Gopher/C4 style: length band + stopword share.

@@ -26,6 +26,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(r(0).getAs[Double]("avg_word_len") - 25.0 / 7.0) < 1e-12)
   }
 
+  test("tokenizer handles tabs, newlines, runs of spaces, and outer whitespace") {
+    val messy = Seq(doc(0L, "  the\ta  the\n\njoin   scan query\ttable "))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.textStats(messy).collect().head
+    // Identical counts to the single-spaced fixture above: whitespace
+    // flavor must not change tokenization.
+    assert(r.getAs[Long]("n_words") === 7L)
+    assert(r.getAs[Long]("n_distinct_words") === 6L)
+    assert(r.getAs[Long]("n_letters") === 25L)
+    val sh = TextAnalysis.shingles(messy, 3).collect().map(_.getAs[String]("sh"))
+    assert(sh.contains("the a the") && sh.length === 5)
+  }
+
   test("spread repartitions single-partition input and passes split input through") {
     def textDf(parts: Int) = spark.range(0, 50, 1, parts)
       .select(
