@@ -376,6 +376,13 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Dedup: transitive closure of verified near-dup pairs into canonical
+    // clusters (hash-min connected components).
+    "q47_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(
+        Dedup.lshVerifiedPairs(Tables.documents(s, dir), minJaccard = 0.5))
+        .orderBy("doc_id")),
+
     // As-of join: each purchase matched to the user's most recent view at
     // or before it (union + one window pass — no inequality join).
     "q45_asof_join" -> ((s, dir) => {
@@ -939,6 +946,37 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "q47_dedup_clusters" ->
+      s"""WITH RECURSIVE $docShingles,
+         |$minhashBands,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |),
+         |sets AS (SELECT doc_id, list(sh) AS shl, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT doc_a, doc_b
+         |  FROM (
+         |    SELECT doc_a, doc_b,
+         |           CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS n_common,
+         |           sa.n_sh AS n_a, sb.n_sh AS n_b
+         |    FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id)
+         |  WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.5
+         |),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+         |),
+         |lab AS (SELECT v AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY v),
+         |sz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM lab GROUP BY canonical_id)
+         |SELECT l.doc_id, l.canonical_id, s.cluster_size,
+         |       l.doc_id = l.canonical_id AS is_canonical
+         |FROM lab l JOIN sz s USING (canonical_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q45_asof_join" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS t FROM events WHERE event_type = 'purchase'),

@@ -164,6 +164,62 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** Connected-component clustering of near-duplicate PAIRS into canonical
+    * groups — the step production dedup needs after [[lshVerifiedPairs]] /
+    * [[jaccardPairs]]: transitive near-dups (A≈B, B≈C) must collapse to
+    * ONE kept document even when A and C never co-occurred in a bucket.
+    *
+    * Algorithm: hash-min label propagation. Every doc starts labeled with
+    * itself; each round takes the min of its own and its neighbors'
+    * labels; fixpoint = every doc labeled with its component's minimum
+    * doc_id. Each round is one equi-join + one map-side-combined min
+    * aggregate — no driver-side graph state, labels are the only iterated
+    * data. Rounds needed = max component diameter, which for near-dup
+    * clusters (bucket-overlapping quasi-cliques) is small; `maxIters`
+    * caps pathological chains, and convergence is detected with a
+    * limit-1 probe, not a full count.
+    *
+    * Output: (doc_id, canonical_id, cluster_size, is_canonical) for every
+    * doc that appears in some pair — `is_canonical` rows are the keep
+    * set, sized for survivor joins.
+    */
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+    var prevCache: Option[DataFrame] = None
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("label")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"),
+          col("label").as("_old"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.filter(col("label") =!= col("_old")).isEmpty
+      prevCache.foreach(_.unpersist())
+      prevCache = Some(next)
+      labels = next.select("doc_id", "label")
+      it += 1
+    }
+    val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
+    labels.join(sz, Seq("label"))
+      .select(
+        col("doc_id"),
+        col("label").as("canonical_id"),
+        col("cluster_size"),
+        (col("doc_id") === col("label")).as("is_canonical"))
+  }
+
   /** Incremental NEAR-dup dedup: keep only the snapshot documents with no
     * verified near-duplicate in an already-kept corpus — the MinHash
     * complement of [[graft.operators.Curation.dedupAgainst]] (which is

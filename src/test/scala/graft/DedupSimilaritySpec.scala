@@ -46,6 +46,28 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("dedupClusters collapses transitive pairs into min-labeled components") {
+    // Component {1,2,3,4} given only as a chain (diameter 3 — forces
+    // multiple propagation rounds), component {10,11}, and {20,21} via a
+    // redundant triangle-free pair set.
+    val pairs = Seq(
+      (2L, 1L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (21L, 20L))
+      .toDF("doc_a", "doc_b")
+    val out = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Boolean]("is_canonical")))
+      .toMap
+    assert(out.size === 8)
+    Seq(1L, 2L, 3L, 4L).foreach(d => assert(out(d) === (1L, 4L, d == 1L)))
+    Seq(10L, 11L).foreach(d => assert(out(d) === (10L, 2L, d == 10L)))
+    Seq(20L, 21L).foreach(d => assert(out(d) === (20L, 2L, d == 20L)))
+    // Empty input degrades cleanly.
+    assert(Dedup.dedupClusters(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() === 0L)
+  }
+
   test("incremental near-dup dedup drops snapshot rewordings of the kept corpus") {
     val kept = docs.filter("doc_id <= 1")
     val snapshot = Seq(
