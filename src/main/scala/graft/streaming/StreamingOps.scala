@@ -118,6 +118,41 @@ object StreamingOps {
         TrainingPipeline.paddedArrays(maxHistory): _*)
   }
 
+  /** Stream-stream time-bounded join (streaming attribution): every
+    * (left, right) pair with equal keys and `rightTime` within
+    * `[leftTime - lookback, leftTime]` — e.g. purchases attributed to the
+    * same user's clicks in the preceding hour. The streaming face of
+    * [[graft.operators.Joins.rangeJoin]].
+    *
+    * Both sides carry watermarks and the join condition bounds event time
+    * in BOTH directions, which is exactly what lets Spark's symmetric
+    * hash join evict state: a buffered right row is droppable once the
+    * left watermark passes `rightTime + lookback`, a left row once the
+    * right watermark passes `leftTime` — state is O(traffic within the
+    * lookback + watermark horizon), not stream lifetime.
+    *
+    * Non-key column names must be disjoint between the sides.
+    */
+  def streamStreamWindowJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      lookback: String = "1 hour",
+      watermarkDelay: String = "2 hours"): DataFrame = {
+    val l = left.withWatermark(leftTime, watermarkDelay)
+    val r = right.withWatermark(rightTime, watermarkDelay)
+    val keyCond = keys.map(k => l(k) === r(k)).reduce(_ && _)
+    l.join(
+      r,
+      keyCond &&
+        col(rightTime) <= col(leftTime) &&
+        col(rightTime) >= col(leftTime) - expr(s"INTERVAL $lookback"),
+      "inner")
+      .drop(keys.map(r(_)).head, keys.map(r(_)).tail: _*)
+  }
+
   case class SessionState(sessionId: Int, firstUs: Long, lastUs: Long, nEvents: Long)
 
   case class SessionUpdate(

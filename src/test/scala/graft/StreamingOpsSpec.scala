@@ -224,6 +224,33 @@ class StreamingOpsSpec extends SparkSpec {
       s"per-group chunk fan-in exceeded K+1: ${perGroup.mkString(",")}")
   }
 
+  test("stream-stream window join attributes purchases to in-lookback clicks") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicksIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val buysIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = clicksIn.toDF().toDF("user_id", "click_id", "click_ts")
+    val buys = buysIn.toDF().toDF("user_id", "buy_id", "buy_ts")
+
+    val joined = StreamingOps.streamStreamWindowJoin(
+      buys, clicks, Seq("user_id"), "buy_ts", "click_ts", lookback = "1 hour")
+    val query = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append()).start()
+
+    clicksIn.addData((1L, 100L, ts("2025-08-13 11:30:00")), // in lookback
+      (1L, 101L, ts("2025-08-13 09:00:00")),                // too old
+      (2L, 200L, ts("2025-08-13 11:45:00")))                // other user
+    buysIn.addData((1L, 900L, ts("2025-08-13 12:00:00")))
+    query.processAllAvailable()
+    // cross-micro-batch: a later click for an earlier-buffered purchase
+    buysIn.addData((2L, 901L, ts("2025-08-13 12:10:00")))
+    query.processAllAvailable()
+
+    val got = spark.table("attrib").collect()
+      .map(r => (r.getAs[Long]("buy_id"), r.getAs[Long]("click_id"))).toSet
+    query.stop()
+    assert(got === Set((900L, 100L), (901L, 200L)))
+  }
+
   test("the batch normalizeActions projection composes with readStream frames") {
     implicit val sqlCtx = spark.sqlContext
     val clicksIn = MemoryStream[(String, Long, Long, java.sql.Timestamp)]
