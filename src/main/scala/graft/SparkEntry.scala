@@ -376,6 +376,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Text: top-5 distinctive terms per doc (oracle-safe tf-idf variant).
+    "q48_distinctive_terms" -> ((s, dir) =>
+      TextAnalysis.distinctiveTerms(Tables.documents(s, dir))
+        .orderBy("doc_id", "rnk")),
+
     // Dedup: transitive closure of verified near-dup pairs into canonical
     // clusters (hash-min connected components).
     "q47_dedup_clusters" -> ((s, dir) =>
@@ -946,6 +951,23 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "q48_distinctive_terms" ->
+      """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         CAST(tf.tf * n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE) AS score
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rnk
+        |  FROM s
+        |)
+        |SELECT doc_id, term, tf, df, rnk, score FROM r WHERE rnk <= 5
+        |ORDER BY doc_id, rnk""".stripMargin,
 
     "q47_dedup_clusters" ->
       s"""WITH RECURSIVE $docShingles,

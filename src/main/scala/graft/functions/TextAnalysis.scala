@@ -147,6 +147,37 @@ object TextAnalysis {
           .as("top_gram_share"))
       .withColumn("is_repetitive", col("top_gram_share") > maxShare)
 
+  /** Top-k distinctive terms per document by tf × N / df — the tf-idf
+    * family with the idf log dropped so the score is exact-integer
+    * arithmetic plus ONE IEEE division (bit-identical across engines;
+    * `ln` carries no cross-engine rounding guarantee). Ranking is
+    * identical to tf-idf's within a document whenever idf is monotone
+    * decreasing in df — which `N/df` and `ln(N/df)` both are — so the
+    * top-k sets match the classic formulation.
+    *
+    * Scale: tf is exchange-free after the doc-spread (grouping key
+    * includes doc_id), df is one term-keyed map-side-combined aggregate
+    * over the (doc, term)-distinct tf table (vocabulary-sized output),
+    * N broadcasts as one row, and the per-doc top-k window runs
+    * WindowGroupLimit-bounded on the doc key.
+    */
+  def distinctiveTerms(docs: DataFrame, topK: Int = 5): DataFrame = {
+    val tf = tokenize(docs)
+      .groupBy(col("doc_id"), col("w").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", (col("tf") * col("n_docs")).cast("double") / col("df").cast("double"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"), col("score"))
+  }
+
   /** Regex ("BPE-ish") token counting: alpha runs and digit runs. */
   def tokenCount(docs: DataFrame): DataFrame =
     docs.select(

@@ -26,6 +26,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(r(0).getAs[Double]("avg_word_len") - 25.0 / 7.0) < 1e-12)
   }
 
+  test("distinctive terms rank corpus-rare words above ubiquitous ones") {
+    val corpus = Seq(
+      doc(0L, "the engine the engine zebra"),
+      doc(1L, "the engine the pipeline"),
+      doc(2L, "the engine the shuffle"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val top = TextAnalysis.distinctiveTerms(corpus, topK = 2)
+      .orderBy("doc_id", "rnk").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rnk"), r.getAs[String]("term")))
+    // doc 0: 'zebra' (df=1) outranks 'engine' (tf=2, df=3): 1*3/1 = 3 > 2*3/3 = 2
+    assert(top.contains((0L, 1, "zebra")))
+    assert(top.contains((1L, 1, "pipeline")) && top.contains((2L, 1, "shuffle")))
+    // 'the' (tf=2, df=3 → score 2) ties 'engine' in doc 0; term order breaks it
+    assert(top.contains((0L, 2, "engine")))
+  }
+
   test("tokenizer handles tabs, newlines, runs of spaces, and outer whitespace") {
     val messy = Seq(doc(0L, "  the\ta  the\n\njoin   scan query\ttable "))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
