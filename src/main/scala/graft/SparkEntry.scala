@@ -265,7 +265,7 @@ object SparkEntry {
     "q28_top_words_per_lang" -> ((s, dir) => {
       val w = Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("w"))
       Tables.documents(s, dir)
-        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+        .select(col("lang"), explode(TextAnalysis.wordsCol).as("w"))
         .groupBy(col("lang"), col("w"))
         .agg(count(lit(1)).as("cnt"))
         .withColumn("rnk", row_number().over(w).cast("int"))

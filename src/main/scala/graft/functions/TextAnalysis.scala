@@ -14,14 +14,21 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
-  /** Whitespace tokens of `text` as an array column: any run of Unicode
-    * whitespace separates tokens, outer whitespace is trimmed first (a
+  /** Whitespace tokens of `text` as an array column: any run of
+    * whitespace separates tokens, outer whitespace is trimmed (a
     * single-space split silently mis-tokenizes real corpora with tabs,
-    * newlines, or double spaces). Oracles mirror it with DuckDB
-    * `regexp_split_to_array(trim(text), '\s+')` — both engines yield
-    * `[""]` for an all-whitespace document.
+    * newlines, or double spaces). Computed by the codegen'd
+    * [[graft.expressions.WhitespaceTokens]] byte scan — semantically
+    * `split(trim(text), "\\s+")` without the per-document regex cost.
+    * Oracles mirror it with DuckDB
+    * `regexp_split_to_array(trim(text), '\s+')` (RE2's `\s` is the same
+    * ASCII set) — both engines yield `[""]` for an all-whitespace
+    * document.
     */
-  def wordsCol: Column = split(trim(col("text")), "\\s+")
+  def wordsCol: Column = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(graft.expressions.WhitespaceTokens(bridge.expression(col("text"))))
+  }
 
   /** Small-input-heavy-compute guard: testdata-sized doc tables arrive as
     * ONE parquet partition, which would serialize all downstream per-token

@@ -29,7 +29,7 @@ object Curation {
     val nChunks = // one chunk per stride start strictly below n_tokens
       ceil(size(col("w")).cast("double") / stride).cast("int")
     TextAnalysis.spread(docs) // single-split scans serialize per-token work
-      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .select(col("doc_id"), TextAnalysis.wordsCol.as("w"))
       .select(
         col("doc_id"),
         size(col("w")).as("n_tokens"),
@@ -98,7 +98,7 @@ object Curation {
       .select(
         col("doc_id"),
         pmod(col("doc_id"), lit(numShards.toLong)).as("shard"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+        size(TextAnalysis.wordsCol).cast("long").as("n_tokens"))
       .withColumn("tokens_before", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .select(
         col("doc_id"), col("shard"), col("n_tokens"),
