@@ -1,0 +1,109 @@
+package graft.expressions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Digest-slice expressions: the engine's portable md5 idioms
+  * (`conv(substr(md5(x), 1, 15), 16, 10)` etc.) computed directly from the
+  * 16 digest bytes, skipping the 32-char hex string round trip (format +
+  * substring + radix parse) the built-in formulation pays per value. The
+  * numeric results are bit-identical to the SQL idioms — hex chars 1-15
+  * are the top 60 bits of the digest's first 8 bytes, chars 17-29 the top
+  * 52 bits of bytes 8-15 — which a differential spec pins.
+  *
+  * [[Md5Pair]] emits BOTH sub-hashes from ONE digest computation (the
+  * MinHash signature path needs h1 and h2 per shingle; two independent
+  * expressions would hash twice). [[Md5Binary]] returns the raw digest for
+  * order-based uses: unsigned byte order on binary equals lexicographic
+  * order on the hex string, so `min` can run on 16-byte values and the hex
+  * formatting happens once per GROUP, not once per row.
+  */
+private[graft] trait Md5Input { self: UnaryExpression =>
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+}
+
+/** Top 60 bits of md5 (hex chars 1-15) as a non-negative long. */
+case class Md5Long60(child: Expression) extends UnaryExpression with Md5Input {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_60"
+  override def nullSafeEval(s: Any): Any = Md5.long60(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5.long60($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Long60 =
+    copy(child = newChild)
+}
+
+/** Bits from hex chars 17-29 (52 bits of digest bytes 8-15) as a long. */
+case class Md5Long52(child: Expression) extends UnaryExpression with Md5Input {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_md5_52"
+  override def nullSafeEval(s: Any): Any = Md5.long52(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5.long52($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Long52 =
+    copy(child = newChild)
+}
+
+/** Both sub-hashes from one digest: struct<h60: long, h52: long>. */
+case class Md5Pair(child: Expression) extends UnaryExpression with Md5Input {
+  override def dataType: DataType = StructType(Seq(
+    StructField("h60", LongType, nullable = false),
+    StructField("h52", LongType, nullable = false)))
+  override def prettyName: String = "graft_md5_pair"
+  override def nullSafeEval(s: Any): Any = Md5.pair(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5.pair($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Pair =
+    copy(child = newChild)
+}
+
+/** The raw 16 digest bytes (unsigned byte order ≡ hex string order). */
+case class Md5Binary(child: Expression) extends UnaryExpression with Md5Input {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_md5_bin"
+  override def nullSafeEval(s: Any): Any = Md5.bytes(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5.bytes($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Binary =
+    copy(child = newChild)
+}
+
+object Md5 {
+
+  private val tl: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  def bytes(s: UTF8String): Array[Byte] = {
+    val md = tl.get()
+    md.reset()
+    md.digest(s.getBytes)
+  }
+
+  private def be64(d: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** Hex chars 1-15 = the top 60 bits of bytes 0-7. */
+  def long60(s: UTF8String): Long = be64(bytes(s), 0) >>> 4
+
+  /** Hex chars 17-29 = the top 52 bits of bytes 8-15. */
+  def long52(s: UTF8String): Long = be64(bytes(s), 8) >>> 12
+
+  def pair(s: UTF8String): InternalRow = {
+    val d = bytes(s)
+    new GenericInternalRow(Array[Any](be64(d, 0) >>> 4, be64(d, 8) >>> 12))
+  }
+}

@@ -16,14 +16,31 @@ import org.apache.spark.sql.functions._
   */
 object Hashing {
 
-  /** First 60 bits of md5(c) as a non-negative long. */
+  private def bridge = org.apache.spark.sql.graft.bridge
+
+  /** First 60 bits of md5(c) as a non-negative long. Computed by the
+    * codegen'd [[graft.expressions.Md5Long60]] digest-byte slice —
+    * bit-identical to `conv(substring(md5(c), 1, 15), 16, 10)` without
+    * the hex format/parse round trip (differential-spec pinned).
+    */
   def md5Long60(c: Column): Column =
-    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    bridge.column(graft.expressions.Md5Long60(bridge.expression(c)))
 
   /** 52 further bits (hex chars 17-29) of md5(c) — an independent second
-    * hash for tabulation families, small enough that `h1 + j*h2` stays
-    * inside 63 bits for small j.
+    * hash for rotation families.
     */
   def md5Long52(c: Column): Column =
-    conv(substring(md5(c), 17, 13), 16, 10).cast("long")
+    bridge.column(graft.expressions.Md5Long52(bridge.expression(c)))
+
+  /** Both sub-hashes as struct<h60, h52> from ONE digest computation —
+    * use when a row needs both (two separate calls hash twice).
+    */
+  def md5Pair(c: Column): Column =
+    bridge.column(graft.expressions.Md5Pair(bridge.expression(c)))
+
+  /** Raw 16-byte digest; unsigned binary order ≡ hex-string order, so
+    * min/max aggregates can run on bytes and format hex once per group.
+    */
+  def md5Binary(c: Column): Column =
+    bridge.column(graft.expressions.Md5Binary(bridge.expression(c)))
 }

@@ -225,7 +225,11 @@ object TextAnalysis {
       .select(col("doc_id"), wordsCol.as("words"))
       .select(
         col("doc_id"),
-        array_min(transform(array_distinct(shinglesOf(col("words"), k)), s => md5(s)))
+        // min over raw digest BYTES (unsigned order ≡ hex order), hex
+        // formatted once per doc instead of once per shingle.
+        lower(hex(array_min(transform(
+          array_distinct(shinglesOf(col("words"), k)),
+          s => Hashing.md5Binary(s)))))
           .as("fingerprint"))
       // Shingle-less documents (< k words) have no fingerprint — drop them
       // rather than emitting a NULL row (matches the per-shingle oracle).

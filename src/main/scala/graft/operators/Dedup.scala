@@ -65,10 +65,8 @@ object Dedup {
         .bitwiseXOR(col("h2"))).as(s"sig$j")
     }
     sh
-      .select(
-        col("doc_id"),
-        Hashing.md5Long60(col("sh")).as("h1"),
-        Hashing.md5Long52(col("sh")).as("h2"))
+      .select(col("doc_id"), Hashing.md5Pair(col("sh")).as("hh")) // ONE digest per shingle
+      .select(col("doc_id"), col("hh.h60").as("h1"), col("hh.h52").as("h2"))
       .groupBy(col("doc_id"))
       .agg(sigCols.head, sigCols.tail: _*)
       .select(

@@ -46,6 +46,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("md5 digest-slice expressions match the SQL hex idioms bitwise") {
+    import org.apache.spark.sql.functions.{col, expr, hex, lower, md5}
+    import graft.functions.Hashing
+    val rows = Seq("", "a", "abc def", "the quick brown fox", "ünïcödé ☃", "x" * 500)
+      .toDF("s")
+      .select(
+        Hashing.md5Long60(col("s")).as("a"),
+        Hashing.md5Long52(col("s")).as("b"),
+        Hashing.md5Pair(col("s")).as("p"),
+        lower(hex(Hashing.md5Binary(col("s")))).as("hx"),
+        expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)").as("ea"),
+        expr("CAST(conv(substring(md5(s), 17, 13), 16, 10) AS BIGINT)").as("eb"),
+        md5(col("s")).as("ehx"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("a") === r.getAs[Long]("ea"))
+      assert(r.getAs[Long]("b") === r.getAs[Long]("eb"))
+      val p = r.getAs[org.apache.spark.sql.Row]("p")
+      assert(p.getAs[Long]("h60") === r.getAs[Long]("ea"))
+      assert(p.getAs[Long]("h52") === r.getAs[Long]("eb"))
+      assert(r.getAs[String]("hx") === r.getAs[String]("ehx"))
+    }
+  }
+
   test("dedupClusters collapses transitive pairs into min-labeled components") {
     // Component {1,2,3,4} given only as a chain (diameter 3 — forces
     // multiple propagation rounds), component {10,11}, and {20,21} via a
