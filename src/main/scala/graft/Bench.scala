@@ -18,12 +18,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst prune the computed columns away) without
-      // attributing file-writing cost to the query. GC fence first: the
-      // shingle-heavy queries leave enough garbage to inflate whichever
-      // query happens to run next, and queries run alphabetically in one
-      // JVM. Min of three runs: single samples on a shared host swing
-      // ±25% from GC/contention, and the first run amortizes per-query
-      // codegen compilation.
+      // attributing file-writing cost to the query. Cache clear + GC fence
+      // first: operators persist intermediates that would otherwise pile
+      // up across the alphabetical query sequence and squeeze execution
+      // memory for later queries — each query block starts cold-cache
+      // (runs 2-3 still reuse within the block, which min() captures).
+      // Min of three runs: single samples on a shared host swing ±25%
+      // from GC/contention, and the first run amortizes per-query codegen
+      // compilation.
+      spark.catalog.clearCache()
       System.gc()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

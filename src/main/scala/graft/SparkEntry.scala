@@ -376,6 +376,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // RANGE-frame sliding window: per-user 7-day moving value sum/count
+    // over gap-ful daily series (RANGE, not ROWS — missing days must not
+    // stretch the window). Exact decimal arithmetic under the window sum.
+    "q49_moving_window" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(
+          col("user_id"),
+          unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
+        .agg(
+          sum(col("value").cast(DecimalType(18, 2))).as("dsum"),
+          count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("epoch_day"))
+        .rangeBetween(-6, 0)
+      daily.select(
+        col("user_id"), col("epoch_day"),
+        col("dsum").cast("double").as("daily_value"),
+        sum(col("dsum")).over(w).cast("double").as("mov_value"),
+        sum(col("n")).over(w).cast("long").as("mov_n"))
+        .orderBy("user_id", "epoch_day")
+    }),
+
     // Text: top-5 distinctive terms per doc (oracle-safe tf-idf variant).
     "q48_distinctive_terms" -> ((s, dir) =>
       TextAnalysis.distinctiveTerms(Tables.documents(s, dir))
@@ -951,6 +972,23 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "q49_moving_window" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+        |         SUM(CAST(value AS DECIMAL(18,2))) AS dsum,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id, epoch_day,
+        |       CAST(dsum AS DOUBLE) AS daily_value,
+        |       CAST(SUM(dsum) OVER w AS DOUBLE) AS mov_value,
+        |       CAST(SUM(n) OVER w AS BIGINT) AS mov_n
+        |FROM d
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_day
+        |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, epoch_day""".stripMargin,
 
     "q48_distinctive_terms" ->
       """WITH t AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents),
