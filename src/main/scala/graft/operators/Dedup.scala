@@ -182,9 +182,13 @@ object Dedup {
     * set, sized for survivor joins.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // Symmetrize with one explode, not a self-union: a union would evaluate
+    // the (possibly expensive) pairs subtree once per branch.
     val edges = pairs
-      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label"))

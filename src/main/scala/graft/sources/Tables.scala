@@ -84,6 +84,44 @@ object Sinks {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Malformed-input posture for the text formats: PERMISSIVE read with
+    * the offending raw line captured in `_corrupt_record`, so a 100 TB
+    * ingest quarantines bad lines into a side table instead of failing
+    * the job (FAILFAST) or silently nulling fields. Callers split with
+    * [[quarantine]] / [[clean]]; the frame is cached first because Spark
+    * refuses queries that project only the internal corrupt column.
+    */
+  def readJsonPermissive(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .cache()
+
+  def readCsvPermissive(
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", org.apache.spark.sql.types.StringType))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+      .cache()
+
+  /** Rows that failed to parse (raw line preserved for replay/debugging). */
+  def quarantine(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt_record").isNotNull).select(col("_corrupt_record"))
+
+  /** Successfully parsed rows, corrupt column dropped. */
+  def clean(df: DataFrame): DataFrame =
+    df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+
   /** Bucketed managed table — the shuffle-elision lever for the 100 TB
     * join: both sides of the daily impressions×actions join bucketed by
     * `customer_id` make the join exchange-free (Catalyst recognizes the

@@ -34,6 +34,23 @@ class SinksSpec extends SparkSpec {
       actions.orderBy("customer_id").collect().toSeq)
   }
 
+  test("permissive json read quarantines malformed lines and keeps clean rows") {
+    val dir = Files.createTempDirectory("graft_json_bad").toFile
+    val f = new java.io.File(dir, "part-0.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"customer_id": 1, "item_id": 10, "action_time": "2025-08-13T12:00:00.000Z", "action_type": 1}""")
+    w.println("""{"customer_id": "NOT_A_NUMBER_{", "item_id": 10""") // truncated + bad type
+    w.println("""not json at all""")
+    w.close()
+    val df = Sinks.readJsonPermissive(spark, dir.toString, Schemas.actions)
+    val clean = Sinks.clean(df)
+    val bad = Sinks.quarantine(df).collect().map(_.getString(0))
+    assert(clean.count() === 1L && clean.schema === Schemas.actions)
+    assert(clean.collect().head.getAs[Long]("customer_id") === 1L)
+    assert(bad.length === 2)
+    assert(bad.exists(_.contains("not json at all"))) // raw line preserved for replay
+  }
+
   test("orc roundtrip preserves schema, values, and filter pushdown") {
     val dir = Files.createTempDirectory("graft_orc").toString
     Sinks.writeOrc(actions, dir)
