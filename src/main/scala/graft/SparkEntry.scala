@@ -376,6 +376,22 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Arbitrary GROUPING SETS + grouping() flags, through the SQL surface
+    // (temp view + spark.sql — the engine's SQL API in the gate).
+    "q50_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+      s.sql(
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |       coalesce(l_linestatus, 'ALL') AS sm,
+          |       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+          |       CAST(grouping(l_linestatus) AS INT) AS g_sm,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY g_rf, g_sm, rf, sm""".stripMargin)
+    }),
+
     // RANGE-frame sliding window: per-user 7-day moving value sum/count
     // over gap-ful daily series (RANGE, not ROWS — missing days must not
     // stretch the window). Exact decimal arithmetic under the window sum.
@@ -972,6 +988,17 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "q50_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+        |       coalesce(l_linestatus, 'ALL') AS sm,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_sm,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY g_rf, g_sm, rf, sm""".stripMargin,
 
     "q49_moving_window" ->
       """WITH d AS (

@@ -67,6 +67,21 @@ case class Md5Pair(child: Expression) extends UnaryExpression with Md5Input {
     copy(child = newChild)
 }
 
+/** The 16 leading hex-nibble values of md5 (digest bytes 0-7) as
+  * array<int> — for nibble-positional consumers (SimHash) that would
+  * otherwise explode a position sequence and `instr`-parse the hex
+  * string one character at a time.
+  */
+case class Md5Nibbles(child: Expression) extends UnaryExpression with Md5Input {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_md5_nibbles"
+  override def nullSafeEval(s: Any): Any = Md5.nibbles(s.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5.nibbles($c)")
+  override protected def withNewChildInternal(newChild: Expression): Md5Nibbles =
+    copy(child = newChild)
+}
+
 /** The raw 16 digest bytes (unsigned byte order ≡ hex string order). */
 case class Md5Binary(child: Expression) extends UnaryExpression with Md5Input {
   override def dataType: DataType = BinaryType
@@ -105,5 +120,17 @@ object Md5 {
   def pair(s: UTF8String): InternalRow = {
     val d = bytes(s)
     new GenericInternalRow(Array[Any](be64(d, 0) >>> 4, be64(d, 8) >>> 12))
+  }
+
+  def nibbles(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val d = bytes(s)
+    val out = new Array[Int](16)
+    var i = 0
+    while (i < 8) {
+      out(2 * i) = (d(i) & 0xf0) >>> 4
+      out(2 * i + 1) = d(i) & 0x0f
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

@@ -251,12 +251,15 @@ object TextAnalysis {
     val wordCounts = tokenize(docs)
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("cnt"))
+    // Codegen'd nibble array straight from the digest bytes — posexplode
+    // yields (position, value) without the hex-string instr parse the
+    // md5()-based formulation paid per nibble.
+    val bridge = org.apache.spark.sql.graft.bridge
     val nib = wordCounts
-      .select(col("doc_id"), col("cnt"), md5(col("w")).as("h"))
-      .select(col("doc_id"), col("cnt"), explode(sequence(lit(0), lit(15))).as("np"), col("h"))
       .select(
-        col("doc_id"), col("cnt"), col("np"),
-        (expr("instr('0123456789abcdef', substr(h, np + 1, 1))") - 1).as("v"))
+        col("doc_id"), col("cnt"),
+        posexplode(bridge.column(graft.expressions.Md5Nibbles(
+          bridge.expression(col("w"))))).as(Seq("np", "v")))
     val bitSums = nib
       .groupBy(col("doc_id"), col("np"))
       .agg(
