@@ -376,6 +376,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Embedding mean pooling: chunk→document element-wise integer mean.
+    "q51_mean_pool" -> ((s, dir) =>
+      Similarity.meanPool(Tables.embeddings(s, dir), col("vec_id") % 10)
+        .orderBy("group_id")),
+
+    // KMV distinct-count sketch per event type (deterministic, mergeable).
+    "q52_kmv_distinct" -> ((s, dir) =>
+      graft.functions.Sketches.kmvDistinct(Tables.events(s, dir), "event_type", "user_id")
+        .orderBy("event_type")),
+
     // Arbitrary GROUPING SETS + grouping() flags, through the SQL surface
     // (temp view + spark.sql — the engine's SQL API in the gate).
     "q50_grouping_sets" -> ((s, dir) => {
@@ -988,6 +998,47 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "q51_mean_pool" ->
+      """WITH q AS (
+        |  SELECT vec_id % 10 AS group_id,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+        |  FROM embeddings
+        |),
+        |d AS (
+        |  SELECT group_id, i, SUM(qe[i]) AS s, COUNT(*) AS n
+        |  FROM q CROSS JOIN (SELECT CAST(unnest(range(1, 65)) AS INT) AS i)
+        |  GROUP BY group_id, i
+        |),
+        |m AS (
+        |  SELECT group_id, i,
+        |         CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) AS m
+        |  FROM d
+        |)
+        |SELECT group_id,
+        |       array_to_string(list(m ORDER BY i), ',') AS pooled
+        |FROM m GROUP BY group_id
+        |ORDER BY group_id""".stripMargin,
+
+    "q52_kmv_distinct" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT event_type, h, ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h
+        |),
+        |a AS (
+        |  SELECT event_type, MAX(h) AS kth, CAST(COUNT(*) AS BIGINT) AS k_actual
+        |  FROM r WHERE rn <= 64 GROUP BY event_type
+        |)
+        |SELECT event_type, kth, k_actual,
+        |       CASE WHEN k_actual < 64 THEN CAST(k_actual AS DOUBLE)
+        |            ELSE CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+        |                   / CAST(kth AS DOUBLE) END AS est_distinct
+        |FROM a ORDER BY event_type""".stripMargin,
 
     "q50_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf,

@@ -301,6 +301,35 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("dp"))
   }
 
+  /** Element-wise mean pooling of quantized embeddings per group — the
+    * chunk→document pooling step of an embedding pipeline (a document's
+    * vector = mean of its chunks'). Exact integer arithmetic: per-(group,
+    * dimension) long sums, then `floor(sum/count)` — deterministic across
+    * partitionings and engines (the division is exact-double: sums stay
+    * far below 2^53). Output: one row per group with the pooled vector
+    * scalarized as a comma-joined string (array cells can't cross the
+    * driver's hash gate).
+    *
+    * Scale: explode is (rows × dim) but narrow; the only shuffle is the
+    * map-side-combined (group, dim) sum — dim × groups rows.
+    */
+  def meanPool(embeddings: DataFrame, groupCol: Column): DataFrame =
+    embeddings
+      .select(groupCol.as("group_id"), quantize(col("embedding")).as("qe"))
+      .select(col("group_id"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy(col("group_id"), col("pos"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(
+        col("group_id"), col("pos"),
+        floor(col("s").cast("double") / col("n").cast("double")).cast("long").as("m"))
+      .groupBy(col("group_id"))
+      .agg(
+        concat_ws(
+          ",",
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("m")))),
+            x => x.getField("m").cast("string"))).as("pooled"))
+
   /** All bucket-key XOR masks within Hamming distance `probeBits` of zero —
     * the multi-probe neighborhood. Driver-side enumeration; numPlanes is
     * small by construction (bucket count is 2^numPlanes).

@@ -46,6 +46,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("meanPool averages element-wise per group with floor semantics") {
+    val e = Seq(
+      (0L, Seq(1.0f, -1.0f)),
+      (0L, Seq(2.0f, -2.0f)),
+      (1L, Seq(5.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.meanPool(e, org.apache.spark.sql.functions.col("vec_id"))
+      .collect().map(r => r.getAs[Long]("group_id") -> r.getAs[String]("pooled")).toMap
+    // group 0: (1e6+2e6)/2 = 1500000; (-1e6 + -2e6)/2 = -1500000
+    assert(out(0L) === "1500000,-1500000")
+    assert(out(1L) === "5000000,5000000")
+  }
+
+  test("KMV sketch estimates distinct counts within its error bound") {
+    import graft.functions.Sketches
+    val df = (0 until 20000).map(i => ("g", i.toLong % 5000)).toDF("g", "v")
+    val r = Sketches.kmvDistinct(df, "g", "v", k = 256).collect().head
+    val est = r.getAs[Double]("est_distinct")
+    // ±1/sqrt(256) ≈ 6.25% theoretical; allow 3σ.
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.19, s"estimate $est too far from 5000")
+    // Small group: exact path.
+    val small = Seq(("s", 1L), ("s", 2L), ("s", 2L)).toDF("g", "v")
+    val rs = Sketches.kmvDistinct(small, "g", "v", k = 64).collect().head
+    assert(rs.getAs[Double]("est_distinct") === 2.0)
+    assert(rs.getAs[Long]("k_actual") === 2L)
+  }
+
   test("md5 digest-slice expressions match the SQL hex idioms bitwise") {
     import org.apache.spark.sql.functions.{col, expr, hex, lower, md5}
     import graft.functions.Hashing
