@@ -84,6 +84,29 @@ object Sinks {
   def readOrc(spark: SparkSession, path: String): DataFrame =
     spark.read.orc(path)
 
+  /** Small-files compaction: rewrite a parquet directory into files of
+    * roughly `targetBytes` each, sized from the directory's ACTUAL byte
+    * footprint (a fixed repartition count is wrong twice a year as data
+    * grows). The streaming/incremental pipelines here append per
+    * micro-batch or per day; without periodic compaction a 100 TB table
+    * degrades into millions of KB-files whose open/footer costs dominate
+    * scans. Writes to `destPath` (no in-place swap: renames are not atomic
+    * on object stores — cut over readers after validation).
+    */
+  def compactParquet(
+      spark: SparkSession,
+      srcPath: String,
+      destPath: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(srcPath), spark.sparkContext.hadoopConfiguration)
+    val totalBytes = fs.getContentSummary(new org.apache.hadoop.fs.Path(srcPath)).getLength
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(srcPath)
+      .repartition(n)
+      .write.mode("overwrite").option("compression", "snappy").parquet(destPath)
+  }
+
   /** Malformed-input posture for the text formats: PERMISSIVE read with
     * the offending raw line captured in `_corrupt_record`, so a 100 TB
     * ingest quarantines bad lines into a side table instead of failing

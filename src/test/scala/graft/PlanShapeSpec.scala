@@ -1,13 +1,6 @@
 package graft
 
-import scala.collection.mutable
-
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
 
 import graft.operators.{Dedup, Similarity, TrainingPipeline}
 import graft.sources.EventFixtures
@@ -24,30 +17,10 @@ class PlanShapeSpec extends SparkSpec {
 
   private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
 
-  /** Count the DATA shuffles this plan will EXECUTE (hash/range exchanges;
-    * one-row SinglePartition collects don't move data at scale): walk the
-    * physical tree, descending into each distinct cached (persisted)
-    * subtree exactly once — a cached plan materializes once no matter how
-    * many times the query references it, so its exchanges must not be
-    * multiply counted (nor may re-references hide work: the first
-    * reference charges the full build).
-    */
-  private def shuffles(df: DataFrame): Int = {
-    val seenCaches = mutable.Set[Int]()
-    def walk(p: SparkPlan): Int = p match {
-      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-      case s: InMemoryTableScanExec =>
-        if (seenCaches.add(System.identityHashCode(s.relation.cacheBuilder)))
-          walk(s.relation.cachedPlan)
-        else 0
-      case sh: ShuffleExchangeLike =>
-        val moves = sh.outputPartitioning.isInstanceOf[HashPartitioning] ||
-          sh.outputPartitioning.isInstanceOf[RangePartitioning]
-        (if (moves) 1 else 0) + sh.children.map(walk).sum
-      case other => other.children.map(walk).sum
-    }
-    walk(df.queryExecution.executedPlan)
-  }
+  // Execution-faithful shuffle counting lives in the library's PlanAudit
+  // (user pipelines assert their plans with the same API this spec uses).
+  private def shuffles(df: DataFrame): Int =
+    PlanAudit.dataShuffles(df.queryExecution.executedPlan)
 
   test("customer history precompute: 3 bounded shuffles, map-side group limit, pushdown") {
     val actions = TrainingPipeline.normalizeActions(

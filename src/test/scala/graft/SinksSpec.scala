@@ -51,6 +51,22 @@ class SinksSpec extends SparkSpec {
     assert(bad.exists(_.contains("not json at all"))) // raw line preserved for replay
   }
 
+  test("compaction rewrites a fragmented parquet dir into size-targeted files") {
+    val src = Files.createTempDirectory("graft_frag").toString
+    val dest = Files.createTempDirectory("graft_compact").toString
+    // 50 tiny files.
+    spark.range(10000).selectExpr("id", "id * 2 AS v").repartition(50)
+      .write.mode("overwrite").parquet(src)
+    def parquetFiles(d: String) =
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(src) === 50)
+    Sinks.compactParquet(spark, src, dest, targetBytes = 64L * 1024)
+    assert(parquetFiles(dest) < 10, s"still ${parquetFiles(dest)} files")
+    // Content survives.
+    assert(spark.read.parquet(dest).agg(org.apache.spark.sql.functions.sum("v"))
+      .collect().head.getLong(0) === (0L until 10000L).map(_ * 2).sum)
+  }
+
   test("orc roundtrip preserves schema, values, and filter pushdown") {
     val dir = Files.createTempDirectory("graft_orc").toString
     Sinks.writeOrc(actions, dir)
