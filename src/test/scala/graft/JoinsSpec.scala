@@ -69,6 +69,33 @@ class JoinsSpec extends SparkSpec {
     assert(fast.nonEmpty)
   }
 
+  test("asOfJoin equals the naive inequality-join argmax on pseudo-random data") {
+    // Deterministic pseudo-random times over few keys so at-or-before
+    // sets, exact ties, and empty matches all occur.
+    val lhs = (0 until 200).map(i => (i.toLong % 5, (i * 37L) % 97, i.toLong))
+      .toDF("key", "t", "lid")
+    val rhs = (0 until 150).map(i => (i.toLong % 5, (i * 53L) % 97, 1000L + i))
+      .toDF("key", "qt", "rid")
+    val fast = Joins.asOfJoin(lhs, rhs, Seq("key"), "t", "qt", Seq("rid"))
+      .collect()
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("matched_rid")))
+      .toMap
+    // Naive: inequality join, rank by (qt, rid) desc, keep the top match.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lid")).orderBy(col("qt").desc, col("rid").desc)
+    val naive = lhs.join(rhs, lhs("key") === rhs("key") && col("qt") <= col("t"), "left_outer")
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect()
+      .map(r => r.getAs[Long]("lid") -> Option(r.getAs[Any]("rid")))
+      .toMap
+    assert(fast.size === 200)
+    (0 until 200).foreach { i =>
+      assert(fast(i.toLong) === naive.getOrElse(i.toLong, None),
+        s"lid=$i fast=${fast(i.toLong)} naive=${naive.get(i.toLong)}")
+    }
+  }
+
   test("temporal joins plan without inequality-join cross products") {
     val dir = "/root/testdata/sf0.001"
     val ev = graft.sources.Tables.events(spark, dir).withColumn("t", unix_micros(col("ts")))
