@@ -376,6 +376,12 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Ranking-training negatives: deterministic hash draws per carousel,
+    // excluding shown items.
+    "q53_sample_negatives" -> ((s, dir) =>
+      TrainingPipeline.sampleNegatives(EventFixtures.impressions(s, dir))
+        .orderBy("dt", "ranking_id", "customer_id", "rn")),
+
     // Embedding mean pooling: chunk→document element-wise integer mean.
     "q51_mean_pool" -> ((s, dir) =>
       Similarity.meanPool(Tables.embeddings(s, dir), col("vec_id") % 10)
@@ -998,6 +1004,32 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "q53_sample_negatives" ->
+      s"""WITH $evImpressions,
+         |car AS (
+         |  SELECT dt, ranking_id, customer_id,
+         |         list(DISTINCT impression_item_id) AS shown
+         |  FROM imp GROUP BY 1, 2, 3
+         |),
+         |draws AS (
+         |  SELECT dt, ranking_id, customer_id, shown, j,
+         |         CAST('0x' || substr(md5(ranking_id || '|' || CAST(j AS VARCHAR)), 1, 15) AS BIGINT) % 1000 AS cand
+         |  FROM car CROSS JOIN (SELECT CAST(unnest(range(8)) AS INT) AS j)
+         |),
+         |d2 AS (
+         |  SELECT dt, ranking_id, customer_id, cand, MIN(j) AS j
+         |  FROM draws WHERE NOT list_contains(shown, cand)
+         |  GROUP BY 1, 2, 3, 4
+         |),
+         |r AS (
+         |  SELECT dt, ranking_id, customer_id, cand,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY dt, ranking_id, customer_id ORDER BY j) AS INT) AS rn
+         |  FROM d2
+         |)
+         |SELECT dt, ranking_id, customer_id, cand AS item_id, CAST(0 AS INT) AS label, rn
+         |FROM r WHERE rn <= 4
+         |ORDER BY dt, ranking_id, customer_id, rn""".stripMargin,
 
     "q51_mean_pool" ->
       """WITH q AS (

@@ -328,6 +328,53 @@ object TrainingPipeline {
         paddedArrays(maxHistory): _*)
   }
 
+  /** Deterministic hash-based negative sampling — the ranking-training
+    * complement of the impression positives: per carousel
+    * (dt, ranking_id, customer_id), up to `numNegatives` items drawn
+    * pseudo-randomly from the item universe, excluding everything the
+    * carousel actually showed. Draw i of a carousel is
+    * `md5(ranking_id|i) mod numItems` — an exact function of the data, so
+    * samples reproduce across runs/partitionings (resumable backfills)
+    * and hash-verify against a SQL oracle; `2×numNegatives` draws give
+    * collision headroom (duplicate draws collapse to the earliest index,
+    * shown-item hits are dropped), so a carousel only comes up short if
+    * more than half its draws collide — negligible while the universe
+    * dwarfs the carousel.
+    *
+    * Scale: one narrow 2k-way explode per carousel row and two
+    * aggregations sharing the carousel key's partitioning — no joins
+    * against the item universe, which is never materialized.
+    */
+  def sampleNegatives(
+      impressions: DataFrame,
+      numNegatives: Int = 4,
+      numItems: Long = 1000L): DataFrame = {
+    val ex = explodeImpressions(impressions)
+    val carousels = ex
+      .groupBy(col("dt"), col("ranking_id"), col("customer_id"))
+      .agg(collect_set(col("impression_item_id")).as("shown"))
+    val wCar = Window
+      .partitionBy(col("dt"), col("ranking_id"), col("customer_id"))
+      .orderBy(col("j"))
+    carousels
+      .select(
+        col("dt"), col("ranking_id"), col("customer_id"), col("shown"),
+        explode(sequence(lit(0), lit(2 * numNegatives - 1))).as("j"))
+      .withColumn(
+        "cand",
+        pmod(
+          graft.functions.Hashing.md5Long60(concat_ws("|", col("ranking_id"), col("j"))),
+          lit(numItems)))
+      .filter(!array_contains(col("shown"), col("cand")))
+      .groupBy(col("dt"), col("ranking_id"), col("customer_id"), col("cand"))
+      .agg(min(col("j")).as("j"))
+      .withColumn("rn", row_number().over(wCar).cast("int"))
+      .filter(col("rn") <= numNegatives)
+      .select(
+        col("dt"), col("ranking_id"), col("customer_id"),
+        col("cand").as("item_id"), lit(0).as("label"), col("rn"))
+  }
+
   /** Hot-key detection for targeted salting: customers whose action count
     * exceeds `threshold`. One partial-aggregated count per customer; the
     * collect is metadata-sized (hot keys are few by definition — `cap`

@@ -189,6 +189,26 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(viaAgg === expected)
   }
 
+  test("sampleNegatives draws deterministic non-shown items per carousel") {
+    val (impressions, _, _, _) = basicFixture
+    val negs = TrainingPipeline.sampleNegatives(impressions, numNegatives = 4, numItems = 1000L)
+      .collect()
+    val byCarousel = negs.groupBy(r => r.getAs[String]("ranking_id"))
+    assert(byCarousel.keySet === Set("r1", "r2"))
+    byCarousel.foreach { case (_, rows) =>
+      assert(rows.length === 4) // full quota with a 1000-item universe
+      assert(rows.map(_.getAs[Int]("rn")).sorted.toSeq === Seq(1, 2, 3, 4))
+      assert(rows.forall(_.getAs[Int]("label") === 0))
+    }
+    // Negatives never collide with what the carousel showed.
+    val r1Items = negs.filter(_.getAs[String]("ranking_id") == "r1")
+      .map(_.getAs[Long]("item_id")).toSet
+    assert((r1Items intersect Set(100L, 200L)).isEmpty)
+    // Exact function of the data: a rerun is bit-identical.
+    val again = TrainingPipeline.sampleNegatives(impressions, 4, 1000L).collect()
+    assert(negs.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("normalizeActions drops null keys and tags sources 1/2/3") {
     val clicks = Seq(
       Click("2025-08-13", 1L, 10L, ts("2025-08-13 12:00:00"))).toDF()
