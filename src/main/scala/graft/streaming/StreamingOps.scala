@@ -153,6 +153,23 @@ object StreamingOps {
       .drop(keys.map(r(_)).head, keys.map(r(_)).tail: _*)
   }
 
+  /** Exactly-once parquet sink for `writeStream.foreachBatch`: each
+    * micro-batch lands in a `batch_id=<epoch>` subdirectory with
+    * overwrite semantics, so a batch REPLAYED after a failure (Structured
+    * Streaming's at-least-once foreachBatch contract) rewrites its own
+    * directory instead of appending duplicates — idempotence comes from
+    * the deterministic (path, batchId) mapping, not a transaction log.
+    * Readers see the union via partition discovery on `basePath` and can
+    * prune by `batch_id`.
+    *
+    * {{{
+    * stream.writeStream.foreachBatch(StreamingOps.idempotentParquetSink(path)).start()
+    * }}}
+    */
+  def idempotentParquetSink(basePath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+
   case class SessionState(sessionId: Int, firstUs: Long, lastUs: Long, nEvents: Long)
 
   case class SessionUpdate(

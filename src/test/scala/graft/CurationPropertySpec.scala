@@ -1,0 +1,84 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Curation
+
+/** Property-based invariants over generated corpora — the structural
+  * guarantees the curation operators promise for ANY input, not just the
+  * fixtures: hash-split partitions exactly, sequence packing tiles each
+  * shard gaplessly, chunking covers every token exactly once per stride.
+  */
+class CurationPropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def check(name: String, prop: Prop): Unit = {
+    val r = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(r.passed, s"$name: $r")
+  }
+
+  private val corpusGen: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 40)
+    docs <- Gen.listOfN(n, for {
+      words <- Gen.choose(0, 30)
+      ws <- Gen.listOfN(words, Gen.oneOf("the", "a", "spark", "engine", "scan", "x1"))
+    } yield ws.mkString(" "))
+  } yield docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  private def toDocs(c: List[(Long, String)]) =
+    c.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("hashSplit partitions every doc into exactly one split with exact bucket bounds") {
+    check("hashSplit", Prop.forAll(corpusGen, Gen.choose(1, 80), Gen.choose(1, 19)) {
+      (corpus, trainPct, valPct) =>
+        val rows = Curation.hashSplit(toDocs(corpus), trainPct, valPct).collect()
+        rows.length == corpus.length && rows.forall { r =>
+          val b = r.getAs[Long]("bucket")
+          val s = r.getAs[String]("split")
+          val expect =
+            if (b < trainPct) "train" else if (b < trainPct + valPct) "val" else "test"
+          b >= 0 && b < 100 && s == expect
+        }
+    })
+  }
+
+  test("packSequences tiles each shard gaplessly in doc order") {
+    check("packSequences", Prop.forAll(corpusGen, Gen.choose(2, 64)) { (corpus, budget) =>
+      val out = Curation.packSequences(toDocs(corpus), budgetTokens = budget, numShards = 4)
+        .collect()
+        .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("seq_in_shard"), r.getAs[Long]("seq_offset")))
+      out.groupBy(_._1).forall { case (_, rows) =>
+        // Walking the shard in doc order, every doc must start exactly
+        // where the previous one ended (no gaps, no overlaps).
+        var cursor = 0L
+        rows.sortBy(_._2).forall { case (_, _, n, seq, off) =>
+          val ok = seq == cursor / budget && off == cursor % budget
+          cursor += n
+          ok
+        }
+      }
+    })
+  }
+
+  test("chunkTokens covers every token of every doc exactly once per stride") {
+    check("chunkTokens", Prop.forAll(corpusGen) { corpus =>
+      val docs = toDocs(corpus)
+      val chunks = Curation.chunkTokens(docs, chunkSize = 8, stride = 8) // non-overlapping
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id"),
+          r.getAs[String]("chunk_text").split(" ").filter(_.nonEmpty).toSeq))
+      val rebuilt = chunks.groupBy(_._1).map { case (id, cs) =>
+        id -> cs.sortBy(_._2).flatMap(_._3).toList
+      }
+      corpus.forall { case (id, text) =>
+        val words = text.trim.split("\\s+").filter(_.nonEmpty).toList
+        if (words.isEmpty) !rebuilt.contains(id) || rebuilt(id).isEmpty
+        else rebuilt.getOrElse(id, Nil) == words
+      }
+    })
+  }
+}
