@@ -376,6 +376,40 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Full-outer join with two-sided null extension + key coalescing:
+    // per-user purchase vs click day-counts over disjoint-ish user slices.
+    "q54_full_outer" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val p = ev.filter(col("event_type") === "purchase" && col("user_id") < 75)
+        .groupBy(col("user_id").as("p_user")).agg(count(lit(1)).as("n_purchases"))
+      val c = ev.filter(col("event_type") === "click" && col("user_id") >= 50)
+        .groupBy(col("user_id").as("c_user")).agg(count(lit(1)).as("n_clicks"))
+      p.join(c, col("p_user") === col("c_user"), "full_outer")
+        .select(
+          coalesce(col("p_user"), col("c_user")).as("user_id"),
+          coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+          (col("p_user").isNull || col("c_user").isNull).as("one_sided"))
+        .orderBy("user_id")
+    }),
+
+    // Analytic window functions: ntile, percent_rank, cume_dist, lag/lead
+    // over per-customer order histories.
+    "q55_analytic_windows" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .filter(col("o_custkey") < 200)
+        .select(
+          col("o_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          lag(col("o_orderkey"), 1, -1L).over(w).as("prev_order"),
+          lead(col("o_orderkey"), 1, -1L).over(w).as("next_order"))
+        .orderBy("o_custkey", "o_date", "o_orderkey")
+    }),
+
     // Ranking-training negatives: deterministic hash draws per carousel,
     // excluding shown items.
     "q53_sample_negatives" -> ((s, dir) =>
@@ -1004,6 +1038,35 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "q54_full_outer" ->
+      """WITH p AS (
+        |  SELECT user_id AS p_user, COUNT(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' AND user_id < 75 GROUP BY 1
+        |),
+        |c AS (
+        |  SELECT user_id AS c_user, COUNT(*) AS n_clicks
+        |  FROM events WHERE event_type = 'click' AND user_id >= 50 GROUP BY 1
+        |)
+        |SELECT COALESCE(p_user, c_user) AS user_id,
+        |       COALESCE(n_purchases, 0) AS n_purchases,
+        |       COALESCE(n_clicks, 0) AS n_clicks,
+        |       (p_user IS NULL OR c_user IS NULL) AS one_sided
+        |FROM p FULL OUTER JOIN c ON p_user = c_user
+        |ORDER BY user_id""".stripMargin,
+
+    "q55_analytic_windows" ->
+      """SELECT o_custkey, o_orderkey,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_date,
+        |       CAST(ntile(4) OVER w AS INT) AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd,
+        |       lag(o_orderkey, 1, -1) OVER w AS prev_order,
+        |       lead(o_orderkey, 1, -1) OVER w AS next_order
+        |FROM orders
+        |WHERE o_custkey < 200
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_date, o_orderkey""".stripMargin,
 
     "q53_sample_negatives" ->
       s"""WITH $evImpressions,
