@@ -376,6 +376,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Map-typed columns: per-user event-type→count maps built with
+    // map_from_entries, then consumed via size/map_keys/element_at and an
+    // aggregate HOF over map_values. The oracle reproduces the OUTPUT with
+    // conditional aggregation (DuckDB's map subscript semantics vary by
+    // version; the values, not the method, are the contract).
+    "q56_map_ops" -> ((s, dir) => {
+      val counts = Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .groupBy(col("user_id"))
+        .agg(map_from_entries(
+          sort_array(collect_list(struct(col("event_type"), col("n"))))).as("m"))
+        .select(
+          col("user_id"),
+          size(col("m")).as("n_types"),
+          concat_ws(",", map_keys(col("m"))).as("types"),
+          coalesce(element_at(col("m"), "click"), lit(0L)).as("click_n"),
+          coalesce(element_at(col("m"), "error"), lit(0L)).as("error_n"),
+          aggregate(map_values(col("m")), lit(0L), (a, b) => a + b).as("total"))
+        .orderBy("user_id")
+    }),
+
     // Full-outer join with two-sided null extension + key coalescing:
     // per-user purchase vs click day-counts over disjoint-ish user slices.
     "q54_full_outer" -> ((s, dir) => {
@@ -1038,6 +1061,19 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "q56_map_ops" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
+        |)
+        |SELECT user_id,
+        |       CAST(COUNT(*) AS INT) AS n_types,
+        |       array_to_string(list(event_type ORDER BY event_type), ',') AS types,
+        |       CAST(COALESCE(SUM(n) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS click_n,
+        |       CAST(COALESCE(SUM(n) FILTER (WHERE event_type = 'error'), 0) AS BIGINT) AS error_n,
+        |       CAST(SUM(n) AS BIGINT) AS total
+        |FROM c GROUP BY user_id
+        |ORDER BY user_id""".stripMargin,
 
     "q54_full_outer" ->
       """WITH p AS (
