@@ -15,6 +15,9 @@ object IsoBench {
     spark.range(1000).selectExpr("sum(id)").collect()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
+      // Same fences as Bench: operator-persisted intermediates from one
+      // query must not squeeze the next query's execution memory.
+      spark.catalog.clearCache()
       System.gc()
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()

@@ -3,7 +3,7 @@ package graft
 import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning, RoundRobinPartitioning}
 import org.apache.spark.sql.execution.SparkPlan
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
@@ -46,13 +46,15 @@ object PlanAudit {
       planString = s)
   }
 
-  /** Count the DATA shuffles this plan will EXECUTE (hash/range exchanges;
-    * one-row SinglePartition collects don't move data at scale): walk the
-    * physical tree, descending into each distinct cached (persisted)
-    * subtree exactly once — a cached plan materializes once no matter how
-    * many times the query references it, so its exchanges must not be
-    * multiply counted, nor may re-references hide work (the first
-    * reference charges the full build).
+  /** Count the DATA shuffles this plan will EXECUTE (hash/range/
+    * round-robin exchanges — every full-data redistribution, including
+    * plain `repartition(n)`; one-row SinglePartition collects don't move
+    * data at scale): walk the physical tree, descending into each
+    * distinct cached (persisted) subtree exactly once — a cached plan
+    * materializes once no matter how many times the query references it,
+    * so its exchanges must not be multiply counted, nor may
+    * re-references hide work (the first reference charges the full
+    * build).
     */
   def dataShuffles(plan: SparkPlan): Int = {
     val seenCaches = mutable.Set[Int]()
@@ -64,7 +66,8 @@ object PlanAudit {
         else 0
       case sh: ShuffleExchangeLike =>
         val moves = sh.outputPartitioning.isInstanceOf[HashPartitioning] ||
-          sh.outputPartitioning.isInstanceOf[RangePartitioning]
+          sh.outputPartitioning.isInstanceOf[RangePartitioning] ||
+          sh.outputPartitioning.isInstanceOf[RoundRobinPartitioning]
         (if (moves) 1 else 0) + sh.children.map(walk).sum
       case other => other.children.map(walk).sum
     }

@@ -8,19 +8,20 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd whitespace tokenizer: maximal runs of non-whitespace bytes of
-  * a trimmed string, `[""]` when no token exists — exactly
-  * `split(trim(s), "\\s+")`, which every text operator tokenizes with.
+  * a trimmed string, `[""]` when no token exists.
   *
-  * Why an expression: `split` with the `\s+` pattern routes each document
+  * Why an expression: `split` with a `\s+` pattern routes each document
   * through java.util.regex (measured +67% on the shingle-heavy fingerprint
   * query at sf0.1 versus the previous literal-space split); this is a
   * single forward byte scan with no regex machinery, and the token slices
-  * share the parent string's byte array. Java regex `\s` without
-  * UNICODE_CHARACTER_CLASS is exactly ASCII `[ \t\n\x0B\f\r]` — the byte
-  * set tested here — and multi-byte UTF-8 code points never contain ASCII
-  * bytes, so the scan is UTF-8-safe and semantics are IDENTICAL to the
-  * regex for any input (DuckDB's RE2 `\s` matches the same ASCII set,
-  * keeping the oracles aligned).
+  * share the parent string's byte array.
+  *
+  * The whitespace set is RE2's `\s` = `[ \t\n\f\r]` — matching the DuckDB
+  * oracles' `regexp_split_to_array(trim(text), '\s+')` exactly. NOTE this
+  * deliberately EXCLUDES vertical tab 0x0B, which Java's `\s` includes
+  * and RE2's does not; the engine sides with the oracle's semantics so
+  * the gate holds on any input. Multi-byte UTF-8 code points never
+  * contain ASCII bytes, so the byte scan is UTF-8-safe.
   */
 case class WhitespaceTokens(child: Expression) extends UnaryExpression {
 
@@ -63,6 +64,7 @@ object WhitespaceTokens {
     else new GenericArrayData(out.toArray)
   }
 
+  // RE2 \s: space, \t, \n, \f, \r — NOT vertical tab 0x0B (see scaladoc).
   @inline private def isWs(b: Byte): Boolean =
-    b == 0x20 || (b >= 0x09 && b <= 0x0d)
+    b == 0x20 || b == 0x09 || b == 0x0a || b == 0x0c || b == 0x0d
 }

@@ -19,11 +19,11 @@ object TextAnalysis {
     * single-space split silently mis-tokenizes real corpora with tabs,
     * newlines, or double spaces). Computed by the codegen'd
     * [[graft.expressions.WhitespaceTokens]] byte scan — semantically
-    * `split(trim(text), "\\s+")` without the per-document regex cost.
+    * `split(trim(text), "\\s+")` under RE2's `\s` set (no vertical tab —
+    * see the expression's scaladoc) without the per-document regex cost.
     * Oracles mirror it with DuckDB
-    * `regexp_split_to_array(trim(text), '\s+')` (RE2's `\s` is the same
-    * ASCII set) — both engines yield `[""]` for an all-whitespace
-    * document.
+    * `regexp_split_to_array(trim(text), '\s+')`; both engines yield
+    * `[""]` for an empty or space-only document.
     */
   def wordsCol: Column = {
     val bridge = org.apache.spark.sql.graft.bridge
@@ -107,10 +107,13 @@ object TextAnalysis {
     docs.select(
         col("doc_id"), col("lang"), col("source"), col("n_chars"),
         size(words).cast("long").as("n_words"),
-        length(regexp_replace(trim(col("text")), "\\s", "")).cast("long").as("n_letters"),
+        // Explicit class = RE2's \s (no \x0B) so the char count agrees
+        // with the oracle's regexp_replace(..., '\s', ...) on any input
+        // (Java's \s would also strip vertical tabs).
+        length(regexp_replace(trim(col("text")), "[ \\t\\n\\f\\r]", "")).cast("long").as("n_letters"),
         size(array_distinct(words)).cast("long").as("n_distinct_words"),
         array_max(transform(words, w => length(w))).cast("long").as("max_word_len"),
-        (length(regexp_replace(trim(col("text")), "\\s", "")).cast("double") /
+        (length(regexp_replace(trim(col("text")), "[ \\t\\n\\f\\r]", "")).cast("double") /
           size(words).cast("double")).as("avg_word_len"),
         (hits(ProfileEn).cast("double") / size(words).cast("double")).as("stopword_ratio"))
       // Quality gate in the Gopher/C4 style: length band + stopword share.

@@ -28,9 +28,9 @@ object Dedup {
 
   /** MinHash signatures from one md5 per shingle: the digest yields two
     * sub-hashes (60-bit and 52-bit hex slices), and hash function j is
-    * `h1 XOR rotate_j(h2)` with a j-dependent bit rotation (shift
-    * 1 + 3j within the 52-bit field). Signature j is the min over the
-    * document's k-shingles.
+    * `rotate_j(h1) XOR h2` — a j-dependent bit rotation of the FULL
+    * 60-bit h1 (shift (1 + 7j) mod 60), XORed with h2. Signature j is
+    * the min over the document's k-shingles.
     *
     * The rotation family matters, and it must rotate h1 (the full 60-bit
     * field): the textbook-looking `h1 + j*h2` is NOT min-wise independent
@@ -173,9 +173,12 @@ object Dedup {
     * doc_id. Each round is one equi-join + one map-side-combined min
     * aggregate — no driver-side graph state, labels are the only iterated
     * data. Rounds needed = max component diameter, which for near-dup
-    * clusters (bucket-overlapping quasi-cliques) is small; `maxIters`
-    * caps pathological chains, and convergence is detected with a
-    * limit-1 probe, not a full count.
+    * clusters (bucket-overlapping quasi-cliques) is small; convergence is
+    * detected with a limit-1 probe, not a full count. A component whose
+    * diameter exceeds `maxIters` would leave labels mid-propagation —
+    * silently splitting one true cluster — so non-convergence THROWS
+    * rather than returning partial clusters (raise `maxIters` for
+    * pathological chain-shaped corpora).
     *
     * Output: (doc_id, canonical_id, cluster_size, is_canonical) for every
     * doc that appears in some pair — `is_canonical` rows are the keep
@@ -213,6 +216,18 @@ object Dedup {
       labels = next.select("doc_id", "label")
       it += 1
     }
+    // edges is only read inside the loop; lineage survives unpersist, so
+    // dropping the blocks now is safe (and keeps long-lived sessions from
+    // accumulating storage). The final labels cache stays — the returned
+    // plan reads it twice (labels + sizes) — and is one small row per doc.
+    edges.unpersist()
+    if (!converged) {
+      prevCache.foreach(_.unpersist())
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within maxIters=$maxIters " +
+          "(a component's diameter exceeds it); partial labels would " +
+          "silently split true clusters — raise maxIters")
+    }
     val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     labels.join(sz, Seq("label"))
       .select(
@@ -236,6 +251,12 @@ object Dedup {
     * unbiased jaccard estimate) instead of re-shingling the kept corpus.
     * Shuffles are keyed on band keys and doc ids only; candidate pairs are
     * bounded by banding, never all-pairs.
+    *
+    * The two signature frames stay persisted after return — the result
+    * plan reads each several times (bands + verification). Long-lived
+    * sessions calling this repeatedly should `spark.catalog.clearCache()`
+    * between runs (or pass `keptSignatures` and manage its lifecycle);
+    * eviction is otherwise LRU.
     */
   def nearDupAgainst(
       kept: DataFrame,

@@ -48,6 +48,10 @@ object Joins {
       rightTime: String,
       rightCols: Seq[String],
       maxLookback: Option[Long] = None): DataFrame = {
+    val reserved = Seq("_t", "_side", "_l", "_r", "_m")
+    require(
+      !(left.columns ++ right.columns).exists(reserved.contains),
+      s"asOfJoin reserves column names ${reserved.mkString(", ")}")
     val leftPayloadCols = left.columns.filterNot(keys.contains).toSeq
     val rFields = Seq(rightTime) ++ rightCols
     val lType = StructType(leftPayloadCols.map(left.schema(_)))
@@ -109,6 +113,9 @@ object Joins {
       endCol: String,
       bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(
+      !(points.columns ++ intervals.columns).contains("_b"),
+      "rangeJoin reserves the column name _b")
     val p = points.withColumn("_b", expr(s"`$pointTime` DIV ${bucketWidth}L"))
     val i = intervals
       .filter(col(endCol) >= col(startCol))

@@ -53,6 +53,12 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("n_letters") === 25L)
     val sh = TextAnalysis.shingles(messy, 3).collect().map(_.getAs[String]("sh"))
     assert(sh.contains("the a the") && sh.length === 5)
+    // Vertical tab is NOT a separator — RE2's \s (the oracle set)
+    // excludes \x0B, unlike Java's; the engine sides with the oracle.
+    val vt = Seq(doc(0L, "a\u000Bb c")).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vtStats = TextAnalysis.textStats(vt).collect().head
+    assert(vtStats.getAs[Long]("n_words") === 2L)   // ["a<VT>b", "c"]
+    assert(vtStats.getAs[Long]("n_letters") === 4L) // a, VT, b, c
   }
 
   test("spread repartitions single-partition input and passes split input through") {
