@@ -341,18 +341,25 @@ object TrainingPipeline {
     * more than half its draws collide — negligible while the universe
     * dwarfs the carousel.
     *
-    * Scale: one narrow 2k-way explode per carousel row and two
-    * aggregations sharing the carousel key's partitioning — no joins
-    * against the item universe, which is never materialized.
+    * Scale: the shown-item set comes straight off the carousel row's own
+    * array (no explode/re-group round trip — the input is one row per
+    * carousel, the reference's impressions contract), so everything
+    * before the per-carousel dedup+rank is NARROW; the two aggregations
+    * share the carousel key's partitioning, and the item universe is
+    * never materialized or joined.
     */
   def sampleNegatives(
       impressions: DataFrame,
       numNegatives: Int = 4,
       numItems: Long = 1000L): DataFrame = {
-    val ex = explodeImpressions(impressions)
-    val carousels = ex
-      .groupBy(col("dt"), col("ranking_id"), col("customer_id"))
-      .agg(collect_set(col("impression_item_id")).as("shown"))
+    val carousels = impressions.select(
+      col("dt"), col("ranking_id"),
+      col("customer_id").cast("long").as("customer_id"),
+      // Null/empty carousels exclude nothing (mirrors posexplode_outer's
+      // defensive row carrying no item).
+      coalesce(
+        transform(col("impressions"), x => x.getField("item_id").cast("long")),
+        array().cast("array<long>")).as("shown"))
     val wCar = Window
       .partitionBy(col("dt"), col("ranking_id"), col("customer_id"))
       .orderBy(col("j"))
