@@ -193,8 +193,14 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label"))
+    // Initialization IS the first propagation round: label₀(v) =
+    // min(v, neighbors(v)) from the same aggregation that enumerates the
+    // vertex set — one groupBy instead of distinct + a full loop
+    // iteration (for the common quasi-clique components this halves the
+    // rounds to convergence).
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("nbr"))
+      .select(col("src").as("doc_id"), least(col("src"), col("nbr")).as("label"))
     var prevCache: Option[DataFrame] = None
     var converged = false
     var it = 0
