@@ -93,10 +93,118 @@ case class Md5Binary(child: Expression) extends UnaryExpression with Md5Input {
     copy(child = newChild)
 }
 
+/** Per-document fused shingle hashing: these two expressions walk the
+  * words array once, digesting each k-shingle ("w1 w2 … wk") in place —
+  * no shingle-string array, no distinct, no explode, no shuffle. A min is
+  * invariant under duplicates, so skipping array_distinct is exact.
+  */
+
+/** Min md5 digest over a doc's k-shingles (16 bytes; unsigned byte order
+  * ≡ hex order). Null when the doc has fewer than k words.
+  */
+case class Md5ShingleMin(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "graft_md5_shingle_min"
+  override def nullSafeEval(a: Any): Any =
+    Md5.shingleMin(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = graft.expressions.Md5.shingleMin($c, $k);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  override def nullable: Boolean = true
+  override protected def withNewChildInternal(newChild: Expression): Md5ShingleMin =
+    copy(child = newChild)
+}
+
+/** All `numHashes` MinHash signature minima of a doc's k-shingles in one
+  * pass — the rotate_j(h1) XOR h2 family of [[graft.operators.Dedup]],
+  * emitted as array<long>. Empty array when the doc has no shingles.
+  */
+case class MinHashSigs(child: Expression, k: Int, numHashes: Int) extends UnaryExpression {
+  require(k >= 1 && numHashes >= 1 && numHashes <= 16)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sigs"
+  override def nullSafeEval(a: Any): Any =
+    Md5.minhashSigs(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k, numHashes)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5.minhashSigs($c, $k, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
 object Md5 {
 
   private val tl: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  private def shingleDigest(
+      md: MessageDigest,
+      words: org.apache.spark.sql.catalyst.util.ArrayData,
+      start: Int,
+      k: Int): Array[Byte] = {
+    md.reset()
+    var j = 0
+    while (j < k) {
+      if (j > 0) md.update(' '.toByte)
+      md.update(words.getUTF8String(start + j).getBytes)
+      j += 1
+    }
+    md.digest()
+  }
+
+  def shingleMin(words: org.apache.spark.sql.catalyst.util.ArrayData, k: Int): Array[Byte] = {
+    val n = words.numElements()
+    if (n < k) return null
+    val md = tl.get()
+    var best: Array[Byte] = null
+    var i = 0
+    while (i <= n - k) {
+      val d = shingleDigest(md, words, i, k)
+      if (best == null || java.util.Arrays.compareUnsigned(d, best) < 0) best = d
+      i += 1
+    }
+    best
+  }
+
+  def minhashSigs(
+      words: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int,
+      numHashes: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = words.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    val md = tl.get()
+    val sigs = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i <= n - k) {
+      val d = shingleDigest(md, words, i, k)
+      val h1 = be64(d, 0) >>> 4
+      val h2 = be64(d, 8) >>> 12
+      var j = 0
+      while (j < numHashes) {
+        val s = (1 + 7 * j) % 60
+        val lo = 1L << (60 - s)
+        val sig = ((h1 % lo) * (1L << s) + h1 / lo) ^ h2
+        if (sig < sigs(j)) sigs(j) = sig
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
 
   def bytes(s: UTF8String): Array[Byte] = {
     val md = tl.get()

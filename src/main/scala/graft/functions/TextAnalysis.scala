@@ -225,15 +225,16 @@ object TextAnalysis {
     */
   def fingerprint(docs: DataFrame, k: Int = 3): DataFrame =
     spread(docs)
-      .select(col("doc_id"), wordsCol.as("words"))
       .select(
         col("doc_id"),
-        // min over raw digest BYTES (unsigned order ≡ hex order), hex
-        // formatted once per doc instead of once per shingle.
-        lower(hex(array_min(transform(
-          array_distinct(shinglesOf(col("words"), k)),
-          s => Hashing.md5Binary(s)))))
-          .as("fingerprint"))
+        // One fused pass: each k-shingle is digested in place off the
+        // words array (no shingle-string array, no distinct — min is
+        // duplicate-invariant) and only the winning digest's hex is
+        // formatted, once per doc.
+        lower(hex({
+          val bridge = org.apache.spark.sql.graft.bridge
+          bridge.column(graft.expressions.Md5ShingleMin(bridge.expression(wordsCol), k))
+        })).as("fingerprint"))
       // Shingle-less documents (< k words) have no fingerprint — drop them
       // rather than emitting a NULL row (matches the per-shingle oracle).
       .filter(col("fingerprint").isNotNull)

@@ -50,8 +50,22 @@ object Dedup {
     * (numHashes long columns), exploding to (doc, j, sig) rows only after
     * the shuffle.
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame =
-    signaturesFromShingles(TextAnalysis.shingles(docs, k), numHashes)
+  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame = {
+    // Fused path: all numHashes minima per doc in ONE narrow expression
+    // pass over the words array ([[graft.expressions.MinHashSigs]] — same
+    // family, min is duplicate-invariant so the shingle-distinct step
+    // drops out). No shuffle at all until a consumer aggregates; the
+    // (doc, j, sig) shape is unchanged. signaturesFromShingles remains
+    // for callers that already materialized a shared shingle table.
+    val bridge = org.apache.spark.sql.graft.bridge
+    TextAnalysis.spread(docs)
+      .select(
+        col("doc_id"),
+        bridge.column(graft.expressions.MinHashSigs(
+          bridge.expression(TextAnalysis.wordsCol), k, numHashes)).as("sigs"))
+      .filter(size(col("sigs")) > 0)
+      .select(col("doc_id"), posexplode(col("sigs")).as(Seq("j", "sig")))
+  }
 
   private def signaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     // Shift schedule (1+7j) mod 60: nonzero and distinct per j up to 16
