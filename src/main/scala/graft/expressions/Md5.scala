@@ -67,21 +67,6 @@ case class Md5Pair(child: Expression) extends UnaryExpression with Md5Input {
     copy(child = newChild)
 }
 
-/** The 16 leading hex-nibble values of md5 (digest bytes 0-7) as
-  * array<int> — for nibble-positional consumers (SimHash) that would
-  * otherwise explode a position sequence and `instr`-parse the hex
-  * string one character at a time.
-  */
-case class Md5Nibbles(child: Expression) extends UnaryExpression with Md5Input {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
-  override def prettyName: String = "graft_md5_nibbles"
-  override def nullSafeEval(s: Any): Any = Md5.nibbles(s.asInstanceOf[UTF8String])
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5.nibbles($c)")
-  override protected def withNewChildInternal(newChild: Expression): Md5Nibbles =
-    copy(child = newChild)
-}
-
 /** The raw 16 digest bytes (unsigned byte order ≡ hex string order). */
 case class Md5Binary(child: Expression) extends UnaryExpression with Md5Input {
   override def dataType: DataType = BinaryType
@@ -143,6 +128,28 @@ case class MinHashSigs(child: Expression, k: Int, numHashes: Int) extends UnaryE
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.expressions.Md5.minhashSigs($c, $k, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
+    copy(child = newChild)
+}
+
+/** 64-bit tf-weighted SimHash of a words array as a 16-char lowercase hex
+  * string, in one pass: per-doc term frequencies, per-bit weighted
+  * majorities over each word's leading 64 md5 bits, nibble reassembly —
+  * the fused form of the two-shuffle wordcount + bit-majority
+  * formulation (bit-identical output).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_simhash64"
+  override def nullSafeEval(a: Any): Any =
+    Md5.simhash64(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5.simhash64($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
 
@@ -230,15 +237,49 @@ object Md5 {
     new GenericInternalRow(Array[Any](be64(d, 0) >>> 4, be64(d, 8) >>> 12))
   }
 
-  def nibbles(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
-    val d = bytes(s)
-    val out = new Array[Int](16)
+  def simhash64(words: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    val n = words.numElements()
+    // Per-doc term frequencies (UTF8String keys hash/compare by bytes).
+    val counts = new java.util.HashMap[UTF8String, Long](64)
     var i = 0
-    while (i < 8) {
-      out(2 * i) = (d(i) & 0xf0) >>> 4
-      out(2 * i + 1) = d(i) & 0x0f
+    while (i < n) {
+      counts.merge(words.getUTF8String(i), 1L, (a, b) => a + b)
       i += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    val md = tl.get()
+    val bitSums = new Array[Long](64)
+    var total = 0L
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val cnt = e.getValue
+      md.reset()
+      val h64 = be64(md.digest(e.getKey.getBytes), 0)
+      var np = 0
+      while (np < 16) {
+        val v = ((h64 >>> (60 - 4 * np)) & 15L).toInt
+        var b = 0
+        while (b < 4) {
+          if (((v >> b) & 1) == 1) bitSums(np * 4 + b) += cnt
+          b += 1
+        }
+        np += 1
+      }
+      total += cnt
+    }
+    val hexDigits = "0123456789abcdef"
+    val out = new Array[Byte](16)
+    var np = 0
+    while (np < 16) {
+      var nib = 0
+      var b = 0
+      while (b < 4) {
+        if (bitSums(np * 4 + b) * 2 >= total) nib |= (1 << b)
+        b += 1
+      }
+      out(np) = hexDigits.charAt(nib).toByte
+      np += 1
+    }
+    UTF8String.fromBytes(out)
   }
 }

@@ -240,52 +240,18 @@ object TextAnalysis {
       .filter(col("fingerprint").isNotNull)
 
   /** 64-bit SimHash as a 16-char lowercase hex string, tf-weighted over
-    * whitespace tokens, with md5 as the per-token hash.
-    *
-    * Computed nibble-wise: explode (token × 16 hex positions), split each
-    * hex digit into its 4 bits, take per-bit majorities, reassemble. Two
-    * partial-aggregate shuffles on (doc_id, nibble_pos) then (doc_id) —
-    * both map-side combined, so the shuffle carries ≤ 16 rows per document.
+    * whitespace tokens with md5 as the per-token hash — computed by ONE
+    * narrow fused expression pass per document
+    * ([[graft.expressions.SimHash64]]: per-doc term frequencies,
+    * weighted per-bit majorities over each token's leading 64 digest
+    * bits, nibble reassembly). Replaces the earlier two-shuffle
+    * wordcount + 16-way nibble-explode formulation bit-identically —
+    * zero shuffles, zero per-nibble rows.
     */
   def simhash(docs: DataFrame): DataFrame = {
-    // Collapse to (doc, word) term frequencies BEFORE the 16-way nibble
-    // explode: one md5 per distinct (doc, word) and tf-weighted bit sums —
-    // identical integer totals to summing per occurrence, at a fraction of
-    // the row count (big win on Zipfian corpora).
-    val wordCounts = tokenize(docs)
-      .groupBy(col("doc_id"), col("w"))
-      .agg(count(lit(1)).as("cnt"))
-    // Codegen'd nibble array straight from the digest bytes — posexplode
-    // yields (position, value) without the hex-string instr parse the
-    // md5()-based formulation paid per nibble.
     val bridge = org.apache.spark.sql.graft.bridge
-    val nib = wordCounts
-      .select(
-        col("doc_id"), col("cnt"),
-        posexplode(bridge.column(graft.expressions.Md5Nibbles(
-          bridge.expression(col("w"))))).as(Seq("np", "v")))
-    val bitSums = nib
-      .groupBy(col("doc_id"), col("np"))
-      .agg(
-        sum(col("cnt")).as("cnt"),
-        sum(col("cnt") * (col("v") % 2)).as("s0"),
-        sum(col("cnt") * expr("(v DIV 2) % 2")).as("s1"),
-        sum(col("cnt") * expr("(v DIV 4) % 2")).as("s2"),
-        sum(col("cnt") * expr("(v DIV 8) % 2")).as("s3"))
-    def bit(s: String): Column = when(col(s) * 2 >= col("cnt"), 1).otherwise(0)
-    val nibbles = bitSums.select(
-      col("doc_id"), col("np"),
-      (bit("s0") + bit("s1") * 2 + bit("s2") * 4 + bit("s3") * 8).as("nibv"))
-      .select(
-        col("doc_id"), col("np"),
-        expr("substr('0123456789abcdef', nibv + 1, 1)").as("ch"))
-    nibbles
-      .groupBy(col("doc_id"))
-      .agg(
-        array_join(
-          transform(
-            sort_array(collect_list(struct(col("np"), col("ch")))),
-            x => x.getField("ch")),
-          "").as("simhash"))
+    spread(docs).select(
+      col("doc_id"),
+      bridge.column(graft.expressions.SimHash64(bridge.expression(wordsCol))).as("simhash"))
   }
 }
