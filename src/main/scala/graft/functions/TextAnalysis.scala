@@ -127,35 +127,31 @@ object TextAnalysis {
     * n-grams taken by its single most frequent one, plus the distinct
     * ratio. Highly repetitive machine-generated text scores near 1.
     *
-    * Two combiner-friendly aggregations — (doc, gram) counts, then per-doc
-    * max/sum — and the first shuffle keys on xxhash64(gram), an 8-byte
-    * long, not the gram string (counts are unchanged under the digest up
-    * to ~n²/2^64 collisions; the scoring needs only counts, never the
-    * winning gram's text, so the oracle can stay string-keyed). xxhash64
-    * rather than the md5 idiom: it's codegen'd with no hex/string
-    * round-trip, and the digest never needs cross-engine reproduction.
-    * Documents with fewer than `n` words have no n-grams and are absent
-    * from the output. (A shuffle-free sorted-array run-length scan via
-    * the `aggregate` HOF measured 1.4× SLOWER at sf0.1 — interpreted
-    * lambda overhead exceeds the wordcount-shaped shuffle's cost — so the
-    * distributed formulation stands.)
+    * Gram counting is doc-local by definition, so it runs as ONE fused
+    * expression pass per document ([[graft.expressions.GramStats]]:
+    * per-gram 64-bit mixed word hashes into a bounded per-row map) —
+    * zero shuffle rows, replacing the earlier explode + two-aggregation
+    * formulation (counts identical up to ~grams²/2^64 intra-doc hash
+    * collisions; the scoring needs only counts, never a winning gram's
+    * text, so the oracle stays string-keyed). Documents with fewer than
+    * `n` words have no n-grams and are absent from the output.
     */
-  def repetition(docs: DataFrame, n: Int = 2, maxShare: Double = 0.2): DataFrame =
+  def repetition(docs: DataFrame, n: Int = 2, maxShare: Double = 0.2): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
     spread(docs)
-      .select(col("doc_id"), explode(shinglesCol(n)).as("gram"))
-      .select(col("doc_id"), xxhash64(col("gram")).as("sh"))
-      .groupBy(col("doc_id"), col("sh"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("cnt")).as("n_grams"),
-        max(col("cnt")).as("top_gram_cnt"),
-        count(lit(1)).as("n_distinct_grams"))
       .select(
-        col("doc_id"), col("n_grams"), col("n_distinct_grams"), col("top_gram_cnt"),
-        (col("top_gram_cnt").cast("double") / col("n_grams").cast("double"))
+        col("doc_id"),
+        bridge.column(graft.expressions.GramStats(bridge.expression(wordsCol), n)).as("g"))
+      .filter(col("g").isNotNull)
+      .select(
+        col("doc_id"),
+        col("g.n_grams").as("n_grams"),
+        col("g.n_distinct_grams").as("n_distinct_grams"),
+        col("g.top_gram_cnt").as("top_gram_cnt"),
+        (col("g.top_gram_cnt").cast("double") / col("g.n_grams").cast("double"))
           .as("top_gram_share"))
       .withColumn("is_repetitive", col("top_gram_share") > maxShare)
+  }
 
   /** Top-k distinctive terms per document by tf × N / df — the tf-idf
     * family with the idf log dropped so the score is exact-integer
