@@ -131,6 +131,28 @@ case class MinHashSigs(child: Expression, k: Int, numHashes: Int) extends UnaryE
     copy(child = newChild)
 }
 
+/** DISTINCT 60-bit md5 digests of a doc's k-shingles as array<long> —
+  * the fused form of shingle-string construction + array_distinct +
+  * explode + Md5Long60, for consumers that join on shingle digests
+  * (jaccard verification). Empty array when the doc has no shingles.
+  */
+case class ShingleDigests(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_shingle_digests"
+  override def nullSafeEval(a: Any): Any =
+    Md5.shingleDigests(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5.shingleDigests($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleDigests =
+    copy(child = newChild)
+}
+
 /** 64-bit tf-weighted SimHash of a words array as a 16-char lowercase hex
   * string, in one pass: per-doc term frequencies, per-bit weighted
   * majorities over each word's leading 64 md5 bits, nibble reassembly —
@@ -171,6 +193,25 @@ object Md5 {
       j += 1
     }
     md.digest()
+  }
+
+  def shingleDigests(
+      words: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = words.numElements()
+    if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    val md = tl.get()
+    val seen = new java.util.LinkedHashSet[java.lang.Long](64)
+    var i = 0
+    while (i <= n - k) {
+      seen.add(be64(shingleDigest(md, words, i, k), 0) >>> 4)
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
   def shingleMin(words: org.apache.spark.sql.catalyst.util.ArrayData, k: Int): Array[Byte] = {

@@ -337,14 +337,19 @@ object Dedup {
     require(maxDocFreq <= 1000, s"maxDocFreq=$maxDocFreq concentrates ~maxDocFreq²/2 " +
       "pair rows in one task; use lshVerifiedPairs for loosely-capped corpora")
     // Join on a 60-bit digest of the shingle, not the string (~3× less
-    // shuffle volume, collisions ~n²/2^60), and cache the digested table
-    // once — both self-join sides and the per-doc counts reuse it instead
-    // of re-shingling the corpus three times. persist keeps lineage
-    // (executor-loss-safe on a cluster, unlike localCheckpoint).
-    val shAll = TextAnalysis.shingles(docs, k)
+    // shuffle volume, collisions ~n²/2^60). The per-doc distinct digest
+    // arrays come from ONE fused expression pass
+    // ([[graft.expressions.ShingleDigests]] — no shingle-string
+    // construction or distinct stage), and the exploded table is cached
+    // once — both join sides and the per-doc counts reuse it. persist
+    // keeps lineage (executor-loss-safe, unlike localCheckpoint).
+    val bridge = org.apache.spark.sql.graft.bridge
+    val shAll = TextAnalysis.spread(docs)
       .select(
         col("doc_id"),
-        Hashing.md5Long60(col("sh")).as("shh"))
+        bridge.column(graft.expressions.ShingleDigests(
+          bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
+      .select(col("doc_id"), explode(col("ds")).as("shh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // shingles() emits distinct (doc_id, sh), so a plain count is the
     // document frequency. Hot digests are few — broadcast the anti-join.
