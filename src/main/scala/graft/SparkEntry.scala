@@ -376,6 +376,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Quantile binning: per-order-priority quartile cutoffs of the order
+    // value (percentile is bit-identical to DuckDB quantile_cont), then
+    // each order labeled with its bin — the discretization staple.
+    "q57_quantile_binning" -> ((s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val cuts = orders.groupBy(col("o_orderpriority"))
+        .agg(
+          expr("percentile(o_totalprice, 0.25)").as("p25"),
+          expr("percentile(o_totalprice, 0.50)").as("p50"),
+          expr("percentile(o_totalprice, 0.75)").as("p75"))
+      orders.join(broadcast(cuts), Seq("o_orderpriority"))
+        .select(
+          col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          when(col("o_totalprice") <= col("p25"), 1)
+            .when(col("o_totalprice") <= col("p50"), 2)
+            .when(col("o_totalprice") <= col("p75"), 3)
+            .otherwise(4).as("bin"))
+        .orderBy("o_orderpriority", "o_orderkey")
+    }),
+
     // Map-typed columns: per-user event-type→count maps built with
     // map_from_entries, then consumed via size/map_keys/element_at and an
     // aggregate HOF over map_values. The oracle reproduces the OUTPUT with
@@ -1061,6 +1081,22 @@ object SparkEntry {
         |FROM documents
         |WHERE CAST('0x' || substr(md5(source || '|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 < 10
         |ORDER BY doc_id""".stripMargin,
+
+    "q57_quantile_binning" ->
+      """WITH cuts AS (
+        |  SELECT o_orderpriority,
+        |         quantile_cont(o_totalprice, 0.25) AS p25,
+        |         quantile_cont(o_totalprice, 0.50) AS p50,
+        |         quantile_cont(o_totalprice, 0.75) AS p75
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice,
+        |       CAST(CASE WHEN o.o_totalprice <= c.p25 THEN 1
+        |                 WHEN o.o_totalprice <= c.p50 THEN 2
+        |                 WHEN o.o_totalprice <= c.p75 THEN 3
+        |                 ELSE 4 END AS INT) AS bin
+        |FROM orders o JOIN cuts c USING (o_orderpriority)
+        |ORDER BY o.o_orderpriority, o.o_orderkey""".stripMargin,
 
     "q56_map_ops" ->
       """WITH c AS (
