@@ -32,11 +32,11 @@ case class GramStats(child: Expression, n: Int) extends UnaryExpression {
   override def nullable: Boolean = true
   override def prettyName: String = "graft_gram_stats"
   override def nullSafeEval(a: Any): Any =
-    GramStats.eval(a.asInstanceOf[ArrayData], n)
+    GramStats.compute(a.asInstanceOf[ArrayData], n)
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
       s"""
-         |${ev.value} = graft.expressions.GramStats.eval($c, $n);
+         |${ev.value} = graft.expressions.GramStats.compute($c, $n);
          |${ev.isNull} = ${ev.value} == null;
        """.stripMargin
     })
@@ -46,7 +46,10 @@ case class GramStats(child: Expression, n: Int) extends UnaryExpression {
 
 object GramStats {
 
-  def eval(words: ArrayData, n: Int): InternalRow = {
+  // Named `compute`, not `eval`: the companion case class inherits
+  // Expression.eval, which suppresses the static forwarder an `eval`
+  // object method would need for the generated code to link.
+  def compute(words: ArrayData, n: Int): InternalRow = {
     val w = words.numElements()
     if (w < n) return null
     // xxh64 each word once; gram key mixes the n member hashes.

@@ -180,16 +180,28 @@ object Md5 {
   private val tl: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
+  // Word bytes are extracted (and possibly copied) ONCE per document —
+  // each word participates in up to k shingles, and re-extracting per
+  // shingle was measured per-row CPU waste on the dedup hot path.
+  private def wordBytes(
+      words: org.apache.spark.sql.catalyst.util.ArrayData): Array[Array[Byte]] = {
+    val n = words.numElements()
+    val out = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { out(i) = words.getUTF8String(i).getBytes; i += 1 }
+    out
+  }
+
   private def shingleDigest(
       md: MessageDigest,
-      words: org.apache.spark.sql.catalyst.util.ArrayData,
+      wb: Array[Array[Byte]],
       start: Int,
       k: Int): Array[Byte] = {
     md.reset()
     var j = 0
     while (j < k) {
       if (j > 0) md.update(' '.toByte)
-      md.update(words.getUTF8String(start + j).getBytes)
+      md.update(wb(start + j))
       j += 1
     }
     md.digest()
@@ -201,10 +213,11 @@ object Md5 {
     val n = words.numElements()
     if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
     val md = tl.get()
+    val wb = wordBytes(words)
     val seen = new java.util.LinkedHashSet[java.lang.Long](64)
     var i = 0
     while (i <= n - k) {
-      seen.add(be64(shingleDigest(md, words, i, k), 0) >>> 4)
+      seen.add(be64(shingleDigest(md, wb, i, k), 0) >>> 4)
       i += 1
     }
     val out = new Array[Long](seen.size)
@@ -218,10 +231,11 @@ object Md5 {
     val n = words.numElements()
     if (n < k) return null
     val md = tl.get()
+    val wb = wordBytes(words)
     var best: Array[Byte] = null
     var i = 0
     while (i <= n - k) {
-      val d = shingleDigest(md, words, i, k)
+      val d = shingleDigest(md, wb, i, k)
       if (best == null || java.util.Arrays.compareUnsigned(d, best) < 0) best = d
       i += 1
     }
@@ -235,17 +249,26 @@ object Md5 {
     val n = words.numElements()
     if (n < k) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
     val md = tl.get()
+    val wb = wordBytes(words)
+    // Rotation constants are j-only — hoisted out of the shingle loop.
+    val los = new Array[Long](numHashes)
+    val his = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      val s = (1 + 7 * j) % 60
+      los(j) = 1L << (60 - s)
+      his(j) = 1L << s
+      j += 1
+    }
     val sigs = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i <= n - k) {
-      val d = shingleDigest(md, words, i, k)
+      val d = shingleDigest(md, wb, i, k)
       val h1 = be64(d, 0) >>> 4
       val h2 = be64(d, 8) >>> 12
-      var j = 0
+      j = 0
       while (j < numHashes) {
-        val s = (1 + 7 * j) % 60
-        val lo = 1L << (60 - s)
-        val sig = ((h1 % lo) * (1L << s) + h1 / lo) ^ h2
+        val sig = ((h1 % los(j)) * his(j) + h1 / los(j)) ^ h2
         if (sig < sigs(j)) sigs(j) = sig
         j += 1
       }

@@ -246,8 +246,12 @@ object TextAnalysis {
     */
   def simhash(docs: DataFrame): DataFrame = {
     val bridge = org.apache.spark.sql.graft.bridge
-    spread(docs).select(
-      col("doc_id"),
-      bridge.column(graft.expressions.SimHash64(bridge.expression(wordsCol))).as("simhash"))
+    spread(docs)
+      .select(
+        col("doc_id"),
+        bridge.column(graft.expressions.SimHash64(bridge.expression(wordsCol))).as("simhash"))
+      // null-text docs produce no row (matches the exploded formulation
+      // and the per-token oracle, which emit nothing to aggregate).
+      .filter(col("simhash").isNotNull)
   }
 }

@@ -351,8 +351,9 @@ object Dedup {
           bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
       .select(col("doc_id"), explode(col("ds")).as("shh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // shingles() emits distinct (doc_id, sh), so a plain count is the
-    // document frequency. Hot digests are few — broadcast the anti-join.
+    // ShingleDigests emits per-doc DISTINCT digests, so a plain count is
+    // the document frequency. Hot digests are few — broadcast the
+    // anti-join.
     val hot = shAll.groupBy(col("shh")).agg(count(lit(1)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select("shh")
@@ -371,9 +372,8 @@ object Dedup {
     val common = grp
       .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
       .select(col("doc_a"), explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
-      // A 60-bit digest collision between two shingles of the SAME doc puts
-      // that doc_id in `ds` twice, which would emit a self-pair; ~2^-60 per
-      // shingle pair, but the guard is free.
+      // ShingleDigests dedups per doc, so a doc_id cannot repeat within
+      // `ds` anymore; the self-pair guard stays as a free invariant.
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))

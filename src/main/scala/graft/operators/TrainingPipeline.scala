@@ -342,24 +342,30 @@ object TrainingPipeline {
     * dwarfs the carousel.
     *
     * Scale: the shown-item set comes straight off the carousel row's own
-    * array (no explode/re-group round trip — the input is one row per
-    * carousel, the reference's impressions contract), so everything
-    * before the per-carousel dedup+rank is NARROW; the two aggregations
-    * share the carousel key's partitioning, and the item universe is
-    * never materialized or joined.
+    * array (no item explode), aggregated once per carousel key so
+    * duplicate carousel rows union their shown sets — compact arrays
+    * through one carousel-keyed exchange, and the item universe is never
+    * materialized or joined. Null item_ids are stripped before the
+    * membership test (Spark's array_contains is three-valued: a null
+    * element would turn "not shown" into NULL and silently drop every
+    * draw).
     */
   def sampleNegatives(
       impressions: DataFrame,
       numNegatives: Int = 4,
       numItems: Long = 1000L): DataFrame = {
-    val carousels = impressions.select(
-      col("dt"), col("ranking_id"),
-      col("customer_id").cast("long").as("customer_id"),
-      // Null/empty carousels exclude nothing (mirrors posexplode_outer's
-      // defensive row carrying no item).
-      coalesce(
+    val rowShown = coalesce(
+      filter(
         transform(col("impressions"), x => x.getField("item_id").cast("long")),
-        array().cast("array<long>")).as("shown"))
+        x => x.isNotNull),
+      array().cast("array<long>"))
+    val carousels = impressions
+      .select(
+        col("dt"), col("ranking_id"),
+        col("customer_id").cast("long").as("customer_id"),
+        rowShown.as("row_shown"))
+      .groupBy(col("dt"), col("ranking_id"), col("customer_id"))
+      .agg(array_distinct(flatten(collect_list(col("row_shown")))).as("shown"))
     val wCar = Window
       .partitionBy(col("dt"), col("ranking_id"), col("customer_id"))
       .orderBy(col("j"))

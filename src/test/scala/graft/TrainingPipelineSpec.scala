@@ -207,6 +207,16 @@ class TrainingPipelineSpec extends SparkSpec {
     // Exact function of the data: a rerun is bit-identical.
     val again = TrainingPipeline.sampleNegatives(impressions, 4, 1000L).collect()
     assert(negs.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+
+    // Duplicate rows for one carousel key UNION their shown sets — an
+    // item shown in either row must never surface as a negative.
+    val dup = Seq(
+      Impression("2025-08-14", "rd", 9L, Seq(ImpressionItem(123L, is_order = false))),
+      Impression("2025-08-14", "rd", 9L, Seq(ImpressionItem(456L, is_order = true)))).toDF()
+    val dupNegs = TrainingPipeline.sampleNegatives(dup, numNegatives = 200, numItems = 500L)
+      .collect().map(_.getAs[Long]("item_id")).toSet
+    assert(!dupNegs.contains(123L) && !dupNegs.contains(456L))
+    assert(dupNegs.nonEmpty)
   }
 
   test("normalizeActions drops null keys and tags sources 1/2/3") {
