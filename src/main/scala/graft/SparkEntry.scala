@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.functions.TextAnalysis
-import graft.operators.{Curation, Dedup, Joins, Multimodal, Similarity, TrainingPipeline}
+import graft.functions.{Stats, TextAnalysis}
+import graft.operators.{Curation, Dedup, Joins, Multimodal, Similarity, Timeseries, TrainingPipeline}
 import graft.sources.{EventFixtures, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -395,6 +395,60 @@ object SparkEntry {
             .otherwise(4).as("bin"))
         .orderBy("o_orderpriority", "o_orderkey")
     }),
+
+    // Unpivot/melt: wide per-lineitem measure columns reshaped to long
+    // (measure, value) rows via Dataset.unpivot — the transpose feeding
+    // per-measure profiling. Decimal→double casts are single
+    // correctly-rounded ops on sub-2^53 significands.
+    "q58_unpivot" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_orderkey") < 1000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("double").as("quantity"),
+          col("l_extendedprice").cast("double").as("extendedprice"),
+          col("l_discount").cast("double").as("discount"),
+          col("l_tax").cast("double").as("tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("quantity"), col("extendedprice"), col("discount"), col("tax")),
+          "measure", "value")
+        .orderBy("l_orderkey", "l_linenumber", "measure")),
+
+    // Text: subword (BPE-bound) token-budget estimate per document.
+    "q59_subword_budget" -> ((s, dir) =>
+      TextAnalysis.subwordBudget(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Time series: zero-filled dense daily counts per event type.
+    "q60_gap_fill" -> ((s, dir) =>
+      Timeseries.gapFill(Tables.events(s, dir)).orderBy("event_type", "epoch_day")),
+
+    // Stats: per-language exact moments — mean/variance/stddev derived
+    // from exact integer sufficient statistics (engine-bit-identical,
+    // unlike avg/var_pop's order-dependent double folds).
+    "q61_exact_moments" -> ((s, dir) =>
+      Stats.exactMoments(Tables.documents(s, dir), col("lang"), col("n_chars"))
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang")),
+
+    // Curation: Gopher-style multi-rule quality filter with per-rule
+    // verdicts and a rejection audit trail.
+    "q62_quality_filter" -> ((s, dir) =>
+      TextAnalysis.qualityFilter(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Text: corpus bigram language model P(w2 | w1).
+    "q63_bigram_model" -> ((s, dir) =>
+      TextAnalysis.bigramModel(Tables.documents(s, dir)).orderBy("w1", "w2")),
+
+    // Time series: cohort retention triangle (first-seen day × offset).
+    "q64_cohort_retention" -> ((s, dir) =>
+      Timeseries.cohortRetention(Tables.events(s, dir))
+        .orderBy("cohort_day", "day_offset")),
+
+    // Stats: equi-width histogram (complements q57's equi-depth binning).
+    "q65_equiwidth_histogram" -> ((s, dir) =>
+      Stats.equiWidthHistogram(Tables.documents(s, dir), col("n_chars"))
+        .orderBy("bin")),
 
     // Map-typed columns: per-user event-type→count maps built with
     // map_from_entries, then consumed via size/map_keys/element_at and an
@@ -1097,6 +1151,121 @@ object SparkEntry {
         |                 ELSE 4 END AS INT) AS bin
         |FROM orders o JOIN cuts c USING (o_orderpriority)
         |ORDER BY o.o_orderpriority, o.o_orderkey""".stripMargin,
+
+    "q58_unpivot" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(l_quantity AS DOUBLE) AS q,
+        |         CAST(l_extendedprice AS DOUBLE) AS e,
+        |         CAST(l_discount AS DOUBLE) AS d,
+        |         CAST(l_tax AS DOUBLE) AS t
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |)
+        |SELECT l_orderkey, l_linenumber, 'quantity' AS measure, q AS value FROM b
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'extendedprice', e FROM b
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'discount', d FROM b
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'tax', t FROM b
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "q59_subword_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(ws) AS BIGINT) AS n_words,
+        |       CAST(list_sum(list_transform(ws, w -> (length(w) + 3) // 4)) AS BIGINT) AS n_subwords,
+        |       CAST(list_max(list_transform(ws, w -> (length(w) + 3) // 4)) AS BIGINT) AS max_word_pieces
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q60_gap_fill" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |s AS (SELECT MIN(epoch_day) AS lo, MAX(epoch_day) AS hi FROM c),
+        |d AS (SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS epoch_day FROM s),
+        |t AS (SELECT DISTINCT event_type FROM c)
+        |SELECT t.event_type, d.epoch_day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |FROM t CROSS JOIN d
+        |LEFT JOIN c ON c.event_type = t.event_type AND c.epoch_day = d.epoch_day
+        |ORDER BY t.event_type, d.epoch_day""".stripMargin,
+
+    "q61_exact_moments" ->
+      """WITH a AS (
+        |  SELECT lang, COUNT(*) AS n,
+        |         CAST(SUM(n_chars) AS BIGINT) AS s,
+        |         CAST(SUM(n_chars * n_chars) AS BIGINT) AS ss
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT lang, n,
+        |       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |       CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE) AS variance,
+        |       sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) AS stddev
+        |FROM a ORDER BY lang""".stripMargin,
+
+    "q62_quality_filter" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(ws) AS BIGINT) AS n_words,
+        |         CAST(CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS DOUBLE)
+        |           / CAST(len(ws) AS DOUBLE) AS avg_word_len,
+        |         CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) AS stop_hits
+        |  FROM t
+        |)
+        |SELECT doc_id, n_words, avg_word_len, stop_hits,
+        |       (n_words BETWEEN 40 AND 10000) AS len_ok,
+        |       (avg_word_len >= 3.0 AND avg_word_len <= 8.0) AS shape_ok,
+        |       (stop_hits > 0) AS stop_ok,
+        |       ((n_words BETWEEN 40 AND 10000)
+        |         AND avg_word_len >= 3.0 AND avg_word_len <= 8.0
+        |         AND stop_hits > 0) AS keep,
+        |       concat_ws(',',
+        |         CASE WHEN NOT (n_words BETWEEN 40 AND 10000) THEN 'length' END,
+        |         CASE WHEN NOT (avg_word_len >= 3.0 AND avg_word_len <= 8.0) THEN 'word_shape' END,
+        |         CASE WHEN NOT (stop_hits > 0) THEN 'no_stopwords' END) AS reject_reasons
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q63_bigram_model" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        |),
+        |bg AS (
+        |  SELECT unnest(ws[1:len(ws) - 1]) AS w1, unnest(ws[2:len(ws)]) AS w2 FROM t
+        |),
+        |c AS (SELECT w1, w2, COUNT(*) AS cnt FROM bg GROUP BY 1, 2)
+        |SELECT w1, w2, cnt,
+        |       CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS total,
+        |       CAST(cnt AS DOUBLE) / CAST(CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS DOUBLE) AS p
+        |FROM c ORDER BY w1, w2""".stripMargin,
+
+    "q64_cohort_retention" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events
+        |),
+        |c AS (
+        |  SELECT user_id, d, MIN(d) OVER (PARTITION BY user_id) AS cohort_day FROM ud
+        |)
+        |SELECT cohort_day, d - cohort_day AS day_offset,
+        |       CAST(COUNT(*) AS BIGINT) AS n_active
+        |FROM c GROUP BY 1, 2
+        |ORDER BY cohort_day, day_offset""".stripMargin,
+
+    "q65_equiwidth_histogram" ->
+      """WITH v AS (SELECT n_chars AS x FROM documents),
+        |s AS (SELECT MIN(x) AS lo, MAX(x) AS hi FROM v),
+        |b AS (
+        |  SELECT x, CAST(LEAST(9, ((x - lo) * 10) // (hi - lo + 1)) AS INT) AS bin
+        |  FROM v CROSS JOIN s
+        |)
+        |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS x_min, MAX(x) AS x_max
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q56_map_ops" ->
       """WITH c AS (

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed statistical profiling with oracle-exact arithmetic.
+  *
+  * Spark's own `avg`/`var_pop`/`stddev` fold doubles in partition order,
+  * so their results drift run-to-run and engine-to-engine. Both operators
+  * here keep every aggregate in exact integer space (map-side-combinable
+  * sums — one shuffle, counter-sized state) and derive each double output
+  * with single correctly-rounded IEEE ops on those exact integers, which
+  * makes the values bit-identical regardless of partitioning, fold order,
+  * or engine — the property the DuckDB oracle gate checks.
+  */
+object Stats {
+
+  /** Per-group count / mean / population variance / stddev of an integer
+    * measure, from the exact sufficient statistics (n, Σx, Σx²):
+    * `mean = Σx / n`, `var = (n·Σx² − (Σx)²) / n²` — numerator and
+    * denominator are exact longs, so each is ONE division; `stddev` is
+    * one `sqrt` of that. Caller guarantees `n·Σx²` and `(Σx)²` fit a
+    * long (|x| ≤ ~3M rows × 1M values is safe; overflow would wrap
+    * silently in Spark but ERROR in the DuckDB oracle, so drift gets
+    * caught, not hidden).
+    */
+  def exactMoments(df: DataFrame, group: Column, x: Column): DataFrame =
+    df.select(group.as("grp"), x.cast("long").as("x"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("s"),
+        sum(col("x") * col("x")).as("ss"))
+      .select(
+        col("grp"),
+        col("n"),
+        (col("s").cast("double") / col("n").cast("double")).as("mean"),
+        ((col("n") * col("ss") - col("s") * col("s")).cast("double") /
+          (col("n") * col("n")).cast("double")).as("variance"))
+      .withColumn("stddev", sqrt(col("variance")))
+
+  /** Fixed-bin equi-width histogram of an integer measure: bin index
+    * `min(bins−1, ⌊(x − lo)·bins / (hi − lo + 1)⌋)` over the observed
+    * [lo, hi] — the +1 keeps `x = hi` inside the last bin without a
+    * special case, and the `least` guard is belt-and-braces. The span is
+    * ONE aggregate row broadcast back over the scan, so the whole
+    * operator is two passes and one dimension-free shuffle (bins-sized
+    * output). The floor division is exact: the operands are exact
+    * integers ≪ 2^53, and an IEEE division whose true quotient is an
+    * integer returns it exactly, so bin edges can't smear across engines.
+    *
+    * Complements [[graft.SparkEntry]]'s quantile binning (equi-DEPTH,
+    * q57): equi-width answers "where is the mass", equi-depth "where are
+    * the cutoffs".
+    */
+  def equiWidthHistogram(df: DataFrame, x: Column, bins: Int = 10): DataFrame = {
+    val v = df.select(x.cast("long").as("x"))
+    val span = v.agg(min("x").as("lo"), max("x").as("hi"))
+    v.crossJoin(broadcast(span))
+      .select(
+        col("x"),
+        least(
+          lit(bins - 1),
+          floor(((col("x") - col("lo")) * bins).cast("double") /
+            (col("hi") - col("lo") + 1).cast("double")).cast("int")).as("bin"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("x")).as("x_min"),
+        max(col("x")).as("x_max"))
+  }
+}

@@ -192,6 +192,96 @@ object TextAnalysis {
       expr("size(array_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+', 0)))")
         .cast("long").as("n_token_types"))
 
+  /** Subword ("BPE-ish") token-budget estimation: the training-cost
+    * question "how many model tokens is this corpus" answered without a
+    * learned vocabulary — each whitespace word contributes
+    * `⌈len / maxPiece⌉` pieces, the fixed-width upper bound a byte-level
+    * BPE with maximum merged-piece length `maxPiece` can't exceed. Narrow
+    * per-document array arithmetic (one `transform`, no shuffle); the
+    * ceil-division is `⌊(len + maxPiece−1) / maxPiece⌋` on exact ints, so
+    * the floor of the IEEE quotient is engine-exact (integer true
+    * quotients divide exactly).
+    */
+  def subwordBudget(docs: DataFrame, maxPiece: Int = 4): DataFrame = {
+    val pieces = transform(
+      wordsCol,
+      w => floor((length(w) + lit(maxPiece - 1)).cast("double") / lit(maxPiece.toDouble))
+        .cast("long"))
+    docs.select(
+      col("doc_id"),
+      size(wordsCol).cast("long").as("n_words"),
+      aggregate(pieces, lit(0L), (a, x) => a + x).as("n_subwords"),
+      array_max(pieces).as("max_word_pieces"))
+  }
+
+  /** Gopher-style multi-rule quality filter with per-rule verdicts AND a
+    * machine-readable rejection trail: length band, mean-word-length band
+    * (both derived from exact integer sums, one IEEE division), and
+    * stopword presence. Unlike [[textStats]]' single `is_quality` bit,
+    * every rule reports individually and `reject_reasons` concatenates
+    * the failed rule names (`concat_ws` drops the NULLs of passing
+    * rules) — the audit trail a curation pipeline keeps so filtered
+    * corpora stay explainable. Narrow, zero-shuffle, codegen'd.
+    */
+  val FilterStopwords: Seq[String] = Seq("the", "a")
+
+  def qualityFilter(
+      docs: DataFrame,
+      minWords: Int = 40,
+      maxWords: Int = 10000,
+      minAvgLen: Double = 3.0,
+      maxAvgLen: Double = 8.0): DataFrame = {
+    val words = wordsCol
+    val nWords = size(words).cast("long")
+    val sumLen = aggregate(
+      transform(words, w => length(w).cast("long")), lit(0L), (a, x) => a + x)
+    docs.select(
+        col("doc_id"),
+        nWords.as("n_words"),
+        (sumLen.cast("double") / nWords.cast("double")).as("avg_word_len"),
+        hits(FilterStopwords).as("stop_hits"))
+      .withColumn("len_ok", col("n_words").between(minWords, maxWords))
+      .withColumn(
+        "shape_ok",
+        col("avg_word_len") >= minAvgLen && col("avg_word_len") <= maxAvgLen)
+      .withColumn("stop_ok", col("stop_hits") > 0)
+      .withColumn("keep", col("len_ok") && col("shape_ok") && col("stop_ok"))
+      .withColumn(
+        "reject_reasons",
+        concat_ws(
+          ",",
+          when(!col("len_ok"), lit("length")),
+          when(!col("shape_ok"), lit("word_shape")),
+          when(!col("stop_ok"), lit("no_stopwords"))))
+  }
+
+  /** Corpus bigram language model: `P(w2 | w1) = count(w1 w2) / count(w1 ·)`
+    * over adjacent whitespace-token pairs — the table a contamination /
+    * memorization probe or a cheap perplexity filter reads. Bigram
+    * extraction is doc-local (`zip_with` of the two word-array slices —
+    * narrow, no positional self-join); the only shuffles are the
+    * vocabulary²-bounded count aggregate (map-side combined) and the
+    * prefix-total window over `w1`. The conditional probability is one
+    * IEEE division of exact counts — engine-bit-identical.
+    */
+  def bigramModel(docs: DataFrame): DataFrame = {
+    val n = size(col("ws")) - 1
+    val counts = spread(docs)
+      .select(wordsCol.as("ws"))
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), greatest(n, lit(0))),
+        slice(col("ws"), lit(2), greatest(n, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn(
+        "total",
+        sum(col("cnt")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+      .withColumn("p", col("cnt").cast("double") / col("total").cast("double"))
+  }
+
   /** Stopword-profile language/register identification: count hits against
     * three fixed profiles, predict the best-scoring one (ties broken by
     * profile order). The n-gram-profile method in miniature, with profiles

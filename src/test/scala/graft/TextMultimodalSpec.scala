@@ -151,4 +151,50 @@ class TextMultimodalSpec extends SparkSpec {
     assert(h.length === 2)
     h.foreach(r => assert(r.getAs[String]("simhash").matches("[0-9a-f]{16}")))
   }
+
+  test("subword budget is the ceil-division piece count per word") {
+    // "the"→1, "a"→1, "the"→1, "join"→1, "scan"→1, "query"→2, "table"→2 = 9
+    val r = TextAnalysis.subwordBudget(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_words") === 7L)
+    assert(r(0).getAs[Long]("n_subwords") === 9L)
+    assert(r(0).getAs[Long]("max_word_pieces") === 2L)
+    assert(r(1).getAs[Long]("n_subwords") === 2L)
+    // maxPiece=2: "query" → ceil(5/2)=3 pieces.
+    val two = TextAnalysis.subwordBudget(docs, maxPiece = 2).orderBy("doc_id").collect()
+    assert(two(0).getAs[Long]("max_word_pieces") === 3L)
+  }
+
+  test("quality filter reports per-rule verdicts and reject reasons") {
+    val corpus = Seq(
+      doc(0L, Seq.fill(50)("the table").mkString(" ")), // 100 words, passes all
+      doc(1L, "x y"), // too short, no stopwords
+      doc(2L, Seq.fill(60)("abcdefghijklmnop").mkString(" "))) // long words, no stopwords
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.qualityFilter(corpus).orderBy("doc_id").collect()
+    assert(r(0).getAs[Boolean]("keep"))
+    assert(r(0).getAs[String]("reject_reasons") === "")
+    assert(!r(1).getAs[Boolean]("keep"))
+    assert(r(1).getAs[String]("reject_reasons") === "length,word_shape,no_stopwords")
+    assert(!r(2).getAs[Boolean]("keep"))
+    assert(r(2).getAs[String]("reject_reasons") === "word_shape,no_stopwords")
+  }
+
+  test("bigram model conditional probabilities sum to 1 per prefix") {
+    val corpus = Seq(
+      doc(0L, "a b a b a c"),
+      doc(1L, "b a"),
+      doc(2L, "solo"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.bigramModel(corpus).orderBy("w1", "w2").collect()
+    // Bigrams: (a,b)x2 (a,c)x1 (b,a)x3 — "solo" contributes none.
+    val byPair = r.map(x => (x.getAs[String]("w1"), x.getAs[String]("w2")) -> x).toMap
+    assert(byPair(("a", "b")).getAs[Long]("cnt") === 2L)
+    assert(byPair(("a", "b")).getAs[Long]("total") === 3L)
+    assert(math.abs(byPair(("a", "b")).getAs[Double]("p") - 2.0 / 3.0) < 1e-15)
+    assert(!byPair.contains(("solo", "solo")))
+    // Per-prefix probabilities partition the prefix mass.
+    r.groupBy(_.getAs[String]("w1")).foreach { case (_, rows) =>
+      assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-12)
+    }
+  }
 }

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Stats
+import graft.operators.Timeseries
+
+class TimeseriesStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Day 19723 = 2024-01-01. Three days with a gap on day 2 for type "a".
+  private def events = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 10L, "a", 1.0, "{}"),
+    (2L, ts("2024-01-01 11:00:00"), 11L, "b", 1.0, "{}"),
+    (3L, ts("2024-01-03 10:00:00"), 10L, "a", 1.0, "{}"),
+    (4L, ts("2024-01-02 10:00:00"), 12L, "b", 1.0, "{}"),
+    (5L, ts("2024-01-03 10:00:00"), 10L, "b", 1.0, "{}"))
+    .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("gap fill emits every (type, day) cell with explicit zeros") {
+    val r = Timeseries.gapFill(events).orderBy("event_type", "epoch_day").collect()
+    // 2 types × 3 days — the empty (a, day2) and (b, day3)... all cells present.
+    assert(r.length === 6)
+    val cells = r.map(x =>
+      (x.getAs[String]("event_type"), x.getAs[Long]("epoch_day")) -> x.getAs[Long]("n")).toMap
+    val d0 = cells.keys.map(_._2).min
+    assert(cells(("a", d0)) === 1L)
+    assert(cells(("a", d0 + 1)) === 0L) // the gap, zero-filled not dropped
+    assert(cells(("a", d0 + 2)) === 1L)
+    assert(cells(("b", d0 + 1)) === 1L)
+    assert(r.map(_.getAs[Long]("n")).sum === 5L)
+  }
+
+  test("cohort retention counts distinct users per (cohort, offset)") {
+    val r = Timeseries.cohortRetention(events).collect()
+    val cells = r.map(x =>
+      (x.getAs[Long]("cohort_day"), x.getAs[Long]("day_offset")) -> x.getAs[Long]("n_active")).toMap
+    val d0 = cells.keys.map(_._1).min
+    // Users 10, 11 first seen day 0; user 12 first seen day 1.
+    assert(cells((d0, 0L)) === 2L)
+    assert(cells((d0, 2L)) === 1L) // only user 10 returns on day 2
+    assert(cells((d0 + 1, 0L)) === 1L)
+  }
+
+  test("exact moments match closed-form mean/variance bit-for-bit") {
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 3L), ("g", 6L), ("h", 5L))
+      .toDF("k", "x")
+    val r = Stats.exactMoments(df, col("k"), col("x")).orderBy("grp").collect()
+    val g = r(0)
+    assert(g.getAs[Long]("n") === 4L)
+    assert(g.getAs[Double]("mean") === 3.0)
+    // var = (4*50 - 12²)/16 = 56/16 = 3.5 exactly.
+    assert(g.getAs[Double]("variance") === 3.5)
+    assert(g.getAs[Double]("stddev") === math.sqrt(3.5))
+    val h = r(1)
+    assert(h.getAs[Double]("variance") === 0.0)
+  }
+
+  test("equi-width histogram buckets span [lo, hi] with max in the last bin") {
+    val df = (0L to 100L).map(x => Tuple1(x)).toDF("x")
+    val r = Stats.equiWidthHistogram(df, col("x"), bins = 10).orderBy("bin").collect()
+    assert(r.length === 10)
+    assert(r.head.getAs[Int]("bin") === 0)
+    assert(r.last.getAs[Int]("bin") === 9)
+    // 101 values over width ⌈101/10⌉: bins 0..9 hold 11,10,10,... per the
+    // floor formula; total conserved and hi lands in the final bin.
+    assert(r.map(_.getAs[Long]("n")).sum === 101L)
+    assert(r.last.getAs[Long]("x_max") === 100L)
+    assert(r.head.getAs[Long]("x_min") === 0L)
+    // Bin edges are non-overlapping and ordered.
+    val pairs = r.map(x => (x.getAs[Long]("x_min"), x.getAs[Long]("x_max")))
+    pairs.sliding(2).foreach { case Array((_, aMax), (bMin, _)) => assert(aMax < bMin) }
+  }
+}
