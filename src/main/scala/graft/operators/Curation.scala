@@ -158,4 +158,23 @@ object Curation {
         min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_docs"),
         sort_array(collect_list(col("doc_id"))).as("members"))
+
+  /** Changelog/CDC compaction: the LATEST row per key from an append-only
+    * change stream — upsert materialization, the table-maintenance pass
+    * every ingestion pipeline runs before serving a snapshot. `ordering`
+    * must be a total order within a key (e.g. version desc, then a unique
+    * id desc as tie-break) or "latest" is not well-defined.
+    *
+    * One shuffle on the key; Spark plans the rank-1 filter as
+    * WindowGroupLimit, so each map task forwards only its per-key best
+    * row — the shuffle carries ~|keys| rows, not the full changelog,
+    * which is what makes compaction of a petabyte changelog tractable.
+    */
+  def latestSnapshot(changelog: DataFrame, keys: Seq[Column], ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(ordering: _*)
+    changelog
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
 }

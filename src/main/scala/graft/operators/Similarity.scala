@@ -370,4 +370,53 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("dp"))
   }
+
+  /** Incremental embedding near-dup detection of a new snapshot against a
+    * kept corpus — the vector-space member of the `dedupAgainst` family
+    * (exact digests: [[Curation.dedupAgainst]]; text MinHash:
+    * [[Dedup.nearDupAgainst]]). Each snapshot vector multi-probes the kept
+    * corpus's sign-LSH index ([[signBuckets]] — at production scale the
+    * kept side is computed once and persisted), candidates join on the
+    * bucket key alone, and survivors are verified with the exact
+    * quantized cosine before the `minCosine` cut. Output: one row per
+    * flagged snapshot vector with its best kept match (highest cosine,
+    * lowest kept id on ties) — the drop list for corpus admission.
+    *
+    * The kept corpus never shuffles by anything but its (already
+    * computed) bucket key; probe fan-out is `|masks|` rows per snapshot
+    * vector, not per pair; the per-vector best-match window is bounded by
+    * the candidate count. Approximation lives ONLY in candidate recall
+    * (bounded by the probe radius) — every emitted cosine is exact.
+    */
+  def embedNearDupAgainst(
+      kept: DataFrame,
+      snapshot: DataFrame,
+      minCosine: Double = 0.2,
+      numPlanes: Int = DefaultNumPlanes,
+      dim: Int = 64,
+      probeBits: Int = 1): DataFrame = {
+    val k = signBucketsQuantized(kept, numPlanes, dim)
+      .select(
+        col("vec_id").as("kept_id"),
+        col("_qe").as("k_qe"),
+        col("bucket"))
+    val masks = probeMasks(numPlanes, probeBits)
+    val s = signBucketsQuantized(snapshot, numPlanes, dim)
+      .select(
+        col("vec_id"),
+        col("_qe").as("s_qe"),
+        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("kept_id"))
+    k.join(s, Seq("bucket"))
+      .withColumn("dp", dot(col("s_qe"), col("k_qe")))
+      .withColumn(
+        "cosine",
+        col("dp").cast("double") /
+          (sqrt(dot(col("s_qe"), col("s_qe")).cast("double")) *
+            sqrt(dot(col("k_qe"), col("k_qe")).cast("double"))))
+      .filter(col("cosine") >= minCosine)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("kept_id").as("match_id"), col("dp"), col("cosine"))
+  }
 }
