@@ -450,6 +450,32 @@ object SparkEntry {
       Stats.equiWidthHistogram(Tables.documents(s, dir), col("n_chars"))
         .orderBy("bin")),
 
+    // Similarity: incremental embedding near-dup admission — each snapshot
+    // vector multi-probes the kept corpus's sign-LSH index, survivors
+    // verified with the exact quantized cosine, best kept match reported.
+    "q66_embed_near_dup_against" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.embedNearDupAgainst(
+        emb.filter(col("vec_id") < 250), emb.filter(col("vec_id") >= 250),
+        minCosine = 0.2)
+        .orderBy("vec_id")
+    }),
+
+    // Curation: changelog/CDC compaction — the latest event per user under
+    // a total (ts desc, event_id desc) order, i.e. upsert materialization.
+    "q67_latest_snapshot" -> ((s, dir) =>
+      Curation.latestSnapshot(
+        Tables.events(s, dir),
+        Seq(col("user_id")),
+        Seq(col("ts").desc, col("event_id").desc))
+        .select(
+          col("user_id"),
+          unix_micros(col("ts")).as("ts_us"),
+          col("event_id"),
+          col("event_type"),
+          col("value"))
+        .orderBy("user_id")),
+
     // Map-typed columns: per-user event-type→count maps built with
     // map_from_entries, then consumed via size/map_keys/element_at and an
     // aggregate HOF over map_values. The oracle reproduces the OUTPUT with
@@ -1267,6 +1293,16 @@ object SparkEntry {
         |SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, MIN(x) AS x_min, MAX(x) AS x_max
         |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
 
+    "q66_embed_near_dup_against" -> embedNearDupOracle,
+
+    "q67_latest_snapshot" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, value FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
     "q56_map_ops" ->
       """WITH c AS (
         |  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2
@@ -1657,6 +1693,60 @@ object SparkEntry {
        |)
        |SELECT query_id, vec_id AS neighbor_id, rnk, dp FROM r WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Similarity.embedNearDupAgainst]]: kept =
+    * vec_id < 250, snapshot = the rest; snapshot side multi-probes the
+    * kept sign-LSH buckets, exact quantized cosine (snapshot-norm first,
+    * matching the Spark operand order bit-for-bit), best kept match per
+    * flagged snapshot vector with the lowest-kept-id tie-break.
+    */
+  private def embedNearDupOracle: String = {
+    val planes = graft.operators.Similarity
+      .hyperplanes(graft.operators.Similarity.DefaultNumPlanes, 64)
+      .map(_.map(c => math.floor(c * 1000000).toLong))
+    val probeMaskList = graft.operators.Similarity
+      .probeMasks(graft.operators.Similarity.DefaultNumPlanes, probeBits = 1)
+      .mkString("[", ",", "]")
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), ii -> qe[ii] * ($planeLit)[ii])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n         + ")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |),
+       |b AS (
+       |  SELECT vec_id, qe,
+       |         CAST(list_sum(list_transform(range(1, 65), ii -> qe[ii] * qe[ii])) AS BIGINT) AS n2,
+       |         $bucketExpr AS bucket
+       |  FROM e
+       |),
+       |kept AS (SELECT vec_id AS kept_id, qe AS k_qe, n2 AS k_n2, bucket FROM b WHERE vec_id < 250),
+       |snap AS (
+       |  SELECT vec_id, qe AS s_qe, n2 AS s_n2, xor(bucket, m) AS bucket
+       |  FROM b CROSS JOIN (SELECT unnest($probeMaskList) AS m)
+       |  WHERE vec_id >= 250
+       |),
+       |scored AS (
+       |  SELECT snap.vec_id, kept.kept_id,
+       |         CAST(list_sum(list_transform(range(1, 65), ii -> snap.s_qe[ii] * kept.k_qe[ii])) AS BIGINT) AS dp,
+       |         snap.s_n2, kept.k_n2
+       |  FROM kept JOIN snap USING (bucket)
+       |),
+       |cos AS (
+       |  SELECT vec_id, kept_id, dp,
+       |         CAST(dp AS DOUBLE) / (sqrt(CAST(s_n2 AS DOUBLE)) * sqrt(CAST(k_n2 AS DOUBLE))) AS cosine
+       |  FROM scored
+       |),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, kept_id) AS rnk
+       |  FROM cos
+       |  WHERE cosine >= 0.2
+       |)
+       |SELECT vec_id, kept_id AS match_id, dp, cosine FROM r WHERE rnk = 1
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** Shared oracle CTE: embeddings quantized to exact longs + self dot. */

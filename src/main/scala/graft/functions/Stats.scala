@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
 
 /** Distributed statistical profiling with oracle-exact arithmetic.
   *
@@ -18,14 +19,17 @@ object Stats {
   /** Per-group count / mean / population variance / stddev of an integer
     * measure, from the exact sufficient statistics (n, Σx, Σx²):
     * `mean = Σx / n`, `var = (n·Σx² − (Σx)²) / n²` — numerator and
-    * denominator are exact longs, so each is ONE division; `stddev` is
-    * one `sqrt` of that. Caller guarantees `n·Σx²` and `(Σx)²` fit a
-    * long (|x| ≤ ~3M rows × 1M values is safe; overflow would wrap
-    * silently in Spark but ERROR in the DuckDB oracle, so drift gets
-    * caught, not hidden).
+    * denominator are exact integers, so each is ONE division; `stddev`
+    * is one `sqrt` of that. All sums and products are carried as
+    * `DECIMAL(38,0)` (exact 128-bit integer space — the same width the
+    * DuckDB oracle's HUGEINT uses), so the variance numerator cannot
+    * wrap a long: the operator is exact while `n·Σx² < 10³⁸` (e.g. 10¹²
+    * rows of |x| ≤ 10¹²), and past that Spark yields NULL rather than a
+    * silently wrong value.
     */
-  def exactMoments(df: DataFrame, group: Column, x: Column): DataFrame =
-    df.select(group.as("grp"), x.cast("long").as("x"))
+  def exactMoments(df: DataFrame, group: Column, x: Column): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 0)
+    df.select(group.as("grp"), x.cast("long").cast(dec).as("x"))
       .groupBy(col("grp"))
       .agg(
         count(lit(1)).as("n"),
@@ -35,9 +39,10 @@ object Stats {
         col("grp"),
         col("n"),
         (col("s").cast("double") / col("n").cast("double")).as("mean"),
-        ((col("n") * col("ss") - col("s") * col("s")).cast("double") /
-          (col("n") * col("n")).cast("double")).as("variance"))
+        ((col("n").cast(dec) * col("ss") - col("s") * col("s")).cast("double") /
+          (col("n").cast(dec) * col("n")).cast("double")).as("variance"))
       .withColumn("stddev", sqrt(col("variance")))
+  }
 
   /** Fixed-bin equi-width histogram of an integer measure: bin index
     * `min(bins−1, ⌊(x − lo)·bins / (hi − lo + 1)⌋)` over the observed

@@ -171,10 +171,15 @@ object Curation {
     * which is what makes compaction of a petabyte changelog tractable.
     */
   def latestSnapshot(changelog: DataFrame, keys: Seq[Column], ordering: Seq[Column]): DataFrame = {
+    // The working column must not collide with user data: `withColumn`
+    // silently REPLACES an existing column and the final drop would then
+    // delete it. Probe for a free name instead of trusting a fixed one.
+    val rn = Iterator.from(0).map(i => s"__graft_rn$i")
+      .find(n => !changelog.columns.contains(n)).get
     val w = Window.partitionBy(keys: _*).orderBy(ordering: _*)
     changelog
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+      .withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1)
+      .drop(rn)
   }
 }

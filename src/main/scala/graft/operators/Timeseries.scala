@@ -1,9 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Time-series completeness operators over an event stream
   * `events(event_id, ts, user_id, event_type, value, props)`.
@@ -23,12 +22,17 @@ object Timeseries {
     * stats (cf. q49) need gap-free series, and a groupBy alone silently
     * drops empty days.
     *
-    * The daily aggregate is computed once ([[StorageLevel.MEMORY_AND_DISK]]
-    * persist — it feeds the span, the type dimension, and the final join;
-    * lineage is kept so executor loss recomputes instead of failing), the
-    * dense calendar is `sequence(lo, hi)` exploded from the single span
-    * row, and the type × day cross product stays dimension-sized, so the
-    * left join broadcasts.
+    * Single-pass, zero-persist plan: the event table is scanned exactly
+    * once into the daily aggregate, and the densification happens INSIDE
+    * that one lineage with window functions — the global [lo, hi] span
+    * as an unpartitioned window min/max (a one-partition exchange, safe
+    * because the post-aggregation input is dimension-sized: |types| ×
+    * |active days|), then each row emits the zero-run between its
+    * predecessor (or `lo`) and itself, plus the trailing run to `hi` on
+    * the per-type last row. No cache handle to leak, nothing scanned
+    * twice. The `sequence` bounds are guarded: Spark's `sequence(a, b)`
+    * DESCENDS when a > b, so empty gaps must produce empty arrays, not
+    * backwards runs.
     */
   def gapFill(events: DataFrame): DataFrame = {
     val daily = events
@@ -36,16 +40,29 @@ object Timeseries {
         col("event_type"),
         unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
       .agg(count(lit(1)).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val span = daily.agg(min("epoch_day").as("lo"), max("epoch_day").as("hi"))
-    val days = span.select(explode(sequence(col("lo"), col("hi"))).as("epoch_day"))
-    val types = daily.select(col("event_type")).distinct()
-    types.crossJoin(days)
-      .join(daily, Seq("event_type", "epoch_day"), "left")
+    val global = Window.partitionBy()
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+    def zeroRun(from: Column, to: Column): Column =
+      when(from <= to,
+        transform(sequence(from, to), d => struct(d.as("epoch_day"), lit(0L).as("n"))))
+        .otherwise(array().cast("array<struct<epoch_day:bigint,n:bigint>>"))
+    daily
+      .withColumn("lo", min(col("epoch_day")).over(global))
+      .withColumn("hi", max(col("epoch_day")).over(global))
+      .withColumn("fill_from", coalesce(lag(col("epoch_day"), 1).over(byType) + 1, col("lo")))
+      .withColumn("tail_to",
+        when(lead(col("epoch_day"), 1).over(byType).isNull, col("hi"))
+          .otherwise(col("epoch_day")))
       .select(
         col("event_type"),
-        col("epoch_day"),
-        coalesce(col("n"), lit(0L)).as("n"))
+        explode(concat(
+          zeroRun(col("fill_from"), col("epoch_day") - 1),
+          array(struct(col("epoch_day"), col("n"))),
+          zeroRun(col("epoch_day") + 1, col("tail_to")))).as("cell"))
+      .select(
+        col("event_type"),
+        col("cell.epoch_day").as("epoch_day"),
+        col("cell.n").as("n"))
   }
 
   /** Cohort retention: users grouped by their first-seen day (the cohort),

@@ -83,6 +83,38 @@ class CurationSpec extends SparkSpec {
     perSource.values.foreach(n => assert(n > 50 && n < 150, s"stratum rate off: $perSource"))
   }
 
+  test("latestSnapshot keeps exactly the ordering-first row per key") {
+    import org.apache.spark.sql.functions.col
+    val changelog = Seq(
+      (1L, 1L, "a"), // key 1, version 1
+      (1L, 3L, "c"), // key 1, latest
+      (1L, 2L, "b"),
+      (2L, 1L, "x")) // key 2, only row
+      .toDF("k", "version", "payload")
+    val snap = Curation.latestSnapshot(
+      changelog, Seq(col("k")), Seq(col("version").desc, col("payload").desc))
+      .orderBy("k").collect()
+    assert(snap.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ===
+      Seq((1L, 3L, "c"), (2L, 1L, "x")))
+  }
+
+  test("latestSnapshot preserves a user column named like its working column") {
+    import org.apache.spark.sql.functions.col
+    // A changelog that already carries `__graft_rn0` (and even `__graft_rn1`)
+    // must come through untouched — the operator probes for a free name
+    // instead of silently replacing-and-dropping user data.
+    val changelog = Seq(
+      (1L, 1L, 7L, 8L),
+      (1L, 2L, 9L, 10L))
+      .toDF("k", "version", "__graft_rn0", "__graft_rn1")
+    val snap = Curation.latestSnapshot(changelog, Seq(col("k")), Seq(col("version").desc))
+      .collect()
+    assert(snap.length === 1)
+    assert(snap(0).getAs[Long]("__graft_rn0") === 9L)
+    assert(snap(0).getAs[Long]("__graft_rn1") === 10L)
+    assert(snap(0).schema.fieldNames.toSeq === Seq("k", "version", "__graft_rn0", "__graft_rn1"))
+  }
+
   test("normalizedDuplicates groups case/punctuation variants raw dedup misses") {
     val docs = Seq(
       doc(0L, "Hello, World!"),

@@ -200,6 +200,29 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ann.contains(4L)) // the exact duplicate is always recalled
   }
 
+  test("embedNearDupAgainst flags snapshot vectors near the kept corpus, best-match ties to lowest kept id") {
+    // Kept ids 0 and 4 are IDENTICAL vectors: a snapshot duplicate must
+    // match both at cosine 1.0 and the tie-break must pick kept_id 0.
+    val kept = vecs.union(
+      Seq((4L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0)).toDF("vec_id", "embedding", "label"))
+    val snapshot = Seq(
+      (100L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),  // exact dup of kept 0/4
+      (101L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),  // near-dup of kept 0/1
+      (102L, Seq(0.0f, 0.0f, 0.0f, 1.0f), 9))  // orthogonal to everything kept
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embedNearDupAgainst(
+      kept, snapshot, minCosine = 0.9, numPlanes = 8, dim = 4)
+      .orderBy("vec_id").collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(100L, 101L)) // 102 is clean
+    val dup = out(0)
+    assert(dup.getAs[Long]("match_id") === 0L) // cosine tie vs kept 4 → lowest id
+    assert(math.abs(dup.getAs[Double]("cosine") - 1.0) < 1e-9)
+    val near = out(1)
+    // (0.9, 0.1)·(1, 0) / (|a||b|) ≈ 0.9939 against kept 1 (identical → 1.0)
+    assert(near.getAs[Long]("match_id") === 1L)
+    assert(near.getAs[Double]("cosine") > 0.999)
+  }
+
   test("multi-probe ANN recalls >=0.9 of exact top-k on clustered vectors") {
     // 10 clusters × 20 vectors (base pattern + small deterministic noise):
     // the regime LSH is built for, where true neighbors sit ~one flipped

@@ -57,6 +57,36 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(h.getAs[Double]("variance") === 0.0)
   }
 
+  test("gap fill zero-runs cover leading and trailing edges of the global span") {
+    // Type "c" is active ONLY on the middle day of a 3-day global span:
+    // its row must densify to a leading zero (day 0) AND a trailing zero
+    // (day 2) — the two window-fill branches a middle-gap case never hits.
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-03 10:00:00"), 10L, "a", 1.0, "{}"),
+      (3L, ts("2024-01-02 10:00:00"), 11L, "c", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val r = Timeseries.gapFill(e).orderBy("event_type", "epoch_day").collect()
+    assert(r.length === 6)
+    val c = r.filter(_.getAs[String]("event_type") == "c").map(_.getAs[Long]("n")).toSeq
+    assert(c === Seq(0L, 1L, 0L))
+    // Zero-persist contract: the operator must not leave NEW cached
+    // blocks behind (the round-4 leak — one cache entry per invocation).
+    assert(spark.sparkContext.getPersistentRDDs.keySet === cachedBefore)
+  }
+
+  test("exact moments stay exact past the long-wrap regime") {
+    // Σx² = 1.6e19 overflows a signed long (9.2e18); the decimal(38,0)
+    // sufficient statistics must still give the exact population
+    // variance of {0, 4e9}: (4e9)²/4 = 4e18 (exactly representable).
+    val df = Seq(("g", 0L), ("g", 4000000000L)).toDF("k", "x")
+    val r = Stats.exactMoments(df, col("k"), col("x")).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Double]("mean") === 2.0e9)
+    assert(r(0).getAs[Double]("variance") === 4.0e18)
+  }
+
   test("equi-width histogram buckets span [lo, hi] with max in the last bin") {
     val df = (0L to 100L).map(x => Tuple1(x)).toDF("x")
     val r = Stats.equiWidthHistogram(df, col("x"), bins = 10).orderBy("bin").collect()
