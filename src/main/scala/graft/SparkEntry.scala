@@ -476,6 +476,28 @@ object SparkEntry {
           col("value"))
         .orderBy("user_id")),
 
+    // Dedup: benchmark-contamination scan — corpus docs sharing ≥2
+    // distinct 3-gram shingles with any doc of a held-out eval set
+    // (doc_id < 50 — eval sets stay small at every corpus scale, which
+    // is exactly what makes the broadcast side broadcastable).
+    "q68_contamination" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.benchmarkContamination(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+        .orderBy("doc_id", "bench_id")
+    }),
+
+    // Text: tokenizer vocabulary — top-1000 corpus tokens with ≥2
+    // occurrences, contiguous ids in (frequency desc, token) order.
+    "q69_vocabulary" -> ((s, dir) =>
+      TextAnalysis.vocabulary(Tables.documents(s, dir))
+        .orderBy("token_id")),
+
+    // Embeddings: per-dimension standardization (exact-moment z-scores).
+    "q70_standardize" -> ((s, dir) =>
+      Similarity.standardize(Tables.embeddings(s, dir))
+        .orderBy("vec_id", "dim")),
+
     // Map-typed columns: per-user event-type→count maps built with
     // map_from_entries, then consumed via size/map_keys/element_at and an
     // aggregate HOF over map_values. The oracle reproduces the OUTPUT with
@@ -1302,6 +1324,65 @@ object SparkEntry {
         |  FROM events)
         |WHERE rn = 1
         |ORDER BY user_id""".stripMargin,
+
+    "q68_contamination" ->
+      s"""WITH $docShingles,
+         |shh AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+         |  FROM sh
+         |),
+         |corpus AS (SELECT doc_id, h FROM shh WHERE doc_id >= 50),
+         |bench AS (SELECT doc_id AS bench_id, h FROM shh WHERE doc_id < 50)
+         |SELECT c.doc_id, b.bench_id, CAST(COUNT(*) AS BIGINT) AS n_common
+         |FROM corpus c JOIN bench b USING (h)
+         |GROUP BY c.doc_id, b.bench_id
+         |HAVING COUNT(*) >= 2
+         |ORDER BY c.doc_id, b.bench_id""".stripMargin,
+
+    "q69_vocabulary" ->
+      """WITH t AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents
+        |),
+        |c AS (
+        |  SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM t WHERE LEN(token) > 0
+        |  GROUP BY token HAVING COUNT(*) >= 2
+        |),
+        |r AS (
+        |  SELECT token, n,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token) AS INT) AS token_id
+        |  FROM c
+        |)
+        |SELECT token_id, token, n FROM r WHERE token_id <= 1000
+        |ORDER BY token_id""".stripMargin,
+
+    "q70_standardize" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+        |  FROM embeddings
+        |),
+        |x AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, qe[i] AS x
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |),
+        |m AS (
+        |  SELECT dim, COUNT(*) AS n,
+        |         CAST(SUM(x) AS BIGINT) AS s,
+        |         CAST(SUM(x * x) AS BIGINT) AS ss
+        |  FROM x GROUP BY dim
+        |),
+        |mm AS (
+        |  SELECT dim,
+        |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |         sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) AS stddev
+        |  FROM m
+        |)
+        |SELECT x.vec_id, x.dim,
+        |       CASE WHEN mm.stddev = 0 THEN 0.0
+        |            ELSE (CAST(x.x AS DOUBLE) - mm.mean) / mm.stddev END AS z
+        |FROM x JOIN mm USING (dim)
+        |ORDER BY x.vec_id, x.dim""".stripMargin,
 
     "q56_map_ops" ->
       """WITH c AS (

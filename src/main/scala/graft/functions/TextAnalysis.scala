@@ -282,6 +282,36 @@ object TextAnalysis {
       .withColumn("p", col("cnt").cast("double") / col("total").cast("double"))
   }
 
+  /** Tokenizer-vocabulary construction: the `maxSize` most frequent
+    * corpus tokens with at least `minCount` occurrences, assigned
+    * contiguous ids in (frequency desc, token) order — the frequency
+    * table a word-level tokenizer trains from.
+    *
+    * The only corpus-sized stage is the map-side-combined token count
+    * (wordcount shape — counter state per distinct token, not per
+    * occurrence). Candidate selection is `orderBy`+`limit` (planned as
+    * TakeOrderedAndProject: per-partition top-maxSize, merged on the
+    * driver — no global sort), and only then does the single-partition
+    * `row_number` run, over a frame already bounded at `maxSize` rows,
+    * so the non-parallel step is vocab-sized no matter the corpus.
+    */
+  def vocabulary(docs: DataFrame, maxSize: Int = 1000, minCount: Long = 2): DataFrame = {
+    val order = Seq(col("n").desc, col("token"))
+    spread(docs)
+      .select(explode(wordsCol).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+      .orderBy(order: _*)
+      .limit(maxSize)
+      .withColumn(
+        "token_id",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
+      .select(col("token_id"), col("token"), col("n"))
+  }
+
   /** Stopword-profile language/register identification: count hits against
     * three fixed profiles, predict the best-scoring one (ties broken by
     * profile order). The n-gram-profile method in miniature, with profiles

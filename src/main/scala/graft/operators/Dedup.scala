@@ -312,6 +312,41 @@ object Dedup {
     snapshot.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")
   }
 
+  /** Benchmark/eval-set contamination scan: every (corpus doc, benchmark
+    * doc) pair sharing at least `minOverlap` distinct k-gram shingles,
+    * with the exact overlap count — the decontamination pass an LLM
+    * training pipeline runs so evaluation prompts don't leak into
+    * training data (n-gram overlap is the standard published criterion).
+    *
+    * The benchmark side is eval-set-sized by nature, so its shingle
+    * digests BROADCAST: the corpus is scanned exactly once, never
+    * shuffled by shingle, and the only shuffle is the per-(doc, bench)
+    * overlap count over rows that already matched — contaminated pairs,
+    * not the corpus. Shingles come from the same fused
+    * [[graft.expressions.ShingleDigests]] pass as [[jaccardPairs]]
+    * (per-doc DISTINCT 60-bit digests, no string construction), so
+    * `count` over join hits IS the distinct-shingle overlap.
+    */
+  def benchmarkContamination(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 3,
+      minOverlap: Int = 2): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    def digests(df: DataFrame) = TextAnalysis.spread(df)
+      .select(
+        col("doc_id"),
+        bridge.column(graft.expressions.ShingleDigests(
+          bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
+      .select(col("doc_id"), explode(col("ds")).as("shh"))
+    val bench = digests(benchmark).select(col("doc_id").as("bench_id"), col("shh"))
+    digests(corpus)
+      .join(broadcast(bench), Seq("shh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common") >= minOverlap)
+  }
+
   /** Exact k-shingle Jaccard similarity for every pair of documents sharing
     * at least one shingle, thresholded. The join is on the shingle string,
     * so only co-shingled pairs are ever materialized; `jaccard` is a single

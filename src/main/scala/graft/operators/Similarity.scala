@@ -371,6 +371,37 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("dp"))
   }
 
+  /** Per-dimension standardization of an embedding corpus — z-scores
+    * `(x − mean_d) / stddev_d` over each dimension's distribution, the
+    * feature-scaling pass before distance-based indexing or clustering so
+    * no dimension dominates by raw magnitude alone.
+    *
+    * Embeddings are quantized to exact longs ([[quantize]]'s scheme), the
+    * per-dimension moments come from [[graft.functions.Stats.exactMoments]]
+    * (exact DECIMAL(38,0) sufficient statistics — one map-side-combined
+    * shuffle with |dims| groups), and the dimension-count-sized moment
+    * table broadcasts back over the corpus, so the corpus itself never
+    * shuffles. Every z is two single correctly-rounded IEEE ops (one
+    * subtract, one divide) on engine-identical doubles — bit-reproducible
+    * across engines and partitionings. Constant dimensions (stddev 0)
+    * standardize to 0 rather than NaN.
+    */
+  def standardize(embeddings: DataFrame): DataFrame = {
+    val x = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(
+        col("vec_id"), col("dim"),
+        floor(col("v").cast("double") * 1000000).cast("long").as("x"))
+    val m = graft.functions.Stats.exactMoments(x, col("dim"), col("x"))
+      .select(col("grp").as("dim"), col("mean"), col("stddev"))
+    x.join(broadcast(m), Seq("dim"))
+      .select(
+        col("vec_id"), col("dim"),
+        when(col("stddev") === 0, lit(0.0))
+          .otherwise((col("x").cast("double") - col("mean")) / col("stddev"))
+          .as("z"))
+  }
+
   /** Incremental embedding near-dup detection of a new snapshot against a
     * kept corpus — the vector-space member of the `dedupAgainst` family
     * (exact digests: [[Curation.dedupAgainst]]; text MinHash:

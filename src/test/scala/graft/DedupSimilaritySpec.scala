@@ -141,6 +141,42 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaIndex === survivors)
   }
 
+  test("benchmarkContamination flags corpus docs by distinct-shingle overlap with the eval set") {
+    val corpus = Seq(
+      (10L, "a b c d e", "en", "s0", 9L),   // shares "a b c","b c d" with bench 0 → 2
+      (11L, "a b c zzz", "en", "s0", 9L),   // shares only "a b c" → 1, below cut
+      (12L, "q r s t u", "en", "s0", 9L))   // shares nothing
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bench = Seq(
+      (0L, "a b c d x", "en", "s0", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.benchmarkContamination(corpus, bench, k = 3, minOverlap = 2)
+      .collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("doc_id") === 10L)
+    assert(out(0).getAs[Long]("bench_id") === 0L)
+    assert(out(0).getAs[Long]("n_common") === 2L)
+    // Dropping the threshold surfaces the single-shingle pair too.
+    val loose = Dedup.benchmarkContamination(corpus, bench, k = 3, minOverlap = 1)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(loose === Set(10L, 11L))
+  }
+
+  test("standardize z-scores each dimension; constant dimensions go to 0") {
+    // dim 0: values {1, 3} → mean 2e6 (quantized), stddev 1e6 → z = ∓1.
+    // dim 1: constant → stddev 0 → z = 0 (not NaN).
+    val emb = Seq(
+      (0L, Seq(1.0f, 5.0f)),
+      (1L, Seq(3.0f, 5.0f)))
+      .toDF("vec_id", "embedding")
+    val z = Similarity.standardize(emb).orderBy("vec_id", "dim").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("dim")) -> r.getAs[Double]("z")).toMap
+    assert(z((0L, 0)) === -1.0)
+    assert(z((1L, 0)) === 1.0)
+    assert(z((0L, 1)) === 0.0)
+    assert(z((1L, 1)) === 0.0)
+  }
+
   test("jaccard doc-frequency cap bounds hot-shingle pair blowup") {
     // 120 docs share one boilerplate shingle but nothing else: uncapped,
     // every pair co-shingles (120·119/2 = 7140 pairs at jaccard exactly

@@ -179,6 +179,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r(2).getAs[String]("reject_reasons") === "word_shape,no_stopwords")
   }
 
+  test("vocabulary ranks by frequency then token, honoring minCount and maxSize") {
+    val corpus = Seq(
+      doc(0L, "b b b a a c"),
+      doc(1L, "a  c"),     // run of spaces — no empty token may enter the vocab
+      doc(2L, ""))         // empty doc contributes nothing
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Counts: a=3, b=3, c=2. Tie a/b broken by token order.
+    val full = TextAnalysis.vocabulary(corpus, maxSize = 10, minCount = 2)
+      .orderBy("token_id").collect()
+      .map(r => (r.getAs[Int]("token_id"), r.getAs[String]("token"), r.getAs[Long]("n")))
+    assert(full.toSeq === Seq((1, "a", 3L), (2, "b", 3L), (3, "c", 2L)))
+    // maxSize truncates AFTER ranking; minCount drops the tail.
+    val capped = TextAnalysis.vocabulary(corpus, maxSize = 2, minCount = 2)
+      .orderBy("token_id").collect().map(_.getAs[String]("token"))
+    assert(capped.toSeq === Seq("a", "b"))
+    val strict = TextAnalysis.vocabulary(corpus, maxSize = 10, minCount = 3)
+      .collect().map(_.getAs[String]("token")).toSet
+    assert(strict === Set("a", "b"))
+  }
+
   test("bigram model conditional probabilities sum to 1 per prefix") {
     val corpus = Seq(
       doc(0L, "a b a b a c"),
