@@ -498,6 +498,25 @@ object SparkEntry {
       Similarity.standardize(Tables.embeddings(s, dir))
         .orderBy("vec_id", "dim")),
 
+    // Stats: per-priority winsorization of order values at [p05, p95] —
+    // quantile cutoffs are engine-bit-identical, the clip is comparison-only.
+    "q71_winsorize" -> ((s, dir) =>
+      Stats.winsorize(
+        Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("grp", "id")),
+
+    // Time series: per-user consecutive event-type transitions (funnel /
+    // Markov-chain matrix) under a deterministic (ts, event_id) order.
+    "q72_transition_matrix" -> ((s, dir) =>
+      Timeseries.transitionMatrix(Tables.events(s, dir))
+        .orderBy("from_type", "to_type")),
+
+    // Text: PII scrubbing with a redaction audit trail.
+    "q73_redact_pii" -> ((s, dir) =>
+      TextAnalysis.redactPii(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // Map-typed columns: per-user event-type→count maps built with
     // map_from_entries, then consumed via size/map_keys/element_at and an
     // aggregate HOF over map_values. The oracle reproduces the OUTPUT with
@@ -1383,6 +1402,42 @@ object SparkEntry {
         |            ELSE (CAST(x.x AS DOUBLE) - mm.mean) / mm.stddev END AS z
         |FROM x JOIN mm USING (dim)
         |ORDER BY x.vec_id, x.dim""".stripMargin,
+
+    "q71_winsorize" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS grp, o_orderkey AS id,
+        |         CAST(o_totalprice AS DOUBLE) AS x
+        |  FROM orders
+        |),
+        |c AS (
+        |  SELECT grp, quantile_cont(x, 0.05) AS p_lo, quantile_cont(x, 0.95) AS p_hi
+        |  FROM v GROUP BY grp
+        |)
+        |SELECT v.grp, v.id, v.x, LEAST(GREATEST(v.x, c.p_lo), c.p_hi) AS x_clipped
+        |FROM v JOIN c USING (grp)
+        |ORDER BY grp, id""".stripMargin,
+
+    "q72_transition_matrix" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |         LEAD(event_type) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+        |  FROM events
+        |)
+        |SELECT event_type AS from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY event_type, to_type
+        |ORDER BY from_type, to_type""".stripMargin,
+
+    "q73_redact_pii" ->
+      """SELECT doc_id,
+        |       regexp_replace(
+        |         regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g'),
+        |         '[0-9]{7,}', '[NUMBER]', 'g') AS clean_text,
+        |       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_numbers
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q56_map_ops" ->
       """WITH c AS (

@@ -44,6 +44,35 @@ object Stats {
       .withColumn("stddev", sqrt(col("variance")))
   }
 
+  /** Per-group winsorization: clip an (exactly double-castable) measure to
+    * its group's [`lo`, `hi`] quantiles — the standard outlier-taming pass
+    * before scale-sensitive statistics. Spark's `percentile` and DuckDB's
+    * `quantile_cont` share the same linear interpolation over sorted
+    * doubles, so the cutoffs are engine-bit-identical, and the clip itself
+    * is pure comparison (`least`/`greatest`) — no arithmetic to drift.
+    *
+    * Scale shape: one map-side-combinable percentile aggregate (group-
+    * count-sized output) broadcast back over the scan — the fact table is
+    * read once and never shuffled.
+    */
+  def winsorize(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      x: Column,
+      lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    val v = df.select(group.as("grp"), id.as("id"), x.cast("double").as("x"))
+    val cuts = v.groupBy(col("grp"))
+      .agg(
+        expr(s"percentile(x, $lo)").as("p_lo"),
+        expr(s"percentile(x, $hi)").as("p_hi"))
+    v.join(broadcast(cuts), Seq("grp"))
+      .select(
+        col("grp"), col("id"), col("x"),
+        least(greatest(col("x"), col("p_lo")), col("p_hi")).as("x_clipped"))
+  }
+
   /** Fixed-bin equi-width histogram of an integer measure: bin index
     * `min(bins−1, ⌊(x − lo)·bins / (hi − lo + 1)⌋)` over the observed
     * [lo, hi] — the +1 keeps `x = hi` inside the last bin without a

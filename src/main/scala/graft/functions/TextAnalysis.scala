@@ -282,6 +282,34 @@ object TextAnalysis {
       .withColumn("p", col("cnt").cast("double") / col("total").cast("double"))
   }
 
+  /** PII scrubbing: replace email addresses and long digit runs (phone/
+    * account numbers) with typed placeholders, reporting per-document hit
+    * counts for the redaction audit. Purely narrow — a per-row projection
+    * that pushes column pruning to the scan and never shuffles; the
+    * patterns are deliberately conservative (high precision) because a
+    * false redaction destroys training text while a miss only leaks into
+    * the next filter.
+    *
+    * Both patterns stay inside the regex subset Spark (Java) and the
+    * DuckDB oracle (RE2) interpret identically: character classes,
+    * bounded repetition, no backrefs or lookaround. DuckDB's
+    * `regexp_replace` needs the explicit `'g'` flag to match Spark's
+    * replace-all default.
+    */
+  val EmailPattern = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val LongNumberPattern = "[0-9]{7,}"
+
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), EmailPattern, "[EMAIL]"),
+        LongNumberPattern, "[NUMBER]").as("clean_text"),
+      size(regexp_extract_all(col("text"), lit(EmailPattern), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(LongNumberPattern), lit(0)))
+        .cast("long").as("n_numbers"))
+
   /** Tokenizer-vocabulary construction: the `maxSize` most frequent
     * corpus tokens with at least `minCount` occurrences, assigned
     * contiguous ids in (frequency desc, token) order — the frequency

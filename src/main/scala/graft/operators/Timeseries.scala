@@ -65,6 +65,26 @@ object Timeseries {
         col("cell.n").as("n"))
   }
 
+  /** Event-type transition matrix: for each user's event stream in
+    * (ts, event_id) order, count every consecutive `from_type → to_type`
+    * step — the funnel/Markov-chain summary behind drop-off analysis.
+    *
+    * Two exchanges, one of them metadata-sized: the `lead` window
+    * shuffles by user once, and the final count's exchange carries only
+    * map-side partials bounded by |types|² per task. The tie-break on
+    * `event_id` makes the sequence — and therefore every count — a
+    * deterministic function of the data, not of partition order.
+    */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Cohort retention: users grouped by their first-seen day (the cohort),
     * counted by how many distinct days later they were active again —
     * `(cohort_day, day_offset) → n_active`, the classic retention

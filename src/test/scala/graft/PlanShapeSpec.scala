@@ -85,6 +85,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(df) <= 1, s"corpus-side shuffle appeared:\n$p")
   }
 
+  test("contamination scan broadcasts the eval set and never shuffles corpus text") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(dir)
+    val df = Dedup.benchmarkContamination(
+      docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"), s"eval-set side stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"shingle join regressed to a corpus shuffle:\n$p")
+    // Permitted: the two spread repartitions (testdata single-partition
+    // guard) + the matched-pair count. The corpus shingle table itself
+    // must never hash-exchange for the join.
+    assert(shuffles(df) <= 3, s"contamination path grew a shuffle:\n$p")
+  }
+
+  test("vocabulary ranks via TakeOrdered; only the wordcount is corpus-sized") {
+    val df = graft.functions.TextAnalysis.vocabulary(Tables(dir))
+    val p = plan(df)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"candidate selection regressed to a global sort:\n$p")
+    // spread + wordcount; the rank window runs on the maxSize-bounded frame.
+    assert(shuffles(df) <= 3, s"vocabulary path grew a shuffle:\n$p")
+  }
+
+  test("standardize broadcasts the moment table; corpus never shuffles") {
+    val df = Similarity.standardize(spark.read.parquet(s"$dir/embeddings.parquet"))
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"), s"moments stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"z-score join regressed to a corpus shuffle:\n$p")
+    // One shuffle: the 64-group moments aggregate.
+    assert(shuffles(df) <= 1, s"standardize path grew a shuffle:\n$p")
+  }
+
   private def Tables(d: String): DataFrame =
     graft.sources.Tables.documents(spark, d)
 }

@@ -87,6 +87,53 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(r(0).getAs[Double]("variance") === 4.0e18)
   }
 
+  test("winsorize clips to the group quantiles, leaving interior values alone") {
+    // Group g: values 0..100 → p05 = 5, p95 = 95 under linear interpolation.
+    val df = (0L to 100L).map(x => ("g", x, x.toDouble)).toDF("k", "id", "x")
+    val r = Stats.winsorize(df, col("k"), col("id"), col("x")).orderBy("id").collect()
+    assert(r.length === 101)
+    assert(r(0).getAs[Double]("x_clipped") === 5.0)    // below p05 → clipped up
+    assert(r(3).getAs[Double]("x_clipped") === 5.0)
+    assert(r(50).getAs[Double]("x_clipped") === 50.0)  // interior untouched
+    assert(r(100).getAs[Double]("x_clipped") === 95.0) // above p95 → clipped down
+    // Originals pass through for the audit.
+    assert(r(100).getAs[Double]("x") === 100.0)
+  }
+
+  test("transition matrix counts consecutive per-user steps in (ts, event_id) order") {
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 10L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 10:01:00"), 10L, "click", 1.0, "{}"),
+      (3L, ts("2024-01-01 10:02:00"), 10L, "buy", 1.0, "{}"),
+      (4L, ts("2024-01-01 10:00:00"), 11L, "view", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:03:00"), 11L, "click", 1.0, "{}"),
+      // Same-timestamp tie for user 12: event_id breaks it → view→click.
+      (6L, ts("2024-01-01 12:00:00"), 12L, "view", 1.0, "{}"),
+      (7L, ts("2024-01-01 12:00:00"), 12L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val m = Timeseries.transitionMatrix(e).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) -> r.getAs[Long]("n"))
+      .toMap
+    assert(m === Map(("view", "click") -> 3L, ("click", "buy") -> 1L))
+  }
+
+  test("redactPii replaces emails and long digit runs, counting hits on the original text") {
+    import graft.functions.TextAnalysis
+    val docs = Seq(
+      (0L, "contact alice.smith+x@example.co.uk or call 12345678 now", "en", "s0", 50L),
+      (1L, "short 123456 stays, but 1234567 goes", "en", "s0", 30L),
+      (2L, "nothing sensitive here", "en", "s0", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.redactPii(docs).orderBy("doc_id").collect()
+    assert(r(0).getAs[String]("clean_text") === "contact [EMAIL] or call [NUMBER] now")
+    assert(r(0).getAs[Long]("n_emails") === 1L)
+    assert(r(0).getAs[Long]("n_numbers") === 1L)
+    assert(r(1).getAs[String]("clean_text") === "short 123456 stays, but [NUMBER] goes")
+    assert(r(1).getAs[Long]("n_numbers") === 1L)
+    assert(r(2).getAs[String]("clean_text") === "nothing sensitive here")
+    assert(r(2).getAs[Long]("n_emails") === 0L)
+  }
+
   test("equi-width histogram buckets span [lo, hi] with max in the last bin") {
     val df = (0L to 100L).map(x => Tuple1(x)).toDF("x")
     val r = Stats.equiWidthHistogram(df, col("x"), bins = 10).orderBy("bin").collect()
