@@ -50,13 +50,21 @@ object Dedup {
     * (numHashes long columns), exploding to (doc, j, sig) rows only after
     * the shuffle.
     */
-  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame = {
-    // Fused path: all numHashes minima per doc in ONE narrow expression
-    // pass over the words array ([[graft.expressions.MinHashSigs]] — same
-    // family, min is duplicate-invariant so the shingle-distinct step
-    // drops out). No shuffle at all until a consumer aggregates; the
-    // (doc, j, sig) shape is unchanged. signaturesFromShingles remains
-    // for callers that already materialized a shared shingle table.
+  def minhashSignatures(docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame =
+    signatureArrays(docs, k, numHashes)
+      .select(col("doc_id"), posexplode(col("sigs")).as(Seq("j", "sig")))
+
+  /** Per-document signature ARRAYS `(doc_id, sigs: array<long>)` — the
+    * compact index shape: all numHashes minima per doc in ONE narrow
+    * expression pass over the words array
+    * ([[graft.expressions.MinHashSigs]] — same family, min is
+    * duplicate-invariant so the shingle-distinct step drops out). No
+    * shuffle at all until a consumer aggregates. This is the shape a
+    * persisted cross-snapshot signature index should use (one row per
+    * doc, 8-byte longs), and what [[nearDupAgainst]]'s `keptSignatures`
+    * expects.
+    */
+  def signatureArrays(docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame = {
     val bridge = org.apache.spark.sql.graft.bridge
     TextAnalysis.spread(docs)
       .select(
@@ -64,10 +72,9 @@ object Dedup {
         bridge.column(graft.expressions.MinHashSigs(
           bridge.expression(TextAnalysis.wordsCol), k, numHashes)).as("sigs"))
       .filter(size(col("sigs")) > 0)
-      .select(col("doc_id"), posexplode(col("sigs")).as(Seq("j", "sig")))
   }
 
-  private def signaturesFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+  private def signatureArraysFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
     // Shift schedule (1+7j) mod 60: nonzero and distinct per j up to 16
     // hash functions.
     require(numHashes <= 16, s"numHashes=$numHashes exceeds the distinct-rotation budget (16)")
@@ -85,7 +92,7 @@ object Dedup {
       .agg(sigCols.head, sigCols.tail: _*)
       .select(
         col("doc_id"),
-        posexplode(array((0 until numHashes).map(j => col(s"sig$j")): _*)).as(Seq("j", "sig")))
+        array((0 until numHashes).map(j => col(s"sig$j")): _*).as("sigs"))
   }
 
   /** LSH banding: join the signatures of each band of
@@ -94,19 +101,23 @@ object Dedup {
     * near-duplicate candidates.
     */
   def minhashBands(docs: DataFrame, k: Int = 3, numHashes: Int = 8, numBands: Int = 4): DataFrame =
-    bandsFromSignatures(minhashSignatures(docs, k, numHashes), numHashes, numBands)
+    bandsFromArrays(signatureArrays(docs, k, numHashes), numHashes, numBands)
 
-  private def bandsFromSignatures(sigs: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
+  /** Band keys sliced NARROWLY out of the per-doc signature array — the
+    * signatures are already in j order inside `sigs`, so each band is a
+    * `slice` + string join, no per-(doc, band) aggregation (the previous
+    * formulation re-grouped exploded (doc, j, sig) rows, paying a full
+    * shuffle to reassemble an order the array already had).
+    */
+  private def bandsFromArrays(arr: DataFrame, numHashes: Int, numBands: Int): DataFrame = {
     val rowsPerBand = numHashes / numBands
-    sigs
-      .withColumn("band", expr(s"CAST(j DIV $rowsPerBand AS INT)"))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(
-        array_join(
-          transform(
-            sort_array(collect_list(struct(col("j"), col("sig")))),
-            x => x.getField("sig").cast("string")),
-          "_").as("band_sig"))
+    arr.select(
+      col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), lit(numBands - 1)),
+        b => array_join(
+          transform(slice(col("sigs"), b * rowsPerBand + 1, lit(rowsPerBand)), _.cast("string")),
+          "_"))).as(Seq("band", "band_sig")))
   }
 
   /** Candidate near-duplicate pairs: group docs by (band, band_sig) bucket
@@ -157,7 +168,7 @@ object Dedup {
     val shSets = sh
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("sh"))).as("shl"), count(lit(1)).as("n_sh"))
-    val bands = bandsFromSignatures(signaturesFromShingles(sh, numHashes), numHashes, numBands)
+    val bands = bandsFromArrays(signatureArraysFromShingles(sh, numHashes), numHashes, numBands)
     bucketPairs(bands, Seq("band", "band_sig"), "doc_id")
       .toDF("doc_a", "doc_b")
       .distinct()
@@ -287,26 +298,26 @@ object Dedup {
       minSigAgreement: Double = 0.75,
       keptSignatures: Option[DataFrame] = None): DataFrame = {
     val minAgree = math.ceil(minSigAgreement * numHashes).toInt
-    val keptSigs = keptSignatures.getOrElse(minhashSignatures(kept, k, numHashes))
+    val keptArr = keptSignatures.getOrElse(signatureArrays(kept, k, numHashes))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val snapSigs = minhashSignatures(snapshot, k, numHashes)
+    val snapArr = signatureArrays(snapshot, k, numHashes)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val keptBands = bandsFromSignatures(keptSigs, numHashes, numBands)
+    val keptBands = bandsFromArrays(keptArr, numHashes, numBands)
       .select(col("band"), col("band_sig"), col("doc_id").as("kept_doc"))
-    val cands = bandsFromSignatures(snapSigs, numHashes, numBands)
+    val cands = bandsFromArrays(snapArr, numHashes, numBands)
       .join(keptBands, Seq("band", "band_sig"))
       .select(col("doc_id").as("new_doc"), col("kept_doc"))
       .distinct()
+    // Verify on the ARRAY shape: one zip_with per candidate pair instead
+    // of exploding both sides to (doc, j, sig) and re-aggregating — the
+    // agreement count never shuffles, only the bounded candidate set does.
+    val nAgree = aggregate(
+      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v)
     val dropped = cands
-      .join(
-        snapSigs.select(col("doc_id").as("new_doc"), col("j"), col("sig").as("sig_a")),
-        Seq("new_doc"))
-      .join(
-        keptSigs.select(col("doc_id").as("kept_doc"), col("j"), col("sig").as("sig_b")),
-        Seq("kept_doc", "j"))
-      .groupBy(col("new_doc"), col("kept_doc"))
-      .agg(sum(when(col("sig_a") === col("sig_b"), 1).otherwise(0)).as("n_agree"))
-      .filter(col("n_agree") >= minAgree)
+      .join(snapArr.select(col("doc_id").as("new_doc"), col("sigs").as("sig_a")), Seq("new_doc"))
+      .join(keptArr.select(col("doc_id").as("kept_doc"), col("sigs").as("sig_b")), Seq("kept_doc"))
+      .filter(nAgree >= minAgree)
       .select(col("new_doc").as("doc_id"))
       .distinct()
     snapshot.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")

@@ -134,7 +134,7 @@ class DedupSimilaritySpec extends SparkSpec {
       s"expected the reworded and exact dups dropped, got survivors $survivors")
     // The production shape: the kept corpus represented ONLY by its
     // persisted signature index must give the identical answer.
-    val index = Dedup.minhashSignatures(kept)
+    val index = Dedup.signatureArrays(kept)
     val viaIndex = Dedup.nearDupAgainst(
       kept.limit(0), snapshot, keptSignatures = Some(index))
       .collect().map(_.getAs[Long]("doc_id")).toSet
