@@ -517,6 +517,47 @@ object SparkEntry {
       TextAnalysis.redactPii(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // Curation: budget-constrained waterfill mix — small sources taken
+    // whole, the rest share an integer per-source cap.
+    "q74_mixture_allocation" -> ((s, dir) =>
+      Curation.mixtureAllocation(
+        Tables.documents(s, dir), col("source"), col("n_chars"), budget = 60000L)
+        .orderBy("grp")),
+
+    // Embeddings: per-dimension scalar int8 quantization codes +
+    // reconstruction — all-integer affine map over the observed span.
+    "q75_quantize_int8" -> ((s, dir) =>
+      Similarity.scalarQuantizeInt8(Tables.embeddings(s, dir))
+        .orderBy("vec_id", "dim")),
+
+    // Sketch: deterministic HyperLogLog distinct users per event type
+    // (register table is duplicate-invariant — no distinct pre-shuffle,
+    // unlike q52's KMV; the two estimates cross-check each other).
+    "q76_hll_distinct" -> ((s, dir) =>
+      graft.functions.Sketches.hllDistinct(Tables.events(s, dir), "event_type", "user_id")
+        .orderBy("event_type")),
+
+    // Stats: exact Pearson correlation + population covariance of order
+    // quantity vs price cents per return flag (engine-bit-identical,
+    // unlike corr()'s partition-order double fold).
+    "q77_exact_correlation" -> ((s, dir) =>
+      graft.functions.Stats.exactCorrelation(
+        Tables.lineitem(s, dir),
+        col("l_returnflag"),
+        col("l_quantity"),
+        round(col("l_extendedprice") * 100, 0))
+        .orderBy("grp")),
+
+    // Sketch: per-source 124-bit Bloom filter over content digests +
+    // membership probe of a 20-doc query set against every filter.
+    "q78_bloom_membership" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.functions.Sketches.bloomMembership(
+        docs, "source", "text",
+        docs.filter(col("doc_id") < 20).select(col("text").as("probe")))
+        .orderBy("grp")
+    }),
+
     // Map-typed columns: per-user event-type→count maps built with
     // map_from_entries, then consumed via size/map_keys/element_at and an
     // aggregate HOF over map_values. The oracle reproduces the OUTPUT with
@@ -1438,6 +1479,155 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_numbers
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    "q74_mixture_allocation" ->
+      """WITH a AS (
+        |  SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS available
+        |  FROM documents GROUP BY source
+        |),
+        |w AS (
+        |  SELECT grp, available,
+        |         ROW_NUMBER() OVER (ORDER BY available, grp) AS i,
+        |         CAST(SUM(available) OVER (
+        |           ORDER BY available, grp
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |         CAST(COUNT(*) OVER () AS BIGINT) AS n
+        |  FROM a
+        |),
+        |sat AS (
+        |  SELECT *, (cum - available) + (n - i + 1) * available <= 60000 AS saturated FROM w
+        |),
+        |g AS (
+        |  SELECT *,
+        |         CAST(MAX(CASE WHEN saturated THEN cum ELSE 0 END) OVER () AS BIGINT) AS sat_cum,
+        |         CAST(SUM(CASE WHEN saturated THEN 1 ELSE 0 END) OVER () AS BIGINT) AS n_sat
+        |  FROM sat
+        |)
+        |SELECT grp, available,
+        |       CASE WHEN saturated THEN available
+        |            ELSE (60000 - sat_cum) // (n - n_sat) END AS allocated,
+        |       saturated
+        |FROM g ORDER BY grp""".stripMargin,
+
+    "q75_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |         list_transform(embedding, v -> CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+        |  FROM embeddings
+        |),
+        |x AS (
+        |  SELECT vec_id, CAST(i - 1 AS INT) AS dim, qe[i] AS x
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 65)) AS i)
+        |),
+        |s AS (
+        |  SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM x GROUP BY dim
+        |),
+        |c AS (
+        |  SELECT x.vec_id, x.dim, x.x, s.mn, s.mx,
+        |         CASE WHEN s.mx = s.mn THEN 0
+        |              ELSE CAST((x.x - s.mn) * 255 // (s.mx - s.mn) AS INT) END AS code
+        |  FROM x JOIN s USING (dim)
+        |)
+        |SELECT vec_id, dim, x, code,
+        |       mn + CAST(code AS BIGINT) * (mx - mn) // 255 AS recon
+        |FROM c ORDER BY vec_id, dim""".stripMargin,
+
+    "q76_hll_distinct" -> {
+      val c = graft.functions.Sketches.hllConstant(6)
+      s"""WITH h AS (
+        |  SELECT event_type,
+        |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM events
+        |),
+        |r AS (
+        |  SELECT event_type, CAST(h % 64 AS INT) AS reg,
+        |         CASE WHEN h // 64 = 0 THEN 55
+        |              ELSE 55 - CAST(length(bin(h // 64)) AS INT) END AS rho
+        |  FROM h
+        |),
+        |m AS (
+        |  SELECT event_type, reg, MAX(rho) AS r FROM r GROUP BY event_type, reg
+        |),
+        |a AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m_used,
+        |         CAST(SUM(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS s_used
+        |  FROM m GROUP BY event_type
+        |)
+        |SELECT event_type, m_used,
+        |       s_used + (64 - m_used) * 36028797018963968 AS s,
+        |       CAST('$c' AS DOUBLE) /
+        |         CAST(s_used + (64 - m_used) * 36028797018963968 AS DOUBLE) AS est_distinct
+        |FROM a ORDER BY event_type""".stripMargin
+    },
+
+    "q77_exact_correlation" ->
+      """WITH v AS (
+        |  SELECT l_returnflag AS grp,
+        |         CAST(l_quantity AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS y
+        |  FROM lineitem
+        |),
+        |a AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(x) AS HUGEINT) AS sx, CAST(SUM(y) AS HUGEINT) AS sy,
+        |         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM v GROUP BY grp
+        |)
+        |SELECT grp, n,
+        |       CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         CAST(CAST(n AS HUGEINT) * n AS DOUBLE) AS cov_pop,
+        |       CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+        |            ELSE CAST(n * sxy - sx * sy AS DOUBLE) /
+        |                 (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |       END AS corr
+        |FROM a ORDER BY grp""".stripMargin,
+
+    "q78_bloom_membership" ->
+      """WITH k AS (
+        |  SELECT source AS grp, doc_id,
+        |         CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h60,
+        |         CAST('0x' || substr(md5(text), 17, 13) AS BIGINT) AS h52
+        |  FROM documents
+        |),
+        |p AS (
+        |  SELECT grp, doc_id, h60 % 124 AS p0, h52 % 124 AS p1,
+        |         xor(h60, h52) % 124 AS p2
+        |  FROM k
+        |),
+        |w AS (
+        |  SELECT grp, doc_id,
+        |         (CASE WHEN p0 // 62 = 0 THEN CAST(1 AS BIGINT) << CAST(p0 % 62 AS INT) ELSE 0 END |
+        |          CASE WHEN p1 // 62 = 0 THEN CAST(1 AS BIGINT) << CAST(p1 % 62 AS INT) ELSE 0 END |
+        |          CASE WHEN p2 // 62 = 0 THEN CAST(1 AS BIGINT) << CAST(p2 % 62 AS INT) ELSE 0 END) AS m0,
+        |         (CASE WHEN p0 // 62 = 1 THEN CAST(1 AS BIGINT) << CAST(p0 % 62 AS INT) ELSE 0 END |
+        |          CASE WHEN p1 // 62 = 1 THEN CAST(1 AS BIGINT) << CAST(p1 % 62 AS INT) ELSE 0 END |
+        |          CASE WHEN p2 // 62 = 1 THEN CAST(1 AS BIGINT) << CAST(p2 % 62 AS INT) ELSE 0 END) AS m1
+        |  FROM p
+        |),
+        |f AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |         bit_or(m0) AS w0, bit_or(m1) AS w1
+        |  FROM w GROUP BY grp
+        |),
+        |pr AS (
+        |  SELECT p0, p1, p2 FROM p WHERE doc_id < 20
+        |),
+        |hits AS (
+        |  SELECT f.grp, CAST(COUNT(*) AS BIGINT) AS n_probe_hits
+        |  FROM pr CROSS JOIN f
+        |  WHERE ((CASE WHEN pr.p0 // 62 = 0 THEN f.w0 ELSE f.w1 END >> CAST(pr.p0 % 62 AS INT)) & 1) = 1
+        |    AND ((CASE WHEN pr.p1 // 62 = 0 THEN f.w0 ELSE f.w1 END >> CAST(pr.p1 % 62 AS INT)) & 1) = 1
+        |    AND ((CASE WHEN pr.p2 // 62 = 0 THEN f.w0 ELSE f.w1 END >> CAST(pr.p2 % 62 AS INT)) & 1) = 1
+        |  GROUP BY f.grp
+        |)
+        |SELECT f.grp, f.n_keys, f.w0, f.w1,
+        |       CAST(bit_count(f.w0) + bit_count(f.w1) AS INT) AS bits_set,
+        |       COALESCE(h.n_probe_hits, 0) AS n_probe_hits
+        |FROM f LEFT JOIN hits h ON f.grp = h.grp
+        |ORDER BY f.grp""".stripMargin,
 
     "q56_map_ops" ->
       """WITH c AS (

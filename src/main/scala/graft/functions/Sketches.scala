@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,5 +43,142 @@ object Sketches {
         "est_distinct",
         when(col("k_actual") < k, col("k_actual").cast("double"))
           .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / col("kth").cast("double")))
+  }
+
+  /** Deterministic HyperLogLog distinct-count sketch per group, with
+    * m = 2^p registers. Register index is the hash's low p bits, the
+    * rank ρ is the leading-zero count of the remaining 60−p bits plus
+    * one, and the register keeps `max(ρ)` — duplicate-invariant, so
+    * unlike [[kmvDistinct]] there is NO distinct pre-shuffle: the only
+    * shuffle is the map-side-combined `(group, register)` max, whose
+    * state is m counters per group, and register tables merge downstream
+    * by element-wise max (the standard HLL union).
+    *
+    * Everything that feeds the estimate is exact-integer: ρ comes from
+    * the binary-string length of the remainder (`bin()` in both engines —
+    * NOT `floor(log2(w))`, which rounds 2^k−1 up at double precision),
+    * and the harmonic denominator Σ2^{−ρ_j} is carried scaled by 2^55 as
+    * an exact long (max 2^61), empty registers contributing 2^55 each.
+    * The raw estimate `α_m·m²·2^55 / S` is then ONE double division of a
+    * compile-time constant by an exact integer — engine-bit-identical.
+    * No small-range (linear-counting) correction is applied; callers
+    * counting ≪ m distincts per group should use [[kmvDistinct]], which
+    * is exact below k.
+    */
+  def hllDistinct(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 12, s"p=$p outside the sane register range [2, 12]")
+    val m = 1 << p
+    // 60-bit hash: low p bits pick the register, the remaining 60-p bits
+    // (as w) give rho = (60-p) - bitlength(w) + 1; w = 0 means all-zero.
+    val maxRho = 60 - p + 1
+    val regs = df
+      .select(
+        col(groupCol),
+        Hashing.md5Long60(col(valueCol).cast("string")).as("h"))
+      .select(
+        col(groupCol),
+        (col("h") % m).cast("int").as("reg"),
+        expr(s"h DIV $m").as("w"))
+      .select(
+        col(groupCol),
+        col("reg"),
+        when(col("w") === 0, lit(maxRho))
+          .otherwise(lit(maxRho) - length(bin(col("w")))).cast("int").as("rho"))
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(col("rho")).as("r"))
+    // alpha_m for m >= 64 registers (the constant the HLL paper derives).
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val c = alpha * m * m * math.pow(2.0, 55.0)
+    regs
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("m_used"),
+        // Scaled harmonic sum over OCCUPIED registers: 2^(55 - r) each
+        // (r <= 55 for every p >= 5; exact long, no overflow at m <= 4096).
+        sum(expr("shiftleft(CAST(1 AS BIGINT), 55 - r)")).as("s_used"))
+      .select(
+        col(groupCol),
+        col("m_used"),
+        (col("s_used") + (lit(m.toLong) - col("m_used")) * lit(1L << 55)).as("s"))
+      .withColumn("est_distinct", lit(c) / col("s").cast("double"))
+  }
+
+  /** HLL's oracle-side estimate constant, exposed so the SQL mirror can
+    * embed the SAME double literal the operator uses.
+    */
+  def hllConstant(p: Int): Double = {
+    val m = 1 << p
+    (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, 55.0)
+  }
+
+  /** Per-group Bloom filter (124 bits as two 62-bit words, 3 hash probes)
+    * over a key column, plus the membership test of a probe set against
+    * every group's filter — the pre-join pruning sketch: "might this key
+    * exist in that partition/source" without touching the data.
+    *
+    * Layout dodges engine overflow traps: positions live in [0, 124), a
+    * set bit is `1 << (pos % 62)` on word `pos DIV 62` — shifts stay
+    * ≤ 61, so the words are always positive longs in both engines (a
+    * 63-bit shift is negative in Spark and an overflow error in DuckDB).
+    * The three probe positions come from ONE md5 digest (h60, h52,
+    * h60⊕h52 mod 124). Build is a map-side-combined `bit_or` per group —
+    * counter-sized state, mergeable downstream by OR. The probe set
+    * (query-sized by nature) joins via broadcast; the corpus never
+    * reshuffles. False positives are possible by construction (rate
+    * ~(k·n/m)^k), false negatives are not; output counts both the exact
+    * per-group hit tally and the filter's fill factor so callers can
+    * size m.
+    */
+  def bloomMembership(
+      corpus: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      probes: DataFrame,
+      probeCol: String = "probe"): DataFrame = {
+    val bits = 124
+    def positions(v: Column): Seq[Column] = {
+      val hh = Hashing.md5Pair(v.cast("string"))
+      Seq(
+        hh.getField("h60") % bits,
+        hh.getField("h52") % bits,
+        hh.getField("h60").bitwiseXOR(hh.getField("h52")) % bits)
+    }
+    val ps = positions(col(valueCol))
+    val keyed = corpus.select(
+      col(groupCol).as("grp") +:
+        ps.zipWithIndex.map { case (p, i) => p.as(s"p$i") }: _*)
+    def orWords(word: Int): Column =
+      (0 until 3).map { i =>
+        when(expr(s"p$i DIV 62") === word,
+          expr(s"shiftleft(CAST(1 AS BIGINT), p$i % 62)")).otherwise(lit(0L))
+      }.reduce(_.bitwiseOR(_))
+    val filters = keyed
+      .select(col("grp"), orWords(0).as("m0"), orWords(1).as("m1"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        expr("bit_or(m0)").as("w0"),
+        expr("bit_or(m1)").as("w1"))
+      .withColumn("bits_set", bit_count(col("w0")) + bit_count(col("w1")))
+    val pr = probes
+      .select(
+        col(probeCol).as("probe_id") +:
+          positions(col(probeCol)).zipWithIndex.map { case (p, i) => p.as(s"p$i") }: _*)
+    def hit(i: Int): Column =
+      expr(s"(shiftright(CASE WHEN p$i DIV 62 = 0 THEN w0 ELSE w1 END, p$i % 62) & 1) = 1")
+    val hits = broadcast(pr)
+      .crossJoin(filters.select(col("grp"), col("w0"), col("w1")))
+      .filter(hit(0) && hit(1) && hit(2))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_probe_hits"))
+    filters
+      .join(hits, Seq("grp"), "left_outer")
+      .select(
+        col("grp"), col("n_keys"), col("w0"), col("w1"), col("bits_set"),
+        coalesce(col("n_probe_hits"), lit(0L)).as("n_probe_hits"))
   }
 }

@@ -44,6 +44,50 @@ object Stats {
       .withColumn("stddev", sqrt(col("variance")))
   }
 
+  /** Per-group exact Pearson correlation and population covariance of two
+    * integer measures, from the joint sufficient statistics
+    * (n, Σx, Σy, Σx², Σy², Σxy) — all carried as `DECIMAL(38,0)`, one
+    * map-side-combined aggregate, counter-sized state. The derivations
+    * are single IEEE ops on exact integers:
+    * `cov = (n·Σxy − Σx·Σy) / n²` (one division) and
+    * `corr = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²) · √(n·Σy²−(Σy)²))`
+    * (two sqrts, one multiply, one division, all on exactly-computed
+    * numerators) — bit-identical across engines and partitionings, which
+    * Spark's own `corr` (an order-dependent double fold) is not. `corr`
+    * is scale-invariant, so callers may pre-scale decimal measures to
+    * integers (e.g. price cents) without changing it; `cov_pop` is in
+    * the scaled units. Zero variance on either side yields NULL corr.
+    */
+  def exactCorrelation(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 0)
+    val agg = df
+      .select(
+        group.as("grp"),
+        x.cast("long").cast(dec).as("x"),
+        y.cast("long").cast(dec).as("y"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val nDec = col("n").cast(dec)
+    val covNum = nDec * col("sxy") - col("sx") * col("sy")
+    val varXNum = nDec * col("sxx") - col("sx") * col("sx")
+    val varYNum = nDec * col("syy") - col("sy") * col("sy")
+    agg.select(
+      col("grp"),
+      col("n"),
+      (covNum.cast("double") / (nDec * col("n")).cast("double")).as("cov_pop"),
+      when(varXNum === 0 || varYNum === 0, lit(null).cast("double"))
+        .otherwise(
+          covNum.cast("double") /
+            (sqrt(varXNum.cast("double")) * sqrt(varYNum.cast("double"))))
+        .as("corr"))
+  }
+
   /** Per-group winsorization: clip an (exactly double-castable) measure to
     * its group's [`lo`, `hi`] quantiles — the standard outlier-taming pass
     * before scale-sensitive statistics. Spark's `percentile` and DuckDB's

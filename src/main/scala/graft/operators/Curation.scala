@@ -182,4 +182,52 @@ object Curation {
       .filter(col(rn) === 1)
       .drop(rn)
   }
+
+  /** Budget-constrained mixture allocation across sources — the exact
+    * waterfilling a pre-training data mix runs: given each source's
+    * available token mass and a global budget, small sources are taken
+    * whole ("saturated") and the rest share a common per-source cap, the
+    * allocation that maximizes the minimum cap (i.e. flattens the mix as
+    * much as the budget allows, the equalizing alternative to
+    * proportional/temperature sampling).
+    *
+    * Closed form, no iteration: with sources sorted by availability
+    * ascending, source i is saturated iff
+    * `cum_{i−1} + (n−i+1)·a_i ≤ budget` (that condition is monotone in
+    * i, so the saturated set is a prefix), and every unsaturated source
+    * gets `(budget − Σ_saturated) DIV n_unsat` — all integer arithmetic,
+    * with up to `n_unsat − 1` leftover tokens intentionally unallocated
+    * (documented floor semantics, keeps the result engine-exact).
+    *
+    * Scale shape: the per-doc scan reduces map-side to ONE row per
+    * source; the windows then run over that source-count-sized frame
+    * (sources are O(10²) at any corpus scale — a single partition of
+    * counters, not data).
+    */
+  def mixtureAllocation(
+      perDoc: DataFrame,
+      group: Column,
+      weight: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be non-negative")
+    val avail = perDoc
+      .groupBy(group.as("grp"))
+      .agg(sum(weight.cast("long")).as("available"))
+    val byAvail = Window.orderBy(col("available"), col("grp"))
+    val all = Window.partitionBy()
+    avail
+      .withColumn("i", row_number().over(byAvail))
+      .withColumn("cum", sum(col("available")).over(byAvail))
+      .withColumn("n", count(lit(1)).over(all))
+      .withColumn(
+        "saturated",
+        (col("cum") - col("available")) + (col("n") - col("i") + 1) * col("available") <= budget)
+      .withColumn("sat_cum", max(when(col("saturated"), col("cum")).otherwise(0L)).over(all))
+      .withColumn("n_sat", sum(when(col("saturated"), 1L).otherwise(0L)).over(all))
+      .withColumn(
+        "allocated",
+        when(col("saturated"), col("available"))
+          .otherwise(expr(s"($budget - sat_cum) DIV (n - n_sat)")))
+      .select(col("grp"), col("available"), col("allocated"), col("saturated"))
+  }
 }

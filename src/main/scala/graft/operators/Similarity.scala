@@ -450,4 +450,36 @@ object Similarity {
       .filter(col("rnk") === 1)
       .select(col("vec_id"), col("kept_id").as("match_id"), col("dp"), col("cosine"))
   }
+
+  /** Scalar int8 quantization of the embedding corpus: each dimension
+    * maps its observed [min, max] onto codes 0…255 — the compressed
+    * codebook vector stores ship to ANN serving (4× smaller than f32,
+    * decoded back with the same affine map). The whole operator is
+    * EXACT-INTEGER arithmetic on the element-quantized values the rest of
+    * the vector stack already uses ([[quantize]]'s ⌊v·10⁶⌋ longs):
+    * `code = (x − mn)·255 DIV (mx − mn)` and the reconstruction
+    * `recon = mn + code·(mx − mn) DIV 255` involve no floating point at
+    * all, so results are engine- and partitioning-bit-identical, and the
+    * products stay ≪ 2⁶³ for any embedding with |v| ≤ 10⁶.
+    *
+    * Scale shape: one map-side-combined per-dimension min/max aggregate
+    * (dim-count rows) broadcast back over the scan — the corpus is read
+    * once and never shuffled. A constant dimension (mx = mn) codes to 0
+    * and reconstructs to mn exactly.
+    */
+  def scalarQuantizeInt8(embeddings: DataFrame): DataFrame = {
+    val x = embeddings
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(
+        col("vec_id"), col("dim"),
+        floor(col("v").cast("double") * 1000000).cast("long").as("x"))
+    val span = x.groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    x.join(broadcast(span), Seq("dim"))
+      .withColumn(
+        "code",
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(expr("CAST((x - mn) * 255 DIV (mx - mn) AS INT)")))
+      .withColumn("recon", col("mn") + expr("CAST(code AS BIGINT) * (mx - mn) DIV 255"))
+      .select(col("vec_id"), col("dim"), col("x"), col("code"), col("recon"))
+  }
 }
