@@ -47,6 +47,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness that collects this output keeps only a bounded tail of
+    // stdout; with ~80 queries the full line above outgrows that window and
+    // its leading {"metric":... gets truncated away. Emit a compact,
+    // self-contained summary line LAST so a complete parseable JSON object
+    // always survives inside the tail (slowest queries inline for triage).
+    val slowest = results.toSeq.sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

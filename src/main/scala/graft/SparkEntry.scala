@@ -1049,7 +1049,12 @@ object SparkEntry {
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
          |),
-         |sets AS (SELECT doc_id, list(sh) AS shl, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |sets AS (
+         |  SELECT doc_id,
+         |         list(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS shl,
+         |         CAST(COUNT(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS BIGINT) AS n_sh
+         |  FROM sh GROUP BY doc_id
+         |),
          |v AS (
          |  SELECT doc_a, doc_b,
          |         CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS n_common,

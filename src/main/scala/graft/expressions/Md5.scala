@@ -131,6 +131,33 @@ case class MinHashSigs(child: Expression, k: Int, numHashes: Int) extends UnaryE
     copy(child = newChild)
 }
 
+/** Both MinHash signature minima AND the distinct 60-bit shingle digests
+  * from ONE digest pass over a doc's k-shingles:
+  * struct<sigs: array<long>, shl: array<long>>. This is the shape LSH
+  * verification wants — [[MinHashSigs]] + [[ShingleDigests]] as separate
+  * columns would md5 every shingle twice. Empty arrays when the doc has
+  * fewer than k words.
+  */
+case class MinHashSigDigests(child: Expression, k: Int, numHashes: Int) extends UnaryExpression {
+  require(k >= 1 && numHashes >= 1 && numHashes <= 16)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("sigs", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("shl", ArrayType(LongType, containsNull = false), nullable = false)))
+  override def prettyName: String = "graft_minhash_sig_digests"
+  override def nullSafeEval(a: Any): Any =
+    Md5.minhashSigDigests(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k, numHashes)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5.minhashSigDigests($c, $k, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigDigests =
+    copy(child = newChild)
+}
+
 /** DISTINCT 60-bit md5 digests of a doc's k-shingles as array<long> —
   * the fused form of shingle-string construction + array_distinct +
   * explode + Md5Long60, for consumers that join on shingle digests
@@ -275,6 +302,49 @@ object Md5 {
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs)
+  }
+
+  def minhashSigDigests(
+      words: org.apache.spark.sql.catalyst.util.ArrayData,
+      k: Int,
+      numHashes: Int): InternalRow = {
+    val n = words.numElements()
+    val empty = new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    if (n < k) return new GenericInternalRow(Array[Any](empty, empty))
+    val md = tl.get()
+    val wb = wordBytes(words)
+    val los = new Array[Long](numHashes)
+    val his = new Array[Long](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      val s = (1 + 7 * j) % 60
+      los(j) = 1L << (60 - s)
+      his(j) = 1L << s
+      j += 1
+    }
+    val sigs = Array.fill(numHashes)(Long.MaxValue)
+    val seen = new java.util.LinkedHashSet[java.lang.Long](64)
+    var i = 0
+    while (i <= n - k) {
+      val d = shingleDigest(md, wb, i, k)
+      val h1 = be64(d, 0) >>> 4
+      val h2 = be64(d, 8) >>> 12
+      seen.add(h1)
+      j = 0
+      while (j < numHashes) {
+        val sig = ((h1 % los(j)) * his(j) + h1 / los(j)) ^ h2
+        if (sig < sigs(j)) sigs(j) = sig
+        j += 1
+      }
+      i += 1
+    }
+    val shl = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var m = 0
+    while (it.hasNext) { shl(m) = it.next(); m += 1 }
+    new GenericInternalRow(Array[Any](
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(sigs),
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(shl)))
   }
 
   def bytes(s: UTF8String): Array[Byte] = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{Hashing, TextAnalysis}
+import graft.functions.TextAnalysis
 
 /** Deduplication operators for LLM-corpus curation over `documents`.
   *
@@ -74,27 +74,6 @@ object Dedup {
       .filter(size(col("sigs")) > 0)
   }
 
-  private def signatureArraysFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
-    // Shift schedule (1+7j) mod 60: nonzero and distinct per j up to 16
-    // hash functions.
-    require(numHashes <= 16, s"numHashes=$numHashes exceeds the distinct-rotation budget (16)")
-    val sigCols = (0 until numHashes).map { j =>
-      val s = (1 + 7 * j) % 60
-      val lo = 1L << (60 - s) // h1 = hi*lo + rest; rot = rest*(2^s) + hi
-      val hi = 1L << s
-      min(expr(s"(h1 % ${lo}L) * ${hi}L + h1 DIV ${lo}L")
-        .bitwiseXOR(col("h2"))).as(s"sig$j")
-    }
-    sh
-      .select(col("doc_id"), Hashing.md5Pair(col("sh")).as("hh")) // ONE digest per shingle
-      .select(col("doc_id"), col("hh.h60").as("h1"), col("hh.h52").as("h2"))
-      .groupBy(col("doc_id"))
-      .agg(sigCols.head, sigCols.tail: _*)
-      .select(
-        col("doc_id"),
-        array((0 until numHashes).map(j => col(s"sig$j")): _*).as("sigs"))
-  }
-
   /** LSH banding: join the signatures of each band of
     * `numHashes / numBands` consecutive hash functions into one compact
     * band key string. Documents sharing any (band, band_sig) are
@@ -159,25 +138,40 @@ object Dedup {
       numHashes: Int = 8,
       numBands: Int = 4,
       minJaccard: Double = 0.2): DataFrame = {
-    // Cache the shingle table once — candidates, verification sets, and
-    // counts all reuse it instead of re-shingling the corpus three times.
-    // persist (not localCheckpoint) keeps the lineage: on a real cluster a
-    // lost executor recomputes the block instead of killing the job, and
-    // materialization stays lazy.
-    val sh = TextAnalysis.shingles(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
-    val shSets = sh
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("sh"))).as("shl"), count(lit(1)).as("n_sh"))
-    val bands = bandsFromArrays(signatureArraysFromShingles(sh, numHashes), numHashes, numBands)
+    // ONE fused expression pass emits both the signature array (for
+    // banding) and the distinct 60-bit shingle-digest set (for exact
+    // verification) — one md5 per shingle, no exploded shingle table, and
+    // the per-doc "reassemble the shingle set" shuffle drops out entirely
+    // (the digest array is born per-doc). Verification intersects 8-byte
+    // longs instead of shingle strings: ~5× less data through the
+    // candidate joins, same jaccard up to md5-collision odds (~n²/2⁶⁰).
+    // persist (not localCheckpoint) keeps lineage: on a real cluster a
+    // lost executor recomputes blocks instead of killing the job. The
+    // cache is read three times (banding + both join sides) and stays
+    // owned by the session (LRU-evicted), like nearDupAgainst's indexes.
+    val bridge = org.apache.spark.sql.graft.bridge
+    val base = TextAnalysis.spread(docs)
+      .select(
+        col("doc_id"),
+        bridge.column(graft.expressions.MinHashSigDigests(
+          bridge.expression(TextAnalysis.wordsCol), k, numHashes)).as("sd"))
+      .select(
+        col("doc_id"),
+        col("sd.sigs").as("sigs"),
+        col("sd.shl").as("shl"),
+        size(col("sd.shl")).cast("long").as("n_sh"))
+      .filter(size(col("sigs")) > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = bandsFromArrays(base.select("doc_id", "sigs"), numHashes, numBands)
     bucketPairs(bands, Seq("band", "band_sig"), "doc_id")
       .toDF("doc_a", "doc_b")
       .distinct()
       .join(
-        shSets.select(col("doc_id"), col("shl").as("shl_a"), col("n_sh").as("n_a")),
-        col("doc_a") === col("doc_id")).drop("doc_id")
+        base.select(col("doc_id").as("doc_a"), col("shl").as("shl_a"), col("n_sh").as("n_a")),
+        Seq("doc_a"))
       .join(
-        shSets.select(col("doc_id"), col("shl").as("shl_b"), col("n_sh").as("n_b")),
-        col("doc_b") === col("doc_id")).drop("doc_id")
+        base.select(col("doc_id").as("doc_b"), col("shl").as("shl_b"), col("n_sh").as("n_b")),
+        Seq("doc_b"))
       .withColumn("n_common", size(array_intersect(col("shl_a"), col("shl_b"))).cast("long"))
       .withColumn(
         "jaccard",
