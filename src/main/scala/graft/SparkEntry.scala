@@ -549,12 +549,19 @@ object SparkEntry {
         .orderBy("grp")),
 
     // Sketch: per-source 124-bit Bloom filter over content digests +
-    // membership probe of a 20-doc query set against every filter.
+    // membership probe of a 20-doc query set against every filter. The
+    // operator's capacity is parameterized (sparse word build); the
+    // default 124 bits = 2 words project to the oracle's w0/w1 columns.
     "q78_bloom_membership" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.functions.Sketches.bloomMembership(
         docs, "source", "text",
         docs.filter(col("doc_id") < 20).select(col("text").as("probe")))
+        .select(
+          col("grp"), col("n_keys"),
+          element_at(col("words"), 1).as("w0"),
+          element_at(col("words"), 2).as("w1"),
+          col("bits_set"), col("n_probe_hits"))
         .orderBy("grp")
     }),
 

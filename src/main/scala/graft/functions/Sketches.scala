@@ -115,31 +115,43 @@ object Sketches {
     (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, 55.0)
   }
 
-  /** Per-group Bloom filter (124 bits as two 62-bit words, 3 hash probes)
-    * over a key column, plus the membership test of a probe set against
-    * every group's filter — the pre-join pruning sketch: "might this key
-    * exist in that partition/source" without touching the data.
+  /** Per-group Bloom filter (`bits` capacity as 62-bit words, 3 hash
+    * probes) over a key column, plus the membership test of a probe set
+    * against every group's filter — the pre-join pruning sketch: "might
+    * this key exist in that partition/source" without touching the data.
     *
-    * Layout dodges engine overflow traps: positions live in [0, 124), a
+    * Layout dodges engine overflow traps: positions live in [0, bits), a
     * set bit is `1 << (pos % 62)` on word `pos DIV 62` — shifts stay
     * ≤ 61, so the words are always positive longs in both engines (a
     * 63-bit shift is negative in Spark and an overflow error in DuckDB).
     * The three probe positions come from ONE md5 digest (h60, h52,
-    * h60⊕h52 mod 124). Build is a map-side-combined `bit_or` per group —
-    * counter-sized state, mergeable downstream by OR. The probe set
-    * (query-sized by nature) joins via broadcast; the corpus never
-    * reshuffles. False positives are possible by construction (rate
-    * ~(k·n/m)^k), false negatives are not; output counts both the exact
-    * per-group hit tally and the filter's fill factor so callers can
-    * size m.
+    * h60⊕h52 mod bits).
+    *
+    * Capacity is a PARAMETER (size `bits ≈ 7.3 × expected keys` for ~10%
+    * false positives with k = 3; the default 124 keeps the q78 oracle and
+    * suits only demo-sized groups), and the build is SPARSE so capacity
+    * is free at scale: each key emits its ≤ 3 OCCUPIED (word, mask)
+    * entries — never a dense `bits/62`-long array — and the
+    * (group, word) `bit_or` is map-side combined, so shuffle volume stays
+    * 3 tiny rows per key and reduce state is (groups × occupied words)
+    * regardless of `bits`. Filters merge downstream by the same
+    * element-wise OR. The probe set (query-sized by nature) joins via
+    * broadcast; the corpus never reshuffles. False positives are possible
+    * by construction (rate ≈ (1 − e^(−3n/bits))³), false negatives are
+    * not; output counts both the exact per-group hit tally and the
+    * filter's fill factor (`bits_set`) so callers can size `bits`.
     */
   def bloomMembership(
       corpus: DataFrame,
       groupCol: String,
       valueCol: String,
       probes: DataFrame,
-      probeCol: String = "probe"): DataFrame = {
-    val bits = 124
+      probeCol: String = "probe",
+      bits: Int = 124): DataFrame = {
+    require(bits >= 62 && bits % 62 == 0,
+      s"bits=$bits must be a positive multiple of 62 (62-bit words keep " +
+        "shifts sign-safe in both engines)")
+    val nWords = bits / 62
     def positions(v: Column): Seq[Column] = {
       val hh = Hashing.md5Pair(v.cast("string"))
       Seq(
@@ -147,38 +159,53 @@ object Sketches {
         hh.getField("h52") % bits,
         hh.getField("h60").bitwiseXOR(hh.getField("h52")) % bits)
     }
-    val ps = positions(col(valueCol))
-    val keyed = corpus.select(
-      col(groupCol).as("grp") +:
-        ps.zipWithIndex.map { case (p, i) => p.as(s"p$i") }: _*)
-    def orWords(word: Int): Column =
-      (0 until 3).map { i =>
-        when(expr(s"p$i DIV 62") === word,
-          expr(s"shiftleft(CAST(1 AS BIGINT), p$i % 62)")).otherwise(lit(0L))
-      }.reduce(_.bitwiseOR(_))
-    val filters = keyed
-      .select(col("grp"), orWords(0).as("m0"), orWords(1).as("m1"))
+    // Sparse build: ≤ 3 (word, mask) entries per key, map-side-combined
+    // bit_or per (group, word) — the only per-key shuffle.
+    val entries = corpus
+      .select(
+        col(groupCol).as("grp"),
+        explode(array(positions(col(valueCol)).map(_.cast("int")): _*)).as("p"))
+      .select(
+        col("grp"),
+        // DIV yields bigint; keep word an int so the densify sequence's
+        // int indexes hit the map keys without implicit casts.
+        expr("CAST(p DIV 62 AS INT)").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), p % 62)").as("m"))
+      .groupBy(col("grp"), col("word"))
+      .agg(expr("bit_or(m)").as("w"))
+    // Densify to one fixed-width word array per group (groups are few by
+    // the time we're here; absent words are 0).
+    val words = entries
       .groupBy(col("grp"))
-      .agg(
-        count(lit(1)).as("n_keys"),
-        expr("bit_or(m0)").as("w0"),
-        expr("bit_or(m1)").as("w1"))
-      .withColumn("bits_set", bit_count(col("w0")) + bit_count(col("w1")))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("word"), col("w"))))).as("wm"))
+      .select(
+        col("grp"),
+        transform(
+          sequence(lit(0), lit(nWords - 1)),
+          i => coalesce(element_at(col("wm"), i), lit(0L))).as("words"))
+    val nk = corpus.groupBy(col(groupCol).as("grp")).agg(count(lit(1)).as("n_keys"))
+    val filters = nk.join(words, Seq("grp"))
+      .withColumn(
+        "bits_set",
+        aggregate(col("words"), lit(0), (acc, w) => acc + bit_count(w)))
     val pr = probes
       .select(
         col(probeCol).as("probe_id") +:
-          positions(col(probeCol)).zipWithIndex.map { case (p, i) => p.as(s"p$i") }: _*)
+          positions(col(probeCol)).zipWithIndex.map { case (p, i) =>
+            p.cast("int").as(s"p$i")
+          }: _*)
     def hit(i: Int): Column =
-      expr(s"(shiftright(CASE WHEN p$i DIV 62 = 0 THEN w0 ELSE w1 END, p$i % 62) & 1) = 1")
+      expr(s"(shiftright(element_at(words, CAST(p$i DIV 62 AS INT) + 1), p$i % 62) & 1) = 1")
     val hits = broadcast(pr)
-      .crossJoin(filters.select(col("grp"), col("w0"), col("w1")))
+      .crossJoin(filters.select(col("grp"), col("words")))
       .filter(hit(0) && hit(1) && hit(2))
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n_probe_hits"))
     filters
       .join(hits, Seq("grp"), "left_outer")
       .select(
-        col("grp"), col("n_keys"), col("w0"), col("w1"), col("bits_set"),
+        col("grp"), col("n_keys"), col("words"), col("bits_set"),
         coalesce(col("n_probe_hits"), lit(0L)).as("n_probe_hits"))
   }
 }

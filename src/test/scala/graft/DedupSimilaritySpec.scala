@@ -73,6 +73,38 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(rs.getAs[Long]("k_actual") === 2L)
   }
 
+  test("bloom filter at parameterized capacity holds the predicted false-positive rate") {
+    import graft.functions.Sketches
+    // 10^4 keys into ~2^14 bits (264 62-bit words = 16368), k = 3 probes:
+    // predicted FPR = (1 - e^(-3n/m))^3 ≈ 0.593. Probe 10^4 distinct
+    // NON-members; binomial σ ≈ 0.005, so ±0.04 is an 8σ gate that still
+    // fails hard if capacity or probing is broken (saturated ⇒ rate 1.0).
+    val bits = 264 * 62
+    val corpus = spark.range(10000).selectExpr("'g' AS g", "CAST(id AS STRING) AS v")
+    val probes = spark.range(10000).selectExpr("CAST(id + 1000000 AS STRING) AS probe")
+    val r = Sketches.bloomMembership(corpus, "g", "v", probes, bits = bits)
+      .collect().head
+    assert(r.getAs[Long]("n_keys") === 10000L)
+    val predicted = math.pow(1.0 - math.exp(-3.0 * 10000 / bits), 3)
+    val observed = r.getAs[Long]("n_probe_hits").toDouble / 10000
+    assert(math.abs(observed - predicted) < 0.04,
+      f"observed FPR $observed%.4f vs predicted $predicted%.4f at m=$bits")
+    // Fill factor sanity: bits_set/m ≈ 1 - e^(-3n/m) within the same gate.
+    val fill = r.getAs[Int]("bits_set").toDouble / bits
+    assert(math.abs(fill - (1.0 - math.exp(-3.0 * 10000 / bits))) < 0.04)
+    // The old fixed capacity saturates at this cardinality — every
+    // non-member probe false-positives, which is WHY bits is a parameter.
+    val sat = Sketches.bloomMembership(corpus, "g", "v", probes, bits = 124)
+      .collect().head
+    assert(sat.getAs[Long]("n_probe_hits") === 10000L)
+    assert(sat.getAs[Int]("bits_set") === 124)
+    // No false negatives ever: members always hit.
+    val members = Sketches.bloomMembership(
+      corpus, "g", "v", corpus.limit(500).selectExpr("v AS probe"), bits = bits)
+      .collect().head
+    assert(members.getAs[Long]("n_probe_hits") === 500L)
+  }
+
   test("md5 digest-slice expressions match the SQL hex idioms bitwise") {
     import org.apache.spark.sql.functions.{col, expr, hex, lower, md5}
     import graft.functions.Hashing
