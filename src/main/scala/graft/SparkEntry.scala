@@ -367,8 +367,11 @@ object SparkEntry {
         .orderBy("doc_id")),
 
     // Dedup: incremental NEAR-dup dedup of a new snapshot against the kept
-    // corpus's MinHash signature index (catches the planted jaccard≈0.98
-    // rewordings that the exact-digest q42 keeps).
+    // corpus's MinHash signature+digest index (catches the planted
+    // jaccard≈0.98 rewordings that the exact-digest q42 keeps). LSH bands
+    // generate candidates; each candidate verifies by EXACT jaccard over
+    // the 60-bit shingle-digest sets carried in the index — deterministic
+    // at the threshold, unlike 8-hash signature agreement (⅛-quantized).
     "q44_near_dedup_against" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.nearDupAgainst(
@@ -1866,17 +1869,25 @@ object SparkEntry {
          |    ON s.band = kb.band AND s.band_sig = kb.band_sig
          |  WHERE s.doc_id >= 250 AND kb.doc_id < 250
          |),
-         |agree AS (
+         |sets AS (
+         |  SELECT doc_id,
+         |         list(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS shl,
+         |         CAST(COUNT(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS BIGINT) AS n_sh
+         |  FROM sh GROUP BY doc_id
+         |),
+         |v AS (
          |  SELECT c.new_doc,
-         |         SUM(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS n_agree
+         |         CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS n_common,
+         |         sa.n_sh AS n_a, sb.n_sh AS n_b
          |  FROM cands c
-         |  JOIN hs a ON a.doc_id = c.new_doc
-         |  JOIN hs b ON b.doc_id = c.kept_doc AND b.j = a.j
-         |  GROUP BY c.new_doc, c.kept_doc
+         |  JOIN sets sa ON c.new_doc = sa.doc_id
+         |  JOIN sets sb ON c.kept_doc = sb.doc_id
          |)
          |SELECT doc_id FROM documents
          |WHERE doc_id >= 250
-         |  AND doc_id NOT IN (SELECT new_doc FROM agree WHERE n_agree >= 6)
+         |  AND doc_id NOT IN (
+         |    SELECT new_doc FROM v
+         |    WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.75)
          |ORDER BY doc_id""".stripMargin,
 
     "q41_repetition" ->

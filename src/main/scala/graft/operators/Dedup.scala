@@ -186,24 +186,35 @@ object Dedup {
     * [[jaccardPairs]]: transitive near-dups (A≈B, B≈C) must collapse to
     * ONE kept document even when A and C never co-occurred in a bucket.
     *
-    * Algorithm: hash-min label propagation. Every doc starts labeled with
-    * itself; each round takes the min of its own and its neighbors'
-    * labels; fixpoint = every doc labeled with its component's minimum
-    * doc_id. Each round is one equi-join + one map-side-combined min
-    * aggregate — no driver-side graph state, labels are the only iterated
-    * data. Rounds needed = max component diameter, which for near-dup
-    * clusters (bucket-overlapping quasi-cliques) is small; convergence is
-    * detected with a limit-1 probe, not a full count. A component whose
-    * diameter exceeds `maxIters` would leave labels mid-propagation —
-    * silently splitting one true cluster — so non-convergence THROWS
-    * rather than returning partial clusters (raise `maxIters` for
-    * pathological chain-shaped corpora).
+    * Algorithm: hash-min label propagation with pointer doubling. Every
+    * doc starts labeled with itself; each round takes the min of its own
+    * and its neighbors' labels (one equi-join + one map-side-combined min
+    * aggregate), then COMPRESSES paths by following the label one more
+    * hop — `label(v) ← label(label(v))` — via a second self-join on the
+    * freshly-propagated labels. Doubling makes the propagation distance
+    * grow geometrically, so rounds needed = O(log diameter) instead of
+    * O(diameter): a 1000-link chain of borderline near-dups (the
+    * pathological shape for plain min-propagation) converges in ~10
+    * rounds, not ~1000. No driver-side graph state; labels are the only
+    * iterated data, and convergence is detected with a limit-1 probe, not
+    * a full count. A component whose diameter outruns even the doubled
+    * schedule would leave labels mid-propagation — silently splitting one
+    * true cluster — so non-convergence THROWS rather than returning
+    * partial clusters.
     *
     * Output: (doc_id, canonical_id, cluster_size, is_canonical) for every
     * doc that appears in some pair — `is_canonical` rows are the keep
     * set, sized for survivor joins.
     */
-  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
+    dedupClustersWithIters(pairs, maxIters)._1
+
+  /** [[dedupClusters]] plus the number of rounds the label loop ran —
+    * exposed so convergence-rate claims (the O(log d) doubling schedule)
+    * are testable instead of asserted.
+    */
+  private[graft] def dedupClustersWithIters(
+      pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
     // Symmetrize with one explode, not a self-union: a union would evaluate
     // the (possibly expensive) pairs subtree once per branch.
     val edges = pairs
@@ -228,17 +239,42 @@ object Dedup {
         .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_min"))
-      val next = labels
+      // Neighbor-min hop, cached: the doubling join below reads it twice
+      // (as both sides), and re-evaluating it would re-run the join+agg.
+      val prop = labels
         .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left_outer")
         .select(
           col("doc_id"),
           col("label").as("_old"),
           least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // Pointer doubling: label(v) ← label(label(v)). Every label value is
+      // itself a vertex id (labels start as ids and only ever take mins of
+      // ids), so the lookup side covers all labels; left_outer + coalesce
+      // only guards the final, already-converged round.
+      val next = prop
+        .join(
+          prop.select(col("doc_id").as("label"), col("label").as("_gl")),
+          Seq("label"), "left_outer")
+        .select(
+          col("doc_id"),
+          col("_old"),
+          least(col("label"), coalesce(col("_gl"), col("label"))).as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("label") =!= col("_old")).isEmpty
+      prop.unpersist()
       prevCache.foreach(_.unpersist())
       prevCache = Some(next)
-      labels = next.select("doc_id", "label")
+      // Reset the SQL plan each round: the fixpoint loop otherwise stacks
+      // three joins of logical plan PER ITERATION, so Catalyst re-analyzes
+      // the whole history every round (compile time grows superlinearly
+      // and deep trees overflow the tree printer around ~10 rounds).
+      // Rebuilding the frame from the cached RDD keeps RDD lineage — an
+      // executor loss still recomputes blocks — while giving each round a
+      // constant-depth plan. (localCheckpoint would also flatten the plan
+      // but severs lineage, trading fault tolerance for nothing here.)
+      val slim = next.select("doc_id", "label")
+      labels = slim.sparkSession.createDataFrame(slim.rdd, slim.schema)
       it += 1
     }
     // edges is only read inside the loop; lineage survives unpersist, so
@@ -254,12 +290,36 @@ object Dedup {
           "silently split true clusters — raise maxIters")
     }
     val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    labels.join(sz, Seq("label"))
+    val out = labels.join(sz, Seq("label"))
       .select(
         col("doc_id"),
         col("label").as("canonical_id"),
         col("cluster_size"),
         (col("doc_id") === col("label")).as("is_canonical"))
+    (out, it)
+  }
+
+  /** Per-document signature-PLUS-digest index
+    * `(doc_id, sigs: array<long>, shl: array<long>, n_sh: long)` — the
+    * [[signatureArrays]] shape extended with the distinct 60-bit
+    * shingle-digest set, from the SAME fused one-md5-per-shingle pass
+    * ([[graft.expressions.MinHashSigDigests]]), so carrying exact-verify
+    * capability in a persisted kept-corpus index is nearly free: no extra
+    * scan, no extra shuffle, ~|shingles| extra longs per doc at rest.
+    */
+  def signatureDigestIndex(docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    TextAnalysis.spread(docs)
+      .select(
+        col("doc_id"),
+        bridge.column(graft.expressions.MinHashSigDigests(
+          bridge.expression(TextAnalysis.wordsCol), k, numHashes)).as("sd"))
+      .select(
+        col("doc_id"),
+        col("sd.sigs").as("sigs"),
+        col("sd.shl").as("shl"),
+        size(col("sd.shl")).cast("long").as("n_sh"))
+      .filter(size(col("sigs")) > 0)
   }
 
   /** Incremental NEAR-dup dedup: keep only the snapshot documents with no
@@ -267,21 +327,32 @@ object Dedup {
     * complement of [[graft.operators.Curation.dedupAgainst]] (which is
     * exact-digest only and misses jaccard≈0.98 rewordings).
     *
-    * The kept corpus is represented purely by its MinHash signature index
-    * (`numHashes` longs per doc — pass a persisted one via
-    * `keptSignatures`; text is never read from the kept side), the shape
-    * that makes daily incremental dedup viable at 100 TB: band-join the
-    * snapshot's bands against the kept index for candidates, then verify
-    * by signature agreement (fraction of matching MinHash components — an
-    * unbiased jaccard estimate) instead of re-shingling the kept corpus.
-    * Shuffles are keyed on band keys and doc ids only; candidate pairs are
-    * bounded by banding, never all-pairs.
+    * The kept corpus is represented purely by its signature index (pass a
+    * persisted one via `keptSignatures`; text is never read from the kept
+    * side), the shape that makes daily incremental dedup viable at
+    * 100 TB: band-join the snapshot's bands against the kept index for
+    * candidates, then verify each candidate pair. Shuffles are keyed on
+    * band keys and doc ids only; candidate pairs are bounded by banding,
+    * never all-pairs.
     *
-    * The two signature frames stay persisted after return — the result
-    * plan reads each several times (bands + verification). Long-lived
-    * sessions calling this repeatedly should `spark.catalog.clearCache()`
-    * between runs (or pass `keptSignatures` and manage its lifecycle);
-    * eviction is otherwise LRU.
+    * Two verification modes:
+    *   - `exactVerify = true` (default): exact jaccard over the distinct
+    *     shingle-digest sets carried in the [[signatureDigestIndex]]
+    *     shape, thresholded at `minJaccard`. Deterministic — a pair at
+    *     true jaccard 0.74 vs 0.76 always classifies correctly.
+    *   - `exactVerify = false`: signature agreement (fraction of matching
+    *     MinHash components — an unbiased jaccard estimate) ≥
+    *     `minSigAgreement`. Cheaper per pair and the index is smaller
+    *     (`numHashes` longs, no digest set), but the estimate is
+    *     quantized to 1/numHashes: with the default 8 hashes a borderline
+    *     pair near the threshold admits/rejects on what is effectively a
+    *     coin flip. Use only when the kept index cannot carry digests.
+    *
+    * The two index frames stay persisted after return — the result plan
+    * reads each several times (bands + verification). Long-lived sessions
+    * calling this repeatedly should `spark.catalog.clearCache()` between
+    * runs (or pass `keptSignatures` and manage its lifecycle); eviction
+    * is otherwise LRU.
     */
   def nearDupAgainst(
       kept: DataFrame,
@@ -290,28 +361,53 @@ object Dedup {
       numHashes: Int = 8,
       numBands: Int = 4,
       minSigAgreement: Double = 0.75,
-      keptSignatures: Option[DataFrame] = None): DataFrame = {
-    val minAgree = math.ceil(minSigAgreement * numHashes).toInt
-    val keptArr = keptSignatures.getOrElse(signatureArrays(kept, k, numHashes))
+      keptSignatures: Option[DataFrame] = None,
+      exactVerify: Boolean = true,
+      minJaccard: Double = 0.75): DataFrame = {
+    def index(df: DataFrame) =
+      if (exactVerify) signatureDigestIndex(df, k, numHashes)
+      else signatureArrays(df, k, numHashes)
+    val keptArr = keptSignatures.getOrElse(index(kept))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val snapArr = signatureArrays(snapshot, k, numHashes)
+    val snapArr = index(snapshot)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val keptBands = bandsFromArrays(keptArr, numHashes, numBands)
+    val keptBands = bandsFromArrays(keptArr.select("doc_id", "sigs"), numHashes, numBands)
       .select(col("band"), col("band_sig"), col("doc_id").as("kept_doc"))
-    val cands = bandsFromArrays(snapArr, numHashes, numBands)
+    val cands = bandsFromArrays(snapArr.select("doc_id", "sigs"), numHashes, numBands)
       .join(keptBands, Seq("band", "band_sig"))
       .select(col("doc_id").as("new_doc"), col("kept_doc"))
       .distinct()
-    // Verify on the ARRAY shape: one zip_with per candidate pair instead
-    // of exploding both sides to (doc, j, sig) and re-aggregating — the
-    // agreement count never shuffles, only the bounded candidate set does.
-    val nAgree = aggregate(
-      zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v)
-    val dropped = cands
-      .join(snapArr.select(col("doc_id").as("new_doc"), col("sigs").as("sig_a")), Seq("new_doc"))
-      .join(keptArr.select(col("doc_id").as("kept_doc"), col("sigs").as("sig_b")), Seq("kept_doc"))
-      .filter(nAgree >= minAgree)
+    val dropped = (if (exactVerify) {
+      // Exact verify: intersect the 8-byte digest sets — same jaccard as
+      // re-shingling both texts (up to md5-collision odds ~n²/2⁶⁰), but
+      // the kept side stays an index: no text ever moves.
+      val nCommon = size(array_intersect(col("shl_a"), col("shl_b"))).cast("long")
+      cands
+        .join(
+          snapArr.select(
+            col("doc_id").as("new_doc"), col("shl").as("shl_a"), col("n_sh").as("n_a")),
+          Seq("new_doc"))
+        .join(
+          keptArr.select(
+            col("doc_id").as("kept_doc"), col("shl").as("shl_b"), col("n_sh").as("n_b")),
+          Seq("kept_doc"))
+        .filter(
+          nCommon.cast("double") / (col("n_a") + col("n_b") - nCommon).cast("double")
+            >= minJaccard)
+    } else {
+      // Estimate verify on the ARRAY shape: one zip_with per candidate
+      // pair instead of exploding both sides to (doc, j, sig) and
+      // re-aggregating — the agreement count never shuffles, only the
+      // bounded candidate set does.
+      val minAgree = math.ceil(minSigAgreement * numHashes).toInt
+      val nAgree = aggregate(
+        zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+        lit(0), (acc, v) => acc + v)
+      cands
+        .join(snapArr.select(col("doc_id").as("new_doc"), col("sigs").as("sig_a")), Seq("new_doc"))
+        .join(keptArr.select(col("doc_id").as("kept_doc"), col("sigs").as("sig_b")), Seq("kept_doc"))
+        .filter(nAgree >= minAgree)
+    })
       .select(col("new_doc").as("doc_id"))
       .distinct()
     snapshot.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")

@@ -151,6 +151,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.dedupClusters(Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")).count() === 0L)
   }
 
+  test("dedupClusters pointer doubling converges in O(log d) rounds on a chain") {
+    // A 256-link chain is the worst case for plain hash-min propagation:
+    // the min label crawls one hop per round (≈128 rounds from the
+    // halved-start initialization). Pointer doubling must close it well
+    // inside the default maxIters=20 budget — and in ≈log₂(d) rounds.
+    val n = 256
+    val chain = (0 until n).map(i => (i.toLong, (i + 1).toLong)).toDF("doc_a", "doc_b")
+    val (out, iters) = Dedup.dedupClustersWithIters(chain, maxIters = 20)
+    val rows = out.collect()
+    assert(rows.length === n + 1)
+    assert(rows.forall(_.getAs[Long]("canonical_id") == 0L),
+      "every chain vertex must collapse to the component minimum")
+    assert(rows.forall(_.getAs[Long]("cluster_size") == (n + 1).toLong))
+    assert(iters <= 12, s"doubling should converge a $n-chain in ~log₂ rounds, took $iters")
+  }
+
   test("incremental near-dup dedup drops snapshot rewordings of the kept corpus") {
     val kept = docs.filter("doc_id <= 1")
     val snapshot = Seq(
@@ -165,12 +181,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(survivors === Set(12L, 13L),
       s"expected the reworded and exact dups dropped, got survivors $survivors")
     // The production shape: the kept corpus represented ONLY by its
-    // persisted signature index must give the identical answer.
-    val index = Dedup.signatureArrays(kept)
+    // persisted signature+digest index must give the identical answer.
+    val index = Dedup.signatureDigestIndex(kept)
     val viaIndex = Dedup.nearDupAgainst(
       kept.limit(0), snapshot, keptSignatures = Some(index))
       .collect().map(_.getAs[Long]("doc_id")).toSet
     assert(viaIndex === survivors)
+    // The signature-agreement mode (smaller index, quantized estimate)
+    // agrees on these far-from-threshold cases.
+    val viaSig = Dedup.nearDupAgainst(kept, snapshot, exactVerify = false)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(viaSig === survivors)
+  }
+
+  test("exact verify classifies borderline pairs that 1/8-granular signature agreement cannot") {
+    // 62 unique words → 60 distinct 3-shingles. Replacing 3 spread-out
+    // words rewrites exactly 9 shingles: true jaccard = 51/69 ≈ 0.739,
+    // JUST below the 0.75 admission threshold — every variant must
+    // survive. The 8-hash signature estimate is quantized to eighths, so
+    // near the threshold it classifies ~half of these on what is
+    // effectively a deterministic coin flip (6/8 = 0.75 ≥ threshold ⇒
+    // wrongly dropped). Fully deterministic: fixed corpus, fixed hash
+    // family.
+    val words = (0 until 62).map(i => s"w$i")
+    def doc(repl: Set[Int]): String =
+      words.zipWithIndex.map { case (w, i) => if (repl(i)) s"x$i" else w }.mkString(" ")
+    // 16 distinct position triples, each member in a disjoint range and
+    // ≥12 apart, so the three replacements always touch 9 distinct shingles.
+    val variantSets = (0 until 16).map { v =>
+      Set(3 + v % 5, 20 + (v * 2) % 9, 40 + (v * 3) % 11)
+    }
+    val kept = Seq((0L, doc(Set.empty), "en", "s0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val snapshot = variantSets.zipWithIndex.map { case (s, i) =>
+      ((100 + i).toLong, doc(s), "en", "s1", 100L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val keptIdx = Dedup.signatureDigestIndex(kept).collect().head
+    val kSigs = keptIdx.getAs[scala.collection.Seq[Long]]("sigs")
+    val kShl = keptIdx.getAs[scala.collection.Seq[Long]]("shl").toSet
+    val stats = Dedup.signatureDigestIndex(snapshot).collect().map { r =>
+      val sigs = r.getAs[scala.collection.Seq[Long]]("sigs")
+      val shl = r.getAs[scala.collection.Seq[Long]]("shl").toSet
+      val agree = sigs.zip(kSigs).count { case (a, b) => a == b }
+      val j = (shl & kShl).size.toDouble / (shl | kShl).size.toDouble
+      (r.getAs[Long]("doc_id"), agree, j)
+    }
+    stats.foreach { case (id, _, j) =>
+      assert(j > 0.73 && j < 0.75, s"variant $id: expected borderline jaccard, got $j")
+    }
+    // ≥6/8 agreement also guarantees band collision (2 mismatches kill at
+    // most 2 of the 4 two-row bands), so these reach verification in both
+    // modes — and the estimate mode misjudges them.
+    val misclassified = stats.filter(_._2 >= 6).map(_._1).toSet
+    assert(misclassified.nonEmpty,
+      "the fixed hash family should put at least one borderline pair at >= 6/8 agreement")
+
+    val allIds = stats.map(_._1).toSet
+    val exactSurvivors = Dedup.nearDupAgainst(kept, snapshot)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(exactSurvivors === allIds,
+      "exact digest-set verify must keep every variant (true jaccard < 0.75)")
+    val sigSurvivors = Dedup.nearDupAgainst(kept, snapshot, exactVerify = false)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert((allIds -- sigSurvivors) === misclassified,
+      "signature-agreement verify drops exactly the quantization-misclassified variants")
   }
 
   test("benchmarkContamination flags corpus docs by distinct-shingle overlap with the eval set") {
