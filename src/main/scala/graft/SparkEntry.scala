@@ -568,6 +568,18 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Mergeable approximate quantiles (Greenwald–Khanna via
+    // approx_percentile) — the 100 TB replacement for q34/q57/q71's exact
+    // percentile, whose per-group state is the full value multiset. The
+    // sketch's answer cannot be reproduced bit-for-bit by another engine,
+    // so the GATE is the error bound: for each (group, p) the exact rank
+    // of the sketched cutoff must sit within the documented ±n/accuracy —
+    // the oracle computes n exactly and asserts the bound holds (TRUE).
+    "q79_approx_quantiles" -> ((s, dir) =>
+      Stats.approxQuantileRankCheck(
+        Tables.orders(s, dir), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy("grp", "p")),
+
     // Map-typed columns: per-user event-type→count maps built with
     // map_from_entries, then consumed via size/map_keys/element_at and an
     // aggregate HOF over map_values. The oracle reproduces the OUTPUT with
@@ -1599,6 +1611,14 @@ object SparkEntry {
         |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
+
+    // The sketch side is engine-internal; the oracle checks the CONTRACT:
+    // group sizes exact, and the rank-error bound asserted true.
+    "q79_approx_quantiles" ->
+      """SELECT o_orderpriority AS grp, p, CAST(COUNT(*) AS BIGINT) AS n, TRUE AS rank_ok
+        |FROM orders CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS p) ps
+        |GROUP BY grp, p
+        |ORDER BY grp, p""".stripMargin,
 
     "q78_bloom_membership" ->
       """WITH k AS (

@@ -117,6 +117,74 @@ object Stats {
         least(greatest(col("x"), col("p_lo")), col("p_hi")).as("x_clipped"))
   }
 
+  /** Per-group MERGEABLE approximate quantiles — the 100 TB path where
+    * exact `percentile` (which buffers each group's full value multiset
+    * in the aggregation state) stops being viable. Built on Spark's
+    * `approx_percentile`, i.e. the Greenwald–Khanna quantile summary:
+    * the sketch is a bounded set of (value, g, Δ) tuples, partial
+    * aggregation builds one per map task, and the reduce side MERGES
+    * summaries instead of concatenating values — state is
+    * O(accuracy·log(εn)) per group regardless of group size, and the
+    * documented guarantee is rank error ≤ n/accuracy.
+    *
+    * Exact `percentile` ([[winsorize]], q34/q57) stays the right call
+    * when groups are modest and the oracle gate needs bit-equal
+    * interpolated values; this is the drop-in for corpus-scale groups.
+    * Output: (grp, n, aq: array<double>) with `aq(i)` ≈ the `ps(i)`
+    * quantile — an actual element of the group, per GK semantics.
+    */
+  def approxQuantiles(
+      df: DataFrame,
+      group: Column,
+      x: Column,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      accuracy: Int = 1000): DataFrame = {
+    val psSql = ps.map(p => s"${p}D").mkString("array(", ", ", ")")
+    df.select(group.as("grp"), x.cast("double").as("x"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr(s"approx_percentile(x, $psSql, $accuracy)").as("aq"))
+  }
+
+  /** [[approxQuantiles]] with its error bound made checkable: for each
+    * (group, p) the sketch's answer `v` is graded against the EXACT rank
+    * of `v` in the group — `rank_ok` iff the documented GK bound
+    * (rank error ≤ εn, ε = 1/accuracy) holds, duplicate-safe by checking
+    * both rank boundaries (`count(x < v)` and `count(x ≤ v)`) with one
+    * row of slack for the discrete-rank convention. This is the
+    * error-bound gating shape: an exact-quantile oracle can assert
+    * `rank_ok = true` without being able to reproduce the approximate
+    * value itself.
+    *
+    * Scale shape: the sketch aggregate plus ONE broadcast of the
+    * (groups × ps)-sized cutoff table back over the scan — two passes,
+    * no fact-table shuffle (the rank counts are map-side combined).
+    */
+  def approxQuantileRankCheck(
+      df: DataFrame,
+      group: Column,
+      x: Column,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75),
+      accuracy: Int = 1000): DataFrame = {
+    val eps = 1.0 / accuracy
+    val v = df.select(group.as("grp"), x.cast("double").as("x"))
+    val psCol = array(ps.map(lit): _*)
+    val cuts = approxQuantiles(df, group, x, ps, accuracy)
+      .select(col("grp"), col("n"), posexplode(col("aq")).as(Seq("pi", "v")))
+      .select(col("grp"), col("n"), element_at(psCol, col("pi") + 1).as("p"), col("v"))
+    v.join(broadcast(cuts), Seq("grp"))
+      .groupBy(col("grp"), col("p"), col("n"))
+      .agg(
+        sum(when(col("x") < col("v"), 1L).otherwise(0L)).as("r_lo"),
+        sum(when(col("x") <= col("v"), 1L).otherwise(0L)).as("r_hi"))
+      .select(
+        col("grp"), col("p"), col("n"),
+        (col("r_lo").cast("double") - 1.0 <= (col("p") + eps) * col("n").cast("double") &&
+          col("r_hi").cast("double") + 1.0 >= (col("p") - eps) * col("n").cast("double"))
+          .as("rank_ok"))
+  }
+
   /** Fixed-bin equi-width histogram of an integer measure: bin index
     * `min(bins−1, ⌊(x − lo)·bins / (hi − lo + 1)⌋)` over the observed
     * [lo, hi] — the +1 keeps `x = hi` inside the last bin without a

@@ -100,6 +100,35 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(r(100).getAs[Double]("x") === 100.0)
   }
 
+  test("approx quantiles hold the GK rank-error bound across partitionings") {
+    // 20,000 distinct values in one group: value v has exact rank v, so
+    // the rank error of the sketch's answer is directly readable. The GK
+    // guarantee is rank error ≤ n/accuracy; check it at two accuracies
+    // and under two different partitionings (the MERGE path must not
+    // degrade the bound — that's the property that makes it the 100 TB
+    // path).
+    val n = 20000
+    val ps = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+    for (parts <- Seq(1, 16); accuracy <- Seq(100, 1000)) {
+      val df = spark.range(1, n + 1).repartition(parts)
+        .selectExpr("'g' AS k", "CAST(id AS DOUBLE) AS x")
+      val r = Stats.approxQuantiles(df, col("k"), col("x"), ps, accuracy)
+        .collect().head
+      assert(r.getAs[Long]("n") === n.toLong)
+      val aq = r.getAs[scala.collection.Seq[Double]]("aq")
+      ps.zip(aq).foreach { case (p, v) =>
+        val rankErr = math.abs(v - p * n) // rank(v) = v on this data
+        assert(rankErr <= n.toDouble / accuracy + 1,
+          s"p=$p accuracy=$accuracy parts=$parts: cutoff $v, rank error $rankErr > ${n / accuracy}")
+      }
+      // The checkable gate agrees: every (group, p) row passes.
+      val checked = Stats.approxQuantileRankCheck(df, col("k"), col("x"), ps, accuracy)
+        .collect()
+      assert(checked.length === ps.size)
+      assert(checked.forall(_.getAs[Boolean]("rank_ok")))
+    }
+  }
+
   test("transition matrix counts consecutive per-user steps in (ts, event_id) order") {
     val e = Seq(
       (1L, ts("2024-01-01 10:00:00"), 10L, "view", 1.0, "{}"),
