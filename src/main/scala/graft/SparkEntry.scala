@@ -767,21 +767,32 @@ object SparkEntry {
         .orderBy("o_orderkey")
         .limit(100)),
 
-    // Multimodal: binary payload + metadata + stub feature extraction.
-    // Not SQL-expressible (typed mapPartitions decode) → rows-only check.
+    // Multimodal: binary payload + metadata + feature extraction. Two
+    // decode paths joined: the histogram stub over the text/plain payload
+    // (f0/f6), and a REAL binary-PGM decode — each doc wrapped as a
+    // 1-row P5 graymap (header with comment line + raw raster), parsed
+    // back by PgmDecoder, raster reduced to pixel moments. The decoded
+    // width/mean/max are checkable in SQL because the raster bytes ARE
+    // the document's ASCII bytes.
     "q24_multimodal_features" -> ((s, dir) => {
-      val media = Multimodal.toMedia(Tables.documents(s, dir))
+      val docs = Tables.documents(s, dir)
+      val media = Multimodal.toMedia(docs)
       val feats = Multimodal.extractFeatures(s, media).toDF()
+      val pgm = Multimodal.decodePgmFeatures(s, Multimodal.toPgm(docs)).toDF()
       media
         .select(
           col("doc_id"),
           col("meta.n_bytes").as("n_bytes"),
           col("meta.n_frames").as("n_frames"))
         .join(feats, "doc_id")
+        .join(pgm.select(
+          col("doc_id"), col("width"), col("mean_px"), col("min_px"), col("max_px")),
+          "doc_id")
         .select(
           col("doc_id"), col("n_bytes"), col("n_frames"),
           element_at(col("features"), 1).as("f0"),
-          element_at(col("features"), 7).as("f6"))
+          element_at(col("features"), 7).as("f6"),
+          col("width"), col("mean_px"), col("min_px"), col("max_px"))
         .orderBy("doc_id")
     }))
 
@@ -1092,17 +1103,31 @@ object SparkEntry {
     // The stub "decoder" is a 16-bin byte histogram over the UTF-8 payload;
     // documents are pure ASCII (verified at generation), so byte-range
     // counts equal char-class counts. f0 / f6 are single float32 divisions
-    // of exact small integers — bit-identical across engines.
+    // of exact small integers — bit-identical across engines. The PGM
+    // columns check the REAL decoder: the engine parses width out of the
+    // binary header it wrote and reduces the raster, so width must equal
+    // the byte length and the pixel moments must equal the codepoint
+    // moments (ASCII ⇒ byte = codepoint); mean is one IEEE division of an
+    // exact sub-2^53 sum.
     "q24_multimodal_features" ->
-      """SELECT doc_id,
-        |       octet_length(encode(text)) AS n_bytes,
-        |       CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) AS n_frames,
-        |       CAST(length(text) - length(regexp_replace(text, '[\x00-\x0f]', '', 'g')) AS FLOAT)
-        |         / CAST(greatest(octet_length(encode(text)), 1) AS FLOAT) AS f0,
-        |       CAST(length(text) - length(regexp_replace(text, '[\x60-\x6f]', '', 'g')) AS FLOAT)
-        |         / CAST(greatest(octet_length(encode(text)), 1) AS FLOAT) AS f6
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1), i -> unicode(text[i:i])) AS cps
+        |  FROM documents
+        |)
+        |SELECT d.doc_id,
+        |       octet_length(encode(d.text)) AS n_bytes,
+        |       CAST(ceil(octet_length(encode(d.text)) / 64.0) AS INT) AS n_frames,
+        |       CAST(length(d.text) - length(regexp_replace(d.text, '[\x00-\x0f]', '', 'g')) AS FLOAT)
+        |         / CAST(greatest(octet_length(encode(d.text)), 1) AS FLOAT) AS f0,
+        |       CAST(length(d.text) - length(regexp_replace(d.text, '[\x60-\x6f]', '', 'g')) AS FLOAT)
+        |         / CAST(greatest(octet_length(encode(d.text)), 1) AS FLOAT) AS f6,
+        |       CAST(octet_length(encode(d.text)) AS INT) AS width,
+        |       CAST(list_sum(px.cps) AS DOUBLE) / CAST(len(px.cps) AS DOUBLE) AS mean_px,
+        |       CAST(list_min(px.cps) AS INT) AS min_px,
+        |       CAST(list_max(px.cps) AS INT) AS max_px
+        |FROM documents d JOIN px USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q26_event_type_pivot" ->
       """SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,

@@ -146,6 +146,48 @@ class TextMultimodalSpec extends SparkSpec {
     assert(feats.sortBy(_.doc_id).map(_.features) === again.sortBy(_.doc_id).map(_.features))
   }
 
+  test("PGM decoder parses a hand-built P5 fixture: comments, multi-digit dims, raster moments") {
+    import Multimodal.PgmDecoder
+    // 13×2 image, maxval 200, comment between magic and dims, mixed
+    // whitespace between header tokens — every parser branch exercised.
+    val raster = (0 until 26).map(i => (i * 7 % 200).toByte).toArray
+    val header = "P5\n# a comment the parser must skip\n13\t2  # trailing comment\n200\n"
+    val f = PgmDecoder.decode(42L, header.getBytes("US-ASCII") ++ raster)
+    assert(f.width === 13 && f.height === 2 && f.max_val === 200 && f.n_px === 26L)
+    val px = raster.map(_ & 0xff)
+    assert(f.mean_px === Some(px.sum.toDouble / 26.0))
+    assert(f.min_px === Some(px.min) && f.max_px === Some(px.max))
+    // Zero-pixel image decodes to empty moments, not a crash.
+    val empty = PgmDecoder.decode(7L, "P5\n0 1\n255\n".getBytes("US-ASCII"))
+    assert(empty.n_px === 0L && empty.mean_px === None)
+    // Malformed inputs THROW instead of returning garbage.
+    intercept[IllegalArgumentException] { // wrong magic (P2 is ASCII PGM)
+      PgmDecoder.decode(0L, "P2\n2 1\n255\n ab".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // truncated raster
+      PgmDecoder.decode(0L, ("P5\n5 5\n255\nab").getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // maxval needs two bytes/px
+      PgmDecoder.decode(0L, "P5\n1 1\n65535\n  ".getBytes("US-ASCII"))
+    }
+  }
+
+  test("toPgm payloads round-trip through the real decoder to the text's byte moments") {
+    val media = Multimodal.toPgm(docs)
+    // The payload is a real PGM: raster bytes ARE the document bytes, so
+    // the decoded moments must equal the text's codepoint moments.
+    val feats = Multimodal.decodePgmFeatures(spark, media)
+      .collect().map(f => f.doc_id -> f).toMap
+    docs.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bytes = r.getAs[String]("text").getBytes("UTF-8").map(_ & 0xff)
+      val f = feats(id)
+      assert(f.width === bytes.length && f.height === 1 && f.max_val === 255)
+      assert(f.mean_px === Some(bytes.sum.toDouble / bytes.length.toDouble))
+      assert(f.min_px === Some(bytes.min) && f.max_px === Some(bytes.max))
+    }
+  }
+
   test("simhash emits 16 lowercase hex nibbles") {
     val h = TextAnalysis.simhash(docs).collect()
     assert(h.length === 2)
