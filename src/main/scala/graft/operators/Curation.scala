@@ -230,4 +230,34 @@ object Curation {
           .otherwise(expr(s"($budget - sat_cum) DIV (n - n_sat)")))
       .select(col("grp"), col("available"), col("allocated"), col("saturated"))
   }
+
+  /** One admission round of the incremental curation pipeline: the
+    * snapshot documents that (1) pass the quality filter, (2) are not
+    * exact duplicates of the kept corpus (normalized content hash), and
+    * (3) are not verified NEAR-duplicates of the kept corpus (LSH
+    * candidates + exact digest-set jaccard). Returns admitted rows with
+    * the snapshot's schema — the rows that JOIN the kept corpus.
+    *
+    * This is the batch semantics that
+    * [[graft.streaming.StreamingOps.corpusAdmissionSink]] replays
+    * incrementally: admitting snapshots S₁, S₂ through that sink equals
+    * `admitSnapshot(kept, S₁)` then `admitSnapshot(kept ∪ admitted₁, S₂)`
+    * (pinned by spec). Scale shape is the composition of its parts — the
+    * quality pass is narrow, both dedup passes shuffle digests and band
+    * keys only, and the kept side can be a persisted
+    * [[Dedup.signatureDigestIndex]].
+    */
+  def admitSnapshot(
+      kept: DataFrame,
+      snapshot: DataFrame,
+      minJaccard: Double = 0.75,
+      keptSignatures: Option[DataFrame] = None): DataFrame = {
+    val quality = TextAnalysis.qualityFilter(snapshot)
+      .filter(col("keep")).select("doc_id")
+    val qualified = snapshot.join(quality, Seq("doc_id"), "left_semi")
+    val novel = dedupAgainst(qualified, kept).drop("content_hash")
+    val survivors = Dedup.nearDupAgainst(
+      kept, novel, minJaccard = minJaccard, keptSignatures = keptSignatures)
+    novel.join(survivors, Seq("doc_id"), "left_semi")
+  }
 }

@@ -170,6 +170,49 @@ object StreamingOps {
     (batch: DataFrame, batchId: Long) =>
       batch.write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
+  /** End-to-end incremental curation: a `foreachBatch` sink that admits
+    * each micro-batch of candidate documents into a continuously-growing
+    * corpus — quality filter, exact dedup, and verified near-dup dedup
+    * against EVERYTHING already kept
+    * ([[graft.operators.Curation.admitSnapshot]]) — and lands the
+    * admitted rows in the batch's own `batch_id=<epoch>` directory.
+    *
+    * The kept corpus for batch `b` is `keptInit` plus the admitted
+    * output of every batch `< b`, read back FROM THE SINK: the sink
+    * directory is both the output and the dedup state, so a batch
+    * REPLAYED after a failure (foreachBatch's at-least-once contract)
+    * recomputes against exactly the same kept set — its own prior output
+    * is excluded by the `batch_id < b` filter — and overwrites its own
+    * directory: exactly-once admission semantics with no transaction
+    * log, and the final corpus equals the batch-computed sequential
+    * admission (pinned by spec).
+    *
+    * At 100 TB the re-read of prior admissions is a parquet scan of kept
+    * documents — the shape to optimize is passing a maintained
+    * signature+digest index as the kept representation; this sink is the
+    * correctness-first composition.
+    *
+    * {{{
+    * candidates.writeStream
+    *   .foreachBatch(StreamingOps.corpusAdmissionSink(spark, kept, path))
+    *   .start()
+    * }}}
+    */
+  def corpusAdmissionSink(
+      spark: SparkSession,
+      keptInit: DataFrame,
+      basePath: String,
+      minJaccard: Double = 0.75): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val docCols = batch.columns.map(col).toSeq
+      val prior = scala.util.Try(spark.read.parquet(basePath))
+        .map(_.filter(col("batch_id") < batchId).select(docCols: _*))
+        .getOrElse(batch.limit(0))
+      val kept = keptInit.select(docCols: _*).unionByName(prior)
+      graft.operators.Curation.admitSnapshot(kept, batch, minJaccard)
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+    }
+
   case class SessionState(sessionId: Int, firstUs: Long, lastUs: Long, nEvents: Long)
 
   case class SessionUpdate(

@@ -275,6 +275,66 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "_live").count() === 1L)
   }
 
+  test("corpus admission sink: replayed micro-batches equal sequential batch admission") {
+    import graft.operators.Curation
+    // Quality-passing docs: 46 words (>= 40), avg word length in band,
+    // leading stopword. Distinct seeds share no vocabulary.
+    def text(seed: Int, mutateAt: Int = -1): String =
+      "the " + (0 until 45).map(i =>
+        if (i == mutateAt) s"mut${seed}z$i" else s"word$seed$i").mkString(" ")
+    def df(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    val keptInit = df(0L -> text(0))
+    // Batch 0: exact dup of kept (100), near-dup of kept (101: one word
+    // changed, jaccard 41/47 ≈ 0.87 ≥ 0.75), novel (102), junk (103).
+    val batch0 = df(
+      100L -> text(0), 101L -> text(0, mutateAt = 20),
+      102L -> text(2), 103L -> "too short")
+    // Batch 1: near-dup of batch 0's ADMITTED doc (200 — dropped only if
+    // the kept corpus actually grew), plus a novel doc (201).
+    val batch1 = df(200L -> text(2, mutateAt = 7), 201L -> text(3))
+
+    // Ground truth: sequential batch admission.
+    val a0 = Curation.admitSnapshot(keptInit, batch0)
+    val a1 = Curation.admitSnapshot(keptInit.unionByName(a0), batch1)
+    val wantIds = (a0.collect() ++ a1.collect()).map(_.getAs[Long]("doc_id")).toSet
+    assert(wantIds === Set(102L, 201L))
+
+    // Streaming path WITH REPLAYS: each batch delivered twice
+    // (foreachBatch's at-least-once contract after a failure).
+    val dir = java.nio.file.Files.createTempDirectory("graft_admission").toString
+    val sink = StreamingOps.corpusAdmissionSink(spark, keptInit, dir)
+    sink(batch0, 0L)
+    sink(batch0, 0L) // replay of batch 0
+    sink(batch1, 1L)
+    sink(batch1, 1L) // replay of batch 1
+    val streamed = spark.read.parquet(dir)
+    assert(streamed.collect().map(_.getAs[Long]("doc_id")).toSet === wantIds,
+      "replayed sink admissions must equal the batch-computed admitted set")
+    assert(streamed.select("batch_id").distinct().count() === 2L)
+
+    // And it wires into a real streaming query end-to-end.
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_admission_live").toString
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String, String, Long)]
+    val q = in.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream
+      .foreachBatch(StreamingOps.corpusAdmissionSink(spark, keptInit, dir2))
+      .start()
+    in.addData(batch0.collect().map(r => (
+      r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[String]("lang"),
+      r.getAs[String]("source"), r.getAs[Long]("n_chars"))).toSeq: _*)
+    q.processAllAvailable()
+    in.addData(batch1.collect().map(r => (
+      r.getAs[Long]("doc_id"), r.getAs[String]("text"), r.getAs[String]("lang"),
+      r.getAs[String]("source"), r.getAs[Long]("n_chars"))).toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.read.parquet(dir2).collect().map(_.getAs[Long]("doc_id")).toSet === wantIds)
+  }
+
   test("the batch normalizeActions projection composes with readStream frames") {
     implicit val sqlCtx = spark.sqlContext
     val clicksIn = MemoryStream[(String, Long, Long, java.sql.Timestamp)]
