@@ -568,6 +568,20 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Misra–Gries heavy hitters (custom mergeable TypedImperativeAggregate,
+    // ≤ k counters per buffer — the bounded-state path when the vocabulary
+    // is itself the scale problem). Sketch survivors near the threshold are
+    // partitioning-dependent by nature, so the GATE is the theory: every
+    // token whose EXACT count clears n/(k+1) must be present with its
+    // estimate inside the error bound — the oracle computes the exact-count
+    // row set and asserts both booleans.
+    "q80_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.wordsCol).as("tok"))
+      graft.functions.Sketches.heavyHittersChecked(toks, "source", "tok", k = 24)
+        .orderBy("grp", "item")
+    }),
+
     // Mergeable approximate quantiles (Greenwald–Khanna via
     // approx_percentile) — the 100 TB replacement for q34/q57/q71's exact
     // percentile, whose per-group state is the full value multiset. The
@@ -1636,6 +1650,21 @@ object SparkEntry {
         |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
+
+    // The sketch side is engine-internal; the oracle checks the CONTRACT:
+    // the exact-count-defined heavy set, with presence and error-bound
+    // booleans asserted true.
+    "q80_heavy_hitters" ->
+      """WITH w AS (
+        |  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS item
+        |  FROM documents
+        |),
+        |c AS (SELECT grp, item, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY grp, item),
+        |t AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY grp)
+        |SELECT c.grp, c.item, c.cnt, t.n, TRUE AS present, TRUE AS bound_ok
+        |FROM c JOIN t USING (grp)
+        |WHERE c.cnt * 25 > t.n
+        |ORDER BY grp, item""".stripMargin,
 
     // The sketch side is engine-internal; the oracle checks the CONTRACT:
     // group sizes exact, and the rank-error bound asserted true.

@@ -115,6 +115,58 @@ object Sketches {
     (0.7213 / (1.0 + 1.079 / m)) * m * m * math.pow(2.0, 55.0)
   }
 
+  /** Per-group Misra–Gries heavy-hitters summary
+    * ([[graft.expressions.MisraGries]]): `(grp, mg: map<item, est>, n)`
+    * with at most `k` surviving items per group. THE bounded-state
+    * frequent-items path: exact `groupBy(item).count` shuffles the whole
+    * vocabulary; this shuffles ≤ k counters per map task per group, and
+    * partials merge with the PODS'12 mergeable-summaries rule. Items with
+    * true frequency > n/(k+1) are guaranteed present, estimates
+    * undercount by at most n/(k+1); survivors NEAR the threshold depend
+    * on partitioning (inherent to MG), so hash-stable consumers should
+    * use [[heavyHittersChecked]].
+    */
+  def heavyHitters(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      k: Int = 24): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(
+        bridge.column(
+          graft.expressions.MisraGries(bridge.expression(col(itemCol)), k)
+            .toAggregateExpression()).as("mg"),
+        count(col(itemCol)).as("n"))
+  }
+
+  /** [[heavyHitters]] with its guarantees made checkable (and its output
+    * made deterministic): for every item whose EXACT count clears the
+    * guarantee threshold `cnt·(k+1) > n`, report whether the sketch holds
+    * it (`present` — MG theory says always) and whether the estimate is
+    * within the error bound `(cnt − est)·(k+1) ≤ n` (ditto) — both as
+    * exact integer comparisons. The row set is defined by exact counts,
+    * so it reproduces across engines and partitionings even though the
+    * sketch's marginal survivors don't.
+    */
+  def heavyHittersChecked(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      k: Int = 24): DataFrame = {
+    val sk = heavyHitters(df, groupCol, itemCol, k)
+    val exact = df
+      .groupBy(col(groupCol).as("grp"), col(itemCol).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+    exact.join(broadcast(sk), Seq("grp"))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .select(
+        col("grp"), col("item"), col("cnt"), col("n"),
+        element_at(col("mg"), col("item")).isNotNull.as("present"),
+        ((col("cnt") - coalesce(element_at(col("mg"), col("item")), lit(0L))) * (k + 1)
+          <= col("n")).as("bound_ok"))
+  }
+
   /** Per-group Bloom filter (`bits` capacity as 62-bit words, 3 hash
     * probes) over a key column, plus the membership test of a probe set
     * against every group's filter — the pre-join pruning sketch: "might

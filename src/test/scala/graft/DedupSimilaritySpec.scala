@@ -105,6 +105,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(members.getAs[Long]("n_probe_hits") === 500L)
   }
 
+  test("Misra-Gries summary holds its guarantees under any partitioning") {
+    import graft.functions.Sketches
+    // One group, n = 8500 items: "hot" ×3000, "warm" ×500, and 5000
+    // distinct singleton tail items that force constant counter churn.
+    // k = 9 ⇒ guarantee threshold n/(k+1) = 850: "hot" is guaranteed
+    // present with error ≤ 850; "warm" and the tail carry no guarantee.
+    val items = Seq.fill(3000)("hot") ++ Seq.fill(500)("warm") ++
+      (0 until 5000).map(i => s"tail$i")
+    val truth = items.groupBy(identity).map { case (v, g) => v -> g.size.toLong }
+    for (parts <- Seq(1, 7, 32)) {
+      val df = items.toDF("tok").repartition(parts).selectExpr("'g' AS grp", "tok")
+      val r = Sketches.heavyHitters(df, "grp", "tok", k = 9).collect().head
+      assert(r.getAs[Long]("n") === 8500L)
+      val mg = r.getAs[Map[String, Long]]("mg")
+      assert(mg.size <= 9, s"parts=$parts: ${mg.size} survivors exceed k")
+      // Guaranteed presence + error bound for the true heavy hitter.
+      assert(mg.contains("hot"), s"parts=$parts: guaranteed item evicted")
+      assert(mg("hot") >= 3000L - 850L && mg("hot") <= 3000L,
+        s"parts=$parts: hot estimate ${mg("hot")} outside [2150, 3000]")
+      // Undercount-only, for EVERY survivor.
+      mg.foreach { case (item, est) =>
+        assert(est <= truth(item), s"parts=$parts: $item overcounted $est > ${truth(item)}")
+      }
+      // The checked surface: the exact-count-defined row set, all green.
+      val checked = Sketches.heavyHittersChecked(df, "grp", "tok", k = 9).collect()
+      assert(checked.map(_.getAs[String]("item")).toSet === Set("hot"))
+      assert(checked.forall(r => r.getAs[Boolean]("present") && r.getAs[Boolean]("bound_ok")))
+    }
+  }
+
   test("md5 digest-slice expressions match the SQL hex idioms bitwise") {
     import org.apache.spark.sql.functions.{col, expr, hex, lower, md5}
     import graft.functions.Hashing
