@@ -117,6 +117,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(df) <= 1, s"standardize path grew a shuffle:\n$p")
   }
 
+  test("approx quantiles: partial GK sketch map-side, cutoffs broadcast, no fact shuffle") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val df = graft.functions.Stats.approxQuantileRankCheck(
+      orders, org.apache.spark.sql.functions.col("o_orderpriority"),
+      org.apache.spark.sql.functions.col("o_totalprice"))
+    val p = plan(df)
+    assert(p.contains("partial_approx_percentile"),
+      s"GK sketch no longer partial-aggregates map-side:\n$p")
+    assert(p.contains("BroadcastExchange"), s"cutoffs stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"rank check regressed to a fact shuffle:\n$p")
+    // Sketch merge + rank-count aggregate (+ final group-size exchange).
+    assert(shuffles(df) <= 3, s"approx-quantile path grew a shuffle:\n$p")
+  }
+
+  test("heavy hitters: partial MG summaries map-side, sketch broadcast to the exact join") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val toks = Tables(dir)
+      .select(col("source"), explode(graft.functions.TextAnalysis.wordsCol).as("tok"))
+    val df = graft.functions.Sketches.heavyHittersChecked(toks, "source", "tok", k = 24)
+    val p = plan(df)
+    assert(p.contains("partial_graft_mg"),
+      s"MG aggregate no longer partial-aggregates (k-bounded buffers) map-side:\n$p")
+    assert(p.contains("BroadcastExchange"), s"sketch side stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"sketch join regressed to a shuffle:\n$p")
+    // Exact token counts + the group-sized MG aggregate.
+    assert(shuffles(df) <= 2, s"heavy-hitter path grew a shuffle:\n$p")
+  }
+
   private def Tables(d: String): DataFrame =
     graft.sources.Tables.documents(spark, d)
 }
