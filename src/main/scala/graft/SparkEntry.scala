@@ -568,6 +568,15 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // BPE tokenizer training, iteration-1 pair counts: corpus → vocabulary
+    // (the only corpus-sized shuffle) → adjacent-char pairs weighted by
+    // word frequency (alphabet²-bounded aggregate). Top-20 merges ranked
+    // (cnt DESC, pair) — the total order makes the limit deterministic.
+    "q81_bpe_pairs" -> ((s, dir) =>
+      TextAnalysis.bpePairCounts(Tables.documents(s, dir))
+        .orderBy(col("cnt").desc, col("c1"), col("c2"))
+        .limit(20)),
+
     // Misra–Gries heavy hitters (custom mergeable TypedImperativeAggregate,
     // ≤ k counters per buffer — the bounded-state path when the vocabulary
     // is itself the scale problem). Sketch survivors near the threshold are
@@ -1650,6 +1659,18 @@ object SparkEntry {
         |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
+
+    "q81_bpe_pairs" ->
+      """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),
+        |wc AS (SELECT w, COUNT(*) AS wc FROM w WHERE length(w) >= 2 GROUP BY w),
+        |p AS (
+        |  SELECT substr(w, i, 1) AS c1, substr(w, i + 1, 1) AS c2, wc
+        |  FROM (SELECT w, wc, CAST(unnest(range(1, length(w))) AS INT) AS i FROM wc)
+        |)
+        |SELECT c1, c2, CAST(SUM(wc) AS BIGINT) AS cnt
+        |FROM p GROUP BY c1, c2
+        |ORDER BY cnt DESC, c1, c2
+        |LIMIT 20""".stripMargin,
 
     // The sketch side is engine-internal; the oracle checks the CONTRACT:
     // the exact-count-defined heavy set, with presence and error-bound

@@ -340,6 +340,35 @@ object TextAnalysis {
       .select(col("token_id"), col("token"), col("n"))
   }
 
+  /** Adjacent-symbol pair frequencies over the word-frequency table — the
+    * counting step of one BPE tokenizer-training iteration (the top pair
+    * is the next merge). Two-level aggregation is the BPE-at-scale shape:
+    * the corpus collapses to its VOCABULARY first (word → count, the only
+    * corpus-sized shuffle), then pairs explode from distinct words only,
+    * weighted by word count, and the pair aggregate's key space is
+    * ≤ |alphabet|² — tiny, map-side combined — no matter how big the
+    * corpus. Symbols here are single characters (iteration 1); iterating
+    * merges would thread a symbol-segmentation column through the same
+    * plan.
+    */
+  def bpePairCounts(docs: DataFrame): DataFrame = {
+    val wordCounts = spread(docs)
+      .select(explode(wordsCol).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wc"))
+    wordCounts
+      .select(
+        col("wc"),
+        explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => struct(
+            col("w").substr(i, lit(1)).as("c1"),
+            col("w").substr(i + 1, lit(1)).as("c2")))).as("p"))
+      .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+      .agg(sum(col("wc")).as("cnt"))
+  }
+
   /** Stopword-profile language/register identification: count hits against
     * three fixed profiles, predict the best-scoring one (ties broken by
     * profile order). The n-gram-profile method in miniature, with profiles

@@ -188,6 +188,19 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("bpePairCounts weights adjacent-char pairs by word frequency") {
+    // Vocabulary: "ab"×3 (two in doc A, one in doc B), "abc"×1, "x"×1
+    // (single char — no pairs). Pairs: (a,b) = 3+1 = 4, (b,c) = 1.
+    val d = Seq(
+      (0L, "ab ab x", "en", "s", 7L),
+      (1L, "ab abc", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.bpePairCounts(d).collect()
+      .map(r => (r.getAs[String]("c1"), r.getAs[String]("c2")) -> r.getAs[Long]("cnt"))
+      .toMap
+    assert(out === Map(("a", "b") -> 4L, ("b", "c") -> 1L))
+  }
+
   test("simhash emits 16 lowercase hex nibbles") {
     val h = TextAnalysis.simhash(docs).collect()
     assert(h.length === 2)
