@@ -568,6 +568,13 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Split-leakage audit: verified near-dup pairs straddling a hash-split
+    // boundary — the within-corpus contamination check run between
+    // splitting and training (q37 assigns, q25 verifies, this joins them).
+    "q82_split_leakage" -> ((s, dir) =>
+      Curation.splitLeakage(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
     // BPE tokenizer training, iteration-1 pair counts: corpus → vocabulary
     // (the only corpus-sized shuffle) → adjacent-char pairs weighted by
     // word frequency (alphabet²-bounded aggregate). Top-20 merges ranked
@@ -1659,6 +1666,43 @@ object SparkEntry {
         |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
+
+    "q82_split_leakage" ->
+      s"""WITH $docShingles,
+         |$minhashBands,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |),
+         |sets AS (
+         |  SELECT doc_id,
+         |         list(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS shl,
+         |         CAST(COUNT(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS BIGINT) AS n_sh
+         |  FROM sh GROUP BY doc_id
+         |),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS n_common,
+         |         sa.n_sh AS n_a, sb.n_sh AS n_b
+         |  FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id
+         |),
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+         |    FROM documents)
+         |)
+         |SELECT v.doc_a, v.doc_b, sa.split AS split_a, sb.split AS split_b,
+         |       CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard
+         |FROM v
+         |JOIN sp sa ON v.doc_a = sa.doc_id
+         |JOIN sp sb ON v.doc_b = sb.doc_id
+         |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.2
+         |  AND sa.split <> sb.split
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     "q81_bpe_pairs" ->
       """WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents),

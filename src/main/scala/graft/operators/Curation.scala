@@ -231,6 +231,34 @@ object Curation {
       .select(col("grp"), col("available"), col("allocated"), col("saturated"))
   }
 
+  /** Cross-split near-duplicate leakage audit: every verified near-dup
+    * pair ([[Dedup.lshVerifiedPairs]]) whose two documents land in
+    * DIFFERENT [[hashSplit]] splits — the within-corpus contamination a
+    * random split always creates when near-duplicates exist (a val/test
+    * doc whose rewording sits in train is memorization, not
+    * generalization, when evaluated). Run after splitting, before
+    * training; the fix is cluster-aware splitting (assign whole
+    * [[Dedup.dedupClusters]] components to one split), and this audit is
+    * the check that proves it worked (zero rows under a cluster-aware
+    * split).
+    *
+    * Scale: the pair side is LSH-bounded, the split assignment is a
+    * narrow hash projection joined by doc_id — nothing new shuffles
+    * beyond what the pair generation already does.
+    */
+  def splitLeakage(
+      docs: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      minJaccard: Double = 0.2): DataFrame = {
+    val splits = hashSplit(docs, trainPct, valPct).select("doc_id", "split")
+    Dedup.lshVerifiedPairs(docs, minJaccard = minJaccard)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+  }
+
   /** One admission round of the incremental curation pipeline: the
     * snapshot documents that (1) pass the quality filter, (2) are not
     * exact duplicates of the kept corpus (normalized content hash), and

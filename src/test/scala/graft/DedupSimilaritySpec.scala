@@ -278,6 +278,28 @@ class DedupSimilaritySpec extends SparkSpec {
       "signature-agreement verify drops exactly the quantization-misclassified variants")
   }
 
+  test("splitLeakage flags near-dup pairs straddling split boundaries only") {
+    import graft.operators.Curation
+    // Pick ids with known (deterministic) hash-split assignments.
+    val sp = Curation.hashSplit((0L until 50L).toDF("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val train = sp.collect { case (id, "train") => id }.toSeq.sorted
+    val other = sp.collect { case (id, s) if s != "train" => id }.toSeq.sorted
+    val (a, c) = (train.head, train(1)) // same split
+    val b = other.head                  // different split
+    val docs = Seq(
+      (a, base, "en", "s", base.length.toLong),
+      (b, base.replace("lazy", "sleepy"), "en", "s", base.length.toLong),
+      (c, base.replace("quick", "rapid"), "en", "s", base.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.splitLeakage(docs).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    def pair(x: Long, y: Long) = (math.min(x, y), math.max(x, y))
+    // a~b and b~c straddle splits; a~c is within-train and must NOT flag.
+    assert(out === Set(pair(a, b), pair(b, c)),
+      s"expected exactly the cross-split near-dup pairs, got $out (a=$a b=$b c=$c)")
+  }
+
   test("benchmarkContamination flags corpus docs by distinct-shingle overlap with the eval set") {
     val corpus = Seq(
       (10L, "a b c d e", "en", "s0", 9L),   // shares "a b c","b c d" with bench 0 → 2
