@@ -568,6 +568,12 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Cluster-aware split — the FIX for q82's leakage: hash-split on the
+    // near-dup cluster's canonical id, so whole components share a split.
+    "q83_cluster_split" -> ((s, dir) =>
+      Curation.clusterAwareSplit(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // Split-leakage audit: verified near-dup pairs straddling a hash-split
     // boundary — the within-corpus contamination check run between
     // splitting and training (q37 assigns, q25 verifies, this joins them).
@@ -1666,6 +1672,43 @@ object SparkEntry {
         |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
+
+    "q83_cluster_split" ->
+      s"""WITH RECURSIVE $docShingles,
+         |$minhashBands,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |),
+         |sets AS (SELECT doc_id, list(sh) AS shl, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |p AS (
+         |  SELECT doc_a, doc_b
+         |  FROM (
+         |    SELECT doc_a, doc_b,
+         |           CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS n_common,
+         |           sa.n_sh AS n_a, sb.n_sh AS n_b
+         |    FROM cand JOIN sets sa ON doc_a = sa.doc_id JOIN sets sb ON doc_b = sb.doc_id)
+         |  WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.5
+         |),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+         |),
+         |lab AS (SELECT v AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY v),
+         |canon AS (
+         |  SELECT d.doc_id, COALESCE(l.canonical_id, d.doc_id) AS canonical_id
+         |  FROM documents d LEFT JOIN lab l ON d.doc_id = l.doc_id
+         |)
+         |SELECT doc_id, canonical_id, b AS bucket,
+         |       CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, canonical_id,
+         |         CAST('0x' || substr(md5(CAST(canonical_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS b
+         |  FROM canon)
+         |ORDER BY doc_id""".stripMargin,
 
     "q82_split_leakage" ->
       s"""WITH $docShingles,

@@ -259,6 +259,44 @@ object Curation {
       .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
   }
 
+  /** Leak-free train/val/test assignment: hash-split on the near-dup
+    * CLUSTER's canonical id instead of the document's own — every member
+    * of a [[Dedup.dedupClusters]] component lands in the same split by
+    * construction, so the contamination [[splitLeakage]] audits for
+    * cannot exist (its audit returns zero rows over this assignment —
+    * pinned by spec). Documents in no near-dup pair are their own
+    * canonical and split exactly like [[hashSplit]].
+    *
+    * Scale: adds the LSH + clustering passes to the split (both bounded;
+    * see their scaladocs); the assignment itself stays a narrow hash
+    * projection. Rates are per-canonical rather than per-document, which
+    * for near-dup-heavy corpora is the point: duplicates stop double-
+    * counting toward the split proportions.
+    */
+  def clusterAwareSplit(
+      docs: DataFrame,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      minJaccard: Double = 0.5): DataFrame = {
+    require(trainPct + valPct < 100)
+    val clusters = Dedup
+      .dedupClusters(Dedup.lshVerifiedPairs(docs, minJaccard = minJaccard))
+      .select(col("doc_id"), col("canonical_id"))
+    val canon = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        coalesce(col("canonical_id"), col("doc_id")).as("canonical_id"))
+    val bucket = pmod(Hashing.md5Long60(col("canonical_id").cast("string")), lit(100L))
+    canon.select(
+      col("doc_id"),
+      col("canonical_id"),
+      bucket.as("bucket"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** One admission round of the incremental curation pipeline: the
     * snapshot documents that (1) pass the quality filter, (2) are not
     * exact duplicates of the kept corpus (normalized content hash), and

@@ -300,6 +300,42 @@ class DedupSimilaritySpec extends SparkSpec {
       s"expected exactly the cross-split near-dup pairs, got $out (a=$a b=$b c=$c)")
   }
 
+  test("clusterAwareSplit keeps whole near-dup clusters in one split; singletons match hashSplit") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions.col
+    // Reuse the leakage fixture: ids a,c in train, b elsewhere under plain
+    // hashSplit, all three one near-dup cluster — plus a novel singleton.
+    val sp = Curation.hashSplit((0L until 50L).toDF("doc_id")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val train = sp.collect { case (id, "train") => id }.toSeq.sorted
+    val other = sp.collect { case (id, s) if s != "train" => id }.toSeq.sorted
+    val (a, c, b, solo) = (train.head, train(1), other.head, other(1))
+    val docs = Seq(
+      (a, base, "en", "s", base.length.toLong),
+      (b, base.replace("lazy", "sleepy"), "en", "s", base.length.toLong),
+      (c, base.replace("quick", "rapid"), "en", "s", base.length.toLong),
+      (solo, "completely different words about databases and airplanes and " +
+        "oceans with nothing shared beyond articles", "en", "s", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.clusterAwareSplit(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[String]("split"))).toMap
+    val canonical = Seq(a, b, c).min
+    Seq(a, b, c).foreach { id =>
+      assert(out(id) === (canonical, out(canonical)._2),
+        s"cluster member $id not co-assigned with canonical $canonical")
+    }
+    assert(out(solo) === (solo, sp(solo)), "singleton must split exactly like hashSplit")
+    // The q82 audit semantics over THIS assignment find nothing: every
+    // verified near-dup pair shares a split by construction.
+    val splits = Curation.clusterAwareSplit(docs).select("doc_id", "split")
+    val leaks = Dedup.lshVerifiedPairs(docs, minJaccard = 0.5)
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+    assert(leaks.isEmpty, "cluster-aware split must produce zero cross-split near-dup pairs")
+  }
+
   test("benchmarkContamination flags corpus docs by distinct-shingle overlap with the eval set") {
     val corpus = Seq(
       (10L, "a b c d e", "en", "s0", 9L),   // shares "a b c","b c d" with bench 0 → 2
