@@ -115,6 +115,25 @@ class CurationSpec extends SparkSpec {
     assert(snap(0).schema.fieldNames.toSeq === Seq("k", "version", "__graft_rn0", "__graft_rn1"))
   }
 
+  test("admitSnapshot is idempotent: re-admitting an admitted snapshot yields nothing") {
+    // The daily-pipeline invariant behind the replay-safe streaming sink:
+    // once a snapshot's survivors joined the kept corpus, running the SAME
+    // snapshot again admits zero docs (every survivor is now an exact dup
+    // of kept; every previously-dropped doc drops for its original reason).
+    def text(seed: Int): String =
+      "the " + (0 until 45).map(i => s"word$seed$i").mkString(" ")
+    val kept = Seq(doc(0L, text(0))).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val snapshot = Seq(
+      doc(100L, text(0)),          // exact dup of kept
+      doc(101L, text(1)),          // novel, admitted
+      doc(102L, "junk"))           // fails quality
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val a1 = Curation.admitSnapshot(kept, snapshot)
+    assert(a1.collect().map(_.getAs[Long]("doc_id")).toSet === Set(101L))
+    val a2 = Curation.admitSnapshot(kept.unionByName(a1), snapshot)
+    assert(a2.isEmpty, "second admission of the same snapshot must be empty")
+  }
+
   test("normalizedDuplicates groups case/punctuation variants raw dedup misses") {
     val docs = Seq(
       doc(0L, "Hello, World!"),
