@@ -568,6 +568,36 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Sub-document boilerplate removal: 8-token passages whose digest
+    // appears in more than one document are dropped from every document;
+    // clean text is rebuilt narrowly from the surviving passages.
+    "q84_passage_dedup" -> ((s, dir) =>
+      Dedup.passageDedup(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
+    // Per-doc LM-surprise signals — the deterministic core of a
+    // perplexity filter (rare-transition counts + least likely
+    // transition), scored against the q63 corpus bigram model.
+    "q85_bigram_surprise" -> ((s, dir) =>
+      TextAnalysis.bigramSurprise(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
+    // Count-Min frequency sketch (4×64) per source + probe of every
+    // distinct token — deterministic md5-slice hash family, so counts,
+    // estimates, and overcounts all hash-verify.
+    "q86_count_min" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"), explode(TextAnalysis.wordsCol).as("tok"))
+      graft.functions.Sketches.countMin(toks, "source", "tok")
+        .orderBy("grp", "item")
+    }),
+
+    // SemDeDup-style semantic dedup: sign-LSH buckets as the cluster
+    // step, within-bucket exact cosine, lowest-id canonical survivor.
+    "q87_semantic_dedup" -> ((s, dir) =>
+      Similarity.semanticDedup(Tables.embeddings(s, dir), minCosine = 0.2)
+        .orderBy("vec_id")),
+
     // Cluster-aware split — the FIX for q82's leakage: hash-split on the
     // near-dup cluster's canonical id, so whole components share a split.
     "q83_cluster_split" -> ((s, dir) =>
@@ -1673,6 +1703,83 @@ object SparkEntry {
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
 
+    "q84_passage_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |         unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+        |  FROM documents
+        |),
+        |p AS (
+        |  SELECT doc_id, CAST(pos // 8 AS INT) AS chunk,
+        |         string_agg(w, ' ' ORDER BY pos) AS passage
+        |  FROM w GROUP BY doc_id, pos // 8
+        |),
+        |d AS (
+        |  SELECT doc_id, chunk, passage,
+        |         CAST('0x' || substr(md5(passage), 1, 15) AS BIGINT) AS dig
+        |  FROM p
+        |),
+        |b AS (SELECT dig, TRUE AS boiler FROM d GROUP BY dig HAVING COUNT(DISTINCT doc_id) > 1),
+        |k AS (
+        |  SELECT d.doc_id, d.chunk, d.passage, COALESCE(b.boiler, FALSE) AS dropped
+        |  FROM d LEFT JOIN b USING (dig)
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_passages,
+        |       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+        |       COALESCE(string_agg(passage, ' ' ORDER BY chunk) FILTER (WHERE NOT dropped), '') AS clean_text
+        |FROM k GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q85_bigram_surprise" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |db AS (
+        |  SELECT doc_id, unnest(ws[1:len(ws) - 1]) AS w1, unnest(ws[2:len(ws)]) AS w2 FROM t
+        |),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt FROM db GROUP BY 1, 2),
+        |m AS (
+        |  SELECT w1, w2, cnt,
+        |         CAST(cnt AS DOUBLE) /
+        |           CAST(CAST(SUM(cnt) OVER (PARTITION BY w1) AS BIGINT) AS DOUBLE) AS p
+        |  FROM c
+        |)
+        |SELECT db.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(COUNT(*) FILTER (WHERE m.cnt <= 2) AS BIGINT) AS n_rare,
+        |       CAST(CAST(COUNT(*) FILTER (WHERE m.cnt <= 2) AS BIGINT) AS DOUBLE) /
+        |         CAST(CAST(COUNT(*) AS BIGINT) AS DOUBLE) AS rare_rate,
+        |       MIN(m.p) AS min_p
+        |FROM db JOIN m USING (w1, w2)
+        |GROUP BY db.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q86_count_min" ->
+      """WITH w AS (
+        |  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS item
+        |  FROM documents
+        |),
+        |rs AS (SELECT CAST(unnest(range(4)) AS INT) AS r),
+        |h AS (
+        |  SELECT grp, item, r,
+        |         CAST('0x' || substr(md5(item), 1 + 8 * r, 8) AS BIGINT) % 64 AS bucket
+        |  FROM w CROSS JOIN rs
+        |),
+        |sk AS (SELECT grp, r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY grp, r, bucket),
+        |e AS (SELECT grp, item, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM w GROUP BY grp, item),
+        |pr AS (
+        |  SELECT grp, item, exact_cnt, r,
+        |         CAST('0x' || substr(md5(item), 1 + 8 * r, 8) AS BIGINT) % 64 AS bucket
+        |  FROM e CROSS JOIN rs
+        |)
+        |SELECT pr.grp, pr.item, pr.exact_cnt,
+        |       MIN(sk.c) AS cms_est,
+        |       MIN(sk.c) - pr.exact_cnt AS overcount
+        |FROM pr JOIN sk ON pr.grp = sk.grp AND pr.r = sk.r AND pr.bucket = sk.bucket
+        |GROUP BY pr.grp, pr.item, pr.exact_cnt
+        |ORDER BY pr.grp, pr.item""".stripMargin,
+
+    "q87_semantic_dedup" -> semanticDedupOracle,
+
     "q83_cluster_split" ->
       s"""WITH RECURSIVE $docShingles,
          |$minhashBands,
@@ -2278,6 +2385,51 @@ object SparkEntry {
        |)
        |SELECT vec_id, kept_id AS match_id, dp, cosine FROM r WHERE rnk = 1
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Similarity.semanticDedup]]: sign-LSH
+    * buckets from the same deterministic quantized hyperplanes, pairs
+    * within a bucket at exact quantized cosine ≥ 0.2, each vector's
+    * verdict from its lowest-id qualifying bucket-mate.
+    */
+  private def semanticDedupOracle: String = {
+    val planes = graft.operators.Similarity
+      .hyperplanes(graft.operators.Similarity.DefaultNumPlanes, 64)
+      .map(_.map(c => math.floor(c * 1000000).toLong))
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), ii -> qe[ii] * ($planeLit)[ii])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n         + ")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |),
+       |b AS (
+       |  SELECT vec_id, qe,
+       |         CAST(list_sum(list_transform(range(1, 65), ii -> qe[ii] * qe[ii])) AS BIGINT) AS n2,
+       |         $bucketExpr AS bucket
+       |  FROM e
+       |),
+       |p AS (
+       |  SELECT a.vec_id, lo.vec_id AS dup_id,
+       |         CAST(list_sum(list_transform(range(1, 65), ii -> a.qe[ii] * lo.qe[ii])) AS BIGINT) AS dp,
+       |         a.n2 AS n2a, lo.n2 AS n2d
+       |  FROM b a JOIN b lo ON a.bucket = lo.bucket AND lo.vec_id < a.vec_id
+       |),
+       |c AS (
+       |  SELECT vec_id, dup_id, dp,
+       |         CAST(dp AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2d AS DOUBLE))) AS cosine
+       |  FROM p
+       |),
+       |best AS (
+       |  SELECT vec_id, dup_id AS dup_of, dp, cosine,
+       |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dup_id) AS rn
+       |  FROM c WHERE cosine >= 0.2
+       |)
+       |SELECT e.vec_id, f.dup_of IS NULL AS kept, f.dup_of, f.dp, f.cosine
+       |FROM e LEFT JOIN (SELECT * FROM best WHERE rn = 1) f ON e.vec_id = f.vec_id
+       |ORDER BY e.vec_id""".stripMargin
   }
 
   /** Shared oracle CTE: embeddings quantized to exact longs + self dot. */

@@ -260,4 +260,50 @@ object Sketches {
         col("grp"), col("n_keys"), col("words"), col("bits_set"),
         coalesce(col("n_probe_hits"), lit(0L)).as("n_probe_hits"))
   }
+
+  /** Per-group Count-Min frequency sketch (`depth` rows × `width`
+    * buckets) plus a probe of every distinct (group, item) against it —
+    * the bounded-state companion to [[heavyHitters]]: Misra–Gries keeps
+    * only the top-k survivors, Count-Min answers a frequency query for
+    * ANY item (one-sided error: `est >= exact` always, overcount bounded
+    * by bucket collisions). The hash family is `depth` disjoint 32-bit
+    * slices of ONE md5 per item, so the sketch — counts, probes, and all
+    * — is an exact deterministic function of the input and hash-verifies
+    * against the SQL oracle (same reason the HLL/KMV sketches here can).
+    *
+    * Scale design: sketch state is `groups × depth × width` counter
+    * rows — fixed, tiny, map-side combined, and mergeable by cell-wise
+    * addition (the streaming/union path). The probe side joins the
+    * sketch by broadcast: the corpus-sized stages are exactly the two
+    * wordcount-shaped aggregates. `overcount = est − exact` is emitted
+    * so callers (and the spec) can see the collision error directly.
+    */
+  def countMin(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    require(depth >= 1 && depth <= 4, s"depth=$depth: md5 yields 4 disjoint 32-bit slices")
+    require(width >= 2, s"width=$width must be >= 2")
+    val toks = df.select(col(groupCol).as("grp"), col(itemCol).as("item"))
+    // Row i's bucket: hex chars [1+8i, 8+8i) of md5(item), mod width —
+    // 32 bits per slice, positive, exact in both engines.
+    def buckets(c: Column): Column =
+      array((0 until depth).map(i =>
+        conv(substring(md5(c), 1 + 8 * i, 8), 16, 10).cast("long") % width): _*)
+    val sketch = toks
+      .select(col("grp"), posexplode(buckets(col("item"))).as(Seq("row", "bucket")))
+      .groupBy(col("grp"), col("row"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val exact = toks.groupBy(col("grp"), col("item")).agg(count(lit(1)).as("exact_cnt"))
+    exact
+      .select(
+        col("grp"), col("item"), col("exact_cnt"),
+        posexplode(buckets(col("item"))).as(Seq("row", "bucket")))
+      .join(broadcast(sketch), Seq("grp", "row", "bucket"))
+      .groupBy(col("grp"), col("item"), col("exact_cnt"))
+      .agg(min(col("c")).as("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+  }
 }

@@ -282,6 +282,42 @@ object TextAnalysis {
       .withColumn("p", col("cnt").cast("double") / col("total").cast("double"))
   }
 
+  /** Per-document language-model surprise signals — the deterministic
+    * core of a perplexity filter: each document's adjacent-token bigrams
+    * (with multiplicity) are scored against the corpus model from
+    * [[bigramModel]], yielding how many of the doc's transitions are
+    * corpus-rare (`cnt <= rareMax`) and the least likely transition it
+    * contains. Documents dominated by rare transitions are the ones a
+    * perplexity filter would cut; this formulation keeps every emitted
+    * value engine-bit-identical (exact counts, ONE division per row,
+    * min over identically-computed doubles) where a log-sum perplexity
+    * would be a platform-dependent float fold.
+    *
+    * Scale design: the model table is vocabulary²-bounded — broadcast,
+    * so doc bigrams join map-side and never shuffle; the per-doc
+    * aggregate ships 3 numbers per document. Documents shorter than two
+    * tokens have no transitions and are (documented) absent.
+    */
+  def bigramSurprise(docs: DataFrame, rareMax: Long = 2): DataFrame = {
+    val n = size(col("ws")) - 1
+    val docBigrams = spread(docs)
+      .select(col("doc_id"), wordsCol.as("ws"))
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), greatest(n, lit(0))),
+        slice(col("ws"), lit(2), greatest(n, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    docBigrams
+      .join(broadcast(bigramModel(docs)), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("cnt") <= rareMax, 1L).otherwise(0L)).as("n_rare"),
+        min(col("p")).as("min_p"))
+      .withColumn("rare_rate", col("n_rare").cast("double") / col("n_bigrams").cast("double"))
+      .select(col("doc_id"), col("n_bigrams"), col("n_rare"), col("rare_rate"), col("min_p"))
+  }
+
   /** PII scrubbing: replace email addresses and long digit runs (phone/
     * account numbers) with typed placeholders, reporting per-document hit
     * counts for the redaction audit. Purely narrow — a per-row projection

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -524,5 +524,70 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+
+  /** Sub-document boilerplate removal (the RefinedWeb/CCNet "repeated
+    * span" pass): each document is cut into fixed-width non-overlapping
+    * token passages; a passage whose content digest appears in MORE than
+    * `maxDocFreq` distinct documents is boilerplate (license headers,
+    * navigation chrome, templated paragraphs), and every occurrence is
+    * dropped from every document. Complements whole-document dedup
+    * ([[exactDuplicates]]/[[lshVerifiedPairs]]): those decide which DOCS
+    * to keep, this cleans the insides of the keepers.
+    *
+    * Output per document: `(doc_id, n_passages, n_dropped, clean_text)`
+    * where `clean_text` is the surviving passages rejoined in document
+    * order with single spaces (whitespace-normalized — the tokenizer
+    * already collapses runs, see [[TextAnalysis.wordsCol]]).
+    *
+    * Scale design (100 TB): the document-frequency aggregate shuffles
+    * ONLY 60-bit passage digests — text never leaves its scan partition
+    * until the final doc_id join. The per-doc drop list (`chunk` indexes
+    * of boilerplate passages) is bounded by the doc's own passage count,
+    * and clean text is rebuilt NARROWLY from the original words array by
+    * index-filtering — passages are never shuffled as strings. The one
+    * text-bearing shuffle is the final doc_id equi-join against the
+    * drop lists (only docs that HAVE boilerplate appear on the right
+    * side; AQE broadcasts it when the boilerplate footprint is small).
+    *
+    * The ragged tail chunk (< `passageLen` tokens) participates like any
+    * other passage: short boilerplate tails are real (signature lines),
+    * and uniform treatment keeps the semantics one sentence long.
+    */
+  def passageDedup(
+      docs: DataFrame,
+      passageLen: Int = 8,
+      maxDocFreq: Long = 1): DataFrame = {
+    require(passageLen >= 1, s"passageLen=$passageLen must be >= 1")
+    def passagesOf(words: Column): Column =
+      transform(
+        sequence(lit(0), floor((size(words) + passageLen - 1) / passageLen).cast("int") - 1),
+        i => array_join(slice(words, i * passageLen + 1, lit(passageLen)), " "))
+    // (doc_id, chunk, digest) — passage strings are hashed and DISCARDED
+    // before any shuffle; only digests aggregate.
+    val pd = TextAnalysis.spread(docs)
+      .select(col("doc_id"), posexplode(passagesOf(TextAnalysis.wordsCol)).as(Seq("chunk", "p")))
+      .select(col("doc_id"), col("chunk"), graft.functions.Hashing.md5Long60(col("p")).as("dig"))
+    val boiler = pd
+      .groupBy(col("dig"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select("dig")
+    val drops = pd.join(boiler, Seq("dig"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("chunk"))).as("drop_chunks"))
+    docs
+      .join(drops, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        TextAnalysis.wordsCol.as("words"),
+        coalesce(col("drop_chunks"), array().cast("array<int>")).as("dc"))
+      .select(
+        col("doc_id"),
+        floor((size(col("words")) + passageLen - 1) / passageLen).cast("long").as("n_passages"),
+        size(col("dc")).cast("long").as("n_dropped"),
+        array_join(
+          filter(passagesOf(col("words")), (_, i) => !array_contains(col("dc"), i)),
+          " ").as("clean_text"))
   }
 }

@@ -84,6 +84,59 @@ object Similarity {
       .select(col("vec_id").as("vec_a"), col("vec_b"), col("dp"), col("cosine"))
   }
 
+  /** SemDeDup-style semantic deduplication over the embedding column:
+    * vectors land in sign-LSH buckets (cheap semantic partitions standing
+    * in for the k-means clusters of the paper — same mechanics, no
+    * training pass), and within each bucket a vector is DROPPED when a
+    * lower-`vec_id` bucket-mate sits at exact cosine ≥ `minCosine`; the
+    * lowest such mate is reported as the canonical `dup_of`. The rule is
+    * a pure per-vector predicate ("exists a lower-id near-twin in my
+    * bucket"), not the paper's sequential greedy sweep — deterministic,
+    * order-free, and one shuffle cheaper, at the cost of occasionally
+    * dropping both ends of a borderline chain a greedy sweep would split.
+    *
+    * Output: one row per vector — `(vec_id, kept, dup_of, dp, cosine)`,
+    * `dup_of`/`dp`/`cosine` null for keepers.
+    *
+    * Scale design: quadratic work is confined WITHIN buckets (the whole
+    * point of the cluster step in SemDeDup); the bucket equi-join
+    * shuffles quantized vectors once, scoring is the codegen'd integer
+    * dot product, and the final per-vector verdict is a window over the
+    * candidate pairs (bounded by bucket occupancy), then a doc-keyed
+    * left join back to the id universe.
+    */
+  def semanticDedup(
+      embeddings: DataFrame,
+      minCosine: Double = 0.2,
+      numPlanes: Int = DefaultNumPlanes,
+      dim: Int = 64): DataFrame = {
+    val b = signBucketsQuantized(embeddings, numPlanes, dim)
+      .select(col("vec_id"), col("_qe").as("qe"), col("bucket"))
+      .withColumn("n2", dot(col("qe"), col("qe")))
+    val lower = b.select(
+      col("vec_id").as("dup_id"), col("qe").as("d_qe"),
+      col("n2").as("d_n2"), col("bucket"))
+    val best = b.join(lower, Seq("bucket"))
+      .filter(col("dup_id") < col("vec_id"))
+      .withColumn("dp", dot(col("qe"), col("d_qe")))
+      .withColumn(
+        "cosine",
+        col("dp").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("d_n2").cast("double"))))
+      .filter(col("cosine") >= minCosine)
+      .withColumn(
+        "rn",
+        row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("dup_id"))))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("dup_id").as("dup_of"), col("dp"), col("cosine"))
+    embeddings
+      .select(col("vec_id"))
+      .join(best, Seq("vec_id"), "left_outer")
+      .select(
+        col("vec_id"), col("dup_of").isNull.as("kept"),
+        col("dup_of"), col("dp"), col("cosine"))
+  }
+
   /** Deterministic random hyperplanes: component (p, d) is derived from
     * md5(p ":" d), mapped to [-1, 1). Fixed given (numPlanes, dim) — no RNG
     * state, so plans are reproducible and resumable.

@@ -575,4 +575,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(one.getAs[Long]("dp") === again.getAs[Long]("dp"))
     assert(one.getAs[Double]("cosine") === again.getAs[Double]("cosine"))
   }
+
+  test("passage dedup drops cross-document repeated passages, keeps the rest in order") {
+    val boiler = "terms of service apply"
+    val pd = Seq(
+      (0L, s"$boiler alpha beta gamma delta", "en", "s0", 40L),
+      (1L, s"$boiler epsilon zeta eta theta", "en", "s1", 40L),
+      (2L, "wholly original content here", "en", "s2", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.passageDedup(pd, passageLen = 4)
+      .orderBy("doc_id").collect()
+    // Docs 0/1: passage 0 is the shared boilerplate (df=2) → dropped;
+    // passage 1 is unique → kept verbatim.
+    assert(out(0).getAs[Long]("n_passages") === 2L)
+    assert(out(0).getAs[Long]("n_dropped") === 1L)
+    assert(out(0).getAs[String]("clean_text") === "alpha beta gamma delta")
+    assert(out(1).getAs[String]("clean_text") === "epsilon zeta eta theta")
+    // Doc 2: single unique (ragged, 3-token) passage — untouched.
+    assert(out(2).getAs[Long]("n_passages") === 1L)
+    assert(out(2).getAs[Long]("n_dropped") === 0L)
+    assert(out(2).getAs[String]("clean_text") === "wholly original content here")
+    // A doc that is ENTIRELY boilerplate comes back empty, not missing.
+    val all = Seq(
+      (0L, boiler, "en", "s0", 22L),
+      (1L, boiler, "en", "s1", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val wiped = Dedup.passageDedup(all, passageLen = 4).orderBy("doc_id").collect()
+    assert(wiped.length === 2)
+    assert(wiped.forall(_.getAs[String]("clean_text") === ""))
+    assert(wiped.forall(_.getAs[Long]("n_dropped") === 1L))
+  }
+
+  test("count-min estimates are one-sided and exact when the sketch is wide") {
+    import graft.functions.Sketches
+    val toks = (0 until 1000).map(i => ("g", s"tok${i % 37}")).toDF("grp", "item")
+    // Wide sketch: 37 items into 4×1024 buckets — collisions effectively
+    // impossible per row, so every estimate is exact.
+    val wide = Sketches.countMin(toks, "grp", "item", depth = 4, width = 1024).collect()
+    assert(wide.length === 37)
+    assert(wide.forall(_.getAs[Long]("overcount") === 0L))
+    // Tight sketch: 37 items into 4×8 buckets — collisions now certain,
+    // but the CMS guarantee (est >= exact, min across rows) must hold.
+    val tight = Sketches.countMin(toks, "grp", "item", depth = 4, width = 8).collect()
+    assert(tight.length === 37)
+    assert(tight.forall(r => r.getAs[Long]("cms_est") >= r.getAs[Long]("exact_cnt")))
+    assert(tight.exists(_.getAs[Long]("overcount") > 0L), "4x8 over 37 items should collide")
+  }
+
+  test("semantic dedup drops higher-id near-twins within a bucket, reports the canonical") {
+    def vec(xs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); xs.foreach { case (i, v) => a(i) = v }; a.toSeq
+    }
+    val e = Seq(
+      (0L, vec(0 -> 1.0f), 0),
+      (1L, vec(0 -> 2.0f), 0),  // same direction as 0 → cosine 1, same bucket
+      (2L, vec(0 -> -1.0f), 0), // antipodal → cosine -1 even if co-bucketed
+      (3L, vec(1 -> 1.0f), 0))  // orthogonal
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(e, minCosine = 0.9)
+      .orderBy("vec_id").collect()
+    assert(out.length === 4)
+    assert(out(0).getAs[Boolean]("kept"))
+    assert(!out(1).getAs[Boolean]("kept"))
+    assert(out(1).getAs[Long]("dup_of") === 0L)
+    assert(out(1).getAs[Double]("cosine") === 1.0)
+    assert(out(2).getAs[Boolean]("kept"))
+    assert(out(3).getAs[Boolean]("kept"))
+  }
 }

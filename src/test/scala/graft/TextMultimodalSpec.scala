@@ -26,6 +26,23 @@ class TextMultimodalSpec extends SparkSpec {
     assert(math.abs(r(0).getAs[Double]("avg_word_len") - 25.0 / 7.0) < 1e-12)
   }
 
+  test("bigram surprise counts rare transitions against the corpus model") {
+    val corpus = Seq(
+      doc(0L, "a b a b a b"), // bigrams: (a b)x3, (b a)x2
+      doc(1L, "a b z q"))     // bigrams: (a b), (b z), (z q)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Corpus counts: (a,b)=4, (b,a)=2, (b,z)=1, (z,q)=1; totals a·=4, b·=3, z·=1.
+    val r = TextAnalysis.bigramSurprise(corpus, rareMax = 2)
+      .orderBy("doc_id").collect()
+    assert(r(0).getAs[Long]("n_bigrams") === 5L)
+    assert(r(0).getAs[Long]("n_rare") === 2L) // the two (b a) instances
+    assert(r(0).getAs[Double]("rare_rate") === 0.4)
+    assert(r(0).getAs[Double]("min_p") === 2.0 / 3.0) // p(a|b)
+    assert(r(1).getAs[Long]("n_bigrams") === 3L)
+    assert(r(1).getAs[Long]("n_rare") === 2L) // (b z) and (z q)
+    assert(r(1).getAs[Double]("min_p") === 1.0 / 3.0) // p(z|b)
+  }
+
   test("distinctive terms rank corpus-rare words above ubiquitous ones") {
     val corpus = Seq(
       doc(0L, "the engine the engine zebra"),
