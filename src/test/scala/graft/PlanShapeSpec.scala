@@ -145,6 +145,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(df) <= 2, s"heavy-hitter path grew a shuffle:\n$p")
   }
 
+  test("passage dedup shuffles digests for the df count; text moves only in the final join") {
+    val df = Dedup.passageDedup(Tables(dir))
+    val p = plan(df)
+    // spread + digest df-aggregate + per-doc drop-list aggregate + the
+    // doc_id join back (text's one move). The digest->boiler join must
+    // stay a broadcast — the boilerplate set is df-filtered and small.
+    assert(shuffles(df) <= 5, s"passage dedup grew a shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"), s"boilerplate set stopped broadcasting:\n$p")
+  }
+
+  test("bigram surprise broadcasts the model; doc bigrams never shuffle before the doc agg") {
+    val df = graft.functions.TextAnalysis.bigramSurprise(Tables(dir))
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"), s"bigram model stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"model join regressed to a bigram shuffle:\n$p")
+    // spread + the vocab²-bounded model count + its w1-total window + the
+    // per-doc aggregate.
+    assert(shuffles(df) <= 5, s"bigram surprise grew a shuffle:\n$p")
+  }
+
+  test("count-min: two wordcount-shaped aggregates, sketch broadcast to the probe join") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val toks = Tables(dir)
+      .select(col("source"), explode(graft.functions.TextAnalysis.wordsCol).as("tok"))
+    val df = graft.functions.Sketches.countMin(toks, "source", "tok")
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"), s"sketch stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"probe join regressed to a shuffle:\n$p")
+    // Sketch cells + exact counts; the post-join min reuses the exact
+    // aggregate's (grp, item) partitioning — no third corpus shuffle.
+    assert(shuffles(df) <= 2, s"count-min path grew a shuffle:\n$p")
+  }
+
+  test("semantic dedup confines pair work to LSH buckets; no cross product") {
+    val df = Similarity.semanticDedup(
+      spark.read.parquet(s"$dir/embeddings.parquet"), minCosine = 0.2)
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"bucket join regressed to a cross product:\n$p")
+    // Bucket equi-join (two sides) + the per-vector verdict window + the
+    // id-universe left join.
+    assert(shuffles(df) <= 6, s"semantic dedup grew a shuffle:\n$p")
+  }
+
   private def Tables(d: String): DataFrame =
     graft.sources.Tables.documents(spark, d)
 }
