@@ -568,6 +568,13 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Per-source token-distribution drift vs the corpus: top chi²
+    // contributions per source (emitted per row — a summed statistic
+    // would be an order-dependent float fold).
+    "q88_source_drift" -> ((s, dir) =>
+      TextAnalysis.sourceDrift(Tables.documents(s, dir))
+        .orderBy("source", "rnk")),
+
     // Sub-document boilerplate removal: 8-token passages whose digest
     // appears in more than one document are dropped from every document;
     // clean text is rebuilt narrowly from the surviving passages.
@@ -1702,6 +1709,34 @@ object SparkEntry {
         |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
+
+    "q88_source_drift" ->
+      """WITH w AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents
+        |),
+        |st AS (SELECT source, token, CAST(COUNT(*) AS BIGINT) AS obs FROM w GROUP BY 1, 2),
+        |ct AS (SELECT token, CAST(SUM(obs) AS BIGINT) AS corpus_cnt FROM st GROUP BY token),
+        |stot AS (SELECT source, CAST(SUM(obs) AS BIGINT) AS src_total FROM st GROUP BY source),
+        |tot AS (SELECT CAST(SUM(corpus_cnt) AS BIGINT) AS corpus_total FROM ct),
+        |j AS (
+        |  SELECT st.source, st.token, st.obs,
+        |         CAST(ct.corpus_cnt * stot.src_total AS DOUBLE) /
+        |           CAST(tot.corpus_total AS DOUBLE) AS expected
+        |  FROM st JOIN ct USING (token) JOIN stot USING (source) CROSS JOIN tot
+        |),
+        |c AS (
+        |  SELECT source, token, obs, expected,
+        |         (CAST(obs AS DOUBLE) - expected) * (CAST(obs AS DOUBLE) - expected) / expected AS chi2_term
+        |  FROM j
+        |),
+        |r AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY chi2_term DESC, token) AS INT) AS rnk
+        |  FROM c
+        |)
+        |SELECT source, token, obs, expected, chi2_term, rnk FROM r WHERE rnk <= 10
+        |ORDER BY source, rnk""".stripMargin,
 
     "q84_passage_dedup" ->
       """WITH w AS (

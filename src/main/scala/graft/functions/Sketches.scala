@@ -69,13 +69,25 @@ object Sketches {
       df: DataFrame,
       groupCol: String,
       valueCol: String,
+      p: Int = 6): DataFrame =
+    hllEstimate(hllRegisters(df, groupCol, valueCol, p), groupCol, p)
+
+  /** The HLL register table `(groupCol, reg, r)` for a corpus slice —
+    * the sketch's persisted/merge form: registers from arbitrary slices
+    * (even OVERLAPPING ones — max is idempotent) combine by
+    * [[mergeHllRegisters]] into exactly the union corpus's registers.
+    */
+  def hllRegisters(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
       p: Int = 6): DataFrame = {
     require(p >= 2 && p <= 12, s"p=$p outside the sane register range [2, 12]")
     val m = 1 << p
     // 60-bit hash: low p bits pick the register, the remaining 60-p bits
     // (as w) give rho = (60-p) - bitlength(w) + 1; w = 0 means all-zero.
     val maxRho = 60 - p + 1
-    val regs = df
+    df
       .select(
         col(groupCol),
         Hashing.md5Long60(col(valueCol).cast("string")).as("h"))
@@ -90,6 +102,19 @@ object Sketches {
           .otherwise(lit(maxRho) - length(bin(col("w")))).cast("int").as("rho"))
       .groupBy(col(groupCol), col("reg"))
       .agg(max(col("rho")).as("r"))
+  }
+
+  /** Register-wise max of HLL register tables (same p): the HLL union. */
+  def mergeHllRegisters(groupCol: String, regTables: Seq[DataFrame]): DataFrame = {
+    require(regTables.nonEmpty, "nothing to merge")
+    regTables.reduce(_ unionByName _)
+      .groupBy(col(groupCol), col("reg"))
+      .agg(max(col("r")).as("r"))
+  }
+
+  /** The estimate step over a register table (built or merged). */
+  def hllEstimate(regs: DataFrame, groupCol: String, p: Int): DataFrame = {
+    val m = 1 << p
     // alpha_m for m >= 64 registers (the constant the HLL paper derives).
     val alpha = 0.7213 / (1.0 + 1.079 / m)
     val c = alpha * m * m * math.pow(2.0, 55.0)
@@ -284,26 +309,69 @@ object Sketches {
       itemCol: String,
       depth: Int = 4,
       width: Int = 64): DataFrame = {
+    val toks = df.select(col(groupCol).as("grp"), col(itemCol).as("item"))
+    val exact = toks.groupBy(col("grp"), col("item")).agg(count(lit(1)).as("exact_cnt"))
+    probeCountMin(countMinCells(df, groupCol, itemCol, depth, width), exact, depth, width)
+      .select(col("grp"), col("item"), col("exact_cnt"), col("cms_est"))
+      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+  }
+
+  /** Row i's bucket for every i < depth: hex chars [1+8i, 8+8i) of ONE
+    * md5(item), mod width — 32 bits per slice, positive, exact in both
+    * engines.
+    */
+  private def cmsBuckets(c: Column, depth: Int, width: Int): Column = {
     require(depth >= 1 && depth <= 4, s"depth=$depth: md5 yields 4 disjoint 32-bit slices")
     require(width >= 2, s"width=$width must be >= 2")
-    val toks = df.select(col(groupCol).as("grp"), col(itemCol).as("item"))
-    // Row i's bucket: hex chars [1+8i, 8+8i) of md5(item), mod width —
-    // 32 bits per slice, positive, exact in both engines.
-    def buckets(c: Column): Column =
-      array((0 until depth).map(i =>
-        conv(substring(md5(c), 1 + 8 * i, 8), 16, 10).cast("long") % width): _*)
-    val sketch = toks
-      .select(col("grp"), posexplode(buckets(col("item"))).as(Seq("row", "bucket")))
+    array((0 until depth).map(i =>
+      conv(substring(md5(c), 1 + 8 * i, 8), 16, 10).cast("long") % width): _*)
+  }
+
+  /** The Count-Min cell table `(grp, row, bucket, c)` for a corpus slice —
+    * the sketch's PERSISTED form and its merge unit: cells from disjoint
+    * slices (daily increments, per-partition partials) combine by
+    * [[mergeCountMinCells]] into exactly the cells of the union corpus,
+    * so a 100 TB sketch is built incrementally and never recomputed.
+    */
+  def countMinCells(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      depth: Int = 4,
+      width: Int = 64): DataFrame =
+    df.select(col(groupCol).as("grp"), col(itemCol).as("item"))
+      .select(col("grp"), posexplode(cmsBuckets(col("item"), depth, width)).as(Seq("row", "bucket")))
       .groupBy(col("grp"), col("row"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-    val exact = toks.groupBy(col("grp"), col("item")).agg(count(lit(1)).as("exact_cnt"))
-    exact
-      .select(
-        col("grp"), col("item"), col("exact_cnt"),
-        posexplode(buckets(col("item"))).as(Seq("row", "bucket")))
-      .join(broadcast(sketch), Seq("grp", "row", "bucket"))
-      .groupBy(col("grp"), col("item"), col("exact_cnt"))
-      .agg(min(col("c")).as("cms_est"))
-      .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+
+  /** Cell-wise sum of Count-Min cell tables (same depth/width): the CMS
+    * union. `cells(A) ⊕ cells(B) = cells(A ∪ B)` exactly — pinned by
+    * spec, not just claimed.
+    */
+  def mergeCountMinCells(cells: Seq[DataFrame]): DataFrame = {
+    require(cells.nonEmpty, "nothing to merge")
+    cells.reduce(_ unionByName _)
+      .groupBy(col("grp"), col("row"), col("bucket"))
+      .agg(sum(col("c")).as("c"))
+  }
+
+  /** Probe a cell table: `cms_est` for each probe row — min over the
+    * depth cells the item hashes to, 0 for never-inserted items (absent
+    * cells read as 0, matching the dense-matrix semantics). All probe
+    * columns pass through. The cell table is group×depth×width-bounded —
+    * broadcast; the probe side never reshuffles.
+    */
+  def probeCountMin(
+      cells: DataFrame,
+      probes: DataFrame,
+      depth: Int = 4,
+      width: Int = 64): DataFrame = {
+    val passThrough = probes.columns.map(col).toSeq
+    probes
+      .select(passThrough :+
+        posexplode(cmsBuckets(col("item"), depth, width)).as(Seq("row", "bucket")): _*)
+      .join(broadcast(cells), Seq("grp", "row", "bucket"), "left_outer")
+      .groupBy(passThrough: _*)
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
   }
 }

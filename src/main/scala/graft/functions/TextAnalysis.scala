@@ -318,6 +318,54 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_bigrams"), col("n_rare"), col("rare_rate"), col("min_p"))
   }
 
+  /** Per-source token-distribution drift vs the whole corpus: for each
+    * (source, token), the Pearson chi² contribution
+    * `(obs − expected)² / expected` with `expected` the corpus-share
+    * allocation `corpus_cnt · src_total / corpus_total`; per source the
+    * `topK` largest contributions are ranked (contribution desc, token) —
+    * the "did this source's language shift" monitor a curation pipeline
+    * runs per ingest batch. Contributions are emitted per ROW, never
+    * summed: each is a short chain of single IEEE ops on exact integers
+    * (engine-bit-identical), while the summed statistic would be an
+    * order-dependent float fold. Only OBSERVED (source, token) pairs are
+    * scored — an absent token's contribution equals its expectation and
+    * carries no ranking signal a monitor acts on.
+    *
+    * Scale design: two wordcount-shaped aggregates (per-source counts,
+    * then vocab-bounded corpus counts); the corpus/total tables broadcast
+    * back, and the rank window partitions by source over vocab-bounded
+    * input.
+    */
+  def sourceDrift(docs: DataFrame, topK: Int = 10): DataFrame = {
+    val st = spread(docs)
+      .select(col("source"), explode(wordsCol).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("obs"))
+    val corpusTok = st.groupBy(col("token")).agg(sum(col("obs")).as("corpus_cnt"))
+    val srcTotal = st.groupBy(col("source")).agg(sum(col("obs")).as("src_total"))
+    val corpusTotal = corpusTok.agg(sum(col("corpus_cnt")).as("corpus_total"))
+    val obsD = col("obs").cast("double")
+    st
+      .join(broadcast(corpusTok), Seq("token"))
+      .join(broadcast(srcTotal), Seq("source"))
+      .crossJoin(broadcast(corpusTotal))
+      .withColumn(
+        "expected",
+        (col("corpus_cnt") * col("src_total")).cast("double") /
+          col("corpus_total").cast("double"))
+      .withColumn(
+        "chi2_term",
+        (obsD - col("expected")) * (obsD - col("expected")) / col("expected"))
+      .withColumn(
+        "rnk",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))
+            .orderBy(col("chi2_term").desc, col("token"))).cast("int"))
+      .filter(col("rnk") <= topK)
+      .select(col("source"), col("token"), col("obs"), col("expected"), col("chi2_term"), col("rnk"))
+  }
+
   /** PII scrubbing: replace email addresses and long digit runs (phone/
     * account numbers) with typed placeholders, reporting per-document hit
     * counts for the redaction audit. Purely narrow — a per-row projection

@@ -622,6 +622,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tight.exists(_.getAs[Long]("overcount") > 0L), "4x8 over 37 items should collide")
   }
 
+  test("sketch merges: CMS cells sum and HLL registers max to the union-corpus sketch") {
+    import graft.functions.Sketches
+    import org.apache.spark.sql.functions.hash
+    val toks = (0 until 2000).map(i => ("g", s"tok${i % 53}")).toDF("grp", "item")
+    val (h1, h2) = (toks.filter(hash($"item") % 2 === 0), toks.filter(hash($"item") % 2 =!= 0))
+    // CMS: cells(A) ⊕ cells(B) == cells(A ∪ B), cell for cell.
+    val whole = Sketches.countMinCells(toks, "grp", "item").collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val merged = Sketches.mergeCountMinCells(Seq(
+      Sketches.countMinCells(h1, "grp", "item"),
+      Sketches.countMinCells(h2, "grp", "item"))).collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(merged === whole)
+    // HLL: register-wise max over OVERLAPPING slices (h1 ∪ toks) is still
+    // exactly the whole-corpus registers — max is idempotent.
+    val wholeRegs = Sketches.hllRegisters(toks, "grp", "item").collect()
+      .map(r => r.getInt(1) -> r.getInt(2)).toMap
+    val mergedRegs = Sketches.mergeHllRegisters("grp", Seq(
+      Sketches.hllRegisters(h1, "grp", "item"),
+      Sketches.hllRegisters(toks, "grp", "item"))).collect()
+      .map(r => r.getInt(1) -> r.getInt(2)).toMap
+    assert(mergedRegs === wholeRegs)
+    // Probing merged CMS cells answers like the whole-corpus sketch, and
+    // a never-inserted item probes to 0, not a join dropout.
+    val probes = Seq(("g", "tok7"), ("g", "never_seen")).toDF("grp", "item")
+    val est = Sketches.probeCountMin(
+      Sketches.mergeCountMinCells(Seq(
+        Sketches.countMinCells(h1, "grp", "item"),
+        Sketches.countMinCells(h2, "grp", "item"))), probes)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("cms_est")).toMap
+    assert(est("tok7") >= 2000 / 53)
+    assert(est("never_seen") >= 0L) // present with a (possibly colliding) estimate
+  }
+
   test("semantic dedup drops higher-id near-twins within a bucket, reports the canonical") {
     def vec(xs: (Int, Float)*): Seq[Float] = {
       val a = Array.fill(64)(0.0f); xs.foreach { case (i, v) => a(i) = v }; a.toSeq

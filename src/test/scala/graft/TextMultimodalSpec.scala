@@ -43,6 +43,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r(1).getAs[Double]("min_p") === 1.0 / 3.0) // p(z|b)
   }
 
+  test("source drift ranks each source's over-represented tokens by chi2 contribution") {
+    val corpus = Seq(
+      (0L, "x x x x", "en", "s0", 7L),
+      (1L, "y y y y", "en", "s1", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // corpus: x=4, y=4, total=8; each source total 4 → expected 2 each;
+    // the observed token contributes (4-2)²/2 = 2.
+    val r = TextAnalysis.sourceDrift(corpus).orderBy("source").collect()
+    assert(r.length === 2) // only observed (source, token) pairs score
+    assert(r(0).getAs[String]("token") === "x" && r(0).getAs[String]("source") === "s0")
+    assert(r(0).getAs[Long]("obs") === 4L)
+    assert(r(0).getAs[Double]("expected") === 2.0)
+    assert(r(0).getAs[Double]("chi2_term") === 2.0)
+    assert(r(1).getAs[String]("token") === "y" && r(1).getAs[Int]("rnk") === 1)
+  }
+
   test("distinctive terms rank corpus-rare words above ubiquitous ones") {
     val corpus = Seq(
       doc(0L, "the engine the engine zebra"),
