@@ -213,6 +213,43 @@ object StreamingOps {
         .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
     }
 
+  /** Replay-idempotent streaming Count-Min maintenance: each micro-batch's
+    * cell table ([[graft.functions.Sketches.countMinCells]]) lands in its
+    * own `batch_id=<epoch>` directory — a batch REPLAYED under
+    * foreachBatch's at-least-once contract overwrites its own cells
+    * instead of double-counting them — and the live sketch is the
+    * cell-wise merge over all epochs at READ time
+    * ([[mergedCountMinCells]]). CMS cells are summable, so the merged
+    * view equals the sketch of every event ingested exactly once, with
+    * no transaction log and bounded per-epoch state
+    * (groups × depth × width cells).
+    *
+    * {{{
+    * tokens.writeStream
+    *   .foreachBatch(StreamingOps.countMinSink("grp", "item", path))
+    *   .start()
+    * // any time later, on any session:
+    * val est = Sketches.probeCountMin(
+    *   StreamingOps.mergedCountMinCells(spark, path), probes)
+    * }}}
+    */
+  def countMinSink(
+      groupCol: String,
+      itemCol: String,
+      basePath: String,
+      depth: Int = 4,
+      width: Int = 64): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.functions.Sketches.countMinCells(batch, groupCol, itemCol, depth, width)
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+
+  /** The live sketch over a [[countMinSink]] directory: cell-wise sum of
+    * every epoch's cells.
+    */
+  def mergedCountMinCells(spark: SparkSession, basePath: String): DataFrame =
+    graft.functions.Sketches.mergeCountMinCells(Seq(
+      spark.read.parquet(basePath).select("grp", "row", "bucket", "c")))
+
   case class SessionState(sessionId: Int, firstUs: Long, lastUs: Long, nEvents: Long)
 
   case class SessionUpdate(

@@ -275,6 +275,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir + "_live").count() === 1L)
   }
 
+  test("streaming count-min sink: replayed batches never double-count; merge equals batch sketch") {
+    import graft.functions.Sketches
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_sink").toString
+    val sink = StreamingOps.countMinSink("grp", "item", dir)
+    val b0 = (0 until 300).map(i => ("g", s"tok${i % 11}")).toDF("grp", "item")
+    val b1 = (0 until 200).map(i => ("g", s"tok${i % 7}")).toDF("grp", "item")
+    // Batch 0 delivered, then REPLAYED (at-least-once), then batch 1.
+    sink(b0, 0L)
+    sink(b0, 0L)
+    sink(b1, 1L)
+    val merged = StreamingOps.mergedCountMinCells(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val whole = Sketches.countMinCells(b0.unionByName(b1), "grp", "item").collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(merged === whole) // replay did not inflate any cell
+    // Probing the merged state answers the union-corpus estimate.
+    val probes = Seq(("g", "tok0")).toDF("grp", "item")
+    val est = Sketches.probeCountMin(
+      StreamingOps.mergedCountMinCells(spark, dir), probes)
+      .collect().head.getAs[Long]("cms_est")
+    val exact = 300 / 11 + 1 + 200 / 7 + 1 // tok0 occurrences in b0 + b1
+    assert(est >= exact)
+  }
+
   test("corpus admission sink: replayed micro-batches equal sequential batch admission") {
     import graft.operators.Curation
     // Quality-passing docs: 46 words (>= 40), avg word length in band,
