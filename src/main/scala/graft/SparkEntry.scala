@@ -568,6 +568,13 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // End-to-end batch curation flagship: quality filter → boilerplate
+    // removal → exact dedup on CLEANED text → split, with a verdict row
+    // per input document.
+    "q89_curate_corpus" -> ((s, dir) =>
+      Curation.curateCorpus(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // Per-source token-distribution drift vs the corpus: top chi²
     // contributions per source (emitted per row — a summed statistic
     // would be an order-dependent float fold).
@@ -1709,6 +1716,81 @@ object SparkEntry {
         |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
+
+    "q89_curate_corpus" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |         CAST(len(ws) AS BIGINT) AS n_words,
+        |         CAST(CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS DOUBLE)
+        |           / CAST(len(ws) AS DOUBLE) AS avg_word_len,
+        |         CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) AS stop_hits
+        |  FROM t
+        |),
+        |qual AS (
+        |  SELECT doc_id,
+        |         ((n_words BETWEEN 40 AND 10000)
+        |           AND avg_word_len >= 3.0 AND avg_word_len <= 8.0
+        |           AND stop_hits > 0) AS keep,
+        |         concat_ws(',',
+        |           CASE WHEN NOT (n_words BETWEEN 40 AND 10000) THEN 'length' END,
+        |           CASE WHEN NOT (avg_word_len >= 3.0 AND avg_word_len <= 8.0) THEN 'word_shape' END,
+        |           CASE WHEN NOT (stop_hits > 0) THEN 'no_stopwords' END) AS reject_reasons
+        |  FROM m
+        |),
+        |pw AS (
+        |  SELECT d.doc_id, unnest(regexp_split_to_array(trim(d.text), '\s+')) AS w,
+        |         unnest(range(len(regexp_split_to_array(trim(d.text), '\s+')))) AS pos
+        |  FROM documents d JOIN qual ON d.doc_id = qual.doc_id AND qual.keep
+        |),
+        |p AS (
+        |  SELECT doc_id, CAST(pos // 8 AS INT) AS chunk, string_agg(w, ' ' ORDER BY pos) AS passage
+        |  FROM pw GROUP BY doc_id, pos // 8
+        |),
+        |pd AS (
+        |  SELECT doc_id, chunk, passage,
+        |         CAST('0x' || substr(md5(passage), 1, 15) AS BIGINT) AS dig
+        |  FROM p
+        |),
+        |b AS (SELECT dig, TRUE AS boiler FROM pd GROUP BY dig HAVING COUNT(DISTINCT doc_id) > 1),
+        |k AS (
+        |  SELECT pd.doc_id, pd.chunk, pd.passage, COALESCE(b.boiler, FALSE) AS dropped
+        |  FROM pd LEFT JOIN b USING (dig)
+        |),
+        |cleaned AS (
+        |  SELECT doc_id,
+        |         CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+        |         COALESCE(string_agg(passage, ' ' ORDER BY chunk) FILTER (WHERE NOT dropped), '') AS clean_text
+        |  FROM k GROUP BY doc_id
+        |),
+        |canon AS (
+        |  SELECT md5(clean_text) AS h, MIN(doc_id) AS canonical_id
+        |  FROM cleaned GROUP BY md5(clean_text)
+        |),
+        |wc AS (
+        |  SELECT cleaned.doc_id, cleaned.n_dropped, canon.canonical_id
+        |  FROM cleaned JOIN canon ON md5(cleaned.clean_text) = canon.h
+        |),
+        |sp AS (
+        |  SELECT doc_id,
+        |         CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT doc_id,
+        |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt
+        |    FROM wc WHERE doc_id = canonical_id)
+        |)
+        |SELECT qual.doc_id,
+        |       CASE WHEN NOT qual.keep THEN 'rejected_quality'
+        |            WHEN wc.doc_id <> wc.canonical_id THEN 'dropped_duplicate'
+        |            ELSE 'kept' END AS verdict,
+        |       qual.reject_reasons,
+        |       COALESCE(wc.n_dropped, CAST(0 AS BIGINT)) AS n_dropped_passages,
+        |       CASE WHEN wc.doc_id <> wc.canonical_id THEN wc.canonical_id END AS dup_of,
+        |       sp.split
+        |FROM qual
+        |LEFT JOIN wc ON qual.doc_id = wc.doc_id
+        |LEFT JOIN sp ON qual.doc_id = sp.doc_id
+        |ORDER BY qual.doc_id""".stripMargin,
 
     "q88_source_drift" ->
       """WITH w AS (

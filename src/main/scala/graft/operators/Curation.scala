@@ -326,4 +326,53 @@ object Curation {
       kept, novel, minJaccard = minJaccard, keptSignatures = keptSignatures)
     novel.join(survivors, Seq("doc_id"), "left_semi")
   }
+
+  /** End-to-end batch corpus curation as ONE call — the composition a
+    * training-data team runs per corpus snapshot: quality filter →
+    * sub-document boilerplate removal → exact dedup on the CLEANED text
+    * → deterministic split. Every input document gets a verdict row:
+    *
+    *   - `rejected_quality` — failed [[TextAnalysis.qualityFilter]]
+    *     (`reject_reasons` says why);
+    *   - `dropped_duplicate` — its boilerplate-stripped text equals a
+    *     lower-id survivor's (`dup_of` names the canonical);
+    *   - `kept` — with its train/val/test `split`.
+    *
+    * Dedup runs on CLEANED text deliberately: two documents differing
+    * only in chrome ARE duplicates once the chrome is stripped (the
+    * composition catches what either stage alone misses — including
+    * documents wiped to `""`, which all collapse into one canonical
+    * empty doc). Scale shape is the composition of its audited parts;
+    * the glue adds only doc_id-keyed joins of verdict-sized columns and
+    * one digest-keyed canonical-id aggregate (the cleaned text hashes,
+    * never the text, are the shuffle key).
+    */
+  def curateCorpus(
+      docs: DataFrame,
+      passageLen: Int = 8,
+      maxDocFreq: Long = 1): DataFrame = {
+    val q = TextAnalysis.qualityFilter(docs)
+    val passing = docs.join(q.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
+    val cleaned = Dedup.passageDedup(passing, passageLen, maxDocFreq)
+    val canon = cleaned
+      .groupBy(md5(col("clean_text")).as("h"))
+      .agg(min(col("doc_id")).as("canonical_id"))
+    val withCanon = cleaned
+      .select(col("doc_id"), col("n_dropped"), md5(col("clean_text")).as("h"))
+      .join(canon, Seq("h"))
+      .drop("h")
+    val split = hashSplit(withCanon.filter(col("doc_id") === col("canonical_id")))
+    q.select(col("doc_id"), col("keep"), col("reject_reasons"))
+      .join(withCanon, Seq("doc_id"), "left_outer")
+      .join(split.select(col("doc_id"), col("split")), Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        when(!col("keep"), lit("rejected_quality"))
+          .when(col("doc_id") =!= col("canonical_id"), lit("dropped_duplicate"))
+          .otherwise(lit("kept")).as("verdict"),
+        col("reject_reasons"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped_passages"),
+        when(col("doc_id") =!= col("canonical_id"), col("canonical_id")).as("dup_of"),
+        col("split"))
+  }
 }

@@ -147,4 +147,29 @@ class CurationSpec extends SparkSpec {
     assert(dup.getAs[Long]("canonical_id") === 0L)
     assert(dup.getAs[Seq[Long]]("members") === Seq(0L, 1L, 2L))
   }
+
+  test("curateCorpus composes quality, boilerplate removal, exact dedup, and split") {
+    // 4-word boilerplate B shared by three docs (df=3 > maxDocFreq=2 →
+    // stripped); docs 0 and 1 share a 44-word core (df=2 → survives), so
+    // AFTER cleaning they are exact duplicates and doc 1 drops.
+    val boiler = "the aaa bbb ccc"
+    val core = (0 until 44).map(i => s"wrd$i").mkString(" ")
+    val other = (0 until 44).map(i => s"oth$i").mkString(" ")
+    val docs = Seq(
+      doc(0L, s"$boiler $core"),
+      doc(1L, s"$boiler $core"),
+      doc(2L, s"$boiler $other"),
+      doc(3L, "x y")) // fails the quality length rule
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Curation.curateCorpus(docs, passageLen = 4, maxDocFreq = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("verdict")).toSeq ===
+      Seq("kept", "dropped_duplicate", "kept", "rejected_quality"))
+    assert(out(0).getAs[Long]("n_dropped_passages") === 1L) // just the boilerplate
+    assert(out(0).getAs[String]("split") != null)
+    assert(out(1).getAs[Long]("dup_of") === 0L)
+    assert(out(1).getAs[String]("split") === null)
+    assert(out(3).getAs[String]("reject_reasons") === "length,word_shape,no_stopwords")
+    assert(out(3).getAs[String]("split") === null)
+  }
 }
