@@ -250,6 +250,30 @@ object StreamingOps {
     graft.functions.Sketches.mergeCountMinCells(Seq(
       spark.read.parquet(basePath).select("grp", "row", "bucket", "c")))
 
+  /** Streaming HLL distinct-count maintenance, same epoch layout as
+    * [[countMinSink]]. HLL is even friendlier to at-least-once delivery
+    * than CMS: register merge is an idempotent MAX, so replays are
+    * harmless BOTH through the per-epoch overwrite and through the merge
+    * itself — an event delivered in two different epochs (not just a
+    * replayed epoch) still counts once.
+    */
+  def hllSink(
+      groupCol: String,
+      valueCol: String,
+      basePath: String,
+      p: Int = 6): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.functions.Sketches.hllRegisters(batch, groupCol, valueCol, p)
+        .withColumnRenamed(groupCol, "grp")
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+
+  /** Live per-group distinct-count estimates over a [[hllSink]] directory. */
+  def mergedHllDistinct(spark: SparkSession, basePath: String, p: Int = 6): DataFrame =
+    graft.functions.Sketches.hllEstimate(
+      graft.functions.Sketches.mergeHllRegisters("grp", Seq(
+        spark.read.parquet(basePath).select("grp", "reg", "r"))),
+      "grp", p)
+
   case class SessionState(sessionId: Int, firstUs: Long, lastUs: Long, nEvents: Long)
 
   case class SessionUpdate(

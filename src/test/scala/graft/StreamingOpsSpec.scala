@@ -300,6 +300,26 @@ class StreamingOpsSpec extends SparkSpec {
     assert(est >= exact)
   }
 
+  test("streaming HLL sink: replays and cross-epoch duplicates both count once") {
+    import graft.functions.Sketches
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_hll_sink").toString
+    val sink = StreamingOps.hllSink("grp", "v", dir)
+    val b0 = (0 until 400).map(i => ("g", i.toLong)).toDF("grp", "v")
+    val b1 = (200 until 600).map(i => ("g", i.toLong)).toDF("grp", "v") // overlaps b0
+    sink(b0, 0L)
+    sink(b0, 0L) // replay
+    sink(b1, 1L)
+    val est = StreamingOps.mergedHllDistinct(spark, dir)
+      .collect().head.getAs[Double]("est_distinct")
+    // True distinct = 600 (200..399 delivered in BOTH epochs — max is
+    // idempotent, so neither the replay nor the overlap inflates).
+    val batch = Sketches.hllDistinct(
+      b0.unionByName(b1), "grp", "v").collect().head.getAs[Double]("est_distinct")
+    assert(est === batch) // merged registers ≡ whole-corpus registers
+    assert(math.abs(est - 600.0) / 600.0 < 0.4) // p=6: ±13% σ, 3σ gate
+  }
+
   test("corpus admission sink: replayed micro-batches equal sequential batch admission") {
     import graft.operators.Curation
     // Quality-passing docs: 46 words (>= 40), avg word length in band,
