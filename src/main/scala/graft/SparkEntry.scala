@@ -568,6 +568,12 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Hybrid semantic+lexical near-dup report: embedding-LSH candidate
+    // recall, exact shingle-jaccard precision, both scores per pair.
+    "q90_hybrid_near_dup" -> ((s, dir) =>
+      Dedup.hybridNearDupPairs(Tables.documents(s, dir), Tables.embeddings(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
     // End-to-end batch curation flagship: quality filter → boilerplate
     // removal → exact dedup on CLEANED text → split, with a verdict row
     // per input document.
@@ -1717,6 +1723,8 @@ object SparkEntry {
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
 
+    "q90_hybrid_near_dup" -> hybridNearDupOracle,
+
     "q89_curate_corpus" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |m AS (
@@ -2547,6 +2555,62 @@ object SparkEntry {
        |SELECT e.vec_id, f.dup_of IS NULL AS kept, f.dup_of, f.dp, f.cosine
        |FROM e LEFT JOIN (SELECT * FROM best WHERE rn = 1) f ON e.vec_id = f.vec_id
        |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** Mirrors [[graft.operators.Dedup.hybridNearDupPairs]]: sign-LSH
+    * bucket-mate pairs at quantized cosine ≥ 0.2, each verified with
+    * exact distinct-shingle-digest jaccard over the documents' text.
+    */
+  private def hybridNearDupOracle: String = {
+    val planes = graft.operators.Similarity
+      .hyperplanes(graft.operators.Similarity.DefaultNumPlanes, 64)
+      .map(_.map(c => math.floor(c * 1000000).toLong))
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), ii -> qe[ii] * ($planeLit)[ii])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n         + ")
+    s"""WITH $docShingles,
+       |e AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |),
+       |b AS (
+       |  SELECT vec_id, qe,
+       |         CAST(list_sum(list_transform(range(1, 65), ii -> qe[ii] * qe[ii])) AS BIGINT) AS n2,
+       |         $bucketExpr AS bucket
+       |  FROM e
+       |),
+       |cand AS (
+       |  SELECT a.vec_id AS doc_a, hi.vec_id AS doc_b,
+       |         CAST(list_sum(list_transform(range(1, 65), ii -> a.qe[ii] * hi.qe[ii])) AS BIGINT) AS dp,
+       |         a.n2 AS n2a, hi.n2 AS n2b
+       |  FROM b a JOIN b hi ON a.bucket = hi.bucket AND a.vec_id < hi.vec_id
+       |),
+       |f AS (
+       |  SELECT * FROM (
+       |    SELECT doc_a, doc_b,
+       |           CAST(dp AS DOUBLE) / (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))) AS cosine
+       |    FROM cand)
+       |  WHERE cosine >= 0.2
+       |),
+       |sets AS (
+       |  SELECT doc_id,
+       |         list(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS shl,
+       |         CAST(COUNT(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS BIGINT) AS n_sh
+       |  FROM sh GROUP BY doc_id
+       |),
+       |v AS (
+       |  SELECT f.doc_a, f.doc_b, f.cosine,
+       |         CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS n_common,
+       |         sa.n_sh AS n_a, sb.n_sh AS n_b
+       |  FROM f JOIN sets sa ON f.doc_a = sa.doc_id JOIN sets sb ON f.doc_b = sb.doc_id
+       |)
+       |SELECT doc_a, doc_b, cosine, n_common, n_a, n_b,
+       |       CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) AS jaccard,
+       |       (CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE)) >= 0.5 AS is_dup
+       |FROM v
+       |ORDER BY doc_a, doc_b""".stripMargin
   }
 
   /** Shared oracle CTE: embeddings quantized to exact longs + self dot. */

@@ -526,6 +526,68 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** Hybrid semantic+lexical near-dup detection — embedding recall,
+    * lexical precision: candidate pairs come from the embedding space
+    * (sign-LSH bucket mates at exact quantized cosine ≥ `minCosine` —
+    * catches paraphrases lexical shingles miss), and every candidate is
+    * verified with exact word-shingle jaccard on the TEXT (kills
+    * topically-similar-but-distinct pairs a cosine threshold admits).
+    * Both scores are emitted per pair with the `is_dup` verdict, so the
+    * same output serves as a dup list (filter) and as a
+    * threshold-calibration report (don't).
+    *
+    * Joins documents to embeddings positionally (`doc_id` = `vec_id` —
+    * the testdata contract; real corpora carry the mapping explicitly).
+    *
+    * Scale design: candidate generation is bucket-confined (the
+    * embedding table shuffles once on bucket keys); verification joins
+    * the candidate PAIRS (LSH-bounded, not corpus-sized) to the per-doc
+    * distinct shingle-digest arrays from one fused expression pass —
+    * intersection on 60-bit longs, text itself never shuffles.
+    */
+  def hybridNearDupPairs(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      minCosine: Double = 0.2,
+      minJaccard: Double = 0.5,
+      k: Int = 3): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    val bq = Similarity
+      .signBucketsQuantized(embeddings, Similarity.DefaultNumPlanes, 64)
+      .select(col("vec_id"), col("_qe").as("qe"), col("bucket"))
+      .withColumn("n2", Similarity.dot(col("qe"), col("qe")))
+    val hi = bq.select(
+      col("vec_id").as("doc_b"), col("qe").as("qe_b"),
+      col("n2").as("n2_b"), col("bucket"))
+    val cand = bq.join(hi, Seq("bucket"))
+      .filter(col("vec_id") < col("doc_b"))
+      .withColumn("dp", Similarity.dot(col("qe"), col("qe_b")))
+      .withColumn(
+        "cosine",
+        col("dp").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("n2_b").cast("double"))))
+      .filter(col("cosine") >= minCosine)
+      .select(col("vec_id").as("doc_a"), col("doc_b"), col("cosine"))
+    val sets = TextAnalysis.spread(docs).select(
+      col("doc_id"),
+      bridge.column(graft.expressions.ShingleDigests(
+        bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("ds").as("ds_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("ds").as("ds_b")), Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("ds_a"), col("ds_b"))).cast("long"))
+      .withColumn("n_a", size(col("ds_a")).cast("long"))
+      .withColumn("n_b", size(col("ds_b")).cast("long"))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .withColumn("is_dup", col("jaccard") >= minJaccard)
+      .select(
+        col("doc_a"), col("doc_b"), col("cosine"),
+        col("n_common"), col("n_a"), col("n_b"), col("jaccard"), col("is_dup"))
+  }
+
   /** Sub-document boilerplate removal (the RefinedWeb/CCNet "repeated
     * span" pass): each document is cut into fixed-width non-overlapping
     * token passages; a passage whose content digest appears in MORE than

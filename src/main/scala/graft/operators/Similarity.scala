@@ -160,7 +160,8 @@ object Similarity {
   /** As [[signBuckets]] but keeps the quantized vector as `_qe` so callers
     * (annLsh) don't re-quantize the corpus a second time.
     */
-  private def signBucketsQuantized(embeddings: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
+  private[operators] def signBucketsQuantized(
+      embeddings: DataFrame, numPlanes: Int, dim: Int): DataFrame = {
     val planes = hyperplanes(numPlanes, dim)
     // Quantize the plane components too, so the projection sign comes from
     // the codegen'd integer dot product (sign-preserving up to quantization

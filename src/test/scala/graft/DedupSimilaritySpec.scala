@@ -656,6 +656,40 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(est("never_seen") >= 0L) // present with a (possibly colliding) estimate
   }
 
+  test("hybrid near-dup: embedding candidates verified by text jaccard") {
+    def vec(xs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); xs.foreach { case (i, v) => a(i) = v }; a.toSeq
+    }
+    val emb = Seq(
+      (0L, vec(0 -> 1.0f), 0),
+      (1L, vec(0 -> 2.0f), 0),  // co-bucketed with 0 and 2
+      (2L, vec(0 -> 1.5f), 0),
+      (3L, vec(1 -> 1.0f), 0))  // orthogonal — never a candidate
+      .toDF("vec_id", "embedding", "label")
+    val d = Seq(
+      (0L, base, "en", "s0", 100L),
+      (1L, base.replace("lazy", "sleepy"), "en", "s0", 100L), // text near-dup of 0
+      (2L, "totally different topic discussing oceans airplanes databases " +
+        "and many other unrelated things entirely", "en", "s1", 100L),
+      (3L, base, "en", "s2", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.hybridNearDupPairs(d, emb, minCosine = 0.9, minJaccard = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+        (r.getAs[Double]("jaccard"), r.getAs[Boolean]("is_dup")))
+      .toMap
+    // All three same-direction vectors pair up as candidates...
+    assert(out.keySet === Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    // ...but only the TEXT near-dup pair survives verification.
+    assert(out((0L, 1L))._2 && out((0L, 1L))._1 > 0.5)
+    assert(!out((0L, 2L))._2 && out((0L, 2L))._1 < 0.1)
+    assert(!out((1L, 2L))._2)
+    // Doc 3's text is identical to doc 0's, but its embedding is
+    // orthogonal — the semantic candidate stage never surfaces it (the
+    // lexical-only q25 path would; the two recalls are complementary).
+    assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
   test("semantic dedup drops higher-id near-twins within a bucket, reports the canonical") {
     def vec(xs: (Int, Float)*): Seq[Float] = {
       val a = Array.fill(64)(0.0f); xs.foreach { case (i, v) => a(i) = v }; a.toSeq
