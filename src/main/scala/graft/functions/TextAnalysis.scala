@@ -331,16 +331,19 @@ object TextAnalysis {
     * scored — an absent token's contribution equals its expectation and
     * carries no ranking signal a monitor acts on.
     *
-    * Scale design: two wordcount-shaped aggregates (per-source counts,
-    * then vocab-bounded corpus counts); the corpus/total tables broadcast
-    * back, and the rank window partitions by source over vocab-bounded
-    * input.
+    * Scale design: ONE corpus-sized pass — the (source, token) count is
+    * persisted (it is sources×vocab-bounded) and every marginal
+    * (per-token, per-source, grand total) derives from the cached table,
+    * so the corpus is never re-scanned per marginal; the corpus/total
+    * tables broadcast back, and the rank window partitions by source
+    * over vocab-bounded input.
     */
   def sourceDrift(docs: DataFrame, topK: Int = 10): DataFrame = {
     val st = spread(docs)
       .select(col("source"), explode(wordsCol).as("token"))
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("obs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusTok = st.groupBy(col("token")).agg(sum(col("obs")).as("corpus_cnt"))
     val srcTotal = st.groupBy(col("source")).agg(sum(col("obs")).as("src_total"))
     val corpusTotal = corpusTok.agg(sum(col("corpus_cnt")).as("corpus_total"))

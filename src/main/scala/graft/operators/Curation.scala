@@ -345,7 +345,10 @@ object Curation {
     * empty doc). Scale shape is the composition of its audited parts;
     * the glue adds only doc_id-keyed joins of verdict-sized columns and
     * one digest-keyed canonical-id aggregate (the cleaned text hashes,
-    * never the text, are the shuffle key).
+    * never the text, are the shuffle key). The cleaned table — consumed
+    * by both the canonical-id aggregate and the verdict join — is
+    * persisted so the boilerplate-removal subtree runs ONCE, not once
+    * per consumer.
     */
   def curateCorpus(
       docs: DataFrame,
@@ -354,6 +357,7 @@ object Curation {
     val q = TextAnalysis.qualityFilter(docs)
     val passing = docs.join(q.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
     val cleaned = Dedup.passageDedup(passing, passageLen, maxDocFreq)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = cleaned
       .groupBy(md5(col("clean_text")).as("h"))
       .agg(min(col("doc_id")).as("canonical_id"))

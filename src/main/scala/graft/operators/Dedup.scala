@@ -552,10 +552,14 @@ object Dedup {
       minJaccard: Double = 0.5,
       k: Int = 3): DataFrame = {
     val bridge = org.apache.spark.sql.graft.bridge
+    // Both self-join sides consume the quantize+bucket pass, and both
+    // pair ends consume the digest pass — persist each so the embedding
+    // and document corpora are scanned once, not once per consumer.
     val bq = Similarity
       .signBucketsQuantized(embeddings, Similarity.DefaultNumPlanes, 64)
       .select(col("vec_id"), col("_qe").as("qe"), col("bucket"))
       .withColumn("n2", Similarity.dot(col("qe"), col("qe")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val hi = bq.select(
       col("vec_id").as("doc_b"), col("qe").as("qe_b"),
       col("n2").as("n2_b"), col("bucket"))
@@ -572,6 +576,7 @@ object Dedup {
       col("doc_id"),
       bridge.column(graft.expressions.ShingleDigests(
         bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ds").as("ds_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("ds").as("ds_b")), Seq("doc_b"))

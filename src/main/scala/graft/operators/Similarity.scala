@@ -110,9 +110,12 @@ object Similarity {
       minCosine: Double = 0.2,
       numPlanes: Int = DefaultNumPlanes,
       dim: Int = 64): DataFrame = {
+    // Both self-join sides consume the quantize+bucket pass — persist so
+    // the corpus is scanned once, not once per side.
     val b = signBucketsQuantized(embeddings, numPlanes, dim)
       .select(col("vec_id"), col("_qe").as("qe"), col("bucket"))
       .withColumn("n2", dot(col("qe"), col("qe")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lower = b.select(
       col("vec_id").as("dup_id"), col("qe").as("d_qe"),
       col("n2").as("d_n2"), col("bucket"))

@@ -188,6 +188,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(df) <= 6, s"semantic dedup grew a shuffle:\n$p")
   }
 
+  test("source drift broadcasts the corpus tables; one rank window over vocab-bounded input") {
+    val df = graft.functions.TextAnalysis.sourceDrift(Tables(dir))
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"), s"corpus tables stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"drift join regressed to a corpus shuffle:\n$p")
+    // spread + the (source, token) count + the two marginal aggregates +
+    // the global total + the per-source rank window.
+    assert(shuffles(df) <= 6, s"source drift grew a shuffle:\n$p")
+  }
+
+  test("hybrid near-dup: bucket-confined candidates, no cross product") {
+    val df = Dedup.hybridNearDupPairs(
+      Tables(dir), spark.read.parquet(s"$dir/embeddings.parquet"))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"candidate stage regressed to a cross product:\n$p")
+    // Bucket equi-join (two exchanges) + the two digest-set joins + spread.
+    assert(shuffles(df) <= 7, s"hybrid near-dup grew a shuffle:\n$p")
+  }
+
+  test("curation flagship composes without a cross product; shuffles stay bounded") {
+    val df = graft.operators.Curation.curateCorpus(Tables(dir))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"curation composition grew a cross product:\n$p")
+    // quality semi-join + passage-dedup's five + the canonical-digest
+    // aggregate + the verdict joins; 12 is the audited composition total.
+    assert(shuffles(df) <= 12, s"curation flagship grew a shuffle:\n$p")
+  }
+
   private def Tables(d: String): DataFrame =
     graft.sources.Tables.documents(spark, d)
 }
