@@ -64,6 +64,35 @@ class CurationPropertySpec extends SparkSpec {
     })
   }
 
+  test("passageDedup reconstructs exactly the passages whose digest stays under the df cap") {
+    check("passageDedup", Prop.forAll(corpusGen, Gen.choose(1, 6), Gen.choose(1L, 3L)) {
+      (corpus, passageLen, maxDf) =>
+        val out = graft.operators.Dedup.passageDedup(toDocs(corpus), passageLen, maxDf)
+          .collect()
+          .map(r => r.getAs[Long]("doc_id") ->
+            (r.getAs[Long]("n_passages"), r.getAs[Long]("n_dropped"),
+              r.getAs[String]("clean_text")))
+          .toMap
+        // Reference model: chunk each doc's token list, count distinct-doc
+        // frequency per passage, rebuild the survivors.
+        def passages(text: String): List[String] = {
+          val ws = text.trim.split("\\s+", -1).toList // "" doc → [""], like wordsCol
+          ws.grouped(passageLen).map(_.mkString(" ")).toList
+        }
+        val df = corpus
+          .flatMap { case (id, t) => passages(t).distinct.map(_ -> id) }
+          .groupBy(_._1).map { case (p, ids) => p -> ids.map(_._2).distinct.size.toLong }
+        out.size == corpus.length && corpus.forall { case (id, text) =>
+          val ps = passages(text)
+          val kept = ps.filter(p => df(p) <= maxDf)
+          val (nP, nD, clean) = out(id)
+          nP == ps.length.toLong &&
+            nD == ps.count(p => df(p) > maxDf).toLong &&
+            clean == kept.mkString(" ")
+        }
+    })
+  }
+
   test("chunkTokens covers every token of every doc exactly once per stride") {
     check("chunkTokens", Prop.forAll(corpusGen) { corpus =>
       val docs = toDocs(corpus)
