@@ -1,39 +1,75 @@
 package graft
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.expressions.{DotProductLong, MisraGries}
+import graft.expressions._
 
-/** SparkSessionExtensions entry point: registers the engine's custom
-  * expressions for SQL users. Activate with
-  * `.config("spark.sql.extensions", "graft.GraftExtensions")` — the
-  * DataFrame API reaches the same expressions directly through
-  * `graft.operators.Similarity`.
+/** The engine's SQL function surface: every custom Catalyst expression,
+  * name → builder, defined ONCE and reachable two ways —
+  *
+  *  - at session build time via `spark.sql.extensions=graft.GraftExtensions`
+  *    ([[GraftExtensions]]);
+  *  - on an EXISTING session via [[GraftFunctions.register]] (tests,
+  *    notebooks, sessions the caller doesn't construct).
+  *
+  * The DataFrame API reaches the same expressions directly through the
+  * operator/function objects; these registrations are for `spark.sql(...)`
+  * users.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def fn(
+      name: String,
+      arity: Int,
+      build: Seq[Expression] => Expression)
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) =
+    (
+      FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftFunctions.type].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == arity,
+          s"$name expects exactly $arity arguments, got ${children.length}")
+        build(children)
+      })
+
+  /** Every registration triple, shared by both installation paths. */
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    fn("graft_dot", 2, c => DotProductLong(c(0), c(1))),
+    fn("graft_mg", 2, c => MisraGries(c(0), intLit(c(1), "graft_mg's k"))),
+    fn("graft_tokens", 1, c => WhitespaceTokens(c(0))),
+    fn("graft_md5_60", 1, c => Md5Long60(c(0))),
+    fn("graft_md5_52", 1, c => Md5Long52(c(0))),
+    fn("graft_md5_binary", 1, c => Md5Binary(c(0))),
+    fn("graft_simhash", 1, c => SimHash64(c(0))),
+    fn("graft_shingle_min", 2, c =>
+      Md5ShingleMin(c(0), intLit(c(1), "graft_shingle_min's k"))),
+    fn("graft_minhash_sigs", 3, c =>
+      MinHashSigs(c(0), intLit(c(1), "graft_minhash_sigs's k"),
+        intLit(c(2), "graft_minhash_sigs's numHashes"))),
+    fn("graft_shingle_digests", 2, c =>
+      ShingleDigests(c(0), intLit(c(1), "graft_shingle_digests's k"))),
+    fn("graft_gram_stats", 2, c =>
+      GramStats(c(0), intLit(c(1), "graft_gram_stats's n"))))
+
+  /** Install the full surface on an already-running session. */
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (id, info, builder) =>
+      org.apache.spark.sql.graft.bridge.registerFunction(spark, id, info, builder)
+    }
+}
+
+/** SparkSessionExtensions entry point: activate with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((
-      FunctionIdentifier("graft_dot"),
-      new ExpressionInfo(classOf[DotProductLong].getName, "graft_dot"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 2,
-          s"graft_dot expects exactly 2 arguments, got ${children.length}")
-        DotProductLong(children(0), children(1))
-      }))
-    ext.injectFunction((
-      FunctionIdentifier("graft_mg"),
-      new ExpressionInfo(classOf[MisraGries].getName, "graft_mg"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(children.length == 2,
-          s"graft_mg expects (item, k), got ${children.length} arguments")
-        val k = children(1) match {
-          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_mg's k must be an integer literal, got $other")
-        }
-        MisraGries(children(0), k)
-      }))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
 }

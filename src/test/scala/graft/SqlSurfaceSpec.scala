@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** The `spark.sql(...)` surface: every registered graft_* function must
+  * evaluate through SQL and agree with its DataFrame-API twin (same
+  * expression underneath — this spec guards the registration plumbing:
+  * arity checks, literal-argument extraction, aggregate wrapping).
+  */
+class SqlSurfaceSpec extends SparkSpec {
+
+  GraftFunctions.register(spark)
+
+  test("scalar graft_* functions evaluate via SQL and match the DataFrame API") {
+    val r = spark.sql(
+      """SELECT graft_dot(array(1L, 2L), array(3L, 4L)) AS dp,
+        |       graft_md5_60('x') AS h60,
+        |       graft_md5_52('x') AS h52,
+        |       graft_tokens('  a  b ') AS toks,
+        |       graft_simhash(graft_tokens('a b a')) AS sh,
+        |       graft_shingle_min(graft_tokens('a b c d'), 3) AS shmin,
+        |       graft_minhash_sigs(graft_tokens('a b c d'), 3, 8) AS sigs,
+        |       graft_shingle_digests(graft_tokens('a b c d'), 3) AS ds,
+        |       graft_gram_stats(graft_tokens('a b a b a'), 2) AS gs
+        |""".stripMargin).collect().head
+    assert(r.getAs[Long]("dp") === 11L)
+    val viaDf = spark.range(1)
+      .select(
+        Hashing.md5Long60(lit("x")).as("h60"),
+        Hashing.md5Long52(lit("x")).as("h52"))
+      .collect().head
+    assert(r.getAs[Long]("h60") === viaDf.getAs[Long]("h60"))
+    assert(r.getAs[Long]("h52") === viaDf.getAs[Long]("h52"))
+    assert(r.getSeq[String](r.fieldIndex("toks")) === Seq("a", "b"))
+    assert(r.getSeq[Long](r.fieldIndex("sigs")).length === 8)
+    // "a b c d" has two 3-shingles; shingle_min is a full 16-byte digest.
+    assert(r.getSeq[Long](r.fieldIndex("ds")).length === 2)
+    assert(r.getAs[Array[Byte]]("shmin").length === 16)
+    assert(r.getAs[Long]("sh") !== 0L)
+    // 4 bigrams, "a b" appears twice → top share 2/4.
+    val gs = r.getAs[org.apache.spark.sql.Row]("gs")
+    assert(gs.getAs[Long]("n_grams") === 4L)
+    assert(gs.getAs[Long]("top_gram_cnt") === 2L)
+  }
+
+  test("graft_mg aggregates via SQL with the literal-k contract enforced") {
+    val mg = spark.sql(
+      "SELECT graft_mg(v, 4) AS m FROM VALUES ('a'), ('a'), ('a'), ('b') AS t(v)")
+      .collect().head.getAs[Map[String, Long]]("m")
+    assert(mg("a") === 3L)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_mg(v, v) FROM VALUES ('a') AS t(v)").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      err.getCause != null && err.getCause.getMessage.contains("integer literal"))
+  }
+
+  test("arity violations fail analysis, not execution") {
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1L))").collect()
+    }
+    assert(err.getMessage.contains("exactly 2") ||
+      err.getCause != null && err.getCause.getMessage.contains("exactly 2"))
+  }
+}
