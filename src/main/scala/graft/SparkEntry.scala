@@ -568,6 +568,23 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Five-table star join over the remaining dimension tables
+    // (part/supplier/region were otherwise unexercised): revenue by
+    // region × brand, all four dims broadcast — ONE fact shuffle.
+    "q91_region_brand_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("p_brand"))
+        .agg(
+          round(sum(dec("l_extendedprice") * (lit(1).cast(DecimalType(18, 4)) - dec("l_discount"))), 4)
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"),
+          count_distinct(col("s_suppkey")).as("n_suppliers"))
+        .orderBy("r_name", "p_brand")),
+
     // Hybrid semantic+lexical near-dup report: embedding-LSH candidate
     // recall, exact shingle-jaccard precision, both scores per pair.
     "q90_hybrid_near_dup" -> ((s, dir) =>
@@ -1722,6 +1739,19 @@ object SparkEntry {
         |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
+
+    "q91_region_brand_revenue" ->
+      """SELECT r_name, p_brand,
+        |       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))), 4) AS DOUBLE) AS revenue,
+        |       CAST(COUNT(*) AS BIGINT) AS n_items,
+        |       COUNT(DISTINCT s_suppkey) AS n_suppliers
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, p_brand
+        |ORDER BY r_name, p_brand""".stripMargin,
 
     "q90_hybrid_near_dup" -> hybridNearDupOracle,
 

@@ -188,6 +188,16 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(df) <= 6, s"semantic dedup grew a shuffle:\n$p")
   }
 
+  test("five-table star join: every dimension broadcast, ONE fact shuffle") {
+    val df = SparkEntry.queries("q91_region_brand_revenue")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), s"dimension joins stopped broadcasting:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"a dimension join regressed to a fact shuffle:\n$p")
+    // The count_distinct expands to a two-phase aggregate over ONE
+    // repartition of the fact side; the orderBy adds the range exchange.
+    assert(shuffles(df) <= 3, s"star join grew a shuffle:\n$p")
+  }
+
   test("source drift broadcasts the corpus tables; one rank window over vocab-bounded input") {
     val df = graft.functions.TextAnalysis.sourceDrift(Tables(dir))
     val p = plan(df)
