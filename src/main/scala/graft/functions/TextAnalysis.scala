@@ -282,6 +282,89 @@ object TextAnalysis {
       .withColumn("p", col("cnt").cast("double") / col("total").cast("double"))
   }
 
+  /** Full BPE tokenizer training: `numMerges` greedy merge rounds over
+    * the corpus word-frequency table. The ONLY corpus-sized stage is the
+    * wordcount aggregate (identical to [[bpePairCounts]]'s first step);
+    * the iterative merge loop then runs driver-side over the COLLECTED
+    * vocabulary — bounded state by construction (vocabularies cap out
+    * around 10⁵-10⁶ types regardless of corpus bytes; same pattern as
+    * the IVF Lloyd trainer, which collects k×dim aggregates). Each round
+    * picks the most frequent adjacent symbol pair under the
+    * (count DESC, pair) total order — deterministic, partition-free —
+    * and rewrites the vocab's symbol sequences left-to-right
+    * greedily (the standard BPE apply rule).
+    *
+    * Returns the learned merges as `(rank, c1, c2, cnt)` — `cnt` is the
+    * pair's weighted frequency at SELECTION time (monotonically
+    * non-increasing only per round, not across the table).
+    */
+  def bpeTrainMerges(docs: DataFrame, numMerges: Int = 20): Seq[(Int, String, String, Long)] = {
+    val vocab: Array[(List[String], Long)] = spread(docs)
+      .select(explode(wordsCol).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wc"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toList, r.getLong(1)))
+    var words = vocab
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var rank = 0
+    while (rank < numMerges) {
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, wc) =>
+        syms.zip(syms.tail).foreach { p =>
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + wc
+        }
+      }
+      if (pairCounts.isEmpty) return merges.toSeq
+      val ((c1, c2), cnt) = pairCounts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      merges += ((rank, c1, c2, cnt))
+      words = words.map { case (syms, wc) => (mergeOnce(syms, c1, c2), wc) }
+      rank += 1
+    }
+    merges.toSeq
+  }
+
+  /** One left-to-right greedy, non-overlapping merge pass. */
+  private def mergeOnce(syms: List[String], c1: String, c2: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var rest = syms
+    while (rest.nonEmpty) {
+      rest match {
+        case a :: b :: tail if a == c1 && b == c2 =>
+          out += (c1 + c2); rest = tail
+        case a :: tail =>
+          out += a; rest = tail
+        case Nil =>
+      }
+    }
+    out.toList
+  }
+
+  /** Apply a trained merge table to every corpus word: each word's
+    * character sequence replays the merges in rank order (the standard
+    * BPE encode). Purely NARROW — the merge list broadcasts inside the
+    * closure and each word is rewritten in place; no shuffle at all.
+    * Output: `(doc_id, pos, w, pieces, n_pieces)`.
+    *
+    * This is a deliberate Scala-UDF exception to the engine's
+    * codegen-expressions-only rule: rank-ordered greedy merging is a
+    * loop no built-in composes, and chaining `numMerges` per-rank
+    * `transform` passes would traverse every word once per merge —
+    * strictly worse than the single in-place replay here.
+    */
+  def bpeEncodeWords(docs: DataFrame, merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val ranked = merges.sortBy(_._1).map { case (_, a, b, _) => (a, b) }
+    val enc = udf { (w: String) =>
+      var syms: List[String] = w.map(_.toString).toList
+      ranked.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
+      syms
+    }
+    tokenize(docs)
+      .withColumn("pieces", enc(col("w")))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+  }
+
   /** Per-document language-model surprise signals — the deterministic
     * core of a perplexity filter: each document's adjacent-token bigrams
     * (with multiplicity) are scored against the corpus model from

@@ -43,6 +43,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r(1).getAs[Double]("min_p") === 1.0 / 3.0) // p(z|b)
   }
 
+  test("BPE training learns merges in frequency order and encoding replays them") {
+    val corpus = Seq(
+      doc(0L, "aab aab ab"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Word counts: aab×2, ab×1. Pair counts round 1: (a,a)=2, (a,b)=3 →
+    // merge 1 = (a,b). Round 2: aab=[a,ab]×2, ab=[ab] → (a,ab)=2 →
+    // merge 2 = (a,ab). Round 3: no pairs left — training stops early.
+    val merges = TextAnalysis.bpeTrainMerges(corpus, numMerges = 5)
+    assert(merges.map(m => (m._2, m._3, m._4)) ===
+      Seq(("a", "b", 3L), ("a", "ab", 2L)))
+    val enc = TextAnalysis.bpeEncodeWords(corpus, merges)
+      .orderBy("pos").collect()
+      .map(r => r.getAs[String]("w") -> r.getSeq[String](r.fieldIndex("pieces")))
+    assert(enc(0) === ("aab" -> Seq("aab")))
+    assert(enc(2) === ("ab" -> Seq("ab")))
+    // Determinism: retraining yields the identical merge table.
+    assert(TextAnalysis.bpeTrainMerges(corpus, numMerges = 5) === merges)
+  }
+
   test("source drift ranks each source's over-represented tokens by chi2 contribution") {
     val corpus = Seq(
       (0L, "x x x x", "en", "s0", 7L),
