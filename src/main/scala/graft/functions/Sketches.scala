@@ -29,6 +29,19 @@ object Sketches {
       df: DataFrame,
       groupCol: String,
       valueCol: String,
+      k: Int = 64): DataFrame =
+    kmvEstimate(kmvMinima(df, groupCol, valueCol, k), groupCol, k)
+
+  /** The KMV sketch's persisted/merge form: the k smallest distinct
+    * 60-bit value hashes per group, one `(groupCol, h)` row each. Merge
+    * slices — overlapping ones included, the distinct absorbs them —
+    * with [[mergeKmvMinima]]: union, re-distinct, re-take the k
+    * smallest ≡ the union corpus's minima.
+    */
+  def kmvMinima(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
       k: Int = 64): DataFrame = {
     require(k >= 2, "KMV needs k >= 2")
     val h = df
@@ -37,13 +50,29 @@ object Sketches {
     val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
     h.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+      .select(col(groupCol), col("h"))
+  }
+
+  /** The KMV union: pooled minima → distinct → k smallest per group. */
+  def mergeKmvMinima(groupCol: String, minima: Seq[DataFrame], k: Int = 64): DataFrame = {
+    require(minima.nonEmpty, "nothing to merge")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("h"))
+    minima.reduce(_ unionByName _)
+      .distinct()
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(groupCol), col("h"))
+  }
+
+  /** The estimate step over a minima table (built or merged). */
+  def kmvEstimate(minima: DataFrame, groupCol: String, k: Int): DataFrame =
+    minima
       .groupBy(col(groupCol))
       .agg(max(col("h")).as("kth"), count(lit(1)).as("k_actual"))
       .withColumn(
         "est_distinct",
         when(col("k_actual") < k, col("k_actual").cast("double"))
           .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / col("kth").cast("double")))
-  }
 
   /** Deterministic HyperLogLog distinct-count sketch per group, with
     * m = 2^p registers. Register index is the hash's low p bits, the

@@ -644,6 +644,16 @@ class DedupSimilaritySpec extends SparkSpec {
       Sketches.hllRegisters(toks, "grp", "item"))).collect()
       .map(r => r.getInt(1) -> r.getInt(2)).toMap
     assert(mergedRegs === wholeRegs)
+    // KMV: pooled minima from OVERLAPPING slices re-distinct and re-rank
+    // to exactly the whole-corpus minima.
+    val ids = (0 until 3000).map(i => ("g", (i % 700).toLong)).toDF("grp", "v")
+    val wholeMin = Sketches.kmvMinima(ids, "grp", "v", k = 64).collect()
+      .map(_.getLong(1)).toSet
+    val mergedMin = Sketches.mergeKmvMinima("grp", Seq(
+      Sketches.kmvMinima(ids.filter($"v" < 500), "grp", "v", k = 64),
+      Sketches.kmvMinima(ids.filter($"v" >= 300), "grp", "v", k = 64)), k = 64)
+      .collect().map(_.getLong(1)).toSet
+    assert(mergedMin === wholeMin)
     // Probing merged CMS cells answers like the whole-corpus sketch, and
     // a never-inserted item probes to 0, not a join dropout.
     val probes = Seq(("g", "tok7"), ("g", "never_seen")).toDF("grp", "item")
