@@ -568,6 +568,17 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Sketch-accelerated incremental dedup: Bloom-negative rows skip the
+    // anti-join (no false negatives ⇒ same answer, oracle-pinned); the
+    // needed_exact_check flag exposes which survivors paid the shuffle.
+    "q92_bloom_dedup_against" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.bloomDedupAgainst(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+        .select(col("doc_id"), col("content_hash"), col("needed_exact_check"))
+        .orderBy("doc_id")
+    }),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -1739,6 +1750,49 @@ object SparkEntry {
         |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
+
+    "q92_bloom_dedup_against" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_hash
+        |  FROM documents
+        |),
+        |kept AS (SELECT DISTINCT content_hash FROM h WHERE doc_id < 250),
+        |kh AS (
+        |  SELECT CAST('0x' || substr(md5(content_hash), 1, 15) AS BIGINT) AS h60,
+        |         CAST('0x' || substr(md5(content_hash), 17, 13) AS BIGINT) AS h52
+        |  FROM kept
+        |),
+        |kp AS (
+        |  SELECT unnest([h60 % 1984, h52 % 1984, xor(h60, h52) % 1984]) AS p FROM kh
+        |),
+        |w AS (
+        |  SELECT CAST(p // 62 AS INT) AS word,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS m
+        |  FROM kp GROUP BY 1
+        |),
+        |snap AS (SELECT doc_id, content_hash FROM h WHERE doc_id >= 250),
+        |sh AS (
+        |  SELECT doc_id, content_hash,
+        |         CAST('0x' || substr(md5(content_hash), 1, 15) AS BIGINT) AS h60,
+        |         CAST('0x' || substr(md5(content_hash), 17, 13) AS BIGINT) AS h52
+        |  FROM snap
+        |),
+        |sp AS (
+        |  SELECT doc_id, content_hash,
+        |         unnest([h60 % 1984, h52 % 1984, xor(h60, h52) % 1984]) AS p
+        |  FROM sh
+        |),
+        |sb AS (
+        |  SELECT sp.doc_id, sp.content_hash,
+        |         MIN(COALESCE((w.m >> CAST(sp.p % 62 AS INT)) & 1, 0)) AS allhit
+        |  FROM sp LEFT JOIN w ON CAST(sp.p // 62 AS INT) = w.word
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.doc_id, s.content_hash, (sb.allhit = 1) AS needed_exact_check
+        |FROM snap s JOIN sb ON s.doc_id = sb.doc_id AND s.content_hash = sb.content_hash
+        |WHERE s.content_hash NOT IN (SELECT content_hash FROM kept)
+        |ORDER BY s.doc_id""".stripMargin,
 
     "q91_region_brand_revenue" ->
       """SELECT r_name, p_brand,

@@ -327,6 +327,63 @@ object Curation {
     novel.join(survivors, Seq("doc_id"), "left_semi")
   }
 
+  /** [[dedupAgainst]] with a Bloom pre-filter — sketch-accelerated,
+    * exactness preserved: the kept corpus's content hashes build one
+    * Bloom filter (sparse 62-bit-word build, collected to the driver —
+    * `bits/62` longs, bounded like the IVF centroid collect), and each
+    * incoming row tests it NARROWLY. Bloom-negative rows are DEFINITELY
+    * novel (no false negatives) and skip the anti-join entirely;
+    * only the maybe rows — true duplicates plus the filter's ~FPR of
+    * novel rows — pay the digest shuffle. At 100 TB with a
+    * mostly-novel daily snapshot, that turns the anti-join's shuffle
+    * volume into `(dup_rate + FPR) × |snapshot|`.
+    *
+    * Output: the SAME rows [[dedupAgainst]] returns (oracle-pinned
+    * equality — the sketch accelerates, never changes the answer), plus
+    * `needed_exact_check` telling which survivors paid the join
+    * (deterministic given the hash family, so it hash-verifies too).
+    * Size `bits ≈ 7.3 × |kept|` for ~10% FPR, multiple of 62.
+    */
+  def bloomDedupAgainst(
+      incoming: DataFrame,
+      reference: DataFrame,
+      bits: Int = 1984): DataFrame = {
+    require(bits >= 62 && bits % 62 == 0,
+      s"bits=$bits must be a positive multiple of 62")
+    def hashed(df: DataFrame) = TextAnalysis.spread(df)
+      .withColumn("content_hash", md5(normalizedTextCol(col("text"))))
+    val kept = hashed(reference).select("content_hash").distinct()
+    def positions(df: DataFrame): DataFrame = df
+      .withColumn("hh", Hashing.md5Pair(col("content_hash")))
+      .withColumn("p0", col("hh.h60") % bits)
+      .withColumn("p1", col("hh.h52") % bits)
+      .withColumn("p2", col("hh.h60").bitwiseXOR(col("hh.h52")) % bits)
+      .drop("hh")
+    // Sparse filter build; the dense words array is bits/62 longs —
+    // driver-bounded, embedded as a literal for the narrow probe.
+    val built = positions(kept)
+      .select(explode(array(col("p0"), col("p1"), col("p2"))).as("p"))
+      .select(
+        expr("CAST(p DIV 62 AS INT)").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), p % 62)").as("m"))
+      .groupBy(col("word"))
+      .agg(expr("bit_or(m)").as("w"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val wordsSql = (0 until bits / 62)
+      .map(i => s"${built.getOrElse(i, 0L)}L").mkString("array(", ",", ")")
+    def hit(p: String) =
+      s"(shiftright(element_at($wordsSql, CAST($p DIV 62 AS INT) + 1), CAST($p % 62 AS INT)) & 1) = 1"
+    val probed = positions(hashed(incoming))
+      .withColumn("maybe", expr(s"${hit("p0")} AND ${hit("p1")} AND ${hit("p2")}"))
+      .drop("p0", "p1", "p2")
+    val definitelyNew = probed.filter(!col("maybe"))
+      .drop("maybe").withColumn("needed_exact_check", lit(false))
+    val survivors = probed.filter(col("maybe")).drop("maybe")
+      .join(kept, Seq("content_hash"), "left_anti")
+      .withColumn("needed_exact_check", lit(true))
+    definitelyNew.unionByName(survivors)
+  }
+
   /** End-to-end batch corpus curation as ONE call — the composition a
     * training-data team runs per corpus snapshot: quality filter →
     * sub-document boilerplate removal → exact dedup on the CLEANED text

@@ -148,6 +148,24 @@ class CurationSpec extends SparkSpec {
     assert(dup.getAs[Seq[Long]]("members") === Seq(0L, 1L, 2L))
   }
 
+  test("bloom-accelerated dedup returns exactly the plain anti-join's rows") {
+    val kept = (0L until 50L).map(i => doc(i, s"kept document number $i with words"))
+    val snap = (50L until 120L).map(i =>
+      if (i % 7 == 0) doc(i, s"kept document number ${i % 50} with words") // true dup
+      else doc(i, s"novel document number $i with fresh words"))
+    val keptDf = kept.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val snapDf = snap.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val plain = Curation.dedupAgainst(snapDf, keptDf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloom = Curation.bloomDedupAgainst(snapDf, keptDf)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("needed_exact_check"))
+    assert(bloom.map(_._1).toSet === plain) // sketch never changes the answer
+    // The filter actually prunes: most novel rows skip the exact join
+    // (1984 bits for 50 keys, 3 probes → FPR well under 1%).
+    val pruned = bloom.count(!_._2)
+    assert(pruned > bloom.length / 2, s"only $pruned of ${bloom.length} rows skipped the join")
+  }
+
   test("curateCorpus composes quality, boilerplate removal, exact dedup, and split") {
     // 4-word boilerplate B shared by three docs (df=3 > maxDocFreq=2 →
     // stripped); docs 0 and 1 share a 44-word core (df=2 → survives), so
