@@ -568,6 +568,14 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Temperature-weighted (α=0.5) mixture quotas — the multilingual
+    // rebalance; integer sqrt weights + largest-remainder seats keep
+    // every value engine-bit-identical.
+    "q93_temperature_mixture" -> ((s, dir) =>
+      Curation.temperatureAllocation(
+        Tables.documents(s, dir), col("source"), col("n_chars"), budget = 60000L)
+        .orderBy("grp")),
+
     // Sketch-accelerated incremental dedup: Bloom-negative rows skip the
     // anti-join (no false negatives ⇒ same answer, oracle-pinned); the
     // needed_exact_check flag exposes which survivors paid the shuffle.
@@ -1750,6 +1758,40 @@ object SparkEntry {
         |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
+
+    "q93_temperature_mixture" ->
+      """WITH a AS (
+        |  SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS available
+        |  FROM documents GROUP BY source
+        |),
+        |w AS (
+        |  SELECT grp, available,
+        |         CAST(floor(sqrt(CAST(available AS DOUBLE))) AS BIGINT) AS w
+        |  FROM a
+        |),
+        |q AS (
+        |  SELECT grp, available, w,
+        |         CAST(SUM(w) OVER () AS BIGINT) AS denom
+        |  FROM w
+        |),
+        |r AS (
+        |  SELECT grp, available, w,
+        |         CASE WHEN denom > 0 THEN (60000 * w) // denom ELSE 0 END AS quota,
+        |         CASE WHEN denom > 0 THEN (60000 * w) % denom ELSE 0 END AS rem,
+        |         denom
+        |  FROM q
+        |),
+        |s AS (
+        |  SELECT *,
+        |         ROW_NUMBER() OVER (ORDER BY rem DESC, grp) AS seat_rank,
+        |         CAST(SUM(quota) OVER () AS BIGINT) AS q_total
+        |  FROM r
+        |)
+        |SELECT grp, available, w,
+        |       CAST(quota + CASE WHEN denom > 0 AND seat_rank <= 60000 - q_total THEN 1 ELSE 0 END AS BIGINT) AS quota,
+        |       CAST(LEAST(quota + CASE WHEN denom > 0 AND seat_rank <= 60000 - q_total THEN 1 ELSE 0 END, available) AS BIGINT) AS allocated
+        |FROM s
+        |ORDER BY grp""".stripMargin,
 
     "q92_bloom_dedup_against" ->
       """WITH h AS (

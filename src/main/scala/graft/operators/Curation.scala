@@ -327,6 +327,57 @@ object Curation {
     novel.join(survivors, Seq("doc_id"), "left_semi")
   }
 
+  /** Temperature-weighted mixture allocation at α = 0.5 — the classic
+    * multilingual-pretraining rebalance (small sources get more than
+    * their proportional share, large ones less, in proportion to
+    * √size): source i's budget quota is `budget · √aᵢ / Σ√aⱼ`,
+    * integerized by largest-remainder so quotas sum EXACTLY to the
+    * budget, then capped at availability. Complements
+    * [[mixtureAllocation]]'s waterfill (equal caps) with the smooth
+    * power-law interpolation between proportional (α=1) and uniform
+    * (α=0).
+    *
+    * Every emitted value is engine-bit-identical: the weight is
+    * `floor(√available)` — IEEE `sqrt` is CORRECTLY rounded (unlike
+    * log/exp), so the floor of it over an exact integer matches across
+    * engines — and everything downstream is long arithmetic
+    * (`budget·wᵢ DIV/% Σw`, rank, min). Requires `budget · max(w)`
+    * within long range (budget ≤ ~10¹² at corpus scale).
+    *
+    * Scale: one per-group aggregate; the allocation windows run over
+    * the group table (sources are few by definition).
+    */
+  def temperatureAllocation(
+      perDoc: DataFrame,
+      group: Column,
+      weight: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be non-negative")
+    val all = Window.partitionBy()
+    val bySeat = Window.orderBy(col("rem").desc, col("grp"))
+    perDoc
+      .groupBy(group.as("grp"))
+      .agg(sum(weight.cast("long")).as("available"))
+      .withColumn("w", floor(sqrt(col("available").cast("double"))).cast("long"))
+      .withColumn("denom", sum(col("w")).over(all))
+      .withColumn(
+        "quota",
+        when(col("denom") > 0, expr(s"($budget * w) DIV denom")).otherwise(0L))
+      .withColumn(
+        "rem",
+        when(col("denom") > 0, expr(s"($budget * w) % denom")).otherwise(0L))
+      .withColumn("seat_rank", row_number().over(bySeat))
+      .withColumn("q_total", sum(col("quota")).over(all))
+      .withColumn(
+        "quota_final",
+        col("quota") + when(
+          col("denom") > 0 && col("seat_rank") <= (lit(budget) - col("q_total")), 1L)
+          .otherwise(0L))
+      .select(
+        col("grp"), col("available"), col("w"), col("quota_final").as("quota"),
+        least(col("quota_final"), col("available")).as("allocated"))
+  }
+
   /** [[dedupAgainst]] with a Bloom pre-filter — sketch-accelerated,
     * exactness preserved: the kept corpus's content hashes build one
     * Bloom filter (sparse 62-bit-word build, collected to the driver —

@@ -148,6 +148,28 @@ class CurationSpec extends SparkSpec {
     assert(dup.getAs[Seq[Long]]("members") === Seq(0L, 1L, 2L))
   }
 
+  test("temperature allocation boosts small sources, sums to budget, caps at availability") {
+    import org.apache.spark.sql.functions.col
+    val perDoc = Seq(("A", 100L), ("B", 400L), ("C", 10000L))
+      .toDF("source", "n_chars")
+    // w = (10, 20, 100), denom = 130; budget 130 → quotas exactly w.
+    val r = Curation.temperatureAllocation(perDoc, col("source"), col("n_chars"), 130L)
+      .orderBy("grp").collect()
+      .map(x => (x.getAs[String]("grp"), x.getAs[Long]("quota"), x.getAs[Long]("allocated")))
+    assert(r.toSeq === Seq(("A", 10L, 10L), ("B", 20L, 20L), ("C", 100L, 100L)))
+    // A holds 0.95% of chars but gets 7.7% of budget — the α=0.5 boost.
+    // budget 131: one largest-remainder seat, and it goes to C (rem 100).
+    val r2 = Curation.temperatureAllocation(perDoc, col("source"), col("n_chars"), 131L)
+      .orderBy("grp").collect().map(x => x.getAs[String]("grp") -> x.getAs[Long]("quota")).toMap
+    assert(r2 === Map("A" -> 10L, "B" -> 20L, "C" -> 101L))
+    // Tiny source: quota can exceed availability; allocated is capped.
+    val tiny = Seq(("A", 1L), ("B", 10000L)).toDF("source", "n_chars")
+    val r3 = Curation.temperatureAllocation(tiny, col("source"), col("n_chars"), 1010L)
+      .orderBy("grp").collect()
+      .map(x => (x.getAs[String]("grp"), x.getAs[Long]("quota"), x.getAs[Long]("allocated")))
+    assert(r3.toSeq === Seq(("A", 10L, 1L), ("B", 1000L, 1000L)))
+  }
+
   test("bloom-accelerated dedup returns exactly the plain anti-join's rows") {
     val kept = (0L until 50L).map(i => doc(i, s"kept document number $i with words"))
     val snap = (50L until 120L).map(i =>
