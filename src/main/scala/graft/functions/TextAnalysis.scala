@@ -376,12 +376,20 @@ object TextAnalysis {
     * min over identically-computed doubles) where a log-sum perplexity
     * would be a platform-dependent float fold.
     *
-    * Scale design: the model table is vocabulary²-bounded — broadcast,
-    * so doc bigrams join map-side and never shuffle; the per-doc
-    * aggregate ships 3 numbers per document. Documents shorter than two
-    * tokens have no transitions and are (documented) absent.
+    * Scale design: the model table is bounded by the OBSERVED bigram
+    * count, not vocabulary². At demo/specialist vocabularies it
+    * broadcasts (the default — doc bigrams join map-side and never
+    * shuffle); at web-corpus vocabularies (10⁸+ observed bigrams) pass
+    * `broadcastModel = false` and the join shuffles on the bigram key
+    * instead — still one corpus-sized shuffle, never a driver-sized
+    * broadcast. The per-doc aggregate ships 3 numbers per document.
+    * Documents shorter than two tokens have no transitions and are
+    * (documented) absent.
     */
-  def bigramSurprise(docs: DataFrame, rareMax: Long = 2): DataFrame = {
+  def bigramSurprise(
+      docs: DataFrame,
+      rareMax: Long = 2,
+      broadcastModel: Boolean = true): DataFrame = {
     val n = size(col("ws")) - 1
     val docBigrams = spread(docs)
       .select(col("doc_id"), wordsCol.as("ws"))
@@ -390,8 +398,9 @@ object TextAnalysis {
         slice(col("ws"), lit(2), greatest(n, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = bigramModel(docs)
     docBigrams
-      .join(broadcast(bigramModel(docs)), Seq("w1", "w2"))
+      .join(if (broadcastModel) broadcast(model) else model, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_bigrams"),

@@ -624,26 +624,60 @@ object Dedup {
   def passageDedup(
       docs: DataFrame,
       passageLen: Int = 8,
-      maxDocFreq: Long = 1): DataFrame = {
+      maxDocFreq: Long = 1): DataFrame =
+    passageDedupAgainst(docs, passageDigestCounts(docs, passageLen), passageLen, maxDocFreq)
+
+  private def passagesOf(words: Column, passageLen: Int): Column =
+    transform(
+      sequence(lit(0), floor((size(words) + passageLen - 1) / passageLen).cast("int") - 1),
+      i => array_join(slice(words, i * passageLen + 1, lit(passageLen)), " "))
+
+  /** `(doc_id, chunk, dig)` — passage strings are hashed and DISCARDED
+    * before any shuffle; only digests aggregate.
+    */
+  private def passageDigests(docs: DataFrame, passageLen: Int): DataFrame = {
     require(passageLen >= 1, s"passageLen=$passageLen must be >= 1")
-    def passagesOf(words: Column): Column =
-      transform(
-        sequence(lit(0), floor((size(words) + passageLen - 1) / passageLen).cast("int") - 1),
-        i => array_join(slice(words, i * passageLen + 1, lit(passageLen)), " "))
-    // (doc_id, chunk, digest) — passage strings are hashed and DISCARDED
-    // before any shuffle; only digests aggregate.
-    val pd = TextAnalysis.spread(docs)
-      .select(col("doc_id"), posexplode(passagesOf(TextAnalysis.wordsCol)).as(Seq("chunk", "p")))
+    TextAnalysis.spread(docs)
+      .select(
+        col("doc_id"),
+        posexplode(passagesOf(TextAnalysis.wordsCol, passageLen)).as(Seq("chunk", "p")))
       .select(col("doc_id"), col("chunk"), graft.functions.Hashing.md5Long60(col("p")).as("dig"))
-    val boiler = pd
+  }
+
+  /** [[passageDedup]]'s persisted/merge state: the passage-digest
+    * document-frequency table `(dig, df)` for a corpus slice. Merge
+    * DOC-DISJOINT slices (daily batches, shards) with
+    * [[mergePassageCounts]] — df sums — and clean any batch against the
+    * merged global state with [[passageDedupAgainst]]: cleaning batch B
+    * against `merge(counts(A), counts(B))` equals running the batch
+    * pipeline over A ∪ B restricted to B's documents (pinned by spec),
+    * so yesterday's corpus is never re-chunked.
+    */
+  def passageDigestCounts(docs: DataFrame, passageLen: Int = 8): DataFrame =
+    passageDigests(docs, passageLen)
       .groupBy(col("dig"))
       .agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > maxDocFreq)
-      .select("dig")
-    val drops = pd.join(boiler, Seq("dig"))
+
+  /** Digest-wise sum of doc-disjoint slices' frequency tables. */
+  def mergePassageCounts(counts: Seq[DataFrame]): DataFrame = {
+    require(counts.nonEmpty, "nothing to merge")
+    counts.reduce(_ unionByName _).groupBy(col("dig")).agg(sum(col("df")).as("df"))
+  }
+
+  /** Strip boilerplate passages from `batch` using a GLOBAL digest
+    * frequency state (which must already include the batch's own counts
+    * — merge them in first). Same output shape as [[passageDedup]].
+    */
+  def passageDedupAgainst(
+      batch: DataFrame,
+      globalCounts: DataFrame,
+      passageLen: Int = 8,
+      maxDocFreq: Long = 1): DataFrame = {
+    val boiler = globalCounts.filter(col("df") > maxDocFreq).select("dig")
+    val drops = passageDigests(batch, passageLen).join(boiler, Seq("dig"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("chunk"))).as("drop_chunks"))
-    docs
+    batch
       .join(drops, Seq("doc_id"), "left")
       .select(
         col("doc_id"),
@@ -654,7 +688,7 @@ object Dedup {
         floor((size(col("words")) + passageLen - 1) / passageLen).cast("long").as("n_passages"),
         size(col("dc")).cast("long").as("n_dropped"),
         array_join(
-          filter(passagesOf(col("words")), (_, i) => !array_contains(col("dc"), i)),
+          filter(passagesOf(col("words"), passageLen), (_, i) => !array_contains(col("dc"), i)),
           " ").as("clean_text"))
   }
 }

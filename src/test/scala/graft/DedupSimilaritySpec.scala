@@ -622,6 +622,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(tight.exists(_.getAs[Long]("overcount") > 0L), "4x8 over 37 items should collide")
   }
 
+  test("incremental passage dedup against merged digest counts equals the batch pipeline") {
+    val boiler = "terms of service apply"
+    def d(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val batchA = Seq(
+      d(0L, s"$boiler alpha beta gamma delta"),
+      d(1L, "independent early content here"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batchB = Seq(
+      d(10L, s"$boiler epsilon zeta eta theta"),
+      d(11L, "late unique material entirely"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // The boilerplate spans the two batches (df=1 in each) — only the
+    // MERGED state sees df=2 and strips it.
+    val merged = Dedup.mergePassageCounts(Seq(
+      Dedup.passageDigestCounts(batchA, passageLen = 4),
+      Dedup.passageDigestCounts(batchB, passageLen = 4)))
+    val incremental = Dedup.passageDedupAgainst(batchB, merged, passageLen = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val whole = Dedup.passageDedup(batchA.unionByName(batchB), passageLen = 4)
+      .filter($"doc_id" >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(incremental === whole)
+    assert(incremental === Set(
+      (10L, 1L, "epsilon zeta eta theta"),
+      (11L, 0L, "late unique material entirely")))
+  }
+
   test("sketch merges: CMS cells sum and HLL registers max to the union-corpus sketch") {
     import graft.functions.Sketches
     import org.apache.spark.sql.functions.hash
