@@ -274,6 +274,30 @@ object StreamingOps {
         spark.read.parquet(basePath).select("grp", "reg", "r"))),
       "grp", p)
 
+  /** Streaming boilerplate-state maintenance: each micro-batch's passage
+    * digest-frequency table ([[graft.operators.Dedup.passageDigestCounts]])
+    * lands per-epoch (same replay-idempotent layout as [[countMinSink]]);
+    * the global state is the digest-wise sum at read time. Micro-batches
+    * are doc-disjoint by construction — exactly
+    * [[graft.operators.Dedup.mergePassageCounts]]'s precondition — so
+    * `Dedup.passageDedupAgainst(todaysBatch, mergedPassageCounts(...))`
+    * cleans today's documents against every passage ever ingested
+    * without re-chunking yesterday's corpus.
+    */
+  def passageCountsSink(
+      basePath: String,
+      passageLen: Int = 8): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.Dedup.passageDigestCounts(batch, passageLen)
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+
+  /** The merged global digest-frequency state over a
+    * [[passageCountsSink]] directory.
+    */
+  def mergedPassageCounts(spark: SparkSession, basePath: String): DataFrame =
+    graft.operators.Dedup.mergePassageCounts(Seq(
+      spark.read.parquet(basePath).select("dig", "df")))
+
   case class SessionState(sessionId: Int, firstUs: Long, lastUs: Long, nEvents: Long)
 
   case class SessionUpdate(

@@ -320,6 +320,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(math.abs(est - 600.0) / 600.0 < 0.4) // p=6: ±13% σ, 3σ gate
   }
 
+  test("streaming passage-state sink: replay-safe merge cleans a batch like the whole corpus") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val boiler = "terms of service apply"
+    def d(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val b0 = Seq(d(0L, s"$boiler alpha beta gamma delta"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = Seq(d(10L, s"$boiler epsilon zeta eta theta"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_passage_sink").toString
+    val sink = StreamingOps.passageCountsSink(dir, passageLen = 4)
+    sink(b0, 0L)
+    sink(b0, 0L) // replay must not double-count the boilerplate's df
+    sink(b1, 1L)
+    val cleaned = Dedup.passageDedupAgainst(
+      b1, StreamingOps.mergedPassageCounts(spark, dir), passageLen = 4)
+      .collect().head
+    // df(boilerplate) = 2 across epochs → stripped from the new batch;
+    // a replay-inflated df=3 would give the same drop here, so ALSO pin
+    // the state itself: the boilerplate digest's merged df must be 2.
+    assert(cleaned.getAs[String]("clean_text") === "epsilon zeta eta theta")
+    assert(cleaned.getAs[Long]("n_dropped") === 1L)
+    val maxDf = StreamingOps.mergedPassageCounts(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("df")).collect().head.getLong(0)
+    assert(maxDf === 2L, s"replay inflated the merged df to $maxDf")
+  }
+
   test("corpus admission sink: replayed micro-batches equal sequential batch admission") {
     import graft.operators.Curation
     // Quality-passing docs: 46 words (>= 40), avg word length in band,
