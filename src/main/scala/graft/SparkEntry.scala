@@ -568,6 +568,12 @@ object SparkEntry {
         .orderBy("grp")
     }),
 
+    // Daily ingest-volume anomaly monitor: per-type exact-moment z-scores
+    // over the (type, day) count series.
+    "q94_daily_anomalies" -> ((s, dir) =>
+      Timeseries.dailyAnomalies(Tables.events(s, dir))
+        .orderBy("event_type", "epoch_day")),
+
     // Temperature-weighted (α=0.5) mixture quotas — the multilingual
     // rebalance; integer sqrt weights + largest-remainder seats keep
     // every value engine-bit-identical.
@@ -1758,6 +1764,31 @@ object SparkEntry {
         |                  sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
+
+    "q94_daily_anomalies" ->
+      """WITH d AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+        |         CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(n_events) AS BIGINT) AS s,
+        |         CAST(SUM(n_events * n_events) AS BIGINT) AS ss
+        |  FROM d GROUP BY event_type
+        |),
+        |mm AS (
+        |  SELECT event_type,
+        |         CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |         sqrt(CAST(n * ss - s * s AS DOUBLE) / CAST(n * n AS DOUBLE)) AS stddev
+        |  FROM m
+        |)
+        |SELECT d.event_type, d.epoch_day, d.n_events, mm.mean,
+        |       (CAST(d.n_events AS DOUBLE) - mm.mean) / mm.stddev AS z,
+        |       abs((CAST(d.n_events AS DOUBLE) - mm.mean) / mm.stddev) > 2.0 AS is_anomaly
+        |FROM d JOIN mm USING (event_type)
+        |ORDER BY event_type, epoch_day""".stripMargin,
 
     "q93_temperature_mixture" ->
       """WITH a AS (

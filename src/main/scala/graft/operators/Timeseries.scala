@@ -16,6 +16,38 @@ import org.apache.spark.sql.functions._
   */
 object Timeseries {
 
+  /** Daily ingest-volume anomaly flags: each (event_type, day) count is
+    * z-scored against that type's OWN daily-count distribution and
+    * flagged beyond `threshold`σ — the monitor a data pipeline runs per
+    * ingest to catch a collapsed or runaway source before it trains.
+    *
+    * Deterministic across engines: the mean and variance come from
+    * exact-integer sufficient statistics ([[graft.functions.Stats
+    * .exactMoments]] — single IEEE divisions, correctly-rounded sqrt),
+    * and the z-score is one subtraction and one division on those. A
+    * type whose days all match its mean yields z = NaN (0/0) when
+    * stddev is 0 — symmetric in both engines, never flagged.
+    *
+    * Scale: one (type, day) count aggregate off a single event scan;
+    * the per-type moment table is dimension-sized and broadcasts back.
+    */
+  def dailyAnomalies(events: DataFrame, threshold: Double = 2.0): DataFrame = {
+    val daily = events
+      .groupBy(
+        col("event_type"),
+        unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
+      .agg(count(lit(1)).as("n_events"))
+    val moments = graft.functions.Stats
+      .exactMoments(daily, col("event_type"), col("n_events"))
+      .select(col("grp").as("event_type"), col("mean"), col("stddev"))
+    daily
+      .join(broadcast(moments), Seq("event_type"))
+      .withColumn("z", (col("n_events").cast("double") - col("mean")) / col("stddev"))
+      .select(
+        col("event_type"), col("epoch_day"), col("n_events"), col("mean"),
+        col("z"), (abs(col("z")) > threshold).as("is_anomaly"))
+  }
+
   /** Zero-filled daily event counts: every (event_type, day) cell of the
     * observed [min-day, max-day] span, with absent cells as explicit
     * zeros — downstream training-data freshness checks and moving-window

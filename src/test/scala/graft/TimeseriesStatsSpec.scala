@@ -178,4 +178,26 @@ class TimeseriesStatsSpec extends SparkSpec {
     val pairs = r.map(x => (x.getAs[Long]("x_min"), x.getAs[Long]("x_max")))
     pairs.sliding(2).foreach { case Array((_, aMax), (bMin, _)) => assert(aMax < bMin) }
   }
+
+  test("daily anomalies flag the spike day and leave steady days unflagged") {
+    // Type "a": counts (1, 1, 1, 1, 6) over five days — mean 2, var 4,
+    // stddev 2; the spike day's z = (6-2)/2 = 2 (NOT > 2 → unflagged at
+    // the default threshold), steady days z = -0.5. Threshold 1.9 flags
+    // exactly the spike.
+    val rows = (0 until 4).flatMap(d =>
+      Seq((d.toLong, ts(s"2024-01-0${d + 1} 10:00:00"), 1L, "a", 1.0, "{}"))) ++
+      (0 until 6).map(i =>
+        (100L + i, ts("2024-01-05 10:00:00"), 1L, "a", 1.0, "{}"))
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Timeseries.dailyAnomalies(e, threshold = 1.9)
+      .orderBy("epoch_day").collect()
+    assert(r.length === 5)
+    assert(r.map(_.getAs[Boolean]("is_anomaly")).toSeq ===
+      Seq(false, false, false, false, true))
+    assert(r.last.getAs[Double]("z") === 2.0)
+    assert(r.head.getAs[Double]("mean") === 2.0)
+    // Default threshold 2.0: strict inequality leaves even the spike off.
+    val strict = Timeseries.dailyAnomalies(e).orderBy("epoch_day").collect()
+    assert(strict.forall(!_.getAs[Boolean]("is_anomaly")))
+  }
 }
