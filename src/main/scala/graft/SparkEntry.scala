@@ -1786,6 +1786,7 @@ object SparkEntry {
         |)
         |SELECT d.event_type, d.epoch_day, d.n_events, mm.mean,
         |       (CAST(d.n_events AS DOUBLE) - mm.mean) / mm.stddev AS z,
+        |       mm.stddev > 0 AND
         |       abs((CAST(d.n_events AS DOUBLE) - mm.mean) / mm.stddev) > 2.0 AS is_anomaly
         |FROM d JOIN mm USING (event_type)
         |ORDER BY event_type, epoch_day""".stripMargin,
@@ -1968,7 +1969,7 @@ object SparkEntry {
         |tot AS (SELECT CAST(SUM(corpus_cnt) AS BIGINT) AS corpus_total FROM ct),
         |j AS (
         |  SELECT st.source, st.token, st.obs,
-        |         CAST(ct.corpus_cnt * stot.src_total AS DOUBLE) /
+        |         CAST(ct.corpus_cnt AS DOUBLE) * CAST(stot.src_total AS DOUBLE) /
         |           CAST(tot.corpus_total AS DOUBLE) AS expected
         |  FROM st JOIN ct USING (token) JOIN stot USING (source) CROSS JOIN tot
         |),

@@ -387,8 +387,12 @@ object Sketches {
   /** Probe a cell table: `cms_est` for each probe row — min over the
     * depth cells the item hashes to, 0 for never-inserted items (absent
     * cells read as 0, matching the dense-matrix semantics). All probe
-    * columns pass through. The cell table is group×depth×width-bounded —
-    * broadcast; the probe side never reshuffles.
+    * columns pass through — the internal explode/join columns live in a
+    * reserved `_cms_*` namespace so a probe frame that itself carries
+    * `row`/`bucket`/`c` columns (e.g. one derived from a cell table)
+    * does not hit an ambiguous-reference analysis error. The cell table
+    * is group×depth×width-bounded — broadcast; the probe side never
+    * reshuffles.
     */
   def probeCountMin(
       cells: DataFrame,
@@ -396,11 +400,14 @@ object Sketches {
       depth: Int = 4,
       width: Int = 64): DataFrame = {
     val passThrough = probes.columns.map(col).toSeq
+    val cellsR = cells.select(
+      col("grp"), col("row").as("_cms_row"), col("bucket").as("_cms_bucket"),
+      col("c").as("_cms_c"))
     probes
       .select(passThrough :+
-        posexplode(cmsBuckets(col("item"), depth, width)).as(Seq("row", "bucket")): _*)
-      .join(broadcast(cells), Seq("grp", "row", "bucket"), "left_outer")
+        posexplode(cmsBuckets(col("item"), depth, width)).as(Seq("_cms_row", "_cms_bucket")): _*)
+      .join(broadcast(cellsR), Seq("grp", "_cms_row", "_cms_bucket"), "left_outer")
       .groupBy(passThrough: _*)
-      .agg(min(coalesce(col("c"), lit(0L))).as("cms_est"))
+      .agg(min(coalesce(col("_cms_c"), lit(0L))).as("cms_est"))
   }
 }

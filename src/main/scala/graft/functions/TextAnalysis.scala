@@ -445,8 +445,11 @@ object TextAnalysis {
       .join(broadcast(srcTotal), Seq("source"))
       .crossJoin(broadcast(corpusTotal))
       .withColumn(
+        // Cast each factor to double BEFORE multiplying: at web-corpus
+        // scale (token counts ≳ 1e10) the BIGINT product would silently
+        // wrap in Spark (DuckDB raises) — wrong chi² ranks, no error.
         "expected",
-        (col("corpus_cnt") * col("src_total")).cast("double") /
+        col("corpus_cnt").cast("double") * col("src_total").cast("double") /
           col("corpus_total").cast("double"))
       .withColumn(
         "chi2_term",

@@ -572,10 +572,15 @@ object Dedup {
           (sqrt(col("n2").cast("double")) * sqrt(col("n2_b").cast("double"))))
       .filter(col("cosine") >= minCosine)
       .select(col("vec_id").as("doc_a"), col("doc_b"), col("cosine"))
+    // Docs with < k words have NO shingles: keep no row for them (the
+    // inner joins below then drop any candidate pair touching one),
+    // which also makes the jaccard denominator ≥ 1 — no 0/0-NaN pair
+    // can survive to the `is_dup` comparison.
     val sets = TextAnalysis.spread(docs).select(
       col("doc_id"),
       bridge.column(graft.expressions.ShingleDigests(
         bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
+      .filter(size(col("ds")) > 0)
       .persist(StorageLevel.MEMORY_AND_DISK)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("ds").as("ds_a")), Seq("doc_a"))

@@ -25,8 +25,12 @@ object Timeseries {
     * exact-integer sufficient statistics ([[graft.functions.Stats
     * .exactMoments]] — single IEEE divisions, correctly-rounded sqrt),
     * and the z-score is one subtraction and one division on those. A
-    * type whose days all match its mean yields z = NaN (0/0) when
-    * stddev is 0 — symmetric in both engines, never flagged.
+    * type whose days all match its mean has stddev 0: dividing by it
+    * would THROW under Spark's ANSI mode while DuckDB quietly returns
+    * NULL — so the division is guarded, z is NULL for a zero-variance
+    * type in both engines, and the anomaly flag is explicitly gated on
+    * `stddev > 0` (a perfectly steady source is by definition
+    * anomaly-free, never flagged).
     *
     * Scale: one (type, day) count aggregate off a single event scan;
     * the per-type moment table is dimension-sized and broadcasts back.
@@ -42,10 +46,14 @@ object Timeseries {
       .select(col("grp").as("event_type"), col("mean"), col("stddev"))
     daily
       .join(broadcast(moments), Seq("event_type"))
-      .withColumn("z", (col("n_events").cast("double") - col("mean")) / col("stddev"))
+      .withColumn(
+        "z",
+        when(col("stddev") > 0,
+          (col("n_events").cast("double") - col("mean")) / col("stddev")))
       .select(
         col("event_type"), col("epoch_day"), col("n_events"), col("mean"),
-        col("z"), (abs(col("z")) > threshold).as("is_anomaly"))
+        col("z"),
+        (col("stddev") > 0 && abs(col("z")) > threshold).as("is_anomaly"))
   }
 
   /** Zero-filled daily event counts: every (event_type, day) cell of the

@@ -691,6 +691,13 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("cms_est")).toMap
     assert(est("tok7") >= 2000 / 53)
     assert(est("never_seen") >= 0L) // present with a (possibly colliding) estimate
+    // A probe frame that itself carries `row`/`bucket`/`c` columns (e.g.
+    // built from a cells table) must not hit an ambiguous-reference
+    // error — the probe internals live in the reserved _cms_* namespace.
+    val colliding = Seq(("g", "tok7", 0, 1, 9L)).toDF("grp", "item", "row", "bucket", "c")
+    val cr = Sketches.probeCountMin(
+      Sketches.countMinCells(h1, "grp", "item"), colliding).collect()
+    assert(cr.length === 1 && cr.head.getAs[Long]("cms_est") >= 0L)
   }
 
   test("hybrid near-dup: embedding candidates verified by text jaccard") {
@@ -725,6 +732,30 @@ class DedupSimilaritySpec extends SparkSpec {
     // orthogonal — the semantic candidate stage never surfaces it (the
     // lexical-only q25 path would; the two recalls are complementary).
     assert(!out.keySet.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("hybrid near-dup drops candidate pairs touching shingle-less docs") {
+    def vec(xs: (Int, Float)*): Seq[Float] = {
+      val a = Array.fill(64)(0.0f); xs.foreach { case (i, v) => a(i) = v }; a.toSeq
+    }
+    // Docs 0 and 1 are strong embedding candidates, but doc 1 has fewer
+    // than k=3 words → zero shingles. The oracle's shingle CTE emits no
+    // row for it, so the pair must be DROPPED, not emitted with n_b=0
+    // (where both-short pairs would make jaccard 0/0 = NaN and NaN >=
+    // 0.5 is TRUE under NaN-is-largest ordering — a phantom dup).
+    val emb = Seq(
+      (0L, vec(0 -> 1.0f), 0),
+      (1L, vec(0 -> 1.1f), 0),
+      (2L, vec(0 -> 0.9f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val d = Seq(
+      (0L, base, "en", "s0", 100L),
+      (1L, "hi there", "en", "s0", 8L), // 2 words < k=3 → no shingles
+      (2L, base.replace("lazy", "sleepy"), "en", "s0", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.hybridNearDupPairs(d, emb, minCosine = 0.9, minJaccard = 0.5)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(out === Set((0L, 2L)))
   }
 
   test("semantic dedup drops higher-id near-twins within a bucket, reports the canonical") {

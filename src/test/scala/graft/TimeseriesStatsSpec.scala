@@ -200,4 +200,18 @@ class TimeseriesStatsSpec extends SparkSpec {
     val strict = Timeseries.dailyAnomalies(e).orderBy("epoch_day").collect()
     assert(strict.forall(!_.getAs[Boolean]("is_anomaly")))
   }
+
+  test("daily anomalies never flag a zero-variance source (stddev=0 → z null)") {
+    // A perfectly steady source: one event per day, stddev 0. An
+    // unguarded division would THROW under Spark ANSI mode (DuckDB
+    // returns NULL); the guarded operator emits z = NULL and an
+    // explicit is_anomaly = false for every day.
+    val e = (0 until 4).map(d =>
+      (d.toLong, ts(s"2024-02-0${d + 1} 10:00:00"), 1L, "steady", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Timeseries.dailyAnomalies(e).collect()
+    assert(r.length === 4)
+    assert(r.forall(_.isNullAt(r.head.fieldIndex("z"))))
+    assert(r.forall(!_.getAs[Boolean]("is_anomaly")))
+  }
 }
