@@ -380,12 +380,17 @@ object Curation {
 
   /** [[dedupAgainst]] with a Bloom pre-filter — sketch-accelerated,
     * exactness preserved: the kept corpus's content hashes build one
-    * Bloom filter (sparse 62-bit-word build, collected to the driver —
-    * `bits/62` longs, bounded like the IVF centroid collect), and each
-    * incoming row tests it NARROWLY. Bloom-negative rows are DEFINITELY
-    * novel (no false negatives) and skip the anti-join entirely;
-    * only the maybe rows — true duplicates plus the filter's ~FPR of
-    * novel rows — pay the digest shuffle. At 100 TB with a
+    * Bloom filter as a SPARSE 62-bit-word TABLE `(word, w)` that stays
+    * a DataFrame end to end — each incoming row probes it through three
+    * broadcast equi-joins on its word index (`p DIV 62`), the same
+    * shape [[graft.functions.Sketches.bloomMembership]] uses. Nothing
+    * is collected to the driver and nothing becomes a SQL literal: at a
+    * 10⁹-document kept corpus the sized filter is ~10¹⁰ bits ≈ 1.2 GB
+    * of words — fine to broadcast once, fatal to parse as an inline
+    * array literal per probe expression. Bloom-negative rows are
+    * DEFINITELY novel (no false negatives) and skip the anti-join
+    * entirely; only the maybe rows — true duplicates plus the filter's
+    * ~FPR of novel rows — pay the digest shuffle. At 100 TB with a
     * mostly-novel daily snapshot, that turns the anti-join's shuffle
     * volume into `(dup_rate + FPR) × |snapshot|`.
     *
@@ -398,7 +403,7 @@ object Curation {
   def bloomDedupAgainst(
       incoming: DataFrame,
       reference: DataFrame,
-      bits: Int = 1984): DataFrame = {
+      bits: Long = 1984L): DataFrame = {
     require(bits >= 62 && bits % 62 == 0,
       s"bits=$bits must be a positive multiple of 62")
     def hashed(df: DataFrame) = TextAnalysis.spread(df)
@@ -410,22 +415,31 @@ object Curation {
       .withColumn("p1", col("hh.h52") % bits)
       .withColumn("p2", col("hh.h60").bitwiseXOR(col("hh.h52")) % bits)
       .drop("hh")
-    // Sparse filter build; the dense words array is bits/62 longs —
-    // driver-bounded, embedded as a literal for the narrow probe.
-    val built = positions(kept)
+    // Sparse executor-side filter: only SET words appear as rows; a
+    // probe whose word is absent left-joins to null → coalesce(0) → a
+    // guaranteed miss. Persisted so the three probe joins don't rebuild
+    // the aggregate (the streaming/incremental caller can persist the
+    // word table itself across snapshots — it merges by bit_or).
+    val words = positions(kept)
       .select(explode(array(col("p0"), col("p1"), col("p2"))).as("p"))
       .select(
-        expr("CAST(p DIV 62 AS INT)").as("word"),
+        expr("p DIV 62").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), p % 62)").as("m"))
       .groupBy(col("word"))
       .agg(expr("bit_or(m)").as("w"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val wordsSql = (0 until bits / 62)
-      .map(i => s"${built.getOrElse(i, 0L)}L").mkString("array(", ",", ")")
-    def hit(p: String) =
-      s"(shiftright(element_at($wordsSql, CAST($p DIV 62 AS INT) + 1), CAST($p % 62 AS INT)) & 1) = 1"
-    val probed = positions(hashed(incoming))
-      .withColumn("maybe", expr(s"${hit("p0")} AND ${hit("p1")} AND ${hit("p2")}"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def probeJoin(df: DataFrame, i: Int): DataFrame = df
+      .withColumn(s"_bl_word$i", expr(s"p$i DIV 62"))
+      .join(
+        broadcast(words.select(
+          col("word").as(s"_bl_word$i"), col("w").as(s"_bl_w$i"))),
+        Seq(s"_bl_word$i"), "left_outer")
+    def hit(i: Int) = expr(
+      s"(shiftright(coalesce(_bl_w$i, CAST(0 AS BIGINT)), CAST(p$i % 62 AS INT)) & 1) = 1")
+    val probed = (0 until 3)
+      .foldLeft(positions(hashed(incoming)))(probeJoin)
+      .withColumn("maybe", hit(0) && hit(1) && hit(2))
+      .drop((0 until 3).flatMap(i => Seq(s"_bl_word$i", s"_bl_w$i")): _*)
       .drop("p0", "p1", "p2")
     val definitelyNew = probed.filter(!col("maybe"))
       .drop("maybe").withColumn("needed_exact_check", lit(false))

@@ -188,6 +188,33 @@ class CurationSpec extends SparkSpec {
     assert(pruned > bloom.length / 2, s"only $pruned of ${bloom.length} rows skipped the join")
   }
 
+  test("bloom filter stays executor-side at 2^20 bits over 1e5 kept docs") {
+    import org.apache.spark.sql.functions.col
+    // A sized filter must never be collected to the driver or inlined
+    // as a SQL array literal (at 10^9 kept docs that literal is ~1.2 GB
+    // parsed per probe expression): the word table stays a DataFrame
+    // and reaches the probes through broadcast joins.
+    val bits = 16901L * 62L // ≈ 2^20, multiple of 62
+    def docs(lo: Long, hi: Long, tag: String) = spark.range(lo, hi).selectExpr(
+      "id AS doc_id", s"concat('$tag doc ', id, ' body words') AS text",
+      "'en' AS lang", "'s' AS source", "CAST(24 AS BIGINT) AS n_chars")
+    val out = Curation.bloomDedupAgainst(
+      docs(0L, 20000L, "novel"), docs(100000L, 200000L, "kept"), bits = bits)
+    val audit = PlanAudit(out)
+    // No literal filter in the plan: a 16901-element array literal would
+    // put `element_at` probes and a megabyte-scale plan string here.
+    assert(!audit.planString.contains("element_at"), "literal word-array probe found")
+    assert(audit.planString.length < 200000,
+      s"plan string is ${audit.planString.length} chars — literal-sized")
+    // All 20k incoming rows are novel; with n=1e5 keys, m≈2^20 bits,
+    // k=3 probes the predicted FPR is (1-e^{-kn/m})^3 ≈ 1.5%. Everything
+    // comes back (no false negatives), and only ~FPR pay the join.
+    val rows = out.select(col("doc_id"), col("needed_exact_check")).collect()
+    assert(rows.length === 20000)
+    val paid = rows.count(_.getAs[Boolean]("needed_exact_check"))
+    assert(paid < 20000 * 0.05, s"FPR too high: $paid / 20000 paid the exact join")
+  }
+
   test("curateCorpus composes quality, boilerplate removal, exact dedup, and split") {
     // 4-word boilerplate B shared by three docs (df=3 > maxDocFreq=2 →
     // stripped); docs 0 and 1 share a 44-word core (df=2 → survives), so
