@@ -574,6 +574,40 @@ object SparkEntry {
       Timeseries.dailyAnomalies(Tables.events(s, dir))
         .orderBy("event_type", "epoch_day")),
 
+    // Full BPE training, end-to-end oracle-gated: the learned merge table
+    // itself (rank, pair, selection-time weighted count). The DuckDB side
+    // REPLAYS the training — per-round argmax + greedy left-to-right merge
+    // application via the doubled-separator replace trick — so any drift
+    // in pair counting, tie order, or merge application hash-fails.
+    "q95_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.bpeTrainMerges(Tables.documents(s, dir), numMerges = bpeOracleMerges)
+        .toDF("rank", "c1", "c2", "cnt")
+        .orderBy("rank")
+    }),
+
+    // BPE encode over the whole corpus with the freshly-trained merges:
+    // per-doc word/char/piece conservation totals plus an md5 digest of
+    // the full piece sequence in document order — the encode path's
+    // end product faces the oracle, which re-trains AND re-encodes in SQL.
+    "q96_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.bpeTrainMerges(docs, numMerges = bpeOracleMerges)
+      TextAnalysis.bpeEncodeWords(docs, merges)
+        .withColumn("pstr", array_join(col("pieces"), "\u001f"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars_sum"),
+          sum(col("n_pieces")).as("n_pieces"),
+          md5(array_join(
+            transform(
+              sort_array(collect_list(struct(col("pos"), col("pstr")))),
+              x => x.getField("pstr")),
+            " ")).as("pieces_digest"))
+        .orderBy("doc_id")
+    }),
+
     // Temperature-weighted (α=0.5) mixture quotas — the multilingual
     // rebalance; integer sqrt weights + largest-remainder seats keep
     // every value engine-bit-identical.
@@ -1765,6 +1799,10 @@ object SparkEntry {
         |       END AS corr
         |FROM a ORDER BY grp""".stripMargin,
 
+    "q95_bpe_merges" -> bpeMergesOracle,
+
+    "q96_bpe_encode" -> bpeEncodeOracle,
+
     "q94_daily_anomalies" ->
       """WITH d AS (
         |  SELECT event_type,
@@ -2580,6 +2618,106 @@ object SparkEntry {
     * (Similarity.hyperplanes), quantized identically, and embedded as SQL
     * list literals.
     */
+  /** Rounds for the q95/q96 BPE oracle. The training replay is UNROLLED
+    * in SQL — one materialized CTE triple per round — so this stays
+    * small; the Spark side trains with the same number.
+    */
+  private val bpeOracleMerges = 8
+
+  /** Shared q95/q96 oracle prefix: tokenization, the char-split vocab,
+    * and `bpeOracleMerges` unrolled training rounds (pair counts →
+    * argmax under (cnt DESC, c1, c2) → greedy merge application).
+    *
+    * Greedy left-to-right merge application in pure SQL: each word's
+    * symbol sequence is ONE string with DOUBLED U+001F separators
+    * between symbols (and at both ends), and applying merge (c1, c2) is
+    * a single `replace` of `<s>c1<s><s>c2<s>` with `<s>c1c2<s>` —
+    * SQL replace scans left-to-right non-overlapping exactly like the
+    * engine's `mergeOnce`, the flanking separators pin c1/c2 to WHOLE
+    * symbols (no mid-symbol matches once symbols grow multi-char), and
+    * each replacement consumes one separator from each doubled boundary
+    * leaving the doubling invariant intact. (A single-separator encoding
+    * fails: the match would consume the shared boundary and miss
+    * immediately-adjacent repeats like `a a a a`.)
+    *
+    * MATERIALIZED is load-bearing: `p{r}` and `v{r}` both reference
+    * `v{r-1}`, and DuckDB's default CTE inlining would expand the chain
+    * exponentially in the round count.
+    */
+  private def bpeTrainSql: String = {
+    val sep = "\u001f"
+    val s1 = s"'$sep'"
+    val s2 = s"'$sep$sep'"
+    val head =
+      s"""tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+         |         CAST(unnest(range(len(regexp_split_to_array(trim(text), '\\s+')))) AS BIGINT) AS pos
+         |  FROM documents
+         |),
+         |v0 AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc,
+         |         $s2 || array_to_string(list_transform(range(1, length(w)+1), i -> w[i:i]), $s2) || $s2 AS seq
+         |  FROM tok WHERE length(w) >= 2 GROUP BY w
+         |)""".stripMargin
+    val rounds = (1 to bpeOracleMerges).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT l[i] AS c1, l[i+1] AS c2, CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, list_filter(string_split(seq, $s2), x -> x <> '') AS l FROM v${r - 1}),
+         |       unnest(range(1, len(l))) AS u(i)
+         |  GROUP BY 1, 2
+         |),
+         |m$r AS MATERIALIZED (SELECT c1, c2, cnt FROM p$r ORDER BY cnt DESC, c1, c2 LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT w, wc,
+         |         replace(seq,
+         |           $s1 || (SELECT c1 FROM m$r) || $s2 || (SELECT c2 FROM m$r) || $s1,
+         |           $s1 || (SELECT c1 FROM m$r) || (SELECT c2 FROM m$r) || $s1) AS seq
+         |  FROM v${r - 1}
+         |)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private def bpeMergesOracle: String = {
+    val union = (1 to bpeOracleMerges)
+      .map(r => s"SELECT ${r - 1} AS rank, c1, c2, cnt FROM m$r")
+      .mkString(" UNION ALL ")
+    s"WITH $bpeTrainSql\n" +
+      s"SELECT CAST(rank AS INT) AS rank, c1, c2, cnt FROM ($union) ORDER BY rank"
+  }
+
+  private def bpeEncodeOracle: String = {
+    val sep = "\u001f"
+    val s1 = s"'$sep'"
+    val s2 = s"'$sep$sep'"
+    val encodeRounds = (1 to bpeOracleMerges).map { r =>
+      s"""e$r AS MATERIALIZED (
+         |  SELECT w, replace(seq,
+         |           $s1 || (SELECT c1 FROM m$r) || $s2 || (SELECT c2 FROM m$r) || $s1,
+         |           $s1 || (SELECT c1 FROM m$r) || (SELECT c2 FROM m$r) || $s1) AS seq
+         |  FROM e${r - 1}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainSql,
+       |e0 AS MATERIALIZED (
+       |  SELECT w,
+       |         $s2 || array_to_string(list_transform(range(1, length(w)+1), i -> w[i:i]), $s2) || $s2 AS seq
+       |  FROM (SELECT DISTINCT w FROM tok)
+       |),
+       |$encodeRounds,
+       |pieces AS MATERIALIZED (
+       |  SELECT w, list_filter(string_split(seq, $s2), x -> x <> '') AS pl FROM e$bpeOracleMerges
+       |)
+       |SELECT t.doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(length(t.w)) AS BIGINT) AS n_chars_sum,
+       |       CAST(SUM(len(p.pl)) AS BIGINT) AS n_pieces,
+       |       md5(string_agg(array_to_string(p.pl, $s1), ' ' ORDER BY t.pos)) AS pieces_digest
+       |FROM tok t JOIN pieces p USING (w)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   private def annLshOracle: String = {
     val planes = graft.operators.Similarity
       .hyperplanes(graft.operators.Similarity.DefaultNumPlanes, 64)

@@ -343,26 +343,42 @@ object TextAnalysis {
 
   /** Apply a trained merge table to every corpus word: each word's
     * character sequence replays the merges in rank order (the standard
-    * BPE encode). Purely NARROW — the merge list broadcasts inside the
-    * closure and each word is rewritten in place; no shuffle at all.
-    * Output: `(doc_id, pos, w, pieces, n_pieces)`.
+    * BPE encode). Output: `(doc_id, pos, w, pieces, n_pieces)`.
     *
-    * This is a deliberate Scala-UDF exception to the engine's
+    * The replay runs ONCE PER WORD TYPE, not per token occurrence: a
+    * corpus has vastly fewer distinct words than tokens (Heaps' law —
+    * the trainer itself banks on the same skew by looping over the
+    * collected wordcount table), so the expensive merge loop projects a
+    * `distinct(w)` frame bounded by vocabulary size and the pieces join
+    * back to token positions. With `broadcastVocab` (default) the join
+    * is a broadcast — the token stream never shuffles at all; set it
+    * false for open-vocabulary web corpora whose type table outgrows
+    * the broadcast budget (the join then shuffles words, still never
+    * documents).
+    *
+    * The UDF is a deliberate Scala-UDF exception to the engine's
     * codegen-expressions-only rule: rank-ordered greedy merging is a
     * loop no built-in composes, and chaining `numMerges` per-rank
     * `transform` passes would traverse every word once per merge —
     * strictly worse than the single in-place replay here.
     */
-  def bpeEncodeWords(docs: DataFrame, merges: Seq[(Int, String, String, Long)]): DataFrame = {
+  def bpeEncodeWords(
+      docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)],
+      broadcastVocab: Boolean = true): DataFrame = {
     val ranked = merges.sortBy(_._1).map { case (_, a, b, _) => (a, b) }
     val enc = udf { (w: String) =>
       var syms: List[String] = w.map(_.toString).toList
       ranked.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
       syms
     }
-    tokenize(docs)
+    val toks = tokenize(docs)
+    val typePieces = toks.select(col("w")).distinct()
       .withColumn("pieces", enc(col("w")))
+    val vocabSide = if (broadcastVocab) broadcast(typePieces) else typePieces
+    toks.join(vocabSide, Seq("w"))
       .withColumn("n_pieces", size(col("pieces")).cast("long"))
+      .select(col("doc_id"), col("pos"), col("w"), col("pieces"), col("n_pieces"))
   }
 
   /** Per-document language-model surprise signals — the deterministic

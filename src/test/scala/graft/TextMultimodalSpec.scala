@@ -62,6 +62,43 @@ class TextMultimodalSpec extends SparkSpec {
     assert(TextAnalysis.bpeTrainMerges(corpus, numMerges = 5) === merges)
   }
 
+  test("BPE encode replays merges once per word TYPE, joined back to occurrences") {
+    // 200 occurrences of only 2 distinct words: the merge-replay UDF
+    // must project the distinct-word (broadcast-built) side, never the
+    // token stream — per-type cost is the whole point (Heaps' law).
+    val corpus = Seq(
+      doc(0L, Seq.fill(100)("aab").mkString(" ")),
+      doc(1L, Seq.fill(100)("ab").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val merges = TextAnalysis.bpeTrainMerges(corpus, numMerges = 2)
+    val df = TextAnalysis.bpeEncodeWords(corpus, merges)
+    assert(df.count() === 200)
+    // Walk the physical tree: the ScalaUDF must live in the broadcast
+    // (distinct-vocab) subtree of the join, never on the token-stream
+    // side. (A plan-STRING check can't see it — the optimizer collapses
+    // the UDF project into the distinct HashAggregate's result exprs.)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    def udfNodes(p: SparkPlan): Seq[SparkPlan] =
+      walk(p).filter(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
+    val plan = df.queryExecution.executedPlan
+    val join = walk(plan).collectFirst { case j: BroadcastHashJoinExec => j }
+    assert(join.isDefined, s"no broadcast join in encode plan:\n$plan")
+    assert(udfNodes(join.get.left).isEmpty,
+      s"merge-replay UDF on the token-stream side — per-occurrence encode:\n$plan")
+    assert(udfNodes(join.get.right).nonEmpty,
+      s"no merge-replay UDF on the broadcast vocab side:\n$plan")
+    // And the join preserved every occurrence with its pieces.
+    val row = df.filter(col("doc_id") === 0L).select("n_pieces").distinct().collect()
+    assert(row.map(_.getLong(0)).toSeq === Seq(1L)) // aab → [aab] after 2 merges
+  }
+
   test("source drift ranks each source's over-represented tokens by chi2 contribution") {
     val corpus = Seq(
       (0L, "x x x x", "en", "s0", 7L),
