@@ -248,7 +248,7 @@ object StreamingOps {
     */
   def mergedCountMinCells(spark: SparkSession, basePath: String): DataFrame =
     graft.functions.Sketches.mergeCountMinCells(Seq(
-      spark.read.parquet(basePath).select("grp", "row", "bucket", "c")))
+      compactedStateView(spark, basePath, Seq("grp", "row", "bucket", "c"))))
 
   /** Streaming HLL distinct-count maintenance, same epoch layout as
     * [[countMinSink]]. HLL is even friendlier to at-least-once delivery
@@ -271,7 +271,7 @@ object StreamingOps {
   def mergedHllDistinct(spark: SparkSession, basePath: String, p: Int = 6): DataFrame =
     graft.functions.Sketches.hllEstimate(
       graft.functions.Sketches.mergeHllRegisters("grp", Seq(
-        spark.read.parquet(basePath).select("grp", "reg", "r"))),
+        compactedStateView(spark, basePath, Seq("grp", "reg", "r")))),
       "grp", p)
 
   /** Streaming boilerplate-state maintenance: each micro-batch's passage
@@ -296,7 +296,109 @@ object StreamingOps {
     */
   def mergedPassageCounts(spark: SparkSession, basePath: String): DataFrame =
     graft.operators.Dedup.mergePassageCounts(Seq(
-      spark.read.parquet(basePath).select("dig", "df")))
+      compactedStateView(spark, basePath, Seq("dig", "df"))))
+
+  // ---------------------------------------------------------------------
+  // Epoch compaction for the per-epoch sketch/state sinks
+  // ---------------------------------------------------------------------
+
+  /** The live (compaction-aware) view of a `batch_id=<epoch>` state
+    * directory: every sink above pairs with a `merged*` reader that
+    * unions all epochs at read time — after 10⁵ micro-batches that union
+    * is itself a scale problem (10⁵ directories listed and scanned per
+    * read). [[compactEpochs]] folds old epochs into ONE base partition;
+    * this reader resolves which partitions are live.
+    *
+    * Layout contract: a base partition's id encodes the compaction
+    * watermark as `batch_id = -(W + 1)` — "contains every epoch ≤ W".
+    * Live rows are the NEWEST base (most negative id) plus positive
+    * epochs `> W`. A positive directory with `batch_id ≤ W` is a
+    * replayed old epoch (foreachBatch's at-least-once contract does not
+    * stop replaying just because we compacted): its content is already
+    * inside the base, so the reader EXCLUDES it — replay-idempotence
+    * survives compaction. An older base left by a crashed compaction is
+    * likewise excluded (its content is a subset of the newest base), so
+    * a compact that dies between write and cleanup is still read-safe.
+    */
+  def compactedStateView(
+      spark: SparkSession,
+      basePath: String,
+      stateCols: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(basePath)
+      .withColumn("batch_id", col("batch_id").cast("long"))
+    val ids = df.select("batch_id").distinct().collect().map(_.getLong(0))
+    val live = ids.filter(_ < 0).minOption match {
+      case Some(newestBase) =>
+        val w = -newestBase - 1
+        df.filter(col("batch_id") === newestBase || col("batch_id") > w)
+      case None => df
+    }
+    live.select(stateCols.map(col): _*)
+  }
+
+  /** Fold every epoch `≤ keepAfter` of a per-epoch state directory into
+    * one base partition `batch_id = -(keepAfter + 1)`, using the state's
+    * own merge (cell-sum for CMS, register-max for HLL, digest-sum for
+    * passage counts). Epochs `> keepAfter` stay as-is and keep their
+    * per-epoch replay-overwrite semantics; replays of epochs
+    * `≤ keepAfter` become read-side no-ops (see [[compactedStateView]]).
+    * Write-then-delete ordering makes a mid-compaction crash read-safe.
+    *
+    * Returns the number of directories removed. No-op (returns 0) when
+    * `keepAfter` does not advance the existing watermark — re-compacting
+    * the same watermark would overwrite the base FROM itself mid-scan.
+    */
+  def compactEpochs(
+      spark: SparkSession,
+      basePath: String,
+      keepAfter: Long,
+      stateCols: Seq[String],
+      merge: DataFrame => DataFrame): Int = {
+    require(keepAfter >= 0, s"keepAfter=$keepAfter must be >= 0")
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(s => s.getPath -> s.getPath.getName.stripPrefix("batch_id=").toLong)
+    val curWatermark = parts.map(_._2).filter(_ < 0).minOption.map(b => -b - 1)
+    if (curWatermark.exists(_ >= keepAfter)) return 0
+    val w = curWatermark.getOrElse(-1L)
+    // Live fold inputs: the newest base (all epochs ≤ w) + fresh epochs
+    // (w, keepAfter]. Positive dirs ≤ w are post-compaction replays whose
+    // rows are already in the base — deleted, never re-merged.
+    val newestBase = parts.map(_._2).filter(_ < 0).minOption
+    val foldDirs = parts.filter { case (_, id) =>
+      newestBase.contains(id) || (id > w && id >= 0 && id <= keepAfter)
+    }
+    val staleDirs = parts.filter { case (_, id) =>
+      (id >= 0 && id <= w) || (id < 0 && !newestBase.contains(id))
+    }
+    if (foldDirs.isEmpty) return 0
+    val folded = spark.read
+      .parquet(foldDirs.map(_._1.toString): _*)
+      .select(stateCols.map(col): _*)
+    merge(folded)
+      .write.mode("overwrite")
+      .parquet(s"$basePath/batch_id=${-(keepAfter + 1)}")
+    val doomed = (foldDirs ++ staleDirs).filter(_._2 != -(keepAfter + 1))
+    doomed.foreach { case (p, _) => fs.delete(p, true) }
+    doomed.size
+  }
+
+  /** [[compactEpochs]] for a [[countMinSink]] directory (cell-wise sum). */
+  def compactCountMinEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq("grp", "row", "bucket", "c"),
+      df => graft.functions.Sketches.mergeCountMinCells(Seq(df)))
+
+  /** [[compactEpochs]] for an [[hllSink]] directory (register-wise max). */
+  def compactHllEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq("grp", "reg", "r"),
+      df => graft.functions.Sketches.mergeHllRegisters("grp", Seq(df)))
+
+  /** [[compactEpochs]] for a [[passageCountsSink]] directory (digest-wise sum). */
+  def compactPassageEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq("dig", "df"),
+      df => graft.operators.Dedup.mergePassageCounts(Seq(df)))
 
   case class SessionState(sessionId: Int, firstUs: Long, lastUs: Long, nEvents: Long)
 

@@ -347,6 +347,77 @@ class StreamingOpsSpec extends SparkSpec {
     assert(maxDf === 2L, s"replay inflated the merged df to $maxDf")
   }
 
+  test("epoch compaction bounds state dirs and keeps old-epoch replays no-ops") {
+    import graft.functions.Sketches
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_compact").toString
+    val sink = StreamingOps.countMinSink("grp", "item", dir)
+    def batch(seed: Int) =
+      (0 until 100).map(i => ("g", s"tok${seed}_${i % 13}")).toDF("grp", "item")
+    (0L to 4L).foreach(b => sink(batch(b.toInt), b))
+    def cells() = StreamingOps.mergedCountMinCells(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    def dirs() = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val before = cells()
+    // Fold epochs 0..2 into the base partition batch_id=-3.
+    val removed = StreamingOps.compactCountMinEpochs(spark, dir, keepAfter = 2L)
+    assert(removed === 3)
+    assert(dirs() === Set("batch_id=-3", "batch_id=3", "batch_id=4"))
+    assert(cells() === before, "compaction changed the merged sketch")
+    // foreachBatch keeps its at-least-once contract AFTER compaction:
+    // a replay of compacted epoch 1 re-creates its directory, but the
+    // read side knows every epoch <= watermark lives in the base.
+    sink(batch(1), 1L)
+    assert(cells() === before, "replay of a compacted epoch double-counted")
+    // A LIVE epoch replay still overwrites in place, as ever.
+    sink(batch(3), 3L)
+    assert(cells() === before)
+    // Advancing the watermark folds base + live epochs + drops the stale
+    // replayed dir; same-watermark re-compaction is an explicit no-op.
+    assert(StreamingOps.compactCountMinEpochs(spark, dir, 2L) === 0)
+    val removed2 = StreamingOps.compactCountMinEpochs(spark, dir, 4L)
+    assert(removed2 === 4) // old base, replayed e1, e3, e4
+    assert(dirs() === Set("batch_id=-5"))
+    assert(cells() === before, "second compaction changed the merged sketch")
+    // And the merged view still equals the from-scratch batch sketch.
+    val whole = Sketches.countMinCells(
+      (0 to 4).map(batch).reduce(_ unionByName _), "grp", "item").collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(cells() === whole)
+  }
+
+  test("epoch compaction preserves HLL and passage state semantics") {
+    import spark.implicits._
+    // HLL: register-max merge — compaction must not inflate estimates
+    // even with cross-epoch duplicate values.
+    val hdir = java.nio.file.Files.createTempDirectory("graft_hll_compact").toString
+    val hsink = StreamingOps.hllSink("grp", "v", hdir)
+    hsink((0 until 400).map(i => ("g", i.toLong)).toDF("grp", "v"), 0L)
+    hsink((200 until 600).map(i => ("g", i.toLong)).toDF("grp", "v"), 1L)
+    hsink((400 until 700).map(i => ("g", i.toLong)).toDF("grp", "v"), 2L)
+    val hBefore = StreamingOps.mergedHllDistinct(spark, hdir)
+      .collect().head.getAs[Double]("est_distinct")
+    assert(StreamingOps.compactHllEpochs(spark, hdir, 1L) === 2)
+    val hAfter = StreamingOps.mergedHllDistinct(spark, hdir)
+      .collect().head.getAs[Double]("est_distinct")
+    assert(hAfter === hBefore)
+    // Passage counts: digest-sum merge.
+    val pdir = java.nio.file.Files.createTempDirectory("graft_pass_compact").toString
+    def d(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val psink = StreamingOps.passageCountsSink(pdir, passageLen = 4)
+    psink(Seq(d(0L, "terms of service apply alpha beta gamma delta"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), 0L)
+    psink(Seq(d(1L, "terms of service apply epsilon zeta eta theta"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars"), 1L)
+    val pBefore = StreamingOps.mergedPassageCounts(spark, pdir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(StreamingOps.compactPassageEpochs(spark, pdir, 0L) === 1)
+    val pAfter = StreamingOps.mergedPassageCounts(spark, pdir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pAfter === pBefore)
+  }
+
   test("corpus admission sink: replayed micro-batches equal sequential batch admission") {
     import graft.operators.Curation
     // Quality-passing docs: 46 words (>= 40), avg word length in band,
