@@ -939,8 +939,20 @@ object SparkEntry {
     "q24_multimodal_features" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val media = Multimodal.toMedia(docs)
-      val feats = Multimodal.extractFeatures(s, media).toDF()
+      val feats = Multimodal.extractByteHistogram(s, media).toDF()
       val pgm = Multimodal.decodePgmFeatures(s, Multimodal.toPgm(docs)).toDF()
+      val ppm = Multimodal.decodePpmFeatures(s, Multimodal.toPpm(docs)).toDF()
+      // Real multi-frame path: every 4th frame of the concatenated-P5
+      // stream, each sampled frame decoded as its own image.
+      val frames = Multimodal.decodePgmFrames(
+        s,
+        Multimodal.sampleFrames(
+          Multimodal.toAnimatedPgm(docs),
+          stride = 4, frameBytes = Multimodal.AnimFrameTotalBytes)).toDF()
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_sampled_frames"),
+          min(when(col("frame_idx") === 0, col("mean_px"))).as("frame0_mean_px"))
       media
         .select(
           col("doc_id"),
@@ -950,11 +962,18 @@ object SparkEntry {
         .join(pgm.select(
           col("doc_id"), col("width"), col("mean_px"), col("min_px"), col("max_px")),
           "doc_id")
+        .join(ppm.select(
+          col("doc_id"), col("width").as("ppm_width"),
+          col("r_mean"), col("g_mean"), col("b_mean")),
+          "doc_id")
+        .join(frames, "doc_id")
         .select(
           col("doc_id"), col("n_bytes"), col("n_frames"),
           element_at(col("features"), 1).as("f0"),
           element_at(col("features"), 7).as("f6"),
-          col("width"), col("mean_px"), col("min_px"), col("max_px"))
+          col("width"), col("mean_px"), col("min_px"), col("max_px"),
+          col("ppm_width"), col("r_mean"), col("g_mean"), col("b_mean"),
+          col("n_sampled_frames"), col("frame0_mean_px"))
         .orderBy("doc_id")
     }))
 
@@ -1274,7 +1293,11 @@ object SparkEntry {
     "q24_multimodal_features" ->
       """WITH px AS (
         |  SELECT doc_id,
-        |         list_transform(range(1, length(text) + 1), i -> unicode(text[i:i])) AS cps
+        |         list_transform(range(1, length(text) + 1), i -> unicode(text[i:i])) AS cps,
+        |         CAST(octet_length(encode(text)) // 3 AS INT) AS pw,
+        |         list_transform(
+        |           range(1, 65),
+        |           i -> unicode(rpad(text[1:64], 64, ' ')[i:i])) AS f0cps
         |  FROM documents
         |)
         |SELECT d.doc_id,
@@ -1287,7 +1310,17 @@ object SparkEntry {
         |       CAST(octet_length(encode(d.text)) AS INT) AS width,
         |       CAST(list_sum(px.cps) AS DOUBLE) / CAST(len(px.cps) AS DOUBLE) AS mean_px,
         |       CAST(list_min(px.cps) AS INT) AS min_px,
-        |       CAST(list_max(px.cps) AS INT) AS max_px
+        |       CAST(list_max(px.cps) AS INT) AS max_px,
+        |       px.pw AS ppm_width,
+        |       CAST(list_sum(list_transform(range(0, px.pw), k -> px.cps[3*k + 1])) AS DOUBLE)
+        |         / CAST(px.pw AS DOUBLE) AS r_mean,
+        |       CAST(list_sum(list_transform(range(0, px.pw), k -> px.cps[3*k + 2])) AS DOUBLE)
+        |         / CAST(px.pw AS DOUBLE) AS g_mean,
+        |       CAST(list_sum(list_transform(range(0, px.pw), k -> px.cps[3*k + 3])) AS DOUBLE)
+        |         / CAST(px.pw AS DOUBLE) AS b_mean,
+        |       CAST((CAST(ceil(octet_length(encode(d.text)) / 64.0) AS INT) + 3) // 4 AS BIGINT)
+        |         AS n_sampled_frames,
+        |       CAST(list_sum(px.f0cps) AS DOUBLE) / 64.0 AS frame0_mean_px
         |FROM documents d JOIN px USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 

@@ -6,15 +6,23 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded/feature-extracted in distributed batches.
   *
-  * Two decoders ship:
+  * Decoders:
   *   - [[PgmDecoder]] — a REAL decoder for binary PGM (netpbm "P5"), the
-  *     minimal raster format: ASCII header (magic, dims, maxval, with
+  *     minimal grayscale raster: ASCII header (magic, dims, maxval, with
   *     `#` comments and arbitrary whitespace per the spec) followed by a
   *     raw byte raster. Pure JVM, no media libraries, deterministic.
-  *   - [[MultimodalStub.decodeBytes]] — a 16-bin byte histogram standing
-  *     in for codecs whose libraries don't exist in this environment
-  *     (JPEG/PNG/audio); swap in a real codec call and everything else
-  *     carries over unchanged.
+  *   - [[PpmDecoder]] — the color sibling for binary PPM ("P6"): same
+  *     header grammar, 3 bytes (R,G,B) per pixel, reduced to per-channel
+  *     moments.
+  *   - [[MultimodalStub.byteHistogram]] — a 16-bin BYTE-DISTRIBUTION
+  *     feature (NOT media decoding) standing in for codecs whose
+  *     libraries don't exist in this environment (JPEG/PNG/audio); swap
+  *     in a real codec call and everything else carries over unchanged.
+  *
+  * Multi-frame payloads are REAL too: [[toAnimatedPgm]] concatenates
+  * fixed-size P5 images the way netpbm streams do, [[sampleFrames]]
+  * slices every `stride`-th frame with pure byte arithmetic, and the
+  * sampled frames decode with the same [[PgmDecoder]].
   *
   * Scale: payloads never leave their partition (decode is `mapPartitions`,
   * no shuffle); metadata lives in a separate small struct column so
@@ -42,12 +50,15 @@ object Multimodal {
         ceil(length(encode(col("text"), "UTF-8")) / lit(FrameBytes.toDouble))
           .cast("int").as("n_frames")).as("meta"))
 
-  /** STUB decoder: 16-bin byte histogram normalized to [0,1].
+  /** STUB (not a decoder): 16-bin byte histogram normalized to [0,1] — a
+    * byte-DISTRIBUTION feature over the undecoded payload. Real media
+    * decoding lives in [[PgmDecoder]]/[[PpmDecoder]]; this stands in only
+    * for formats whose codec libraries aren't in this environment.
     * ??? ← a real implementation calls the media codec here. Deterministic
     * so tests and resumed runs agree.
     */
   object MultimodalStub {
-    def decodeBytes(payload: Array[Byte]): Seq[Float] = {
+    def byteHistogram(payload: Array[Byte]): Seq[Float] = {
       val bins = new Array[Long](16)
       payload.foreach(b => bins((b & 0xff) / 16) += 1)
       val total = math.max(payload.length, 1).toFloat
@@ -55,16 +66,19 @@ object Multimodal {
     }
   }
 
-  /** Partition-parallel feature extraction over the binary column: typed
-    * `mapPartitions` (the Scala analog of a batched pandas-UDF decode) —
-    * one decoder instantiation per partition, zero shuffle.
+  /** Partition-parallel byte-histogram extraction over the binary column:
+    * typed `mapPartitions` (the Scala analog of a batched pandas-UDF
+    * decode) — one pass per partition, zero shuffle. Named for what it
+    * computes: this is the byte-distribution STUB path, not media
+    * decoding — see [[decodePgmFeatures]]/[[decodePpmFeatures]] for the
+    * real decoders sharing the same batch shape.
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+  def extractByteHistogram(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, payload) =>
-          MediaFeatures(id, MultimodalStub.decodeBytes(payload))
+          MediaFeatures(id, MultimodalStub.byteHistogram(payload))
         }
       }
   }
@@ -101,46 +115,62 @@ object Multimodal {
     * raster (maxval ≤ 255 ⇒ one byte per pixel). Malformed input throws
     * rather than returning garbage features.
     */
+  /** Shared netpbm header scanner: magic + width/height/maxval tokens
+    * with `#` comments and whitespace runs, starting at `off`. Returns
+    * (width, height, maxval, rasterStart).
+    */
+  private def parseNetpbmHeader(
+      docId: Long, b: Array[Byte], off: Int, magic: Char): (Int, Int, Int, Int) = {
+    require(b.length - off >= 2 && b(off) == 'P' && b(off + 1) == magic,
+      s"doc $docId: not a binary P$magic netpbm image at offset $off")
+    var i = off + 2
+    def skipSeparators(): Unit = {
+      var scanning = true
+      while (scanning && i < b.length) {
+        val c = b(i)
+        if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
+        else scanning = false
+      }
+    }
+    def readAsciiInt(what: String): Int = {
+      skipSeparators()
+      require(i < b.length && b(i) >= '0' && b(i) <= '9',
+        s"doc $docId: expected ASCII integer for $what at byte $i")
+      var v = 0
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        v = v * 10 + (b(i) - '0'); i += 1
+      }
+      v
+    }
+    val width = readAsciiInt("width")
+    val height = readAsciiInt("height")
+    val maxVal = readAsciiInt("maxval")
+    require(maxVal > 0 && maxVal <= 255,
+      s"doc $docId: maxval $maxVal outside the one-byte-per-sample range")
+    require(i < b.length &&
+      (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r'),
+      s"doc $docId: missing the single whitespace byte before the raster")
+    (width, height, maxVal, i + 1)
+  }
+
   object PgmDecoder {
-    def decode(docId: Long, b: Array[Byte]): PgmFeatures = {
-      require(b.length >= 2 && b(0) == 'P' && b(1) == '5',
-        s"doc $docId: not a binary PGM (missing P5 magic)")
-      var i = 2
-      def skipSeparators(): Unit = {
-        var scanning = true
-        while (scanning && i < b.length) {
-          val c = b(i)
-          if (c == '#') { while (i < b.length && b(i) != '\n') i += 1 }
-          else if (c == ' ' || c == '\t' || c == '\n' || c == '\r') i += 1
-          else scanning = false
-        }
-      }
-      def readAsciiInt(what: String): Int = {
-        skipSeparators()
-        require(i < b.length && b(i) >= '0' && b(i) <= '9',
-          s"doc $docId: expected ASCII integer for $what at byte $i")
-        var v = 0
-        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
-          v = v * 10 + (b(i) - '0'); i += 1
-        }
-        v
-      }
-      val width = readAsciiInt("width")
-      val height = readAsciiInt("height")
-      val maxVal = readAsciiInt("maxval")
-      require(maxVal > 0 && maxVal <= 255,
-        s"doc $docId: maxval $maxVal outside the one-byte-per-pixel range")
-      require(i < b.length &&
-        (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r'),
-        s"doc $docId: missing the single whitespace byte before the raster")
-      i += 1
+    def decode(docId: Long, b: Array[Byte]): PgmFeatures = decodeAt(docId, b, 0)._1
+
+    /** Decode ONE image starting at `off`; also returns the offset just
+      * past its raster — netpbm files may hold multiple concatenated
+      * images (the multi-frame form [[toAnimatedPgm]] builds), and the
+      * next frame starts exactly there.
+      */
+    def decodeAt(docId: Long, b: Array[Byte], off: Int): (PgmFeatures, Int) = {
+      val (width, height, maxVal, start) = parseNetpbmHeader(docId, b, off, '5')
       val nPx = width.toLong * height
-      require(b.length - i >= nPx,
-        s"doc $docId: raster truncated (${b.length - i} bytes for $nPx pixels)")
-      if (nPx == 0) PgmFeatures(docId, width, height, maxVal, 0L, None, None, None)
+      require(b.length - start >= nPx,
+        s"doc $docId: raster truncated (${b.length - start} bytes for $nPx pixels)")
+      val end = start + nPx.toInt
+      if (nPx == 0) (PgmFeatures(docId, width, height, maxVal, 0L, None, None, None), end)
       else {
-        var sum = 0L; var lo = 255; var hi = 0; var j = i
-        val end = i + nPx.toInt
+        var sum = 0L; var lo = 255; var hi = 0; var j = start
         while (j < end) {
           val px = b(j) & 0xff
           sum += px
@@ -148,10 +178,76 @@ object Multimodal {
           if (px > hi) hi = px
           j += 1
         }
-        PgmFeatures(docId, width, height, maxVal, nPx,
-          Some(sum.toDouble / nPx.toDouble), Some(lo), Some(hi))
+        (PgmFeatures(docId, width, height, maxVal, nPx,
+          Some(sum.toDouble / nPx.toDouble), Some(lo), Some(hi)), end)
       }
     }
+  }
+
+  case class PpmFeatures(
+      doc_id: Long, width: Int, height: Int, max_val: Int, n_px: Long,
+      r_mean: Option[Double], g_mean: Option[Double], b_mean: Option[Double],
+      min_px: Option[Int], max_px: Option[Int])
+
+  /** Binary PPM ("P6") — the COLOR netpbm raster: same header grammar as
+    * P5, then 3 bytes (R, G, B) per pixel. Reduced to per-channel means
+    * plus whole-raster min/max. Malformed input throws rather than
+    * returning garbage features.
+    */
+  object PpmDecoder {
+    def decode(docId: Long, b: Array[Byte]): PpmFeatures = {
+      val (width, height, maxVal, start) = parseNetpbmHeader(docId, b, 0, '6')
+      val nPx = width.toLong * height
+      val nBytes = nPx * 3
+      require(b.length - start >= nBytes,
+        s"doc $docId: raster truncated (${b.length - start} bytes for $nPx RGB pixels)")
+      if (nPx == 0)
+        PpmFeatures(docId, width, height, maxVal, 0L, None, None, None, None, None)
+      else {
+        val sums = new Array[Long](3)
+        var lo = 255; var hi = 0; var j = start
+        val end = start + nBytes.toInt
+        while (j < end) {
+          val v = b(j) & 0xff
+          sums((j - start) % 3) += v
+          if (v < lo) lo = v
+          if (v > hi) hi = v
+          j += 1
+        }
+        val n = nPx.toDouble
+        PpmFeatures(docId, width, height, maxVal, nPx,
+          Some(sums(0) / n), Some(sums(1) / n), Some(sums(2) / n),
+          Some(lo), Some(hi))
+      }
+    }
+  }
+
+  /** Wrap each document as a REAL binary PPM color image: a 1-row strip
+    * whose pixels are consecutive byte TRIPLES of the text (R = byte 3i,
+    * G = byte 3i+1, B = byte 3i+2); the 0-2 trailing bytes that don't
+    * fill a triple are dropped. Codegen'd expressions only — binary
+    * `concat` + `substr`, never a UDF.
+    */
+  def toPpm(docs: DataFrame): DataFrame = {
+    val bytes = encode(col("text"), "UTF-8")
+    val w = floor(length(bytes) / 3).cast("int")
+    docs.select(
+      col("doc_id"),
+      concat(
+        encode(
+          concat(lit("P6\n"), w.cast("string"), lit(" 1\n255\n")), "UTF-8"),
+        bytes.substr(lit(1), w * 3)).as("payload"),
+      struct(
+        lit("image/x-portable-pixmap").as("format"),
+        length(bytes).cast("long").as("n_bytes"),
+        lit(1).as("n_frames")).as("meta"))
+  }
+
+  /** Partition-parallel REAL color decode of a PPM payload column. */
+  def decodePpmFeatures(spark: SparkSession, media: DataFrame): Dataset[PpmFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => PpmDecoder.decode(id, payload) })
   }
 
   /** Partition-parallel REAL decode of a PGM payload column: header
@@ -167,8 +263,13 @@ object Multimodal {
 
   /** Frame sampling: split the payload into fixed-size frames and keep
     * every `stride`-th one, as pure array expressions (no decode).
+    * `frameBytes` is the fixed on-wire frame size: [[FrameBytes]] for the
+    * raw [[toMedia]] chunking, [[AnimFrameTotalBytes]] for the real
+    * multi-frame PGM stream [[toAnimatedPgm]] builds — whose sampled
+    * frames are themselves complete P5 images, decodable by
+    * [[decodePgmFrames]].
     */
-  def sampleFrames(media: DataFrame, stride: Int = 4): DataFrame =
+  def sampleFrames(media: DataFrame, stride: Int = 4, frameBytes: Int = FrameBytes): DataFrame =
     media.select(
       col("doc_id"),
       // Guard n_frames = 0: Spark's sequence(0, -1) DESCENDS ([0, -1])
@@ -181,8 +282,69 @@ object Multimodal {
             i => i % stride === 0),
           i => struct(
             i.cast("int").as("frame_idx"),
-            col("payload").substr(i.cast("int") * FrameBytes + 1, lit(FrameBytes))
+            col("payload").substr(i.cast("int") * frameBytes + 1, lit(frameBytes))
               .as("frame"))))
         .otherwise(array().cast("array<struct<frame_idx:int,frame:binary>>"))
         .as("frames"))
+
+  /** Fixed per-frame raster width of [[toAnimatedPgm]] (one 64-pixel row). */
+  val AnimFrameRaster = 64
+  /** Fixed header of every animated frame: `P5\n64 1\n255\n` (11 bytes). */
+  val AnimFrameHeader = s"P5\n$AnimFrameRaster 1\n255\n"
+  /** Total on-wire bytes per animated frame (header + raster). */
+  val AnimFrameTotalBytes: Int = AnimFrameHeader.length + AnimFrameRaster
+
+  /** Wrap each document as a REAL multi-frame netpbm stream: consecutive
+    * complete binary PGM images (the concatenated-image form the netpbm
+    * spec allows), one 64-pixel single-row frame per 64-byte chunk of the
+    * text, the ragged last chunk space-padded so every frame is exactly
+    * [[AnimFrameTotalBytes]] on the wire — which is what lets
+    * [[sampleFrames]] cut real decodable frames with pure byte
+    * arithmetic, no decode. ASCII-text contract (the testdata corpus is
+    * ASCII; bytes ≡ chars keeps the expression-only build exact).
+    * Codegen'd expressions only: per-frame strings via `transform` over
+    * `sequence`, folded with `aggregate` — never a UDF.
+    */
+  def toAnimatedPgm(docs: DataFrame): DataFrame = {
+    val nf = ceil(length(encode(col("text"), "UTF-8")) / lit(AnimFrameRaster.toDouble))
+      .cast("int")
+    val frames = transform(
+      sequence(lit(0), nf - 1),
+      i => concat(
+        lit(AnimFrameHeader),
+        rpad(
+          col("text").substr(i * AnimFrameRaster + 1, lit(AnimFrameRaster)),
+          AnimFrameRaster, " ")))
+    docs.select(
+      col("doc_id"),
+      encode(
+        when(nf > 0, aggregate(frames, lit(""), (acc, x) => concat(acc, x)))
+          .otherwise(lit("")),
+        "UTF-8").as("payload"),
+      struct(
+        lit("video/x-graft-anim-pgm").as("format"),
+        length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes"),
+        nf.as("n_frames")).as("meta"))
+  }
+
+  case class FramePgmFeatures(
+      doc_id: Long, frame_idx: Int, n_px: Long,
+      mean_px: Option[Double], min_px: Option[Int], max_px: Option[Int])
+
+  /** REAL per-frame decode of [[sampleFrames]] output over a
+    * [[toAnimatedPgm]] stream: each sampled frame is a complete P5 image
+    * and goes through [[PgmDecoder]] — explode is the only plan step,
+    * decode never shuffles.
+    */
+  def decodePgmFrames(spark: SparkSession, sampled: DataFrame): Dataset[FramePgmFeatures] = {
+    import spark.implicits._
+    sampled
+      .select(col("doc_id"), explode(col("frames")).as("f"))
+      .select(col("doc_id"), col("f.frame_idx"), col("f.frame"))
+      .as[(Long, Int, Array[Byte])]
+      .mapPartitions(_.map { case (id, idx, frame) =>
+        val f = PgmDecoder.decode(id, frame)
+        FramePgmFeatures(id, idx, f.n_px, f.mean_px, f.min_px, f.max_px)
+      })
+  }
 }

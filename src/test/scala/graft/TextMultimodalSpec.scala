@@ -224,14 +224,14 @@ class TextMultimodalSpec extends SparkSpec {
 
   test("stub feature extraction: histogram over byte values sums to 1") {
     val media = Multimodal.toMedia(docs)
-    val feats = Multimodal.extractFeatures(spark, media).collect()
+    val feats = Multimodal.extractByteHistogram(spark, media).collect()
     assert(feats.length === 2)
     feats.foreach { f =>
       assert(f.features.length === 16)
       assert(math.abs(f.features.sum - 1.0f) < 1e-3)
     }
     // Deterministic: same input → same features.
-    val again = Multimodal.extractFeatures(spark, media).collect()
+    val again = Multimodal.extractByteHistogram(spark, media).collect()
     assert(feats.sortBy(_.doc_id).map(_.features) === again.sortBy(_.doc_id).map(_.features))
   }
 
@@ -275,6 +275,69 @@ class TextMultimodalSpec extends SparkSpec {
       assert(f.mean_px === Some(bytes.sum.toDouble / bytes.length.toDouble))
       assert(f.min_px === Some(bytes.min) && f.max_px === Some(bytes.max))
     }
+  }
+
+  test("PPM decoder parses a hand-built P6 fixture to per-channel means") {
+    import Multimodal.PpmDecoder
+    // 4×1 RGB image: R = 10,40,70,100; G = 20,50,80,110; B = 30,60,90,120.
+    val raster = (0 until 12).map(i => (10 * (i + 1)).toByte).toArray
+    val f = PpmDecoder.decode(1L, "P6\n# color\n4 1\n255\n".getBytes("US-ASCII") ++ raster)
+    assert(f.width === 4 && f.height === 1 && f.n_px === 4L)
+    assert(f.r_mean === Some((10 + 40 + 70 + 100) / 4.0))
+    assert(f.g_mean === Some((20 + 50 + 80 + 110) / 4.0))
+    assert(f.b_mean === Some((30 + 60 + 90 + 120) / 4.0))
+    assert(f.min_px === Some(10) && f.max_px === Some(120))
+    intercept[IllegalArgumentException] { // P5 payload is not a P6
+      PpmDecoder.decode(0L, "P5\n1 1\n255\n x".getBytes("US-ASCII"))
+    }
+    intercept[IllegalArgumentException] { // raster must hold 3 bytes/px
+      PpmDecoder.decode(0L, "P6\n2 1\n255\nabcd".getBytes("US-ASCII"))
+    }
+  }
+
+  test("toPpm payloads round-trip through the color decoder to channel byte means") {
+    val feats = Multimodal.decodePpmFeatures(spark, Multimodal.toPpm(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    docs.collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bytes = r.getAs[String]("text").getBytes("UTF-8").map(_ & 0xff)
+      val w = bytes.length / 3
+      val f = feats(id)
+      assert(f.width === w && f.height === 1 && f.n_px === w.toLong)
+      def chan(o: Int) = (0 until w).map(k => bytes(3 * k + o)).sum.toDouble / w
+      assert(f.r_mean === Some(chan(0)))
+      assert(f.g_mean === Some(chan(1)))
+      assert(f.b_mean === Some(chan(2)))
+    }
+  }
+
+  test("animated PGM: sampled frames are complete P5 images that decode frame-wise") {
+    val text0 = (0 until 200).map(i => ('a' + i % 26).toChar).mkString // 200 chars → 4 frames
+    val d = Seq(doc(0L, text0), doc(1L, "tiny doc"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val anim = Multimodal.toAnimatedPgm(d)
+    val metas = anim.select(col("doc_id"), col("meta.n_frames")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(metas === Map(0L -> 4, 1L -> 1))
+    // Every frame (stride 1) decodes: 64-px single-row images whose
+    // pixels are the text chunk, space-padded at the tail.
+    val all = Multimodal.decodePgmFrames(
+      spark,
+      Multimodal.sampleFrames(anim, stride = 1, frameBytes = Multimodal.AnimFrameTotalBytes))
+      .collect().groupBy(_.doc_id)
+    assert(all(0L).length === 4 && all(1L).length === 1)
+    all.values.flatten.foreach(f => assert(f.n_px === 64L))
+    val f3 = all(0L).find(_.frame_idx === 3).get
+    val tail = text0.drop(192).padTo(64, ' ').map(_.toInt)
+    assert(f3.mean_px === Some(tail.sum.toDouble / 64.0))
+    assert(all(1L).head.mean_px ===
+      Some("tiny doc".padTo(64, ' ').map(_.toInt).sum.toDouble / 64.0))
+    // Stride 4 keeps frames 0 (and only 0, for ≤4-frame payloads).
+    val sampled = Multimodal.decodePgmFrames(
+      spark,
+      Multimodal.sampleFrames(anim, stride = 4, frameBytes = Multimodal.AnimFrameTotalBytes))
+      .collect()
+    assert(sampled.map(f => (f.doc_id, f.frame_idx)).toSet === Set((0L, 0), (1L, 0)))
   }
 
   test("bpePairCounts weights adjacent-char pairs by word frequency") {
