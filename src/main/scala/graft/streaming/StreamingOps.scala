@@ -204,13 +204,29 @@ object StreamingOps {
       basePath: String,
       minJaccard: Double = 0.75): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
-      val docCols = batch.columns.map(col).toSeq
-      val prior = scala.util.Try(spark.read.parquet(basePath))
-        .map(_.filter(col("batch_id") < batchId).select(docCols: _*))
-        .getOrElse(batch.limit(0))
-      val kept = keptInit.select(docCols: _*).unionByName(prior)
-      graft.operators.Curation.admitSnapshot(kept, batch, minJaccard)
-        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+      // A replayed batch at or below the compaction watermark is a
+      // NO-OP: its admitted rows are final inside the base partition, and
+      // recomputing would dedup the batch against its own prior output
+      // (self-exclusion is exactly what the `< batchId` filter provides
+      // for live epochs, and what the base can no longer provide).
+      val wm = epochWatermark(spark, basePath)
+      if (!wm.exists(batchId <= _)) {
+        val docCols = batch.columns.map(col).toSeq
+        val prior = scala.util.Try(spark.read.parquet(basePath))
+          .map { df =>
+            val withId = df.withColumn("batch_id", col("batch_id").cast("long"))
+            (wm match {
+              case Some(w) => withId.filter(
+                col("batch_id") === -(w + 1) ||
+                  (col("batch_id") > w && col("batch_id") < batchId))
+              case None => withId.filter(col("batch_id") < batchId)
+            }).select(docCols: _*)
+          }
+          .getOrElse(batch.limit(0))
+        val kept = keptInit.select(docCols: _*).unionByName(prior)
+        graft.operators.Curation.admitSnapshot(kept, batch, minJaccard)
+          .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+      }
     }
 
   /** Replay-idempotent streaming Count-Min maintenance: each micro-batch's
@@ -348,6 +364,25 @@ object StreamingOps {
     * `keepAfter` does not advance the existing watermark — re-compacting
     * the same watermark would overwrite the base FROM itself mid-scan.
     */
+  /** The compaction watermark of a state directory: W when a base
+    * partition `batch_id = -(W+1)` exists (every epoch ≤ W lives in it),
+    * None when the directory is uncompacted or absent. A file LISTING,
+    * not a scan.
+    */
+  def epochWatermark(spark: SparkSession, basePath: String): Option[Long] =
+    scala.util.Try(listEpochDirs(spark, basePath)).toOption
+      .flatMap(_.map(_._2).filter(_ < 0).minOption.map(b => -b - 1))
+
+  private def listEpochDirs(
+      spark: SparkSession,
+      basePath: String): Seq[(org.apache.hadoop.fs.Path, Long)] = {
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(base).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+      .map(s => s.getPath -> s.getPath.getName.stripPrefix("batch_id=").toLong)
+  }
+
   def compactEpochs(
       spark: SparkSession,
       basePath: String,
@@ -357,9 +392,7 @@ object StreamingOps {
     require(keepAfter >= 0, s"keepAfter=$keepAfter must be >= 0")
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val parts = fs.listStatus(base).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
-      .map(s => s.getPath -> s.getPath.getName.stripPrefix("batch_id=").toLong)
+    val parts = listEpochDirs(spark, basePath)
     val curWatermark = parts.map(_._2).filter(_ < 0).minOption.map(b => -b - 1)
     if (curWatermark.exists(_ >= keepAfter)) return 0
     val w = curWatermark.getOrElse(-1L)
@@ -374,9 +407,12 @@ object StreamingOps {
       (id >= 0 && id <= w) || (id < 0 && !newestBase.contains(id))
     }
     if (foldDirs.isEmpty) return 0
-    val folded = spark.read
-      .parquet(foldDirs.map(_._1.toString): _*)
-      .select(stateCols.map(col): _*)
+    val foldedRaw = spark.read.parquet(foldDirs.map(_._1.toString): _*)
+    // Empty stateCols = whole-row state (the admission sink): keep every
+    // column as-is; sketch sinks project their cell/register columns.
+    val folded =
+      if (stateCols.isEmpty) foldedRaw
+      else foldedRaw.select(stateCols.map(col): _*)
     merge(folded)
       .write.mode("overwrite")
       .parquet(s"$basePath/batch_id=${-(keepAfter + 1)}")
@@ -399,6 +435,16 @@ object StreamingOps {
   def compactPassageEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
     compactEpochs(spark, basePath, keepAfter, Seq("dig", "df"),
       df => graft.operators.Dedup.mergePassageCounts(Seq(df)))
+
+  /** [[compactEpochs]] for a [[corpusAdmissionSink]] directory. Admitted
+    * rows are the state itself — the "merge" is plain concatenation
+    * (admission already guaranteed cross-epoch disjointness). After
+    * compaction the sink SKIPS replays of folded epochs (their admission
+    * is final inside the base) and live batches read the base + live
+    * epochs as their kept corpus.
+    */
+  def compactAdmissionEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq.empty, identity)
 
   case class SessionState(sessionId: Int, firstUs: Long, lastUs: Long, nEvents: Long)
 

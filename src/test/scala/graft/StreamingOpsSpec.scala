@@ -387,6 +387,46 @@ class StreamingOpsSpec extends SparkSpec {
     assert(cells() === whole)
   }
 
+  test("admission-sink compaction: folded epochs replay as no-ops, live dedup still sees them") {
+    import graft.operators.Curation
+    def text(seed: Int, mutateAt: Int = -1): String =
+      "the " + (0 until 45).map(i =>
+        if (i == mutateAt) s"mut${seed}z$i" else s"word$seed$i").mkString(" ")
+    def df(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val keptInit = df(0L -> text(0))
+    val dir = java.nio.file.Files.createTempDirectory("graft_admission_compact").toString
+    val sink = StreamingOps.corpusAdmissionSink(spark, keptInit, dir)
+    sink(df(100L -> text(2)), 0L)                       // novel → admitted
+    sink(df(200L -> text(3)), 1L)                       // novel → admitted
+    sink(df(300L -> text(4)), 2L)                       // novel → admitted
+    def admitted() = spark.read.parquet(dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(admitted() === Set(100L, 200L, 300L))
+    // Fold epochs 0..1 into the base.
+    assert(StreamingOps.compactAdmissionEpochs(spark, dir, keepAfter = 1L) === 2)
+    def dirs() = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs() === Set("batch_id=-2", "batch_id=2"))
+    assert(admitted() === Set(100L, 200L, 300L), "compaction changed the corpus")
+    // Replaying a FOLDED epoch must be a write-side no-op — recomputing
+    // would dedup the batch against its own prior output (now in the
+    // base) and overwrite batch_id=0 with garbage.
+    sink(df(100L -> text(2)), 0L)
+    assert(dirs() === Set("batch_id=-2", "batch_id=2"), "folded-epoch replay recreated its dir")
+    assert(admitted() === Set(100L, 200L, 300L))
+    // A live batch still dedups against everything in the base: a
+    // near-dup of folded doc 100 drops, a novel doc admits.
+    sink(df(400L -> text(2, mutateAt = 7), 401L -> text(5)), 3L)
+    assert(admitted() === Set(100L, 200L, 300L, 401L))
+    // Sanity vs sequential ground truth for the final batch.
+    val seqKept = keptInit.unionByName(df(100L -> text(2), 200L -> text(3), 300L -> text(4)))
+    val want = Curation.admitSnapshot(seqKept, df(400L -> text(2, mutateAt = 7), 401L -> text(5)))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(want === Set(401L))
+  }
+
   test("epoch compaction preserves HLL and passage state semantics") {
     import spark.implicits._
     // HLL: register-max merge — compaction must not inflate estimates
