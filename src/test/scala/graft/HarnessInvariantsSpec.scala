@@ -42,6 +42,15 @@ class HarnessInvariantsSpec extends AnyFunSuite {
       s"them to rows-only checks): ${(q -- o).toSeq.sorted}")
   }
 
+  test("every oracle carries a total ORDER BY (the gate compares rows in query order)") {
+    // The driver's hash walks rows in result order: an oracle without a
+    // total ORDER BY is a latent nondeterministic hash-mismatch that
+    // only fires when DuckDB changes its execution order.
+    val missing = SparkEntry.oracleSql
+      .filterNot(_._2.toUpperCase.contains("ORDER BY")).keySet
+    assert(missing.isEmpty, s"oracles without ORDER BY: ${missing.toSeq.sorted}")
+  }
+
   test("query ids are dense q01..qNN with no duplicates or gaps") {
     val ids = SparkEntry.queries.keySet.map(_.takeWhile(_ != '_'))
     assert(ids.size === n, "duplicate qNN prefixes")
