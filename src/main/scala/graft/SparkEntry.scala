@@ -574,6 +574,24 @@ object SparkEntry {
       Timeseries.dailyAnomalies(Tables.events(s, dir))
         .orderBy("event_type", "epoch_day")),
 
+    // Deterministic uniform k-sample per source (reservoir-equivalent):
+    // salted-md5 rank, exactly min(k, |group|) rows, engine-reproducible.
+    "q97_uniform_sample" -> ((s, dir) =>
+      Curation.uniformSamplePerGroup(
+        Tables.documents(s, dir), col("source"), col("doc_id"), k = 10)
+        .select(col("source"), col("sample_rnk"), col("doc_id"), col("n_chars"))
+        .orderBy("source", "sample_rnk")),
+
+    // Graded decontamination: per-doc fraction of distinct 3-shingles
+    // present anywhere in the reference slice (docs < 50 stand in for an
+    // eval set; the threshold decision is the caller's).
+    "q98_shingle_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.shingleCoverage(
+        docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+        .orderBy("doc_id")
+    }),
+
     // Full BPE training, end-to-end oracle-gated: the learned merge table
     // itself (rank, pair, selection-time weighted count). The DuckDB side
     // REPLAYS the training — per-round argmax + greedy left-to-right merge
@@ -1835,6 +1853,38 @@ object SparkEntry {
     "q95_bpe_merges" -> bpeMergesOracle,
 
     "q96_bpe_encode" -> bpeEncodeOracle,
+
+    "q97_uniform_sample" ->
+      """WITH r AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(ROW_NUMBER() OVER (
+        |           PARTITION BY source
+        |           ORDER BY md5('graft:' || CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS sample_rnk
+        |  FROM documents
+        |)
+        |SELECT source, sample_rnk, doc_id, n_chars
+        |FROM r WHERE sample_rnk <= 10
+        |ORDER BY source, sample_rnk""".stripMargin,
+
+    "q98_shingle_coverage" ->
+      s"""WITH $docShingles,
+         |dig AS (
+         |  SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS shh
+         |  FROM sh
+         |),
+         |ref AS (SELECT DISTINCT shh FROM dig WHERE doc_id < 50),
+         |c AS (
+         |  SELECT d.doc_id,
+         |         CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |         CAST(COUNT(*) FILTER (WHERE r.shh IS NOT NULL) AS BIGINT) AS n_hit
+         |  FROM dig d LEFT JOIN ref r USING (shh)
+         |  WHERE d.doc_id >= 50
+         |  GROUP BY d.doc_id
+         |)
+         |SELECT doc_id, n_shingles, n_hit,
+         |       CAST(n_hit AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS coverage
+         |FROM c
+         |ORDER BY doc_id""".stripMargin,
 
     "q94_daily_anomalies" ->
       """WITH d AS (

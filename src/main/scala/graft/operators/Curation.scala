@@ -145,6 +145,35 @@ object Curation {
         lit(100L)) < pct)
   }
 
+  /** Deterministic uniform k-sample per group — the batch equivalent of
+    * per-group reservoir sampling: rank rows by a salted md5 of their id
+    * (content-independent, so the sample is stable under text edits) and
+    * keep the `k` hash-smallest. Exactly `min(k, |group|)` rows per
+    * group, reproducible across runs AND engines (md5 is the
+    * cross-engine hash family used throughout). Complements
+    * [[stratifiedSample]]: that draws a RATE per stratum, this draws an
+    * exact COUNT — the eval-set / human-review draw where "10 docs per
+    * source" is the contract.
+    *
+    * Scale: the rank window is per-group and Spark's WindowGroupLimit
+    * bounds it map-side — at most k rows per (input partition, group)
+    * reach the shuffle, the usual top-k shape.
+    */
+  def uniformSamplePerGroup(
+      df: DataFrame,
+      groupCol: Column,
+      idCol: Column,
+      k: Int,
+      salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val key = md5(concat(lit(salt), lit(":"), idCol.cast("string")))
+    df.withColumn(
+      "sample_rnk",
+      row_number().over(
+        Window.partitionBy(groupCol).orderBy(key, idCol)).cast("int"))
+      .filter(col("sample_rnk") <= k)
+  }
+
   /** Exact duplicate groups over NORMALIZED text — catches near-dups that
     * differ only in case/punctuation, which raw [[Dedup.exactDuplicates]]
     * misses. Same scale shape: the shuffle key is the 128-bit digest of

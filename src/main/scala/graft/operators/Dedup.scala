@@ -448,6 +448,45 @@ object Dedup {
       .filter(col("n_common") >= minOverlap)
   }
 
+  /** Per-document k-shingle coverage against a reference corpus — the
+    * GRADED companion to [[benchmarkContamination]]'s thresholded flag:
+    * for each corpus document, the fraction of its distinct shingles
+    * that appear ANYWHERE in the reference. Decontamination pipelines
+    * threshold this directly ("drop documents with > 80% eval-set
+    * coverage"); pairwise attribution stays [[benchmarkContamination]]'s
+    * job, per-pair similarity stays [[lshVerifiedPairs]]'s.
+    *
+    * Documents with fewer than `k` words have no shingles and emit no
+    * row (coverage of an empty set is undefined — same no-row semantics
+    * as [[hybridNearDupPairs]]).
+    *
+    * Scale: the reference digest set broadcasts (eval/reference sets
+    * are small by nature — for corpus-sized references use the bloom
+    * path); the corpus explodes to distinct (doc, digest) pairs NARROWLY
+    * off one fused expression pass, and the only shuffle is the
+    * (doc_id, two counts) aggregate. Text never shuffles.
+    */
+  def shingleCoverage(corpus: DataFrame, reference: DataFrame, k: Int = 3): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    def digests(df: DataFrame) = TextAnalysis.spread(df)
+      .select(
+        col("doc_id"),
+        bridge.column(graft.expressions.ShingleDigests(
+          bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
+      .select(col("doc_id"), explode(col("ds")).as("shh"))
+    val ref = digests(reference).select(col("shh")).distinct()
+      .withColumn("hit", lit(1L))
+    digests(corpus)
+      .join(broadcast(ref), Seq("shh"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn(
+        "coverage",
+        col("n_hit").cast("double") / col("n_shingles").cast("double"))
+  }
+
   /** Exact k-shingle Jaccard similarity for every pair of documents sharing
     * at least one shingle, thresholded. The join is on the shingle string,
     * so only co-shingled pairs are ever materialized; `jaccard` is a single

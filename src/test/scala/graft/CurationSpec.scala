@@ -170,6 +170,32 @@ class CurationSpec extends SparkSpec {
     assert(r3.toSeq === Seq(("A", 10L, 1L), ("B", 1000L, 1000L)))
   }
 
+  test("uniform per-group sample draws exactly k, deterministically, content-independently") {
+    import org.apache.spark.sql.functions.col
+    val docs = ((0 until 30).map(i => doc(i.toLong, s"text $i", "big")) ++
+      (100 until 103).map(i => doc(i.toLong, s"text $i", "small")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val s1 = Curation.uniformSamplePerGroup(docs, col("source"), col("doc_id"), k = 5)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(s1.count(_._1 == "big") === 5)   // exactly k where |group| >= k
+    assert(s1.count(_._1 == "small") === 3) // whole group where |group| < k
+    // Deterministic: same draw every run.
+    val s2 = Curation.uniformSamplePerGroup(docs, col("source"), col("doc_id"), k = 5)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(s1 === s2)
+    // Content-independent: editing text changes nothing (the rank hashes
+    // the ID) — the property that keeps samples stable across re-crawls.
+    val edited = docs.withColumn("text", org.apache.spark.sql.functions.upper(col("text")))
+    val s3 = Curation.uniformSamplePerGroup(edited, col("source"), col("doc_id"), k = 5)
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(s3 === s1)
+    // Different salt → a different (still exact-k) draw.
+    val s4 = Curation.uniformSamplePerGroup(docs, col("source"), col("doc_id"), k = 5, salt = "other")
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+    assert(s4.count(_._1 == "big") === 5)
+    assert(s4 !== s1)
+  }
+
   test("bloom-accelerated dedup returns exactly the plain anti-join's rows") {
     val kept = (0L until 50L).map(i => doc(i, s"kept document number $i with words"))
     val snap = (50L until 120L).map(i =>

@@ -357,6 +357,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(loose === Set(10L, 11L))
   }
 
+  test("shingleCoverage grades per-doc reference overlap; short docs emit no row") {
+    val ref = Seq(
+      (0L, "a b c d e", "en", "s0", 9L)) // shingles: "a b c","b c d","c d e"
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val corpus = Seq(
+      (10L, "a b c d e", "en", "s0", 9L),  // all 3 shingles in ref → 1.0
+      (11L, "a b c zzz", "en", "s0", 9L),  // 1 of 2 → 0.5
+      (12L, "q r s t u", "en", "s0", 9L),  // 0 of 3 → 0.0
+      (13L, "xy z", "en", "s0", 4L))       // < 3 words → no shingles → no row
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.shingleCoverage(corpus, ref)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shingles"), r.getAs[Long]("n_hit"), r.getAs[Double]("coverage")))
+      .toMap
+    assert(out.keySet === Set(10L, 11L, 12L))
+    assert(out(10L) === ((3L, 3L, 1.0)))
+    assert(out(11L) === ((2L, 1L, 0.5)))
+    assert(out(12L) === ((3L, 0L, 0.0)))
+  }
+
   test("standardize z-scores each dimension; constant dimensions go to 0") {
     // dim 0: values {1, 3} → mean 2e6 (quantized), stddev 1e6 → z = ∓1.
     // dim 1: constant → stddev 0 → z = 0 (not NaN).
