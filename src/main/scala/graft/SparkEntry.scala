@@ -971,6 +971,9 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_sampled_frames"),
           min(when(col("frame_idx") === 0, col("mean_px"))).as("frame0_mean_px"))
+      // Zero-frame (empty-text) docs have no frames row at all — a left
+      // join + explicit zero keeps them in the report instead of silently
+      // dropping them (frame0_mean_px stays null: frame 0 doesn't exist).
       media
         .select(
           col("doc_id"),
@@ -984,14 +987,15 @@ object SparkEntry {
           col("doc_id"), col("width").as("ppm_width"),
           col("r_mean"), col("g_mean"), col("b_mean")),
           "doc_id")
-        .join(frames, "doc_id")
+        .join(frames, Seq("doc_id"), "left_outer")
         .select(
           col("doc_id"), col("n_bytes"), col("n_frames"),
           element_at(col("features"), 1).as("f0"),
           element_at(col("features"), 7).as("f6"),
           col("width"), col("mean_px"), col("min_px"), col("max_px"),
           col("ppm_width"), col("r_mean"), col("g_mean"), col("b_mean"),
-          col("n_sampled_frames"), col("frame0_mean_px"))
+          coalesce(col("n_sampled_frames"), lit(0L)).as("n_sampled_frames"),
+          col("frame0_mean_px"))
         .orderBy("doc_id")
     }))
 
@@ -1338,7 +1342,8 @@ object SparkEntry {
         |         / CAST(px.pw AS DOUBLE) AS b_mean,
         |       CAST((CAST(ceil(octet_length(encode(d.text)) / 64.0) AS INT) + 3) // 4 AS BIGINT)
         |         AS n_sampled_frames,
-        |       CAST(list_sum(px.f0cps) AS DOUBLE) / 64.0 AS frame0_mean_px
+        |       CASE WHEN octet_length(encode(d.text)) > 0
+        |            THEN CAST(list_sum(px.f0cps) AS DOUBLE) / 64.0 END AS frame0_mean_px
         |FROM documents d JOIN px USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -2742,6 +2747,13 @@ object SparkEntry {
          |         $s2 || array_to_string(list_transform(range(1, length(w)+1), i -> w[i:i]), $s2) || $s2 AS seq
          |  FROM tok WHERE length(w) >= 2 GROUP BY w
          |)""".stripMargin
+    // When training exhausts before round r (no adjacent pairs left),
+    // m$r is empty and its scalar subqueries are NULL — replace(seq,
+    // NULL, NULL) would NULL-poison every sequence. coalesce to a
+    // pattern that can NEVER occur (three consecutive separators:
+    // symbols are non-empty, so runs are exactly 2 long) makes the
+    // exhausted rounds no-ops, matching the engine's early return.
+    val s3 = s"'$sep$sep$sep'"
     val rounds = (1 to bpeOracleMerges).map { r =>
       s"""p$r AS MATERIALIZED (
          |  SELECT l[i] AS c1, l[i+1] AS c2, CAST(SUM(wc) AS BIGINT) AS cnt
@@ -2753,8 +2765,8 @@ object SparkEntry {
          |v$r AS MATERIALIZED (
          |  SELECT w, wc,
          |         replace(seq,
-         |           $s1 || (SELECT c1 FROM m$r) || $s2 || (SELECT c2 FROM m$r) || $s1,
-         |           $s1 || (SELECT c1 FROM m$r) || (SELECT c2 FROM m$r) || $s1) AS seq
+         |           coalesce($s1 || (SELECT c1 FROM m$r) || $s2 || (SELECT c2 FROM m$r) || $s1, $s3),
+         |           coalesce($s1 || (SELECT c1 FROM m$r) || (SELECT c2 FROM m$r) || $s1, $s3)) AS seq
          |  FROM v${r - 1}
          |)""".stripMargin
     }
@@ -2773,11 +2785,14 @@ object SparkEntry {
     val sep = "\u001f"
     val s1 = s"'$sep'"
     val s2 = s"'$sep$sep'"
+    // Same exhausted-round no-op guard as the training chain: an empty
+    // m$r must not NULL-poison the encode sequences.
+    val s3 = s"'$sep$sep$sep'"
     val encodeRounds = (1 to bpeOracleMerges).map { r =>
       s"""e$r AS MATERIALIZED (
          |  SELECT w, replace(seq,
-         |           $s1 || (SELECT c1 FROM m$r) || $s2 || (SELECT c2 FROM m$r) || $s1,
-         |           $s1 || (SELECT c1 FROM m$r) || (SELECT c2 FROM m$r) || $s1) AS seq
+         |           coalesce($s1 || (SELECT c1 FROM m$r) || $s2 || (SELECT c2 FROM m$r) || $s1, $s3),
+         |           coalesce($s1 || (SELECT c1 FROM m$r) || (SELECT c2 FROM m$r) || $s1, $s3)) AS seq
          |  FROM e${r - 1}
          |)""".stripMargin
     }.mkString(",\n")

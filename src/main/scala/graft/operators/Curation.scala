@@ -413,10 +413,16 @@ object Curation {
     * a DataFrame end to end — each incoming row probes it through three
     * broadcast equi-joins on its word index (`p DIV 62`), the same
     * shape [[graft.functions.Sketches.bloomMembership]] uses. Nothing
-    * is collected to the driver and nothing becomes a SQL literal: at a
-    * 10⁹-document kept corpus the sized filter is ~10¹⁰ bits ≈ 1.2 GB
-    * of words — fine to broadcast once, fatal to parse as an inline
-    * array literal per probe expression. Bloom-negative rows are
+    * becomes a SQL literal: at a 10⁹-document kept corpus the sized
+    * filter is ~10¹⁰ bits ≈ 1.2 GB of words — fatal to parse as an
+    * inline array literal per probe expression (the defect this design
+    * replaced). Broadcasting still stages the table through the driver
+    * (inherent to broadcast), and the three probe joins don't share one
+    * exchange — so the practical ceiling is a filter a few GB across
+    * three ships. Beyond that, size `bits` DOWN and accept a higher
+    * FPR: the answer stays exact either way (FPR only moves rows from
+    * the skip path back to the anti-join), which is the graceful
+    * degradation a pre-filter should have. Bloom-negative rows are
     * DEFINITELY novel (no false negatives) and skip the anti-join
     * entirely; only the maybe rows — true duplicates plus the filter's
     * ~FPR of novel rows — pay the digest shuffle. At 100 TB with a
@@ -448,7 +454,10 @@ object Curation {
     // probe whose word is absent left-joins to null → coalesce(0) → a
     // guaranteed miss. Persisted so the three probe joins don't rebuild
     // the aggregate (the streaming/incremental caller can persist the
-    // word table itself across snapshots — it merges by bit_or).
+    // word table itself across snapshots — it merges by bit_or). The
+    // cache handle is session-scoped (same convention as the other
+    // multi-consumer operators here); per-snapshot callers that build
+    // many filters should spark.catalog.clearCache() between snapshots.
     val words = positions(kept)
       .select(explode(array(col("p0"), col("p1"), col("p2"))).as("p"))
       .select(

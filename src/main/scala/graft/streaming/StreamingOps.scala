@@ -342,8 +342,11 @@ object StreamingOps {
       stateCols: Seq[String]): DataFrame = {
     val df = spark.read.parquet(basePath)
       .withColumn("batch_id", col("batch_id").cast("long"))
-    val ids = df.select("batch_id").distinct().collect().map(_.getLong(0))
-    val live = ids.filter(_ < 0).minOption match {
+    // Partition ids come from ONE file listing (the same one
+    // [[compactEpochs]] plans from), not a Spark distinct() job — at the
+    // 10⁵-epoch scale that motivates compaction, a pre-read job touching
+    // every state file would double the cost the feature exists to bound.
+    val live = newestValidBase(spark, basePath) match {
       case Some(newestBase) =>
         val w = -newestBase - 1
         df.filter(col("batch_id") === newestBase || col("batch_id") > w)
@@ -352,26 +355,55 @@ object StreamingOps {
     live.select(stateCols.map(col): _*)
   }
 
+  /** The newest COMMITTED base partition id (most negative), or None.
+    * A base directory left by a crashed compaction — no `_SUCCESS`
+    * marker from Spark's job commit — is invisible here: readers and
+    * the admission sink must keep trusting the previous layout, and
+    * [[compactEpochs]] treats it as stale garbage to replace. (Epoch
+    * directories need no such check: a crashed epoch write is replayed
+    * by the streaming engine itself.)
+    */
+  private def newestValidBase(spark: SparkSession, basePath: String): Option[Long] =
+    scala.util.Try {
+      val base = new org.apache.hadoop.fs.Path(basePath)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      listEpochDirs(spark, basePath)
+        .filter(_._2 < 0)
+        .filter { case (p, _) =>
+          fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+        }
+        .map(_._2).minOption
+    }.toOption.flatten
+
   /** Fold every epoch `≤ keepAfter` of a per-epoch state directory into
     * one base partition `batch_id = -(keepAfter + 1)`, using the state's
     * own merge (cell-sum for CMS, register-max for HLL, digest-sum for
     * passage counts). Epochs `> keepAfter` stay as-is and keep their
     * per-epoch replay-overwrite semantics; replays of epochs
     * `≤ keepAfter` become read-side no-ops (see [[compactedStateView]]).
-    * Write-then-delete ordering makes a mid-compaction crash read-safe.
+    *
+    * Crash safety: the new base is WRITTEN (job-committed, `_SUCCESS`)
+    * before anything is deleted, and authority is carried only by a
+    * committed base — a half-written base from a crashed run counts for
+    * nothing anywhere (not the watermark, not the readers, not the
+    * admission sink) and re-running the SAME compactEpochs call replaces
+    * it and finishes the cleanup: rerun IS the recovery procedure.
     *
     * Returns the number of directories removed. No-op (returns 0) when
-    * `keepAfter` does not advance the existing watermark — re-compacting
-    * the same watermark would overwrite the base FROM itself mid-scan.
+    * `keepAfter` does not advance the existing valid watermark —
+    * re-compacting the same watermark would overwrite the base FROM
+    * itself mid-scan.
     */
-  /** The compaction watermark of a state directory: W when a base
-    * partition `batch_id = -(W+1)` exists (every epoch ≤ W lives in it),
-    * None when the directory is uncompacted or absent. A file LISTING,
-    * not a scan.
+  /** The compaction watermark of a state directory: W when a COMMITTED
+    * base partition `batch_id = -(W+1)` exists (every epoch ≤ W lives in
+    * it), None when the directory is uncompacted or absent. A file
+    * LISTING, not a scan. A half-written base from a crashed compaction
+    * (no `_SUCCESS`) does not count — otherwise the admission sink would
+    * skip replays and exclude the still-authoritative old layout on the
+    * strength of a directory with no data in it.
     */
   def epochWatermark(spark: SparkSession, basePath: String): Option[Long] =
-    scala.util.Try(listEpochDirs(spark, basePath)).toOption
-      .flatMap(_.map(_._2).filter(_ < 0).minOption.map(b => -b - 1))
+    newestValidBase(spark, basePath).map(b => -b - 1)
 
   private def listEpochDirs(
       spark: SparkSession,
@@ -393,18 +425,26 @@ object StreamingOps {
     val base = new org.apache.hadoop.fs.Path(basePath)
     val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val parts = listEpochDirs(spark, basePath)
-    val curWatermark = parts.map(_._2).filter(_ < 0).minOption.map(b => -b - 1)
+    // Only a COMMITTED base (has _SUCCESS) carries authority. A
+    // half-written base from a crashed run is garbage: it must not count
+    // toward the watermark (else this very keepAfter would "already be
+    // compacted" and the layout could never be repaired), must not be a
+    // fold INPUT, and must be deleted with the other stale dirs — which
+    // makes re-running the same compactEpochs call after a crash the
+    // recovery procedure.
+    val validBase = newestValidBase(spark, basePath)
+    val curWatermark = validBase.map(b => -b - 1)
     if (curWatermark.exists(_ >= keepAfter)) return 0
     val w = curWatermark.getOrElse(-1L)
-    // Live fold inputs: the newest base (all epochs ≤ w) + fresh epochs
-    // (w, keepAfter]. Positive dirs ≤ w are post-compaction replays whose
-    // rows are already in the base — deleted, never re-merged.
-    val newestBase = parts.map(_._2).filter(_ < 0).minOption
+    // Live fold inputs: the newest VALID base (all epochs ≤ w) + fresh
+    // epochs (w, keepAfter]. Positive dirs ≤ w are post-compaction
+    // replays whose rows are already in the base — deleted, never
+    // re-merged; invalid bases are deleted, never read.
     val foldDirs = parts.filter { case (_, id) =>
-      newestBase.contains(id) || (id > w && id >= 0 && id <= keepAfter)
+      validBase.contains(id) || (id > w && id >= 0 && id <= keepAfter)
     }
     val staleDirs = parts.filter { case (_, id) =>
-      (id >= 0 && id <= w) || (id < 0 && !newestBase.contains(id))
+      (id >= 0 && id <= w) || (id < 0 && !validBase.contains(id))
     }
     if (foldDirs.isEmpty) return 0
     val foldedRaw = spark.read.parquet(foldDirs.map(_._1.toString): _*)

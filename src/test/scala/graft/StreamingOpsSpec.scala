@@ -427,6 +427,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(want === Set(401L))
   }
 
+  test("a crashed compaction (base without _SUCCESS) carries no authority and rerun recovers") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_crash").toString
+    val sink = StreamingOps.countMinSink("grp", "item", dir)
+    def batch(seed: Int) =
+      (0 until 100).map(i => ("g", s"tok${seed}_${i % 13}")).toDF("grp", "item")
+    (0L to 3L).foreach(b => sink(batch(b.toInt), b))
+    def cells() = StreamingOps.mergedCountMinCells(spark, dir).collect()
+      .map(r => (r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val before = cells()
+    // Simulate a compaction that died mid-write: the target base dir
+    // exists with in-flight task output under _temporary (what the v1
+    // FileOutputCommitter leaves — attempts only become visible at job
+    // commit, which also writes _SUCCESS) and no _SUCCESS marker.
+    val junk = new java.io.File(dir, "batch_id=-3/_temporary/0")
+    assert(junk.mkdirs())
+    java.nio.file.Files.write(
+      junk.toPath.resolve("part-00000-dead.snappy.parquet"), Array[Byte](1, 2, 3))
+    // No authority anywhere: watermark unset, sink not skipping, reader
+    // unchanged (epoch dirs are still the truth).
+    assert(StreamingOps.epochWatermark(spark, dir).isEmpty)
+    assert(cells() === before, "uncommitted base changed the merged view")
+    // Rerunning the same compaction replaces the junk and cleans up.
+    val removed = StreamingOps.compactCountMinEpochs(spark, dir, keepAfter = 2L)
+    assert(removed === 3) // epochs 0,1,2 (junk base at -3 is overwritten in place)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs === Set("batch_id=-3", "batch_id=3"))
+    assert(StreamingOps.epochWatermark(spark, dir) === Some(2L))
+    assert(cells() === before, "recovery compaction changed the merged sketch")
+  }
+
   test("epoch compaction preserves HLL and passage state semantics") {
     import spark.implicits._
     // HLL: register-max merge — compaction must not inflate estimates
