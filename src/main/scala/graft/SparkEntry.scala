@@ -574,6 +574,12 @@ object SparkEntry {
       Timeseries.dailyAnomalies(Tables.events(s, dir))
         .orderBy("event_type", "epoch_day")),
 
+    // Per-source curation funnel: where each source's documents went
+    // through the q89 pipeline, plus boilerplate volume and split mix.
+    "q99_curation_funnel" -> ((s, dir) =>
+      Curation.curationFunnel(Tables.documents(s, dir))
+        .orderBy("source")),
+
     // Deterministic uniform k-sample per source (reservoir-equivalent):
     // salted-md5 rank, exactly min(k, |group|) rows, engine-reproducible.
     "q97_uniform_sample" -> ((s, dir) =>
@@ -2010,81 +2016,28 @@ object SparkEntry {
     "q90_hybrid_near_dup" -> hybridNearDupOracle,
 
     "q89_curate_corpus" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |m AS (
-        |  SELECT doc_id,
-        |         CAST(len(ws) AS BIGINT) AS n_words,
-        |         CAST(CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS DOUBLE)
-        |           / CAST(len(ws) AS DOUBLE) AS avg_word_len,
-        |         CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) AS stop_hits
-        |  FROM t
-        |),
-        |qual AS (
-        |  SELECT doc_id,
-        |         ((n_words BETWEEN 40 AND 10000)
-        |           AND avg_word_len >= 3.0 AND avg_word_len <= 8.0
-        |           AND stop_hits > 0) AS keep,
-        |         concat_ws(',',
-        |           CASE WHEN NOT (n_words BETWEEN 40 AND 10000) THEN 'length' END,
-        |           CASE WHEN NOT (avg_word_len >= 3.0 AND avg_word_len <= 8.0) THEN 'word_shape' END,
-        |           CASE WHEN NOT (stop_hits > 0) THEN 'no_stopwords' END) AS reject_reasons
-        |  FROM m
-        |),
-        |pw AS (
-        |  SELECT d.doc_id, unnest(regexp_split_to_array(trim(d.text), '\s+')) AS w,
-        |         unnest(range(len(regexp_split_to_array(trim(d.text), '\s+')))) AS pos
-        |  FROM documents d JOIN qual ON d.doc_id = qual.doc_id AND qual.keep
-        |),
-        |p AS (
-        |  SELECT doc_id, CAST(pos // 8 AS INT) AS chunk, string_agg(w, ' ' ORDER BY pos) AS passage
-        |  FROM pw GROUP BY doc_id, pos // 8
-        |),
-        |pd AS (
-        |  SELECT doc_id, chunk, passage,
-        |         CAST('0x' || substr(md5(passage), 1, 15) AS BIGINT) AS dig
-        |  FROM p
-        |),
-        |b AS (SELECT dig, TRUE AS boiler FROM pd GROUP BY dig HAVING COUNT(DISTINCT doc_id) > 1),
-        |k AS (
-        |  SELECT pd.doc_id, pd.chunk, pd.passage, COALESCE(b.boiler, FALSE) AS dropped
-        |  FROM pd LEFT JOIN b USING (dig)
-        |),
-        |cleaned AS (
-        |  SELECT doc_id,
-        |         CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
-        |         COALESCE(string_agg(passage, ' ' ORDER BY chunk) FILTER (WHERE NOT dropped), '') AS clean_text
-        |  FROM k GROUP BY doc_id
-        |),
-        |canon AS (
-        |  SELECT md5(clean_text) AS h, MIN(doc_id) AS canonical_id
-        |  FROM cleaned GROUP BY md5(clean_text)
-        |),
-        |wc AS (
-        |  SELECT cleaned.doc_id, cleaned.n_dropped, canon.canonical_id
-        |  FROM cleaned JOIN canon ON md5(cleaned.clean_text) = canon.h
-        |),
-        |sp AS (
-        |  SELECT doc_id,
-        |         CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
-        |  FROM (
-        |    SELECT doc_id,
-        |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt
-        |    FROM wc WHERE doc_id = canonical_id)
-        |)
-        |SELECT qual.doc_id,
-        |       CASE WHEN NOT qual.keep THEN 'rejected_quality'
-        |            WHEN wc.doc_id <> wc.canonical_id THEN 'dropped_duplicate'
-        |            ELSE 'kept' END AS verdict,
-        |       qual.reject_reasons,
-        |       COALESCE(wc.n_dropped, CAST(0 AS BIGINT)) AS n_dropped_passages,
-        |       CASE WHEN wc.doc_id <> wc.canonical_id THEN wc.canonical_id END AS dup_of,
-        |       sp.split
-        |FROM qual
-        |LEFT JOIN wc ON qual.doc_id = wc.doc_id
-        |LEFT JOIN sp ON qual.doc_id = sp.doc_id
-        |ORDER BY qual.doc_id""".stripMargin,
+      s"""WITH $curateVerdictCtes
+         |SELECT doc_id, verdict, reject_reasons, n_dropped_passages, dup_of, split
+         |FROM verdicts
+         |ORDER BY doc_id""".stripMargin,
+
+    "q99_curation_funnel" ->
+      s"""WITH $curateVerdictCtes
+         |SELECT d.source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) FILTER (WHERE v.verdict = 'rejected_quality') AS BIGINT) AS n_rejected_quality,
+         |       CAST(COUNT(*) FILTER (WHERE v.verdict = 'dropped_duplicate') AS BIGINT) AS n_dropped_duplicate,
+         |       CAST(COUNT(*) FILTER (WHERE v.verdict = 'kept') AS BIGINT) AS n_kept,
+         |       CAST(SUM(v.n_dropped_passages) AS BIGINT) AS n_dropped_passages,
+         |       CAST(COUNT(*) FILTER (WHERE v.split = 'train') AS BIGINT) AS n_train,
+         |       CAST(COUNT(*) FILTER (WHERE v.split = 'val') AS BIGINT) AS n_val,
+         |       CAST(COUNT(*) FILTER (WHERE v.split = 'test') AS BIGINT) AS n_test
+         |FROM verdicts v JOIN documents d USING (doc_id)
+         |GROUP BY d.source
+         |ORDER BY d.source""".stripMargin,
 
     "q88_source_drift" ->
+
       """WITH w AS (
         |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS token
         |  FROM documents
@@ -2706,6 +2659,87 @@ object SparkEntry {
     * (Similarity.hyperplanes), quantized identically, and embedded as SQL
     * list literals.
     */
+  /** Shared q89/q99 oracle CTE chain: quality verdicts → boilerplate
+    * removal → exact dedup on cleaned text → split, ending in a
+    * `verdicts` CTE with one row per input document. q89 selects the
+    * rows; q99 aggregates them per source (the funnel view).
+    */
+  private val curateVerdictCtes =
+    """t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |         CAST(len(ws) AS BIGINT) AS n_words,
+      |         CAST(CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS DOUBLE)
+      |           / CAST(len(ws) AS DOUBLE) AS avg_word_len,
+      |         CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) AS stop_hits
+      |  FROM t
+      |),
+      |qual AS (
+      |  SELECT doc_id,
+      |         ((n_words BETWEEN 40 AND 10000)
+      |           AND avg_word_len >= 3.0 AND avg_word_len <= 8.0
+      |           AND stop_hits > 0) AS keep,
+      |         concat_ws(',',
+      |           CASE WHEN NOT (n_words BETWEEN 40 AND 10000) THEN 'length' END,
+      |           CASE WHEN NOT (avg_word_len >= 3.0 AND avg_word_len <= 8.0) THEN 'word_shape' END,
+      |           CASE WHEN NOT (stop_hits > 0) THEN 'no_stopwords' END) AS reject_reasons
+      |  FROM m
+      |),
+      |pw AS (
+      |  SELECT d.doc_id, unnest(regexp_split_to_array(trim(d.text), '\s+')) AS w,
+      |         unnest(range(len(regexp_split_to_array(trim(d.text), '\s+')))) AS pos
+      |  FROM documents d JOIN qual ON d.doc_id = qual.doc_id AND qual.keep
+      |),
+      |p AS (
+      |  SELECT doc_id, CAST(pos // 8 AS INT) AS chunk, string_agg(w, ' ' ORDER BY pos) AS passage
+      |  FROM pw GROUP BY doc_id, pos // 8
+      |),
+      |pd AS (
+      |  SELECT doc_id, chunk, passage,
+      |         CAST('0x' || substr(md5(passage), 1, 15) AS BIGINT) AS dig
+      |  FROM p
+      |),
+      |b AS (SELECT dig, TRUE AS boiler FROM pd GROUP BY dig HAVING COUNT(DISTINCT doc_id) > 1),
+      |k AS (
+      |  SELECT pd.doc_id, pd.chunk, pd.passage, COALESCE(b.boiler, FALSE) AS dropped
+      |  FROM pd LEFT JOIN b USING (dig)
+      |),
+      |cleaned AS (
+      |  SELECT doc_id,
+      |         CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+      |         COALESCE(string_agg(passage, ' ' ORDER BY chunk) FILTER (WHERE NOT dropped), '') AS clean_text
+      |  FROM k GROUP BY doc_id
+      |),
+      |canon AS (
+      |  SELECT md5(clean_text) AS h, MIN(doc_id) AS canonical_id
+      |  FROM cleaned GROUP BY md5(clean_text)
+      |),
+      |wc AS (
+      |  SELECT cleaned.doc_id, cleaned.n_dropped, canon.canonical_id
+      |  FROM cleaned JOIN canon ON md5(cleaned.clean_text) = canon.h
+      |),
+      |sp AS (
+      |  SELECT doc_id,
+      |         CASE WHEN bkt < 80 THEN 'train' WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT doc_id,
+      |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS bkt
+      |    FROM wc WHERE doc_id = canonical_id)
+      |),
+      |verdicts AS (
+      |  SELECT qual.doc_id,
+      |         CASE WHEN NOT qual.keep THEN 'rejected_quality'
+      |              WHEN wc.doc_id <> wc.canonical_id THEN 'dropped_duplicate'
+      |              ELSE 'kept' END AS verdict,
+      |         qual.reject_reasons,
+      |         COALESCE(wc.n_dropped, CAST(0 AS BIGINT)) AS n_dropped_passages,
+      |         CASE WHEN wc.doc_id <> wc.canonical_id THEN wc.canonical_id END AS dup_of,
+      |         sp.split
+      |  FROM qual
+      |  LEFT JOIN wc ON qual.doc_id = wc.doc_id
+      |  LEFT JOIN sp ON qual.doc_id = sp.doc_id
+      |)""".stripMargin
+
   /** Rounds for the q95/q96 BPE oracle. The training replay is UNROLLED
     * in SQL — one materialized CTE triple per round — so this stays
     * small; the Spark side trains with the same number.

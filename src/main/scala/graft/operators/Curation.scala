@@ -539,4 +539,34 @@ object Curation {
         when(col("doc_id") =!= col("canonical_id"), col("canonical_id")).as("dup_of"),
         col("split"))
   }
+
+  /** Per-source curation funnel — the monitoring view a pipeline team
+    * watches per snapshot: how many documents each source contributed
+    * and where they went ([[curateCorpus]] verdicts aggregated), plus
+    * the boilerplate volume and the split distribution of the keepers.
+    * A source whose `n_rejected_quality` or `n_dropped_duplicate` share
+    * jumps between snapshots is the first thing to investigate (cf.
+    * [[graft.functions.TextAnalysis.sourceDrift]] for the token-level
+    * view, [[graft.operators.Timeseries.dailyAnomalies]] for volumes).
+    *
+    * Scale: everything corpus-sized happens inside [[curateCorpus]];
+    * the funnel adds one doc_id-keyed join of verdict-sized columns and
+    * a |sources|-bounded aggregate.
+    */
+  def curationFunnel(
+      docs: DataFrame,
+      passageLen: Int = 8,
+      maxDocFreq: Long = 1): DataFrame =
+    curateCorpus(docs, passageLen, maxDocFreq)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("verdict") === "rejected_quality", 1)).as("n_rejected_quality"),
+        count(when(col("verdict") === "dropped_duplicate", 1)).as("n_dropped_duplicate"),
+        count(when(col("verdict") === "kept", 1)).as("n_kept"),
+        sum(col("n_dropped_passages")).as("n_dropped_passages"),
+        count(when(col("split") === "train", 1)).as("n_train"),
+        count(when(col("split") === "val", 1)).as("n_val"),
+        count(when(col("split") === "test", 1)).as("n_test"))
 }

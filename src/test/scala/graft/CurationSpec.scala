@@ -241,6 +241,33 @@ class CurationSpec extends SparkSpec {
     assert(paid < 20000 * 0.05, s"FPR too high: $paid / 20000 paid the exact join")
   }
 
+  test("curationFunnel aggregates verdicts, boilerplate volume, and split mix per source") {
+    val boiler = "the aaa bbb ccc"
+    val core = (0 until 44).map(i => s"wrd$i").mkString(" ")
+    val other = (0 until 44).map(i => s"oth$i").mkString(" ")
+    val docs = Seq(
+      (0L, s"$boiler $core", "en", "sA", 100L),
+      (1L, s"$boiler $core", "en", "sA", 100L),  // dup of 0 after cleaning
+      (2L, s"$boiler $other", "en", "sB", 100L),
+      (3L, "x y", "en", "sB", 3L))               // quality reject
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.curationFunnel(docs, passageLen = 4, maxDocFreq = 2)
+      .orderBy("source").collect()
+      .map(x => x.getAs[String]("source") -> x).toMap
+    assert(r("sA").getAs[Long]("n_docs") === 2L)
+    assert(r("sA").getAs[Long]("n_kept") === 1L)
+    assert(r("sA").getAs[Long]("n_dropped_duplicate") === 1L)
+    assert(r("sA").getAs[Long]("n_rejected_quality") === 0L)
+    assert(r("sB").getAs[Long]("n_docs") === 2L)
+    assert(r("sB").getAs[Long]("n_kept") === 1L)
+    assert(r("sB").getAs[Long]("n_rejected_quality") === 1L)
+    // Split columns partition the keepers.
+    val kept = r.values.map(_.getAs[Long]("n_kept")).sum
+    val splits = r.values.map(x =>
+      x.getAs[Long]("n_train") + x.getAs[Long]("n_val") + x.getAs[Long]("n_test")).sum
+    assert(splits === kept)
+  }
+
   test("curateCorpus composes quality, boilerplate removal, exact dedup, and split") {
     // 4-word boilerplate B shared by three docs (df=3 > maxDocFreq=2 →
     // stripped); docs 0 and 1 share a 44-word core (df=2 → survives), so
