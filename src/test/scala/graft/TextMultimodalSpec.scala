@@ -97,6 +97,14 @@ class TextMultimodalSpec extends SparkSpec {
     // And the join preserved every occurrence with its pieces.
     val row = df.filter(col("doc_id") === 0L).select("n_pieces").distinct().collect()
     assert(row.map(_.getLong(0)).toSeq === Seq(1L)) // aab → [aab] after 2 merges
+    // The open-vocabulary shuffle path (broadcastVocab=false) returns
+    // the identical encoding — only the join strategy changes.
+    val shuffled = TextAnalysis.bpeEncodeWords(corpus, merges, broadcastVocab = false)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[Long]("n_pieces")))
+    val bcast = df.orderBy("doc_id", "pos").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[Long]("n_pieces")))
+    assert(shuffled.toSeq === bcast.toSeq)
   }
 
   test("source drift ranks each source's over-represented tokens by chi2 contribution") {
