@@ -45,6 +45,31 @@ class CurationPropertySpec extends SparkSpec {
     })
   }
 
+  test("uniformSamplePerGroup draws exactly min(k, |group|) per group, deterministically") {
+    import org.apache.spark.sql.functions.col
+    val grouped: Gen[List[(Long, String)]] = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, Gen.oneOf("s0", "s1", "s2"))
+    } yield rows.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    check("uniformSamplePerGroup", Prop.forAll(grouped, Gen.choose(1, 12)) { (rows, k) =>
+      val df = rows.map { case (id, s) => (id, s"text $id", "en", s, 8L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val out = Curation.uniformSamplePerGroup(df, col("source"), col("doc_id"), k)
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"), r.getAs[Int]("sample_rnk")))
+      val bySrc = out.groupBy(_._1)
+      val sizes = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val exactK = sizes.forall { case (s, n) =>
+        bySrc.get(s).map(_.length).getOrElse(0) == math.min(k, n)
+      }
+      val denseRanks = bySrc.values.forall(g =>
+        g.map(_._3).sorted.sameElements(1 to g.length))
+      val again = Curation.uniformSamplePerGroup(df, col("source"), col("doc_id"), k)
+        .collect().map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSet
+      exactK && denseRanks && again == out.map(t => (t._1, t._2)).toSet
+    })
+  }
+
   test("packSequences tiles each shard gaplessly in doc order") {
     check("packSequences", Prop.forAll(corpusGen, Gen.choose(2, 64)) { (corpus, budget) =>
       val out = Curation.packSequences(toDocs(corpus), budgetTokens = budget, numShards = 4)
