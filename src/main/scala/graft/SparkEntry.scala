@@ -1917,7 +1917,9 @@ object SparkEntry {
         |  FROM m
         |)
         |SELECT d.event_type, d.epoch_day, d.n_events, mm.mean,
-        |       (CAST(d.n_events AS DOUBLE) - mm.mean) / mm.stddev AS z,
+        |       CASE WHEN mm.stddev > 0
+        |            THEN (CAST(d.n_events AS DOUBLE) - mm.mean) / mm.stddev
+        |       END AS z,
         |       mm.stddev > 0 AND
         |       abs((CAST(d.n_events AS DOUBLE) - mm.mean) / mm.stddev) > 2.0 AS is_anomaly
         |FROM d JOIN mm USING (event_type)

@@ -435,6 +435,16 @@ object StreamingOps {
     val validBase = newestValidBase(spark, basePath)
     val curWatermark = validBase.map(b => -b - 1)
     if (curWatermark.exists(_ >= keepAfter)) return 0
+    // A keepAfter beyond the newest epoch that has actually run would
+    // advance the watermark over epochs that do not exist yet: the sink
+    // would then skip their future batches as "replays" (write-side
+    // no-op) and the reader would exclude their dirs — silent data loss
+    // from an off-by-one in the caller. Refuse loudly instead.
+    val maxEpoch = parts.collect { case (_, id) if id >= 0 => id }.maxOption
+    require(maxEpoch.exists(_ >= keepAfter),
+      s"keepAfter=$keepAfter is beyond the newest existing epoch " +
+        s"${maxEpoch.getOrElse(-1L)} at $basePath: compacting epochs that " +
+        "have not run yet would make the sink silently skip their batches")
     val w = curWatermark.getOrElse(-1L)
     // Live fold inputs: the newest VALID base (all epochs ≤ w) + fresh
     // epochs (w, keepAfter]. Positive dirs ≤ w are post-compaction

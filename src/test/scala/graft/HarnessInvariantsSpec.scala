@@ -45,10 +45,31 @@ class HarnessInvariantsSpec extends AnyFunSuite {
   test("every oracle carries a total ORDER BY (the gate compares rows in query order)") {
     // The driver's hash walks rows in result order: an oracle without a
     // total ORDER BY is a latent nondeterministic hash-mismatch that
-    // only fires when DuckDB changes its execution order.
-    val missing = SparkEntry.oracleSql
-      .filterNot(_._2.toUpperCase.contains("ORDER BY")).keySet
-    assert(missing.isEmpty, s"oracles without ORDER BY: ${missing.toSeq.sorted}")
+    // only fires when DuckDB changes its execution order. The ORDER BY
+    // must sit at paren depth 0 — one inside an aggregate or subquery
+    // (string_agg(... ORDER BY ...), a CTE body) orders nothing at the
+    // top level and must not satisfy this invariant.
+    def hasTopLevelOrderBy(sql: String): Boolean = {
+      val u = sql.toUpperCase
+      var depth = 0
+      var found = false
+      var i = 0
+      while (i < u.length) {
+        u.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+            if (depth == 0 && u.startsWith("ORDER BY", i)) found = true
+        }
+        i += 1
+      }
+      found
+    }
+    val missing = SparkEntry.oracleSql.filterNot(kv => hasTopLevelOrderBy(kv._2)).keySet
+    assert(missing.isEmpty, s"oracles without a top-level ORDER BY: ${missing.toSeq.sorted}")
+    // The detector itself must reject aggregate-internal ORDER BY.
+    assert(!hasTopLevelOrderBy("SELECT string_agg(x ORDER BY x) FROM t"))
+    assert(hasTopLevelOrderBy("SELECT coalesce(a, b) FROM t ORDER BY coalesce(a, b)"))
   }
 
   test("query ids are dense q01..qNN with no duplicates or gaps") {

@@ -387,6 +387,28 @@ class StreamingOpsSpec extends SparkSpec {
     assert(cells() === whole)
   }
 
+  test("compaction refuses a keepAfter beyond the newest existing epoch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_overreach").toString
+    val sink = StreamingOps.countMinSink("grp", "item", dir)
+    (0L to 2L).foreach(b =>
+      sink((0 until 20).map(i => ("g", s"t${b}_$i")).toDF("grp", "item"), b))
+    def dirs() = new java.io.File(dir).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    val before = dirs()
+    // keepAfter=7 claims epochs 3..7 that have not run: a watermark at 7
+    // would make the sink skip their future batches as replays. Must be
+    // refused loudly with the layout untouched.
+    val ex = intercept[IllegalArgumentException] {
+      StreamingOps.compactCountMinEpochs(spark, dir, keepAfter = 7L)
+    }
+    assert(ex.getMessage.contains("beyond the newest existing epoch"))
+    assert(dirs() === before, "failed compaction mutated the state layout")
+    // The boundary itself (newest epoch) is legal.
+    assert(StreamingOps.compactCountMinEpochs(spark, dir, keepAfter = 2L) === 3)
+    assert(dirs() === Set("batch_id=-3"))
+  }
+
   test("admission-sink compaction: folded epochs replay as no-ops, live dedup still sees them") {
     import graft.operators.Curation
     def text(seed: Int, mutateAt: Int = -1): String =
