@@ -651,6 +651,20 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // q92's probe with the filter UN-broadcast (broadcastFilter=false):
+    // the word table meets exploded probes in one shuffle equi-join, so
+    // the filter size is unbounded by the broadcast/driver budget — the
+    // 100 TB path. Shares q92's oracle: both probe shapes must produce
+    // the identical rows AND identical needed_exact_check flags.
+    "q100_bloom_shuffle_dedup" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Curation.bloomDedupAgainst(
+        docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+        broadcastFilter = false)
+        .select(col("doc_id"), col("content_hash"), col("needed_exact_check"))
+        .orderBy("doc_id")
+    }),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -1959,48 +1973,11 @@ object SparkEntry {
         |FROM s
         |ORDER BY grp""".stripMargin,
 
-    "q92_bloom_dedup_against" ->
-      """WITH h AS (
-        |  SELECT doc_id,
-        |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_hash
-        |  FROM documents
-        |),
-        |kept AS (SELECT DISTINCT content_hash FROM h WHERE doc_id < 250),
-        |kh AS (
-        |  SELECT CAST('0x' || substr(md5(content_hash), 1, 15) AS BIGINT) AS h60,
-        |         CAST('0x' || substr(md5(content_hash), 17, 13) AS BIGINT) AS h52
-        |  FROM kept
-        |),
-        |kp AS (
-        |  SELECT unnest([h60 % 1984, h52 % 1984, xor(h60, h52) % 1984]) AS p FROM kh
-        |),
-        |w AS (
-        |  SELECT CAST(p // 62 AS INT) AS word,
-        |         bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS m
-        |  FROM kp GROUP BY 1
-        |),
-        |snap AS (SELECT doc_id, content_hash FROM h WHERE doc_id >= 250),
-        |sh AS (
-        |  SELECT doc_id, content_hash,
-        |         CAST('0x' || substr(md5(content_hash), 1, 15) AS BIGINT) AS h60,
-        |         CAST('0x' || substr(md5(content_hash), 17, 13) AS BIGINT) AS h52
-        |  FROM snap
-        |),
-        |sp AS (
-        |  SELECT doc_id, content_hash,
-        |         unnest([h60 % 1984, h52 % 1984, xor(h60, h52) % 1984]) AS p
-        |  FROM sh
-        |),
-        |sb AS (
-        |  SELECT sp.doc_id, sp.content_hash,
-        |         MIN(COALESCE((w.m >> CAST(sp.p % 62 AS INT)) & 1, 0)) AS allhit
-        |  FROM sp LEFT JOIN w ON CAST(sp.p // 62 AS INT) = w.word
-        |  GROUP BY 1, 2
-        |)
-        |SELECT s.doc_id, s.content_hash, (sb.allhit = 1) AS needed_exact_check
-        |FROM snap s JOIN sb ON s.doc_id = sb.doc_id AND s.content_hash = sb.content_hash
-        |WHERE s.content_hash NOT IN (SELECT content_hash FROM kept)
-        |ORDER BY s.doc_id""".stripMargin,
+    "q92_bloom_dedup_against" -> bloomDedupOracle,
+
+    // Same oracle as q92 by construction: the probe shape (broadcast vs
+    // shuffle join) must never change the answer or the flags.
+    "q100_bloom_shuffle_dedup" -> bloomDedupOracle,
 
     "q91_region_brand_revenue" ->
       """SELECT r_name, p_brand,
@@ -2611,6 +2588,54 @@ object SparkEntry {
          |SELECT vec_a, vec_b, dp, cosine FROM c
          |WHERE cosine >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** Shared q92/q100 oracle: the Bloom probe replayed in SQL (explode 3
+    * positions per distinct hash, one join on the word index, min() of
+    * the hits), flags and all — both probe shapes (broadcast and
+    * shuffle join) must hash-match the same answer.
+    */
+  private val bloomDedupOracle =
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_hash
+        |  FROM documents
+        |),
+        |kept AS (SELECT DISTINCT content_hash FROM h WHERE doc_id < 250),
+        |kh AS (
+        |  SELECT CAST('0x' || substr(md5(content_hash), 1, 15) AS BIGINT) AS h60,
+        |         CAST('0x' || substr(md5(content_hash), 17, 13) AS BIGINT) AS h52
+        |  FROM kept
+        |),
+        |kp AS (
+        |  SELECT unnest([h60 % 1984, h52 % 1984, xor(h60, h52) % 1984]) AS p FROM kh
+        |),
+        |w AS (
+        |  SELECT CAST(p // 62 AS INT) AS word,
+        |         bit_or(CAST(1 AS BIGINT) << CAST(p % 62 AS INT)) AS m
+        |  FROM kp GROUP BY 1
+        |),
+        |snap AS (SELECT doc_id, content_hash FROM h WHERE doc_id >= 250),
+        |sh AS (
+        |  SELECT doc_id, content_hash,
+        |         CAST('0x' || substr(md5(content_hash), 1, 15) AS BIGINT) AS h60,
+        |         CAST('0x' || substr(md5(content_hash), 17, 13) AS BIGINT) AS h52
+        |  FROM snap
+        |),
+        |sp AS (
+        |  SELECT doc_id, content_hash,
+        |         unnest([h60 % 1984, h52 % 1984, xor(h60, h52) % 1984]) AS p
+        |  FROM sh
+        |),
+        |sb AS (
+        |  SELECT sp.doc_id, sp.content_hash,
+        |         MIN(COALESCE((w.m >> CAST(sp.p % 62 AS INT)) & 1, 0)) AS allhit
+        |  FROM sp LEFT JOIN w ON CAST(sp.p // 62 AS INT) = w.word
+        |  GROUP BY 1, 2
+        |)
+        |SELECT s.doc_id, s.content_hash, (sb.allhit = 1) AS needed_exact_check
+        |FROM snap s JOIN sb ON s.doc_id = sb.doc_id AND s.content_hash = sb.content_hash
+        |WHERE s.content_hash NOT IN (SELECT content_hash FROM kept)
+        |ORDER BY s.doc_id""".stripMargin
 
   /** Shared oracle CTE: distinct word 3-shingles per document (lead-window
     * formulation — equivalent to the engine's array-native shingling).

@@ -407,78 +407,155 @@ object Curation {
         least(col("quota_final"), col("available")).as("allocated"))
   }
 
-  /** [[dedupAgainst]] with a Bloom pre-filter — sketch-accelerated,
-    * exactness preserved: the kept corpus's content hashes build one
-    * Bloom filter as a SPARSE 62-bit-word TABLE `(word, w)` that stays
-    * a DataFrame end to end — each incoming row probes it through three
-    * broadcast equi-joins on its word index (`p DIV 62`), the same
-    * shape [[graft.functions.Sketches.bloomMembership]] uses. Nothing
-    * becomes a SQL literal: at a 10⁹-document kept corpus the sized
-    * filter is ~10¹⁰ bits ≈ 1.2 GB of words — fatal to parse as an
-    * inline array literal per probe expression (the defect this design
-    * replaced). Broadcasting still stages the table through the driver
-    * (inherent to broadcast), and the three probe joins don't share one
-    * exchange — so the practical ceiling is a filter a few GB across
-    * three ships. Beyond that, size `bits` DOWN and accept a higher
-    * FPR: the answer stays exact either way (FPR only moves rows from
-    * the skip path back to the anti-join), which is the graceful
-    * degradation a pre-filter should have. Bloom-negative rows are
-    * DEFINITELY novel (no false negatives) and skip the anti-join
-    * entirely; only the maybe rows — true duplicates plus the filter's
-    * ~FPR of novel rows — pay the digest shuffle. At 100 TB with a
-    * mostly-novel daily snapshot, that turns the anti-join's shuffle
-    * volume into `(dup_rate + FPR) × |snapshot|`.
-    *
-    * Output: the SAME rows [[dedupAgainst]] returns (oracle-pinned
-    * equality — the sketch accelerates, never changes the answer), plus
-    * `needed_exact_check` telling which survivors paid the join
-    * (deterministic given the hash family, so it hash-verifies too).
+  /** The sparse Bloom word table of a kept corpus: one row per SET
+    * 62-bit word, `(word = p DIV 62, w = bit_or of set bits)`, built
+    * from three md5-derived probe positions per distinct normalized
+    * content hash. Stays a DataFrame end to end — at a 10⁹-document
+    * kept corpus the sized filter is ~10¹⁰ bits ≈ 1.2 GB of words,
+    * fatal to parse as an inline SQL array literal (the defect this
+    * design replaced) but a perfectly ordinary join table. Pure and
+    * unpersisted: an incremental caller persists the snapshot's table
+    * itself, merges new snapshots in with [[mergeBloomWordTables]]
+    * (bit_or is associative/commutative/idempotent), and owns the
+    * release — no session-scoped cache to leak.
     * Size `bits ≈ 7.3 × |kept|` for ~10% FPR, multiple of 62.
     */
-  def bloomDedupAgainst(
-      incoming: DataFrame,
-      reference: DataFrame,
-      bits: Long = 1984L): DataFrame = {
+  def bloomWordTable(reference: DataFrame, bits: Long = 1984L): DataFrame = {
     require(bits >= 62 && bits % 62 == 0,
       s"bits=$bits must be a positive multiple of 62")
-    def hashed(df: DataFrame) = TextAnalysis.spread(df)
+    val kept = TextAnalysis.spread(reference)
       .withColumn("content_hash", md5(normalizedTextCol(col("text"))))
-    val kept = hashed(reference).select("content_hash").distinct()
-    def positions(df: DataFrame): DataFrame = df
-      .withColumn("hh", Hashing.md5Pair(col("content_hash")))
-      .withColumn("p0", col("hh.h60") % bits)
-      .withColumn("p1", col("hh.h52") % bits)
-      .withColumn("p2", col("hh.h60").bitwiseXOR(col("hh.h52")) % bits)
-      .drop("hh")
-    // Sparse executor-side filter: only SET words appear as rows; a
-    // probe whose word is absent left-joins to null → coalesce(0) → a
-    // guaranteed miss. Persisted so the three probe joins don't rebuild
-    // the aggregate (the streaming/incremental caller can persist the
-    // word table itself across snapshots — it merges by bit_or). The
-    // cache handle is session-scoped (same convention as the other
-    // multi-consumer operators here); per-snapshot callers that build
-    // many filters should spark.catalog.clearCache() between snapshots.
-    val words = positions(kept)
+      .select("content_hash").distinct()
+    bloomPositions(kept, bits)
       .select(explode(array(col("p0"), col("p1"), col("p2"))).as("p"))
       .select(
         expr("p DIV 62").as("word"),
         expr("shiftleft(CAST(1 AS BIGINT), p % 62)").as("m"))
       .groupBy(col("word"))
       .agg(expr("bit_or(m)").as("w"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def probeJoin(df: DataFrame, i: Int): DataFrame = df
-      .withColumn(s"_bl_word$i", expr(s"p$i DIV 62"))
-      .join(
-        broadcast(words.select(
-          col("word").as(s"_bl_word$i"), col("w").as(s"_bl_w$i"))),
-        Seq(s"_bl_word$i"), "left_outer")
-    def hit(i: Int) = expr(
-      s"(shiftright(coalesce(_bl_w$i, CAST(0 AS BIGINT)), CAST(p$i % 62 AS INT)) & 1) = 1")
-    val probed = (0 until 3)
-      .foldLeft(positions(hashed(incoming)))(probeJoin)
-      .withColumn("maybe", hit(0) && hit(1) && hit(2))
-      .drop((0 until 3).flatMap(i => Seq(s"_bl_word$i", s"_bl_w$i")): _*)
-      .drop("p0", "p1", "p2")
+  }
+
+  /** Merge per-snapshot [[bloomWordTable]]s into the union corpus's
+    * table (same `bits` required — callers keep it with the table).
+    * bit_or makes the merge order-insensitive and replay-idempotent.
+    */
+  def mergeBloomWordTables(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "no word tables to merge")
+    tables.reduce(_ unionByName _)
+      .groupBy(col("word")).agg(expr("bit_or(w)").as("w"))
+  }
+
+  private def bloomPositions(df: DataFrame, bits: Long): DataFrame = df
+    .withColumn("hh", Hashing.md5Pair(col("content_hash")))
+    .withColumn("p0", col("hh.h60") % bits)
+    .withColumn("p1", col("hh.h52") % bits)
+    .withColumn("p2", col("hh.h60").bitwiseXOR(col("hh.h52")) % bits)
+    .drop("hh")
+
+  /** [[dedupAgainst]] with a Bloom pre-filter — sketch-accelerated,
+    * exactness preserved: the kept corpus's content hashes build one
+    * Bloom filter as the SPARSE word table of [[bloomWordTable]], and
+    * each incoming row probes its three positions against it. Two
+    * probe shapes, same answer (oracle-pinned):
+    *
+    *   - `broadcastFilter = true` (default): three broadcast equi-joins
+    *     on the word index (`p DIV 62`), one per probe position — ZERO
+    *     shuffles of the incoming snapshot. AQE's runtime stage cache
+    *     materializes the three identical broadcast builds ONCE (the
+    *     final plan shows two ReusedExchange nodes pointing at the one
+    *     build — pinned in PlanShapeSpec), so no operator-side persist
+    *     is needed. Right while the word table fits the broadcast
+    *     budget (a few GB ≈ a few hundred million kept docs at the
+    *     default sizing).
+    *   - `broadcastFilter = false`: the filter size is UNBOUNDED by the
+    *     broadcast/driver budget. Probes explode to `(content_hash,
+    *     word, bit)` rows — 3 per distinct hash, never the text — and
+    *     meet the word table in ONE shuffle equi-join on `word`;
+    *     `bool_and` of the three hits re-aggregates per hash, and the
+    *     flag joins back to the snapshot on `content_hash` (the same
+    *     key the exact anti-join shuffles on). This is the 100 TB path
+    *     once the kept corpus outgrows broadcasting.
+    *
+    * Either way, Bloom-negative rows are DEFINITELY novel (no false
+    * negatives) and skip the anti-join entirely; only the maybe rows —
+    * true duplicates plus the filter's ~FPR of novel rows — pay the
+    * exact digest join. If the table is too big to broadcast you can
+    * also size `bits` DOWN instead: a higher FPR only moves rows from
+    * the skip path back to the anti-join, never changes the answer —
+    * the graceful degradation a pre-filter should have.
+    *
+    * Output: the SAME rows [[dedupAgainst]] returns, plus
+    * `needed_exact_check` telling which survivors paid the join
+    * (deterministic given the hash family, so it hash-verifies too).
+    * Incremental callers with a persisted, merged word table use
+    * [[bloomDedupAgainstWith]] and own the cache lifecycle; this
+    * convenience form persists nothing (nothing to release).
+    */
+  def bloomDedupAgainst(
+      incoming: DataFrame,
+      reference: DataFrame,
+      bits: Long = 1984L,
+      broadcastFilter: Boolean = true): DataFrame =
+    bloomDedupAgainstWith(
+      incoming, reference, bloomWordTable(reference, bits), bits, broadcastFilter)
+
+  /** [[bloomDedupAgainst]] probing a CALLER-PROVIDED word table (built
+    * by [[bloomWordTable]] with the same `bits`, possibly merged across
+    * snapshots and persisted by the caller — who then owns the single
+    * unpersist, instead of a session-scoped cache this operator would
+    * have to leak).
+    */
+  def bloomDedupAgainstWith(
+      incoming: DataFrame,
+      reference: DataFrame,
+      words: DataFrame,
+      bits: Long = 1984L,
+      broadcastFilter: Boolean = true): DataFrame = {
+    require(bits >= 62 && bits % 62 == 0,
+      s"bits=$bits must be a positive multiple of 62")
+    val inc = TextAnalysis.spread(incoming)
+      .withColumn("content_hash", md5(normalizedTextCol(col("text"))))
+    val kept = TextAnalysis.spread(reference)
+      .withColumn("content_hash", md5(normalizedTextCol(col("text"))))
+      .select("content_hash").distinct()
+    val probed =
+      if (broadcastFilter) {
+        // Sparse-table probe: only SET words appear as rows; a probe
+        // whose word is absent left-joins to null → coalesce(0) → a
+        // guaranteed miss.
+        def probeJoin(df: DataFrame, i: Int): DataFrame = df
+          .withColumn(s"_bl_word$i", expr(s"p$i DIV 62"))
+          .join(
+            broadcast(words.select(
+              col("word").as(s"_bl_word$i"), col("w").as(s"_bl_w$i"))),
+            Seq(s"_bl_word$i"), "left_outer")
+        def hit(i: Int) = expr(
+          s"(shiftright(coalesce(_bl_w$i, CAST(0 AS BIGINT)), CAST(p$i % 62 AS INT)) & 1) = 1")
+        (0 until 3)
+          .foldLeft(bloomPositions(inc, bits))(probeJoin)
+          .withColumn("maybe", hit(0) && hit(1) && hit(2))
+          .drop((0 until 3).flatMap(i => Seq(s"_bl_word$i", s"_bl_w$i")): _*)
+          .drop("p0", "p1", "p2")
+      } else {
+        // Shuffle probe: positions depend only on the content hash, so
+        // probe once per DISTINCT hash and join the verdict back. The
+        // text itself is never exploded and never keyed by `word`.
+        val flags = bloomPositions(inc.select("content_hash").distinct(), bits)
+          .select(col("content_hash"),
+            explode(array(col("p0"), col("p1"), col("p2"))).as("p"))
+          .select(col("content_hash"),
+            expr("p DIV 62").as("word"),
+            expr("CAST(p % 62 AS INT)").as("bit"))
+          // The hint makes "never broadcast the filter" structural: the
+          // planner's size estimate must not silently re-introduce the
+          // driver ceiling this path exists to remove.
+          .join(words.hint("shuffle_hash"), Seq("word"), "left_outer")
+          .groupBy(col("content_hash"))
+          .agg(expr(
+            "bool_and((shiftright(coalesce(w, CAST(0 AS BIGINT)), bit) & 1) = 1)")
+            .as("maybe"))
+        inc.join(flags, Seq("content_hash"))
+      }
     val definitelyNew = probed.filter(!col("maybe"))
       .drop("maybe").withColumn("needed_exact_check", lit(false))
     val survivors = probed.filter(col("maybe")).drop("maybe")

@@ -212,6 +212,62 @@ class CurationSpec extends SparkSpec {
     // (1984 bits for 50 keys, 3 probes → FPR well under 1%).
     val pruned = bloom.count(!_._2)
     assert(pruned > bloom.length / 2, s"only $pruned of ${bloom.length} rows skipped the join")
+    // The shuffle-probe path (filter unbounded by the broadcast budget)
+    // returns the same rows AND the same deterministic flags.
+    val shuffled = Curation.bloomDedupAgainst(snapDf, keptDf, broadcastFilter = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("needed_exact_check"))
+    assert(shuffled.toMap === bloom.toMap)
+  }
+
+  test("bloom word tables merge across snapshots to the union corpus's table") {
+    val a = (0L until 40L).map(i => doc(i, s"alpha document $i body"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b = (30L until 80L).map(i => doc(i, s"beta document $i body"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def words(df: org.apache.spark.sql.DataFrame) =
+      Curation.bloomWordTable(df).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val merged = Curation.mergeBloomWordTables(
+      Seq(Curation.bloomWordTable(a), Curation.bloomWordTable(b)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === words(a.unionByName(b)), "merge != whole-corpus table")
+    // bit_or idempotence: re-merging a snapshot changes nothing.
+    val remerged = Curation.mergeBloomWordTables(
+      Seq(Curation.bloomWordTable(a), Curation.bloomWordTable(b), Curation.bloomWordTable(a)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(remerged === merged)
+  }
+
+  test("sequential bloom snapshots leave no cached tables behind") {
+    // The operator must not park persisted state in the session (the
+    // old design cached the word table and told callers to
+    // clearCache() — which evicts unrelated data too). An incremental
+    // caller who WANTS a persisted, merged filter passes it via
+    // bloomDedupAgainstWith and owns the single unpersist.
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val kept = (0L until 30L).map(i => doc(i, s"kept snapshot doc $i"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    (1 to 2).foreach { day =>
+      val snap = (100L * day until 100L * day + 20L)
+        .map(i => doc(i, s"day $day crawl doc $i"))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      Curation.bloomDedupAgainst(snap, kept).collect()
+      Curation.bloomDedupAgainst(snap, kept, broadcastFilter = false).collect()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "bloomDedupAgainst leaked session-scoped cached tables")
+    // The caller-managed form: persist, probe, release — net zero.
+    val words = Curation.bloomWordTable(kept)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val snap = (500L until 520L).map(i => doc(i, s"handle crawl doc $i"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val viaHandle = Curation.bloomDedupAgainstWith(snap, kept, words)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val direct = Curation.bloomDedupAgainst(snap, kept)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(viaHandle === direct)
+    words.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.size === before)
   }
 
   test("bloom filter stays executor-side at 2^20 bits over 1e5 kept docs") {
@@ -239,6 +295,16 @@ class CurationSpec extends SparkSpec {
     assert(rows.length === 20000)
     val paid = rows.count(_.getAs[Boolean]("needed_exact_check"))
     assert(paid < 20000 * 0.05, s"FPR too high: $paid / 20000 paid the exact join")
+    // The shuffle-probe path at the same sizing: identical answer and
+    // flags without ever broadcasting the filter — the path that stays
+    // open when the word table outgrows the broadcast budget.
+    val out2 = Curation.bloomDedupAgainst(
+      docs(0L, 20000L, "novel"), docs(100000L, 200000L, "kept"),
+      bits = bits, broadcastFilter = false)
+    val rows2 = out2.select(col("doc_id"), col("needed_exact_check")).collect()
+    assert(rows2.length === 20000)
+    assert(rows2.map(r => r.getLong(0) -> r.getBoolean(1)).toMap ===
+      rows.map(r => r.getLong(0) -> r.getBoolean(1)).toMap)
   }
 
   test("curationFunnel aggregates verdicts, boilerplate volume, and split mix per source") {

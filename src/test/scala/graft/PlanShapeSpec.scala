@@ -226,6 +226,45 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(df) <= 12, s"curation flagship grew a shuffle:\n$p")
   }
 
+  test("bloom broadcast probe: AQE materializes ONE word-table build, reuses it twice") {
+    // Three probe joins broadcast plan-identical word tables; the
+    // runtime stage cache must ship one build (the other two become
+    // ReusedExchange) — the property that made the operator-side
+    // persist (and its session-scoped cache leak) unnecessary.
+    val docs = Tables(dir)
+    val out = graft.operators.Curation.bloomDedupAgainst(
+      docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"))
+    out.collect()
+    val fin = out.queryExecution.executedPlan.toString
+    val reused = "ReusedExchange".r.findAllIn(fin).length
+    assert(reused >= 2, s"word-table broadcast builds not reused (reused=$reused):\n${fin.take(4000)}")
+  }
+
+  test("bloom shuffle probe: ONE shuffled word join, filter never broadcast") {
+    // broadcastFilter=false is the 100 TB path: the filter's size must
+    // not be bounded by the broadcast/driver budget, so the word table
+    // meets the exploded probes in a single shuffle equi-join — never a
+    // BroadcastExchange, regardless of the planner's size estimate.
+    val docs = Tables(dir)
+    val out = graft.operators.Curation.bloomDedupAgainst(
+      docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"),
+      broadcastFilter = false)
+    val p = plan(out)
+    // One shuffled word join per Union branch (definitely-new and
+    // survivors re-plan the shared probe subtree; AQE's stage cache
+    // materializes its exchanges once at runtime, verified below) —
+    // and never a third ship per probe position like the broadcast
+    // path's three.
+    assert("ShuffledHashJoin \\[word".r.findAllIn(p).length === 2,
+      s"word probe is not one shuffled join per branch:\n$p")
+    assert("BroadcastHashJoin \\[word".r.findAllIn(p).isEmpty,
+      s"the word table got broadcast on the shuffle path:\n$p")
+    out.collect()
+    val fin = out.queryExecution.executedPlan.toString
+    assert("ReusedExchange".r.findAllIn(fin).nonEmpty,
+      s"duplicated probe subtrees did not reuse exchanges at runtime:\n${fin.take(4000)}")
+  }
+
   private def Tables(d: String): DataFrame =
     graft.sources.Tables.documents(spark, d)
 }
