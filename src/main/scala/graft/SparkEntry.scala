@@ -665,6 +665,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Offset-robust boilerplate removal over a shifted-boilerplate
+    // fixture built from the corpus itself: every base doc appears
+    // twice with the SAME text behind prefixes of DIFFERENT token
+    // length (3 vs 1), so no aligned passage ever collides across the
+    // variants — only the dense-window pass sees the shared span. The
+    // oracle replays windows, document frequency, and the covered-token
+    // drops in SQL and hash-matches the cleaned text.
+    "q101_rolling_passage_dedup" -> ((s, dir) => {
+      val base = Tables.documents(s, dir)
+        .filter(col("doc_id") < 150).select("doc_id", "text")
+      val shifted = base
+        .select((col("doc_id") * 2).as("doc_id"),
+          concat(lit("hdr one two "), col("text")).as("text"))
+        .unionByName(base
+          .select((col("doc_id") * 2 + 1).as("doc_id"),
+            concat(lit("pre "), col("text")).as("text")))
+      Dedup.rollingPassageDedup(shifted, windowLen = 8, maxDocFreq = 1)
+        .orderBy("doc_id")
+    }),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -1978,6 +1998,47 @@ object SparkEntry {
     // Same oracle as q92 by construction: the probe shape (broadcast vs
     // shuffle join) must never change the answer or the flags.
     "q100_bloom_shuffle_dedup" -> bloomDedupOracle,
+
+    "q101_rolling_passage_dedup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        |corpus AS (
+        |  SELECT doc_id * 2 AS doc_id, 'hdr one two ' || text AS text FROM base
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, 'pre ' || text AS text FROM base
+        |),
+        |w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |         unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+        |  FROM corpus
+        |),
+        |win AS (
+        |  SELECT doc_id, pos AS start,
+        |         w || ' ' || LEAD(w, 1) OVER z || ' ' || LEAD(w, 2) OVER z || ' ' ||
+        |         LEAD(w, 3) OVER z || ' ' || LEAD(w, 4) OVER z || ' ' ||
+        |         LEAD(w, 5) OVER z || ' ' || LEAD(w, 6) OVER z || ' ' ||
+        |         LEAD(w, 7) OVER z AS s
+        |  FROM w WINDOW z AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY s IS NOT NULL
+        |),
+        |d AS (
+        |  SELECT doc_id, start, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS dig
+        |  FROM win
+        |),
+        |b AS (SELECT dig FROM d GROUP BY dig HAVING COUNT(DISTINCT doc_id) > 1),
+        |drops AS (
+        |  SELECT DISTINCT d.doc_id, d.start + o.o AS pos
+        |  FROM d JOIN b USING (dig), (SELECT unnest(range(8)) AS o) o
+        |),
+        |k AS (
+        |  SELECT w.doc_id, w.pos, w.w, (dp.pos IS NOT NULL) AS dropped
+        |  FROM w LEFT JOIN drops dp ON w.doc_id = dp.doc_id AND w.pos = dp.pos
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+        |       COALESCE(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE NOT dropped), '') AS clean_text
+        |FROM k GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q91_region_brand_revenue" ->
       """SELECT r_name, p_brand,

@@ -708,6 +708,118 @@ object Dedup {
     counts.reduce(_ unionByName _).groupBy(col("dig")).agg(sum(col("df")).as("df"))
   }
 
+  /** Offset-robust sub-document boilerplate removal — the dense-window
+    * complement of [[passageDedup]]. That operator cuts ALIGNED
+    * fixed-width passages, so the same boilerplate shifted by even one
+    * token across documents lands in differently-aligned chunks and is
+    * missed. Here every document emits a digest for EVERY `windowLen`-
+    * token window (stride 1, the Lee et al. "Deduplicating Training
+    * Data" any-offset idea at word granularity): a window whose digest
+    * occurs in more than `maxDocFreq` distinct documents is boilerplate
+    * wherever it starts, and every token any boilerplate window covers
+    * is dropped from every document.
+    *
+    * Stride 1 is load-bearing, not a tunable: windows sampled every
+    * `s > 1` tokens only collide when the two occurrences' start
+    * offsets agree mod `s` — the same aliasing that breaks the aligned
+    * variant (`s = windowLen`), just with a smaller modulus. Dense
+    * windows are the unique stride with the any-offset guarantee; the
+    * price is `windowLen ×` the digest rows of the aligned pass (still
+    * 12-byte digests, never text). Spans shorter than `windowLen` are
+    * below the resolution — whole-document dedup and the aligned
+    * variant's ragged tail cover the short-chrome cases.
+    *
+    * Output per document: `(doc_id, n_tokens, n_dropped, clean_text)` —
+    * token granularity, because drops are unions of overlapping windows
+    * rather than disjoint chunks. Clean text is rebuilt NARROWLY by
+    * index-filtering the original words array (an O(n) hash
+    * `array_except` of positions, not an O(n·drops) scan).
+    *
+    * Scale design (100 TB): identical shape to [[passageDedup]] — the
+    * document-frequency aggregate shuffles only 60-bit digests, the
+    * per-doc drop list is bounded by the doc's window count, and the
+    * one text-bearing shuffle is the final doc_id join against docs
+    * that actually contain boilerplate.
+    */
+  def rollingPassageDedup(
+      docs: DataFrame,
+      windowLen: Int = 8,
+      maxDocFreq: Long = 1): DataFrame =
+    rollingPassageDedupAgainst(
+      docs, rollingDigestCounts(docs, windowLen), windowLen, maxDocFreq)
+
+  /** One window per start position `0..n-windowLen` (none for docs
+    * shorter than the window — below the pass's resolution).
+    */
+  private def rollingWindowsOf(words: Column, windowLen: Int): Column =
+    when(size(words) >= windowLen,
+      transform(
+        sequence(lit(0), size(words) - windowLen),
+        i => array_join(slice(words, i + 1, lit(windowLen)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** `(doc_id, start, dig)` — window strings are hashed and DISCARDED
+    * before any shuffle; only digests aggregate.
+    */
+  private def rollingDigests(docs: DataFrame, windowLen: Int): DataFrame = {
+    require(windowLen >= 1, s"windowLen=$windowLen must be >= 1")
+    TextAnalysis.spread(docs)
+      .select(
+        col("doc_id"),
+        posexplode(rollingWindowsOf(TextAnalysis.wordsCol, windowLen)).as(Seq("start", "p")))
+      .select(col("doc_id"), col("start"), graft.functions.Hashing.md5Long60(col("p")).as("dig"))
+  }
+
+  /** [[rollingPassageDedup]]'s persisted/merge state, the twin of
+    * [[passageDigestCounts]]: `(dig, df)` over dense windows. Merge
+    * doc-disjoint slices with [[mergePassageCounts]] (df sums) and
+    * clean a batch against global state with
+    * [[rollingPassageDedupAgainst]] — merge-equals-batch is pinned by
+    * spec exactly like the aligned variant.
+    */
+  def rollingDigestCounts(docs: DataFrame, windowLen: Int = 8): DataFrame =
+    rollingDigests(docs, windowLen)
+      .groupBy(col("dig"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+
+  /** Strip offset-robust boilerplate from `batch` using a GLOBAL dense-
+    * window frequency state (must already include the batch's own
+    * counts). Same output shape as [[rollingPassageDedup]].
+    */
+  def rollingPassageDedupAgainst(
+      batch: DataFrame,
+      globalCounts: DataFrame,
+      windowLen: Int = 8,
+      maxDocFreq: Long = 1): DataFrame = {
+    val boiler = globalCounts.filter(col("df") > maxDocFreq).select("dig")
+    val drops = rollingDigests(batch, windowLen).join(boiler, Seq("dig"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("start"))).as("starts"))
+    batch
+      .join(drops, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"),
+        TextAnalysis.wordsCol.as("words"),
+        coalesce(col("starts"), array().cast("array<int>")).as("st"))
+      .withColumn(
+        "drop_pos",
+        array_distinct(flatten(
+          transform(col("st"), s => sequence(s, s + windowLen - 1)))))
+      .withColumn(
+        "keep_pos",
+        array_except(
+          when(size(col("words")) > 0, sequence(lit(0), size(col("words")) - 1))
+            .otherwise(array().cast("array<int>")),
+          col("drop_pos")))
+      .select(
+        col("doc_id"),
+        size(col("words")).cast("long").as("n_tokens"),
+        size(col("drop_pos")).cast("long").as("n_dropped"),
+        array_join(
+          transform(col("keep_pos"), p => element_at(col("words"), p + 1)),
+          " ").as("clean_text"))
+  }
+
   /** Strip boilerplate passages from `batch` using a GLOBAL digest
     * frequency state (which must already include the batch's own counts
     * — merge them in first). Same output shape as [[passageDedup]].

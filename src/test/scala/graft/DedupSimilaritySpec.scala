@@ -627,6 +627,70 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(wiped.forall(_.getAs[Long]("n_dropped") === 1L))
   }
 
+  test("rolling passage dedup catches boilerplate at ANY token offset; aligned misses it") {
+    // 8 tokens of license chrome, inserted at offsets 0, 1, and 3 — no
+    // two documents agree on alignment, so fixed-width passages never
+    // collide, but every dense-window pass sees the same 8-token span.
+    val boiler = "all rights reserved unauthorized copying prohibited by law"
+    val docs = Seq(
+      (0L, s"$boiler alpha beta gamma", "en", "s0", 80L),
+      (1L, s"intro $boiler delta epsilon", "en", "s1", 80L),
+      (2L, s"one two three $boiler omega", "en", "s2", 80L),
+      (3L, "wholly original content here today", "en", "s3", 34L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val aligned = Dedup.passageDedup(docs, passageLen = 8)
+      .orderBy("doc_id").collect()
+    assert(aligned.forall(_.getAs[Long]("n_dropped") === 0L),
+      "aligned chunks shouldn't collide across shifted offsets in this fixture")
+    val rolling = Dedup.rollingPassageDedup(docs, windowLen = 8)
+      .orderBy("doc_id").collect()
+    assert(rolling.map(_.getAs[Long]("n_dropped")).toSeq === Seq(8L, 8L, 8L, 0L))
+    assert(rolling(0).getAs[String]("clean_text") === "alpha beta gamma")
+    assert(rolling(1).getAs[String]("clean_text") === "intro delta epsilon")
+    assert(rolling(2).getAs[String]("clean_text") === "one two three omega")
+    assert(rolling(3).getAs[String]("clean_text") === "wholly original content here today")
+    // A doc that IS the boilerplate is wiped to empty, not missing; a
+    // doc shorter than the window is below the pass's resolution.
+    val edge = Seq(
+      (0L, boiler, "en", "s0", 58L),
+      (1L, s"head $boiler", "en", "s1", 63L),
+      (2L, "tiny doc", "en", "s2", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val e = Dedup.rollingPassageDedup(edge, windowLen = 8).orderBy("doc_id").collect()
+    assert(e(0).getAs[String]("clean_text") === "")
+    assert(e(0).getAs[Long]("n_dropped") === 8L)
+    assert(e(1).getAs[String]("clean_text") === "head")
+    assert(e(2).getAs[String]("clean_text") === "tiny doc")
+    assert(e(2).getAs[Long]("n_dropped") === 0L)
+  }
+
+  test("incremental rolling dedup against merged window counts equals the batch pipeline") {
+    val boiler = "all rights reserved unauthorized copying prohibited by law"
+    def d(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val batchA = Seq(
+      d(0L, s"$boiler alpha beta gamma"),
+      d(1L, "independent early content here"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val batchB = Seq(
+      d(10L, s"pre text $boiler epsilon"),
+      d(11L, "late unique material entirely"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // The boilerplate spans the two batches at DIFFERENT offsets (0 vs
+    // 2) — only the merged dense-window state sees df=2 and strips it.
+    val merged = Dedup.mergePassageCounts(Seq(
+      Dedup.rollingDigestCounts(batchA, windowLen = 8),
+      Dedup.rollingDigestCounts(batchB, windowLen = 8)))
+    val incremental = Dedup.rollingPassageDedupAgainst(batchB, merged, windowLen = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    val whole = Dedup.rollingPassageDedup(batchA.unionByName(batchB), windowLen = 8)
+      .filter($"doc_id" >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSet
+    assert(incremental === whole)
+    assert(incremental === Set(
+      (10L, 8L, "pre text epsilon"),
+      (11L, 0L, "late unique material entirely")))
+  }
+
   test("count-min estimates are one-sided and exact when the sketch is wide") {
     import graft.functions.Sketches
     val toks = (0 until 1000).map(i => ("g", s"tok${i % 37}")).toDF("grp", "item")

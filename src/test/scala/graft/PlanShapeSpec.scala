@@ -155,6 +155,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"boilerplate set stopped broadcasting:\n$p")
   }
 
+  test("rolling passage dedup keeps the aligned variant's shuffle shape at stride 1") {
+    // Dense windows multiply digest ROWS by windowLen, not shuffles:
+    // the plan must stay spread + df-aggregate + drop-list aggregate +
+    // the one text-bearing doc_id join, with the boilerplate digest set
+    // broadcast exactly like the aligned pass.
+    val df = Dedup.rollingPassageDedup(Tables(dir))
+    val p = plan(df)
+    assert(shuffles(df) <= 5, s"rolling passage dedup grew a shuffle:\n$p")
+    assert(p.contains("BroadcastExchange"), s"boilerplate set stopped broadcasting:\n$p")
+  }
+
   test("bigram surprise broadcasts the model; doc bigrams never shuffle before the doc agg") {
     val df = graft.functions.TextAnalysis.bigramSurprise(Tables(dir))
     val p = plan(df)
