@@ -205,16 +205,77 @@ object Dedup {
     * Output: (doc_id, canonical_id, cluster_size, is_canonical) for every
     * doc that appears in some pair — `is_canonical` rows are the keep
     * set, sized for survivor joins.
+    *
+    * Hub skew: a giant component concentrates its hub vertex's key in
+    * the per-round label-lookup join (every edge into the hub lands in
+    * one `dst` partition) and, late in convergence, the shared canonical
+    * label in the doubling self-join and the sizes join. AQE's
+    * `OptimizeSkewedJoin` does NOT rescue these joins: the lookup side's
+    * upstream partitioning (the label aggregate's hash on `src` ≡
+    * `doc_id`, or the cached frame's layout) already satisfies the join
+    * requirement after the rename, so that side has no fresh
+    * `ENSURE_REQUIREMENTS` shuffle stage — and the rule only fires when
+    * BOTH children are sort-over-shuffle-stage (verified empirically:
+    * the star-graph plan shows `AQEShuffleRead coalesced`, never
+    * `skew=true`). So the skew is bounded explicitly: keys whose row
+    * count reaches `hotKeyThreshold` — vertex degree for the edge join
+    * (static, computed once), per-round label counts for the doubling
+    * join (from a map-side-combined agg whose shuffle volume is
+    * #distinct (partition, label) pairs), and the already-computed
+    * cluster sizes for the final join — are routed through a broadcast
+    * join whose build side is tiny by construction (≤ 2|E|/threshold
+    * keys, one lookup row each), while the cold remainder takes the
+    * normal sort-merge path and is skew-free by definition. The min
+    * aggregates themselves are map-side-combined, so no reduce task
+    * ever sees a component's full membership. A blanket salt would
+    * replicate the |V|-sized lookup table ×S every round; the hot/cold
+    * split ships only the hot keys' single-row lookups.
+    * DedupSkewSpec pins the behavior with task metrics on a star graph:
+    * with the threshold at test scale no task's shuffle read comes near
+    * the hub degree; the default-threshold control (hot set empty)
+    * shows the full-degree concentration the split exists to avoid.
     */
   def dedupClusters(pairs: DataFrame, maxIters: Int = 20): DataFrame =
     dedupClustersWithIters(pairs, maxIters)._1
 
+  /** One lookup row per hot key, broadcast; everything else sort-merge.
+    *
+    * `big` ⋈ `lookup` on `key`, where `lookup` has at most one row per
+    * key and `big` may concentrate arbitrarily many rows on a few keys.
+    * `hotKeys` (single-column, ≤ 2|E|/threshold rows by construction)
+    * is broadcast three times in the same stage as `big`'s scan — semi
+    * to carve the hot slice, anti for the cold — so the split itself
+    * adds no shuffle; only the cold remainder reaches the sort-merge
+    * exchange, and the hot slice meets its (tiny) lookup rows in a
+    * broadcast hash join.
+    */
+  private def hotColdJoin(
+      big: DataFrame,
+      lookup: DataFrame,
+      key: String,
+      hotKeys: DataFrame,
+      joinType: String): DataFrame = {
+    val hk = broadcast(hotKeys.toDF("_hot_key"))
+    val hot = big.join(hk, col(key) === col("_hot_key"), "left_semi")
+      .join(
+        broadcast(lookup.join(hk, lookup(key) === col("_hot_key"), "left_semi")),
+        Seq(key), joinType)
+    val cold = big.join(hk, col(key) === col("_hot_key"), "left_anti")
+      .join(lookup, Seq(key), joinType)
+    hot.unionByName(cold)
+  }
+
   /** [[dedupClusters]] plus the number of rounds the label loop ran —
     * exposed so convergence-rate claims (the O(log d) doubling schedule)
-    * are testable instead of asserted.
+    * are testable instead of asserted. `hotKeyThreshold` is the per-key
+    * row count at which a join key is routed through the broadcast hot
+    * path (see the skew note on [[dedupClusters]]); the default keeps a
+    * hot key's worst-case single-task slice at ~100 MB of join input
+    * while bounding the broadcast side at ≤ 2|E|/4M keys.
     */
   private[graft] def dedupClustersWithIters(
-      pairs: DataFrame, maxIters: Int = 20): (DataFrame, Int) = {
+      pairs: DataFrame, maxIters: Int = 20,
+      hotKeyThreshold: Long = 4000000L): (DataFrame, Int) = {
     // Symmetrize with one explode, not a self-union: a union would evaluate
     // the (possibly expensive) pairs subtree once per branch.
     val edges = pairs
@@ -222,6 +283,15 @@ object Dedup {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Static hot-vertex set for the per-round edge⋈labels join: symmetric
+    // degree is the exact per-key row count of that join's streamed side
+    // and never changes across rounds, so one map-side-combined pass
+    // amortizes over the whole loop. ≤ 2|E|/threshold rows — always
+    // broadcastable.
+    val hotV = edges.groupBy(col("dst")).agg(count(lit(1)).as("_deg"))
+      .filter(col("_deg") >= hotKeyThreshold)
+      .select(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Initialization IS the first propagation round: label₀(v) =
     // min(v, neighbors(v)) from the same aggregation that enumerates the
@@ -235,8 +305,9 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label")), Seq("dst"))
+      val nbrMin = hotColdJoin(
+          edges, labels.select(col("doc_id").as("dst"), col("label")),
+          "dst", hotV, "inner")
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_min"))
       // Neighbor-min hop, cached: the doubling join below reads it twice
@@ -252,10 +323,17 @@ object Dedup {
       // itself a vertex id (labels start as ids and only ever take mins of
       // ids), so the lookup side covers all labels; left_outer + coalesce
       // only guards the final, already-converged round.
-      val next = prop
-        .join(
-          prop.select(col("doc_id").as("label"), col("label").as("_gl")),
-          Seq("label"), "left_outer")
+      // Hot labels move round to round (a giant component converges to
+      // one shared label with no high-degree vertex required — a long
+      // path does it), so they are re-detected per round; the agg is
+      // map-side-combined over the cached `prop`, shuffling only
+      // #distinct (partition, label) pairs.
+      val hotL = prop.groupBy(col("label")).agg(count(lit(1)).as("_c"))
+        .filter(col("_c") >= hotKeyThreshold)
+        .select(col("label"))
+      val next = hotColdJoin(
+          prop, prop.select(col("doc_id").as("label"), col("label").as("_gl")),
+          "label", hotL, "left_outer")
         .select(
           col("doc_id"),
           col("_old"),
@@ -282,6 +360,7 @@ object Dedup {
     // accumulating storage). The final labels cache stays — the returned
     // plan reads it twice (labels + sizes) — and is one small row per doc.
     edges.unpersist()
+    hotV.unpersist()
     if (!converged) {
       prevCache.foreach(_.unpersist())
       throw new IllegalStateException(
@@ -290,7 +369,12 @@ object Dedup {
           "silently split true clusters — raise maxIters")
     }
     val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
-    val out = labels.join(sz, Seq("label"))
+    // The sizes themselves are the hot detector here — a giant component
+    // IS a hot `label` key in this join, and sz already counted it.
+    val out = hotColdJoin(
+        labels, sz, "label",
+        sz.filter(col("cluster_size") >= hotKeyThreshold).select(col("label")),
+        "inner")
       .select(
         col("doc_id"),
         col("label").as("canonical_id"),
