@@ -3,6 +3,8 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, StringType}
 
 import graft.expressions._
 
@@ -24,6 +26,25 @@ object GraftFunctions {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  /** A foldable `array(array('a','b'), ...)` of 2-element string pairs —
+    * the SQL spelling of a BPE merge table in rank order.
+    */
+  private def pairsLit(e: Expression, what: String): Seq[(String, String)] = {
+    val ok = e.foldable && (e.dataType match {
+      case ArrayType(ArrayType(StringType, _), _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$what must be a foldable array of 2-element string arrays, got $e")
+    val outer = e.eval(null).asInstanceOf[ArrayData]
+    (0 until outer.numElements()).map { i =>
+      val pair = outer.getArray(i)
+      require(pair != null && pair.numElements() == 2,
+        s"$what entries must each hold exactly 2 strings")
+      (pair.getUTF8String(0).toString, pair.getUTF8String(1).toString)
+    }
   }
 
   private def fn(
@@ -57,7 +78,9 @@ object GraftFunctions {
     fn("graft_shingle_digests", 2, c =>
       ShingleDigests(c(0), intLit(c(1), "graft_shingle_digests's k"))),
     fn("graft_gram_stats", 2, c =>
-      GramStats(c(0), intLit(c(1), "graft_gram_stats's n"))))
+      GramStats(c(0), intLit(c(1), "graft_gram_stats's n"))),
+    fn("graft_bpe_encode", 2, c =>
+      BpeEncode(c(0), pairsLit(c(1), "graft_bpe_encode's merge table"))))
 
   /** Install the full surface on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -356,25 +356,24 @@ object TextAnalysis {
     * the broadcast budget (the join then shuffles words, still never
     * documents).
     *
-    * The UDF is a deliberate Scala-UDF exception to the engine's
-    * codegen-expressions-only rule: rank-ordered greedy merging is a
-    * loop no built-in composes, and chaining `numMerges` per-rank
-    * `transform` passes would traverse every word once per merge —
-    * strictly worse than the single in-place replay here.
+    * The replay itself is [[graft.expressions.BpeEncode]] — a codegen'd
+    * Catalyst expression (rank-ordered greedy merging is a loop no
+    * built-in composes, and chaining `numMerges` per-rank `transform`
+    * passes would traverse every word once per merge); the merge table
+    * rides in the expression, shipped once per task via the codegen
+    * reference array, and the same function registers in SQL as
+    * `graft_bpe_encode`.
     */
   def bpeEncodeWords(
       docs: DataFrame,
       merges: Seq[(Int, String, String, Long)],
       broadcastVocab: Boolean = true): DataFrame = {
     val ranked = merges.sortBy(_._1).map { case (_, a, b, _) => (a, b) }
-    val enc = udf { (w: String) =>
-      var syms: List[String] = w.map(_.toString).toList
-      ranked.foreach { case (a, b) => syms = mergeOnce(syms, a, b) }
-      syms
-    }
+    val bridge = org.apache.spark.sql.graft.bridge
     val toks = tokenize(docs)
     val typePieces = toks.select(col("w")).distinct()
-      .withColumn("pieces", enc(col("w")))
+      .withColumn("pieces", bridge.column(
+        graft.expressions.BpeEncode(bridge.expression(col("w")), ranked)))
     val vocabSide = if (broadcastVocab) broadcast(typePieces) else typePieces
     toks.join(vocabSide, Seq("w"))
       .withColumn("n_pieces", size(col("pieces")).cast("long"))

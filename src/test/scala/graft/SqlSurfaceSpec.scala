@@ -45,6 +45,23 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(gs.getAs[Long]("top_gram_cnt") === 2L)
   }
 
+  test("graft_bpe_encode replays a merge table via SQL and matches the operator path") {
+    // Merges in rank order: t+h → th, th+e → the.
+    val r = spark.sql(
+      """SELECT graft_bpe_encode('theater', array(array('t','h'), array('th','e'))) AS p,
+        |       graft_bpe_encode('', array(array('a','b'))) AS empty
+        |""".stripMargin).collect().head
+    assert(r.getSeq[String](r.fieldIndex("p")) === Seq("the", "a", "t", "e", "r"))
+    assert(r.getSeq[String](r.fieldIndex("empty")) === Seq.empty)
+    // Non-foldable or malformed merge tables fail at analysis.
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_bpe_encode(v, array(array(v))) FROM VALUES ('a') AS t(v)")
+        .collect()
+    }
+    assert(err.getMessage.contains("foldable array") ||
+      err.getCause != null && err.getCause.getMessage.contains("foldable array"))
+  }
+
   test("graft_mg aggregates via SQL with the literal-k contract enforced") {
     val mg = spark.sql(
       "SELECT graft_mg(v, 4) AS m FROM VALUES ('a'), ('a'), ('a'), ('b') AS t(v)")

@@ -73,27 +73,28 @@ class TextMultimodalSpec extends SparkSpec {
     val merges = TextAnalysis.bpeTrainMerges(corpus, numMerges = 2)
     val df = TextAnalysis.bpeEncodeWords(corpus, merges)
     assert(df.count() === 200)
-    // Walk the physical tree: the ScalaUDF must live in the broadcast
-    // (distinct-vocab) subtree of the join, never on the token-stream
-    // side. (A plan-STRING check can't see it — the optimizer collapses
-    // the UDF project into the distinct HashAggregate's result exprs.)
+    // Walk the physical tree: the merge-replay expression (BpeEncode)
+    // must live in the broadcast (distinct-vocab) subtree of the join,
+    // never on the token-stream side. (A plan-STRING check can't see
+    // it — the optimizer collapses the replay project into the distinct
+    // HashAggregate's result exprs.)
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     def walk(p: SparkPlan): Seq[SparkPlan] = p match {
       case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
       case other => other +: other.children.flatMap(walk)
     }
-    def udfNodes(p: SparkPlan): Seq[SparkPlan] =
-      walk(p).filter(_.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
+    def replayNodes(p: SparkPlan): Seq[SparkPlan] =
+      walk(p).filter(_.expressions.exists(_.exists(
+        _.isInstanceOf[graft.expressions.BpeEncode])))
     val plan = df.queryExecution.executedPlan
     val join = walk(plan).collectFirst { case j: BroadcastHashJoinExec => j }
     assert(join.isDefined, s"no broadcast join in encode plan:\n$plan")
-    assert(udfNodes(join.get.left).isEmpty,
-      s"merge-replay UDF on the token-stream side — per-occurrence encode:\n$plan")
-    assert(udfNodes(join.get.right).nonEmpty,
-      s"no merge-replay UDF on the broadcast vocab side:\n$plan")
+    assert(replayNodes(join.get.left).isEmpty,
+      s"merge replay on the token-stream side — per-occurrence encode:\n$plan")
+    assert(replayNodes(join.get.right).nonEmpty,
+      s"no merge replay on the broadcast vocab side:\n$plan")
     // And the join preserved every occurrence with its pieces.
     val row = df.filter(col("doc_id") === 0L).select("n_pieces").distinct().collect()
     assert(row.map(_.getLong(0)).toSeq === Seq(1L)) // aab → [aab] after 2 merges
@@ -241,6 +242,32 @@ class TextMultimodalSpec extends SparkSpec {
     // Deterministic: same input → same features.
     val again = Multimodal.extractByteHistogram(spark, media).collect()
     assert(feats.sortBy(_.doc_id).map(_.features) === again.sortBy(_.doc_id).map(_.features))
+  }
+
+  test("magic-byte router: P5/P6 payloads decode for real and never hit the stub") {
+    // One mixed frame: a real P5 image, a real P6 image, and a plain
+    // text payload — only the last may take the histogram path.
+    val media = Multimodal.toPgm(docs.filter(col("doc_id") === 0L))
+      .unionByName(Multimodal.toPpm(docs.filter(col("doc_id") === 1L)))
+      .unionByName(Multimodal.toMedia(
+        Seq(doc(2L, "just plain text")).toDF("doc_id", "text", "lang", "source", "n_chars")))
+    val out = Multimodal.extractFeatures(spark, media).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("kind")).toSeq === Seq("pgm", "ppm", "histogram"))
+    // Exactly one feature column non-null per row; decodable formats
+    // carry REAL decoder output, not a byte distribution.
+    val pgmRow = out(0)
+    assert(!pgmRow.isNullAt(pgmRow.fieldIndex("pgm")) && pgmRow.isNullAt(pgmRow.fieldIndex("histogram")))
+    assert(pgmRow.getAs[org.apache.spark.sql.Row]("pgm").getAs[Int]("height") === 1)
+    val ppmRow = out(1)
+    assert(!ppmRow.isNullAt(ppmRow.fieldIndex("ppm")) && ppmRow.isNullAt(ppmRow.fieldIndex("histogram")))
+    val histRow = out(2)
+    assert(histRow.isNullAt(histRow.fieldIndex("pgm")) && histRow.isNullAt(histRow.fieldIndex("ppm")))
+    assert(histRow.getSeq[Float](histRow.fieldIndex("histogram")).length === 16)
+    // Router output agrees with the direct decoder paths bit-for-bit.
+    val direct = Multimodal.decodePgmFeatures(
+      spark, Multimodal.toPgm(docs.filter(col("doc_id") === 0L))).collect().head
+    assert(pgmRow.getAs[org.apache.spark.sql.Row]("pgm").getAs[Double]("mean_px")
+      === direct.mean_px.get)
   }
 
   test("PGM decoder parses a hand-built P5 fixture: comments, multi-digit dims, raster moments") {
