@@ -83,6 +83,38 @@ object Multimodal {
       }
   }
 
+  /** Magic-byte feature router — the entry point when a media frame
+    * mixes formats, so a decodable payload can never silently degrade to
+    * the byte-distribution stub: `P5` payloads decode through
+    * [[PgmDecoder]], `P6` through [[PpmDecoder]], and ONLY formats with
+    * no decoder in this environment fall back to
+    * [[MultimodalStub.byteHistogram]]. Routing is content-based (first
+    * two payload bytes, codegen'd `substring` on the binary column) —
+    * three narrow filtered passes over the same frame, no shuffle.
+    * Output is a discriminated union: `kind ∈ {pgm, ppm, histogram}`
+    * with exactly one of the `pgm`/`ppm`/`histogram` columns non-null
+    * per row. A payload that CLAIMS netpbm (leading `P5`/`P6` bytes)
+    * but is malformed THROWS in its decoder rather than falling back —
+    * garbage media should fail loudly, not quietly become a histogram.
+    */
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val magic = substring(col("payload"), 1, 2)
+    val isP5 = magic === lit("P5".getBytes(ascii))
+    val isP6 = magic === lit("P6".getBytes(ascii))
+    def nest(df: DataFrame, kind: String): DataFrame =
+      df.select(
+        col("doc_id"), lit(kind).as("kind"),
+        struct(df.columns.filterNot(_ == "doc_id").map(col).toIndexedSeq: _*).as(kind))
+    val pgm = nest(decodePgmFeatures(spark, media.filter(isP5)).toDF(), "pgm")
+    val ppm = nest(decodePpmFeatures(spark, media.filter(isP6)).toDF(), "ppm")
+    val hist = extractByteHistogram(spark, media.filter(not(isP5 || isP6))).toDF()
+      .select(col("doc_id"), lit("histogram").as("kind"), col("features").as("histogram"))
+    pgm.unionByName(ppm, allowMissingColumns = true)
+      .unionByName(hist, allowMissingColumns = true)
+      .select("doc_id", "kind", "pgm", "ppm", "histogram")
+  }
+
   /** Wrap each document as a REAL binary PGM image — a 1-row grayscale
     * strip whose pixels are the document's bytes — including a `#`
     * comment line so round-trips exercise the parser's comment handling.
