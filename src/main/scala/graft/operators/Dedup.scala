@@ -230,6 +230,15 @@ object Dedup {
     * ever sees a component's full membership. A blanket salt would
     * replicate the |V|-sized lookup table ×S every round; the hot/cold
     * split ships only the hot keys' single-row lookups.
+    *
+    * The split only engages when it can matter: every key's row count in
+    * all three guarded joins is bounded by the symmetrized edge count
+    * (degree ≤ |Eₛ|; label multiplicity ≤ |V| ≤ |Eₛ| since every vertex
+    * heads at least one symmetrized row; cluster size ≤ |V|), so when
+    * one `count()` of the already-persisted edges frame comes back below
+    * the threshold, no hot key can exist and the loop runs the plain
+    * sort-merge joins with zero added plan nodes or per-round detection
+    * aggregates — the small-input fast path is exact, not heuristic.
     * DedupSkewSpec pins the behavior with task metrics on a star graph:
     * with the threshold at test scale no task's shuffle read comes near
     * the hub degree; the default-threshold control (hot set empty)
@@ -284,15 +293,23 @@ object Dedup {
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Exact skew gate (see the scaladoc): any key of the three guarded
+    // joins repeats at most |Eₛ| times, so below-threshold edge counts
+    // prove the hot sets empty without ever computing them. The count
+    // doubles as the cache materialization the loop needs anyway.
+    val splitNeeded = edges.count() >= hotKeyThreshold
     // Static hot-vertex set for the per-round edge⋈labels join: symmetric
     // degree is the exact per-key row count of that join's streamed side
     // and never changes across rounds, so one map-side-combined pass
     // amortizes over the whole loop. ≤ 2|E|/threshold rows — always
     // broadcastable.
-    val hotV = edges.groupBy(col("dst")).agg(count(lit(1)).as("_deg"))
-      .filter(col("_deg") >= hotKeyThreshold)
-      .select(col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hotV =
+      if (!splitNeeded) None
+      else Some(
+        edges.groupBy(col("dst")).agg(count(lit(1)).as("_deg"))
+          .filter(col("_deg") >= hotKeyThreshold)
+          .select(col("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
     // Initialization IS the first propagation round: label₀(v) =
     // min(v, neighbors(v)) from the same aggregation that enumerates the
     // vertex set — one groupBy instead of distinct + a full loop
@@ -305,9 +322,10 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
-      val nbrMin = hotColdJoin(
-          edges, labels.select(col("doc_id").as("dst"), col("label")),
-          "dst", hotV, "inner")
+      val dstLabels = labels.select(col("doc_id").as("dst"), col("label"))
+      val nbrMin = hotV
+        .map(hv => hotColdJoin(edges, dstLabels, "dst", hv, "inner"))
+        .getOrElse(edges.join(dstLabels, Seq("dst")))
         .groupBy(col("src"))
         .agg(min(col("label")).as("nbr_min"))
       // Neighbor-min hop, cached: the doubling join below reads it twice
@@ -328,12 +346,13 @@ object Dedup {
       // path does it), so they are re-detected per round; the agg is
       // map-side-combined over the cached `prop`, shuffling only
       // #distinct (partition, label) pairs.
-      val hotL = prop.groupBy(col("label")).agg(count(lit(1)).as("_c"))
-        .filter(col("_c") >= hotKeyThreshold)
-        .select(col("label"))
-      val next = hotColdJoin(
-          prop, prop.select(col("doc_id").as("label"), col("label").as("_gl")),
-          "label", hotL, "left_outer")
+      val glLookup = prop.select(col("doc_id").as("label"), col("label").as("_gl"))
+      val next = (if (splitNeeded) {
+          val hotL = prop.groupBy(col("label")).agg(count(lit(1)).as("_c"))
+            .filter(col("_c") >= hotKeyThreshold)
+            .select(col("label"))
+          hotColdJoin(prop, glLookup, "label", hotL, "left_outer")
+        } else prop.join(glLookup, Seq("label"), "left_outer"))
         .select(
           col("doc_id"),
           col("_old"),
@@ -360,7 +379,7 @@ object Dedup {
     // accumulating storage). The final labels cache stays — the returned
     // plan reads it twice (labels + sizes) — and is one small row per doc.
     edges.unpersist()
-    hotV.unpersist()
+    hotV.foreach(_.unpersist())
     if (!converged) {
       prevCache.foreach(_.unpersist())
       throw new IllegalStateException(
@@ -371,10 +390,12 @@ object Dedup {
     val sz = labels.groupBy(col("label")).agg(count(lit(1)).as("cluster_size"))
     // The sizes themselves are the hot detector here — a giant component
     // IS a hot `label` key in this join, and sz already counted it.
-    val out = hotColdJoin(
-        labels, sz, "label",
-        sz.filter(col("cluster_size") >= hotKeyThreshold).select(col("label")),
-        "inner")
+    val out = (if (splitNeeded)
+        hotColdJoin(
+          labels, sz, "label",
+          sz.filter(col("cluster_size") >= hotKeyThreshold).select(col("label")),
+          "inner")
+      else labels.join(sz, Seq("label")))
       .select(
         col("doc_id"),
         col("label").as("canonical_id"),
