@@ -685,6 +685,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Quality-ranked token-budget selection: the best docs (by distinct
+    // token count, doc_id tie-break) whose cumulative token cost fits
+    // the budget — distributed prefix sum, never a global window over
+    // the corpus (plan-pinned).
+    "q102_token_budget" -> ((s, dir) =>
+      Curation.tokenBudgetSelect(
+        TextAnalysis.tokenCount(Tables.documents(s, dir)),
+        col("doc_id"), col("n_token_types"), col("n_tokens"),
+        budget = 20000L)
+        .select(
+          col("id").as("doc_id"), col("score"), col("cost"), col("cum_cost"))
+        .orderBy(col("score").desc, col("doc_id"))),
+
+    // Deterministic corpus shuffle: reproducible (shard, pos) training
+    // order from salted md5 — independent permutation per salt, same
+    // bytes on every rerun and engine.
+    "q103_deterministic_shuffle" -> ((s, dir) =>
+      Curation.deterministicShuffle(
+        Tables.documents(s, dir).select("doc_id", "n_chars"),
+        col("doc_id"), numShards = 8)
+        .select(col("doc_id"), col("n_chars"), col("shard"), col("pos"))
+        .orderBy("shard", "pos")),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -2039,6 +2062,32 @@ object SparkEntry {
         |       COALESCE(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE NOT dropped), '') AS clean_text
         |FROM k GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q102_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+'))) AS BIGINT) AS score,
+        |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS cost
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, score, cost,
+        |         CAST(SUM(cost) OVER (ORDER BY score DESC, doc_id
+        |                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cost
+        |  FROM t
+        |)
+        |SELECT doc_id, score, cost, cum_cost
+        |FROM c WHERE cum_cost <= 20000
+        |ORDER BY score DESC, doc_id""".stripMargin,
+
+    "q103_deterministic_shuffle" ->
+      """SELECT doc_id, n_chars,
+        |       CAST('0x' || substr(md5('graft:s:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS shard,
+        |       ROW_NUMBER() OVER (
+        |         PARTITION BY CAST('0x' || substr(md5('graft:s:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 8
+        |         ORDER BY md5('graft:o:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
+        |FROM documents
+        |ORDER BY shard, pos""".stripMargin,
 
     "q91_region_brand_revenue" ->
       """SELECT r_name, p_brand,

@@ -646,4 +646,90 @@ object Curation {
         count(when(col("split") === "train", 1)).as("n_train"),
         count(when(col("split") === "val", 1)).as("n_val"),
         count(when(col("split") === "test", 1)).as("n_test"))
+
+  /** Quality-ranked token-budget selection: keep the documents whose
+    * cumulative cost still fits `budget` when ranked by (score desc, id
+    * asc) — "take the best docs until N tokens", the final selection
+    * step of a budgeted pretraining mix. Strict-prefix semantics: the
+    * first row that would overflow cuts the selection there (no
+    * skip-and-refill knapsack), so the kept set is a deterministic
+    * prefix of the global quality order and any engine reproduces it.
+    * Output `(id, score, cost, cum_cost)` with `cum_cost` the inclusive
+    * global running cost.
+    *
+    * Scale: the textbook `sum(cost) over (order by score)` is a
+    * single-partition window — the whole corpus through one task
+    * (Spark's own "No Partition Defined for Window operation" warning).
+    * This is instead the distributed prefix sum: range-partition the
+    * narrow (id, score, cost) triple on the sort key, aggregate
+    * per-partition cost totals (one row per partition), convert their
+    * running sum to per-partition offsets with a window over that
+    * partition-count-bounded frame, broadcast the offsets back, and
+    * cumsum WITHIN each partition in parallel. Which row lands in which
+    * partition depends on sampled range boundaries, but the result does
+    * not: range partitioning keeps the global order contiguous across
+    * partitions, so offset + within-partition running cost IS the
+    * global prefix sum. The totals subtree shares the range exchange
+    * with the main pass (ReuseExchange — pinned in PlanShapeSpec), so
+    * the corpus shuffles once.
+    */
+  def tokenBudgetSelect(
+      df: DataFrame,
+      idCol: Column,
+      scoreCol: Column,
+      costCol: Column,
+      budget: Long,
+      numPartitions: Int = 32): DataFrame = {
+    require(budget >= 0, s"budget=$budget must be >= 0")
+    require(numPartitions >= 1, s"numPartitions=$numPartitions must be >= 1")
+    val triple = df
+      .select(idCol.as("id"), scoreCol.as("score"), costCol.cast("long").as("cost"))
+      .repartitionByRange(numPartitions, col("score").desc, col("id"))
+      .withColumn("_pid", spark_partition_id())
+    // ≤ numPartitions rows: the one intentionally-global window runs
+    // over the per-partition totals, never the data.
+    val offsets = triple.groupBy(col("_pid")).agg(sum(col("cost")).as("_t"))
+      .withColumn(
+        "_off",
+        coalesce(
+          sum(col("_t")).over(
+            Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val w = Window.partitionBy(col("_pid")).orderBy(col("score").desc, col("id"))
+    triple.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("cum_cost", col("_off") + sum(col("cost")).over(w))
+      .filter(col("cum_cost") <= budget)
+      .select(col("id"), col("score"), col("cost"), col("cum_cost"))
+  }
+
+  /** Deterministic corpus shuffle: a reproducible (shard, pos) training
+    * order for every document from salted md5 hashes alone — "shuffle
+    * the corpus for this training run, identically on every rerun".
+    * Shard assignment and within-shard order use independently salted
+    * hashes (`salt:s:` / `salt:o:`), so the order within a shard is not
+    * correlated with the shard split; a different `salt` draws an
+    * independent permutation, the same `salt` reproduces the exact
+    * order across runs, partitionings, and engines (md5 is the
+    * cross-engine hash family used throughout). Appends `shard` and
+    * `pos` (1-based within shard) to the input columns.
+    *
+    * Scale: one hash shuffle on `shard` — uniform by construction — and
+    * a per-shard rank window; `numShards` is the parallelism knob (the
+    * [[packSequences]] shape). No global sort at any size.
+    */
+  def deterministicShuffle(
+      df: DataFrame,
+      idCol: Column,
+      numShards: Int = 32,
+      salt: String = "graft"): DataFrame = {
+    require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    val hShard = Hashing.md5Long60(concat(lit(salt), lit(":s:"), idCol.cast("string")))
+    val hOrd = md5(concat(lit(salt), lit(":o:"), idCol.cast("string")))
+    df.withColumn("shard", pmod(hShard, lit(numShards.toLong)))
+      .withColumn(
+        "pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(hOrd, idCol)).cast("long"))
+  }
 }

@@ -334,6 +334,74 @@ class CurationSpec extends SparkSpec {
     assert(splits === kept)
   }
 
+  test("tokenBudgetSelect: distributed prefix sum equals the naive global window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // Random scores with heavy ties (ties exercise the doc_id tie-break
+    // across partition boundaries) and costs in [1, 50].
+    val items = spark.range(2000).select(
+      col("id"),
+      pmod(hash(col("id")), lit(20)).cast("long").as("score"),
+      (pmod(hash(col("id") * 7), lit(50)) + 1).cast("long").as("cost"))
+    val total = items.agg(sum("cost")).collect()(0).getLong(0)
+    val budget = total / 2
+    val naive = items
+      .withColumn(
+        "cum_cost",
+        sum(col("cost")).over(Window.orderBy(col("score").desc, col("id"))))
+      .filter(col("cum_cost") <= budget)
+      .select(col("id"), col("score"), col("cost"), col("cum_cost"))
+      .collect().map(_.toSeq).toSet
+    val dist = Curation.tokenBudgetSelect(
+      items, col("id"), col("score"), col("cost"), budget, numPartitions = 8)
+      .collect().map(_.toSeq).toSet
+    assert(dist === naive)
+    assert(dist.nonEmpty && dist.size < 2000)
+    // Degenerate budgets.
+    assert(Curation.tokenBudgetSelect(
+      items, col("id"), col("score"), col("cost"), 0L, numPartitions = 8).isEmpty)
+    assert(Curation.tokenBudgetSelect(
+      items, col("id"), col("score"), col("cost"), total, numPartitions = 8)
+      .count() === 2000L)
+  }
+
+  test("tokenBudgetSelect: the corpus crosses one range exchange (totals subtree reuses it)") {
+    import org.apache.spark.sql.functions._
+    val items = spark.range(5000).select(
+      col("id"),
+      pmod(hash(col("id")), lit(100)).cast("long").as("score"),
+      lit(1L).as("cost"))
+    val out = Curation.tokenBudgetSelect(
+      items, col("id"), col("score"), col("cost"), 2500L, numPartitions = 8)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    val rangeExchanges =
+      "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(
+      p.contains("ReusedExchange") || rangeExchanges <= 1,
+      s"totals subtree no longer reuses the corpus range exchange " +
+        s"($rangeExchanges range exchanges, no ReusedExchange):\n$p")
+  }
+
+  test("deterministicShuffle: per-shard 1..n positions, partitioning-independent, salt-sensitive") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(500).toDF("doc_id")
+    def runOn(df: org.apache.spark.sql.DataFrame, salt: String) =
+      Curation.deterministicShuffle(df, col("doc_id"), numShards = 8, salt = salt)
+        .select("doc_id", "shard", "pos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val a = runOn(docs, "graft")
+    // Same result from a different input partitioning.
+    assert(runOn(docs.repartition(13), "graft") === a)
+    // Every doc appears exactly once; positions are dense 1..n per shard.
+    assert(a.map(_._1) === (0L until 500L))
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted === (1L to rows.size.toLong))
+    }
+    // A different salt draws a different permutation (some doc moves).
+    assert(runOn(docs, "other") !== a)
+  }
+
   test("curateCorpus composes quality, boilerplate removal, exact dedup, and split") {
     // 4-word boilerplate B shared by three docs (df=3 > maxDocFreq=2 →
     // stripped); docs 0 and 1 share a 44-word core (df=2 → survives), so
