@@ -216,8 +216,14 @@ object ScaleProbe {
       "q86_count_min" -> byteFactor,
       "q83_cluster_split" -> byteFactor,
       "q92_bloom_dedup_against" -> byteFactor,
+      // The broadcast-budget-free probe path, measured against the same
+      // factor as q92 so the two Bloom shapes are directly comparable.
+      "q100_bloom_shuffle_dedup" -> byteFactor,
       "q89_curate_corpus" -> byteFactor,
-      "q96_bpe_encode" -> byteFactor)
+      "q96_bpe_encode" -> byteFactor,
+      // Distributed prefix sum: the global-order cumsum must not acquire
+      // a single-task term as the corpus grows.
+      "q102_token_budget" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

@@ -314,6 +314,29 @@ object StreamingOps {
     graft.operators.Dedup.mergePassageCounts(Seq(
       compactedStateView(spark, basePath, Seq("dig", "df"))))
 
+  /** [[passageCountsSink]]'s offset-robust twin: per-epoch DENSE-window
+    * digest counts ([[graft.operators.Dedup.rollingDigestCounts]]), so
+    * `Dedup.rollingPassageDedupAgainst(todaysBatch,
+    * mergedRollingCounts(...))` strips boilerplate that entered past
+    * batches at ANY token offset — the aligned sink only catches spans
+    * that landed on the same passage grid in both corpora. Same
+    * replay-idempotent epoch layout, same `(dig, df)` state shape, same
+    * doc-disjointness precondition for the df sum.
+    */
+  def rollingCountsSink(
+      basePath: String,
+      windowLen: Int = 8): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.Dedup.rollingDigestCounts(batch, windowLen)
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+
+  /** The merged global dense-window frequency state over a
+    * [[rollingCountsSink]] directory.
+    */
+  def mergedRollingCounts(spark: SparkSession, basePath: String): DataFrame =
+    graft.operators.Dedup.mergePassageCounts(Seq(
+      compactedStateView(spark, basePath, Seq("dig", "df"))))
+
   // ---------------------------------------------------------------------
   // Epoch compaction for the per-epoch sketch/state sinks
   // ---------------------------------------------------------------------
@@ -483,6 +506,13 @@ object StreamingOps {
 
   /** [[compactEpochs]] for a [[passageCountsSink]] directory (digest-wise sum). */
   def compactPassageEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq("dig", "df"),
+      df => graft.operators.Dedup.mergePassageCounts(Seq(df)))
+
+  /** [[compactEpochs]] for a [[rollingCountsSink]] directory — the state
+    * shape and merge are the aligned variant's (digest-wise sum).
+    */
+  def compactRollingEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
     compactEpochs(spark, basePath, keepAfter, Seq("dig", "df"),
       df => graft.operators.Dedup.mergePassageCounts(Seq(df)))
 

@@ -347,6 +347,45 @@ class StreamingOpsSpec extends SparkSpec {
     assert(maxDf === 2L, s"replay inflated the merged df to $maxDf")
   }
 
+  test("streaming rolling-state sink: merged dense windows catch offset-shifted boilerplate") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val boiler = "terms of service apply"
+    def d(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    // The boilerplate enters each batch at a DIFFERENT token offset
+    // (position 0 in epoch 0, position 2 in epoch 1) — the aligned
+    // 4-token passage grid of batch 1 never contains it, so
+    // passageCountsSink state could not strip it; dense windows do.
+    val b0 = Seq(d(0L, s"$boiler alpha beta gamma delta"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = Seq(d(10L, s"pre amble $boiler epsilon zeta"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_rolling_sink").toString
+    val sink = StreamingOps.rollingCountsSink(dir, windowLen = 4)
+    sink(b0, 0L)
+    sink(b0, 0L) // replay must not double-count
+    sink(b1, 1L)
+    val cleaned = Dedup.rollingPassageDedupAgainst(
+      b1, StreamingOps.mergedRollingCounts(spark, dir), windowLen = 4)
+      .collect().head
+    assert(cleaned.getAs[String]("clean_text") === "pre amble epsilon zeta")
+    assert(cleaned.getAs[Long]("n_dropped") === 4L)
+    val maxDf = StreamingOps.mergedRollingCounts(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("df")).collect().head.getLong(0)
+    assert(maxDf === 2L, s"replay inflated the merged df to $maxDf")
+    // Control: the ALIGNED state over the same two batches leaves batch
+    // 1 untouched (the shifted span never lands on its passage grid) —
+    // the rolling sink exists precisely for this case.
+    val adir = java.nio.file.Files.createTempDirectory("graft_aligned_ctrl").toString
+    val asink = StreamingOps.passageCountsSink(adir, passageLen = 4)
+    asink(b0, 0L); asink(b1, 1L)
+    val alignedCleaned = Dedup.passageDedupAgainst(
+      b1, StreamingOps.mergedPassageCounts(spark, adir), passageLen = 4)
+      .collect().head
+    assert(alignedCleaned.getAs[Long]("n_dropped") === 0L,
+      "aligned control unexpectedly caught the shifted boilerplate — fixture no longer shifted?")
+  }
+
   test("epoch compaction bounds state dirs and keeps old-epoch replays no-ops") {
     import graft.functions.Sketches
     import spark.implicits._
