@@ -708,6 +708,35 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"), col("shard"), col("pos"))
         .orderBy("shard", "pos")),
 
+    // Repeat-factor materialization: a per-source fractional upsampling
+    // recipe (2.5× / 1.25× / 0.7× by source-hash class) turned into an
+    // explicit deterministic copy list.
+    "q104_materialize_repeats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select("doc_id", "source")
+      val factors = docs.select(col("source").as("grp")).distinct()
+        .withColumn(
+          "factor_ppm",
+          when(pmod(graft.functions.Hashing.md5Long60(col("grp")), lit(3L)) === 0L, 2500000L)
+            .when(pmod(graft.functions.Hashing.md5Long60(col("grp")), lit(3L)) === 1L, 1250000L)
+            .otherwise(700000L))
+      Curation.materializeRepeats(docs, "source", col("doc_id"), factors)
+        .select(col("doc_id"), col("source"), col("n_copies"), col("copy_id"))
+        .orderBy("doc_id", "copy_id")
+    }),
+
+    // Length-bucketed batching: similar-length docs grouped into
+    // fixed-size batches (sharded rank windows), per-doc padding waste
+    // vs the batch max.
+    "q105_length_batches" -> ((s, dir) =>
+      Curation.lengthBucketBatches(
+        TextAnalysis.tokenCount(Tables.documents(s, dir)),
+        col("doc_id"), col("n_tokens"),
+        boundaries = Seq(48L, 64L, 80L), batchSize = 8, numShards = 4)
+        .select(
+          col("id").as("doc_id"), col("n_tokens"), col("bucket"), col("shard"),
+          col("batch_id"), col("pos"), col("batch_max"), col("pad_waste"))
+        .orderBy("bucket", "shard", "batch_id", "pos")),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -2088,6 +2117,59 @@ object SparkEntry {
         |         ORDER BY md5('graft:o:' || CAST(doc_id AS VARCHAR)), doc_id) AS pos
         |FROM documents
         |ORDER BY shard, pos""".stripMargin,
+
+    "q104_materialize_repeats" ->
+      """WITH f AS (
+        |  SELECT source AS grp,
+        |         CASE CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 3
+        |           WHEN 0 THEN 2500000 WHEN 1 THEN 1250000 ELSE 700000
+        |         END AS factor_ppm
+        |  FROM (SELECT DISTINCT source FROM documents)
+        |),
+        |j AS (
+        |  SELECT d.doc_id, d.source,
+        |         CAST(f.factor_ppm // 1000000
+        |           + CASE WHEN CAST('0x' || substr(md5('graft:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 1000000
+        |                       < f.factor_ppm % 1000000
+        |                  THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |  FROM documents d JOIN f ON d.source = f.grp
+        |)
+        |SELECT doc_id, source, n_copies,
+        |       unnest(range(1, n_copies + 1)) AS copy_id
+        |FROM j WHERE n_copies > 0
+        |ORDER BY doc_id, copy_id""".stripMargin,
+
+    "q105_length_batches" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST((CASE WHEN n_tokens >= 48 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN n_tokens >= 64 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN n_tokens >= 80 THEN 1 ELSE 0 END) AS BIGINT) AS bucket,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 4 AS shard
+        |  FROM t
+        |),
+        |r AS (
+        |  SELECT doc_id, n_tokens, bucket, shard,
+        |         ROW_NUMBER() OVER (PARTITION BY bucket, shard
+        |                            ORDER BY n_tokens, doc_id) - 1 AS rnk
+        |  FROM b
+        |),
+        |bt AS (
+        |  SELECT doc_id, n_tokens, bucket, shard,
+        |         CAST(rnk // 8 AS BIGINT) AS batch_id,
+        |         CAST(rnk % 8 AS BIGINT) AS pos
+        |  FROM r
+        |)
+        |SELECT doc_id, n_tokens, bucket, shard, batch_id, pos,
+        |       CAST(MAX(n_tokens) OVER (PARTITION BY bucket, shard, batch_id) AS BIGINT) AS batch_max,
+        |       CAST(MAX(n_tokens) OVER (PARTITION BY bucket, shard, batch_id) - n_tokens AS BIGINT) AS pad_waste
+        |FROM bt
+        |ORDER BY bucket, shard, batch_id, pos""".stripMargin,
 
     "q91_region_brand_revenue" ->
       """SELECT r_name, p_brand,

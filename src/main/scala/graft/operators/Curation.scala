@@ -732,4 +732,90 @@ object Curation {
         row_number().over(
           Window.partitionBy(col("shard")).orderBy(hOrd, idCol)).cast("long"))
   }
+
+  /** Materialize a fractional per-group repeat plan into concrete,
+    * deterministic document copies — the step that turns a data recipe
+    * ("upsample this source 2.5×, downsample that one to 0.7×") into an
+    * explicit training list. `factors` (columns `grp`, `factor_ppm`)
+    * maps each group to a repeat factor in parts-per-million
+    * (2_500_000 ppm = 2.5 copies): every
+    * doc gets `factor DIV 1M` whole copies, and the extra fractional
+    * copy goes to the docs whose salted-md5 residue falls below
+    * `factor MOD 1M` — an exact-in-expectation, content-independent,
+    * engine-reproducible draw (the [[stratifiedSample]] coin, reused as
+    * the repeat coin). Output repeats each kept input row with
+    * `copy_id` 1..n_copies.
+    *
+    * Scale: one broadcast join of the (groups-bounded) factor table and
+    * a narrow explode — no shuffle of the corpus; the output size is
+    * the recipe's token budget, which is the point.
+    */
+  def materializeRepeats(
+      docs: DataFrame,
+      groupName: String,
+      idCol: Column,
+      factors: DataFrame,
+      salt: String = "graft"): DataFrame = {
+    val whole = expr("factor_ppm DIV 1000000")
+    val coin = pmod(
+      Hashing.md5Long60(concat(lit(salt), lit(":"), idCol.cast("string"))),
+      lit(1000000L))
+    val nCopies = (whole +
+      when(coin < pmod(col("factor_ppm"), lit(1000000L)), 1L).otherwise(0L))
+      .cast("long")
+    docs.join(broadcast(factors), docs(groupName) === factors("grp"))
+      .withColumn("n_copies", nCopies)
+      .filter(col("n_copies") > 0)
+      .select(
+        docs.columns.map(docs(_)) :+ col("n_copies") :+
+          explode(sequence(lit(1L), col("n_copies"))).as("copy_id"): _*)
+  }
+
+  /** Length-bucketed batching: group documents of similar token length
+    * into fixed-size batches so per-batch padding (to the batch max) is
+    * small — the standard fine-tuning batcher. `boundaries` split the
+    * length axis into buckets (`bucket` = number of boundaries ≤
+    * n_tokens); within a (bucket, shard) cell, docs are ranked by
+    * (n_tokens, id) and cut into batches of `batchSize`; `pad_waste` is
+    * the per-doc padding the batch assignment costs (batch max −
+    * n_tokens).
+    *
+    * Scale: the rank window is per (bucket, shard) — `numShards`
+    * (id-hash) keeps a popular length bucket from serializing into one
+    * task, the [[packSequences]] trade; batches are globally identified
+    * by (bucket, shard, batch_id). One shuffle of (id, n_tokens) pairs.
+    */
+  def lengthBucketBatches(
+      docs: DataFrame,
+      idCol: Column,
+      lenCol: Column,
+      boundaries: Seq[Long],
+      batchSize: Int = 8,
+      numShards: Int = 4): DataFrame = {
+    require(batchSize >= 1, s"batchSize=$batchSize must be >= 1")
+    require(numShards >= 1, s"numShards=$numShards must be >= 1")
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      s"boundaries must be a nonempty ascending list, got $boundaries")
+    val bucket = boundaries
+      .map(b => when(lenCol >= b, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val base = docs.select(
+      idCol.as("id"),
+      lenCol.cast("long").as("n_tokens"),
+      bucket.as("bucket"),
+      pmod(Hashing.md5Long60(idCol.cast("string")), lit(numShards.toLong)).as("shard"))
+    val w = Window.partitionBy(col("bucket"), col("shard"))
+      .orderBy(col("n_tokens"), col("id"))
+    val batched = base
+      .withColumn("_rnk", row_number().over(w).cast("long") - 1L)
+      .withColumn("batch_id", expr(s"_rnk DIV $batchSize"))
+      .withColumn("pos", pmod(col("_rnk"), lit(batchSize.toLong)))
+    val wb = Window.partitionBy(col("bucket"), col("shard"), col("batch_id"))
+    batched
+      .withColumn("batch_max", max(col("n_tokens")).over(wb))
+      .withColumn("pad_waste", col("batch_max") - col("n_tokens"))
+      .select(
+        col("id"), col("n_tokens"), col("bucket"), col("shard"),
+        col("batch_id"), col("pos"), col("batch_max"), col("pad_waste"))
+  }
 }

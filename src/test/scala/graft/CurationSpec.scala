@@ -402,6 +402,72 @@ class CurationSpec extends SparkSpec {
     assert(runOn(docs, "other") !== a)
   }
 
+  test("materializeRepeats: whole copies + hash-chosen fractional copy, deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(1000).select(
+      col("id").as("doc_id"),
+      when(col("id") < 500, "up").otherwise("down").as("source"))
+    val factors = Seq(("up", 2500000L), ("down", 700000L)).toDF("grp", "factor_ppm")
+    val out = Curation.materializeRepeats(docs, "source", col("doc_id"), factors)
+      .collect()
+    val byDoc = out.groupBy(_.getAs[Long]("doc_id"))
+    // "up" docs: 2 or 3 copies with dense copy_id 1..n; ~half get the
+    // third copy (md5 coin, 500 draws at p=0.5 — 4σ ≈ 45).
+    val upCounts = (0L until 500L).map(d => byDoc(d).length)
+    assert(upCounts.forall(n => n == 2 || n == 3))
+    assert(math.abs(upCounts.count(_ == 3) - 250) < 100)
+    byDoc.values.foreach { rows =>
+      assert(rows.map(_.getAs[Long]("copy_id")).sorted.toSeq === (1L to rows.length.toLong))
+      assert(rows.head.getAs[Long]("n_copies") === rows.length.toLong)
+    }
+    // "down" docs: 0 or 1 copies, ~70% kept; zero-copy docs are absent.
+    val downDocs = (500L until 1000L).filter(byDoc.contains)
+    assert(downDocs.forall(d => byDoc(d).length == 1))
+    assert(math.abs(downDocs.size - 350) < 100)
+    // Deterministic: identical on re-run; a different salt moves the draw.
+    val again = Curation.materializeRepeats(docs, "source", col("doc_id"), factors)
+      .collect().map(_.toSeq).toSet
+    assert(again === out.map(_.toSeq).toSet)
+    val other = Curation.materializeRepeats(docs, "source", col("doc_id"), factors, salt = "x")
+      .collect().map(_.toSeq).toSet
+    assert(other !== out.map(_.toSeq).toSet)
+  }
+
+  test("lengthBucketBatches: bucketed size-ordered batches with exact padding accounting") {
+    import org.apache.spark.sql.functions._
+    val docs = spark.range(300).select(
+      col("id"), (pmod(hash(col("id")), lit(100)) + 1).cast("long").as("n_tokens"))
+    val out = Curation.lengthBucketBatches(
+      docs, col("id"), col("n_tokens"),
+      boundaries = Seq(25L, 50L, 75L), batchSize = 8, numShards = 4)
+      .collect()
+    assert(out.length === 300)
+    out.foreach { r =>
+      val (n, b) = (r.getAs[Long]("n_tokens"), r.getAs[Long]("bucket"))
+      assert(b === Seq(25L, 50L, 75L).count(n >= _), s"bucket wrong for n=$n")
+      assert(r.getAs[Long]("pad_waste") === r.getAs[Long]("batch_max") - n)
+      assert(r.getAs[Long]("pad_waste") >= 0)
+    }
+    out.groupBy(r => (r.getAs[Long]("bucket"), r.getAs[Long]("shard"), r.getAs[Long]("batch_id")))
+      .foreach { case ((_, _, bid), rows) =>
+        assert(rows.length <= 8)
+        assert(rows.map(_.getAs[Long]("pos")).sorted.toSeq === (0L until rows.length.toLong))
+        assert(rows.map(_.getAs[Long]("batch_max")).distinct.length === 1)
+        assert(rows.map(_.getAs[Long]("n_tokens")).max === rows.head.getAs[Long]("batch_max"))
+      }
+    // Size-ordered within a (bucket, shard) cell: batch i's max never
+    // exceeds batch i+1's min — padding stays local to a batch.
+    out.groupBy(r => (r.getAs[Long]("bucket"), r.getAs[Long]("shard"))).foreach {
+      case (_, rows) =>
+        val byBatch = rows.groupBy(_.getAs[Long]("batch_id")).toSeq.sortBy(_._1)
+        byBatch.sliding(2).foreach {
+          case Seq((_, a), (_, b)) =>
+            assert(a.map(_.getAs[Long]("n_tokens")).max <= b.map(_.getAs[Long]("n_tokens")).min)
+          case _ => ()
+        }
+    }
+  }
+
   test("curateCorpus composes quality, boilerplate removal, exact dedup, and split") {
     // 4-word boilerplate B shared by three docs (df=3 > maxDocFreq=2 →
     // stripped); docs 0 and 1 share a 44-word core (df=2 → survives), so

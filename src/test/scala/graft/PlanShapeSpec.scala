@@ -276,6 +276,33 @@ class PlanShapeSpec extends SparkSpec {
       s"duplicated probe subtrees did not reuse exchanges at runtime:\n${fin.take(4000)}")
   }
 
+  test("materializeRepeats never shuffles the corpus; factor table broadcasts") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Tables(dir).select("doc_id", "source")
+    val factors = Seq(("src0", 2500000L), ("src1", 700000L)).toDF("grp", "factor_ppm")
+    val out = graft.operators.Curation.materializeRepeats(
+      docs, "source", col("doc_id"), factors)
+    val p = plan(out)
+    assert(shuffles(out) === 0, s"repeat materialization grew a corpus shuffle:\n$p")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"factor table stopped broadcasting:\n$p")
+  }
+
+  test("lengthBucketBatches: both windows share one (bucket, shard) exchange") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(dir).select(col("doc_id"), col("n_chars"))
+    val out = graft.operators.Curation.lengthBucketBatches(
+      docs, col("doc_id"), col("n_chars"),
+      boundaries = Seq(100L, 300L, 500L), batchSize = 8, numShards = 4)
+    val p = plan(out)
+    // The batch-max window's (bucket, shard, batch_id) clustering is
+    // satisfied by the rank window's hash partitioning on (bucket,
+    // shard) — a second exchange here would mean the batcher shuffles
+    // the corpus twice.
+    assert(shuffles(out) === 1, s"length batcher no longer single-shuffle:\n$p")
+  }
+
   private def Tables(d: String): DataFrame =
     graft.sources.Tables.documents(spark, d)
 }
