@@ -31,6 +31,29 @@ class CurationPropertySpec extends SparkSpec {
     c.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("tokenBudgetSelect equals the sequential prefix model for any corpus/budget") {
+    val gen = for {
+      n <- Gen.choose(0, 120)
+      rows <- Gen.listOfN(n, for {
+        score <- Gen.choose(0L, 8L) // heavy ties: the doc_id tie-break carries
+        cost <- Gen.choose(0L, 30L) // zero-cost rows sit exactly on boundaries
+      } yield (score, cost))
+      parts <- Gen.choose(1, 6)
+      budgetPct <- Gen.choose(0, 120)
+    } yield (rows.zipWithIndex.map { case ((s, c), i) => (i.toLong, s, c) }, parts, budgetPct)
+    check("tokenBudgetSelect", Prop.forAll(gen) { case (rows, parts, budgetPct) =>
+      val budget = rows.map(_._3).sum * budgetPct / 100
+      val model = rows.sortBy { case (id, s, _) => (-s, id) }
+        .scanLeft((0L, 0L, 0L, 0L)) { case (acc, (id, s, c)) => (id, s, c, acc._4 + c) }
+        .drop(1).takeWhile(_._4 <= budget).toSet
+      val got = Curation.tokenBudgetSelect(
+        rows.toDF("id", "score", "cost"),
+        col("id"), col("score"), col("cost"), budget, parts)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      got == model
+    })
+  }
+
   test("hashSplit partitions every doc into exactly one split with exact bucket bounds") {
     check("hashSplit", Prop.forAll(corpusGen, Gen.choose(1, 80), Gen.choose(1, 19)) {
       (corpus, trainPct, valPct) =>
