@@ -737,6 +737,56 @@ object SparkEntry {
           col("batch_id"), col("pos"), col("batch_max"), col("pad_waste"))
         .orderBy("bucket", "shard", "batch_id", "pos")),
 
+    // EWMA trend of daily ingest volume per type: half-life-one-day
+    // weights over the gap-filled series; exact powers of two keep the
+    // float sums order-independent and engine-identical.
+    "q106_ewma_trend" -> ((s, dir) =>
+      Timeseries.ewmaSmooth(Tables.events(s, dir), windowDays = 7)
+        .orderBy("event_type", "epoch_day")),
+
+    // Ordered conversion funnel: signup → view → click → purchase, each
+    // step strictly after the previous one; per-stage survivor counts
+    // and mean micros from the first step.
+    "q107_funnel" -> ((s, dir) =>
+      Timeseries.funnel(
+        Tables.events(s, dir), Seq("signup", "view", "click", "purchase"))
+        .orderBy("stage")),
+
+    // Snapshot CDC diff: two synthetic corpus snapshots carved by a
+    // salted-md5 coin (h%10==3 absent from old, h%10==7 absent from new,
+    // h%5==0 mutated — the hash decorrelates status from source, unlike
+    // a doc_id modulus, which source = doc_id%20 would alias), diffed by
+    // content digest into added/removed/changed/unchanged per source.
+    "q108_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val coin = pmod(
+        graft.functions.Hashing.md5Long60(
+          concat(lit("snap:"), col("doc_id").cast("string"))),
+        lit(10L))
+      val oldSnap = docs.filter(coin =!= 3L)
+      val newSnap = docs.filter(coin =!= 7L)
+        .withColumn(
+          "text",
+          when(pmod(coin, lit(5L)) === 0L, upper(col("text")))
+            .otherwise(col("text")))
+      Curation.snapshotDiff(oldSnap, newSnap)
+        .groupBy(col("source"), col("status"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min(col("key")).as("min_id"),
+          max(col("key")).as("max_id"))
+        .orderBy("source", "status")
+    }),
+
+    // Systematic weighted sampling: 25 equal strata over cumulative
+    // n_chars in salted-md5 order — exact integer stratum boundaries,
+    // heavy docs picked proportionally.
+    "q109_systematic_sample" -> ((s, dir) =>
+      Curation.systematicWeightedSample(
+        Tables.documents(s, dir), col("doc_id"), col("n_chars"), k = 25)
+        .select(col("id").as("doc_id"), col("w"), col("cum_w"), col("n_picks"))
+        .orderBy("cum_w")),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -2170,6 +2220,123 @@ object SparkEntry {
         |       CAST(MAX(n_tokens) OVER (PARTITION BY bucket, shard, batch_id) - n_tokens AS BIGINT) AS pad_waste
         |FROM bt
         |ORDER BY bucket, shard, batch_id, pos""".stripMargin,
+
+    "q106_ewma_trend" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |s AS (SELECT MIN(epoch_day) AS lo, MAX(epoch_day) AS hi FROM c),
+        |d AS (SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS epoch_day FROM s),
+        |t AS (SELECT DISTINCT event_type FROM c),
+        |dense AS (
+        |  SELECT t.event_type, d.epoch_day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM t CROSS JOIN d
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.epoch_day = d.epoch_day
+        |)
+        |SELECT cur.event_type, cur.epoch_day, cur.n AS n_events,
+        |       SUM(power(0.5, cur.epoch_day - h.epoch_day) * h.n)
+        |         / SUM(power(0.5, cur.epoch_day - h.epoch_day)) AS ewma
+        |FROM dense cur
+        |JOIN dense h ON h.event_type = cur.event_type
+        |            AND h.epoch_day BETWEEN cur.epoch_day - 7 AND cur.epoch_day
+        |GROUP BY cur.event_type, cur.epoch_day, cur.n
+        |ORDER BY cur.event_type, cur.epoch_day""".stripMargin,
+
+    "q107_funnel" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |),
+        |f0 AS (
+        |  SELECT user_id, MIN(us) AS t0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |),
+        |f1 AS (
+        |  SELECT e.user_id, f0.t0, MIN(e.us) AS t1
+        |  FROM ev e JOIN f0 ON e.user_id = f0.user_id
+        |  WHERE e.event_type = 'view' AND e.us > f0.t0
+        |  GROUP BY e.user_id, f0.t0
+        |),
+        |f2 AS (
+        |  SELECT e.user_id, f1.t0, f1.t1, MIN(e.us) AS t2
+        |  FROM ev e JOIN f1 ON e.user_id = f1.user_id
+        |  WHERE e.event_type = 'click' AND e.us > f1.t1
+        |  GROUP BY e.user_id, f1.t0, f1.t1
+        |),
+        |f3 AS (
+        |  SELECT e.user_id, f2.t0, f2.t1, f2.t2, MIN(e.us) AS t3
+        |  FROM ev e JOIN f2 ON e.user_id = f2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.us > f2.t2
+        |  GROUP BY e.user_id, f2.t0, f2.t1, f2.t2
+        |),
+        |st AS (
+        |  SELECT CAST(0 AS INTEGER) AS stage, 'signup' AS step,
+        |         CAST(COUNT(*) AS BIGINT) AS n_users,
+        |         CAST(SUM(t0 - t0) AS BIGINT) AS lag_us FROM f0
+        |  UNION ALL
+        |  SELECT CAST(1 AS INTEGER), 'view', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(t1 - t0) AS BIGINT) FROM f1
+        |  UNION ALL
+        |  SELECT CAST(2 AS INTEGER), 'click', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(t2 - t0) AS BIGINT) FROM f2
+        |  UNION ALL
+        |  SELECT CAST(3 AS INTEGER), 'purchase', CAST(COUNT(*) AS BIGINT),
+        |         CAST(SUM(t3 - t0) AS BIGINT) FROM f3
+        |)
+        |SELECT stage, step, n_users,
+        |       CAST(lag_us AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_lag_us
+        |FROM st ORDER BY stage""".stripMargin,
+
+    "q108_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT doc_id, text, source,
+        |         CAST('0x' || substr(md5('snap:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 10 AS coin
+        |  FROM documents
+        |),
+        |olds AS (
+        |  SELECT doc_id, md5(text) AS od, source AS os
+        |  FROM base WHERE coin <> 3
+        |),
+        |news AS (
+        |  SELECT doc_id,
+        |         md5(CASE WHEN coin % 5 = 0 THEN upper(text) ELSE text END) AS nd,
+        |         source AS ns
+        |  FROM base WHERE coin <> 7
+        |),
+        |d AS (
+        |  SELECT COALESCE(o.doc_id, n.doc_id) AS key,
+        |         COALESCE(n.ns, o.os) AS source,
+        |         CASE WHEN o.od IS NULL THEN 'added'
+        |              WHEN n.nd IS NULL THEN 'removed'
+        |              WHEN o.od <> n.nd THEN 'changed'
+        |              ELSE 'unchanged' END AS status
+        |  FROM olds o FULL OUTER JOIN news n ON o.doc_id = n.doc_id
+        |)
+        |SELECT source, status, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       MIN(key) AS min_id, MAX(key) AS max_id
+        |FROM d GROUP BY source, status
+        |ORDER BY source, status""".stripMargin,
+
+    "q109_systematic_sample" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |         md5('graft:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, w,
+        |         CAST(SUM(w) OVER (ORDER BY h, doc_id
+        |           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w,
+        |         CAST(SUM(w) OVER () AS BIGINT) AS total
+        |  FROM t
+        |)
+        |SELECT doc_id, w, cum_w,
+        |       CAST((cum_w * 25) // total - ((cum_w - w) * 25) // total AS BIGINT) AS n_picks
+        |FROM c
+        |WHERE (cum_w * 25) // total - ((cum_w - w) * 25) // total > 0
+        |ORDER BY cum_w""".stripMargin,
 
     "q91_region_brand_revenue" ->
       """SELECT r_name, p_brand,

@@ -818,4 +818,95 @@ object Curation {
         col("id"), col("n_tokens"), col("bucket"), col("shard"),
         col("batch_id"), col("pos"), col("batch_max"), col("pad_waste"))
   }
+
+  /** Snapshot diff — CDC between two corpus snapshots: which documents
+    * were added, removed, changed, or left untouched since the last
+    * ingest, by key and content digest. The incremental-pipeline
+    * primitive: downstream re-embedding / re-tokenization wants exactly
+    * the `added ∪ changed` slice, retention tooling wants `removed`, and
+    * "unchanged should dominate" is the cheapest ingest sanity check
+    * there is.
+    *
+    * Scale: each side is projected to `(key, md5(text), source)` BEFORE
+    * the join, so the full-outer shuffle carries 16-byte digests, never
+    * document bodies; the join is a plain key equi-join (AQE handles
+    * skew), and at 100 TB the digest projection is the only pass over
+    * text on either side.
+    */
+  def snapshotDiff(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCol: String = "doc_id"): DataFrame = {
+    def digested(df: DataFrame, tag: String) = df.select(
+      col(keyCol).as("key"),
+      md5(col("text")).as(s"${tag}_digest"),
+      col("source").as(s"${tag}_source"))
+    digested(oldSnap, "old")
+      .join(digested(newSnap, "new"), Seq("key"), "full_outer")
+      .select(
+        col("key"),
+        coalesce(col("new_source"), col("old_source")).as("source"),
+        when(col("old_digest").isNull, lit("added"))
+          .when(col("new_digest").isNull, lit("removed"))
+          .when(col("old_digest") =!= col("new_digest"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** Systematic weighted sampling: place `k` equally-spaced strata over
+    * the cumulative weight axis and keep each document whose weight span
+    * crosses a stratum boundary — every kept doc represents the same
+    * share of total weight, heavy docs are picked proportionally
+    * (`n_picks` > 1 when one doc spans several strata), and the whole
+    * draw is a deterministic function of the data and the salt. This is
+    * the weighted complement of [[uniformSamplePerGroup]]: that samples
+    * documents uniformly, this samples WEIGHT uniformly — the right draw
+    * when "10% of the tokens", not "10% of the docs", is the contract.
+    * Docs are traversed in salted-md5 order so the draw is decorrelated
+    * from ingest order without any RNG.
+    *
+    * Stratum membership is exact integer arithmetic — `floor(cum·k/T) −
+    * floor((cum−w)·k/T)` on BIGINTs, no float thresholds, no
+    * transcendentals — so every engine picks the identical rows.
+    * Caller contract: `totalWeight × k` must stay below 2^63; at
+    * 100 TB of text (≈10^14 weight units) and k ≤ 10^4 that holds with
+    * an order of magnitude to spare.
+    *
+    * Scale: the prefix sum is the [[tokenBudgetSelect]] distributed
+    * shape — range-partition the narrow (id, hash, weight) triple, one
+    * per-partition offset table (≤ `numPartitions` rows) through the
+    * only global window, broadcast it back — one range exchange of
+    * narrow triples, no single-task cumsum anywhere.
+    */
+  def systematicWeightedSample(
+      df: DataFrame,
+      idCol: Column,
+      weightCol: Column,
+      k: Int,
+      numPartitions: Int = 32,
+      salt: String = "graft"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(numPartitions >= 1, s"numPartitions=$numPartitions must be >= 1")
+    val key = md5(concat(lit(salt), lit(":"), idCol.cast("string")))
+    val triple = df
+      .select(idCol.as("id"), key.as("h"), weightCol.cast("long").as("w"))
+      .repartitionByRange(numPartitions, col("h"), col("id"))
+      .withColumn("_pid", spark_partition_id())
+    val offsets = triple.groupBy(col("_pid")).agg(sum(col("w")).as("_t"))
+      .withColumn(
+        "_off",
+        coalesce(
+          sum(col("_t")).over(
+            Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("total", sum(col("_t")).over(Window.partitionBy()))
+      .select(col("_pid"), col("_off"), col("total"))
+    val w = Window.partitionBy(col("_pid")).orderBy(col("h"), col("id"))
+    triple.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("cum_w", col("_off") + sum(col("w")).over(w))
+      .withColumn(
+        "n_picks",
+        expr(s"(cum_w * $k) DIV total - ((cum_w - w) * $k) DIV total"))
+      .filter(col("n_picks") > 0)
+      .select(col("id"), col("w"), col("cum_w"), col("n_picks"))
+  }
 }

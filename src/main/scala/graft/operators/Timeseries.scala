@@ -105,6 +105,122 @@ object Timeseries {
         col("cell.n").as("n"))
   }
 
+  /** Exponentially-weighted moving average of the daily event-count
+    * series, per type — the smoother behind "is today's ingest volume
+    * drifting from trend" dashboards, where a plain moving average
+    * ([[q49|moving window]]-style) over-weights stale days. Weight for a
+    * day `g` days back is `0.5^g` over a finite `windowDays`-day lookback
+    * (a half-life of one day), and the average runs over the
+    * [[gapFill]]ed series so absent days pull the trend DOWN as true zeros
+    * instead of silently vanishing from the weight mass.
+    *
+    * Deterministic across engines by construction: every weight is an
+    * exact power of two (`0.5^g`, `g ≤ windowDays`), every weighted term
+    * `n·0.5^g` is an exact multiple of `2^-windowDays` far below the
+    * 53-bit mantissa limit, so BOTH the weighted sum and the weight sum
+    * are exact in IEEE doubles in ANY summation order — no
+    * float-associativity hazard — and the single final division is
+    * correctly rounded identically everywhere.
+    *
+    * Scale: ONE pass — the event table is scanned once into the daily
+    * aggregate (inside [[gapFill]]), and the lookback runs as a RANGE
+    * window over the dense series (collect the ≤ `windowDays`+1 lookback
+    * cells per row, fold the weighted sums with a higher-order
+    * `aggregate`), so there is no self-join and no second scan of the
+    * subtree; the window's per-type clustering is satisfied by the hash
+    * partitioning [[gapFill]]'s own windows already established, adding
+    * zero exchanges on top (pinned in PlanShapeSpec).
+    */
+  def ewmaSmooth(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 0, s"windowDays=$windowDays must be >= 0")
+    val lookback = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rangeBetween(-windowDays.toLong, 0L)
+    def weighted(term: Column => Column): Column =
+      aggregate(
+        col("_hist"), lit(0.0),
+        (acc, cell) => acc +
+          term(cell.getField("hn")) *
+          pow(lit(0.5), (col("epoch_day") - cell.getField("d")).cast("double")))
+    gapFill(events)
+      .withColumn(
+        "_hist",
+        collect_list(struct(col("epoch_day").as("d"), col("n").as("hn"))).over(lookback))
+      .select(
+        col("event_type"), col("epoch_day"), col("n").as("n_events"),
+        (weighted(hn => hn.cast("double")) / weighted(_ => lit(1.0))).as("ewma"))
+  }
+
+  /** Ordered conversion funnel: for a sequence of step event types, the
+    * per-user timestamps of the FIRST time each step happened strictly
+    * after the previous step — "signed up, then later viewed, then later
+    * clicked, then later purchased" — summarized as per-stage user counts
+    * and mean time-from-first-step. An unordered `count(distinct user)
+    * filter(type = s)` overcounts: a purchase BEFORE the first view is
+    * not a conversion through the funnel, and only the progressive
+    * strictly-after constraint expresses that.
+    *
+    * Single-pass: the scan is filtered to the step types (`event_type
+    * IN` pushes to parquet), shuffled ONCE on `user_id`, and each user's
+    * step-typed events are folded in (us, event_id) order by a
+    * higher-order `aggregate` that appends a step time exactly when the
+    * next expected type appears strictly later than the last matched
+    * step — the greedy first-match, which IS the progressive
+    * min-after-previous semantics. A K-stage join formulation would
+    * recompute each survivor chain per stage (O(K²) scans — Spark
+    * deduplicates exchanges, not arbitrary subplans); this is one scan,
+    * one data shuffle, and a dimension-sized summary. The per-user
+    * collect holds only step-typed events, and the deterministic
+    * `sort_array` makes the fold a pure function of the data. All
+    * timestamps are exact epoch-micro longs; the one double (`mean_lag
+    * _us`) is a single division of exact integer sums, deterministic
+    * across engines.
+    *
+    * Returns one row per stage: `(stage, step, n_users, mean_lag_us)` —
+    * `n_users` monotonically non-increasing down the funnel, `mean_lag
+    * _us` the average micros from the stage-0 event among users who
+    * reached the stage (0 at stage 0, null for a stage nobody reached).
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, s"duplicate step in $steps")
+    val k = steps.size
+    val stepArr = array(steps.map(lit): _*)
+    val perUser = events
+      .filter(col("event_type").isInCollection(steps))
+      .select(
+        col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("us"), col("event_id"), col("event_type")))).as("evs"))
+      .select(
+        col("user_id"),
+        aggregate(
+          col("evs"), array().cast("array<bigint>"),
+          (ts, e) => when(
+            size(ts) < k &&
+              e.getField("event_type") === element_at(stepArr, size(ts) + 1) &&
+              (size(ts) === 0 || e.getField("us") > element_at(ts, -1)),
+            concat(ts, array(e.getField("us")))).otherwise(ts)).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val reached = perUser
+      .select(element_at(col("ts"), 1).as("t0"), posexplode(col("ts")))
+      .groupBy(col("pos").as("stage"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(col("col") - col("t0")).as("_lag"))
+    // Static stage dimension: a stage nobody reached must still report
+    // (n_users = 0, mean null) instead of vanishing from the output.
+    events.sparkSession
+      .createDataFrame(steps.zipWithIndex.map { case (s, i) => (i, s) })
+      .toDF("stage", "step")
+      .join(broadcast(reached), Seq("stage"), "left_outer")
+      .select(
+        col("stage"), col("step"),
+        coalesce(col("n_reached"), lit(0L)).as("n_users"),
+        (col("_lag").cast("double") / col("n_reached").cast("double")).as("mean_lag_us"))
+  }
+
   /** Event-type transition matrix: for each user's event stream in
     * (ts, event_id) order, count every consecutive `from_type → to_type`
     * step — the funnel/Markov-chain summary behind drop-off analysis.

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 import graft.operators.Curation
 
 class CurationSpec extends SparkSpec {
@@ -491,5 +493,63 @@ class CurationSpec extends SparkSpec {
     assert(out(1).getAs[String]("split") === null)
     assert(out(3).getAs[String]("reject_reasons") === "length,word_shape,no_stopwords")
     assert(out(3).getAs[String]("split") === null)
+  }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged by digest") {
+    val oldSnap = Seq(
+      doc(0L, "same text"),
+      doc(1L, "before edit"),
+      doc(2L, "will be deleted"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val newSnap = Seq(
+      doc(0L, "same text"),
+      doc(1L, "after edit"),
+      (3L, "brand new", "en", "s9", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Curation.snapshotDiff(oldSnap, newSnap).orderBy("key").collect()
+    val byKey = r.map(x => x.getAs[Long]("key") -> x.getAs[String]("status")).toMap
+    assert(byKey === Map(0L -> "unchanged", 1L -> "changed", 2L -> "removed", 3L -> "added"))
+    // Added rows take their source from the new side; removed from the old.
+    assert(r.find(_.getAs[Long]("key") == 3L).get.getAs[String]("source") === "s9")
+    assert(r.find(_.getAs[Long]("key") == 2L).get.getAs[String]("source") === "s0")
+  }
+
+  test("systematicWeightedSample: exactly k strata hits, heavy docs multi-picked") {
+    // Telescoping: summed n_picks over kept rows is floor(T·k/T) −
+    // floor(0·k/T) = k, independent of the weight layout.
+    val docs = (0L until 40L).map(i => (i, if (i == 7L) 500L else 10L))
+      .toDF("doc_id", "w_in")
+    for (k <- Seq(1, 5, 10)) {
+      val r = Curation.systematicWeightedSample(
+        docs, col("doc_id"), col("w_in"), k = k).collect()
+      assert(r.map(_.getAs[Long]("n_picks")).sum === k.toLong, s"k=$k")
+    }
+    // Doc 7 holds 500/890 > 1/2 of the weight: with k=10 it must span
+    // multiple strata.
+    val r10 = Curation.systematicWeightedSample(
+      docs, col("doc_id"), col("w_in"), k = 10).collect()
+    val heavy = r10.find(_.getAs[Long]("id") == 7L).get
+    assert(heavy.getAs[Long]("n_picks") >= 5L)
+  }
+
+  test("systematicWeightedSample is partitioning-invariant and deterministic") {
+    val docs = (0L until 100L).map(i => (i, 1L + i % 13L)).toDF("doc_id", "w_in")
+    def run(np: Int) = Curation.systematicWeightedSample(
+      docs, col("doc_id"), col("w_in"), k = 9, numPartitions = np)
+      .orderBy("cum_w").collect().map(x =>
+        (x.getAs[Long]("id"), x.getAs[Long]("cum_w"), x.getAs[Long]("n_picks"))).toSeq
+    val base = run(1)
+    assert(run(7) === base)   // range partitioning must not move the strata
+    assert(run(32) === base)
+    assert(run(7) === run(7)) // and reruns reproduce bit-identically
+  }
+
+  test("systematicWeightedSample never picks zero-weight docs") {
+    val docs = (0L until 20L).map(i => (i, if (i % 2 == 0) 0L else 5L))
+      .toDF("doc_id", "w_in")
+    val r = Curation.systematicWeightedSample(docs, col("doc_id"), col("w_in"), k = 4)
+      .collect()
+    assert(r.map(_.getAs[Long]("n_picks")).sum === 4L)
+    assert(r.forall(_.getAs[Long]("id") % 2 == 1))
   }
 }

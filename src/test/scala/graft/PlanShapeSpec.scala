@@ -303,6 +303,59 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(out) === 1, s"length batcher no longer single-shuffle:\n$p")
   }
 
+  test("ewma smoothing adds zero exchanges on top of gapFill's own plan") {
+    val events = graft.sources.Tables.events(spark, dir)
+    val base = graft.operators.Timeseries.gapFill(events)
+    val ewma = graft.operators.Timeseries.ewmaSmooth(events, windowDays = 7)
+    val p = plan(ewma)
+    // The RANGE lookback window must ride gapFill's existing per-type
+    // partitioning — a self-join formulation would show up here as extra
+    // exchanges AND a second scan of the events subtree.
+    assert(shuffles(ewma) === shuffles(base),
+      s"ewma grew exchanges beyond gapFill's:\n$p")
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"ewma scans the event table more than once:\n$p")
+  }
+
+  test("funnel pushes each step's type filter to the scan; survivor frames never re-shuffle") {
+    val events = graft.sources.Tables.events(spark, dir)
+    val df = graft.operators.Timeseries.funnel(
+      events, Seq("signup", "view", "click", "purchase"))
+    val p = plan(df)
+    // The steps filter reaches the parquet scan as one IN predicate.
+    assert(p.contains("In(event_type"), s"step filter not pushed down:\n$p")
+    // ONE scan and two exchanges (user_id fold + dimension-sized stage
+    // agg) — a per-stage join formulation would recompute each survivor
+    // chain and show up here as O(K²) scans.
+    assert("Scan parquet".r.findAllIn(p).size === 1,
+      s"funnel scans the event table more than once:\n$p")
+    assert(shuffles(df) <= 2, s"funnel grew a shuffle:\n$p")
+  }
+
+  test("snapshot diff: no exchange carries document text, only digests") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = Tables(dir)
+    val df = graft.operators.Curation.snapshotDiff(docs, docs)
+    df.write.format("noop").mode("overwrite").save()
+    val leaked = df.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec if s.output.exists(_.name == "text") => s
+    }
+    assert(leaked.isEmpty,
+      s"snapshot diff shuffles raw text instead of digests:\n${plan(df)}")
+  }
+
+  test("systematic sample: the corpus crosses one range exchange") {
+    import org.apache.spark.sql.functions._
+    val out = graft.operators.Curation.systematicWeightedSample(
+      Tables(dir), col("doc_id"), col("n_chars"), k = 10)
+    out.collect()
+    val p = out.queryExecution.executedPlan.toString
+    val rangeExchanges = "Exchange rangepartitioning".r.findAllIn(p).size
+    assert(p.contains("ReusedExchange") || rangeExchanges <= 1,
+      s"offsets subtree no longer reuses the corpus range exchange " +
+        s"($rangeExchanges range exchanges, no ReusedExchange):\n$p")
+  }
+
   private def Tables(d: String): DataFrame =
     graft.sources.Tables.documents(spark, d)
 }

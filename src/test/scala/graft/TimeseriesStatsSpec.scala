@@ -214,4 +214,64 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(r.forall(_.isNullAt(r.head.fieldIndex("z"))))
     assert(r.forall(!_.getAs[Boolean]("is_anomaly")))
   }
+
+  test("ewma smoothing: half-life-one-day weights over the gap-filled series") {
+    // Type "a": day0 n=1, day1 gap (→ 0), day2 n=1. The EWMA must see
+    // the gap day as a true zero pulling the trend down.
+    val r = Timeseries.ewmaSmooth(events, windowDays = 7)
+      .filter(col("event_type") === "a").orderBy("epoch_day").collect()
+    assert(r.length === 3)
+    val e = r.map(_.getAs[Double]("ewma"))
+    assert(e(0) === 1.0)                    // only itself
+    assert(e(1) === 0.5 / 1.5)              // (0·1 + 1·½) / (1 + ½)
+    assert(e(2) === 1.25 / 1.75)            // (1·1 + 0·½ + 1·¼) / 1.75
+    // All three values are exact ratios of dyadic rationals — the ===
+    // above is intentionally bitwise, no tolerance.
+  }
+
+  test("ewma with windowDays=0 degenerates to the series itself") {
+    val r = Timeseries.ewmaSmooth(events, windowDays = 0).collect()
+    assert(r.nonEmpty)
+    assert(r.forall(x => x.getAs[Double]("ewma") === x.getAs[Long]("n_events").toDouble))
+  }
+
+  test("funnel counts only strictly-ordered step sequences") {
+    // u1: full ordered conversion. u2: view BEFORE signup (must not
+    // count at stage 1). u3: signup→view→purchase, no click (purchase
+    // must not leapfrog the missing step). u4: never signs up.
+    // u5: view at the SAME instant as signup (strictness: not counted).
+    val e = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 1L, "view", 1.0, "{}"),
+      (3L, ts("2024-01-01 12:00:00"), 1L, "click", 1.0, "{}"),
+      (4L, ts("2024-01-01 14:00:00"), 1L, "purchase", 1.0, "{}"),
+      (5L, ts("2024-01-01 09:00:00"), 2L, "view", 1.0, "{}"),
+      (6L, ts("2024-01-01 10:00:00"), 2L, "signup", 1.0, "{}"),
+      (7L, ts("2024-01-01 10:00:00"), 3L, "signup", 1.0, "{}"),
+      (8L, ts("2024-01-01 11:00:00"), 3L, "view", 1.0, "{}"),
+      (9L, ts("2024-01-01 12:00:00"), 3L, "purchase", 1.0, "{}"),
+      (10L, ts("2024-01-01 10:00:00"), 4L, "view", 1.0, "{}"),
+      (11L, ts("2024-01-01 11:00:00"), 4L, "click", 1.0, "{}"),
+      (12L, ts("2024-01-01 10:00:00"), 5L, "signup", 1.0, "{}"),
+      (13L, ts("2024-01-01 10:00:00"), 5L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Timeseries.funnel(e, Seq("signup", "view", "click", "purchase"))
+      .orderBy("stage").collect()
+    assert(r.map(_.getAs[String]("step")).toSeq ===
+      Seq("signup", "view", "click", "purchase"))
+    assert(r.map(_.getAs[Long]("n_users")).toSeq === Seq(4L, 2L, 1L, 1L))
+    assert(r(0).getAs[Double]("mean_lag_us") === 0.0)
+    // Stage 3: only u1, 4h from signup to purchase.
+    assert(r(3).getAs[Double]("mean_lag_us") === 4.0 * 3600 * 1e6)
+    // Stage 1: u1 (1h) and u3 (1h) — mean 1h.
+    assert(r(1).getAs[Double]("mean_lag_us") === 3600 * 1e6)
+  }
+
+  test("funnel with an unreached tail stage reports zero users, null mean") {
+    val e = Seq((1L, ts("2024-01-01 10:00:00"), 1L, "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = Timeseries.funnel(e, Seq("signup", "purchase")).orderBy("stage").collect()
+    assert(r.map(_.getAs[Long]("n_users")).toSeq === Seq(1L, 0L))
+    assert(r(1).isNullAt(r(1).fieldIndex("mean_lag_us")))
+  }
 }
