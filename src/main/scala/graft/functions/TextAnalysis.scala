@@ -628,4 +628,42 @@ object TextAnalysis {
       // and the per-token oracle, which emit nothing to aggregate).
       .filter(col("simhash").isNotNull)
   }
+
+  /** Integer-bit unigram surprisal — the perplexity-proxy quality score a
+    * curation pipeline runs before training: each token instance scores
+    * `bits(N) − bits(cnt(w))` where `bits(x) = length(bin(x))` is the
+    * exact integer `floor(log2 x) + 1` and `N` the corpus token total, a
+    * whole-bit quantization of `−log2 p(w)`. Rare-token-heavy documents
+    * (gibberish, OCR noise, boilerplate-free spam) score high; documents
+    * of common words score low. The whole-bit form is deliberate: a real
+    * `−log2` sums per-token FLOATS in engine-dependent fold order and the
+    * last ulp diverges, while `bits` is exact integer arithmetic end to
+    * end — the only float op is the final `sum_bits / n_tokens`, one IEEE
+    * division of exact integers, bit-identical everywhere. Docs with no
+    * tokens produce no row (nothing to score — same convention as
+    * [[simhash]]).
+    *
+    * Scale: one corpus pass builds the vocabulary counts (Heaps-bounded),
+    * one scoring pass joins them back — broadcast by default, or an
+    * ordinary shuffle equi-join (`broadcastModel = false`) when an open
+    * vocabulary outgrows the broadcast budget, mirroring
+    * [[bigramSurprise]]'s knob. The per-doc aggregation is map-side
+    * combined; no all-pairs, no driver state.
+    */
+  def unigramSurprisal(docs: DataFrame, broadcastModel: Boolean = true): DataFrame = {
+    val toks = spread(docs).select(col("doc_id"), explode(wordsCol).as("w"))
+    val model = toks.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = model.agg(sum(col("cnt")).as("n_total"))
+    toks
+      .join(if (broadcastModel) broadcast(model) else model, Seq("w"))
+      .crossJoin(broadcast(total))
+      .withColumn(
+        "bits",
+        (length(bin(col("n_total"))) - length(bin(col("cnt")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("bits")).as("sum_bits"))
+      .withColumn(
+        "mean_bits",
+        col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+  }
 }

@@ -952,4 +952,70 @@ object Dedup {
           filter(passagesOf(col("words"), passageLen), (_, i) => !array_contains(col("dc"), i)),
           " ").as("clean_text"))
   }
+
+  /** LSH candidates verified by CHARACTER edit distance — the near-dup
+    * check for OCR noise, typo farms, and template fills, where
+    * shingle-set Jaccard under-scores small in-word edits (one character
+    * flip kills k word-shingles but costs one edit). Verification runs on
+    * a bounded prefix (`prefixLen` chars) so the quadratic Levenshtein DP
+    * is capped at prefixLen² per candidate regardless of document size;
+    * similarity is `1 − lev/max(len_a, len_b)` (two-empty-prefix pairs
+    * are identical, sim 1). The division is one IEEE op on exact
+    * integers; Spark and DuckDB both implement unit-cost character
+    * Levenshtein, so the score is engine-identical.
+    *
+    * Scale: candidates come from [[lshCandidatePairs]] (bucket-confined,
+    * never all-pairs); the verify join ships only the `prefixLen`-char
+    * prefixes, not full documents, so per-pair network and CPU are both
+    * constant-bounded.
+    */
+  def editVerifiedPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 8,
+      numBands: Int = 4,
+      prefixLen: Int = 256,
+      minSim: Double = 0.5): DataFrame = {
+    val pre = TextAnalysis.spread(docs)
+      .select(col("doc_id"), substring(col("text"), 1, prefixLen).as("pre"))
+    lshCandidatePairs(docs, k, numHashes, numBands)
+      .join(pre.select(col("doc_id").as("doc_a"), col("pre").as("pre_a")), Seq("doc_a"))
+      .join(pre.select(col("doc_id").as("doc_b"), col("pre").as("pre_b")), Seq("doc_b"))
+      .withColumn("lev", levenshtein(col("pre_a"), col("pre_b")).cast("long"))
+      .withColumn(
+        "max_len",
+        greatest(length(col("pre_a")), length(col("pre_b"))).cast("long"))
+      .withColumn(
+        "sim",
+        when(col("max_len") === 0L, lit(1.0))
+          .otherwise(lit(1.0) - col("lev").cast("double") / col("max_len").cast("double")))
+      .filter(col("sim") >= minSim)
+      .select(col("doc_a"), col("doc_b"), col("lev"), col("sim"))
+  }
+
+  /** Exact dedup after text canonicalization (lowercase, collapse every
+    * non-alphanumeric run to one space, trim) — catches the
+    * formatting-only duplicates exact hashing misses: case changes,
+    * punctuation variants, whitespace reflow, markup residue. Per group
+    * the output reports how many DISTINCT raw texts the canonical form
+    * merged (`n_variants` > 1 ⟺ canonicalization found something
+    * [[exactDuplicates]] could not). The canonicalization stays inside
+    * the regex subset Java and RE2 interpret identically (one character
+    * class, no backrefs), same discipline as [[TextAnalysis.redactPii]].
+    *
+    * Scale: identical shape to [[exactDuplicates]] — a narrow per-row
+    * projection, then one digest-keyed shuffle of 16-byte hashes with
+    * map-side combine; text never shuffles.
+    */
+  def canonicalDuplicates(docs: DataFrame): DataFrame =
+    docs
+      .select(
+        col("doc_id"),
+        md5(col("text")).as("raw_hash"),
+        trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("canon"))
+      .groupBy(md5(col("canon")).as("canon_hash"))
+      .agg(
+        min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_docs"),
+        count_distinct(col("raw_hash")).as("n_variants"))
 }

@@ -539,4 +539,63 @@ object Similarity {
       .withColumn("recon", col("mn") + expr("CAST(code AS BIGINT) * (mx - mn) DIV 255"))
       .select(col("vec_id"), col("dim"), col("x"), col("code"), col("recon"))
   }
+
+  /** Per-label embedding outliers by leave-one-out centroid cosine — the
+    * "is this example even in the right cluster" monitor a labeled
+    * training set runs before fine-tuning (mislabeled rows, corrupted
+    * embeddings, and domain strays rank first). For each vector the
+    * centroid of its OWN label EXCLUDING ITSELF is derived algebraically
+    * from the label's integer sum vector: with `s` the per-label
+    * elementwise sum of quantized vectors and `q` the vector itself,
+    * `dot(q, s−q) = dot(q,s) − |q|²` and `|s−q|² = |s|² − 2·dot(q,s) +
+    * |q|²` — exact BIGINT end to end, no second pass, no per-group
+    * re-aggregation per row. Cosine (scale-invariant, so the un-divided
+    * sum vector IS the centroid direction) is then one division over two
+    * correctly-rounded sqrts of exact integers — engine-bit-identical.
+    *
+    * Quantization is `floor(x·10³)` — coarser than [[quantize]]'s 10⁶ on
+    * purpose: the sum vector's squared norm grows with the label's
+    * cardinality c as (10³·c)², which stays below 2⁶³ for c up to ~10⁵
+    * per label at 64 dims (DuckDB raises on BIGINT overflow, Spark wraps
+    * silently — staying exact in BOTH engines is the gate). For larger
+    * label groups, coarsen `quantScale` one decade per 10× cardinality.
+    *
+    * Scale: one posexplode aggregate builds the labels×dims sum table
+    * (dimension-sized, broadcasts back), one scan scores every vector,
+    * and the bottom-k window partitions by label. Labels with a single
+    * vector have no leave-one-out centroid and are excluded (`|s−q|² =
+    * 0`).
+    */
+  def centroidOutliers(
+      embeddings: DataFrame,
+      bottomK: Int = 5,
+      quantScale: Long = 1000L): DataFrame = {
+    val e = embeddings
+      .select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => floor(x.cast("double") * quantScale).cast("long"))
+          .as("qe"))
+      .withColumn("n2", dot(col("qe"), col("qe")))
+    val sums = e
+      .select(col("label"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("v")).as("sv"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("ps"))
+      .select(col("label"), transform(col("ps"), p => p.getField("sv")).as("svec"))
+      .withColumn("sn2", dot(col("svec"), col("svec")))
+    val w = Window.partitionBy(col("label")).orderBy(col("cosine").asc, col("vec_id"))
+    e.join(broadcast(sums), Seq("label"))
+      .withColumn("dp_s", dot(col("qe"), col("svec")))
+      .withColumn("loo_dp", col("dp_s") - col("n2"))
+      .withColumn("loo_n2", col("sn2") - lit(2L) * col("dp_s") + col("n2"))
+      .filter(col("loo_n2") > 0L && col("n2") > 0L)
+      .withColumn(
+        "cosine",
+        col("loo_dp").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("loo_n2").cast("double"))))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= bottomK)
+      .select(col("label"), col("vec_id"), col("rnk"), col("loo_dp"), col("cosine"))
+  }
 }
