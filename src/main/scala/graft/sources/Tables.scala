@@ -2,16 +2,24 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-provided parquet tables (TESTDATA.md) plus the
   * derivations that map them onto the reference pipeline's input schemas
   * (FIXTURES.md §3).
   *
-  * The `events` table's `ts` column is parquet TIMESTAMP(NANOS), which
-  * Spark's vectorized reader rejects outright; we read it as a nanosecond
-  * long (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to
-  * microseconds with integer division — bit-identical to how DuckDB (the
-  * correctness oracle) narrows ns → µs.
+  * The `events` table's `ts` column has shipped in several encodings as the
+  * upstream generator evolved: parquet TIMESTAMP(NANOS) (which Spark's
+  * vectorized reader surfaces as a nanosecond long under
+  * `spark.sql.legacy.parquet.nanosAsLong`), plain `timestamp[us]` without
+  * UTC adjustment (surfaced as TIMESTAMP_NTZ), and UTC-adjusted
+  * `timestamp[us]` (surfaced as TIMESTAMP). A loader that binds to one
+  * vintage breaks on the next regeneration, so we dispatch on the type the
+  * scan actually produced and normalize every path to a session-zone
+  * TIMESTAMP at microsecond precision — the same value DuckDB (the
+  * correctness oracle) sees when it reads the identical file. The session
+  * zone is pinned to UTC by every entry point, so the NTZ→TZ cast is a
+  * pure re-tag, not a wall-clock shift.
   */
 object Tables {
 
@@ -20,8 +28,15 @@ object Tables {
 
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      .withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalArgumentException(
+          s"events.ts: unsupported parquet-surfaced type $other (expected ns-long, timestamp_ntz, or timestamp)")
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** The events loader must tolerate every `ts` encoding the upstream
+  * generator has ever shipped (TESTDATA.md): TIMESTAMP(NANOS) — surfaced
+  * as a nanosecond long under `nanosAsLong` — plus `timestamp[us]` with
+  * and without UTC adjustment (TIMESTAMP / TIMESTAMP_NTZ). Round 11 lost
+  * 25/109 queries because the loader was bound to a single vintage; this
+  * spec writes all three encodings and asserts they load to identical
+  * rows, so the loader can never again silently bind to one.
+  */
+class TablesSpec extends SparkSpec {
+
+  private val micros: Seq[Long] = Seq(
+    1735689600000000L, // 2025-01-01T00:00:00Z
+    1735776000123456L, // 2025-01-02T00:00:00.123456Z
+    1740000000999999L)
+
+  private def writeAndLoad(encode: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Seq[Row] = {
+    val dir = Files.createTempDirectory("tables-spec").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    val base = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
+      .toDF("event_id", "us")
+    encode(base).select("event_id", "ts")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Tables.events(spark, dir.toString)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      .orderBy("event_id").collect().toSeq
+  }
+
+  test("events loader normalizes ns-long, timestamp_ntz, and timestamp encodings identically") {
+    // TIMESTAMP(NANOS) parquet surfaces as LongType under nanosAsLong; a
+    // plain long column exercises the identical dispatch path.
+    val fromNanosLong = writeAndLoad(_.withColumn("ts", col("us") * lit(1000L)))
+    val fromNtz       = writeAndLoad(_.withColumn("ts", timestamp_micros(col("us")).cast(TimestampNTZType)))
+    val fromTz        = writeAndLoad(_.withColumn("ts", timestamp_micros(col("us"))))
+
+    val expected = micros.zipWithIndex.map { case (us, i) => Row(i.toLong, us) }
+    assert(fromNanosLong === expected)
+    assert(fromNtz === expected)
+    assert(fromTz === expected)
+  }
+
+  test("events loader rejects an unsupported ts type with a clear error") {
+    val ex = intercept[IllegalArgumentException] {
+      writeAndLoad(_.withColumn("ts", col("us").cast(StringType)))
+    }
+    assert(ex.getMessage.contains("events.ts"))
+  }
+
+  test("events loader reads the driver-generated sf0.001 table (current vintage)") {
+    val dir = "/root/testdata/sf0.001"
+    if (new java.io.File(s"$dir/events.parquet").exists()) {
+      val ev = Tables.events(spark, dir)
+      assert(ev.schema("ts").dataType === TimestampType)
+      assert(ev.limit(5).count() > 0)
+    }
+  }
+}
