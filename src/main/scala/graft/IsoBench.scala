@@ -12,6 +12,11 @@ object IsoBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Operator telemetry (e.g. dedupClusters round counts) logs at INFO
+    // under the graft namespace — that's the signal IsoBench exists to
+    // surface, so re-enable it under the global WARN.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "graft", org.apache.logging.log4j.Level.INFO)
     spark.range(1000).selectExpr("sum(id)").collect()
     names.foreach { name =>
       val fn = SparkEntry.queries(name)

@@ -787,6 +787,34 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("w"), col("cum_w"), col("n_picks"))
         .orderBy("cum_w")),
 
+    // Canonicalized exact dedup: formatting-only duplicates (case,
+    // punctuation, whitespace reflow) collapse to one canonical hash;
+    // n_variants counts how many distinct raw texts each form merged.
+    "q110_canonical_dedup" -> ((s, dir) =>
+      Dedup.canonicalDuplicates(Tables.documents(s, dir))
+        .orderBy("canon_hash")),
+
+    // LSH candidates verified by bounded-prefix character edit distance —
+    // the near-dup check for OCR noise/typo farms where shingle Jaccard
+    // under-scores small in-word edits.
+    "q111_edit_verified_pairs" -> ((s, dir) =>
+      Dedup.editVerifiedPairs(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
+    // Corpus-model unigram surprisal: mean per-token bits vs the corpus
+    // unigram distribution (integer log2 via bin-length, so the score is
+    // engine-exact) — flags gibberish (high) and boilerplate (low).
+    "q112_unigram_surprisal" -> ((s, dir) =>
+      TextAnalysis.unigramSurprisal(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
+    // Leave-one-out centroid outliers per label over quantized
+    // embeddings: the k vectors least aligned with their own cluster's
+    // centroid — mislabeled/contaminated-embedding detection.
+    "q113_centroid_outliers" -> ((s, dir) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, dir))
+        .orderBy("label", "rnk")),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -1444,6 +1472,108 @@ object SparkEntry {
          |FROM v
          |WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.2
          |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q110_canonical_dedup" ->
+      """SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS canon_hash,
+        |       MIN(doc_id) AS canonical_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_variants
+        |FROM documents
+        |GROUP BY canon_hash
+        |ORDER BY canon_hash""".stripMargin,
+
+    // Same LSH candidate generation as q25; the verify step is character
+    // Levenshtein over 256-char prefixes (both engines implement unit-cost
+    // edit distance); sim = 1 - lev/max_len is two IEEE ops on exact ints.
+    "q111_edit_verified_pairs" ->
+      s"""WITH $docShingles,
+         |$minhashBands,
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_sig = b.band_sig AND a.doc_id < b.doc_id
+         |),
+         |pre AS (SELECT doc_id, substr(text, 1, 256) AS pre FROM documents),
+         |v AS (
+         |  SELECT doc_a, doc_b,
+         |         CAST(levenshtein(pa.pre, pb.pre) AS BIGINT) AS lev,
+         |         CAST(greatest(length(pa.pre), length(pb.pre)) AS BIGINT) AS max_len
+         |  FROM cand JOIN pre pa ON doc_a = pa.doc_id JOIN pre pb ON doc_b = pb.doc_id
+         |)
+         |SELECT doc_a, doc_b, lev,
+         |       CASE WHEN max_len = 0 THEN 1.0
+         |            ELSE 1.0 - CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE) END AS sim
+         |FROM v
+         |WHERE (CASE WHEN max_len = 0 THEN 1.0
+         |            ELSE 1.0 - CAST(lev AS DOUBLE) / CAST(max_len AS DOUBLE) END) >= 0.5
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // Integer surprisal: bits(w) = floor(log2 n_total) - floor(log2 cnt)
+    // via binary-string lengths — exact in both engines; only the final
+    // mean is a (single-IEEE-op) division.
+    "q112_unigram_surprisal" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents
+        |),
+        |model AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM model)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(length(bin(n_total)) - length(bin(cnt))) AS BIGINT) AS sum_bits,
+        |       CAST(CAST(SUM(length(bin(n_total)) - length(bin(cnt))) AS BIGINT) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS mean_bits
+        |FROM toks JOIN model USING (w) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Leave-one-out cosine vs the label centroid SUM: all dot products on
+    // 1e3-quantized longs (exact; sn2 bounded ~1.6e15 « 2^63), cosine is
+    // the one sqrt/multiply/divide chain — identical op order both sides.
+    "q113_centroid_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings
+        |),
+        |n AS (
+        |  SELECT vec_id, label, qe,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2
+        |  FROM e
+        |),
+        |sv AS (
+        |  SELECT label, pos, CAST(SUM(v) AS BIGINT) AS s
+        |  FROM (SELECT label, unnest(qe) AS v, unnest(range(len(qe))) AS pos FROM e)
+        |  GROUP BY label, pos
+        |),
+        |cent AS (SELECT label, list(s ORDER BY pos) AS svec FROM sv GROUP BY label),
+        |cent2 AS (
+        |  SELECT label, svec,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> svec[i] * svec[i])) AS BIGINT) AS sn2
+        |  FROM cent
+        |),
+        |j AS (
+        |  SELECT n.label, n.vec_id, n.n2, cent2.sn2,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * cent2.svec[i])) AS BIGINT) AS dp_s
+        |  FROM n JOIN cent2 USING (label)
+        |),
+        |l AS (
+        |  SELECT label, vec_id, dp_s - n2 AS loo_dp, sn2 - 2 * dp_s + n2 AS loo_n2, n2
+        |  FROM j
+        |),
+        |c AS (
+        |  SELECT label, vec_id, CAST(loo_dp AS BIGINT) AS loo_dp,
+        |         CAST(loo_dp AS DOUBLE)
+        |           / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(loo_n2 AS DOUBLE))) AS cosine
+        |  FROM l WHERE loo_n2 > 0 AND n2 > 0
+        |),
+        |r AS (
+        |  SELECT label, vec_id, loo_dp, cosine,
+        |         CAST(row_number() OVER (PARTITION BY label ORDER BY cosine ASC, vec_id) AS INT) AS rnk
+        |  FROM c
+        |)
+        |SELECT label, vec_id, rnk, loo_dp, cosine FROM r WHERE rnk <= 5
+        |ORDER BY label, rnk""".stripMargin,
 
     // The stub "decoder" is a 16-bin byte histogram over the UTF-8 payload;
     // documents are pure ASCII (verified at generation), so byte-range

@@ -18,6 +18,8 @@ import graft.functions.TextAnalysis
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger("graft.operators.Dedup")
+
   /** Exact dedup: group by content digest, keep the smallest doc_id as
     * canonical. The shuffle key is the md5 digest, not the document text.
     */
@@ -297,7 +299,8 @@ object Dedup {
     // joins repeats at most |Eₛ| times, so below-threshold edge counts
     // prove the hot sets empty without ever computing them. The count
     // doubles as the cache materialization the loop needs anyway.
-    val splitNeeded = edges.count() >= hotKeyThreshold
+    val edgeCount = edges.count()
+    val splitNeeded = edgeCount >= hotKeyThreshold
     // Static hot-vertex set for the per-round edge⋈labels join: symmetric
     // degree is the exact per-key row count of that join's streamed side
     // and never changes across rounds, so one map-side-combined pass
@@ -322,6 +325,7 @@ object Dedup {
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
+      val roundStart = System.nanoTime()
       val dstLabels = labels.select(col("doc_id").as("dst"), col("label"))
       val nbrMin = hotV
         .map(hv => hotColdJoin(edges, dstLabels, "dst", hv, "inner"))
@@ -373,7 +377,12 @@ object Dedup {
       val slim = next.select("doc_id", "label")
       labels = slim.sparkSession.createDataFrame(slim.rdd, slim.schema)
       it += 1
+      // Convergence telemetry: an 11.5× wall-clock swing on a data refresh
+      // is indistinguishable from a depth blow-up without per-round
+      // numbers, and at 100 TB an unbounded round count IS the bottleneck.
+      log.info(f"dedupClusters round $it: ${(System.nanoTime() - roundStart) / 1e9}%.2fs converged=$converged")
     }
+    log.info(s"dedupClusters: rounds=$it edges=$edgeCount skewSplit=$splitNeeded maxIters=$maxIters")
     // edges is only read inside the loop; lineage survives unpersist, so
     // dropping the blocks now is safe (and keeps long-lived sessions from
     // accumulating storage). The final labels cache stays — the returned

@@ -863,4 +863,54 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(2).getAs[Boolean]("kept"))
     assert(out(3).getAs[Boolean]("kept"))
   }
+
+  test("canonicalDuplicates merges formatting-only variants that exact hashing misses") {
+    val d = Seq(
+      (0L, "Hello, World!", "en", "s0", 13L),
+      (1L, "hello   world", "en", "s0", 13L),
+      (2L, "hello world", "en", "s0", 11L),
+      (3L, "different text", "en", "s1", 14L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.canonicalDuplicates(d).collect()
+    assert(out.length === 2)
+    val merged = out.find(_.getAs[Long]("n_docs") == 3L).get
+    assert(merged.getAs[Long]("canonical_id") === 0L)
+    // three distinct raw texts collapsed into one canonical form
+    assert(merged.getAs[Long]("n_variants") === 3L)
+    val single = out.find(_.getAs[Long]("n_docs") == 1L).get
+    assert(single.getAs[Long]("n_variants") === 1L)
+  }
+
+  test("editVerifiedPairs scores LSH candidates by bounded-prefix edit distance") {
+    val typo = base.replace("lazy", "hazy") // one character edit
+    val d = Seq(
+      (0L, base, "en", "s0", base.length.toLong),
+      (1L, typo, "en", "s0", typo.length.toLong),
+      (3L, "completely different words about databases and airplanes and " +
+        "oceans with nothing shared beyond articles", "en", "s2", 100L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.editVerifiedPairs(d).collect()
+    assert(out.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet === Set((0L, 1L)))
+    assert(out.head.getAs[Long]("lev") === 1L)
+    assert(out.head.getAs[Double]("sim") > 0.99)
+  }
+
+  test("centroidOutliers ranks vectors least aligned with their label centroid") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.95f, 0.05f, 0.0f, 0.0f), 0),
+      (3L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 0), // anti-aligned outlier
+      (4L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 1),
+      (5L, Seq(0.0f, 0.9f, 0.1f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidOutliers(e, bottomK = 2).collect()
+    val worst0 = out.filter(r => r.getAs[Int]("label") == 0 && r.getAs[Int]("rnk") == 1).head
+    assert(worst0.getAs[Long]("vec_id") === 3L)
+    // leave-one-out: vec 3 vs the centroid of 0,1,2 only — anti-aligned up
+    // to the quantized dim-1 residual the other members contribute
+    assert(worst0.getAs[Double]("cosine") < -0.99)
+    assert(out.count(_.getAs[Int]("label") == 0) === 2)
+    assert(out.count(_.getAs[Int]("label") == 1) === 2)
+  }
 }

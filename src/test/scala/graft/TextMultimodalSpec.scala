@@ -459,4 +459,18 @@ class TextMultimodalSpec extends SparkSpec {
       assert(math.abs(rows.map(_.getAs[Double]("p")).sum - 1.0) < 1e-12)
     }
   }
+
+  test("unigramSurprisal charges integer log2 bits against the corpus unigram model") {
+    val d = Seq((0L, "a a a"), (1L, "a b")).toDF("doc_id", "text")
+    // model: a -> 4, b -> 1, total 5; bits(w) = len(bin(5)) - len(bin(cnt))
+    // = 3 - 3 = 0 for a, 3 - 1 = 2 for b.
+    val out = TextAnalysis.unigramSurprisal(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_tokens") === 3L)
+    assert(out(0L).getAs[Long]("sum_bits") === 0L)
+    assert(out(0L).getAs[Double]("mean_bits") === 0.0)
+    assert(out(1L).getAs[Long]("n_tokens") === 2L)
+    assert(out(1L).getAs[Long]("sum_bits") === 2L)
+    assert(out(1L).getAs[Double]("mean_bits") === 1.0)
+  }
 }
