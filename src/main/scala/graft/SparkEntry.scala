@@ -643,6 +643,9 @@ object SparkEntry {
     // Sketch-accelerated incremental dedup: Bloom-negative rows skip the
     // anti-join (no false negatives ⇒ same answer, oracle-pinned); the
     // needed_exact_check flag exposes which survivors paid the shuffle.
+    // Runs the DEFAULT probe (shuffle path since the SCALE_r10-measured
+    // default flip); the broadcast probe stays spec-gated in
+    // CurationSpec/PlanShapeSpec.
     "q92_bloom_dedup_against" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Curation.bloomDedupAgainst(
@@ -651,11 +654,11 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // q92's probe with the filter UN-broadcast (broadcastFilter=false):
-    // the word table meets exploded probes in one shuffle equi-join, so
-    // the filter size is unbounded by the broadcast/driver budget — the
-    // 100 TB path. Shares q92's oracle: both probe shapes must produce
-    // the identical rows AND identical needed_exact_check flags.
+    // q92's probe with broadcastFilter=false pinned EXPLICITLY (q92 now
+    // reaches the same shuffle path via the default): the word table
+    // meets exploded probes in one shuffle equi-join, unbounded by the
+    // broadcast/driver budget — the 100 TB path. Shares q92's oracle:
+    // the flag and the default must produce identical rows AND flags.
     "q100_bloom_shuffle_dedup" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Curation.bloomDedupAgainst(

@@ -458,23 +458,26 @@ object Curation {
     * each incoming row probes its three positions against it. Two
     * probe shapes, same answer (oracle-pinned):
     *
-    *   - `broadcastFilter = true` (default): three broadcast equi-joins
+    *   - `broadcastFilter = true`: three broadcast equi-joins
     *     on the word index (`p DIV 62`), one per probe position — ZERO
     *     shuffles of the incoming snapshot. AQE's runtime stage cache
     *     materializes the three identical broadcast builds ONCE (the
     *     final plan shows two ReusedExchange nodes pointing at the one
     *     build — pinned in PlanShapeSpec), so no operator-side persist
-    *     is needed. Right while the word table fits the broadcast
-    *     budget (a few GB ≈ a few hundred million kept docs at the
-    *     default sizing).
-    *   - `broadcastFilter = false`: the filter size is UNBOUNDED by the
+    *     is needed. Only right when the word table fits the broadcast
+    *     budget AND probe latency dominates (small interactive jobs):
+    *     it pays three probe joins over EVERY incoming row.
+    *   - `broadcastFilter = false` (default): the filter size is UNBOUNDED by the
     *     broadcast/driver budget. Probes explode to `(content_hash,
     *     word, bit)` rows — 3 per distinct hash, never the text — and
     *     meet the word table in ONE shuffle equi-join on `word`;
     *     `bool_and` of the three hits re-aggregates per hash, and the
     *     flag joins back to the snapshot on `content_hash` (the same
     *     key the exact anti-join shuffles on). This is the 100 TB path
-    *     once the kept corpus outgrows broadcasting.
+    *     once the kept corpus outgrows broadcasting — and the default:
+    *     probing once per DISTINCT hash instead of three times per row
+    *     measured 1.8× faster than the broadcast probe at 10× scale
+    *     (SCALE_r10), on top of being budget-unbounded.
     *
     * Either way, Bloom-negative rows are DEFINITELY novel (no false
     * negatives) and skip the anti-join entirely; only the maybe rows —
@@ -495,7 +498,7 @@ object Curation {
       incoming: DataFrame,
       reference: DataFrame,
       bits: Long = 1984L,
-      broadcastFilter: Boolean = true): DataFrame =
+      broadcastFilter: Boolean = false): DataFrame =
     bloomDedupAgainstWith(
       incoming, reference, bloomWordTable(reference, bits), bits, broadcastFilter)
 
@@ -510,7 +513,7 @@ object Curation {
       reference: DataFrame,
       words: DataFrame,
       bits: Long = 1984L,
-      broadcastFilter: Boolean = true): DataFrame = {
+      broadcastFilter: Boolean = false): DataFrame = {
     require(bits >= 62 && bits % 62 == 0,
       s"bits=$bits must be a positive multiple of 62")
     val inc = TextAnalysis.spread(incoming)

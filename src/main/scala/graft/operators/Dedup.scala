@@ -296,23 +296,25 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Exact skew gate (see the scaladoc): any key of the three guarded
-    // joins repeats at most |Eₛ| times, so below-threshold edge counts
-    // prove the hot sets empty without ever computing them. The count
-    // doubles as the cache materialization the loop needs anyway.
-    val edgeCount = edges.count()
+    // joins repeats at most |Eₛ| times, so a below-threshold edge count
+    // proves the hot sets empty. ONE materialization pass serves both
+    // the gate and the static hot-vertex set: the symmetric-degree
+    // aggregate is map-side combined (shuffles ≤ |V| rows), its sum IS
+    // the symmetrized edge count, and the hot filter over it is free —
+    // a standalone edges.count() would pay a second full pass over the
+    // cached edges for a number the degrees already carry.
+    val degrees = edges.groupBy(col("dst")).agg(count(lit(1)).as("_deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgeCount = Option(degrees.agg(sum(col("_deg"))).first().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     val splitNeeded = edgeCount >= hotKeyThreshold
     // Static hot-vertex set for the per-round edge⋈labels join: symmetric
     // degree is the exact per-key row count of that join's streamed side
-    // and never changes across rounds, so one map-side-combined pass
-    // amortizes over the whole loop. ≤ 2|E|/threshold rows — always
+    // and never changes across rounds. ≤ 2|E|/threshold rows — always
     // broadcastable.
     val hotV =
-      if (!splitNeeded) None
-      else Some(
-        edges.groupBy(col("dst")).agg(count(lit(1)).as("_deg"))
-          .filter(col("_deg") >= hotKeyThreshold)
-          .select(col("dst"))
-          .persist(StorageLevel.MEMORY_AND_DISK))
+      if (!splitNeeded) { degrees.unpersist(); None }
+      else Some(degrees.filter(col("_deg") >= hotKeyThreshold).select(col("dst")))
     // Initialization IS the first propagation round: label₀(v) =
     // min(v, neighbors(v)) from the same aggregation that enumerates the
     // vertex set — one groupBy instead of distinct + a full loop
@@ -388,7 +390,7 @@ object Dedup {
     // accumulating storage). The final labels cache stays — the returned
     // plan reads it twice (labels + sizes) — and is one small row per doc.
     edges.unpersist()
-    hotV.foreach(_.unpersist())
+    if (splitNeeded) degrees.unpersist()
     if (!converged) {
       prevCache.foreach(_.unpersist())
       throw new IllegalStateException(

@@ -207,7 +207,7 @@ class CurationSpec extends SparkSpec {
     val snapDf = snap.toDF("doc_id", "text", "lang", "source", "n_chars")
     val plain = Curation.dedupAgainst(snapDf, keptDf)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    val bloom = Curation.bloomDedupAgainst(snapDf, keptDf)
+    val bloom = Curation.bloomDedupAgainst(snapDf, keptDf, broadcastFilter = true)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("needed_exact_check"))
     assert(bloom.map(_._1).toSet === plain) // sketch never changes the answer
     // The filter actually prunes: most novel rows skip the exact join
@@ -253,7 +253,7 @@ class CurationSpec extends SparkSpec {
       val snap = (100L * day until 100L * day + 20L)
         .map(i => doc(i, s"day $day crawl doc $i"))
         .toDF("doc_id", "text", "lang", "source", "n_chars")
-      Curation.bloomDedupAgainst(snap, kept).collect()
+      Curation.bloomDedupAgainst(snap, kept, broadcastFilter = true).collect()
       Curation.bloomDedupAgainst(snap, kept, broadcastFilter = false).collect()
     }
     assert(spark.sparkContext.getPersistentRDDs.size === before,
@@ -283,7 +283,8 @@ class CurationSpec extends SparkSpec {
       "id AS doc_id", s"concat('$tag doc ', id, ' body words') AS text",
       "'en' AS lang", "'s' AS source", "CAST(24 AS BIGINT) AS n_chars")
     val out = Curation.bloomDedupAgainst(
-      docs(0L, 20000L, "novel"), docs(100000L, 200000L, "kept"), bits = bits)
+      docs(0L, 20000L, "novel"), docs(100000L, 200000L, "kept"), bits = bits,
+      broadcastFilter = true)
     val audit = PlanAudit(out)
     // No literal filter in the plan: a 16901-element array literal would
     // put `element_at` probes and a megabyte-scale plan string here.

@@ -244,11 +244,28 @@ class PlanShapeSpec extends SparkSpec {
     // persist (and its session-scoped cache leak) unnecessary.
     val docs = Tables(dir)
     val out = graft.operators.Curation.bloomDedupAgainst(
-      docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"))
+      docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"),
+      broadcastFilter = true)
     out.collect()
     val fin = out.queryExecution.executedPlan.toString
     val reused = "ReusedExchange".r.findAllIn(fin).length
     assert(reused >= 2, s"word-table broadcast builds not reused (reused=$reused):\n${fin.take(4000)}")
+  }
+
+  test("bloom probe default is the shuffle path: word table never broadcast") {
+    // The measured selection boundary (SCALE_r10: shuffle probe 1.8×
+    // faster at 10×, and unbounded by the driver/broadcast budget) is
+    // encoded as the DEFAULT; broadcast is the explicit opt-in for
+    // latency-dominated small jobs. Pin the default's plan shape so a
+    // signature change can't silently revert it.
+    val docs = Tables(dir)
+    val out = graft.operators.Curation.bloomDedupAgainst(
+      docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"))
+    val p = plan(out)
+    assert("BroadcastHashJoin \\[word".r.findAllIn(p).isEmpty,
+      s"default bloom probe broadcasts the word table:\n$p")
+    assert("ShuffledHashJoin \\[word".r.findAllIn(p).nonEmpty,
+      s"default bloom probe lost the shuffled word join:\n$p")
   }
 
   test("bloom shuffle probe: ONE shuffled word join, filter never broadcast") {
