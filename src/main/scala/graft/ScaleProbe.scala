@@ -193,7 +193,7 @@ object ScaleProbe {
         col("label"))
       .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
 
-    val ev1 = spark.read.parquet(s"$sfDir/events.parquet") // ts stays long nanos
+    val ev1 = spark.read.parquet(s"$sfDir/events.parquet") // ts copied as-read; Tables.events normalizes per-encoding
     ev1.crossJoin(reps)
       .select(
         (col("event_id") + col("k") * Shift).as("event_id"),
@@ -223,7 +223,14 @@ object ScaleProbe {
       "q96_bpe_encode" -> byteFactor,
       // Distributed prefix sum: the global-order cumsum must not acquire
       // a single-task term as the corpus grows.
-      "q102_token_budget" -> byteFactor)
+      "q102_token_budget" -> byteFactor,
+      // Highest digest volume in the suite: every ~50-token passage of
+      // every doc ships a digest row into the window/df join.
+      "q101_rolling_passage_dedup" -> byteFactor,
+      // The systematic-sampling prefix sum — same skeleton as q102 but
+      // with stratum arithmetic on top; both must stay sublinear
+      // together or the shared shape is the problem.
+      "q109_systematic_sample" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
@@ -240,6 +247,23 @@ object ScaleProbe {
       val alpha = math.log(m10.warmSec / m1.warmSec) / math.log(factor)
       println(f"""{"probe":"scale10","query":"$name","sec_1x":${m1.warmSec}%.3f,"sec_10x":${m10.warmSec}%.3f,"input_factor":$factor%.3f,"alpha":$alpha%.3f,"superlinear":${alpha > 1.2}}""")
     }
+
+    // --- q101's OPERATOR at full-corpus size ----------------------------
+    // The q101 oracle fixture caps doc_id < 150 so the DuckDB replay
+    // stays tractable — measuring it across dirs would time a CONSTANT
+    // input (α ≈ 0, an artifact). The probe's job is the operator:
+    // rollingPassageDedup over every document of each dir, the highest
+    // digest volume per input byte in the suite.
+    val rollingFull: (SparkSession, String) => DataFrame = (s, d) =>
+      graft.operators.Dedup.rollingPassageDedup(
+        s.read.parquet(s"$d/documents.parquet").select("doc_id", "text"),
+        windowLen = 8, maxDocFreq = 2)
+    val mr1 = measure(spark, rollingFull, sfDir)
+    val mr10 = measure(spark, rollingFull, scaledDir)
+    println(splitJson("rollingPassageDedup_full", "1x", mr1))
+    println(splitJson("rollingPassageDedup_full", "10x", mr10))
+    val rAlpha = math.log(mr10.warmSec / mr1.warmSec) / math.log(byteFactor)
+    println(f"""{"probe":"scale10","query":"rollingPassageDedup_full","sec_1x":${mr1.warmSec}%.3f,"sec_10x":${mr10.warmSec}%.3f,"input_factor":$byteFactor%.3f,"alpha":$rAlpha%.3f,"superlinear":${rAlpha > 1.2}}""")
 
     // --- the flagship's 100× point --------------------------------------
     // q03 reads only the events-derived fixtures, and events replicate

@@ -818,6 +818,16 @@ object SparkEntry {
       Similarity.centroidOutliers(Tables.embeddings(s, dir))
         .orderBy("label", "rnk")),
 
+    // Audio codec family: documents wrapped as REAL RIFF/WAVE PCM files
+    // (8-bit unsigned mono, codegen'd little-endian header) and decoded
+    // by the chunk-walking WAV decoder; amplitude moments are
+    // SQL-reproducible over the text bytes (ASCII corpus ⇒ byte =
+    // codepoint), so the audio path gets the same oracle gate as the
+    // netpbm decoders in q24.
+    "q114_wav_features" -> ((s, dir) =>
+      Multimodal.decodeWavFeatures(s, Multimodal.toWav(Tables.documents(s, dir))).toDF()
+        .orderBy("doc_id")),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -1577,6 +1587,28 @@ object SparkEntry {
         |)
         |SELECT label, vec_id, rnk, loo_dp, cosine FROM r WHERE rnk <= 5
         |ORDER BY label, rnk""".stripMargin,
+
+    // The WAV wrapper stores each ASCII text byte as one 8-bit unsigned
+    // PCM sample, so the decoder's amplitude moments equal the codepoint
+    // moments; the mean is a single IEEE division of exact integers.
+    "q114_wav_features" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1), i -> unicode(text[i:i])) AS cps
+        |  FROM documents
+        |)
+        |SELECT d.doc_id,
+        |       CAST(1 AS INT) AS n_channels,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(8 AS INT) AS bits_per_sample,
+        |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_samples,
+        |       CASE WHEN len(px.cps) > 0
+        |            THEN CAST(list_sum(px.cps) AS DOUBLE) / CAST(len(px.cps) AS DOUBLE)
+        |       END AS mean_amp,
+        |       CASE WHEN len(px.cps) > 0 THEN CAST(list_min(px.cps) AS INT) END AS min_amp,
+        |       CASE WHEN len(px.cps) > 0 THEN CAST(list_max(px.cps) AS INT) END AS max_amp
+        |FROM documents d JOIN px USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The stub "decoder" is a 16-bin byte histogram over the UTF-8 payload;
     // documents are pure ASCII (verified at generation), so byte-range

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
@@ -86,33 +86,37 @@ object Multimodal {
   /** Magic-byte feature router — the entry point when a media frame
     * mixes formats, so a decodable payload can never silently degrade to
     * the byte-distribution stub: `P5` payloads decode through
-    * [[PgmDecoder]], `P6` through [[PpmDecoder]], and ONLY formats with
-    * no decoder in this environment fall back to
-    * [[MultimodalStub.byteHistogram]]. Routing is content-based (first
-    * two payload bytes, codegen'd `substring` on the binary column) —
-    * three narrow filtered passes over the same frame, no shuffle.
-    * Output is a discriminated union: `kind ∈ {pgm, ppm, histogram}`
-    * with exactly one of the `pgm`/`ppm`/`histogram` columns non-null
-    * per row. A payload that CLAIMS netpbm (leading `P5`/`P6` bytes)
-    * but is malformed THROWS in its decoder rather than falling back —
-    * garbage media should fail loudly, not quietly become a histogram.
+    * [[PgmDecoder]], `P6` through [[PpmDecoder]], `RI` (RIFF containers)
+    * through [[WavDecoder]], and ONLY formats with no decoder in this
+    * environment fall back to [[MultimodalStub.byteHistogram]]. Routing
+    * is content-based (first two payload bytes, codegen'd `substring` on
+    * the binary column) — four narrow filtered passes over the same
+    * frame, no shuffle. Output is a discriminated union: `kind ∈ {pgm,
+    * ppm, wav, histogram}` with exactly one of the feature columns
+    * non-null per row. A payload that CLAIMS a decodable format (netpbm
+    * magic, RIFF tag) but is malformed THROWS in its decoder rather
+    * than falling back — garbage media should fail loudly, not quietly
+    * become a histogram.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     val magic = substring(col("payload"), 1, 2)
     val isP5 = magic === lit("P5".getBytes(ascii))
     val isP6 = magic === lit("P6".getBytes(ascii))
+    val isRiff = magic === lit("RI".getBytes(ascii))
     def nest(df: DataFrame, kind: String): DataFrame =
       df.select(
         col("doc_id"), lit(kind).as("kind"),
         struct(df.columns.filterNot(_ == "doc_id").map(col).toIndexedSeq: _*).as(kind))
     val pgm = nest(decodePgmFeatures(spark, media.filter(isP5)).toDF(), "pgm")
     val ppm = nest(decodePpmFeatures(spark, media.filter(isP6)).toDF(), "ppm")
-    val hist = extractByteHistogram(spark, media.filter(not(isP5 || isP6))).toDF()
+    val wav = nest(decodeWavFeatures(spark, media.filter(isRiff)).toDF(), "wav")
+    val hist = extractByteHistogram(spark, media.filter(not(isP5 || isP6 || isRiff))).toDF()
       .select(col("doc_id"), lit("histogram").as("kind"), col("features").as("histogram"))
     pgm.unionByName(ppm, allowMissingColumns = true)
+      .unionByName(wav, allowMissingColumns = true)
       .unionByName(hist, allowMissingColumns = true)
-      .select("doc_id", "kind", "pgm", "ppm", "histogram")
+      .select("doc_id", "kind", "pgm", "ppm", "wav", "histogram")
   }
 
   /** Wrap each document as a REAL binary PGM image — a 1-row grayscale
@@ -378,5 +382,135 @@ object Multimodal {
         val f = PgmDecoder.decode(id, frame)
         FramePgmFeatures(id, idx, f.n_px, f.mean_px, f.min_px, f.max_px)
       })
+  }
+
+  // --- WAV/PCM: the audio codec family ---------------------------------
+
+  /** Canonical [[toWav]] format constants: 8-bit unsigned mono PCM at
+    * 8 kHz — one text byte per sample, so the expression-only builder
+    * stays exact and the oracle can reproduce sample moments in SQL.
+    */
+  val WavSampleRate = 8000
+
+  /** Little-endian integer field as a hex string, `bytes` wide — the
+    * RIFF builder's workhorse: `unhex` of the concatenated fields yields
+    * the binary header without any UDF.
+    */
+  private def leHex(c: Column, bytes: Int): Column =
+    concat((0 until bytes).map(i =>
+      lpad(lower(hex(shiftright(c.cast("long"), 8 * i) % 256)), 2, "0")): _*)
+
+  private def asciiHex(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII).map("%02x".format(_)).mkString
+
+  /** Wrap each document as a REAL RIFF/WAVE file — canonical 44-byte
+    * PCM header (fmt + data chunks) followed by the text bytes as 8-bit
+    * unsigned mono samples at [[WavSampleRate]] Hz. Codegen'd
+    * expressions only: the little-endian size/format fields are built as
+    * hex strings and `unhex`ed into binary — never a UDF.
+    */
+  def toWav(docs: DataFrame): DataFrame = {
+    val bytes = encode(col("text"), "UTF-8")
+    val n = length(bytes).cast("long")
+    val header = unhex(concat(
+      lit(asciiHex("RIFF")), leHex(n + 36L, 4),
+      lit(asciiHex("WAVE")),
+      lit(asciiHex("fmt ")), leHex(lit(16L), 4),
+      leHex(lit(1L), 2),                   // audio format: PCM
+      leHex(lit(1L), 2),                   // channels: mono
+      leHex(lit(WavSampleRate.toLong), 4), // sample rate
+      leHex(lit(WavSampleRate.toLong), 4), // byte rate (1 byte/sample)
+      leHex(lit(1L), 2),                   // block align
+      leHex(lit(8L), 2),                   // bits per sample
+      lit(asciiHex("data")), leHex(n, 4)))
+    docs.select(
+      col("doc_id"),
+      concat(header, bytes).as("payload"),
+      struct(
+        lit("audio/wav").as("format"),
+        (n + 44L).as("n_bytes"),
+        lit(1).as("n_frames")).as("meta"))
+  }
+
+  case class WavFeatures(
+      doc_id: Long, n_channels: Int, sample_rate: Int, bits_per_sample: Int,
+      n_samples: Long, mean_amp: Option[Double], min_amp: Option[Int],
+      max_amp: Option[Int])
+
+  /** Minimal-but-real RIFF/WAVE PCM decoder: validates the RIFF
+    * envelope, walks the chunk list (word-aligned, per the spec — a pad
+    * byte follows every odd-sized chunk), reads the `fmt ` fields, and
+    * reduces the `data` samples to amplitude moments. 8-bit PCM is
+    * unsigned (0..255), 16-bit is signed little-endian — both per the
+    * WAVE spec. Malformed input (bad tags, truncated chunks, missing
+    * fmt/data, non-PCM codecs) THROWS rather than returning garbage.
+    */
+  object WavDecoder {
+    private val ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+    def decode(docId: Long, b: Array[Byte]): WavFeatures = {
+      def u8(i: Int): Int = b(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Long =
+        u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      def tag(i: Int): String = new String(b, i, 4, ascii)
+      require(b.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        s"doc $docId: not a RIFF/WAVE payload")
+      require(le32(4) == b.length - 8,
+        s"doc $docId: RIFF size ${le32(4)} != payload size ${b.length - 8}")
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
+      var data: Option[(Int, Int)] = None     // offset, byte length
+      while (i + 8 <= b.length) {
+        val id = tag(i)
+        val sz = le32(i + 4)
+        require(sz >= 0 && i + 8 + sz <= b.length, s"doc $docId: chunk $id truncated")
+        if (id == "fmt ") {
+          require(sz >= 16, s"doc $docId: fmt chunk too short ($sz bytes)")
+          val audioFormat = le16(i + 8)
+          require(audioFormat == 1, s"doc $docId: only PCM supported, got format $audioFormat")
+          val channels = le16(i + 10)
+          val rate = le32(i + 12).toInt
+          val bits = le16(i + 22)
+          require(channels >= 1, s"doc $docId: zero channels")
+          require(bits == 8 || bits == 16, s"doc $docId: unsupported bit depth $bits")
+          fmt = Some((channels, rate, bits))
+        } else if (id == "data") data = Some((i + 8, sz.toInt))
+        i += 8 + sz.toInt + (sz.toInt & 1) // word alignment: odd chunks carry a pad byte
+      }
+      val (channels, rate, bits) = fmt.getOrElse(
+        throw new IllegalArgumentException(s"doc $docId: no fmt chunk"))
+      val (off, len) = data.getOrElse(
+        throw new IllegalArgumentException(s"doc $docId: no data chunk"))
+      val bytesPerSample = bits / 8
+      require(len % bytesPerSample == 0,
+        s"doc $docId: data length $len not a multiple of the $bytesPerSample-byte sample size")
+      val n = (len / bytesPerSample).toLong
+      if (n == 0) WavFeatures(docId, channels, rate, bits, 0L, None, None, None)
+      else {
+        var sum = 0L; var lo = Int.MaxValue; var hi = Int.MinValue
+        var j = off
+        val end = off + len
+        while (j < end) {
+          val v = if (bits == 8) u8(j) else le16(j).toShort.toInt
+          sum += v
+          if (v < lo) lo = v
+          if (v > hi) hi = v
+          j += bytesPerSample
+        }
+        WavFeatures(docId, channels, rate, bits, n,
+          Some(sum.toDouble / n.toDouble), Some(lo), Some(hi))
+      }
+    }
+  }
+
+  /** Partition-parallel REAL audio decode of a WAV payload column —
+    * same batch shape as the image decoders: one pass per partition,
+    * zero shuffle.
+    */
+  def decodeWavFeatures(spark: SparkSession, media: DataFrame): Dataset[WavFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => WavDecoder.decode(id, payload) })
   }
 }

@@ -158,4 +158,56 @@ class CurationPropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("snapshotDiff covers every key of either snapshot exactly once with the model status") {
+    val snapGen = for {
+      n <- Gen.choose(0, 30)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.choose(0L, 20L) // overlapping key space across snapshots
+        text <- Gen.oneOf("alpha", "beta", "gamma")
+        src <- Gen.oneOf("s0", "s1")
+      } yield (key, text, src))
+    } yield rows.groupBy(_._1).map(_._2.head).toList // keys unique per snapshot
+    def toSnap(rows: List[(Long, String, String)]) =
+      rows.map { case (k, t, s) => (k, t, "en", s, t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    check("snapshotDiffCompleteness", Prop.forAll(snapGen, snapGen) { (oldS, newS) =>
+      val oldM = oldS.map(r => r._1 -> r._2).toMap
+      val newM = newS.map(r => r._1 -> r._2).toMap
+      val model = (oldM.keySet ++ newM.keySet).map { k =>
+        k -> ((oldM.get(k), newM.get(k)) match {
+          case (None, Some(_)) => "added"
+          case (Some(_), None) => "removed"
+          case (Some(a), Some(b)) if a != b => "changed"
+          case _ => "unchanged"
+        })
+      }.toMap
+      val got = Curation.snapshotDiff(toSnap(oldS), toSnap(newS)).collect()
+        .map(r => r.getAs[Long]("key") -> r.getAs[String]("status"))
+      // exactly-once coverage AND per-key status agreement
+      got.length == model.size && got.toMap == model
+    })
+  }
+
+  test("systematicWeightedSample pick counts telescope to exactly k, independent of partitioning") {
+    val gen = for {
+      n <- Gen.choose(1, 80)
+      ws <- Gen.listOfN(n, Gen.choose(0L, 30L))
+      k <- Gen.choose(1, 20)
+      parts <- Gen.choose(1, 6)
+    } yield (ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }, k, parts)
+    check("systematicTelescoping", Prop.forAll(gen) { case (rows, k, parts) =>
+      val total = rows.map(_._2).sum
+      (total == 0L) || {
+        def run(np: Int) = Curation.systematicWeightedSample(
+          rows.toDF("doc_id", "w"), col("doc_id"), col("w"), k, numPartitions = np)
+          .collect().map(r => (r.getLong(0), r.getAs[Long]("n_picks"))).toMap
+        val got = run(parts)
+        // n_picks = floor(cum·k/T) − floor((cum−w)·k/T) telescopes over the
+        // full traversal to floor(T·k/T) − 0 = k; rows with n_picks = 0 are
+        // filtered, so the kept rows must carry exactly k picks.
+        got.values.sum == k.toLong && run(1) == got
+      }
+    })
+  }
 }

@@ -473,4 +473,58 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(1L).getAs[Long]("sum_bits") === 2L)
     assert(out(1L).getAs[Double]("mean_bits") === 1.0)
   }
+
+  test("WAV decoder parses the codegen'd RIFF payload and a hand-built 16-bit PCM fixture") {
+    import Multimodal.{WavDecoder, toWav, decodeWavFeatures}
+    // Round-trip: the expression-built WAV decodes to the text's byte moments.
+    val d = Seq((7L, "Hello WAV")).toDF("doc_id", "text")
+    val f = decodeWavFeatures(spark, toWav(d)).collect().head
+    val bytes = "Hello WAV".getBytes("US-ASCII").map(_ & 0xff)
+    assert(f.n_channels === 1 && f.sample_rate === 8000 && f.bits_per_sample === 8)
+    assert(f.n_samples === bytes.length.toLong)
+    assert(f.mean_amp === Some(bytes.sum.toDouble / bytes.length))
+    assert(f.min_amp === Some(bytes.min) && f.max_amp === Some(bytes.max))
+
+    // Hand-built 16-bit signed stereo fixture: negative amplitudes and a
+    // word-aligned odd-sized extra chunk the walker must skip.
+    def le(v: Long, n: Int): Array[Byte] = (0 until n).map(i => ((v >> (8 * i)) & 0xff).toByte).toArray
+    val samples = Seq(-32768, -1, 0, 1, 32767)
+    val data = samples.flatMap(s => le(s.toLong & 0xffffL, 2)).toArray
+    val extra = "LIST".getBytes("US-ASCII") ++ le(3, 4) ++ Array[Byte](1, 2, 3, 0) // 3 bytes + pad
+    val fmt = "fmt ".getBytes("US-ASCII") ++ le(16, 4) ++
+      le(1, 2) ++ le(2, 2) ++ le(44100, 4) ++ le(44100L * 4, 4) ++ le(4, 2) ++ le(16, 2)
+    val dataCh = "data".getBytes("US-ASCII") ++ le(data.length, 4) ++ data
+    val body = "WAVE".getBytes("US-ASCII") ++ extra ++ fmt ++ dataCh
+    val wav = "RIFF".getBytes("US-ASCII") ++ le(body.length, 4) ++ body
+    val g = WavDecoder.decode(9L, wav)
+    assert(g.n_channels === 2 && g.sample_rate === 44100 && g.bits_per_sample === 16)
+    assert(g.n_samples === samples.length.toLong)
+    assert(g.min_amp === Some(-32768) && g.max_amp === Some(32767))
+    assert(g.mean_amp === Some(samples.sum.toDouble / samples.length))
+
+    // Malformed inputs THROW: bad tag, size lie, non-PCM codec.
+    intercept[IllegalArgumentException] {
+      WavDecoder.decode(0L, "RIFX1234WAVE".getBytes("US-ASCII") ++ new Array[Byte](32))
+    }
+    intercept[IllegalArgumentException] { // mp3 codec id (0x55) inside fmt
+      val badFmt = "fmt ".getBytes("US-ASCII") ++ le(16, 4) ++
+        le(0x55, 2) ++ le(1, 2) ++ le(8000, 4) ++ le(8000, 4) ++ le(1, 2) ++ le(8, 2)
+      val b2 = "WAVE".getBytes("US-ASCII") ++ badFmt ++ "data".getBytes("US-ASCII") ++ le(0, 4)
+      WavDecoder.decode(0L, "RIFF".getBytes("US-ASCII") ++ le(b2.length, 4) ++ b2)
+    }
+  }
+
+  test("magic-byte router sends RIFF payloads to the WAV decoder, not the stub") {
+    val media = Multimodal.toWav(Seq((5L, "audio bytes")).toDF("doc_id", "text"))
+      .unionByName(Multimodal.toMedia(
+        Seq(doc(6L, "just plain text")).toDF("doc_id", "text", "lang", "source", "n_chars")))
+    val out = Multimodal.extractFeatures(spark, media).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("kind")).toSeq === Seq("wav", "histogram"))
+    val wavRow = out(0)
+    assert(!wavRow.isNullAt(wavRow.fieldIndex("wav")) && wavRow.isNullAt(wavRow.fieldIndex("histogram")))
+    assert(wavRow.getAs[org.apache.spark.sql.Row]("wav").getAs[Int]("sample_rate") === 8000)
+    val b = "audio bytes".getBytes("US-ASCII").map(_ & 0xff)
+    assert(wavRow.getAs[org.apache.spark.sql.Row]("wav").getAs[Double]("mean_amp")
+      === b.sum.toDouble / b.length)
+  }
 }
