@@ -29,7 +29,11 @@ class TablesSpec extends SparkSpec {
     import spark.implicits._
     val base = micros.zipWithIndex.map { case (us, i) => (i.toLong, us) }
       .toDF("event_id", "us")
-    encode(base).select("event_id", "ts")
+      .withColumn("user_id", col("event_id") * 7L)
+      .withColumn("event_type", lit("click"))
+      .withColumn("value", col("event_id").cast("double"))
+      .withColumn("props", lit("{}"))
+    encode(base).select("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     Tables.events(spark, dir.toString)
       .select(col("event_id"), unix_micros(col("ts")).as("us"))
@@ -54,6 +58,34 @@ class TablesSpec extends SparkSpec {
       writeAndLoad(_.withColumn("ts", col("us").cast(StringType)))
     }
     assert(ex.getMessage.contains("events.ts"))
+  }
+
+  test("events loader normalizes a 32-bit-id vintage to the long/double contract") {
+    // The same failure class as the r11 ts change, for the other columns:
+    // ids narrowed to int32 must come back as longs so fixture arithmetic
+    // and the BIGINT oracle see the identical schema.
+    val rows = writeAndLoad(df => df
+      .withColumn("ts", timestamp_micros(col("us")))
+      .withColumn("event_id", col("event_id").cast("int"))
+      .withColumn("user_id", col("user_id").cast("int"))
+      .withColumn("value", col("value").cast("float")))
+    assert(rows === micros.zipWithIndex.map { case (us, i) => Row(i.toLong, us) })
+    val dir = Files.createTempDirectory("tables-spec-int").toFile
+    dir.deleteOnExit()
+    import spark.implicits._
+    micros.zipWithIndex.map { case (us, i) => (i, us) }.toDF("event_id", "us")
+      .select(
+        col("event_id").cast("int").as("event_id"),
+        timestamp_micros(col("us")).as("ts"),
+        col("event_id").cast("int").as("user_id"),
+        lit("click").as("event_type"),
+        col("event_id").cast("float").as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val loaded = Tables.events(spark, dir.toString)
+    assert(loaded.schema("event_id").dataType === org.apache.spark.sql.types.LongType)
+    assert(loaded.schema("user_id").dataType === org.apache.spark.sql.types.LongType)
+    assert(loaded.schema("value").dataType === org.apache.spark.sql.types.DoubleType)
   }
 
   test("events loader reads the driver-generated sf0.001 table (current vintage)") {
