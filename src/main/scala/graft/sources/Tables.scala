@@ -29,7 +29,15 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = table(spark, dir, "events")
-    val tsNormalized = raw.schema("ts").dataType match {
+    // Only ts is normalized: the loader TRANSFORMS that column, so its
+    // handling must be vintage-adaptive. The other five columns are
+    // deliberately passed through untouched — the DuckDB oracle reads
+    // the identical file, so a generator drift there (say int64 → int32
+    // ids) degrades BOTH engines symmetrically and every hash still
+    // matches, whereas loader-side "contract casts" would break the
+    // symmetry and turn the same drift into a guaranteed schema
+    // mismatch.
+    raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => raw
@@ -37,18 +45,6 @@ object Tables {
         throw new IllegalArgumentException(
           s"events.ts: unsupported parquet-surfaced type $other (expected ns-long, timestamp_ntz, or timestamp)")
     }
-    // Pin the whole column contract, not just ts: a generator drift to
-    // 32-bit ids (the same failure class as the r11 ts change) would
-    // otherwise ripple int arithmetic through every fixture derivation
-    // and hash-mismatch the BIGINT oracle. The casts are no-ops on the
-    // current vintage (SimplifyCasts removes them from the plan).
-    tsNormalized.select(
-      col("event_id").cast("long").as("event_id"),
-      col("ts"),
-      col("user_id").cast("long").as("user_id"),
-      col("event_type").cast("string").as("event_type"),
-      col("value").cast("double").as("value"),
-      col("props").cast("string").as("props"))
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")

