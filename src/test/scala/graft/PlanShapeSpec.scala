@@ -375,4 +375,32 @@ class PlanShapeSpec extends SparkSpec {
 
   private def Tables(d: String): DataFrame =
     graft.sources.Tables.documents(spark, d)
+
+  test("centroidOutliers: centroid sums broadcast; embeddings shuffle only for the label agg") {
+    val emb = graft.sources.Tables.embeddings(spark, dir)
+    val out = Similarity.centroidOutliers(emb)
+    val p = plan(out)
+    // The per-label sum vector is dimension × |labels| — broadcast it to
+    // the full embedding side; a sort-merge there would shuffle every
+    // vector a second time for a lookup table of a few hundred rows.
+    assert(p.contains("BroadcastExchange"), s"centroid sums stopped broadcasting:\n$p")
+    // Three label-keyed shuffles, all narrow: the (label, pos) explode
+    // aggregate (|V|·d long rows, map-side combined), the per-label
+    // list collect, and the rank window. The vectors themselves cross
+    // the wire at most once.
+    assert(shuffles(out) <= 3, s"centroidOutliers grew a shuffle:\n$p")
+  }
+
+  test("canonicalDuplicates: one digest-keyed exchange; text never shuffles") {
+    val out = Dedup.canonicalDuplicates(Tables(dir))
+    val p = plan(out)
+    // Two exchanges by construction: count_distinct(raw_hash) plans as
+    // the classic two-phase distinct aggregate — partial on (canon_hash,
+    // raw_hash), re-aggregate on canon_hash. Both carry 16-byte digests.
+    assert(shuffles(out) <= 2, s"canonical dedup grew a shuffle:\n$p")
+    // The shuffle must carry the 16-byte canon hash, not document text:
+    // the exchange's output schema is the partial-agg row.
+    assert(!"Exchange hashpartitioning\\(text".r.findFirstIn(p).isDefined,
+      s"document text reached a shuffle key:\n$p")
+  }
 }
