@@ -224,12 +224,12 @@ object ScaleProbe {
       // Distributed prefix sum: the global-order cumsum must not acquire
       // a single-task term as the corpus grows.
       "q102_token_budget" -> byteFactor,
-      // Highest digest volume in the suite: every ~50-token passage of
-      // every doc ships a digest row into the window/df join.
-      "q101_rolling_passage_dedup" -> byteFactor,
       // The systematic-sampling prefix sum — same skeleton as q102 but
       // with stratum arithmetic on top; both must stay sublinear
       // together or the shared shape is the problem.
+      // (q101 is deliberately NOT probed as a query: its oracle fixture
+      // caps doc_id < 150, so cross-dir timing measures a constant
+      // input — rollingPassageDedup is probed at full corpus below.)
       "q109_systematic_sample" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {

@@ -311,10 +311,19 @@ object Dedup {
     // Static hot-vertex set for the per-round edge⋈labels join: symmetric
     // degree is the exact per-key row count of that join's streamed side
     // and never changes across rounds. ≤ 2|E|/threshold rows — always
-    // broadcastable.
+    // broadcastable. Materialize the FILTERED set and drop the |V|-row
+    // degree table before the loop starts: pinning degrees across up to
+    // maxIters rounds would hold |V|-scale cache hostage for a lookup
+    // of at most a handful of rows.
     val hotV =
       if (!splitNeeded) { degrees.unpersist(); None }
-      else Some(degrees.filter(col("_deg") >= hotKeyThreshold).select(col("dst")))
+      else {
+        val hv = degrees.filter(col("_deg") >= hotKeyThreshold).select(col("dst"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        hv.count()
+        degrees.unpersist()
+        Some(hv)
+      }
     // Initialization IS the first propagation round: label₀(v) =
     // min(v, neighbors(v)) from the same aggregation that enumerates the
     // vertex set — one groupBy instead of distinct + a full loop
@@ -390,7 +399,7 @@ object Dedup {
     // accumulating storage). The final labels cache stays — the returned
     // plan reads it twice (labels + sizes) — and is one small row per doc.
     edges.unpersist()
-    if (splitNeeded) degrees.unpersist()
+    hotV.foreach(_.unpersist())
     if (!converged) {
       prevCache.foreach(_.unpersist())
       throw new IllegalStateException(

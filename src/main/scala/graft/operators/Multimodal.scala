@@ -103,7 +103,10 @@ object Multimodal {
     val magic = substring(col("payload"), 1, 2)
     val isP5 = magic === lit("P5".getBytes(ascii))
     val isP6 = magic === lit("P6".getBytes(ascii))
-    val isRiff = magic === lit("RI".getBytes(ascii))
+    // RIFF's magic is 4 bytes (unlike netpbm's 2): a 2-byte "RI" test
+    // would route any text payload starting with "RI" into the throwing
+    // WAV decoder instead of the histogram fallback.
+    val isRiff = substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii))
     def nest(df: DataFrame, kind: String): DataFrame =
       df.select(
         col("doc_id"), lit(kind).as("kind"),
@@ -412,8 +415,13 @@ object Multimodal {
   def toWav(docs: DataFrame): DataFrame = {
     val bytes = encode(col("text"), "UTF-8")
     val n = length(bytes).cast("long")
+    // RIFF word alignment: an odd-sized chunk carries one trailing pad
+    // byte (outside the chunk's size field, inside the RIFF size) — a
+    // strict consumer walking past `data` would otherwise misparse by
+    // one byte.
+    val pad = n % 2L
     val header = unhex(concat(
-      lit(asciiHex("RIFF")), leHex(n + 36L, 4),
+      lit(asciiHex("RIFF")), leHex(n + 36L + pad, 4),
       lit(asciiHex("WAVE")),
       lit(asciiHex("fmt ")), leHex(lit(16L), 4),
       leHex(lit(1L), 2),                   // audio format: PCM
@@ -425,10 +433,11 @@ object Multimodal {
       lit(asciiHex("data")), leHex(n, 4)))
     docs.select(
       col("doc_id"),
-      concat(header, bytes).as("payload"),
+      concat(header, bytes,
+        when(pad === 1L, unhex(lit("00"))).otherwise(unhex(lit("")))).as("payload"),
       struct(
         lit("audio/wav").as("format"),
-        (n + 44L).as("n_bytes"),
+        (n + 44L + pad).as("n_bytes"),
         lit(1).as("n_frames")).as("meta"))
   }
 

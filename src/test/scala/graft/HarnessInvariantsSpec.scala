@@ -83,8 +83,15 @@ class HarnessInvariantsSpec extends AnyFunSuite {
     // next round's first action. Rounds sort numerically — lexicographic
     // ordering would break at r100 (and on any unpadded name).
     val artifact = """CORRECTNESS_r(\d+)\.json""".r
-    val tracked = scala.sys.process.Process(Seq("git", "ls-files")).!!
-      .linesIterator.collect { case f @ artifact(round) => (round.toInt, f) }.toSeq
+    // Outside a git work tree (exported archive, stripped container) fall
+    // back to the on-disk listing rather than failing with a process error.
+    val listing = scala.util.Try(scala.sys.process.Process(Seq("git", "ls-files")).!!)
+      .map(_.linesIterator.toSeq)
+      .getOrElse {
+        val d = Paths.get(".").toFile.list()
+        if (d == null) Seq.empty else d.toSeq
+      }
+    val tracked = listing.collect { case f @ artifact(round) => (round.toInt, f) }
     val newest = tracked.maxByOption(_._1).map(_._2)
     assert(newest.isDefined, "no git-tracked CORRECTNESS_r*.json artifact in the repo root")
     for (doc <- Seq("README.md", "SURVEY.md")) {

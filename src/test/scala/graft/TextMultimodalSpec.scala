@@ -517,9 +517,12 @@ class TextMultimodalSpec extends SparkSpec {
   test("magic-byte router sends RIFF payloads to the WAV decoder, not the stub") {
     val media = Multimodal.toWav(Seq((5L, "audio bytes")).toDF("doc_id", "text"))
       .unionByName(Multimodal.toMedia(
-        Seq(doc(6L, "just plain text")).toDF("doc_id", "text", "lang", "source", "n_chars")))
+        Seq(doc(6L, "just plain text"),
+          // Starts with "RI" but is NOT RIFF: must take the histogram
+          // path, never the throwing WAV decoder (4-byte magic check).
+          doc(7L, "RIck's plain text")).toDF("doc_id", "text", "lang", "source", "n_chars")))
     val out = Multimodal.extractFeatures(spark, media).orderBy("doc_id").collect()
-    assert(out.map(_.getAs[String]("kind")).toSeq === Seq("wav", "histogram"))
+    assert(out.map(_.getAs[String]("kind")).toSeq === Seq("wav", "histogram", "histogram"))
     val wavRow = out(0)
     assert(!wavRow.isNullAt(wavRow.fieldIndex("wav")) && wavRow.isNullAt(wavRow.fieldIndex("histogram")))
     assert(wavRow.getAs[org.apache.spark.sql.Row]("wav").getAs[Int]("sample_rate") === 8000)
