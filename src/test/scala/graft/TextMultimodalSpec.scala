@@ -460,6 +460,17 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("unigramSurprisal broadcast and shuffle model paths agree bitwise") {
+    // Same discipline as the Bloom probe pair: the scale path (shuffle
+    // join for an open vocabulary past the broadcast budget) must be
+    // value-identical to the broadcast default — integer bits make the
+    // comparison exact, no tolerance.
+    val d = Seq((0L, "a a b c"), (1L, "b rare rare"), (2L, "c a")).toDF("doc_id", "text")
+    def run(b: Boolean) = TextAnalysis.unigramSurprisal(d, broadcastModel = b)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(run(true) === run(false))
+  }
+
   test("unigramSurprisal charges integer log2 bits against the corpus unigram model") {
     val d = Seq((0L, "a a a"), (1L, "a b")).toDF("doc_id", "text")
     // model: a -> 4, b -> 1, total 5; bits(w) = len(bin(5)) - len(bin(cnt))
