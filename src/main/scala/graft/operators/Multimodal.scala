@@ -105,8 +105,13 @@ object Multimodal {
     val isP6 = magic === lit("P6".getBytes(ascii))
     // RIFF's magic is 4 bytes (unlike netpbm's 2): a 2-byte "RI" test
     // would route any text payload starting with "RI" into the throwing
-    // WAV decoder instead of the histogram fallback.
-    val isRiff = substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii))
+    // WAV decoder instead of the histogram fallback. And 'RIFF' alone
+    // claims only the container, not a decodable format — an AVI/WEBP/ANI
+    // payload in a mixed media frame must take the histogram fallback,
+    // not throw — so the route test also requires the WAVE form type at
+    // bytes 9-12 (after the 4-byte chunk size).
+    val isRiff = substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii)) &&
+      substring(col("payload"), 9, 4) === lit("WAVE".getBytes(ascii))
     def nest(df: DataFrame, kind: String): DataFrame =
       df.select(
         col("doc_id"), lit(kind).as("kind"),

@@ -38,7 +38,21 @@ object Tables {
     // symmetry and turn the same drift into a guaranteed schema
     // mismatch.
     raw.schema("ts").dataType match {
-      case LongType         => raw.withColumn("ts", expr("timestamp_micros(ts DIV 1000)"))
+      case LongType =>
+        // The long-surfaced path assumes TIMESTAMP(NANOS). A future vintage
+        // shipping plain int64 micros (no nanos annotation) would land 1000x
+        // below any plausible ns epoch and silently collapse toward 1970 —
+        // an asymmetric silent-vs-loud failure vs the DuckDB oracle. Guard
+        // with a codegen'd per-row range check (1990..2200 in ns) that
+        // raises instead of mis-scaling; nulls pass through untouched.
+        val nsLo = 631152000000000000L  // 1990-01-01T00:00Z in ns
+        val nsHi = 7258118400000000000L // 2200-01-01T00:00Z in ns
+        raw.withColumn("ts",
+          when(col("ts").isNull || (col("ts") >= nsLo && col("ts") < nsHi),
+            expr("timestamp_micros(ts DIV 1000)"))
+            .otherwise(raise_error(concat(
+              lit("events.ts: long value outside plausible ns-epoch range (is this vintage int64 micros?): "),
+              col("ts").cast("string"))).cast(TimestampType)))
       case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => raw
       case other =>

@@ -53,6 +53,19 @@ class TablesSpec extends SparkSpec {
     assert(fromTz === expected)
   }
 
+  test("events loader raises on a long ts outside the plausible ns-epoch range (int64-micros vintage guard)") {
+    // A future vintage shipping plain int64 MICROseconds (no nanos
+    // annotation) surfaces as LongType just like TIMESTAMP(NANOS) — but
+    // dividing by 1000 would silently collapse timestamps 1000x toward
+    // epoch while DuckDB surfaces a BIGINT. The loader's range guard must
+    // turn that silent asymmetry into a loud error.
+    val ex = intercept[Exception] {
+      writeAndLoad(_.withColumn("ts", col("us"))) // raw micros as long: ~1e15, far below ns range
+    }
+    assert(ex.getMessage.contains("ns-epoch range") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ns-epoch range")))
+  }
+
   test("events loader rejects an unsupported ts type with a clear error") {
     val ex = intercept[IllegalArgumentException] {
       writeAndLoad(_.withColumn("ts", col("us").cast(StringType)))
@@ -90,6 +103,10 @@ class TablesSpec extends SparkSpec {
   }
 
   test("events loader reads the driver-generated sf0.001 table (current vintage)") {
+    // Deliberately vintage-agnostic: only the POST-dispatch contract is
+    // asserted (Tables.events always yields TimestampType ts), never which
+    // raw encoding the current files happen to use — a regeneration to any
+    // supported encoding keeps this green.
     val dir = "/root/testdata/sf0.001"
     if (new java.io.File(s"$dir/events.parquet").exists()) {
       val ev = Tables.events(spark, dir)

@@ -531,9 +531,14 @@ class TextMultimodalSpec extends SparkSpec {
         Seq(doc(6L, "just plain text"),
           // Starts with "RI" but is NOT RIFF: must take the histogram
           // path, never the throwing WAV decoder (4-byte magic check).
-          doc(7L, "RIck's plain text")).toDF("doc_id", "text", "lang", "source", "n_chars")))
+          doc(7L, "RIck's plain text"),
+          // A RIFF container that is NOT WAVE (AVI form type): 'RIFF'
+          // alone claims only the container — the router must also check
+          // bytes 9-12 == 'WAVE' and send this to the histogram fallback
+          // instead of the throwing WAV decoder.
+          doc(8L, "RIFF   AVI LIST frames")).toDF("doc_id", "text", "lang", "source", "n_chars")))
     val out = Multimodal.extractFeatures(spark, media).orderBy("doc_id").collect()
-    assert(out.map(_.getAs[String]("kind")).toSeq === Seq("wav", "histogram", "histogram"))
+    assert(out.map(_.getAs[String]("kind")).toSeq === Seq("wav", "histogram", "histogram", "histogram"))
     val wavRow = out(0)
     assert(!wavRow.isNullAt(wavRow.fieldIndex("wav")) && wavRow.isNullAt(wavRow.fieldIndex("histogram")))
     assert(wavRow.getAs[org.apache.spark.sql.Row]("wav").getAs[Int]("sample_rate") === 8000)
