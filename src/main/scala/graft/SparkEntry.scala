@@ -828,6 +828,14 @@ object SparkEntry {
       Multimodal.decodeWavFeatures(s, Multimodal.toWav(Tables.documents(s, dir))).toDF()
         .orderBy("doc_id")),
 
+    // Same oracle gate for the decoder's SIGNED 16-bit branch: toWav16
+    // stores each ASCII byte as the signed sample (b - 128) * 256
+    // (all-negative for ASCII), so `le16(...).toShort` — spec-only until
+    // now — gets a full hash-matched oracle too.
+    "q115_wav16_features" -> ((s, dir) =>
+      Multimodal.decodeWavFeatures(s, Multimodal.toWav16(Tables.documents(s, dir))).toDF()
+        .orderBy("doc_id")),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -1607,6 +1615,29 @@ object SparkEntry {
         |       END AS mean_amp,
         |       CASE WHEN len(px.cps) > 0 THEN CAST(list_min(px.cps) AS INT) END AS min_amp,
         |       CASE WHEN len(px.cps) > 0 THEN CAST(list_max(px.cps) AS INT) END AS max_amp
+        |FROM documents d JOIN px USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // toWav16 stores each ASCII byte as the SIGNED sample (b-128)*256;
+    // the decoder's 16-bit signed path must reproduce the affine
+    // codepoint moments. list_sum of exact integers, one IEEE division.
+    "q115_wav16_features" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> (unicode(text[i:i]) - 128) * 256) AS amps
+        |  FROM documents
+        |)
+        |SELECT d.doc_id,
+        |       CAST(1 AS INT) AS n_channels,
+        |       CAST(8000 AS INT) AS sample_rate,
+        |       CAST(16 AS INT) AS bits_per_sample,
+        |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_samples,
+        |       CASE WHEN len(px.amps) > 0
+        |            THEN CAST(list_sum(px.amps) AS DOUBLE) / CAST(len(px.amps) AS DOUBLE)
+        |       END AS mean_amp,
+        |       CASE WHEN len(px.amps) > 0 THEN CAST(list_min(px.amps) AS INT) END AS min_amp,
+        |       CASE WHEN len(px.amps) > 0 THEN CAST(list_max(px.amps) AS INT) END AS max_amp
         |FROM documents d JOIN px USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 

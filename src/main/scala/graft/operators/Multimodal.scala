@@ -446,6 +446,51 @@ object Multimodal {
         lit(1).as("n_frames")).as("meta"))
   }
 
+  /** 16-bit variant of [[toWav]]: each ASCII text byte `b` becomes ONE
+    * SIGNED 16-bit little-endian PCM sample `(b - 128) * 256` — always
+    * negative for ASCII input, so the decoder's signed 16-bit path
+    * ([[WavDecoder]]'s `le16(...).toShort`) is genuinely exercised, not
+    * just the unsigned 8-bit one. The sample's LE bytes are
+    * `(0x00, b + 0x80)`: low byte constant zero, high byte the original
+    * byte with the top bit set — which on the hex string is just the
+    * first nibble bumped by 8, a `translate` over `0-7 → 8-f`. Built
+    * entirely from codegen'd string/binary expressions (hex → split into
+    * pairs → per-pair rewrite → unhex), never a UDF. The data chunk is
+    * `2n` bytes — always even, so no RIFF pad byte exists on this path.
+    */
+  def toWav16(docs: DataFrame): DataFrame = {
+    val bytes = encode(col("text"), "UTF-8")
+    val n = length(bytes).cast("long")
+    val h = lower(hex(bytes))
+    // \G-anchored lookbehind splits the hex string into 2-char pairs;
+    // a trailing empty element (if the regex engine emits one) is dropped.
+    val pairs = filter(split(h, "(?<=\\G..)"), p => length(p) === 2)
+    val dataHex = array_join(
+      transform(pairs, p => concat(
+        lit("00"),
+        translate(substring(p, 1, 1), "01234567", "89abcdef"),
+        substring(p, 2, 1))), "")
+    val dataLen = n * 2L
+    val header = unhex(concat(
+      lit(asciiHex("RIFF")), leHex(dataLen + 36L, 4),
+      lit(asciiHex("WAVE")),
+      lit(asciiHex("fmt ")), leHex(lit(16L), 4),
+      leHex(lit(1L), 2),                       // audio format: PCM
+      leHex(lit(1L), 2),                       // channels: mono
+      leHex(lit(WavSampleRate.toLong), 4),     // sample rate
+      leHex(lit(WavSampleRate * 2L), 4),       // byte rate (2 bytes/sample)
+      leHex(lit(2L), 2),                       // block align
+      leHex(lit(16L), 2),                      // bits per sample
+      lit(asciiHex("data")), leHex(dataLen, 4)))
+    docs.select(
+      col("doc_id"),
+      concat(header, unhex(dataHex)).as("payload"),
+      struct(
+        lit("audio/wav").as("format"),
+        (dataLen + 44L).as("n_bytes"),
+        lit(1).as("n_frames")).as("meta"))
+  }
+
   case class WavFeatures(
       doc_id: Long, n_channels: Int, sample_rate: Int, bits_per_sample: Int,
       n_samples: Long, mean_amp: Option[Double], min_amp: Option[Int],

@@ -525,6 +525,22 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("toWav16 payloads round-trip through the decoder's signed 16-bit path") {
+    import Multimodal.{toWav16, decodeWavFeatures}
+    val d = Seq((3L, "Hello WAV"), (4L, "")).toDF("doc_id", "text")
+    val out = decodeWavFeatures(spark, toWav16(d)).collect().sortBy(_.doc_id)
+    val amps = "Hello WAV".getBytes("US-ASCII").map(b => ((b & 0xff) - 128) * 256)
+    val f = out(0)
+    assert(f.n_channels === 1 && f.sample_rate === 8000 && f.bits_per_sample === 16)
+    assert(f.n_samples === amps.length.toLong)
+    assert(f.mean_amp === Some(amps.map(_.toLong).sum.toDouble / amps.length))
+    assert(f.min_amp === Some(amps.min) && f.max_amp === Some(amps.max))
+    assert(amps.forall(_ < 0), "ASCII input must exercise genuinely negative samples")
+    // Empty text: zero samples, absent moments, header still parses.
+    val e = out(1)
+    assert(e.bits_per_sample === 16 && e.n_samples === 0L && e.mean_amp === None)
+  }
+
   test("magic-byte router sends RIFF payloads to the WAV decoder, not the stub") {
     val media = Multimodal.toWav(Seq((5L, "audio bytes")).toDF("doc_id", "text"))
       .unionByName(Multimodal.toMedia(
