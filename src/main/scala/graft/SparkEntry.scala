@@ -836,6 +836,23 @@ object SparkEntry {
       Multimodal.decodeWavFeatures(s, Multimodal.toWav16(Tables.documents(s, dir))).toDF()
         .orderBy("doc_id")),
 
+    // First streaming-FED oracle entry: documents with doc_id >= 50 are
+    // staged as three parquet files (shard = doc_id % 3) and streamed
+    // through a REAL file-source micro-batch query into
+    // corpusAdmissionSink, each batch admitted against keptInit (doc_id
+    // < 50) plus everything admitted before it. Deterministic batch
+    // boundaries come from staged-mtime ordering + maxFilesPerTrigger=1;
+    // the oracle replays the same 3-round sequential admission
+    // (quality → exact hash dedup → LSH-candidate + verified-jaccard
+    // near-dup) in SQL.
+    "q116_streaming_admission" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.streaming.StreamingOps.admitViaFileStream(
+          s, docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+        .select(col("doc_id"), col("batch_id").cast("int").as("batch_id"))
+        .orderBy("doc_id")
+    }),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -1640,6 +1657,23 @@ object SparkEntry {
         |       CASE WHEN len(px.amps) > 0 THEN CAST(list_max(px.amps) AS INT) END AS max_amp
         |FROM documents d JOIN px USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Sequential 3-round admission replay: per-doc signals (shingle
+    // digest sets, band signatures, content hashes, quality) computed
+    // once, then each round's admitted set is the quality-passing batch
+    // minus exact-hash and verified-near-dup matches against the kept
+    // set so far. Batch ids mirror the staged-shard order (doc_id % 3).
+    "q116_streaming_admission" ->
+      s"""WITH $docShingles,
+         |$minhashBands,
+         |$admissionSignalCtes,
+         |${admissionRound(0)},
+         |${admissionRound(1)},
+         |${admissionRound(2)}
+         |SELECT doc_id, CAST(0 AS INT) AS batch_id FROM adm0
+         |UNION ALL SELECT doc_id, CAST(1 AS INT) AS batch_id FROM adm1
+         |UNION ALL SELECT doc_id, CAST(2 AS INT) AS batch_id FROM adm2
+         |ORDER BY doc_id""".stripMargin,
 
     // The stub "decoder" is a 16-bin byte histogram over the UTF-8 payload;
     // documents are pure ASCII (verified at generation), so byte-range
@@ -3321,6 +3355,80 @@ object SparkEntry {
       |  LEFT JOIN wc ON qual.doc_id = wc.doc_id
       |  LEFT JOIN sp ON qual.doc_id = sp.doc_id
       |)""".stripMargin
+
+  /** q116's shared per-doc admission signals: distinct shingle-digest
+    * sets (the near-dup verify side), normalized content hashes (the
+    * exact-dedup side), all verified near-dup pairs from LSH band
+    * candidates (new side = streamed docs, kept side = anyone), and the
+    * quality-passing streamed candidates with their batch assignment.
+    * All MATERIALIZED: each is referenced by every admission round, and
+    * DuckDB 1.0 inlines CTEs by default (exponential expansion).
+    */
+  private val admissionSignalCtes =
+    """sets AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         list(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS shl,
+      |         CAST(COUNT(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS BIGINT) AS n_sh
+      |  FROM sh GROUP BY doc_id
+      |),
+      |cand_pairs AS MATERIALIZED (
+      |  SELECT DISTINCT s.doc_id AS new_doc, kb.doc_id AS kept_doc
+      |  FROM bands s JOIN bands kb
+      |    ON s.band = kb.band AND s.band_sig = kb.band_sig
+      |  WHERE s.doc_id >= 50 AND kb.doc_id <> s.doc_id
+      |),
+      |vp AS MATERIALIZED (
+      |  SELECT c.new_doc, c.kept_doc
+      |  FROM cand_pairs c
+      |  JOIN sets sa ON c.new_doc = sa.doc_id
+      |  JOIN sets sb ON c.kept_doc = sb.doc_id
+      |  WHERE CAST(len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+      |          / CAST(sa.n_sh + sb.n_sh - len(list_intersect(sa.shl, sb.shl)) AS DOUBLE)
+      |        >= 0.75
+      |),
+      |ah AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS content_hash
+      |  FROM documents
+      |),
+      |aw AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |aq AS (
+      |  SELECT doc_id,
+      |         CAST(len(ws) AS BIGINT) AS n_words,
+      |         CAST(CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS DOUBLE)
+      |           / CAST(len(ws) AS DOUBLE) AS avg_word_len,
+      |         CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) AS stop_hits
+      |  FROM aw
+      |),
+      |cand AS MATERIALIZED (
+      |  SELECT d.doc_id, CAST(d.doc_id % 3 AS INT) AS batch, ah.content_hash
+      |  FROM documents d
+      |  JOIN aq ON d.doc_id = aq.doc_id
+      |  JOIN ah ON d.doc_id = ah.doc_id
+      |  WHERE d.doc_id >= 50
+      |    AND (aq.n_words BETWEEN 40 AND 10000)
+      |    AND aq.avg_word_len >= 3.0 AND aq.avg_word_len <= 8.0
+      |    AND aq.stop_hits > 0
+      |),
+      |kept0 AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id < 50)""".stripMargin
+
+  /** One sequential admission round for q116: batch `b`'s
+    * quality-passing candidates survive iff their content hash is not in
+    * the kept set's hashes AND no verified near-dup pair lands in the
+    * kept set; the next kept set is kept ∪ admitted.
+    */
+  private def admissionRound(b: Int): String =
+    s"""adm$b AS MATERIALIZED (
+       |  SELECT c.doc_id FROM cand c
+       |  WHERE c.batch = $b
+       |    AND c.content_hash NOT IN (
+       |      SELECT ah.content_hash FROM ah JOIN kept$b k ON ah.doc_id = k.doc_id)
+       |    AND NOT EXISTS (
+       |      SELECT 1 FROM vp JOIN kept$b k ON vp.kept_doc = k.doc_id
+       |      WHERE vp.new_doc = c.doc_id)
+       |),
+       |kept${b + 1} AS MATERIALIZED (
+       |  SELECT doc_id FROM kept$b UNION ALL SELECT doc_id FROM adm$b)""".stripMargin
 
   /** Rounds for the q95/q96 BPE oracle. The training replay is UNROLLED
     * in SQL — one materialized CTE triple per round — so this stays

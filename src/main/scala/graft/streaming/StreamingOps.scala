@@ -229,6 +229,67 @@ object StreamingOps {
       }
     }
 
+  /** Drive [[corpusAdmissionSink]] from a REAL file-source stream — the
+    * batch-parity surface that puts the streaming path under the same
+    * DuckDB oracle gate as every batch operator (q116).
+    *
+    * Stages the candidate frame as one parquet file per
+    * `doc_id % numBatches` shard with strictly increasing modification
+    * times, then runs a `maxFilesPerTrigger=1` + `Trigger.AvailableNow`
+    * query over the staged directory: the file source admits files in
+    * mtime order, so shard `b` is exactly micro-batch `b` — the batch
+    * boundaries are deterministic across runs, which the hash-compared
+    * oracle requires. Each micro-batch is admitted against everything
+    * kept before it (quality filter, exact dedup, verified near-dup —
+    * [[graft.operators.Curation.admitSnapshot]] semantics) and the
+    * returned frame is the final admitted corpus read back from the
+    * sink, carrying the admitting `batch_id`. By the replay-parity spec,
+    * this equals sequential `admitSnapshot` over the same shards.
+    *
+    * Scale shape: this is exactly how a production corpus grows — files
+    * landing in a directory, picked up incrementally, deduped against
+    * the whole admitted past; the per-batch cost is the admission
+    * operators' (digest/band shuffles only), and the staged-shard
+    * mechanism itself is O(input).
+    */
+  def admitViaFileStream(
+      spark: SparkSession,
+      candidates: DataFrame,
+      keptInit: DataFrame,
+      numBatches: Int = 3,
+      minJaccard: Double = 0.75): DataFrame = {
+    require(numBatches >= 1, s"numBatches=$numBatches must be positive")
+    val stage = java.nio.file.Files.createTempDirectory("graft_admit_stage").toFile
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_admit_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_admit_ckpt").toString
+    for (b <- 0 until numBatches) {
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_admit_b$b")
+      candidates.filter(pmod(col("doc_id"), lit(numBatches)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val parts = new java.io.File(tmp.toString).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      require(parts.length == 1, s"expected one staged part file for shard $b, got ${parts.length}")
+      val dest = new java.io.File(stage, f"batch$b%05d.parquet")
+      java.nio.file.Files.move(parts.head.toPath, dest.toPath)
+      // Distinct, strictly increasing mtimes (the shard index in hours):
+      // the file source orders by modification time, so the staged shard
+      // order IS the micro-batch order.
+      require(dest.setLastModified(1600000000000L + b.toLong * 3600000L),
+        s"could not pin mtime for shard $b")
+    }
+    val query = spark.readStream
+      .schema(candidates.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage.toString)
+      .writeStream
+      .foreachBatch(corpusAdmissionSink(spark, keptInit, sinkDir, minJaccard))
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.read.parquet(sinkDir)
+  }
+
   /** Replay-idempotent streaming Count-Min maintenance: each micro-batch's
     * cell table ([[graft.functions.Sketches.countMinCells]]) lands in its
     * own `batch_id=<epoch>` directory — a batch REPLAYED under

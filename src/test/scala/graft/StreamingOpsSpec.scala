@@ -610,6 +610,43 @@ class StreamingOpsSpec extends SparkSpec {
     assert(spark.read.parquet(dir2).collect().map(_.getAs[Long]("doc_id")).toSet === wantIds)
   }
 
+  test("file-stream admission equals sequential batch admission with deterministic shard order") {
+    import graft.operators.Curation
+    def text(seed: Int, mutateAt: Int = -1): String =
+      "the " + (0 until 45).map(i =>
+        if (i == mutateAt) s"mut${seed}z$i" else s"word$seed$i").mkString(" ")
+    def df(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Shards by doc_id % 3: shard 0 = {90 novel, 93 exact-dup-of-kept},
+    // shard 1 = {91 near-dup of shard 0's admitted 90}, shard 2 = {92 novel}.
+    val keptInit = df(0L -> text(0))
+    val candidates = df(
+      90L -> text(9), 93L -> text(0),
+      91L -> text(9, mutateAt = 7),
+      92L -> text(5))
+    val streamed = StreamingOps.admitViaFileStream(spark, candidates, keptInit)
+    val got = streamed.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("batch_id"))).toSet
+    // Ground truth: sequential admitSnapshot over the same shards.
+    val s0 = candidates.filter(col("doc_id") % 3 === 0)
+    val s1 = candidates.filter(col("doc_id") % 3 === 1)
+    val s2 = candidates.filter(col("doc_id") % 3 === 2)
+    val a0 = Curation.admitSnapshot(keptInit, s0)
+    val k1 = keptInit.unionByName(a0)
+    val a1 = Curation.admitSnapshot(k1, s1)
+    val a2 = Curation.admitSnapshot(k1.unionByName(a1), s2)
+    val want =
+      a0.collect().map(r => (r.getAs[Long]("doc_id"), 0)) ++
+        a1.collect().map(r => (r.getAs[Long]("doc_id"), 1)) ++
+        a2.collect().map(r => (r.getAs[Long]("doc_id"), 2))
+    assert(got === want.toSet)
+    // The cross-batch near-dup must have been dropped (kept set grew),
+    // the exact dup dropped against keptInit, both novels admitted in
+    // their own shard's micro-batch.
+    assert(got === Set(90L -> 0, 92L -> 2))
+  }
+
   test("the batch normalizeActions projection composes with readStream frames") {
     implicit val sqlCtx = spark.sqlContext
     val clicksIn = MemoryStream[(String, Long, Long, java.sql.Timestamp)]
