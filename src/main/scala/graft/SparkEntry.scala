@@ -853,6 +853,19 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Offset-exact VARIABLE-LENGTH substring decontamination (Lee et
+    // al.'s exact-substring family, relational instead of suffix-array):
+    // dense rolling-window digests with positions, matches chained by
+    // consecutive starts at the same (ref_doc, alignment) into true
+    // exact common substrings; per probe doc the longest span + window
+    // coverage. Probes = doc_id >= 250 vs reference = doc_id < 250.
+    "q117_substring_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.substringDecontaminate(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+        .orderBy("doc_id")
+    }),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -1674,6 +1687,63 @@ object SparkEntry {
          |UNION ALL SELECT doc_id, CAST(1 AS INT) AS batch_id FROM adm1
          |UNION ALL SELECT doc_id, CAST(2 AS INT) AS batch_id FROM adm2
          |ORDER BY doc_id""".stripMargin,
+
+    // Same window/run construction as the engine, on window STRINGS
+    // instead of digests (equality coincides absent md5 collisions —
+    // the standing oracle assumption): islands trick per (doc, ref_doc,
+    // alignment) chains consecutive matched starts into exact common
+    // substrings of COUNT + windowLen - 1 tokens.
+    "q117_substring_decontaminate" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |win AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS INT) AS start, array_to_string(ws[i + 1: i + 8], ' ') AS w8
+        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM t WHERE len(ws) >= 8)
+        |),
+        |refwin AS MATERIALIZED (
+        |  SELECT w8, doc_id AS ref_doc, start AS ref_start FROM win WHERE doc_id < 250
+        |),
+        |hot AS (SELECT w8 FROM refwin GROUP BY w8 HAVING COUNT(*) > 256),
+        |idx AS MATERIALIZED (SELECT * FROM refwin WHERE w8 NOT IN (SELECT w8 FROM hot)),
+        |m AS MATERIALIZED (
+        |  SELECT p.doc_id, p.start, i.ref_doc, p.start - i.ref_start AS off
+        |  FROM win p JOIN idx i USING (w8)
+        |  WHERE p.doc_id >= 250
+        |),
+        |runs AS MATERIALIZED (
+        |  SELECT doc_id, ref_doc, off, MIN(start) AS start,
+        |         CAST(COUNT(*) + 7 AS BIGINT) AS match_len
+        |  FROM (
+        |    SELECT doc_id, ref_doc, off, start,
+        |           start - ROW_NUMBER() OVER (
+        |             PARTITION BY doc_id, ref_doc, off ORDER BY start) AS grp
+        |    FROM m)
+        |  GROUP BY doc_id, ref_doc, off, grp
+        |),
+        |best AS (
+        |  SELECT doc_id, match_len, ref_doc AS best_ref_doc,
+        |         CAST(start AS INT) AS best_start, CAST(start - off AS INT) AS best_ref_start
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY match_len DESC, ref_doc, start, off) AS rn
+        |    FROM runs)
+        |  WHERE rn = 1
+        |),
+        |cov AS (
+        |  SELECT doc_id, CAST(COUNT(DISTINCT start) AS BIGINT) AS n_matched_windows
+        |  FROM m GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |       COALESCE(b.match_len, CAST(0 AS BIGINT)) AS max_match_len,
+        |       b.best_ref_doc, b.best_start, b.best_ref_start,
+        |       COALESCE(c.n_matched_windows, CAST(0 AS BIGINT)) AS n_matched_windows,
+        |       COALESCE(b.match_len, CAST(0 AS BIGINT)) >= 8 AS contaminated
+        |FROM documents d
+        |JOIN t ON d.doc_id = t.doc_id
+        |LEFT JOIN best b ON d.doc_id = b.doc_id
+        |LEFT JOIN cov c ON d.doc_id = c.doc_id
+        |WHERE d.doc_id >= 250
+        |ORDER BY d.doc_id""".stripMargin,
 
     // The stub "decoder" is a 16-bin byte histogram over the UTF-8 payload;
     // documents are pure ASCII (verified at generation), so byte-range

@@ -945,6 +945,85 @@ object Dedup {
           " ").as("clean_text"))
   }
 
+  /** Offset-exact VARIABLE-LENGTH substring decontamination against a
+    * reference corpus — the Lee et al. ("Deduplicating Training Data
+    * Makes Language Models Better") exact-substring family, computed
+    * relationally instead of with a suffix array. [[rollingPassageDedup]]
+    * answers "does any fixed-width window repeat?"; this answers "what is
+    * the LONGEST exact token span this document shares with the
+    * reference corpus, and where?" — the decontamination question
+    * (benchmark text embedded in training documents at arbitrary offset
+    * and arbitrary length).
+    *
+    * Mechanism: both sides emit dense width-`windowLen` rolling window
+    * digests WITH their positions; probe windows join the reference
+    * index on the digest, and each match carries
+    * `(doc, start, ref_doc, ref_start)`. Digest equality of ONE window
+    * proves only a `windowLen`-token match — but a run of matches with
+    * consecutive `start`s at the SAME `(ref_doc, start - ref_start)`
+    * alignment chains them: `doc[s .. s+w+r-2] = ref_doc[s-o ..]` for a
+    * run of `r` windows, a TRUE exact common substring of
+    * `windowLen + r - 1` tokens (the suffix-array answer, reached by the
+    * islands trick `start - row_number()` per alignment group). Per
+    * document the longest such span is reported with a total tie-break
+    * (length desc, ref_doc, start, alignment), plus the matched-window
+    * coverage count.
+    *
+    * Digests whose reference occurrence count exceeds `maxDigFreq` are
+    * excluded from the index (and from the probe by construction of the
+    * join): a window that occurs hundreds of times is corpus chrome, not
+    * contamination — [[rollingPassageDedup]] is the operator for those —
+    * and the cap bounds the join's fan-out, which is what makes the
+    * operator safe at 100 TB (otherwise one hot digest × its reference
+    * occurrence list is a cross-product seed). All shuffles carry 60-bit
+    * digests and positions, never text; the reference index
+    * `(dig, ref_doc, ref_start)` is the persistable incremental state,
+    * exactly like [[rollingDigestCounts]].
+    */
+  def substringDecontaminate(
+      docs: DataFrame,
+      reference: DataFrame,
+      windowLen: Int = 8,
+      maxDigFreq: Long = 256): DataFrame = {
+    require(maxDigFreq >= 1, s"maxDigFreq=$maxDigFreq must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val refWins = rollingDigests(reference, windowLen)
+      .select(col("dig"), col("doc_id").as("ref_doc"), col("start").as("ref_start"))
+    val hot = refWins.groupBy(col("dig"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > maxDigFreq).select("dig")
+    val index = refWins.join(hot, Seq("dig"), "left_anti")
+    val matches = rollingDigests(docs, windowLen)
+      .join(index, Seq("dig"))
+      .select(
+        col("doc_id"), col("start"), col("ref_doc"),
+        (col("start") - col("ref_start")).as("off"))
+    val byAlignment = Window.partitionBy("doc_id", "ref_doc", "off").orderBy("start")
+    val runs = matches
+      .withColumn("grp", col("start") - row_number().over(byAlignment))
+      .groupBy(col("doc_id"), col("ref_doc"), col("off"), col("grp"))
+      .agg(min(col("start")).as("start"), count(lit(1)).as("run"))
+      .withColumn("match_len", col("run") + lit(windowLen - 1L))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("match_len").desc, col("ref_doc"), col("start"), col("off"))
+    val best = runs
+      .withColumn("rn", row_number().over(byDoc)).filter(col("rn") === 1)
+      .select(
+        col("doc_id"), col("match_len"), col("ref_doc").as("best_ref_doc"),
+        col("start").as("best_start"), (col("start") - col("off")).as("best_ref_start"))
+    val coverage = matches.groupBy(col("doc_id"))
+      .agg(countDistinct(col("start")).as("n_matched_windows"))
+    TextAnalysis.spread(docs)
+      .select(col("doc_id"), size(TextAnalysis.wordsCol).cast("long").as("n_tokens"))
+      .join(best, Seq("doc_id"), "left")
+      .join(coverage, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("match_len"), lit(0L)).as("max_match_len"),
+        col("best_ref_doc"), col("best_start"), col("best_ref_start"),
+        coalesce(col("n_matched_windows"), lit(0L)).as("n_matched_windows"),
+        (coalesce(col("match_len"), lit(0L)) >= windowLen).as("contaminated"))
+  }
+
   /** Strip boilerplate passages from `batch` using a GLOBAL digest
     * frequency state (which must already include the batch's own counts
     * — merge them in first). Same output shape as [[passageDedup]].

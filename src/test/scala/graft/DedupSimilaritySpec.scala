@@ -18,6 +18,53 @@ class DedupSimilaritySpec extends SparkSpec {
       "oceans with nothing shared beyond articles", "en", "s2", 100L))
     .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("substringDecontaminate chains aligned window runs into exact variable-length spans") {
+    def toks(prefix: String, n: Int): Seq[String] = (0 until n).map(i => s"$prefix$i")
+    def mk(id: Long, words: Seq[String]) =
+      (id, words.mkString(" "), "en", "s", words.mkString(" ").length.toLong)
+    val refWords = toks("r", 60)
+    // Probe 100: 5 noise tokens, then an EXACT copy of ref tokens 10..29
+    // (20 tokens), then noise — longest span 20 starting at probe pos 5,
+    // ref pos 10. Probe 101: two disjoint 8-token copies (ref 0..7 and
+    // ref 40..47) separated by noise — max span stays 8 (different
+    // alignments must not chain). Probe 102: no 8-gram overlap.
+    val p100 = toks("a", 5) ++ refWords.slice(10, 30) ++ toks("b", 5)
+    val p101 = refWords.slice(0, 8) ++ toks("c", 9) ++ refWords.slice(40, 48)
+    val p102 = toks("z", 30)
+    val reference = Seq(mk(0L, refWords)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val probes = Seq(mk(100L, p100), mk(101L, p101), mk(102L, p102))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.substringDecontaminate(probes, reference)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r100 = out(100L)
+    assert(r100.getAs[Long]("max_match_len") === 20L)
+    assert(r100.getAs[Long]("best_ref_doc") === 0L)
+    assert(r100.getAs[Int]("best_start") === 5)
+    assert(r100.getAs[Int]("best_ref_start") === 10)
+    // 20-token span at width 8 ⇒ 13 matched window starts
+    assert(r100.getAs[Long]("n_matched_windows") === 13L)
+    assert(r100.getAs[Boolean]("contaminated"))
+    val r101 = out(101L)
+    assert(r101.getAs[Long]("max_match_len") === 8L)
+    assert(r101.getAs[Int]("best_start") === 0, "tie-break: length desc then start asc")
+    assert(r101.getAs[Long]("n_matched_windows") === 2L)
+    val r102 = out(102L)
+    assert(r102.getAs[Long]("max_match_len") === 0L)
+    assert(!r102.getAs[Boolean]("contaminated"))
+    assert(r102.isNullAt(r102.fieldIndex("best_ref_doc")))
+
+    // The hot-digest cap: an 8-gram present in TWO reference docs with
+    // maxDigFreq=1 is chrome, excluded from the index — no match.
+    val ref2 = Seq(mk(0L, refWords), mk(1L, refWords.slice(10, 30)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val capped = Dedup.substringDecontaminate(
+      Seq(mk(100L, p100)).toDF("doc_id", "text", "lang", "source", "n_chars"),
+      ref2, maxDigFreq = 1)
+      .collect().head
+    assert(capped.getAs[Long]("max_match_len") === 0L,
+      "every window of the span occurs twice in the reference, all capped out")
+  }
+
   test("exact dedup groups identical content under the min doc_id") {
     val groups = Dedup.exactDuplicates(docs).collect()
     assert(groups.length === 3)
