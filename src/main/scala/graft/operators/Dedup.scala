@@ -473,11 +473,14 @@ object Dedup {
     *     pair near the threshold admits/rejects on what is effectively a
     *     coin flip. Use only when the kept index cannot carry digests.
     *
-    * The two index frames stay persisted after return — the result plan
-    * reads each several times (bands + verification). Long-lived sessions
-    * calling this repeatedly should `spark.catalog.clearCache()` between
-    * runs (or pass `keptSignatures` and manage its lifecycle); eviction
-    * is otherwise LRU.
+    * Cache lifecycle: index frames THIS CALL builds stay persisted after
+    * return — the result plan reads each several times (bands +
+    * verification) — and are owned by the caller's evaluation of the
+    * result; one-shot callers should use [[withNearDupAgainst]], which
+    * unpersists them after the action. A caller-provided `keptSignatures`
+    * is NOT persisted here (its lifecycle — typically persist once, reuse
+    * across daily snapshots, unpersist at rotation — belongs to whoever
+    * built it; that is the 100 TB incremental path).
     */
   def nearDupAgainst(
       kept: DataFrame,
@@ -488,14 +491,49 @@ object Dedup {
       minSigAgreement: Double = 0.75,
       keptSignatures: Option[DataFrame] = None,
       exactVerify: Boolean = true,
-      minJaccard: Double = 0.75): DataFrame = {
+      minJaccard: Double = 0.75): DataFrame =
+    nearDupAgainstPlan(kept, snapshot, k, numHashes, numBands, minSigAgreement,
+      keptSignatures, exactVerify, minJaccard)._1
+
+  /** [[nearDupAgainst]] as a caller-owned-lifecycle bracket: runs the
+    * action `f` over the survivors frame, then unpersists every index
+    * this call persisted (never a caller-provided `keptSignatures`).
+    * Use for one-shot admissions so long-lived sessions don't
+    * accumulate session-lifetime caches.
+    */
+  def withNearDupAgainst[T](
+      kept: DataFrame,
+      snapshot: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 8,
+      numBands: Int = 4,
+      minSigAgreement: Double = 0.75,
+      keptSignatures: Option[DataFrame] = None,
+      exactVerify: Boolean = true,
+      minJaccard: Double = 0.75)(f: DataFrame => T): T = {
+    val (result, cached) = nearDupAgainstPlan(kept, snapshot, k, numHashes,
+      numBands, minSigAgreement, keptSignatures, exactVerify, minJaccard)
+    try f(result) finally cached.foreach(_.unpersist())
+  }
+
+  private def nearDupAgainstPlan(
+      kept: DataFrame,
+      snapshot: DataFrame,
+      k: Int,
+      numHashes: Int,
+      numBands: Int,
+      minSigAgreement: Double,
+      keptSignatures: Option[DataFrame],
+      exactVerify: Boolean,
+      minJaccard: Double): (DataFrame, Seq[DataFrame]) = {
     def index(df: DataFrame) =
       if (exactVerify) signatureDigestIndex(df, k, numHashes)
       else signatureArrays(df, k, numHashes)
-    val keptArr = keptSignatures.getOrElse(index(kept))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val keptArr = keptSignatures.getOrElse(
+      index(kept).persist(StorageLevel.MEMORY_AND_DISK))
     val snapArr = index(snapshot)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val ownedCaches = (if (keptSignatures.isEmpty) Seq(keptArr) else Nil) :+ snapArr
     val keptBands = bandsFromArrays(keptArr.select("doc_id", "sigs"), numHashes, numBands)
       .select(col("band"), col("band_sig"), col("doc_id").as("kept_doc"))
     val cands = bandsFromArrays(snapArr.select("doc_id", "sigs"), numHashes, numBands)
@@ -535,7 +573,8 @@ object Dedup {
     })
       .select(col("new_doc").as("doc_id"))
       .distinct()
-    snapshot.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti")
+    (snapshot.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti"),
+      ownedCaches)
   }
 
   /** Benchmark/eval-set contamination scan: every (corpus doc, benchmark

@@ -150,6 +150,12 @@ object Sinks {
     * the job (FAILFAST) or silently nulling fields. Callers split with
     * [[quarantine]] / [[clean]]; the frame is cached first because Spark
     * refuses queries that project only the internal corrupt column.
+    *
+    * Cache lifecycle: the returned frame's cache is CALLER-OWNED —
+    * `unpersist()` it once the quarantine/clean split has been consumed,
+    * or use [[withJsonPermissive]]/[[withCsvPermissive]], which release
+    * it after the action. Nothing else here holds a session-lifetime
+    * cache.
     */
   def readJsonPermissive(
       spark: SparkSession,
@@ -173,6 +179,26 @@ object Sinks {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .csv(path)
       .cache()
+
+  /** [[readJsonPermissive]] as a lifecycle bracket: the cached frame is
+    * unpersisted after `f` — no session-lifetime cache escapes.
+    */
+  def withJsonPermissive[T](
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType)(f: DataFrame => T): T = {
+    val df = readJsonPermissive(spark, path, schema)
+    try f(df) finally df.unpersist()
+  }
+
+  /** [[readCsvPermissive]] as a lifecycle bracket. */
+  def withCsvPermissive[T](
+      spark: SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType)(f: DataFrame => T): T = {
+    val df = readCsvPermissive(spark, path, schema)
+    try f(df) finally df.unpersist()
+  }
 
   /** Rows that failed to parse (raw line preserved for replay/debugging). */
   def quarantine(df: DataFrame): DataFrame =

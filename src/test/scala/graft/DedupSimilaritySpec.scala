@@ -271,6 +271,43 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaSig === survivors)
   }
 
+  test("withNearDupAgainst releases its own index caches; provided signatures stay caller-owned") {
+    // Dedicated rows (distinct plans): the cache manager shares entries
+    // across IDENTICAL plans, so reusing another test's kept/snapshot
+    // frames would make this bracket unpersist that test's cache and
+    // turn the count assertions order-dependent.
+    // 46 words: one replacement kills 3 of 44 shingles → jaccard 41/47 ≈
+    // 0.87 ≥ 0.75, comfortably a near-dup.
+    val bracketBase = (0 until 46).map(i => s"brkt$i").mkString(" ")
+    val kept = Seq((500L, bracketBase, "en", "s9", bracketBase.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val snapshot = Seq(
+      (510L, bracketBase.replace("brkt20 ", "changed "), "en", "s9", bracketBase.length.toLong),
+      (511L, "entirely unrelated council minutes concerning harbor dredging schedules and " +
+        "quarterly budget reconciliation for the northern district", "en", "s9", 120L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def cachedTables = spark.sparkContext.getPersistentRDDs.size
+    val before = cachedTables
+    val got = Dedup.withNearDupAgainst(kept, snapshot) { df =>
+      df.collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    assert(got === Set(511L), "near-dup of kept must drop, novel must survive")
+    assert(cachedTables === before,
+      "the bracket must unpersist both indexes it built")
+    // A caller-provided index must NOT be persisted or released by the call.
+    val index = Dedup.signatureDigestIndex(kept).persist()
+    index.count()
+    val mid = cachedTables
+    val viaIndex = Dedup.withNearDupAgainst(
+      kept.limit(0), snapshot, keptSignatures = Some(index)) { df =>
+      df.collect().map(_.getAs[Long]("doc_id")).toSet
+    }
+    assert(viaIndex === got)
+    assert(cachedTables === mid, "caller-owned signatures must survive the bracket")
+    assert(index.storageLevel.useMemory, "the provided index's persist is untouched")
+    index.unpersist()
+  }
+
   test("exact verify classifies borderline pairs that 1/8-granular signature agreement cannot") {
     // 62 unique words → 60 distinct 3-shingles. Replacing 3 spread-out
     // words rewrites exactly 9 shingles: true jaccard = 51/69 ≈ 0.739,

@@ -51,6 +51,22 @@ class SinksSpec extends SparkSpec {
     assert(bad.exists(_.contains("not json at all"))) // raw line preserved for replay
   }
 
+  test("withJsonPermissive releases the split cache after the action") {
+    val dir = Files.createTempDirectory("graft_json_bracket").toFile
+    val f = new java.io.File(dir, "part-0.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"customer_id": 2, "item_id": 20, "action_time": "2025-08-13T12:00:00.000Z", "action_type": 1}""")
+    w.println("""broken line""")
+    w.close()
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val (nClean, nBad) = Sinks.withJsonPermissive(spark, dir.toString, Schemas.actions) { df =>
+      (Sinks.clean(df).count(), Sinks.quarantine(df).count())
+    }
+    assert(nClean === 1L && nBad === 1L)
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "the bracket must unpersist the permissive frame's cache")
+  }
+
   test("compaction rewrites a fragmented parquet dir into size-targeted files") {
     val src = Files.createTempDirectory("graft_frag").toString
     val dest = Files.createTempDirectory("graft_compact").toString
