@@ -836,17 +836,20 @@ object SparkEntry {
       Multimodal.decodeWavFeatures(s, Multimodal.toWav16(Tables.documents(s, dir))).toDF()
         .orderBy("doc_id")),
 
-    // First streaming-FED oracle entry: documents with doc_id >= 50 are
-    // staged as three parquet files (shard = doc_id % 3) and streamed
-    // through a REAL file-source micro-batch query into
+    // First streaming-FED oracle entry: documents with 50 <= doc_id <
+    // 500 are staged as three parquet files (shard = doc_id % 3) and
+    // streamed through a REAL file-source micro-batch query into
     // corpusAdmissionSink, each batch admitted against keptInit (doc_id
     // < 50) plus everything admitted before it. Deterministic batch
     // boundaries come from staged-mtime ordering + maxFilesPerTrigger=1;
     // the oracle replays the same 3-round sequential admission
     // (quality → exact hash dedup → LSH-candidate + verified-jaccard
-    // near-dup) in SQL.
+    // near-dup) in SQL. The doc_id < 500 cap is the whole table at the
+    // correctness scales (sf0.001/sf0.01) and pins the bench cost at
+    // sf0.1 — q101's capped-oracle precedent; the admission operators
+    // themselves scale-probe at full corpus via q89/ScaleProbe.
     "q116_streaming_admission" -> ((s, dir) => {
-      val docs = Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       graft.streaming.StreamingOps.admitViaFileStream(
           s, docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
         .select(col("doc_id"), col("batch_id").cast("int").as("batch_id"))
@@ -3475,7 +3478,7 @@ object SparkEntry {
       |  FROM documents d
       |  JOIN aq ON d.doc_id = aq.doc_id
       |  JOIN ah ON d.doc_id = ah.doc_id
-      |  WHERE d.doc_id >= 50
+      |  WHERE d.doc_id >= 50 AND d.doc_id < 500
       |    AND (aq.n_words BETWEEN 40 AND 10000)
       |    AND aq.avg_word_len >= 3.0 AND aq.avg_word_len <= 8.0
       |    AND aq.stop_hits > 0

@@ -166,6 +166,20 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"boilerplate set stopped broadcasting:\n$p")
   }
 
+  test("substring decontamination: digest-keyed joins, no cross product, no text shuffle") {
+    // Probe and reference windows join on the 60-bit digest; runs chain
+    // in an (doc, ref_doc, alignment) window; per-doc best + coverage
+    // aggregates; final doc_id joins. All shuffle keys are digests, ids,
+    // and positions — the plan must never grow a cartesian product, and
+    // the hot-digest cap's anti-join must not broadcast the full index.
+    val docs = Tables(dir)
+    val df = Dedup.substringDecontaminate(
+      docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"decontamination grew a cross product:\n$p")
+    assert(shuffles(df) <= 12, s"substring decontamination grew a shuffle:\n$p")
+  }
+
   test("bigram surprise broadcasts the model; doc bigrams never shuffle before the doc agg") {
     val df = graft.functions.TextAnalysis.bigramSurprise(Tables(dir))
     val p = plan(df)
