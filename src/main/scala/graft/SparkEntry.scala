@@ -869,6 +869,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The act-on-it companion: every token covered by a matched
+    // reference window is dropped, clean text rebuilt narrowly —
+    // PaLM/GPT-style eval-overlap removal at any offset.
+    "q118_substring_strip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.substringDecontaminateStrip(
+          docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250))
+        .orderBy("doc_id")
+    }),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -1747,6 +1757,50 @@ object SparkEntry {
         |LEFT JOIN cov c ON d.doc_id = c.doc_id
         |WHERE d.doc_id >= 250
         |ORDER BY d.doc_id""".stripMargin,
+
+    // Strip variant: positions covered by any matched reference window
+    // (start + 0..7) are dropped; clean text is the ordered remainder.
+    "q118_substring_strip" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |win AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS INT) AS start, array_to_string(ws[i + 1: i + 8], ' ') AS w8
+        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM t WHERE len(ws) >= 8)
+        |),
+        |refwin AS MATERIALIZED (
+        |  SELECT w8, doc_id AS ref_doc, start AS ref_start FROM win WHERE doc_id < 250
+        |),
+        |hot AS (SELECT w8 FROM refwin GROUP BY w8 HAVING COUNT(*) > 256),
+        |idx AS MATERIALIZED (SELECT DISTINCT w8 FROM refwin WHERE w8 NOT IN (SELECT w8 FROM hot)),
+        |m AS MATERIALIZED (
+        |  SELECT DISTINCT p.doc_id, p.start
+        |  FROM win p JOIN idx i USING (w8)
+        |  WHERE p.doc_id >= 250
+        |),
+        |dp AS MATERIALIZED (
+        |  SELECT DISTINCT m.doc_id, m.start + j.j AS pos
+        |  FROM m CROSS JOIN (SELECT unnest(range(8)) AS j) j
+        |),
+        |words AS (
+        |  SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos
+        |  FROM t WHERE doc_id >= 250
+        |),
+        |kept AS (
+        |  SELECT w2.doc_id, w2.w, w2.pos
+        |  FROM words w2 LEFT JOIN dp ON w2.doc_id = dp.doc_id AND w2.pos = dp.pos
+        |  WHERE dp.pos IS NULL
+        |),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+        |         string_agg(w, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |       CAST(len(t.ws) AS BIGINT) - COALESCE(agg.n_kept, CAST(0 AS BIGINT)) AS n_dropped,
+        |       COALESCE(agg.clean_text, '') AS clean_text
+        |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |WHERE t.doc_id >= 250
+        |ORDER BY t.doc_id""".stripMargin,
 
     // The stub "decoder" is a 16-bin byte histogram over the UTF-8 payload;
     // documents are pure ASCII (verified at generation), so byte-range

@@ -959,6 +959,43 @@ object Dedup {
     val drops = rollingDigests(batch, windowLen).join(boiler, Seq("dig"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("start"))).as("starts"))
+    stripWindowSpans(batch, drops, windowLen)
+  }
+
+  /** The act-on-it companion to [[substringDecontaminate]]: instead of
+    * REPORTING the longest shared span, DROP every token covered by any
+    * matched reference window — the PaLM/GPT-style "remove n-gram
+    * overlap with the eval set" decontamination step, offset-exact and
+    * span-shaped (a longer shared span is the union of its overlapping
+    * matched windows, so it is removed in full). Output per document is
+    * [[rollingPassageDedup]]'s shape: `(doc_id, n_tokens, n_dropped,
+    * clean_text)` with clean text rebuilt narrowly from surviving
+    * positions.
+    *
+    * Same scale posture as the report variant: digest-keyed probe join
+    * against the (persistable, `maxDigFreq`-capped) [[substringIndex]];
+    * the one text-bearing join is the final per-doc assembly.
+    */
+  def substringDecontaminateStrip(
+      docs: DataFrame,
+      reference: DataFrame,
+      windowLen: Int = 8,
+      maxDigFreq: Long = 256,
+      referenceIndex: Option[DataFrame] = None): DataFrame = {
+    val index = referenceIndex.getOrElse(substringIndex(reference, windowLen, maxDigFreq))
+    val drops = rollingDigests(docs, windowLen)
+      .join(index.select("dig").distinct(), Seq("dig"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("start"))).as("starts"))
+    stripWindowSpans(docs, drops, windowLen)
+  }
+
+  /** Shared tail of the window-span removers: drop every token covered
+    * by a window starting at any of `drops.starts`, rebuild clean text
+    * narrowly by index-filtering the words array.
+    */
+  private def stripWindowSpans(
+      batch: DataFrame, drops: DataFrame, windowLen: Int): DataFrame =
     batch
       .join(drops, Seq("doc_id"), "left")
       .select(
@@ -982,7 +1019,6 @@ object Dedup {
         array_join(
           transform(col("keep_pos"), p => element_at(col("words"), p + 1)),
           " ").as("clean_text"))
-  }
 
   /** Offset-exact VARIABLE-LENGTH substring decontamination against a
     * reference corpus — the Lee et al. ("Deduplicating Training Data
@@ -1019,18 +1055,35 @@ object Dedup {
     * `(dig, ref_doc, ref_start)` is the persistable incremental state,
     * exactly like [[rollingDigestCounts]].
     */
-  def substringDecontaminate(
-      docs: DataFrame,
+  /** The reference side of [[substringDecontaminate]] /
+    * [[substringDecontaminateStrip]] as a standalone, PERSISTABLE frame:
+    * `(dig, ref_doc, ref_start)` for every dense `windowLen`-token
+    * window of the reference, with digests above `maxDigFreq` reference
+    * occurrences excluded (corpus chrome + join-fan-out bound). This is
+    * the incremental state — build once per benchmark/eval release,
+    * persist, pass to every decontamination batch via `referenceIndex`,
+    * exactly like `keptSignatures` for [[nearDupAgainst]].
+    */
+  def substringIndex(
       reference: DataFrame,
       windowLen: Int = 8,
       maxDigFreq: Long = 256): DataFrame = {
     require(maxDigFreq >= 1, s"maxDigFreq=$maxDigFreq must be >= 1")
-    import org.apache.spark.sql.expressions.Window
     val refWins = rollingDigests(reference, windowLen)
       .select(col("dig"), col("doc_id").as("ref_doc"), col("start").as("ref_start"))
     val hot = refWins.groupBy(col("dig"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") > maxDigFreq).select("dig")
-    val index = refWins.join(hot, Seq("dig"), "left_anti")
+    refWins.join(hot, Seq("dig"), "left_anti")
+  }
+
+  def substringDecontaminate(
+      docs: DataFrame,
+      reference: DataFrame,
+      windowLen: Int = 8,
+      maxDigFreq: Long = 256,
+      referenceIndex: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val index = referenceIndex.getOrElse(substringIndex(reference, windowLen, maxDigFreq))
     val matches = rollingDigests(docs, windowLen)
       .join(index, Seq("dig"))
       .select(

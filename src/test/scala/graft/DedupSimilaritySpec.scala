@@ -63,6 +63,22 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect().head
     assert(capped.getAs[Long]("max_match_len") === 0L,
       "every window of the span occurs twice in the reference, all capped out")
+
+    // The strip companion removes exactly the covered span and keeps
+    // the noise flanks in order; a pre-built persisted-style index gives
+    // the identical answer (the incremental path).
+    val stripped = Dedup.substringDecontaminateStrip(probes, reference)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val s100 = stripped(100L)
+    assert(s100.getAs[Long]("n_tokens") === 30L && s100.getAs[Long]("n_dropped") === 20L)
+    assert(s100.getAs[String]("clean_text") === (toks("a", 5) ++ toks("b", 5)).mkString(" "))
+    assert(stripped(102L).getAs[Long]("n_dropped") === 0L)
+    assert(stripped(102L).getAs[String]("clean_text") === p102.mkString(" "))
+    val idx = Dedup.substringIndex(reference)
+    val viaIdx = Dedup.substringDecontaminateStrip(
+      probes, reference.limit(0), referenceIndex = Some(idx))
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("clean_text"))).toSet
+    assert(viaIdx === stripped.map { case (id, r) => (id, r.getAs[String]("clean_text")) }.toSet)
   }
 
   test("exact dedup groups identical content under the min doc_id") {
