@@ -879,6 +879,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The self-similarity half: longest repeated substring WITHIN each
+    // document (same islands chaining, self-paired at offset > 0) —
+    // variable-length exact internal repeats, vs q41's fixed-gram
+    // repetition ratios.
+    "q119_self_repeats" -> ((s, dir) =>
+      Dedup.selfRepeatedSubstrings(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -1800,6 +1808,53 @@ object SparkEntry {
         |       COALESCE(agg.clean_text, '') AS clean_text
         |FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
         |WHERE t.doc_id >= 250
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // Self-pairs at positive gap, islands per (doc, gap), longest
+    // internal repeat with the engine's tie-break; in-doc digest
+    // occurrences capped at 64 before pairing, exactly as the engine.
+    "q119_self_repeats" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |win AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS INT) AS start, array_to_string(ws[i + 1: i + 8], ' ') AS w8
+        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM t WHERE len(ws) >= 8)
+        |),
+        |occ AS (SELECT doc_id, w8 FROM win GROUP BY doc_id, w8 HAVING COUNT(*) BETWEEN 2 AND 64),
+        |rep AS MATERIALIZED (SELECT win.* FROM win JOIN occ USING (doc_id, w8)),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id, a.start AS s1, b.start - a.start AS off
+        |  FROM rep a JOIN rep b ON a.doc_id = b.doc_id AND a.w8 = b.w8 AND a.start < b.start
+        |),
+        |runs AS MATERIALIZED (
+        |  SELECT doc_id, off, MIN(s1) AS start, CAST(COUNT(*) + 7 AS BIGINT) AS repeat_len
+        |  FROM (
+        |    SELECT doc_id, off, s1,
+        |           s1 - ROW_NUMBER() OVER (PARTITION BY doc_id, off ORDER BY s1) AS grp
+        |    FROM pairs)
+        |  GROUP BY doc_id, off, grp
+        |),
+        |best AS (
+        |  SELECT doc_id, repeat_len,
+        |         CAST(start AS INT) AS best_start, CAST(off AS INT) AS best_gap
+        |  FROM (
+        |    SELECT *, ROW_NUMBER() OVER (
+        |      PARTITION BY doc_id ORDER BY repeat_len DESC, start, off) AS rn
+        |    FROM runs)
+        |  WHERE rn = 1
+        |),
+        |cov AS (
+        |  SELECT doc_id, CAST(COUNT(DISTINCT start) AS BIGINT) AS n_repeat_windows
+        |  FROM rep GROUP BY doc_id
+        |)
+        |SELECT t.doc_id,
+        |       CAST(len(t.ws) AS BIGINT) AS n_tokens,
+        |       COALESCE(b.repeat_len, CAST(0 AS BIGINT)) AS max_repeat_len,
+        |       b.best_start, b.best_gap,
+        |       COALESCE(c.n_repeat_windows, CAST(0 AS BIGINT)) AS n_repeat_windows,
+        |       COALESCE(b.repeat_len, CAST(0 AS BIGINT)) >= 8 AS has_repeat
+        |FROM t
+        |LEFT JOIN best b ON t.doc_id = b.doc_id
+        |LEFT JOIN cov c ON t.doc_id = c.doc_id
         |ORDER BY t.doc_id""".stripMargin,
 
     // The stub "decoder" is a 16-bin byte histogram over the UTF-8 payload;

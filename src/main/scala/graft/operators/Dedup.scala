@@ -990,6 +990,68 @@ object Dedup {
     stripWindowSpans(docs, drops, windowLen)
   }
 
+  /** Longest repeated substring WITHIN each document — the
+    * self-similarity half of the Lee et al. exact-substring family
+    * ([[substringDecontaminate]] is the cross-corpus half). A window
+    * digest occurring at positions `s` and `s + off` of the same
+    * document pairs up; consecutive `s` at the same `off` chain into a
+    * TRUE internal repeat of `windowLen + run − 1` tokens occurring at
+    * `best_start` and `best_start + best_gap` (possibly overlapping, as
+    * in the classic suffix-array LRS). Per document: the longest such
+    * repeat (total tie-break: length desc, start, gap), plus how many
+    * window starts participate in any repeat — the graded signal
+    * [[graft.functions.TextAnalysis]]'s q41 repetition ratio thresholds.
+    *
+    * `maxRepeat` drops digests occurring more than that many times in
+    * one document before pairing (m occurrences would seed m²/2 pairs —
+    * degenerate loops are q41's business, not this operator's); the cap
+    * makes per-doc pair fan-out ≤ maxRepeat²/2 per digest. Shuffles
+    * carry digests and positions only.
+    */
+  def selfRepeatedSubstrings(
+      docs: DataFrame,
+      windowLen: Int = 8,
+      maxRepeat: Long = 64): DataFrame = {
+    require(maxRepeat >= 2, s"maxRepeat=$maxRepeat must be >= 2")
+    import org.apache.spark.sql.expressions.Window
+    val wins = rollingDigests(docs, windowLen)
+    val occ = wins.groupBy(col("doc_id"), col("dig")).agg(count(lit(1)).as("occ"))
+    val rep = wins.join(
+      occ.filter(col("occ") >= 2 && col("occ") <= maxRepeat).select("doc_id", "dig"),
+      Seq("doc_id", "dig"))
+    // (doc, s1, off): s1 and dig determine s2 = s1 + off, so the pair
+    // set is already duplicate-free — no distinct needed.
+    val pairs = rep.select(col("doc_id"), col("dig"), col("start").as("s1"))
+      .join(rep.select(col("doc_id"), col("dig"), col("start").as("s2")), Seq("doc_id", "dig"))
+      .filter(col("s1") < col("s2"))
+      .select(col("doc_id"), col("s1"), (col("s2") - col("s1")).as("off"))
+    val byAlignment = Window.partitionBy("doc_id", "off").orderBy("s1")
+    val runs = pairs
+      .withColumn("grp", col("s1") - row_number().over(byAlignment))
+      .groupBy(col("doc_id"), col("off"), col("grp"))
+      .agg(min(col("s1")).as("start"), count(lit(1)).as("run"))
+      .withColumn("repeat_len", col("run") + lit(windowLen - 1L))
+    val byDoc = Window.partitionBy("doc_id")
+      .orderBy(col("repeat_len").desc, col("start"), col("off"))
+    val best = runs
+      .withColumn("rn", row_number().over(byDoc)).filter(col("rn") === 1)
+      .select(
+        col("doc_id"), col("repeat_len"),
+        col("start").as("best_start"), col("off").as("best_gap"))
+    val coverage = rep.groupBy(col("doc_id"))
+      .agg(countDistinct(col("start")).as("n_repeat_windows"))
+    TextAnalysis.spread(docs)
+      .select(col("doc_id"), size(TextAnalysis.wordsCol).cast("long").as("n_tokens"))
+      .join(best, Seq("doc_id"), "left")
+      .join(coverage, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"),
+        coalesce(col("repeat_len"), lit(0L)).as("max_repeat_len"),
+        col("best_start"), col("best_gap"),
+        coalesce(col("n_repeat_windows"), lit(0L)).as("n_repeat_windows"),
+        (coalesce(col("repeat_len"), lit(0L)) >= windowLen).as("has_repeat"))
+  }
+
   /** Shared tail of the window-span removers: drop every token covered
     * by a window starting at any of `drops.starts`, rebuild clean text
     * narrowly by index-filtering the words array.

@@ -81,6 +81,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(viaIdx === stripped.map { case (id, r) => (id, r.getAs[String]("clean_text")) }.toSet)
   }
 
+  test("selfRepeatedSubstrings finds the longest internal repeat with exact chaining") {
+    def toks(p: String, n: Int): Seq[String] = (0 until n).map(i => s"$p$i")
+    // d1: a 10-token block repeated at starts 6 and 20 (gap 14).
+    // d2: period-5 text — overlapping repeat, LRS = 15 at gap 5.
+    // d3: no repeated 8-gram.
+    val rpt = toks("rep", 10)
+    val d1 = toks("n", 6) ++ rpt ++ toks("m", 4) ++ rpt ++ toks("t", 3)
+    val d2 = (0 until 4).flatMap(_ => toks("c", 5))
+    val d3 = toks("z", 20)
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3))
+      .map { case (id, ws) =>
+        val t = ws.mkString(" "); (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.selfRepeatedSubstrings(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("max_repeat_len") === 10L)
+    assert(r1.getAs[Int]("best_start") === 6 && r1.getAs[Int]("best_gap") === 14)
+    assert(r1.getAs[Boolean]("has_repeat"))
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("max_repeat_len") === 15L,
+      "overlapping periodic repeat must chain to period + run - 1")
+    assert(r2.getAs[Int]("best_start") === 0 && r2.getAs[Int]("best_gap") === 5)
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("max_repeat_len") === 0L && !r3.getAs[Boolean]("has_repeat"))
+    assert(r3.isNullAt(r3.fieldIndex("best_start")))
+  }
+
   test("exact dedup groups identical content under the min doc_id") {
     val groups = Dedup.exactDuplicates(docs).collect()
     assert(groups.length === 3)
