@@ -77,6 +77,8 @@ object GraftFunctions {
         intLit(c(2), "graft_minhash_sigs's numHashes"))),
     fn("graft_shingle_digests", 2, c =>
       ShingleDigests(c(0), intLit(c(1), "graft_shingle_digests's k"))),
+    fn("graft_rolling_digests", 2, c =>
+      RollingDigests(c(0), intLit(c(1), "graft_rolling_digests's w"))),
     fn("graft_gram_stats", 2, c =>
       GramStats(c(0), intLit(c(1), "graft_gram_stats's n"))),
     fn("graft_bpe_encode", 2, c =>

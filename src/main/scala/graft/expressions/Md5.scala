@@ -180,6 +180,33 @@ case class ShingleDigests(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** EVERY dense w-token window digest in start order (array index =
+  * window start) as array<long> — the fused form of the
+  * `transform(sequence)/slice/array_join/md5` chain that feeds the
+  * rolling-window family (rollingPassageDedup, substringDecontaminate,
+  * selfRepeatedSubstrings). Deliberately NON-distinct, unlike
+  * [[ShingleDigests]]: the consumers key on (start, digest) positions.
+  * Digests are the same 60-bit md5 slice over the space-joined window as
+  * `graft_md5_60(array_join(...))`, so existing oracles replay
+  * unchanged. Empty array for docs shorter than the window.
+  */
+case class RollingDigests(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${dt.catalogString}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_rolling_digests"
+  override def nullSafeEval(a: Any): Any =
+    Md5.rollingDigests(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Md5.rollingDigests($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): RollingDigests =
+    copy(child = newChild)
+}
+
 /** 64-bit tf-weighted SimHash of a words array as a 16-char lowercase hex
   * string, in one pass: per-doc term frequencies, per-bit weighted
   * majorities over each word's leading 64 md5 bits, nibble reassembly —
@@ -251,6 +278,22 @@ object Md5 {
     val it = seen.iterator()
     var j = 0
     while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def rollingDigests(
+      words: org.apache.spark.sql.catalyst.util.ArrayData,
+      w: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = words.numElements()
+    if (n < w) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Long](0))
+    val md = tl.get()
+    val wb = wordBytes(words)
+    val out = new Array[Long](n - w + 1)
+    var i = 0
+    while (i <= n - w) {
+      out(i) = be64(shingleDigest(md, wb, i, w), 0) >>> 4
+      i += 1
+    }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 

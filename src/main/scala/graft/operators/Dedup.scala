@@ -912,26 +912,22 @@ object Dedup {
     rollingPassageDedupAgainst(
       docs, rollingDigestCounts(docs, windowLen), windowLen, maxDocFreq)
 
-  /** One window per start position `0..n-windowLen` (none for docs
-    * shorter than the window — below the pass's resolution).
-    */
-  private def rollingWindowsOf(words: Column, windowLen: Int): Column =
-    when(size(words) >= windowLen,
-      transform(
-        sequence(lit(0), size(words) - windowLen),
-        i => array_join(slice(words, i + 1, lit(windowLen)), " ")))
-      .otherwise(array().cast("array<string>"))
-
   /** `(doc_id, start, dig)` — window strings are hashed and DISCARDED
-    * before any shuffle; only digests aggregate.
+    * before any shuffle; only digests aggregate. One fused codegen pass
+    * ([[graft.expressions.RollingDigests]]) per document: word bytes
+    * extracted once, md5 per window with no per-window string/array
+    * construction — digest-identical to
+    * `graft_md5_60(array_join(slice(words, s+1, w), ' '))`, which is
+    * what the DuckDB oracles replay.
     */
   private def rollingDigests(docs: DataFrame, windowLen: Int): DataFrame = {
     require(windowLen >= 1, s"windowLen=$windowLen must be >= 1")
+    val bridge = org.apache.spark.sql.graft.bridge
     TextAnalysis.spread(docs)
       .select(
         col("doc_id"),
-        posexplode(rollingWindowsOf(TextAnalysis.wordsCol, windowLen)).as(Seq("start", "p")))
-      .select(col("doc_id"), col("start"), graft.functions.Hashing.md5Long60(col("p")).as("dig"))
+        posexplode(bridge.column(graft.expressions.RollingDigests(
+          bridge.expression(TextAnalysis.wordsCol), windowLen))).as(Seq("start", "dig")))
   }
 
   /** [[rollingPassageDedup]]'s persisted/merge state, the twin of

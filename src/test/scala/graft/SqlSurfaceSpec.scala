@@ -45,6 +45,24 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(gs.getAs[Long]("top_gram_cnt") === 2L)
   }
 
+  test("graft_rolling_digests equals the composed slice/join/md5 chain, position for position") {
+    // The fused expression must be digest-identical to what the DuckDB
+    // oracles replay: md5_60 of each space-joined dense window, indexed
+    // by start. Includes the repeated-window case (non-distinct) and the
+    // too-short case (empty array).
+    val r = spark.sql(
+      """SELECT graft_rolling_digests(graft_tokens('a b c a b c a'), 3) AS fused,
+        |       transform(sequence(0, 4),
+        |                 i -> graft_md5_60(array_join(slice(graft_tokens('a b c a b c a'), i + 1, 3), ' '))) AS composed,
+        |       graft_rolling_digests(graft_tokens('a b'), 3) AS short
+        |""".stripMargin).collect().head
+    assert(r.getSeq[Long](r.fieldIndex("fused")) === r.getSeq[Long](r.fieldIndex("composed")))
+    assert(r.getSeq[Long](r.fieldIndex("fused")).length === 5)
+    // Period-3 text: windows at starts 0 and 3 coincide — positions kept.
+    assert(r.getSeq[Long](r.fieldIndex("fused"))(0) === r.getSeq[Long](r.fieldIndex("fused"))(3))
+    assert(r.getSeq[Long](r.fieldIndex("short")).isEmpty)
+  }
+
   test("graft_bpe_encode replays a merge table via SQL and matches the operator path") {
     // Merges in rank order: t+h → th, th+e → the.
     val r = spark.sql(
