@@ -887,6 +887,43 @@ object SparkEntry {
       Dedup.selfRepeatedSubstrings(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // Streaming Count-Min maintenance under the oracle gate: each
+    // micro-batch's token cells land in their own epoch dir
+    // (replay-idempotent overwrite) and the live sketch is the
+    // cell-wise merge at read time — cells are additive over the
+    // doc-disjoint shards, so the merged sketch must equal the batch
+    // sketch of the whole corpus: q86's construction, probed with the
+    // same exact-count set. Batch boundaries need no determinism for
+    // THIS query (summation is order-blind), but streamShards provides
+    // it anyway.
+    "q120_streaming_count_min" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val path = java.nio.file.Files.createTempDirectory("graft_q120_cms").toString
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3) { (batch, id) =>
+        graft.streaming.StreamingOps.countMinSink("source", "tok", path)(
+          batch.select(col("source"), explode(TextAnalysis.wordsCol).as("tok")), id)
+      }
+      val exact = docs
+        .select(col("source").as("grp"), explode(TextAnalysis.wordsCol).as("item"))
+        .groupBy(col("grp"), col("item")).agg(count(lit(1)).as("exact_cnt"))
+      graft.functions.Sketches.probeCountMin(
+          graft.streaming.StreamingOps.mergedCountMinCells(s, path), exact)
+        .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+        .orderBy("grp", "item")
+    }),
+
+    // Streaming HLL maintenance under the oracle gate: per-epoch
+    // register tables, register-wise MAX at read — idempotent, so the
+    // merged estimate must equal q76's whole-corpus construction.
+    "q121_streaming_hll" -> ((s, dir) => {
+      val path = java.nio.file.Files.createTempDirectory("graft_q121_hll").toString
+      graft.streaming.StreamingOps.streamShards(s, Tables.events(s, dir), "event_id", 3)(
+        graft.streaming.StreamingOps.hllSink("event_type", "user_id", path))
+      graft.streaming.StreamingOps.mergedHllDistinct(s, path)
+        .withColumnRenamed("grp", "event_type")
+        .orderBy("event_type")
+    }),
+
     // Five-table star join over the remaining dimension tables
     // (part/supplier/region were otherwise unexercised): revenue by
     // region × brand, all four dims broadcast — ONE fact shuffle.
@@ -2356,33 +2393,11 @@ object SparkEntry {
         |       mn + CAST(code AS BIGINT) * (mx - mn) // 255 AS recon
         |FROM c ORDER BY vec_id, dim""".stripMargin,
 
-    "q76_hll_distinct" -> {
-      val c = graft.functions.Sketches.hllConstant(6)
-      s"""WITH h AS (
-        |  SELECT event_type,
-        |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
-        |  FROM events
-        |),
-        |r AS (
-        |  SELECT event_type, CAST(h % 64 AS INT) AS reg,
-        |         CASE WHEN h // 64 = 0 THEN 55
-        |              ELSE 55 - CAST(length(bin(h // 64)) AS INT) END AS rho
-        |  FROM h
-        |),
-        |m AS (
-        |  SELECT event_type, reg, MAX(rho) AS r FROM r GROUP BY event_type, reg
-        |),
-        |a AS (
-        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m_used,
-        |         CAST(SUM(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS s_used
-        |  FROM m GROUP BY event_type
-        |)
-        |SELECT event_type, m_used,
-        |       s_used + (64 - m_used) * 36028797018963968 AS s,
-        |       CAST('$c' AS DOUBLE) /
-        |         CAST(s_used + (64 - m_used) * 36028797018963968 AS DOUBLE) AS est_distinct
-        |FROM a ORDER BY event_type""".stripMargin
-    },
+    "q76_hll_distinct" -> hllEventsOracle,
+
+    // The streaming HLL view must reproduce the batch construction
+    // exactly (register MAX is shard-order-blind) — same oracle as q76.
+    "q121_streaming_hll" -> hllEventsOracle,
 
     "q77_exact_correlation" ->
       """WITH v AS (
@@ -2890,6 +2905,34 @@ object SparkEntry {
         |GROUP BY pr.grp, pr.item, pr.exact_cnt
         |ORDER BY pr.grp, pr.item""".stripMargin,
 
+    // The streaming cell merge must equal the batch sketch of the same
+    // corpus (cells are additive over doc-disjoint shards): q86's
+    // construction over the doc_id < 500 streamed universe.
+    "q120_streaming_count_min" ->
+      """WITH w AS (
+        |  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS item
+        |  FROM documents WHERE doc_id < 500
+        |),
+        |rs AS (SELECT CAST(unnest(range(4)) AS INT) AS r),
+        |h AS (
+        |  SELECT grp, item, r,
+        |         CAST('0x' || substr(md5(item), 1 + 8 * r, 8) AS BIGINT) % 64 AS bucket
+        |  FROM w CROSS JOIN rs
+        |),
+        |sk AS (SELECT grp, r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY grp, r, bucket),
+        |e AS (SELECT grp, item, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM w GROUP BY grp, item),
+        |pr AS (
+        |  SELECT grp, item, exact_cnt, r,
+        |         CAST('0x' || substr(md5(item), 1 + 8 * r, 8) AS BIGINT) % 64 AS bucket
+        |  FROM e CROSS JOIN rs
+        |)
+        |SELECT pr.grp, pr.item, pr.exact_cnt,
+        |       MIN(sk.c) AS cms_est,
+        |       MIN(sk.c) - pr.exact_cnt AS overcount
+        |FROM pr JOIN sk ON pr.grp = sk.grp AND pr.r = sk.r AND pr.bucket = sk.bucket
+        |GROUP BY pr.grp, pr.item, pr.exact_cnt
+        |ORDER BY pr.grp, pr.item""".stripMargin,
+
     "q87_semantic_dedup" -> semanticDedupOracle,
 
     "q83_cluster_split" ->
@@ -3359,6 +3402,38 @@ object SparkEntry {
          |SELECT vec_a, vec_b, dp, cosine FROM c
          |WHERE cosine >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** Shared q76/q121 oracle: the deterministic HLL over events — the
+    * streaming per-epoch register view must reproduce the batch sketch
+    * exactly (register merge is an idempotent MAX).
+    */
+  private val hllEventsOracle = {
+    val c = graft.functions.Sketches.hllConstant(6)
+    s"""WITH h AS (
+       |  SELECT event_type,
+       |         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM events
+       |),
+       |r AS (
+       |  SELECT event_type, CAST(h % 64 AS INT) AS reg,
+       |         CASE WHEN h // 64 = 0 THEN 55
+       |              ELSE 55 - CAST(length(bin(h // 64)) AS INT) END AS rho
+       |  FROM h
+       |),
+       |m AS (
+       |  SELECT event_type, reg, MAX(rho) AS r FROM r GROUP BY event_type, reg
+       |),
+       |a AS (
+       |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m_used,
+       |         CAST(SUM(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS s_used
+       |  FROM m GROUP BY event_type
+       |)
+       |SELECT event_type, m_used,
+       |       s_used + (64 - m_used) * 36028797018963968 AS s,
+       |       CAST('$c' AS DOUBLE) /
+       |         CAST(s_used + (64 - m_used) * 36028797018963968 AS DOUBLE) AS est_distinct
+       |FROM a ORDER BY event_type""".stripMargin
+  }
 
   /** Shared q92/q100 oracle: the Bloom probe replayed in SQL (explode 3
     * positions per distinct hash, one join on the word index, min() of

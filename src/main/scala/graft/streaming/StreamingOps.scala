@@ -258,13 +258,34 @@ object StreamingOps {
       keptInit: DataFrame,
       numBatches: Int = 3,
       minJaccard: Double = 0.75): DataFrame = {
-    require(numBatches >= 1, s"numBatches=$numBatches must be positive")
-    val stage = java.nio.file.Files.createTempDirectory("graft_admit_stage").toFile
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_admit_sink").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_admit_ckpt").toString
+    streamShards(spark, candidates, "doc_id", numBatches)(
+      corpusAdmissionSink(spark, keptInit, sinkDir, minJaccard))
+    spark.read.parquet(sinkDir)
+  }
+
+  /** Run any `(batch, batchId) => Unit` sink over a REAL file-source
+    * stream with DETERMINISTIC micro-batch boundaries: the frame is
+    * staged as one parquet file per `shardKey % numBatches` shard with
+    * strictly increasing modification times, then a
+    * `maxFilesPerTrigger=1` + `Trigger.AvailableNow` query admits the
+    * files in mtime order — shard `b` is exactly micro-batch `b` on
+    * every run, which hash-compared oracles require. This is the
+    * batch-parity driver behind q116/q120/q121; production replaces the
+    * staging with the real landing directory and drops the determinism
+    * constraint.
+    */
+  def streamShards(
+      spark: SparkSession,
+      frame: DataFrame,
+      shardKey: String,
+      numBatches: Int)(sink: (DataFrame, Long) => Unit): Unit = {
+    require(numBatches >= 1, s"numBatches=$numBatches must be positive")
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream_stage").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
     for (b <- 0 until numBatches) {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_admit_b$b")
-      candidates.filter(pmod(col("doc_id"), lit(numBatches)) === b)
+      val tmp = java.nio.file.Files.createTempDirectory(s"graft_stream_b$b")
+      frame.filter(pmod(col(shardKey), lit(numBatches)) === b)
         .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val parts = new java.io.File(tmp.toString).listFiles()
         .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -278,16 +299,15 @@ object StreamingOps {
         s"could not pin mtime for shard $b")
     }
     val query = spark.readStream
-      .schema(candidates.schema)
+      .schema(frame.schema)
       .option("maxFilesPerTrigger", 1)
       .parquet(stage.toString)
       .writeStream
-      .foreachBatch(corpusAdmissionSink(spark, keptInit, sinkDir, minJaccard))
+      .foreachBatch(sink)
       .option("checkpointLocation", ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     query.awaitTermination()
-    spark.read.parquet(sinkDir)
   }
 
   /** Replay-idempotent streaming Count-Min maintenance: each micro-batch's

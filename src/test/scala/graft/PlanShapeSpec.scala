@@ -180,6 +180,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(df) <= 12, s"substring decontamination grew a shuffle:\n$p")
   }
 
+  test("substring strip and self-repeats stay digest-keyed with no cross product") {
+    val docs = Tables(dir)
+    val strip = Dedup.substringDecontaminateStrip(
+      docs.filter("doc_id >= 250"), docs.filter("doc_id < 250"))
+    val ps = plan(strip)
+    assert(!ps.contains("CartesianProduct"), s"strip grew a cross product:\n$ps")
+    assert(shuffles(strip) <= 10, s"substring strip grew a shuffle:\n$ps")
+    val rep = Dedup.selfRepeatedSubstrings(docs)
+    val pr = plan(rep)
+    // The self-pair join is (doc_id, dig)-keyed — bounded by the in-doc
+    // occurrence cap, never a text join.
+    assert(!pr.contains("CartesianProduct"), s"self-repeats grew a cross product:\n$pr")
+    assert(shuffles(rep) <= 12, s"self-repeats grew a shuffle:\n$pr")
+  }
+
   test("bigram surprise broadcasts the model; doc bigrams never shuffle before the doc agg") {
     val df = graft.functions.TextAnalysis.bigramSurprise(Tables(dir))
     val p = plan(df)
