@@ -675,18 +675,10 @@ object SparkEntry {
     // variants — only the dense-window pass sees the shared span. The
     // oracle replays windows, document frequency, and the covered-token
     // drops in SQL and hash-matches the cleaned text.
-    "q101_rolling_passage_dedup" -> ((s, dir) => {
-      val base = Tables.documents(s, dir)
-        .filter(col("doc_id") < 150).select("doc_id", "text")
-      val shifted = base
-        .select((col("doc_id") * 2).as("doc_id"),
-          concat(lit("hdr one two "), col("text")).as("text"))
-        .unionByName(base
-          .select((col("doc_id") * 2 + 1).as("doc_id"),
-            concat(lit("pre "), col("text")).as("text")))
-      Dedup.rollingPassageDedup(shifted, windowLen = 8, maxDocFreq = 1)
-        .orderBy("doc_id")
-    }),
+    "q101_rolling_passage_dedup" -> ((s, dir) =>
+      Dedup.rollingPassageDedup(
+          shiftedBoilerplateCorpus(s, dir), windowLen = 8, maxDocFreq = 1)
+        .orderBy("doc_id")),
 
     // Quality-ranked token-budget selection: the best docs (by distinct
     // token count, doc_id tie-break) whose cumulative token cost fits
@@ -922,6 +914,32 @@ object SparkEntry {
       graft.streaming.StreamingOps.mergedHllDistinct(s, path)
         .withColumnRenamed("grp", "event_type")
         .orderBy("event_type")
+    }),
+
+    // Streaming boilerplate state: per-epoch aligned passage counts
+    // summed at read must clean the corpus exactly like the one-shot
+    // batch pass (doc-disjoint shards ⇒ merged df = corpus df) — q84's
+    // oracle verbatim.
+    "q122_streaming_passage_state" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q122_pc").toString
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3)(
+        graft.streaming.StreamingOps.passageCountsSink(path))
+      Dedup.passageDedupAgainst(
+          docs, graft.streaming.StreamingOps.mergedPassageCounts(s, path))
+        .orderBy("doc_id")
+    }),
+
+    // Same for the dense-window (offset-robust) rolling state over the
+    // q101 shifted corpus — q101's oracle verbatim.
+    "q123_streaming_rolling_state" -> ((s, dir) => {
+      val shifted = shiftedBoilerplateCorpus(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q123_rc").toString
+      graft.streaming.StreamingOps.streamShards(s, shifted, "doc_id", 3)(
+        graft.streaming.StreamingOps.rollingCountsSink(path))
+      Dedup.rollingPassageDedupAgainst(
+          shifted, graft.streaming.StreamingOps.mergedRollingCounts(s, path))
+        .orderBy("doc_id")
     }),
 
     // Five-table star join over the remaining dimension tables
@@ -2528,46 +2546,12 @@ object SparkEntry {
     // shuffle join) must never change the answer or the flags.
     "q100_bloom_shuffle_dedup" -> bloomDedupOracle,
 
-    "q101_rolling_passage_dedup" ->
-      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
-        |corpus AS (
-        |  SELECT doc_id * 2 AS doc_id, 'hdr one two ' || text AS text FROM base
-        |  UNION ALL
-        |  SELECT doc_id * 2 + 1 AS doc_id, 'pre ' || text AS text FROM base
-        |),
-        |w AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
-        |         unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS pos
-        |  FROM corpus
-        |),
-        |win AS (
-        |  SELECT doc_id, pos AS start,
-        |         w || ' ' || LEAD(w, 1) OVER z || ' ' || LEAD(w, 2) OVER z || ' ' ||
-        |         LEAD(w, 3) OVER z || ' ' || LEAD(w, 4) OVER z || ' ' ||
-        |         LEAD(w, 5) OVER z || ' ' || LEAD(w, 6) OVER z || ' ' ||
-        |         LEAD(w, 7) OVER z AS s
-        |  FROM w WINDOW z AS (PARTITION BY doc_id ORDER BY pos)
-        |  QUALIFY s IS NOT NULL
-        |),
-        |d AS (
-        |  SELECT doc_id, start, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS dig
-        |  FROM win
-        |),
-        |b AS (SELECT dig FROM d GROUP BY dig HAVING COUNT(DISTINCT doc_id) > 1),
-        |drops AS (
-        |  SELECT DISTINCT d.doc_id, d.start + o.o AS pos
-        |  FROM d JOIN b USING (dig), (SELECT unnest(range(8)) AS o) o
-        |),
-        |k AS (
-        |  SELECT w.doc_id, w.pos, w.w, (dp.pos IS NOT NULL) AS dropped
-        |  FROM w LEFT JOIN drops dp ON w.doc_id = dp.doc_id AND w.pos = dp.pos
-        |)
-        |SELECT doc_id,
-        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
-        |       COALESCE(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE NOT dropped), '') AS clean_text
-        |FROM k GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "q101_rolling_passage_dedup" -> rollingPassageOracle,
+
+    // Streaming dense-window state: merged per-epoch rolling counts must
+    // clean the shifted corpus exactly like the batch operator — same
+    // oracle as q101.
+    "q123_streaming_rolling_state" -> rollingPassageOracle,
 
     "q102_token_budget" ->
       """WITH t AS (
@@ -2830,33 +2814,12 @@ object SparkEntry {
         |SELECT source, token, obs, expected, chi2_term, rnk FROM r WHERE rnk <= 10
         |ORDER BY source, rnk""".stripMargin,
 
-    "q84_passage_dedup" ->
-      """WITH w AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
-        |         unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS pos
-        |  FROM documents
-        |),
-        |p AS (
-        |  SELECT doc_id, CAST(pos // 8 AS INT) AS chunk,
-        |         string_agg(w, ' ' ORDER BY pos) AS passage
-        |  FROM w GROUP BY doc_id, pos // 8
-        |),
-        |d AS (
-        |  SELECT doc_id, chunk, passage,
-        |         CAST('0x' || substr(md5(passage), 1, 15) AS BIGINT) AS dig
-        |  FROM p
-        |),
-        |b AS (SELECT dig, TRUE AS boiler FROM d GROUP BY dig HAVING COUNT(DISTINCT doc_id) > 1),
-        |k AS (
-        |  SELECT d.doc_id, d.chunk, d.passage, COALESCE(b.boiler, FALSE) AS dropped
-        |  FROM d LEFT JOIN b USING (dig)
-        |)
-        |SELECT doc_id,
-        |       CAST(COUNT(*) AS BIGINT) AS n_passages,
-        |       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
-        |       COALESCE(string_agg(passage, ' ' ORDER BY chunk) FILTER (WHERE NOT dropped), '') AS clean_text
-        |FROM k GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+    "q84_passage_dedup" -> passageDedupOracle,
+
+    // The streaming passage-state merge must clean the corpus exactly
+    // like the one-shot batch operator (doc-disjoint epoch counts sum
+    // to the corpus counts) — same oracle as q84.
+    "q122_streaming_passage_state" -> passageDedupOracle,
 
     "q85_bigram_surprise" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
@@ -3402,6 +3365,99 @@ object SparkEntry {
          |SELECT vec_a, vec_b, dp, cosine FROM c
          |WHERE cosine >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin)
+
+  /** Shared q84/q122 oracle: aligned passage boilerplate removal —
+    * the streaming per-epoch digest-count merge must clean the corpus
+    * exactly like the one-shot batch operator.
+    */
+  private val passageDedupOracle =
+      """WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |         unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+        |  FROM documents
+        |),
+        |p AS (
+        |  SELECT doc_id, CAST(pos // 8 AS INT) AS chunk,
+        |         string_agg(w, ' ' ORDER BY pos) AS passage
+        |  FROM w GROUP BY doc_id, pos // 8
+        |),
+        |d AS (
+        |  SELECT doc_id, chunk, passage,
+        |         CAST('0x' || substr(md5(passage), 1, 15) AS BIGINT) AS dig
+        |  FROM p
+        |),
+        |b AS (SELECT dig, TRUE AS boiler FROM d GROUP BY dig HAVING COUNT(DISTINCT doc_id) > 1),
+        |k AS (
+        |  SELECT d.doc_id, d.chunk, d.passage, COALESCE(b.boiler, FALSE) AS dropped
+        |  FROM d LEFT JOIN b USING (dig)
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_passages,
+        |       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+        |       COALESCE(string_agg(passage, ' ' ORDER BY chunk) FILTER (WHERE NOT dropped), '') AS clean_text
+        |FROM k GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+
+  /** Shared q101/q123 oracle: dense-window (offset-robust) boilerplate
+    * removal over the shifted synthetic corpus — the streaming rolling
+    * state merge must equal the batch pass.
+    */
+  private val rollingPassageOracle =
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        |corpus AS (
+        |  SELECT doc_id * 2 AS doc_id, 'hdr one two ' || text AS text FROM base
+        |  UNION ALL
+        |  SELECT doc_id * 2 + 1 AS doc_id, 'pre ' || text AS text FROM base
+        |),
+        |w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |         unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+        |  FROM corpus
+        |),
+        |win AS (
+        |  SELECT doc_id, pos AS start,
+        |         w || ' ' || LEAD(w, 1) OVER z || ' ' || LEAD(w, 2) OVER z || ' ' ||
+        |         LEAD(w, 3) OVER z || ' ' || LEAD(w, 4) OVER z || ' ' ||
+        |         LEAD(w, 5) OVER z || ' ' || LEAD(w, 6) OVER z || ' ' ||
+        |         LEAD(w, 7) OVER z AS s
+        |  FROM w WINDOW z AS (PARTITION BY doc_id ORDER BY pos)
+        |  QUALIFY s IS NOT NULL
+        |),
+        |d AS (
+        |  SELECT doc_id, start, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS dig
+        |  FROM win
+        |),
+        |b AS (SELECT dig FROM d GROUP BY dig HAVING COUNT(DISTINCT doc_id) > 1),
+        |drops AS (
+        |  SELECT DISTINCT d.doc_id, d.start + o.o AS pos
+        |  FROM d JOIN b USING (dig), (SELECT unnest(range(8)) AS o) o
+        |),
+        |k AS (
+        |  SELECT w.doc_id, w.pos, w.w, (dp.pos IS NOT NULL) AS dropped
+        |  FROM w LEFT JOIN drops dp ON w.doc_id = dp.doc_id AND w.pos = dp.pos
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+        |       COALESCE(string_agg(w, ' ' ORDER BY pos) FILTER (WHERE NOT dropped), '') AS clean_text
+        |FROM k GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin
+
+  /** q101/q123's synthetic corpus: each base document twice, its
+    * boilerplate shifted by different prefix lengths — the fixture the
+    * aligned pass provably misses and the dense-window pass catches.
+    * doc_id < 150 keeps the DuckDB window replay tractable.
+    */
+  private def shiftedBoilerplateCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(s, dir)
+      .filter(col("doc_id") < 150).select("doc_id", "text")
+    base
+      .select((col("doc_id") * 2).as("doc_id"),
+        concat(lit("hdr one two "), col("text")).as("text"))
+      .unionByName(base
+        .select((col("doc_id") * 2 + 1).as("doc_id"),
+          concat(lit("pre "), col("text")).as("text")))
+  }
 
   /** Shared q76/q121 oracle: the deterministic HLL over events — the
     * streaming per-epoch register view must reproduce the batch sketch
