@@ -216,13 +216,13 @@ object ScaleProbe {
       // The two-stage chunked history precompute (top-5 bench query,
       // previously unprobed): events-derived, so the row factor applies.
       "q04_customer_history" -> rowFactor,
-      // Top-5 bench queries previously measured only via compositions:
-      // the CC closure (q83 wraps it) and the suite's slowest query.
-      // Note q44's kept side is FIXED at doc_id < 250 by the query
-      // definition, so this row scales the snapshot only; the
-      // replica-aware operator probe below scales both sides.
+      // The CC closure (q83 wraps it), previously measured only via its
+      // composition. q44 is deliberately NOT a target row: nearDupAgainst
+      // persists its indexes, so measure()'s warm min-of-3 would re-hit
+      // run 1's caches and report a cache artifact (r13 observed alpha
+      // 0.04 / negative that way) — the operator is measured exclusively
+      // through the releasing bracket below.
       "q47_dedup_clusters" -> byteFactor,
-      "q44_near_dedup_against" -> byteFactor,
       "q86_count_min" -> byteFactor,
       "q83_cluster_split" -> byteFactor,
       "q92_bloom_dedup_against" -> byteFactor,

@@ -1770,16 +1770,7 @@ object SparkEntry {
     // alignment) chains consecutive matched starts into exact common
     // substrings of COUNT + windowLen - 1 tokens.
     "q117_substring_decontaminate" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |win AS MATERIALIZED (
-        |  SELECT doc_id, CAST(i AS INT) AS start, array_to_string(ws[i + 1: i + 8], ' ') AS w8
-        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM t WHERE len(ws) >= 8)
-        |),
-        |refwin AS MATERIALIZED (
-        |  SELECT w8, doc_id AS ref_doc, start AS ref_start FROM win WHERE doc_id < 250
-        |),
-        |hot AS (SELECT w8 FROM refwin GROUP BY w8 HAVING COUNT(*) > 256),
-        |idx AS MATERIALIZED (SELECT * FROM refwin WHERE w8 NOT IN (SELECT w8 FROM hot)),
+      s"""WITH $substringWindowCtes,
         |m AS MATERIALIZED (
         |  SELECT p.doc_id, p.start, i.ref_doc, p.start - i.ref_start AS off
         |  FROM win p JOIN idx i USING (w8)
@@ -1823,17 +1814,10 @@ object SparkEntry {
 
     // Strip variant: positions covered by any matched reference window
     // (start + 0..7) are dropped; clean text is the ordered remainder.
+    // Shares the window/index stack with q117; m's DISTINCT collapses
+    // the per-ref-occurrence fan-out the report variant needs.
     "q118_substring_strip" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |win AS MATERIALIZED (
-        |  SELECT doc_id, CAST(i AS INT) AS start, array_to_string(ws[i + 1: i + 8], ' ') AS w8
-        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM t WHERE len(ws) >= 8)
-        |),
-        |refwin AS MATERIALIZED (
-        |  SELECT w8, doc_id AS ref_doc, start AS ref_start FROM win WHERE doc_id < 250
-        |),
-        |hot AS (SELECT w8 FROM refwin GROUP BY w8 HAVING COUNT(*) > 256),
-        |idx AS MATERIALIZED (SELECT DISTINCT w8 FROM refwin WHERE w8 NOT IN (SELECT w8 FROM hot)),
+      s"""WITH $substringWindowCtes,
         |m AS MATERIALIZED (
         |  SELECT DISTINCT p.doc_id, p.start
         |  FROM win p JOIN idx i USING (w8)
@@ -3366,6 +3350,24 @@ object SparkEntry {
          |WHERE cosine >= 0.45
          |ORDER BY vec_a, vec_b""".stripMargin)
 
+  /** Shared q117/q118 window/index CTE stack: dense 8-token windows
+    * over every document, the reference side (doc_id < 250) grouped
+    * into an occurrence-capped index. The hot cap (256) and window
+    * width live HERE so the two decontamination oracles cannot drift
+    * apart.
+    */
+  private val substringWindowCtes =
+    """t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |win AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i AS INT) AS start, array_to_string(ws[i + 1: i + 8], ' ') AS w8
+      |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM t WHERE len(ws) >= 8)
+      |),
+      |refwin AS MATERIALIZED (
+      |  SELECT w8, doc_id AS ref_doc, start AS ref_start FROM win WHERE doc_id < 250
+      |),
+      |hot AS (SELECT w8 FROM refwin GROUP BY w8 HAVING COUNT(*) > 256),
+      |idx AS MATERIALIZED (SELECT * FROM refwin WHERE w8 NOT IN (SELECT w8 FROM hot))""".stripMargin
+
   /** Shared q84/q122 oracle: aligned passage boilerplate removal —
     * the streaming per-epoch digest-count merge must clean the corpus
     * exactly like the one-shot batch operator.
@@ -3688,7 +3690,7 @@ object SparkEntry {
       |  SELECT DISTINCT s.doc_id AS new_doc, kb.doc_id AS kept_doc
       |  FROM bands s JOIN bands kb
       |    ON s.band = kb.band AND s.band_sig = kb.band_sig
-      |  WHERE s.doc_id >= 50 AND kb.doc_id <> s.doc_id
+      |  WHERE s.doc_id >= 50 AND s.doc_id < 500 AND kb.doc_id <> s.doc_id
       |),
       |vp AS MATERIALIZED (
       |  SELECT c.new_doc, c.kept_doc

@@ -347,13 +347,39 @@ object Curation {
       snapshot: DataFrame,
       minJaccard: Double = 0.75,
       keptSignatures: Option[DataFrame] = None): DataFrame = {
-    val quality = TextAnalysis.qualityFilter(snapshot)
-      .filter(col("keep")).select("doc_id")
-    val qualified = snapshot.join(quality, Seq("doc_id"), "left_semi")
-    val novel = dedupAgainst(qualified, kept).drop("content_hash")
+    val novel = novelCandidates(kept, snapshot)
     val survivors = Dedup.nearDupAgainst(
       kept, novel, minJaccard = minJaccard, keptSignatures = keptSignatures)
     novel.join(survivors, Seq("doc_id"), "left_semi")
+  }
+
+  /** [[admitSnapshot]] as a cache-lifecycle bracket
+    * ([[Dedup.withNearDupAgainst]] semantics): runs the action `f` over
+    * the admitted frame, then unpersists the near-dup indexes this call
+    * built. The form repeated callers want — a streaming sink admitting
+    * micro-batch after micro-batch would otherwise accumulate two
+    * session-lifetime index caches per batch.
+    */
+  def withAdmitSnapshot[T](
+      kept: DataFrame,
+      snapshot: DataFrame,
+      minJaccard: Double = 0.75,
+      keptSignatures: Option[DataFrame] = None)(f: DataFrame => T): T = {
+    val novel = novelCandidates(kept, snapshot)
+    Dedup.withNearDupAgainst(
+      kept, novel, minJaccard = minJaccard, keptSignatures = keptSignatures) { survivors =>
+      f(novel.join(survivors, Seq("doc_id"), "left_semi"))
+    }
+  }
+
+  /** Shared front half of the admission: quality-passing snapshot rows
+    * whose normalized content hash is not already kept.
+    */
+  private def novelCandidates(kept: DataFrame, snapshot: DataFrame): DataFrame = {
+    val quality = TextAnalysis.qualityFilter(snapshot)
+      .filter(col("keep")).select("doc_id")
+    val qualified = snapshot.join(quality, Seq("doc_id"), "left_semi")
+    dedupAgainst(qualified, kept).drop("content_hash")
   }
 
   /** Temperature-weighted mixture allocation at α = 0.5 — the classic

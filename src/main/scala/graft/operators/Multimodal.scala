@@ -446,17 +446,20 @@ object Multimodal {
         lit(1).as("n_frames")).as("meta"))
   }
 
-  /** 16-bit variant of [[toWav]]: each ASCII text byte `b` becomes ONE
-    * SIGNED 16-bit little-endian PCM sample `(b - 128) * 256` — always
-    * negative for ASCII input, so the decoder's signed 16-bit path
-    * ([[WavDecoder]]'s `le16(...).toShort`) is genuinely exercised, not
-    * just the unsigned 8-bit one. The sample's LE bytes are
-    * `(0x00, b + 0x80)`: low byte constant zero, high byte the original
-    * byte with the top bit set — which on the hex string is just the
-    * first nibble bumped by 8, a `translate` over `0-7 → 8-f`. Built
-    * entirely from codegen'd string/binary expressions (hex → split into
-    * pairs → per-pair rewrite → unhex), never a UDF. The data chunk is
-    * `2n` bytes — always even, so no RIFF pad byte exists on this path.
+  /** 16-bit variant of [[toWav]]: each UTF-8 text byte `b` becomes ONE
+    * SIGNED 16-bit little-endian PCM sample `(b - 128) * 256` (as a
+    * signed byte-centered value — always negative for ASCII input, so
+    * the decoder's signed 16-bit path ([[WavDecoder]]'s
+    * `le16(...).toShort`) is genuinely exercised, not just the unsigned
+    * 8-bit one). The sample's LE bytes are `(0x00, (b + 0x80) & 0xff)`:
+    * low byte constant zero, high byte the original byte with the top
+    * bit FLIPPED — which on the hex string is the first nibble bumped by
+    * 8 mod 16, a full-wrap `translate` over `0-f → 8-f0-7`, total over
+    * every byte value (non-ASCII UTF-8 bytes ≥ 0x80 center to positive
+    * samples rather than silently mis-encoding). Built entirely from
+    * codegen'd string/binary expressions (hex → split into pairs →
+    * per-pair rewrite → unhex), never a UDF. The data chunk is `2n`
+    * bytes — always even, so no RIFF pad byte exists on this path.
     */
   def toWav16(docs: DataFrame): DataFrame = {
     val bytes = encode(col("text"), "UTF-8")
@@ -468,7 +471,7 @@ object Multimodal {
     val dataHex = array_join(
       transform(pairs, p => concat(
         lit("00"),
-        translate(substring(p, 1, 1), "01234567", "89abcdef"),
+        translate(substring(p, 1, 1), "0123456789abcdef", "89abcdef01234567"),
         substring(p, 2, 1))), "")
     val dataLen = n * 2L
     val header = unhex(concat(

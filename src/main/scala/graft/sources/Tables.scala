@@ -43,12 +43,18 @@ object Tables {
         // shipping plain int64 micros (no nanos annotation) would land 1000x
         // below any plausible ns epoch and silently collapse toward 1970 —
         // an asymmetric silent-vs-loud failure vs the DuckDB oracle. Guard
-        // with a codegen'd per-row range check (1990..2200 in ns) that
-        // raises instead of mis-scaling; nulls pass through untouched.
-        val nsLo = 631152000000000000L  // 1990-01-01T00:00Z in ns
+        // with a codegen'd per-row range check that raises instead of
+        // mis-scaling; nulls and the epoch-0 sentinel pass through. The
+        // bounds are chosen for UNAMBIGUITY, not plausibility: micros for
+        // any date ≤ year 2200 stay below 7.3e15, while ns for any date ≥
+        // 1971 are above 3.1e16 — so [1971, 2200) in ns cannot be confused
+        // with a micros encoding, and legitimate historical NANOS rows
+        // (anything ≥ 1971, plus exact 0) still load.
+        val nsLo = 31536000000000000L   // 1971-01-01T00:00Z in ns
         val nsHi = 7258118400000000000L // 2200-01-01T00:00Z in ns
         raw.withColumn("ts",
-          when(col("ts").isNull || (col("ts") >= nsLo && col("ts") < nsHi),
+          when(col("ts").isNull || col("ts") === 0L ||
+              (col("ts") >= nsLo && col("ts") < nsHi),
             expr("timestamp_micros(ts DIV 1000)"))
             .otherwise(raise_error(concat(
               lit("events.ts: long value outside plausible ns-epoch range (is this vintage int64 micros?): "),

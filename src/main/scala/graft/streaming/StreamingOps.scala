@@ -224,8 +224,13 @@ object StreamingOps {
           }
           .getOrElse(batch.limit(0))
         val kept = keptInit.select(docCols: _*).unionByName(prior)
-        graft.operators.Curation.admitSnapshot(kept, batch, minJaccard)
-          .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+        // Bracketed admission: the write is the action, after which the
+        // per-batch near-dup index caches are released — a long-lived
+        // stream admitting thousands of micro-batches must not
+        // accumulate two session-lifetime caches per batch.
+        graft.operators.Curation.withAdmitSnapshot(kept, batch, minJaccard) { admitted =>
+          admitted.write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+        }
       }
     }
 
@@ -282,32 +287,48 @@ object StreamingOps {
       numBatches: Int)(sink: (DataFrame, Long) => Unit): Unit = {
     require(numBatches >= 1, s"numBatches=$numBatches must be positive")
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_stage").toFile
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
-    for (b <- 0 until numBatches) {
-      val tmp = java.nio.file.Files.createTempDirectory(s"graft_stream_b$b")
-      frame.filter(pmod(col(shardKey), lit(numBatches)) === b)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val parts = new java.io.File(tmp.toString).listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
-      require(parts.length == 1, s"expected one staged part file for shard $b, got ${parts.length}")
-      val dest = new java.io.File(stage, f"batch$b%05d.parquet")
-      java.nio.file.Files.move(parts.head.toPath, dest.toPath)
-      // Distinct, strictly increasing mtimes (the shard index in hours):
-      // the file source orders by modification time, so the staged shard
-      // order IS the micro-batch order.
-      require(dest.setLastModified(1600000000000L + b.toLong * 3600000L),
-        s"could not pin mtime for shard $b")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toFile
+    val shardTmps = new scala.collection.mutable.ArrayBuffer[java.io.File]
+    try {
+      for (b <- 0 until numBatches) {
+        val tmp = java.nio.file.Files.createTempDirectory(s"graft_stream_b$b").toFile
+        shardTmps += tmp
+        frame.filter(pmod(col(shardKey), lit(numBatches)) === b)
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val parts = tmp.listFiles()
+          .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        require(parts.length == 1, s"expected one staged part file for shard $b, got ${parts.length}")
+        val dest = new java.io.File(stage, f"batch$b%05d.parquet")
+        java.nio.file.Files.move(parts.head.toPath, dest.toPath)
+        // Distinct, strictly increasing mtimes (the shard index in hours):
+        // the file source orders by modification time, so the staged shard
+        // order IS the micro-batch order.
+        require(dest.setLastModified(1600000000000L + b.toLong * 3600000L),
+          s"could not pin mtime for shard $b")
+      }
+      val query = spark.readStream
+        .schema(frame.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage.toString)
+        .writeStream
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    } finally {
+      // The staged corpus copy and the checkpoint are consumed entirely
+      // within this call — delete them so repeated bench/verify runs
+      // don't accumulate corpus copies in /tmp. The SINK's output dirs
+      // are the caller's (they are read lazily after return).
+      (shardTmps :+ stage :+ ckpt).foreach(deleteRecursively)
     }
-    val query = spark.readStream
-      .schema(frame.schema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stage.toString)
-      .writeStream
-      .foreachBatch(sink)
-      .option("checkpointLocation", ckpt)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
   }
 
   /** Replay-idempotent streaming Count-Min maintenance: each micro-batch's

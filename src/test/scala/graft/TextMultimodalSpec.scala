@@ -539,6 +539,16 @@ class TextMultimodalSpec extends SparkSpec {
     // Empty text: zero samples, absent moments, header still parses.
     val e = out(1)
     assert(e.bits_per_sample === 16 && e.n_samples === 0L && e.mean_amp === None)
+
+    // Non-ASCII UTF-8 bytes (>= 0x80) must byte-center too, not
+    // silently mis-encode: the nibble translate wraps mod 16.
+    val uni = Seq((5L, "café")).toDF("doc_id", "text") // bytes: 63 61 66 c3 a9
+    val f2 = decodeWavFeatures(spark, toWav16(uni)).collect().head
+    val uniAmps = "café".getBytes("UTF-8").map(b => ((b & 0xff) - 128) * 256)
+    assert(f2.n_samples === uniAmps.length.toLong)
+    assert(f2.min_amp === Some(uniAmps.min) && f2.max_amp === Some(uniAmps.max))
+    assert(uniAmps.exists(_ > 0), "a >=0x80 byte must center to a positive sample")
+    assert(f2.mean_amp === Some(uniAmps.map(_.toLong).sum.toDouble / uniAmps.length))
   }
 
   test("magic-byte router sends RIFF payloads to the WAV decoder, not the stub") {
