@@ -930,6 +930,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Product-quantization encoding: 8 subspaces × 16 codes (the
+    // vec_id<16 placeholder codebooks, q39's convention — the learned
+    // trainer is spec-gated), exact integer L2² argmin per subspace.
+    // One row per (vector, subspace) with the chosen code + residual.
+    "q124_pq_encode" -> ((s, dir) =>
+      Similarity.pqEncode(Tables.embeddings(s, dir))
+        .orderBy("vec_id", "sub")),
+
+    // PQ asymmetric-distance search: exact per-query distance tables,
+    // corpus scanned in the compressed code domain, top-10 by summed
+    // table lookups.
+    "q125_pq_search" -> ((s, dir) =>
+      Similarity.pqSearch(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rnk")),
+
     // Same for the dense-window (offset-robust) rolling state over the
     // q101 shifted corpus — q101's oracle verbatim.
     "q123_streaming_rolling_state" -> ((s, dir) => {
@@ -2400,6 +2415,72 @@ object SparkEntry {
     // The streaming HLL view must reproduce the batch construction
     // exactly (register MAX is shard-order-blind) — same oracle as q76.
     "q121_streaming_hll" -> hllEventsOracle,
+
+    // PQ encode: codeword (s, c) = dims [s*8, (s+1)*8) of vector c;
+    // per (vector, subspace) the code minimizing exact integer L2²
+    // (lowest code on ties) plus the residual distance.
+    "q124_pq_encode" ->
+      s"""WITH $quantizedEmbeddings,
+         |cb AS MATERIALIZED (
+         |  SELECT CAST(s.s AS INT) AS sub, CAST(n.vec_id AS INT) AS code, n.qe
+         |  FROM n CROSS JOIN (SELECT unnest(range(8)) AS s) s
+         |  WHERE n.vec_id < 16
+         |),
+         |d AS (
+         |  SELECT v.vec_id, cb.sub, cb.code,
+         |         CAST(list_sum(list_transform(range(1, 9), i ->
+         |           (v.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i])
+         |             * (v.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i]))) AS BIGINT) AS d2
+         |  FROM n v CROSS JOIN cb
+         |)
+         |SELECT vec_id, sub, code, d2 FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |  FROM d)
+         |WHERE rn = 1
+         |ORDER BY vec_id, sub""".stripMargin,
+
+    // PQ ADC search: per-query exact distance tables to every codeword,
+    // approximate distance = sum of the 8 table entries the corpus
+    // vector's codes select; top-10 ascending with vec_id tie-break.
+    "q125_pq_search" ->
+      s"""WITH $quantizedEmbeddings,
+         |cb AS MATERIALIZED (
+         |  SELECT CAST(s.s AS INT) AS sub, CAST(n.vec_id AS INT) AS code, n.qe
+         |  FROM n CROSS JOIN (SELECT unnest(range(8)) AS s) s
+         |  WHERE n.vec_id < 16
+         |),
+         |d AS (
+         |  SELECT v.vec_id, cb.sub, cb.code,
+         |         CAST(list_sum(list_transform(range(1, 9), i ->
+         |           (v.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i])
+         |             * (v.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i]))) AS BIGINT) AS d2
+         |  FROM n v CROSS JOIN cb
+         |),
+         |pcodes AS MATERIALIZED (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |    FROM d)
+         |  WHERE rn = 1
+         |),
+         |tabs AS MATERIALIZED (
+         |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+         |         CAST(list_sum(list_transform(range(1, 9), i ->
+         |           (q.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i])
+         |             * (q.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i]))) AS BIGINT) AS t
+         |  FROM n q CROSS JOIN cb
+         |  WHERE q.vec_id < 10
+         |),
+         |adc AS (
+         |  SELECT t.query_id, c.vec_id, CAST(SUM(t.t) AS BIGINT) AS adc_d2
+         |  FROM pcodes c JOIN tabs t ON c.sub = t.sub AND c.code = t.code
+         |  WHERE c.vec_id <> t.query_id
+         |  GROUP BY t.query_id, c.vec_id
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS INT) AS rnk, adc_d2 FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rn
+         |  FROM adc)
+         |WHERE rn <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
 
     "q77_exact_correlation" ->
       """WITH v AS (

@@ -290,6 +290,186 @@ object Similarity {
     spark.range(1).select(array(structs: _*).as("cents"))
   }
 
+  // --- Product quantization (the IVF companion: compressed-domain ANN) --
+
+  /** Placeholder PQ codebooks as a one-row broadcastable frame, the PQ
+    * analog of [[centroidArray]]'s `vec_id < k` convention: codeword `c`
+    * of subspace `s` is dims `[s·subDim, (s+1)·subDim)` of vector
+    * `vec_id = c` (quantized longs). `cbs` is ordered (sub, code) so ADC
+    * can flat-index it. Swap in [[trainPqCodebooks]]' output via
+    * [[pqCodebookFrame]] for the learned variant — every downstream plan
+    * is identical.
+    */
+  def pqCodebookArray(embeddings: DataFrame, m: Int = 8, codes: Int = 16): DataFrame = {
+    val e = withQuantized(embeddings)
+    pqCodebookOf(e, m, codes)
+  }
+
+  private def pqCodebookOf(e: DataFrame, m: Int, codes: Int): DataFrame =
+    e.filter(col("vec_id") < codes)
+      .select(col("vec_id").cast("int").as("code"), col("qe"))
+      .agg(sort_array(collect_list(struct(col("code"), col("qe")))).as("vecs"))
+      .select(flatten(transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(col("vecs"), v =>
+          struct(
+            s.cast("int").as("sub"),
+            v.getField("code").as("code"),
+            slice(v.getField("qe"),
+              s * (size(v.getField("qe")) / m) + 1,
+              size(v.getField("qe")) / m).as("cq"))))).as("cbs"))
+
+  /** One-row codebook frame from driver-side trained codewords
+    * (`(sub, code) -> quantized sub-vector`), the PQ analog of
+    * [[centroidFrame]].
+    */
+  def pqCodebookFrame(
+      spark: SparkSession, books: Seq[((Int, Int), Seq[Long])]): DataFrame = {
+    val structs = books.sortBy(_._1).map { case ((s, c), v) =>
+      struct(lit(s).as("sub"), lit(c).as("code"), array(v.map(lit): _*).as("cq"))
+    }
+    spark.range(1).select(array(structs: _*).as("cbs"))
+  }
+
+  private def l2Sub(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
+
+  /** Per-row PQ code assignment as a narrow expression over the
+    * broadcast codebooks: for each subspace, the codeword minimizing
+    * exact integer L2² (lowest code on ties). `pq` is
+    * `array<struct<d2, code>>` indexed by subspace.
+    */
+  private def withPqCodes(e: DataFrame, cb: DataFrame, m: Int): DataFrame =
+    e.crossJoin(broadcast(cb))
+      .withColumn("pq", transform(sequence(lit(0), lit(m - 1)), s =>
+        array_min(transform(
+          filter(col("cbs"), b => b.getField("sub") === s),
+          b => struct(
+            l2Sub(
+              slice(col("qe"), s * (size(col("qe")) / m) + 1, size(col("qe")) / m),
+              b.getField("cq")).as("d2"),
+            b.getField("code").as("code"))))))
+      .drop("cbs")
+
+  /** Product-quantization encoding: each vector compressed to `m`
+    * sub-codes (`m` bytes at 256 codes — a 32×+ compression of a
+    * 64-float embedding), one row per (vector, subspace) with the chosen
+    * code and its exact L2² residual distance. Fully narrow: codebooks
+    * broadcast as one row, the argmin is a per-row expression — a
+    * billion-vector corpus is scanned once with zero shuffle, which is
+    * the whole point of PQ at 100 TB (the compressed codes, not the
+    * vectors, are what ANN search scans).
+    */
+  def pqEncode(embeddings: DataFrame, m: Int = 8, codes: Int = 16): DataFrame = {
+    val e = withQuantized(embeddings)
+    withPqCodes(e, pqCodebookOf(e, m, codes), m)
+      .select(col("vec_id"), posexplode(col("pq")).as(Seq("sub", "sc")))
+      .select(
+        col("vec_id"), col("sub").cast("int").as("sub"),
+        col("sc.code").as("code"), col("sc.d2").as("d2"))
+  }
+
+  /** PQ asymmetric-distance (ADC) search: queries stay exact, the corpus
+    * is scanned in the COMPRESSED domain. Each query precomputes its
+    * `m × codes` distance table (exact integer L2² to every codeword);
+    * a corpus vector's approximate distance is the sum of `m` table
+    * lookups on its codes — `m` adds per vector instead of `dim`
+    * multiplies, over `m`-byte codes instead of `dim`-float vectors.
+    * Top-k per query by (adc_d2 asc, vec_id), self excluded.
+    *
+    * Scale: codebooks and the query tables broadcast (numQueries ×
+    * m × codes longs); the corpus is scanned once, narrowly; only the
+    * per-query candidate ranking shuffles. Compose with [[ivfAssign]]
+    * (probe cells first, ADC within cells) for the full IVF-PQ stack.
+    */
+  def pqSearch(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 10,
+      m: Int = 8,
+      codes: Int = 16): DataFrame = {
+    val e = withQuantized(embeddings)
+    val cb = pqCodebookOf(e, m, codes)
+    val encoded = withPqCodes(e, cb, m)
+      .select(col("vec_id"), transform(col("pq"), sc => sc.getField("code")).as("pcodes"))
+    // Per-query flat distance table, ordered (sub, code) like cbs —
+    // ADC flat-indexes it at sub*codes + code.
+    val tabs = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
+      .crossJoin(broadcast(cb))
+      .select(
+        col("query_id"),
+        transform(col("cbs"), b =>
+          l2Sub(
+            slice(col("q_qe"),
+              b.getField("sub") * (size(col("q_qe")) / m) + 1,
+              size(col("q_qe")) / m),
+            b.getField("cq"))).as("tabs"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
+    encoded.crossJoin(broadcast(tabs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_d2",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
+          acc + element_at(col("tabs"), s * codes + element_at(col("pcodes"), s + 1) + 1)))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("adc_d2"))
+  }
+
+  /** Deterministic per-subspace Lloyd fit of PQ codebooks — the real
+    * trainer behind [[pqCodebookFrame]], exactly [[trainIvfCentroids]]'
+    * recipe applied independently to each subspace's sub-vectors:
+    * md5-ordered sample, first-`codes` seeds, exact integer L2
+    * assignment (lowest code on ties), integral-mean updates, emptied
+    * codes keep their previous codeword. Returns
+    * `((sub, code) -> sub-vector)` for [[pqCodebookFrame]].
+    */
+  def trainPqCodebooks(
+      embeddings: DataFrame,
+      m: Int = 8,
+      codes: Int = 16,
+      iters: Int = 4,
+      sampleSize: Int = 4096): Seq[((Int, Int), Seq[Long])] = {
+    val spark = embeddings.sparkSession
+    val e = withQuantized(embeddings)
+    val sampled = e
+      .withColumn("_r", md5(col("vec_id").cast("string")))
+      .orderBy(col("_r"), col("vec_id"))
+      .limit(sampleSize)
+      .select(col("qe"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = sampled.limit(codes).collect()
+      .map(_.getAs[scala.collection.Seq[Long]]("qe").toSeq)
+    val dim = seeds.head.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    var books: Seq[((Int, Int), Seq[Long])] =
+      for (s <- 0 until m; c <- 0 until codes)
+        yield ((s, c), seeds(c).slice(s * subDim, (s + 1) * subDim))
+    for (_ <- 1 to iters) {
+      val assigned = withPqCodes(sampled, pqCodebookFrame(spark, books), m)
+      val perCode = assigned
+        .select(posexplode(col("pq")).as(Seq("sub", "sc")), col("qe"))
+        .select(
+          col("sub"), col("sc.code").as("code"),
+          posexplode(slice(col("qe"), col("sub") * subDim + 1, lit(subDim)))
+            .as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+        .select(col("sub"), col("code"), col("pos"), expr("s DIV n").as("mval"))
+        .groupBy(col("sub"), col("code"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mval")))).as("dims"))
+        .collect()
+        .map { r =>
+          (r.getAs[Int]("sub"), r.getAs[Int]("code")) ->
+            r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("dims")
+              .map(_.getAs[Long]("mval")).toSeq
+        }.toMap
+      books = books.map { case (key, v) => (key, perCode.getOrElse(key, v)) }
+    }
+    sampled.unpersist()
+    books
+  }
+
   /** [[ivfSearch]] with a LEARNED coarse quantizer: fit centroids with
     * [[trainIvfCentroids]], then run the identical broadcast-argmax
     * assign + probe + rank plan.

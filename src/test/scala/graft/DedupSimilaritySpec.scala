@@ -109,6 +109,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(r3.isNullAt(r3.fieldIndex("best_start")))
   }
 
+  test("PQ: codewords self-encode with zero residual; ADC ranks an exact twin first; trainer is deterministic") {
+    import graft.operators.Similarity
+    // 20 vectors, 16 dims (m=4 subspaces of 4). Vector 18 duplicates
+    // vector 2's values exactly; vector 19 is far from everything.
+    def vec(seed: Int): Seq[Float] =
+      (0 until 16).map(i => ((seed * 31 + i * 7) % 97 - 48).toFloat / 7f)
+    val rows = (0 until 18).map(i => (i.toLong, vec(i))) :+
+      (18L, vec(2)) :+ (19L, (0 until 16).map(_ => 9f))
+    val emb = rows.toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(emb, m = 4, codes = 16).collect()
+    // Codebook vectors (vec_id < 16) must pick themselves at d2 = 0.
+    for (r <- enc if r.getAs[Long]("vec_id") < 16) {
+      assert(r.getAs[Int]("code") === r.getAs[Long]("vec_id").toInt)
+      assert(r.getAs[Long]("d2") === 0L)
+    }
+    // Vector 18 == vector 2: identical codes, zero residual everywhere.
+    val e18 = enc.filter(_.getAs[Long]("vec_id") == 18L).sortBy(_.getAs[Int]("sub"))
+    assert(e18.forall(r => r.getAs[Int]("code") === 2 && r.getAs[Long]("d2") === 0L))
+    // ADC: querying vector 2 must rank its exact twin 18 first with
+    // adc_d2 = 0 (codes coincide, table entries are its own residuals).
+    val found = Similarity.pqSearch(emb, numQueries = 3, k = 5, m = 4, codes = 16)
+      .collect().filter(_.getAs[Long]("query_id") == 2L).sortBy(_.getAs[Int]("rnk"))
+    assert(found.head.getAs[Long]("neighbor_id") === 18L)
+    assert(found.head.getAs[Long]("adc_d2") === 0L)
+    // The per-subspace Lloyd trainer is deterministic run-to-run and
+    // produces full codebooks.
+    val b1 = Similarity.trainPqCodebooks(emb, m = 4, codes = 8, iters = 2, sampleSize = 20)
+    val b2 = Similarity.trainPqCodebooks(emb, m = 4, codes = 8, iters = 2, sampleSize = 20)
+    assert(b1 === b2)
+    assert(b1.size === 4 * 8 && b1.forall(_._2.length === 4))
+    // And the learned codebooks drive the same encode plan via the frame.
+    val learned = Similarity.pqCodebookFrame(spark, b1)
+    assert(learned.selectExpr("size(cbs)").collect().head.getInt(0) === 32)
+  }
+
   test("exact dedup groups identical content under the min doc_id") {
     val groups = Dedup.exactDuplicates(docs).collect()
     assert(groups.length === 3)
