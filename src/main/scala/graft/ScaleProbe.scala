@@ -240,7 +240,16 @@ object ScaleProbe {
       // (q101 is deliberately NOT probed as a query: its oracle fixture
       // caps doc_id < 150, so cross-dir timing measures a constant
       // input — rollingPassageDedup is probed at full corpus below.)
-      "q109_systematic_sample" -> byteFactor)
+      "q109_systematic_sample" -> byteFactor,
+      // r13 additions: the substring-decontamination family (dense
+      // window digests + islands runs; probes scale, q117/q118's
+      // reference side is query-pinned at doc_id < 250 like q44's) and
+      // the within-doc LRS (both sides scale — every doc self-pairs).
+      "q117_substring_decontaminate" -> byteFactor,
+      "q119_self_repeats" -> byteFactor,
+      // PQ: zero-shuffle compressed-domain scans — alpha should track
+      // the corpus scan, and a jump means the broadcast stopped.
+      "q125_pq_search" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

@@ -945,6 +945,13 @@ object SparkEntry {
       Similarity.pqSearch(Tables.embeddings(s, dir))
         .orderBy("query_id", "rnk")),
 
+    // The composed IVF-PQ stack: coarse cells prune candidates, ADC
+    // ranks within the probed cells — the canonical billion-vector ANN
+    // shape, q39's probing over q125's compressed domain.
+    "q126_ivf_pq_search" -> ((s, dir) =>
+      Similarity.ivfPqSearch(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rnk")),
+
     // Same for the dense-window (offset-robust) rolling state over the
     // q101 shifted corpus — q101's oracle verbatim.
     "q123_streaming_rolling_state" -> ((s, dir) => {
@@ -2050,27 +2057,7 @@ object SparkEntry {
 
     "q39_ivf_search" ->
       s"""WITH $quantizedEmbeddings,
-         |cents AS (SELECT vec_id AS cent_id, qe AS c_qe, n2 AS c_n2 FROM n WHERE vec_id < 16),
-         |assign AS (
-         |  SELECT vec_id, qe, cell FROM (
-         |    SELECT n.vec_id, n.qe, c.cent_id AS cell,
-         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-         |             CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * c.c_qe[i])) AS DOUBLE)
-         |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
-         |             c.cent_id) AS rn
-         |    FROM n CROSS JOIN cents c)
-         |  WHERE rn = 1
-         |),
-         |probes AS (
-         |  SELECT query_id, q_qe, cell FROM (
-         |    SELECT n.vec_id AS query_id, n.qe AS q_qe, c.cent_id AS cell,
-         |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
-         |             CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * c.c_qe[i])) AS DOUBLE)
-         |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
-         |             c.cent_id) AS pn
-         |    FROM n CROSS JOIN cents c WHERE n.vec_id < 10)
-         |  WHERE pn <= 4
-         |),
+         |$ivfAssignCtes,
          |scored AS (
          |  SELECT p.query_id, a.vec_id,
          |         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * p.q_qe[i])) AS BIGINT) AS dp
@@ -2421,55 +2408,40 @@ object SparkEntry {
     // (lowest code on ties) plus the residual distance.
     "q124_pq_encode" ->
       s"""WITH $quantizedEmbeddings,
-         |cb AS MATERIALIZED (
-         |  SELECT CAST(s.s AS INT) AS sub, CAST(n.vec_id AS INT) AS code, n.qe
-         |  FROM n CROSS JOIN (SELECT unnest(range(8)) AS s) s
-         |  WHERE n.vec_id < 16
-         |),
-         |d AS (
-         |  SELECT v.vec_id, cb.sub, cb.code,
-         |         CAST(list_sum(list_transform(range(1, 9), i ->
-         |           (v.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i])
-         |             * (v.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i]))) AS BIGINT) AS d2
-         |  FROM n v CROSS JOIN cb
-         |)
-         |SELECT vec_id, sub, code, d2 FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
-         |  FROM d)
-         |WHERE rn = 1
+         |$pqCodesCtes
+         |SELECT vec_id, sub, code, d2 FROM pcodes
          |ORDER BY vec_id, sub""".stripMargin,
 
     // PQ ADC search: per-query exact distance tables to every codeword,
     // approximate distance = sum of the 8 table entries the corpus
     // vector's codes select; top-10 ascending with vec_id tie-break.
+    // IVF-PQ composition: q39's assign/probes prune to each query's 4
+    // cells; q125's codes/tables rank the candidates by ADC.
+    "q126_ivf_pq_search" ->
+      s"""WITH $quantizedEmbeddings,
+         |$ivfAssignCtes,
+         |$pqCodesCtes,
+         |cand AS (
+         |  SELECT p.query_id, a.vec_id
+         |  FROM assign a JOIN probes p USING (cell)
+         |  WHERE a.vec_id <> p.query_id
+         |),
+         |adc AS (
+         |  SELECT c.query_id, c.vec_id, CAST(SUM(t.t) AS BIGINT) AS adc_d2
+         |  FROM cand c
+         |  JOIN pcodes pc ON pc.vec_id = c.vec_id
+         |  JOIN tabs t ON t.query_id = c.query_id AND t.sub = pc.sub AND t.code = pc.code
+         |  GROUP BY c.query_id, c.vec_id
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS INT) AS rnk, adc_d2 FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rn
+         |  FROM adc)
+         |WHERE rn <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
     "q125_pq_search" ->
       s"""WITH $quantizedEmbeddings,
-         |cb AS MATERIALIZED (
-         |  SELECT CAST(s.s AS INT) AS sub, CAST(n.vec_id AS INT) AS code, n.qe
-         |  FROM n CROSS JOIN (SELECT unnest(range(8)) AS s) s
-         |  WHERE n.vec_id < 16
-         |),
-         |d AS (
-         |  SELECT v.vec_id, cb.sub, cb.code,
-         |         CAST(list_sum(list_transform(range(1, 9), i ->
-         |           (v.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i])
-         |             * (v.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i]))) AS BIGINT) AS d2
-         |  FROM n v CROSS JOIN cb
-         |),
-         |pcodes AS MATERIALIZED (
-         |  SELECT vec_id, sub, code FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
-         |    FROM d)
-         |  WHERE rn = 1
-         |),
-         |tabs AS MATERIALIZED (
-         |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
-         |         CAST(list_sum(list_transform(range(1, 9), i ->
-         |           (q.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i])
-         |             * (q.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i]))) AS BIGINT) AS t
-         |  FROM n q CROSS JOIN cb
-         |  WHERE q.vec_id < 10
-         |),
+         |$pqCodesCtes,
          |adc AS (
          |  SELECT t.query_id, c.vec_id, CAST(SUM(t.t) AS BIGINT) AS adc_d2
          |  FROM pcodes c JOIN tabs t ON c.sub = t.sub AND c.code = t.code
@@ -4128,6 +4100,66 @@ object SparkEntry {
   }
 
   /** Shared oracle CTE: embeddings quantized to exact longs + self dot. */
+  /** Shared q39/q126 IVF CTEs: placeholder centroids (vec_id < 16),
+    * per-vector nearest-cell assignment, and each query's 4 probed
+    * cells (cosine ranking, centroid id on ties).
+    */
+  private val ivfAssignCtes =
+    """cents AS (SELECT vec_id AS cent_id, qe AS c_qe, n2 AS c_n2 FROM n WHERE vec_id < 16),
+      |assign AS (
+      |  SELECT vec_id, qe, cell FROM (
+      |    SELECT n.vec_id, n.qe, c.cent_id AS cell,
+      |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |             CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * c.c_qe[i])) AS DOUBLE)
+      |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+      |             c.cent_id) AS rn
+      |    FROM n CROSS JOIN cents c)
+      |  WHERE rn = 1
+      |),
+      |probes AS (
+      |  SELECT query_id, q_qe, cell FROM (
+      |    SELECT n.vec_id AS query_id, n.qe AS q_qe, c.cent_id AS cell,
+      |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+      |             CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * c.c_qe[i])) AS DOUBLE)
+      |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+      |             c.cent_id) AS pn
+      |    FROM n CROSS JOIN cents c WHERE n.vec_id < 10)
+      |  WHERE pn <= 4
+      |)""".stripMargin
+
+  /** Shared q124/q125/q126 PQ CTEs: the vec_id < 16 placeholder
+    * codebooks (8 subspaces x 16 codes), all sub-distances, the chosen
+    * codes, and each query's ADC distance tables. Subspace width and
+    * code count live HERE so the three PQ oracles cannot drift.
+    */
+  private val pqCodesCtes =
+    """cb AS MATERIALIZED (
+      |  SELECT CAST(s.s AS INT) AS sub, CAST(n.vec_id AS INT) AS code, n.qe
+      |  FROM n CROSS JOIN (SELECT unnest(range(8)) AS s) s
+      |  WHERE n.vec_id < 16
+      |),
+      |d AS (
+      |  SELECT v.vec_id, cb.sub, cb.code,
+      |         CAST(list_sum(list_transform(range(1, 9), i ->
+      |           (v.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i])
+      |             * (v.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i]))) AS BIGINT) AS d2
+      |  FROM n v CROSS JOIN cb
+      |),
+      |pcodes AS MATERIALIZED (
+      |  SELECT vec_id, sub, code, d2 FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+      |    FROM d)
+      |  WHERE rn = 1
+      |),
+      |tabs AS MATERIALIZED (
+      |  SELECT q.vec_id AS query_id, cb.sub, cb.code,
+      |         CAST(list_sum(list_transform(range(1, 9), i ->
+      |           (q.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i])
+      |             * (q.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i]))) AS BIGINT) AS t
+      |  FROM n q CROSS JOIN cb
+      |  WHERE q.vec_id < 10
+      |)""".stripMargin
+
   private val quantizedEmbeddings =
     """e AS (
       |  SELECT vec_id,

@@ -415,6 +415,65 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("adc_d2"))
   }
 
+  /** The full IVF-PQ stack — the canonical billion-vector ANN shape:
+    * the coarse quantizer prunes the corpus to each query's `nProbe`
+    * cells, and WITHIN the probed cells ranking runs in the compressed
+    * code domain via ADC ([[pqSearch]]'s tables). The corpus pays one
+    * narrow scan (cell argmax + PQ argmin are per-row expressions over
+    * broadcast codebooks); candidates are an equi-join on the cell id;
+    * only the bounded candidate set shuffles for the per-query rank.
+    */
+  def ivfPqSearch(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 10,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      codes: Int = 16): DataFrame = {
+    val e = withQuantized(embeddings)
+    val centsArr = centroidArray(e, numCentroids)
+    val cb = pqCodebookOf(e, m, codes)
+    val encoded = withPqCodes(withCell(e, centsArr, "qe"), cb, m)
+      .select(
+        col("vec_id"), col("cell"),
+        transform(col("pq"), sc => sc.getField("code")).as("pcodes"))
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    val probes = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
+      .crossJoin(broadcast(centsArr))
+      .select(col("query_id"), col("q_qe"), explode(col("cents")).as("c"))
+      .select(
+        col("query_id"), col("q_qe"),
+        col("c.cent_id").as("cent_id"),
+        (dot(col("q_qe"), col("c.c_qe")).cast("double") /
+          (sqrt(dot(col("q_qe"), col("q_qe")).cast("double")) *
+            sqrt(col("c.c_n2").cast("double")))).as("cos_c"))
+      .withColumn("pn", row_number().over(wq))
+      .filter(col("pn") <= nProbe)
+      .select(col("query_id"), col("q_qe"), col("cent_id").as("cell"))
+    val tabs = probes.select("query_id", "q_qe").distinct()
+      .crossJoin(broadcast(cb))
+      .select(
+        col("query_id"),
+        transform(col("cbs"), b =>
+          l2Sub(
+            slice(col("q_qe"),
+              b.getField("sub") * (size(col("q_qe")) / m) + 1,
+              size(col("q_qe")) / m),
+            b.getField("cq"))).as("tabs"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
+    encoded.join(broadcast(probes.select("query_id", "cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(tabs), Seq("query_id"))
+      .withColumn("adc_d2",
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
+          acc + element_at(col("tabs"), s * codes + element_at(col("pcodes"), s + 1) + 1)))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("adc_d2"))
+  }
+
   /** Deterministic per-subspace Lloyd fit of PQ codebooks — the real
     * trainer behind [[pqCodebookFrame]], exactly [[trainIvfCentroids]]'
     * recipe applied independently to each subspace's sub-vectors:

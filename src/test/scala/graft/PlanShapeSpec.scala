@@ -180,6 +180,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(shuffles(df) <= 12, s"substring decontamination grew a shuffle:\n$p")
   }
 
+  test("PQ encode never shuffles the corpus; ADC search broadcasts tables and ranks only") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val enc = Similarity.pqEncode(emb)
+    val pe = plan(enc)
+    // Encoding is a pure per-row expression over broadcast codebooks +
+    // the posexplode: zero data shuffles.
+    assert(shuffles(enc) === 0, s"pq encode grew a shuffle:\n$pe")
+    assert(pe.contains("BroadcastExchange") || pe.contains("BroadcastNestedLoopJoin"),
+      s"codebooks stopped broadcasting:\n$pe")
+    val search = Similarity.pqSearch(emb)
+    val ps = plan(search)
+    // The only shuffle is the per-query rank window over the scored
+    // candidates; codebooks and query tables broadcast.
+    assert(shuffles(search) <= 1, s"pq search grew a shuffle:\n$ps")
+    assert(ps.contains("BroadcastExchange") || ps.contains("BroadcastNestedLoopJoin"),
+      s"query tables stopped broadcasting:\n$ps")
+  }
+
   test("substring strip and self-repeats stay digest-keyed with no cross product") {
     val docs = Tables(dir)
     val strip = Dedup.substringDecontaminateStrip(
