@@ -248,8 +248,11 @@ object ScaleProbe {
       "q117_substring_decontaminate" -> byteFactor,
       "q119_self_repeats" -> byteFactor,
       // PQ: zero-shuffle compressed-domain scans — alpha should track
-      // the corpus scan, and a jump means the broadcast stopped.
-      "q125_pq_search" -> byteFactor)
+      // the corpus scan, and a jump means the broadcast stopped. The
+      // input is EMBEDDINGS, which replicate by rows (×10, unchanged
+      // dims) — byteFactor is the documents-text factor and would
+      // understate the exponent by ~0.9×.
+      "q125_pq_search" -> rowFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

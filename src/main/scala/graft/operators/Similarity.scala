@@ -333,22 +333,60 @@ object Similarity {
   private def l2Sub(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0L), (acc, v) => acc + v)
 
+  /** The flat-index convention everything PQ shares: `cbs` is DENSE —
+    * exactly `codes` entries per subspace, ordered (sub, code) — so
+    * subspace `s` is `cbs[s·codes+1 .. (s+1)·codes]` and ADC can index
+    * `tabs[s·codes + code + 1]`. A corpus with fewer than `codes`
+    * vectors under the placeholder convention (or a sparse trained
+    * codebook) would silently read the WRONG subspace's entries, so the
+    * search entry points verify density loudly first (one metadata-sized
+    * driver action).
+    */
+  private def requireDense(cb: DataFrame, m: Int, codes: Int): Unit = {
+    val n = cb.selectExpr("size(cbs)").head().getInt(0)
+    require(n == m * codes,
+      s"PQ codebook has $n entries, expected m*codes = ${m * codes} — " +
+        "fewer than `codes` source vectors (or a sparse trained book) breaks flat indexing")
+  }
+
   /** Per-row PQ code assignment as a narrow expression over the
     * broadcast codebooks: for each subspace, the codeword minimizing
     * exact integer L2² (lowest code on ties). `pq` is
-    * `array<struct<d2, code>>` indexed by subspace.
+    * `array<struct<d2, code>>` indexed by subspace. Subspace blocks are
+    * `slice`d out of the (sub, code)-ordered dense `cbs` — O(codes) per
+    * subspace, no per-entry predicate over the whole codebook.
     */
-  private def withPqCodes(e: DataFrame, cb: DataFrame, m: Int): DataFrame =
+  private def withPqCodes(e: DataFrame, cb: DataFrame, m: Int, codes: Int): DataFrame =
     e.crossJoin(broadcast(cb))
       .withColumn("pq", transform(sequence(lit(0), lit(m - 1)), s =>
         array_min(transform(
-          filter(col("cbs"), b => b.getField("sub") === s),
+          slice(col("cbs"), s * codes + 1, lit(codes)),
           b => struct(
             l2Sub(
               slice(col("qe"), s * (size(col("qe")) / m) + 1, size(col("qe")) / m),
               b.getField("cq")).as("d2"),
             b.getField("code").as("code"))))))
       .drop("cbs")
+
+  /** Per-query flat ADC distance table, ordered (sub, code) like `cbs`:
+    * exact integer L2² from the query's sub-vector to every codeword.
+    */
+  private def adcTables(queries: DataFrame, cb: DataFrame, m: Int): DataFrame =
+    queries
+      .crossJoin(broadcast(cb))
+      .select(
+        col("query_id"),
+        transform(col("cbs"), b =>
+          l2Sub(
+            slice(col("q_qe"),
+              b.getField("sub") * (size(col("q_qe")) / m) + 1,
+              size(col("q_qe")) / m),
+            b.getField("cq"))).as("tabs"))
+
+  /** The ADC sum: `m` flat-table lookups on the row's codes. */
+  private def adcDistance(m: Int, codes: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
+      acc + element_at(col("tabs"), s * codes + element_at(col("pcodes"), s + 1) + 1))
 
   /** Product-quantization encoding: each vector compressed to `m`
     * sub-codes (`m` bytes at 256 codes — a 32×+ compression of a
@@ -361,7 +399,9 @@ object Similarity {
     */
   def pqEncode(embeddings: DataFrame, m: Int = 8, codes: Int = 16): DataFrame = {
     val e = withQuantized(embeddings)
-    withPqCodes(e, pqCodebookOf(e, m, codes), m)
+    val cb = pqCodebookOf(e, m, codes)
+    requireDense(cb, m, codes)
+    withPqCodes(e, cb, m, codes)
       .select(col("vec_id"), posexplode(col("pq")).as(Seq("sub", "sc")))
       .select(
         col("vec_id"), col("sub").cast("int").as("sub"),
@@ -389,27 +429,17 @@ object Similarity {
       codes: Int = 16): DataFrame = {
     val e = withQuantized(embeddings)
     val cb = pqCodebookOf(e, m, codes)
-    val encoded = withPqCodes(e, cb, m)
+    requireDense(cb, m, codes)
+    val encoded = withPqCodes(e, cb, m, codes)
       .select(col("vec_id"), transform(col("pq"), sc => sc.getField("code")).as("pcodes"))
-    // Per-query flat distance table, ordered (sub, code) like cbs —
-    // ADC flat-indexes it at sub*codes + code.
-    val tabs = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
-      .crossJoin(broadcast(cb))
-      .select(
-        col("query_id"),
-        transform(col("cbs"), b =>
-          l2Sub(
-            slice(col("q_qe"),
-              b.getField("sub") * (size(col("q_qe")) / m) + 1,
-              size(col("q_qe")) / m),
-            b.getField("cq"))).as("tabs"))
+    val tabs = adcTables(
+      e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("qe").as("q_qe")),
+      cb, m)
     val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
     encoded.crossJoin(broadcast(tabs))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc_d2",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
-          acc + element_at(col("tabs"), s * codes + element_at(col("pcodes"), s + 1) + 1)))
+      .withColumn("adc_d2", adcDistance(m, codes))
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("adc_d2"))
@@ -434,13 +464,32 @@ object Similarity {
     val e = withQuantized(embeddings)
     val centsArr = centroidArray(e, numCentroids)
     val cb = pqCodebookOf(e, m, codes)
-    val encoded = withPqCodes(withCell(e, centsArr, "qe"), cb, m)
+    requireDense(cb, m, codes)
+    val encoded = withPqCodes(withCell(e, centsArr, "qe"), cb, m, codes)
       .select(
         col("vec_id"), col("cell"),
         transform(col("pq"), sc => sc.getField("code")).as("pcodes"))
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cent_id"))
-    val probes = e.filter(col("vec_id") < numQueries)
+    val queries = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
+    val probes = probeCells(queries, centsArr, nProbe)
+    val tabs = adcTables(queries, cb, m)
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
+    encoded.join(broadcast(probes.select("query_id", "cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(tabs), Seq("query_id"))
+      .withColumn("adc_d2", adcDistance(m, codes))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("adc_d2"))
+  }
+
+  /** Each query's `nProbe` nearest coarse cells (cosine, centroid id on
+    * ties) — shared by [[ivfSearchFrom]] and [[ivfPqSearch]] so the
+    * probing semantics cannot drift. Input: (query_id, q_qe) rows.
+    */
+  private def probeCells(queries: DataFrame, centsArr: DataFrame, nProbe: Int): DataFrame = {
+    val wq = Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cent_id"))
+    queries
       .crossJoin(broadcast(centsArr))
       .select(col("query_id"), col("q_qe"), explode(col("cents")).as("c"))
       .select(
@@ -452,26 +501,6 @@ object Similarity {
       .withColumn("pn", row_number().over(wq))
       .filter(col("pn") <= nProbe)
       .select(col("query_id"), col("q_qe"), col("cent_id").as("cell"))
-    val tabs = probes.select("query_id", "q_qe").distinct()
-      .crossJoin(broadcast(cb))
-      .select(
-        col("query_id"),
-        transform(col("cbs"), b =>
-          l2Sub(
-            slice(col("q_qe"),
-              b.getField("sub") * (size(col("q_qe")) / m) + 1,
-              size(col("q_qe")) / m),
-            b.getField("cq"))).as("tabs"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
-    encoded.join(broadcast(probes.select("query_id", "cell")), Seq("cell"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .join(broadcast(tabs), Seq("query_id"))
-      .withColumn("adc_d2",
-        aggregate(sequence(lit(0), lit(m - 1)), lit(0L), (acc, s) =>
-          acc + element_at(col("tabs"), s * codes + element_at(col("pcodes"), s + 1) + 1)))
-      .withColumn("rnk", row_number().over(w).cast("int"))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("adc_d2"))
   }
 
   /** Deterministic per-subspace Lloyd fit of PQ codebooks — the real
@@ -498,14 +527,21 @@ object Similarity {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seeds = sampled.limit(codes).collect()
       .map(_.getAs[scala.collection.Seq[Long]]("qe").toSeq)
+    require(seeds.nonEmpty, "trainPqCodebooks: empty corpus/sample — nothing to seed from")
     val dim = seeds.head.length
     require(dim % m == 0, s"dim=$dim not divisible by m=$m subspaces")
     val subDim = dim / m
+    // Degrade gracefully to fewer codes when the sample is small (the
+    // trainIvfCentroids convention) — note the result is then SPARSE
+    // relative to the requested `codes`, and the flat-indexing searches
+    // will reject it loudly via requireDense; re-run them with
+    // `codes = kEff`.
+    val kEff = math.min(codes, seeds.length)
     var books: Seq[((Int, Int), Seq[Long])] =
-      for (s <- 0 until m; c <- 0 until codes)
+      for (s <- 0 until m; c <- 0 until kEff)
         yield ((s, c), seeds(c).slice(s * subDim, (s + 1) * subDim))
     for (_ <- 1 to iters) {
-      val assigned = withPqCodes(sampled, pqCodebookFrame(spark, books), m)
+      val assigned = withPqCodes(sampled, pqCodebookFrame(spark, books), m, kEff)
       val perCode = assigned
         .select(posexplode(col("pq")).as(Seq("sub", "sc")), col("qe"))
         .select(
@@ -574,20 +610,10 @@ object Similarity {
     val assigned = withCell(e, centsArr, "qe")
     // Query → its nProbe nearest cells: tiny (numQueries × numCentroids)
     // cross product, ranked per query.
-    val wq = Window.partitionBy(col("query_id")).orderBy(col("cos_c").desc, col("cent_id"))
-    val probes = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
-      .crossJoin(broadcast(centsArr))
-      .select(col("query_id"), col("q_qe"), explode(col("cents")).as("c"))
-      .select(
-        col("query_id"), col("q_qe"),
-        col("c.cent_id").as("cent_id"),
-        (dot(col("q_qe"), col("c.c_qe")).cast("double") /
-          (sqrt(dot(col("q_qe"), col("q_qe")).cast("double")) *
-            sqrt(col("c.c_n2").cast("double")))).as("cos_c"))
-      .withColumn("pn", row_number().over(wq))
-      .filter(col("pn") <= nProbe)
-      .select(col("query_id"), col("q_qe"), col("cent_id").as("cell"))
+    val probes = probeCells(
+      e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("qe").as("q_qe")),
+      centsArr, nProbe)
     val wr = Window.partitionBy(col("query_id")).orderBy(col("dp").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
