@@ -31,6 +31,88 @@ class CurationPropertySpec extends SparkSpec {
     c.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
       .toDF("doc_id", "text", "lang", "source", "n_chars")
 
+  test("substringDecontaminate equals the DP longest-common-substring model for any corpus") {
+    // Random token docs over a small vocab (collisions by construction);
+    // brute force via the classic suffix-extension DP at TOKEN
+    // granularity. windowLen = 2, cap high enough to never bind — the
+    // operator's islands-chained runs must equal the DP answer exactly
+    // (≥ windowLen, else 0), and coverage must equal the count of probe
+    // windows occurring anywhere in the reference.
+    val w = 2
+    val gen = for {
+      nRef <- Gen.choose(1, 4)
+      nProbe <- Gen.choose(1, 4)
+      mk = for {
+        words <- Gen.choose(0, 18)
+        ws <- Gen.listOfN(words, Gen.oneOf("a", "b", "c", "d"))
+      } yield ws
+      refs <- Gen.listOfN(nRef, mk)
+      probes <- Gen.listOfN(nProbe, mk)
+    } yield (refs, probes)
+    def lcsLen(p: Seq[String], r: Seq[String]): Int = {
+      // dp(i)(j) = length of common substring ENDING at p(i-1), r(j-1)
+      var best = 0
+      val dp = Array.ofDim[Int](p.length + 1, r.length + 1)
+      for (i <- 1 to p.length; j <- 1 to r.length)
+        if (p(i - 1) == r(j - 1)) {
+          dp(i)(j) = dp(i - 1)(j - 1) + 1
+          if (dp(i)(j) > best) best = dp(i)(j)
+        }
+      best
+    }
+    check("substringDecontaminate", Prop.forAll(gen) { case (refs, probes) =>
+      val refDf = toDocs(refs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) })
+      val probeDf = toDocs(probes.zipWithIndex.map { case (ws, i) => (100L + i, ws.mkString(" ")) })
+      val out = graft.operators.Dedup
+        .substringDecontaminate(probeDf, refDf, windowLen = w, maxDigFreq = 1000000L)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      probes.zipWithIndex.forall { case (p, i) =>
+        val r = out(100L + i)
+        val want = refs.map(lcsLen(p, _)).maxOption.getOrElse(0)
+        val wantLen = if (want >= w) want.toLong else 0L
+        val refWindows = refs.flatMap(_.sliding(w).filter(_.length == w).map(_.toList)).toSet
+        val wantCov = if (p.length < w) 0L
+          else p.sliding(w).zipWithIndex.count { case (win, _) => refWindows(win.toList) }.toLong
+        r.getAs[Long]("max_match_len") == wantLen &&
+          r.getAs[Boolean]("contaminated") == (wantLen >= w) &&
+          r.getAs[Long]("n_matched_windows") == wantCov
+      }
+    })
+  }
+
+  test("selfRepeatedSubstrings equals the DP longest-repeated-substring model for any doc") {
+    val w = 2
+    val gen = for {
+      n <- Gen.choose(1, 5)
+      docs <- Gen.listOfN(n, for {
+        words <- Gen.choose(0, 16)
+        ws <- Gen.listOfN(words, Gen.oneOf("a", "b", "c"))
+      } yield ws)
+    } yield docs
+    // Longest substring occurring at TWO DIFFERENT positions (overlap
+    // allowed): max over i < j of the common extension length.
+    def lrsLen(p: Seq[String]): Int = {
+      var best = 0
+      for (i <- p.indices; j <- i + 1 until p.length) {
+        var l = 0
+        while (j + l < p.length && p(i + l) == p(j + l)) l += 1
+        if (l > best) best = l
+      }
+      best
+    }
+    check("selfRepeatedSubstrings", Prop.forAll(gen) { docs =>
+      val df = toDocs(docs.zipWithIndex.map { case (ws, i) => (i.toLong, ws.mkString(" ")) })
+      val out = graft.operators.Dedup
+        .selfRepeatedSubstrings(df, windowLen = w, maxRepeat = 1000000L)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+      docs.zipWithIndex.forall { case (p, i) =>
+        val want = lrsLen(p)
+        val wantLen = if (want >= w) want.toLong else 0L
+        out(i.toLong).getAs[Long]("max_repeat_len") == wantLen
+      }
+    })
+  }
+
   test("tokenBudgetSelect equals the sequential prefix model for any corpus/budget") {
     val gen = for {
       n <- Gen.choose(0, 120)
