@@ -952,6 +952,55 @@ object SparkEntry {
       Similarity.ivfPqSearch(Tables.embeddings(s, dir))
         .orderBy("query_id", "rnk")),
 
+    // Hard-negative mining: top-10 nearest DIFFERENT-label neighbors
+    // per query vector — q22's scan with the label-inequality prune,
+    // the in-batch-negatives feed of a contrastive fine-tune.
+    "q127_hard_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rnk")),
+
+    // Johnson–Lindenstrauss ±1 projection (md5-parity sign matrix,
+    // 64 → 16 exact BIGINT coordinates); projection scalarized for
+    // the gate, squared norm alongside.
+    "q128_random_projection" -> ((s, dir) =>
+      Similarity.randomProject(Tables.embeddings(s, dir))
+        .select(
+          col("vec_id"),
+          concat_ws(",", col("proj").cast("array<string>")).as("proj_csv"),
+          col("pn2"))
+        .orderBy("vec_id")),
+
+    // Exact Gram/covariance sufficient statistics: BIGINT Σxᵢ, Σxⱼ,
+    // Σxᵢxⱼ and n for every dimension pair i ≤ j — the PCA/whitening
+    // input, corpus scanned once, never shuffled.
+    "q129_gram_matrix" -> ((s, dir) =>
+      Similarity.gramMatrix(Tables.embeddings(s, dir))
+        .orderBy("dim_i", "dim_j")),
+
+    // Per-day ranking AUC of `value` predicting purchases: exact
+    // Mann–Whitney pair counts (concordant/tied as BIGINTs), one IEEE
+    // division at the end.
+    "q130_ranking_auc" -> ((s, dir) =>
+      Stats.groupAuc(
+          Tables.events(s, dir),
+          date_format(col("ts"), "yyyy-MM-dd"),
+          col("value"),
+          col("event_type") === "purchase")
+        .withColumnRenamed("grp", "day")
+        .orderBy("day")),
+
+    // DSIR-style importance weights vs the src0 target domain:
+    // whole-bit unigram log-likelihood ratio, BIGINT end to end.
+    "q131_importance_weights" -> ((s, dir) =>
+      TextAnalysis.importanceWeights(Tables.documents(s, dir), "src0")
+        .orderBy("doc_id")),
+
+    // Reciprocal-rank fusion of the cosine and L2 rankers at depth 50:
+    // scaled-integer RRF scores, top-10 fused per query.
+    "q132_rrf_fusion" -> ((s, dir) =>
+      Similarity.rrfFuse(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rnk")),
+
     // Same for the dense-window (offset-robust) rolling state over the
     // q101 shifted corpus — q101's oracle verbatim.
     "q123_streaming_rolling_state" -> ((s, dir) => {
@@ -2437,6 +2486,166 @@ object SparkEntry {
          |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rn
          |  FROM adc)
          |WHERE rn <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q127_hard_negatives" ->
+      s"""WITH $quantizedEmbeddings,
+         |lab AS (SELECT vec_id, label FROM embeddings),
+         |q AS (
+         |  SELECT n.vec_id AS query_id, l.label AS query_label, n.qe AS q_qe, n.n2 AS q_n2
+         |  FROM n JOIN lab l USING (vec_id) WHERE n.vec_id < 10
+         |),
+         |scored AS (
+         |  SELECT q.query_id, q.query_label, n.vec_id, l.label AS neighbor_label,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * q.q_qe[i])) AS BIGINT) AS dp,
+         |         n.n2, q.q_n2
+         |  FROM n JOIN lab l USING (vec_id) CROSS JOIN q
+         |  WHERE l.label <> q.query_label
+         |),
+         |ranked AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY dp DESC, vec_id) AS INT) AS rnk
+         |  FROM scored
+         |)
+         |SELECT query_id, query_label, vec_id AS neighbor_id, neighbor_label, rnk, dp,
+         |       CAST(dp AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE))) AS cosine
+         |FROM ranked
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q128_random_projection" ->
+      s"""WITH $quantizedEmbeddings,
+         |p AS (
+         |  SELECT vec_id,
+         |         list_transform(range(0, 16), j ->
+         |           CAST(list_sum(list_transform(range(0, 64), d ->
+         |             (CASE WHEN CAST('0x' || substr(md5('rp:' || j || ':' || d), 1, 15) AS BIGINT) % 2 = 0
+         |                   THEN 1 ELSE -1 END) * qe[CAST(d AS INT) + 1])) AS BIGINT)) AS proj
+         |  FROM n
+         |)
+         |SELECT vec_id, array_to_string(proj, ',') AS proj_csv,
+         |       CAST(list_sum(list_transform(range(1, 17), i -> proj[i] * proj[i])) AS BIGINT) AS pn2
+         |FROM p
+         |ORDER BY vec_id""".stripMargin,
+
+    "q129_gram_matrix" ->
+      s"""WITH $quantizedEmbeddings
+         |SELECT CAST(i.i AS INT) AS dim_i, CAST(j.j AS INT) AS dim_j,
+         |       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |       CAST(SUM(qe[CAST(i.i AS INT) + 1]) AS BIGINT) AS sum_i,
+         |       CAST(SUM(qe[CAST(j.j AS INT) + 1]) AS BIGINT) AS sum_j,
+         |       CAST(SUM(qe[CAST(i.i AS INT) + 1] * qe[CAST(j.j AS INT) + 1]) AS BIGINT) AS sum_prod
+         |FROM n
+         |CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+         |CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+         |WHERE i.i <= j.j
+         |GROUP BY dim_i, dim_j
+         |ORDER BY dim_i, dim_j""".stripMargin,
+
+    "q130_ranking_auc" ->
+      """WITH ev AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, value AS s,
+        |         (event_type = 'purchase') AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |),
+        |per_s AS (
+        |  SELECT day, s,
+        |         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        |         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+        |  FROM ev GROUP BY day, s
+        |),
+        |win AS (
+        |  SELECT *,
+        |         CAST(SUM(c_pos) OVER (PARTITION BY day ORDER BY s) AS BIGINT) AS cum_pos_le,
+        |         CAST(SUM(c_pos) OVER (PARTITION BY day) AS BIGINT) AS n_pos,
+        |         CAST(SUM(c_neg) OVER (PARTITION BY day) AS BIGINT) AS n_neg
+        |  FROM per_s
+        |),
+        |agg AS (
+        |  SELECT day, n_pos, n_neg,
+        |         CAST(SUM(c_neg * (n_pos - cum_pos_le)) AS BIGINT) AS concordant,
+        |         CAST(SUM(c_pos * c_neg) AS BIGINT) AS tied
+        |  FROM win GROUP BY day, n_pos, n_neg
+        |)
+        |SELECT day, n_pos, n_neg, concordant, tied,
+        |       (CAST(concordant AS DOUBLE) + CAST(tied AS DOUBLE) / 2.0)
+        |         / CAST(n_pos * n_neg AS DOUBLE) AS auc
+        |FROM agg
+        |WHERE n_pos > 0 AND n_neg > 0
+        |ORDER BY day""".stripMargin,
+
+    "q131_importance_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, (source = 'src0') AS is_t,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents
+        |),
+        |model AS (
+        |  SELECT w,
+        |         CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS c_t,
+        |         CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS c_r
+        |  FROM toks GROUP BY w
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(c_t) AS BIGINT) AS t_t, CAST(SUM(c_r) AS BIGINT) AS t_r,
+        |         CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM model
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM((length(bin(c_t + 1)) - length(bin(t_t + v)))
+        |              - (length(bin(c_r + 1)) - length(bin(t_r + v)))) AS BIGINT) AS weight_bits,
+        |       CAST(CAST(SUM((length(bin(c_t + 1)) - length(bin(t_t + v)))
+        |              - (length(bin(c_r + 1)) - length(bin(t_r + v)))) AS BIGINT) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS mean_bits
+        |FROM toks JOIN model USING (w) CROSS JOIN tot
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q132_rrf_fusion" ->
+      s"""WITH $quantizedEmbeddings,
+         |q AS (SELECT vec_id AS query_id, qe AS q_qe, n2 AS q_n2 FROM n WHERE vec_id < 10),
+         |sc AS (
+         |  SELECT q.query_id, n.vec_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * q.q_qe[i])) AS BIGINT) AS dp,
+         |         n.n2, q.q_n2
+         |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id
+         |),
+         |sc2 AS (
+         |  SELECT *,
+         |         CAST(dp AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE))) AS cosine,
+         |         CAST(n2 - 2 * dp + q_n2 AS BIGINT) AS d2
+         |  FROM sc
+         |),
+         |bycos AS (
+         |  SELECT query_id, vec_id, cos_rank FROM (
+         |    SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS cos_rank
+         |    FROM sc2)
+         |  WHERE cos_rank <= 50
+         |),
+         |byl2 AS (
+         |  SELECT query_id, vec_id, l2_rank FROM (
+         |    SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY d2, vec_id) AS INT) AS l2_rank
+         |    FROM sc2)
+         |  WHERE l2_rank <= 50
+         |),
+         |fused AS (
+         |  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
+         |         COALESCE(a.vec_id, b.vec_id) AS vec_id,
+         |         COALESCE(a.cos_rank, 0) AS cos_rank,
+         |         COALESCE(b.l2_rank, 0) AS l2_rank,
+         |         CAST(COALESCE(1000000000 // (60 + a.cos_rank), 0)
+         |            + COALESCE(1000000000 // (60 + b.l2_rank), 0) AS BIGINT) AS rrf_score
+         |  FROM bycos a FULL OUTER JOIN byl2 b
+         |    ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, rnk, rrf_score, cos_rank, l2_rank FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_score DESC, vec_id) AS INT) AS rnk
+         |  FROM fused)
+         |WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
 
     "q125_pq_search" ->

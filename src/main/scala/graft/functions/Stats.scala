@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DataTypes
 
@@ -214,5 +215,52 @@ object Stats {
         count(lit(1)).as("n"),
         min(col("x")).as("x_min"),
         max(col("x")).as("x_max"))
+  }
+
+  /** Per-group ranking AUC (Mann–Whitney U) as EXACT pair counts — the
+    * "does this score actually separate the labels" audit a ranking
+    * pipeline runs on its training examples. For each group:
+    * `concordant` = #{(pos, neg) score pairs with pos > neg},
+    * `tied` = #{pairs at equal score}, and
+    * `AUC = (concordant + tied/2) / (n_pos·n_neg)` — the counts are
+    * BIGINT-exact (no float rank sums), the one division is IEEE on
+    * exact integers, so the statistic is engine-bit-identical. Groups
+    * with only one class have no pairs and are dropped.
+    *
+    * Not O(n²): scores aggregate to per-(group, score) class counts
+    * first, then one ordered window per group turns the counts into
+    * pair totals (`Σ c_neg(s)·pos_above(s)`), so work is linear in
+    * distinct scores after a map-side-combined aggregate.
+    *
+    * Scale: two shuffles, both keyed by the group (the window reuses the
+    * aggregate's partitioning); no per-row state beyond the running sum.
+    */
+  def groupAuc(df: DataFrame, group: Column, score: Column, label: Column): DataFrame = {
+    val v = df
+      .select(group.as("grp"), score.cast("double").as("s"), label.cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+    val perScore = v
+      .groupBy(col("grp"), col("s"))
+      .agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("c_neg"))
+    val cum = Window.partitionBy(col("grp")).orderBy(col("s"))
+    val tot = Window.partitionBy(col("grp"))
+    perScore
+      .withColumn("cum_pos_le", sum(col("c_pos")).over(cum))
+      .withColumn("n_pos", sum(col("c_pos")).over(tot))
+      .withColumn("n_neg", sum(col("c_neg")).over(tot))
+      .groupBy(col("grp"), col("n_pos"), col("n_neg"))
+      .agg(
+        sum(col("c_neg") * (col("n_pos") - col("cum_pos_le"))).as("concordant"),
+        sum(col("c_pos") * col("c_neg")).as("tied"))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+      .withColumn(
+        "auc",
+        (col("concordant").cast("double") + col("tied").cast("double") / 2.0d) /
+          (col("n_pos") * col("n_neg")).cast("double"))
+      .select(
+        col("grp"), col("n_pos"), col("n_neg"),
+        col("concordant"), col("tied"), col("auc"))
   }
 }

@@ -666,4 +666,57 @@ object TextAnalysis {
         "mean_bits",
         col("sum_bits").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** DSIR-style importance weights for targeted data selection (Xie et
+    * al.: sample raw documents whose unigram statistics look like a
+    * target domain). Two add-one-smoothed unigram models are fit in ONE
+    * corpus pass — `target` over documents whose `source` equals
+    * `targetSource`, `raw` over the rest — and each document scores the
+    * whole-bit log-likelihood ratio
+    * `Σ_tokens [bits(c_t+1) − bits(T_t+V)] − [bits(c_r+1) − bits(T_r+V)]`
+    * with `bits(x) = length(bin(x))` — [[unigramSurprisal]]'s exact
+    * integer-log2 quantization, so weights are BIGINT end to end and
+    * engine-bit-identical (a float `log` would fold in partition order).
+    * High-weight documents look like the target domain; feed the weights
+    * to [[graft.operators.Curation.systematicWeightedSample]] to draw
+    * the resampled corpus.
+    *
+    * Scale: one token pass builds the joint-vocabulary count table
+    * (Heaps-bounded, both models as two columns — a single aggregate,
+    * not one per model), scalar totals broadcast, and the scoring join
+    * is broadcast by default or a shuffle equi-join
+    * (`broadcastModel = false`) for open vocabularies. Per-doc sums are
+    * map-side combined.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      targetSource: String,
+      broadcastModel: Boolean = true): DataFrame = {
+    val toks = spread(docs).select(
+      col("doc_id"),
+      (col("source") === targetSource).as("is_t"),
+      explode(wordsCol).as("w"))
+    val model = toks
+      .groupBy(col("w"))
+      .agg(
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"),
+        sum(when(col("is_t"), 0L).otherwise(1L)).as("c_r"))
+    val totals = model.agg(
+      sum(col("c_t")).as("t_t"),
+      sum(col("c_r")).as("t_r"),
+      count(lit(1)).as("v"))
+    val bits = (c: Column) => length(bin(c)).cast("long")
+    toks
+      .join(if (broadcastModel) broadcast(model) else model, Seq("w"))
+      .crossJoin(broadcast(totals))
+      .withColumn(
+        "tok_bits",
+        bits(col("c_t") + 1L) - bits(col("t_t") + col("v")) -
+          (bits(col("c_r") + 1L) - bits(col("t_r") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("tok_bits")).as("weight_bits"))
+      .withColumn(
+        "mean_bits",
+        col("weight_bits").cast("double") / col("n_tokens").cast("double"))
+  }
 }

@@ -863,4 +863,179 @@ object Similarity {
       .filter(col("rnk") <= bottomK)
       .select(col("label"), col("vec_id"), col("rnk"), col("loo_dp"), col("cosine"))
   }
+
+  /** Hard-negative mining for contrastive training: for each query vector
+    * the top-k nearest neighbors carrying a DIFFERENT label — the
+    * near-miss examples a retrieval/embedding fine-tune wants as
+    * in-batch negatives (easy negatives are useless, same-label
+    * neighbors are false negatives). Ranking is by exact integer dot
+    * product ([[knnBruteForce]]'s convention — deterministic, engine
+    * identical), ties on `vec_id`.
+    *
+    * Scale: the query set broadcasts, the corpus is scanned once and
+    * never shuffled; the label inequality prunes in the join, and the
+    * per-query window ranks only `|queries| × corpus` scored rows after
+    * Spark's partial top-k (WindowGroupLimit) bounds each group
+    * map-side. For corpus-sized query sets use the LSH/IVF candidate
+    * paths first and rank only candidates.
+    */
+  def hardNegatives(embeddings: DataFrame, numQueries: Int = 10, k: Int = 10): DataFrame = {
+    val e = embeddings
+      .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qe"))
+      .withColumn("n2", dot(col("qe"), col("qe")))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(
+        col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("qe").as("q_qe"), col("n2").as("q_n2"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("dp").desc, col("vec_id"))
+    e.join(broadcast(q), col("label") =!= col("query_label"))
+      .withColumn("dp", dot(col("qe"), col("q_qe")))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("query_id"), col("query_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neighbor_label"),
+        col("rnk"), col("dp"),
+        (col("dp").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("q_n2").cast("double")))).as("cosine"))
+  }
+
+  /** Exact Gram/covariance sufficient statistics of the embedding corpus:
+    * for every dimension pair `i ≤ j` the BIGINT sums `Σ xᵢ`, `Σ xⱼ`,
+    * `Σ xᵢxⱼ` and the vector count — everything PCA/whitening/feature
+    * -correlation needs (`cov = (Σxᵢxⱼ − ΣxᵢΣxⱼ/n)/n`), computed on
+    * [[quantize]]'s exact longs so the statistics are order-independent
+    * and engine-bit-identical; the one division is left to the consumer.
+    *
+    * Scale: the corpus is scanned once and NEVER shuffled — the d²
+    * expansion happens inside the scan pipeline and the per-partition
+    * hash aggregate collapses it to ≤ d(d+1)/2 keys before the (tiny,
+    * dimension-sized) exchange. Work is `n·d²` multiplies, embarrassingly
+    * parallel. BIGINT headroom: |q| ≤ 10⁶·|x|, so Σxᵢxⱼ stays below 2⁶³
+    * for ~10⁶ vectors at |x| ≤ 3; past that, coarsen the quantization or
+    * lift the sums to DECIMAL(38,0) as [[graft.functions.Stats]] does.
+    */
+  def gramMatrix(embeddings: DataFrame): DataFrame = {
+    val e = embeddings.select(col("vec_id"), quantize(col("embedding")).as("qe"))
+    e.select(col("qe"), posexplode(col("qe")).as(Seq("i", "xi")))
+      .select(col("i"), col("xi"), posexplode(col("qe")).as(Seq("j", "xj")))
+      .filter(col("i") <= col("j"))
+      .groupBy(col("i").cast("int").as("dim_i"), col("j").cast("int").as("dim_j"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("xi")).as("sum_i"),
+        sum(col("xj")).as("sum_j"),
+        sum(col("xi") * col("xj")).as("sum_prod"))
+  }
+
+  /** Deterministic signs for [[randomProject]]: `signs(j)(d)` is ±1 by
+    * the parity of the 60-bit md5 slice of `"rp:j:d"` — the same
+    * `'0x' || substr(md5(s), 1, 15)` slice convention the digest
+    * expressions use, so any engine with md5 reproduces the matrix.
+    */
+  def projectionSigns(outDim: Int, dim: Int): Seq[Seq[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(outDim, dim) { (j, d) =>
+      val hex = md.digest(s"rp:$j:$d".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+    }
+  }
+
+  /** Johnson–Lindenstrauss random projection with a ±1 (Achlioptas) sign
+    * matrix: each vector maps to `outDim` exact BIGINT coordinates
+    * `pⱼ = Σ_d s(j,d)·q_d` over [[quantize]]'s longs — distances and
+    * inner products are preserved in expectation within the JL bound, at
+    * `outDim/dim` of the storage and dot-product cost, which is the
+    * standard pre-step before brute-force or LSH search on very wide
+    * embeddings. The sign matrix is content-independent and derived from
+    * md5 parities ([[projectionSigns]]), so the projection is
+    * reproducible across engines, runs, and partitionings — no RNG state
+    * to ship.
+    *
+    * Scale: the matrix is a `outDim × dim` literal compiled into the
+    * plan (a few KB — never a join), the corpus is scanned once with
+    * zero shuffles, and the arithmetic is codegen'd HOF sums, exact
+    * end to end.
+    */
+  def randomProject(embeddings: DataFrame, outDim: Int = 16, dim: Int = 64): DataFrame = {
+    val signs = typedLit(projectionSigns(outDim, dim))
+    embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .select(
+        col("vec_id"),
+        transform(
+          signs,
+          srow =>
+            aggregate(
+              zip_with(srow, col("qe"), (s, x) => s * x),
+              lit(0L),
+              (acc, v) => acc + v)).as("proj"))
+      .withColumn("pn2", dot(col("proj"), col("proj")))
+  }
+
+  /** Reciprocal-rank fusion of two exact retrieval rankings — the
+    * standard hybrid-search combiner (Cormack et al.): for each query
+    * over the corpus, ranking A orders by cosine (direction match) and
+    * ranking B by exact squared L2 distance (magnitude-sensitive), each
+    * cut at `depth`; a candidate's fused score is
+    * `Σ_r ⌊10⁹ / (rrfK + rank_r)⌋` with absent lists contributing 0 —
+    * the scaled-integer form keeps the score exact and engine-identical
+    * (a float `1/(k+r)` would sum in fold order). Top-`k` fused
+    * candidates per query, ties on id.
+    *
+    * Scale: one broadcast of the query set, one corpus scan scores both
+    * rankers from the SAME dot product (`d² = |v|² − 2·dp + |q|²` —
+    * no second pass), per-query windows are WindowGroupLimit-bounded,
+    * and the fusion join runs on the depth-bounded candidate lists, not
+    * the corpus.
+    */
+  def rrfFuse(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      depth: Int = 50,
+      k: Int = 10,
+      rrfK: Int = 60): DataFrame = {
+    val e = withQuantized(embeddings)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
+    // Both rankers derive from the same scored subtree; it is rebuilt per
+    // ranker (two broadcast-join scans, no shuffle below the windows)
+    // rather than persisted — no session-lifetime cache to own.
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dp", dot(col("qe"), col("q_qe")))
+      .withColumn(
+        "cosine",
+        col("dp").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("q_n2").cast("double"))))
+      .withColumn("d2", col("n2") - lit(2L) * col("dp") + col("q_n2"))
+    val wCos = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val wL2 = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+    val byCos = scored
+      .withColumn("cos_rank", row_number().over(wCos).cast("int"))
+      .filter(col("cos_rank") <= depth)
+      .select(col("query_id"), col("vec_id"), col("cos_rank"))
+    val byL2 = scored
+      .withColumn("l2_rank", row_number().over(wL2).cast("int"))
+      .filter(col("l2_rank") <= depth)
+      .select(col("query_id"), col("vec_id"), col("l2_rank"))
+    // Exact floor division (DIV) — a float 1/(k+r) would lose the
+    // engine-bit-identical claim.
+    val contrib = (r: String) =>
+      expr(s"CASE WHEN $r IS NULL THEN 0 ELSE CAST(1000000000 DIV (${rrfK.toLong} + $r) AS BIGINT) END")
+    val wF = Window.partitionBy(col("query_id")).orderBy(col("rrf_score").desc, col("vec_id"))
+    byCos
+      .join(byL2, Seq("query_id", "vec_id"), "full_outer")
+      .withColumn("rrf_score", contrib("cos_rank") + contrib("l2_rank"))
+      .withColumn("rnk", row_number().over(wF).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("rrf_score"),
+        // 0 = "beyond depth in this ranker" — kept non-null so the
+        // column stays integral end to end (a nullable rank decays to
+        // float64 in pandas-side consumers).
+        coalesce(col("cos_rank"), lit(0)).as("cos_rank"),
+        coalesce(col("l2_rank"), lit(0)).as("l2_rank"))
+  }
 }

@@ -1076,4 +1076,78 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.count(_.getAs[Int]("label") == 0) === 2)
     assert(out.count(_.getAs[Int]("label") == 1) === 2)
   }
+
+  test("hardNegatives returns only different-label neighbors ranked by exact dot product") {
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0), // the query
+      (1L, Seq(1.0f, 0.1f, 0.0f, 0.0f), 0), // same label — excluded however close
+      (2L, Seq(0.9f, 0.0f, 0.0f, 0.0f), 1), // closest hard negative
+      (3L, Seq(0.5f, 0.5f, 0.0f, 0.0f), 1),
+      (4L, Seq(-1.0f, 0.0f, 0.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hardNegatives(e, numQueries = 1, k = 3).collect()
+    assert(out.forall(r => r.getAs[Int]("neighbor_label") != r.getAs[Int]("query_label")))
+    assert(out.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Long]("neighbor_id")).toSeq
+      === Seq(2L, 3L, 4L))
+    assert(!out.exists(_.getAs[Long]("neighbor_id") == 1L))
+  }
+
+  test("randomProject computes the exact md5-sign projection; zero vector maps to zero") {
+    val e = Seq(
+      (0L, Seq(1.0f, 2.0f, -1.0f, 0.5f), 0),
+      (1L, Seq(0.0f, 0.0f, 0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val signs = Similarity.projectionSigns(2, 4)
+    assert(signs.flatten.forall(s => s == 1L || s == -1L))
+    assert(signs === Similarity.projectionSigns(2, 4), "content-independent and reproducible")
+    val out = Similarity.randomProject(e, outDim = 2, dim = 4).orderBy("vec_id").collect()
+    val qe = Seq(1000000L, 2000000L, -1000000L, 500000L)
+    val expected = signs.map(row => row.zip(qe).map { case (s, x) => s * x }.sum)
+    assert(out(0).getSeq[Long](out(0).fieldIndex("proj")).toList === expected.toList)
+    assert(out(0).getAs[Long]("pn2") === expected.map(p => p * p).sum)
+    assert(out(1).getSeq[Long](out(1).fieldIndex("proj")).toList === List(0L, 0L))
+  }
+
+  test("gramMatrix sufficient statistics match the brute-force outer product") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, -2.0f, 3.0f)),
+      (1L, Seq(0.5f, 0.0f, -1.5f)),
+      (2L, Seq(2.0f, 1.0f, 0.0f)))
+    val e = vecs.map { case (id, v) => (id, v, 0) }.toDF("vec_id", "embedding", "label")
+    val out = Similarity.gramMatrix(e).collect()
+      .map(r => (r.getAs[Int]("dim_i"), r.getAs[Int]("dim_j")) -> r).toMap
+    assert(out.size === 6, "upper triangle of a 3x3 only")
+    val q = vecs.map(_._2.map(x => math.floor(x.toDouble * 1e6).toLong))
+    for (i <- 0 until 3; j <- i until 3) {
+      val r = out((i, j))
+      assert(r.getAs[Long]("n_vecs") === 3L)
+      assert(r.getAs[Long]("sum_i") === q.map(_(i)).sum)
+      assert(r.getAs[Long]("sum_j") === q.map(_(j)).sum)
+      assert(r.getAs[Long]("sum_prod") === q.map(v => v(i) * v(j)).sum)
+    }
+  }
+
+  test("rrfFuse sums exact reciprocal-rank contributions from disagreeing rankers") {
+    // Cosine and L2 order DISAGREE: vec 1 is the query's direction at 5x
+    // magnitude (cosine rank 1, L2 worst), vec 2 is slightly off-direction
+    // at near-identical magnitude (L2 rank 1).
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f), 9),
+      (1L, Seq(5.0f, 0.0f), 9),
+      (2L, Seq(0.8f, 0.1f), 9),
+      (3L, Seq(-1.0f, -1.0f), 9))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.rrfFuse(e, numQueries = 1, depth = 3, k = 3, rrfK = 60)
+      .orderBy("rnk").collect()
+    // cos ranks: 1->1, 2->2, 3->3; L2 ranks: 2->1, 3->2, 1->3.
+    def c(r: Long) = 1000000000L / (60L + r)
+    val expected = Seq(
+      (2L, c(2) + c(1)), // 32522474
+      (1L, c(1) + c(3)), // 32266457
+      (3L, c(3) + c(2))) // 32002047
+    assert(out.map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("rrf_score"))).toSeq
+      === expected)
+    assert(out.map(_.getAs[Int]("cos_rank")).toSeq === Seq(2, 1, 3))
+    assert(out.map(_.getAs[Int]("l2_rank")).toSeq === Seq(1, 3, 2))
+  }
 }

@@ -572,4 +572,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(wavRow.getAs[org.apache.spark.sql.Row]("wav").getAs[Double]("mean_amp")
       === b.sum.toDouble / b.length)
   }
+
+  test("importanceWeights scores by the exact whole-bit likelihood ratio; paths agree") {
+    val docs = Seq(
+      (0L, "alpha alpha beta", "en", "tgt", 16L),
+      (1L, "alpha beta beta", "en", "tgt", 15L),
+      (2L, "gamma gamma delta", "en", "raw", 17L),
+      (3L, "alpha alpha alpha", "en", "raw", 17L), // raw doc that LOOKS target
+      (4L, "gamma delta delta", "en", "raw", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Models: c_t = {alpha 3, beta 3}, T_t = 6; c_r = {gamma 3, delta 3,
+    // alpha 3}, T_r = 9; V = 4. Per-token bits(c_t+1) − bits(T_t+V) −
+    // bits(c_r+1) + bits(T_r+V) with both totals at 4 bits:
+    // alpha 3−3 = 0, beta 3−1 = 2, gamma 1−3 = −2, delta 1−3 = −2.
+    val out = TextAnalysis.importanceWeights(docs, "tgt").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_bits")).toMap
+    assert(out === Map(0L -> 2L, 1L -> 4L, 2L -> -6L, 3L -> 0L, 4L -> -6L))
+    val shuffleJoin = TextAnalysis.importanceWeights(docs, "tgt", broadcastModel = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_bits")).toMap
+    assert(shuffleJoin === out, "broadcast and shuffle model paths must agree exactly")
+  }
 }

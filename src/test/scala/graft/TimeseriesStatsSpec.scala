@@ -274,4 +274,42 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_users")).toSeq === Seq(1L, 0L))
     assert(r(1).isNullAt(r(1).fieldIndex("mean_lag_us")))
   }
+
+  test("groupAuc computes exact Mann-Whitney pair counts, ties, and single-class drops") {
+    val df = Seq(
+      // g1: perfectly separated — every (pos, neg) pair concordant.
+      ("g1", 1.0, false), ("g1", 2.0, false), ("g1", 3.0, true), ("g1", 4.0, true),
+      // g2: one pos and one neg at the SAME score — one tied pair, AUC 1/2.
+      ("g2", 1.0, true), ("g2", 1.0, false),
+      // g3: single class — no pairs, dropped.
+      ("g3", 5.0, true))
+      .toDF("grp", "s", "y")
+    val out = Stats.groupAuc(df, col("grp"), col("s"), col("y")).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    assert(!out.contains("g3"))
+    val g1 = out("g1")
+    assert(g1.getAs[Long]("n_pos") === 2L && g1.getAs[Long]("n_neg") === 2L)
+    assert(g1.getAs[Long]("concordant") === 4L)
+    assert(g1.getAs[Long]("tied") === 0L)
+    assert(g1.getAs[Double]("auc") === 1.0)
+    val g2 = out("g2")
+    assert(g2.getAs[Long]("concordant") === 0L)
+    assert(g2.getAs[Long]("tied") === 1L)
+    assert(g2.getAs[Double]("auc") === 0.5)
+  }
+
+  test("groupAuc inverted scores give AUC 0 and mixed orders the exact pair fraction") {
+    val df = Seq(
+      // g: pos at 1, negs at 2 and 3 — zero concordant of 2 pairs.
+      ("g", 1.0, true), ("g", 2.0, false), ("g", 3.0, false),
+      // h: pos {2, 4}, neg {1, 3}: pairs (2>1), (4>1), (4>3) concordant,
+      // (2<3) not — AUC 3/4.
+      ("h", 2.0, true), ("h", 4.0, true), ("h", 1.0, false), ("h", 3.0, false))
+      .toDF("grp", "s", "y")
+    val out = Stats.groupAuc(df, col("grp"), col("s"), col("y")).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("g").getAs[Double]("auc") === 0.0)
+    assert(out("h").getAs[Long]("concordant") === 3L)
+    assert(out("h").getAs[Double]("auc") === 0.75)
+  }
 }
