@@ -1001,6 +1001,13 @@ object SparkEntry {
       Similarity.rrfFuse(Tables.embeddings(s, dir))
         .orderBy("query_id", "rnk")),
 
+    // IVF-PQ with RESIDUAL encoding — the canonical FAISS IVFPQ: corpus
+    // PQ-coded on coarse-centroid residuals, one ADC table per
+    // (query, probed cell) from the query's own residual.
+    "q133_ivf_pq_residual" -> ((s, dir) =>
+      Similarity.ivfPqResidualSearch(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rnk")),
+
     // Same for the dense-window (offset-robust) rolling state over the
     // q101 shifted corpus — q101's oracle verbatim.
     "q123_streaming_rolling_state" -> ((s, dir) => {
@@ -2646,6 +2653,63 @@ object SparkEntry {
          |    PARTITION BY query_id ORDER BY rrf_score DESC, vec_id) AS INT) AS rnk
          |  FROM fused)
          |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    "q133_ivf_pq_residual" ->
+      s"""WITH $quantizedEmbeddings,
+         |$ivfAssignCtes,
+         |res AS MATERIALIZED (
+         |  SELECT a.vec_id, a.cell,
+         |         list_transform(range(1, 65), i -> a.qe[i] - c.c_qe[i]) AS rqe
+         |  FROM assign a JOIN cents c ON a.cell = c.cent_id
+         |),
+         |rcb AS MATERIALIZED (
+         |  SELECT CAST(s.s AS INT) AS sub, CAST(r.vec_id AS INT) AS code, r.rqe
+         |  FROM res r CROSS JOIN (SELECT unnest(range(8)) AS s) s
+         |  WHERE r.vec_id < 16
+         |),
+         |rd AS (
+         |  SELECT v.vec_id, cb.sub, cb.code,
+         |         CAST(list_sum(list_transform(range(1, 9), i ->
+         |           (v.rqe[cb.sub * 8 + i] - cb.rqe[cb.sub * 8 + i])
+         |             * (v.rqe[cb.sub * 8 + i] - cb.rqe[cb.sub * 8 + i]))) AS BIGINT) AS d2
+         |  FROM res v CROSS JOIN rcb cb
+         |),
+         |rcodes AS MATERIALIZED (
+         |  SELECT vec_id, sub, code FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+         |    FROM rd)
+         |  WHERE rn = 1
+         |),
+         |qres AS (
+         |  SELECT p.query_id, p.cell,
+         |         list_transform(range(1, 65), i -> p.q_qe[i] - c.c_qe[i]) AS rq
+         |  FROM probes p JOIN cents c ON p.cell = c.cent_id
+         |),
+         |rtabs AS MATERIALIZED (
+         |  SELECT q.query_id, q.cell, cb.sub, cb.code,
+         |         CAST(list_sum(list_transform(range(1, 9), i ->
+         |           (q.rq[cb.sub * 8 + i] - cb.rqe[cb.sub * 8 + i])
+         |             * (q.rq[cb.sub * 8 + i] - cb.rqe[cb.sub * 8 + i]))) AS BIGINT) AS t
+         |  FROM qres q CROSS JOIN rcb cb
+         |),
+         |cand AS (
+         |  SELECT p.query_id, r.vec_id, r.cell
+         |  FROM res r JOIN probes p USING (cell)
+         |  WHERE r.vec_id <> p.query_id
+         |),
+         |adc AS (
+         |  SELECT c.query_id, c.vec_id, CAST(SUM(t.t) AS BIGINT) AS adc_d2
+         |  FROM cand c
+         |  JOIN rcodes rc ON rc.vec_id = c.vec_id
+         |  JOIN rtabs t ON t.query_id = c.query_id AND t.cell = c.cell
+         |              AND t.sub = rc.sub AND t.code = rc.code
+         |  GROUP BY c.query_id, c.vec_id
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, CAST(rn AS INT) AS rnk, adc_d2 FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_d2, vec_id) AS rn
+         |  FROM adc)
+         |WHERE rn <= 10
          |ORDER BY query_id, rnk""".stripMargin,
 
     "q125_pq_search" ->

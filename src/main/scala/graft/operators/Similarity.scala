@@ -370,18 +370,22 @@ object Similarity {
 
   /** Per-query flat ADC distance table, ordered (sub, code) like `cbs`:
     * exact integer L2² from the query's sub-vector to every codeword.
+    * `keyCols` are passed through alongside the table (the residual
+    * variant keys tables by (query, probed cell), not query alone).
     */
-  private def adcTables(queries: DataFrame, cb: DataFrame, m: Int): DataFrame =
+  private def adcTables(
+      queries: DataFrame, cb: DataFrame, m: Int,
+      keyCols: Seq[String] = Seq("query_id")): DataFrame =
     queries
       .crossJoin(broadcast(cb))
       .select(
-        col("query_id"),
-        transform(col("cbs"), b =>
-          l2Sub(
-            slice(col("q_qe"),
-              b.getField("sub") * (size(col("q_qe")) / m) + 1,
-              size(col("q_qe")) / m),
-            b.getField("cq"))).as("tabs"))
+        keyCols.map(col) :+
+          transform(col("cbs"), b =>
+            l2Sub(
+              slice(col("q_qe"),
+                b.getField("sub") * (size(col("q_qe")) / m) + 1,
+                size(col("q_qe")) / m),
+              b.getField("cq"))).as("tabs"): _*)
 
   /** The ADC sum: `m` flat-table lookups on the row's codes. */
   private def adcDistance(m: Int, codes: Int): Column =
@@ -477,6 +481,69 @@ object Similarity {
     encoded.join(broadcast(probes.select("query_id", "cell")), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .join(broadcast(tabs), Seq("query_id"))
+      .withColumn("adc_d2", adcDistance(m, codes))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("adc_d2"))
+  }
+
+  /** Exact residual vs the row's assigned/probed `cell`'s centroid:
+    * `res = qe − c_qe(cell)`, looked up from the broadcast centroid
+    * array (O(centroids) per row, no join). Input rows need `cell` and
+    * the `qeCol` vector.
+    */
+  private def withResidual(vectors: DataFrame, centsArr: DataFrame, qeCol: String): DataFrame =
+    vectors.crossJoin(broadcast(centsArr))
+      .withColumn(
+        "_c",
+        element_at(filter(col("cents"), c => c.getField("cent_id") === col("cell")), 1))
+      .withColumn("res", zip_with(col(qeCol), col("_c").getField("c_qe"), (a, b) => a - b))
+      .drop("_c", "cents")
+
+  /** IVF-PQ with RESIDUAL encoding — the canonical FAISS `IVFPQ`
+    * semantics: each corpus vector is PQ-coded on its residual from the
+    * assigned coarse centroid (residuals are smaller than raw vectors,
+    * so the same code budget quantizes finer), and each query builds one
+    * ADC table PER PROBED CELL from its own residual against that cell's
+    * centroid. Distances approximate `‖(q − c) − (v − c)‖² = ‖q − v‖²`
+    * within the probed cell — the coarse term cancels, which is why the
+    * residual formulation ranks better than raw-vector PQ at equal bits.
+    *
+    * Scale: identical shape to [[ivfPqSearch]] — one narrow corpus scan
+    * (cell argmax + residual + PQ argmin are per-row expressions over
+    * broadcast arrays), candidates equi-join on the cell id, tables
+    * broadcast at `numQueries × nProbe × m × codes` longs, and only the
+    * bounded candidate set shuffles for the per-query rank.
+    */
+  def ivfPqResidualSearch(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 10,
+      numCentroids: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      codes: Int = 16): DataFrame = {
+    val e = withQuantized(embeddings)
+    val centsArr = centroidArray(e, numCentroids)
+    val corpusRes = withResidual(withCell(e, centsArr, "qe"), centsArr, "qe")
+      .select(col("vec_id"), col("cell"), col("res"))
+    val cb = pqCodebookOf(corpusRes.select(col("vec_id"), col("res").as("qe")), m, codes)
+    requireDense(cb, m, codes)
+    val encoded =
+      withPqCodes(corpusRes.select(col("vec_id"), col("cell"), col("res").as("qe")), cb, m, codes)
+        .select(
+          col("vec_id"), col("cell"),
+          transform(col("pq"), sc => sc.getField("code")).as("pcodes"))
+    val queries = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
+    val probes = probeCells(queries, centsArr, nProbe)
+    val qres = withResidual(probes, centsArr, "q_qe")
+      .select(col("query_id"), col("cell"), col("res").as("q_qe"))
+    val tabs = adcTables(qres, cb, m, Seq("query_id", "cell"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
+    encoded.join(broadcast(probes.select("query_id", "cell")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(tabs), Seq("query_id", "cell"))
       .withColumn("adc_d2", adcDistance(m, codes))
       .withColumn("rnk", row_number().over(w).cast("int"))
       .filter(col("rnk") <= k)

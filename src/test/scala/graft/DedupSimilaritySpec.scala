@@ -1127,6 +1127,33 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfPqResidualSearch: exact ADC distances when residuals hit codewords exactly") {
+    // dim 4, m=2 (2-dim subspaces), 2 centroids (vecs 0,1), 4 residual
+    // codewords (vecs 0..3). Quantized (floor(f32·1e6)): 0.9f → 899999,
+    // 0.1f/0.2f/0.8f → 100000/200000/800000 exactly.
+    // Cell 0 = {0, 2, 4, 6}; query 0's residual is the zero vector, so
+    // every ADC entry is the codeword's own squared norm:
+    //   vec 2 and its copy 4 code to residual codeword r2 with d2 = 0 →
+    //   ADC = |r2|² = 100001² + 100000² = 20000200001; vec 6's residual
+    //   (−200000, 200000) also snaps to r2 → same ADC. Three-way tie,
+    //   broken by vec_id.
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(0.0f, 1.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (3L, Seq(0.1f, 0.9f, 0.0f, 0.0f), 0),
+      (4L, Seq(0.9f, 0.1f, 0.0f, 0.0f), 0),
+      (5L, Seq(0.1f, 0.9f, 0.0f, 0.0f), 0),
+      (6L, Seq(0.8f, 0.2f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.ivfPqResidualSearch(
+        e, numQueries = 1, k = 3, numCentroids = 2, nProbe = 1, m = 2, codes = 4)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(2L, 4L, 6L))
+    assert(out.map(_.getAs[Long]("adc_d2")).toSeq
+      === Seq(20000200001L, 20000200001L, 20000200001L))
+  }
+
   test("rrfFuse sums exact reciprocal-rank contributions from disagreeing rankers") {
     // Cosine and L2 order DISAGREE: vec 1 is the query's direction at 5x
     // magnitude (cosine rank 1, L2 worst), vec 2 is slightly off-direction
