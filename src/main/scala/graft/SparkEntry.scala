@@ -1008,6 +1008,19 @@ object SparkEntry {
       Similarity.ivfPqResidualSearch(Tables.embeddings(s, dir))
         .orderBy("query_id", "rnk")),
 
+    // Cross-source shingle-overlap matrix: shared distinct 3-grams,
+    // per-source totals, exact jaccard per source pair — the
+    // which-corpora-share-content QA before mixing.
+    "q134_source_overlap" -> ((s, dir) =>
+      Dedup.sourceOverlapMatrix(Tables.documents(s, dir))
+        .orderBy("src_a", "src_b")),
+
+    // PMI collocations: top-50 adjacent word pairs by whole-bit
+    // pointwise mutual information, minCount 5.
+    "q135_collocations" -> ((s, dir) =>
+      TextAnalysis.collocations(Tables.documents(s, dir))
+        .orderBy(col("pmi_bits").desc, col("w1"), col("w2"))),
+
     // Same for the dense-window (offset-robust) rolling state over the
     // q101 shifted corpus — q101's oracle verbatim.
     "q123_streaming_rolling_state" -> ((s, dir) => {
@@ -2711,6 +2724,48 @@ object SparkEntry {
          |  FROM adc)
          |WHERE rn <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+
+    "q134_source_overlap" ->
+      s"""WITH $docShingles,
+         |dig AS (
+         |  SELECT DISTINCT d.source, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS shh
+         |  FROM sh JOIN documents d USING (doc_id)
+         |),
+         |tot AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM dig GROUP BY source),
+         |shared AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM dig a JOIN dig b ON a.shh = b.shh AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT src_a, src_b, n_shared, ta.n_sh AS n_a, tb.n_sh AS n_b,
+         |       CAST(n_shared AS DOUBLE) / CAST(ta.n_sh + tb.n_sh - n_shared AS DOUBLE) AS jaccard
+         |FROM shared
+         |JOIN tot ta ON src_a = ta.source
+         |JOIN tot tb ON src_b = tb.source
+         |ORDER BY src_a, src_b""".stripMargin,
+
+    "q135_collocations" ->
+      """WITH w AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |toks AS (SELECT unnest(ws) AS w FROM w),
+        |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uni),
+        |bg AS (
+        |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+        |  FROM (SELECT ws, CAST(unnest(range(1, len(ws))) AS INT) AS i FROM w WHERE len(ws) >= 2)
+        |),
+        |bc AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c_xy
+        |  FROM bg GROUP BY w1, w2 HAVING COUNT(*) >= 5
+        |)
+        |SELECT b.w1, b.w2, b.c_xy, u1.c AS c_x, u2.c AS c_y,
+        |       CAST(length(bin(b.c_xy)) + length(bin(t.n_tokens))
+        |          - length(bin(u1.c)) - length(bin(u2.c)) AS BIGINT) AS pmi_bits
+        |FROM bc b
+        |JOIN uni u1 ON b.w1 = u1.w
+        |JOIN uni u2 ON b.w2 = u2.w
+        |CROSS JOIN tot t
+        |ORDER BY pmi_bits DESC, w1, w2
+        |LIMIT 50""".stripMargin,
 
     "q125_pq_search" ->
       s"""WITH $quantizedEmbeddings,

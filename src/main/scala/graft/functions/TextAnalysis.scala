@@ -667,6 +667,51 @@ object TextAnalysis {
         col("sum_bits").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** PMI collocation mining — the multi-word-expression pass a tokenizer
+    * or phrase-vocabulary build runs over the corpus: adjacent word
+    * pairs scored by whole-bit pointwise mutual information
+    * `bits(c_xy) + bits(N) − bits(c_x) − bits(c_y)` (the integer-log2
+    * quantization of `log2 (p_xy / p_x p_y)` — [[unigramSurprisal]]'s
+    * `bits` convention, exact BIGINT end to end, no float folds). `N` is
+    * the unigram token total; pairs below `minCount` are pruned before
+    * scoring (PMI's low-count instability is the standard reason), and
+    * the global top-`topK` is returned under the total order
+    * (pmi desc, w1, w2).
+    *
+    * Scale: one wordcount aggregate and one map-side-combined bigram
+    * count (both vocab-bounded after combine), unigram counts broadcast
+    * back onto the bigram table, and the top-k is a `TakeOrdered` —
+    * no global sort materialization.
+    */
+  def collocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 50): DataFrame = {
+    val uni = spread(docs)
+      .select(explode(wordsCol).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("c"))
+    val nTotal = uni.agg(sum(col("c")).as("n_tokens"))
+    val n = size(col("ws")) - 1
+    val bi = spread(docs)
+      .select(wordsCol.as("ws"))
+      .select(explode(zip_with(
+        slice(col("ws"), lit(1), greatest(n, lit(0))),
+        slice(col("ws"), lit(2), greatest(n, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= minCount)
+    val bits = (c: Column) => length(bin(c)).cast("long")
+    bi
+      .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c_x"))), Seq("w1"))
+      .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c_y"))), Seq("w2"))
+      .crossJoin(broadcast(nTotal))
+      .withColumn(
+        "pmi_bits",
+        bits(col("c_xy")) + bits(col("n_tokens")) - bits(col("c_x")) - bits(col("c_y")))
+      .orderBy(col("pmi_bits").desc, col("w1"), col("w2"))
+      .limit(topK)
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"), col("pmi_bits"))
+  }
+
   /** DSIR-style importance weights for targeted data selection (Xie et
     * al.: sample raw documents whose unigram statistics look like a
     * target domain). Two add-one-smoothed unigram models are fit in ONE

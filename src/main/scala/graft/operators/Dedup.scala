@@ -651,6 +651,55 @@ object Dedup {
         col("n_hit").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Cross-source n-gram overlap matrix — the "which corpora share
+    * content" QA dashboard a multi-source ingest runs before mixing
+    * (template farms, syndicated text, and mirrored crawls show up as
+    * high-jaccard source pairs). One row per source pair sharing at
+    * least one distinct k-shingle: shared-shingle count, both sources'
+    * distinct-shingle totals, and their exact jaccard.
+    *
+    * Scale: documents digest in place ([[graft.expressions.ShingleDigests]]
+    * — text never shuffles), the one corpus shuffle is the
+    * digest-keyed distinct + group, and the per-digest pair expansion is
+    * bounded by the SOURCE count (a digest in s sources emits s(s−1)/2
+    * pairs, never doc²); totals broadcast back over the sources-sized
+    * pair table.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, k: Int = 3): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    val digests = TextAnalysis.spread(docs)
+      .select(
+        col("source"),
+        bridge.column(graft.expressions.ShingleDigests(
+          bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
+      .select(col("source"), explode(col("ds")).as("shh"))
+      .distinct()
+    val totals = digests.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    val pairs = digests
+      .groupBy(col("shh"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(explode(flatten(transform(
+        sequence(lit(0), size(col("srcs")) - 2),
+        i => transform(
+          slice(col("srcs"), i + lit(2), size(col("srcs")) - i - 1),
+          b => struct(
+            element_at(col("srcs"), i + 1).as("src_a"),
+            b.as("src_b")))))).as("pr"))
+      .groupBy(col("pr.src_a").as("src_a"), col("pr.src_b").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(broadcast(totals.select(col("source").as("src_a"), col("n_sh").as("n_a"))), Seq("src_a"))
+      .join(broadcast(totals.select(col("source").as("src_b"), col("n_sh").as("n_b"))), Seq("src_b"))
+      .withColumn(
+        "jaccard",
+        col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+      .select(
+        col("src_a"), col("src_b"), col("n_shared"),
+        col("n_a"), col("n_b"), col("jaccard"))
+  }
+
   /** Exact k-shingle Jaccard similarity for every pair of documents sharing
     * at least one shingle, thresholded. The join is on the shingle string,
     * so only co-shingled pairs are ever materialized; `jaccard` is a single

@@ -1127,6 +1127,22 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("sourceOverlapMatrix counts shared distinct shingles per source pair") {
+    val d = Seq(
+      (0L, "a b c d", "A", 7L),   // shingles: "a b c", "b c d"
+      (1L, "a b c x", "B", 7L),   // shingles: "a b c", "b c x"
+      (2L, "p q r s", "C", 7L))   // disjoint
+      .map { case (id, t, s, n) => (id, t, "en", s, n) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.sourceOverlapMatrix(d).collect()
+    assert(out.length === 1, "only the A-B pair shares a shingle")
+    val r = out.head
+    assert(r.getAs[String]("src_a") === "A" && r.getAs[String]("src_b") === "B")
+    assert(r.getAs[Long]("n_shared") === 1L)
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Double]("jaccard") === 1.0 / 3.0)
+  }
+
   test("ivfPqResidualSearch: exact ADC distances when residuals hit codewords exactly") {
     // dim 4, m=2 (2-dim subspaces), 2 centroids (vecs 0,1), 4 residual
     // codewords (vecs 0..3). Quantized (floor(f32·1e6)): 0.9f → 899999,

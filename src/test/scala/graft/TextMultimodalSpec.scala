@@ -573,6 +573,23 @@ class TextMultimodalSpec extends SparkSpec {
       === b.sum.toDouble / b.length)
   }
 
+  test("collocations scores whole-bit PMI and prunes below minCount") {
+    val docs = Seq(
+      // "new york" x5 (york-new x4 falls below minCount and is pruned).
+      (0L, "new york new york new york new york new york", "en", "s", 44L),
+      // filler bigrams, each once — all pruned.
+      (1L, "alpha beta gamma delta", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.collocations(docs, minCount = 5L, topK = 10).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("w1") === "new" && r.getAs[String]("w2") === "york")
+    assert(r.getAs[Long]("c_xy") === 5L)
+    assert(r.getAs[Long]("c_x") === 5L && r.getAs[Long]("c_y") === 5L)
+    // bits(5) + bits(14) - bits(5) - bits(5) = 3 + 4 - 3 - 3 = 1
+    assert(r.getAs[Long]("pmi_bits") === 1L)
+  }
+
   test("importanceWeights scores by the exact whole-bit likelihood ratio; paths agree") {
     val docs = Seq(
       (0L, "alpha alpha beta", "en", "tgt", 16L),
