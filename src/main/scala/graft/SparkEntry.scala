@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Stats, TextAnalysis}
-import graft.operators.{Curation, Dedup, Joins, Multimodal, Similarity, Timeseries, TrainingPipeline}
+import graft.operators.{Curation, Dedup, Graphs, Joins, Multimodal, Similarity, Timeseries, TrainingPipeline}
 import graft.sources.{EventFixtures, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1020,6 +1020,18 @@ object SparkEntry {
     "q135_collocations" -> ((s, dir) =>
       TextAnalysis.collocations(Tables.documents(s, dir))
         .orderBy(col("pmi_bits").desc, col("w1"), col("w2"))),
+
+    // Scaled-integer PageRank over the sign-LSH co-bucket graph of the
+    // embedding corpus — exact BIGINT centrality, 4 rounds.
+    "q136_pagerank" -> ((s, dir) => {
+      val b = Similarity.signBuckets(Tables.embeddings(s, dir))
+        .select(col("vec_id"), col("bucket"))
+      val edges = b.select(col("vec_id").as("src"), col("bucket"))
+        .join(b.select(col("vec_id").as("dst"), col("bucket")), Seq("bucket"))
+        .filter(col("src") < col("dst"))
+        .select(col("src"), col("dst"))
+      Graphs.pageRank(edges).orderBy("id")
+    }),
 
     // Same for the dense-window (offset-robust) rolling state over the
     // q101 shifted corpus — q101's oracle verbatim.
@@ -2065,6 +2077,8 @@ object SparkEntry {
         |ORDER BY lang, rnk""".stripMargin,
 
     "q29_ann_lsh" -> annLshOracle,
+
+    "q136_pagerank" -> pageRankOracle,
 
     "q32_set_ops" ->
       """WITH fh AS (SELECT DISTINCT user_id FROM events WHERE CAST(strftime(ts, '%d') AS INT) <= 15),
@@ -4369,6 +4383,61 @@ object SparkEntry {
        |SELECT e.vec_id, f.dup_of IS NULL AS kept, f.dup_of, f.dp, f.cosine
        |FROM e LEFT JOIN (SELECT * FROM best WHERE rn = 1) f ON e.vec_id = f.vec_id
        |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** Mirrors q136: sign-LSH co-bucket edges over the embedding corpus,
+    * then [[graft.operators.Graphs.pageRank]]'s scaled-integer recurrence
+    * unrolled one MATERIALIZED CTE per iteration (contribution sum +
+    * rank refresh) — exact BIGINT arithmetic, `//` floor division
+    * matching Spark's `div` on the nonnegative ranks.
+    */
+  private def pageRankOracle: String = {
+    val planes = graft.operators.Similarity
+      .hyperplanes(graft.operators.Similarity.DefaultNumPlanes, 64)
+      .map(_.map(c => math.floor(c * 1000000).toLong))
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), ii -> qe[ii] * ($planeLit)[ii])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n         + ")
+    val iters = 4
+    val scale = 1000000000000L
+    val base = scale * 15L / 100L
+    val rounds = (1 to iters).map { t =>
+      s"""c$t AS (
+         |  SELECT e.dst AS id, CAST(SUM(r.r * 85 // (100 * d.deg)) AS BIGINT) AS s
+         |  FROM e JOIN r${t - 1} r ON r.id = e.src JOIN d ON d.src = e.src
+         |  GROUP BY e.dst
+         |),
+         |r$t AS MATERIALIZED (
+         |  SELECT n.src AS id, CAST($base + COALESCE(c.s, 0) AS BIGINT) AS r
+         |  FROM d n LEFT JOIN c$t c ON c.id = n.src
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH eq AS (
+       |  SELECT vec_id,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |),
+       |b AS (
+       |  SELECT vec_id,
+       |         $bucketExpr AS bucket
+       |  FROM eq
+       |),
+       |pairs AS (
+       |  SELECT a.vec_id AS src, c.vec_id AS dst
+       |  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+       |),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst FROM pairs
+       |  UNION
+       |  SELECT dst AS src, src AS dst FROM pairs
+       |),
+       |d AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+       |r0 AS (SELECT src AS id, CAST($scale AS BIGINT) AS r FROM d),
+       |$rounds
+       |SELECT d.src AS id, d.deg, r$iters.r AS rank_scaled
+       |FROM d JOIN r$iters ON r$iters.id = d.src
+       |ORDER BY id""".stripMargin
   }
 
   /** Mirrors [[graft.operators.Dedup.hybridNearDupPairs]]: sign-LSH
