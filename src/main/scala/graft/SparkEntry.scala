@@ -1021,6 +1021,15 @@ object SparkEntry {
       TextAnalysis.collocations(Tables.documents(s, dir))
         .orderBy(col("pmi_bits").desc, col("w1"), col("w2"))),
 
+    // Third real codec class: 24-bit BI_RGB BMP round-trip — bottom-up
+    // rows, 4-byte stride padding, B,G,R channel order all exercised;
+    // features reported in IMAGE order (top_row_mean pins the
+    // re-ordering). Shares q24/q114's ASCII-corpus byte==codepoint
+    // assumption.
+    "q137_bmp_features" -> ((s, dir) =>
+      Multimodal.decodeBmpFeatures(s, Multimodal.toBmp(Tables.documents(s, dir)))
+        .toDF().orderBy("doc_id")),
+
     // Scaled-integer PageRank over the sign-LSH co-bucket graph of the
     // embedding corpus — exact BIGINT centrality, 4 rounds.
     "q136_pagerank" -> ((s, dir) => {
@@ -2079,6 +2088,36 @@ object SparkEntry {
     "q29_ann_lsh" -> annLshOracle,
 
     "q136_pagerank" -> pageRankOracle,
+
+    // The BMP wire format (bottom-up rows, stride pad, BGR) cancels out
+    // through build+decode, so the oracle computes features straight
+    // from the text codepoints (ASCII corpus: byte == codepoint, the
+    // q24/q114 shared assumption). w = ⌊len/6⌋ pixels per row, 2 rows;
+    // byte 3k is R, 3k+1 G, 3k+2 B, top row = first 3w bytes.
+    "q137_bmp_features" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1), i -> unicode(text[i:i])) AS cps,
+        |         CAST(length(text) // 6 AS BIGINT) AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(w AS INT) AS width,
+        |       CAST(2 AS INT) AS height,
+        |       CAST(24 AS INT) AS bit_count,
+        |       CAST(2 * w AS BIGINT) AS n_px,
+        |       CAST(list_sum(list_transform(range(0, 2 * w), k -> cps[3 * k + 1])) AS DOUBLE)
+        |         / CAST(2 * w AS DOUBLE) AS r_mean,
+        |       CAST(list_sum(list_transform(range(0, 2 * w), k -> cps[3 * k + 2])) AS DOUBLE)
+        |         / CAST(2 * w AS DOUBLE) AS g_mean,
+        |       CAST(list_sum(list_transform(range(0, 2 * w), k -> cps[3 * k + 3])) AS DOUBLE)
+        |         / CAST(2 * w AS DOUBLE) AS b_mean,
+        |       CAST(list_min(cps[1 : CAST(6 * w AS INT)]) AS INT) AS min_px,
+        |       CAST(list_max(cps[1 : CAST(6 * w AS INT)]) AS INT) AS max_px,
+        |       CAST(list_sum(cps[1 : CAST(3 * w AS INT)]) AS DOUBLE)
+        |         / CAST(3 * w AS DOUBLE) AS top_row_mean
+        |FROM px
+        |ORDER BY doc_id""".stripMargin,
 
     "q32_set_ops" ->
       """WITH fh AS (SELECT DISTINCT user_id FROM events WHERE CAST(strftime(ts, '%d') AS INT) <= 15),

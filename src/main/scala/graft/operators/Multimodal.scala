@@ -112,6 +112,12 @@ object Multimodal {
     // bytes 9-12 (after the 4-byte chunk size).
     val isRiff = substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii)) &&
       substring(col("payload"), 9, 4) === lit("WAVE".getBytes(ascii))
+    // 'BM' alone is two bytes of plausible text (the RIFF lesson): the
+    // route also requires the BITMAPINFOHEADER size field (bytes 15-18,
+    // LE 40) so only payloads that actually claim the decodable DIB
+    // layout reach the throwing decoder.
+    val isBmp = substring(col("payload"), 1, 2) === lit("BM".getBytes(ascii)) &&
+      substring(col("payload"), 15, 4) === lit(Array[Byte](40, 0, 0, 0))
     def nest(df: DataFrame, kind: String): DataFrame =
       df.select(
         col("doc_id"), lit(kind).as("kind"),
@@ -119,12 +125,15 @@ object Multimodal {
     val pgm = nest(decodePgmFeatures(spark, media.filter(isP5)).toDF(), "pgm")
     val ppm = nest(decodePpmFeatures(spark, media.filter(isP6)).toDF(), "ppm")
     val wav = nest(decodeWavFeatures(spark, media.filter(isRiff)).toDF(), "wav")
-    val hist = extractByteHistogram(spark, media.filter(not(isP5 || isP6 || isRiff))).toDF()
+    val bmp = nest(decodeBmpFeatures(spark, media.filter(isBmp)).toDF(), "bmp")
+    val hist = extractByteHistogram(
+        spark, media.filter(not(isP5 || isP6 || isRiff || isBmp))).toDF()
       .select(col("doc_id"), lit("histogram").as("kind"), col("features").as("histogram"))
     pgm.unionByName(ppm, allowMissingColumns = true)
       .unionByName(wav, allowMissingColumns = true)
+      .unionByName(bmp, allowMissingColumns = true)
       .unionByName(hist, allowMissingColumns = true)
-      .select("doc_id", "kind", "pgm", "ppm", "wav", "histogram")
+      .select("doc_id", "kind", "pgm", "ppm", "wav", "bmp", "histogram")
   }
 
   /** Wrap each document as a REAL binary PGM image — a 1-row grayscale
@@ -492,6 +501,138 @@ object Multimodal {
         lit("audio/wav").as("format"),
         (dataLen + 44L).as("n_bytes"),
         lit(1).as("n_frames")).as("meta"))
+  }
+
+  /** Wrap each document as a REAL 24-bit BI_RGB Windows BMP — the third
+    * real codec class (after netpbm and RIFF/WAVE), chosen because its
+    * wire format exercises TWO quirks the others don't: rows are stored
+    * BOTTOM-UP (positive height) and padded to 4-byte boundaries. The
+    * image is 2 rows × ⌊bytes/6⌋ pixels; consecutive text byte TRIPLES
+    * are (R, G, B) in reading order (top row first), and the builder
+    * writes them the way BMP actually stores them — bottom row first,
+    * channels reordered to B, G, R, stride-padded. Codegen'd
+    * expressions only (hex-pair `transform` + `unhex`), never a UDF;
+    * trailing bytes that don't fill the 2×w raster are dropped.
+    */
+  def toBmp(docs: DataFrame): DataFrame = {
+    val bytes = encode(col("text"), "UTF-8")
+    val w = floor(length(bytes).cast("long") / 6L).cast("long")
+    val rowBytes = w * 3L
+    val pad = pmod(lit(4L) - pmod(rowBytes, lit(4L)), lit(4L))
+    val stride = rowBytes + pad
+    val imageSize = stride * 2L
+    val h = lower(hex(bytes))
+    val pairs = filter(split(h, "(?<=\\G..)"), p => length(p) === 2)
+    // Row r (0 = top) as on-wire hex: pixels re-ordered to B, G, R.
+    def rowHex(r: Column): Column =
+      when(w > 0L, array_join(
+        transform(sequence(lit(0L), w - 1L), i => {
+          val px = r * w + i
+          concat(
+            element_at(pairs, (px * 3L + 3L).cast("int")),
+            element_at(pairs, (px * 3L + 2L).cast("int")),
+            element_at(pairs, (px * 3L + 1L).cast("int")))
+        }), "")).otherwise(lit(""))
+    val padHex = repeat(lit("00"), pad.cast("int"))
+    val header = concat(
+      lit(asciiHex("BM")), leHex(imageSize + 54L, 4),
+      lit("00000000"),                 // reserved
+      leHex(lit(54L), 4),              // pixel-array offset
+      leHex(lit(40L), 4),              // BITMAPINFOHEADER size
+      leHex(w, 4),                     // width
+      leHex(lit(2L), 4),               // height (positive = bottom-up)
+      leHex(lit(1L), 2),               // planes
+      leHex(lit(24L), 2),              // bits per pixel
+      leHex(lit(0L), 4),               // compression: BI_RGB
+      leHex(imageSize, 4),
+      leHex(lit(2835L), 4), leHex(lit(2835L), 4), // 72 DPI in px/m
+      leHex(lit(0L), 4), leHex(lit(0L), 4))       // palette sizes
+    docs.select(
+      col("doc_id"),
+      // Bottom-up: row 1 (the image's BOTTOM row) is stored first.
+      unhex(concat(header, rowHex(lit(1L)), padHex, rowHex(lit(0L)), padHex))
+        .as("payload"),
+      struct(
+        lit("image/bmp").as("format"),
+        (imageSize + 54L).as("n_bytes"),
+        lit(1).as("n_frames")).as("meta"))
+  }
+
+  case class BmpFeatures(
+      doc_id: Long, width: Int, height: Int, bit_count: Int, n_px: Long,
+      r_mean: Option[Double], g_mean: Option[Double], b_mean: Option[Double],
+      min_px: Option[Int], max_px: Option[Int], top_row_mean: Option[Double])
+
+  /** Minimal-but-real 24-bit BMP decoder: validates the `BM` magic and
+    * BITMAPINFOHEADER, honors the pixel-array offset, the 4-byte row
+    * stride, the B,G,R channel order, and BOTH row orders (positive
+    * height = bottom-up per the spec, negative = top-down) — features
+    * are reported in IMAGE order (top row first), so `top_row_mean`
+    * proves the row re-ordering really happened. Malformed input
+    * (non-BMP, compressed, non-24-bit, truncated raster) THROWS rather
+    * than returning garbage.
+    */
+  object BmpDecoder {
+    def decode(docId: Long, b: Array[Byte]): BmpFeatures = {
+      def u8(i: Int): Int = b(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      def le32(i: Int): Int =
+        u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      require(b.length >= 54, s"doc $docId: truncated BMP header (${b.length} bytes)")
+      require(b(0) == 'B' && b(1) == 'M', s"doc $docId: not a BMP (missing BM magic)")
+      val dataOffset = le32(10)
+      require(le32(14) >= 40, s"doc $docId: BITMAPINFOHEADER expected, got size ${le32(14)}")
+      val width = le32(18)
+      val rawHeight = le32(22)
+      val topDown = rawHeight < 0
+      val height = math.abs(rawHeight)
+      require(width >= 0, s"doc $docId: negative width $width")
+      require(le16(26) == 1, s"doc $docId: planes must be 1, got ${le16(26)}")
+      val bitCount = le16(28)
+      require(bitCount == 24, s"doc $docId: only 24-bit BI_RGB supported, got $bitCount")
+      require(le32(30) == 0, s"doc $docId: compressed BMP rejected (BI_RGB only)")
+      val stride = ((width * 3 + 3) / 4) * 4
+      require(b.length.toLong - dataOffset >= stride.toLong * height,
+        s"doc $docId: raster truncated (${b.length - dataOffset} bytes for $height×$stride)")
+      val nPx = width.toLong * height
+      if (nPx == 0)
+        BmpFeatures(docId, width, height, bitCount, 0L, None, None, None, None, None, None)
+      else {
+        val sums = new Array[Long](3) // R, G, B
+        var topSum = 0L
+        var lo = 255; var hi = 0
+        var imgRow = 0
+        while (imgRow < height) {
+          val storedRow = if (topDown) imgRow else height - 1 - imgRow
+          val rowStart = dataOffset + storedRow * stride
+          var x = 0
+          while (x < width) {
+            val bb = u8(rowStart + 3 * x)
+            val g = u8(rowStart + 3 * x + 1)
+            val r = u8(rowStart + 3 * x + 2)
+            sums(0) += r; sums(1) += g; sums(2) += bb
+            if (imgRow == 0) topSum += r + g + bb
+            val mn = math.min(bb, math.min(g, r))
+            val mx = math.max(bb, math.max(g, r))
+            if (mn < lo) lo = mn
+            if (mx > hi) hi = mx
+            x += 1
+          }
+          imgRow += 1
+        }
+        val n = nPx.toDouble
+        BmpFeatures(docId, width, height, bitCount, nPx,
+          Some(sums(0) / n), Some(sums(1) / n), Some(sums(2) / n),
+          Some(lo), Some(hi), Some(topSum / (3.0d * width)))
+      }
+    }
+  }
+
+  /** Partition-parallel REAL BMP decode of a payload column. */
+  def decodeBmpFeatures(spark: SparkSession, media: DataFrame): Dataset[BmpFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => BmpDecoder.decode(id, payload) })
   }
 
   case class WavFeatures(

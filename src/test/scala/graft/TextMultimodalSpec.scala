@@ -573,6 +573,67 @@ class TextMultimodalSpec extends SparkSpec {
       === b.sum.toDouble / b.length)
   }
 
+  private def bmpLe32(v: Int): Seq[Byte] =
+    Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+  private def bmpLe16(v: Int): Seq[Byte] =
+    Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+  /** 2×2 24-bit BMP with stride padding (row bytes 6 → stride 8).
+    * Image rows (top first): (10,20,30),(40,50,60) / (70,80,90),(100,110,120).
+    */
+  private def bmpFixture(bottomUp: Boolean): Array[Byte] = {
+    val top = Seq(30, 20, 10, 60, 50, 40, 0, 0).map(_.toByte)    // BGR + pad
+    val bottom = Seq(90, 80, 70, 120, 110, 100, 0, 0).map(_.toByte)
+    val raster = if (bottomUp) bottom ++ top else top ++ bottom
+    (Seq('B'.toByte, 'M'.toByte) ++ bmpLe32(54 + 16) ++ bmpLe32(0) ++ bmpLe32(54) ++
+      bmpLe32(40) ++ bmpLe32(2) ++ bmpLe32(if (bottomUp) 2 else -2) ++
+      bmpLe16(1) ++ bmpLe16(24) ++ bmpLe32(0) ++ bmpLe32(16) ++
+      bmpLe32(0) ++ bmpLe32(0) ++ bmpLe32(0) ++ bmpLe32(0) ++ raster).toArray
+  }
+
+  test("BMP decoder honors bottom-up AND top-down rows, stride padding, BGR order") {
+    for (bottomUp <- Seq(true, false)) {
+      val f = Multimodal.BmpDecoder.decode(7L, bmpFixture(bottomUp))
+      assert(f.width === 2 && f.height === 2 && f.bit_count === 24 && f.n_px === 4L)
+      assert(f.r_mean === Some((10 + 40 + 70 + 100) / 4.0))
+      assert(f.g_mean === Some((20 + 50 + 80 + 110) / 4.0))
+      assert(f.b_mean === Some((30 + 60 + 90 + 120) / 4.0))
+      assert(f.min_px === Some(10) && f.max_px === Some(120))
+      // Both encodings describe the SAME image — row re-ordering must
+      // normalize them to the top row's mean, not the stored-first row's.
+      assert(f.top_row_mean === Some((10 + 20 + 30 + 40 + 50 + 60) / 6.0))
+    }
+    val bad = bmpFixture(true)
+    bad(28) = 8 // bit count 8
+    intercept[IllegalArgumentException](Multimodal.BmpDecoder.decode(7L, bad))
+  }
+
+  test("toBmp payloads round-trip through the BMP decoder to text byte moments") {
+    val docs = Seq((0L, "abcdefgh", "en", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.decodeBmpFeatures(spark, Multimodal.toBmp(docs)).collect().head
+    // w = 8 div 6 = 1: top row pixel (97,98,99), bottom (100,101,102);
+    // stride 4 (row bytes 3 + 1 pad).
+    assert(f.width === 1 && f.height === 2 && f.n_px === 2L)
+    assert(f.r_mean === Some((97 + 100) / 2.0))
+    assert(f.g_mean === Some((98 + 101) / 2.0))
+    assert(f.b_mean === Some((99 + 102) / 2.0))
+    assert(f.min_px === Some(97) && f.max_px === Some(102))
+    assert(f.top_row_mean === Some((97 + 98 + 99) / 3.0))
+  }
+
+  test("magic-byte router sends BMP payloads to the BMP decoder, 'BM' text to the stub") {
+    val docs = Seq((0L, "stride and rows and channels", "en", "s", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bmp = Multimodal.toBmp(docs).select(col("doc_id"), col("payload"))
+    val bmText = Seq((1L, "BMarley wrote this payload, not a bitmap".getBytes("UTF-8")))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.extractFeatures(spark, bmp.unionByName(bmText)).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("kind")).toMap
+    assert(out === Map(0L -> "bmp", 1L -> "histogram"))
+  }
+
   test("collocations scores whole-bit PMI and prunes below minCount") {
     val docs = Seq(
       // "new york" x5 (york-new x4 falls below minCount and is pruned).
