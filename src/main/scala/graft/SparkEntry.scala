@@ -1021,6 +1021,20 @@ object SparkEntry {
       TextAnalysis.collocations(Tables.documents(s, dir))
         .orderBy(col("pmi_bits").desc, col("w1"), col("w2"))),
 
+    // Binary-Hamming ANN: sign-packed 64-bit codes (two 32-bit words),
+    // popcount shortlist, exact dot-product re-rank — the third
+    // compressed search domain next to PQ and residual IVF-PQ.
+    "q138_hamming_search" -> ((s, dir) =>
+      Similarity.hammingSearch(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rnk")),
+
+    // Prefix-filter exact set-similarity join (AllPairs): every pair at
+    // jaccard >= 50% — the oracle is the BRUTE-FORCE all-pairs join, so
+    // the gate proves the filter lossless.
+    "q139_prefix_filter_pairs" -> ((s, dir) =>
+      Dedup.prefixFilterPairs(Tables.documents(s, dir))
+        .orderBy("doc_a", "doc_b")),
+
     // Third real codec class: 24-bit BI_RGB BMP round-trip — bottom-up
     // rows, 4-byte stride padding, B,G,R channel order all exercised;
     // features reported in IMAGE order (top_row_mean pins the
@@ -2088,6 +2102,66 @@ object SparkEntry {
     "q29_ann_lsh" -> annLshOracle,
 
     "q136_pagerank" -> pageRankOracle,
+
+    "q138_hamming_search" ->
+      s"""WITH $quantizedEmbeddings,
+         |b AS (
+         |  SELECT vec_id, qe, n2,
+         |         CAST(list_sum(list_transform(range(0, 32), d ->
+         |           CASE WHEN qe[d + 1] >= 0 THEN 1::BIGINT << d ELSE 0 END)) AS BIGINT) AS w_lo,
+         |         CAST(list_sum(list_transform(range(32, 64), d ->
+         |           CASE WHEN qe[d + 1] >= 0 THEN 1::BIGINT << (d - 32) ELSE 0 END)) AS BIGINT) AS w_hi
+         |  FROM n
+         |),
+         |q AS (
+         |  SELECT vec_id AS query_id, qe AS q_qe, n2 AS q_n2, w_lo AS q_lo, w_hi AS q_hi
+         |  FROM b WHERE vec_id < 10
+         |),
+         |h AS (
+         |  SELECT q.query_id, b.vec_id, b.qe, b.n2, q.q_qe, q.q_n2,
+         |         CAST(bit_count(xor(b.w_lo, q.q_lo)) + bit_count(xor(b.w_hi, q.q_hi)) AS INT) AS hamming
+         |  FROM b CROSS JOIN q WHERE b.vec_id <> q.query_id
+         |),
+         |sl AS (
+         |  SELECT * FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS sr
+         |    FROM h)
+         |  WHERE sr <= 50
+         |),
+         |d AS (
+         |  SELECT query_id, vec_id, hamming, n2, q_n2,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * q_qe[i])) AS BIGINT) AS dp
+         |  FROM sl
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, rnk, hamming, dp,
+         |       CAST(dp AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE))) AS cosine
+         |FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS INT) AS rnk
+         |  FROM d)
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
+
+    // The BRUTE-FORCE all-pairs join at the same integer threshold:
+    // hash-matching it proves the engine's prefix filter lossless.
+    "q139_prefix_filter_pairs" ->
+      s"""WITH $docShingles,
+         |shh AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+         |  FROM sh
+         |),
+         |counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT doc_a, doc_b, n_common, na.n_sh AS n_a, nb.n_sh AS n_b,
+         |       CAST(n_common AS DOUBLE) / CAST(na.n_sh + nb.n_sh - n_common AS DOUBLE) AS jaccard
+         |FROM common
+         |JOIN counts na ON doc_a = na.doc_id
+         |JOIN counts nb ON doc_b = nb.doc_id
+         |WHERE 100 * n_common >= 50 * (na.n_sh + nb.n_sh - n_common)
+         |ORDER BY doc_a, doc_b""".stripMargin,
 
     // The BMP wire format (bottom-up rows, stride pad, BGR) cancels out
     // through build+decode, so the oracle computes features straight

@@ -778,6 +778,83 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** Exact set-similarity join by PREFIX FILTERING (Chaudhuri/Bayardo
+    * AllPairs) — the third candidate-generation family next to banding
+    * (LSH) and the hot-shingle-capped self-join ([[jaccardPairs]]), and
+    * the only one of the three that is simultaneously EXACT and
+    * uncapped: every pair with true jaccard ≥ t is found, no
+    * `maxDocFreq` semantics change, no probabilistic recall. Each
+    * document's distinct shingle digests are ordered by a GLOBAL total
+    * order (document frequency asc, digest — rarest first, the standard
+    * ordering that minimizes candidates); a document with n digests
+    * indexes only its first `n − ⌈t·n⌉ + 1` ("prefix"). If J(A,B) ≥ t,
+    * the globally smallest element of A∩B provably lies in BOTH
+    * prefixes — were it outside A's, all of A∩B would fit in A's
+    * ⌈t·n⌉−1 suffix slots, contradicting |A∩B| ≥ t·|A∪B| ≥ ⌈t·|A|⌉ —
+    * so the prefix equi-join misses nothing. The threshold is an
+    * integer percent and every admission test is integer arithmetic
+    * (`100·common ≥ pct·(nₐ+n_b−common)`), so the operator is
+    * engine-bit-identical with no float threshold edge.
+    *
+    * Scale: digests shuffle (never text); the df table and rank window
+    * are digest-/doc-keyed aggregates; the candidate join runs on the
+    * PREFIX table (≈ (1−t) of the digest volume, and rare-first keys
+    * mean near-singleton join groups); verification joins candidate
+    * PAIRS to per-doc digest arrays. The size filter
+    * (`pct·nₐ ≤ 100·n_b` both ways) prunes before dedup. Cache
+    * lifecycle: the digest table this call builds stays persisted — the
+    * result plan reads it three times (df, prefix, verify sets) — and
+    * is owned by the caller's evaluation of the result, like
+    * [[jaccardPairs]]'s.
+    */
+  def prefixFilterPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      minJaccardPct: Int = 50): DataFrame = {
+    require(minJaccardPct >= 1 && minJaccardPct <= 100,
+      s"minJaccardPct=$minJaccardPct outside [1, 100]")
+    val pct = minJaccardPct.toLong
+    val bridge = org.apache.spark.sql.graft.bridge
+    val shAll = TextAnalysis.spread(docs)
+      .select(
+        col("doc_id"),
+        bridge.column(graft.expressions.ShingleDigests(
+          bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
+      .select(col("doc_id"), explode(col("ds")).as("shh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfTab = shAll.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wRank = wDoc.orderBy(col("df"), col("shh"))
+    // prefix length = n − ⌈pct·n/100⌉ + 1, all integer: ⌈a/b⌉ = (a+b−1) div b.
+    val prefix = shAll.join(dfTab, Seq("shh"))
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+      .withColumn("r", row_number().over(wRank))
+      .filter(col("r") <=
+        col("n_sh") - expr(s"CAST((n_sh * $pct + 99) DIV 100 AS BIGINT)") + 1L)
+      .select(col("doc_id"), col("shh"), col("n_sh"))
+    val cand = prefix.select(col("doc_id").as("doc_a"), col("shh"), col("n_sh").as("pn_a"))
+      .join(
+        prefix.select(col("doc_id").as("doc_b"), col("shh"), col("n_sh").as("pn_b")),
+        Seq("shh"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("pn_a") * pct <= col("pn_b") * 100L &&
+        col("pn_b") * pct <= col("pn_a") * 100L)
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    val sets = shAll.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shh"))).as("set"), count(lit(1)).as("n_sh"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("n_sh").as("n_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+      .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+      .filter(lit(100L) * col("n_common") >= lit(pct) * (col("n_a") + col("n_b") - col("n_common")))
+      .withColumn(
+        "jaccard",
+        col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
+  }
+
   /** Hybrid semantic+lexical near-dup detection — embedding recall,
     * lexical precision: candidate pairs come from the embedding space
     * (sign-LSH bucket mates at exact quantized cosine ≥ `minCosine` —

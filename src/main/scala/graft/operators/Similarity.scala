@@ -550,6 +550,56 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("adc_d2"))
   }
 
+  /** Binary-Hamming ANN with exact re-rank — the third compressed
+    * search domain next to PQ/ADC ([[pqSearch]]) and residual IVF-PQ:
+    * each vector binarizes to its 64 coordinate SIGNS packed as two
+    * 32-bit words (axis-aligned sign quantization — 64 bits per vector,
+    * a 32× compression of f32), candidates shortlist by popcount
+    * Hamming distance (two `bit_count(xor)` ops per comparison — the
+    * cheapest distance there is), and the shortlist re-ranks by the
+    * EXACT integer dot product. Two words, not one, because a 64th sign
+    * bit needs `1 << 63`, which overflows BIGINT loudly in DuckDB and
+    * silently in Java — the split keeps the packing exact in both
+    * engines.
+    *
+    * Scale: queries broadcast, one narrow corpus scan computes the
+    * packing and the Hamming distance inline, the shortlist window is
+    * WindowGroupLimit-bounded, and only `numQueries × shortlist` rows
+    * reach the exact re-rank.
+    */
+  def hammingSearch(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 10,
+      shortlist: Int = 50): DataFrame = {
+    def packWord(lo: Int): String =
+      s"aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT), (acc, d) -> " +
+        s"acc + IF(element_at(qe, d + 1) >= 0, shiftleft(CAST(1 AS BIGINT), d - $lo), CAST(0 AS BIGINT)))"
+    val e = withQuantized(embeddings)
+      .withColumn("w_lo", expr(packWord(0)))
+      .withColumn("w_hi", expr(packWord(32)))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(
+        col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"),
+        col("w_lo").as("q_lo"), col("w_hi").as("q_hi"))
+    val wH = Window.partitionBy(col("query_id")).orderBy(col("hamming"), col("vec_id"))
+    val wD = Window.partitionBy(col("query_id")).orderBy(col("dp").desc, col("vec_id"))
+    e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "hamming",
+        expr("CAST(bit_count(w_lo ^ q_lo) + bit_count(w_hi ^ q_hi) AS INT)"))
+      .withColumn("sr", row_number().over(wH))
+      .filter(col("sr") <= shortlist)
+      .withColumn("dp", dot(col("qe"), col("q_qe")))
+      .withColumn("rnk", row_number().over(wD).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(
+        col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"),
+        col("hamming"), col("dp"),
+        (col("dp").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("q_n2").cast("double")))).as("cosine"))
+  }
+
   /** Each query's `nProbe` nearest coarse cells (cosine, centroid id on
     * ties) — shared by [[ivfSearchFrom]] and [[ivfPqSearch]] so the
     * probing semantics cannot drift. Input: (query_id, q_qe) rows.

@@ -1127,6 +1127,40 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("hammingSearch shortlists by popcount then re-ranks by exact dot product") {
+    def v(x: Float*): Seq[Float] = x ++ Seq.fill(64 - x.length)(1.0f)
+    val e = Seq(
+      (0L, Seq.fill(64)(1.0f), 0),          // query: all +1
+      (1L, v(-1.0f), 0),                    // hamming 1, dp = 62e12
+      (2L, Seq.fill(64)(0.5f), 0),          // hamming 0, dp = 32e12
+      (3L, Seq.fill(64)(-1.0f), 0))         // hamming 64 — outside shortlist 2
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.hammingSearch(e, numQueries = 1, k = 2, shortlist = 2)
+      .orderBy("rnk").collect()
+    // Exact re-rank promotes vec 1 over the hamming-0 vec 2.
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L))
+    assert(out.map(_.getAs[Int]("hamming")).toSeq === Seq(1, 0))
+    assert(out.map(_.getAs[Long]("dp")).toSeq === Seq(62000000000000L, 32000000000000L))
+    assert(!out.exists(_.getAs[Long]("neighbor_id") == 3L))
+  }
+
+  test("prefixFilterPairs finds EXACTLY the brute-force jaccard>=50% pairs") {
+    def mk(id: Long, words: String) =
+      (id, words, "en", "s", words.length.toLong)
+    val d = Seq(
+      mk(0L, "a b c d e f"),
+      mk(1L, "a b c d e g"),   // J(0,1) = 3/5
+      mk(2L, "a b c x y z"),   // J(0,2) = 1/7
+      mk(3L, "a b c d e f"),   // J(0,3) = 1, J(1,3) = 3/5
+      mk(4L, "p q r s t u"))   // disjoint
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.prefixFilterPairs(d)
+      .orderBy("doc_a", "doc_b").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"))).toSeq
+    assert(got === Seq((0L, 1L, 3L, 4L, 4L), (0L, 3L, 4L, 4L, 4L), (1L, 3L, 3L, 4L, 4L)))
+  }
+
   test("sourceOverlapMatrix counts shared distinct shingles per source pair") {
     val d = Seq(
       (0L, "a b c d", "A", 7L),   // shingles: "a b c", "b c d"
