@@ -252,7 +252,18 @@ object ScaleProbe {
       // input is EMBEDDINGS, which replicate by rows (×10, unchanged
       // dims) — byteFactor is the documents-text factor and would
       // understate the exponent by ~0.9×.
-      "q125_pq_search" -> rowFactor)
+      "q125_pq_search" -> rowFactor,
+      // r13 batch-2 additions (all persist-free, so measure()'s warm
+      // min-of-3 is honest for them; q136/q139 persist internally and
+      // are bracket-measured below instead):
+      // gram matrix: n·d² expression work collapsing to one tiny
+      // exchange — alpha tracks pure scan CPU.
+      "q129_gram_matrix" -> rowFactor,
+      // cross-source overlap: digest-keyed; replica shingles are
+      // disjoint so the pair structure replicates, volume ×byteFactor.
+      "q134_source_overlap" -> byteFactor,
+      // binary-Hamming ANN: broadcast scan + two query-keyed windows.
+      "q138_hamming_search" -> rowFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
@@ -338,6 +349,43 @@ object ScaleProbe {
         (col("user_id") + col("k") * Shift).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$dir100/events.parquet")
+    // --- internally-persisting r13 operators: bracket-measured ----------
+    // q136 (pageRank materializes + caches its ranks) and q139
+    // (prefixFilterPairs persists its digest table) would re-hit run 1's
+    // caches under measure()'s warm min-of-3 — the q44 artifact class.
+    // Each run clears the cache first, so every run re-does full work.
+    //
+    // q136's exponent base: the co-bucket DEMO graph has a FIXED bucket
+    // count, so 10× vectors per bucket ≈ 100× edges — the operator is
+    // edges-linear per round, so alpha is reported against the MEASURED
+    // edge factor (a production near-dup pair graph is sparse and would
+    // scale by its own edge count the same way).
+    def bucketEdges(d: String): DataFrame = {
+      val b = graft.operators.Similarity
+        .signBuckets(spark.read.parquet(s"$d/embeddings.parquet"))
+        .select(col("vec_id"), col("bucket"))
+      b.select(col("vec_id").as("src"), col("bucket"))
+        .join(b.select(col("vec_id").as("dst"), col("bucket")), Seq("bucket"))
+        .filter(col("src") < col("dst"))
+        .select("src", "dst")
+    }
+    val edgeFactor = bucketEdges(scaledDir).count().toDouble / bucketEdges(sfDir).count()
+    def bracket(name: String, fn: (SparkSession, String) => DataFrame, factor: Double): Unit = {
+      val mins = for ((tag, d) <- Seq("1x" -> sfDir, "10x" -> scaledDir)) yield {
+        val runs = (1 to 3).map { _ =>
+          spark.catalog.clearCache()
+          System.gc()
+          time(drain(fn(spark, d)))
+        }
+        println(f"""{"probe":"bracket","query":"$name","scale":"$tag","min_sec":${runs.min}%.3f}""")
+        runs.min
+      }
+      val a = math.log(mins(1) / mins(0)) / math.log(factor)
+      println(f"""{"probe":"scale10","query":"$name","sec_1x":${mins(0)}%.3f,"sec_10x":${mins(1)}%.3f,"input_factor":$factor%.3f,"alpha":$a%.3f,"superlinear":${a > 1.2}}""")
+    }
+    bracket("q136_pagerank_vs_edges", SparkEntry.queries("q136_pagerank"), edgeFactor)
+    bracket("q139_prefix_filter_pairs", SparkEntry.queries("q139_prefix_filter_pairs"), byteFactor)
+
     val fnFlag = SparkEntry.queries("q03_training_examples")
     val mf1 = measure(spark, fnFlag, sfDir)
     val mf100 = measure(spark, fnFlag, dir100)

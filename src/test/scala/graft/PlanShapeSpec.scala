@@ -420,6 +420,100 @@ class PlanShapeSpec extends SparkSpec {
         s"($rangeExchanges range exchanges, no ReusedExchange):\n$p")
   }
 
+  test("hard negatives + hamming search broadcast queries; corpus shuffles only for rank windows") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val hn = Similarity.hardNegatives(emb)
+    val ph = plan(hn)
+    assert(shuffles(hn) <= 1, s"hard negatives grew a shuffle:\n$ph")
+    assert(ph.contains("BroadcastExchange"), s"query side stopped broadcasting:\n$ph")
+    val hs = Similarity.hammingSearch(emb)
+    val ps = plan(hs)
+    // Shortlist + re-rank windows are both query-keyed; the packing and
+    // Hamming distance are inline expressions over the broadcast join.
+    assert(shuffles(hs) <= 2, s"hamming search grew a shuffle:\n$ps")
+    assert(ps.contains("BroadcastExchange"), s"query side stopped broadcasting:\n$ps")
+  }
+
+  test("random projection is fully narrow; gram matrix pays ONE aggregate exchange") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val rp = Similarity.randomProject(emb)
+    assert(shuffles(rp) === 0, s"random projection grew a shuffle:\n${plan(rp)}")
+    val gm = Similarity.gramMatrix(emb)
+    val pg = plan(gm)
+    // The d² expansion collapses in the partial aggregate; only the
+    // d(d+1)/2-key exchange remains.
+    assert(shuffles(gm) <= 1, s"gram matrix grew a shuffle:\n$pg")
+    assert(!pg.contains("CartesianProduct"), s"gram matrix grew a cross product:\n$pg")
+  }
+
+  test("residual IVF-PQ keeps the q126 shape: narrow scan, broadcast arrays, bounded shuffles") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val rs = Similarity.ivfPqResidualSearch(emb)
+    val pr = plan(rs)
+    // Probe window (queries × centroids, tiny) + the per-query candidate
+    // rank are the only exchanges; centroids/codebooks/tables broadcast.
+    assert(shuffles(rs) <= 3, s"residual IVF-PQ grew a shuffle:\n$pr")
+    assert(pr.contains("BroadcastExchange"), s"broadcast arrays lost:\n$pr")
+    assert(!pr.contains("CartesianProduct"), s"residual IVF-PQ grew a cross product:\n$pr")
+  }
+
+  test("rrf fusion joins depth-bounded lists only; no cross product") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val rf = Similarity.rrfFuse(emb)
+    val pf = plan(rf)
+    assert(!pf.contains("CartesianProduct"), s"rrf fusion grew a cross product:\n$pf")
+    // Two ranker windows + the depth-bounded fusion join + final window.
+    assert(shuffles(rf) <= 8, s"rrf fusion grew a shuffle:\n$pf")
+    assert(pf.contains("BroadcastExchange"), s"query side stopped broadcasting:\n$pf")
+  }
+
+  test("prefix filter + source overlap: no exchange carries document text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    for ((name, df) <- Seq(
+        "prefixFilterPairs" -> Dedup.prefixFilterPairs(Tables(dir)),
+        "sourceOverlapMatrix" -> Dedup.sourceOverlapMatrix(Tables(dir)))) {
+      df.write.format("noop").mode("overwrite").save()
+      val leaked = df.queryExecution.executedPlan.collect {
+        case s: ShuffleExchangeExec if s.output.exists(_.name == "text") => s
+      }
+      assert(leaked.isEmpty, s"$name shuffles raw text instead of digests:\n${plan(df)}")
+      assert(!plan(df).contains("CartesianProduct"), s"$name grew a cross product:\n${plan(df)}")
+    }
+  }
+
+  test("importance weights + collocations broadcast the model; corpus-keyed aggs stay bounded") {
+    val iw = graft.functions.TextAnalysis.importanceWeights(Tables(dir), "src0")
+    val pi = plan(iw)
+    assert(pi.contains("BroadcastExchange"), s"model stopped broadcasting:\n$pi")
+    // Two spread repartitions (model + scoring subtrees), the vocab agg,
+    // the totals agg, and the per-doc agg — all key-bounded; the corpus
+    // text itself never shuffles.
+    assert(shuffles(iw) <= 5, s"importance weights grew a shuffle:\n$pi")
+    val cl = graft.functions.TextAnalysis.collocations(Tables(dir))
+    val pc = plan(cl)
+    assert(pc.contains("TakeOrderedAndProject"), s"top-k no longer TakeOrdered:\n$pc")
+    assert(pc.contains("BroadcastExchange"), s"unigram model stopped broadcasting:\n$pc")
+    // The unigram model is evaluated per consumer (c_x, c_y, totals), so
+    // THIS small-input plan counts the spread repartition + vocab agg
+    // three times plus the bigram subtree — 8 total. At real scale the
+    // spread repartitions are pass-throughs (input partitions ≥
+    // parallelism) and every aggregate is vocab-bounded after map-side
+    // combine; nothing here shuffles corpus text.
+    assert(shuffles(cl) <= 8, s"collocations grew a shuffle:\n$pc")
+  }
+
+  test("groupAuc windows reuse the per-score aggregate's group partitioning") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.sources.Tables.events(spark, dir)
+    val au = graft.functions.Stats.groupAuc(
+      ev, date_format(col("ts"), "yyyy-MM-dd"), col("value"), col("event_type") === "purchase")
+    val pa = plan(au)
+    // (grp, s) aggregate → grp-keyed windows → final grp-superset
+    // aggregate: the windows and final agg must not add exchanges beyond
+    // the re-key from (grp, s) to grp.
+    assert(shuffles(au) <= 3, s"groupAuc grew a shuffle:\n$pa")
+  }
+
   private def Tables(d: String): DataFrame =
     graft.sources.Tables.documents(spark, d)
 
