@@ -515,24 +515,32 @@ object Multimodal {
     * trailing bytes that don't fill the 2×w raster are dropped.
     */
   def toBmp(docs: DataFrame): DataFrame = {
-    val bytes = encode(col("text"), "UTF-8")
-    val w = floor(length(bytes).cast("long") / 6L).cast("long")
+    // The hex-pair array and width are materialized as REAL columns
+    // first: a lambda that captures the unevaluated split(...) Column
+    // would re-run the whole split at every element access site —
+    // O(text²) per document (measured: 161 s for this query's sf0.1
+    // sweep slot vs ~1 s with the attribute reference).
+    val prepared = docs.select(
+      col("doc_id"),
+      encode(col("text"), "UTF-8").as("_bytes"))
+      .withColumn(
+        "_pairs",
+        filter(split(lower(hex(col("_bytes"))), "(?<=\\G..)"), p => length(p) === 2))
+      .withColumn("_w", floor(length(col("_bytes")).cast("long") / 6L).cast("long"))
+    val w = col("_w")
     val rowBytes = w * 3L
     val pad = pmod(lit(4L) - pmod(rowBytes, lit(4L)), lit(4L))
     val stride = rowBytes + pad
     val imageSize = stride * 2L
-    val h = lower(hex(bytes))
-    val pairs = filter(split(h, "(?<=\\G..)"), p => length(p) === 2)
-    // Row r (0 = top) as on-wire hex: pixels re-ordered to B, G, R.
+    // Row r (0 = top) as on-wire hex: each pixel's 3 byte-pairs sliced
+    // out and reversed — R,G,B becomes B,G,R in O(1) per pixel.
     def rowHex(r: Column): Column =
       when(w > 0L, array_join(
-        transform(sequence(lit(0L), w - 1L), i => {
-          val px = r * w + i
-          concat(
-            element_at(pairs, (px * 3L + 3L).cast("int")),
-            element_at(pairs, (px * 3L + 2L).cast("int")),
-            element_at(pairs, (px * 3L + 1L).cast("int")))
-        }), "")).otherwise(lit(""))
+        transform(
+          sequence(lit(0L), w - 1L),
+          i => array_join(
+            reverse(slice(col("_pairs"), ((r * w + i) * 3L + 1L).cast("int"), lit(3))),
+            "")), "")).otherwise(lit(""))
     val padHex = repeat(lit("00"), pad.cast("int"))
     val header = concat(
       lit(asciiHex("BM")), leHex(imageSize + 54L, 4),
@@ -547,7 +555,7 @@ object Multimodal {
       leHex(imageSize, 4),
       leHex(lit(2835L), 4), leHex(lit(2835L), 4), // 72 DPI in px/m
       leHex(lit(0L), 4), leHex(lit(0L), 4))       // palette sizes
-    docs.select(
+    prepared.select(
       col("doc_id"),
       // Bottom-up: row 1 (the image's BOTTOM row) is stored first.
       unhex(concat(header, rowHex(lit(1L)), padHex, rowHex(lit(0L)), padHex))
