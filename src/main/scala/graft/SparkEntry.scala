@@ -1035,6 +1035,15 @@ object SparkEntry {
       Dedup.prefixFilterPairs(Tables.documents(s, dir))
         .orderBy("doc_a", "doc_b")),
 
+    // Recall@10 of the binary-Hamming index against exact brute force —
+    // the acceptance gate an approximate index passes before replacing
+    // the exact scan; per-query hits, first missed exact rank, recall.
+    "q140_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annRecall(Similarity.hammingSearch(emb), Similarity.knnBruteForce(emb))
+        .orderBy("query_id")
+    }),
+
     // Third real codec class: 24-bit BI_RGB BMP round-trip — bottom-up
     // rows, 4-byte stride padding, B,G,R channel order all exercised;
     // features reported in IMAGE order (top_row_mean pins the
@@ -2105,41 +2114,41 @@ object SparkEntry {
 
     "q138_hamming_search" ->
       s"""WITH $quantizedEmbeddings,
-         |b AS (
-         |  SELECT vec_id, qe, n2,
-         |         CAST(list_sum(list_transform(range(0, 32), d ->
-         |           CASE WHEN qe[d + 1] >= 0 THEN 1::BIGINT << d ELSE 0 END)) AS BIGINT) AS w_lo,
-         |         CAST(list_sum(list_transform(range(32, 64), d ->
-         |           CASE WHEN qe[d + 1] >= 0 THEN 1::BIGINT << (d - 32) ELSE 0 END)) AS BIGINT) AS w_hi
-         |  FROM n
-         |),
-         |q AS (
-         |  SELECT vec_id AS query_id, qe AS q_qe, n2 AS q_n2, w_lo AS q_lo, w_hi AS q_hi
-         |  FROM b WHERE vec_id < 10
-         |),
-         |h AS (
-         |  SELECT q.query_id, b.vec_id, b.qe, b.n2, q.q_qe, q.q_n2,
-         |         CAST(bit_count(xor(b.w_lo, q.q_lo)) + bit_count(xor(b.w_hi, q.q_hi)) AS INT) AS hamming
-         |  FROM b CROSS JOIN q WHERE b.vec_id <> q.query_id
-         |),
-         |sl AS (
-         |  SELECT * FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS sr
-         |    FROM h)
-         |  WHERE sr <= 50
-         |),
-         |d AS (
-         |  SELECT query_id, vec_id, hamming, n2, q_n2,
-         |         CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * q_qe[i])) AS BIGINT) AS dp
-         |  FROM sl
-         |)
+         |$hammingCtes
          |SELECT query_id, vec_id AS neighbor_id, rnk, hamming, dp,
          |       CAST(dp AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE))) AS cosine
-         |FROM (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS INT) AS rnk
-         |  FROM d)
+         |FROM hr
          |WHERE rnk <= 10
          |ORDER BY query_id, rnk""".stripMargin,
+
+    // Recall@10 of the Hamming index vs exact brute force — shares
+    // hammingCtes with q138 and q22's exact scoring so neither side can
+    // drift from its source query.
+    "q140_ann_recall" ->
+      s"""WITH $quantizedEmbeddings,
+         |$hammingCtes,
+         |approx AS (SELECT query_id, vec_id FROM hr WHERE rnk <= 10),
+         |exact_scored AS (
+         |  SELECT q.query_id, n.vec_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * q.q_qe[i])) AS BIGINT) AS dp
+         |  FROM n CROSS JOIN (SELECT vec_id AS query_id, qe AS q_qe FROM n WHERE vec_id < 10) q
+         |  WHERE n.vec_id <> q.query_id
+         |),
+         |exact AS (
+         |  SELECT query_id, vec_id, CAST(rn AS INT) AS exact_rnk FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS rn
+         |    FROM exact_scored)
+         |  WHERE rn <= 10
+         |)
+         |SELECT e.query_id,
+         |       CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(COUNT(a.vec_id) AS BIGINT) AS n_hit,
+         |       MIN(CASE WHEN a.vec_id IS NULL THEN e.exact_rnk END) AS first_missed_rank,
+         |       CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS recall
+         |FROM exact e
+         |LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+         |GROUP BY e.query_id
+         |ORDER BY e.query_id""".stripMargin,
 
     // The BRUTE-FORCE all-pairs join at the same integer threshold:
     // hash-matching it proves the engine's prefix filter lossless.
@@ -4668,6 +4677,45 @@ object SparkEntry {
       |             * (q.qe[cb.sub * 8 + i] - cb.qe[cb.sub * 8 + i]))) AS BIGINT) AS t
       |  FROM n q CROSS JOIN cb
       |  WHERE q.vec_id < 10
+      |)""".stripMargin
+
+  /** Shared q138/q140 CTEs: sign packing into two 32-bit words, the
+    * query set, Hamming distances, the shortlist at 50, and the exact
+    * re-rank `hr` (rnk by dp desc). Lives here so the search query and
+    * its recall evaluator replay identical semantics.
+    */
+  private val hammingCtes =
+    """b AS (
+      |  SELECT vec_id, qe, n2,
+      |         CAST(list_sum(list_transform(range(0, 32), d ->
+      |           CASE WHEN qe[d + 1] >= 0 THEN 1::BIGINT << d ELSE 0 END)) AS BIGINT) AS w_lo,
+      |         CAST(list_sum(list_transform(range(32, 64), d ->
+      |           CASE WHEN qe[d + 1] >= 0 THEN 1::BIGINT << (d - 32) ELSE 0 END)) AS BIGINT) AS w_hi
+      |  FROM n
+      |),
+      |q AS (
+      |  SELECT vec_id AS query_id, qe AS q_qe, n2 AS q_n2, w_lo AS q_lo, w_hi AS q_hi
+      |  FROM b WHERE vec_id < 10
+      |),
+      |h AS (
+      |  SELECT q.query_id, b.vec_id, b.qe, b.n2, q.q_qe, q.q_n2,
+      |         CAST(bit_count(xor(b.w_lo, q.q_lo)) + bit_count(xor(b.w_hi, q.q_hi)) AS INT) AS hamming
+      |  FROM b CROSS JOIN q WHERE b.vec_id <> q.query_id
+      |),
+      |sl AS (
+      |  SELECT * FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS sr
+      |    FROM h)
+      |  WHERE sr <= 50
+      |),
+      |hd AS (
+      |  SELECT query_id, vec_id, hamming, n2, q_n2,
+      |         CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * q_qe[i])) AS BIGINT) AS dp
+      |  FROM sl
+      |),
+      |hr AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS INT) AS rnk
+      |  FROM hd
       |)""".stripMargin
 
   private val quantizedEmbeddings =

@@ -600,6 +600,30 @@ object Similarity {
           (sqrt(col("n2").cast("double")) * sqrt(col("q_n2").cast("double")))).as("cosine"))
   }
 
+  /** Recall@k evaluator for the ANN stack — the acceptance gate every
+    * approximate index must pass before it replaces brute force: joins
+    * an approximate result against the exact ground truth (both in the
+    * `(query_id, neighbor_id, rnk)` shape all the search operators
+    * emit) and reports per-query hit counts and recall, plus the rank
+    * positions the index missed. `recall = |approx ∩ exact@k| / k`
+    * — one IEEE division of exact integers.
+    *
+    * Scale: both inputs are `numQueries × k` — dimension-sized; the
+    * join and aggregate are trivial next to the searches themselves.
+    */
+  def annRecall(approx: DataFrame, exact: DataFrame, k: Int = 10): DataFrame = {
+    val a = approx.filter(col("rnk") <= k).select(col("query_id"), col("neighbor_id"))
+    val e = exact.filter(col("rnk") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rnk").as("exact_rnk"))
+    e.join(a.withColumn("hit", lit(1L)), Seq("query_id", "neighbor_id"), "left_outer")
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"),
+        min(when(col("hit").isNull, col("exact_rnk"))).as("first_missed_rank"))
+      .withColumn("recall", col("n_hit").cast("double") / col("n_exact").cast("double"))
+  }
+
   /** Each query's `nProbe` nearest coarse cells (cosine, centroid id on
     * ties) — shared by [[ivfSearchFrom]] and [[ivfPqSearch]] so the
     * probing semantics cannot drift. Input: (query_id, q_qe) rows.

@@ -1144,6 +1144,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.exists(_.getAs[Long]("neighbor_id") == 3L))
   }
 
+  test("annRecall counts hits against exact ground truth and reports the first miss") {
+    import org.apache.spark.sql.functions.{col => c}
+    def res(rows: (Long, Long, Int)*) =
+      rows.toDF("query_id", "neighbor_id", "rnk")
+    val exact = res((0L, 1L, 1), (0L, 2L, 2), (0L, 3L, 3), (1L, 7L, 1), (1L, 8L, 2))
+    val approx = res((0L, 1L, 1), (0L, 3L, 2), (0L, 9L, 3), (1L, 7L, 1), (1L, 8L, 2))
+    val out = Similarity.annRecall(approx, exact, k = 3).orderBy(c("query_id")).collect()
+    val q0 = out(0)
+    assert(q0.getAs[Long]("n_exact") === 3L && q0.getAs[Long]("n_hit") === 2L)
+    assert(q0.getAs[Int]("first_missed_rank") === 2, "exact rank 2 (vec 2) was missed")
+    assert(q0.getAs[Double]("recall") === 2.0 / 3.0)
+    val q1 = out(1)
+    assert(q1.getAs[Long]("n_hit") === 2L && q1.getAs[Double]("recall") === 1.0)
+    assert(q1.isNullAt(q1.fieldIndex("first_missed_rank")))
+  }
+
   test("prefixFilterPairs finds EXACTLY the brute-force jaccard>=50% pairs") {
     def mk(id: Long, words: String) =
       (id, words, "en", "s", words.length.toLong)
