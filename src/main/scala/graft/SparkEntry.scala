@@ -1044,6 +1044,13 @@ object SparkEntry {
         .orderBy("query_id")
     }),
 
+    // MMR diversification of each query's top-20: greedy
+    // lambda*rel - (1-lambda)*maxSim picks, all-integer scores — the
+    // near-copy-suppressing re-rank for retrieval/sampling.
+    "q141_mmr_diversify" -> ((s, dir) =>
+      Similarity.mmrDiversify(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rnk")),
+
     // Third real codec class: 24-bit BI_RGB BMP round-trip — bottom-up
     // rows, 4-byte stride padding, B,G,R channel order all exercised;
     // features reported in IMAGE order (top_row_mean pins the
@@ -2111,6 +2118,8 @@ object SparkEntry {
     "q29_ann_lsh" -> annLshOracle,
 
     "q136_pagerank" -> pageRankOracle,
+
+    "q141_mmr_diversify" -> mmrOracle,
 
     "q138_hamming_search" ->
       s"""WITH $quantizedEmbeddings,
@@ -4560,6 +4569,69 @@ object SparkEntry {
        |SELECT d.src AS id, d.deg, r$iters.r AS rank_scaled
        |FROM d JOIN r$iters ON r$iters.id = d.src
        |ORDER BY id""".stripMargin
+  }
+
+  /** Mirrors q141: [[graft.operators.Similarity.mmrDiversify]]'s greedy
+    * trace replayed as unrolled MATERIALIZED CTEs — candidate top-20 by
+    * exact dot, pairwise candidate dots, then one (max-sim → score →
+    * argmax → union) block per selection step. All integer arithmetic,
+    * ties on vec_id, like the engine.
+    */
+  private def mmrOracle: String = {
+    val k = 5
+    val lam = 50L
+    val steps = (2 to k).map { t =>
+      s"""pick$t AS MATERIALIZED (
+         |  SELECT query_id, vec_id, rel_dp, max_sel_dp, score FROM (
+         |    SELECT c.query_id, c.vec_id, c.rel_dp, m.max_sel_dp,
+         |           CAST($lam * c.rel_dp - ${100 - lam} * m.max_sel_dp AS BIGINT) AS score,
+         |           ROW_NUMBER() OVER (PARTITION BY c.query_id
+         |             ORDER BY ($lam * c.rel_dp - ${100 - lam} * m.max_sel_dp) DESC, c.vec_id) AS rn
+         |    FROM cand c
+         |    JOIN (SELECT p.query_id, p.va, CAST(MAX(p.dp) AS BIGINT) AS max_sel_dp
+         |          FROM prs p JOIN sel${t - 1} s
+         |            ON s.query_id = p.query_id AND s.neighbor_id = p.vb
+         |          GROUP BY p.query_id, p.va) m
+         |      ON m.query_id = c.query_id AND m.va = c.vec_id
+         |    LEFT JOIN sel${t - 1} x
+         |      ON x.query_id = c.query_id AND x.neighbor_id = c.vec_id
+         |    WHERE x.neighbor_id IS NULL)
+         |  WHERE rn = 1
+         |),
+         |sel$t AS MATERIALIZED (
+         |  SELECT query_id, rnk, neighbor_id, rel_dp, max_sel_dp, mmr_score FROM sel${t - 1}
+         |  UNION ALL
+         |  SELECT query_id, CAST($t AS INT) AS rnk, vec_id AS neighbor_id,
+         |         rel_dp, max_sel_dp, score AS mmr_score
+         |  FROM pick$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantizedEmbeddings,
+       |cand AS MATERIALIZED (
+       |  SELECT query_id, vec_id, qe, rel_dp, crnk FROM (
+       |    SELECT q.query_id, n.vec_id, n.qe,
+       |           CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * q.q_qe[i])) AS BIGINT) AS rel_dp,
+       |           ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |             ORDER BY CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * q.q_qe[i])) AS BIGINT) DESC,
+       |                      n.vec_id) AS crnk
+       |    FROM n CROSS JOIN (SELECT vec_id AS query_id, qe AS q_qe FROM n WHERE vec_id < 10) q
+       |    WHERE n.vec_id <> q.query_id)
+       |  WHERE crnk <= 20
+       |),
+       |prs AS MATERIALIZED (
+       |  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+       |         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dp
+       |  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.vec_id <> b.vec_id
+       |),
+       |sel1 AS MATERIALIZED (
+       |  SELECT query_id, CAST(1 AS INT) AS rnk, vec_id AS neighbor_id, rel_dp,
+       |         CAST(NULL AS BIGINT) AS max_sel_dp, CAST(NULL AS BIGINT) AS mmr_score
+       |  FROM cand WHERE crnk = 1
+       |),
+       |$steps
+       |SELECT query_id, rnk, neighbor_id, rel_dp, max_sel_dp, mmr_score
+       |FROM sel$k
+       |ORDER BY query_id, rnk""".stripMargin
   }
 
   /** Mirrors [[graft.operators.Dedup.hybridNearDupPairs]]: sign-LSH

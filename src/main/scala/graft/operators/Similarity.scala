@@ -600,6 +600,85 @@ object Similarity {
           (sqrt(col("n2").cast("double")) * sqrt(col("q_n2").cast("double")))).as("cosine"))
   }
 
+  /** Maximal-Marginal-Relevance diversification (Carbonell & Goldstein)
+    * of each query's top-`candidates` retrieval — the re-rank a
+    * dedup-aware sampler or RAG retriever runs so the k results aren't
+    * k near-copies: greedily pick
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`,
+    * with relevance and similarity both EXACT integer dot products and
+    * λ an integer percent — every score is a BIGINT, ties break on
+    * vec_id, so the greedy trace is engine-bit-identical. Step 1 has no
+    * selected set: `max_sel_dp`/`mmr_score` are NULL there and the pick
+    * is pure argmax relevance.
+    *
+    * Scale: the expensive part (top-`candidates` retrieval) is the
+    * standard broadcast-scan shape; the greedy loop then runs on
+    * `numQueries × candidates` rows — dimension-sized — for `k − 1`
+    * rounds of small joins, all queries advancing in parallel
+    * (candidate and pair tables persist for the loop and are released
+    * once the final selection materializes, [[graft.operators.Graphs]]'
+    * pageRank convention).
+    */
+  def mmrDiversify(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      candidates: Int = 20,
+      k: Int = 5,
+      lambdaPct: Int = 50): DataFrame = {
+    require(lambdaPct >= 0 && lambdaPct <= 100, s"lambdaPct=$lambdaPct outside [0, 100]")
+    require(k >= 1 && k <= candidates, s"k=$k outside [1, candidates=$candidates]")
+    val lam = lambdaPct.toLong
+    val e = withQuantized(embeddings)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
+    val wC = Window.partitionBy(col("query_id")).orderBy(col("rel_dp").desc, col("vec_id"))
+    val cand = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("rel_dp", dot(col("qe"), col("q_qe")))
+      .withColumn("crnk", row_number().over(wC))
+      .filter(col("crnk") <= candidates)
+      .select(col("query_id"), col("vec_id"), col("qe"), col("rel_dp"), col("crnk"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val pairs = cand.select(col("query_id"), col("vec_id").as("va"), col("qe").as("qe_a"))
+      .join(
+        cand.select(col("query_id"), col("vec_id").as("vb"), col("qe").as("qe_b")),
+        Seq("query_id"))
+      .filter(col("va") =!= col("vb"))
+      .select(col("query_id"), col("va"), col("vb"), dot(col("qe_a"), col("qe_b")).as("sim_dp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var selected = cand.filter(col("crnk") === 1)
+      .select(
+        col("query_id"), lit(1).as("rnk"), col("vec_id").as("neighbor_id"),
+        col("rel_dp"), lit(null).cast("long").as("max_sel_dp"),
+        lit(null).cast("long").as("mmr_score"))
+    val wS = Window.partitionBy(col("query_id")).orderBy(col("mmr_score").desc, col("vec_id"))
+    for (t <- 2 to k) {
+      val selIds = selected.select(col("query_id"), col("neighbor_id").as("vec_id"))
+      val remaining = cand.join(selIds, Seq("query_id", "vec_id"), "left_anti")
+      val maxSim = pairs
+        .join(
+          selected.select(col("query_id"), col("neighbor_id").as("vb")),
+          Seq("query_id", "vb"))
+        .groupBy(col("query_id"), col("va").as("vec_id"))
+        .agg(max(col("sim_dp")).as("max_sel_dp"))
+      val pick = remaining
+        .join(maxSim, Seq("query_id", "vec_id"))
+        .withColumn(
+          "mmr_score",
+          lit(lam) * col("rel_dp") - lit(100L - lam) * col("max_sel_dp"))
+        .withColumn("prn", row_number().over(wS))
+        .filter(col("prn") === 1)
+        .select(
+          col("query_id"), lit(t).as("rnk"), col("vec_id").as("neighbor_id"),
+          col("rel_dp"), col("max_sel_dp"), col("mmr_score"))
+      selected = selected.unionByName(pick)
+    }
+    val out = selected.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cand.unpersist()
+    pairs.unpersist()
+    out
+  }
+
   /** Recall@k evaluator for the ANN stack — the acceptance gate every
     * approximate index must pass before it replaces brute force: joins
     * an approximate result against the exact ground truth (both in the

@@ -1144,6 +1144,34 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!out.exists(_.getAs[Long]("neighbor_id") == 3L))
   }
 
+  test("mmrDiversify penalizes near-duplicates of already-selected results") {
+    // Query (1,0,0,0). vec 1 and its exact copy vec 3 are the most
+    // relevant (rel 2e12); vec 2 is off-axis (rel 6e11). Greedy trace:
+    //   step 1: vec 1 (pure relevance).
+    //   step 2: vec 2 — score 50·6e11 − 50·1.2e12 = −3e13 beats the
+    //           copy's 50·2e12 − 50·4e12 = −1e14. Diversity wins.
+    //   step 3: vec 3, max_sel_dp = 4e12 (sim to vec 1).
+    val e = Seq(
+      (0L, Seq(1.0f, 0.0f, 0.0f, 0.0f), 0),
+      (1L, Seq(2.0f, 0.0f, 0.0f, 0.0f), 0),
+      (2L, Seq(0.6f, 0.8f, 0.0f, 0.0f), 0),
+      (3L, Seq(2.0f, 0.0f, 0.0f, 0.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.mmrDiversify(e, numQueries = 1, candidates = 3, k = 3)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq === Seq(1L, 2L, 3L))
+    val r1 = out(0)
+    assert(r1.getAs[Long]("rel_dp") === 2000000000000L)
+    assert(r1.isNullAt(r1.fieldIndex("max_sel_dp")) && r1.isNullAt(r1.fieldIndex("mmr_score")))
+    val r2 = out(1)
+    assert(r2.getAs[Long]("rel_dp") === 600000000000L)
+    assert(r2.getAs[Long]("max_sel_dp") === 1200000000000L)
+    assert(r2.getAs[Long]("mmr_score") === -30000000000000L)
+    val r3 = out(2)
+    assert(r3.getAs[Long]("max_sel_dp") === 4000000000000L)
+    assert(r3.getAs[Long]("mmr_score") === -100000000000000L)
+  }
+
   test("annRecall counts hits against exact ground truth and reports the first miss") {
     import org.apache.spark.sql.functions.{col => c}
     def res(rows: (Long, Long, Int)*) =
