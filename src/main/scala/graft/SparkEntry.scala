@@ -1051,6 +1051,14 @@ object SparkEntry {
       Similarity.mmrDiversify(Tables.embeddings(s, dir))
         .orderBy("query_id", "rnk")),
 
+    // Asymmetric containment join (quote/excerpt detection): ordered
+    // pairs where >=80% of the source's shingles sit inside the
+    // destination — the direction jaccard is blind to. Oracle is brute
+    // force, so the one-sided prefix filter is proven lossless.
+    "q142_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir))
+        .orderBy("src_doc", "dst_doc")),
+
     // Third real codec class: 24-bit BI_RGB BMP round-trip — bottom-up
     // rows, 4-byte stride padding, B,G,R channel order all exercised;
     // features reported in IMAGE order (top_row_mean pins the
@@ -2158,6 +2166,28 @@ object SparkEntry {
          |LEFT JOIN approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
          |GROUP BY e.query_id
          |ORDER BY e.query_id""".stripMargin,
+
+    // Brute-force ordered-pair containment at the same threshold:
+    // hash-matching proves the one-sided prefix filter lossless.
+    "q142_containment_pairs" ->
+      s"""WITH $docShingles,
+         |shh AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+         |  FROM sh
+         |),
+         |counts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM shh GROUP BY doc_id),
+         |common AS (
+         |  SELECT a.doc_id AS src_doc, b.doc_id AS dst_doc, CAST(COUNT(*) AS BIGINT) AS n_common
+         |  FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id <> b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id
+         |)
+         |SELECT src_doc, dst_doc, n_common, ns.n_sh AS n_src, nd.n_sh AS n_dst,
+         |       CAST(n_common AS DOUBLE) / CAST(ns.n_sh AS DOUBLE) AS containment
+         |FROM common
+         |JOIN counts ns ON src_doc = ns.doc_id
+         |JOIN counts nd ON dst_doc = nd.doc_id
+         |WHERE 100 * n_common >= 80 * ns.n_sh
+         |ORDER BY src_doc, dst_doc""".stripMargin,
 
     // The BRUTE-FORCE all-pairs join at the same integer threshold:
     // hash-matching it proves the engine's prefix filter lossless.

@@ -855,6 +855,77 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT join — quote/excerpt detection, the
+    * direction jaccard is blind to: `C(A→B) = |A∩B| / |A| ≥ t` fires
+    * when A's shingles sit inside B even if B is 100× larger (a long
+    * page quoting a short doc scores jaccard ≈ 0 but containment ≈ 1).
+    * One row per ORDERED pair (src quoted-in dst). Same prefix-filter
+    * losslessness argument as [[prefixFilterPairs]], applied one-sided:
+    * `|A∩B| ≥ ⌈t·|A|⌉` forces an intersection element into A's
+    * `n − ⌈t·n⌉ + 1` prefix, so only the SOURCE side prefixes — the
+    * containing side must stay fully indexed (containment puts no lower
+    * bound on B's overlap share, so no B-prefix is sound). Integer
+    * percent threshold; admission is exact integer arithmetic.
+    *
+    * Scale: the candidate join is (source-prefix × full digest table) —
+    * digest-keyed, text never shuffles; the size filter
+    * (`pct·n_src ≤ 100·n_dst`) prunes before dedup, and verification
+    * joins candidate pairs to per-doc digest arrays. Cache lifecycle:
+    * the digest table persists for the evaluation, [[jaccardPairs]]'s
+    * convention.
+    */
+  def containmentPairs(
+      docs: DataFrame,
+      k: Int = 3,
+      minContainmentPct: Int = 80): DataFrame = {
+    require(minContainmentPct >= 1 && minContainmentPct <= 100,
+      s"minContainmentPct=$minContainmentPct outside [1, 100]")
+    val pct = minContainmentPct.toLong
+    val bridge = org.apache.spark.sql.graft.bridge
+    val shAll = TextAnalysis.spread(docs)
+      .select(
+        col("doc_id"),
+        bridge.column(graft.expressions.ShingleDigests(
+          bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
+      .select(col("doc_id"), explode(col("ds")).as("shh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val dfTab = shAll.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wRank = wDoc.orderBy(col("df"), col("shh"))
+    val srcPrefix = shAll.join(dfTab, Seq("shh"))
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+      .withColumn("r", row_number().over(wRank))
+      .filter(col("r") <=
+        col("n_sh") - expr(s"CAST((n_sh * $pct + 99) DIV 100 AS BIGINT)") + 1L)
+      .select(col("doc_id").as("src_doc"), col("shh"), col("n_sh").as("pn_src"))
+    val sets = shAll.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shh"))).as("set"), count(lit(1)).as("n_sh"))
+    val cand = srcPrefix
+      .join(shAll.select(col("doc_id").as("dst_doc"), col("shh")), Seq("shh"))
+      .filter(col("src_doc") =!= col("dst_doc"))
+      .select(col("src_doc"), col("dst_doc"), col("pn_src"))
+      .distinct()
+    cand
+      .join(
+        sets.select(col("doc_id").as("dst_doc"), col("n_sh").as("n_dst")),
+        Seq("dst_doc"))
+      .filter(col("pn_src") * pct <= col("n_dst") * 100L)
+      .join(
+        sets.select(col("doc_id").as("src_doc"), col("set").as("set_src"), col("n_sh").as("n_src")),
+        Seq("src_doc"))
+      .join(
+        sets.select(col("doc_id").as("dst_doc"), col("set").as("set_dst")),
+        Seq("dst_doc"))
+      .withColumn("n_common", size(array_intersect(col("set_src"), col("set_dst"))).cast("long"))
+      .filter(lit(100L) * col("n_common") >= lit(pct) * col("n_src"))
+      .withColumn(
+        "containment",
+        col("n_common").cast("double") / col("n_src").cast("double"))
+      .select(
+        col("src_doc"), col("dst_doc"), col("n_common"),
+        col("n_src"), col("n_dst"), col("containment"))
+  }
+
   /** Hybrid semantic+lexical near-dup detection — embedding recall,
     * lexical precision: candidate pairs come from the embedding space
     * (sign-LSH bucket mates at exact quantized cosine ≥ `minCosine` —

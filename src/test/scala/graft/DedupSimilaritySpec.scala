@@ -1188,6 +1188,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(q1.isNullAt(q1.fieldIndex("first_missed_rank")))
   }
 
+  test("containmentPairs catches a quote jaccard misses, in ONE direction only") {
+    val d = Seq(
+      (0L, "a b c d e", "en", "s", 9L),                         // the quoted doc
+      (1L, "x y z a b c d e p q r", "en", "s", 21L),            // quotes doc 0
+      (2L, "m n o f g", "en", "s", 9L))                         // unrelated
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.containmentPairs(d).collect()
+    assert(out.length === 1, "only 0-quoted-in-1; the reverse direction is 3/9 < 80%")
+    val r = out.head
+    assert(r.getAs[Long]("src_doc") === 0L && r.getAs[Long]("dst_doc") === 1L)
+    assert(r.getAs[Long]("n_common") === 3L)
+    assert(r.getAs[Long]("n_src") === 3L && r.getAs[Long]("n_dst") === 9L)
+    assert(r.getAs[Double]("containment") === 1.0)
+    // jaccard for the same pair is 3/9 — below prefixFilterPairs' 50%.
+    assert(Dedup.prefixFilterPairs(d).collect().isEmpty)
+  }
+
   test("prefixFilterPairs finds EXACTLY the brute-force jaccard>=50% pairs") {
     def mk(id: Long, words: String) =
       (id, words, "en", "s", words.length.toLong)

@@ -51,6 +51,35 @@ class GraphStatsPropertySpec extends SparkSpec {
     })
   }
 
+  test("containmentPairs equals brute-force ordered containment for any corpus") {
+    val corpusGen = for {
+      n <- Gen.choose(2, 12)
+      pct <- Gen.oneOf(50, 80)
+      docs <- Gen.listOfN(n, for {
+        words <- Gen.choose(0, 14)
+        ws <- Gen.listOfN(words, Gen.oneOf("a", "b", "c", "d", "e"))
+      } yield ws.mkString(" "))
+    } yield (docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }, pct)
+    check("containment-vs-brute-force", Prop.forAll(corpusGen) { case (corpus, pct) =>
+      def shingleSet(t: String): Set[String] = {
+        val ws = t.trim.split("\\s+").filter(_.nonEmpty)
+        if (ws.length < 3) Set.empty[String] else ws.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val sets = corpus.map { case (id, t) => id -> shingleSet(t) }.filter(_._2.nonEmpty)
+      val expected = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a != b
+        common = (sa & sb).size.toLong
+        if 100L * common >= pct.toLong * sa.size
+      } yield (a, b, common, sa.size.toLong, sb.size.toLong)).toSet
+      val df = corpus.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val got = Dedup.containmentPairs(df, minContainmentPct = pct).collect()
+        .map(r => (r.getAs[Long]("src_doc"), r.getAs[Long]("dst_doc"),
+          r.getAs[Long]("n_common"), r.getAs[Long]("n_src"), r.getAs[Long]("n_dst"))).toSet
+      Prop(got == expected) :| s"pct=$pct got=$got expected=$expected"
+    })
+  }
+
   test("groupAuc equals O(n^2) pair counting for any label/score mix") {
     val rowsGen = for {
       n <- Gen.choose(1, 40)
