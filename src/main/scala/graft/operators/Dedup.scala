@@ -630,14 +630,44 @@ object Dedup {
     * off one fused expression pass, and the only shuffle is the
     * (doc_id, two counts) aggregate. Text never shuffles.
     */
-  def shingleCoverage(corpus: DataFrame, reference: DataFrame, k: Int = 3): DataFrame = {
+  /** Per-doc DISTINCT k-shingle digest rows `(keyCols..., shh)` — the
+    * shared first stage of every exact-similarity join in this file
+    * (jaccard, prefix-filter, containment, coverage, source overlap):
+    * ONE fused [[graft.expressions.ShingleDigests]] pass, so text never
+    * reaches an exchange and the digesting/threshold semantics cannot
+    * drift between operators.
+    */
+  private def shingleDigestRows(
+      docs: DataFrame, k: Int, keyCols: Seq[String] = Seq("doc_id")): DataFrame = {
     val bridge = org.apache.spark.sql.graft.bridge
-    def digests(df: DataFrame) = TextAnalysis.spread(df)
+    TextAnalysis.spread(docs)
       .select(
-        col("doc_id"),
-        bridge.column(graft.expressions.ShingleDigests(
-          bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
-      .select(col("doc_id"), explode(col("ds")).as("shh"))
+        keyCols.map(col) :+
+          bridge.column(graft.expressions.ShingleDigests(
+            bridge.expression(TextAnalysis.wordsCol), k)).as("ds"): _*)
+      .select(keyCols.map(col) :+ explode(col("ds")).as("shh"): _*)
+  }
+
+  /** Each document's (df asc, digest)-ordered PREFIX of length
+    * `n − ⌈pct·n/100⌉ + 1` — the AllPairs candidate index shared by
+    * [[prefixFilterPairs]] (both sides) and [[containmentPairs]] (source
+    * side only), so the global order and the prefix-length formula live
+    * in exactly one place. Output: `(doc_id, shh, n_sh)`.
+    */
+  private def dfOrderedPrefix(shAll: DataFrame, pct: Long): DataFrame = {
+    val dfTab = shAll.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wRank = wDoc.orderBy(col("df"), col("shh"))
+    shAll.join(dfTab, Seq("shh"))
+      .withColumn("n_sh", count(lit(1)).over(wDoc))
+      .withColumn("r", row_number().over(wRank))
+      .filter(col("r") <=
+        col("n_sh") - expr(s"CAST((n_sh * $pct + 99) DIV 100 AS BIGINT)") + 1L)
+      .select(col("doc_id"), col("shh"), col("n_sh"))
+  }
+
+  def shingleCoverage(corpus: DataFrame, reference: DataFrame, k: Int = 3): DataFrame = {
+    def digests(df: DataFrame) = shingleDigestRows(df, k)
     val ref = digests(reference).select(col("shh")).distinct()
       .withColumn("hit", lit(1L))
     digests(corpus)
@@ -666,14 +696,7 @@ object Dedup {
     * pair table.
     */
   def sourceOverlapMatrix(docs: DataFrame, k: Int = 3): DataFrame = {
-    val bridge = org.apache.spark.sql.graft.bridge
-    val digests = TextAnalysis.spread(docs)
-      .select(
-        col("source"),
-        bridge.column(graft.expressions.ShingleDigests(
-          bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
-      .select(col("source"), explode(col("ds")).as("shh"))
-      .distinct()
+    val digests = shingleDigestRows(docs, k, keyCols = Seq("source")).distinct()
     val totals = digests.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
     val pairs = digests
       .groupBy(col("shh"))
@@ -725,20 +748,10 @@ object Dedup {
     require(maxDocFreq <= 1000, s"maxDocFreq=$maxDocFreq concentrates ~maxDocFreq²/2 " +
       "pair rows in one task; use lshVerifiedPairs for loosely-capped corpora")
     // Join on a 60-bit digest of the shingle, not the string (~3× less
-    // shuffle volume, collisions ~n²/2^60). The per-doc distinct digest
-    // arrays come from ONE fused expression pass
-    // ([[graft.expressions.ShingleDigests]] — no shingle-string
-    // construction or distinct stage), and the exploded table is cached
+    // shuffle volume, collisions ~n²/2^60); the exploded table is cached
     // once — both join sides and the per-doc counts reuse it. persist
     // keeps lineage (executor-loss-safe, unlike localCheckpoint).
-    val bridge = org.apache.spark.sql.graft.bridge
-    val shAll = TextAnalysis.spread(docs)
-      .select(
-        col("doc_id"),
-        bridge.column(graft.expressions.ShingleDigests(
-          bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
-      .select(col("doc_id"), explode(col("ds")).as("shh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val shAll = shingleDigestRows(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
     // ShingleDigests emits per-doc DISTINCT digests, so a plain count is
     // the document frequency. Hot digests are few — broadcast the
     // anti-join.
@@ -814,24 +827,8 @@ object Dedup {
     require(minJaccardPct >= 1 && minJaccardPct <= 100,
       s"minJaccardPct=$minJaccardPct outside [1, 100]")
     val pct = minJaccardPct.toLong
-    val bridge = org.apache.spark.sql.graft.bridge
-    val shAll = TextAnalysis.spread(docs)
-      .select(
-        col("doc_id"),
-        bridge.column(graft.expressions.ShingleDigests(
-          bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
-      .select(col("doc_id"), explode(col("ds")).as("shh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dfTab = shAll.groupBy(col("shh")).agg(count(lit(1)).as("df"))
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val wRank = wDoc.orderBy(col("df"), col("shh"))
-    // prefix length = n − ⌈pct·n/100⌉ + 1, all integer: ⌈a/b⌉ = (a+b−1) div b.
-    val prefix = shAll.join(dfTab, Seq("shh"))
-      .withColumn("n_sh", count(lit(1)).over(wDoc))
-      .withColumn("r", row_number().over(wRank))
-      .filter(col("r") <=
-        col("n_sh") - expr(s"CAST((n_sh * $pct + 99) DIV 100 AS BIGINT)") + 1L)
-      .select(col("doc_id"), col("shh"), col("n_sh"))
+    val shAll = shingleDigestRows(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val prefix = dfOrderedPrefix(shAll, pct)
     val cand = prefix.select(col("doc_id").as("doc_a"), col("shh"), col("n_sh").as("pn_a"))
       .join(
         prefix.select(col("doc_id").as("doc_b"), col("shh"), col("n_sh").as("pn_b")),
@@ -881,40 +878,30 @@ object Dedup {
     require(minContainmentPct >= 1 && minContainmentPct <= 100,
       s"minContainmentPct=$minContainmentPct outside [1, 100]")
     val pct = minContainmentPct.toLong
-    val bridge = org.apache.spark.sql.graft.bridge
-    val shAll = TextAnalysis.spread(docs)
-      .select(
-        col("doc_id"),
-        bridge.column(graft.expressions.ShingleDigests(
-          bridge.expression(TextAnalysis.wordsCol), k)).as("ds"))
-      .select(col("doc_id"), explode(col("ds")).as("shh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val dfTab = shAll.groupBy(col("shh")).agg(count(lit(1)).as("df"))
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-    val wRank = wDoc.orderBy(col("df"), col("shh"))
-    val srcPrefix = shAll.join(dfTab, Seq("shh"))
-      .withColumn("n_sh", count(lit(1)).over(wDoc))
-      .withColumn("r", row_number().over(wRank))
-      .filter(col("r") <=
-        col("n_sh") - expr(s"CAST((n_sh * $pct + 99) DIV 100 AS BIGINT)") + 1L)
+    val shAll = shingleDigestRows(docs, k).persist(StorageLevel.MEMORY_AND_DISK)
+    val srcPrefix = dfOrderedPrefix(shAll, pct)
       .select(col("doc_id").as("src_doc"), col("shh"), col("n_sh").as("pn_src"))
     val sets = shAll.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("shh"))).as("set"), count(lit(1)).as("n_sh"))
+    val counts = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // Size filter BEFORE the candidate dedup (counts are per-doc scalars
+    // — broadcastable — so the prune costs one cheap lookup per
+    // candidate row and the distinct never sees size-infeasible pairs).
     val cand = srcPrefix
       .join(shAll.select(col("doc_id").as("dst_doc"), col("shh")), Seq("shh"))
       .filter(col("src_doc") =!= col("dst_doc"))
-      .select(col("src_doc"), col("dst_doc"), col("pn_src"))
-      .distinct()
-    cand
       .join(
-        sets.select(col("doc_id").as("dst_doc"), col("n_sh").as("n_dst")),
+        broadcast(counts.select(col("doc_id").as("dst_doc"), col("n_sh").as("n_dst"))),
         Seq("dst_doc"))
       .filter(col("pn_src") * pct <= col("n_dst") * 100L)
+      .select(col("src_doc"), col("dst_doc"))
+      .distinct()
+    cand
       .join(
         sets.select(col("doc_id").as("src_doc"), col("set").as("set_src"), col("n_sh").as("n_src")),
         Seq("src_doc"))
       .join(
-        sets.select(col("doc_id").as("dst_doc"), col("set").as("set_dst")),
+        sets.select(col("doc_id").as("dst_doc"), col("set").as("set_dst"), col("n_sh").as("n_dst")),
         Seq("dst_doc"))
       .withColumn("n_common", size(array_intersect(col("set_src"), col("set_dst"))).cast("long"))
       .filter(lit(100L) * col("n_common") >= lit(pct) * col("n_src"))

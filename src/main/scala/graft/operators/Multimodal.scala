@@ -592,6 +592,10 @@ object Multimodal {
       require(le32(14) >= 40, s"doc $docId: BITMAPINFOHEADER expected, got size ${le32(14)}")
       val width = le32(18)
       val rawHeight = le32(22)
+      // math.abs(Int.MinValue) is still negative — that height would
+      // skip the row loop yet leave n_px nonzero, silently returning
+      // garbage in violation of the throws-on-malformed contract.
+      require(rawHeight != Int.MinValue, s"doc $docId: height -2^31 is not a valid DIB")
       val topDown = rawHeight < 0
       val height = math.abs(rawHeight)
       require(width >= 0, s"doc $docId: negative width $width")

@@ -650,6 +650,7 @@ object Similarity {
         col("query_id"), lit(1).as("rnk"), col("vec_id").as("neighbor_id"),
         col("rel_dp"), lit(null).cast("long").as("max_sel_dp"),
         lit(null).cast("long").as("mmr_score"))
+    var cache: Option[DataFrame] = None
     val wS = Window.partitionBy(col("query_id")).orderBy(col("mmr_score").desc, col("vec_id"))
     for (t <- 2 to k) {
       val selIds = selected.select(col("query_id"), col("neighbor_id").as("vec_id"))
@@ -670,13 +671,27 @@ object Similarity {
         .select(
           col("query_id"), lit(t).as("rnk"), col("vec_id").as("neighbor_id"),
           col("rel_dp"), col("max_sel_dp"), col("mmr_score"))
-      selected = selected.unionByName(pick)
+      // Materialize each round and rebuild the frame from the cached RDD:
+      // `selected` is read twice per round, so an un-materialized loop
+      // would TRIPLE the logical plan per iteration (O(3^k) nodes —
+      // Catalyst analysis, not execution, becomes the bottleneck). The
+      // rebuild keeps RDD lineage while giving every round a
+      // constant-depth plan — dedupClusters' convention.
+      val next = selected.unionByName(pick).persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      cache.foreach(_.unpersist())
+      cache = Some(next)
+      selected = next.sparkSession.createDataFrame(next.rdd, next.schema)
     }
-    val out = selected.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
+    if (cache.isEmpty) { // k == 1: still materialize before releasing cand
+      val only = selected.persist(StorageLevel.MEMORY_AND_DISK)
+      only.count()
+      cache = Some(only)
+      selected = only
+    }
     cand.unpersist()
     pairs.unpersist()
-    out
+    selected
   }
 
   /** Recall@k evaluator for the ANN stack — the acceptance gate every
@@ -684,8 +699,11 @@ object Similarity {
     * an approximate result against the exact ground truth (both in the
     * `(query_id, neighbor_id, rnk)` shape all the search operators
     * emit) and reports per-query hit counts and recall, plus the rank
-    * positions the index missed. `recall = |approx ∩ exact@k| / k`
-    * — one IEEE division of exact integers.
+    * positions the index missed.
+    * `recall = |approx ∩ exact@k| / |exact@k|` — the denominator is the
+    * ground truth actually present (equal to `k` whenever the corpus
+    * has ≥ k true neighbors; a short ground-truth list is not charged
+    * as misses). One IEEE division of exact integers.
     *
     * Scale: both inputs are `numQueries × k` — dimension-sized; the
     * join and aggregate are trivial next to the searches themselves.
