@@ -1068,6 +1068,42 @@ object SparkEntry {
       Multimodal.decodeBmpFeatures(s, Multimodal.toBmp(Tables.documents(s, dir)))
         .toDF().orderBy("doc_id")),
 
+    // BM25 more-like-this over word bigrams: the lexical retrieval leg —
+    // doc_id % 25 probe set, exact-integer idf/tf-saturation, top-10.
+    "q143_bm25_retrieval" -> ((s, dir) =>
+      TextAnalysis.bm25MoreLikeThis(Tables.documents(s, dir))
+        .orderBy("query_id", "rnk")),
+
+    // Character-entropy quality scores: whole-bit surprisal per doc —
+    // the binary-junk/padding-spam detector, exact BIGINT millibits.
+    "q144_char_entropy" -> ((s, dir) =>
+      TextAnalysis.charEntropy(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
+    // k-anonymity + l-diversity audit over (nation, segment) quasi-ids
+    // with account-delinquency as the sensitive attribute: linkage- and
+    // homogeneity-attack flags per group.
+    "q145_k_anonymity" -> ((s, dir) =>
+      Curation.kAnonymityAudit(
+        Tables.customer(s, dir),
+        Seq(col("c_nationkey"), col("c_mktsegment")),
+        when(col("c_acctbal") < 0, lit("delinquent")).otherwise(lit("ok")))
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // SCD2 validity intervals from the event stream: run-collapsed
+    // event_type history per user, half-open [from, to) microsecond
+    // ranges, -1 sentinel on the open tail.
+    "q146_scd2_intervals" -> ((s, dir) =>
+      Timeseries.scd2Intervals(Tables.events(s, dir))
+        .orderBy("user_id", "version")),
+
+    // Exact triangle counts + ppm clustering coefficients over the
+    // rare-shingle co-occurrence graph (df 2-3 shared 3-shingles) —
+    // degree-oriented compact-forward, never neighbors-of-neighbors.
+    "q147_triangle_counts" -> ((s, dir) =>
+      Graphs.triangleCounts(Dedup.rareShingleEdges(Tables.documents(s, dir)))
+        .orderBy("id")),
+
     // Scaled-integer PageRank over the sign-LSH co-bucket graph of the
     // embedding corpus — exact BIGINT centrality, 4 rounds.
     "q136_pagerank" -> ((s, dir) => {
@@ -2941,6 +2977,125 @@ object SparkEntry {
         |CROSS JOIN tot t
         |ORDER BY pmi_bits DESC, w1, w2
         |LIMIT 50""".stripMargin,
+
+    // Mirrors TextAnalysis.bm25MoreLikeThis: bigram postings, whole-bit
+    // idf, exact-integer tf saturation (a10 = avgdl*10), // floor
+    // division matching Spark `div` on the nonnegative operands.
+    "q143_bm25_retrieval" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS t
+        |  FROM (SELECT doc_id, ws, CAST(unnest(range(1, len(ws))) AS INT) AS i FROM w WHERE len(ws) >= 2)
+        |),
+        |postings AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf FROM bg GROUP BY doc_id, t),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id),
+        |dfc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS df FROM postings GROUP BY t),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |               CAST((10 * SUM(dl)) // COUNT(*) AS BIGINT) AS a10 FROM dl),
+        |qt AS (
+        |  SELECT p.doc_id AS query_id, p.t,
+        |         CAST(length(bin(t2.n_docs)) - length(bin(d.df)) AS BIGINT) AS idf_bits
+        |  FROM postings p JOIN dfc d ON p.t = d.t CROSS JOIN tot t2
+        |  WHERE p.doc_id % 25 = 0
+        |),
+        |scored AS (
+        |  SELECT q.query_id, p.doc_id,
+        |         CAST(SUM(q.idf_bits * ((22 * p.tf * t.a10 * 1000000) // (10 * p.tf * t.a10 + 3 * t.a10 + 90 * l.dl))) AS BIGINT) AS score,
+        |         CAST(COUNT(*) AS BIGINT) AS matched
+        |  FROM qt q JOIN postings p ON q.t = p.t AND p.doc_id <> q.query_id
+        |  JOIN dl l ON l.doc_id = p.doc_id
+        |  CROSS JOIN tot t
+        |  GROUP BY q.query_id, p.doc_id
+        |)
+        |SELECT query_id, doc_id, CAST(rn AS INT) AS rnk, score, matched FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+        |  FROM scored)
+        |WHERE rn <= 10
+        |ORDER BY query_id, rnk""".stripMargin,
+
+    // Mirrors TextAnalysis.charEntropy: codepoint counts (ASCII corpus —
+    // byte == codepoint == UTF-16 unit), whole-bit surprisal, the window
+    // SUM cast back to BIGINT before use (HUGEINT would float the frame).
+    "q144_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, text[i:i] AS ch
+        |  FROM (SELECT doc_id, text, CAST(unnest(range(1, length(text) + 1)) AS INT) AS i FROM documents)
+        |),
+        |counts AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS cnt FROM ch GROUP BY doc_id, ch),
+        |wn AS (SELECT doc_id, cnt,
+        |              CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM counts)
+        |SELECT doc_id, MAX(n) AS n_chars_seen, CAST(COUNT(*) AS BIGINT) AS distinct_chars,
+        |       CAST(SUM(cnt * (length(bin(n)) - length(bin(cnt)))) AS BIGINT) AS sum_bits,
+        |       CAST((1000 * SUM(cnt * (length(bin(n)) - length(bin(cnt))))) // MAX(n) AS BIGINT) AS millibits_per_char
+        |FROM wn GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // Mirrors Curation.kAnonymityAudit on (nation, segment) quasi-ids:
+    // exact group count + distinct-sensitive count, risk verdict.
+    "q145_k_anonymity" ->
+      """WITH t AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         CASE WHEN c_acctbal < 0 THEN 'delinquent' ELSE 'ok' END AS sens
+        |  FROM customer
+        |)
+        |SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
+        |       CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_diversity,
+        |       (COUNT(*) < 5 OR COUNT(DISTINCT sens) = 1) AS at_risk
+        |FROM t GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    // Mirrors Timeseries.scd2Intervals: (ts, event_id)-ordered run
+    // collapse on event_type, half-open microsecond intervals, -1
+    // sentinel keeping valid_to_us BIGINT on both engines.
+    "q146_scd2_intervals" ->
+      """WITH runs AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |),
+        |s AS (SELECT * FROM runs WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type AS attr,
+        |       epoch_us(ts) AS valid_from_us,
+        |       CAST(COALESCE(epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)), -1) AS BIGINT) AS valid_to_us,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version,
+        |       (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM s
+        |ORDER BY user_id, version""".stripMargin,
+
+    // Mirrors Graphs.triangleCounts over Dedup.rareShingleEdges: df-2..3
+    // shared-shingle edges, degree orientation via tuple compare, wedge
+    // closure probe, per-node counts, ppm coefficients.
+    "q147_triangle_counts" ->
+      s"""WITH $docShingles,
+         |dig AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS shh FROM sh),
+         |rare AS (SELECT shh FROM dig GROUP BY shh HAVING COUNT(*) BETWEEN 2 AND 3),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM dig a JOIN rare USING (shh) JOIN dig b USING (shh)
+         |  WHERE a.doc_id < b.doc_id
+         |),
+         |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+         |e2 AS (
+         |  SELECT CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.src ELSE e.dst END AS u,
+         |         CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN e.dst ELSE e.src END AS v,
+         |         CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst) THEN dd.deg ELSE ds.deg END AS deg_v
+         |  FROM edges e JOIN deg ds ON ds.id = e.src JOIN deg dd ON dd.id = e.dst
+         |),
+         |tri AS (
+         |  SELECT a.u AS x, a.v AS y, b.v AS z
+         |  FROM e2 a JOIN e2 b ON a.u = b.u AND ((a.deg_v, a.v) < (b.deg_v, b.v))
+         |  JOIN e2 c ON c.u = a.v AND c.v = b.v
+         |),
+         |pern AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS triangles FROM (
+         |    SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |  GROUP BY id
+         |)
+         |SELECT d.id, d.deg, COALESCE(p.triangles, 0) AS triangles,
+         |       CAST(CASE WHEN d.deg >= 2 THEN (2000000 * COALESCE(p.triangles, 0)) // (d.deg * (d.deg - 1)) ELSE 0 END AS BIGINT) AS coeff_ppm
+         |FROM deg d LEFT JOIN pern p ON p.id = d.id
+         |ORDER BY d.id""".stripMargin,
 
     "q125_pq_search" ->
       s"""WITH $quantizedEmbeddings,

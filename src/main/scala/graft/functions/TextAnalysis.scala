@@ -764,4 +764,162 @@ object TextAnalysis {
         "mean_bits",
         col("weight_bits").cast("double") / col("n_tokens").cast("double"))
   }
+
+  /** BM25 more-like-this retrieval over word-bigram terms — the lexical
+    * leg of a retrieval/mining pipeline (hard-negative mining, "find the
+    * documents most like this eval item" contamination triage, sparse
+    * recall next to the dense ANN stack). Query documents are the
+    * deterministic `doc_id % queryMod == 0` slice (the probe/eval set —
+    * small BY CONSTRUCTION, like q22/q29's query subsets); each query's
+    * DISTINCT bigrams score every other document and the per-query
+    * top-`topK` is returned under the total order (score desc, doc_id).
+    *
+    * Terms are adjacent word PAIRS, not unigrams: on whitespace-token
+    * corpora the unigram vocabulary saturates (every word lands in most
+    * documents, so whole-bit idf floors to 0 — measured 31-word vocab on
+    * the testdata corpus) while bigrams keep a discriminative df range.
+    *
+    * Exact integer BM25 quantization (engine-bit-identical, no float
+    * folds): with k1 = 1.2, b = 0.75 and `a10 = ⌊10·L/N⌋` (avgdl × 10,
+    * BIGINT — quantizing avgdl FIRST keeps every product bounded by
+    * per-document magnitudes, not corpus totals),
+    * {{{
+    *   idf_bits  = bits(N) − bits(df)                 // whole-bit log2(N/df)
+    *   tf_sat    = ⌊22·tf·a10·scale / (10·tf·a10 + 3·a10 + 90·dl)⌋
+    *               // = tf(k1+1) / (tf + k1(1−b+b·dl/avgdl)) at `scale`
+    *   score     = Σ_terms idf_bits · tf_sat
+    * }}}
+    * (`div` truncates toward zero, DuckDB `//` floors; every operand is
+    * nonnegative, where the two agree). BIGINT headroom: the tf_sat
+    * numerator is `22·tf·a10·scale` ≤ 22·dl_max·10·avgdl·scale — lower
+    * `scale` a decade per decade of document length past ~10⁵ tokens.
+    *
+    * Cache lifecycle: the postings index THIS CALL builds stays persisted
+    * after return (the result plan reads it four times: document lengths,
+    * document frequencies, query terms, and the candidate scan) and is
+    * owned by the caller's evaluation of the result; one-shot callers
+    * should use [[withBm25MoreLikeThis]]. The 100 TB shape: postings,
+    * `dl`, and `df` are the standing inverted index a production search
+    * tier maintains incrementally — only the broadcast query-term join
+    * and the candidate aggregation run per query batch.
+    *
+    * Scale: one map-side-combined `(doc, term)` count builds postings;
+    * `df`/`dl` are one aggregate each; query terms BROADCAST onto both
+    * (the df lookup and the posting scan — the corpus never reshuffles on
+    * the term key for the probe); candidates aggregate on
+    * `(query_id, doc_id)` and the top-K is WindowGroupLimit-bounded.
+    */
+  def bm25MoreLikeThis(
+      docs: DataFrame,
+      queryMod: Long = 25L,
+      topK: Int = 10,
+      scale: Long = 1000000L): DataFrame =
+    bm25MoreLikeThisPlan(docs, queryMod, topK, scale)._1
+
+  /** [[bm25MoreLikeThis]] as a caller-owned-lifecycle bracket: runs the
+    * action `f` over the ranked frame, then unpersists the postings index
+    * this call persisted.
+    */
+  def withBm25MoreLikeThis[T](
+      docs: DataFrame,
+      queryMod: Long = 25L,
+      topK: Int = 10,
+      scale: Long = 1000000L)(f: DataFrame => T): T = {
+    val (result, cached) = bm25MoreLikeThisPlan(docs, queryMod, topK, scale)
+    try f(result) finally cached.foreach(_.unpersist())
+  }
+
+  private def bm25MoreLikeThisPlan(
+      docs: DataFrame,
+      queryMod: Long,
+      topK: Int,
+      scale: Long): (DataFrame, Seq[DataFrame]) = {
+    val n = size(col("ws")) - 1
+    val postings = spread(docs)
+      .select(col("doc_id"), wordsCol.as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("ws"), lit(1), greatest(n, lit(0))),
+        slice(col("ws"), lit(2), greatest(n, lit(0))),
+        (a, b) => concat_ws(" ", a, b))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = postings.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfc = postings.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val tot = dl.agg(
+      count(lit(1)).as("n_docs"),
+      expr("(10 * sum(dl)) div count(1)").as("a10"))
+    // Query-doc terms broadcast ONTO the df table (the corpus-sized side
+    // never reshuffles on the term key), then the annotated query terms —
+    // still probe-sized — broadcast onto the posting scan.
+    val qpost = postings
+      .filter(pmod(col("doc_id"), lit(queryMod)) === 0)
+      .select(col("doc_id").as("query_id"), col("t"))
+    val qt = dfc.join(broadcast(qpost), Seq("t"))
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "idf_bits",
+        (length(bin(col("n_docs"))) - length(bin(col("df")))).cast("long"))
+      .select(col("query_id"), col("t"), col("idf_bits"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val ranked = postings
+      .join(broadcast(qt), Seq("t"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot))
+      .withColumn("contrib", expr(
+        s"idf_bits * ((22 * tf * a10 * $scale) div (10 * tf * a10 + 3 * a10 + 90 * dl))"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib")).as("score"), count(lit(1)).as("matched"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("query_id"), col("doc_id"), col("rnk"), col("score"), col("matched"))
+    (ranked, Seq(postings))
+  }
+
+  /** Per-document character-entropy quality scores — the cheap
+    * binary-junk / encrypted-blob / single-character-spam detector a
+    * curation funnel runs before any tokenizer sees the text (natural
+    * language sits in a narrow entropy band; base64 blobs score high,
+    * padding spam scores near zero). Whole-bit surprisal under the house
+    * integer-log2 convention ([[unigramSurprisal]]'s `bits`): each
+    * occurrence of character `c` contributes `bits(n) − bits(cnt_c)`
+    * where `n` is the document's character count — exact BIGINT end to
+    * end, plus a `⌊1000·Σbits/n⌋` millibit-per-char mean so thresholds
+    * stay engine-exact too. Shares q24/q114/q137's ASCII-corpus
+    * assumption (Spark splits UTF-16 code units, the oracle's `text[i:i]`
+    * splits codepoints — identical only below U+10000; the generation
+    * guarantee is ASCII). Empty documents vanish from both engines
+    * (no characters → no rows).
+    *
+    * Scale: the per-character explode collapses in the PARTIAL aggregate
+    * (a document lives in one partition, so at most one `(doc, char)` row
+    * per alphabet symbol per document ever shuffles — ~100 rows/doc, not
+    * text); the window and final aggregate share the one `doc_id`
+    * exchange.
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val counts = spread(docs)
+      .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+      .filter(length(col("ch")) > 0)
+      .groupBy(col("doc_id"), col("ch"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    counts
+      .withColumn("n", sum(col("cnt")).over(w))
+      .withColumn(
+        "bits",
+        col("cnt") * (length(bin(col("n"))) - length(bin(col("cnt")))).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("n")).as("n_chars_seen"),
+        count(lit(1)).as("distinct_chars"),
+        sum(col("bits")).as("sum_bits"))
+      .withColumn(
+        "millibits_per_char",
+        expr("(1000 * sum_bits) div n_chars_seen"))
+  }
 }

@@ -938,4 +938,41 @@ object Curation {
       .filter(col("n_picks") > 0)
       .select(col("id"), col("w"), col("cum_w"), col("n_picks"))
   }
+
+  /** k-anonymity / l-diversity audit over quasi-identifier combinations —
+    * the re-identification risk gate a pipeline runs before user-derived
+    * records (interaction logs, annotation metadata) enter a training
+    * corpus. PII REDACTION (the q73 pass) removes direct identifiers;
+    * this catches the indirect ones: a quasi-identifier combination seen
+    * fewer than `k` times singles its members out (linkage attack), and a
+    * group whose `sensitive` column is CONSTANT leaks the sensitive value
+    * for everyone in it even at count ≥ k (homogeneity attack) — the
+    * standard k-anonymity + l-diversity pair (Sweeney 2002; Machanavajjhala
+    * et al. 2007).
+    *
+    * One row per quasi-identifier group: member count, distinct sensitive
+    * values (`l_diversity`), and the `at_risk` verdict
+    * `cnt < k OR l_diversity == 1`. The caller suppresses or generalizes
+    * flagged groups; returning ALL groups (not just flagged ones) keeps
+    * the suppression-rate denominator in the result.
+    *
+    * Scale: one exact `groupBy` over the quasi-identifier columns with
+    * map-side partial aggregation; `count(distinct sensitive)` expands to
+    * Spark's two-phase distinct aggregate, still one logical exchange on
+    * the group key. Group cardinality is the quasi-identifier domain —
+    * bounded and small relative to rows by definition of the audit.
+    */
+  def kAnonymityAudit(
+      records: DataFrame,
+      quasi: Seq[Column],
+      sensitive: Column,
+      k: Long = 5L): DataFrame = {
+    require(quasi.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    records
+      .groupBy(quasi: _*)
+      .agg(
+        count(lit(1)).as("cnt"),
+        countDistinct(sensitive).as("l_diversity"))
+      .withColumn("at_risk", col("cnt") < k || col("l_diversity") === 1L)
+  }
 }

@@ -681,6 +681,40 @@ object Dedup {
         col("n_hit").cast("double") / col("n_shingles").cast("double"))
   }
 
+  /** Rare-shingle co-occurrence edges — the document graph whose
+    * structure the graph operators ([[Graphs.pageRank]],
+    * [[Graphs.triangleCounts]]) analyze: two documents connect iff they
+    * share at least one k-shingle whose corpus document-frequency lies in
+    * `[minDf, maxDf]`. Rare shared phrases are the contamination/
+    * plagiarism signal (a df-2 shingle names exactly one borrowing); the
+    * df CAP is also what makes the pair expansion scale-safe — a digest
+    * at df ≤ maxDf emits at most C(maxDf, 2) pairs, so edges are linear
+    * in distinct-digest volume with a constant factor, never the
+    * quadratic blow-up an uncapped shared-token join hits on stopword
+    * shingles. Output `(src, dst)` with `src < dst`, distinct.
+    *
+    * Scale: documents digest in place (text never shuffles), one
+    * digest-keyed distinct + df count, and the bounded self-join on the
+    * surviving digests.
+    */
+  def rareShingleEdges(
+      docs: DataFrame,
+      k: Int = 3,
+      minDf: Long = 2L,
+      maxDf: Long = 3L): DataFrame = {
+    require(minDf >= 2L && maxDf >= minDf, s"df band [$minDf, $maxDf] invalid")
+    val dig = shingleDigestRows(docs, k).distinct()
+    val rare = dig.groupBy(col("shh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf && col("df") <= maxDf)
+      .select(col("shh"))
+    val member = dig.join(rare, Seq("shh"))
+    member.select(col("shh"), col("doc_id").as("src"))
+      .join(member.select(col("shh"), col("doc_id").as("dst")), Seq("shh"))
+      .filter(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+  }
+
   /** Cross-source n-gram overlap matrix — the "which corpora share
     * content" QA dashboard a multi-source ingest runs before mixing
     * (template farms, syndicated text, and mirrored crawls show up as

@@ -75,4 +75,83 @@ object Graphs {
     deg.unpersist()
     out
   }
+
+  /** Exact per-node triangle counts + whole-graph-exact local clustering
+    * coefficients — the cohesion QA a pipeline runs on its derived
+    * document graphs (a near-dup cluster whose members close triangles is
+    * a real template family; a hub with thousands of edges but no closure
+    * is boilerplate glue joining unrelated documents — different
+    * suppression decisions). Coefficients surface as
+    * `⌊2·10⁶·triangles / (deg·(deg−1))⌋` ppm BIGINTs (same truncation in
+    * both engines on the nonnegative operands), one row per vertex
+    * including triangle-free ones.
+    *
+    * Algorithm: compact-forward / degree orientation (Latapy 2008; the
+    * MapReduce formulation is Suri & Vassilvitskii 2011's graph
+    * partitioning) — each undirected edge orients from its
+    * (deg, id)-smaller endpoint, wedges enumerate ONLY at a pair's
+    * orientation-minimal vertex, and a wedge closes iff its (v, w) arc
+    * exists in the oriented edge set. Orientation caps out-degree at
+    * O(√|E|) on any graph, so the wedge join is bounded by Σ out-deg² —
+    * the standard defense against the hub blow-up a naive
+    * neighbors-of-neighbors join hits (a degree-10⁶ hub never enumerates
+    * its own wedge pairs; its edges all point INTO it).
+    *
+    * Scale: three equi-joins (two degree lookups, one wedge-closure probe
+    * on the composite (v, w) key) and two aggregates — every shuffle is
+    * keyed and linear in its input; nothing is all-pairs. BIGINT
+    * headroom: per-node triangles ≤ C(deg, 2), so the ppm numerator stays
+    * inside BIGINT up to deg ~ 2·10⁶.
+    *
+    * Input: an edge-pair frame `(src, dst)`; self-loops, duplicates, and
+    * orientation are normalized here. Eager like [[pageRank]]: the result
+    * materializes before return and owns the one remaining |V|-row cache;
+    * the larger edge/wedge intermediates are released on exit.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select(
+        least(col("src"), col("dst")).as("src"),
+        greatest(col("src"), col("dst")).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sym = und.union(und.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcFirst = col("deg_s") < col("deg_d") ||
+      (col("deg_s") === col("deg_d") && col("src") < col("dst"))
+    val oriented = und
+      .join(deg.select(col("id").as("src"), col("deg").as("deg_s")), Seq("src"))
+      .join(deg.select(col("id").as("dst"), col("deg").as("deg_d")), Seq("dst"))
+      .select(
+        when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
+        when(srcFirst, col("dst")).otherwise(col("src")).as("v"),
+        when(srcFirst, col("deg_d")).otherwise(col("deg_s")).as("deg_v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.select(col("u"), col("v").as("v1"), col("deg_v").as("dv1"))
+      .join(oriented.select(col("u"), col("v").as("v2"), col("deg_v").as("dv2")), Seq("u"))
+      .filter(col("dv1") < col("dv2") || (col("dv1") === col("dv2") && col("v1") < col("v2")))
+    val tri = wedges
+      .join(oriented.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
+      .select(col("u"), col("v1"), col("v2"))
+    val perNode = tri
+      .select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("triangles"))
+    val out = deg.join(perNode, Seq("id"), "left_outer")
+      .select(col("id"), col("deg"), coalesce(col("triangles"), lit(0L)).as("triangles"))
+      .withColumn(
+        "coeff_ppm",
+        when(col("deg") >= 2, expr("(2000000 * triangles) div (deg * (deg - 1))"))
+          .otherwise(lit(0L)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    oriented.unpersist()
+    deg.unpersist()
+    und.unpersist()
+    out
+  }
 }

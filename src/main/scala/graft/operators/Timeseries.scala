@@ -262,4 +262,51 @@ object Timeseries {
       .groupBy(col("cohort_day"), (col("d") - col("cohort_day")).as("day_offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Type-2 slowly-changing-dimension intervals from a change stream —
+    * the warehouse-standard history build that turns per-event rows into
+    * validity ranges: consecutive events with the SAME tracked attribute
+    * collapse into one version, each version row carries
+    * `[valid_from, valid_to)` (half-open; `valid_to` is the next
+    * version's start), a 1-based `version` sequence, and `is_current` on
+    * the open tail. Complements [[Curation.latestSnapshot]] (type-1
+    * upsert: latest wins, history discarded) and
+    * [[Curation.snapshotDiff]] (two-snapshot CDC): this keeps the FULL
+    * attribute history queryable by as-of timestamp, which is what a
+    * point-in-time training-feature join ([[Joins]]' as-of) needs to stay
+    * leakage-free.
+    *
+    * Total order within an entity is `(ts, event_id)` — the same
+    * deterministic tie-break every event-ordered operator here uses —
+    * and run-collapse keeps the FIRST row of each run (a change event
+    * opens its version at its own timestamp).
+    *
+    * `valid_to` surfaces as microseconds with `-1` for the current
+    * (open) version: a sentinel rather than NULL keeps the column BIGINT
+    * end to end on both engines (a NULL-able lead turns the oracle frame
+    * float64, the exact dtype drift the gate is built to reject).
+    *
+    * Scale: one exchange on `user_id`; the lag, the post-filter lead, and
+    * the version row_number all share that partitioning (same window
+    * spec, no second shuffle). State is per-entity and bounded by change
+    * count, never raw event count, after the first window collapses runs.
+    */
+  def scd2Intervals(
+      events: DataFrame,
+      tracked: Column = col("event_type")): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), tracked.as("attr"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("attr"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("attr"))
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_to_us", coalesce(unix_micros(lead(col("ts"), 1).over(w)), lit(-1L)))
+      .select(
+        col("user_id"),
+        col("attr"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        col("valid_to_us"),
+        col("version"),
+        (col("valid_to_us") === -1L).as("is_current"))
+  }
 }

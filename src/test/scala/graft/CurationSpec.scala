@@ -553,4 +553,25 @@ class CurationSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_picks")).sum === 4L)
     assert(r.forall(_.getAs[Long]("id") % 2 == 1))
   }
+
+  test("kAnonymityAudit flags small groups and homogeneous sensitive values") {
+    val rows =
+      // g1: 6 members, both sensitive values → safe.
+      (1 to 6).map(i => ("g1", if (i <= 2) "x" else "y")) ++
+        // g2: 3 members, diverse — still at risk (cnt < k).
+        (1 to 3).map(i => ("g2", if (i == 1) "x" else "y")) ++
+        // g3: 7 members, ALL the same sensitive value → homogeneity risk.
+        (1 to 7).map(_ => ("g3", "x"))
+    val df = rows.toDF("q", "sens")
+    val out = Curation.kAnonymityAudit(df, Seq(col("q")), col("sens"))
+      .collect().map(r => r.getAs[String]("q") -> r).toMap
+    assert(out("g1").getAs[Long]("cnt") === 6L)
+    assert(out("g1").getAs[Long]("l_diversity") === 2L)
+    assert(!out("g1").getAs[Boolean]("at_risk"))
+    assert(out("g2").getAs[Long]("cnt") === 3L)
+    assert(out("g2").getAs[Boolean]("at_risk"), "count below k")
+    assert(out("g3").getAs[Long]("cnt") === 7L)
+    assert(out("g3").getAs[Long]("l_diversity") === 1L)
+    assert(out("g3").getAs[Boolean]("at_risk"), "homogeneous sensitive value")
+  }
 }

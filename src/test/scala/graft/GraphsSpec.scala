@@ -35,4 +35,54 @@ class GraphsSpec extends SparkSpec {
     (2L to 6L).foreach(leaf => assert(center > out(leaf)))
     assert((2L to 6L).map(out).toSet.size === 1, "leaves are symmetric")
   }
+
+  test("triangleCounts: exact counts and ppm coefficients on K4 minus an edge") {
+    // Vertices 1..4, edges {12,13,14,23,24} (no 34) — plus a duplicate,
+    // a reversed duplicate, and a self-loop that normalization absorbs.
+    // Triangles: (1,2,3) and (1,2,4).
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("src", "dst")
+    val out = Graphs.triangleCounts(edges).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L).getAs[Long]("deg") === 3L)
+    assert(out(3L).getAs[Long]("deg") === 2L)
+    assert(out(1L).getAs[Long]("triangles") === 2L)
+    assert(out(2L).getAs[Long]("triangles") === 2L)
+    assert(out(3L).getAs[Long]("triangles") === 1L)
+    assert(out(4L).getAs[Long]("triangles") === 1L)
+    // coeff = (2e6 * tri) div (deg * (deg - 1))
+    assert(out(1L).getAs[Long]("coeff_ppm") === 666666L)
+    assert(out(2L).getAs[Long]("coeff_ppm") === 666666L)
+    assert(out(3L).getAs[Long]("coeff_ppm") === 1000000L)
+    assert(out(4L).getAs[Long]("coeff_ppm") === 1000000L)
+  }
+
+  test("triangleCounts: a path has no triangles and degree-1 nodes get coeff 0") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val out = Graphs.triangleCounts(path).collect()
+    assert(out.length === 4)
+    assert(out.forall(_.getAs[Long]("triangles") === 0L))
+    assert(out.forall(_.getAs[Long]("coeff_ppm") === 0L))
+  }
+
+  test("rareShingleEdges: only df-banded shared shingles connect documents") {
+    def doc(id: Long, text: String) = (id, text, "en", "src", text.length.toLong)
+    // "p q r" appears in docs 0..3 (df 4 — above the cap, no edges);
+    // "m n o" appears in docs 4 and 5 (df 2 — one edge).
+    val docs = Seq(
+      doc(0L, "p q r s"), doc(1L, "z p q r"), doc(2L, "p q r t"),
+      doc(3L, "p q r u"), doc(4L, "m n o x"), doc(5L, "y m n o"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val edges = graft.operators.Dedup.rareShingleEdges(docs)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(edges === Set((4L, 5L)))
+    // Raising maxDf to 4 admits the p-q-r clique: C(4,2) new pairs.
+    val wide = graft.operators.Dedup.rareShingleEdges(docs, maxDf = 4L)
+      .collect().map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(wide === Set(
+      (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
+  }
 }

@@ -544,4 +544,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(!"Exchange hashpartitioning\\(text".r.findFirstIn(p).isDefined,
       s"document text reached a shuffle key:\n$p")
   }
+
+  test("bm25: query terms broadcast onto df and postings; no term-keyed corpus reshuffle") {
+    val out = graft.functions.TextAnalysis.bm25MoreLikeThis(Tables(dir))
+    val p = plan(out)
+    assert(!p.contains("CartesianProduct"), s"bm25 grew a cross product:\n$p")
+    // Probe-sized sides (query terms, annotated query terms, the scalar
+    // totals) must broadcast — the corpus-sized postings/df/dl frames
+    // never reshuffle to meet them.
+    assert(p.contains("BroadcastExchange"), s"query side stopped broadcasting:\n$p")
+    // Inventory: postings build (doc,term), dl (doc), dfc (term), the
+    // scalar totals, the candidate join's two doc_id sides, and the
+    // (query, doc) aggregate feeding the rank window. 7 is the ceiling;
+    // the window itself reuses the aggregate's partitioning.
+    assert(shuffles(out) <= 7, s"bm25 grew a shuffle:\n$p")
+  }
+
+  test("charEntropy + scd2: windows and aggregates share one key exchange") {
+    val ent = graft.functions.TextAnalysis.charEntropy(Tables(dir))
+    val pe = plan(ent)
+    // The (doc, char) partial aggregate, the per-doc window, and the
+    // final per-doc aggregate all run on ONE doc-keyed exchange (the
+    // spread repartition at test scale): character rows collapse
+    // map-side and never shuffle raw.
+    assert(shuffles(ent) <= 2, s"charEntropy grew a shuffle:\n$pe")
+    val scd = graft.operators.Timeseries.scd2Intervals(
+      graft.sources.Tables.events(spark, dir))
+    val ps = plan(scd)
+    // lag-filter, row_number, and lead share the (user_id, ts, event_id)
+    // window spec — one exchange total.
+    assert(shuffles(scd) <= 1, s"scd2 windows stopped sharing their exchange:\n$ps")
+  }
+
+  test("rare-shingle edges + triangles: digest-keyed, df-capped, never all-pairs") {
+    val edges = Dedup.rareShingleEdges(Tables(dir))
+    val pe = plan(edges)
+    assert(!pe.contains("CartesianProduct"), s"edge derivation grew a cross product:\n$pe")
+    // Digest work only: spread, the (doc, digest) distinct, the df count,
+    // the df-band filter join, and the capped digest self-join + final
+    // distinct — text never shuffles.
+    assert(shuffles(edges) <= 6, s"rare-shingle edges grew a shuffle:\n$pe")
+    assert(!"Exchange hashpartitioning\\(text".r.findFirstIn(pe).isDefined,
+      s"document text reached a shuffle key:\n$pe")
+    val tri = graft.operators.Graphs.triangleCounts(edges)
+    val pt = plan(tri)
+    // Eager like pageRank: the returned |V|-row frame reads the one
+    // materialized cache; the wedge/closure joins already ran inside.
+    assert(pt.contains("InMemoryTableScan"), s"triangle result stopped materializing:\n$pt")
+    assert(!pt.contains("CartesianProduct"), s"triangles grew a cross product:\n$pt")
+  }
 }

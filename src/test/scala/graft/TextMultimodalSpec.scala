@@ -670,4 +670,76 @@ class TextMultimodalSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_bits")).toMap
     assert(shuffleJoin === out, "broadcast and shuffle model paths must agree exactly")
   }
+
+  test("charEntropy: whole-bit surprisal by hand on three tiny documents") {
+    val docs = Seq(
+      doc(0L, "aab"),  // n=3 bits=2: a 2·(2−2)=0, b 1·(2−1)=1 → 1 bit
+      doc(1L, "ab"),   // n=2 bits=2: 1+1 = 2 bits (uniform = max)
+      doc(2L, "aaaa")) // n=4 bits=3: 4·(3−3) = 0 bits (constant = min)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.charEntropy(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Long]("n_chars_seen") === 3L)
+    assert(out(0L).getAs[Long]("distinct_chars") === 2L)
+    assert(out(0L).getAs[Long]("sum_bits") === 1L)
+    assert(out(0L).getAs[Long]("millibits_per_char") === 333L) // 1000 div 3
+    assert(out(1L).getAs[Long]("sum_bits") === 2L)
+    assert(out(1L).getAs[Long]("millibits_per_char") === 1000L)
+    assert(out(2L).getAs[Long]("sum_bits") === 0L)
+    assert(out(2L).getAs[Long]("millibits_per_char") === 0L)
+  }
+
+  test("bm25MoreLikeThis matches a brute-force integer model and releases its cache") {
+    val texts = Map(
+      0L -> "red fox jumps over the lazy dog",
+      1L -> "red fox sleeps all day long",
+      2L -> "the lazy dog sleeps here",
+      3L -> "quick red fox jumps high today",
+      4L -> "dogs and foxes differ greatly",
+      5L -> "red fox jumps over tall fences")
+    val docs = texts.toSeq.map { case (id, t) => doc(id, t) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+
+    // Brute-force replica of the exact-integer scoring (Long division on
+    // nonnegative values == Spark div == DuckDB //).
+    def bigrams(s: String): Seq[String] =
+      s.trim.split("\\s+").toSeq.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+    val postings: Map[(Long, String), Long] = texts.toSeq
+      .flatMap { case (id, t) => bigrams(t).map(b => (id, b)) }
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val dl: Map[Long, Long] =
+      postings.groupBy(_._1._1).map { case (id, m) => id -> m.values.sum }
+    val dfm: Map[String, Long] =
+      postings.groupBy(_._1._2).map { case (t, m) => t -> m.size.toLong }
+    val nDocs = dl.size.toLong
+    val a10 = (10L * dl.values.sum) / nDocs
+    def bits(x: Long) = java.lang.Long.toBinaryString(x).length.toLong
+    def score(q: Long, d: Long): (Long, Long) = {
+      val shared = postings.keys.collect { case (`q`, t) if postings.contains((d, t)) => t }.toSeq
+      val s = shared.map { t =>
+        val tf = postings((d, t))
+        (bits(nDocs) - bits(dfm(t))) *
+          ((22L * tf * a10 * 1000000L) / (10L * tf * a10 + 3L * a10 + 90L * dl(d)))
+      }.sum
+      (s, shared.size.toLong)
+    }
+    val expected = for {
+      q <- texts.keys.toSeq if q % 3L == 0L
+      ranked = texts.keys.toSeq.filter(_ != q)
+        .map(d => (d, score(q, d))).filter(_._2._2 > 0)
+        .sortBy { case (d, (s, _)) => (-s, d) }.take(3)
+      ((d, (s, m)), i) <- ranked.zipWithIndex
+    } yield (q, d, i + 1, s, m)
+
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val got = TextAnalysis.withBm25MoreLikeThis(docs, queryMod = 3L, topK = 3) {
+      _.collect().map(r => (
+        r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Int]("rnk"), r.getAs[Long]("score"), r.getAs[Long]("matched")))
+    }
+    assert(got.toSet === expected.toSet)
+    assert(got.exists(_._4 > 0L), "scores must not degenerate to zero")
+    assert(spark.sparkContext.getPersistentRDDs.size === before,
+      "bracket must release the postings index")
+  }
 }

@@ -312,4 +312,35 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(out("h").getAs[Long]("concordant") === 3L)
     assert(out("h").getAs[Double]("auc") === 0.75)
   }
+
+  test("scd2Intervals collapses runs, chains validity, ties on event_id") {
+    def us(s: String): Long = ts(s).getTime * 1000L
+    val ev = Seq(
+      // User 10: A, A (run-collapsed), B, A — three versions.
+      (1L, ts("2024-01-01 10:00:00"), 10L, "A", 1.0, "{}"),
+      (2L, ts("2024-01-01 11:00:00"), 10L, "A", 1.0, "{}"),
+      (3L, ts("2024-01-02 09:00:00"), 10L, "B", 1.0, "{}"),
+      (4L, ts("2024-01-03 08:00:00"), 10L, "A", 1.0, "{}"),
+      // User 11: two events at the SAME timestamp — event_id breaks the tie.
+      (6L, ts("2024-01-01 10:00:00"), 11L, "Y", 1.0, "{}"),
+      (5L, ts("2024-01-01 10:00:00"), 11L, "X", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Timeseries.scd2Intervals(ev).orderBy("user_id", "version").collect()
+    assert(out.length === 5)
+    val u10 = out.filter(_.getAs[Long]("user_id") === 10L)
+    assert(u10.map(_.getAs[String]("attr")).toSeq === Seq("A", "B", "A"))
+    assert(u10.map(_.getAs[Int]("version")).toSeq === Seq(1, 2, 3))
+    // The duplicate A collapses: version 1 opens at the FIRST A and stays
+    // valid until B arrives.
+    assert(u10(0).getAs[Long]("valid_from_us") === us("2024-01-01 10:00:00"))
+    assert(u10(0).getAs[Long]("valid_to_us") === us("2024-01-02 09:00:00"))
+    assert(u10(1).getAs[Long]("valid_to_us") === us("2024-01-03 08:00:00"))
+    assert(u10(2).getAs[Long]("valid_to_us") === -1L)
+    assert(u10.map(_.getAs[Boolean]("is_current")).toSeq === Seq(false, false, true))
+    // Same-timestamp tie: event_id 5 (X) precedes 6 (Y).
+    val u11 = out.filter(_.getAs[Long]("user_id") === 11L)
+    assert(u11.map(_.getAs[String]("attr")).toSeq === Seq("X", "Y"))
+    assert(u11(0).getAs[Long]("valid_to_us") === us("2024-01-01 10:00:00"))
+    assert(u11(1).getAs[Boolean]("is_current"))
+  }
 }
