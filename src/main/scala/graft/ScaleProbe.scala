@@ -263,7 +263,15 @@ object ScaleProbe {
       // disjoint so the pair structure replicates, volume ×byteFactor.
       "q134_source_overlap" -> byteFactor,
       // binary-Hamming ANN: broadcast scan + two query-keyed windows.
-      "q138_hamming_search" -> rowFactor)
+      "q138_hamming_search" -> rowFactor,
+      // r13 batch-3 additions (persist-free; q143/q147 persist
+      // internally and are bracket-measured below):
+      // char entropy: per-char explode collapsing map-side — alpha
+      // tracks scan CPU, shuffle stays ~alphabet-rows-per-doc.
+      "q144_char_entropy" -> byteFactor,
+      // SCD2 intervals: events-derived, one user exchange + shared
+      // windows — the run-collapse must stay row-linear.
+      "q146_scd2_intervals" -> rowFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
@@ -385,6 +393,13 @@ object ScaleProbe {
     }
     bracket("q136_pagerank_vs_edges", SparkEntry.queries("q136_pagerank"), edgeFactor)
     bracket("q139_prefix_filter_pairs", SparkEntry.queries("q139_prefix_filter_pairs"), byteFactor)
+    // q143 persists its postings index; q147 materializes eagerly like
+    // pageRank — both are the q44 artifact class under warm min-of-3.
+    // Replica shingles/bigrams are disjoint, so q143's postings and
+    // q147's rare-shingle edge structure replicate per copy: digest
+    // volume (byteFactor) is the honest exponent base for both.
+    bracket("q143_bm25_retrieval", SparkEntry.queries("q143_bm25_retrieval"), byteFactor)
+    bracket("q147_triangle_counts", SparkEntry.queries("q147_triangle_counts"), byteFactor)
 
     val fnFlag = SparkEntry.queries("q03_training_examples")
     val mf1 = measure(spark, fnFlag, sfDir)

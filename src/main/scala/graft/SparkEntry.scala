@@ -159,25 +159,8 @@ object SparkEntry {
 
     // Sessionization: gap-based (30 min) via lag + running sum — the batch
     // twin of the streaming session-window operator.
-    "q11_sessionize" -> ((s, dir) => {
-      val ev = Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-      val run = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev
-        .withColumn(
-          "new_sess",
-          when(col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1).otherwise(0))
-        .withColumn("session_id", sum(col("new_sess")).over(run).cast("int"))
-        .groupBy(col("user_id"), col("session_id"))
-        .agg(
-          count(lit(1)).as("n_events"),
-          min(col("us")).as("first_us"),
-          max(col("us")).as("last_us"))
-        .withColumn("duration_us", col("last_us") - col("first_us"))
-        .orderBy("user_id", "session_id")
-    }),
+    "q11_sessionize" -> ((s, dir) =>
+      batchSessions(s, dir).orderBy("user_id", "session_id")),
 
     // Multi-key aggregation over the event stream with exact-decimal sum.
     "q12_daily_event_stats" -> ((s, dir) =>
@@ -1103,6 +1086,35 @@ object SparkEntry {
     "q147_triangle_counts" -> ((s, dir) =>
       Graphs.triangleCounts(Dedup.rareShingleEdges(Tables.documents(s, dir)))
         .orderBy("id")),
+
+    // Interval-overlap join: SCD2 attribute versions × sessions per user
+    // (which version was in effect during each session) — day-bucket
+    // replication equi-join; the oracle is the NAIVE inequality join, so
+    // the hash match proves the bucketed plan lossless.
+    "q148_version_session_overlap" -> ((s, dir) => {
+      val maxUs = Tables.events(s, dir)
+        .agg(max(unix_micros(col("ts"))).as("max_us"))
+      val versions = Timeseries.scd2Intervals(Tables.events(s, dir))
+        .crossJoin(broadcast(maxUs))
+        .select(
+          col("user_id"), col("attr"), col("version"),
+          col("valid_from_us").as("v_start_us"),
+          // Half-open [from, to) → inclusive end; the open tail runs to
+          // the corpus horizon.
+          when(col("valid_to_us") === -1L, col("max_us"))
+            .otherwise(col("valid_to_us") - 1L).as("v_end_us"))
+      val sessions = batchSessions(s, dir)
+        .select(col("user_id"), col("session_id"), col("first_us"), col("last_us"))
+      Joins.intervalJoin(
+          versions, sessions, Seq("user_id"),
+          "v_start_us", "v_end_us", "first_us", "last_us",
+          bucketWidth = 86400L * 1000000L)
+        .select(
+          col("user_id"), col("attr"), col("version"), col("session_id"),
+          greatest(col("v_start_us"), col("first_us")).as("ov_start_us"),
+          least(col("v_end_us"), col("last_us")).as("ov_end_us"))
+        .orderBy("user_id", "version", "session_id")
+    }),
 
     // Scaled-integer PageRank over the sign-LSH co-bucket graph of the
     // embedding corpus — exact BIGINT centrality, 4 rounds.
@@ -3062,6 +3074,47 @@ object SparkEntry {
         |FROM s
         |ORDER BY user_id, version""".stripMargin,
 
+    // q148's oracle is the NAIVE interval-overlap inequality join over
+    // the same SCD2-version and session CTEs (q146 + q11 verbatim) — the
+    // hash match proves the engine's bucket-replication plan lossless.
+    "q148_version_session_overlap" ->
+      """WITH runs AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |),
+        |s AS (SELECT * FROM runs WHERE prev IS NULL OR prev <> event_type),
+        |vers AS (
+        |  SELECT user_id, event_type AS attr,
+        |         epoch_us(ts) AS v_start_us,
+        |         CAST(COALESCE(epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - 1,
+        |                       (SELECT MAX(epoch_us(ts)) FROM events)) AS BIGINT) AS v_end_us,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
+        |  FROM s
+        |),
+        |ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |sess0 AS (
+        |  SELECT user_id, us,
+        |         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        |  FROM flagged
+        |),
+        |sessions AS (
+        |  SELECT user_id, session_id, MIN(us) AS first_us, MAX(us) AS last_us
+        |  FROM sess0 GROUP BY user_id, session_id
+        |)
+        |SELECT v.user_id, v.attr, v.version, x.session_id,
+        |       CAST(GREATEST(v.v_start_us, x.first_us) AS BIGINT) AS ov_start_us,
+        |       CAST(LEAST(v.v_end_us, x.last_us) AS BIGINT) AS ov_end_us
+        |FROM vers v JOIN sessions x ON v.user_id = x.user_id
+        |  AND v.v_start_us <= x.last_us AND x.first_us <= v.v_end_us
+        |ORDER BY v.user_id, version, session_id""".stripMargin,
+
     // Mirrors Graphs.triangleCounts over Dedup.rareShingleEdges: df-2..3
     // shared-shingle edges, degree orientation via tuple compare, wedge
     // closure probe, per-node counts, ppm coefficients.
@@ -4161,6 +4214,29 @@ object SparkEntry {
     * aligned pass provably misses and the dense-window pass catches.
     * doc_id < 150 keeps the DuckDB window replay tractable.
     */
+  /** 30-minute-gap sessionization of the event stream (q11's computation,
+    * shared with q148's interval join): one `user_id` exchange, the gap
+    * flag / running session id / aggregate all on the same window spec.
+    */
+  private def batchSessions(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn(
+        "new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(run).cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"))
+      .withColumn("duration_us", col("last_us") - col("first_us"))
+  }
+
   private def shiftedBoilerplateCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .filter(col("doc_id") < 150).select("doc_id", "text")

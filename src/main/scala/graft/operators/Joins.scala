@@ -128,4 +128,55 @@ object Joins {
       .filter(col(pointTime) >= col(startCol) && col(pointTime) <= col(endCol))
       .drop("_b")
   }
+
+  /** Interval-overlap join: every (left, right) interval pair with the
+    * same key and `[leftStart, leftEnd] ∩ [rightStart, rightEnd] ≠ ∅`
+    * (inclusive ends, integral time units) — the temporal join
+    * [[rangeJoin]] doesn't cover (its probe side is points). The
+    * warehouse use is version × activity attribution: which SCD2
+    * attribute versions ([[graft.operators.Timeseries.scd2Intervals]])
+    * were in effect during each session, which experiment windows touch
+    * which incident windows.
+    *
+    * Plan: both sides replicate to the `bucketWidth`-sized time buckets
+    * they cover and equi-join on (keys, bucket) + the exact overlap
+    * predicate — never an inequality join's per-key cross product. An
+    * overlapping pair would meet in EVERY bucket both cover, so the join
+    * keeps only the bucket containing `greatest(leftStart, rightStart)`
+    * (the overlap's first instant — both intervals cover it by
+    * definition): exactly one surviving copy per pair, no dedup shuffle.
+    * Replication factor is `len/bucketWidth + 1` per row — pick
+    * `bucketWidth` near the typical interval length; long-tail intervals
+    * cost proportionally more copies, never a blow-up.
+    *
+    * Column names (other than `keys`) must be disjoint between the two
+    * inputs; output is every left column + every right column.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftStart: String,
+      leftEnd: String,
+      rightStart: String,
+      rightEnd: String,
+      bucketWidth: Long): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(
+      !(left.columns ++ right.columns).contains("_b"),
+      "intervalJoin reserves the column name _b")
+    def buckets(df: DataFrame, s: String, e: String): DataFrame = df
+      .filter(col(e) >= col(s))
+      .withColumn(
+        "_b",
+        explode(sequence(
+          expr(s"`$s` DIV ${bucketWidth}L"),
+          expr(s"`$e` DIV ${bucketWidth}L"))))
+    buckets(left, leftStart, leftEnd)
+      .join(buckets(right, rightStart, rightEnd), keys :+ "_b")
+      .filter(col(leftStart) <= col(rightEnd) && col(rightStart) <= col(leftEnd))
+      .filter(
+        expr(s"greatest(`$leftStart`, `$rightStart`) DIV ${bucketWidth}L") === col("_b"))
+      .drop("_b")
+  }
 }

@@ -118,4 +118,37 @@ class JoinsSpec extends SparkSpec {
     assert(!rngPlan.contains("BroadcastNestedLoopJoin") && !rngPlan.contains("CartesianProduct"),
       s"range join regressed to an inequality join:\n$rngPlan")
   }
+
+  test("intervalJoin: inclusive overlap, one copy per multi-bucket pair, key isolation") {
+    val l = Seq(
+      (1L, 0L, 25L, "a"),   // spans buckets 0-2 at width 10
+      (1L, 30L, 40L, "b"),
+      (2L, 0L, 100L, "c"))  // other key — must never pair with key 1
+      .toDF("key", "ls", "le", "lid")
+    val r = Seq(
+      (1L, 5L, 35L, "x"),   // overlaps a (in 3 shared buckets) AND b
+      (1L, 25L, 25L, "y"),  // touches a exactly at its endpoint — inclusive
+      (1L, 41L, 50L, "z"))  // adjacent to b but disjoint (41 > 40)
+      .toDF("key", "rs", "re", "rid")
+    val out = Joins.intervalJoin(l, r, Seq("key"), "ls", "le", "rs", "re", 10L)
+      .collect().map(x => (x.getAs[String]("lid"), x.getAs[String]("rid")))
+    // A pair sharing several buckets must appear exactly ONCE.
+    assert(out.sorted.toSeq === Seq(("a", "x"), ("a", "y"), ("b", "x")))
+  }
+
+  test("intervalJoin equals the naive inequality join on pseudo-random intervals") {
+    def h(i: Long, salt: Long) = math.abs((i * 2654435761L + salt) % 97L)
+    val l = (0L until 150L).map(i => (i % 5L, h(i, 1), h(i, 1) + h(i, 7) % 20L, i))
+      .toDF("key", "ls", "le", "lid")
+    val r = (0L until 150L).map(i => (i % 5L, h(i, 3), h(i, 3) + h(i, 11) % 20L, i))
+      .toDF("key", "rs", "re", "rid")
+    val fast = Joins.intervalJoin(l, r, Seq("key"), "ls", "le", "rs", "re", 8L)
+      .collect().map(x => (x.getAs[Long]("lid"), x.getAs[Long]("rid"))).sorted.toSeq
+    val naive = l.as("l").join(r.as("r"),
+        col("l.key") === col("r.key") &&
+          col("l.ls") <= col("r.re") && col("r.rs") <= col("l.le"))
+      .collect().map(x => (x.getAs[Long]("lid"), x.getAs[Long]("rid"))).sorted.toSeq
+    assert(fast === naive)
+    assert(fast.nonEmpty, "differential fixture must actually produce overlaps")
+  }
 }
