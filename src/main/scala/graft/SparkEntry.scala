@@ -972,6 +972,17 @@ object SparkEntry {
         .withColumnRenamed("grp", "day")
         .orderBy("day")),
 
+    // Reliability-diagram calibration bins for `value` predicting
+    // purchases — q130's AUC says the score ORDERS labels; this says
+    // whether its magnitude is honest. Exact-integer cells (ppm rate,
+    // centi mean) over 10 equal-width bins.
+    "q149_calibration_bins" -> ((s, dir) =>
+      Stats.calibrationBins(
+          Tables.events(s, dir),
+          col("value"),
+          col("event_type") === "purchase")
+        .orderBy("bin")),
+
     // DSIR-style importance weights vs the src0 target domain:
     // whole-bit unigram log-likelihood ratio, BIGINT end to end.
     "q131_importance_weights" -> ((s, dir) =>
@@ -3073,6 +3084,26 @@ object SparkEntry {
         |       (LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
         |FROM s
         |ORDER BY user_id, version""".stripMargin,
+
+    // Mirrors Stats.calibrationBins: q77's round(s*100) BIGINT decimal
+    // bridge, equal-width binning by floor division, exact ppm/centi
+    // cells.
+    "q149_calibration_bins" ->
+      """WITH v AS (
+        |  SELECT CAST(round(value * 100, 0) AS BIGINT) AS s_centi,
+        |         (event_type = 'purchase') AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |),
+        |ext AS (SELECT MIN(s_centi) AS lo, MAX(s_centi) AS hi FROM v)
+        |SELECT CAST(LEAST(9, (10 * (v.s_centi - e.lo)) // (e.hi - e.lo + 1)) AS INT) AS bin,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |       CAST(SUM(s_centi) AS BIGINT) AS sum_score_centi,
+        |       CAST((1000000 * SUM(CASE WHEN y THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS pos_rate_ppm,
+        |       CAST(SUM(s_centi) // COUNT(*) AS BIGINT) AS mean_score_centi
+        |FROM v CROSS JOIN ext e
+        |GROUP BY 1
+        |ORDER BY bin""".stripMargin,
 
     // q148's oracle is the NAIVE interval-overlap inequality join over
     // the same SCD2-version and session CTEs (q146 + q11 verbatim) — the

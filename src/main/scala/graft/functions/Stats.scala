@@ -263,4 +263,47 @@ object Stats {
         col("grp"), col("n_pos"), col("n_neg"),
         col("concordant"), col("tied"), col("auc"))
   }
+
+  /** Calibration (reliability-diagram) bins — the eval-side complement to
+    * [[groupAuc]]: AUC says whether a score ORDERS the labels, this says
+    * whether its MAGNITUDE means what it claims (a quality classifier
+    * whose 0.9-bucket is only 60% positive needs recalibration before
+    * its scores gate a corpus). Scores land in `bins` equal-WIDTH bins
+    * over the observed range (the standard reliability-diagram binning —
+    * no global sort, unlike equal-count ntiles); each bin reports exact
+    * BIGINT counts, the empirical positive rate in ppm, and the mean
+    * score in centi-units — both via floor division, so every cell is
+    * engine-bit-identical. Scores quantize at two decimals through the
+    * round(s·100) BIGINT path (q77's proven decimal bridge); a
+    * degenerate lo == hi range puts everything in bin 0.
+    *
+    * Scale: one scalar extremes aggregate broadcast back, then ONE
+    * map-side-combined groupBy over ≤ `bins` groups — the corpus is
+    * scanned twice and never reshuffled beyond the bin-count-sized agg.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bins=$bins out of range [2, 1000]")
+    val v = df
+      .select(score.cast("double").as("s"), label.cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .withColumn("s_centi", round(col("s") * 100, 0).cast("long"))
+    val ext = v.agg(min(col("s_centi")).as("lo"), max(col("s_centi")).as("hi"))
+    v.crossJoin(broadcast(ext))
+      .withColumn(
+        "bin",
+        least(
+          lit(bins - 1L),
+          expr(s"(($bins * (s_centi - lo)) div (hi - lo + 1))")).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+        sum(col("s_centi")).as("sum_score_centi"))
+      .withColumn("pos_rate_ppm", expr("(1000000 * n_pos) div n"))
+      .withColumn("mean_score_centi", expr("sum_score_centi div n"))
+  }
 }

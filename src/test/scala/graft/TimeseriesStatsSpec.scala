@@ -313,6 +313,28 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(out("h").getAs[Double]("auc") === 0.75)
   }
 
+  test("calibrationBins: exact ppm rates and centi means per equal-width bin") {
+    val df = Seq((0.0, false), (0.1, false), (0.9, true), (1.0, true))
+      .toDF("s", "y")
+    val out = Stats.calibrationBins(df, col("s"), col("y"), bins = 2)
+      .collect().map(r => r.getAs[Int]("bin") -> r).toMap
+    // centi range [0, 100], width formula (2·(s−lo)) div 101.
+    assert(out(0).getAs[Long]("n") === 2L)
+    assert(out(0).getAs[Long]("pos_rate_ppm") === 0L)
+    assert(out(0).getAs[Long]("mean_score_centi") === 5L)   // (0+10) div 2
+    assert(out(1).getAs[Long]("n_pos") === 2L)
+    assert(out(1).getAs[Long]("pos_rate_ppm") === 1000000L)
+    assert(out(1).getAs[Long]("mean_score_centi") === 95L)  // (90+100) div 2
+  }
+
+  test("calibrationBins: a degenerate single-score range lands in bin 0") {
+    val df = Seq((0.5, true), (0.5, false), (0.5, true)).toDF("s", "y")
+    val out = Stats.calibrationBins(df, col("s"), col("y")).collect()
+    assert(out.length === 1)
+    assert(out(0).getAs[Int]("bin") === 0)
+    assert(out(0).getAs[Long]("pos_rate_ppm") === 666666L) // (2e6) div 3
+  }
+
   test("scd2Intervals collapses runs, chains validity, ties on event_id") {
     def us(s: String): Long = ts(s).getTime * 1000L
     val ev = Seq(
