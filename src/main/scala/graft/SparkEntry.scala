@@ -1111,7 +1111,11 @@ object SparkEntry {
           col("user_id"), col("attr"), col("version"),
           col("valid_from_us").as("v_start_us"),
           // Half-open [from, to) → inclusive end; the open tail runs to
-          // the corpus horizon.
+          // the corpus horizon. A same-timestamp change run yields an
+          // EMPTY version ([T, T) → end T−1 < start T): it was never in
+          // effect and matches nothing — intervalJoin's end ≥ start
+          // guard drops it, and the oracle's vers CTE filters the same
+          // rows so the lossless claim stays exact.
           when(col("valid_to_us") === -1L, col("max_us"))
             .otherwise(col("valid_to_us") - 1L).as("v_end_us"))
       val sessions = batchSessions(s, dir)
@@ -3063,7 +3067,7 @@ object SparkEntry {
         |)
         |SELECT c_nationkey, c_mktsegment, CAST(COUNT(*) AS BIGINT) AS cnt,
         |       CAST(COUNT(DISTINCT sens) AS BIGINT) AS l_diversity,
-        |       (COUNT(*) < 5 OR COUNT(DISTINCT sens) = 1) AS at_risk
+        |       (COUNT(*) < 5 OR COUNT(DISTINCT sens) <= 1) AS at_risk
         |FROM t GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
 
@@ -3100,7 +3104,7 @@ object SparkEntry {
         |       CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
         |       CAST(SUM(s_centi) AS BIGINT) AS sum_score_centi,
         |       CAST((1000000 * SUM(CASE WHEN y THEN 1 ELSE 0 END)) // COUNT(*) AS BIGINT) AS pos_rate_ppm,
-        |       CAST(SUM(s_centi) // COUNT(*) AS BIGINT) AS mean_score_centi
+        |       CAST(MIN(e.lo) + (SUM(s_centi) - COUNT(*) * MIN(e.lo)) // COUNT(*) AS BIGINT) AS mean_score_centi
         |FROM v CROSS JOIN ext e
         |GROUP BY 1
         |ORDER BY bin""".stripMargin,
@@ -3115,7 +3119,7 @@ object SparkEntry {
         |  FROM events
         |),
         |s AS (SELECT * FROM runs WHERE prev IS NULL OR prev <> event_type),
-        |vers AS (
+        |vers0 AS (
         |  SELECT user_id, event_type AS attr,
         |         epoch_us(ts) AS v_start_us,
         |         CAST(COALESCE(epoch_us(LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) - 1,
@@ -3123,6 +3127,7 @@ object SparkEntry {
         |         CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS version
         |  FROM s
         |),
+        |vers AS (SELECT * FROM vers0 WHERE v_end_us >= v_start_us),
         |ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |flagged AS (
         |  SELECT user_id, event_id, us,
@@ -4240,11 +4245,6 @@ object SparkEntry {
         |FROM k GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin
 
-  /** q101/q123's synthetic corpus: each base document twice, its
-    * boilerplate shifted by different prefix lengths — the fixture the
-    * aligned pass provably misses and the dense-window pass catches.
-    * doc_id < 150 keeps the DuckDB window replay tractable.
-    */
   /** 30-minute-gap sessionization of the event stream (q11's computation,
     * shared with q148's interval join): one `user_id` exchange, the gap
     * flag / running session id / aggregate all on the same window spec.
@@ -4268,6 +4268,11 @@ object SparkEntry {
       .withColumn("duration_us", col("last_us") - col("first_us"))
   }
 
+  /** q101/q123's synthetic corpus: each base document twice, its
+    * boilerplate shifted by different prefix lengths — the fixture the
+    * aligned pass provably misses and the dense-window pass catches.
+    * doc_id < 150 keeps the DuckDB window replay tractable.
+    */
   private def shiftedBoilerplateCorpus(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.documents(s, dir)
       .filter(col("doc_id") < 150).select("doc_id", "text")

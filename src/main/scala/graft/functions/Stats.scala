@@ -302,8 +302,16 @@ object Stats {
       .agg(
         count(lit(1)).as("n"),
         sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
-        sum(col("s_centi")).as("sum_score_centi"))
+        sum(col("s_centi")).as("sum_score_centi"),
+        min(col("lo")).as("lo"))
       .withColumn("pos_rate_ppm", expr("(1000000 * n_pos) div n"))
-      .withColumn("mean_score_centi", expr("sum_score_centi div n"))
+      // Mean via the lo-shift so the division operand is NONNEGATIVE even
+      // for signed scores (logits): Spark `div` truncates toward zero,
+      // DuckDB `//` floors — they only agree above zero, and
+      // `lo + floor(Σ(s−lo)/n)` is the exact floor of the mean.
+      .withColumn(
+        "mean_score_centi",
+        expr("lo + ((sum_score_centi - n * lo) div n)"))
+      .drop("lo")
   }
 }

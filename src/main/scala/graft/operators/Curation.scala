@@ -952,7 +952,7 @@ object Curation {
     *
     * One row per quasi-identifier group: member count, distinct sensitive
     * values (`l_diversity`), and the `at_risk` verdict
-    * `cnt < k OR l_diversity == 1`. The caller suppresses or generalizes
+    * `cnt < k OR l_diversity <= 1`. The caller suppresses or generalizes
     * flagged groups; returning ALL groups (not just flagged ones) keeps
     * the suppression-rate denominator in the result.
     *
@@ -973,6 +973,9 @@ object Curation {
       .agg(
         count(lit(1)).as("cnt"),
         countDistinct(sensitive).as("l_diversity"))
-      .withColumn("at_risk", col("cnt") < k || col("l_diversity") === 1L)
+      // <= 1, not == 1: countDistinct ignores NULLs, so an all-NULL
+      // sensitive column yields l_diversity = 0 — still maximally
+      // homogeneous (every member shares "unknown") and still at risk.
+      .withColumn("at_risk", col("cnt") < k || col("l_diversity") <= 1L)
   }
 }

@@ -561,7 +561,11 @@ class CurationSpec extends SparkSpec {
         // g2: 3 members, diverse — still at risk (cnt < k).
         (1 to 3).map(i => ("g2", if (i == 1) "x" else "y")) ++
         // g3: 7 members, ALL the same sensitive value → homogeneity risk.
-        (1 to 7).map(_ => ("g3", "x"))
+        (1 to 7).map(_ => ("g3", "x")) ++
+        // g4: 6 members, sensitive entirely NULL — l_diversity counts 0
+        // distinct values but the group is still homogeneous ("unknown"
+        // for everyone) and must flag.
+        (1 to 6).map(_ => ("g4", null: String))
     val df = rows.toDF("q", "sens")
     val out = Curation.kAnonymityAudit(df, Seq(col("q")), col("sens"))
       .collect().map(r => r.getAs[String]("q") -> r).toMap
@@ -573,5 +577,7 @@ class CurationSpec extends SparkSpec {
     assert(out("g3").getAs[Long]("cnt") === 7L)
     assert(out("g3").getAs[Long]("l_diversity") === 1L)
     assert(out("g3").getAs[Boolean]("at_risk"), "homogeneous sensitive value")
+    assert(out("g4").getAs[Long]("l_diversity") === 0L)
+    assert(out("g4").getAs[Boolean]("at_risk"), "all-NULL sensitive is homogeneous")
   }
 }

@@ -123,6 +123,7 @@ class JoinsSpec extends SparkSpec {
     val l = Seq(
       (1L, 0L, 25L, "a"),   // spans buckets 0-2 at width 10
       (1L, 30L, 40L, "b"),
+      (1L, 50L, 49L, "w"),  // inverted (empty) interval — matches nothing
       (2L, 0L, 100L, "c"))  // other key — must never pair with key 1
       .toDF("key", "ls", "le", "lid")
     val r = Seq(
