@@ -140,4 +140,41 @@ class GraphStatsPropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("triangleCounts equals brute-force triangle enumeration for any graph") {
+    val edgeGen = for {
+      m <- Gen.choose(1, 25)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L)
+      } yield (a, b))
+    } yield edges
+    check("triangles-vs-brute-force", Prop.forAll(edgeGen) { edges =>
+      val und = edges.map { case (a, b) => (a min b, a max b) }
+        .filter(e => e._1 != e._2).distinct
+      if (und.isEmpty)
+        Prop(Graphs.triangleCounts(edges.toDF("src", "dst")).count() == 0)
+      else {
+        val adj = (und ++ und.map(_.swap)).groupBy(_._1)
+          .map { case (k, v) => k -> v.map(_._2).toSet }
+        val nodes = adj.keys.toSeq
+        // Brute force: enumerate every vertex triple once (i < j < k).
+        val triPerNode = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+        for {
+          Seq(i, j, k) <- nodes.sorted.combinations(3)
+          if adj(i)(j) && adj(j)(k) && adj(i)(k)
+        } Seq(i, j, k).foreach(v => triPerNode(v) += 1L)
+        val expected = nodes.map { v =>
+          val d = adj(v).size.toLong
+          val t = triPerNode(v)
+          val c = if (d >= 2) 2000000L * t / (d * (d - 1)) else 0L
+          v -> ((d, t, c))
+        }.toMap
+        val got = Graphs.triangleCounts(edges.toDF("src", "dst")).collect()
+          .map(x => x.getAs[Long]("id") -> ((
+            x.getAs[Long]("deg"), x.getAs[Long]("triangles"),
+            x.getAs[Long]("coeff_ppm")))).toMap
+        Prop(got == expected) :| s"got=$got expected=$expected"
+      }
+    })
+  }
 }
