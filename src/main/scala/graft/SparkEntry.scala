@@ -4246,27 +4246,11 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin
 
   /** 30-minute-gap sessionization of the event stream (q11's computation,
-    * shared with q148's interval join): one `user_id` exchange, the gap
-    * flag / running session id / aggregate all on the same window spec.
+    * shared with q148's interval join) — [[Timeseries.sessionize]] over
+    * the events table at its default gap.
     */
-  private def batchSessions(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
-    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-    val run = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev
-      .withColumn(
-        "new_sess",
-        when(col("us") - lag(col("us"), 1).over(w) > 1800L * 1000000L, 1).otherwise(0))
-      .withColumn("session_id", sum(col("new_sess")).over(run).cast("int"))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        min(col("us")).as("first_us"),
-        max(col("us")).as("last_us"))
-      .withColumn("duration_us", col("last_us") - col("first_us"))
-  }
+  private def batchSessions(s: SparkSession, dir: String): DataFrame =
+    Timeseries.sessionize(Tables.events(s, dir))
 
   /** q101/q123's synthetic corpus: each base document twice, its
     * boilerplate shifted by different prefix lengths — the fixture the

@@ -293,11 +293,18 @@ object Stats {
       .withColumn("s_centi", round(col("s") * 100, 0).cast("long"))
     val ext = v.agg(min(col("s_centi")).as("lo"), max(col("s_centi")).as("hi"))
     v.crossJoin(broadcast(ext))
+      // Clamped on BOTH ends: the top via least() (s_centi == hi lands in
+      // bins-1, not bins), the bottom via greatest() so a source that
+      // mutates between the two scans (extremes, then binning) can at
+      // worst misbin — never emit a negative bin row the oracle's
+      // deterministic replay would not have.
       .withColumn(
         "bin",
-        least(
-          lit(bins - 1L),
-          expr(s"(($bins * (s_centi - lo)) div (hi - lo + 1))")).cast("int"))
+        greatest(
+          lit(0L),
+          least(
+            lit(bins - 1L),
+            expr(s"(($bins * (s_centi - lo)) div (hi - lo + 1))"))).cast("int"))
       .groupBy(col("bin"))
       .agg(
         count(lit(1)).as("n"),

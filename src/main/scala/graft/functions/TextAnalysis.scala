@@ -870,8 +870,17 @@ object TextAnalysis {
       .filter(col("doc_id") =!= col("query_id"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(tot))
+      // Headroom guard before the product: 22·tf·a10·scale must fit in
+      // BIGINT. The check uses ONLY divisions (cannot itself overflow)
+      // and raises a named error instead of relying on ANSI's generic
+      // overflow exception — tf ≈ 4·10^17/(a10·scale) is a degenerate
+      // document (~10^10 tokens at default scale), so the branch is
+      // never taken on real corpora and costs one compare per posting.
       .withColumn("contrib", expr(
-        s"idf_bits * ((22 * tf * a10 * $scale) div (10 * tf * a10 + 3 * a10 + 90 * dl))"))
+        s"CASE WHEN tf > ((9223372036854775807 div ${scale}L) div a10) div 22 " +
+        "THEN CAST(raise_error('bm25MoreLikeThis: 22*tf*a10*scale exceeds BIGINT " +
+        "headroom; lower `scale` for this corpus') AS BIGINT) " +
+        s"ELSE idf_bits * ((22 * tf * a10 * $scale) div (10 * tf * a10 + 3 * a10 + 90 * dl)) END"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("contrib")).as("score"), count(lit(1)).as("matched"))
       .withColumn("rnk", row_number().over(w))

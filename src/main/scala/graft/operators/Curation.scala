@@ -121,13 +121,34 @@ object Curation {
     * text never leaves its partition. Output keeps the incoming schema
     * plus the digest (for appending to the reference's hash index).
     */
-  def dedupAgainst(incoming: DataFrame, reference: DataFrame): DataFrame = {
-    def hashed(df: DataFrame) = TextAnalysis.spread(df)
-      .withColumn("content_hash", md5(normalizedTextCol(col("text"))))
-    hashed(incoming).join(
-      hashed(reference).select("content_hash").distinct(),
-      Seq("content_hash"), "left_anti")
+  def dedupAgainst(incoming: DataFrame, reference: DataFrame): DataFrame =
+    dedupAgainstHashes(incoming, contentHashIndex(reference))
+
+  /** The reference side of [[dedupAgainst]] as a standalone index: the
+    * distinct normalized-content digests of a corpus. This is the kept
+    * representation an INCREMENTAL pipeline maintains (persist once,
+    * append each admitted delta's digests, reuse every snapshot) instead
+    * of re-hashing the full kept text per round — the exact-dedup twin
+    * of [[Dedup.signatureDigestIndex]]. 16 bytes per kept document.
+    */
+  def contentHashIndex(reference: DataFrame, dedupe: Boolean = true): DataFrame = {
+    val hashes = TextAnalysis.spread(reference)
+      .select(md5(normalizedTextCol(col("text"))).as("content_hash"))
+    // `dedupe = false` skips the distinct's shuffle — correct wherever
+    // the index feeds [[dedupAgainstHashes]] (anti-join semantics
+    // tolerate duplicate digests); incremental appenders use it for
+    // per-delta slices that are duplicate-free in practice.
+    if (dedupe) hashes.distinct() else hashes
   }
+
+  /** [[dedupAgainst]] against a prebuilt [[contentHashIndex]]: the kept
+    * corpus never re-hashes (only `incoming` is scanned). Duplicate
+    * digests in `referenceHashes` are tolerated (anti-join semantics).
+    */
+  def dedupAgainstHashes(incoming: DataFrame, referenceHashes: DataFrame): DataFrame =
+    TextAnalysis.spread(incoming)
+      .withColumn("content_hash", md5(normalizedTextCol(col("text"))))
+      .join(referenceHashes.select("content_hash"), Seq("content_hash"), "left_anti")
 
   /** Deterministic stratified sampling: keep ~`pct`% of documents per
     * `source`, chosen by content-independent key hash — every engine and
@@ -346,11 +367,16 @@ object Curation {
       kept: DataFrame,
       snapshot: DataFrame,
       minJaccard: Double = 0.75,
-      keptSignatures: Option[DataFrame] = None): DataFrame = {
-    val novel = novelCandidates(kept, snapshot)
+      keptSignatures: Option[DataFrame] = None,
+      keptHashes: Option[DataFrame] = None,
+      snapshotBounded: Boolean = false): DataFrame = {
+    val novel = novelCandidates(kept, snapshot, keptHashes)
     val survivors = Dedup.nearDupAgainst(
-      kept, novel, minJaccard = minJaccard, keptSignatures = keptSignatures)
-    novel.join(survivors, Seq("doc_id"), "left_semi")
+      kept, novel, minJaccard = minJaccard, keptSignatures = keptSignatures,
+      snapshotBounded = snapshotBounded)
+    novel.join(
+      if (snapshotBounded) broadcast(survivors) else survivors,
+      Seq("doc_id"), "left_semi")
   }
 
   /** [[admitSnapshot]] as a cache-lifecycle bracket
@@ -364,22 +390,39 @@ object Curation {
       kept: DataFrame,
       snapshot: DataFrame,
       minJaccard: Double = 0.75,
-      keptSignatures: Option[DataFrame] = None)(f: DataFrame => T): T = {
-    val novel = novelCandidates(kept, snapshot)
-    Dedup.withNearDupAgainst(
-      kept, novel, minJaccard = minJaccard, keptSignatures = keptSignatures) { survivors =>
-      f(novel.join(survivors, Seq("doc_id"), "left_semi"))
-    }
+      keptSignatures: Option[DataFrame] = None,
+      keptHashes: Option[DataFrame] = None,
+      snapshotBounded: Boolean = false)(f: DataFrame => T): T = {
+    // `novel` feeds BOTH the near-dup index build and the final
+    // semi-join — persist it for the bracket so the quality-filter +
+    // exact-dedup front half runs once, not once per consumer.
+    val novel = novelCandidates(kept, snapshot, keptHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      Dedup.withNearDupAgainst(
+        kept, novel, minJaccard = minJaccard, keptSignatures = keptSignatures,
+        snapshotBounded = snapshotBounded) { survivors =>
+        f(novel.join(
+          if (snapshotBounded) broadcast(survivors) else survivors,
+          Seq("doc_id"), "left_semi"))
+      }
+    } finally { novel.unpersist(); () }
   }
 
   /** Shared front half of the admission: quality-passing snapshot rows
-    * whose normalized content hash is not already kept.
+    * whose normalized content hash is not already kept. With a
+    * caller-maintained `keptHashes` ([[contentHashIndex]] shape) the
+    * kept text is never read — the incremental path.
     */
-  private def novelCandidates(kept: DataFrame, snapshot: DataFrame): DataFrame = {
+  private def novelCandidates(
+      kept: DataFrame,
+      snapshot: DataFrame,
+      keptHashes: Option[DataFrame] = None): DataFrame = {
     val quality = TextAnalysis.qualityFilter(snapshot)
       .filter(col("keep")).select("doc_id")
     val qualified = snapshot.join(quality, Seq("doc_id"), "left_semi")
-    dedupAgainst(qualified, kept).drop("content_hash")
+    dedupAgainstHashes(qualified, keptHashes.getOrElse(contentHashIndex(kept)))
+      .drop("content_hash")
   }
 
   /** Temperature-weighted mixture allocation at α = 0.5 — the classic

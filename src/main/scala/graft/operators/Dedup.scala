@@ -491,9 +491,10 @@ object Dedup {
       minSigAgreement: Double = 0.75,
       keptSignatures: Option[DataFrame] = None,
       exactVerify: Boolean = true,
-      minJaccard: Double = 0.75): DataFrame =
+      minJaccard: Double = 0.75,
+      snapshotBounded: Boolean = false): DataFrame =
     nearDupAgainstPlan(kept, snapshot, k, numHashes, numBands, minSigAgreement,
-      keptSignatures, exactVerify, minJaccard)._1
+      keptSignatures, exactVerify, minJaccard, snapshotBounded)._1
 
   /** [[nearDupAgainst]] as a caller-owned-lifecycle bracket: runs the
     * action `f` over the survivors frame, then unpersists every index
@@ -510,9 +511,11 @@ object Dedup {
       minSigAgreement: Double = 0.75,
       keptSignatures: Option[DataFrame] = None,
       exactVerify: Boolean = true,
-      minJaccard: Double = 0.75)(f: DataFrame => T): T = {
+      minJaccard: Double = 0.75,
+      snapshotBounded: Boolean = false)(f: DataFrame => T): T = {
     val (result, cached) = nearDupAgainstPlan(kept, snapshot, k, numHashes,
-      numBands, minSigAgreement, keptSignatures, exactVerify, minJaccard)
+      numBands, minSigAgreement, keptSignatures, exactVerify, minJaccard,
+      snapshotBounded)
     try f(result) finally cached.foreach(_.unpersist())
   }
 
@@ -525,7 +528,17 @@ object Dedup {
       minSigAgreement: Double,
       keptSignatures: Option[DataFrame],
       exactVerify: Boolean,
-      minJaccard: Double): (DataFrame, Seq[DataFrame]) = {
+      minJaccard: Double,
+      snapshotBounded: Boolean): (DataFrame, Seq[DataFrame]) = {
+    // `snapshotBounded`: the snapshot is bounded-small by construction
+    // (a streaming micro-batch, a per-trigger delta) — hint every
+    // snapshot-derived side into a BROADCAST so the kept index NEVER
+    // shuffles: band probe and verification run as map-side joins over
+    // the (persisted) kept index partitions. This is the steady-state
+    // incremental shape at 100 TB kept; leave false when the snapshot
+    // is a full crawl (both sides large, shuffle co-partitioning wins).
+    def bounded(df: DataFrame): DataFrame =
+      if (snapshotBounded) broadcast(df) else df
     def index(df: DataFrame) =
       if (exactVerify) signatureDigestIndex(df, k, numHashes)
       else signatureArrays(df, k, numHashes)
@@ -536,7 +549,7 @@ object Dedup {
     val ownedCaches = (if (keptSignatures.isEmpty) Seq(keptArr) else Nil) :+ snapArr
     val keptBands = bandsFromArrays(keptArr.select("doc_id", "sigs"), numHashes, numBands)
       .select(col("band"), col("band_sig"), col("doc_id").as("kept_doc"))
-    val cands = bandsFromArrays(snapArr.select("doc_id", "sigs"), numHashes, numBands)
+    val cands = bounded(bandsFromArrays(snapArr.select("doc_id", "sigs"), numHashes, numBands))
       .join(keptBands, Seq("band", "band_sig"))
       .select(col("doc_id").as("new_doc"), col("kept_doc"))
       .distinct()
@@ -545,11 +558,11 @@ object Dedup {
       // re-shingling both texts (up to md5-collision odds ~n²/2⁶⁰), but
       // the kept side stays an index: no text ever moves.
       val nCommon = size(array_intersect(col("shl_a"), col("shl_b"))).cast("long")
-      cands
+      bounded(cands
         .join(
           snapArr.select(
             col("doc_id").as("new_doc"), col("shl").as("shl_a"), col("n_sh").as("n_a")),
-          Seq("new_doc"))
+          Seq("new_doc")))
         .join(
           keptArr.select(
             col("doc_id").as("kept_doc"), col("shl").as("shl_b"), col("n_sh").as("n_b")),
@@ -566,14 +579,14 @@ object Dedup {
       val nAgree = aggregate(
         zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
         lit(0), (acc, v) => acc + v)
-      cands
-        .join(snapArr.select(col("doc_id").as("new_doc"), col("sigs").as("sig_a")), Seq("new_doc"))
+      bounded(cands
+        .join(snapArr.select(col("doc_id").as("new_doc"), col("sigs").as("sig_a")), Seq("new_doc")))
         .join(keptArr.select(col("doc_id").as("kept_doc"), col("sigs").as("sig_b")), Seq("kept_doc"))
         .filter(nAgree >= minAgree)
     })
       .select(col("new_doc").as("doc_id"))
       .distinct()
-    (snapshot.select(col("doc_id")).join(dropped, Seq("doc_id"), "left_anti"),
+    (snapshot.select(col("doc_id")).join(bounded(dropped), Seq("doc_id"), "left_anti"),
       ownedCaches)
   }
 

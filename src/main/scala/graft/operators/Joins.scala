@@ -147,7 +147,15 @@ object Joins {
     * definition): exactly one surviving copy per pair, no dedup shuffle.
     * Replication factor is `len/bucketWidth + 1` per row — pick
     * `bucketWidth` near the typical interval length; long-tail intervals
-    * cost proportionally more copies, never a blow-up.
+    * cost proportionally more copies, never a blow-up. That factor (and
+    * the bucket arithmetic's alignment) assumes NONNEGATIVE time
+    * coordinates: `DIV` truncates toward zero, so bucket 0 would span
+    * `(-bucketWidth, bucketWidth)` — twice the width — for data
+    * straddling the epoch. Results stay correct for negative inputs
+    * (truncation is monotone, so the covered-bucket ranges and the
+    * `greatest(starts)` survival bucket still agree); only the stated
+    * replication bound degrades around zero. Epoch-microsecond inputs
+    * (every caller here) are in-domain.
     *
     * Column names (other than `keys`) must be disjoint between the two
     * inputs; output is every left column + every right column.

@@ -285,6 +285,13 @@ object Timeseries {
     * (open) version: a sentinel rather than NULL keeps the column BIGINT
     * end to end on both engines (a NULL-able lead turns the oracle frame
     * float64, the exact dtype drift the gate is built to reject).
+    * The sentinel assumes a nonnegative-epoch domain: a pre-1970
+    * timestamp has a negative `unix_micros`, and `1969-12-31T23:59:59
+    * .999999Z` in particular yields a genuine `valid_to_us` of `-1`
+    * that would collide with the open-tail sentinel and mislabel
+    * `is_current`. All event fixtures (and any realistic ingest
+    * timeline) are post-epoch; callers with archival pre-1970 data
+    * must shift or choose a different sentinel.
     *
     * Scale: one exchange on `user_id`; the lag, the post-filter lead, and
     * the version row_number all share that partitioning (same window
@@ -308,5 +315,43 @@ object Timeseries {
         col("valid_to_us"),
         col("version"),
         (col("valid_to_us") === -1L).as("is_current"))
+  }
+
+  /** Gap sessionization: split each user's event stream into sessions
+    * wherever consecutive events are more than `gapUs` microseconds
+    * apart, then aggregate one row per (user, session) with event count
+    * and first/last/duration in microseconds. Session ids are 0-based
+    * per user in time order. This is the batch twin of
+    * [[graft.streaming.StreamingOps]]' timeout sessionization, and the
+    * session table q148's interval-overlap join runs over.
+    *
+    * Total order within a user is `(us, event_id)` — the standard
+    * deterministic tie-break — so the gap flag, the running session id,
+    * and the final aggregate are all reproducible cross-engine.
+    *
+    * Scale: ONE exchange on `user_id`; the lag window, the running-sum
+    * window, and the (user, session) aggregate all share that
+    * partitioning (the aggregate key is a prefix extension of the
+    * window key), so Catalyst plans zero additional shuffles. State per
+    * user is a single lag row — nothing accumulates — and the output is
+    * session-count-sized, far below event count at 100 TB.
+    */
+  def sessionize(events: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame = {
+    val ev = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val run = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn(
+        "new_sess",
+        when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_sess")).over(run).cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"))
+      .withColumn("duration_us", col("last_us") - col("first_us"))
   }
 }

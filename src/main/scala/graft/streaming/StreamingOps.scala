@@ -178,19 +178,36 @@ object StreamingOps {
     * admitted rows in the batch's own `batch_id=<epoch>` directory.
     *
     * The kept corpus for batch `b` is `keptInit` plus the admitted
-    * output of every batch `< b`, read back FROM THE SINK: the sink
-    * directory is both the output and the dedup state, so a batch
-    * REPLAYED after a failure (foreachBatch's at-least-once contract)
-    * recomputes against exactly the same kept set — its own prior output
-    * is excluded by the `batch_id < b` filter — and overwrites its own
-    * directory: exactly-once admission semantics with no transaction
-    * log, and the final corpus equals the batch-computed sequential
-    * admission (pinned by spec).
+    * output of every batch `< b`. AUTHORITATIVELY that set lives in the
+    * sink directory (it is both the output and the dedup state), so a
+    * batch REPLAYED after a failure (foreachBatch's at-least-once
+    * contract) recomputes against exactly the same kept set — its own
+    * prior output is excluded by the `batch_id < b` filter — and
+    * overwrites its own directory: exactly-once admission semantics
+    * with no transaction log, and the final corpus equals the
+    * batch-computed sequential admission (pinned by spec).
     *
-    * At 100 TB the re-read of prior admissions is a parquet scan of kept
-    * documents — the shape to optimize is passing a maintained
-    * signature+digest index as the kept representation; this sink is the
-    * correctness-first composition.
+    * The kept REPRESENTATION is incremental: the closure carries a
+    * persisted signature+digest index ([[graft.operators.Dedup
+    * .signatureDigestIndex]]) and content-hash index
+    * ([[graft.operators.Curation.contentHashIndex]]) across
+    * micro-batches, appending each batch's admitted delta (read back
+    * from the batch's own committed directory, so the index always
+    * reflects what the replay contract would rebuild). Kept TEXT is
+    * re-read only when the carried index cannot serve the batch —
+    * first batch of a driver lifetime, or a non-consecutive/replayed
+    * epoch after restart, where the index rebuilds from `keptInit` +
+    * the sink's `batch_id < b` partitions. This is the 100 TB shape:
+    * steady-state per-batch cost is the candidate batch's own
+    * admission shuffles, never a kept-corpus rescan. A production
+    * stream admitting unboundedly many epochs should rebase the index
+    * at compaction points ([[compactAdmissionEpochs]]) so the carried
+    * union stays shallow.
+    *
+    * The carried indexes are session caches owned by the closure; use
+    * [[corpusAdmissionSinkOwned]] to get the paired release handle (the
+    * plain overload leaves them to LRU eviction, acceptable for
+    * bounded runs).
     *
     * {{{
     * candidates.writeStream
@@ -203,7 +220,20 @@ object StreamingOps {
       keptInit: DataFrame,
       basePath: String,
       minJaccard: Double = 0.75): (DataFrame, Long) => Unit =
-    (batch: DataFrame, batchId: Long) => {
+    corpusAdmissionSinkOwned(spark, keptInit, basePath, minJaccard)._1
+
+  /** [[corpusAdmissionSink]] plus the release handle for the carried
+    * kept-index caches — call the second element after the stream
+    * stops (the bracket form long-lived drivers want).
+    */
+  def corpusAdmissionSinkOwned(
+      spark: SparkSession,
+      keptInit: DataFrame,
+      basePath: String,
+      minJaccard: Double = 0.75,
+      batchShufflePartitions: Option[Int] = None): ((DataFrame, Long) => Unit, () => Unit) = {
+    val state = new AdmissionIndexState
+    val sink = (streamBatch: DataFrame, batchId: Long) => {
       // A replayed batch at or below the compaction watermark is a
       // NO-OP: its admitted rows are final inside the base partition, and
       // recomputing would dedup the batch against its own prior output
@@ -211,28 +241,98 @@ object StreamingOps {
       // for live epochs, and what the base can no longer provide).
       val wm = epochWatermark(spark, basePath)
       if (!wm.exists(batchId <= _)) {
+        // Micro-batch plans cannot re-plan at runtime (Structured
+        // Streaming pins AQE off for the cloned execution session), so
+        // the shuffle width must be sized STATICALLY for the trigger
+        // volume — a small batch shuffling at a cluster-sized partition
+        // count pays pure task-scheduling overhead on every one of the
+        // admission DAG's exchanges. `batchShufflePartitions` scopes
+        // the width to this sink's jobs (set on both the primary and
+        // the cloned session, restored after the batch even on failure).
+        val batch = streamBatch
         val docCols = batch.columns.map(col).toSeq
-        val prior = scala.util.Try(spark.read.parquet(basePath))
-          .map { df =>
-            val withId = df.withColumn("batch_id", col("batch_id").cast("long"))
-            (wm match {
-              case Some(w) => withId.filter(
-                col("batch_id") === -(w + 1) ||
-                  (col("batch_id") > w && col("batch_id") < batchId))
-              case None => withId.filter(col("batch_id") < batchId)
-            }).select(docCols: _*)
-          }
-          .getOrElse(batch.limit(0))
-        val kept = keptInit.select(docCols: _*).unionByName(prior)
+        val prevSp = batchShufflePartitions.map { _ =>
+          (spark.conf.get("spark.sql.shuffle.partitions"),
+            streamBatch.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        }
+        batchShufflePartitions.foreach { n =>
+          spark.conf.set("spark.sql.shuffle.partitions", n.toString)
+          streamBatch.sparkSession.conf.set("spark.sql.shuffle.partitions", n.toString)
+        }
+        try {
+        if (state.coveredThrough != batchId - 1 || state.sigs.isEmpty) {
+          // Rebase: first batch of this driver lifetime, or a replay /
+          // gap the carried index cannot serve. Kept text is read ONCE
+          // here; consecutive successors ride the carried index.
+          state.release()
+          val prior = scala.util.Try(spark.read.parquet(basePath))
+            .map { df =>
+              val withId = df.withColumn("batch_id", col("batch_id").cast("long"))
+              (wm match {
+                case Some(w) => withId.filter(
+                  col("batch_id") === -(w + 1) ||
+                    (col("batch_id") > w && col("batch_id") < batchId))
+                case None => withId.filter(col("batch_id") < batchId)
+              }).select(docCols: _*)
+            }
+            .getOrElse(batch.limit(0))
+          val kept = keptInit.select(docCols: _*).unionByName(prior)
+          state.append(
+            graft.operators.Dedup.signatureDigestIndex(kept),
+            graft.operators.Curation.contentHashIndex(kept),
+            batchId - 1)
+        }
         // Bracketed admission: the write is the action, after which the
-        // per-batch near-dup index caches are released — a long-lived
-        // stream admitting thousands of micro-batches must not
-        // accumulate two session-lifetime caches per batch.
-        graft.operators.Curation.withAdmitSnapshot(kept, batch, minJaccard) { admitted =>
+        // per-batch SNAPSHOT-side index caches are released — the kept
+        // side rides the carried indexes and is never rebuilt here.
+        graft.operators.Curation.withAdmitSnapshot(
+            keptInit, batch, minJaccard,
+            keptSignatures = state.sigs, keptHashes = state.hashes,
+            snapshotBounded = true) { admitted =>
           admitted.write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+        }
+        // Extend the carried index with this batch's committed output —
+        // read back from the sink, so index contents always equal what a
+        // from-disk rebuild would produce. Delta hashes skip the
+        // distinct (anti-join tolerates duplicate digests).
+        val delta = spark.read.parquet(s"$basePath/batch_id=$batchId").select(docCols: _*)
+        state.append(
+          graft.operators.Dedup.signatureDigestIndex(delta),
+          graft.operators.Curation.contentHashIndex(delta, dedupe = false),
+          batchId)
+        } finally prevSp.foreach { case (p1, p2) =>
+          spark.conf.set("spark.sql.shuffle.partitions", p1)
+          streamBatch.sparkSession.conf.set("spark.sql.shuffle.partitions", p2)
         }
       }
     }
+    (sink, () => state.release())
+  }
+
+  /** The carried kept-corpus index of [[corpusAdmissionSink]]: lazy
+    * unions of per-epoch persisted deltas, valid for admitting epoch
+    * `coveredThrough + 1`. Driver-lifetime state only — a restarted
+    * driver starts empty and rebuilds from the sink directory, which is
+    * the authoritative state.
+    */
+  private final class AdmissionIndexState {
+    var sigs: Option[DataFrame] = None
+    var hashes: Option[DataFrame] = None
+    var coveredThrough: Long = Long.MinValue
+    private var owned: List[DataFrame] = Nil
+    def append(sigDelta: DataFrame, hashDelta: DataFrame, through: Long): Unit = {
+      val s = sigDelta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val h = hashDelta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      owned = s :: h :: owned
+      sigs = Some(sigs.fold(s)(_.unionByName(s)))
+      hashes = Some(hashes.fold(h)(_.unionByName(h)))
+      coveredThrough = through
+    }
+    def release(): Unit = {
+      owned.foreach(_.unpersist())
+      owned = Nil; sigs = None; hashes = None; coveredThrough = Long.MinValue
+    }
+  }
 
   /** Drive [[corpusAdmissionSink]] from a REAL file-source stream — the
     * batch-parity surface that puts the streaming path under the same
@@ -264,8 +364,12 @@ object StreamingOps {
       numBatches: Int = 3,
       minJaccard: Double = 0.75): DataFrame = {
     val sinkDir = java.nio.file.Files.createTempDirectory("graft_admit_sink").toString
-    streamShards(spark, candidates, "doc_id", numBatches)(
-      corpusAdmissionSink(spark, keptInit, sinkDir, minJaccard))
+    // Shard-sized micro-batches: width the admission shuffles to the
+    // batch, not the cluster default (AQE cannot do it — see the sink).
+    val (sink, release) = corpusAdmissionSinkOwned(
+      spark, keptInit, sinkDir, minJaccard, batchShufflePartitions = Some(8))
+    try streamShards(spark, candidates, "doc_id", numBatches)(sink)
+    finally release()
     spark.read.parquet(sinkDir)
   }
 
