@@ -15,6 +15,19 @@ object Bench {
     // JVM/codegen warm-up so startup cost isn't attributed to whichever
     // query happens to run first.
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Deeper warm-up, still untimed and uniform: drive one events-path
+    // and one TPC-H-join-path query through the noop sink so parquet
+    // footer reading, whole-stage codegen compilation, broadcast and
+    // window machinery are all JIT-compiled before the FIRST timed
+    // query. Without this the earliest sweep positions pay the
+    // machinery bill — the r13 front-of-sweep artifact (driver q01
+    // 1.33 s vs 0.54 s isolated, plan unchanged) that ISO_r14 pins.
+    Seq("q01_normalize_actions", "q07_revenue_by_nation").foreach { n =>
+      SparkEntry.queries.get(n).foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
     // Runs per query, env-tunable (SPARK_GRAFT_BENCH_RUNS, default 3).
     // BOTH the min-of-N vector (the stable, round-comparable headline)
     // and the first-run single-pass vector (what a cold sweep would see)

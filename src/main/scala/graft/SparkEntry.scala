@@ -615,6 +615,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Unigram-LM (SentencePiece-style) tokenizer training — the second
+    // standard subword family next to BPE: integral Viterbi-EM (seed
+    // substring weights → whole-bit surprisal costs → Viterbi segment
+    // every word type → usage re-count → prune). The oracle REPLAYS the
+    // full training in SQL — seed, both EM rounds, and every Viterbi DP
+    // position as an unrolled CTE — so any drift in seeding, costs, DP
+    // tie-breaks, or pruning hash-fails.
+    "q150_unigram_train" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.unigramTrainVocab(Tables.documents(s, dir))
+        .toDF("p", "cnt")
+        .orderBy("p")
+    }),
+
+    // Unigram encode over the whole corpus with the freshly-trained
+    // vocabulary: per-doc conservation totals + piece-stream digest
+    // (q96's surface for the second tokenizer family). The oracle
+    // re-trains AND re-segments every word type in SQL.
+    "q151_unigram_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = TextAnalysis.unigramTrainVocab(docs)
+      TextAnalysis.unigramEncodeWords(docs, vocab)
+        .withColumn("pstr", array_join(col("pieces"), "\u001f"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars_sum"),
+          sum(col("n_pieces")).as("n_pieces"),
+          md5(array_join(
+            transform(
+              sort_array(collect_list(struct(col("pos"), col("pstr")))),
+              x => x.getField("pstr")),
+            " ")).as("pieces_digest"))
+        .orderBy("doc_id")
+    }),
+
     // Temperature-weighted (α=0.5) mixture quotas — the multilingual
     // rebalance; integer sqrt weights + largest-remainder seats keep
     // every value engine-bit-identical.
@@ -3230,6 +3266,10 @@ object SparkEntry {
 
     "q96_bpe_encode" -> bpeEncodeOracle,
 
+    "q150_unigram_train" -> uniTrainOracle,
+
+    "q151_unigram_encode" -> uniEncodeOracle,
+
     "q97_uniform_sample" ->
       """WITH r AS (
         |  SELECT source, doc_id, n_chars,
@@ -4617,6 +4657,124 @@ object SparkEntry {
          |)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
+  }
+
+  /** Unigram-LM oracle parameters — mirrored by
+    * [[graft.functions.TextAnalysis.unigramTrainVocab]]'s defaults. The
+    * DP unroll bound is the max corpus word length the oracle supports
+    * (testdata words top out at 8; the engine itself is unbounded).
+    */
+  private val uniPieceLen = 4
+  private val uniSeedSize = 40
+  private val uniRounds = 2
+  private val uniVocabKeep = 24
+  private val uniMaxWordLen = 12
+
+  /** One full Viterbi DP in SQL, unrolled by prefix length: `b{tag}_i`
+    * is the best (cost, piece count, path) segmentation of each word's
+    * first `i` characters under the `costCte` piece costs, chosen by
+    * `ROW_NUMBER` over the same lexicographic key the engine minimizes;
+    * `seg{tag}` stitches the per-length winners. MATERIALIZED is
+    * load-bearing (each level references up to `uniPieceLen` previous
+    * levels — default CTE inlining would blow up exponentially).
+    */
+  private def uniDpSql(tag: String, costCte: String): String = {
+    val sep = "\u001f"
+    val levels = (1 to uniMaxWordLen).map { i =>
+      val branches = (math.max(0, i - uniPieceLen) until i).map { j =>
+        s"""      SELECT b.w AS w, b.cost + c.cost AS cost, b.np + 1 AS np,
+           |             CASE WHEN b.path = '' THEN c.p ELSE b.path || '$sep' || c.p END AS path
+           |      FROM b${tag}_$j b JOIN $costCte c ON c.p = substr(b.w, ${j + 1}, ${i - j})
+           |      WHERE length(b.w) >= $i""".stripMargin
+      }.mkString("\n      UNION ALL\n")
+      s"""b${tag}_$i AS MATERIALIZED (
+         |  SELECT w, cost, np, path FROM (
+         |    SELECT w, cost, np, path,
+         |           ROW_NUMBER() OVER (PARTITION BY w ORDER BY cost, np, path) AS rn
+         |    FROM (
+         |$branches
+         |    )
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }
+    val seg = (1 to uniMaxWordLen)
+      .map(i => s"  SELECT w, path FROM b${tag}_$i WHERE length(w) = $i")
+      .mkString("\n  UNION ALL\n")
+    (s"b${tag}_0 AS (SELECT w, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS path FROM ty)" +:
+      levels :+ s"seg$tag AS MATERIALIZED (\n$seg\n)").mkString(",\n")
+  }
+
+  /** Shared q150/q151 oracle prefix: word types, weighted char/substring
+    * seeds, and `uniRounds` unrolled Viterbi-EM rounds (costs → DP →
+    * usage → prune). Numerics are the house integral conventions —
+    * whole-bit costs via `length(bin(x))`, BIGINT counts, `(cnt DESC,
+    * piece)` rank ties — so every round is engine-bit-identical.
+    */
+  private def uniTrainSql: String = {
+    val sep = "\u001f"
+    val head = Seq(
+      s"""tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+         |         CAST(unnest(range(len(regexp_split_to_array(trim(text), '\\s+')))) AS BIGINT) AS pos
+         |  FROM documents
+         |)""".stripMargin,
+      "ty AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS wc FROM tok GROUP BY w)",
+      s"""cw AS MATERIALIZED (
+         |  SELECT substr(w, CAST(i AS INT), 1) AS p, CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM ty, unnest(range(1, length(w)+1)) AS u(i) GROUP BY 1
+         |)""".stripMargin,
+      s"""mw AS (
+         |  SELECT substr(w, CAST(i AS INT), CAST(l AS INT)) AS p, CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM ty, unnest(range(2, ${uniPieceLen + 1})) AS ul(l), unnest(range(1, length(w)-l+2)) AS ui(i)
+         |  GROUP BY 1
+         |)""".stripMargin,
+      s"""v0 AS MATERIALIZED (
+         |  SELECT p, cnt FROM cw
+         |  UNION ALL
+         |  SELECT p, cnt FROM (SELECT p, cnt FROM mw ORDER BY cnt DESC, p LIMIT $uniSeedSize)
+         |)""".stripMargin)
+    val rounds = (1 to uniRounds).flatMap { r =>
+      Seq(
+        s"""c$r AS MATERIALIZED (
+           |  SELECT p, length(bin((SELECT SUM(cnt) FROM v${r - 1}))) - length(bin(cnt)) AS cost
+           |  FROM v${r - 1}
+           |)""".stripMargin,
+        uniDpSql(r.toString, s"c$r"),
+        s"""u$r AS MATERIALIZED (
+           |  SELECT p, CAST(SUM(wc) AS BIGINT) AS cnt FROM (
+           |    SELECT unnest(string_split(s.path, '$sep')) AS p, t.wc
+           |    FROM seg$r s JOIN ty t USING (w)
+           |  ) GROUP BY p
+           |)""".stripMargin,
+        s"""v$r AS MATERIALIZED (
+           |  SELECT c.p, CAST(COALESCE(u.cnt, 0) AS BIGINT) AS cnt FROM cw c LEFT JOIN u$r u USING (p)
+           |  UNION ALL
+           |  SELECT p, cnt FROM (SELECT p, cnt FROM u$r WHERE length(p) >= 2 ORDER BY cnt DESC, p LIMIT $uniVocabKeep)
+           |)""".stripMargin)
+    }
+    (head ++ rounds).mkString(",\n")
+  }
+
+  private def uniTrainOracle: String =
+    s"WITH $uniTrainSql\nSELECT p, cnt FROM v$uniRounds ORDER BY p"
+
+  private def uniEncodeOracle: String = {
+    val sep = "\u001f"
+    val enc = uniRounds + 1
+    s"""WITH $uniTrainSql,
+       |c$enc AS MATERIALIZED (
+       |  SELECT p, length(bin((SELECT SUM(cnt) FROM v$uniRounds))) - length(bin(cnt)) AS cost
+       |  FROM v$uniRounds
+       |),
+       |${uniDpSql(enc.toString, s"c$enc")}
+       |SELECT t.doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(length(t.w)) AS BIGINT) AS n_chars_sum,
+       |       CAST(SUM(len(string_split(s.path, '$sep'))) AS BIGINT) AS n_pieces,
+       |       md5(string_agg(s.path, ' ' ORDER BY t.pos)) AS pieces_digest
+       |FROM tok t JOIN seg$enc s USING (w)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
   }
 
   private def bpeMergesOracle: String = {

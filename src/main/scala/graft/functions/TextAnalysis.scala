@@ -380,6 +380,124 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"), col("w"), col("pieces"), col("n_pieces"))
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer training — the second
+    * standard subword family next to BPE ([[bpeTrainMerges]]), via
+    * deterministic integral Viterbi-EM (hard EM): seed a candidate
+    * vocabulary from weighted substrings, then alternate
+    * (1) Viterbi-segmenting every word TYPE under whole-bit surprisal
+    * costs `bits(total) − bits(cnt)` and (2) re-estimating piece counts
+    * from segmentation usage, pruning multi-character pieces that fell
+    * out of use to the top `vocabKeep` by `(usage DESC, piece)`. Single
+    * characters are NEVER pruned (coverage guarantee — every word stays
+    * segmentable). All state is BIGINT counts and whole-bit costs: no
+    * float likelihoods, so the training replay is engine-bit-identical
+    * and a SQL oracle can unroll it (the q150/q151 gate does, round by
+    * round, DP position by DP position — the q95 BPE precedent).
+    *
+    * Determinism: the Viterbi tie-break is the lexicographic key
+    * `(cost, piece count, U+001F-joined path)`
+    * ([[graft.expressions.UnigramEncode.segment]] — the same code the
+    * distributed encoder replays); seed and prune ranks break count
+    * ties on the piece string.
+    *
+    * Scale: identical shape to [[bpeTrainMerges]] — the ONLY
+    * corpus-sized stage is the word-type count aggregate; the EM loop
+    * runs driver-side over the collected type table, bounded by
+    * vocabulary (Heaps' law), never corpus bytes.
+    *
+    * Returns the final vocabulary as `(piece, cnt)` sorted by piece.
+    */
+  def unigramTrainVocab(
+      docs: DataFrame,
+      maxPieceLen: Int = 4,
+      seedSize: Int = 40,
+      numRounds: Int = 2,
+      vocabKeep: Int = 24): Seq[(String, Long)] = {
+    val types: Array[(String, Long)] = tokenize(docs)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wc"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val charW = scala.collection.mutable.Map.empty[String, Long]
+    val subW = scala.collection.mutable.Map.empty[String, Long]
+    types.foreach { case (w, wc) =>
+      var i = 0
+      while (i < w.length) {
+        val c = w.substring(i, i + 1)
+        charW(c) = charW.getOrElse(c, 0L) + wc
+        var l = 2
+        while (l <= maxPieceLen && i + l <= w.length) {
+          val p = w.substring(i, i + l)
+          subW(p) = subW.getOrElse(p, 0L) + wc
+          l += 1
+        }
+        i += 1
+      }
+    }
+    val seed = subW.toSeq.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    var vocab: Map[String, Long] = charW.toMap ++ seed
+    for (_ <- 1 to numRounds) {
+      val total = vocab.valuesIterator.sum
+      val costs = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+      vocab.foreach { case (p, c) =>
+        costs.put(p, java.lang.Long.valueOf(bitsOf(total) - bitsOf(c)))
+      }
+      val maxLen = vocab.keysIterator.map(_.length).max
+      val usage = scala.collection.mutable.Map.empty[String, Long]
+      types.foreach { case (w, wc) =>
+        graft.expressions.UnigramEncode.segment(w, costs, maxLen).foreach { p =>
+          usage(p) = usage.getOrElse(p, 0L) + wc
+        }
+      }
+      val chars = charW.keysIterator.map(c => c -> usage.getOrElse(c, 0L)).toMap
+      val multi = usage.toSeq
+        .filter { case (p, _) => p.length >= 2 }
+        .sortBy { case (p, u) => (-u, p) }
+        .take(vocabKeep)
+      vocab = chars ++ multi
+    }
+    vocab.toSeq.sortBy(_._1)
+  }
+
+  /** Whole-bit magnitude, the house integer log2: `length(bin(x))` in
+    * SQL — 64 − nlz(x) for x ≥ 1, and 1 for x = 0 (`bin(0)` is "0").
+    */
+  private def bitsOf(x: Long): Long =
+    if (x == 0L) 1L else 64L - java.lang.Long.numberOfLeadingZeros(x)
+
+  /** Final per-piece Viterbi costs for a trained unigram vocabulary —
+    * what [[unigramEncodeWords]] replays: `bits(Σcnt) − bits(cnt)`.
+    */
+  def unigramCosts(vocab: Seq[(String, Long)]): Seq[(String, Long)] = {
+    val total = vocab.map(_._2).sum
+    vocab.map { case (p, c) => (p, bitsOf(total) - bitsOf(c)) }
+  }
+
+  /** Apply a trained unigram vocabulary ([[unigramTrainVocab]]) to every
+    * corpus word: Viterbi segmentation under the final piece costs.
+    * Output `(doc_id, pos, w, pieces, n_pieces)` — the exact
+    * [[bpeEncodeWords]] surface, same scale shape: the DP runs ONCE PER
+    * WORD TYPE over a vocabulary-bounded distinct frame via the
+    * codegen'd [[graft.expressions.UnigramEncode]], and the pieces
+    * broadcast-join back to token positions (the token stream never
+    * shuffles; set `broadcastVocab = false` for open-vocabulary corpora).
+    */
+  def unigramEncodeWords(
+      docs: DataFrame,
+      vocab: Seq[(String, Long)],
+      broadcastVocab: Boolean = true): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    val toks = tokenize(docs)
+    val typePieces = toks.select(col("w")).distinct()
+      .withColumn("pieces", bridge.column(
+        graft.expressions.UnigramEncode(
+          bridge.expression(col("w")), unigramCosts(vocab))))
+    val vocabSide = if (broadcastVocab) broadcast(typePieces) else typePieces
+    toks.join(vocabSide, Seq("w"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+      .select(col("doc_id"), col("pos"), col("w"), col("pieces"), col("n_pieces"))
+  }
+
   /** Per-document language-model surprise signals — the deterministic
     * core of a perplexity filter: each document's adjacent-token bigrams
     * (with multiplicity) are scored against the corpus model from

@@ -742,4 +742,105 @@ class TextMultimodalSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.size === before,
       "bracket must release the postings index")
   }
+
+  test("unigram trainer: chars never pruned, vocab bounded, deterministic") {
+    val corpus = Seq(
+      doc(0L, "abab abab ab cd cd dab"),
+      doc(1L, "abab cd ab"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vocab = TextAnalysis.unigramTrainVocab(corpus)
+    val pieces = vocab.map(_._1)
+    // Coverage: every corpus character survives every prune round.
+    assert(Set("a", "b", "c", "d").subsetOf(pieces.toSet))
+    // Multi-char pieces respect the keep bound; counts are nonnegative.
+    assert(pieces.count(_.length >= 2) <= 24)
+    assert(vocab.forall(_._2 >= 0L))
+    // Output is sorted by piece and duplicate-free.
+    assert(pieces === pieces.sorted && pieces.distinct === pieces)
+    // Determinism: retraining reproduces the identical table.
+    assert(TextAnalysis.unigramTrainVocab(corpus) === vocab)
+  }
+
+  test("unigram Viterbi picks min cost, then fewest pieces, then sep-first path") {
+    import scala.jdk.CollectionConverters._
+    def seg(w: String, costs: Map[String, Long]) = {
+      val m = new java.util.HashMap[String, java.lang.Long]()
+      costs.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+      graft.expressions.UnigramEncode
+        .segment(w, m, costs.keys.map(_.length).max).toSeq
+    }
+    // Cost wins outright: ab is cheap.
+    assert(seg("abab", Map("a" -> 2L, "b" -> 2L, "ab" -> 1L)) === Seq("ab", "ab"))
+    // Cost tie -> fewer pieces.
+    assert(seg("ab", Map("a" -> 1L, "b" -> 1L, "ab" -> 2L)) === Seq("ab"))
+    // (cost, np) tie -> lexicographically smallest SEP-joined path:
+    // "a<sep>bc" < "ab<sep>c" because the separator sorts below ASCII.
+    assert(seg("abc", Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "ab" -> 2L, "bc" -> 2L))
+      === Seq("a", "bc"))
+  }
+
+  test("unigram Viterbi agrees with brute-force enumeration of all segmentations") {
+    val costs = Map("a" -> 3L, "b" -> 4L, "c" -> 5L, "ab" -> 5L, "bc" -> 4L,
+      "ca" -> 9L, "abc" -> 9L, "bca" -> 8L)
+    val sep = graft.expressions.UnigramEncode.Sep
+    def allSegs(w: String): Seq[Seq[String]] =
+      if (w.isEmpty) Seq(Seq.empty)
+      else (1 to math.min(3, w.length)).flatMap { l =>
+        val h = w.substring(0, l)
+        if (costs.contains(h)) allSegs(w.substring(l)).map(h +: _) else Seq.empty
+      }
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    costs.foreach { case (k, v) => m.put(k, java.lang.Long.valueOf(v)) }
+    for (w <- Seq("abc", "abca", "bcabc", "abcabca", "cab", "aabbcc")) {
+      val expect = allSegs(w)
+        .map(p => (p.map(costs).sum, p.length, p.mkString(sep.toString)))
+        .min
+      val got = graft.expressions.UnigramEncode.segment(w, m, 3).toSeq
+      assert((got.map(costs).sum, got.length, got.mkString(sep.toString)) === expect,
+        s"word $w")
+    }
+  }
+
+  test("unigram encode: conservation, vocab-only pieces, broadcast replay per TYPE") {
+    val corpus = Seq(
+      doc(0L, Seq.fill(80)("abab").mkString(" ")),
+      doc(1L, Seq.fill(80)("dab cd").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val vocab = TextAnalysis.unigramTrainVocab(corpus)
+    val df = TextAnalysis.unigramEncodeWords(corpus, vocab)
+    assert(df.count() === 240)
+    val rows = df.collect()
+    val vset = vocab.map(_._1).toSet
+    rows.foreach { r =>
+      val w = r.getAs[String]("w")
+      val ps = r.getSeq[String](r.fieldIndex("pieces"))
+      assert(ps.mkString("") === w, s"pieces must concatenate to $w")
+      assert(ps.forall(vset), s"pieces of $w outside vocab")
+    }
+    // Same plan discipline as BPE encode: the Viterbi replay lives on
+    // the broadcast distinct-type side, never the token stream.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    def replayNodes(p: SparkPlan): Seq[SparkPlan] =
+      walk(p).filter(_.expressions.exists(_.exists(
+        _.isInstanceOf[graft.expressions.UnigramEncode])))
+    val plan = df.queryExecution.executedPlan
+    val join = walk(plan).collectFirst { case j: BroadcastHashJoinExec => j }
+    assert(join.isDefined, s"no broadcast join in unigram encode plan:\n$plan")
+    assert(replayNodes(join.get.left).isEmpty, s"replay on token side:\n$plan")
+    assert(replayNodes(join.get.right).nonEmpty, s"no replay on vocab side:\n$plan")
+    // Shuffle path returns identical encodings.
+    val shuffled = TextAnalysis.unigramEncodeWords(corpus, vocab, broadcastVocab = false)
+      .orderBy("doc_id", "pos").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[Long]("n_pieces")))
+    val b2 = df.orderBy("doc_id", "pos").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[Long]("n_pieces")))
+    assert(shuffled.toSeq === b2.toSeq)
+  }
 }
