@@ -651,6 +651,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Learned linear quality scorer — the fastText/logreg-style gate:
+    // weak labels from the heuristic qualityFilter (distillation), 1/3-bit
+    // integer log-odds weights as a TABLE, inference = broadcast dot
+    // product over token counts. The oracle re-trains and re-scores in
+    // SQL, so the whole learn+apply loop is hash-gated.
+    "q152_linear_quality" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = TextAnalysis.qualityFilter(docs)
+        .select(col("doc_id"), col("keep").as("y"))
+      val weights = TextAnalysis.trainQualityWeights(docs, labels)
+      TextAnalysis.scoreQuality(docs, weights).orderBy("doc_id")
+    }),
+
+    // Snapshot MERGE/upsert apply — closes the CDC loop q108/q67 open:
+    // snapshotDelta builds the payload-carrying change feed between two
+    // snapshot views of the corpus, applyChanges replays it onto the old
+    // snapshot, and the oracle computes the NEW snapshot directly — the
+    // hash match proves delta+apply ≡ full recompute.
+    "q153_apply_changes" -> ((s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"), col("source"))
+      val oldSnap = base.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+      val newSnap = base.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+        .withColumn(
+          "text",
+          when(pmod(col("doc_id"), lit(3L)) === 0L, concat(lit("v2 "), col("text")))
+            .otherwise(col("text")))
+      val delta = Curation.snapshotDelta(oldSnap, newSnap)
+      Curation.applyChanges(oldSnap, delta)
+        .select(col("doc_id"), col("source"), md5(col("text")).as("text_digest"))
+        .orderBy("doc_id")
+    }),
+
     // Temperature-weighted (α=0.5) mixture quotas — the multilingual
     // rebalance; integer sqrt weights + largest-remainder seats keep
     // every value engine-bit-identical.
@@ -3269,6 +3301,61 @@ object SparkEntry {
     "q150_unigram_train" -> uniTrainOracle,
 
     "q151_unigram_encode" -> uniEncodeOracle,
+
+    "q152_linear_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        |),
+        |m AS (
+        |  SELECT doc_id,
+        |         ((CAST(len(ws) AS BIGINT) BETWEEN 40 AND 10000)
+        |           AND CAST(CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS DOUBLE)
+        |               / CAST(len(ws) AS DOUBLE) >= 3.0
+        |           AND CAST(CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS DOUBLE)
+        |               / CAST(len(ws) AS DOUBLE) <= 8.0
+        |           AND CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) > 0) AS y
+        |  FROM t
+        |),
+        |lt AS (SELECT m.y AS y, unnest(t.ws) AS w FROM t JOIN m USING (doc_id)),
+        |c AS (
+        |  SELECT w,
+        |         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        |         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+        |  FROM lt GROUP BY w
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos, CAST(SUM(c_neg) AS BIGINT) AS t_neg,
+        |         CAST(COUNT(*) AS BIGINT) AS v
+        |  FROM c
+        |),
+        |r AS (
+        |  SELECT w,
+        |         ((c_pos + 1) * 1048576) // (t_pos + v) AS rp,
+        |         ((c_neg + 1) * 1048576) // (t_neg + v) AS rn
+        |  FROM c, tot
+        |),
+        |wt AS (
+        |  SELECT w,
+        |         CAST(length(bin(rp * rp * rp)) AS BIGINT)
+        |           - CAST(length(bin(rn * rn * rn)) AS BIGINT) AS weight_tribits
+        |  FROM r
+        |),
+        |tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+        |s AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |         CAST(SUM(COALESCE(weight_tribits, 0)) AS BIGINT) AS score_tribits
+        |  FROM tok LEFT JOIN wt USING (w) GROUP BY doc_id
+        |)
+        |SELECT doc_id, n_tokens, score_tribits,
+        |       CAST(score_tribits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tribits,
+        |       score_tribits >= 0 AS pred
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q153_apply_changes" ->
+      """SELECT doc_id, source,
+        |       md5(CASE WHEN doc_id % 3 = 0 THEN 'v2 ' || text ELSE text END) AS text_digest
+        |FROM documents WHERE doc_id % 5 <> 0
+        |ORDER BY doc_id""".stripMargin,
 
     "q97_uniform_sample" ->
       """WITH r AS (

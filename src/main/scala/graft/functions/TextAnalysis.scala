@@ -883,6 +883,91 @@ object TextAnalysis {
         col("weight_bits").cast("double") / col("n_tokens").cast("double"))
   }
 
+  /** Train a LEARNED linear quality scorer — the fastText/logreg-style
+    * gate (CCNet, LLaMA data pipelines) that upgrades
+    * [[qualityFilter]]'s hand rules: per-token log-odds weights between
+    * labeled good and bad documents, exposed as a WEIGHTS TABLE
+    * `(w, weight_bits)` that [[scoreQuality]] applies as a pure dot
+    * product. `labels` is any `(doc_id, y: boolean)` frame — the
+    * standard bootstrap is weak supervision from the heuristic gate
+    * itself (distillation: rules label, the model generalizes), which
+    * is exactly what q152 does.
+    *
+    * Weights are THIRD-of-a-bit smoothed log-odds — the
+    * [[importanceWeights]] DSIR algebra at 3× the resolution, folded
+    * into the table so inference needs no totals. Whole-bit log2 floors
+    * class-conditional ratios that differ by < 2× to the same value
+    * (on near-uniform vocabularies EVERY weight flattens to 0); the
+    * normalize-then-cube trick recovers fractional bits with pure
+    * BIGINT arithmetic and NO overflow exposure at any corpus size:
+    * {{{
+    *   r± = ⌊(c± + 1) · 2²⁰ / (t± + v)⌋      // smoothed rate, ≤ 2²⁰
+    *   weight = bits(r₊³) − bits(r₋³)         // ⌊3·log2⌋ ⇒ 1/3-bit steps
+    * }}}
+    * `r ≤ 2²⁰` ⇒ `r³ ≤ 2⁶⁰` always fits; `(c+1)·2²⁰` caps the
+    * trainable class token count at 2⁴³ (≈8·10¹², far past any single
+    * training refresh — and production trains on a sample anyway).
+    *
+    * Scale: labels join the DOC frame (doc-sized, pre-explode), then
+    * one map-side-combined vocabulary-bounded count aggregate; the
+    * weight table is vocabulary-sized. Train once per refresh, persist
+    * the table, reuse across scoring runs.
+    */
+  def trainQualityWeights(docs: DataFrame, labels: DataFrame): DataFrame = {
+    val labeled = spread(docs)
+      .join(labels.select(col("doc_id"), col("y")), Seq("doc_id"))
+      .select(col("y"), explode(wordsCol).as("w"))
+    val counts = labeled
+      .groupBy(col("w"))
+      .agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("c_neg"))
+    val totals = counts.agg(
+      sum(col("c_pos")).as("t_pos"),
+      sum(col("c_neg")).as("t_neg"),
+      count(lit(1)).as("v"))
+    val bits = (c: Column) => length(bin(c)).cast("long")
+    counts.crossJoin(broadcast(totals))
+      .withColumn("rp", expr("((c_pos + 1) * 1048576) div (t_pos + v)"))
+      .withColumn("rn", expr("((c_neg + 1) * 1048576) div (t_neg + v)"))
+      .select(
+        col("w"),
+        (bits(col("rp") * col("rp") * col("rp")) -
+          bits(col("rn") * col("rn") * col("rn"))).as("weight_tribits"))
+  }
+
+  /** Apply a [[trainQualityWeights]]-shaped model: each document's score
+    * is the dot product of its token counts with the weight table
+    * (tokens outside the table contribute 0 — the open-vocabulary
+    * convention every linear text classifier uses). Emits exact BIGINT
+    * `score_tribits` (1/3-bit log-odds units), a `mean_tribits`
+    * per-token mean (ONE IEEE division of exact integers), and the
+    * `pred` gate at the natural 0 threshold.
+    *
+    * Scale: the model is vocabulary-bounded and BROADCASTS by default —
+    * the token stream never shuffles for the lookup, only the per-doc
+    * sum aggregates (map-side combined); `broadcastModel = false`
+    * shuffles on the token key instead for open-web vocabularies.
+    */
+  def scoreQuality(
+      docs: DataFrame,
+      weights: DataFrame,
+      broadcastModel: Boolean = true): DataFrame = {
+    val toks = spread(docs).select(col("doc_id"), explode(wordsCol).as("w"))
+    toks
+      .join(
+        if (broadcastModel) broadcast(weights) else weights,
+        Seq("w"), "left_outer")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("weight_tribits"), lit(0L))).as("score_tribits"))
+      .withColumn(
+        "mean_tribits",
+        col("score_tribits").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("pred", col("score_tribits") >= 0L)
+  }
+
   /** BM25 more-like-this retrieval over word-bigram terms — the lexical
     * leg of a retrieval/mining pipeline (hard-negative mining, "find the
     * documents most like this eval item" contamination triage, sparse

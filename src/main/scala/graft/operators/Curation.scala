@@ -924,6 +924,64 @@ object Curation {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** CDC delta feed with payloads — the shippable companion to
+    * [[snapshotDiff]]'s classification: one row per added / removed /
+    * changed key (unchanged keys are absent, so the feed is
+    * delta-sized), carrying the NEW snapshot's full row for
+    * added/changed and the key alone (payload NULLs) for removed.
+    * This is the artifact an incremental pipeline persists per refresh
+    * and the input [[applyChanges]] replays.
+    *
+    * Scale: the digest comparison joins 16-byte digests on the key (the
+    * q108 shape — text never joins), and only the delta keys join back
+    * to the new snapshot for payloads. Output is change-sized, not
+    * snapshot-sized.
+    */
+  def snapshotDelta(
+      oldSnap: DataFrame,
+      newSnap: DataFrame,
+      keyCol: String = "doc_id"): DataFrame = {
+    val payloadCols = newSnap.columns.filterNot(_ == keyCol).toSeq
+    val delta = snapshotDiff(oldSnap, newSnap, keyCol)
+      .filter(col("status") =!= "unchanged")
+      .select(col("key").as(keyCol), col("status"))
+    delta.join(newSnap, Seq(keyCol), "left_outer")
+      .select(col(keyCol) +: payloadCols.map(col) :+ col("status"): _*)
+  }
+
+  /** MERGE/upsert apply — the write path that closes the CDC loop
+    * [[snapshotDiff]]/[[snapshotDelta]] (read) and [[latestSnapshot]]
+    * (changelog compaction) open: `applyChanges(prev, delta)` produces
+    * the next snapshot by dropping every delta key from `prev` and
+    * inserting the delta's added/changed payloads. By construction
+    * `applyChanges(old, snapshotDelta(old, new)) == new` (the
+    * full-recompute equivalence q153's oracle hash-checks), and
+    * re-applying the same delta is IDEMPOTENT: the anti-join removes
+    * the rows the first application inserted, then inserts the
+    * identical payloads again (pinned by spec) — the foreachBatch
+    * replay property the streaming sinks rely on, here for batch
+    * refreshes.
+    *
+    * Scale: ONE key-keyed anti-join of the snapshot against the
+    * delta-sized key set (broadcastable when the delta is a trigger's
+    * worth — pass `deltaBounded = true`) plus a union; the snapshot is
+    * never re-digested and never shuffles beyond the anti-join.
+    */
+  def applyChanges(
+      prev: DataFrame,
+      delta: DataFrame,
+      keyCol: String = "doc_id",
+      deltaBounded: Boolean = false): DataFrame = {
+    val keys = delta.select(col(keyCol)).distinct()
+    val inserts = delta
+      .filter(col("status") =!= "removed")
+      .drop("status")
+      .select(prev.columns.map(col).toSeq: _*)
+    prev
+      .join(if (deltaBounded) broadcast(keys) else keys, Seq(keyCol), "left_anti")
+      .unionByName(inserts)
+  }
+
   /** Systematic weighted sampling: place `k` equally-spaced strata over
     * the cumulative weight axis and keep each document whose weight span
     * crosses a stratum boundary — every kept doc represents the same

@@ -515,6 +515,37 @@ class CurationSpec extends SparkSpec {
     assert(r.find(_.getAs[Long]("key") == 2L).get.getAs[String]("source") === "s0")
   }
 
+  test("snapshotDelta carries payloads; applyChanges reproduces the new snapshot, idempotently") {
+    val oldSnap = Seq(
+      doc(0L, "same text"),
+      doc(1L, "before edit"),
+      doc(2L, "will be deleted"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val newSnap = Seq(
+      doc(0L, "same text"),
+      doc(1L, "after edit"),
+      (3L, "brand new", "en", "s9", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val delta = Curation.snapshotDelta(oldSnap, newSnap)
+    val d = delta.orderBy("doc_id").collect()
+    // Delta-sized: unchanged keys absent; payloads from the NEW side,
+    // key-only (NULL payload) for removed.
+    assert(d.map(_.getAs[Long]("doc_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(d.map(_.getAs[String]("status")).toSeq === Seq("changed", "removed", "added"))
+    assert(d.find(_.getAs[Long]("doc_id") == 1L).get.getAs[String]("text") === "after edit")
+    assert(d.find(_.getAs[Long]("doc_id") == 2L).get.getAs[String]("text") === null)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .orderBy("doc_id").collect().toSeq
+    // Full-recompute equivalence: apply(old, delta(old, new)) == new.
+    val applied = Curation.applyChanges(oldSnap, delta)
+    assert(rows(applied) === rows(newSnap))
+    // Idempotent reapply: the same delta applied to the result is a no-op.
+    assert(rows(Curation.applyChanges(applied, delta)) === rows(newSnap))
+    // Bounded-delta broadcast path is plan-only, results identical.
+    assert(rows(Curation.applyChanges(oldSnap, delta, deltaBounded = true)) === rows(newSnap))
+  }
+
   test("systematicWeightedSample: exactly k strata hits, heavy docs multi-picked") {
     // Telescoping: summed n_picks over kept rows is floor(T·k/T) −
     // floor(0·k/T) = k, independent of the weight layout.

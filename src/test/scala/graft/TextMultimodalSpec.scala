@@ -843,4 +843,45 @@ class TextMultimodalSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pos"), r.getAs[Long]("n_pieces")))
     assert(shuffled.toSeq === b2.toSeq)
   }
+
+  test("learned quality weights separate class-skewed tokens; scorer gates at 0") {
+    // 'junk' appears only in y=false docs, 'good' only in y=true docs;
+    // 'both' is balanced. 1/3-bit log-odds must separate them.
+    val corpus = Seq(
+      doc(0L, Seq.fill(30)("good both").mkString(" ")),
+      doc(1L, Seq.fill(30)("good both").mkString(" ")),
+      doc(2L, Seq.fill(30)("junk both").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val labels = Seq((0L, true), (1L, true), (2L, false)).toDF("doc_id", "y")
+    val w = TextAnalysis.trainQualityWeights(corpus, labels)
+      .collect().map(r => r.getAs[String]("w") -> r.getAs[Long]("weight_tribits")).toMap
+    assert(w("good") > 0, s"good should score positive: $w")
+    assert(w("junk") < 0, s"junk should score negative: $w")
+    assert(w("good") > w("both") && w("both") > w("junk"))
+    val scored = TextAnalysis.scoreQuality(corpus, TextAnalysis.trainQualityWeights(corpus, labels))
+      .orderBy("doc_id").collect()
+    assert(scored.map(_.getAs[Boolean]("pred")).toSeq === Seq(true, true, false))
+    // Every doc has 60 tokens; score = 30*w(tok) + 30*w(both).
+    assert(scored.map(_.getAs[Long]("n_tokens")).toSeq === Seq(60L, 60L, 60L))
+    assert(scored(0).getAs[Long]("score_tribits") === 30L * w("good") + 30L * w("both"))
+  }
+
+  test("scoreQuality: unseen tokens contribute zero; broadcast and shuffle paths agree") {
+    val train = Seq(doc(0L, "good good"), doc(1L, "junk junk"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val labels = Seq((0L, true), (1L, false)).toDF("doc_id", "y")
+    val weights = TextAnalysis.trainQualityWeights(train, labels)
+    val target = Seq(doc(7L, "unseen tokens only here"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = TextAnalysis.scoreQuality(target, weights).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("score_tribits") === 0L)
+    assert(r(0).getAs[Boolean]("pred") === true) // 0 threshold is inclusive
+    val both = Seq(doc(8L, "good junk unseen"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b = TextAnalysis.scoreQuality(both, weights).collect()(0).getAs[Long]("score_tribits")
+    val sh = TextAnalysis.scoreQuality(both, weights, broadcastModel = false)
+      .collect()(0).getAs[Long]("score_tribits")
+    assert(b === sh)
+  }
 }
