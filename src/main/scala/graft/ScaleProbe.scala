@@ -417,6 +417,10 @@ object ScaleProbe {
     bracket("q133_ivf_pq_residual", SparkEntry.queries("q133_ivf_pq_residual"), rowFactor)
     bracket("q141_mmr_diversify", SparkEntry.queries("q141_mmr_diversify"), rowFactor)
     bracket("q142_containment_pairs", SparkEntry.queries("q142_containment_pairs"), byteFactor)
+    // r14 new operators: LPA persists its edge table (bracket); the
+    // rare-shingle edge structure replicates per copy like q147's, so
+    // byteFactor is the exponent base.
+    bracket("q154_label_propagation", SparkEntry.queries("q154_label_propagation"), byteFactor)
 
     val fnFlag = SparkEntry.queries("q03_training_examples")
     val mf1 = measure(spark, fnFlag, sfDir)

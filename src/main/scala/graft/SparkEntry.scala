@@ -1166,6 +1166,14 @@ object SparkEntry {
       Graphs.triangleCounts(Dedup.rareShingleEdges(Tables.documents(s, dir)))
         .orderBy("id")),
 
+    // Synchronous label propagation over the rare-shingle graph —
+    // community detection (template families) with the deterministic
+    // smallest-label tie-break; the oracle replays every round's
+    // neighbor-label argmax as unrolled CTEs.
+    "q154_label_propagation" -> ((s, dir) =>
+      Graphs.labelPropagation(Dedup.rareShingleEdges(Tables.documents(s, dir)))
+        .orderBy("id")),
+
     // Interval-overlap join: SCD2 attribute versions × sessions per user
     // (which version was in effect during each session) — day-bucket
     // replication equi-join; the oracle is the NAIVE inequality join, so
@@ -3301,6 +3309,33 @@ object SparkEntry {
     "q150_unigram_train" -> uniTrainOracle,
 
     "q151_unigram_encode" -> uniEncodeOracle,
+
+    "q154_label_propagation" -> {
+      val iters = 3
+      val rounds = (1 to iters).map { t =>
+        s"""l$t AS MATERIALIZED (
+           |  SELECT dst AS id, l FROM (
+           |    SELECT s.dst, r.l, COUNT(*) AS n,
+           |           ROW_NUMBER() OVER (PARTITION BY s.dst
+           |             ORDER BY COUNT(*) DESC, r.l) AS rn
+           |    FROM sym s JOIN l${t - 1} r ON r.id = s.src
+           |    GROUP BY s.dst, r.l
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $docShingles,
+         |dig AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS shh FROM sh),
+         |rare AS (SELECT shh FROM dig GROUP BY shh HAVING COUNT(*) BETWEEN 2 AND 3),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+         |  FROM dig a JOIN rare USING (shh) JOIN dig b USING (shh)
+         |  WHERE a.doc_id < b.doc_id
+         |),
+         |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+         |l0 AS (SELECT DISTINCT src AS id, src AS l FROM sym),
+         |$rounds
+         |SELECT id, l AS label FROM l$iters ORDER BY id""".stripMargin
+    },
 
     "q152_linear_quality" ->
       """WITH t AS (

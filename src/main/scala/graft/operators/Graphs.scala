@@ -154,4 +154,57 @@ object Graphs {
     und.unpersist()
     out
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over the corpus's derived graphs (template families in a
+    * rare-shingle graph, topic groups in a near-dup graph), the
+    * assignment pass whose communities feed quota/dedup decisions where
+    * [[pageRank]] feeds weights. Each node starts labeled with its own
+    * id; every round, ALL nodes simultaneously adopt the most frequent
+    * label among their neighbors, ties broken toward the SMALLEST
+    * label — fully deterministic (classic async LPA is famously
+    * order-dependent; the synchronous + total-order-tie-break variant
+    * is reproducible run to run and engine to engine, which the q154
+    * oracle hash-checks round for round).
+    *
+    * `iters` is a fixed round count, not convergence detection: bounded
+    * plans, and the oracle unrolls the same count. On bipartite-ish
+    * structures synchronous LPA can 2-cycle — a fixed even/odd round
+    * count still yields a deterministic labeling (documented behavior,
+    * same stance as [[pageRank]]'s fixed `iters`).
+    *
+    * Scale: each round is one edge-keyed join (label lookup on `src`),
+    * one map-side-combined (dst, label) count, and one per-node top-1
+    * window over the label-count table (bounded by the edge count, and
+    * WindowGroupLimit prunes it to the per-node argmax before any
+    * sort spills). Nothing quadratic; `iters` shuffle rounds total.
+    * Eager like [[pageRank]]: the result owns the one remaining |V|-row
+    * cache, the symmetrized edge table is released on exit.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters=$iters out of range [1, 32]")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var labels = nodes.select(col("id"), col("id").as("l"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("n").desc, col("l"))
+    for (_ <- 1 to iters) {
+      labels = sym
+        .join(labels.select(col("id").as("src"), col("l")), Seq("src"))
+        .groupBy(col("dst"), col("l"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("id"), col("l"))
+    }
+    val out = labels.select(col("id"), col("l").as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sym.unpersist()
+    out
+  }
 }

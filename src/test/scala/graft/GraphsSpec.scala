@@ -85,4 +85,41 @@ class GraphsSpec extends SparkSpec {
     assert(wide === Set(
       (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)))
   }
+
+  test("labelPropagation: two bridged triangles resolve to two communities") {
+    import spark.implicits._
+    // Triangles {1,2,3} and {4,5,6}, bridged 3-4. Hand-replay of 3
+    // synchronous rounds with smallest-label ties:
+    //   l1 = {1:2, 2:1, 3:1, 4:3, 5:4, 6:4}
+    //   l2 = {1:1, 2:1, 3:1, 4:4, 5:3, 6:3}
+    //   l3 = {1:1, 2:1, 3:1, 4:3, 5:3, 6:3}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 5L), (5L, 6L), (6L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    val r = graft.operators.Graphs.labelPropagation(edges)
+      .orderBy("id").collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("label"))
+    assert(r.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+    // Determinism: identical labels on re-run.
+    val r2 = graft.operators.Graphs.labelPropagation(edges)
+      .orderBy("id").collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("label"))
+    assert(r2.toSeq === r.toSeq)
+  }
+
+  test("labelPropagation normalizes direction, duplicates, and self-loops") {
+    import spark.implicits._
+    // Same triangle given with reversed duplicates and a self-loop: the
+    // symmetrize+distinct front end must make it equivalent to the
+    // clean undirected triangle (all-same community after 3 rounds).
+    val messy = Seq((2L, 1L), (1L, 2L), (3L, 2L), (1L, 3L), (3L, 3L))
+      .toDF("src", "dst")
+    val r = graft.operators.Graphs.labelPropagation(messy)
+      .orderBy("id").collect()
+      .map(x => x.getAs[Long]("id") -> x.getAs[Long]("label"))
+    // Triangle replay: l1 = {1:2, 2:1, 3:1}; l2 = {1:1, 2:1, 3:1} (node 1
+    // ties 1 vs 1-count labels -> min), l3 stable.
+    assert(r.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // No self-loop row leaked a phantom node; exactly the 3 vertices.
+    assert(r.length === 3)
+  }
 }
