@@ -272,6 +272,12 @@ object ScaleProbe {
       // SCD2 intervals: events-derived, one user exchange + shared
       // windows — the run-collapse must stay row-linear.
       "q146_scd2_intervals" -> rowFactor,
+      // r14: learned linear quality scorer — train (vocab-bounded count
+      // agg) + broadcast-model scoring in one plan; persist-free.
+      "q152_linear_quality" -> byteFactor,
+      // r14: CDC delta + MERGE apply — digest join on keys + one
+      // anti-join; persist-free, snapshot-row-linear.
+      "q153_apply_changes" -> byteFactor,
       // r14: unigram-LM tokenizer train+encode — corpus-sized wordcount
       // aggregate, driver-side EM over the collected (Heaps-bounded)
       // type table, then the per-TYPE Viterbi broadcast join back to
@@ -421,6 +427,9 @@ object ScaleProbe {
     // rare-shingle edge structure replicates per copy like q147's, so
     // byteFactor is the exponent base.
     bracket("q154_label_propagation", SparkEntry.queries("q154_label_propagation"), byteFactor)
+    // Margin bitext mining persists its co-bucket candidate table;
+    // embeddings replicate by rows.
+    bracket("q155_bitext_mining", SparkEntry.queries("q155_bitext_mining"), rowFactor)
 
     val fnFlag = SparkEntry.queries("q03_training_examples")
     val mf1 = measure(spark, fnFlag, sfDir)

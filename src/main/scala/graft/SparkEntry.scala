@@ -1166,6 +1166,17 @@ object SparkEntry {
       Graphs.triangleCounts(Dedup.rareShingleEdges(Tables.documents(s, dir)))
         .orderBy("id")),
 
+    // Margin-based parallel-pair mining (Artetxe & Schwenk absolute
+    // margin over sign-LSH candidates): cross-side pairs scored by how
+    // far their dot stands above BOTH endpoints' bucket-local top-k
+    // averages, mutual-argmax + positive-margin filtered. Sides = even
+    // vs odd label. Exact integer end to end (lo-shifted floor-division
+    // neighborhood averages).
+    "q155_bitext_mining" -> ((s, dir) =>
+      Similarity.marginBitextPairs(
+          Tables.embeddings(s, dir), pmod(col("label"), lit(2)) === 0)
+        .orderBy("a_id", "b_id")),
+
     // Synchronous label propagation over the rare-shingle graph —
     // community detection (template families) with the deterministic
     // smallest-label tie-break; the oracle replays every round's
@@ -3310,6 +3321,8 @@ object SparkEntry {
 
     "q151_unigram_encode" -> uniEncodeOracle,
 
+    "q155_bitext_mining" -> bitextOracle,
+
     "q154_label_propagation" -> {
       val iters = 3
       val rounds = (1 to iters).map { t =>
@@ -5083,6 +5096,68 @@ object SparkEntry {
     * rank refresh) — exact BIGINT arithmetic, `//` floor division
     * matching Spark's `div` on the nonnegative ranks.
     */
+  /** The sign-LSH bucket id over a quantized `qe` column, as SQL — the
+    * same planes/quantization as [[graft.operators.Similarity
+    * .signBuckets]] (shared by the annLsh / pageRank / bitext oracles).
+    */
+  private def lshBucketExprSql: String = {
+    val planes = graft.operators.Similarity
+      .hyperplanes(graft.operators.Similarity.DefaultNumPlanes, 64)
+      .map(_.map(c => math.floor(c * 1000000).toLong))
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), ii -> qe[ii] * ($planeLit)[ii])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n         + ")
+  }
+
+  /** Mirrors q155: [[graft.operators.Similarity.marginBitextPairs]] —
+    * co-bucket candidates, exact integer dots, lo-shifted top-k
+    * neighborhood averages, absolute margin, mutual argmax.
+    */
+  private def bitextOracle: String = {
+    val k = 4
+    val P = 1000000000000000L
+    s"""WITH eq AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |),
+       |b AS (
+       |  SELECT vec_id, label, qe,
+       |         $lshBucketExprSql AS bucket
+       |  FROM eq
+       |),
+       |cand AS MATERIALIZED (
+       |  SELECT a.vec_id AS a_id, c.vec_id AS b_id,
+       |         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * c.qe[i])) AS BIGINT) AS dp
+       |  FROM b a JOIN b c ON a.bucket = c.bucket
+       |  WHERE a.label % 2 = 0 AND c.label % 2 <> 0
+       |),
+       |rn AS (
+       |  SELECT a_id, b_id, dp,
+       |         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY dp DESC, b_id) AS rna,
+       |         ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY dp DESC, a_id) AS rnb
+       |  FROM cand
+       |),
+       |aa AS (SELECT a_id, CAST(-$P + (SUM(dp) + COUNT(*) * $P) // COUNT(*) AS BIGINT) AS avg_a
+       |       FROM rn WHERE rna <= $k GROUP BY a_id),
+       |ab AS (SELECT b_id, CAST(-$P + (SUM(dp) + COUNT(*) * $P) // COUNT(*) AS BIGINT) AS avg_b
+       |       FROM rn WHERE rnb <= $k GROUP BY b_id),
+       |m AS (
+       |  SELECT c.a_id, c.b_id, c.dp, CAST(2 * c.dp - aa.avg_a - ab.avg_b AS BIGINT) AS margin2
+       |  FROM cand c JOIN aa USING (a_id) JOIN ab USING (b_id)
+       |),
+       |f AS (
+       |  SELECT a_id, b_id, dp, margin2,
+       |         ROW_NUMBER() OVER (PARTITION BY a_id ORDER BY margin2 DESC, b_id) AS ma,
+       |         ROW_NUMBER() OVER (PARTITION BY b_id ORDER BY margin2 DESC, a_id) AS mb
+       |  FROM m
+       |)
+       |SELECT a_id, b_id, dp, margin2 FROM f
+       |WHERE ma = 1 AND mb = 1 AND margin2 > 0
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   private def pageRankOracle: String = {
     val planes = graft.operators.Similarity
       .hyperplanes(graft.operators.Similarity.DefaultNumPlanes, 64)

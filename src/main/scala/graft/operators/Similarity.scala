@@ -177,6 +177,83 @@ object Similarity {
     withQ.withColumn("bucket", bucketBits.reduce((a, b) => a + b))
   }
 
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019's
+    * margin-scoring over ANN candidates, absolute-margin variant) — the
+    * standard bitext/paraphrase miner: a cross-side pair scores not by
+    * raw similarity but by how much it stands out above each endpoint's
+    * OTHER nearest neighbors, which kills the hub vectors that plain
+    * cosine thresholds mis-pair. Sides come from `sideA` (language,
+    * source, split — any boolean partition of the corpus); emitted
+    * pairs are MUTUAL margin-argmaxes with positive margin.
+    *
+    * Exact-integer scoring: dots are the codegen'd quantized
+    * [[dot]]; each endpoint's neighborhood average is
+    * `lo + ⌊(Σtopk − k'·lo)/k'⌋` with the `lo`-shift keeping the
+    * floor-division operand NONNEGATIVE even for negative dot sums
+    * (Spark `div` truncates, DuckDB `//` floors — they only agree
+    * above zero; q149's convention), and the pair score is
+    * `margin2 = 2·dp − avg_a − avg_b` — pure BIGINT, no ratio, no
+    * sign traps. Ties break on the partner id everywhere.
+    *
+    * Approximation contract (the PUBLISHED practice — the paper mines
+    * over FAISS): candidates and neighborhoods are the sign-LSH
+    * co-bucket pairs, so both the kNN averages and the argmaxes see
+    * bucket-local candidates, never all-pairs. Endpoints with fewer
+    * than `k` candidates average over what they have; endpoints with
+    * none are absent.
+    *
+    * Scale: the only expansion is the co-bucket join (bucket-bounded);
+    * the top-k windows, the side-sized average tables, and the mutual
+    * argmax windows are all keyed — nothing quadratic in the corpus.
+    * Eager like [[graft.operators.Graphs.pageRank]]: candidates persist
+    * for their three consumers and are released once the (pair-sized)
+    * result materializes; the result owns the one remaining cache.
+    */
+  def marginBitextPairs(
+      embeddings: DataFrame,
+      sideA: Column,
+      k: Int = 4,
+      numPlanes: Int = DefaultNumPlanes,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k=$k out of range [1, 1000]")
+    val P = 1000000000000000L // lo-shift bound: |64-dim quantized dot| < 8e13
+    val b = signBucketsQuantized(embeddings, numPlanes, dim)
+      .select(col("vec_id"), col("bucket"), col("_qe"), sideA.as("is_a"))
+    val cand = b.filter(col("is_a"))
+      .select(col("vec_id").as("a_id"), col("bucket"), col("_qe").as("qa"))
+      .join(
+        b.filter(!col("is_a"))
+          .select(col("vec_id").as("b_id"), col("bucket"), col("_qe").as("qb")),
+        Seq("bucket"))
+      .select(col("a_id"), col("b_id"), dot(col("qa"), col("qb")).as("dp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wa = Window.partitionBy(col("a_id")).orderBy(col("dp").desc, col("b_id"))
+    val wb = Window.partitionBy(col("b_id")).orderBy(col("dp").desc, col("a_id"))
+    def sideAvg(rn: Column, key: String, alias: String) = cand
+      .withColumn("rn", rn)
+      .filter(col("rn") <= k)
+      .groupBy(col(key))
+      .agg(sum(col("dp")).as("s"), count(lit(1)).as("c"))
+      .select(col(key), expr(s"-${P}L + (s + c * ${P}L) div c").as(alias))
+    val avgA = sideAvg(row_number().over(wa), "a_id", "avg_a")
+    val avgB = sideAvg(row_number().over(wb), "b_id", "avg_b")
+    val margins = cand
+      .join(avgA, Seq("a_id"))
+      .join(avgB, Seq("b_id"))
+      .withColumn("margin2", lit(2L) * col("dp") - col("avg_a") - col("avg_b"))
+    val wma = Window.partitionBy(col("a_id")).orderBy(col("margin2").desc, col("b_id"))
+    val wmb = Window.partitionBy(col("b_id")).orderBy(col("margin2").desc, col("a_id"))
+    val out = margins
+      .withColumn("ma", row_number().over(wma))
+      .withColumn("mb", row_number().over(wmb))
+      .filter(col("ma") === 1 && col("mb") === 1 && col("margin2") > 0)
+      .select(col("a_id"), col("b_id"), col("dp"), col("margin2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    cand.unpersist()
+    out
+  }
+
   /** One-row frame holding every centroid as a struct — the deterministic
     * "sample" `vec_id < numCentroids` (at real scale they'd come from
     * k-means, but assignment/search mechanics are identical). Broadcast as

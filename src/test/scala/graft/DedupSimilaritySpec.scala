@@ -1288,4 +1288,48 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("cos_rank")).toSeq === Seq(2, 1, 3))
     assert(out.map(_.getAs[Int]("l2_rank")).toSeq === Seq(1, 3, 2))
   }
+
+  test("marginBitextPairs: mutual one-to-one, side-correct, and matches brute-force replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val dim = 64
+    // Classes 2k and 2k+1 share a base pattern, so true cross-side
+    // partners exist and co-bucket; noise keeps dots distinct.
+    val rows = (0 until 60).map { i =>
+      val c = i % 6
+      val v = (0 until dim).map { d =>
+        val base = if (((c / 2) * dim + d) % 7 < 3) 1.0f else -1.0f
+        base + 0.08f * (((i * 31 + d * 17) % 11) - 5) / 5.0f
+      }
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    val mined = Similarity.marginBitextPairs(rows, pmod(col("label"), lit(2)) === 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(mined.nonEmpty, "fixture should mine at least one pair")
+    // Mutual argmax => one-to-one on both sides; sides respected.
+    assert(mined.map(_._1).distinct.length === mined.length)
+    assert(mined.map(_._2).distinct.length === mined.length)
+    assert(mined.forall { case (a, b, _, _) => a % 6 % 2 == 0 && b % 6 % 2 == 1 })
+    // Brute-force replay of the definition over the collected fixture.
+    val bucketed = Similarity.signBuckets(rows)
+      .select("vec_id", "label", "bucket").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val qe = rows.select(col("vec_id"), Similarity.quantize(col("embedding")).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val aS = bucketed.filter(_._2 % 2 == 0); val bS = bucketed.filter(_._2 % 2 == 1)
+    val cand = for {
+      (a, _, ba) <- aS; (b, _, bb) <- bS if ba == bb
+    } yield (a, b, qe(a).zip(qe(b)).map { case (x, y) => x * y }.sum)
+    val P = 1000000000000000L
+    def avgOf(top: Seq[Long]): Long = -P + (top.sum + top.length * P) / top.length
+    val avgA = cand.groupBy(_._1).map { case (a, cs) =>
+      a -> avgOf(cs.sortBy(c => (-c._3, c._2)).take(4).map(_._3).toSeq) }
+    val avgB = cand.groupBy(_._2).map { case (b, cs) =>
+      b -> avgOf(cs.sortBy(c => (-c._3, c._1)).take(4).map(_._3).toSeq) }
+    val margins = cand.map { case (a, b, dp) => (a, b, dp, 2 * dp - avgA(a) - avgB(b)) }
+    val bestPerA = margins.groupBy(_._1).map { case (_, ms) => ms.minBy(m => (-m._4, m._2)) }.toSet
+    val bestPerB = margins.groupBy(_._2).map { case (_, ms) => ms.minBy(m => (-m._4, m._1)) }.toSet
+    val expect = (bestPerA intersect bestPerB).filter(_._4 > 0)
+    assert(mined.toSet === expect, s"mined=${mined.toSet}\nexpect=$expect")
+  }
 }
