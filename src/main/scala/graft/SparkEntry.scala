@@ -1130,6 +1130,18 @@ object SparkEntry {
       Multimodal.decodeBmpFeatures(s, Multimodal.toBmp(Tables.documents(s, dir)))
         .toDF().orderBy("doc_id")),
 
+    // Fourth codec class, first with REAL compression on the wire: PNG
+    // with a genuine zlib IDAT stream, real scanline filters (row 1 is
+    // Sub-filtered — inflate alone is not decode), and verified CRC-32s.
+    // Every gated feature is pixel-derived, so the oracle reproduces
+    // them from the text bytes; idat_len (deflate-impl-specific) is
+    // engine-asserted in the spec, not hash-gated.
+    "q156_png_features" -> ((s, dir) =>
+      Multimodal.decodePngFeatures(s, Multimodal.toPng(Tables.documents(s, dir)))
+        .toDF()
+        .drop("idat_len")
+        .orderBy("doc_id")),
+
     // BM25 more-like-this over word bigrams: the lexical retrieval leg —
     // doc_id % 25 probe set, exact-integer idf/tf-saturation, top-10.
     "q143_bm25_retrieval" -> ((s, dir) =>
@@ -2388,6 +2400,33 @@ object SparkEntry {
         |       CAST(list_max(cps[1 : CAST(6 * w AS INT)]) AS INT) AS max_px,
         |       CAST(list_sum(cps[1 : CAST(3 * w AS INT)]) AS DOUBLE)
         |         / CAST(3 * w AS DOUBLE) AS top_row_mean
+        |FROM px
+        |ORDER BY doc_id""".stripMargin,
+
+    "q156_png_features" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1), i -> unicode(text[i:i])) AS cps,
+        |         CAST(length(text) // 6 AS BIGINT) AS w
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(w AS INT) AS width,
+        |       CAST(2 AS INT) AS height,
+        |       CAST(8 AS INT) AS bit_depth,
+        |       CAST(2 AS INT) AS color_type,
+        |       CAST(2 * w AS BIGINT) AS n_px,
+        |       CAST(list_sum(list_transform(range(0, 2 * w), k -> cps[3 * k + 1])) AS DOUBLE)
+        |         / CAST(2 * w AS DOUBLE) AS r_mean,
+        |       CAST(list_sum(list_transform(range(0, 2 * w), k -> cps[3 * k + 2])) AS DOUBLE)
+        |         / CAST(2 * w AS DOUBLE) AS g_mean,
+        |       CAST(list_sum(list_transform(range(0, 2 * w), k -> cps[3 * k + 3])) AS DOUBLE)
+        |         / CAST(2 * w AS DOUBLE) AS b_mean,
+        |       CAST(list_min(cps[1 : CAST(6 * w AS INT)]) AS INT) AS min_px,
+        |       CAST(list_max(cps[1 : CAST(6 * w AS INT)]) AS INT) AS max_px,
+        |       CAST(list_sum(cps[1 : CAST(3 * w AS INT)]) AS DOUBLE)
+        |         / CAST(3 * w AS DOUBLE) AS top_row_mean,
+        |       CAST(2 * (1 + 3 * w) AS BIGINT) AS raw_len
         |FROM px
         |ORDER BY doc_id""".stripMargin,
 

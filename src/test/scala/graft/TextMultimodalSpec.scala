@@ -884,4 +884,54 @@ class TextMultimodalSpec extends SparkSpec {
       .collect()(0).getAs[Long]("score_tribits")
     assert(b === sh)
   }
+
+  test("PNG codec: real zlib round-trip, Sub filter un-filtered, compression observed") {
+    val text = ("abcdef" * 40) + "xyzw"  // 244 bytes -> w=40, trailing 4 dropped
+    val corpus = Seq(doc(5L, text)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.decodePngFeatures(spark, Multimodal.toPng(corpus)).collect()(0)
+    assert(f.width === 40 && f.height === 2 && f.bit_depth === 8 && f.color_type === 2)
+    assert(f.n_px === 80L)
+    // Expected moments straight from the text bytes (image order).
+    val bytes = text.getBytes("UTF-8").take(240).map(_ & 0xff)
+    def chMean(ch: Int) = bytes.indices.collect { case i if i % 3 == ch => bytes(i) }.sum / 80.0
+    assert(f.r_mean.get === chMean(0) && f.g_mean.get === chMean(1) && f.b_mean.get === chMean(2))
+    assert(f.top_row_mean.get === bytes.take(120).sum / 120.0)
+    assert(f.min_px.get === bytes.min && f.max_px.get === bytes.max)
+    // REAL compression: highly repetitive text deflates well below raw.
+    assert(f.raw_len === 2L * (1 + 3 * 40))
+    assert(f.idat_len < f.raw_len, s"no compression: idat=${f.idat_len} raw=${f.raw_len}")
+  }
+
+  test("PNG decoder: CRC corruption, truncation, bad filters all throw; Up filter decodes") {
+    val good = Multimodal.PngCodec.encode(("spark" * 20).getBytes("UTF-8"))
+    // Flip one byte inside the IDAT data region: CRC must catch it.
+    val corrupted = good.clone()
+    corrupted(good.length - 20) = (corrupted(good.length - 20) ^ 0x5a).toByte
+    intercept[Exception] { Multimodal.PngCodec.decode(0L, corrupted) }
+    intercept[Exception] { Multimodal.PngCodec.decode(0L, good.take(good.length - 6)) }
+    intercept[Exception] { Multimodal.PngCodec.decode(0L, "not a png at all".getBytes) }
+    // Foreign file with an Up-filtered second row: build it by hand.
+    def be32(v: Long) = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]) = {
+      val t = tag.getBytes("US-ASCII"); val c = new java.util.zip.CRC32
+      c.update(t); c.update(data)
+      be32(data.length.toLong) ++ t ++ data ++ be32(c.getValue)
+    }
+    val w = 2
+    // Row 0 = (10,20,30),(40,50,60) None; row 1 stored as Up deltas of
+    // (11,22,33),(44,55,66) -> raw deltas (1,2,3),(4,5,6).
+    val raw = Array[Byte](0, 10, 20, 30, 40, 50, 60, 2, 1, 2, 3, 4, 5, 6)
+    val d = new java.util.zip.Deflater(6); d.setInput(raw); d.finish()
+    val buf = new Array[Byte](64); val out = new java.io.ByteArrayOutputStream
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+    val png = sig ++ chunk("IHDR", be32(w.toLong) ++ be32(2L) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.emptyByteArray)
+    val f = Multimodal.PngCodec.decode(9L, png)
+    assert(f.top_row_mean.get === (10 + 20 + 30 + 40 + 50 + 60) / 6.0)
+    // Overall means include the Up-reconstructed second row (11..66).
+    assert(f.r_mean.get === (10 + 40 + 11 + 44) / 4.0)
+    assert(f.max_px.get === 66)
+  }
 }
