@@ -1130,6 +1130,43 @@ object SparkEntry {
       Multimodal.decodeBmpFeatures(s, Multimodal.toBmp(Tables.documents(s, dir)))
         .toDF().orderBy("doc_id")),
 
+    // Stateful streaming sessionization under the batch-parity oracle:
+    // events stream through a REAL file source in three time-MONOTONE
+    // slices (state carries open sessions across micro-batches), the
+    // flatMapGroupsWithState operator emits per-batch session updates,
+    // and the final per-(user, session) state must hash-match the BATCH
+    // sessionizer's oracle (q11's SQL verbatim). Watermark delay spans
+    // the corpus so no state evicts mid-gate (eviction restarts a
+    // user's session ids — production semantics, but the parity claim
+    // needs the full numbering).
+    "q157_streaming_sessions" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+      val bounds = ev.agg(
+        min(unix_micros(col("ts"))).as("lo"),
+        max(unix_micros(col("ts"))).as("hi"))
+      val sliced = ev.crossJoin(broadcast(bounds))
+        .withColumn("slice", expr("((unix_micros(ts) - lo) * 3) div (hi - lo + 1)"))
+        .select(col("user_id"), col("ts"), col("slice"))
+      val outDir = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+      graft.streaming.StreamingOps.streamShardsThrough(
+          s, sliced, "slice", 3, outputMode = "update")(
+          st => graft.streaming.StreamingOps
+            .sessionize(s, st, watermarkDelay = "3650 days").toDF())(
+          graft.streaming.StreamingOps.idempotentParquetSink(outDir))
+      val ups = s.read.parquet(outDir)
+      // A session's updates only grow: the max-n_events row is its final
+      // state (timeout re-emits are exact duplicates; the tie-break just
+      // picks one of identical rows).
+      val w = Window.partitionBy(col("user_id"), col("session_id"))
+        .orderBy(col("n_events").desc, col("last_us").desc, col("first_us"))
+      ups.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(
+          col("user_id"), col("session_id"), col("n_events"),
+          col("first_us"), col("last_us"),
+          (col("last_us") - col("first_us")).as("duration_us"))
+        .orderBy("user_id", "session_id")
+    }),
+
     // Fourth codec class, first with REAL compression on the wire: PNG
     // with a genuine zlib IDAT stream, real scanline filters (row 1 is
     // Sub-filtered — inflate alone is not decode), and verified CRC-32s.
@@ -1723,6 +1760,32 @@ object SparkEntry {
         |ORDER BY c_mktsegment""".stripMargin,
 
     "q11_sessionize" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, us,
+        |         CASE WHEN us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |sess AS (
+        |  SELECT user_id, us,
+        |         CAST(SUM(new_sess) OVER (
+        |           PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       MIN(us) AS first_us, MAX(us) AS last_us,
+        |       MAX(us) - MIN(us) AS duration_us
+        |FROM sess
+        |GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    // The streaming sessionizer's parity contract IS q11's oracle: the
+    // final per-(user, session) state must equal the batch computation.
+    "q157_streaming_sessions" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, epoch_us(ts) AS us FROM events
         |),

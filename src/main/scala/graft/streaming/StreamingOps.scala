@@ -388,7 +388,26 @@ object StreamingOps {
       spark: SparkSession,
       frame: DataFrame,
       shardKey: String,
-      numBatches: Int)(sink: (DataFrame, Long) => Unit): Unit = {
+      numBatches: Int)(sink: (DataFrame, Long) => Unit): Unit =
+    streamShardsThrough(spark, frame, shardKey, numBatches)(identity)(sink)
+
+  /** [[streamShards]] with a STREAMING transform between the file source
+    * and the sink — the driver for putting stateful streaming operators
+    * (flatMapGroupsWithState sessionization, watermarked aggregations)
+    * under the batch-parity oracle gate: `transform` is applied to the
+    * unbounded source frame, so watermarks/timeouts/state all run for
+    * real, and the sink lands each micro-batch of the TRANSFORMED
+    * output. `outputMode` must match the transform's semantics
+    * ("update" for flatMapGroupsWithState(Update), "append" for
+    * stateless transforms).
+    */
+  def streamShardsThrough(
+      spark: SparkSession,
+      frame: DataFrame,
+      shardKey: String,
+      numBatches: Int,
+      outputMode: String = "append")(transform: DataFrame => DataFrame)(
+      sink: (DataFrame, Long) => Unit): Unit = {
     require(numBatches >= 1, s"numBatches=$numBatches must be positive")
     val stage = java.nio.file.Files.createTempDirectory("graft_stream_stage").toFile
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toFile
@@ -410,11 +429,13 @@ object StreamingOps {
         require(dest.setLastModified(1600000000000L + b.toLong * 3600000L),
           s"could not pin mtime for shard $b")
       }
-      val query = spark.readStream
-        .schema(frame.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(stage.toString)
+      val query = transform(
+        spark.readStream
+          .schema(frame.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(stage.toString))
         .writeStream
+        .outputMode(outputMode)
         .foreachBatch(sink)
         .option("checkpointLocation", ckpt.toString)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
