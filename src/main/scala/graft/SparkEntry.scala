@@ -1130,6 +1130,29 @@ object SparkEntry {
       Multimodal.decodeBmpFeatures(s, Multimodal.toBmp(Tables.documents(s, dir)))
         .toDF().orderBy("doc_id")),
 
+    // Rendezvous sharding at n=5 and n=6 side by side: the hash gate
+    // itself proves minimal disruption on real data — every moved key's
+    // new assignment is the NEW shard (5), so the `moved` column plus
+    // shard6 hash-matching the oracle IS the stability proof.
+    "q159_rendezvous_shard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).select(col("doc_id"))
+      val s5 = Curation.rendezvousShard(docs, col("doc_id").cast("string"), 5)
+        .withColumnRenamed("shard", "shard5")
+      val s6 = Curation.rendezvousShard(s5, col("doc_id").cast("string"), 6)
+        .withColumnRenamed("shard", "shard6")
+      s6.select(
+          col("doc_id"), col("shard5"), col("shard6"),
+          (col("shard5") =!= col("shard6")).as("moved"))
+        .orderBy("doc_id")
+    }),
+
+    // Tabular CUSUM change-point monitor over zero-filled daily counts:
+    // catches sustained level shifts pointwise z-scores (q94) miss. The
+    // recurrence evaluates via its prefix-sum/running-extremum closed
+    // form — two windows per side, pure BIGINT.
+    "q158_cusum" -> ((s, dir) =>
+      Timeseries.cusum(Tables.events(s, dir)).orderBy("event_type", "epoch_day")),
+
     // Stateful streaming sessionization under the batch-parity oracle:
     // events stream through a REAL file source in three time-MONOTONE
     // slices (state carries open sessions across micro-batches), the
@@ -2660,6 +2683,68 @@ object SparkEntry {
         |FROM t CROSS JOIN d
         |LEFT JOIN c ON c.event_type = t.event_type AND c.epoch_day = d.epoch_day
         |ORDER BY t.event_type, d.epoch_day""".stripMargin,
+
+    "q159_rendezvous_shard" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         list_transform(range(0, 6), s ->
+        |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(s AS VARCHAR)), 1, 15) AS BIGINT)) AS hs
+        |  FROM documents
+        |),
+        |a AS (
+        |  SELECT doc_id,
+        |         CAST(list_indexof(hs[1:5], list_max(hs[1:5])) - 1 AS INT) AS shard5,
+        |         CAST(list_indexof(hs, list_max(hs)) - 1 AS INT) AS shard6
+        |  FROM h
+        |)
+        |SELECT doc_id, shard5, shard6, shard5 <> shard6 AS moved
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "q158_cusum" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |s AS (SELECT MIN(epoch_day) AS lo, MAX(epoch_day) AS hi FROM c),
+        |d AS (SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS epoch_day FROM s),
+        |t AS (SELECT DISTINCT event_type FROM c),
+        |f AS (
+        |  SELECT t.event_type, d.epoch_day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+        |  FROM t CROSS JOIN d
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.epoch_day = d.epoch_day
+        |),
+        |m AS (
+        |  SELECT event_type, epoch_day, n,
+        |         SUM(n) OVER (PARTITION BY event_type) // COUNT(*) OVER (PARTITION BY event_type) AS mu
+        |  FROM f
+        |),
+        |k AS (
+        |  SELECT event_type, epoch_day, n, mu,
+        |         mu // 20 AS slack, (mu * 1) // 4 AS h
+        |  FROM m
+        |),
+        |w AS (
+        |  SELECT event_type, epoch_day, n, mu, h,
+        |         SUM(n - mu - slack) OVER run AS p,
+        |         SUM(n - mu + slack) OVER run AS q
+        |  FROM k
+        |  WINDOW run AS (PARTITION BY event_type ORDER BY epoch_day
+        |                 ROWS UNBOUNDED PRECEDING)
+        |),
+        |x AS (
+        |  SELECT event_type, epoch_day, n, mu, h,
+        |         CAST(p - LEAST(0, MIN(p) OVER run) AS BIGINT) AS s_pos,
+        |         CAST(GREATEST(0, MAX(q) OVER run) - q AS BIGINT) AS s_neg
+        |  FROM w
+        |  WINDOW run AS (PARTITION BY event_type ORDER BY epoch_day
+        |                 ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT event_type, epoch_day, n, CAST(mu AS BIGINT) AS mu, s_pos, s_neg,
+        |       s_pos > h AS alarm_up, s_neg > h AS alarm_down
+        |FROM x
+        |ORDER BY event_type, epoch_day""".stripMargin,
 
     "q61_exact_moments" ->
       """WITH a AS (

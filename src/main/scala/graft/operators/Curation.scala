@@ -924,6 +924,33 @@ object Curation {
           .otherwise(lit("unchanged")).as("status"))
   }
 
+  /** Rendezvous (highest-random-weight) sharding — STABLE key→shard
+    * assignment for a corpus that re-shards as it grows: each key goes
+    * to the shard with the highest keyed hash, so growing from `n` to
+    * `n + 1` shards moves ONLY the keys whose new winner is the NEW
+    * shard (expected 1/(n+1) of them) — against modulo sharding's
+    * wholesale reshuffle (`pmod` moves ~n/(n+1) of all keys on the same
+    * transition). The q159 gate proves the property on real data: every
+    * key whose n=5 and n=6 assignments differ lands on shard 5.
+    *
+    * Deterministic: the weight is the house 60-bit md5 slice of
+    * `key#shard`; ties (astronomically unlikely) break toward the
+    * smallest shard via the struct order. Pure narrow projection —
+    * no shuffle, pushdown-friendly; cost is `numShards` digests per
+    * row, so keep `numShards` ≤ ~100 (production hierarchies compose
+    * two levels rather than one wide one).
+    */
+  def rendezvousShard(df: DataFrame, key: Column, numShards: Int): DataFrame = {
+    require(numShards >= 1 && numShards <= 1024,
+      s"numShards=$numShards out of range [1, 1024]")
+    val best = array_max(transform(
+      sequence(lit(0), lit(numShards - 1)),
+      s => struct(
+        Hashing.md5Long60(concat_ws("#", key, s.cast("string"))).as("h"),
+        (-s).cast("long").as("ns"))))
+    df.withColumn("shard", (-best.getField("ns")).cast("int"))
+  }
+
   /** CDC delta feed with payloads — the shippable companion to
     * [[snapshotDiff]]'s classification: one row per added / removed /
     * changed key (unchanged keys are absent, so the feed is

@@ -317,6 +317,56 @@ object Timeseries {
         (col("valid_to_us") === -1L).as("is_current"))
   }
 
+  /** Tabular CUSUM change-point detection (Page 1954) over the
+    * zero-filled daily event-count series, per type — the sequential
+    * monitor that catches a SUSTAINED level shift [[dailyAnomalies]]'
+    * pointwise z-score misses (ten days of +1.5σ never trips a 2σ
+    * gate; their cumulative sum trips CUSUM on day three). Emits both
+    * one-sided statistics and alarm flags per (type, day):
+    * {{{
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − μ − slack))   // upward shifts
+    *   S⁻_t = max(0, S⁻_{t−1} − (x_t − μ + slack))   // downward shifts
+    *   alarm when S± > h,  slack = μ div `slackDiv`,  h = μ·`hNum` div `hDen`
+    * }}}
+    *
+    * The recurrences never evaluate as a fold: CUSUM has the closed
+    * form `S⁺_t = P_t − min(0, min_{j≤t} P_j)` over the deviation
+    * prefix sums `P_t = Σ_{i≤t}(x_i − μ − slack)` (and symmetrically
+    * `S⁻_t = max(0, max_{j≤t} Q_j) − Q_t` for `Q` with `+slack`), so
+    * both engines compute it with TWO window functions per side —
+    * running sum and running extremum — on the same (type, day)
+    * ordering. Everything is BIGINT (μ is a floor-divided mean;
+    * deviations subtract — no division ever touches a negative), so
+    * every statistic is engine-bit-identical.
+    *
+    * Scale: [[gapFill]]'s one aggregate + dimension-sized densify,
+    * then per-type windows over a (types × days) table — dimension
+    * work, independent of raw event volume.
+    */
+  def cusum(
+      events: DataFrame,
+      slackDiv: Long = 20L,
+      hNum: Long = 1L,
+      hDen: Long = 4L): DataFrame = {
+    require(slackDiv > 0 && hDen > 0, "slackDiv and hDen must be positive")
+    val filled = gapFill(events)
+    val run = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    filled
+      .withColumn("mu", expr("sum(n) over (partition by event_type) div count(1) over (partition by event_type)"))
+      .withColumn("slack", expr(s"mu div ${slackDiv}L"))
+      .withColumn("h", expr(s"(mu * ${hNum}L) div ${hDen}L"))
+      .withColumn("p", sum(col("n") - col("mu") - col("slack")).over(run))
+      .withColumn("q", sum(col("n") - col("mu") + col("slack")).over(run))
+      .withColumn("s_pos", col("p") - least(lit(0L), min(col("p")).over(run)))
+      .withColumn("s_neg", greatest(lit(0L), max(col("q")).over(run)) - col("q"))
+      .select(
+        col("event_type"), col("epoch_day"), col("n"), col("mu"),
+        col("s_pos"), col("s_neg"),
+        (col("s_pos") > col("h")).as("alarm_up"),
+        (col("s_neg") > col("h")).as("alarm_down"))
+  }
+
   /** Gap sessionization: split each user's event stream into sessions
     * wherever consecutive events are more than `gapUs` microseconds
     * apart, then aggregate one row per (user, session) with event count

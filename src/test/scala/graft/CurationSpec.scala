@@ -546,6 +546,27 @@ class CurationSpec extends SparkSpec {
     assert(rows(Curation.applyChanges(oldSnap, delta, deltaBounded = true)) === rows(newSnap))
   }
 
+  test("rendezvousShard: minimal disruption on growth, deterministic, reasonably balanced") {
+    import org.apache.spark.sql.functions.col
+    val keys = (0L until 600L).toDF("k")
+    def shards(n: Int) = Curation.rendezvousShard(keys, col("k").cast("string"), n)
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Int]("shard")).toMap
+    val s5 = shards(5); val s6 = shards(6)
+    // HRW property: a key moves ONLY to the newly added shard.
+    val moved = s5.keys.filter(k => s5(k) != s6(k))
+    assert(moved.nonEmpty, "some keys must move to the new shard")
+    assert(moved.forall(k => s6(k) == 5), "every moved key must land on the NEW shard")
+    // Expected movement ~1/6 of keys; allow a wide band.
+    assert(moved.size > 600 / 12 && moved.size < 600 / 3, s"moved ${moved.size} of 600")
+    // Determinism + bounds + single-shard degenerate case.
+    assert(shards(5) === s5)
+    assert(s6.values.forall(v => v >= 0 && v < 6))
+    assert(shards(1).values.forall(_ == 0))
+    // Balance sanity: no shard holds more than 2x its fair share.
+    val byShard = s6.values.groupBy(identity).map(_._2.size)
+    assert(byShard.max <= 200, s"imbalanced: $byShard")
+  }
+
   test("systematicWeightedSample: exactly k strata hits, heavy docs multi-picked") {
     // Telescoping: summed n_picks over kept rows is floor(T·k/T) −
     // floor(0·k/T) = k, independent of the weight layout.

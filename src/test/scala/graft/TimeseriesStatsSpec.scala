@@ -365,4 +365,42 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(u11(0).getAs[Long]("valid_to_us") === us("2024-01-01 10:00:00"))
     assert(u11(1).getAs[Boolean]("is_current"))
   }
+
+  test("cusum closed form equals the direct recurrence; sustained shift alarms, z-score would not") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // 20 days of baseline-10 counts, then 10 days at 14 (+~1.3 sigma of the
+    // overall series - below any 2-sigma pointwise gate) for type "a".
+    val counts = (0 until 20).map(_ => 10) ++ (0 until 10).map(_ => 14)
+    val rows = counts.zipWithIndex.flatMap { case (n, day) =>
+      (0 until n).map { j =>
+        ((day * 1000 + j).toLong,
+          ts(f"2024-01-${day + 1}%02d 10:00:00"), j.toLong, "a", 1.0, "{}")
+      }
+    }
+    val e = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r = graft.operators.Timeseries.cusum(e)
+      .orderBy("epoch_day").collect()
+    assert(r.length === 30)
+    val mu = counts.map(_.toLong).sum / 30  // floor mean = 11
+    val slack = mu / 20
+    val h = mu / 4
+    // Direct recurrence replay.
+    var sp = 0L; var sn = 0L
+    val expected = counts.map { n =>
+      sp = math.max(0L, sp + (n - mu - slack))
+      sn = math.max(0L, sn - (n - mu + slack))
+      (sp, sn)
+    }
+    assert(r.map(x => (x.getAs[Long]("s_pos"), x.getAs[Long]("s_neg"))).toSeq
+      === expected)
+    // The shift alarms within a few days of day 20...
+    val alarms = r.map(_.getAs[Boolean]("alarm_up")).toSeq
+    assert(alarms.drop(20).count(identity) >= 5, s"no sustained alarm: $alarms")
+    assert(!alarms.take(18).exists(identity), "baseline must not alarm")
+    // ...while the pointwise z-score monitor at 2 sigma stays silent on
+    // every single shifted day (the gap CUSUM exists to close).
+    val z = graft.operators.Timeseries.dailyAnomalies(e)
+      .collect().map(_.getAs[Boolean]("is_anomaly"))
+    assert(!z.exists(identity), "pointwise z-score should miss a +1.3 sigma shift")
+  }
 }
