@@ -1130,6 +1130,20 @@ object SparkEntry {
       Multimodal.decodeBmpFeatures(s, Multimodal.toBmp(Tables.documents(s, dir)))
         .toDF().orderBy("doc_id")),
 
+    // Stupid Backoff LM scoring (Brants 2007) on a HELD-OUT probe slice
+    // (doc_id % 4 == 0) against a model trained on the rest — observed
+    // bigrams score log2 P(w2|w1), unseen ones back off to
+    // log2(0.4 P(w2)) with an add-one OOV floor; 1/3-bit integer
+    // quantization throughout. The held-out split is what makes the
+    // backoff branch actually fire under the gate.
+    "q160_backoff_lm" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.stupidBackoffScore(
+          docs.filter(pmod(col("doc_id"), lit(4L)) === 0L),
+          modelDocs = Some(docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0L)))
+        .orderBy("doc_id")
+    }),
+
     // Rendezvous sharding at n=5 and n=6 side by side: the hash gate
     // itself proves minimal disruption on real data — every moved key's
     // new assignment is the NEW shard (5), so the `moved` column plus
@@ -2683,6 +2697,51 @@ object SparkEntry {
         |FROM t CROSS JOIN d
         |LEFT JOIN c ON c.event_type = t.event_type AND c.epoch_day = d.epoch_day
         |ORDER BY t.event_type, d.epoch_day""".stripMargin,
+
+    "q160_backoff_lm" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        |),
+        |pb AS (
+        |  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |  FROM t WHERE doc_id % 4 = 0
+        |),
+        |mb AS (
+        |  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |  FROM t WHERE doc_id % 4 <> 0
+        |),
+        |c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM mb GROUP BY 1, 2),
+        |p AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c GROUP BY 1),
+        |u AS (
+        |  SELECT w AS w2, CAST(COUNT(*) AS BIGINT) AS cu FROM (
+        |    SELECT unnest(ws) AS w FROM t WHERE doc_id % 4 <> 0) GROUP BY 1
+        |),
+        |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS tt FROM u),
+        |j AS (
+        |  SELECT pb.doc_id, c.c2,
+        |         (c.c2 * 1048576) // p.c1 AS rb,
+        |         (COALESCE(u.cu, 1) * 1048576) // tot.tt AS ru
+        |  FROM pb
+        |  LEFT JOIN c ON c.w1 = pb.w1 AND c.w2 = pb.w2
+        |  LEFT JOIN p ON p.w1 = pb.w1
+        |  LEFT JOIN u ON u.w2 = pb.w2
+        |  CROSS JOIN tot
+        |),
+        |k AS (
+        |  SELECT doc_id,
+        |         c2 IS NULL AS backed_off,
+        |         CASE WHEN c2 IS NOT NULL
+        |              THEN CAST(length(bin(rb * rb * rb)) AS BIGINT) - 61
+        |              ELSE CAST(length(bin(ru * ru * ru)) AS BIGINT) - 61 - 4 END AS contrib
+        |  FROM j
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(COUNT(*) FILTER (WHERE backed_off) AS BIGINT) AS n_backoff,
+        |       CAST(SUM(contrib) AS BIGINT) AS score_tribits,
+        |       CAST(SUM(contrib) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tribits
+        |FROM k GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     "q159_rendezvous_shard" ->
       """WITH h AS (
