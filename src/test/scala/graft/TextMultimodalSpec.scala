@@ -689,6 +689,41 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(2L).getAs[Long]("millibits_per_char") === 0L)
   }
 
+  test("stupidBackoffScore: hand-computed tribits, backoff fires on unseen, paths agree") {
+    // Model: "a b a b" + "a c" → bigrams (a,b)×2 (b,a)×1 (a,c)×1;
+    // prefixes a:3 b:1; unigrams a:3 b:2 c:1, t=6.
+    val model = Seq(doc(10L, "a b a b"), doc(11L, "a c"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val probe = Seq(doc(0L, "a b c"), doc(1L, "z z"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.stupidBackoffScore(probe, modelDocs = Some(model))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 0: (a,b) observed — r = ⌊2·2²⁰/3⌋ = 699050, bits(r³) = 59 →
+    // −2 tribits (⌊3·log2(2/3)⌋). (b,c) unseen — c backs off to its
+    // unigram: r = ⌊1·2²⁰/6⌋ = 174762, bits(r³) = 53 → 53−61−4 = −12.
+    assert(out(0L).getAs[Long]("n_pairs") === 2L)
+    assert(out(0L).getAs[Long]("n_backoff") === 1L)
+    assert(out(0L).getAs[Long]("score_tribits") === -14L)
+    assert(out(0L).getAs[Double]("mean_tribits") === -7.0)
+    // doc 1: (z,z) unseen AND z is true OOV — add-one floor cu=1 → −12.
+    assert(out(1L).getAs[Long]("n_pairs") === 1L)
+    assert(out(1L).getAs[Long]("n_backoff") === 1L)
+    assert(out(1L).getAs[Long]("score_tribits") === -12L)
+    val shuffled = TextAnalysis
+      .stupidBackoffScore(probe, modelDocs = Some(model), broadcastModel = false)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_tribits"))).toMap
+    assert(shuffled === out.map { case (k, r) => k -> r.getAs[Long]("score_tribits") },
+      "broadcast and shuffle model paths must agree exactly")
+    // Self-model (no held-out split): every bigram of "a b a c" is
+    // observed — (a,b) P=1/2 → −3, (b,a) P=1/1 → 0, (a,c) P=1/2 → −3.
+    // No backoff ever fires when the model IS the scored corpus.
+    val self = TextAnalysis.stupidBackoffScore(
+        Seq(doc(10L, "a b a c")).toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .collect().head
+    assert(self.getAs[Long]("n_backoff") === 0L)
+    assert(self.getAs[Long]("score_tribits") === -6L)
+  }
+
   test("bm25MoreLikeThis matches a brute-force integer model and releases its cache") {
     val texts = Map(
       0L -> "red fox jumps over the lazy dog",
