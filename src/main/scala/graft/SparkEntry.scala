@@ -1144,6 +1144,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Coreness via synchronous H-index iteration over the rare-shingle
+    // graph — the density grade (deep template families vs incidental
+    // shared-phrase pairs) next to q147's local closure; the oracle
+    // unrolls every round's max(least(rank, estimate)) neighbor-list
+    // H-index exactly.
+    "q161_coreness" -> ((s, dir) =>
+      Graphs.corenessHIndex(Dedup.rareShingleEdges(Tables.documents(s, dir)))
+        .orderBy("id")),
+
+    // Multi-source BFS hop distance from a trusted seed set (doc_id %
+    // 23 == 0) over the rare-shingle graph — the discrete TrustRank
+    // proximity prior; the oracle unrolls the same min-relaxation
+    // rounds.
+    "q162_seed_distance" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Graphs.seedDistances(
+          Dedup.rareShingleEdges(docs),
+          docs.filter(pmod(col("doc_id"), lit(23L)) === 0L)
+            .select(col("doc_id").as("id")))
+        .orderBy("id")
+    }),
+
     // Rendezvous sharding at n=5 and n=6 side by side: the hash gate
     // itself proves minimal disruption on real data — every moved key's
     // new assignment is the NEW shard (5), so the `moved` column plus
@@ -3582,18 +3604,49 @@ object SparkEntry {
            |  ) WHERE rn = 1
            |)""".stripMargin
       }.mkString(",\n")
-      s"""WITH $docShingles,
-         |dig AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS shh FROM sh),
-         |rare AS (SELECT shh FROM dig GROUP BY shh HAVING COUNT(*) BETWEEN 2 AND 3),
-         |edges AS (
-         |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
-         |  FROM dig a JOIN rare USING (shh) JOIN dig b USING (shh)
-         |  WHERE a.doc_id < b.doc_id
-         |),
-         |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+      s"""WITH $rareSymCtes,
          |l0 AS (SELECT DISTINCT src AS id, src AS l FROM sym),
          |$rounds
          |SELECT id, l AS label FROM l$iters ORDER BY id""".stripMargin
+    },
+
+    "q161_coreness" -> {
+      val iters = 4
+      val rounds = (1 to iters).map { t =>
+        s"""h$t AS MATERIALIZED (
+           |  SELECT id, CAST(MAX(LEAST(rn, e)) AS BIGINT) AS h FROM (
+           |    SELECT s.dst AS id, r.h AS e,
+           |           ROW_NUMBER() OVER (PARTITION BY s.dst
+           |             ORDER BY r.h DESC, s.src) AS rn
+           |    FROM sym s JOIN h${t - 1} r ON r.id = s.src
+           |  ) GROUP BY id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $rareSymCtes,
+         |d AS MATERIALIZED (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+         |h0 AS (SELECT id, deg AS h FROM d),
+         |$rounds
+         |SELECT d.id, d.deg, h$iters.h AS coreness
+         |FROM d JOIN h$iters USING (id)
+         |ORDER BY id""".stripMargin
+    },
+
+    "q162_seed_distance" -> {
+      val hops = 4
+      val rounds = (1 to hops).map { t =>
+        s"""d$t AS MATERIALIZED (
+           |  SELECT id, CAST(MIN(dist) AS BIGINT) AS dist FROM (
+           |    SELECT id, dist FROM d${t - 1}
+           |    UNION ALL
+           |    SELECT s.dst AS id, r.dist + 1 AS dist
+           |    FROM sym s JOIN d${t - 1} r ON r.id = s.src
+           |  ) GROUP BY id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $rareSymCtes,
+         |d0 AS (SELECT doc_id AS id, CAST(0 AS BIGINT) AS dist FROM documents WHERE doc_id % 23 = 0),
+         |$rounds
+         |SELECT id, dist FROM d$hops ORDER BY id""".stripMargin
     },
 
     "q152_linear_quality" ->
@@ -4784,6 +4837,22 @@ object SparkEntry {
       |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
       |  QUALIFY sh IS NOT NULL
       |)""".stripMargin
+
+  /** Shared oracle CTE chain: [[docShingles]] extended to the df-[2,3]
+    * rare-shingle graph (`Dedup.rareShingleEdges` defaults) with the
+    * symmetrized edge table `sym` — the graph every unrolled-round
+    * graph oracle (q154/q161/q162) iterates over.
+    */
+  private val rareSymCtes =
+    s"""$docShingles,
+       |dig AS (SELECT DISTINCT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS shh FROM sh),
+       |rare AS (SELECT shh FROM dig GROUP BY shh HAVING COUNT(*) BETWEEN 2 AND 3),
+       |edges AS (
+       |  SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+       |  FROM dig a JOIN rare USING (shh) JOIN dig b USING (shh)
+       |  WHERE a.doc_id < b.doc_id
+       |),
+       |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)""".stripMargin
 
   /** Shared oracle CTE: 8 MinHash signatures per doc via the
     * rotate_j(h1) XOR h2 family (matching Dedup.minhashSignatures — see

@@ -181,6 +181,101 @@ object Graphs {
     * Eager like [[pageRank]]: the result owns the one remaining |V|-row
     * cache, the symmetrized edge table is released on exit.
     */
+  /** Coreness (k-core number) via synchronous H-index iteration (Lü,
+    * Zhou, Zhang & Stanley 2016: the node H-index sequence h⁰ = degree,
+    * hᵗ(v) = H({hᵗ⁻¹(u) : u ∈ N(v)}) decreases monotonically to the
+    * node's CORENESS) — the density/cohesion grade a corpus pipeline
+    * uses to separate deeply templated families (high core) from
+    * incidental shared-phrase pairs (core 1) in its derived document
+    * graphs, where [[triangleCounts]] grades local closure and
+    * [[labelPropagation]] assigns membership. The H-index of a
+    * multiset is the largest h with at least h members ≥ h; computed
+    * relationally as `max(least(rank, value))` over the
+    * descending-ordered neighbor estimates — no driver-side state.
+    *
+    * `iters` is a fixed round count like [[labelPropagation]]'s: the
+    * oracle unrolls the same count, and intermediate values are exact
+    * upper bounds (degree ≥ hᵗ ≥ coreness always), so a short budget
+    * degrades gracefully rather than wrongly. Convergence on any graph
+    * takes at most the graph's degeneracy-ordering depth; the property
+    * spec checks fixed-point equality against a brute-force peel.
+    *
+    * Scale: each round is one edge-keyed join (estimate lookup on
+    * `src`) + one per-`dst` window rank + one map-side max — the
+    * [[pageRank]] round shape with a window where PageRank has a sum.
+    * The window sorts each node's NEIGHBOR LIST (bounded by max
+    * degree), never the graph. Eager like [[pageRank]]: the result
+    * owns the one remaining |V|-row cache.
+    */
+  def corenessHIndex(edges: DataFrame, iters: Int = 4): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters=$iters out of range [1, 32]")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("id"), col("deg"))
+    var h = deg.select(col("id"), col("deg").as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dst")).orderBy(col("e").desc, col("src"))
+    for (_ <- 1 to iters) {
+      h = sym
+        .join(h.select(col("id").as("src"), col("h").as("e")), Seq("src"))
+        .withColumn("rn", row_number().over(w))
+        .select(col("dst").as("id"), least(col("rn").cast("long"), col("e")).as("le"))
+        .groupBy(col("id"))
+        .agg(max(col("le")).as("h"))
+    }
+    val out = deg.join(h, Seq("id"))
+      .select(col("id"), col("deg"), col("h").as("coreness"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sym.unpersist()
+    out
+  }
+
+  /** Multi-source BFS hop distance from a trusted seed set — the
+    * discrete TrustRank-style proximity prior (seed-adjacent documents
+    * inherit trust; distance caps how far it propagates) a curation
+    * pass attaches before weighting, over the same derived graphs the
+    * other operators analyze. Emits `(id, dist)` for every node within
+    * `maxHops` of a seed: seeds at 0 (including seeds absent from the
+    * edge set — an isolated trusted doc is still trusted), each round
+    * relaxes one hop, min-merge keeps the shortest. Nodes farther than
+    * `maxHops` (or unreachable) emit nothing — the consumer treats
+    * absence as "beyond the horizon".
+    *
+    * Scale: round t is one edge-keyed join against a frontier-plus-
+    * settled table of ≤ |V| rows and one map-side-combined min — the
+    * Pregel SSSP shape relationally, `maxHops` shuffle rounds total.
+    * Distances are BIGINT; min-merge is order-independent, so the
+    * result is engine-bit-identical and the oracle unrolls the same
+    * relaxation rounds.
+    */
+  def seedDistances(edges: DataFrame, seeds: DataFrame, maxHops: Int = 4): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 32, s"maxHops=$maxHops out of range [1, 32]")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col("id")).distinct()
+      .select(col("id"), lit(0L).as("dist"))
+    for (_ <- 1 to maxHops) {
+      dist = dist
+        .union(sym
+          .join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
+          .select(col("dst").as("id"), (col("dist") + 1L).as("dist")))
+        .groupBy(col("id"))
+        .agg(min(col("dist")).as("dist"))
+    }
+    val out = dist.persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    sym.unpersist()
+    out
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters=$iters out of range [1, 32]")
     val sym = edges.select(col("src"), col("dst"))

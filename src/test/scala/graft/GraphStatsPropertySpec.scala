@@ -177,4 +177,46 @@ class GraphStatsPropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("corenessHIndex fixed point equals brute-force peel for any graph") {
+    val edgeGen = for {
+      m <- Gen.choose(1, 25)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, 9L); b <- Gen.choose(0L, 9L)
+      } yield (a, b))
+    } yield edges
+    check("coreness-vs-peel", Prop.forAll(edgeGen) { edges =>
+      val und = edges.map { case (a, b) => (a min b, a max b) }
+        .filter(e => e._1 != e._2).distinct
+      if (und.isEmpty)
+        Prop(Graphs.corenessHIndex(edges.toDF("src", "dst"), iters = 16).count() == 0)
+      else {
+        // Brute-force peel: remove the (deg, id)-min vertex repeatedly;
+        // coreness(v) = running max of degree-at-removal.
+        val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+        und.foreach { case (a, b) =>
+          adj(a) = adj.getOrElse(a, Set()) + b
+          adj(b) = adj.getOrElse(b, Set()) + a
+        }
+        val fullDeg = adj.map { case (k, v) => k -> v.size.toLong }.toMap
+        val core = scala.collection.mutable.Map[Long, Long]()
+        var k = 0L
+        while (adj.nonEmpty) {
+          val (v, d) = adj.view.map { case (n, s) => (n, s.size.toLong) }
+            .minBy { case (n, d) => (d, n) }
+          k = math.max(k, d)
+          core(v) = k
+          adj -= v
+          adj.keys.foreach(n => adj(n) = adj(n) - v)
+        }
+        // 10-node graphs converge well inside 16 H-index rounds.
+        val got = Graphs.corenessHIndex(edges.toDF("src", "dst"), iters = 16)
+          .collect()
+          .map(x => x.getAs[Long]("id") ->
+            ((x.getAs[Long]("deg"), x.getAs[Long]("coreness")))).toMap
+        val expected = core.map { case (v, c) => v -> ((fullDeg(v), c)) }.toMap
+        Prop(got == expected) :| s"got=$got expected=$expected"
+      }
+    })
+  }
 }

@@ -122,4 +122,47 @@ class GraphsSpec extends SparkSpec {
     // No self-loop row leaked a phantom node; exactly the 3 vertices.
     assert(r.length === 3)
   }
+
+  test("corenessHIndex: clique plus pendant chain converges to coreness") {
+    // K4 on {1,2,3,4} + chain 4—5—6, with a reversed duplicate and a
+    // self-loop that normalization absorbs. Coreness: clique members 3
+    // (the 3-core), chain nodes 1 (peeled in the first k=1 pass).
+    // H-index trace: h0 = deg = {1:3, 2:3, 3:3, 4:4, 5:2, 6:1};
+    // round 1 settles 5 and 6 to 1 and 4 to 3; round 2 is a fixpoint.
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (2L, 1L), (6L, 6L))
+      .toDF("src", "dst")
+    val out = Graphs.corenessHIndex(edges, iters = 4).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("deg"), r.getAs[Long]("coreness")))
+      .toMap
+    assert(out === Map(
+      1L -> ((3L, 3L)), 2L -> ((3L, 3L)), 3L -> ((3L, 3L)),
+      4L -> ((4L, 3L)), 5L -> ((2L, 1L)), 6L -> ((1L, 1L))))
+  }
+
+  test("corenessHIndex intermediate rounds stay upper bounds of coreness") {
+    // Star K1,5: center degree 5, coreness 1 everywhere. One round must
+    // already settle the center (neighbor estimates all 1 → H-index 1),
+    // and a single-round budget never dips BELOW true coreness.
+    val star = (2L to 6L).map(leaf => (1L, leaf)).toDF("src", "dst")
+    val one = Graphs.corenessHIndex(star, iters = 1).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("coreness")).toMap
+    assert(one === (1L to 6L).map(_ -> 1L).toMap)
+  }
+
+  test("seedDistances: min-merge relaxation, isolated seeds kept, horizon cut") {
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("src", "dst")
+    // Seed 99 touches no edge — still emitted at 0. Nodes past maxHops
+    // hops are ABSENT, not infinite.
+    val far = Graphs.seedDistances(path, Seq(1L, 99L).toDF("id"), maxHops = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("dist")).toMap
+    assert(far === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 99L -> 0L))
+    // Two competing seeds: every node takes the MIN hop count.
+    val two = Graphs.seedDistances(path, Seq(1L, 4L).toDF("id"), maxHops = 2)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("dist")).toMap
+    assert(two === Map(
+      1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L, 6L -> 2L))
+  }
 }
