@@ -1144,6 +1144,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Winnowing fingerprint selection (Schleimer et al. 2003 — MOSS):
+    // rightmost-minimum of each w-window of k-gram digests; per-doc
+    // fingerprint stats with the set gated through order-free
+    // sum/min/max aggregates. Guaranteed recall at ~2/(w+1) density.
+    "q163_winnowing" -> ((s, dir) =>
+      Dedup.winnowingFingerprints(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // The MOSS match step over the selected fingerprints: df-capped
+    // pair expansion, pairs sharing >= 2 distinct selected digests.
+    "q164_winnowing_matches" -> ((s, dir) =>
+      Dedup.winnowingMatches(Tables.documents(s, dir)).orderBy("src", "dst")),
+
     // Coreness via synchronous H-index iteration over the rare-shingle
     // graph — the density grade (deep template families vs incidental
     // shared-phrase pairs) next to q147's local closure; the oracle
@@ -3610,6 +3622,33 @@ object SparkEntry {
          |SELECT id, l AS label FROM l$iters ORDER BY id""".stripMargin
     },
 
+    "q163_winnowing" ->
+      s"""WITH $winnowCtes,
+         |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
+         |f AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+         |         CAST(bit_xor(fh) AS BIGINT) AS fp_xor,
+         |         MIN(fh) AS fp_min, MAX(fh) AS fp_max
+         |  FROM fp GROUP BY doc_id
+         |)
+         |SELECT a.doc_id, a.n_grams, a.n_grams - 3 AS n_windows, f.n_fp,
+         |       (1000000 * f.n_fp) // (a.n_grams - 3) AS density_ppm,
+         |       f.fp_xor, f.fp_min, f.fp_max
+         |FROM a JOIN f USING (doc_id)
+         |WHERE a.n_grams >= 4
+         |ORDER BY doc_id""".stripMargin,
+
+    "q164_winnowing_matches" ->
+      s"""WITH $winnowCtes,
+         |fpd AS MATERIALIZED (SELECT DISTINCT doc_id, fh FROM fp),
+         |kept AS (SELECT fh FROM fpd GROUP BY fh HAVING COUNT(*) BETWEEN 2 AND 4)
+         |SELECT a.doc_id AS src, b.doc_id AS dst, CAST(COUNT(*) AS BIGINT) AS n_shared
+         |FROM fpd a JOIN kept USING (fh) JOIN fpd b USING (fh)
+         |WHERE a.doc_id < b.doc_id
+         |GROUP BY 1, 2
+         |HAVING COUNT(*) >= 2
+         |ORDER BY src, dst""".stripMargin,
+
     "q161_coreness" -> {
       val iters = 4
       val rounds = (1 to iters).map { t =>
@@ -4853,6 +4892,39 @@ object SparkEntry {
        |  WHERE a.doc_id < b.doc_id
        |),
        |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)""".stripMargin
+
+  /** Shared q163/q164 oracle CTE chain: positional word 3-gram digests
+    * (dense positions), frame minima over w = 4 windows, rightmost-
+    * argmin selection, distinct fingerprints — the winnowing selection
+    * `Dedup.winnowingSelected` computes with the frame-min window.
+    */
+  private val winnowCtes =
+    """words AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+      |         unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+      |  FROM documents
+      |),
+      |g AS MATERIALIZED (
+      |  SELECT doc_id, pos,
+      |         CAST('0x' || substr(md5(w || ' ' || LEAD(w, 1) OVER win || ' ' || LEAD(w, 2) OVER win), 1, 15) AS BIGINT) AS h
+      |  FROM words WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY LEAD(w, 2) OVER win IS NOT NULL
+      |),
+      |wm AS (
+      |  SELECT doc_id, pos, h,
+      |         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh,
+      |         COUNT(*) OVER (PARTITION BY doc_id) AS nh
+      |  FROM g
+      |),
+      |sel AS (
+      |  SELECT wm.doc_id, wm.pos AS i, MAX(g2.pos) AS fpos, wm.mh AS fh
+      |  FROM wm JOIN g g2 ON g2.doc_id = wm.doc_id
+      |    AND g2.pos BETWEEN wm.pos AND wm.pos + 3 AND g2.h = wm.mh
+      |  WHERE wm.pos <= wm.nh - 4
+      |  GROUP BY wm.doc_id, wm.pos, wm.mh
+      |),
+      |fp AS MATERIALIZED (SELECT DISTINCT doc_id, fpos, fh FROM sel)""".stripMargin
 
   /** Shared oracle CTE: 8 MinHash signatures per doc via the
     * rotate_j(h1) XOR h2 family (matching Dedup.minhashSignatures — see

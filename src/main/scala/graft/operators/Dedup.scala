@@ -1498,4 +1498,103 @@ object Dedup {
         min(col("doc_id")).as("canonical_id"),
         count(lit(1)).as("n_docs"),
         count_distinct(col("raw_hash")).as("n_variants"))
+
+  /** Winnowing fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003 — the MOSS algorithm): from each document's sequence
+    * of `k`-gram digests, every window of `w` consecutive digests
+    * contributes its RIGHTMOST MINIMUM, and the distinct selected
+    * `(position, digest)` pairs are the document's fingerprints. The
+    * published guarantee this buys over [[passageDedup]]'s aligned
+    * chunks and [[rollingPassageDedup]]'s dense windows: any shared
+    * run of `w + k − 1` tokens between two documents is CAUGHT by at
+    * least one shared fingerprint, at an expected density of only
+    * `2/(w+1)` of the gram stream — guaranteed-recall copy detection
+    * at a fraction of the index size.
+    *
+    * Selection is computed relationally: per window start, the frame
+    * minimum of `struct(digest, −position)` (rightmost among equal
+    * minima — with 60-bit digests ties are negligible but the
+    * tie-break keeps the engine bit-deterministic); window starts with
+    * truncated frames (`start > n_grams − w`) select nothing, so a
+    * document with fewer than `w` grams emits no fingerprints
+    * (documented; whole-doc dedup covers the short cases).
+    *
+    * Output per document: gram/window/fingerprint counts, the selected
+    * density in ppm of window starts, and the fingerprint set gated
+    * exactly through order-free aggregates (XOR-fold plus min/max of
+    * the 60-bit digests — XOR, unlike a sum, cannot overflow at any
+    * fingerprint count).
+    *
+    * Scale: the digest stream is one fused codegen pass per document
+    * (text never shuffles), the frame min is a per-doc window sharing
+    * one doc-keyed exchange with the final aggregate, and fingerprints
+    * are ~`2/(w+1)` of gram volume — the index a 100 TB corpus
+    * actually stores.
+    */
+  def winnowingFingerprints(docs: DataFrame, k: Int = 3, w: Int = 4): DataFrame = {
+    val sel = winnowingSelected(docs, k, w)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_fp"),
+        expr("bit_xor(fh)").as("fp_xor"),
+        min(col("fh")).as("fp_min"),
+        max(col("fh")).as("fp_max"))
+    rollingDigests(docs, k)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+      .filter(col("n_grams") >= w)
+      .withColumn("n_windows", col("n_grams") - lit(w.toLong - 1L))
+      .join(sel, Seq("doc_id"))
+      .withColumn("density_ppm", expr("(1000000 * n_fp) div n_windows"))
+      .select(
+        col("doc_id"), col("n_grams"), col("n_windows"), col("n_fp"),
+        col("density_ppm"), col("fp_xor"), col("fp_min"), col("fp_max"))
+  }
+
+  /** Cross-document fingerprint matches over [[winnowingFingerprints]]'
+    * selection — the MOSS match step: document pairs sharing at least
+    * `minShared` distinct selected digests, with the same
+    * document-frequency cap as [[rareShingleEdges]] bounding the pair
+    * expansion (a digest selected in m documents emits C(m, 2) pairs;
+    * boilerplate digests above `maxDf` are excluded, which is also
+    * MOSS's own "ignore ubiquitous fingerprints" rule). Output
+    * `(src, dst, n_shared)` with `src < dst`.
+    */
+  def winnowingMatches(
+      docs: DataFrame,
+      k: Int = 3,
+      w: Int = 4,
+      maxDf: Long = 4L,
+      minShared: Long = 2L): DataFrame = {
+    val fps = winnowingSelected(docs, k, w)
+      .select(col("doc_id"), col("fh")).distinct()
+    val kept = fps.groupBy(col("fh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2L && col("df") <= maxDf)
+      .select(col("fh"))
+    val member = fps.join(kept, Seq("fh"))
+    member.select(col("fh"), col("doc_id").as("src"))
+      .join(member.select(col("fh"), col("doc_id").as("dst")), Seq("fh"))
+      .filter(col("src") < col("dst"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** The distinct winnowing-selected `(doc_id, fpos, fh)` rows shared
+    * by [[winnowingFingerprints]] and [[winnowingMatches]].
+    */
+  private def winnowingSelected(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 2, s"k=$k, w=$w out of range (k >= 1, w >= 2)")
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val frame = wDoc.orderBy(col("start")).rowsBetween(0, w.toLong - 1L)
+    rollingDigests(docs, k)
+      .withColumn("n_grams", count(lit(1)).over(wDoc))
+      .withColumn(
+        "m",
+        min(struct(col("dig").as("h"), (-col("start")).cast("long").as("np")))
+          .over(frame))
+      .filter(col("start") <= col("n_grams") - w.toLong)
+      .select(col("doc_id"), (-col("m.np")).as("fpos"), col("m.h").as("fh"))
+      .distinct()
+  }
 }

@@ -1332,4 +1332,71 @@ class DedupSimilaritySpec extends SparkSpec {
     val expect = (bestPerA intersect bestPerB).filter(_._4 > 0)
     assert(mined.toSet === expect, s"mined=${mined.toSet}\nexpect=$expect")
   }
+
+  /** The engine's 60-bit digest of a word window (md5 of the space-joined
+    * words, first 8 bytes big-endian, >>> 4) replicated independently.
+    */
+  private def dig60(words: Seq[String]): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val b = md.digest(words.mkString(" ").getBytes("UTF-8"))
+    val be = java.nio.ByteBuffer.wrap(b).getLong(0)
+    be >>> 4
+  }
+
+  /** Reference winnowing model: k-gram digests, rightmost min of every
+    * complete w-window, distinct (pos, digest) selections.
+    */
+  private def winnowModel(text: String, k: Int, w: Int): Set[(Int, Long)] = {
+    val ws = text.trim.split("\\s+").toSeq
+    val grams = (0 to ws.length - k).map(i => dig60(ws.slice(i, i + k)))
+    (0 to grams.length - w).flatMap { i =>
+      val win = grams.slice(i, i + w)
+      val m = win.min
+      val rightmost = i + win.lastIndexOf(m)
+      Some((rightmost, m))
+    }.toSet
+  }
+
+  test("winnowingFingerprints equals the independent winnowing model per document") {
+    val texts = Map(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      1L -> "one two three four five six seven eight",
+      2L -> "rep rep rep rep rep rep rep rep", // all-equal digests: tie-breaks
+      3L -> "tiny doc only") // 1 gram < w -> absent
+    val docs = texts.toSeq.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = Dedup.winnowingFingerprints(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!out.contains(3L), "a doc with fewer than w grams selects nothing")
+    for (id <- Seq(0L, 1L, 2L)) {
+      val model = winnowModel(texts(id), 3, 4)
+      val r = out(id)
+      val nGrams = texts(id).trim.split("\\s+").length - 2
+      assert(r.getAs[Long]("n_grams") === nGrams.toLong)
+      assert(r.getAs[Long]("n_windows") === (nGrams - 3).toLong)
+      assert(r.getAs[Long]("n_fp") === model.size.toLong, s"doc $id")
+      assert(r.getAs[Long]("fp_xor") === model.toSeq.map(_._2).reduce(_ ^ _), s"doc $id")
+      assert(r.getAs[Long]("fp_min") === model.map(_._2).min, s"doc $id")
+      assert(r.getAs[Long]("fp_max") === model.map(_._2).max, s"doc $id")
+      // Winnowing density bound: one selection serves at most w windows.
+      assert(r.getAs[Long]("n_fp") >= ((nGrams - 3) + 3) / 4)
+    }
+  }
+
+  test("winnowingMatches catches any shared w+k-1 run (the published guarantee)") {
+    // Docs 0 and 1 share the 6-token run (w + k - 1 = 6 at defaults)
+    // embedded in otherwise-disjoint text; doc 2 shares nothing.
+    val shared = "red orange yellow green blue indigo"
+    val docs = Seq(
+      (0L, s"aa bb cc dd $shared ee ff gg hh"),
+      (1L, s"qq ww rr tt $shared uu vv xx yy"),
+      (2L, "zz z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pairs = Dedup.winnowingMatches(docs, minShared = 1L).collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(pairs.contains((0L, 1L)),
+      "a shared w+k-1 token run must produce at least one shared fingerprint")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
 }
