@@ -1144,6 +1144,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Distillation-fidelity confusion matrix: the learned linear
+    // scorer's at-threshold agreement with its heuristic teacher —
+    // tp/fp/fn/tn plus exact-ppm accuracy/precision/recall/F1, the
+    // at-threshold picture next to q130's AUC and q149's calibration.
+    "q165_classifier_eval" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = TextAnalysis.qualityFilter(docs)
+        .select(col("doc_id"), col("keep").as("y"))
+      val weights = TextAnalysis.trainQualityWeights(docs, labels)
+      Stats.classifierEval(
+        TextAnalysis.scoreQuality(docs, weights).join(labels, Seq("doc_id")),
+        col("pred"), col("y"))
+    }),
+
+    // NDCG@10 of exact cosine retrieval graded by label agreement
+    // (rel = 2·same-label + 1·positive-dot) — the graded-relevance
+    // ranking eval with the whole-bit integer discount; shares q22's
+    // brute-force ranking so the metric grades a real retrieval run.
+    "q166_ndcg" -> ((s, dir) => {
+      val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      val runs = Similarity.knnBruteForce(Tables.embeddings(s, dir))
+        .join(lab.select(col("vec_id").as("query_id"), col("label").as("ql")), Seq("query_id"))
+        .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), Seq("neighbor_id"))
+        .select(
+          col("query_id"), col("rnk"),
+          (when(col("ql") === col("nl"), 2L).otherwise(0L) +
+            when(col("dp") > 0L, 1L).otherwise(0L)).as("rel"))
+      Stats.ndcgAtK(runs, 10).orderBy("query_id")
+    }),
+
     // Winnowing fingerprint selection (Schleimer et al. 2003 — MOSS):
     // rightmost-minimum of each w-window of k-gram digests; per-doc
     // fingerprint stats with the set gated through order-free
@@ -3622,6 +3652,46 @@ object SparkEntry {
          |SELECT id, l AS label FROM l$iters ORDER BY id""".stripMargin
     },
 
+    "q166_ndcg" ->
+      s"""WITH $quantizedEmbeddings,
+         |q AS (SELECT vec_id AS query_id, qe AS q_qe FROM n WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, n.vec_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * q.q_qe[i])) AS BIGINT) AS dp
+         |  FROM n CROSS JOIN q
+         |  WHERE n.vec_id <> q.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, vec_id, dp,
+         |         CAST(ROW_NUMBER() OVER (
+         |           PARTITION BY query_id ORDER BY dp DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored
+         |  QUALIFY rnk <= 10
+         |),
+         |rel AS (
+         |  SELECT r.query_id, r.rnk,
+         |         (CASE WHEN ql.label = nl.label THEN 2 ELSE 0 END
+         |           + CASE WHEN r.dp > 0 THEN 1 ELSE 0 END) AS rel
+         |  FROM ranked r
+         |  JOIN embeddings ql ON ql.vec_id = r.query_id
+         |  JOIN embeddings nl ON nl.vec_id = r.vec_id
+         |),
+         |i AS (
+         |  SELECT query_id, rnk, rel,
+         |         CAST(ROW_NUMBER() OVER (
+         |           PARTITION BY query_id ORDER BY rel DESC, rnk) AS BIGINT) AS irnk
+         |  FROM rel
+         |),
+         |a AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM((1000000 * rel) // (length(bin(rnk + 1)) - 1)) AS BIGINT) AS dcg_m,
+         |         CAST(SUM((1000000 * rel) // (length(bin(irnk + 1)) - 1)) AS BIGINT) AS idcg_m
+         |  FROM i GROUP BY query_id
+         |)
+         |SELECT query_id, n, dcg_m, idcg_m,
+         |       CASE WHEN idcg_m > 0 THEN (1000000 * dcg_m) // idcg_m END AS ndcg_ppm
+         |FROM a ORDER BY query_id""".stripMargin,
+
     "q163_winnowing" ->
       s"""WITH $winnowCtes,
          |a AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams FROM g GROUP BY doc_id),
@@ -3689,53 +3759,35 @@ object SparkEntry {
     },
 
     "q152_linear_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
-        |),
-        |m AS (
-        |  SELECT doc_id,
-        |         ((CAST(len(ws) AS BIGINT) BETWEEN 40 AND 10000)
-        |           AND CAST(CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS DOUBLE)
-        |               / CAST(len(ws) AS DOUBLE) >= 3.0
-        |           AND CAST(CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS DOUBLE)
-        |               / CAST(len(ws) AS DOUBLE) <= 8.0
-        |           AND CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) > 0) AS y
-        |  FROM t
-        |),
-        |lt AS (SELECT m.y AS y, unnest(t.ws) AS w FROM t JOIN m USING (doc_id)),
-        |c AS (
-        |  SELECT w,
-        |         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
-        |         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
-        |  FROM lt GROUP BY w
-        |),
-        |tot AS (
-        |  SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos, CAST(SUM(c_neg) AS BIGINT) AS t_neg,
-        |         CAST(COUNT(*) AS BIGINT) AS v
-        |  FROM c
-        |),
-        |r AS (
-        |  SELECT w,
-        |         ((c_pos + 1) * 1048576) // (t_pos + v) AS rp,
-        |         ((c_neg + 1) * 1048576) // (t_neg + v) AS rn
-        |  FROM c, tot
-        |),
-        |wt AS (
-        |  SELECT w,
-        |         CAST(length(bin(rp * rp * rp)) AS BIGINT)
-        |           - CAST(length(bin(rn * rn * rn)) AS BIGINT) AS weight_tribits
-        |  FROM r
-        |),
-        |tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
-        |s AS (
-        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |         CAST(SUM(COALESCE(weight_tribits, 0)) AS BIGINT) AS score_tribits
-        |  FROM tok LEFT JOIN wt USING (w) GROUP BY doc_id
-        |)
+      s"""WITH $linearQualityCtes
         |SELECT doc_id, n_tokens, score_tribits,
         |       CAST(score_tribits AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_tribits,
         |       score_tribits >= 0 AS pred
         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q165_classifier_eval" ->
+      s"""WITH $linearQualityCtes,
+        |j AS (SELECT s.score_tribits >= 0 AS p, m.y FROM s JOIN m USING (doc_id)),
+        |cm AS (
+        |  SELECT CAST(COUNT(*) FILTER (WHERE p AND y) AS BIGINT) AS tp,
+        |         CAST(COUNT(*) FILTER (WHERE p AND NOT y) AS BIGINT) AS fp,
+        |         CAST(COUNT(*) FILTER (WHERE NOT p AND y) AS BIGINT) AS fn,
+        |         CAST(COUNT(*) FILTER (WHERE NOT p AND NOT y) AS BIGINT) AS tn
+        |  FROM j
+        |),
+        |pr AS (
+        |  SELECT tp, fp, fn, tn,
+        |         (1000000 * (tp + tn)) // (tp + fp + fn + tn) AS accuracy_ppm,
+        |         CASE WHEN tp + fp > 0 THEN (1000000 * tp) // (tp + fp) END AS precision_ppm,
+        |         CASE WHEN tp + fn > 0 THEN (1000000 * tp) // (tp + fn) END AS recall_ppm
+        |  FROM cm
+        |)
+        |SELECT tp, fp, fn, tn, accuracy_ppm, precision_ppm, recall_ppm,
+        |       CASE WHEN precision_ppm IS NOT NULL AND recall_ppm IS NOT NULL
+        |                 AND precision_ppm + recall_ppm > 0
+        |            THEN (2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm)
+        |       END AS f1_ppm
+        |FROM pr ORDER BY tp""".stripMargin,
 
     "q153_apply_changes" ->
       """SELECT doc_id, source,
@@ -4892,6 +4944,57 @@ object SparkEntry {
        |  WHERE a.doc_id < b.doc_id
        |),
        |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)""".stripMargin
+
+  /** Shared q152/q165 oracle CTE chain: the learned-linear-quality
+    * pipeline — heuristic teacher labels `m`, 1/3-bit log-odds weight
+    * table `wt`, per-doc scores `s` — so the scorer (q152) and its
+    * distillation-fidelity confusion matrix (q165) replay the one
+    * training pass.
+    */
+  private val linearQualityCtes =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+      |),
+      |m AS (
+      |  SELECT doc_id,
+      |         ((CAST(len(ws) AS BIGINT) BETWEEN 40 AND 10000)
+      |           AND CAST(CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS DOUBLE)
+      |               / CAST(len(ws) AS DOUBLE) >= 3.0
+      |           AND CAST(CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS DOUBLE)
+      |               / CAST(len(ws) AS DOUBLE) <= 8.0
+      |           AND CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) > 0) AS y
+      |  FROM t
+      |),
+      |lt AS (SELECT m.y AS y, unnest(t.ws) AS w FROM t JOIN m USING (doc_id)),
+      |c AS (
+      |  SELECT w,
+      |         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+      |         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+      |  FROM lt GROUP BY w
+      |),
+      |tot AS (
+      |  SELECT CAST(SUM(c_pos) AS BIGINT) AS t_pos, CAST(SUM(c_neg) AS BIGINT) AS t_neg,
+      |         CAST(COUNT(*) AS BIGINT) AS v
+      |  FROM c
+      |),
+      |r AS (
+      |  SELECT w,
+      |         ((c_pos + 1) * 1048576) // (t_pos + v) AS rp,
+      |         ((c_neg + 1) * 1048576) // (t_neg + v) AS rn
+      |  FROM c, tot
+      |),
+      |wt AS (
+      |  SELECT w,
+      |         CAST(length(bin(rp * rp * rp)) AS BIGINT)
+      |           - CAST(length(bin(rn * rn * rn)) AS BIGINT) AS weight_tribits
+      |  FROM r
+      |),
+      |tok AS (SELECT doc_id, unnest(ws) AS w FROM t),
+      |s AS MATERIALIZED (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |         CAST(SUM(COALESCE(weight_tribits, 0)) AS BIGINT) AS score_tribits
+      |  FROM tok LEFT JOIN wt USING (w) GROUP BY doc_id
+      |)""".stripMargin
 
   /** Shared q163/q164 oracle CTE chain: positional word 3-gram digests
     * (dense positions), frame minima over w = 4 windows, rightmost-

@@ -321,4 +321,82 @@ object Stats {
         expr("lo + ((sum_score_centi - n * lo) div n)"))
       .drop("lo")
   }
+
+  /** Binary-classifier confusion matrix + exact ppm summary metrics —
+    * the acceptance scorecard for every gate in the curation stack (is
+    * the learned quality scorer faithful to its teacher? does the
+    * cheap language-ID agree with the expensive one on the overlap
+    * sample?), complementing [[groupAuc]] (threshold-free ordering)
+    * and [[calibrationBins]] (score-magnitude honesty) with the
+    * AT-THRESHOLD picture. One row: tp/fp/fn/tn counts plus accuracy,
+    * precision, recall, and F1 in exact ppm BIGINTs (floor division on
+    * nonnegative operands — engine-bit-identical; F1 computes from the
+    * ppm precision/recall, `(2·p·r) div (p + r)`, ≤ 2·10¹² inside
+    * BIGINT always). Undefined metrics (no predicted positives / no
+    * actual positives) surface as NULL in BOTH engines rather than a
+    * conventional zero.
+    *
+    * Scale: one map-side-combined four-counter aggregate over a narrow
+    * two-boolean projection — a single reduce to one row, no shuffle
+    * wider than the partial aggregates.
+    */
+  def classifierEval(df: DataFrame, pred: Column, label: Column): DataFrame =
+    df
+      .select(pred.cast("boolean").as("p"), label.cast("boolean").as("y"))
+      .filter(col("p").isNotNull && col("y").isNotNull)
+      .agg(
+        sum(when(col("p") && col("y"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p") && !col("y"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("p") && col("y"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("p") && !col("y"), 1L).otherwise(0L)).as("tn"))
+      .withColumn(
+        "accuracy_ppm", expr("(1000000 * (tp + tn)) div (tp + fp + fn + tn)"))
+      .withColumn(
+        "precision_ppm",
+        when(col("tp") + col("fp") > 0L, expr("(1000000 * tp) div (tp + fp)")))
+      .withColumn(
+        "recall_ppm",
+        when(col("tp") + col("fn") > 0L, expr("(1000000 * tp) div (tp + fn)")))
+      .withColumn(
+        "f1_ppm",
+        when(
+          col("precision_ppm").isNotNull && col("recall_ppm").isNotNull &&
+            col("precision_ppm") + col("recall_ppm") > 0L,
+          expr("(2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)")))
+
+  /** NDCG@k with an exact integer discount — the graded-relevance
+    * ranking eval next to [[groupAuc]]'s binary ordering and
+    * `Similarity.annRecall`'s set recall: did the ranker put HIGH-grade
+    * items EARLY? Per query over the top-`k` ranked rows
+    * `(query_id, rnk, rel)`: each row contributes
+    * `⌊10⁶·rel / d(rnk)⌋` with the whole-bit discount
+    * `d(r) = ⌊log2(r + 1)⌋ = length(bin(r + 1)) − 1` (the classic
+    * `log2(r + 1)` curve floored to integers — d(1) = d(2) = 1,
+    * d(3..6) = 2, … — so the metric is BIGINT end to end and
+    * engine-bit-identical where a float log would drift); the ideal
+    * ordering re-ranks the same rows by `(rel desc, rnk)` and the
+    * summary is `ndcg_ppm = ⌊10⁶·dcg / idcg⌋`, NULL when every grade
+    * is zero (no ideal gain to normalize by — NULL in both engines).
+    *
+    * Scale: one per-query window (rank-bounded input by construction —
+    * k rows per query) + one map-side-combined aggregate; nothing
+    * corpus-sized shuffles.
+    */
+  def ndcgAtK(runs: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val wIdeal = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rel").desc, col("rnk"))
+    runs
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("rel").cast("long").as("rel"))
+      .filter(col("rnk") <= k.toLong)
+      .withColumn("irnk", row_number().over(wIdeal).cast("long"))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(expr("(1000000 * rel) div (length(bin(rnk + 1)) - 1)")).as("dcg_m"),
+        sum(expr("(1000000 * rel) div (length(bin(irnk + 1)) - 1)")).as("idcg_m"))
+      .withColumn(
+        "ndcg_ppm",
+        when(col("idcg_m") > 0L, expr("(1000000 * dcg_m) div idcg_m")))
+  }
 }

@@ -403,4 +403,57 @@ class TimeseriesStatsSpec extends SparkSpec {
       .collect().map(_.getAs[Boolean]("is_anomaly"))
     assert(!z.exists(identity), "pointwise z-score should miss a +1.3 sigma shift")
   }
+
+  test("classifierEval: exact confusion counts and ppm metrics by hand") {
+    // tp=2, fp=1, fn=1, tn=2 over six rows (plus a null-pred row dropped).
+    val df = Seq(
+      (Some(true), true), (Some(true), true), (Some(true), false),
+      (Some(false), true), (Some(false), false), (Some(false), false),
+      (None, true))
+      .toDF("p", "y")
+    val r = Stats.classifierEval(df, col("p"), col("y")).collect().head
+    assert(r.getAs[Long]("tp") === 2L && r.getAs[Long]("fp") === 1L)
+    assert(r.getAs[Long]("fn") === 1L && r.getAs[Long]("tn") === 2L)
+    assert(r.getAs[Long]("accuracy_ppm") === 666666L)  // 4e6 div 6
+    assert(r.getAs[Long]("precision_ppm") === 666666L) // 2e6 div 3
+    assert(r.getAs[Long]("recall_ppm") === 666666L)
+    // f1 = (2*666666*666666) div (1333332) = 666666
+    assert(r.getAs[Long]("f1_ppm") === 666666L)
+  }
+
+  test("classifierEval: undefined precision/recall surface as NULL, not zero") {
+    val noPos = Seq((false, true), (false, false)).toDF("p", "y")
+    val r1 = Stats.classifierEval(noPos, col("p"), col("y")).collect().head
+    assert(r1.isNullAt(r1.fieldIndex("precision_ppm")), "no predicted positives")
+    assert(r1.getAs[Long]("recall_ppm") === 0L)
+    assert(r1.isNullAt(r1.fieldIndex("f1_ppm")))
+    val noTrue = Seq((true, false), (false, false)).toDF("p", "y")
+    val r2 = Stats.classifierEval(noTrue, col("p"), col("y")).collect().head
+    assert(r2.getAs[Long]("precision_ppm") === 0L)
+    assert(r2.isNullAt(r2.fieldIndex("recall_ppm")), "no actual positives")
+  }
+
+  test("ndcgAtK: whole-bit discounts, ideal reordering, all-zero grades -> NULL") {
+    // Query 1: ranked grades (3, 0, 2) at ranks 1..3. Discounts d(1)=d(2)=1,
+    // d(3)=2. dcg = 3e6/1 + 0 + 2e6/2 = 4e6. Ideal order (3, 2, 0):
+    // idcg = 3e6/1 + 2e6/1 + 0 = 5e6. ndcg = 800000 ppm.
+    // Query 2: all grades zero -> idcg 0 -> NULL.
+    // Query 3: already ideal -> ndcg exactly 1e6.
+    val runs = Seq(
+      (1L, 1L, 3L), (1L, 2L, 0L), (1L, 3L, 2L),
+      (2L, 1L, 0L), (2L, 2L, 0L),
+      (3L, 1L, 2L), (3L, 2L, 1L))
+      .toDF("query_id", "rnk", "rel")
+    val out = Stats.ndcgAtK(runs, 10).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out(1L).getAs[Long]("dcg_m") === 4000000L)
+    assert(out(1L).getAs[Long]("idcg_m") === 5000000L)
+    assert(out(1L).getAs[Long]("ndcg_ppm") === 800000L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("ndcg_ppm")))
+    assert(out(3L).getAs[Long]("ndcg_ppm") === 1000000L)
+    // Rows past k are ignored: k=1 keeps only rank 1.
+    val top1 = Stats.ndcgAtK(runs, 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("dcg_m")).toMap
+    assert(top1(1L) === 3000000L)
+  }
 }
