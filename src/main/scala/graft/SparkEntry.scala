@@ -1174,6 +1174,48 @@ object SparkEntry {
       Stats.ndcgAtK(runs, 10).orderBy("query_id")
     }),
 
+    // Average precision @ 10 of the same retrieval run under BINARY
+    // relevance (same-label) — the order-sensitive eval between q140's
+    // order-blind recall and q166's graded NDCG: a relevant neighbor
+    // at rank 1 is worth more than at rank 10, exactly and in ppm.
+    "q167_avg_precision" -> ((s, dir) => {
+      val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      val runs = Similarity.knnBruteForce(Tables.embeddings(s, dir))
+        .join(lab.select(col("vec_id").as("query_id"), col("label").as("ql")), Seq("query_id"))
+        .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), Seq("neighbor_id"))
+        .select(
+          col("query_id"), col("rnk"),
+          when(col("ql") === col("nl"), 1L).otherwise(0L).as("rel"))
+      Stats.averagePrecision(runs, 10).orderBy("query_id")
+    }),
+
+    // Cohen's kappa between the learned linear scorer and its heuristic
+    // teacher — the chance-corrected view of q165's raw agreement: on a
+    // skewed keep/reject split, accuracy flatters; kappa subtracts what
+    // the marginals would agree on by luck.
+    "q168_cohen_kappa" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = TextAnalysis.qualityFilter(docs)
+        .select(col("doc_id"), col("keep").as("y"))
+      val weights = TextAnalysis.trainQualityWeights(docs, labels)
+      Stats.cohenKappa(
+        TextAnalysis.scoreQuality(docs, weights).join(labels, Seq("doc_id")),
+        col("pred"), col("y")).orderBy("n")
+    }),
+
+    // Kendall τ-a between the cosine and L2 rankings of each query's
+    // candidate list (q132's two fusion inputs, compared instead of
+    // fused): +1 = identical order, −1 = reversed — the pairwise-order
+    // complement to q140's membership recall.
+    "q169_kendall_tau" -> ((s, dir) => {
+      val dual = Similarity.dualRankings(Tables.embeddings(s, dir))
+        .filter(col("cos_rank").isNotNull && col("l2_rank").isNotNull)
+        .select(
+          col("query_id"), col("vec_id").as("item_id"),
+          col("cos_rank").as("rank_a"), col("l2_rank").as("rank_b"))
+      Stats.kendallTau(dual).orderBy("query_id")
+    }),
+
     // Winnowing fingerprint selection (Schleimer et al. 2003 — MOSS):
     // rightmost-minimum of each w-window of k-gram digests; per-doc
     // fingerprint stats with the set gated through order-free
@@ -3259,33 +3301,7 @@ object SparkEntry {
 
     "q132_rrf_fusion" ->
       s"""WITH $quantizedEmbeddings,
-         |q AS (SELECT vec_id AS query_id, qe AS q_qe, n2 AS q_n2 FROM n WHERE vec_id < 10),
-         |sc AS (
-         |  SELECT q.query_id, n.vec_id,
-         |         CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * q.q_qe[i])) AS BIGINT) AS dp,
-         |         n.n2, q.q_n2
-         |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id
-         |),
-         |sc2 AS (
-         |  SELECT *,
-         |         CAST(dp AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE))) AS cosine,
-         |         CAST(n2 - 2 * dp + q_n2 AS BIGINT) AS d2
-         |  FROM sc
-         |),
-         |bycos AS (
-         |  SELECT query_id, vec_id, cos_rank FROM (
-         |    SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
-         |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS cos_rank
-         |    FROM sc2)
-         |  WHERE cos_rank <= 50
-         |),
-         |byl2 AS (
-         |  SELECT query_id, vec_id, l2_rank FROM (
-         |    SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
-         |      PARTITION BY query_id ORDER BY d2, vec_id) AS INT) AS l2_rank
-         |    FROM sc2)
-         |  WHERE l2_rank <= 50
-         |),
+         |$dualRankCtes,
          |fused AS (
          |  SELECT COALESCE(a.query_id, b.query_id) AS query_id,
          |         COALESCE(a.vec_id, b.vec_id) AS vec_id,
@@ -3691,6 +3707,105 @@ object SparkEntry {
          |SELECT query_id, n, dcg_m, idcg_m,
          |       CASE WHEN idcg_m > 0 THEN (1000000 * dcg_m) // idcg_m END AS ndcg_ppm
          |FROM a ORDER BY query_id""".stripMargin,
+
+    "q167_avg_precision" ->
+      s"""WITH $quantizedEmbeddings,
+         |q AS (SELECT vec_id AS query_id, qe AS q_qe FROM n WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, n.vec_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * q.q_qe[i])) AS BIGINT) AS dp
+         |  FROM n CROSS JOIN q
+         |  WHERE n.vec_id <> q.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, vec_id, dp,
+         |         CAST(ROW_NUMBER() OVER (
+         |           PARTITION BY query_id ORDER BY dp DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored
+         |  QUALIFY rnk <= 10
+         |),
+         |rel AS (
+         |  SELECT r.query_id, r.rnk,
+         |         CAST(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS BIGINT) AS rel
+         |  FROM ranked r
+         |  JOIN embeddings ql ON ql.vec_id = r.query_id
+         |  JOIN embeddings nl ON nl.vec_id = r.vec_id
+         |),
+         |c AS (
+         |  SELECT query_id, rnk, rel,
+         |         SUM(rel) OVER (PARTITION BY query_id ORDER BY rnk
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_hits
+         |  FROM rel
+         |),
+         |a AS (
+         |  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |         CAST(SUM(rel) AS BIGINT) AS hits,
+         |         CAST(SUM(CASE WHEN rel = 1
+         |           THEN (1000000 * cum_hits) // rnk ELSE 0 END) AS BIGINT) AS sp
+         |  FROM c GROUP BY query_id
+         |)
+         |SELECT query_id, n, hits,
+         |       CASE WHEN hits > 0 THEN sp // hits END AS ap_ppm
+         |FROM a ORDER BY query_id""".stripMargin,
+
+    "q168_cohen_kappa" ->
+      s"""WITH $linearQualityCtes,
+         |j AS (SELECT s.score_tribits >= 0 AS p, m.y FROM s JOIN m USING (doc_id)),
+         |cells AS (SELECT p, y, CAST(COUNT(*) AS BIGINT) AS cnt FROM j GROUP BY p, y),
+         |ktot AS (
+         |  SELECT CAST(SUM(cnt) AS HUGEINT) AS n,
+         |         CAST(SUM(CASE WHEN p = y THEN cnt ELSE 0 END) AS HUGEINT) AS agree
+         |  FROM cells
+         |),
+         |rt AS (SELECT p AS cat, CAST(SUM(cnt) AS HUGEINT) AS r_tot FROM cells GROUP BY p),
+         |ct AS (SELECT y AS cat, CAST(SUM(cnt) AS HUGEINT) AS c_tot FROM cells GROUP BY y),
+         |pe AS (
+         |  SELECT CAST(COALESCE(SUM(rt.r_tot * ct.c_tot), 0) AS HUGEINT) AS pe_num
+         |  FROM rt JOIN ct USING (cat)
+         |)
+         |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+         |       CAST((1000000 * agree) // n AS BIGINT) AS po_ppm,
+         |       CAST((1000000 * pe_num) // (n * n) AS BIGINT) AS pe_ppm,
+         |       CAST(CASE WHEN (n * n - pe_num) > 0 THEN
+         |         CASE WHEN n * agree >= pe_num
+         |           THEN (1000000 * (n * agree - pe_num)) // (n * n - pe_num)
+         |           ELSE -((1000000 * (pe_num - n * agree)) // (n * n - pe_num)) END
+         |       END AS BIGINT) AS kappa_ppm
+         |FROM ktot, pe ORDER BY n""".stripMargin,
+
+    "q169_kendall_tau" ->
+      s"""WITH $quantizedEmbeddings,
+         |$dualRankCtes,
+         |common AS (
+         |  SELECT a.query_id, a.vec_id AS item_id,
+         |         CAST(a.cos_rank AS BIGINT) AS ra, CAST(b.l2_rank AS BIGINT) AS rb
+         |  FROM bycos a JOIN byl2 b ON a.query_id = b.query_id AND a.vec_id = b.vec_id
+         |),
+         |ni AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_items FROM common GROUP BY query_id),
+         |pairs AS (
+         |  SELECT l.query_id, ((l.ra - r.ra) * (l.rb - r.rb) > 0) AS conc
+         |  FROM common l JOIN common r
+         |    ON l.query_id = r.query_id AND l.item_id < r.item_id
+         |),
+         |cd AS (
+         |  SELECT query_id,
+         |         CAST(COUNT(*) FILTER (WHERE conc) AS BIGINT) AS concordant,
+         |         CAST(COUNT(*) FILTER (WHERE NOT conc) AS BIGINT) AS discordant
+         |  FROM pairs GROUP BY query_id
+         |),
+         |o AS (
+         |  SELECT ni.query_id, ni.n_items,
+         |         COALESCE(cd.concordant, 0) AS concordant,
+         |         COALESCE(cd.discordant, 0) AS discordant
+         |  FROM ni LEFT JOIN cd USING (query_id)
+         |)
+         |SELECT query_id, n_items, concordant, discordant,
+         |       CASE WHEN n_items > 1 THEN
+         |         CASE WHEN concordant >= discordant
+         |           THEN (1000000 * (concordant - discordant)) // ((n_items * (n_items - 1)) // 2)
+         |           ELSE -((1000000 * (discordant - concordant)) // ((n_items * (n_items - 1)) // 2)) END
+         |       END AS tau_ppm
+         |FROM o ORDER BY query_id""".stripMargin,
 
     "q163_winnowing" ->
       s"""WITH $winnowCtes,
@@ -4944,6 +5059,40 @@ object SparkEntry {
        |  WHERE a.doc_id < b.doc_id
        |),
        |sym AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)""".stripMargin
+
+  /** Shared q132/q169 oracle CTE chain (composes after
+    * `quantizedEmbeddings`): the cosine and exact-L2 rankings of the
+    * corpus per query vector, each cut at depth 50 — `bycos` / `byl2`
+    * mirror `Similarity.dualRankings`' two depth-bounded lists.
+    */
+  private val dualRankCtes =
+    """q AS (SELECT vec_id AS query_id, qe AS q_qe, n2 AS q_n2 FROM n WHERE vec_id < 10),
+      |sc AS (
+      |  SELECT q.query_id, n.vec_id,
+      |         CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * q.q_qe[i])) AS BIGINT) AS dp,
+      |         n.n2, q.q_n2
+      |  FROM n CROSS JOIN q WHERE n.vec_id <> q.query_id
+      |),
+      |sc2 AS (
+      |  SELECT *,
+      |         CAST(dp AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(q_n2 AS DOUBLE))) AS cosine,
+      |         CAST(n2 - 2 * dp + q_n2 AS BIGINT) AS d2
+      |  FROM sc
+      |),
+      |bycos AS (
+      |  SELECT query_id, vec_id, cos_rank FROM (
+      |    SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS cos_rank
+      |    FROM sc2)
+      |  WHERE cos_rank <= 50
+      |),
+      |byl2 AS (
+      |  SELECT query_id, vec_id, l2_rank FROM (
+      |    SELECT query_id, vec_id, CAST(ROW_NUMBER() OVER (
+      |      PARTITION BY query_id ORDER BY d2, vec_id) AS INT) AS l2_rank
+      |    FROM sc2)
+      |  WHERE l2_rank <= 50
+      |)""".stripMargin
 
   /** Shared q152/q165 oracle CTE chain: the learned-linear-quality
     * pipeline — heuristic teacher labels `m`, 1/3-bit log-odds weight

@@ -399,4 +399,156 @@ object Stats {
         "ndcg_ppm",
         when(col("idcg_m") > 0L, expr("(1000000 * dcg_m) div idcg_m")))
   }
+
+  /** Average precision @ k — the order-sensitive BINARY-relevance
+    * ranking eval between `annRecall`'s order-blind set recall and
+    * [[ndcgAtK]]'s graded gains: every relevant item contributes the
+    * precision at its own rank, so relevant items ranked EARLY count
+    * for more. Per query over the top-`k` rows `(query_id, rnk, rel)`
+    * with 0/1 `rel`: each hit at rank r contributes
+    * `⌊10⁶·hits_so_far(r) / r⌋` (exact floor division — hits_so_far
+    * via one cumulative window ordered by rank), and
+    * `ap_ppm = ⌊Σ contributions / hits⌋` — the mean of the per-hit ppm
+    * precisions, floored term-by-term FIRST so the whole metric stays
+    * BIGINT and engine-bit-identical (the spec is "mean of floored
+    * precisions", not a float AP rounded). Queries with zero hits get
+    * NULL (no relevant item to average over — NULL in both engines).
+    *
+    * Scale: one per-query cumulative window over rank-bounded input
+    * (≤ k rows per query by construction) + one map-side-combined
+    * aggregate; nothing corpus-sized shuffles.
+    */
+  def averagePrecision(runs: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("rnk"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    runs
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("rel").cast("long").as("rel"))
+      .filter(col("rnk") <= k.toLong)
+      .withColumn("cum_hits", sum(col("rel")).over(wCum))
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("rel")).as("hits"),
+        sum(expr("CASE WHEN rel = 1 THEN (1000000 * cum_hits) div rnk ELSE 0 END"))
+          .as("sum_prec_ppm"))
+      .withColumn("ap_ppm", when(col("hits") > 0L, expr("sum_prec_ppm div hits")))
+      .drop("sum_prec_ppm")
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two categorical
+    * raters (a cheap gate vs its expensive teacher, two annotators, two
+    * model versions), the "is the agreement better than the base rates
+    * explain?" eval that raw accuracy (q165's scorecard) cannot answer:
+    * a 95%-majority-class pair of raters agrees 90% by luck alone.
+    * `κ = (pₒ − pₑ)/(1 − pₑ)` with `pₒ` the observed agreement and
+    * `pₑ = Σ_c rowshare(c)·colshare(c)` the chance agreement, computed
+    * here entirely on exact integers:
+    * `kappa_ppm = ±⌊10⁶·|n·agree − Σ rᶜ·cᶜ| / (n² − Σ rᶜ·cᶜ)⌋` with the
+    * sign split out so truncation-toward-zero matches in both engines
+    * (Spark `div` truncates, DuckDB `//` floors — they agree only on
+    * nonnegative operands; κ can be negative). The n² products are
+    * carried as DECIMAL(38,0) (HUGEINT width in the oracle), so the
+    * operator is exact at any realistic corpus size, not just while
+    * `n² < 9.2·10¹⁸`. Degenerate marginals (pₑ = 1: both raters
+    * constant and equal) yield NULL. Also emits `po_ppm`/`pe_ppm`.
+    *
+    * Scale: one categories²-sized contingency aggregate with map-side
+    * combine, then category-sized marginal scans — the totals, row-
+    * marginal, and column-marginal subtrees are all built from the SAME
+    * `cells` frame, so Catalyst's ReuseExchange serves them from the
+    * one corpus-sized aggregate exchange (the tokenBudgetSelect totals
+    * trick); no session-lifetime cache, nothing row-sized past the
+    * first aggregate.
+    */
+  def cohenKappa(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 0)
+    val cells = df
+      .select(a.cast("string").as("ca"), b.cast("string").as("cb"))
+      .filter(col("ca").isNotNull && col("cb").isNotNull)
+      .groupBy(col("ca"), col("cb"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = cells.agg(
+      sum(col("cnt")).as("n"),
+      sum(when(col("ca") === col("cb"), col("cnt")).otherwise(0L)).as("agree"))
+    val rowTot = cells.groupBy(col("ca").as("cat")).agg(sum(col("cnt")).as("rt"))
+    val colTot = cells.groupBy(col("cb").as("cat")).agg(sum(col("cnt")).as("ct"))
+    val peNum = rowTot
+      .join(colTot, Seq("cat"))
+      .agg(coalesce(sum(col("rt").cast(dec) * col("ct").cast(dec)), lit(0).cast(dec)).as("pe_num"))
+    val out = totals
+      .crossJoin(broadcast(peNum))
+      .select(
+        col("n"),
+        col("agree"),
+        (col("n").cast(dec) * col("agree").cast(dec)).as("po_num_n2"),
+        col("pe_num"),
+        (col("n").cast(dec) * col("n").cast(dec)).as("n2"))
+      .withColumn("po_ppm", expr("(1000000 * agree) div n"))
+      // IntegralDivide (`div`) on DECIMAL operands is exact truncation —
+      // a decimal `/` would round HALF_UP at the result scale and could
+      // cross an integer boundary the oracle's floor never crosses.
+      .withColumn("pe_ppm", expr("(1000000 * pe_num) div n2"))
+      .withColumn("k_num", col("po_num_n2") - col("pe_num"))
+      .withColumn("k_den", col("n2") - col("pe_num"))
+      .withColumn(
+        "kappa_ppm",
+        when(
+          col("k_den") > lit(0).cast(dec),
+          when(col("k_num") >= lit(0).cast(dec), expr("(1000000 * k_num) div k_den"))
+            .otherwise(-expr("(1000000 * -k_num) div k_den"))))
+      .select(col("n"), col("agree"), col("po_ppm"), col("pe_ppm"), col("kappa_ppm"))
+    out
+  }
+
+  /** Kendall rank correlation (τ-a) between two rankings of the same
+    * items — do two rankers ORDER a result list the same way (cosine vs
+    * L2, last week's index vs this week's), the pairwise-order
+    * complement to `annRecall`'s membership view. Input is one row per
+    * `(query_id, item_id)` carrying both tie-free ranks (`rank_a`,
+    * `rank_b` — row_number ranks by construction here, so τ-a's
+    * no-ties denominator `n(n−1)/2` is exact and τ-b's tie terms
+    * vanish). Pairs expand per query via an `item < item` self-join —
+    * bounded by the depth of the ranked lists (k² pairs per query),
+    * never corpus-sized; concordant ⟺ the two rank differences share a
+    * sign. `tau_ppm = ±⌊10⁶·|C − D| / (n(n−1)/2)⌋`, sign split out so
+    * trunc-division matches across engines; single-item queries (no
+    * pairs) yield NULL.
+    */
+  def kendallTau(ranks: DataFrame): DataFrame = {
+    val l = ranks.select(
+      col("query_id"), col("item_id").as("ia"),
+      col("rank_a").cast("long").as("raa"), col("rank_b").cast("long").as("rba"))
+    val r = ranks.select(
+      col("query_id"), col("item_id").as("ib"),
+      col("rank_a").cast("long").as("rab"), col("rank_b").cast("long").as("rbb"))
+    l.join(r, Seq("query_id"))
+      .filter(col("ia") < col("ib"))
+      .select(
+        col("query_id"),
+        ((col("raa") - col("rab")) * (col("rba") - col("rbb")) > 0L).as("conc"))
+      .groupBy(col("query_id"))
+      .agg(
+        sum(when(col("conc"), 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("conc"), 0L).otherwise(1L)).as("discordant"))
+      .join(
+        ranks.groupBy(col("query_id")).agg(count(lit(1)).as("n_items")),
+        Seq("query_id"),
+        "right_outer")
+      .select(
+        col("query_id"),
+        col("n_items"),
+        coalesce(col("concordant"), lit(0L)).as("concordant"),
+        coalesce(col("discordant"), lit(0L)).as("discordant"))
+      .withColumn(
+        "tau_ppm",
+        when(
+          col("n_items") > 1L,
+          when(
+            col("concordant") >= col("discordant"),
+            expr("(1000000 * (concordant - discordant)) div ((n_items * (n_items - 1)) div 2)"))
+            .otherwise(
+              -expr("(1000000 * (discordant - concordant)) div ((n_items * (n_items - 1)) div 2)"))))
+  }
 }

@@ -1289,6 +1289,49 @@ object Similarity {
       .withColumn("pn2", dot(col("proj"), col("proj")))
   }
 
+  /** The cosine and exact-squared-L2 rankings of the corpus for each of
+    * the first `numQueries` vectors, cut at `depth`, as one row per
+    * `(query_id, vec_id)` surviving EITHER list (full outer of the two
+    * depth-bounded lists): `cos_rank` / `l2_rank` are row_number ranks
+    * (tie-free by construction, ties on id), NULL when the candidate is
+    * beyond `depth` in that ranker. The shared input of [[rrfFuse]]
+    * (which fuses the two lists) and `Stats.kendallTau` (which measures
+    * how differently they order the common candidates).
+    *
+    * Scale: one broadcast of the query set, one corpus scan scores both
+    * rankers from the SAME dot product (`d² = |v|² − 2·dp + |q|²` — no
+    * second pass; the scored subtree is rebuilt per ranker — two
+    * broadcast-join scans, no session-lifetime cache to own), per-query
+    * windows are WindowGroupLimit-bounded, and the final join runs on
+    * the depth-bounded lists, never the corpus.
+    */
+  def dualRankings(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      depth: Int = 50): DataFrame = {
+    val e = withQuantized(embeddings)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn("dp", dot(col("qe"), col("q_qe")))
+      .withColumn(
+        "cosine",
+        col("dp").cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("q_n2").cast("double"))))
+      .withColumn("d2", col("n2") - lit(2L) * col("dp") + col("q_n2"))
+    val wCos = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
+    val wL2 = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
+    val byCos = scored
+      .withColumn("cos_rank", row_number().over(wCos).cast("int"))
+      .filter(col("cos_rank") <= depth)
+      .select(col("query_id"), col("vec_id"), col("cos_rank"))
+    val byL2 = scored
+      .withColumn("l2_rank", row_number().over(wL2).cast("int"))
+      .filter(col("l2_rank") <= depth)
+      .select(col("query_id"), col("vec_id"), col("l2_rank"))
+    byCos.join(byL2, Seq("query_id", "vec_id"), "full_outer")
+  }
+
   /** Reciprocal-rank fusion of two exact retrieval rankings — the
     * standard hybrid-search combiner (Cormack et al.): for each query
     * over the corpus, ranking A orders by cosine (direction match) and
@@ -1311,36 +1354,13 @@ object Similarity {
       depth: Int = 50,
       k: Int = 10,
       rrfK: Int = 60): DataFrame = {
-    val e = withQuantized(embeddings)
-    val q = e.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("n2").as("q_n2"))
-    // Both rankers derive from the same scored subtree; it is rebuilt per
-    // ranker (two broadcast-join scans, no shuffle below the windows)
-    // rather than persisted — no session-lifetime cache to own.
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("dp", dot(col("qe"), col("q_qe")))
-      .withColumn(
-        "cosine",
-        col("dp").cast("double") /
-          (sqrt(col("n2").cast("double")) * sqrt(col("q_n2").cast("double"))))
-      .withColumn("d2", col("n2") - lit(2L) * col("dp") + col("q_n2"))
-    val wCos = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("vec_id"))
-    val wL2 = Window.partitionBy(col("query_id")).orderBy(col("d2").asc, col("vec_id"))
-    val byCos = scored
-      .withColumn("cos_rank", row_number().over(wCos).cast("int"))
-      .filter(col("cos_rank") <= depth)
-      .select(col("query_id"), col("vec_id"), col("cos_rank"))
-    val byL2 = scored
-      .withColumn("l2_rank", row_number().over(wL2).cast("int"))
-      .filter(col("l2_rank") <= depth)
-      .select(col("query_id"), col("vec_id"), col("l2_rank"))
     // Exact floor division (DIV) — a float 1/(k+r) would lose the
     // engine-bit-identical claim.
     val contrib = (r: String) =>
       expr(s"CASE WHEN $r IS NULL THEN 0 ELSE CAST(1000000000 DIV (${rrfK.toLong} + $r) AS BIGINT) END")
     val wF = Window.partitionBy(col("query_id")).orderBy(col("rrf_score").desc, col("vec_id"))
-    byCos
-      .join(byL2, Seq("query_id", "vec_id"), "full_outer")
+    dualRankings(embeddings, numQueries, depth)
+      .withColumn("rrf_score", contrib("cos_rank") + contrib("l2_rank"))
       .withColumn("rrf_score", contrib("cos_rank") + contrib("l2_rank"))
       .withColumn("rnk", row_number().over(wF).cast("int"))
       .filter(col("rnk") <= k)

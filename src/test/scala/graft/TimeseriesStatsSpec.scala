@@ -456,4 +456,79 @@ class TimeseriesStatsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("query_id") -> r.getAs[Long]("dcg_m")).toMap
     assert(top1(1L) === 3000000L)
   }
+
+  test("averagePrecision: per-hit floored precisions, zero-hit queries NULL") {
+    // Query 1: rel at ranks 1, 3, 4 of 5. Contributions:
+    //   r1: ⌊1e6·1/1⌋ = 1000000; r3: ⌊1e6·2/3⌋ = 666666; r4: ⌊1e6·3/4⌋ = 750000.
+    //   ap = ⌊2416666/3⌋ = 805555.
+    // Query 2: no hits -> NULL. Query 3: single hit at rank 2 -> ⌊1e6/2⌋.
+    val runs = Seq(
+      (1L, 1L, 1L), (1L, 2L, 0L), (1L, 3L, 1L), (1L, 4L, 1L), (1L, 5L, 0L),
+      (2L, 1L, 0L), (2L, 2L, 0L),
+      (3L, 1L, 0L), (3L, 2L, 1L))
+      .toDF("query_id", "rnk", "rel")
+    val out = Stats.averagePrecision(runs, 10).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out(1L).getAs[Long]("hits") === 3L)
+    assert(out(1L).getAs[Long]("ap_ppm") === 805555L)
+    assert(out(2L).isNullAt(out(2L).fieldIndex("ap_ppm")))
+    assert(out(3L).getAs[Long]("ap_ppm") === 500000L)
+    // k cuts the run BEFORE scoring: with k=3 query 1 keeps hits at 1 and 3.
+    val cut = Stats.averagePrecision(runs, 3).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(cut(1L).getAs[Long]("hits") === 2L)
+    assert(cut(1L).getAs[Long]("ap_ppm") === (1000000L + 666666L) / 2)
+  }
+
+  test("cohenKappa: exact marginal chance correction, by hand") {
+    // Contingency (a\b): yes/yes 20, yes/no 5, no/yes 10, no/no 15. n=50.
+    // agree = 35 -> po_ppm = 700000. Marginals: a-yes 25, a-no 25; b-yes 30,
+    // b-no 20. pe_num = 25·30 + 25·20 = 1250. pe_ppm = ⌊1e6·1250/2500⌋ =
+    // 500000. kappa = (50·35 − 1250)/(2500 − 1250) = 500/1250 -> 400000 ppm.
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    val out = Stats.cohenKappa(rows.toDF("a", "b"), col("a"), col("b")).collect()(0)
+    assert(out.getAs[Long]("n") === 50L)
+    assert(out.getAs[Long]("agree") === 35L)
+    assert(out.getAs[Long]("po_ppm") === 700000L)
+    assert(out.getAs[Long]("pe_ppm") === 500000L)
+    assert(out.getAs[Long]("kappa_ppm") === 400000L)
+  }
+
+  test("cohenKappa: systematic disagreement goes negative; constant raters NULL") {
+    // Raters always flip: diag 0, po 0. Marginals 10/10 each side ->
+    // pe_num = 2·(10·10) = 200, n² = 400. kappa = (0 − 200)/(400 − 200) =
+    // −1/1 -> −1000000 ppm exactly (perfect systematic disagreement on a
+    // balanced binary table). Truncation sign-splits: both engines agree.
+    val flip = (Seq.fill(10)(("y", "n")) ++ Seq.fill(10)(("n", "y"))).toDF("a", "b")
+    val neg = Stats.cohenKappa(flip, col("a"), col("b")).collect()(0)
+    assert(neg.getAs[Long]("kappa_ppm") === -1000000L)
+    // Both raters constant and equal: pe = 1 -> NULL kappa, po = 1e6.
+    val const = Seq.fill(7)(("y", "y")).toDF("a", "b")
+    val k = Stats.cohenKappa(const, col("a"), col("b")).collect()(0)
+    assert(k.getAs[Long]("po_ppm") === 1000000L)
+    assert(k.isNullAt(k.fieldIndex("kappa_ppm")))
+  }
+
+  test("kendallTau: exact concordant/discordant pairs, reversal -1, identity +1") {
+    // Query 1: ranks a = (1,2,3), b = (1,3,2) over items x,y,z.
+    //   Pairs: (x,y) conc, (x,z) conc, (y,z) disc -> tau = (2−1)/3 -> 333333.
+    // Query 2: b reverses a -> all 3 pairs discordant -> −1000000.
+    // Query 3: identical order -> +1000000. Query 4: single item -> NULL.
+    val ranks = Seq(
+      (1L, "x", 1, 1), (1L, "y", 2, 3), (1L, "z", 3, 2),
+      (2L, "x", 1, 3), (2L, "y", 2, 2), (2L, "z", 3, 1),
+      (3L, "x", 1, 1), (3L, "y", 2, 2), (3L, "z", 3, 3),
+      (4L, "x", 1, 1))
+      .toDF("query_id", "item_id", "rank_a", "rank_b")
+    val out = Stats.kendallTau(ranks).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out(1L).getAs[Long]("concordant") === 2L)
+    assert(out(1L).getAs[Long]("discordant") === 1L)
+    assert(out(1L).getAs[Long]("tau_ppm") === 333333L)
+    assert(out(2L).getAs[Long]("tau_ppm") === -1000000L)
+    assert(out(3L).getAs[Long]("tau_ppm") === 1000000L)
+    assert(out(4L).getAs[Long]("n_items") === 1L)
+    assert(out(4L).isNullAt(out(4L).fieldIndex("tau_ppm")))
+  }
 }
