@@ -1144,6 +1144,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Interpolated Kneser-Ney bigram scoring over the same held-out
+    // split as q160 — the accuracy-standard smoothing next to Stupid
+    // Backoff: D = 3/4 discount + continuation-probability
+    // interpolation, the whole model one exact rational per pair.
+    "q170_kneser_ney" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextAnalysis.kneserNeyScore(
+          docs.filter(pmod(col("doc_id"), lit(4L)) === 0L),
+          modelDocs = Some(docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0L)))
+        .orderBy("doc_id")
+    }),
+
     // Distillation-fidelity confusion matrix: the learned linear
     // scorer's at-threshold agreement with its heuristic teacher —
     // tp/fp/fn/tn plus exact-ppm accuracy/precision/recall/F1, the
@@ -2847,6 +2859,58 @@ object SparkEntry {
         |       CAST(SUM(contrib) AS BIGINT) AS score_tribits,
         |       CAST(SUM(contrib) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tribits
         |FROM k GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    "q170_kneser_ney" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        |),
+        |pb AS (
+        |  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |  FROM t WHERE doc_id % 4 = 0
+        |),
+        |mb AS (
+        |  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |  FROM t WHERE doc_id % 4 <> 0
+        |),
+        |c AS MATERIALIZED (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM mb GROUP BY 1, 2),
+        |p AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+        |             CAST(COUNT(*) AS BIGINT) AS n1f FROM c GROUP BY 1),
+        |cx AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS ncw FROM c GROUP BY 1),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nb FROM c),
+        |j AS (
+        |  SELECT pb.doc_id, c.c2, p.c1,
+        |         CASE WHEN p.c1 IS NOT NULL
+        |              THEN CAST(greatest(4 * COALESCE(c.c2, 0) - 3, 0) AS HUGEINT)
+        |                     * CAST(tot.nb AS HUGEINT)
+        |                   + 3 * CAST(p.n1f AS HUGEINT) * CAST(COALESCE(cx.ncw, 1) AS HUGEINT)
+        |              ELSE CAST(COALESCE(cx.ncw, 1) AS HUGEINT) END AS kn_a,
+        |         CASE WHEN p.c1 IS NOT NULL
+        |              THEN 4 * CAST(p.c1 AS HUGEINT) * CAST(tot.nb AS HUGEINT)
+        |              ELSE CAST(tot.nb AS HUGEINT) END AS kn_b
+        |  FROM pb
+        |  LEFT JOIN c ON c.w1 = pb.w1 AND c.w2 = pb.w2
+        |  LEFT JOIN p ON p.w1 = pb.w1
+        |  LEFT JOIN cx ON cx.w2 = pb.w2
+        |  CROSS JOIN tot
+        |),
+        |k AS (
+        |  SELECT doc_id, c2, c1,
+        |         CAST((kn_a * 1048576) // kn_b AS BIGINT) AS r
+        |  FROM j
+        |),
+        |s AS (
+        |  SELECT doc_id, c2, c1,
+        |         CAST(length(bin(r * r * r)) AS BIGINT) - 61 AS contrib
+        |  FROM k
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(COUNT(*) FILTER (WHERE c2 IS NULL) AS BIGINT) AS n_unseen_bigram,
+        |       CAST(COUNT(*) FILTER (WHERE c1 IS NULL) AS BIGINT) AS n_unseen_prefix,
+        |       CAST(SUM(contrib) AS BIGINT) AS score_tribits,
+        |       CAST(SUM(contrib) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tribits
+        |FROM s GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q159_rendezvous_shard" ->

@@ -908,18 +908,27 @@ object TextAnalysis {
     * on the bigram key for web-scale vocabularies). The per-doc sum is
     * one map-side-combined aggregate.
     */
-  def stupidBackoffScore(
-      docs: DataFrame,
-      modelDocs: Option[DataFrame] = None,
-      broadcastModel: Boolean = true): DataFrame = {
+  /** One row per adjacent in-document token pair `(doc_id, w1, w2)` —
+    * the shared probe/model stream of [[stupidBackoffScore]] and
+    * [[kneserNeyScore]]. Narrow (zip_with over the token array, one
+    * Generate), no shuffle.
+    */
+  private[graft] def adjacentBigrams(df: DataFrame): DataFrame = {
     val n = size(col("ws")) - 1
-    def bigramsOf(df: DataFrame) = spread(df)
+    spread(df)
       .select(col("doc_id"), wordsCol.as("ws"))
       .select(col("doc_id"), explode(zip_with(
         slice(col("ws"), lit(1), greatest(n, lit(0))),
         slice(col("ws"), lit(2), greatest(n, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  def stupidBackoffScore(
+      docs: DataFrame,
+      modelDocs: Option[DataFrame] = None,
+      broadcastModel: Boolean = true): DataFrame = {
+    def bigramsOf(df: DataFrame) = adjacentBigrams(df)
     val docBigrams = bigramsOf(docs)
     // Held-out scoring is the honest eval (and what makes backoff
     // actually fire): train the model on `modelDocs` when given, else
@@ -956,6 +965,90 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_pairs"),
         sum(when(col("backed_off"), 1L).otherwise(0L)).as("n_backoff"),
+        sum(col("contrib")).as("score_tribits"))
+      .withColumn(
+        "mean_tribits",
+        col("score_tribits").cast("double") / col("n_pairs").cast("double"))
+  }
+
+  /** Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; Chen &
+    * Goodman 1999's interpolated form — the accuracy-standard smoothing
+    * next to [[stupidBackoffScore]]'s throughput-standard one): where
+    * Stupid Backoff consults the unigram FREQUENCY only when a bigram is
+    * missing, KN discounts every observed bigram by `D` and always
+    * interpolates with the CONTINUATION probability — how many distinct
+    * contexts a word follows — so "Francisco" (frequent but only ever
+    * after "San") stops looking like a plausible novel continuation.
+    * With `D = 3/4` the whole model is ONE exact rational per pair:
+    * {{{
+    *   P(w2|w1) = (c12 − D)⁺/c1 + D·(N1+(w1·)/c1)·(N1+(·w2)/nb)
+    *            = [ (4·c12 − 3)⁺·nb + 3·N1+(w1·)·N1+(·w2) ] / (4·c1·nb)
+    * }}}
+    * where `c1 = Σ_w c(w1,w)`, `N1+(w1·)` = distinct continuations of
+    * `w1`, `N1+(·w2)` = distinct left-contexts of `w2`, and `nb` =
+    * total distinct bigram types. The rational quantizes through the
+    * q152 normalize-then-cube convention (`r = ⌊a·2²⁰/b⌋`,
+    * `tribits = bits(r³) − 61` — 1/3-bit resolution, BIGINT-safe since
+    * `P ≤ 1 ⇒ r ≤ 2²⁰`); numerator/denominator products are carried in
+    * DECIMAL(38,0) (HUGEINT in the oracle), so `nb · c1` cannot wrap at
+    * any corpus size. OOV floors, both surfaced as counts: an unseen
+    * PREFIX (`w1` not in the model) falls back to the pure continuation
+    * probability `N1+(·w2)/nb`, and a word never seen as a continuation
+    * floors at `N1+(·w2) = 1` (the count-1 convention
+    * [[stupidBackoffScore]] uses for unigrams). Probabilities below
+    * 2⁻²⁰ floor at −60 tribits. Engine-bit-identical end to end.
+    *
+    * Scale: the model is three tables derived from ONE observed-bigram
+    * aggregate (bigram counts; per-prefix totals + distinct-continuation
+    * counts; per-word distinct-context counts) plus a scalar — all
+    * bounded by observed bigram TYPES, never vocab²; broadcast by
+    * default onto the probe stream (`broadcastModel = false` shuffles
+    * on the join keys for web-scale vocabularies). Per-doc sums are one
+    * map-side-combined aggregate. Train on `modelDocs` when given
+    * (held-out scoring — the honest eval), else score in-sample.
+    */
+  def kneserNeyScore(
+      docs: DataFrame,
+      modelDocs: Option[DataFrame] = None,
+      broadcastModel: Boolean = true): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val docBigrams = adjacentBigrams(docs)
+    val bigrams = adjacentBigrams(modelDocs.getOrElse(docs))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val prefixes = bigrams
+      .groupBy(col("w1")).agg(sum(col("c2")).as("c1"), count(lit(1)).as("n1f"))
+    val contexts = bigrams
+      .groupBy(col("w2")).agg(count(lit(1)).as("ncw"))
+    val totals = bigrams.agg(count(lit(1)).as("nb"))
+    def side(df: DataFrame) = if (broadcastModel) broadcast(df) else df
+    val bits = (c: Column) => length(bin(c)).cast("long")
+    docBigrams
+      .join(side(bigrams), Seq("w1", "w2"), "left_outer")
+      .join(side(prefixes), Seq("w1"), "left_outer")
+      .join(side(contexts), Seq("w2"), "left_outer")
+      .crossJoin(broadcast(totals))
+      .withColumn("c12", coalesce(col("c2"), lit(0L)))
+      .withColumn("ncf", coalesce(col("ncw"), lit(1L)))
+      .withColumn(
+        "kn_a",
+        when(
+          col("c1").isNotNull,
+          greatest(lit(4L) * col("c12") - 3L, lit(0L)).cast(dec) * col("nb").cast(dec) +
+            lit(3L).cast(dec) * col("n1f").cast(dec) * col("ncf").cast(dec))
+          .otherwise(col("ncf").cast(dec)))
+      .withColumn(
+        "kn_b",
+        when(
+          col("c1").isNotNull,
+          lit(4L).cast(dec) * col("c1").cast(dec) * col("nb").cast(dec))
+          .otherwise(col("nb").cast(dec)))
+      .withColumn("r", expr("(kn_a * 1048576) div kn_b"))
+      .withColumn("contrib", bits(col("r") * col("r") * col("r")) - lit(61L))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(when(col("c2").isNull, 1L).otherwise(0L)).as("n_unseen_bigram"),
+        sum(when(col("c1").isNull, 1L).otherwise(0L)).as("n_unseen_prefix"),
         sum(col("contrib")).as("score_tribits"))
       .withColumn(
         "mean_tribits",

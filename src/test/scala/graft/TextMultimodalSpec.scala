@@ -724,6 +724,43 @@ class TextMultimodalSpec extends SparkSpec {
     assert(self.getAs[Long]("score_tribits") === -6L)
   }
 
+  test("kneserNeyScore: hand-computed discount + continuation interpolation") {
+    // Model "a b a c" → bigrams (a,b)=1 (b,a)=1 (a,c)=1; nb=3.
+    // Prefixes: a (c1=2, n1f=2), b (c1=1, n1f=1). Contexts all ncw=1.
+    val model = Seq(doc(10L, "a b a c")).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val probe = Seq(doc(0L, "a b z c")).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.kneserNeyScore(probe, modelDocs = Some(model)).collect().head
+    // (a,b): a = (4·1−3)·3 + 3·2·1 = 9, b = 4·2·3 = 24 → P = 3/8,
+    //   r = 393216 = 3·2¹⁷, r³ = 27·2⁵¹ ∈ [2⁵⁵, 2⁵⁶) → 56−61 = −5.
+    // (b,z): bigram unseen, prefix b seen, z floors at ncw=1:
+    //   a = 0·3 + 3·1·1 = 3, b = 4·1·3 = 12 → P = 1/4, r = 2¹⁸,
+    //   r³ = 2⁵⁴ → 55−61 = −6 (exactly log2(1/64)/3 tribits... −6 = 3·log2(1/4)).
+    // (z,c): prefix z unseen → pure continuation: a = 1, b = 3 → P = 1/3,
+    //   r = 349525, r³ ∈ [2⁵⁵, 2⁵⁶) → −5.
+    assert(out.getAs[Long]("n_pairs") === 3L)
+    assert(out.getAs[Long]("n_unseen_bigram") === 2L)
+    assert(out.getAs[Long]("n_unseen_prefix") === 1L)
+    assert(out.getAs[Long]("score_tribits") === -16L)
+  }
+
+  test("kneserNeyScore: continuation probability demotes single-context words") {
+    // "f" occurs 3× but ONLY after "san" (ncw=1); "b" occurs 3× after three
+    // different words (ncw=3). After an unseen prefix, KN must prefer "b" —
+    // the Francisco property a frequency-backoff model cannot express.
+    val model = Seq(doc(10L, "san f san f san f u b v b w b"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val probe = Seq(doc(0L, "q f"), doc(1L, "q b"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.kneserNeyScore(probe, modelDocs = Some(model))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_tribits")).toMap
+    assert(out(1L) > out(0L),
+      s"multi-context continuation must outscore single-context: $out")
+    val shuffled = TextAnalysis
+      .kneserNeyScore(probe, modelDocs = Some(model), broadcastModel = false)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_tribits")).toMap
+    assert(shuffled === out, "broadcast and shuffle model paths must agree exactly")
+  }
+
   test("bm25MoreLikeThis matches a brute-force integer model and releases its cache") {
     val texts = Map(
       0L -> "red fox jumps over the lazy dog",
