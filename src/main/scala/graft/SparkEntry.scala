@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.functions.{Stats, TextAnalysis}
-import graft.operators.{Curation, Dedup, Graphs, Joins, Multimodal, Similarity, Timeseries, TrainingPipeline}
+import graft.operators.{Association, Curation, Dedup, Graphs, Joins, Multimodal, Similarity, Timeseries, TrainingPipeline}
 import graft.sources.{EventFixtures, Tables}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1143,6 +1143,14 @@ object SparkEntry {
           modelDocs = Some(docs.filter(pmod(col("doc_id"), lit(4L)) =!= 0L)))
         .orderBy("doc_id")
     }),
+
+    // Market-basket association rules over order carts: frequent part
+    // pairs with exact-ppm support/confidence/lift — the a-priori
+    // 2-itemset pass, the basket twin of q135's adjacent-token PMI.
+    "q171_basket_pairs" -> ((s, dir) =>
+      Association.frequentItemPairs(
+          Tables.lineitem(s, dir), col("l_orderkey"), col("l_partkey"))
+        .orderBy("item_a", "item_b")),
 
     // Interpolated Kneser-Ney bigram scoring over the same held-out
     // split as q160 — the accuracy-standard smoothing next to Stupid
@@ -2860,6 +2868,30 @@ object SparkEntry {
         |       CAST(SUM(contrib) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_tribits
         |FROM k GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    "q171_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+        |           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM b),
+        |ic AS (SELECT i, CAST(COUNT(*) AS BIGINT) AS ci FROM b GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM b a JOIN b c ON a.o = c.o AND a.i < c.i
+        |  GROUP BY 1, 2
+        |  HAVING COUNT(*) >= 2
+        |)
+        |SELECT p.item_a, p.item_b, p.n_ab,
+        |       ca.ci AS n_a, cb.ci AS n_b,
+        |       (1000000 * p.n_ab) // nb.n_baskets AS support_ppm,
+        |       (1000000 * p.n_ab) // ca.ci AS conf_ab_ppm,
+        |       (1000000 * p.n_ab) // cb.ci AS conf_ba_ppm,
+        |       CAST((1000000 * CAST(p.n_ab AS HUGEINT) * nb.n_baskets)
+        |            // (CAST(ca.ci AS HUGEINT) * cb.ci) AS BIGINT) AS lift_ppm
+        |FROM p
+        |JOIN ic ca ON ca.i = p.item_a
+        |JOIN ic cb ON cb.i = p.item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b""".stripMargin,
 
     "q170_kneser_ney" ->
       """WITH t AS (

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
+
+/** Market-basket association mining — co-occurrence rules over
+  * transaction-shaped data (orders × items here; the same shape covers
+  * document × entities, session × pages, user × subscriptions). The
+  * LLM-pipeline use is corpus diagnostics: which tags/domains/shards
+  * co-occur far above chance (lift) flags template families and
+  * correlated ingestion, the basket twin of `TextAnalysis.collocations`'
+  * adjacent-token PMI.
+  */
+object Association {
+
+  /** Frequent item PAIRS with exact-ppm support / confidence / lift —
+    * the a-priori 2-itemset pass plus the rule metrics, in one
+    * relational shape. Per unordered pair `(item_a < item_b)` co-present
+    * in ≥ `minPairCount` baskets:
+    * {{{
+    *   support_ppm  = ⌊10⁶ · n_ab / n_baskets⌋
+    *   conf_ab_ppm  = ⌊10⁶ · n_ab / n_a⌋      (a ⇒ b), conf_ba the reverse
+    *   lift_ppm     = ⌊10⁶ · n_ab · n_baskets / (n_a · n_b)⌋
+    * }}}
+    * all floor divisions on exact counts — engine-bit-identical; the
+    * lift numerator `10⁶·n_ab·N` is carried in DECIMAL(38,0) (HUGEINT
+    * in the oracle), so a trillion-basket corpus cannot wrap it.
+    * Lift > 10⁶ means the pair co-occurs above independence.
+    *
+    * Scale: items are DISTINCT per basket first (dedup shuffle on the
+    * basket key), then the pair expansion is a self-equi-join on the
+    * SAME basket key — co-partitioned, and bounded by basket size
+    * (Σ_b s_b², never items²); the pair aggregate shuffles pair keys
+    * with map-side combine, and the item-count table joins back onto
+    * the SURVIVING pairs only (post-`minPairCount`, the frequent
+    * fraction). Nothing materializes the n² item space. A hot basket
+    * (one order holding 10⁵ items) would expand s² = 10¹⁰ pairs — cap
+    * pathological baskets upstream if the domain allows them; order
+    * carts do not.
+    */
+  def frequentItemPairs(
+      transactions: DataFrame,
+      basket: Column,
+      item: Column,
+      minPairCount: Int = 2): DataFrame = {
+    require(minPairCount >= 1, s"minPairCount=$minPairCount must be >= 1")
+    val dec = DataTypes.createDecimalType(38, 0)
+    val b = transactions
+      .select(basket.cast("long").as("o"), item.cast("long").as("i"))
+      .filter(col("o").isNotNull && col("i").isNotNull)
+      .distinct()
+    val nBaskets = b.agg(count_distinct(col("o")).as("n_baskets"))
+    val itemCounts = b.groupBy(col("i")).agg(count(lit(1)).as("ci"))
+    val pairs = b.select(col("o"), col("i").as("item_a"))
+      .join(b.select(col("o"), col("i").as("item_b")), Seq("o"))
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairCount.toLong)
+    pairs
+      .join(itemCounts.select(col("i").as("item_a"), col("ci").as("n_a")), Seq("item_a"))
+      .join(itemCounts.select(col("i").as("item_b"), col("ci").as("n_b")), Seq("item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("item_a"), col("item_b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(1000000 * n_ab) div n_baskets").as("support_ppm"),
+        expr("(1000000 * n_ab) div n_a").as("conf_ab_ppm"),
+        expr("(1000000 * n_ab) div n_b").as("conf_ba_ppm"),
+        (lit(1000000L).cast(dec) * col("n_ab").cast(dec) * col("n_baskets").cast(dec))
+          .as("_lift_num"),
+        (col("n_a").cast(dec) * col("n_b").cast(dec)).as("_lift_den"))
+      .withColumn("lift_ppm", expr("(_lift_num div _lift_den)"))
+      .drop("_lift_num", "_lift_den")
+  }
+}

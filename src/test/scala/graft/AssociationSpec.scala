@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Association
+
+class AssociationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // Baskets: o1{1,2,3} o2{1,2} o3{1,2,4} o4{3} — with a duplicated
+  // (o1, 1) line that must NOT double-count (items are per-basket sets).
+  private def tx = Seq(
+    (1L, 1L), (1L, 1L), (1L, 2L), (1L, 3L),
+    (2L, 1L), (2L, 2L),
+    (3L, 1L), (3L, 2L), (3L, 4L),
+    (4L, 3L))
+    .toDF("o", "i")
+
+  test("frequentItemPairs: exact ppm support/confidence/lift by hand") {
+    // n_baskets=4; counts 1:3 2:3 3:2 4:1. Only (1,2) reaches minPairCount=2:
+    // n_ab=3 -> support ⌊3e6/4⌋, both confidences 1e6 (2 always rides with 1),
+    // lift ⌊1e6·3·4/(3·3)⌋ = 1333333 (> 1e6: above independence).
+    val out = Association.frequentItemPairs(tx, col("o"), col("i")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("item_a") === 1L && r.getAs[Long]("item_b") === 2L)
+    assert(r.getAs[Long]("n_ab") === 3L)
+    assert(r.getAs[Long]("support_ppm") === 750000L)
+    assert(r.getAs[Long]("conf_ab_ppm") === 1000000L)
+    assert(r.getAs[Long]("conf_ba_ppm") === 1000000L)
+    assert(r.getAs[Long]("lift_ppm") === 1333333L)
+  }
+
+  test("frequentItemPairs: minPairCount=1 keeps singletons, lift below 1e6 for incidental pairs") {
+    val out = Association.frequentItemPairs(tx, col("o"), col("i"), minPairCount = 1)
+      .collect().map(r => (r.getAs[Long]("item_a"), r.getAs[Long]("item_b")) -> r).toMap
+    assert(out.size === 5) // (1,2) (1,3) (2,3) (1,4) (2,4)
+    // (1,3): n_ab=1, n_a=3, n_b=2 -> lift ⌊1e6·1·4/6⌋ = 666666 — the pair
+    // co-occurs BELOW what independence predicts.
+    assert(out((1L, 3L)).getAs[Long]("lift_ppm") === 666666L)
+    assert(out((1L, 3L)).getAs[Long]("conf_ab_ppm") === 333333L)
+    assert(out((1L, 3L)).getAs[Long]("conf_ba_ppm") === 500000L)
+  }
+}
