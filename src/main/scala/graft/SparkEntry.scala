@@ -1257,6 +1257,14 @@ object SparkEntry {
       Graphs.corenessHIndex(Dedup.rareShingleEdges(Tables.documents(s, dir)))
         .orderBy("id")),
 
+    // HyperBall over the rare-shingle graph: per-node 3-hop ball-size
+    // estimates by HLL-register propagation — register-max along edges
+    // makes round t EXACTLY the HLL of the true t-hop ball, so distance
+    // distributions cost linear passes, not per-node BFS.
+    "q172_hyperball" -> ((s, dir) =>
+      Graphs.hyperBall(Dedup.rareShingleEdges(Tables.documents(s, dir)))
+        .orderBy("id")),
+
     // Multi-source BFS hop distance from a trusted seed set (doc_id %
     // 23 == 0) over the rare-shingle graph — the discrete TrustRank
     // proximity prior; the oracle unrolls the same min-relaxation
@@ -3949,6 +3957,38 @@ object SparkEntry {
          |SELECT d.id, d.deg, h$iters.h AS coreness
          |FROM d JOIN h$iters USING (id)
          |ORDER BY id""".stripMargin
+    },
+
+    "q172_hyperball" -> {
+      val c = graft.functions.Sketches.hllConstant(6)
+      val rounds = (1 to 3).map { t =>
+        s"""r$t AS MATERIALIZED (
+           |  SELECT id, reg, MAX(r) AS r FROM (
+           |    SELECT id, reg, r FROM r${t - 1}
+           |    UNION ALL
+           |    SELECT s.dst AS id, x.reg, x.r FROM sym s JOIN r${t - 1} x ON x.id = s.src
+           |  ) GROUP BY id, reg
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $rareSymCtes,
+         |r0 AS MATERIALIZED (
+         |  SELECT id, CAST(h % 64 AS INT) AS reg,
+         |         CASE WHEN h // 64 = 0 THEN 55
+         |              ELSE 55 - CAST(length(bin(h // 64)) AS INT) END AS r
+         |  FROM (SELECT id, CAST('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+         |        FROM (SELECT DISTINCT src AS id FROM sym))
+         |),
+         |$rounds,
+         |a AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS m_used,
+         |         CAST(SUM(CAST(1 AS BIGINT) << (55 - r)) AS BIGINT) AS s_used
+         |  FROM r3 GROUP BY id
+         |)
+         |SELECT id, m_used,
+         |       s_used + (64 - m_used) * 36028797018963968 AS s,
+         |       CAST('$c' AS DOUBLE) /
+         |         CAST(s_used + (64 - m_used) * 36028797018963968 AS DOUBLE) AS est_ball
+         |FROM a ORDER BY id""".stripMargin
     },
 
     "q162_seed_distance" -> {

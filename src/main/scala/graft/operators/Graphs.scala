@@ -302,4 +302,63 @@ object Graphs {
     sym.unpersist()
     out
   }
+
+  /** HyperBall (Boldi & Vigna 2013) — per-node r-hop neighborhood-size
+    * estimation by propagating HLL registers along edges, the sketch
+    * that turned graph distance distributions (effective diameter,
+    * closeness/harmonic centrality) from "BFS per node" into a handful
+    * of linear passes. State per node is one m = 2^p register table of
+    * the ball-so-far; each round registers flow across edges and merge
+    * by MAX — and because register-max is associative, commutative, and
+    * idempotent, round t's registers are EXACTLY
+    * `Sketches.hllRegisters` of the true t-hop ball membership set (no
+    * propagation error accumulates — the estimate error is HLL's alone,
+    * and the whole computation is engine-bit-identical: integer
+    * registers, one IEEE division at the end). The differential spec
+    * asserts precisely that identity against brute-force balls.
+    *
+    * Output: one row per non-isolated vertex with the final-round
+    * register summary and `est_ball` ≈ |B(v, rounds)| (self included).
+    * No linear-counting correction — like [[graft.functions.Sketches
+    * .hllDistinct]], the estimate is a DETERMINISTIC diagnostic, biased
+    * high for balls ≪ m; comparisons across nodes (the centrality /
+    * diameter use) are what it's for.
+    *
+    * Scale: the Pregel shape relationally — per round ONE edge-keyed
+    * equi-join (m rows per node flow per edge) + one map-side-combined
+    * (id, reg) max; each round's register table persists and the
+    * previous releases (the state frame is referenced twice per round —
+    * unmaterialized, the plan would double every round). |V|·m state
+    * rows, `rounds` shuffle rounds, nothing quadratic; the returned
+    * frame owns the one remaining |V|·m cache, like [[pageRank]]'s
+    * ranks.
+    */
+  def hyperBall(edges: DataFrame, rounds: Int = 3, p: Int = 6): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds=$rounds out of range [1, 16]")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("src").as("id")).distinct()
+    var regs = graft.functions.Sketches.hllRegisters(nodes, "id", "id", p)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    regs.count()
+    for (_ <- 1 to rounds) {
+      val prop = sym
+        .join(regs.select(col("id").as("src"), col("reg"), col("r")), Seq("src"))
+        .select(col("dst").as("id"), col("reg"), col("r"))
+      val next = regs.unionByName(prop)
+        .groupBy(col("id"), col("reg"))
+        .agg(max(col("r")).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      regs.unpersist()
+      regs = next
+    }
+    val out = graft.functions.Sketches.hllEstimate(regs, "id", p)
+      .withColumnRenamed("est_distinct", "est_ball")
+    sym.unpersist()
+    out
+  }
 }

@@ -165,4 +165,32 @@ class GraphsSpec extends SparkSpec {
     assert(two === Map(
       1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L, 6L -> 2L))
   }
+
+  test("hyperBall registers equal the HLL of the true r-hop balls (max-propagation identity)") {
+    // Path 1—2—3—4—5 plus a disjoint edge 10—11. Register-max along
+    // edges must reproduce EXACTLY hllRegisters of the brute-force
+    // 2-hop ball membership — no propagation error, only HLL's own.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("src", "dst")
+    val adj = Map(
+      1L -> Set(2L), 2L -> Set(1L, 3L), 3L -> Set(2L, 4L), 4L -> Set(3L, 5L),
+      5L -> Set(4L), 10L -> Set(11L), 11L -> Set(10L))
+    def ball(v: Long, r: Int): Set[Long] =
+      (0 until r).foldLeft(Set(v))((b, _) => b ++ b.flatMap(adj))
+    val members = adj.keys.toSeq.sorted.flatMap(v => ball(v, 2).toSeq.sorted.map(v -> _))
+    val expected = graft.functions.Sketches.hllEstimate(
+        graft.functions.Sketches.hllRegisters(
+          members.toDF("id", "member"), "id", "member", 6), "id", 6)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("m_used"), r.getAs[Long]("s"),
+        r.getAs[Double]("est_distinct"))).toMap
+    val got = Graphs.hyperBall(edges, rounds = 2, p = 6).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[Long]("m_used"), r.getAs[Long]("s"),
+        r.getAs[Double]("est_ball"))).toMap
+    assert(got === expected)
+    // Interior node 3 reaches everything on the path within 2 hops (5
+    // members); endpoint 1 reaches 3; the disjoint pair reaches 2 — the
+    // ESTIMATES must rank interior > endpoint > pair.
+    assert(got(3L)._3 > got(1L)._3 && got(1L)._3 > got(10L)._3)
+  }
 }
