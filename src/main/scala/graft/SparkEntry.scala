@@ -996,6 +996,14 @@ object SparkEntry {
       Similarity.pqSearch(Tables.embeddings(s, dir))
         .orderBy("query_id", "rnk")),
 
+    // Int8 scalar quantization (FAISS SQ8) + asymmetric search: per-dim
+    // affine codes from one min/max aggregate, reconstruction + exact
+    // integer distance in the corpus scan — the 4x-compression,
+    // near-exact-recall point between PQ and raw floats.
+    "q173_sq8_search" -> ((s, dir) =>
+      Similarity.sqSearch(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rnk")),
+
     // The composed IVF-PQ stack: coarse cells prune candidates, ADC
     // ranks within the probed cells — the canonical billion-vector ANN
     // shape, q39's probing over q125's compressed domain.
@@ -2524,6 +2532,34 @@ object SparkEntry {
     "q136_pagerank" -> pageRankOracle,
 
     "q141_mmr_diversify" -> mmrOracle,
+
+    "q173_sq8_search" ->
+      s"""WITH $quantizedEmbeddings,
+         |dm AS MATERIALIZED (
+         |  SELECT i.i, MIN(n.qe[i.i]) AS lo, MAX(n.qe[i.i]) AS hi
+         |  FROM n CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+         |  GROUP BY i.i
+         |),
+         |xh AS MATERIALIZED (
+         |  SELECT n.vec_id, d.i,
+         |         d.lo + (((CASE WHEN d.hi = d.lo THEN 0
+         |                   ELSE least(255, ((n.qe[d.i] - d.lo) * 255) // (d.hi - d.lo)) END)
+         |                  * (d.hi - d.lo)) // 255) AS xhat
+         |  FROM n CROSS JOIN dm d
+         |),
+         |q AS (SELECT vec_id AS query_id, qe FROM n WHERE vec_id < 10),
+         |dist AS (
+         |  SELECT q.query_id, x.vec_id,
+         |         CAST(SUM((q.qe[x.i] - x.xhat) * (q.qe[x.i] - x.xhat)) AS BIGINT) AS adc_d2
+         |  FROM q JOIN xh x ON x.vec_id <> q.query_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT query_id, vec_id AS neighbor_id, rnk, adc_d2 FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (
+         |    PARTITION BY query_id ORDER BY adc_d2, vec_id) AS INT) AS rnk
+         |  FROM dist)
+         |WHERE rnk <= 10
+         |ORDER BY query_id, rnk""".stripMargin,
 
     "q138_hamming_search" ->
       s"""WITH $quantizedEmbeddings,

@@ -526,6 +526,66 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("adc_d2"))
   }
 
+  /** Int8 scalar quantization + asymmetric-distance search (the FAISS
+    * `SQ8` semantics — the third compression point on the accuracy/size
+    * curve next to [[pqSearch]]'s PQ and [[hammingSearch]]'s 1-bit
+    * signs: 4× smaller than raw floats at near-exact recall, far
+    * cheaper to train than PQ since the "codebook" is just per-dim
+    * bounds). Training is one per-dimension min/max aggregate; encoding
+    * is the affine code `⌊255·(x−lo)/(hi−lo)⌋` clamped to [0, 255];
+    * search reconstructs `x̂ = lo + ⌊code·(hi−lo)/255⌋` and ranks by
+    * exact integer `Σ(q−x̂)²` against the TRUE query vector
+    * (asymmetric: only the corpus side is quantized). All arithmetic on
+    * [[quantize]]'s exact longs with floor division on nonnegative
+    * operands — engine-bit-identical; constant dims degenerate to
+    * code 0 and reconstruct exactly `lo`.
+    *
+    * Scale: the trainer is ONE map-side-combined 64-group aggregate
+    * folded to a one-row broadcast (per-dim bounds — bytes, not a
+    * table); encode + reconstruct + distance are per-row expressions in
+    * the one corpus scan (queries broadcast); only the per-query rank
+    * window shuffles, and its input is corpus×queries rows of
+    * (id, id, d2) — never vectors.
+    */
+  def sqSearch(
+      embeddings: DataFrame,
+      numQueries: Int = 10,
+      k: Int = 10): DataFrame = {
+    val e = withQuantized(embeddings)
+    val statsRow = e
+      .select(posexplode(col("qe")).as(Seq("d", "x")))
+      .groupBy(col("d")).agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(d, lo))), s -> s.lo)").as("lo_arr"),
+        expr("transform(array_sort(collect_list(struct(d, hi))), s -> s.hi)").as("hi_arr"))
+    val reconstructed = e.crossJoin(broadcast(statsRow))
+      .select(
+        col("vec_id"),
+        expr(
+          "transform(arrays_zip(qe, lo_arr, hi_arr), s -> CAST(CASE " +
+            "WHEN s.hi_arr = s.lo_arr THEN 0 " +
+            "ELSE least(255, ((s.qe - s.lo_arr) * 255) div (s.hi_arr - s.lo_arr)) " +
+            "END AS INT))").as("codes"),
+        col("lo_arr"), col("hi_arr"))
+      .select(
+        col("vec_id"),
+        expr(
+          "transform(arrays_zip(codes, lo_arr, hi_arr), s -> " +
+            "s.lo_arr + ((CAST(s.codes AS BIGINT) * (s.hi_arr - s.lo_arr)) div 255))")
+          .as("xhat"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adc_d2"), col("vec_id"))
+    reconstructed.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .withColumn(
+        "adc_d2",
+        expr("aggregate(zip_with(q_qe, xhat, (a, b) -> (a - b) * (a - b)), " +
+          "CAST(0 AS BIGINT), (acc, v) -> acc + v)"))
+      .withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("adc_d2"))
+  }
+
   /** The full IVF-PQ stack — the canonical billion-vector ANN shape:
     * the coarse quantizer prunes the corpus to each query's `nProbe`
     * cells, and WITHIN the probed cells ranking runs in the compressed

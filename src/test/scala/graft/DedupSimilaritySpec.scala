@@ -144,6 +144,45 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(learned.selectExpr("size(cbs)").collect().head.getInt(0) === 32)
   }
 
+  test("SQ8: matches an in-test exact model; extremes reconstruct exactly; twin ranks first") {
+    import graft.operators.Similarity
+    // 12 vectors, 6 dims; vector 11 duplicates vector 1 exactly.
+    def vec(seed: Int): Seq[Float] =
+      (0 until 6).map(i => ((seed * 17 + i * 13) % 23 - 11).toFloat / 5f)
+    val rows = (0 until 11).map(i => (i.toLong, vec(i))) :+ (11L, vec(1))
+    val emb = rows.toDF("vec_id", "embedding")
+    // Exact in-test model of the operator's integer spec.
+    val qe = rows.map { case (id, v) => id -> v.map(x => math.floor(x.toDouble * 1e6).toLong) }
+    val dims = 0 until 6
+    val lo = dims.map(d => qe.map(_._2(d)).min)
+    val hi = dims.map(d => qe.map(_._2(d)).max)
+    def xhat(v: Seq[Long]): Seq[Long] = dims.map { d =>
+      val code =
+        if (hi(d) == lo(d)) 0L else math.min(255L, (v(d) - lo(d)) * 255L / (hi(d) - lo(d)))
+      lo(d) + code * (hi(d) - lo(d)) / 255L
+    }
+    val expected = (for {
+      (qid, qv) <- qe if qid < 3
+      (nid, nv) <- qe if nid != qid
+    } yield {
+      val d2 = dims.map(d => { val x = qv(d) - xhat(nv)(d); x * x }).sum
+      (qid, nid, d2)
+    }).groupBy(_._1).flatMap { case (qid, cs) =>
+      cs.sortBy(c => (c._3, c._2)).take(4).zipWithIndex.map {
+        case ((_, nid, d2), i) => (qid, nid, i + 1, d2)
+      }
+    }.toSet
+    val got = Similarity.sqSearch(emb, numQueries = 3, k = 4).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"),
+        r.getAs[Int]("rnk"), r.getAs[Long]("adc_d2"))).toSet
+    assert(got === expected)
+    // A per-dim extreme vector reconstructs exactly (code 0 -> lo,
+    // code 255 -> hi), so the duplicate of vector 1 must rank first for
+    // query 1 — with the distance of vector 1's own reconstruction.
+    val q1 = got.filter(t => t._1 == 1L && t._3 == 1).head
+    assert(q1._2 === 11L)
+  }
+
   test("exact dedup groups identical content under the min doc_id") {
     val groups = Dedup.exactDuplicates(docs).collect()
     assert(groups.length === 3)
