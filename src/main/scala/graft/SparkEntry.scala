@@ -879,6 +879,15 @@ object SparkEntry {
       Multimodal.decodeWavFeatures(s, Multimodal.toWav16(Tables.documents(s, dir))).toDF()
         .orderBy("doc_id")),
 
+    // G.711 mu-law WAV (format tag 7 — the first NON-PCM codec branch):
+    // text bytes become 16-bit linear samples companded 2:1 to mu-law
+    // bytes on the wire; the decoder EXPANDS before the moments, so the
+    // oracle replays the full compand->expand roundtrip via the
+    // compiled 256-entry table.
+    "q174_mulaw_features" -> ((s, dir) =>
+      Multimodal.decodeWavFeatures(s, Multimodal.toWavMuLaw(Tables.documents(s, dir))).toDF()
+        .orderBy("doc_id")),
+
     // First streaming-FED oracle entry: documents with 50 <= doc_id <
     // 500 are staged as three parquet files (shard = doc_id % 3) and
     // streamed through a REAL file-source micro-batch query into
@@ -2300,6 +2309,35 @@ object SparkEntry {
         |       CASE WHEN len(px.amps) > 0 THEN CAST(list_max(px.amps) AS INT) END AS max_amp
         |FROM documents d JOIN px USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // The mu-law roundtrip is a pure function of the text byte, so the
+    // oracle indexes the SAME compand->expand table the encoder/decoder
+    // pair compiles (embedded as a 256-entry list literal).
+    "q174_mulaw_features" -> {
+      val lut = (0 until 256).map(b =>
+        graft.operators.Multimodal.muLawDecodeByte(
+          graft.operators.Multimodal.muLawEncodeSample((b - 128) * 256)))
+        .mkString("[", ", ", "]")
+      s"""WITH lut AS (SELECT $lut AS l),
+         |px AS (
+         |  SELECT doc_id,
+         |         list_transform(range(1, length(text) + 1),
+         |                        i -> l[unicode(text[i:i]) + 1]) AS amps
+         |  FROM documents, lut
+         |)
+         |SELECT d.doc_id,
+         |       CAST(1 AS INT) AS n_channels,
+         |       CAST(8000 AS INT) AS sample_rate,
+         |       CAST(8 AS INT) AS bits_per_sample,
+         |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_samples,
+         |       CASE WHEN len(px.amps) > 0
+         |            THEN CAST(list_sum(px.amps) AS DOUBLE) / CAST(len(px.amps) AS DOUBLE)
+         |       END AS mean_amp,
+         |       CASE WHEN len(px.amps) > 0 THEN CAST(list_min(px.amps) AS INT) END AS min_amp,
+         |       CASE WHEN len(px.amps) > 0 THEN CAST(list_max(px.amps) AS INT) END AS max_amp
+         |FROM documents d JOIN px USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     // Sequential 3-round admission replay: per-doc signals (shingle
     // digest sets, band signatures, content hashes, quality) computed

@@ -503,6 +503,78 @@ object Multimodal {
         lit(1).as("n_frames")).as("meta"))
   }
 
+  /** G.711 μ-law compress one signed 16-bit linear sample to its 8-bit
+    * code (CCITT encode: clip at 32635, +132 bias, 3-bit exponent from
+    * the magnitude's bit length, 4-bit mantissa, ones-complement). Pure
+    * and total — used at PLAN BUILD time to compile the 256-entry
+    * byte→code table [[toWavMuLaw]] embeds as a literal, and by tests.
+    */
+  private[graft] def muLawEncodeSample(s: Int): Int = {
+    val clip = 32635
+    val bias = 0x84
+    val sign = if (s < 0) 0x80 else 0
+    val m = math.min(math.abs(s), clip) + bias
+    val e = 31 - Integer.numberOfLeadingZeros(m >> 7) // m >= 132 ⇒ e in 0..7
+    val mant = (m >> (e + 3)) & 0x0f
+    (~(sign | (e << 4) | mant)) & 0xff
+  }
+
+  /** G.711 μ-law expand one 8-bit code back to its signed 16-bit linear
+    * sample (the exact inverse segment midpoint the standard defines).
+    */
+  private[graft] def muLawDecodeByte(u0: Int): Int = {
+    val bias = 0x84
+    val u = (~u0) & 0xff
+    val e = (u >> 4) & 7
+    val t = ((((u & 0x0f) << 3) + bias) << e) - bias
+    if ((u & 0x80) != 0) -t else t
+  }
+
+  /** Wrap each document as a REAL G.711 μ-law RIFF/WAVE file (format
+    * tag 7 — the first NON-PCM codec branch, logarithmic companding):
+    * each text byte becomes the linear sample `(b − 128)·256` (the
+    * [[toWav16]] mapping) μ-law-compressed to ONE byte, 2:1 on the wire
+    * vs the 16-bit linear file carrying the same signal. The 256-entry
+    * byte→code table is compiled at plan build from [[muLawEncodeSample]]
+    * (a literal array — the projectionSigns convention) and applied per
+    * hex pair with codegen'd expressions (`conv` + `element_at` +
+    * `unhex`) — never a UDF. Odd data chunks carry the RIFF pad byte,
+    * like [[toWav]].
+    */
+  def toWavMuLaw(docs: DataFrame): DataFrame = {
+    val encLut: Seq[String] =
+      (0 until 256).map(b => f"${muLawEncodeSample((b - 128) * 256)}%02x")
+    val bytes = encode(col("text"), "UTF-8")
+    val n = length(bytes).cast("long")
+    val pad = n % 2L
+    val h = lower(hex(bytes))
+    val pairs = filter(split(h, "(?<=\\G..)"), p => length(p) === 2)
+    val dataHex = array_join(
+      transform(
+        pairs,
+        p => element_at(typedLit(encLut), conv(p, 16, 10).cast("int") + 1)),
+      "")
+    val header = unhex(concat(
+      lit(asciiHex("RIFF")), leHex(n + 36L + pad, 4),
+      lit(asciiHex("WAVE")),
+      lit(asciiHex("fmt ")), leHex(lit(16L), 4),
+      leHex(lit(7L), 2),                   // audio format: G.711 mu-law
+      leHex(lit(1L), 2),                   // channels: mono
+      leHex(lit(WavSampleRate.toLong), 4), // sample rate
+      leHex(lit(WavSampleRate.toLong), 4), // byte rate (1 byte/sample)
+      leHex(lit(1L), 2),                   // block align
+      leHex(lit(8L), 2),                   // bits per sample
+      lit(asciiHex("data")), leHex(n, 4)))
+    docs.select(
+      col("doc_id"),
+      concat(header, unhex(dataHex),
+        when(pad === 1L, unhex(lit("00"))).otherwise(unhex(lit("")))).as("payload"),
+      struct(
+        lit("audio/basic").as("format"),
+        (n + 44L + pad).as("n_bytes"),
+        lit(1).as("n_frames")).as("meta"))
+  }
+
   /** Wrap each document as a REAL 24-bit BI_RGB Windows BMP — the third
     * real codec class (after netpbm and RIFF/WAVE), chosen because its
     * wire format exercises TWO quirks the others don't: rows are stored
@@ -674,8 +746,8 @@ object Multimodal {
       require(le32(4) == b.length - 8,
         s"doc $docId: RIFF size ${le32(4)} != payload size ${b.length - 8}")
       var i = 12
-      var fmt: Option[(Int, Int, Int)] = None // channels, rate, bits
-      var data: Option[(Int, Int)] = None     // offset, byte length
+      var fmt: Option[(Int, Int, Int, Int)] = None // format, channels, rate, bits
+      var data: Option[(Int, Int)] = None          // offset, byte length
       while (i + 8 <= b.length) {
         val id = tag(i)
         val sz = le32(i + 4)
@@ -683,17 +755,21 @@ object Multimodal {
         if (id == "fmt ") {
           require(sz >= 16, s"doc $docId: fmt chunk too short ($sz bytes)")
           val audioFormat = le16(i + 8)
-          require(audioFormat == 1, s"doc $docId: only PCM supported, got format $audioFormat")
+          require(audioFormat == 1 || audioFormat == 7,
+            s"doc $docId: only PCM (1) and G.711 mu-law (7) supported, got format $audioFormat")
           val channels = le16(i + 10)
           val rate = le32(i + 12).toInt
           val bits = le16(i + 22)
           require(channels >= 1, s"doc $docId: zero channels")
-          require(bits == 8 || bits == 16, s"doc $docId: unsupported bit depth $bits")
-          fmt = Some((channels, rate, bits))
+          if (audioFormat == 7)
+            require(bits == 8, s"doc $docId: mu-law is 8-bit by definition, got $bits")
+          else
+            require(bits == 8 || bits == 16, s"doc $docId: unsupported bit depth $bits")
+          fmt = Some((audioFormat, channels, rate, bits))
         } else if (id == "data") data = Some((i + 8, sz.toInt))
         i += 8 + sz.toInt + (sz.toInt & 1) // word alignment: odd chunks carry a pad byte
       }
-      val (channels, rate, bits) = fmt.getOrElse(
+      val (audioFormat, channels, rate, bits) = fmt.getOrElse(
         throw new IllegalArgumentException(s"doc $docId: no fmt chunk"))
       val (off, len) = data.getOrElse(
         throw new IllegalArgumentException(s"doc $docId: no data chunk"))
@@ -707,7 +783,12 @@ object Multimodal {
         var j = off
         val end = off + len
         while (j < end) {
-          val v = if (bits == 8) u8(j) else le16(j).toShort.toInt
+          // mu-law amplitudes are the EXPANDED linear samples — the
+          // moments describe the signal, not the companded wire bytes.
+          val v =
+            if (audioFormat == 7) muLawDecodeByte(u8(j))
+            else if (bits == 8) u8(j)
+            else le16(j).toShort.toInt
           sum += v
           if (v < lo) lo = v
           if (v > hi) hi = v

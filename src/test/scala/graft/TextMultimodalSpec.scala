@@ -551,6 +551,60 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f2.mean_amp === Some(uniAmps.map(_.toLong).sum.toDouble / uniAmps.length))
   }
 
+  test("mu-law compand/expand: G.711 anchor values, monotonicity, segment error bound") {
+    import Multimodal.{muLawDecodeByte, muLawEncodeSample}
+    // Canonical anchors: linear 0 compands to 0xff and expands back to 0;
+    // -32768 clips to the max-magnitude negative code 0x00 -> -32124;
+    // +32767 -> code 0x80 -> +32124 (the standard's extreme points).
+    assert(muLawEncodeSample(0) === 0xff && muLawDecodeByte(0xff) === 0)
+    assert(muLawEncodeSample(-32768) === 0x00 && muLawDecodeByte(0x00) === -32124)
+    assert(muLawEncodeSample(32767) === 0x80 && muLawDecodeByte(0x80) === 32124)
+    // Expand is the left inverse on code space EXCEPT the classic
+    // negative-zero quirk: code 0x7f expands to -0 == 0, which
+    // re-compands to the canonical positive-zero code 0xff.
+    for (u <- 0 until 256)
+      assert(muLawEncodeSample(muLawDecodeByte(u)) === (if (u == 0x7f) 0xff else u))
+    var prev = -40000L // below any expanded sample; MinValue would wrap the -1024 slack
+    for (s <- -32768 to 32767 by 7) {
+      val r = muLawDecodeByte(muLawEncodeSample(s))
+      assert(r.toLong >= prev - 1024L, "expansion must be monotone to segment granularity")
+      prev = r.toLong
+      val step = 1 << (((~muLawEncodeSample(s) & 0xff) >> 4) & 7)
+      assert(math.abs(r - math.max(-32635, math.min(32635, s))) <= step * 4,
+        s"s=$s roundtrips to $r, outside its segment's half-step")
+    }
+  }
+
+  test("toWavMuLaw payloads round-trip through the decoder's format-7 expand path") {
+    import Multimodal.{decodeWavFeatures, muLawDecodeByte, muLawEncodeSample, toWavMuLaw}
+    val d = Seq((3L, "Hello WAV"), (4L, ""), (5L, "odd")).toDF("doc_id", "text")
+    val out = decodeWavFeatures(spark, toWavMuLaw(d)).collect().sortBy(_.doc_id)
+    val amps = "Hello WAV".getBytes("US-ASCII")
+      .map(b => muLawDecodeByte(muLawEncodeSample(((b & 0xff) - 128) * 256)))
+    val f = out(0)
+    assert(f.n_channels === 1 && f.sample_rate === 8000 && f.bits_per_sample === 8)
+    assert(f.n_samples === amps.length.toLong)
+    assert(f.mean_amp === Some(amps.map(_.toLong).sum.toDouble / amps.length))
+    assert(f.min_amp === Some(amps.min) && f.max_amp === Some(amps.max))
+    assert(amps.forall(v => v < 0 && v < -255),
+      "expanded ASCII samples must be 16-bit-scale negatives, not wire bytes")
+    assert(out(1).n_samples === 0L && out(1).mean_amp === None)
+    // Odd data chunk: the RIFF pad byte must keep the envelope size
+    // consistent (the decoder validates RIFF size == payload - 8).
+    assert(out(2).n_samples === 3L)
+    // A 16-bit mu-law fmt chunk is a contradiction the decoder rejects.
+    val bad = Multimodal.toWav16(Seq((9L, "x")).toDF("doc_id", "text"))
+      .selectExpr("doc_id",
+        // Patch the format tag to 7 in the built 16-bit payload.
+        "concat(substring(payload, 1, 20), unhex('0700'), substring(payload, 23)) AS payload",
+        "meta")
+    val ex = intercept[org.apache.spark.SparkException] {
+      decodeWavFeatures(spark, bad).collect()
+    }
+    assert(ex.getMessage.contains("mu-law is 8-bit by definition")
+      || Option(ex.getCause).exists(_.getMessage.contains("mu-law is 8-bit by definition")))
+  }
+
   test("magic-byte router sends RIFF payloads to the WAV decoder, not the stub") {
     val media = Multimodal.toWav(Seq((5L, "audio bytes")).toDF("doc_id", "text"))
       .unionByName(Multimodal.toMedia(
