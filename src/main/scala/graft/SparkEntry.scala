@@ -1005,6 +1005,13 @@ object SparkEntry {
       Similarity.pqSearch(Tables.embeddings(s, dir))
         .orderBy("query_id", "rnk")),
 
+    // Greedy k-center / farthest-point coreset (Gonzalez): 8 corpus
+    // vectors that COVER embedding space — the diversity-maximizing
+    // global panel (seed sets, eval panels) next to q141's per-query
+    // MMR; exact integer distances make the greedy trace replayable.
+    "q175_kcenter" -> ((s, dir) =>
+      Similarity.kCenterSelect(Tables.embeddings(s, dir)).orderBy("rnk")),
+
     // Int8 scalar quantization (FAISS SQ8) + asymmetric search: per-dim
     // affine codes from one min/max aggregate, reconstruction + exact
     // integer distance in the corpus scan — the 4x-compression,
@@ -2570,6 +2577,38 @@ object SparkEntry {
     "q136_pagerank" -> pageRankOracle,
 
     "q141_mmr_diversify" -> mmrOracle,
+
+    "q175_kcenter" -> {
+      val k = 8
+      val rounds = (1 until k).map { t =>
+        s"""p$t AS MATERIALIZED (
+           |  SELECT vec_id, d2min FROM s${t - 1} ORDER BY d2min DESC, vec_id LIMIT 1
+           |),
+           |s$t AS MATERIALIZED (
+           |  SELECT s.vec_id,
+           |         LEAST(s.d2min, CAST(list_sum(list_transform(range(1, 65), i ->
+           |           (v.qe[i] - c.qe[i]) * (v.qe[i] - c.qe[i]))) AS BIGINT)) AS d2min
+           |  FROM s${t - 1} s
+           |  JOIN n v ON v.vec_id = s.vec_id
+           |  CROSS JOIN (SELECT n.qe FROM n JOIN p$t ON n.vec_id = p$t.vec_id) c
+           |)""".stripMargin
+      }.mkString(",\n")
+      val sel = (1 until k).map(t =>
+        s"SELECT CAST(${t + 1} AS INT) AS rnk, vec_id, CAST(d2min AS BIGINT) AS radius_d2 FROM p$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH $quantizedEmbeddings,
+         |seed AS (SELECT vec_id, qe FROM n ORDER BY vec_id LIMIT 1),
+         |s0 AS MATERIALIZED (
+         |  SELECT n.vec_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i ->
+         |           (n.qe[i] - seed.qe[i]) * (n.qe[i] - seed.qe[i]))) AS BIGINT) AS d2min
+         |  FROM n CROSS JOIN seed
+         |),
+         |$rounds
+         |SELECT CAST(1 AS INT) AS rnk, vec_id, CAST(NULL AS BIGINT) AS radius_d2 FROM seed
+         |UNION ALL $sel
+         |ORDER BY rnk""".stripMargin
+    },
 
     "q173_sq8_search" ->
       s"""WITH $quantizedEmbeddings,

@@ -831,6 +831,69 @@ object Similarity {
     selected
   }
 
+  /** Greedy k-center / farthest-point coreset selection (Gonzalez 1985;
+    * the Sener & Savarese active-learning coreset) — pick `k` corpus
+    * vectors that COVER embedding space: each round selects the point
+    * farthest from every center chosen so far, the 2-approximation to
+    * the optimal k-center cover. The curation use is
+    * diversity-maximizing subset selection (seed sets, eval panels,
+    * annotation batches) — where [[mmrDiversify]] diversifies each
+    * query's RESULT list, this selects one global panel from the whole
+    * corpus. Output: the centers in selection order with `radius_d2` —
+    * the picked point's exact squared distance to the previous centers,
+    * i.e. the coverage radius the selection just improved (a
+    * monotonically non-increasing sequence; the seed, chosen as the
+    * lowest id for determinism, has NULL).
+    *
+    * All distances are exact integer `Σ(a−b)²` over [[quantize]]'s
+    * longs, ties break on id — the greedy trace is engine-bit-identical
+    * and the oracle replays every round.
+    *
+    * Scale: the per-point state `(vec_id, qe, d2min)` updates against
+    * ONLY the newest center (the standard incremental trick — never
+    * re-scans the center set), compiled in as a LITERAL vector (one
+    * bounded 1-row collect per round, the Lloyd-trainer convention —
+    * no join at all); the argmax is a TakeOrdered(1). k narrow corpus
+    * scans total — the inherent cost of the sequential greedy — with
+    * each round's state persisted and the previous released
+    * (constant-depth plans, the mmrDiversify convention).
+    */
+  def kCenterSelect(embeddings: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1 && k <= 256, s"k=$k out of range [1, 256]")
+    val spark = embeddings.sparkSession
+    val e = withQuantized(embeddings).select(col("vec_id"), col("qe"))
+    val seedRows = e.orderBy(col("vec_id")).limit(1)
+      .select(col("vec_id"), col("qe")).collect()
+    require(seedRows.nonEmpty, "kCenterSelect: empty corpus")
+    val seed = seedRows.head
+    val centers = scala.collection.mutable.ArrayBuffer[(Int, Long, Option[Long])](
+      (1, seed.getLong(0), None))
+    def d2To(center: Seq[Long]): Column =
+      expr(s"aggregate(zip_with(qe, array(${center.mkString(", ")}L), " +
+        "(a, b) -> (a - b) * (a - b)), CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+    var state = e
+      .withColumn("d2min", d2To(seed.getSeq[Long](1)))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    state.count()
+    var prev = state
+    for (t <- 2 to k) {
+      val pick = state.orderBy(col("d2min").desc, col("vec_id")).limit(1).collect().head
+      centers += ((t, pick.getLong(0), Some(pick.getLong(2))))
+      state = prev
+        .withColumn("d2min", least(col("d2min"), d2To(pick.getSeq[Long](1))))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      state.count()
+      prev.unpersist()
+      prev = state
+    }
+    state.unpersist()
+    import spark.implicits._
+    centers.toSeq
+      .map { case (r, id, rad) => (r, id, rad) }
+      .toDF("rnk", "vec_id", "radius_d2")
+      .select(col("rnk").cast("int"), col("vec_id"), col("radius_d2").cast("long"))
+  }
+
   /** Recall@k evaluator for the ANN stack — the acceptance gate every
     * approximate index must pass before it replaces brute force: joins
     * an approximate result against the exact ground truth (both in the

@@ -183,6 +183,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(q1._2 === 11L)
   }
 
+  test("kCenterSelect: hand-traced greedy farthest-point order on a line") {
+    import graft.operators.Similarity
+    // 1-D points at 0, 1, 10, 11, 30. Seed = lowest id (pos 0).
+    // Farthest: id4 (d2 900e12). Then id3 (121e12), then id1 ties id2
+    // at 1e12 -> lowest id wins. Radii non-increasing by construction.
+    val emb = Seq(
+      (0L, Seq(0f)), (1L, Seq(1f)), (2L, Seq(10f)), (3L, Seq(11f)), (4L, Seq(30f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterSelect(emb, k = 4).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("vec_id"),
+        Option(r.get(r.fieldIndex("radius_d2"))).map(_.asInstanceOf[Long])))
+      .sortBy(_._1)
+    val T = 1000000000000L // (1e6)^2 per unit distance
+    assert(got.map(t => (t._1, t._2)).toSeq === Seq((1, 0L), (2, 4L), (3, 3L), (4, 1L)))
+    assert(got.map(_._3).toSeq === Seq(None, Some(900L * T), Some(121L * T), Some(1L * T)))
+    val radii = got.flatMap(_._3)
+    assert(radii.zip(radii.tail).forall { case (a, b) => a >= b },
+      "coverage radius must be non-increasing along the greedy order")
+    // Deterministic run-to-run (literal-compiled centers, no RNG).
+    val again = Similarity.kCenterSelect(emb, k = 4).collect()
+      .map(r => (r.getAs[Int]("rnk"), r.getAs[Long]("vec_id"))).sortBy(_._1).toSeq
+    assert(again === got.map(t => (t._1, t._2)).toSeq)
+  }
+
   test("exact dedup groups identical content under the min doc_id") {
     val groups = Dedup.exactDuplicates(docs).collect()
     assert(groups.length === 3)
