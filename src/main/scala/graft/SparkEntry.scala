@@ -492,6 +492,16 @@ object SparkEntry {
         col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
         .orderBy("grp", "id")),
 
+    // Robust median/MAD outlier detection (Hampel's rule): the
+    // heavy-tail-safe gate next to q94's mean/stddev z-scores — one
+    // extreme order can inflate a stddev enough to hide itself; the
+    // MAD's 50% breakdown point cannot be bought off that way.
+    "q176_robust_outliers" -> ((s, dir) =>
+      Stats.robustOutliers(
+        Tables.orders(s, dir),
+        col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy("grp", "id")),
+
     // Time series: per-user consecutive event-type transitions (funnel /
     // Markov-chain matrix) under a deterministic (ts, event_id) order.
     "q72_transition_matrix" -> ((s, dir) =>
@@ -3284,6 +3294,24 @@ object SparkEntry {
         |)
         |SELECT v.grp, v.id, v.x, LEAST(GREATEST(v.x, c.p_lo), c.p_hi) AS x_clipped
         |FROM v JOIN c USING (grp)
+        |ORDER BY grp, id""".stripMargin,
+
+    "q176_robust_outliers" ->
+      """WITH v AS (
+        |  SELECT o_orderpriority AS grp, o_orderkey AS id,
+        |         CAST(o_totalprice AS DOUBLE) AS x
+        |  FROM orders
+        |),
+        |m AS (SELECT grp, quantile_cont(x, 0.5) AS med FROM v GROUP BY grp),
+        |d AS (
+        |  SELECT v.grp, v.id, v.x, m.med, abs(v.x - m.med) AS adev
+        |  FROM v JOIN m USING (grp)
+        |),
+        |md AS (SELECT grp, quantile_cont(adev, 0.5) AS mad FROM d GROUP BY grp)
+        |SELECT d.grp, d.id, d.x, d.med, md.mad,
+        |       CASE WHEN md.mad > 0 THEN (d.x - d.med) / (1.4826 * md.mad) END AS robust_z,
+        |       (md.mad > 0 AND d.adev > 3.0 * 1.4826 * md.mad) AS is_outlier
+        |FROM d JOIN md USING (grp)
         |ORDER BY grp, id""".stripMargin,
 
     "q72_transition_matrix" ->

@@ -118,6 +118,46 @@ object Stats {
         least(greatest(col("x"), col("p_lo")), col("p_hi")).as("x_clipped"))
   }
 
+  /** Per-group robust outlier detection via median/MAD — the
+    * heavy-tail-safe alternative to mean/stddev z-scores (one extreme
+    * value inflates a stddev enough to hide ITSELF; the median absolute
+    * deviation has a 50% breakdown point — Hampel's rule). Per row:
+    * the group median, the group MAD, the robust z-score
+    * `(x − med)/(1.4826·mad)` (the Gaussian-consistency constant), and
+    * `is_outlier = |x − med| > k·1.4826·mad`. Spark `percentile` and
+    * DuckDB `quantile_cont` share the same sorted-doubles interpolation
+    * (the [[winsorize]]/q71 precedent), and everything downstream is a
+    * fixed tree of single IEEE ops on those identical inputs — bit-
+    * identical across engines. A zero-MAD group (over half the values
+    * at the median) yields NULL z and FALSE flags: no finite threshold
+    * exists, surfaced the same way in both engines.
+    *
+    * Scale: two group-count-sized percentile aggregates (median of x,
+    * then median of |x − med|) each broadcast back over the scan — the
+    * fact table is read twice and never shuffled ([[winsorize]]'s
+    * shape, one extra pass for the nested median).
+    */
+  def robustOutliers(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      x: Column,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val v = df.select(group.as("grp"), id.as("id"), x.cast("double").as("x"))
+    val med = v.groupBy(col("grp")).agg(expr("percentile(x, 0.5)").as("med"))
+    val dev = v.join(broadcast(med), Seq("grp"))
+      .withColumn("adev", abs(col("x") - col("med")))
+    val mad = dev.groupBy(col("grp")).agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("grp"))
+      .withColumn("cutoff", lit(k) * lit(1.4826) * col("mad"))
+      .select(
+        col("grp"), col("id"), col("x"), col("med"), col("mad"),
+        when(col("mad") > 0d, (col("x") - col("med")) / (lit(1.4826) * col("mad")))
+          .as("robust_z"),
+        (col("mad") > 0d && col("adev") > col("cutoff")).as("is_outlier"))
+  }
+
   /** Per-group MERGEABLE approximate quantiles — the 100 TB path where
     * exact `percentile` (which buffers each group's full value multiset
     * in the aggregation state) stops being viable. Built on Spark's

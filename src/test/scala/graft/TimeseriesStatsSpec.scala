@@ -510,6 +510,33 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(k.isNullAt(k.fieldIndex("kappa_ppm")))
   }
 
+  test("robustOutliers: MAD flags what the inflated stddev masks; zero-MAD yields NULL z") {
+    // Group a: 1..8 plus outliers 1000, 1001. med = 5.5, MAD = 2.5,
+    // cutoff = 3·1.4826·2.5 = 11.1195 — both outliers flagged. The
+    // CLASSIC z-score is masked: stddev ≈ 398 -> z(1001) ≈ 2.0 < 3.
+    val xs = (1 to 8).map(_.toDouble) ++ Seq(1000.0, 1001.0)
+    val mean = xs.sum / xs.length
+    val std = math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / xs.length)
+    assert((1001.0 - mean) / std < 3.0, "fixture must demonstrate classic-z masking")
+    // Group b: constant except one spike -> MAD 0 -> NULL z, no flags.
+    val rows = xs.zipWithIndex.map { case (x, i) => ("a", i.toLong, x) } ++
+      (0 until 9).map(i => ("b", i.toLong, 7.0)) :+ ("b", 9L, 100.0)
+    val out = Stats.robustOutliers(
+        rows.toDF("g", "i", "x"), col("g"), col("i"), col("x"))
+      .collect().map(r => (r.getAs[String]("grp"), r.getAs[Long]("id")) -> r).toMap
+    assert(out(("a", 0L)).getAs[Double]("med") === 5.5)
+    assert(out(("a", 0L)).getAs[Double]("mad") === 2.5)
+    assert(out(("a", 8L)).getAs[Boolean]("is_outlier"))
+    assert(out(("a", 9L)).getAs[Boolean]("is_outlier"))
+    assert((0 to 7).forall(i => !out(("a", i.toLong)).getAs[Boolean]("is_outlier")))
+    assert(out(("a", 9L)).getAs[Double]("robust_z") > 100.0)
+    // Zero MAD: no finite threshold — NULL z, FALSE flag even for the spike.
+    val spike = out(("b", 9L))
+    assert(spike.getAs[Double]("mad") === 0.0)
+    assert(spike.isNullAt(spike.fieldIndex("robust_z")))
+    assert(!spike.getAs[Boolean]("is_outlier"))
+  }
+
   test("kendallTau: exact concordant/discordant pairs, reversal -1, identity +1") {
     // Query 1: ranks a = (1,2,3), b = (1,3,2) over items x,y,z.
     //   Pairs: (x,y) conc, (x,z) conc, (y,z) disc -> tau = (2−1)/3 -> 333333.
