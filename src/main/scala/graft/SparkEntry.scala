@@ -1015,6 +1015,13 @@ object SparkEntry {
       Similarity.pqSearch(Tables.embeddings(s, dir))
         .orderBy("query_id", "rnk")),
 
+    // Margin-based uncertainty sampling over label centroids: the 50
+    // most class-boundary-ambiguous vectors (best vs second-best
+    // centroid cosine nearly tied) with predicted label and mislabel
+    // flag — the active-learning / annotation-triage draw.
+    "q177_margin_sampling" -> ((s, dir) =>
+      Similarity.centroidMarginSampling(Tables.embeddings(s, dir)).orderBy("rnk")),
+
     // Greedy k-center / farthest-point coreset (Gonzalez): 8 corpus
     // vectors that COVER embedding space — the diversity-maximizing
     // global panel (seed sets, eval panels) next to q141's per-query
@@ -2587,6 +2594,55 @@ object SparkEntry {
     "q136_pagerank" -> pageRankOracle,
 
     "q141_mmr_diversify" -> mmrOracle,
+
+    "q177_margin_sampling" ->
+      """WITH n3 AS (
+        |  SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings
+        |),
+        |e AS (
+        |  SELECT vec_id, label, qe,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> qe[i] * qe[i])) AS BIGINT) AS n2
+        |  FROM n3
+        |),
+        |cd AS (
+        |  SELECT label AS c_label, i.i, CAST(SUM(qe[i.i]) AS BIGINT) AS sv
+        |  FROM n3 CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        |  GROUP BY 1, 2
+        |),
+        |c2 AS (
+        |  SELECT c_label, svec,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> svec[i] * svec[i])) AS BIGINT) AS sn2
+        |  FROM (SELECT c_label, list(sv ORDER BY i) AS svec FROM cd GROUP BY c_label)
+        |),
+        |cs AS (
+        |  SELECT e.vec_id, e.label, c2.c_label, e.n2, c2.sn2,
+        |         CAST(list_sum(list_transform(range(1, 65), i -> e.qe[i] * c2.svec[i])) AS BIGINT) AS dp
+        |  FROM e CROSS JOIN c2
+        |  WHERE e.n2 > 0 AND c2.sn2 > 0
+        |),
+        |r AS (
+        |  SELECT vec_id, label, c_label,
+        |         CAST(dp AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(sn2 AS DOUBLE))) AS cosine,
+        |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY
+        |           CAST(dp AS DOUBLE) / (sqrt(CAST(n2 AS DOUBLE)) * sqrt(CAST(sn2 AS DOUBLE))) DESC,
+        |           c_label) AS crn
+        |  FROM cs
+        |  QUALIFY crn <= 2
+        |),
+        |b AS (SELECT vec_id, label, c_label AS pred_label, cosine AS cos_best FROM r WHERE crn = 1),
+        |s2 AS (SELECT vec_id, c_label AS second_label, cosine AS cos_second FROM r WHERE crn = 2),
+        |t AS (
+        |  SELECT b.vec_id, b.label, b.pred_label, s2.second_label,
+        |         b.cos_best, s2.cos_second, b.cos_best - s2.cos_second AS margin,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY b.cos_best - s2.cos_second, b.vec_id) AS INT) AS rnk
+        |  FROM b JOIN s2 USING (vec_id)
+        |  QUALIFY rnk <= 50
+        |)
+        |SELECT rnk, vec_id, label, pred_label, second_label, cos_best, cos_second, margin,
+        |       pred_label <> label AS is_error
+        |FROM t ORDER BY rnk""".stripMargin,
 
     "q175_kcenter" -> {
       val k = 8

@@ -1302,6 +1302,75 @@ object Similarity {
       .select(col("label"), col("vec_id"), col("rnk"), col("loo_dp"), col("cosine"))
   }
 
+  /** Margin-based uncertainty sampling over label centroids — the
+    * active-learning draw (Lewis & Gale's uncertainty sampling, margin
+    * variant): a vector whose best and second-best centroid cosines
+    * nearly tie sits on a class boundary, and those are the rows worth
+    * human labels / audit first. For every vector: cosine to EACH label
+    * centroid (the centroid SUM, not the mean — cosine is
+    * scale-invariant, so no division enters the integer path, the
+    * [[centroidOutliers]] trick; own-label centroids INCLUDE the vector
+    * itself — full-membership centroids, where centroidOutliers
+    * deliberately leaves one out), `pred_label` = best centroid,
+    * `margin = cos_best − cos_second`, and the `k` LOWEST-margin
+    * vectors surface in ambiguity order. Also flags `is_error` =
+    * predicted ≠ actual — low-margin + mislabeled is the classic
+    * annotation-queue triage. Doubles are fixed IEEE trees over exact
+    * integers (engine-bit-identical); `quantScale` defaults to 1000 so
+    * centroid-sum dot products stay inside BIGINT at any label size
+    * (the centroidOutliers bound).
+    *
+    * Scale: one label-count-sized centroid aggregate broadcast back;
+    * the corpus scan scores against ALL centroids (labels × corpus
+    * rows — labels are small by definition), one per-vector rank
+    * window over label-count-sized groups, and the final ambiguity
+    * top-k is a TakeOrdered, never a global sort.
+    */
+  def centroidMarginSampling(
+      embeddings: DataFrame,
+      k: Int = 50,
+      quantScale: Long = 1000L): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val e = embeddings
+      .select(
+        col("vec_id"), col("label"),
+        transform(col("embedding"), x => floor(x.cast("double") * quantScale).cast("long"))
+          .as("qe"))
+      .withColumn("n2", dot(col("qe"), col("qe")))
+    val cents = e
+      .select(col("label").as("c_label"), posexplode(col("qe")).as(Seq("pos", "v")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(sum(col("v")).as("sv"))
+      .groupBy(col("c_label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("sv")))).as("ps"))
+      .select(col("c_label"), transform(col("ps"), p => p.getField("sv")).as("svec"))
+      .withColumn("sn2", dot(col("svec"), col("svec")))
+    val wBest = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("c_label"))
+    val scored = e.join(broadcast(cents), col("n2") > 0L && col("sn2") > 0L)
+      .withColumn(
+        "cosine",
+        dot(col("qe"), col("svec")).cast("double") /
+          (sqrt(col("n2").cast("double")) * sqrt(col("sn2").cast("double"))))
+      .withColumn("crn", row_number().over(wBest))
+      .filter(col("crn") <= 2)
+    val best = scored.filter(col("crn") === 1).select(
+      col("vec_id"), col("label"), col("c_label").as("pred_label"), col("cosine").as("cos_best"))
+    val second = scored.filter(col("crn") === 2).select(
+      col("vec_id"), col("c_label").as("second_label"), col("cosine").as("cos_second"))
+    // TakeOrdered FIRST (never a global sort over the corpus); the rank
+    // window then runs over k rows only.
+    val wAmb = Window.orderBy(col("margin").asc, col("vec_id"))
+    best.join(second, Seq("vec_id"))
+      .withColumn("margin", col("cos_best") - col("cos_second"))
+      .orderBy(col("margin").asc, col("vec_id"))
+      .limit(k)
+      .withColumn("rnk", row_number().over(wAmb).cast("int"))
+      .select(
+        col("rnk"), col("vec_id"), col("label"), col("pred_label"),
+        col("second_label"), col("cos_best"), col("cos_second"), col("margin"),
+        (col("pred_label") =!= col("label")).as("is_error"))
+  }
+
   /** Hard-negative mining for contrastive training: for each query vector
     * the top-k nearest neighbors carrying a DIFFERENT label — the
     * near-miss examples a retrieval/embedding fine-tune wants as

@@ -183,6 +183,33 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(q1._2 === 11L)
   }
 
+  test("centroidMarginSampling: boundary vectors rank first, mislabels flag is_error") {
+    import graft.operators.Similarity
+    // Label 0 clusters near (1,0), label 1 near (0,1). id4 sits at 45°
+    // (the class boundary — smallest margin, ambiguity rank 1); id5 is
+    // labeled 1 but points at (1,0) — predicted 0, is_error.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 0), (1L, Seq(0.9f, 0.1f), 0),
+      (2L, Seq(0.0f, 1.0f), 1), (3L, Seq(0.1f, 0.9f), 1),
+      (4L, Seq(0.7071f, 0.7071f), 0),
+      (5L, Seq(1.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidMarginSampling(emb, k = 6).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r).toMap
+    assert(out.size === 6)
+    assert(out(4L).getAs[Int]("rnk") === 1, "the 45-degree vector must be most ambiguous")
+    assert(out(5L).getAs[Int]("pred_label") === 0)
+    assert(out(5L).getAs[Boolean]("is_error"))
+    assert(!out(0L).getAs[Boolean]("is_error"))
+    assert(out(0L).getAs[Int]("pred_label") === 0)
+    assert(out(2L).getAs[Int]("pred_label") === 1)
+    // Margins are positive (best > second by construction of the rank).
+    assert(out.values.forall(_.getAs[Double]("margin") >= 0.0))
+    // rnk order equals ascending margin order.
+    val byRnk = out.values.toSeq.sortBy(_.getAs[Int]("rnk")).map(_.getAs[Double]("margin"))
+    assert(byRnk === byRnk.sorted)
+  }
+
   test("kCenterSelect: hand-traced greedy farthest-point order on a line") {
     import graft.operators.Similarity
     // 1-D points at 0, 1, 10, 11, 30. Seed = lowest id (pos 0).
