@@ -1319,6 +1319,19 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Personalized PageRank / TrustRank from the same seed set as q162:
+    // teleport mass concentrated on the seeds, so rank measures
+    // path-multiplicity-weighted trust proximity — what the discrete
+    // BFS hop count cannot see.
+    "q178_personalized_pagerank" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Graphs.personalizedPageRank(
+          Dedup.rareShingleEdges(docs),
+          docs.filter(pmod(col("doc_id"), lit(23L)) === 0L)
+            .select(col("doc_id").as("id")))
+        .orderBy("id")
+    }),
+
     // Rendezvous sharding at n=5 and n=6 side by side: the hash gate
     // itself proves minimal disruption on real data — every moved key's
     // new assignment is the NEW shard (5), so the `moved` column plus
@@ -4153,6 +4166,32 @@ object SparkEntry {
          |$rounds
          |SELECT d.id, d.deg, h$iters.h AS coreness
          |FROM d JOIN h$iters USING (id)
+         |ORDER BY id""".stripMargin
+    },
+
+    "q178_personalized_pagerank" -> {
+      val iters = 4
+      val scale = 1000000000000L
+      val base = scale * 15L / 100L
+      val rounds = (1 to iters).map { t =>
+        s"""c$t AS (
+           |  SELECT e.dst AS id, CAST(SUM(r.r * 85 // (100 * d.deg)) AS BIGINT) AS s
+           |  FROM sym e JOIN r${t - 1} r ON r.id = e.src JOIN d ON d.src = e.src
+           |  GROUP BY e.dst
+           |),
+           |r$t AS MATERIALIZED (
+           |  SELECT n.src AS id,
+           |         CAST(CASE WHEN n.src % 23 = 0 THEN $base ELSE 0 END
+           |              + COALESCE(c.s, 0) AS BIGINT) AS r
+           |  FROM d n LEFT JOIN c$t c ON c.id = n.src
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $rareSymCtes,
+         |d AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM sym GROUP BY src),
+         |r0 AS (SELECT src AS id, CAST(CASE WHEN src % 23 = 0 THEN $scale ELSE 0 END AS BIGINT) AS r FROM d),
+         |$rounds
+         |SELECT d.src AS id, d.deg, (d.src % 23 = 0) AS is_seed, r$iters.r AS trust_scaled
+         |FROM d JOIN r$iters ON r$iters.id = d.src
          |ORDER BY id""".stripMargin
     },
 

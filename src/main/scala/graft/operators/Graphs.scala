@@ -76,6 +76,72 @@ object Graphs {
     out
   }
 
+  /** Personalized PageRank / TrustRank (Haveliwala 2002; Gyöngyi et al.
+    * 2004) — [[pageRank]]'s recurrence with the teleport mass
+    * concentrated on a trusted SEED set instead of spread uniformly:
+    * `r'(v) = 1{v∈S}·⌊scale·15/100⌋ + Σ_{u∈N(v)} ⌊r(u)·85/(100·deg(u))⌋`,
+    * seeds initialized at `scale`, everyone else at 0. Rank now measures
+    * proximity-weighted reachability FROM the seeds — the continuous
+    * counterpart of [[seedDistances]]' discrete hop count (two nodes at
+    * hop 2 differ by how MANY independent paths carry trust, which a
+    * BFS distance cannot see). Same exactness contract as pageRank:
+    * BIGINT throughout, order-independent, truncation-toward-zero on
+    * nonnegative values where Spark `div` and DuckDB `//` agree.
+    *
+    * Scale: identical shape to [[pageRank]] — per round one edge-keyed
+    * rank-lookup join + one map-side-combined sum; the seed membership
+    * is a broadcast hash join per round (seed sets are small by
+    * construction). Nodes unreachable from the seeds hold rank 0 and
+    * are KEPT (rank 0 is the signal); eager materialization + released
+    * caches as pageRank.
+    */
+  def personalizedPageRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 4,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters=$iters out of range [1, 64]")
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val symd = sym.join(deg, Seq("src")).persist(StorageLevel.MEMORY_AND_DISK)
+    val seedIds = seeds.select(col("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = deg.select(col("src").as("id"), col("deg"))
+    val withSeed = nodes
+      .join(broadcast(seedIds.select(col("id"), lit(true).as("is_seed"))), Seq("id"), "left_outer")
+      .select(col("id"), col("deg"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val base = scale * 15L / 100L
+    var ranks = withSeed.select(
+      col("id"), when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = symd
+        .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
+        .select(col("dst").as("id"), expr("r * 85 div (100 * deg)").as("c"))
+        .groupBy(col("id"))
+        .agg(sum(col("c")).as("in_sum"))
+      ranks = withSeed.select(col("id"), col("is_seed"))
+        .join(contrib, Seq("id"), "left_outer")
+        .select(
+          col("id"),
+          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+            coalesce(col("in_sum"), lit(0L))).as("r"))
+    }
+    val out = withSeed.join(ranks, Seq("id"))
+      .select(col("id"), col("deg"), col("is_seed"), col("r").as("trust_scaled"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    symd.unpersist()
+    deg.unpersist()
+    seedIds.unpersist()
+    withSeed.unpersist()
+    out
+  }
+
   /** Exact per-node triangle counts + whole-graph-exact local clustering
     * coefficients — the cohesion QA a pipeline runs on its derived
     * document graphs (a near-dup cluster whose members close triangles is

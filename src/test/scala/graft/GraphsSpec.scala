@@ -166,6 +166,27 @@ class GraphsSpec extends SparkSpec {
       1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 0L, 5L -> 1L, 6L -> 2L))
   }
 
+  test("personalizedPageRank: seed-concentrated teleport by hand; unreachable components stay 0") {
+    // Path 1—2—3 with seed {1}; disjoint edge 4—5 carries no trust.
+    // S = 1e12, base = 1.5e11. Hand recurrence:
+    //   r1 = (1.5e11, 8.5e11, 0, 0, 0)
+    //   r2(1) = 1.5e11 + ⌊8.5e11·85/200⌋ = 5.1125e11
+    //   r2(2) = ⌊1.5e11·85/100⌋ = 1.275e11
+    //   r2(3) = ⌊8.5e11·85/200⌋ = 3.6125e11
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val out = Graphs.personalizedPageRank(edges, seeds, iters = 2).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L, 5L))
+    assert(out(1L).getAs[Boolean]("is_seed") && !out(2L).getAs[Boolean]("is_seed"))
+    assert(out(1L).getAs[Long]("trust_scaled") === 511250000000L)
+    assert(out(2L).getAs[Long]("trust_scaled") === 127500000000L)
+    assert(out(3L).getAs[Long]("trust_scaled") === 361250000000L)
+    // The component no seed can reach holds EXACTLY zero — kept, not dropped.
+    assert(out(4L).getAs[Long]("trust_scaled") === 0L)
+    assert(out(5L).getAs[Long]("trust_scaled") === 0L)
+  }
+
   test("hyperBall registers equal the HLL of the true r-hop balls (max-propagation identity)") {
     // Path 1—2—3—4—5 plus a disjoint edge 10—11. Register-max along
     // edges must reproduce EXACTLY hllRegisters of the brute-force
