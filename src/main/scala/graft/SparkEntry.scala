@@ -567,6 +567,13 @@ object SparkEntry {
       Timeseries.dailyAnomalies(Tables.events(s, dir))
         .orderBy("event_type", "epoch_day")),
 
+    // Seasonality-adjusted anomalies: per-(type, day-of-week) median
+    // baselines + robust MAD threshold on the residuals — the weekly
+    // dip that happens EVERY week is a pattern, not an incident.
+    "q179_seasonal_residuals" -> ((s, dir) =>
+      Timeseries.seasonalResiduals(Tables.events(s, dir))
+        .orderBy("event_type", "epoch_day")),
+
     // Per-source curation funnel: where each source's documents went
     // through the q89 pipeline, plus boilerplate volume and split mix.
     "q99_curation_funnel" -> ((s, dir) =>
@@ -3364,6 +3371,37 @@ object SparkEntry {
         |SELECT v.grp, v.id, v.x, LEAST(GREATEST(v.x, c.p_lo), c.p_hi) AS x_clipped
         |FROM v JOIN c USING (grp)
         |ORDER BY grp, id""".stripMargin,
+
+    "q179_seasonal_residuals" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |s AS (SELECT MIN(epoch_day) AS lo, MAX(epoch_day) AS hi FROM c),
+        |d AS (SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS epoch_day FROM s),
+        |t AS (SELECT DISTINCT event_type FROM c),
+        |g AS (
+        |  SELECT t.event_type, d.epoch_day, CAST(COALESCE(c.n, 0) AS BIGINT) AS n,
+        |         CAST((d.epoch_day + 4) % 7 AS BIGINT) AS dow
+        |  FROM t CROSS JOIN d
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.epoch_day = d.epoch_day
+        |),
+        |b AS (
+        |  SELECT event_type, dow, quantile_cont(CAST(n AS DOUBLE), 0.5) AS baseline
+        |  FROM g GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT g.event_type, g.epoch_day, g.dow, g.n, b.baseline,
+        |         CAST(g.n AS DOUBLE) - b.baseline AS residual
+        |  FROM g JOIN b USING (event_type, dow)
+        |),
+        |m AS (SELECT event_type, quantile_cont(abs(residual), 0.5) AS mad0 FROM r GROUP BY 1)
+        |SELECT r.event_type, r.epoch_day, r.dow, r.n, r.baseline, r.residual, m.mad0,
+        |       (m.mad0 > 0 AND abs(r.residual) > 3.0 * 1.4826 * m.mad0) AS is_anomaly
+        |FROM r JOIN m USING (event_type)
+        |ORDER BY event_type, epoch_day""".stripMargin,
 
     "q176_robust_outliers" ->
       """WITH v AS (

@@ -404,4 +404,41 @@ object Timeseries {
         max(col("us")).as("last_us"))
       .withColumn("duration_us", col("last_us") - col("first_us"))
   }
+
+  /** Seasonality-adjusted ingest anomalies — the day-of-week-aware
+    * detector next to [[dailyAnomalies]]' global z-score and [[cusum]]'s
+    * shift test: a Sunday dip that happens EVERY Sunday is a pattern,
+    * not an incident, and a global baseline flags it weekly. Per
+    * (type, day) over [[gapFill]]'s zero-filled daily series: the
+    * day-of-week (0 = Sunday, epoch day 0 = Thursday), the per-(type,
+    * dow) MEDIAN baseline, the residual `n − baseline`, and
+    * `is_anomaly = |residual| > k·1.4826·MAD₀` with MAD₀ the per-type
+    * median of |residual| (residuals center near zero by construction —
+    * the STL-residual convention). Medians are `percentile` ≡
+    * `quantile_cont` interpolation (the q71/q176 parity) and the rest
+    * fixed IEEE trees — bit-identical across engines; a zero-MAD type
+    * (perfectly weekly-periodic) yields no finite threshold and FALSE
+    * flags.
+    *
+    * Scale: everything downstream of the one events scan is
+    * dimension-sized — (type × day) cells, (type × 7) baselines, and a
+    * types-sized MAD table, the last two broadcast back.
+    */
+  def seasonalResiduals(events: DataFrame, k: Double = 3.0): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val daily = gapFill(events)
+      .withColumn("dow", pmod(col("epoch_day") + 4L, lit(7L)))
+    val base = daily.groupBy(col("event_type"), col("dow"))
+      .agg(expr("percentile(n, 0.5)").as("baseline"))
+    val res = daily.join(broadcast(base), Seq("event_type", "dow"))
+      .withColumn("residual", col("n").cast("double") - col("baseline"))
+    val mad = res.groupBy(col("event_type"))
+      .agg(expr("percentile(abs(residual), 0.5)").as("mad0"))
+    res.join(broadcast(mad), Seq("event_type"))
+      .select(
+        col("event_type"), col("epoch_day"), col("dow"), col("n"),
+        col("baseline"), col("residual"), col("mad0"),
+        (col("mad0") > 0d &&
+          abs(col("residual")) > lit(k) * lit(1.4826) * col("mad0")).as("is_anomaly"))
+  }
 }

@@ -510,6 +510,43 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(k.isNullAt(k.fieldIndex("kappa_ppm")))
   }
 
+  test("seasonalResiduals: the weekly zero-day is a pattern, the one-off spike an anomaly") {
+    // 29 days from Monday 2024-01-01 (both endpoints observed — gapFill
+    // spans observed days only): Sundays always 0 events, weekdays base
+    // 3/4 with a +1 jitter on odd weeks, one 50-event spike on day 17
+    // (a Thursday). A global z-score would flag every Sunday; the
+    // per-dow median baseline absorbs them, leaving exactly the spike.
+    val start = java.time.LocalDate.of(2024, 1, 1)
+    var id = 0L
+    val rows = for {
+      d <- 0 until 29
+      base = Seq(0, 3, 4, 3, 4, 3, 4)((d + 1) % 7) // real dow, Sunday = 0
+      cnt = if (d == 17) 50 else if (base == 0) 0 else base + (d / 7) % 2
+      _ <- 0 until cnt
+    } yield { id += 1; (id, ts(s"${start.plusDays(d.toLong)} 10:00:00"), 1L, "a", 1.0, "{}") }
+    val out = Timeseries.seasonalResiduals(
+        rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .collect().map(r => r.getAs[Long]("epoch_day") -> r).toMap
+    assert(out.size === 29)
+    val d0 = out.keys.min
+    // dow mapping: 2024-01-01 is a Monday -> 1.
+    assert(out(d0).getAs[Long]("dow") === 1L)
+    // Sundays (d = 6, 13, 20, 27): baseline 0, residual 0, never anomalous.
+    for (w <- 0 until 4) {
+      val sunday = out(d0 + 6L + 7L * w)
+      assert(sunday.getAs[Long]("dow") === 0L)
+      assert(sunday.getAs[Double]("baseline") === 0.0)
+      assert(sunday.getAs[Double]("residual") === 0.0)
+      assert(!sunday.getAs[Boolean]("is_anomaly"))
+    }
+    // The spike day is the ONE anomaly: Thursday counts (4, 5, 50, 5)
+    // -> baseline 5, residual 45.
+    val flagged = out.values.filter(_.getAs[Boolean]("is_anomaly")).toSeq
+    assert(flagged.map(_.getAs[Long]("epoch_day")) === Seq(d0 + 17L))
+    assert(flagged.head.getAs[Double]("baseline") === 5.0)
+    assert(flagged.head.getAs[Double]("residual") === 45.0)
+  }
+
   test("robustOutliers: MAD flags what the inflated stddev masks; zero-MAD yields NULL z") {
     // Group a: 1..8 plus outliers 1000, 1001. med = 5.5, MAD = 2.5,
     // cutoff = 3·1.4826·2.5 = 11.1195 — both outliers flagged. The
