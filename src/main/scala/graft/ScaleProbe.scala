@@ -202,6 +202,16 @@ object ScaleProbe {
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$scaledDir/events.parquet")
 
+    // Lineitem replicates by basket: order keys shift per copy, items
+    // stay — 10× baskets over the same item vocabulary, which preserves
+    // basket sizes (the pair-expansion bound) while pair counts grow.
+    val li1 = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    li1.crossJoin(reps)
+      .select(
+        (col("l_orderkey") + col("k") * Shift).as("l_orderkey") +:
+          li1.columns.filter(_ != "l_orderkey").map(col): _*)
+      .write.mode("overwrite").parquet(s"$scaledDir/lineitem.parquet")
+
     // Effective input factors (document text grows ~30% from the tags —
     // exponents must use what was actually read, not the nominal 10).
     def docBytes(dir: String): Long = spark.read.parquet(s"$dir/documents.parquet")
@@ -283,7 +293,22 @@ object ScaleProbe {
       // type table, then the per-TYPE Viterbi broadcast join back to
       // tokens. Alpha must track the scan; a jump means the type table
       // or the join stopped behaving.
-      "q151_unigram_encode" -> byteFactor)
+      "q151_unigram_encode" -> byteFactor,
+      // r14 batch-2: Kneser-Ney held-out scoring — model tables bounded
+      // by observed bigram types, broadcast onto the probe stream;
+      // alpha must track the two token scans.
+      "q170_kneser_ney" -> byteFactor,
+      // Basket association rules: pair expansion bounded by basket
+      // sizes (preserved by the replica), aggregates on pair keys.
+      "q171_basket_pairs" -> rowFactor,
+      // SQ8: one min/max aggregate + one reconstruct/distance scan —
+      // pure per-row CPU, embeddings replicate by rows.
+      "q173_sq8_search" -> rowFactor,
+      // mu-law codec: narrow encode/decode per row, no shuffle at all.
+      "q174_mulaw_features" -> byteFactor,
+      // Margin sampling: labels-sized centroid aggregate + one scored
+      // scan + TakeOrdered — per-row CPU class.
+      "q177_margin_sampling" -> rowFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
@@ -430,6 +455,17 @@ object ScaleProbe {
     // Margin bitext mining persists its co-bucket candidate table;
     // embeddings replicate by rows.
     bracket("q155_bitext_mining", SparkEntry.queries("q155_bitext_mining"), rowFactor)
+    // r14 batch-2 internally-persisting operators. HyperBall and
+    // personalized PageRank materialize per-round state over the
+    // rare-shingle graph (edge structure replicates per copy →
+    // byteFactor, the q147/q154 argument); k-center persists its
+    // per-point min-distance state each greedy round (embeddings
+    // replicate by rows — cost is k corpus scans, so alpha should
+    // track the scan).
+    bracket("q172_hyperball", SparkEntry.queries("q172_hyperball"), byteFactor)
+    bracket("q175_kcenter", SparkEntry.queries("q175_kcenter"), rowFactor)
+    bracket("q178_personalized_pagerank",
+      SparkEntry.queries("q178_personalized_pagerank"), byteFactor)
 
     val fnFlag = SparkEntry.queries("q03_training_examples")
     val mf1 = measure(spark, fnFlag, sfDir)
