@@ -1713,6 +1713,60 @@ object SparkEntry {
 
     // Arbitrary GROUPING SETS + grouping() flags, through the SQL surface
     // (temp view + spark.sql — the engine's SQL API in the gate).
+    // Correlated scalar subquery + EXISTS + NOT EXISTS through the SQL
+    // surface — Catalyst's subquery decorrelation (rewrite to aggregate
+    // + join / semi / anti join) exercised end to end. The average is
+    // compared in exact integer cents (count x price > sum) so the
+    // predicate never rides a partition-order double fold.
+    "q180_correlated_subquery" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("orders_cs")
+      Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_cs")
+      s.sql(
+        """SELECT o.o_orderkey, o.o_orderpriority,
+          |       CAST(o.o_totalprice AS DOUBLE) AS price
+          |FROM orders_cs o
+          |WHERE CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) *
+          |        (SELECT COUNT(*) FROM orders_cs o2
+          |         WHERE o2.o_orderpriority = o.o_orderpriority) >
+          |      (SELECT SUM(CAST(ROUND(o3.o_totalprice * 100, 0) AS BIGINT))
+          |       FROM orders_cs o3
+          |       WHERE o3.o_orderpriority = o.o_orderpriority)
+          |  AND EXISTS (SELECT 1 FROM lineitem_cs l
+          |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_cs l
+          |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+          |ORDER BY o.o_orderkey""".stripMargin)
+    }),
+
+    // Multiset set operations: INTERSECT ALL / EXCEPT ALL keep
+    // multiplicities (the bag semantics q32's DISTINCT variants drop) —
+    // a part returned twice and filed once survives EXCEPT ALL once.
+    "q181_set_ops_all" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val a = li.filter(col("l_returnflag") === "R").select(col("l_partkey"))
+      val b = li.filter(col("l_linestatus") === "F").select(col("l_partkey"))
+      a.intersectAll(b).select(lit("i").as("op"), col("l_partkey"))
+        .unionByName(a.exceptAll(b).select(lit("e").as("op"), col("l_partkey")))
+        .orderBy("op", "l_partkey")
+    }),
+
+    // Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // MATCH each other instead of vanishing — the semantics an ordinary
+    // equi-join cannot express without COALESCE sentinels.
+    "q182_null_safe_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      def side(m: Int, cnt: String) = ev
+        .filter(pmod(col("event_id"), lit(2L)) === m.toLong)
+        .withColumn("k", when(col("event_type") === "click", lit(null).cast("string"))
+          .otherwise(col("event_type")))
+        .groupBy(col("k")).agg(count(lit(1)).as(cnt))
+      val a = side(0, "n_even").withColumnRenamed("k", "ka")
+      val b = side(1, "n_odd").withColumnRenamed("k", "kb")
+      a.join(b, col("ka") <=> col("kb"))
+        .select(coalesce(col("ka"), lit("<null>")).as("k"), col("n_even"), col("n_odd"))
+        .orderBy("k")
+    }),
+
     "q50_grouping_sets" -> ((s, dir) => {
       Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
       s.sql(
@@ -3371,6 +3425,45 @@ object SparkEntry {
         |SELECT v.grp, v.id, v.x, LEAST(GREATEST(v.x, c.p_lo), c.p_hi) AS x_clipped
         |FROM v JOIN c USING (grp)
         |ORDER BY grp, id""".stripMargin,
+
+    "q180_correlated_subquery" ->
+      """SELECT o.o_orderkey, o.o_orderpriority,
+        |       CAST(o.o_totalprice AS DOUBLE) AS price
+        |FROM orders o
+        |WHERE CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) *
+        |        (SELECT COUNT(*) FROM orders o2
+        |         WHERE o2.o_orderpriority = o.o_orderpriority) >
+        |      (SELECT SUM(CAST(ROUND(o3.o_totalprice * 100, 0) AS BIGINT))
+        |       FROM orders o3
+        |       WHERE o3.o_orderpriority = o.o_orderpriority)
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |                  WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.09)
+        |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q181_set_ops_all" ->
+      """WITH a AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'),
+        |b AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F')
+        |SELECT 'i' AS op, l_partkey FROM (SELECT l_partkey FROM a INTERSECT ALL SELECT l_partkey FROM b)
+        |UNION ALL
+        |SELECT 'e' AS op, l_partkey FROM (SELECT l_partkey FROM a EXCEPT ALL SELECT l_partkey FROM b)
+        |ORDER BY op, l_partkey""".stripMargin,
+
+    "q182_null_safe_join" ->
+      """WITH a AS (
+        |  SELECT CASE WHEN event_type = 'click' THEN NULL ELSE event_type END AS k,
+        |         CAST(COUNT(*) AS BIGINT) AS n_even
+        |  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+        |),
+        |b AS (
+        |  SELECT CASE WHEN event_type = 'click' THEN NULL ELSE event_type END AS k,
+        |         CAST(COUNT(*) AS BIGINT) AS n_odd
+        |  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+        |)
+        |SELECT COALESCE(a.k, '<null>') AS k, a.n_even, b.n_odd
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k""".stripMargin,
 
     "q179_seasonal_residuals" ->
       """WITH c AS (
