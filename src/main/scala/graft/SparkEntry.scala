@@ -1200,6 +1200,14 @@ object SparkEntry {
           Tables.lineitem(s, dir), col("l_orderkey"), col("l_partkey"))
         .orderBy("item_a", "item_b")),
 
+    // A-priori frequent triples over order carts: the level-3 cascade
+    // (pair instances pruned by the frequent-pair set before tripling);
+    // the brute-force oracle proves the prune lossless.
+    "q183_basket_triples" -> ((s, dir) =>
+      Association.frequentItemTriples(
+          Tables.lineitem(s, dir), col("l_orderkey"), col("l_partkey"))
+        .orderBy("item_a", "item_b", "item_c")),
+
     // Interpolated Kneser-Ney bigram scoring over the same held-out
     // split as q160 — the accuracy-standard smoothing next to Stupid
     // Backoff: D = 3/4 discount + continuation-probability
@@ -3153,6 +3161,32 @@ object SparkEntry {
         |JOIN ic cb ON cb.i = p.item_b
         |CROSS JOIN nb
         |ORDER BY item_a, item_b""".stripMargin,
+
+    "q183_basket_triples" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+        |           WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_baskets FROM b),
+        |p AS (
+        |  SELECT x.i AS a, y.i AS b2, CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM b x JOIN b y ON x.o = y.o AND x.i < y.i
+        |  GROUP BY 1, 2
+        |),
+        |t AS (
+        |  SELECT x.i AS item_a, y.i AS item_b, z.i AS item_c,
+        |         CAST(COUNT(*) AS BIGINT) AS n_abc
+        |  FROM b x
+        |  JOIN b y ON x.o = y.o AND x.i < y.i
+        |  JOIN b z ON y.o = z.o AND y.i < z.i
+        |  GROUP BY 1, 2, 3
+        |  HAVING COUNT(*) >= 2
+        |)
+        |SELECT t.item_a, t.item_b, t.item_c, t.n_abc, p.n_ab,
+        |       (1000000 * t.n_abc) // nb.n_baskets AS support_ppm,
+        |       (1000000 * t.n_abc) // p.n_ab AS conf_ab_c_ppm
+        |FROM t
+        |JOIN p ON p.a = t.item_a AND p.b2 = t.item_b
+        |CROSS JOIN nb
+        |ORDER BY item_a, item_b, item_c""".stripMargin,
 
     "q170_kneser_ney" ->
       """WITH t AS (

@@ -73,4 +73,66 @@ object Association {
       .withColumn("lift_ppm", expr("(_lift_num div _lift_den)"))
       .drop("_lift_num", "_lift_den")
   }
+
+  /** Frequent item TRIPLES via the a-priori candidate cascade (Agrawal &
+    * Srikant 1994's level-wise prune, expressed relationally): a triple
+    * can only reach `minCount` if all three of its pairs do, so the
+    * in-basket pair expansion is FILTERED against the frequent-pair set
+    * before it ever triples — the pruning that keeps level-3 mining
+    * affordable where a naive s³ expansion of every basket is not.
+    * The oracle is the BRUTE-FORCE all-triples count, so the hash match
+    * PROVES the cascade lossless (the q139 prefix-filter argument at
+    * the itemset level). Output per surviving `(a < b < c)` triple:
+    * the triple count, the `(a,b)` pair count, exact-ppm support, and
+    * `conf_ab_c_ppm = ⌊10⁶·n_abc/n_ab⌋` — the "customers with a,b also
+    * took c" rule confidence.
+    *
+    * Scale: distinct per basket, pair instances semi-joined against the
+    * frequent-pair table (aggregate-sized, shuffle equi-join — never
+    * broadcast-limited), the third item joins on the basket key and
+    * prunes through the (a,c) and (b,c) semi-joins before the final
+    * pair-keyed aggregate. Expansion is bounded by Σ_b fs_b²·s_b with
+    * fs the FREQUENT items per basket — the a-priori win.
+    */
+  def frequentItemTriples(
+      transactions: DataFrame,
+      basket: Column,
+      item: Column,
+      minCount: Int = 2): DataFrame = {
+    require(minCount >= 1, s"minCount=$minCount must be >= 1")
+    val b = transactions
+      .select(basket.cast("long").as("o"), item.cast("long").as("i"))
+      .filter(col("o").isNotNull && col("i").isNotNull)
+      .distinct()
+    val nBaskets = b.agg(count_distinct(col("o")).as("n_baskets"))
+    val pairInBasket = b.select(col("o"), col("i").as("a"))
+      .join(b.select(col("o"), col("i").as("bb")), Seq("o"))
+      .filter(col("a") < col("bb"))
+    val pf = pairInBasket
+      .groupBy(col("a"), col("bb"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount.toLong)
+    val frequentPairInstances = pairInBasket
+      .join(pf.select(col("a"), col("bb")), Seq("a", "bb"), "left_semi")
+    frequentPairInstances
+      .join(b.select(col("o"), col("i").as("c")), Seq("o"))
+      .filter(col("bb") < col("c"))
+      .join(
+        pf.select(col("a"), col("bb").as("c")).select(col("a"), col("c")),
+        Seq("a", "c"), "left_semi")
+      .join(
+        pf.select(col("a").as("bb"), col("bb").as("c")).select(col("bb"), col("c")),
+        Seq("bb", "c"), "left_semi")
+      .groupBy(col("a").as("item_a"), col("bb").as("item_b"), col("c").as("item_c"))
+      .agg(count(lit(1)).as("n_abc"))
+      .filter(col("n_abc") >= minCount.toLong)
+      .join(
+        pf.select(col("a").as("item_a"), col("bb").as("item_b"), col("n_ab")),
+        Seq("item_a", "item_b"))
+      .crossJoin(broadcast(nBaskets))
+      .select(
+        col("item_a"), col("item_b"), col("item_c"), col("n_abc"), col("n_ab"),
+        expr("(1000000 * n_abc) div n_baskets").as("support_ppm"),
+        expr("(1000000 * n_abc) div n_ab").as("conf_ab_c_ppm"))
+  }
 }

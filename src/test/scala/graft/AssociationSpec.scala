@@ -42,4 +42,27 @@ class AssociationSpec extends SparkSpec {
     assert(out((1L, 3L)).getAs[Long]("conf_ab_ppm") === 333333L)
     assert(out((1L, 3L)).getAs[Long]("conf_ba_ppm") === 500000L)
   }
+
+  test("frequentItemTriples: a-priori cascade finds exactly the brute-force triples") {
+    // Baskets: o1{1,2,3} o2{1,2,3} o3{1,2} o4{3,4} o5{1,4}.
+    // Frequent pairs (>=2): (1,2)x3 (1,3)x2 (2,3)x2. Only triple
+    // reaching 2: (1,2,3) in o1,o2 — support ⌊2e6/5⌋, conf(1,2 -> 3) =
+    // ⌊2e6/3⌋. The (3,4)/(1,4) pairs are infrequent, so 4 never triples.
+    val tx = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L), (2L, 3L),
+      (3L, 1L), (3L, 2L),
+      (4L, 3L), (4L, 4L),
+      (5L, 1L), (5L, 4L))
+      .toDF("o", "i")
+    val out = Association.frequentItemTriples(tx, col("o"), col("i")).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getAs[Long]("item_a"), r.getAs[Long]("item_b"), r.getAs[Long]("item_c"))
+      === ((1L, 2L, 3L)))
+    assert(r.getAs[Long]("n_abc") === 2L)
+    assert(r.getAs[Long]("n_ab") === 3L)
+    assert(r.getAs[Long]("support_ppm") === 400000L)
+    assert(r.getAs[Long]("conf_ab_c_ppm") === 666666L)
+  }
 }
