@@ -567,6 +567,15 @@ object SparkEntry {
       Timeseries.dailyAnomalies(Tables.events(s, dir))
         .orderBy("event_type", "epoch_day")),
 
+    // Per-type ingest trend: OLS slope/intercept/r2 of daily counts vs
+    // day, from exact DECIMAL sufficient statistics — the trend leg of
+    // the stats family (moments, correlation, regression).
+    "q184_group_regression" -> ((s, dir) =>
+      Stats.groupLinearRegression(
+        Timeseries.gapFill(Tables.events(s, dir)),
+        col("event_type"), col("epoch_day"), col("n"))
+        .orderBy("grp")),
+
     // Seasonality-adjusted anomalies: per-(type, day-of-week) median
     // baselines + robust MAD threshold on the residuals — the weekly
     // dip that happens EVERY week is a pattern, not an incident.
@@ -3498,6 +3507,56 @@ object SparkEntry {
         |SELECT COALESCE(a.k, '<null>') AS k, a.n_even, b.n_odd
         |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
         |ORDER BY k""".stripMargin,
+
+    "q184_group_regression" ->
+      """WITH c AS (
+        |  SELECT event_type,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+        |         COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |s AS (SELECT MIN(epoch_day) AS lo, MAX(epoch_day) AS hi FROM c),
+        |d AS (SELECT CAST(unnest(range(lo, hi + 1)) AS BIGINT) AS epoch_day FROM s),
+        |t AS (SELECT DISTINCT event_type FROM c),
+        |g AS (
+        |  SELECT t.event_type, d.epoch_day AS x, CAST(COALESCE(c.n, 0) AS BIGINT) AS y
+        |  FROM t CROSS JOIN d
+        |  LEFT JOIN c ON c.event_type = t.event_type AND c.epoch_day = d.epoch_day
+        |),
+        |a AS (
+        |  SELECT event_type AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |         CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |         CAST(SUM(CAST(x AS HUGEINT) * x) AS HUGEINT) AS sxx,
+        |         CAST(SUM(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy,
+        |         CAST(SUM(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        |  FROM g GROUP BY 1
+        |),
+        |f AS (
+        |  SELECT grp, n,
+        |         n * sxy - sx * sy AS cov_num,
+        |         n * sxx - sx * sx AS varx_num,
+        |         n * syy - sy * sy AS vary_num,
+        |         sx, sy
+        |  FROM a
+        |),
+        |o AS (
+        |  SELECT grp, n,
+        |         CASE WHEN varx_num > 0
+        |              THEN CAST(cov_num AS DOUBLE) / CAST(varx_num AS DOUBLE) END AS slope,
+        |         CASE WHEN varx_num > 0 AND vary_num > 0
+        |              THEN CAST(cov_num AS DOUBLE) /
+        |                   (sqrt(CAST(varx_num AS DOUBLE)) * sqrt(CAST(vary_num AS DOUBLE)))
+        |         END AS r,
+        |         sx, sy
+        |  FROM f
+        |)
+        |SELECT grp, n, slope,
+        |       CASE WHEN slope IS NOT NULL
+        |            THEN (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)
+        |       END AS intercept,
+        |       r * r AS r2
+        |FROM o ORDER BY grp""".stripMargin,
 
     "q179_seasonal_residuals" ->
       """WITH c AS (

@@ -89,6 +89,64 @@ object Stats {
         .as("corr"))
   }
 
+  /** Per-group simple linear regression (OLS y = a + b·x) from the exact
+    * joint sufficient statistics — the TREND operator completing
+    * [[exactMoments]] (location/spread) and [[exactCorrelation]]
+    * (association): is ingest volume growing, is quality drifting DOWN
+    * over time, at what exact rate? All sums are DECIMAL(38,0)
+    * (HUGEINT-width, wrap-proof), and each output is a fixed IEEE tree
+    * over those exact integers:
+    * {{{
+    *   slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)     (one division)
+    *   intercept = (Σy − slope·Σx) / n
+    *   r²        = r·r with r from exactCorrelation's closed form
+    * }}}
+    * Zero x-variance (a single distinct x) yields NULL slope/intercept/
+    * r²; zero y-variance yields slope 0 with NULL r² — surfaced the
+    * same way in both engines.
+    *
+    * Scale: one map-side-combined aggregate, counter-sized state per
+    * group — nothing past the partial aggregates is row-sized.
+    */
+  def groupLinearRegression(df: DataFrame, group: Column, x: Column, y: Column): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 0)
+    val agg = df
+      .select(
+        group.as("grp"),
+        x.cast("long").cast(dec).as("x"),
+        y.cast("long").cast(dec).as("y"))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+    val nDec = col("n").cast(dec)
+    val covNum = nDec * col("sxy") - col("sx") * col("sy")
+    val varXNum = nDec * col("sxx") - col("sx") * col("sx")
+    val varYNum = nDec * col("syy") - col("sy") * col("sy")
+    agg
+      .withColumn(
+        "slope",
+        when(varXNum > lit(0).cast(dec), covNum.cast("double") / varXNum.cast("double")))
+      .withColumn(
+        "intercept",
+        when(
+          col("slope").isNotNull,
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+            col("n").cast("double")))
+      .withColumn(
+        "r2",
+        when(varXNum > lit(0).cast(dec) && varYNum > lit(0).cast(dec), {
+          val r = covNum.cast("double") /
+            (sqrt(varXNum.cast("double")) * sqrt(varYNum.cast("double")))
+          r * r
+        }))
+      .select(col("grp"), col("n"), col("slope"), col("intercept"), col("r2"))
+  }
+
   /** Per-group winsorization: clip an (exactly double-castable) measure to
     * its group's [`lo`, `hi`] quantiles — the standard outlier-taming pass
     * before scale-sensitive statistics. Spark's `percentile` and DuckDB's

@@ -510,6 +510,36 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(k.isNullAt(k.fieldIndex("kappa_ppm")))
   }
 
+  test("groupLinearRegression: exact closed-form OLS; degenerate variances go NULL") {
+    // g1: y = 1 + 2x exactly -> slope 2, intercept 1, r2 = 1.
+    // g2: noisy line y = (0,2,1,3) on x = 0..3 -> slope 0.8 exactly
+    //   (cov_num = 4*14-6*6 = 20... by hand: sxy=0+2+2+9=13? recompute
+    //   in-test instead of in-comment).
+    // g3: single distinct x -> NULL slope; g4: constant y -> slope 0, NULL r2.
+    val rows = Seq(
+      ("g1", 0L, 1L), ("g1", 1L, 3L), ("g1", 2L, 5L), ("g1", 3L, 7L),
+      ("g2", 0L, 0L), ("g2", 1L, 2L), ("g2", 2L, 1L), ("g2", 3L, 3L),
+      ("g3", 5L, 1L), ("g3", 5L, 9L),
+      ("g4", 0L, 4L), ("g4", 1L, 4L), ("g4", 2L, 4L))
+    val out = Stats.groupLinearRegression(
+        rows.toDF("g", "x", "y"), col("g"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("g1").getAs[Double]("slope") === 2.0)
+    assert(out("g1").getAs[Double]("intercept") === 1.0)
+    // r2 rides two sqrts: a perfect line lands within one ulp-cluster of 1.
+    assert(math.abs(out("g1").getAs[Double]("r2") - 1.0) < 1e-12)
+    // g2 closed form: n=4, sx=6, sy=6, sxx=14, sxy=0+2+2+9=13.
+    // cov = 4·13−36 = 16; varx = 4·14−36 = 20 -> slope 0.8;
+    // intercept = (6 − 0.8·6)/4 = 0.3; vary = 4·14−36 = 20 -> r2 = 16²/400 = 0.64.
+    assert(out("g2").getAs[Double]("slope") === 0.8)
+    assert(math.abs(out("g2").getAs[Double]("intercept") - 0.3) < 1e-12)
+    assert(math.abs(out("g2").getAs[Double]("r2") - 0.64) < 1e-12)
+    assert(out("g3").isNullAt(out("g3").fieldIndex("slope")))
+    assert(out("g3").isNullAt(out("g3").fieldIndex("r2")))
+    assert(out("g4").getAs[Double]("slope") === 0.0)
+    assert(out("g4").isNullAt(out("g4").fieldIndex("r2")))
+  }
+
   test("seasonalResiduals: the weekly zero-day is a pattern, the one-off spike an anomaly") {
     // 29 days from Monday 2024-01-01 (both endpoints observed — gapFill
     // spans observed days only): Sundays always 0 events, weekdays base
