@@ -567,6 +567,15 @@ object SparkEntry {
       Timeseries.dailyAnomalies(Tables.events(s, dir))
         .orderBy("event_type", "epoch_day")),
 
+    // Per-source Gini of document lengths: the inequality summary a
+    // mixing recipe checks before trusting per-source averages; ranks
+    // via the distributed range-partition prefix count, never a global
+    // sort.
+    "q185_gini" -> ((s, dir) =>
+      Stats.giniCoefficient(
+        Tables.documents(s, dir), col("source"), col("n_chars"))
+        .orderBy("grp")),
+
     // Per-type ingest trend: OLS slope/intercept/r2 of daily counts vs
     // day, from exact DECIMAL sufficient statistics — the trend leg of
     // the stats family (moments, correlation, regression).
@@ -3507,6 +3516,25 @@ object SparkEntry {
         |SELECT COALESCE(a.k, '<null>') AS k, a.n_even, b.n_odd
         |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
         |ORDER BY k""".stripMargin,
+
+    "q185_gini" ->
+      """WITH r AS (
+        |  SELECT source AS grp, CAST(n_chars AS BIGINT) AS x,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars) AS BIGINT) AS rnk
+        |  FROM documents
+        |),
+        |a AS (
+        |  SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS s,
+        |         CAST(SUM(CAST(rnk AS HUGEINT) * x) AS HUGEINT) AS a
+        |  FROM r GROUP BY grp
+        |)
+        |SELECT grp, n, CAST(s AS BIGINT) AS sum_x,
+        |       CASE WHEN s > 0
+        |            THEN CAST(2 * a - (n + 1) * s AS DOUBLE) /
+        |                 CAST(CAST(n AS HUGEINT) * s AS DOUBLE)
+        |       END AS gini
+        |FROM a ORDER BY grp""".stripMargin,
 
     "q184_group_regression" ->
       """WITH c AS (

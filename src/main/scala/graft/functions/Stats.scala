@@ -147,6 +147,58 @@ object Stats {
       .select(col("grp"), col("n"), col("slope"), col("intercept"), col("r2"))
   }
 
+  /** Per-group Gini coefficient — the inequality summary ("is 1% of the
+    * domains contributing 90% of the tokens?") a mixing recipe checks
+    * before trusting per-source averages. Over nonnegative measures
+    * `x_(1) ≤ … ≤ x_(n)` the closed form is one exact rational:
+    * `G = [2·Σ i·x_(i) − (n+1)·Σx] / (n·Σx)` — numerator and
+    * denominator are exact DECIMAL(38,0) integers (Σ i·x is invariant
+    * under tie orderings, so the rank's tie-break never matters), and
+    * the output is ONE IEEE division. All-zero groups yield NULL.
+    *
+    * Scale: the global per-group sort is the textbook anti-pattern, so
+    * ranks come from the distributed range-partition prefix-count
+    * (`Curation.tokenBudgetSelect`'s skeleton): range-partition by
+    * (grp, x), per-(grp, partition) COUNTS make a partitions×groups-
+    * sized offset table whose prefix window never touches the data, and
+    * the within-partition rank window runs per (grp, partition) — no
+    * single-task global window at any size.
+    */
+  def giniCoefficient(
+      df: DataFrame,
+      group: Column,
+      x: Column,
+      numPartitions: Int = 32): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions=$numPartitions must be >= 1")
+    val dec = DataTypes.createDecimalType(38, 0)
+    val t = df.select(group.as("grp"), x.cast("long").as("x"))
+      .repartitionByRange(numPartitions, col("grp"), col("x"))
+      .withColumn("_pid", spark_partition_id())
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("grp"), col("_pid")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .select(col("grp"), col("_pid"), col("_off"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp"), col("_pid")).orderBy(col("x"))
+    t.join(broadcast(offsets), Seq("grp", "_pid"))
+      .withColumn("rnk", col("_off") + row_number().over(wRank))
+      .groupBy(col("grp"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("x").cast(dec)).as("s"),
+        sum(col("rnk").cast(dec) * col("x").cast(dec)).as("a"))
+      .select(
+        col("grp"), col("n"),
+        col("s").cast("long").as("sum_x"),
+        when(
+          col("s") > lit(0).cast(dec),
+          (lit(2).cast(dec) * col("a") -
+            (col("n") + 1L).cast(dec) * col("s")).cast("double") /
+            (col("n").cast(dec) * col("s")).cast("double")).as("gini"))
+  }
+
   /** Per-group winsorization: clip an (exactly double-castable) measure to
     * its group's [`lo`, `hi`] quantiles — the standard outlier-taming pass
     * before scale-sensitive statistics. Spark's `percentile` and DuckDB's

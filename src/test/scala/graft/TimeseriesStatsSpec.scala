@@ -510,6 +510,29 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(k.isNullAt(k.fieldIndex("kappa_ppm")))
   }
 
+  test("giniCoefficient: closed-form anchors, partitioning invariance, all-zero NULL") {
+    // eq: all equal -> 0. max: one holder of everything -> (n-1)/n = 0.75.
+    // lin: 1,2,3,4 -> [2·30 − 5·10]/[4·10] = 0.25. z: all zero -> NULL.
+    val rows = Seq("eq" -> 5L, "eq" -> 5L, "eq" -> 5L, "eq" -> 5L) ++
+      Seq("mx" -> 0L, "mx" -> 0L, "mx" -> 0L, "mx" -> 10L) ++
+      Seq("ln" -> 1L, "ln" -> 2L, "ln" -> 3L, "ln" -> 4L) ++
+      Seq("z" -> 0L, "z" -> 0L)
+    val df = rows.toDF("g", "x")
+    val out = Stats.giniCoefficient(df, col("g"), col("x")).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("eq").getAs[Double]("gini") === 0.0)
+    assert(out("mx").getAs[Double]("gini") === 0.75)
+    assert(out("ln").getAs[Double]("gini") === 0.25)
+    assert(out("ln").getAs[Long]("sum_x") === 10L)
+    assert(out("z").isNullAt(out("z").fieldIndex("gini")))
+    // The distributed rank must not depend on the partition count.
+    val one = Stats.giniCoefficient(df, col("g"), col("x"), numPartitions = 1)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Any]("gini")).toMap
+    val seven = Stats.giniCoefficient(df, col("g"), col("x"), numPartitions = 7)
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Any]("gini")).toMap
+    assert(one === seven)
+  }
+
   test("groupLinearRegression: exact closed-form OLS; degenerate variances go NULL") {
     // g1: y = 1 + 2x exactly -> slope 2, intercept 1, r2 = 1.
     // g2: noisy line y = (0,2,1,3) on x = 0..3 -> slope 0.8 exactly
