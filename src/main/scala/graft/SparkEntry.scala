@@ -567,6 +567,23 @@ object SparkEntry {
       Timeseries.dailyAnomalies(Tables.events(s, dir))
         .orderBy("event_type", "epoch_day")),
 
+    // Incremental aggregate maintenance (IVM): a per-source (count,
+    // chars) dashboard updated from an insert/delete change feed — one
+    // delta aggregate + one state join, the corpus read zero times; the
+    // oracle recomputes from scratch, so the hash match proves
+    // delta-merge = full recompute.
+    "q186_maintain_aggregate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val base = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+      val state = base.groupBy(col("source").as("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_x"))
+      val changes = docs.filter(pmod(col("doc_id"), lit(7L)) === 0L)
+        .select(col("source").as("grp"), col("n_chars").as("x"), lit("insert").as("op"))
+        .unionByName(base.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+          .select(col("source").as("grp"), col("n_chars").as("x"), lit("delete").as("op")))
+      Curation.maintainAggregate(state, changes).orderBy("grp")
+    }),
+
     // Per-source Gini of document lengths: the inequality summary a
     // mixing recipe checks before trusting per-source averages; ranks
     // via the distributed range-partition prefix count, never a global
@@ -3516,6 +3533,14 @@ object SparkEntry {
         |SELECT COALESCE(a.k, '<null>') AS k, a.n_even, b.n_odd
         |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
         |ORDER BY k""".stripMargin,
+
+    "q186_maintain_aggregate" ->
+      """SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |       CAST(SUM(n_chars) AS BIGINT) AS sum_x
+        |FROM documents
+        |WHERE doc_id % 7 = 0 OR doc_id % 3 <> 0
+        |GROUP BY source
+        |ORDER BY grp""".stripMargin,
 
     "q185_gini" ->
       """WITH r AS (

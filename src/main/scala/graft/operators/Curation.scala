@@ -994,6 +994,40 @@ object Curation {
     * worth — pass `deltaBounded = true`) plus a union; the snapshot is
     * never re-digested and never shuffles beyond the anti-join.
     */
+  /** Incremental VIEW maintenance for per-key count/sum aggregates — the
+    * delta-merge that keeps a corpus dashboard current without
+    * re-aggregating the corpus: `applyChanges` maintains the ROWS of a
+    * snapshot, this maintains an AGGREGATE over them. `state` is the
+    * maintained table `(grp, n, sum_x)`; `changes` is a feed
+    * `(grp, x, op)` with op ∈ {insert, delete}; the merge is
+    * `n' = n + Σ±1, sum' = sum + Σ±x` per group — count/sum are
+    * self-inverse under deletion (the classic IVM property min/max do
+    * NOT have), so the result equals a full recompute over the changed
+    * corpus, which is exactly what the oracle checks. Groups whose
+    * count reaches zero vanish (a full recompute would not emit them);
+    * a count driven NEGATIVE (deleting rows that were never inserted)
+    * is kept and visible rather than clamped — feed integrity is the
+    * caller's contract and a silent clamp would hide the violation.
+    *
+    * Scale: ONE delta-sized aggregate + one key equi-join against the
+    * state table — work proportional to state + delta, never to the
+    * raw corpus the state summarizes. That is the IVM win: the corpus
+    * is read zero times.
+    */
+  def maintainAggregate(state: DataFrame, changes: DataFrame): DataFrame = {
+    val sign = when(col("op") === "insert", 1L).otherwise(-1L)
+    val d = changes
+      .select(col("grp"), sign.as("dsign"), col("x").cast("long").as("x"))
+      .groupBy(col("grp"))
+      .agg(sum(col("dsign")).as("dn"), sum(col("dsign") * col("x")).as("dx"))
+    state.join(d, Seq("grp"), "full_outer")
+      .select(
+        col("grp"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("sum_x"), lit(0L)) + coalesce(col("dx"), lit(0L))).as("sum_x"))
+      .filter(col("n") =!= 0L)
+  }
+
   def applyChanges(
       prev: DataFrame,
       delta: DataFrame,

@@ -632,4 +632,24 @@ class CurationSpec extends SparkSpec {
     assert(out("g4").getAs[Long]("l_diversity") === 0L)
     assert(out("g4").getAs[Boolean]("at_risk"), "all-NULL sensitive is homogeneous")
   }
+
+  test("maintainAggregate: delta merge equals recompute; zero groups vanish, negatives stay visible") {
+    // State a:(2,10) c:(1,4). Changes: a gains 5 and loses 3 -> (2,12);
+    // b is born -> (1,7); c deletes to zero -> VANISHES; d deletes what
+    // was never inserted -> (-1,-9) kept visible, not clamped.
+    val state = Seq(("a", 2L, 10L), ("c", 1L, 4L)).toDF("grp", "n", "sum_x")
+    val changes = Seq(
+      ("a", 5L, "insert"), ("a", 3L, "delete"),
+      ("b", 7L, "insert"),
+      ("c", 4L, "delete"),
+      ("d", 9L, "delete"))
+      .toDF("grp", "x", "op")
+    val out = Curation.maintainAggregate(state, changes).collect()
+      .map(r => r.getAs[String]("grp") -> (r.getAs[Long]("n"), r.getAs[Long]("sum_x"))).toMap
+    assert(out === Map("a" -> ((2L, 12L)), "b" -> ((1L, 7L)), "d" -> ((-1L, -9L))))
+    // Untouched groups pass through unchanged.
+    val quiet = Curation.maintainAggregate(state, Seq(("b", 1L, "insert")).toDF("grp", "x", "op"))
+      .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("n")).toMap
+    assert(quiet === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
+  }
 }
