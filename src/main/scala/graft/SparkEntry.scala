@@ -567,6 +567,15 @@ object SparkEntry {
       Timeseries.dailyAnomalies(Tables.events(s, dir))
         .orderBy("event_type", "epoch_day")),
 
+    // Z-order (Morton) layout audit: rows bucketed into equal-count
+    // files in interleaved-bit order, per-file min/max bounding boxes on
+    // BOTH dimensions — the data-skipping statistics a scan prunes
+    // against; tight two-axis boxes are the OPTIMIZE ZORDER win.
+    "q187_zorder_layout" -> ((s, dir) =>
+      graft.sources.Sinks.zOrderLayoutStats(
+        Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
+        .orderBy("bucket")),
+
     // Incremental aggregate maintenance (IVM): a per-source (count,
     // chars) dashboard updated from an insert/delete change feed — one
     // delta aggregate + one state join, the corpus read zero times; the
@@ -3533,6 +3542,26 @@ object SparkEntry {
         |SELECT COALESCE(a.k, '<null>') AS k, a.n_even, b.n_odd
         |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
         |ORDER BY k""".stripMargin,
+
+    "q187_zorder_layout" ->
+      """WITH t AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS zx, CAST(l_suppkey AS BIGINT) AS zy,
+        |         CAST(list_sum(list_transform(range(0, 21), i ->
+        |           (((CAST(l_partkey AS BIGINT) >> i) & 1) << (2 * i))
+        |           + (((CAST(l_suppkey AS BIGINT) >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS zv
+        |  FROM lineitem
+        |),
+        |r AS (
+        |  SELECT zx, zy,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY zv, zx, zy) AS BIGINT) AS rnk,
+        |         CAST(COUNT(*) OVER () AS BIGINT) AS total
+        |  FROM t
+        |)
+        |SELECT CAST(((rnk - 1) * 32) // total AS INT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(zx) AS min_x, MAX(zx) AS max_x,
+        |       MIN(zy) AS min_y, MAX(zy) AS max_y
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q186_maintain_aggregate" ->
       """SELECT source AS grp, CAST(COUNT(*) AS BIGINT) AS n,

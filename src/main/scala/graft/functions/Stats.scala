@@ -157,12 +157,17 @@ object Stats {
     * the output is ONE IEEE division. All-zero groups yield NULL.
     *
     * Scale: the global per-group sort is the textbook anti-pattern, so
-    * ranks come from the distributed range-partition prefix-count
-    * (`Curation.tokenBudgetSelect`'s skeleton): range-partition by
-    * (grp, x), per-(grp, partition) COUNTS make a partitions×groups-
-    * sized offset table whose prefix window never touches the data, and
-    * the within-partition rank window runs per (grp, partition) — no
-    * single-task global window at any size.
+    * ranks come from a distributed prefix-count over EXPLICIT value
+    * buckets: one bounded approx_percentile pass collects ≤
+    * `numPartitions − 1` boundary values (a driver literal — boundary
+    * QUALITY only balances partitions, never correctness), `_pid`
+    * becomes a pure row function (count of boundaries ≤ x), and the
+    * per-(grp, bucket) COUNT table turns into offsets with a window
+    * that never touches the data. Deliberately NOT the
+    * `spark_partition_id()`-after-repartitionByRange idiom: that makes
+    * rank consistency depend on both subtrees reusing ONE sampled
+    * exchange, and a resampled second exchange silently corrupts every
+    * rank.
     */
   def giniCoefficient(
       df: DataFrame,
@@ -171,9 +176,16 @@ object Stats {
       numPartitions: Int = 32): DataFrame = {
     require(numPartitions >= 1, s"numPartitions=$numPartitions must be >= 1")
     val dec = DataTypes.createDecimalType(38, 0)
-    val t = df.select(group.as("grp"), x.cast("long").as("x"))
-      .repartitionByRange(numPartitions, col("grp"), col("x"))
-      .withColumn("_pid", spark_partition_id())
+    val v = df.select(group.as("grp"), x.cast("long").as("x"))
+    val qs = (1 until numPartitions).map(i => i.toDouble / numPartitions)
+    val bounds: Seq[Long] =
+      if (qs.isEmpty) Seq.empty
+      else v.agg(expr(s"approx_percentile(x, array(${qs.mkString(", ")}), 10000)"))
+        .collect()(0).getSeq[Long](0)
+    val pid =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedLit(bounds), b => col("x") >= b))
+    val t = v.withColumn("_pid", pid)
     val wOff = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("_pid"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)

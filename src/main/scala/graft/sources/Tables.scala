@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
@@ -233,6 +233,75 @@ object Sinks {
       .sortBy(bucketCol)
       .format("parquet")
       .saveAsTable(table)
+
+  /** Morton / Z-order interleave of two nonnegative 21-bit dimensions —
+    * the multi-dimensional clustering key behind Delta/Iceberg
+    * `OPTIMIZE ZORDER`: sorting by the interleaved bits keeps rows close
+    * in BOTH dimensions close on disk, so per-file min/max statistics
+    * prune on x AND y where a lexicographic sort prunes on x only.
+    * Pure codegen'd integer expression (21 bit pairs → a 42-bit key);
+    * takes column NAMES (long-typed) — the interleave is generated as
+    * SQL text.
+    */
+  def zValue(x: String, y: String): Column =
+    expr(
+      "aggregate(sequence(0, 20), CAST(0 AS BIGINT), (acc, i) -> " +
+        s"acc + (((`$x` >> i) & 1) << (2 * i)) " +
+        s"+ (((`$y` >> i) & 1) << (2 * i + 1)))")
+
+  /** The data-skipping audit for a Z-order layout: assign each row to
+    * one of `numBuckets` equal-count files in Z-value order and report
+    * every file's row count and min/max bounding box on BOTH
+    * dimensions — exactly the per-file statistics a scan would prune
+    * against. Tight boxes on both axes are the Z-order win the spec
+    * pins (an x-sorted layout has tight x spans and full-range y spans).
+    *
+    * Scale: bucket ranks come from a distributed prefix count over
+    * EXPLICIT Z-value buckets — one bounded approx_percentile pass
+    * collects ≤ `numPartitions − 1` boundaries as a driver literal
+    * (boundary quality only balances partitions, never correctness),
+    * `_pid` is a pure row function, the per-bucket COUNT table turns
+    * into offsets with a window that never touches the data, and the
+    * final aggregate is numBuckets-sized. Deliberately not the
+    * `spark_partition_id()` idiom — rank consistency must not depend
+    * on two subtrees sharing one sampled exchange.
+    */
+  def zOrderLayoutStats(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      numBuckets: Int = 32,
+      numPartitions: Int = 32): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
+    val base = df.select(x.cast("long").as("zx"), y.cast("long").as("zy"))
+      .withColumn("zv", zValue("zx", "zy"))
+    val qs = (1 until numPartitions).map(i => i.toDouble / numPartitions)
+    val bounds: Seq[Long] =
+      if (qs.isEmpty) Seq.empty
+      else base.agg(expr(s"approx_percentile(zv, array(${qs.mkString(", ")}), 10000)"))
+        .collect()(0).getSeq[Long](0)
+    val pid =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedLit(bounds), b => col("zv") >= b))
+    val t = base.withColumn("_pid", pid)
+    val wOff = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"), sum(col("_c")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()).as("_total"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(col("zv"), col("zx"), col("zy"))
+    t.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("rnk", col("_off") + row_number().over(wRank))
+      .withColumn("bucket", expr(s"((rnk - 1) * ${numBuckets}L) div _total").cast("int"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
+        min(col("zy")).as("min_y"), max(col("zy")).as("max_y"))
+  }
 }
 
 /** Deterministic mapping of the `events` stream onto the reference

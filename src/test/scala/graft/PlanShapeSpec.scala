@@ -517,6 +517,33 @@ class PlanShapeSpec extends SparkSpec {
   private def Tables(d: String): DataFrame =
     graft.sources.Tables.documents(spark, d)
 
+  test("zOrderLayoutStats: distributed ranks are a permutation (equal buckets), no range exchange") {
+    // The bucket assignment is correct ONLY if the distributed ranks
+    // form a permutation of 1..n — the property the retired
+    // spark_partition_id()-after-repartitionByRange idiom silently broke
+    // when the offsets subtree re-sampled its own exchange (observed at
+    // sf0.01: bucket 0 held 2098 rows where 1875 was exact). Explicit
+    // literal boundaries make _pid a pure row function; pin both the
+    // exact equal-count buckets and the absence of any sampled range
+    // exchange in the plan.
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val out = graft.sources.Sinks.zOrderLayoutStats(
+      li, org.apache.spark.sql.functions.col("l_partkey"),
+      org.apache.spark.sql.functions.col("l_suppkey"), numBuckets = 8)
+    val rows = out.collect()
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n === li.count())
+    // rnk a permutation of 1..n ⇒ bucket sizes are exactly ⌈/⌋ n/8.
+    rows.foreach { r =>
+      val c = r.getAs[Long]("n")
+      assert(c === n / 8 || c === n / 8 + 1,
+        s"bucket ${r.getAs[Int]("bucket")} count $c != ${n / 8}±1 — ranks are not a permutation")
+    }
+    val fin = out.queryExecution.executedPlan.toString
+    assert(!fin.contains("rangepartitioning"),
+      s"zOrderLayoutStats must not depend on a sampled range exchange:\n${fin.take(2000)}")
+  }
+
   test("centroidOutliers: centroid sums broadcast; embeddings shuffle only for the label agg") {
     val emb = graft.sources.Tables.embeddings(spark, dir)
     val out = Similarity.centroidOutliers(emb)

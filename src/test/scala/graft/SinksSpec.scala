@@ -95,4 +95,29 @@ class SinksSpec extends SparkSpec {
     assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters"))
     assert(filtered.count() === 1L)
   }
+
+  test("zValue interleaves bits; z-order buckets bound BOTH axes where an x-sort cannot") {
+    import org.apache.spark.sql.functions._
+    // Bit-interleave anchors: z(0,0)=0, z(1,0)=1, z(0,1)=2, z(1,1)=3,
+    // z(2,0)=4, z(3,5)=Morton(3,5)=39 (x bits at even positions).
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 0L), (3L, 5L))
+      .toDF("zx", "zy").withColumn("z", Sinks.zValue("zx", "zy"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("z")).toMap
+    assert(pts((0L, 0L)) === 0L && pts((1L, 0L)) === 1L && pts((0L, 1L)) === 2L)
+    assert(pts((1L, 1L)) === 3L && pts((2L, 0L)) === 4L)
+    assert(pts((3L, 5L)) === 39L) // x=011 even bits, y=101 odd bits -> 100111
+    // A 16x16 grid in 4 z-buckets: every bucket's bounding box spans at
+    // most half the range on EACH axis (the quadrant property). An
+    // x-sorted layout would give y spans of the full 0..15 range.
+    val grid = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)).toDF("x", "y")
+    val stats = Sinks.zOrderLayoutStats(grid, col("x"), col("y"), numBuckets = 4)
+      .collect()
+    assert(stats.map(_.getAs[Long]("n")).sum === 256L)
+    stats.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 8L,
+        s"bucket ${r.getAs[Int]("bucket")} x-span too wide for a z-order layout")
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 8L,
+        s"bucket ${r.getAs[Int]("bucket")} y-span too wide for a z-order layout")
+    }
+  }
 }
