@@ -427,4 +427,86 @@ object Graphs {
     sym.unpersist()
     out
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge table,
+    * computed exactly in scaled integers — the mutual-reinforcement
+    * complement to [[pageRank]]'s single centrality: a hub is good
+    * because it points at good authorities, an authority is good because
+    * good hubs point at it. On the pipeline's bipartite interaction
+    * graphs (customer → product, document → cited source) the two sides
+    * ARE the two roles, which is HITS' natural home.
+    *
+    * Exactness: scores live as BIGINTs. Each half-round is
+    * `a_raw(v) = Σ_{u→v} h(u)` then a DETERMINISTIC integer
+    * renormalization `a(v) = a_raw(v) div max(1, max_raw div scale)` —
+    * dividing by the quotient rather than multiplying by `scale`
+    * (the float-free stand-in for HITS' L2 normalization) keeps every
+    * intermediate inside BIGINT with no wide products: for any
+    * `m ≥ scale`, `m div (m div scale) < 2·scale`, so scores are
+    * bounded by 2·scale and a raw sum by `2·scale·deg_max`
+    * (~2·10¹⁵ at the 10⁹ default with 10⁶-degree hubs). Sums of
+    * BIGINTs are order-independent and `div` on nonnegative operands
+    * truncates identically in Spark and DuckDB — the fixpoint is
+    * engine-bit-identical. Like [[pageRank]], flooring makes scores a
+    * deterministic lower quantization of the float fixpoint; ordering —
+    * what a ranking consumer reads — survives to quantization
+    * granularity.
+    *
+    * Scale: per round exactly two edge-keyed equi-joins (score lookup)
+    * + two map-side-combined sums + two scalar-max broadcasts; nothing
+    * quadratic, the Pregel shape relationally. Edges deduplicate here;
+    * self-loops are legal (a directed graph may have them; on bipartite
+    * inputs they cannot arise). Output: one row per node-role —
+    * `(id, kind: hub|auth, deg, score_scaled)`; a node that both emits
+    * and receives edges gets one row per role.
+    */
+  def hits(
+      edges: DataFrame,
+      iters: Int = 4,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters=$iters out of range [1, 64]")
+    require(scale >= 1000L, s"scale=$scale too small for meaningful quantization")
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hubs = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val auths = e.groupBy(col("dst")).agg(count(lit(1)).as("ideg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def renorm(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(max(col("v")).as("mx"))
+      raw.crossJoin(broadcast(mx))
+        .select(
+          col("id"),
+          expr(s"v div greatest(1L, mx div ${scale}L)").as(out))
+    }
+    var h = hubs.select(col("src").as("id"), lit(scale).as("h"))
+    var a: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e
+        .join(h.select(col("id").as("src"), col("h")), Seq("src"))
+        .groupBy(col("dst"))
+        .agg(sum(col("h")).as("v"))
+        .select(col("dst").as("id"), col("v"))
+      a = renorm(aRaw, "a")
+      val hRaw = e
+        .join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(sum(col("a")).as("v"))
+        .select(col("src").as("id"), col("v"))
+      h = renorm(hRaw, "h")
+    }
+    val out = h.join(hubs.select(col("src").as("id"), col("odeg")), Seq("id"))
+      .select(col("id"), lit("hub").as("kind"), col("odeg").as("deg"),
+        col("h").as("score_scaled"))
+      .unionByName(
+        a.join(auths.select(col("dst").as("id"), col("ideg")), Seq("id"))
+          .select(col("id"), lit("auth").as("kind"), col("ideg").as("deg"),
+            col("a").as("score_scaled")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    e.unpersist()
+    hubs.unpersist()
+    auths.unpersist()
+    out
+  }
 }

@@ -214,4 +214,40 @@ class GraphsSpec extends SparkSpec {
     // ESTIMATES must rank interior > endpoint > pair.
     assert(got(3L)._3 > got(1L)._3 && got(1L)._3 > got(10L)._3)
   }
+
+  test("hits runs the exact integer-renormalized fixpoint on a bipartite graph") {
+    // Hubs {1,2}, authorities {10,11,12}; 11 is endorsed by both hubs.
+    // A duplicate edge that dedup must absorb.
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L), (1L, 10L))
+      .toDF("src", "dst")
+    val rows = Graphs.hits(edges, iters = 2).collect()
+      .map(r => (r.getAs[String]("kind"), r.getAs[Long]("id")) -> r).toMap
+    assert(rows.keySet === Set(
+      ("hub", 1L), ("hub", 2L), ("auth", 10L), ("auth", 11L), ("auth", 12L)))
+    assert(rows(("hub", 1L)).getAs[Long]("deg") === 2L)
+    assert(rows(("auth", 11L)).getAs[Long]("deg") === 2L)
+    // By hand at scale 1e9: round 1 a_raw = (1e9, 2e9, 1e9), divisor 2 →
+    // a = (5e8, 1e9, 5e8); h_raw = (1.5e9, 1.5e9), divisor 1. Round 2
+    // re-converges to the same point (divisor 3 on a_raw = (1.5, 3, 1.5)e9).
+    assert(rows(("hub", 1L)).getAs[Long]("score_scaled") === 1500000000L)
+    assert(rows(("hub", 2L)).getAs[Long]("score_scaled") === 1500000000L)
+    assert(rows(("auth", 10L)).getAs[Long]("score_scaled") === 500000000L)
+    assert(rows(("auth", 11L)).getAs[Long]("score_scaled") === 1000000000L)
+    assert(rows(("auth", 12L)).getAs[Long]("score_scaled") === 500000000L)
+  }
+
+  test("hits: scores stay under 2·scale and a midpath node holds both roles") {
+    // 50 hubs all pointing at authority 99 (max skew), plus a chain
+    // 1→2→3 so node 2 appears as hub AND authority.
+    val skew = (100L to 149L).map(h => (h, 99L))
+    val edges = (skew ++ Seq((1L, 2L), (2L, 3L))).toDF("src", "dst")
+    val rows = Graphs.hits(edges, iters = 4, scale = 1000L).collect()
+    val byKey = rows.map(r => (r.getAs[String]("kind"), r.getAs[Long]("id")) -> r.getAs[Long]("score_scaled")).toMap
+    rows.foreach(r => assert(r.getAs[Long]("score_scaled") < 2000L,
+      s"score ${r.getAs[Long]("score_scaled")} breaches the 2·scale bound"))
+    assert(byKey.contains(("hub", 2L)) && byKey.contains(("auth", 2L)))
+    // The mass concentrates on the skew component: authority 99 strictly
+    // dominates the chain authorities.
+    assert(byKey(("auth", 99L)) > byKey(("auth", 3L)))
+  }
 }
