@@ -576,6 +576,25 @@ object SparkEntry {
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket")),
 
+    // Sequential pattern mining over 30-min event sessions: directed
+    // event-type pairs a → b (a strictly before b in the session) with
+    // exact-ppm support and confidence — the ordered complement of
+    // q171's basket co-occurrence.
+    "q189_sequential_pairs" -> ((s, dir) =>
+      Association.sequentialPairs(Tables.events(s, dir))
+        .orderBy("ante", "cons")),
+
+    // HITS hubs & authorities over the customer → part purchase
+    // bipartite graph (orders ⋈ lineitem): integer-exact
+    // mutual-reinforcement scores — which customers buy
+    // well-endorsed parts, which parts are bought by broad buyers.
+    "q188_hits" -> ((s, dir) => {
+      val edges = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
+      Graphs.hits(edges).orderBy("kind", "id")
+    }),
+
     // Incremental aggregate maintenance (IVM): a per-source (count,
     // chars) dashboard updated from an insert/delete change feed — one
     // delta aggregate + one state join, the corpus read zero times; the
@@ -3543,6 +3562,53 @@ object SparkEntry {
         |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
         |ORDER BY k""".stripMargin,
 
+    "q189_sequential_pairs" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        |),
+        |flagged AS (
+        |  SELECT user_id, event_id, event_type, us,
+        |         CASE WHEN us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS new_sess
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |sess AS (
+        |  SELECT user_id, event_type, us,
+        |         CAST(SUM(new_sess) OVER (
+        |           PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS INT) AS session_id
+        |  FROM flagged
+        |),
+        |spans AS MATERIALIZED (
+        |  SELECT user_id, session_id, event_type,
+        |         MIN(us) AS first_us, MAX(us) AS last_us
+        |  FROM sess GROUP BY 1, 2, 3
+        |),
+        |tot AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_total
+        |  FROM (SELECT DISTINCT user_id, session_id FROM spans)
+        |),
+        |na AS (
+        |  SELECT event_type AS ante, CAST(COUNT(*) AS BIGINT) AS n_ante
+        |  FROM spans GROUP BY 1
+        |),
+        |pairs AS (
+        |  SELECT a.event_type AS ante, b.event_type AS cons,
+        |         CAST(COUNT(*) AS BIGINT) AS n_sessions
+        |  FROM spans a
+        |  JOIN spans b ON a.user_id = b.user_id AND a.session_id = b.session_id
+        |   AND a.event_type <> b.event_type AND a.first_us < b.last_us
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.ante, p.cons, p.n_sessions, na.n_ante,
+        |       CAST((1000000 * p.n_sessions) // t.n_total AS BIGINT) AS support_ppm,
+        |       CAST((1000000 * p.n_sessions) // na.n_ante AS BIGINT) AS conf_ppm
+        |FROM pairs p JOIN na ON na.ante = p.ante CROSS JOIN tot t
+        |WHERE p.n_sessions >= 2
+        |ORDER BY p.ante, p.cons""".stripMargin,
+
+    "q188_hits" -> hitsOracle,
+
     "q187_zorder_layout" ->
       """WITH t AS (
         |  SELECT CAST(l_partkey AS BIGINT) AS zx, CAST(l_suppkey AS BIGINT) AS zy,
@@ -6473,6 +6539,49 @@ object SparkEntry {
        |SELECT a_id, b_id, dp, margin2 FROM f
        |WHERE ma = 1 AND mb = 1 AND margin2 > 0
        |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Mirrors q188: [[graft.operators.Graphs.hits]]'s fixpoint replayed as
+    * unrolled MATERIALIZED CTEs — per round one authority sum + integer
+    * renormalization (divide by `max_raw // scale`), then the hub twin.
+    * All BIGINT; `//` floors and Spark `div` truncates, agreeing on the
+    * nonnegative operands.
+    */
+  private def hitsOracle: String = {
+    val iters = 4
+    val scale = 1000000000L
+    val rounds = (1 to iters).map { t =>
+      s"""ar$t AS (
+         |  SELECT e.dst AS id, CAST(SUM(h.h) AS BIGINT) AS v
+         |  FROM e JOIN h${t - 1} h ON h.id = e.src GROUP BY e.dst
+         |),
+         |an$t AS MATERIALIZED (
+         |  SELECT id, CAST(v // GREATEST(1, (SELECT MAX(v) FROM ar$t) // $scale) AS BIGINT) AS a
+         |  FROM ar$t
+         |),
+         |hr$t AS (
+         |  SELECT e.src AS id, CAST(SUM(a.a) AS BIGINT) AS v
+         |  FROM e JOIN an$t a ON a.id = e.dst GROUP BY e.src
+         |),
+         |h$t AS MATERIALIZED (
+         |  SELECT id, CAST(v // GREATEST(1, (SELECT MAX(v) FROM hr$t) // $scale) AS BIGINT) AS h
+         |  FROM hr$t
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(o_custkey AS BIGINT) AS src, CAST(l_partkey AS BIGINT) AS dst
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |),
+       |hubs AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS odeg FROM e GROUP BY src),
+       |auths AS MATERIALIZED (SELECT dst, CAST(COUNT(*) AS BIGINT) AS ideg FROM e GROUP BY dst),
+       |h0 AS (SELECT src AS id, CAST($scale AS BIGINT) AS h FROM hubs),
+       |$rounds
+       |SELECT h.id, 'hub' AS kind, hubs.odeg AS deg, h.h AS score_scaled
+       |FROM h$iters h JOIN hubs ON hubs.src = h.id
+       |UNION ALL
+       |SELECT a.id, 'auth' AS kind, auths.ideg AS deg, a.a AS score_scaled
+       |FROM an$iters a JOIN auths ON auths.dst = a.id
+       |ORDER BY kind, id""".stripMargin
   }
 
   private def pageRankOracle: String = {

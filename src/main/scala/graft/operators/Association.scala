@@ -135,4 +135,66 @@ object Association {
         expr("(1000000 * n_abc) div n_baskets").as("support_ppm"),
         expr("(1000000 * n_abc) div n_ab").as("conf_ab_c_ppm"))
   }
+
+  /** Sequential pattern mining, level 2 (the GSP/PrefixSpan 2-sequence
+    * pass — Srikant & Agrawal 1996): DIRECTED event-type pairs `a → b`
+    * supported by the sessions where some occurrence of `a` happens
+    * STRICTLY before (in µs) some occurrence of `b`. Order is what
+    * [[frequentItemPairs]]' basket co-occurrence cannot see — "view
+    * then purchase" and "purchase then view" are different behaviors
+    * with the same co-occurrence count. Metrics are exact floor-ppm on
+    * BIGINT counts, engine-bit-identical:
+    * {{{
+    *   support_ppm = ⌊10⁶ · n_sessions(a→b) / n_sessions_total⌋
+    *   conf_ppm    = ⌊10⁶ · n_sessions(a→b) / n_sessions(a)⌋
+    * }}}
+    *
+    * The existence test compresses to spans: a session supports `a → b`
+    * iff `min_us(a) < max_us(b)` within it — so each session first
+    * collapses to ONE row per (session, type) carrying its first/last
+    * occurrence, and the pair expansion is a self-equi-join on the
+    * session key over that collapsed table, bounded by
+    * sessions × |alphabet|², never by event count². Same-µs ties do NOT
+    * count as "before" (strict inequality on values — no order
+    * dependence to break).
+    *
+    * Scale: sessionization is [[Timeseries.sessionLabels]]' single
+    * `user_id` exchange; the span aggregate extends that key (no second
+    * shuffle); the self-join is co-partitioned on the session key; the
+    * pair aggregate shuffles an alphabet²-bounded key space with
+    * map-side combine; the antecedent-count table joins only surviving
+    * pairs and the scalar total broadcasts. Event types are a small
+    * enum by construction — the |alphabet|² blow-up basket carts risk
+    * (see [[frequentItemPairs]]) cannot arise here.
+    */
+  def sequentialPairs(
+      events: DataFrame,
+      gapUs: Long = 1800L * 1000000L,
+      minSupport: Int = 2): DataFrame = {
+    require(minSupport >= 1, s"minSupport=$minSupport must be >= 1")
+    val spans = Timeseries.sessionLabels(events, gapUs)
+      .groupBy(col("user_id"), col("session_id"), col("event_type"))
+      .agg(min(col("us")).as("first_us"), max(col("us")).as("last_us"))
+    val total = spans.select(col("user_id"), col("session_id")).distinct()
+      .agg(count(lit(1)).as("n_total"))
+    val na = spans.groupBy(col("event_type").as("ante"))
+      .agg(count(lit(1)).as("n_ante"))
+    val a = spans.select(
+      col("user_id"), col("session_id"),
+      col("event_type").as("ante"), col("first_us"))
+    val b = spans.select(
+      col("user_id"), col("session_id"),
+      col("event_type").as("cons"), col("last_us"))
+    a.join(b, Seq("user_id", "session_id"))
+      .filter(col("ante") =!= col("cons") && col("first_us") < col("last_us"))
+      .groupBy(col("ante"), col("cons"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .filter(col("n_sessions") >= minSupport.toLong)
+      .join(na, Seq("ante"))
+      .crossJoin(broadcast(total))
+      .select(
+        col("ante"), col("cons"), col("n_sessions"), col("n_ante"),
+        expr("(1000000 * n_sessions) div n_total").as("support_ppm"),
+        expr("(1000000 * n_sessions) div n_ante").as("conf_ppm"))
+  }
 }

@@ -387,8 +387,25 @@ object Timeseries {
     * session-count-sized, far below event count at 100 TB.
     */
   def sessionize(events: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame = {
-    val ev = events
-      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    sessionLabels(events, gapUs)
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        min(col("us")).as("first_us"),
+        max(col("us")).as("last_us"))
+      .withColumn("duration_us", col("last_us") - col("first_us"))
+  }
+
+  /** [[sessionize]]'s per-event half: every event labeled with its
+    * 0-based per-user session id (same `(us, event_id)` total order and
+    * running gap sum), `event_type` carried through for consumers that
+    * aggregate WITHIN sessions ([[Association.sequentialPairs]]).
+    * Same single `user_id` exchange shared by both windows.
+    */
+  def sessionLabels(events: DataFrame, gapUs: Long = 1800L * 1000000L): DataFrame = {
+    val ev = events.select(
+      col("user_id"), col("event_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
     val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
     val run = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -397,12 +414,7 @@ object Timeseries {
         "new_sess",
         when(col("us") - lag(col("us"), 1).over(w) > gapUs, 1).otherwise(0))
       .withColumn("session_id", sum(col("new_sess")).over(run).cast("int"))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(
-        count(lit(1)).as("n_events"),
-        min(col("us")).as("first_us"),
-        max(col("us")).as("last_us"))
-      .withColumn("duration_us", col("last_us") - col("first_us"))
+      .drop("new_sess")
   }
 
   /** Seasonality-adjusted ingest anomalies — the day-of-week-aware

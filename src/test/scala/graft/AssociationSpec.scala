@@ -65,4 +65,46 @@ class AssociationSpec extends SparkSpec {
     assert(r.getAs[Long]("support_ppm") === 400000L)
     assert(r.getAs[Long]("conf_ab_c_ppm") === 666666L)
   }
+
+  // Three sessions (30-min gap): user 1 @t0 view→click→buy, user 1 two
+  // hours later a lone view, user 2 click→view. User 3 has two SAME-µs
+  // events — strict "before" must count neither direction.
+  private def seqEvents = {
+    val t0 = 1700000000000000L // µs
+    Seq(
+      (1L, 1L, "view", t0),
+      (1L, 2L, "click", t0 + 10L * 1000000L),
+      (1L, 3L, "buy", t0 + 20L * 1000000L),
+      (1L, 4L, "view", t0 + 7200L * 1000000L),
+      (2L, 5L, "click", t0),
+      (2L, 6L, "view", t0 + 5L * 1000000L),
+      (3L, 7L, "view", t0),
+      (3L, 8L, "click", t0))
+      .toDF("user_id", "event_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .drop("us")
+  }
+
+  test("sequentialPairs: strict-order supports and exact ppm by hand") {
+    // Sessions: {view<click<buy}, {view}, {click<view}, {view=click}.
+    // n_total=4; n_ante: view 4, click 3, buy 1. Ordered pairs per
+    // session: s1 view→click, view→buy, click→buy; s3 click→view;
+    // s4 NONE (same-µs tie is not "before").
+    val out = Association.sequentialPairs(seqEvents, minSupport = 1)
+      .collect().map(r => (r.getAs[String]("ante"), r.getAs[String]("cons")) -> r).toMap
+    assert(out.keySet === Set(
+      ("view", "click"), ("view", "buy"), ("click", "buy"), ("click", "view")))
+    val vc = out(("view", "click"))
+    assert(vc.getAs[Long]("n_sessions") === 1L)
+    assert(vc.getAs[Long]("n_ante") === 4L)
+    assert(vc.getAs[Long]("support_ppm") === 250000L) // ⌊1e6·1/4⌋
+    assert(vc.getAs[Long]("conf_ppm") === 250000L)    // ⌊1e6·1/4⌋
+    val cb = out(("click", "buy"))
+    assert(cb.getAs[Long]("n_ante") === 3L)
+    assert(cb.getAs[Long]("conf_ppm") === 333333L)    // ⌊1e6·1/3⌋
+  }
+
+  test("sequentialPairs: default minSupport prunes single-session patterns") {
+    assert(Association.sequentialPairs(seqEvents).collect().isEmpty)
+  }
 }
