@@ -576,6 +576,16 @@ object SparkEntry {
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket")),
 
+    // χ² feature selection against the quality label: the top-50 tokens
+    // whose PRESENCE carries keep/drop signal, with direction — the
+    // selection pass in front of q152's learned linear scorer.
+    "q190_chi_square_terms" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = TextAnalysis.qualityFilter(docs)
+        .select(col("doc_id"), col("keep").as("y"))
+      TextAnalysis.chiSquareTerms(docs, labels)
+    }),
+
     // Sequential pattern mining over 30-min event sessions: directed
     // event-type pairs a → b (a strictly before b in the session) with
     // exact-ppm support and confidence — the ordered complement of
@@ -3562,6 +3572,40 @@ object SparkEntry {
         |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
         |ORDER BY k""".stripMargin,
 
+    "q190_chi_square_terms" ->
+      s"""WITH $qualityLabelCtes,
+        |tot AS (
+        |  SELECT CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM m
+        |),
+        |dt AS (SELECT DISTINCT doc_id, unnest(ws) AS tok FROM t),
+        |c AS (
+        |  SELECT dt.tok,
+        |         CAST(SUM(CASE WHEN m.y THEN 1 ELSE 0 END) AS BIGINT) AS df_pos,
+        |         CAST(SUM(CASE WHEN m.y THEN 0 ELSE 1 END) AS BIGINT) AS df_neg
+        |  FROM dt JOIN m USING (doc_id)
+        |  GROUP BY dt.tok
+        |),
+        |x AS (
+        |  SELECT tok, df_pos, df_neg, tt.n_pos, tt.n_neg,
+        |         CAST(df_pos AS HUGEINT) AS a, CAST(df_neg AS HUGEINT) AS b,
+        |         CAST(tt.n_pos - df_pos AS HUGEINT) AS cc,
+        |         CAST(tt.n_neg - df_neg AS HUGEINT) AS d,
+        |         CAST(tt.n_pos + tt.n_neg AS HUGEINT) AS n
+        |  FROM c, tot tt
+        |  WHERE df_pos + df_neg >= 2
+        |)
+        |SELECT tok AS t, df_pos, df_neg,
+        |       CASE WHEN (a + b) * (cc + d) * (a + cc) * (b + d) = 0 THEN 0
+        |            ELSE CAST((1000000 * n * (a * d - b * cc) * (a * d - b * cc))
+        |                 // ((a + b) * (cc + d) * (a + cc) * (b + d)) AS BIGINT)
+        |       END AS chi2_micro,
+        |       a * CAST(n_neg AS HUGEINT) > b * CAST(n_pos AS HUGEINT) AS enriched
+        |FROM x
+        |ORDER BY chi2_micro DESC, t
+        |LIMIT 50""".stripMargin,
+
     "q189_sequential_pairs" ->
       """WITH ev AS (
         |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
@@ -5844,7 +5888,12 @@ object SparkEntry {
     * distillation-fidelity confusion matrix (q165) replay the one
     * training pass.
     */
-  private val linearQualityCtes =
+  /** Shared tokenization + quality-label CTEs (`t`: whitespace tokens;
+    * `m`: qualityFilter's keep verdict as `y`) — the label surface
+    * q152/q165's linear model and q190's χ² selection both train
+    * against.
+    */
+  private val qualityLabelCtes =
     """t AS (
       |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
       |),
@@ -5857,7 +5906,10 @@ object SparkEntry {
       |               / CAST(len(ws) AS DOUBLE) <= 8.0
       |           AND CAST(len(list_filter(ws, w -> w = 'the' OR w = 'a')) AS BIGINT) > 0) AS y
       |  FROM t
-      |),
+      |)""".stripMargin
+
+  private val linearQualityCtes =
+    qualityLabelCtes + """,
       |lt AS (SELECT m.y AS y, unnest(t.ws) AS w FROM t JOIN m USING (doc_id)),
       |c AS (
       |  SELECT w,

@@ -1108,6 +1108,76 @@ object TextAnalysis {
           bits(col("rn") * col("rn") * col("rn"))).as("weight_tribits"))
   }
 
+  /** χ² (chi-square) feature selection over token PRESENCE vs a binary
+    * document label — the standard selection pass before training a
+    * linear quality/topic classifier ([[trainQualityWeights]] consumes
+    * every token; this ranks which tokens carry label signal at all,
+    * and the `enriched` flag says in which direction). Per token with
+    * document frequency ≥ `minDf`, the 2×2 contingency table
+    * `(a, b, c, d)` = (labeled-pos docs containing it, labeled-neg docs
+    * containing it, pos docs without, neg docs without) yields
+    * {{{
+    *   chi2_micro = ⌊10⁶ · n · (ad − bc)² / ((a+b)(c+d)(a+c)(b+d))⌋
+    * }}}
+    * carried in DECIMAL(38,0) (HUGEINT in the oracle) — exact floor
+    * division, engine-bit-identical. Headroom: `10⁶·n·(ad−bc)²` stays
+    * inside 38 digits for n up to ~4·10⁶ labeled documents — feature
+    * selection runs on a labeled SAMPLE by construction; past that,
+    * drop the 10⁶ scale a decade per decade of n (the selection
+    * consumes ranks, which saturate far earlier). A degenerate margin
+    * (token in every doc, or a single-class label set) zeroes a
+    * denominator factor and scores 0 — defined, not divide-by-zero, in
+    * both engines.
+    *
+    * Scale: one distinct-token explode (presence, not counts — the
+    * per-doc `array_distinct` is narrow), one broadcast label join on
+    * `doc_id`... no: the label join is doc-keyed and SHUFFLES with the
+    * token stream only if labels exceed broadcast size — labels are a
+    * doc-count table, so the join is plan-chosen; the token aggregate
+    * is map-side combined over the vocabulary key space; totals are a
+    * one-row broadcast; and the global top-`topK` is TakeOrdered (no
+    * full sort materializes). Output ordered (chi2_micro desc, t) —
+    * a total order.
+    */
+  def chiSquareTerms(
+      docs: DataFrame,
+      labels: DataFrame,
+      minDf: Long = 2L,
+      topK: Int = 50): DataFrame = {
+    require(minDf >= 1L, s"minDf=$minDf must be >= 1")
+    require(topK >= 1, s"topK=$topK must be >= 1")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val lab = labels.select(col("doc_id"), col("y").cast("boolean").as("y"))
+    val totals = lab.agg(
+      sum(when(col("y"), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col("y"), 0L).otherwise(1L)).as("n_neg"))
+    val present = spread(docs)
+      .select(col("doc_id"), explode(array_distinct(wordsCol)).as("t"))
+      .join(lab, Seq("doc_id"))
+    val counts = present.groupBy(col("t"))
+      .agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("df_pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("df_neg"))
+      .filter(col("df_pos") + col("df_neg") >= minDf)
+    val a = col("df_pos").cast(dec)
+    val b = col("df_neg").cast(dec)
+    val c = (col("n_pos") - col("df_pos")).cast(dec)
+    val d = (col("n_neg") - col("df_neg")).cast(dec)
+    val n = (col("n_pos") + col("n_neg")).cast(dec)
+    counts.crossJoin(broadcast(totals))
+      .withColumn("_num", lit(1000000L).cast(dec) * n * (a * d - b * c) * (a * d - b * c))
+      .withColumn("_den", (a + b) * (c + d) * (a + c) * (b + d))
+      .withColumn(
+        "chi2_micro",
+        when(col("_den") === lit(0L).cast(dec), lit(0L))
+          .otherwise(expr("_num div _den")))
+      .withColumn("enriched", a * col("n_neg").cast(dec) > b * col("n_pos").cast(dec))
+      .select(col("t"), col("df_pos"), col("df_neg"),
+        col("chi2_micro").cast("long").as("chi2_micro"), col("enriched"))
+      .orderBy(col("chi2_micro").desc, col("t"))
+      .limit(topK)
+  }
+
   /** Apply a [[trainQualityWeights]]-shaped model: each document's score
     * is the dot product of its token counts with the weight table
     * (tokens outside the table contribute 0 — the open-vocabulary

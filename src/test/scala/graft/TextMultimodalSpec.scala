@@ -1011,6 +1011,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(b === sh)
   }
 
+  test("chiSquareTerms: exact 2x2 chi2 by hand, degenerate margins score 0, direction flag") {
+    // Presence tables (n_pos = n_neg = 2): spam {a=2,b=0}, ham {a=1,b=2},
+    // eggs {a=1,b=1}, the {a=2,b=2} (in every doc — zero margin).
+    val corpus = Seq(
+      doc(1L, "spam the spam eggs"), doc(2L, "spam the ham"),
+      doc(3L, "ham the eggs"), doc(4L, "ham the"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val labels = Seq((1L, true), (2L, true), (3L, false), (4L, false)).toDF("doc_id", "y")
+    val out = TextAnalysis.chiSquareTerms(corpus, labels, minDf = 1L, topK = 10)
+      .collect()
+    val byTok = out.map(r => r.getAs[String]("t") -> r).toMap
+    // spam: det = 2*2-0*0 = 4, den = 2*2*2*2 = 16 -> 1e6*4*16/16 = 4e6.
+    assert(byTok("spam").getAs[Long]("chi2_micro") === 4000000L)
+    assert(byTok("spam").getAs[Boolean]("enriched"))
+    // ham: det = 1*0-2*1 = -2, den = 3*1*2*2 = 12 -> (1e6*4*4) div 12 = 1333333.
+    assert(byTok("ham").getAs[Long]("chi2_micro") === 1333333L)
+    assert(!byTok("ham").getAs[Boolean]("enriched"))
+    // eggs: balanced, det = 0; the: zero margin (c+d = 0) — guard, not error.
+    assert(byTok("eggs").getAs[Long]("chi2_micro") === 0L)
+    assert(byTok("the").getAs[Long]("chi2_micro") === 0L)
+    // Rank order (chi2 desc, token asc): spam, ham, then {eggs, the} at 0.
+    assert(out.map(_.getAs[String]("t")).take(3).toSeq === Seq("spam", "ham", "eggs"))
+    // minDf prunes below-threshold document frequencies.
+    val pruned = TextAnalysis.chiSquareTerms(corpus, labels, minDf = 4L, topK = 10)
+      .collect().map(_.getAs[String]("t")).toSet
+    assert(pruned === Set("the"))
+  }
+
   test("PNG codec: real zlib round-trip, Sub filter un-filtered, compression observed") {
     val text = ("abcdef" * 40) + "xyzw"  // 244 bytes -> w=40, trailing 4 dropped
     val corpus = Seq(doc(5L, text)).toDF("doc_id", "text", "lang", "source", "n_chars")
