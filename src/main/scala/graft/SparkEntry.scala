@@ -576,6 +576,16 @@ object SparkEntry {
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket")),
 
+    // Hilbert-curve layout audit over the same (l_partkey, l_suppkey)
+    // plane as q187's Z-order: the continuous linearization — every
+    // consecutive index step is Manhattan-adjacent, so equal-count file
+    // buckets avoid Z's quadrant-seam jumps. Same bucket machinery and
+    // schema, file-for-file comparable.
+    "q191_hilbert_layout" -> ((s, dir) =>
+      graft.sources.Sinks.hilbertLayoutStats(
+        Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
+        .orderBy("bucket")),
+
     // χ² feature selection against the quality label: the top-50 tokens
     // whose PRESENCE carries keep/drop signal, with direction — the
     // selection pass in front of q152's learned linear scorer.
@@ -3571,6 +3581,8 @@ object SparkEntry {
         |SELECT COALESCE(a.k, '<null>') AS k, a.n_even, b.n_odd
         |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
         |ORDER BY k""".stripMargin,
+
+    "q191_hilbert_layout" -> hilbertOracle,
 
     "q190_chi_square_terms" ->
       s"""WITH $qualityLabelCtes,
@@ -6591,6 +6603,50 @@ object SparkEntry {
        |SELECT a_id, b_id, dp, margin2 FROM f
        |WHERE ma = 1 AND mb = 1 AND margin2 > 0
        |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Mirrors q191: [[graft.sources.Sinks.withHilbertValue]]'s 21-level
+    * quadrant walk unrolled as one MATERIALIZED CTE per level (each
+    * level references the previous level's rotated coordinates twice —
+    * unmaterialized, DuckDB's CTE inlining would expand the chain
+    * exponentially), then q187's rank/bucket/bounding-box tail verbatim.
+    */
+  private def hilbertOracle: String = {
+    val bits = 21
+    val n = 1L << bits
+    val steps = ((bits - 1) to 0 by -1).zipWithIndex.map { case (lvl, i) =>
+      val s = 1L << lvl
+      s"""h${i + 1} AS MATERIALIZED (
+         |  SELECT zx, zy,
+         |         hd + ${s * s} * xor(3 * (CASE WHEN (hx & $s) > 0 THEN 1 ELSE 0 END),
+         |                             (CASE WHEN (hy & $s) > 0 THEN 1 ELSE 0 END)) AS hd,
+         |         CASE WHEN (hy & $s) = 0
+         |              THEN (CASE WHEN (hx & $s) > 0 THEN ${n - 1} - hy ELSE hy END)
+         |              ELSE hx END AS hx,
+         |         CASE WHEN (hy & $s) = 0
+         |              THEN (CASE WHEN (hx & $s) > 0 THEN ${n - 1} - hx ELSE hx END)
+         |              ELSE hy END AS hy
+         |  FROM h$i
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+       |  SELECT CAST(l_partkey AS BIGINT) AS zx, CAST(l_suppkey AS BIGINT) AS zy,
+       |         CAST(0 AS BIGINT) AS hd,
+       |         CAST(l_partkey AS BIGINT) AS hx, CAST(l_suppkey AS BIGINT) AS hy
+       |  FROM lineitem
+       |),
+       |$steps,
+       |r AS (
+       |  SELECT zx, zy,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY hd, zx, zy) AS BIGINT) AS rnk,
+       |         CAST(COUNT(*) OVER () AS BIGINT) AS total
+       |  FROM h$bits
+       |)
+       |SELECT CAST(((rnk - 1) * 32) // total AS INT) AS bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n,
+       |       MIN(zx) AS min_x, MAX(zx) AS max_x,
+       |       MIN(zy) AS min_y, MAX(zy) AS max_y
+       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
   }
 
   /** Mirrors q188: [[graft.operators.Graphs.hits]]'s fixpoint replayed as

@@ -120,4 +120,57 @@ class SinksSpec extends SparkSpec {
         s"bucket ${r.getAs[Int]("bucket")} y-span too wide for a z-order layout")
     }
   }
+
+  test("hilbert index: matches the reference walk; the 16x16 corner is a continuous bijection") {
+    import org.apache.spark.sql.functions._
+    // Plain-Scala twin of the unrolled Column walk — catches translation
+    // bugs; the bijection/adjacency assertions below catch algorithm bugs.
+    def ref(xIn: Long, yIn: Long): Long = {
+      val n = 1L << 21
+      var x = xIn; var y = yIn; var d = 0L; var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val grid = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)).toDF("x", "y")
+    val big = Seq((123456L, 654321L), (2097151L, 0L), (0L, 2097151L), (1048576L, 1L))
+      .toDF("x", "y")
+    val hv = Sinks.withHilbertValue(grid.unionByName(big), col("x"), col("y"))
+      .collect()
+      .map(r => (r.getAs[Long]("zx"), r.getAs[Long]("zy"), r.getAs[Long]("hv")))
+    hv.foreach { case (x, y, d) => assert(d === ref(x, y), s"hilbert($x, $y)") }
+    // The corner [0,16)^2 is the first-visited subsquare of the 21-bit
+    // curve: its 256 indices are exactly 0..255 and consecutive indices
+    // are Manhattan-adjacent cells — the continuity Z-order lacks.
+    val corner = hv.filter(t => t._1 < 16L && t._2 < 16L).sortBy(_._3)
+    assert(corner.map(_._3).toSeq === (0L until 256L).toSeq)
+    corner.sliding(2).foreach { w =>
+      val Seq((x1, y1, _), (x2, y2, _)) = w.toSeq
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L,
+        s"curve jumps from ($x1,$y1) to ($x2,$y2)")
+    }
+  }
+
+  test("hilbertLayoutStats: equal-count buckets bound both axes on the grid") {
+    import org.apache.spark.sql.functions._
+    val grid = (for (a <- 0L until 16L; b <- 0L until 16L) yield (a, b)).toDF("x", "y")
+    val stats = Sinks.hilbertLayoutStats(grid, col("x"), col("y"), numBuckets = 4)
+      .collect()
+    assert(stats.map(_.getAs[Long]("n")).sum === 256L)
+    assert(stats.map(_.getAs[Long]("n")).toSet === Set(64L))
+    stats.foreach { r =>
+      assert(r.getAs[Long]("max_x") - r.getAs[Long]("min_x") <= 8L,
+        s"bucket ${r.getAs[Int]("bucket")} x-span too wide for a hilbert layout")
+      assert(r.getAs[Long]("max_y") - r.getAs[Long]("min_y") <= 8L,
+        s"bucket ${r.getAs[Int]("bucket")} y-span too wide for a hilbert layout")
+    }
+  }
 }
