@@ -279,16 +279,15 @@ object Sinks {
 
   /** Hilbert index of `(x, y)` appended as `hv` (plus the cast inputs as
     * `zx`/`zy`): the standard per-level quadrant walk (Wikipedia xy2d /
-    * Butz's algorithm) over `bits`-bit coordinates — at each level the
-    * quadrant pair contributes `s²·((3·rx) XOR ry)` and the frame
-    * rotates/reflects for the levels below. Unlike [[zValue]]'s one
-    * `aggregate` fold, the rotation state makes each level's coordinates
-    * a CASE over the previous level's, so the walk unrolls as `bits`
-    * chained narrow projections — withColumn steps, NOT one nested
-    * expression (the alias chain would otherwise inline into a 2^bits
-    * tree; CASE is non-cheap so CollapseProject keeps the steps, and
-    * whole-stage codegen fuses them back into one pass physically).
-    * All BIGINT arithmetic on nonnegative values — engine-bit-identical.
+    * Butz's algorithm) over `bits`-bit coordinates, as ONE codegen'd
+    * expression ([[graft.expressions.HilbertIndex]] — a tight `bits`-
+    * iteration primitive loop). The earlier declarative formulation
+    * (`bits` chained CASE projections, one per rotation level) OOM'd a
+    * 1 GiB driver JVM at the default bits = 21 during Catalyst/codegen
+    * work on the 21-deep non-cheap-expression chain — observed as
+    * q191's "Java heap space" in the Verify gate; the expression keeps
+    * the plan constant-size. All integer arithmetic on nonnegative
+    * values — engine-bit-identical (the oracle replays the same walk).
     *
     * Versus Z-order: both linearize 2-D, but Hilbert is CONTINUOUS —
     * consecutive indices are always Manhattan-adjacent cells, so
@@ -302,37 +301,12 @@ object Sinks {
       y: Column,
       bits: Int = 21): DataFrame = {
     require(bits >= 1 && bits <= 31, s"bits=$bits out of range [1, 31]")
-    val n = 1L << bits
-    var t = df
-      .select(x.cast("long").as("zx"), y.cast("long").as("zy"))
-      .withColumn("_hx", col("zx"))
-      .withColumn("_hy", col("zy"))
-      .withColumn("_hd", lit(0L))
-    for (lvl <- (bits - 1) to 0 by -1) {
-      val s = 1L << lvl
-      val rx = when(col("_hx").bitwiseAND(lit(s)) > 0L, 1L).otherwise(0L)
-      val ry = when(col("_hy").bitwiseAND(lit(s)) > 0L, 1L).otherwise(0L)
-      t = t
-        .withColumn("_rx", rx)
-        .withColumn("_ry", ry)
-        .withColumn(
-          "_hd",
-          col("_hd") + lit(s * s) * (lit(3L) * col("_rx")).bitwiseXOR(col("_ry")))
-        .withColumn(
-          "_nx",
-          when(col("_ry") === 0L,
-            when(col("_rx") === 1L, lit(n - 1L) - col("_hy")).otherwise(col("_hy")))
-            .otherwise(col("_hx")))
-        .withColumn(
-          "_ny",
-          when(col("_ry") === 0L,
-            when(col("_rx") === 1L, lit(n - 1L) - col("_hx")).otherwise(col("_hx")))
-            .otherwise(col("_hy")))
-        .withColumn("_hx", col("_nx"))
-        .withColumn("_hy", col("_ny"))
-        .drop("_nx", "_ny", "_rx", "_ry")
-    }
-    t.select(col("zx"), col("zy"), col("_hd").as("hv"))
+    val bridge = org.apache.spark.sql.graft.bridge
+    df.select(x.cast("long").as("zx"), y.cast("long").as("zy"))
+      .withColumn(
+        "hv",
+        bridge.column(graft.expressions.HilbertIndex(
+          bridge.expression(col("zx")), bridge.expression(col("zy")), bits)))
   }
 
   /** [[zOrderLayoutStats]]' audit over the HILBERT linearization —
