@@ -576,6 +576,51 @@ object SparkEntry {
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket")),
 
+    // Mean-reciprocal-rank inputs on the shared retrieval run: the
+    // known-item "how deep is the first same-label hit?" eval next to
+    // q167's AP and q166's NDCG — first relevant rank + exact-ppm
+    // reciprocal, 0 when the top-10 has no hit.
+    "q195_reciprocal_rank" -> ((s, dir) => {
+      val lab = Tables.embeddings(s, dir).select(col("vec_id"), col("label"))
+      val runs = Similarity.knnBruteForce(Tables.embeddings(s, dir))
+        .join(lab.select(col("vec_id").as("query_id"), col("label").as("ql")), Seq("query_id"))
+        .join(lab.select(col("vec_id").as("neighbor_id"), col("label").as("nl")), Seq("neighbor_id"))
+        .select(
+          col("query_id"), col("rnk"),
+          when(col("ql") === col("nl"), 1L).otherwise(0L).as("rel"))
+      Stats.reciprocalRank(runs, 10).orderBy("query_id")
+    }),
+
+    // Top principal component by deterministic integer power iteration
+    // on the exact scaled covariance (driver-side on the collected
+    // d(d+1)/2 Gram stats — the Lloyd bounded-collect class), then
+    // every vector's exact BIGINT projection + the n-scaled centered
+    // projection as one narrow literal-compiled scan.
+    "q194_top_principal_component" -> ((s, dir) =>
+      Similarity.topPrincipalComponent(Tables.embeddings(s, dir))
+        .orderBy("vec_id")),
+
+    // Pareto frontier of the corpus cost/value tradeoff: the documents
+    // no other document beats on BOTH compute cost (n_chars, lower
+    // better) and lexical richness (distinct words, higher better) —
+    // the non-dominated set a budgeted curation pass picks from. Grid
+    // prune + exact skyline; the brute-force dominance oracle's hash
+    // match proves the prune lossless.
+    "q193_pareto_frontier" -> ((s, dir) =>
+      Curation.paretoFrontier(
+        TextAnalysis.textStats(Tables.documents(s, dir)),
+        col("doc_id"), col("n_chars"), col("n_distinct_words"))
+        .orderBy("c", "v", "id")),
+
+    // Mann-Whitney rank-sum test of document length, each source vs the
+    // rest of the pool: the distribution-free "did this source shift
+    // the length distribution?" check — exact doubled-U/delta/CLES and
+    // the tie-corrected squared z in micro-units, one pooled ranking
+    // serving every source's comparison.
+    "q192_rank_sum_test" -> ((s, dir) =>
+      Stats.rankSumTest(Tables.documents(s, dir), col("source"), col("n_chars"))
+        .orderBy("grp")),
+
     // Hilbert-curve layout audit over the same (l_partkey, l_suppkey)
     // plane as q187's Z-order: the continuous linearization — every
     // consecutive index step is Manhattan-adjacent, so equal-count file
@@ -3582,6 +3627,89 @@ object SparkEntry {
         |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
         |ORDER BY k""".stripMargin,
 
+    "q195_reciprocal_rank" ->
+      s"""WITH $quantizedEmbeddings,
+         |q AS (SELECT vec_id AS query_id, qe AS q_qe FROM n WHERE vec_id < 10),
+         |scored AS (
+         |  SELECT q.query_id, n.vec_id,
+         |         CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * q.q_qe[i])) AS BIGINT) AS dp
+         |  FROM n CROSS JOIN q
+         |  WHERE n.vec_id <> q.query_id
+         |),
+         |ranked AS (
+         |  SELECT query_id, vec_id, dp,
+         |         CAST(ROW_NUMBER() OVER (
+         |           PARTITION BY query_id ORDER BY dp DESC, vec_id) AS BIGINT) AS rnk
+         |  FROM scored
+         |  QUALIFY rnk <= 10
+         |),
+         |rel AS (
+         |  SELECT r.query_id, r.rnk,
+         |         CAST(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS BIGINT) AS rel
+         |  FROM ranked r
+         |  JOIN embeddings ql ON ql.vec_id = r.query_id
+         |  JOIN embeddings nl ON nl.vec_id = r.vec_id
+         |)
+         |SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |       CAST(MIN(CASE WHEN rel > 0 THEN rnk END) AS BIGINT) AS first_rel_rank,
+         |       CAST(COALESCE(1000000 // MIN(CASE WHEN rel > 0 THEN rnk END), 0) AS BIGINT) AS rr_ppm
+         |FROM rel GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    "q194_top_principal_component" -> topPcOracle(12, 10000L),
+
+    "q193_pareto_frontier" ->
+      """WITH v AS (
+        |  SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS c,
+        |         CAST(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS v
+        |  FROM documents WHERE n_chars IS NOT NULL AND text IS NOT NULL
+        |)
+        |SELECT p.id, p.c, p.v FROM v p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM v q
+        |  WHERE q.c <= p.c AND q.v >= p.v AND (q.c < p.c OR q.v > p.v))
+        |ORDER BY c, v, id""".stripMargin,
+
+    "q192_rank_sum_test" ->
+      """WITH v AS (
+        |  SELECT CAST(source AS VARCHAR) AS grp, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |),
+        |pv AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS n_v FROM v GROUP BY x),
+        |rk AS (
+        |  SELECT x, n_v, CAST(COALESCE(SUM(n_v) OVER (
+        |    ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_less
+        |  FROM pv
+        |),
+        |tot AS (
+        |  SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+        |         CAST(SUM(n_v*n_v*n_v - n_v) AS BIGINT) AS tie_sum
+        |  FROM pv
+        |),
+        |agg AS (
+        |  SELECT grp,
+        |         CAST(SUM(n_gv * (2*cum_less + n_v + 1)) AS BIGINT) AS r_x2,
+        |         CAST(SUM(n_gv) AS BIGINT) AS n1
+        |  FROM (SELECT grp, x, CAST(COUNT(*) AS BIGINT) AS n_gv FROM v GROUP BY grp, x) gv
+        |  JOIN rk USING (x) GROUP BY grp
+        |),
+        |d AS (
+        |  SELECT grp, n1, n - n1 AS n2,
+        |         r_x2 - n1*(n1+1) AS u_x2,
+        |         r_x2 - n1*(n1+1) - n1*(n - n1) AS delta,
+        |         n, tie_sum
+        |  FROM agg CROSS JOIN tot
+        |)
+        |SELECT grp, n1, n2, u_x2, delta,
+        |       CASE WHEN n1 > 0 AND n2 > 0
+        |            THEN CAST((1000000 * u_x2) // (2*n1*n2) AS BIGINT) END AS cles_ppm,
+        |       CASE WHEN n1 > 0 AND n2 > 0
+        |             AND CAST(n AS HUGEINT)*(n-1)*(n+1) - tie_sum > 0
+        |            THEN CAST((CAST(3000000 AS HUGEINT) * delta * delta * n * (n-1))
+        |                   // (CAST(n1 AS HUGEINT) * n2 *
+        |                      (CAST(n AS HUGEINT)*(n-1)*(n+1) - tie_sum)) AS BIGINT)
+        |       END AS z2_micro
+        |FROM d ORDER BY grp""".stripMargin,
+
     "q191_hilbert_layout" -> hilbertOracle,
 
     "q190_chi_square_terms" ->
@@ -6367,7 +6495,9 @@ object SparkEntry {
       s"SELECT CAST(rank AS INT) AS rank, c1, c2, cnt FROM ($union) ORDER BY rank"
   }
 
-  private def bpeEncodeOracle: String = {
+  /** Shared q96/q196 CTE chain: BPE train + per-word-type greedy
+    * encode, ending in `pieces(w, pl)` next to `tok`. */
+  private def bpePiecesSql: String = {
     val sep = "\u001f"
     val s1 = s"'$sep'"
     val s2 = s"'$sep$sep'"
@@ -6382,7 +6512,7 @@ object SparkEntry {
          |  FROM e${r - 1}
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $bpeTrainSql,
+    s"""$bpeTrainSql,
        |e0 AS MATERIALIZED (
        |  SELECT w,
        |         $s2 || array_to_string(list_transform(range(1, length(w)+1), i -> w[i:i]), $s2) || $s2 AS seq
@@ -6391,7 +6521,13 @@ object SparkEntry {
        |$encodeRounds,
        |pieces AS MATERIALIZED (
        |  SELECT w, list_filter(string_split(seq, $s2), x -> x <> '') AS pl FROM e$bpeOracleMerges
-       |)
+       |)""".stripMargin
+  }
+
+  private def bpeEncodeOracle: String = {
+    val sep = "\u001f"
+    val s1 = s"'$sep'"
+    s"""WITH $bpePiecesSql
        |SELECT t.doc_id,
        |       CAST(COUNT(*) AS BIGINT) AS n_words,
        |       CAST(SUM(length(t.w)) AS BIGINT) AS n_chars_sum,
@@ -6603,6 +6739,81 @@ object SparkEntry {
        |SELECT a_id, b_id, dp, margin2 FROM f
        |WHERE ma = 1 AND mb = 1 AND margin2 > 0
        |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** Mirrors q194: [[graft.operators.Similarity.topPcVector]]'s integer
+    * power iteration replayed as one MATERIALIZED CTE round per
+    * iteration over the (k, l, c) covariance matrix (each round
+    * references the previous vector twice — unmaterialized, the chain
+    * would inline exponentially), then the per-vector projection via
+    * the parallel-unnest ordinality idiom.
+    */
+  private def topPcOracle(iters: Int, compScale: Long): String = {
+    val rounds = (1 to iters).map { t =>
+      s"""w$t AS MATERIALIZED (
+         |  SELECT m.k, SUM(m.c * v.val) AS wv
+         |  FROM m JOIN v${t - 1} v ON v.k = m.l GROUP BY m.k
+         |),
+         |mx$t AS (SELECT MAX(ABS(wv)) AS mx FROM w$t),
+         |v$t AS MATERIALIZED (
+         |  SELECT w.k,
+         |         CASE WHEN x.mx = 0 THEN p.val
+         |              WHEN w.wv < 0 THEN -(((-w.wv) * $compScale) // x.mx)
+         |              ELSE (w.wv * $compScale) // x.mx END AS val
+         |  FROM w$t w CROSS JOIN mx$t x JOIN v${t - 1} p ON p.k = w.k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantizedEmbeddings,
+       |g AS MATERIALIZED (
+       |  SELECT i.i AS di, j.j AS dj,
+       |         CAST(COUNT(*) AS BIGINT) AS nv,
+       |         CAST(SUM(qe[CAST(i.i AS INT) + 1]) AS BIGINT) AS si,
+       |         CAST(SUM(qe[CAST(j.j AS INT) + 1]) AS BIGINT) AS sj,
+       |         CAST(SUM(qe[CAST(i.i AS INT) + 1] * qe[CAST(j.j AS INT) + 1]) AS BIGINT) AS sp
+       |  FROM n
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS i) i
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j
+       |  WHERE i.i <= j.j
+       |  GROUP BY di, dj
+       |),
+       |m AS MATERIALIZED (
+       |  SELECT di AS k, dj AS l,
+       |         CAST(nv AS HUGEINT)*sp - CAST(si AS HUGEINT)*sj AS c
+       |  FROM g
+       |  UNION ALL
+       |  SELECT dj, di, CAST(nv AS HUGEINT)*sp - CAST(si AS HUGEINT)*sj
+       |  FROM g WHERE di <> dj
+       |),
+       |d0 AS (SELECT k FROM m WHERE k = l ORDER BY c DESC, k LIMIT 1),
+       |v0 AS MATERIALIZED (
+       |  SELECT k, CASE WHEN k = (SELECT k FROM d0)
+       |                 THEN CAST($compScale AS HUGEINT)
+       |                 ELSE CAST(0 AS HUGEINT) END AS val
+       |  FROM (SELECT DISTINCT k FROM m) kk
+       |),
+       |$rounds,
+       |km AS (SELECT k FROM v$iters ORDER BY ABS(val) DESC, k LIMIT 1),
+       |sg AS (SELECT CASE WHEN (SELECT val FROM v$iters
+       |                         WHERE k = (SELECT k FROM km)) < 0
+       |              THEN -1 ELSE 1 END AS s),
+       |vf AS MATERIALIZED (
+       |  SELECT v.k, v.val * (SELECT s FROM sg) AS val FROM v$iters v
+       |),
+       |u AS (
+       |  SELECT vec_id, unnest(qe) AS q, unnest(range(len(qe))) AS kk FROM n
+       |),
+       |p AS (
+       |  SELECT u.vec_id, CAST(SUM(CAST(u.q AS HUGEINT) * vf.val) AS BIGINT) AS proj
+       |  FROM u JOIN vf ON vf.k = u.kk GROUP BY u.vec_id
+       |),
+       |tot AS (
+       |  SELECT (SELECT CAST(MAX(nv) AS HUGEINT) FROM g) AS nn,
+       |         (SELECT SUM(CAST(gg.si AS HUGEINT) * vf.val)
+       |          FROM g gg JOIN vf ON vf.k = gg.di WHERE gg.di = gg.dj) AS vs
+       |)
+       |SELECT p.vec_id, p.proj,
+       |       CAST(tot.nn * p.proj - tot.vs AS BIGINT) AS proj_centered_xn
+       |FROM p CROSS JOIN tot ORDER BY p.vec_id""".stripMargin
   }
 
   /** Mirrors q191: [[graft.sources.Sinks.withHilbertValue]]'s 21-level

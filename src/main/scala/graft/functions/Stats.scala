@@ -599,6 +599,29 @@ object Stats {
       .drop("sum_prec_ppm")
   }
 
+  /** Reciprocal rank of the first relevant hit per ranked run — the
+    * known-item / navigational eval next to [[averagePrecision]]'s
+    * order-sensitive average: "how deep does a user dig before the
+    * first good result?". Exact ppm (`⌊10⁶/first_rel_rank⌋`, 0 when no
+    * hit lands in the top k — the standard MRR convention); the mean
+    * over queries is the consumer's one division. Input is the same
+    * `(query_id, rnk, rel)` run shape every ranking eval here shares.
+    *
+    * Scale: one filter + one map-side-combinable min/count aggregate
+    * per query — no window, no join.
+    */
+  def reciprocalRank(runs: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    runs
+      .select(col("query_id"), col("rnk").cast("long").as("rnk"), col("rel").cast("long").as("rel"))
+      .filter(col("rnk") <= k.toLong)
+      .groupBy(col("query_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        min(when(col("rel") > 0L, col("rnk"))).as("first_rel_rank"))
+      .withColumn("rr_ppm", coalesce(expr("1000000 div first_rel_rank"), lit(0L)))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two categorical
     * raters (a cheap gate vs its expensive teacher, two annotators, two
     * model versions), the "is the agreement better than the base rates
@@ -712,5 +735,81 @@ object Stats {
             expr("(1000000 * (concordant - discordant)) div ((n_items * (n_items - 1)) div 2)"))
             .otherwise(
               -expr("(1000000 * (discordant - concordant)) div ((n_items * (n_items - 1)) div 2)"))))
+  }
+
+  /** Mann–Whitney rank-sum test of an integer measure, each group
+    * against the REST of the pooled sample — the distribution-free
+    * "did corpus version B shift the length/quality distribution?"
+    * check a pipeline team runs before trusting per-source means
+    * ([[groupedStats]] assumes the mean is the story; this does not).
+    *
+    * One pooled ranking serves every comparison: midranks come from the
+    * per-distinct-value counts (`2·midrank(v) = 2·|{u < v}| + n_v + 1`
+    * — integer, so ties cost no fractions), each group's doubled rank
+    * sum `R·2` folds over its value counts, and the classic identities
+    * give exact integers end to end:
+    * {{{
+    *   U·2        = R·2 − n1(n1+1)            // doubled Mann-Whitney U
+    *   delta      = U·2 − n1·n2               // 2(U − E[U]); sign = direction
+    *   cles_ppm   = ⌊10⁶·U·2 / (2·n1·n2)⌋     // P(group value > rest), ties half
+    *   z2_micro   = ⌊10⁶·3·delta²·n(n−1) / (n1·n2·(n(n−1)(n+1) − T))⌋
+    * }}}
+    * with `T = Σ(t³−t)` the standard tie correction — `z2_micro` is the
+    * SQUARED normal-approximation z-score in micro-units (one-sided
+    * direction is `delta`'s sign), carried in DECIMAL(38,0)/HUGEINT.
+    * Headroom: the numerator is ≤ 3·10⁶·n⁶/16, exact to n ≈ 2·10⁵
+    * pooled rows ([[graft.functions.TextAnalysis.chiSquareTerms]]'s
+    * documented-headroom convention); an all-tied pool (every value
+    * equal) makes the variance 0 and yields NULL, not a division error.
+    *
+    * Scale: two value-keyed aggregates (map-side combined) + one window
+    * over DISTINCT measure values — state is bounded by the value
+    * domain (lengths, centi-scores), never row count — then a
+    * group-count-sized agg and one broadcast of the 1-row totals.
+    */
+  def rankSumTest(df: DataFrame, group: Column, x: Column): DataFrame = {
+    val dec = DataTypes.createDecimalType(38, 0)
+    val v = df
+      .select(group.cast("string").as("grp"), x.cast("long").as("x"))
+      .filter(col("grp").isNotNull && col("x").isNotNull)
+    val perVal = v.groupBy(col("x")).agg(count(lit(1)).as("n_v"))
+    val wcum = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = perVal
+      .withColumn("cum_less", coalesce(sum(col("n_v")).over(wcum), lit(0L)))
+      .withColumn("mid2", lit(2L) * col("cum_less") + col("n_v") + lit(1L))
+    val tot = perVal.agg(
+      sum(col("n_v")).as("n"),
+      sum(col("n_v") * col("n_v") * col("n_v") - col("n_v")).as("tie_sum"))
+    val n1d = col("n1").cast(dec)
+    val n2d = col("n2").cast(dec)
+    val nd = col("n").cast(dec)
+    val deltaD = col("delta").cast(dec)
+    v.groupBy(col("grp"), col("x"))
+      .agg(count(lit(1)).as("n_gv"))
+      .join(ranked, Seq("x"))
+      .groupBy(col("grp"))
+      .agg(sum(col("n_gv") * col("mid2")).as("r_x2"), sum(col("n_gv")).as("n1"))
+      .crossJoin(broadcast(tot))
+      .withColumn("n2", col("n") - col("n1"))
+      .withColumn("u_x2", col("r_x2") - col("n1") * (col("n1") + lit(1L)))
+      .withColumn("delta", col("u_x2") - col("n1") * col("n2"))
+      .withColumn(
+        "cles_ppm",
+        when(col("n1") > 0L && col("n2") > 0L,
+          expr("(1000000 * u_x2) div (2 * n1 * n2)")))
+      .withColumn(
+        "_num",
+        lit(3000000L).cast(dec) * deltaD * deltaD * nd * (nd - lit(1L).cast(dec)))
+      .withColumn(
+        "_den",
+        n1d * n2d * (nd * (nd - lit(1L).cast(dec)) * (nd + lit(1L).cast(dec)) -
+          col("tie_sum").cast(dec)))
+      .withColumn(
+        "z2_micro",
+        when(col("_den") > lit(0L).cast(dec),
+          expr("_num div _den").cast("long")))
+      .select(
+        col("grp"), col("n1"), col("n2"), col("u_x2"), col("delta"),
+        col("cles_ppm"), col("z2_micro"))
   }
 }

@@ -1178,6 +1178,38 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Corpus-level compression scorecard for ONE tokenizer family's
+    * encode output (the [[bpeEncodeWords]]/[[unigramEncodeWords]] shape:
+    * one row per word occurrence with its `pieces`): total words, word
+    * chars, and pieces; distinct pieces actually USED (vocabulary
+    * utilization — a trained vocab earning its size shows here); and
+    * chars-per-piece in exact ppm, the compression rate users compare
+    * tokenizer families ON. One row per family, unionByName-able.
+    *
+    * Scale: one narrow aggregate over the encode stream plus one
+    * distinct-aggregate over exploded pieces (vocab-bounded after the
+    * map-side partial). The encode input is evaluated once per leg —
+    * callers comparing several families over the same corpus should
+    * persist the shared training tables, not this eval.
+    */
+  def tokenizerScorecard(encoded: DataFrame, family: String): DataFrame = {
+    val totals = encoded.agg(
+      count(lit(1)).as("n_words"),
+      sum(length(col("w"))).cast("long").as("n_chars"),
+      sum(col("n_pieces")).cast("long").as("n_pieces"))
+    val distinctPieces = encoded
+      .select(explode(col("pieces")).as("p"))
+      .agg(countDistinct(col("p")).as("distinct_pieces"))
+    totals.crossJoin(distinctPieces)
+      .withColumn("family", lit(family))
+      .withColumn(
+        "cpp_ppm",
+        when(col("n_pieces") > 0L, expr("(1000000 * n_chars) div n_pieces")))
+      .select(
+        col("family"), col("n_words"), col("n_chars"), col("n_pieces"),
+        col("distinct_pieces"), col("cpp_ppm"))
+  }
+
   /** Apply a [[trainQualityWeights]]-shaped model: each document's score
     * is the dot product of its token counts with the weight table
     * (tokens outside the table contribute 0 — the open-vocabulary

@@ -1140,4 +1140,73 @@ object Curation {
       // homogeneous (every member shares "unknown") and still at risk.
       .withColumn("at_risk", col("cnt") < k || col("l_diversity") <= 1L)
   }
+
+  /** Pareto frontier (skyline) over a cost/value tradeoff — the corpus
+    * points no other point beats on BOTH axes (lower `cost`, higher
+    * `value`, strictly better on at least one): the non-dominated set a
+    * budgeted curation pass picks from before any weighted-score
+    * heuristic commits to ONE exchange rate between the axes. Exact
+    * duplicates on both axes don't dominate each other and all survive.
+    *
+    * Two phases, the prune proven lossless by construction (the oracle
+    * is the brute-force NOT-EXISTS dominance join — the hash match is
+    * the proof, the q139/q183 discipline):
+    *
+    *  1. GRID PRUNE: each point lands in a `grid`×`grid` cell over the
+    *     observed extents (the equi-width integer-div binning the
+    *     histogram/calibration operators use). A cell with a nonempty
+    *     cell strictly northwest of it (lower cost bin AND higher value
+    *     bin) is wholly dominated — any point there has strictly lower
+    *     cost and strictly higher value, because equi-width bins don't
+    *     overlap. Cell stats are a grid²-bounded aggregate; the live-cell
+    *     set (prefix-max over cost bins of the best value bin) broadcasts
+    *     back over the scan, so the corpus is never shuffled to prune.
+    *  2. EXACT SKYLINE of the survivors: per distinct surviving cost the
+    *     max value, then one window over distinct costs keeps each where
+    *     the prefix max over STRICTLY cheaper costs doesn't reach it —
+    *     tie semantics exactly the dominance definition. The window runs
+    *     over distinct surviving costs only: after the prune those hug
+    *     the frontier band (≤ grid cells deep), not the corpus.
+    *
+    * Scale: one extents row + one grid²-bounded agg + the survivor
+    * filter (all broadcast joins over one scan), then windows over
+    * frontier-band cardinalities. No all-pairs anything.
+    */
+  def paretoFrontier(
+      df: DataFrame,
+      id: Column,
+      cost: Column,
+      value: Column,
+      grid: Int = 64): DataFrame = {
+    require(grid >= 2 && grid <= 1024, s"grid=$grid out of range [2, 1024]")
+    val v = df
+      .select(id.as("id"), cost.cast("long").as("c"), value.cast("long").as("v"))
+      .filter(col("c").isNotNull && col("v").isNotNull)
+    val ext = v.agg(
+      min(col("c")).as("clo"), max(col("c")).as("chi"),
+      min(col("v")).as("vlo"), max(col("v")).as("vhi"))
+    val withCell = v.crossJoin(broadcast(ext))
+      .withColumn("ci", expr(s"($grid * (c - clo)) div (chi - clo + 1)"))
+      .withColumn("vj", expr(s"($grid * (v - vlo)) div (vhi - vlo + 1)"))
+      .drop("clo", "chi", "vlo", "vhi")
+    val cells = withCell.groupBy(col("ci"), col("vj")).agg(count(lit(1)).as("n_pts"))
+    val wci = Window.orderBy(col("ci")).rowsBetween(Window.unboundedPreceding, -1)
+    val live = cells
+      .groupBy(col("ci")).agg(max(col("vj")).as("maxvj"))
+      .withColumn("prevmax", max(col("maxvj")).over(wci))
+      .join(cells, Seq("ci"))
+      .filter(col("prevmax").isNull || col("prevmax") <= col("vj"))
+      .select(col("ci"), col("vj"))
+    val survivors = withCell.join(broadcast(live), Seq("ci", "vj"))
+    val wc = Window.orderBy(col("c")).rowsBetween(Window.unboundedPreceding, -1)
+    val sky = survivors
+      .groupBy(col("c")).agg(max(col("v")).as("maxv"))
+      .withColumn("pm", max(col("maxv")).over(wc))
+      .filter(col("pm").isNull || col("pm") < col("maxv"))
+      .select(col("c"), col("maxv").as("v"))
+    // Plain join, not broadcast: a worst-case frontier (all costs distinct,
+    // value strictly falling) is corpus-sized, and both sides here are
+    // already frontier-band-bounded by the prune.
+    survivors.join(sky, Seq("c", "v")).select(col("id"), col("c"), col("v"))
+  }
 }

@@ -1565,4 +1565,78 @@ object Similarity {
         coalesce(col("cos_rank"), lit(0)).as("cos_rank"),
         coalesce(col("l2_rank"), lit(0)).as("l2_rank"))
   }
+
+  /** Top principal component of the embedding corpus by DETERMINISTIC
+    * integer power iteration on the exact scaled covariance — the
+    * [[gramMatrix]] consumer PCA prep implies: `C = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ`
+    * (n² × covariance — same eigenvectors, zero divisions). The whole
+    * iteration runs DRIVER-SIDE on the collected d(d+1)/2 sufficient
+    * statistics (the bounded-collect class the Lloyd trainers pinned):
+    * `v ← C·v`, renormalized each round to `compScale` by the max
+    * absolute component via sign-split nonnegative division (trunc ≡
+    * floor where both engines agree), `iters` fixed rounds, start =
+    * `compScale` on the largest-variance dimension (ties → lowest),
+    * final sign fixed positive at the largest-|component| (ties →
+    * lowest). Every step is exact BigInt → any engine replays it
+    * bit-identically; `iters` trades eigenvector accuracy, never
+    * determinism.
+    */
+  def topPcVector(
+      embeddings: DataFrame,
+      iters: Int = 12,
+      dim: Int = 64,
+      compScale: Long = 10000L): (Long, Array[Long], Array[Long]) = {
+    require(iters >= 1 && iters <= 60, s"iters=$iters out of range [1, 60]")
+    val rows = gramMatrix(embeddings).collect()
+    val C = Array.fill[BigInt](dim, dim)(BigInt(0))
+    val sums = Array.fill[Long](dim)(0L)
+    var n = 0L
+    rows.foreach { r =>
+      val i = r.getAs[Int]("dim_i"); val j = r.getAs[Int]("dim_j")
+      n = r.getAs[Long]("n_vecs")
+      val c = BigInt(n) * r.getAs[Long]("sum_prod") -
+        BigInt(r.getAs[Long]("sum_i")) * r.getAs[Long]("sum_j")
+      C(i)(j) = c; C(j)(i) = c
+      if (i == j) sums(i) = r.getAs[Long]("sum_i")
+    }
+    var d0 = 0
+    (1 until dim).foreach { k => if (C(k)(k) > C(d0)(d0)) d0 = k }
+    var v = Array.tabulate[BigInt](dim)(k => if (k == d0) BigInt(compScale) else BigInt(0))
+    (1 to iters).foreach { _ =>
+      val w = Array.tabulate[BigInt](dim)(i => (0 until dim).map(j => C(i)(j) * v(j)).sum)
+      val m = w.map(_.abs).max
+      if (m > 0)
+        v = w.map(x => if (x < 0) -((-x) * compScale / m) else x * compScale / m)
+    }
+    var km = 0
+    (1 until dim).foreach { k => if (v(k).abs > v(km).abs) km = k }
+    if (v(km) < 0) v = v.map(x => -x)
+    (n, v.map(_.toLong), sums)
+  }
+
+  /** Every vector's exact projection on [[topPcVector]]'s component:
+    * `proj = Σ v_k·q_k` (BIGINT, `compScale`·quantization units) and the
+    * centered projection scaled by n, `proj_centered_xn = n·proj −
+    * Σ v_k·Σx_k` — integer so the mean-shift costs no division; the
+    * corpus-wide sum of `proj_centered_xn` is exactly 0. The component
+    * is a d-sized literal compiled into one narrow scan (the
+    * [[randomProject]] shape — no join, no shuffle); headroom is
+    * `n·d·compScale·|q|` ≈ 2·10¹² per row times n, exact in BIGINT to
+    * ~10⁶ vectors at the defaults.
+    */
+  def topPrincipalComponent(
+      embeddings: DataFrame,
+      iters: Int = 12,
+      dim: Int = 64,
+      compScale: Long = 10000L): DataFrame = {
+    val (n, v, sums) = topPcVector(embeddings, iters, dim, compScale)
+    val shift = v.indices.map(k => BigInt(v(k)) * sums(k)).sum
+    require(
+      shift.abs < BigInt(Long.MaxValue) / math.max(n, 1L),
+      s"centered-projection headroom exceeded (n=$n): lower compScale")
+    embeddings
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+      .select(col("vec_id"), dot(col("qe"), typedLit(v.toSeq)).as("proj"))
+      .withColumn("proj_centered_xn", lit(n) * col("proj") - lit(shift.toLong))
+  }
 }

@@ -652,4 +652,37 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("grp") -> r.getAs[Long]("n")).toMap
     assert(quiet === Map("a" -> 2L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("paretoFrontier: hand-computed skyline keeps ties only as exact duplicates") {
+    // (cost, value): lower cost better, higher value better.
+    //  1:(1,5) frontier; 2:(2,5) dominated by 1 (equal value, dearer);
+    //  3:(2,7) frontier; 4:(3,7) dominated by 3; 5/6:(3,9) duplicate
+    //  frontier pair (neither dominates the other); 7:(4,8) dominated
+    //  by 5; 8:(4,10) frontier.
+    val df = Seq(
+      (1L, 1L, 5L), (2L, 2L, 5L), (3L, 2L, 7L), (4L, 3L, 7L),
+      (5L, 3L, 9L), (6L, 3L, 9L), (7L, 4L, 8L), (8L, 4L, 10L))
+      .toDF("pid", "c0", "v0")
+    val out = Curation.paretoFrontier(df, col("pid"), col("c0"), col("v0"), grid = 2)
+      .collect().map(_.getAs[Long]("id")).sorted
+    assert(out.toSeq === Seq(1L, 3L, 5L, 6L, 8L))
+  }
+
+  test("paretoFrontier: grid prune is lossless vs the brute-force dominance join") {
+    // 200 deterministic points with heavy ties; a coarse grid stresses
+    // the prune (more survivors, same frontier).
+    val pts = (0 until 200).map { i =>
+      val c = (i * 37 % 50).toLong
+      (i.toLong, c, (i * 91 + c * 13) % 40L)
+    }
+    for (g <- Seq(2, 8, 64)) {
+      val fast = Curation.paretoFrontier(
+          pts.toDF("pid", "c0", "v0"), col("pid"), col("c0"), col("v0"), grid = g)
+        .collect().map(_.getAs[Long]("id")).sorted
+      val brute = pts.filter { case (_, c, v) =>
+        !pts.exists { case (_, c2, v2) => c2 <= c && v2 >= v && (c2 < c || v2 > v) }
+      }.map(_._1).sorted
+      assert(fast.toSeq === brute, s"grid=$g")
+    }
+  }
 }

@@ -1489,4 +1489,32 @@ class DedupSimilaritySpec extends SparkSpec {
       "a shared w+k-1 token run must produce at least one shared fingerprint")
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
+
+  private def pcCloud = Seq(
+    (0L, Seq(0.1f, 2.0f, 0.0f, 0.0f)),
+    (1L, Seq(-0.1f, -2.0f, 0.0f, 0.0f)),
+    (2L, Seq(0.1f, 1.5f, 0.0f, 0.0f)),
+    (3L, Seq(-0.1f, -1.5f, 0.0f, 0.0f)))
+    .toDF("vec_id", "embedding")
+
+  test("topPcVector: dominant axis at full scale, correlated noise small, dead dims zero") {
+    val (n, v, sums) = Similarity.topPcVector(pcCloud, iters = 12, dim = 4)
+    assert(n === 4L)
+    assert(v(1) === 10000L, "variance concentrates on dim 1 -> full component scale")
+    assert(v(0) > 0L && v(0) < 1000L, "dim 0 rides along (positively correlated, small)")
+    assert(v(2) === 0L && v(3) === 0L)
+    assert(sums(1) === (2000000L - 2000000L + 1500000L - 1500000L))
+    // Partitioning invariance: exact integer sufficient statistics.
+    val (_, v7, _) = Similarity.topPcVector(pcCloud.repartition(7), iters = 12, dim = 4)
+    assert(v7.toSeq === v.toSeq)
+  }
+
+  test("topPrincipalComponent: centered projections sum to exactly zero, ordered by the axis") {
+    val out = Similarity.topPrincipalComponent(pcCloud, iters = 12, dim = 4)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("proj"), r.getAs[Long]("proj_centered_xn"))).toMap
+    assert(out.values.map(_._2).sum === 0L)
+    // Projections order with the dominant coordinate: 0 > 2 > 3 > 1.
+    assert(out(0L)._1 > out(2L)._1 && out(2L)._1 > out(3L)._1 && out(3L)._1 > out(1L)._1)
+  }
 }

@@ -648,4 +648,51 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("n_items") === 1L)
     assert(out(4L).isNullAt(out(4L).fieldIndex("tau_ppm")))
   }
+
+  test("reciprocalRank: first-hit rank in exact ppm, zero when the run has no hit") {
+    // q1: first hit at rank 3 -> 333333; q2: hit at 1 -> 1000000;
+    // q3: no hits -> NULL first rank, rr 0; rank 11 is beyond k and ignored.
+    val runs = Seq(
+      (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 1L), (1L, 4L, 1L),
+      (2L, 1L, 1L),
+      (3L, 1L, 0L), (3L, 2L, 0L), (3L, 11L, 1L))
+      .toDF("query_id", "rnk", "rel")
+    val out = Stats.reciprocalRank(runs, 10).collect()
+      .map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out(1L).getAs[Long]("first_rel_rank") === 3L)
+    assert(out(1L).getAs[Long]("rr_ppm") === 333333L)
+    assert(out(2L).getAs[Long]("rr_ppm") === 1000000L)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("first_rel_rank")))
+    assert(out(3L).getAs[Long]("rr_ppm") === 0L)
+  }
+
+  test("rankSumTest: hand-computed doubled U, delta, CLES, and tie-corrected z²") {
+    // Pool: A={1,2}, B={2,3,3}. Midranks 1, 2.5, 2.5, 4.5, 4.5.
+    //   A: R=3.5 -> r_x2=7, U·2=1 (one tie pair), delta=-5, CLES=1/12.
+    //   T=12, z² = 25·(3/(2.7·4)) ... = 2.314814 -> micro 2314814.
+    val df = Seq(("A", 1L), ("A", 2L), ("B", 2L), ("B", 3L), ("B", 3L))
+      .toDF("g", "v")
+    val out = Stats.rankSumTest(df, col("g"), col("v")).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    val a = out("A")
+    assert(a.getAs[Long]("n1") === 2L && a.getAs[Long]("n2") === 3L)
+    assert(a.getAs[Long]("u_x2") === 1L)
+    assert(a.getAs[Long]("delta") === -5L)
+    assert(a.getAs[Long]("cles_ppm") === 83333L)
+    assert(a.getAs[Long]("z2_micro") === 2314814L)
+    // Each-vs-rest symmetry for two groups: deltas negate, z² agrees.
+    val b = out("B")
+    assert(b.getAs[Long]("u_x2") === 11L)
+    assert(b.getAs[Long]("delta") === 5L)
+    assert(b.getAs[Long]("z2_micro") === 2314814L)
+  }
+
+  test("rankSumTest: an all-tied pool gives CLES exactly half and NULL z²") {
+    val df = Seq(("A", 7L), ("A", 7L), ("B", 7L)).toDF("g", "v")
+    val out = Stats.rankSumTest(df, col("g"), col("v")).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    assert(out("A").getAs[Long]("cles_ppm") === 500000L)
+    assert(out("A").isNullAt(out("A").fieldIndex("z2_micro")))
+    assert(out("B").getAs[Long]("cles_ppm") === 500000L)
+  }
 }
