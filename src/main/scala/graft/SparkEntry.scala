@@ -576,6 +576,21 @@ object SparkEntry {
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket")),
 
+    // Tokenizer-family scorecard: BPE vs unigram-LM trained on the SAME
+    // corpus, compared on the numbers users actually pick tokenizers by
+    // — corpus compression (chars per piece, exact ppm) and vocabulary
+    // utilization (distinct pieces actually used). One row per family.
+    "q196_tokenizer_scorecard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bpe = TextAnalysis.bpeEncodeWords(
+        docs, TextAnalysis.bpeTrainMerges(docs, numMerges = bpeOracleMerges))
+      val uni = TextAnalysis.unigramEncodeWords(
+        docs, TextAnalysis.unigramTrainVocab(docs))
+      TextAnalysis.tokenizerScorecard(bpe, "bpe")
+        .unionByName(TextAnalysis.tokenizerScorecard(uni, "unigram"))
+        .orderBy("family")
+    }),
+
     // Mean-reciprocal-rank inputs on the shared retrieval run: the
     // known-item "how deep is the first same-label hit?" eval next to
     // q167's AP and q166's NDCG — first relevant rank + exact-ppm
@@ -3655,6 +3670,8 @@ object SparkEntry {
          |       CAST(COALESCE(1000000 // MIN(CASE WHEN rel > 0 THEN rnk END), 0) AS BIGINT) AS rr_ppm
          |FROM rel GROUP BY query_id ORDER BY query_id""".stripMargin,
 
+    "q196_tokenizer_scorecard" -> tokenizerScorecardOracle,
+
     "q194_top_principal_component" -> topPcOracle(12, 10000L),
 
     "q193_pareto_frontier" ->
@@ -6485,6 +6502,57 @@ object SparkEntry {
        |FROM tok t JOIN seg$enc s USING (w)
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** Mirrors q196: both tokenizer families' full train+encode chains,
+    * each scoped inside its OWN subquery-level WITH (the two chains
+    * share CTE names like `tok`/`ty` — subquery scoping keeps them
+    * apart), aggregated to the per-family compression scorecard.
+    */
+  private def tokenizerScorecardOracle: String = {
+    val sep = "\u001f"
+    val enc = uniRounds + 1
+    s"""SELECT * FROM (
+       |SELECT 'bpe' AS family, b.* FROM (
+       |  WITH $bpePiecesSql,
+       |  j AS MATERIALIZED (
+       |    SELECT t.w, p.pl FROM tok t JOIN pieces p USING (w)
+       |  ),
+       |  t1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       |                CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       |                CAST(SUM(len(pl)) AS BIGINT) AS n_pieces FROM j),
+       |  t2 AS (SELECT CAST(COUNT(DISTINCT piece) AS BIGINT) AS distinct_pieces
+       |         FROM (SELECT unnest(pl) AS piece FROM j))
+       |  SELECT t1.n_words, t1.n_chars, t1.n_pieces, t2.distinct_pieces,
+       |         CASE WHEN t1.n_pieces > 0
+       |              THEN CAST((1000000 * t1.n_chars) // t1.n_pieces AS BIGINT)
+       |         END AS cpp_ppm
+       |  FROM t1 CROSS JOIN t2
+       |) b
+       |UNION ALL
+       |SELECT 'unigram' AS family, u.* FROM (
+       |  WITH $uniTrainSql,
+       |  c$enc AS MATERIALIZED (
+       |    SELECT p, length(bin((SELECT SUM(cnt) FROM v$uniRounds))) - length(bin(cnt)) AS cost
+       |    FROM v$uniRounds
+       |  ),
+       |  ${uniDpSql(enc.toString, s"c$enc")},
+       |  j AS MATERIALIZED (
+       |    SELECT t.w, string_split(s.path, '$sep') AS pl
+       |    FROM tok t JOIN seg$enc s USING (w)
+       |  ),
+       |  t1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       |                CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       |                CAST(SUM(len(pl)) AS BIGINT) AS n_pieces FROM j),
+       |  t2 AS (SELECT CAST(COUNT(DISTINCT piece) AS BIGINT) AS distinct_pieces
+       |         FROM (SELECT unnest(pl) AS piece FROM j))
+       |  SELECT t1.n_words, t1.n_chars, t1.n_pieces, t2.distinct_pieces,
+       |         CASE WHEN t1.n_pieces > 0
+       |              THEN CAST((1000000 * t1.n_chars) // t1.n_pieces AS BIGINT)
+       |         END AS cpp_ppm
+       |  FROM t1 CROSS JOIN t2
+       |) u
+       |) ORDER BY family""".stripMargin
   }
 
   private def bpeMergesOracle: String = {

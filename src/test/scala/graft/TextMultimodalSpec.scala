@@ -1088,4 +1088,23 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f.r_mean.get === (10 + 40 + 11 + 44) / 4.0)
     assert(f.max_px.get === 66)
   }
+
+  test("tokenizerScorecard: totals, distinct pieces used, exact chars-per-piece ppm") {
+    // 3 word occurrences, 8 chars, 5 pieces over 3 distinct pieces:
+    // cpp = 8/5 -> 1600000 ppm exactly.
+    val enc = Seq(
+      ("abc", Seq("ab", "c"), 2L),
+      ("abc", Seq("ab", "c"), 2L),
+      ("dd", Seq("dd"), 1L))
+      .toDF("w", "pieces", "n_pieces")
+    val out = TextAnalysis.tokenizerScorecard(enc, "x").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[String]("family") === "x")
+    assert(r.getAs[Long]("n_words") === 3L)
+    assert(r.getAs[Long]("n_chars") === 8L)
+    assert(r.getAs[Long]("n_pieces") === 5L)
+    assert(r.getAs[Long]("distinct_pieces") === 3L)
+    assert(r.getAs[Long]("cpp_ppm") === 1600000L)
+  }
 }
