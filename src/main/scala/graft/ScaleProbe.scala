@@ -308,7 +308,26 @@ object ScaleProbe {
       "q174_mulaw_features" -> byteFactor,
       // Margin sampling: labels-sized centroid aggregate + one scored
       // scan + TakeOrdered — per-row CPU class.
-      "q177_margin_sampling" -> rowFactor)
+      "q177_margin_sampling" -> rowFactor,
+      // r14 batch-3 (persist-free; q188/q196 persist internally and are
+      // bracket-measured below):
+      // sequential patterns: session window + per-session pair
+      // expansion bounded by session sizes (replica-preserved) — the
+      // q171 basket class on events.
+      "q189_sequential_pairs" -> rowFactor,
+      // chi-square terms: one distinct-token scan + label join,
+      // vocab-keyed 2x2 aggregate; alpha tracks the token scan.
+      "q190_chi_square_terms" -> byteFactor,
+      // rank-sum test: reads only (source, n_chars) — row-driven, the
+      // value-domain window is bounded by distinct lengths, not rows.
+      "q192_rank_sum_test" -> rowFactor,
+      // Pareto frontier: textStats scan + grid²-bounded cell agg +
+      // broadcast prune — alpha must track the text scan alone.
+      "q193_pareto_frontier" -> byteFactor,
+      // top principal component: one Gram scan (n·d² collapsing to a
+      // dimension-sized exchange) + one literal-projection scan;
+      // embeddings replicate by rows.
+      "q194_top_principal_component" -> rowFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
@@ -466,6 +485,15 @@ object ScaleProbe {
     bracket("q175_kcenter", SparkEntry.queries("q175_kcenter"), rowFactor)
     bracket("q178_personalized_pagerank",
       SparkEntry.queries("q178_personalized_pagerank"), byteFactor)
+    // r14 batch-3 internally-persisting operators: HITS materializes
+    // per-round hub/authority state over the rare-shingle graph (edge
+    // structure replicates per copy → byteFactor, the q136/q178
+    // argument); the tokenizer scorecard trains BOTH families
+    // (driver-side loops over collected vocab tables) and re-encodes
+    // per leg — cost is corpus token scans end to end.
+    bracket("q188_hits", SparkEntry.queries("q188_hits"), byteFactor)
+    bracket("q196_tokenizer_scorecard",
+      SparkEntry.queries("q196_tokenizer_scorecard"), byteFactor)
 
     val fnFlag = SparkEntry.queries("q03_training_examples")
     val mf1 = measure(spark, fnFlag, sfDir)

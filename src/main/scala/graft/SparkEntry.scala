@@ -576,6 +576,18 @@ object SparkEntry {
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket")),
 
+    // Embedding drift between two corpus halves (even vs odd vec_ids as
+    // stand-in versions): per-dimension exact counts/sums + the integer
+    // mean-shift numerator — the encoder-moved / stale-ANN-index audit,
+    // q88's drift idea on the embedding side.
+    "q197_embedding_drift" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Similarity.embeddingDrift(
+        e.filter(pmod(col("vec_id"), lit(2L)) === 0L),
+        e.filter(pmod(col("vec_id"), lit(2L)) === 1L))
+        .orderBy("k")
+    }),
+
     // Tokenizer-family scorecard: BPE vs unigram-LM trained on the SAME
     // corpus, compared on the numbers users actually pick tokenizers by
     // — corpus compression (chars per piece, exact ppm) and vocabulary
@@ -3669,6 +3681,29 @@ object SparkEntry {
          |       CAST(MIN(CASE WHEN rel > 0 THEN rnk END) AS BIGINT) AS first_rel_rank,
          |       CAST(COALESCE(1000000 // MIN(CASE WHEN rel > 0 THEN rnk END), 0) AS BIGINT) AS rr_ppm
          |FROM rel GROUP BY query_id ORDER BY query_id""".stripMargin,
+
+    "q197_embedding_drift" ->
+      s"""WITH $quantizedEmbeddings,
+         |u AS (
+         |  SELECT vec_id, unnest(qe) AS x,
+         |         CAST(unnest(range(len(qe))) AS INT) AS k
+         |  FROM n
+         |),
+         |a AS (
+         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_a, CAST(SUM(x) AS BIGINT) AS sum_a
+         |  FROM u WHERE vec_id % 2 = 0 GROUP BY k
+         |),
+         |b AS (
+         |  SELECT k, CAST(COUNT(*) AS BIGINT) AS n_b, CAST(SUM(x) AS BIGINT) AS sum_b
+         |  FROM u WHERE vec_id % 2 = 1 GROUP BY k
+         |)
+         |SELECT COALESCE(a.k, b.k) AS k,
+         |       COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+         |       COALESCE(sum_a, 0) AS sum_a, COALESCE(sum_b, 0) AS sum_b,
+         |       COALESCE(n_b, 0) * COALESCE(sum_a, 0)
+         |         - COALESCE(n_a, 0) * COALESCE(sum_b, 0) AS shift_num
+         |FROM a FULL OUTER JOIN b ON a.k = b.k
+         |ORDER BY k""".stripMargin,
 
     "q196_tokenizer_scorecard" -> tokenizerScorecardOracle,
 

@@ -1566,6 +1566,38 @@ object Similarity {
         coalesce(col("l2_rank"), lit(0)).as("l2_rank"))
   }
 
+  /** Per-dimension drift report between two embedding corpora (model
+    * version A vs B, last month vs this month): exact counts and
+    * coordinate sums per dimension plus the mean-shift NUMERATOR
+    * `shift_num = n_b·Σa_k − n_a·Σb_k` (the consumer's one division by
+    * `n_a·n_b` recovers `mean_a − mean_b`; kept integer so the report
+    * is engine-bit-identical and map-side combinable). The embedding
+    * twin of q88's token-distribution drift: a nonzero systematic
+    * shift on a dimension means the encoder moved, and downstream ANN
+    * indexes trained on A are stale for B.
+    *
+    * Scale: one `posexplode` scan per side collapsing to d keys inside
+    * the scan pipeline (the [[gramMatrix]] shape, linear d not d²) and
+    * one d-sized join — the corpora are never shuffled. BIGINT
+    * headroom: `n·Σx` ≤ 10⁶ vectors at the quantize scale; past that
+    * lift to DECIMAL(38,0) as [[graft.functions.Stats]] does.
+    */
+  def embeddingDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def sums(df: DataFrame, n: String, s: String) = df
+      .select(posexplode(quantize(col("embedding"))).as(Seq("k", "x")))
+      .groupBy(col("k").cast("int").as("k"))
+      .agg(count(lit(1)).as(n), sum(col("x")).as(s))
+    sums(a, "n_a", "sum_a")
+      .join(sums(b, "n_b", "sum_b"), Seq("k"), "full_outer")
+      .select(
+        col("k"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("sum_a"), lit(0L)).as("sum_a"),
+        coalesce(col("sum_b"), lit(0L)).as("sum_b"))
+      .withColumn("shift_num", col("n_b") * col("sum_a") - col("n_a") * col("sum_b"))
+  }
+
   /** Top principal component of the embedding corpus by DETERMINISTIC
     * integer power iteration on the exact scaled covariance — the
     * [[gramMatrix]] consumer PCA prep implies: `C = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ`

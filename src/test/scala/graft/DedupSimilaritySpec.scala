@@ -1490,6 +1490,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("embeddingDrift: exact per-dim sums and the mean-shift numerator") {
+    val a = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")
+    val b = Seq((2L, Seq(5.0f, 6.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.embeddingDrift(a, b).collect()
+      .map(r => r.getAs[Int]("k") -> r).toMap
+    assert(out(0).getAs[Long]("n_a") === 2L && out(0).getAs[Long]("n_b") === 1L)
+    assert(out(0).getAs[Long]("sum_a") === 4000000L)
+    assert(out(0).getAs[Long]("sum_b") === 5000000L)
+    // 1·4e6 − 2·5e6 = −6e6 (shift/(n_a·n_b) = −3 in quant units = mean_a − mean_b).
+    assert(out(0).getAs[Long]("shift_num") === -6000000L)
+    assert(out(1).getAs[Long]("shift_num") === -6000000L)
+  }
+
   private def pcCloud = Seq(
     (0L, Seq(0.1f, 2.0f, 0.0f, 0.0f)),
     (1L, Seq(-0.1f, -2.0f, 0.0f, 0.0f)),
