@@ -576,6 +576,33 @@ object SparkEntry {
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket")),
 
+    // Perceptual dHash over the REAL binary-PGM decode: segment-mean
+    // difference bits compared by exact cross-multiplication — the
+    // image-side near-dup fingerprint that survives brightness shifts,
+    // ready for the Hamming dedup machinery (q21/q138).
+    "q200_image_dhash" -> ((s, dir) =>
+      Multimodal.pgmDHash(s, Multimodal.toPgm(Tables.documents(s, dir)))
+        .toDF().orderBy("doc_id")),
+
+    // Vocabulary-growth (Heaps-law) curve: per doc-decile, cumulative
+    // tokens vs cumulative distinct word types — the "is more data still
+    // teaching new vocabulary?" corpus-health curve; a type's decile is
+    // its FIRST document's, so the cumulative distincts are one exact
+    // min-bucket aggregate, never distinct-over-prefix re-scans.
+    "q199_vocabulary_growth" -> ((s, dir) =>
+      TextAnalysis.vocabularyGrowth(Tables.documents(s, dir))
+        .orderBy("bucket")),
+
+    // KMV set-overlap audit: how much of the part-key dimension does the
+    // fact table touch, estimated from two 256-row sketches instead of a
+    // full distinct join — exact-integer Jaccard ppm plus the KMV union/
+    // intersection estimates (the broadcast-decision numbers).
+    "q198_kmv_overlap" -> ((s, dir) =>
+      graft.functions.Sketches.kmvOverlap(
+        Tables.lineitem(s, dir).select(col("l_partkey").as("key")),
+        Tables.part(s, dir).select(col("p_partkey").as("key")),
+        "key").orderBy("k_union")),
+
     // Embedding drift between two corpus halves (even vs odd vec_ids as
     // stand-in versions): per-dimension exact counts/sums + the integer
     // mean-shift numerator — the encoder-moved / stale-ANN-index audit,
@@ -3705,6 +3732,64 @@ object SparkEntry {
          |FROM a FULL OUTER JOIN b ON a.k = b.k
          |ORDER BY k""".stripMargin,
 
+    "q200_image_dhash" ->
+      """WITH u AS (
+        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |         unnest(list_transform(range(1, length(text)+1), i -> unicode(text[i:i]))) AS px,
+        |         CAST(unnest(range(0, length(text))) AS BIGINT) AS pos
+        |  FROM documents
+        |),
+        |seg AS (
+        |  SELECT doc_id, n, (pos * 33) // n AS s,
+        |         CAST(SUM(px) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM u GROUP BY doc_id, n, s
+        |),
+        |bits AS (
+        |  SELECT a.doc_id,
+        |         CAST(SUM(CASE WHEN a.sm * b.ct > b.sm * a.ct
+        |                       THEN (CAST(1 AS BIGINT) << CAST(a.s AS INT))
+        |                       ELSE 0 END) AS BIGINT) AS h
+        |  FROM seg a JOIN seg b ON b.doc_id = a.doc_id AND b.s = a.s + 1
+        |  GROUP BY a.doc_id
+        |)
+        |SELECT d.doc_id,
+        |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_px,
+        |       CAST(COALESCE(b.h, 0) AS BIGINT) AS dhash
+        |FROM documents d LEFT JOIN bits b ON b.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q199_vocabulary_growth" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents
+        |),
+        |pd AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM tok GROUP BY doc_id),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM pd),
+        |db AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST((((ROW_NUMBER() OVER (ORDER BY doc_id)) - 1) * 10) // n_docs AS BIGINT) AS bucket
+        |  FROM pd CROSS JOIN tot
+        |),
+        |bt AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+        |         CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+        |  FROM db GROUP BY bucket
+        |),
+        |nt AS (
+        |  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS new_types FROM (
+        |    SELECT w, MIN(db.bucket) AS bucket
+        |    FROM tok JOIN db USING (doc_id) GROUP BY w
+        |  ) GROUP BY bucket
+        |)
+        |SELECT b.bucket, b.n_docs_in,
+        |       CAST(SUM(b.n_tokens) OVER (ORDER BY b.bucket) AS BIGINT) AS tokens_cum,
+        |       COALESCE(nt.new_types, 0) AS new_types,
+        |       CAST(SUM(COALESCE(nt.new_types, 0)) OVER (ORDER BY b.bucket) AS BIGINT) AS types_cum
+        |FROM bt b LEFT JOIN nt USING (bucket)
+        |ORDER BY bucket""".stripMargin,
+
+    "q198_kmv_overlap" -> kmvOverlapOracle(256),
+
     "q196_tokenizer_scorecard" -> tokenizerScorecardOracle,
 
     "q194_top_principal_component" -> topPcOracle(12, 10000L),
@@ -6588,6 +6673,45 @@ object SparkEntry {
        |  FROM t1 CROSS JOIN t2
        |) u
        |) ORDER BY family""".stripMargin
+  }
+
+  /** Mirrors q198: per-side 60-bit-md5 k-minima, the merged union
+    * sketch, and the fixed-association double estimators — the
+    * `(k−1)·2⁶⁰` constant is interpolated as the exact double literal
+    * both engines parse identically.
+    */
+  private def kmvOverlapOracle(k: Int): String = {
+    val c = (k - 1).toDouble * math.pow(2, 60)
+    s"""WITH ma AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM lineitem ORDER BY h LIMIT $k
+       |),
+       |mb AS (
+       |  SELECT DISTINCT CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+       |  FROM part ORDER BY h LIMIT $k
+       |),
+       |u AS (
+       |  SELECT DISTINCT h FROM (SELECT h FROM ma UNION ALL SELECT h FROM mb)
+       |  ORDER BY h LIMIT $k
+       |),
+       |c AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS k_common FROM u
+       |  WHERE h IN (SELECT h FROM ma) AND h IN (SELECT h FROM mb)
+       |),
+       |t AS (SELECT CAST(MAX(h) AS BIGINT) AS kth, CAST(COUNT(*) AS BIGINT) AS k_union FROM u),
+       |d AS (
+       |  SELECT k_union, k_common, kth,
+       |         CASE WHEN k_union < $k THEN CAST(k_union AS DOUBLE)
+       |              ELSE $c / CAST(kth AS DOUBLE) END AS est_union
+       |  FROM t CROSS JOIN c
+       |)
+       |SELECT k_union, k_common, kth,
+       |       CASE WHEN k_union > 0 THEN CAST((1000000 * k_common) // k_union AS BIGINT) END AS jaccard_ppm,
+       |       est_union,
+       |       CASE WHEN k_union > 0
+       |            THEN (CAST(k_common AS DOUBLE) * est_union) / CAST(k_union AS DOUBLE)
+       |       END AS est_common
+       |FROM d ORDER BY k_union""".stripMargin
   }
 
   private def bpeMergesOracle: String = {

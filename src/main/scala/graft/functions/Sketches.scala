@@ -74,6 +74,64 @@ object Sketches {
         when(col("k_actual") < k, col("k_actual").cast("double"))
           .otherwise(lit((k - 1).toDouble * math.pow(2, 60)) / col("kth").cast("double")))
 
+  /** KMV set-overlap estimate between two keysets — the join-size /
+    * broadcast-decision audit ("how much of the part dimension does the
+    * fact table touch?") from two k-row sketches instead of a full
+    * distinct join. The union sketch is the k smallest of the merged
+    * per-side minima (exactly the union corpus's minima — the KMV merge
+    * property [[mergeKmvMinima]] relies on); `k_common` counts union-
+    * sketch hashes present in BOTH sides, giving the standard
+    * estimators:
+    * {{{
+    *   jaccard_ppm = ⌊10⁶·k_common / k_union⌋            // exact integer
+    *   est_union   = (k−1)·2⁶⁰ / kth                      // KMV, exact below k
+    *   est_common  = (k_common · est_union) / k_union     // Jaccard · union
+    * }}}
+    * The doubles are single correctly-rounded IEEE ops on exact inputs
+    * in a fixed association — engine-bit-identical, the [[kmvDistinct]]
+    * discipline.
+    *
+    * Scale: each side ships DISTINCT (60-bit hash) longs through one
+    * map-side-combined distinct + a k-row TakeOrdered; everything after
+    * operates on ≤ 3k rows. Neither input is ever joined to the other.
+    */
+  def kmvOverlap(
+      a: DataFrame,
+      b: DataFrame,
+      valueCol: String,
+      k: Int = 256): DataFrame = {
+    require(k >= 2, "KMV needs k >= 2")
+    def minima(df: DataFrame) = df
+      .select(Hashing.md5Long60(col(valueCol).cast("string")).as("h"))
+      .distinct()
+      .orderBy(col("h"))
+      .limit(k)
+    val ma = minima(a)
+    val mb = minima(b)
+    val u = ma.unionByName(mb).distinct().orderBy(col("h")).limit(k)
+    val common = u
+      .join(ma, Seq("h"), "left_semi")
+      .join(mb, Seq("h"), "left_semi")
+    u.agg(max(col("h")).as("kth"), count(lit(1)).as("k_union"))
+      .crossJoin(broadcast(common.agg(count(lit(1)).as("k_common"))))
+      .withColumn(
+        "jaccard_ppm",
+        when(col("k_union") > 0L, expr("(1000000 * k_common) div k_union")))
+      .withColumn(
+        "est_union",
+        when(col("k_union") < k, col("k_union").cast("double"))
+          .otherwise(
+            lit((k - 1).toDouble * math.pow(2, 60)) / col("kth").cast("double")))
+      .withColumn(
+        "est_common",
+        when(col("k_union") > 0L,
+          (col("k_common").cast("double") * col("est_union")) /
+            col("k_union").cast("double")))
+      .select(
+        col("k_union"), col("k_common"), col("kth"),
+        col("jaccard_ppm"), col("est_union"), col("est_common"))
+  }
+
   /** Deterministic HyperLogLog distinct-count sketch per group, with
     * m = 2^p registers. Register index is the hash's low p bits, the
     * rank ρ is the leading-zero count of the remaining 60−p bits plus

@@ -1178,6 +1178,52 @@ object TextAnalysis {
       .limit(topK)
   }
 
+  /** Vocabulary-growth (Heaps-law) curve: documents in doc_id order are
+    * cut into `buckets` equal-count groups, and each bucket reports the
+    * cumulative tokens seen and the cumulative distinct word TYPES seen
+    * through it — the "is the corpus still teaching the tokenizer new
+    * words?" health curve (a flattening types_cum says more data adds
+    * volume, not vocabulary; a straight line says dedup is failing to
+    * collapse near-copies of the long tail). Exact integers end to end:
+    * a type's bucket is the bucket of its FIRST document (min bucket —
+    * monotone in doc order), so cumulative distinct counts need no
+    * distinct-over-prefix re-scans.
+    *
+    * Scale: one token scan (map-side-combined per-doc counts + the
+    * type→min-bucket aggregate, both vocab/doc-bounded), windows only
+    * over the per-DOC frame (row_number for ranks) and the buckets-sized
+    * curve. The doc-rank window is doc-count-, never token-, sized; a
+    * corpus where even that overflows one task swaps in the q102
+    * literal-boundary prefix-count machinery.
+    */
+  def vocabularyGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"buckets=$buckets out of range [2, 1000]")
+    val tok = spread(docs).select(col("doc_id"), explode(wordsCol).as("w"))
+    val perDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val tot = perDoc.agg(count(lit(1)).as("n_docs"))
+    val db = perDoc.crossJoin(broadcast(tot))
+      .withColumn(
+        "doc_rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+      .withColumn("bucket", expr(s"((doc_rank - 1) * $buckets) div n_docs"))
+      .select(col("doc_id"), col("n_tok"), col("bucket"))
+    val bt = db.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs_in"), sum(col("n_tok")).as("n_tokens"))
+    val nt = tok.join(db.select(col("doc_id"), col("bucket")), Seq("doc_id"))
+      .groupBy(col("w")).agg(min(col("bucket")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    val wb = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    bt.join(nt, Seq("bucket"), "left_outer")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("tokens_cum", sum(col("n_tokens")).over(wb))
+      .withColumn("types_cum", sum(col("new_types")).over(wb))
+      .select(
+        col("bucket"), col("n_docs_in"), col("tokens_cum"),
+        col("new_types"), col("types_cum"))
+  }
+
   /** Corpus-level compression scorecard for ONE tokenizer family's
     * encode output (the [[bpeEncodeWords]]/[[unigramEncodeWords]] shape:
     * one row per word occurrence with its `pieces`): total words, word

@@ -380,6 +380,59 @@ object Multimodal {
         nf.as("n_frames")).as("meta"))
   }
 
+  case class DHashRow(doc_id: Long, n_px: Long, dhash: Long)
+
+  /** Perceptual difference-hash of a binary-PGM image — the image-side
+    * near-dup fingerprint (re-encoded, resampled, or brightness-shifted
+    * copies keep most bits; cryptographic digests keep none). The
+    * raster's pixels are cut into `segs` equal-share segments (segment
+    * of pixel i is `⌊i·segs/n⌋` — the same integer-div binning the
+    * histogram operators use), and bit `s` is set when segment s's mean
+    * EXCEEDS segment s+1's — compared exactly by cross-multiplication
+    * (`sum_s·cnt_{s+1} > sum_{s+1}·cnt_s`), so no division and no
+    * floats; a global brightness shift flips means together and most
+    * bits survive, which is the dHash property. Empty segments (n <
+    * segs) contribute no bit; an empty raster hashes to 0. Headroom:
+    * `255·n²` per comparison — exact to ~1.9·10⁸ pixels per image.
+    *
+    * Pairs with the Hamming machinery (q138's shortlist, q21's SimHash
+    * pairing) for the actual dedup join: group by band or XOR-popcount
+    * on this BIGINT. One decoder pass per image, no shuffle; the
+    * mapPartitions is the codec class where no Catalyst expression
+    * fits ([[PgmDecoder]]'s documented exemption).
+    */
+  def pgmDHash(
+      spark: SparkSession,
+      media: DataFrame,
+      segs: Int = 33): Dataset[DHashRow] = {
+    import spark.implicits._
+    require(segs >= 2 && segs <= 64, s"segs=$segs out of range [2, 64]")
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val (width, height, _, start) = parseNetpbmHeader(id, payload, 0, '5')
+        val n = width.toLong * height
+        require(payload.length - start >= n,
+          s"doc $id: raster truncated (${payload.length - start} bytes for $n pixels)")
+        val sums = Array.fill(segs)(0L)
+        val cnts = Array.fill(segs)(0L)
+        var i = 0L
+        while (i < n) {
+          val s = ((i * segs) / n).toInt
+          sums(s) += payload(start + i.toInt) & 0xff
+          cnts(s) += 1L
+          i += 1L
+        }
+        var h = 0L
+        var s = 0
+        while (s < segs - 1) {
+          if (cnts(s) > 0L && cnts(s + 1) > 0L &&
+            sums(s) * cnts(s + 1) > sums(s + 1) * cnts(s)) h |= 1L << s
+          s += 1
+        }
+        DHashRow(id, n, h)
+      })
+  }
+
   case class FramePgmFeatures(
       doc_id: Long, frame_idx: Int, n_px: Long,
       mean_px: Option[Double], min_px: Option[Int], max_px: Option[Int])

@@ -1490,6 +1490,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("kmvOverlap: below-k path is exact on both union and intersection") {
+    val a = (1L to 10L).toDF("key")
+    val b = (6L to 15L).toDF("key")
+    val r = graft.functions.Sketches.kmvOverlap(a, b, "key", k = 64).collect().head
+    assert(r.getAs[Long]("k_union") === 15L)
+    assert(r.getAs[Long]("k_common") === 5L)
+    assert(r.getAs[Long]("jaccard_ppm") === 333333L)
+    assert(r.getAs[Double]("est_union") === 15.0)
+    assert(r.getAs[Double]("est_common") === 5.0)
+  }
+
+  test("kmvOverlap: sketched estimates land in the ~1/sqrt(k) band on a 3000-key union") {
+    val a = (0L until 2000L).toDF("key")
+    val b = (1000L until 3000L).toDF("key") // union 3000, common 1000
+    val r = graft.functions.Sketches.kmvOverlap(a, b, "key", k = 256).collect().head
+    assert(r.getAs[Long]("k_union") === 256L)
+    assert(math.abs(r.getAs[Double]("est_union") - 3000.0) < 600.0)
+    assert(math.abs(r.getAs[Double]("est_common") - 1000.0) < 350.0)
+  }
+
   test("embeddingDrift: exact per-dim sums and the mean-shift numerator") {
     val a = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f))).toDF("vec_id", "embedding")
     val b = Seq((2L, Seq(5.0f, 6.0f))).toDF("vec_id", "embedding")

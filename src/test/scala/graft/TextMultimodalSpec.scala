@@ -1089,6 +1089,41 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f.max_px.get === 66)
   }
 
+  test("pgmDHash: exact segment bits; a global brightness shift keeps the hash") {
+    def strip(id: Long, px: Array[Int]): (Long, Array[Byte]) =
+      (id, (s"P5\n${px.length} 1\n255\n".getBytes("UTF-8") ++ px.map(_.toByte)))
+    // segs=3 over 6 px: segment sums (30, 40, 10).
+    // bit0: 30 > 40 no; bit1: 40 > 10 yes -> hash 2.
+    val base = Array(10, 20, 30, 10, 5, 5)
+    val df = Seq(strip(1L, base), strip(2L, base.map(_ + 50)))
+      .toDF("doc_id", "payload")
+    val out = Multimodal.pgmDHash(spark, df, segs = 3).collect()
+      .map(r => r.doc_id -> r).toMap
+    assert(out(1L).n_px === 6L)
+    assert(out(1L).dhash === 2L)
+    // +50 on every pixel shifts all segment means together: same bits.
+    assert(out(2L).dhash === 2L)
+    // Empty raster hashes to 0.
+    val empty = Seq((3L, "P5\n0 1\n255\n".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    assert(Multimodal.pgmDHash(spark, empty).collect().head.dhash === 0L)
+  }
+
+  test("vocabularyGrowth: exact tokens/new-types curve over doc-order halves") {
+    // Halves: {d1 "a b", d2 "b c"} then {d3 "c d", d4 "a d e"}.
+    // Bucket 0: 4 tokens, first-seen types a,b,c. Bucket 1: 5 more
+    // tokens (cum 9), new types d,e (cum 5).
+    val docs = Seq(
+      (1L, "a b"), (2L, "b c"), (3L, "c d"), (4L, "a d e"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val out = TextAnalysis.vocabularyGrowth(docs, buckets = 2).orderBy("bucket")
+      .collect().map(r => (
+        r.getAs[Long]("bucket"), r.getAs[Long]("n_docs_in"),
+        r.getAs[Long]("tokens_cum"), r.getAs[Long]("new_types"),
+        r.getAs[Long]("types_cum")))
+    assert(out.toSeq === Seq((0L, 2L, 4L, 3L, 3L), (1L, 2L, 9L, 2L, 5L)))
+  }
+
   test("tokenizerScorecard: totals, distinct pieces used, exact chars-per-piece ppm") {
     // 3 word occurrences, 8 chars, 5 pieces over 3 distinct pieces:
     // cpp = 8/5 -> 1600000 ppm exactly.
