@@ -327,7 +327,15 @@ object ScaleProbe {
       // top principal component: one Gram scan (n·d² collapsing to a
       // dimension-sized exchange) + one literal-projection scan;
       // embeddings replicate by rows.
-      "q194_top_principal_component" -> rowFactor)
+      "q194_top_principal_component" -> rowFactor,
+      // Heaps curve: one token scan + doc-/vocab-bounded aggregates.
+      // (q198 kmvOverlap is NOT probed: it reads lineitem/part, which
+      // the replica deliberately leaves unscaled; its plan touches ≤3k
+      // rows past the two distinct+TakeOrdered sketch scans anyway.)
+      "q199_vocabulary_growth" -> byteFactor,
+      // dHash: one decoder pass per image, zero shuffles — the mu-law
+      // (q174) scan-linear codec class.
+      "q200_image_dhash" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
