@@ -335,7 +335,14 @@ object ScaleProbe {
       "q199_vocabulary_growth" -> byteFactor,
       // dHash: one decoder pass per image, zero shuffles — the mu-law
       // (q174) scan-linear codec class.
-      "q200_image_dhash" -> byteFactor)
+      "q200_image_dhash" -> byteFactor,
+      // dHash pairing: decoder pass + banded self-join of the HASH
+      // table (rows, not text); replica docs hash to unrelated bits, so
+      // the pair structure replicates ~per copy.
+      "q201_dhash_pairs" -> byteFactor,
+      // lag correlation: events scan collapsing to calendar-bounded
+      // daily counts; everything after is day-table-sized.
+      "q202_lag_correlation" -> rowFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

@@ -576,6 +576,23 @@ object SparkEntry {
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket")),
 
+    // Lagged cross-correlation of the click and purchase daily series:
+    // exact integer Pearson pieces per lag 0..7 — sign, r² in ppm —
+    // the "what lead time does engagement predict conversion at?"
+    // analytics next to q158's CUSUM and q179's seasonality.
+    "q202_lag_correlation" -> ((s, dir) =>
+      Timeseries.lagCorrelation(Tables.events(s, dir)).orderBy("lag")),
+
+    // Hamming near-dup pairs over the q200 dHashes: banded pigeonhole
+    // join (maxDist+1 equal-share bands — a pair within 6 bits agrees
+    // exactly on some band), XOR-popcount verify, each pair emitted
+    // once by its lowest agreeing band. The brute-force all-pairs
+    // oracle's hash match proves the banding lossless AND dup-free.
+    "q201_dhash_pairs" -> ((s, dir) =>
+      Dedup.hammingNearDupPairs(
+        Multimodal.pgmDHash(s, Multimodal.toPgm(Tables.documents(s, dir))).toDF())
+        .orderBy("ida", "idb")),
+
     // Perceptual dHash over the REAL binary-PGM decode: segment-mean
     // difference bits compared by exact cross-multiplication — the
     // image-side near-dup fingerprint that survives brightness shifts,
@@ -3732,31 +3749,53 @@ object SparkEntry {
          |FROM a FULL OUTER JOIN b ON a.k = b.k
          |ORDER BY k""".stripMargin,
 
-    "q200_image_dhash" ->
-      """WITH u AS (
-        |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
-        |         unnest(list_transform(range(1, length(text)+1), i -> unicode(text[i:i]))) AS px,
-        |         CAST(unnest(range(0, length(text))) AS BIGINT) AS pos
-        |  FROM documents
+    "q202_lag_correlation" ->
+      """WITH daily AS (
+        |  SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS epoch_day,
+        |         event_type, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1, 2
         |),
-        |seg AS (
-        |  SELECT doc_id, n, (pos * 33) // n AS s,
-        |         CAST(SUM(px) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS ct
-        |  FROM u GROUP BY doc_id, n, s
+        |a AS (SELECT epoch_day, n AS na FROM daily WHERE event_type = 'click'),
+        |b AS (SELECT epoch_day AS bday, n AS nb FROM daily WHERE event_type = 'purchase'),
+        |l AS (SELECT unnest(range(0, 8)) AS lag),
+        |j AS (
+        |  SELECT l.lag, a.na, b.nb
+        |  FROM a CROSS JOIN l JOIN b ON b.bday = a.epoch_day + l.lag
         |),
-        |bits AS (
-        |  SELECT a.doc_id,
-        |         CAST(SUM(CASE WHEN a.sm * b.ct > b.sm * a.ct
-        |                       THEN (CAST(1 AS BIGINT) << CAST(a.s AS INT))
-        |                       ELSE 0 END) AS BIGINT) AS h
-        |  FROM seg a JOIN seg b ON b.doc_id = a.doc_id AND b.s = a.s + 1
-        |  GROUP BY a.doc_id
+        |g AS (
+        |  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |         CAST(SUM(na) AS BIGINT) AS sx, CAST(SUM(nb) AS BIGINT) AS sy,
+        |         CAST(SUM(na*na) AS BIGINT) AS sxx, CAST(SUM(nb*nb) AS BIGINT) AS syy,
+        |         CAST(SUM(na*nb) AS BIGINT) AS sxy
+        |  FROM j GROUP BY lag
+        |),
+        |d AS (
+        |  SELECT lag, n_days, sxy,
+        |         n_days * sxy - sx * sy AS num,
+        |         n_days * sxx - sx * sx AS d1,
+        |         n_days * syy - sy * sy AS d2
+        |  FROM g
         |)
-        |SELECT d.doc_id,
-        |       CAST(octet_length(encode(d.text)) AS BIGINT) AS n_px,
-        |       CAST(COALESCE(b.h, 0) AS BIGINT) AS dhash
-        |FROM documents d LEFT JOIN bits b ON b.doc_id = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin,
+        |SELECT CAST(lag AS BIGINT) AS lag, n_days, sxy, CAST(num AS BIGINT) AS num,
+        |       CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS BIGINT) AS corr_sign,
+        |       CASE WHEN d1 > 0 AND d2 > 0
+        |            THEN CAST((CAST(1000000 AS HUGEINT) * num * num)
+        |                   // (CAST(d1 AS HUGEINT) * d2) AS BIGINT)
+        |       END AS r2_ppm
+        |FROM d ORDER BY lag""".stripMargin,
+
+    "q201_dhash_pairs" ->
+      s"""WITH $dHashSql
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |       CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS dist
+         |FROM dh a JOIN dh b ON b.doc_id > a.doc_id
+         |WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |ORDER BY ida, idb""".stripMargin,
+
+    "q200_image_dhash" ->
+      s"""WITH $dHashSql
+         |SELECT doc_id, n_px, dhash FROM dh ORDER BY doc_id""".stripMargin,
 
     "q199_vocabulary_growth" ->
       """WITH tok AS (
@@ -6713,6 +6752,37 @@ object SparkEntry {
        |       END AS est_common
        |FROM d ORDER BY k_union""".stripMargin
   }
+
+  /** Shared q200/q201 fragment: the dHash replay from text codepoints
+    * (ASCII contract — bytes ≡ chars), ending in `dh(doc_id, n_px,
+    * dhash)` with empty rasters at hash 0.
+    */
+  private val dHashSql: String =
+    """u AS (
+      |  SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n,
+      |         unnest(list_transform(range(1, length(text)+1), i -> unicode(text[i:i]))) AS px,
+      |         CAST(unnest(range(0, length(text))) AS BIGINT) AS pos
+      |  FROM documents
+      |),
+      |seg AS (
+      |  SELECT doc_id, n, (pos * 33) // n AS s,
+      |         CAST(SUM(px) AS BIGINT) AS sm, CAST(COUNT(*) AS BIGINT) AS ct
+      |  FROM u GROUP BY doc_id, n, s
+      |),
+      |bits AS (
+      |  SELECT a.doc_id,
+      |         CAST(SUM(CASE WHEN a.sm * b.ct > b.sm * a.ct
+      |                       THEN (CAST(1 AS BIGINT) << CAST(a.s AS INT))
+      |                       ELSE 0 END) AS BIGINT) AS h
+      |  FROM seg a JOIN seg b ON b.doc_id = a.doc_id AND b.s = a.s + 1
+      |  GROUP BY a.doc_id
+      |),
+      |dh AS (
+      |  SELECT d.doc_id,
+      |         CAST(octet_length(encode(d.text)) AS BIGINT) AS n_px,
+      |         CAST(COALESCE(b.h, 0) AS BIGINT) AS dhash
+      |  FROM documents d LEFT JOIN bits b ON b.doc_id = d.doc_id
+      |)""".stripMargin
 
   private def bpeMergesOracle: String = {
     val union = (1 to bpeOracleMerges)

@@ -1597,4 +1597,65 @@ object Dedup {
       .select(col("doc_id"), (-col("m.np")).as("fpos"), col("m.h").as("fh"))
       .distinct()
   }
+
+  /** All pairs within Hamming distance `maxDist` over a BIGINT
+    * fingerprint column (`(doc_id, dhash)` rows — [[graft.operators
+    * .Multimodal.pgmDHash]]'s output, a SimHash, any ≤63-bit signature):
+    * the banded pigeonhole join. The `bits` fingerprint splits into
+    * `maxDist + 1` equal-share bands (integer-div boundaries), so any
+    * pair with ≤ maxDist differing bits agrees EXACTLY on at least one
+    * band — candidates come from `maxDist + 1` hash-equi-joins, never
+    * an all-pairs scan. Verification is one XOR + bit_count per
+    * candidate; each surviving pair is emitted ONCE, by its LOWEST
+    * agreeing band (every lower band must differ — a pure per-row
+    * predicate, so no dedup shuffle; the q148 bucket-survival trick on
+    * bit bands).
+    *
+    * The oracle is the brute-force all-pairs XOR-popcount join — the
+    * hash match proves the banding lossless AND duplicate-free (the
+    * q139 discipline).
+    *
+    * Scale: band values are near-uniform for fingerprint-grade hashes,
+    * so each equi-join shuffles fingerprint rows `maxDist + 1` times
+    * and meets ~n²/2^w candidates per band — pick `maxDist` ≪ bits so
+    * band width `w` keeps that product small; text/pixels never move.
+    */
+  def hammingNearDupPairs(
+      hashes: DataFrame,
+      bits: Int = 32,
+      maxDist: Int = 6): DataFrame = {
+    require(bits >= 2 && bits <= 63, s"bits=$bits out of range [2, 63]")
+    require(maxDist >= 0 && maxDist < bits, s"maxDist=$maxDist out of range [0, $bits)")
+    val nb = maxDist + 1
+    val bounds = (0 to nb).map(k => bits * k / nb)
+    def bandVal(c: Column, k: Int): Column = {
+      val lo = bounds(k)
+      val w = bounds(k + 1) - lo
+      shiftright(c, lo).bitwiseAND(lit((1L << w) - 1L))
+    }
+    val banded = hashes
+      .select(col("doc_id"), col("dhash"))
+      .select(
+        col("doc_id"), col("dhash"),
+        posexplode(array((0 until nb).map(k => bandVal(col("dhash"), k)): _*))
+          .as(Seq("band", "bv")))
+    val lowerBandsDiffer = (0 until nb).map { k =>
+      val cond =
+        if (k == 0) lit(true)
+        else (0 until k)
+          .map(j => bandVal(col("x"), j) =!= 0L)
+          .reduce(_ && _)
+      col("band") === k && cond
+    }.reduce(_ || _)
+    banded.select(col("doc_id").as("ida"), col("dhash").as("ha"), col("band"), col("bv"))
+      .join(
+        banded.select(col("doc_id").as("idb"), col("dhash").as("hb"), col("band"), col("bv")),
+        Seq("band", "bv"))
+      .filter(col("ida") < col("idb"))
+      .withColumn("x", col("ha").bitwiseXOR(col("hb")))
+      .withColumn("dist", expr("CAST(bit_count(x) AS BIGINT)"))
+      .filter(col("dist") <= maxDist.toLong)
+      .filter(lowerBandsDiffer)
+      .select(col("ida"), col("idb"), col("dist"))
+  }
 }

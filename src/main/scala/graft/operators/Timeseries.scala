@@ -453,4 +453,63 @@ object Timeseries {
         (col("mad0") > 0d &&
           abs(col("residual")) > lit(k) * lit(1.4826) * col("mad0")).as("is_anomaly"))
   }
+
+  /** Lagged cross-correlation between two daily event-count series —
+    * "does a click spike predict a purchase spike l days later, and at
+    * which lag?" For each lag 0..maxLag over the overlapping days, the
+    * exact Pearson pieces as integers: `num = n·Σxy − Σx·Σy` (sign =
+    * correlation direction) and `r² = num²/(d1·d2)` in exact ppm via
+    * DECIMAL(38,0)/HUGEINT — the argmax-lag row is the lead-time
+    * estimate. Zero-variance windows (d1/d2 = 0) yield NULL r², not a
+    * division error.
+    *
+    * Scale: one map-side-combined daily aggregate (state = days ×
+    * types, calendar-bounded), then a lag-replicated join of two
+    * day-count tables — (maxLag+1)·days rows, never event rows — and a
+    * lags-sized aggregate. Headroom: `n_days·Σxy` within BIGINT to
+    * ~10⁶ events/day over ~10³ days; num² is carried in 128-bit.
+    */
+  def lagCorrelation(
+      events: DataFrame,
+      typeA: String = "click",
+      typeB: String = "purchase",
+      maxLag: Int = 7): DataFrame = {
+    require(maxLag >= 0 && maxLag <= 366, s"maxLag=$maxLag out of range [0, 366]")
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val daily = events
+      .filter(col("event_type").isin(typeA, typeB))
+      .groupBy(
+        unix_date(to_date(col("ts"))).cast("long").as("epoch_day"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val a = daily.filter(col("event_type") === typeA)
+      .select(col("epoch_day"), col("n").as("na"))
+    val b = daily.filter(col("event_type") === typeB)
+      .select(col("epoch_day").as("bday"), col("n").as("nb"))
+    val lags = events.sparkSession.range(0L, maxLag + 1L).toDF("lag")
+    a.crossJoin(broadcast(lags))
+      .withColumn("bday", col("epoch_day") + col("lag"))
+      .join(b, Seq("bday"))
+      .groupBy(col("lag"))
+      .agg(
+        count(lit(1)).as("n_days"),
+        sum(col("na")).as("sx"), sum(col("nb")).as("sy"),
+        sum(col("na") * col("na")).as("sxx"),
+        sum(col("nb") * col("nb")).as("syy"),
+        sum(col("na") * col("nb")).as("sxy"))
+      .withColumn("num", col("n_days") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("d1", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("d2", col("n_days") * col("syy") - col("sy") * col("sy"))
+      .withColumn(
+        "corr_sign",
+        when(col("num") > 0L, 1L).when(col("num") < 0L, -1L).otherwise(0L))
+      .withColumn("_n", lit(1000000L).cast(dec) * col("num").cast(dec) * col("num").cast(dec))
+      .withColumn("_d", col("d1").cast(dec) * col("d2").cast(dec))
+      .withColumn(
+        "r2_ppm",
+        when(col("d1") > 0L && col("d2") > 0L, expr("_n div _d").cast("long")))
+      .select(
+        col("lag"), col("n_days"), col("sxy"), col("num"),
+        col("corr_sign"), col("r2_ppm"))
+  }
 }

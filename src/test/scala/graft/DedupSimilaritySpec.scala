@@ -1490,6 +1490,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("hammingNearDupPairs: differential vs brute force across maxDist, dup-free") {
+    val hs = (0 until 60).map(i => (i.toLong, ((i * 2654435761L) ^ (i.toLong << 13)) & 0xFFFFFFFFL))
+    val df = hs.toDF("doc_id", "dhash")
+    for (d <- Seq(0, 3, 6)) {
+      val fast = Dedup.hammingNearDupPairs(df, bits = 32, maxDist = d).collect()
+        .map(r => (r.getAs[Long]("ida"), r.getAs[Long]("idb"), r.getAs[Long]("dist")))
+      assert(fast.length === fast.distinct.length, s"maxDist=$d emitted a pair twice")
+      val brute = (for {
+        (a, ha) <- hs; (b, hb) <- hs if a < b
+        dist = java.lang.Long.bitCount(ha ^ hb) if dist <= d
+      } yield (a, b, dist.toLong)).sorted
+      assert(fast.sorted.toSeq === brute, s"maxDist=$d")
+    }
+  }
+
   test("kmvOverlap: below-k path is exact on both union and intersection") {
     val a = (1L to 10L).toDF("key")
     val b = (6L to 15L).toDF("key")

@@ -649,6 +649,30 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(out(4L).isNullAt(out(4L).fieldIndex("tau_ppm")))
   }
 
+  test("lagCorrelation: exact Pearson pieces; a shifted 2x series is r²=1 at lag 1") {
+    // Clicks per day (d0..d2): 2, 1, 3. Purchases (d1..d3): 4, 2, 6 = 2x
+    // shifted by one day -> lag 1 perfectly positive (r² = 1e6 ppm).
+    // Lag 0 overlap {d1,d2}: x=(1,3), y=(4,2) -> perfectly NEGATIVE.
+    val days = Seq("01", "02", "03", "04")
+    var id = 0L
+    val rows = Seq((0, 2), (1, 1), (2, 3)).flatMap { case (d, c) =>
+      (1 to c).map { _ => id += 1
+        (id, ts(s"2024-01-${days(d)} 10:00:00"), 1L, "click", 1.0, "{}") }
+    } ++ Seq((1, 4), (2, 2), (3, 6)).flatMap { case (d, c) =>
+      (1 to c).map { _ => id += 1
+        (id, ts(s"2024-01-${days(d)} 11:00:00"), 1L, "purchase", 1.0, "{}") }
+    }
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Timeseries.lagCorrelation(ev, maxLag = 2).collect()
+      .map(r => r.getAs[Long]("lag") -> r).toMap
+    assert(out(1L).getAs[Long]("n_days") === 3L)
+    assert(out(1L).getAs[Long]("sxy") === 28L)
+    assert(out(1L).getAs[Long]("corr_sign") === 1L)
+    assert(out(1L).getAs[Long]("r2_ppm") === 1000000L)
+    assert(out(0L).getAs[Long]("corr_sign") === -1L)
+    assert(out(0L).getAs[Long]("r2_ppm") === 1000000L)
+  }
+
   test("reciprocalRank: first-hit rank in exact ppm, zero when the run has no hit") {
     // q1: first hit at rank 3 -> 333333; q2: hit at 1 -> 1000000;
     // q3: no hits -> NULL first rank, rr 0; rank 11 is beyond k and ignored.
