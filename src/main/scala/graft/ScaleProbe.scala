@@ -342,7 +342,15 @@ object ScaleProbe {
       "q201_dhash_pairs" -> byteFactor,
       // lag correlation: events scan collapsing to calendar-bounded
       // daily counts; everything after is day-table-sized.
-      "q202_lag_correlation" -> rowFactor)
+      "q202_lag_correlation" -> rowFactor,
+      // spelling variants / canonicalization: one tokenize scan
+      // collapsing to the VOCABULARY (Heaps-sublinear in corpus bytes —
+      // q199 measures the curve); the neighborhood join and CC touch
+      // only vocab-sized rows, so cost should barely move with corpus
+      // growth. Factor is still corpus bytes: the honest denominator
+      // for "what does 10x data cost this operator".
+      "q203_spelling_variants" -> byteFactor,
+      "q204_spelling_canonicalize" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

@@ -576,6 +576,31 @@ object SparkEntry {
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket")),
 
+    // Spelling-variant pairs over the corpus vocabulary: SymSpell
+    // deletion-neighborhood blocking (ed ≤ 2 pairs ALWAYS share a
+    // ≤2-deletion key), one equi-join on exploded keys, levenshtein
+    // verify, emitted once by the least shared key. The brute-force
+    // all-pairs oracle proves the blocking lossless and dup-free.
+    "q203_spelling_variants" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+        TextAnalysis.tokenize(Tables.documents(s, dir)).select("w").distinct())
+        .orderBy("wa", "wb")),
+
+    // Spelling canonicalization map: connected components over the q203
+    // variant graph (pointer-doubling min-label propagation), every
+    // variant-linked word labeled with its component's least word — the
+    // normalization table a fuzzy-join pipeline applies before exact
+    // grouping.
+    "q204_spelling_canonicalize" -> ((s, dir) =>
+      Dedup.dedupClusters(
+        Dedup.editDistancePairs(
+          TextAnalysis.tokenize(Tables.documents(s, dir)).select("w").distinct())
+          .select(col("wa").as("doc_a"), col("wb").as("doc_b")))
+        .select(
+          col("doc_id").as("w"), col("canonical_id").as("canonical_w"),
+          col("cluster_size"), col("is_canonical"))
+        .orderBy("w")),
+
     // Lagged cross-correlation of the click and purchase daily series:
     // exact integer Pearson pieces per lag 0..7 — sign, r² in ppm —
     // the "what lead time does engagement predict conversion at?"
@@ -3748,6 +3773,39 @@ object SparkEntry {
          |         - COALESCE(n_a, 0) * COALESCE(sum_b, 0) AS shift_num
          |FROM a FULL OUTER JOIN b ON a.k = b.k
          |ORDER BY k""".stripMargin,
+
+    "q203_spelling_variants" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+        |),
+        |v AS (SELECT DISTINCT w FROM tok WHERE w <> '')
+        |SELECT a.w AS wa, b.w AS wb, CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        |FROM v a JOIN v b ON a.w < b.w
+        |WHERE levenshtein(a.w, b.w) <= 2
+        |ORDER BY wa, wb""".stripMargin,
+
+    "q204_spelling_canonicalize" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+        |),
+        |v AS (SELECT DISTINCT w FROM tok WHERE w <> ''),
+        |p AS (
+        |  SELECT a.w AS wa, b.w AS wb
+        |  FROM v a JOIN v b ON a.w < b.w
+        |  WHERE levenshtein(a.w, b.w) <= 2
+        |),
+        |edges AS (SELECT wa AS a, wb AS b FROM p UNION SELECT wb, wa FROM p),
+        |reach(x, r) AS (
+        |  SELECT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.x
+        |),
+        |lab AS (SELECT x AS w, MIN(r) AS canonical_w FROM reach GROUP BY x),
+        |sz AS (SELECT canonical_w, COUNT(*) AS cluster_size FROM lab GROUP BY canonical_w)
+        |SELECT l.w, l.canonical_w, s.cluster_size,
+        |       l.w = l.canonical_w AS is_canonical
+        |FROM lab l JOIN sz s USING (canonical_w)
+        |ORDER BY w""".stripMargin,
 
     "q202_lag_correlation" ->
       """WITH daily AS (

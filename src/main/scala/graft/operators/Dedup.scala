@@ -1658,4 +1658,69 @@ object Dedup {
       .filter(lowerBandsDiffer)
       .select(col("ida"), col("idb"), col("dist"))
   }
+
+  /** Deletion-neighborhood expression for [[editDistancePairs]]: the
+    * distinct set of strings reachable from `colName` by deleting up to
+    * `maxDist` characters (the string itself included). Pure per-row
+    * array arithmetic — stays in whole-stage codegen.
+    */
+  private def deletionNeighborhood(colName: String, maxDist: Int): Column = {
+    def del1(s: String): String =
+      s"CASE WHEN length($s) = 0 THEN CAST(array() AS ARRAY<STRING>) " +
+        s"ELSE transform(sequence(0, length($s) - 1), " +
+        s"_i -> concat(substring($s, 1, _i), substring($s, _i + 2, length($s)))) END"
+    maxDist match {
+      case 1 =>
+        expr(s"array_distinct(concat(array($colName), ${del1(colName)}))")
+      case 2 =>
+        expr(
+          s"array_distinct(concat(array($colName), ${del1(colName)}, " +
+            s"flatten(transform(${del1(colName)}, _x -> ${del1("_x")}))))")
+    }
+  }
+
+  /** All pairs of vocabulary strings within Levenshtein distance
+    * `maxDist` — the spelling-variant / fuzzy-key join — WITHOUT an
+    * all-pairs scan: SymSpell-style deletion-neighborhood blocking. Any
+    * edit script of length ≤ d can be replayed as ≤ d deletions on each
+    * side landing on a common string (substitution → delete the edited
+    * position from both; insert/delete → delete from the longer side),
+    * so two strings within distance d ALWAYS share an element of their
+    * ≤d-deletion neighborhoods — candidates come from one equi-join on
+    * exploded neighborhood keys, verified with one `levenshtein` call
+    * each. A pair sharing several keys is emitted ONCE, by its
+    * lexicographically-least shared key — `array_min(array_intersect(
+    * nbhd(wa), nbhd(wb)))`, a pure per-row predicate recomputable from
+    * the two words alone, so no dedup shuffle (the q201 lowest-band
+    * trick on delete keys).
+    *
+    * The oracle is the brute-force all-pairs levenshtein join — the
+    * hash match proves the blocking lossless AND duplicate-free (the
+    * q139/q201 discipline).
+    *
+    * Scale: input is a VOCABULARY (distinct words — vocab-bounded, not
+    * corpus-bounded; build it with a map-side-combined distinct so raw
+    * text never shuffles). Each word emits O(len^maxDist) keys; the key
+    * space is near-uniform for natural vocabularies, so candidates per
+    * key stay small. `maxDist` ∈ {1, 2} — the range where the
+    * neighborhood stays polynomial and spelling variance lives.
+    *
+    * Input: one string column `w` (pre-distinct). Output: (wa, wb,
+    * dist) with wa < wb, dist ≤ maxDist.
+    */
+  def editDistancePairs(vocab: DataFrame, maxDist: Int = 2): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist=$maxDist not in {1, 2}")
+    val keyed = vocab
+      .select(col("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("w"), explode(deletionNeighborhood("w", maxDist)).as("k"))
+    keyed.select(col("w").as("wa"), col("k"))
+      .join(keyed.select(col("w").as("wb"), col("k")), Seq("k"))
+      .filter(col("wa") < col("wb"))
+      .withColumn("dist", levenshtein(col("wa"), col("wb")).cast("long"))
+      .filter(col("dist") <= maxDist.toLong)
+      .filter(col("k") === array_min(array_intersect(
+        deletionNeighborhood("wa", maxDist), deletionNeighborhood("wb", maxDist))))
+      .select(col("wa"), col("wb"), col("dist"))
+  }
 }

@@ -1505,6 +1505,54 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("editDistancePairs: differential vs brute force, dup-free, both maxDist") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(
+          math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    // "ab"/"ba" (ed 2, shares BOTH delete keys "a" and "b") exercises the
+    // least-shared-key once-emission; "scan"/"scans"/"spans" a transitive
+    // chain; "xyz" an isolate.
+    val vocab = Seq("cat", "cut", "cart", "act", "cast", "ab", "ba",
+      "scan", "scans", "spans", "xyz", "window", "windows", "widow")
+    val df = vocab.toDF("w")
+    for (d <- Seq(1, 2)) {
+      val fast = Dedup.editDistancePairs(df, maxDist = d).collect()
+        .map(r => (r.getAs[String]("wa"), r.getAs[String]("wb"), r.getAs[Long]("dist")))
+      assert(fast.length === fast.distinct.length, s"maxDist=$d emitted a pair twice")
+      val brute = (for {
+        a <- vocab; b <- vocab if a < b
+        dist = lev(a, b) if dist <= d
+      } yield (a, b, dist.toLong)).sorted
+      assert(fast.sorted.toSeq === brute, s"maxDist=$d")
+    }
+  }
+
+  test("editDistancePairs feeds dedupClusters: string keys canonicalize to the least word") {
+    // {window, windows, widow} chain (widow-windows only meet at ed 2 via
+    // window — the transitive case CC exists for); {qqqq, qqqqq} a far
+    // island; abcabc an isolate that must not appear.
+    val vocab = Seq("window", "windows", "widow", "qqqq", "qqqqq", "abcabc")
+    val pairs = Dedup.editDistancePairs(vocab.toDF("w"))
+      .select(
+        org.apache.spark.sql.functions.col("wa").as("doc_a"),
+        org.apache.spark.sql.functions.col("wb").as("doc_b"))
+    val out = Dedup.dedupClusters(pairs).collect()
+      .map(r => r.getAs[String]("doc_id") ->
+        (r.getAs[String]("canonical_id"), r.getAs[Long]("cluster_size")))
+      .toMap
+    assert(out("window") === (("widow", 3L)))
+    assert(out("windows") === (("widow", 3L)))
+    assert(out("widow") === (("widow", 3L)))
+    assert(out("qqqq") === (("qqqq", 2L)))
+    assert(out("qqqqq") === (("qqqq", 2L)))
+    assert(!out.contains("abcabc"))
+  }
+
   test("kmvOverlap: below-k path is exact on both union and intersection") {
     val a = (1L to 10L).toDF("key")
     val b = (6L to 15L).toDF("key")
