@@ -350,7 +350,10 @@ object ScaleProbe {
       // growth. Factor is still corpus bytes: the honest denominator
       // for "what does 10x data cost this operator".
       "q203_spelling_variants" -> byteFactor,
-      "q204_spelling_canonicalize" -> byteFactor)
+      "q204_spelling_canonicalize" -> byteFactor,
+      // phrase search: tokenize scan + broadcast phrase join; survivors
+      // are postings of the mined phrase words — corpus-proportional.
+      "q205_phrase_search" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

@@ -576,6 +576,18 @@ object SparkEntry {
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket")),
 
+    // Multi-phrase positional search: mine the top word bigrams and
+    // trigrams, then find every occurrence via the align-on-(pos - i)
+    // broadcast join — the inverted-index phrase query (count(*) = plen
+    // at a start ⟺ full match; overlap-counting).
+    "q205_phrase_search" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val phrases = TextAnalysis.topNgrams(docs, 2, 3)
+        .unionByName(TextAnalysis.topNgrams(docs, 3, 3))
+        .select("phrase")
+      TextAnalysis.phraseSearch(docs, phrases).orderBy("phrase", "doc_id")
+    }),
+
     // Spelling-variant pairs over the corpus vocabulary: SymSpell
     // deletion-neighborhood blocking (ed ≤ 2 pairs ALWAYS share a
     // ≤2-deletion key), one equi-join on exploded keys, levenshtein
@@ -3773,6 +3785,52 @@ object SparkEntry {
          |         - COALESCE(n_a, 0) * COALESCE(sum_b, 0) AS shift_num
          |FROM a FULL OUTER JOIN b ON a.k = b.k
          |ORDER BY k""".stripMargin,
+
+    "q205_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents
+        |),
+        |tok AS (
+        |  SELECT doc_id, unnest(ws) AS w,
+        |         CAST(unnest(range(0, len(ws))) AS BIGINT) AS pos
+        |  FROM t
+        |),
+        |bg AS (
+        |  SELECT unnest(ws[1:len(ws) - 1]) || ' ' || unnest(ws[2:len(ws)]) AS phrase FROM t
+        |),
+        |tg AS (
+        |  SELECT unnest(ws[1:len(ws) - 2]) || ' ' || unnest(ws[2:len(ws) - 1])
+        |           || ' ' || unnest(ws[3:len(ws)]) AS phrase
+        |  FROM t
+        |),
+        |topb AS (
+        |  SELECT phrase FROM (SELECT phrase, COUNT(*) AS cnt FROM bg GROUP BY 1)
+        |  ORDER BY cnt DESC, phrase LIMIT 3
+        |),
+        |topt AS (
+        |  SELECT phrase FROM (SELECT phrase, COUNT(*) AS cnt FROM tg GROUP BY 1)
+        |  ORDER BY cnt DESC, phrase LIMIT 3
+        |),
+        |p AS (SELECT phrase FROM topb UNION ALL SELECT phrase FROM topt),
+        |pw AS (
+        |  SELECT phrase, CAST(len(l) AS BIGINT) AS plen, unnest(l) AS pw,
+        |         CAST(unnest(range(0, len(l))) AS BIGINT) AS i
+        |  FROM (SELECT phrase, regexp_split_to_array(trim(phrase), '\s+') AS l FROM p)
+        |),
+        |cand AS (
+        |  SELECT phrase, plen, doc_id, pos - i AS start
+        |  FROM tok JOIN pw ON tok.w = pw.pw
+        |  WHERE pos - i >= 0
+        |),
+        |m AS (
+        |  SELECT phrase, plen, doc_id, start, COUNT(*) AS hit
+        |  FROM cand GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+        |       CAST(MIN(start) AS BIGINT) AS first_pos
+        |FROM m WHERE hit = plen
+        |GROUP BY phrase, doc_id
+        |ORDER BY phrase, doc_id""".stripMargin,
 
     "q203_spelling_variants" ->
       """WITH tok AS (

@@ -1454,4 +1454,54 @@ object TextAnalysis {
         "millibits_per_char",
         expr("(1000 * sum_bits) div n_chars_seen"))
   }
+
+  /** Top-k most frequent word n-grams across the corpus, deterministic
+    * tie-break (count desc, phrase asc). One narrow scan (the shingle
+    * Generate stays array-native — no text shuffle), a map-side-combined
+    * count whose key space is observed-n-gram-bounded, and a TakeOrdered
+    * top-k — never a global sort materialization.
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    require(k >= 1, s"k=$k must be >= 1")
+    spread(docs)
+      .select(explode(shinglesCol(n)).as("phrase"))
+      .groupBy(col("phrase"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("phrase"))
+      .limit(k)
+  }
+
+  /** Exact multi-phrase positional search — the inverted-index phrase
+    * query: every (phrase, document) hit with overlap-counting match
+    * count and first match position. The align-on-`pos − i` trick: each
+    * token row joins the (broadcast, tiny) exploded phrase-word table on
+    * the word, proposing the match start `pos − i`; a start at which ALL
+    * `plen` phrase positions found their word (`count(*) = plen` — each
+    * i appears at most once per (doc, start) since its position is
+    * pinned to `start + i`, so repeated phrase words count correctly) is
+    * a match. One broadcast join + two map-side-combined aggregates;
+    * postings-bounded (only tokens matching SOME phrase word survive
+    * the join); document text never shuffles.
+    *
+    * `phrases`: one string column `phrase` (whitespace-separated words,
+    * the [[wordsCol]] convention). Output: (phrase, doc_id, n_matches,
+    * first_pos), matched documents only.
+    */
+  def phraseSearch(docs: DataFrame, phrases: DataFrame): DataFrame = {
+    val pwords = phrases
+      .select(col("phrase"), expr("split(trim(phrase), '\\\\s+')").as("ws"))
+      .select(
+        col("phrase"), size(col("ws")).cast("long").as("plen"),
+        posexplode(col("ws")).as(Seq("i", "pw")))
+    tokenize(docs)
+      .join(broadcast(pwords), col("w") === col("pw"))
+      .withColumn("start", (col("pos") - col("i")).cast("long"))
+      .filter(col("start") >= 0L)
+      .groupBy(col("phrase"), col("plen"), col("doc_id"), col("start"))
+      .agg(count(lit(1)).as("hit"))
+      .filter(col("hit") === col("plen"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("start")).as("first_pos"))
+  }
 }

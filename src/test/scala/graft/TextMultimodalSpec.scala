@@ -1142,4 +1142,38 @@ class TextMultimodalSpec extends SparkSpec {
     assert(r.getAs[Long]("distinct_pieces") === 3L)
     assert(r.getAs[Long]("cpp_ppm") === 1600000L)
   }
+
+  test("topNgrams: overlap-counted frequencies, deterministic tie-break, top-k cut") {
+    val docs = Seq(
+      (0L, "a b a b a"),   // "a b" x2, "b a" x2 (overlapping)
+      (1L, "a b c"),       // "a b", "b c"
+      (2L, "z")            // too short for bigrams
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.topNgrams(docs, 2, 2).collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("cnt")))
+    // counts: "a b" 3, "b a" 2, "b c" 1 -> top2 = a b, b a.
+    assert(out.toSeq === Seq(("a b", 3L), ("b a", 2L)))
+    // k past the vocabulary: ties at cnt=1 come back phrase-ascending.
+    val out3 = TextAnalysis.topNgrams(docs, 2, 3).collect()
+      .map(r => r.getAs[String]("phrase"))
+    assert(out3.toSeq === Seq("a b", "b a", "b c"))
+  }
+
+  test("phraseSearch: overlapping matches, repeated-word phrases, absent phrase") {
+    val docs = Seq(
+      (0L, "a a a b"),     // "a a" matches at 0 and 1 (overlap); "a b" at 2
+      (1L, "b a b"),       // "a b" at 1; "a a" absent
+      (2L, "")             // empty doc: no tokens match
+    ).toDF("doc_id", "text")
+    val phrases = Seq("a a", "a b", "q q q").toDF("phrase")
+    val out = TextAnalysis.phraseSearch(docs, phrases).collect()
+      .map(r => ((r.getAs[String]("phrase"), r.getAs[Long]("doc_id")),
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos")))).toMap
+    assert(out(("a a", 0L)) === ((2L, 0L)))
+    assert(out(("a b", 0L)) === ((1L, 2L)))
+    assert(out(("a b", 1L)) === ((1L, 1L)))
+    assert(!out.contains(("a a", 1L)))
+    assert(out.keys.forall(_._1 != "q q q"))
+    assert(out.size === 3)
+  }
 }
