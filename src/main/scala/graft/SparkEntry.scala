@@ -576,6 +576,13 @@ object SparkEntry {
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket")),
 
+    // Rolling distinct active users (the WAU curve): per-user interval
+    // merge + sweep-line deltas + one days-sized running sum — rolling
+    // COUNT(DISTINCT) with no distinct state anywhere; the naive
+    // day-grid count-distinct oracle proves the sweep exact.
+    "q206_rolling_active_users" -> ((s, dir) =>
+      Timeseries.rollingActiveUsers(Tables.events(s, dir)).orderBy("day")),
+
     // Multi-phrase positional search: mine the top word bigrams and
     // trigrams, then find every occurrence via the align-on-(pos - i)
     // broadcast join — the inverted-index phrase query (count(*) = plen
@@ -3785,6 +3792,22 @@ object SparkEntry {
          |         - COALESCE(n_a, 0) * COALESCE(sum_b, 0) AS shift_num
          |FROM a FULL OUTER JOIN b ON a.k = b.k
          |ORDER BY k""".stripMargin,
+
+    "q206_rolling_active_users" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS d
+        |  FROM events
+        |),
+        |r AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ud),
+        |g AS (
+        |  SELECT CAST(unnest(range((SELECT lo FROM r), (SELECT hi FROM r) + 1))
+        |              AS BIGINT) AS day
+        |)
+        |SELECT g.day, CAST(COUNT(DISTINCT ud.user_id) AS BIGINT) AS n_active
+        |FROM g LEFT JOIN ud ON ud.d BETWEEN g.day - 6 AND g.day
+        |GROUP BY g.day
+        |ORDER BY g.day""".stripMargin,
 
     "q205_phrase_search" ->
       """WITH t AS (

@@ -512,4 +512,61 @@ object Timeseries {
         col("lag"), col("n_days"), col("sxy"), col("num"),
         col("corr_sign"), col("r2_ppm"))
   }
+
+  /** Rolling distinct active users — the WAU/MAU curve: for every day in
+    * the observed range, how many DISTINCT users had at least one event
+    * in the trailing `windowDays`-day window ending that day.
+    *
+    * The textbook formulation (`COUNT(DISTINCT user)` per day over a
+    * day-grid range join) re-counts every user-day up to `windowDays`
+    * times and holds per-day distinct state — the classic scale cliff.
+    * This is the sweep-line shape instead: a user's active day `a`
+    * covers days `[a, a+W−1]`, so per user the covered days form a
+    * UNION OF INTERVALS; overlapping intervals merge (chain-break when
+    * the gap to the previous active day exceeds `W−1`, interval id =
+    * running break count), each merged interval contributes `+1` at its
+    * start day and `−1` past its end, and the rolling distinct count is
+    * the running sum of those deltas — no distinct state anywhere.
+    *
+    * Scale: one exchange on `user_id` (the distinct user-day pass; the
+    * break/interval windows reuse that partitioning), then the delta
+    * table is at most 2 rows per merged interval and the final running
+    * sum runs over a DAYS-sized frame — timeline-bounded, not
+    * data-bounded, exactly like [[dailyAnomalies]]' calendar. Output is
+    * one row per day in `[min_day, max_day]` (BIGINT epoch days):
+    * `(day, n_active)`, carryover from pre-range activity included by
+    * construction.
+    */
+  def rollingActiveUsers(events: DataFrame, windowDays: Int = 7): DataFrame = {
+    require(windowDays >= 1, s"windowDays=$windowDays must be >= 1")
+    val w = windowDays.toLong
+    val ud = events
+      .select(col("user_id"), unix_date(to_date(col("ts"))).cast("long").as("d"))
+      .distinct()
+    val wu = Window.partitionBy(col("user_id")).orderBy(col("d"))
+    val intervals = ud
+      .withColumn("prev_d", lag(col("d"), 1).over(wu))
+      .withColumn(
+        "brk",
+        when(col("prev_d").isNull || col("d") - col("prev_d") > w - 1L, 1L).otherwise(0L))
+      .withColumn("iv", sum(col("brk")).over(
+        wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("iv"))
+      .agg(min(col("d")).as("s"), (max(col("d")) + (w - 1L)).as("e"))
+    val deltas = intervals
+      .select(explode(array(
+        struct(col("s").as("day"), lit(1L).as("delta")),
+        struct((col("e") + 1L).as("day"), lit(-1L).as("delta")))).as("de"))
+      .select(col("de.day"), col("de.delta"))
+      .groupBy(col("day"))
+      .agg(sum(col("delta")).as("delta"))
+    val range = ud.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+    val grid = range.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val wDay = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(deltas, Seq("day"), "left")
+      .withColumn("n_active", sum(coalesce(col("delta"), lit(0L))).over(wDay))
+      .select(col("day"), col("n_active"))
+  }
 }

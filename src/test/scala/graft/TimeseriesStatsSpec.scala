@@ -719,4 +719,37 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(out("A").isNullAt(out("A").fieldIndex("z2_micro")))
     assert(out("B").getAs[Long]("cles_ppm") === 500000L)
   }
+
+  test("rollingActiveUsers: sweep-line equals the naive day-grid count-distinct") {
+    // User 10 active days 0 and 9 (two disjoint W=3 intervals), user 11
+    // active days 1,2,3 (one merged interval), user 12 active day 5 only.
+    val ev = Seq(
+      (1L, ts("2024-01-01 08:00:00"), 10L, "a", 1.0, "{}"),
+      (2L, ts("2024-01-10 08:00:00"), 10L, "a", 1.0, "{}"),
+      (3L, ts("2024-01-02 08:00:00"), 11L, "a", 1.0, "{}"),
+      (4L, ts("2024-01-03 08:00:00"), 11L, "a", 1.0, "{}"),
+      (5L, ts("2024-01-04 08:00:00"), 11L, "a", 1.0, "{}"),
+      (6L, ts("2024-01-06 08:00:00"), 12L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val w = 3
+    val got = Timeseries.rollingActiveUsers(ev, windowDays = w)
+      .orderBy("day").collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("n_active"))
+    val d0 = got.map(_._1).min
+    // Observed range is days 0..9 — one row per day, no gaps.
+    assert(got.map(_._1).toSeq === (d0 to d0 + 9).toSeq)
+    val active = Map(10L -> Set(0L, 9L), 11L -> Set(1L, 2L, 3L), 12L -> Set(5L))
+    val naive = (0L to 9L).map { d =>
+      active.count { case (_, ds) => ds.exists(a => a <= d && d <= a + w - 1) }.toLong
+    }
+    assert(got.map(_._2).toSeq === naive)
+    // Spot the interesting cells by hand: day 2 has user 10's carryover
+    // (interval [0,2]) plus user 11; day 3 is user 11 alone (10's
+    // interval closed); day 8 is the dead gap before 10 returns on 9.
+    val byDay = got.toMap
+    assert(byDay(d0 + 2) === 2L)
+    assert(byDay(d0 + 3) === 1L)
+    assert(byDay(d0 + 8) === 0L)
+    assert(byDay(d0 + 9) === 1L)
+  }
 }
