@@ -1717,6 +1717,16 @@ object SparkEntry {
       Graphs.labelPropagation(Dedup.rareShingleEdges(Tables.documents(s, dir)))
         .orderBy("id")),
 
+    // Newman modularity of the q154 communities: exact BIGINT
+    // sufficient statistics (4·m·m_c − d_c²) per community + one IEEE
+    // division — the clustering-quality grade (negative rows ARE
+    // meaningful: worse-than-random communities).
+    "q207_modularity" -> ((s, dir) => {
+      val edges = Dedup.rareShingleEdges(Tables.documents(s, dir))
+      Graphs.modularity(edges, Graphs.labelPropagation(edges))
+        .orderBy("label")
+    }),
+
     // Interval-overlap join: SCD2 attribute versions × sessions per user
     // (which version was in effect during each session) — day-bucket
     // replication equi-join; the oracle is the NAIVE inequality join, so
@@ -4851,6 +4861,50 @@ object SparkEntry {
          |l0 AS (SELECT DISTINCT src AS id, src AS l FROM sym),
          |$rounds
          |SELECT id, l AS label FROM l$iters ORDER BY id""".stripMargin
+    },
+
+    "q207_modularity" -> {
+      val iters = 3
+      val rounds = (1 to iters).map { t =>
+        s"""l$t AS MATERIALIZED (
+           |  SELECT dst AS id, l FROM (
+           |    SELECT s.dst, r.l, COUNT(*) AS n,
+           |           ROW_NUMBER() OVER (PARTITION BY s.dst
+           |             ORDER BY COUNT(*) DESC, r.l) AS rn
+           |    FROM sym s JOIN l${t - 1} r ON r.id = s.src
+           |    GROUP BY s.dst, r.l
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $rareSymCtes,
+         |l0 AS (SELECT DISTINCT src AS id, src AS l FROM sym),
+         |$rounds,
+         |lab AS (SELECT id, l AS label FROM l$iters),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+         |deg AS (
+         |  SELECT id, CAST(COUNT(*) AS BIGINT) AS deg
+         |  FROM (SELECT src AS id FROM edges UNION ALL SELECT dst AS id FROM edges)
+         |  GROUP BY id
+         |),
+         |byc AS (
+         |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+         |         CAST(SUM(deg) AS BIGINT) AS deg_sum
+         |  FROM deg JOIN lab USING (id) GROUP BY label
+         |),
+         |min_in AS (
+         |  SELECT la.label AS label, CAST(COUNT(*) AS BIGINT) AS m_in
+         |  FROM edges e
+         |  JOIN lab la ON la.id = e.src
+         |  JOIN lab lb ON lb.id = e.dst
+         |  WHERE la.label = lb.label
+         |  GROUP BY la.label
+         |)
+         |SELECT byc.label, n_nodes, COALESCE(m_in, 0) AS m_in, deg_sum,
+         |       4 * m * COALESCE(m_in, 0) - deg_sum * deg_sum AS q_num,
+         |       CAST(4 * m * COALESCE(m_in, 0) - deg_sum * deg_sum AS DOUBLE)
+         |         / CAST(4 * m * m AS DOUBLE) AS q_contrib
+         |FROM byc LEFT JOIN min_in USING (label) CROSS JOIN tot
+         |ORDER BY byc.label""".stripMargin
     },
 
     "q166_ndcg" ->

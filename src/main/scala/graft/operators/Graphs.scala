@@ -369,6 +369,61 @@ object Graphs {
     out
   }
 
+  /** Newman modularity of a community assignment — the "are these
+    * communities better than random?" score that grades a
+    * [[labelPropagation]] (or any other) clustering before a pipeline
+    * trusts it for cluster-aware splits or per-community sampling.
+    * Per community `c` over an undirected graph with `m` edges:
+    * `Q_c = m_c/m − (d_c/2m)²` where `m_c` counts intra-community edges
+    * and `d_c` sums member degrees; total modularity is `Σ_c Q_c`.
+    *
+    * Everything is exact BIGINT sufficient statistics
+    * (`q_num = 4·m·m_c − d_c²`, so `Q_c = q_num / 4m²`) plus ONE IEEE
+    * division per row on those exact inputs — engine-bit-identical; no
+    * ppm floor-division here because `q_num` is legitimately NEGATIVE
+    * for worse-than-random communities and truncating (Spark `div`) vs
+    * flooring (DuckDB `//`) engines disagree below zero. BIGINT
+    * headroom: `d_c² ≤ 4m²`, exact while `2m ≤ 3·10⁹` edge-endpoints —
+    * beyond that the degree sums need DECIMAL, not this operator's
+    * domain.
+    *
+    * Inputs: `edges(src, dst)` undirected, one row per edge (src < dst,
+    * distinct — [[graft.operators.Dedup.rareShingleEdges]]' contract);
+    * `labels(id, label)` covering every endpoint. Scale: one edge-table
+    * aggregate per endpoint for degrees, two label equi-joins on the
+    * edge table (community-labeled endpoints), then everything is
+    * communities-sized; the single global total `m` broadcasts.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val und = edges.select(col("src"), col("dst"))
+    val lab = labels.select(col("id"), col("label"))
+    val tot = und.agg(count(lit(1)).as("m"))
+    val deg = und.select(col("src").as("id"))
+      .union(und.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val byC = deg.join(lab, Seq("id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val mIn = und
+      .join(lab.select(col("id").as("src"), col("label").as("la")), Seq("src"))
+      .join(lab.select(col("id").as("dst"), col("label").as("lb")), Seq("dst"))
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label"))
+      .agg(count(lit(1)).as("m_in"))
+    byC.join(mIn, Seq("label"), "left")
+      .withColumn("m_in", coalesce(col("m_in"), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "q_num",
+        lit(4L) * col("m") * col("m_in") - col("deg_sum") * col("deg_sum"))
+      .withColumn(
+        "q_contrib",
+        col("q_num").cast("double") / (lit(4L) * col("m") * col("m")).cast("double"))
+      .select(
+        col("label"), col("n_nodes"), col("m_in"), col("deg_sum"),
+        col("q_num"), col("q_contrib"))
+  }
+
   /** HyperBall (Boldi & Vigna 2013) — per-node r-hop neighborhood-size
     * estimation by propagating HLL registers along edges, the sketch
     * that turned graph distance distributions (effective diameter,

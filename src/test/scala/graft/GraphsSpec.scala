@@ -250,4 +250,38 @@ class GraphsSpec extends SparkSpec {
     // dominates the chain authorities.
     assert(byKey(("auth", 99L)) > byKey(("auth", 3L)))
   }
+
+  test("modularity: two bridged triangles match the closed form") {
+    // Triangles {1,2,3} and {4,5,6} bridged by 3–4: m = 7, each
+    // community has m_c = 3 internal edges and degree sum 7, so
+    // q_num = 4·7·3 − 7² = 35 and Q_c = 35/196 per community.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("src", "dst")
+    val labels = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"),
+      (5L, "b"), (6L, "b")).toDF("id", "label")
+    val rows = Graphs.modularity(edges, labels).collect()
+      .map(r => r.getAs[String]("label") -> r).toMap
+    for (c <- Seq("a", "b")) {
+      assert(rows(c).getAs[Long]("n_nodes") === 3L)
+      assert(rows(c).getAs[Long]("m_in") === 3L)
+      assert(rows(c).getAs[Long]("deg_sum") === 7L)
+      assert(rows(c).getAs[Long]("q_num") === 35L)
+      assert(rows(c).getAs[Double]("q_contrib") === 35.0 / 196.0)
+    }
+  }
+
+  test("modularity: a split edge community has zero internal edges, negative q") {
+    // One edge whose endpoints land in different communities: both
+    // singleton communities have m_in = 0 (the left-join coalesce) and
+    // q_num = −deg_sum² < 0.
+    val edges = Seq((1L, 2L)).toDF("src", "dst")
+    val labels = Seq((1L, "x"), (2L, "y")).toDF("id", "label")
+    val rows = Graphs.modularity(edges, labels).collect()
+      .map(r => r.getAs[String]("label") -> r).toMap
+    for (c <- Seq("x", "y")) {
+      assert(rows(c).getAs[Long]("m_in") === 0L)
+      assert(rows(c).getAs[Long]("q_num") === -1L)
+      assert(rows(c).getAs[Double]("q_contrib") === -0.25)
+    }
+  }
 }
