@@ -583,6 +583,16 @@ object SparkEntry {
     "q206_rolling_active_users" -> ((s, dir) =>
       Timeseries.rollingActiveUsers(Tables.events(s, dir)).orderBy("day")),
 
+    // Cross-source quantile normalization: every source's n_chars
+    // distribution mapped onto the global order statistics (within-
+    // source rank → ceil(r·N/n_s) global rank) — all-integer, the gini
+    // distributed-rank idiom for the global table, never a single-
+    // partition global row_number.
+    "q208_quantile_normalize" -> ((s, dir) =>
+      graft.functions.Stats.quantileNormalize(
+        Tables.documents(s, dir), col("source"), col("doc_id"), col("n_chars"))
+        .orderBy("id")),
+
     // Multi-phrase positional search: mine the top word bigrams and
     // trigrams, then find every occurrence via the align-on-(pos - i)
     // broadcast join — the inverted-index phrase query (count(*) = plen
@@ -3802,6 +3812,28 @@ object SparkEntry {
          |         - COALESCE(n_a, 0) * COALESCE(sum_b, 0) AS shift_num
          |FROM a FULL OUTER JOIN b ON a.k = b.k
          |ORDER BY k""".stripMargin,
+
+    "q208_quantile_normalize" ->
+      """WITH v AS (SELECT doc_id AS id, source AS grp, n_chars AS x FROM documents),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        |g AS (
+        |  SELECT x AS x_norm,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY x, id) AS BIGINT) AS grank
+        |  FROM v
+        |),
+        |s AS (
+        |  SELECT id, grp, x,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x, id)
+        |              AS BIGINT) AS src_rank,
+        |         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS ns
+        |  FROM v
+        |)
+        |SELECT s.id, s.grp, s.x, s.src_rank,
+        |       (s.src_rank * t.n + s.ns - 1) // s.ns AS g_rank,
+        |       g.x_norm
+        |FROM s CROSS JOIN t
+        |JOIN g ON g.grank = (s.src_rank * t.n + s.ns - 1) // s.ns
+        |ORDER BY s.id""".stripMargin,
 
     "q206_rolling_active_users" ->
       """WITH ud AS (

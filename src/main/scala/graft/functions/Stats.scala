@@ -211,6 +211,71 @@ object Stats {
             (col("n").cast(dec) * col("s")).cast("double")).as("gini"))
   }
 
+  /** Cross-group quantile normalization — map every group's score
+    * distribution onto the GLOBAL one, the calibration pass that makes
+    * per-source quality scores comparable before a single threshold or
+    * mixing ratio is applied across sources (source A's "0.8" and source
+    * B's "0.8" rarely mean the same thing). Each row's within-group rank
+    * `r` (of `n_s`, ordered by `(x, id)` — deterministic under ties) maps
+    * to the global order statistic at rank `ceil(r·N/n_s)`; the output
+    * value is exactly that global value, so every group's normalized
+    * distribution is a subsample of the global one. All-integer: ranks,
+    * the ceiling (`(r·N + n_s − 1) div n_s` on nonnegative operands —
+    * trunc and floor agree), and the mapped value itself. BIGINT
+    * headroom: `r·N ≤ N²`, exact while `N ≤ 3·10⁹` rows.
+    *
+    * Scale: the global order statistic table deliberately avoids the
+    * single-partition `row_number` — [[giniCoefficient]]'s distributed
+    * prefix-count: bounded `approx_percentile` boundaries (a driver
+    * literal; boundary quality only balances partitions, never
+    * correctness), per-bucket counts to offsets via a window over ≤
+    * `numPartitions` rows, `row_number` only WITHIN a bucket. The
+    * within-group rank is one group-partitioned window exchange, and the
+    * rank→value mapping is a shuffle equi-join on the computed target
+    * rank.
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      group: Column,
+      id: Column,
+      x: Column,
+      numPartitions: Int = 32): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions=$numPartitions must be >= 1")
+    val v = df.select(group.as("grp"), id.as("id"), x.cast("long").as("x"))
+    val qs = (1 until numPartitions).map(i => i.toDouble / numPartitions)
+    val bounds: Seq[Long] =
+      if (qs.isEmpty) Seq.empty
+      else v.agg(expr(s"approx_percentile(x, array(${qs.mkString(", ")}), 10000)"))
+        .collect()(0).getSeq[Long](0)
+    val pid =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedLit(bounds), b => col("x") >= b))
+    val t = v.withColumn("_pid", pid)
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val wB = Window.partitionBy(col("_pid")).orderBy(col("x"), col("id"))
+    val global = t.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("grank", col("_off") + row_number().over(wB))
+      .select(col("grank"), col("x").as("x_norm"))
+    val tot = v.agg(count(lit(1)).as("n"))
+    val wS = Window.partitionBy(col("grp")).orderBy(col("x"), col("id"))
+    val ranked = v
+      .withColumn("src_rank", row_number().over(wS).cast("long"))
+      .withColumn("ns", count(lit(1)).over(Window.partitionBy(col("grp"))))
+      .crossJoin(broadcast(tot))
+      .withColumn(
+        "g_rank",
+        expr("(src_rank * n + ns - 1) div ns"))
+    ranked
+      .join(global, col("g_rank") === col("grank"))
+      .select(
+        col("id"), col("grp"), col("x"), col("src_rank"),
+        col("g_rank"), col("x_norm"))
+  }
+
   /** Per-group winsorization: clip an (exactly double-castable) measure to
     * its group's [`lo`, `hi`] quantiles — the standard outlier-taming pass
     * before scale-sensitive statistics. Spark's `percentile` and DuckDB's

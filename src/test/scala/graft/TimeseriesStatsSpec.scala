@@ -720,6 +720,26 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(out("B").getAs[Long]("cles_ppm") === 500000L)
   }
 
+  test("quantileNormalize: group ranks map onto exact global order statistics") {
+    // Global sorted x: 5,10,15,20,30,40 (N=6). Group a (n=4) maps ranks
+    // 1..4 → global ranks ceil(r·6/4) = 2,3,5,6 → values 10,15,30,40;
+    // group b (n=2) maps ranks 1,2 → global ranks 3,6 → values 15,40.
+    val df = Seq(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "a", 30L), (4L, "a", 40L),
+      (5L, "b", 5L), (6L, "b", 15L))
+      .toDF("id", "g", "x")
+    val out = Stats.quantileNormalize(df, col("g"), col("id"), col("x"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("src_rank"), r.getAs[Long]("g_rank"), r.getAs[Long]("x_norm"))).toMap
+    assert(out(1L) === ((1L, 2L, 10L)))
+    assert(out(2L) === ((2L, 3L, 15L)))
+    assert(out(3L) === ((3L, 5L, 30L)))
+    assert(out(4L) === ((4L, 6L, 40L)))
+    assert(out(5L) === ((1L, 3L, 15L)))
+    assert(out(6L) === ((2L, 6L, 40L)))
+    // The top of every group maps to the global maximum by construction.
+  }
+
   test("rollingActiveUsers: sweep-line equals the naive day-grid count-distinct") {
     // User 10 active days 0 and 9 (two disjoint W=3 intervals), user 11
     // active days 1,2,3 (one merged interval), user 12 active day 5 only.
