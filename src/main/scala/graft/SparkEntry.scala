@@ -583,6 +583,23 @@ object SparkEntry {
     "q206_rolling_active_users" -> ((s, dir) =>
       Timeseries.rollingActiveUsers(Tables.events(s, dir)).orderBy("day")),
 
+    // Luhn checksum validation over synthesized 16-digit candidates
+    // (the corpus carries no digit runs, so the candidates derive
+    // deterministically from doc_id — both engines replay the same
+    // arithmetic): the redactPii precision upgrade separating card-like
+    // identifiers from innocuous serials, all codegen'd higher-order
+    // functions, no UDF.
+    "q209_luhn_validate" -> ((s, dir) =>
+      TextAnalysis.luhnCheck(
+        Tables.documents(s, dir).select(
+          col("doc_id"),
+          concat(
+            lpad(pmod(col("doc_id") * 48271L + 11L, lit(100000000L)).cast("string"), 8, "0"),
+            lpad(pmod(col("doc_id") * 69621L + 17L, lit(100000000L)).cast("string"), 8, "0"))
+            .as("cand")),
+        col("doc_id"), col("cand"))
+        .orderBy("id")),
+
     // Cross-source quantile normalization: every source's n_chars
     // distribution mapped onto the global order statistics (within-
     // source rank → ceil(r·N/n_s) global rank) — all-integer, the gini
@@ -3812,6 +3829,30 @@ object SparkEntry {
          |         - COALESCE(n_a, 0) * COALESCE(sum_b, 0) AS shift_num
          |FROM a FULL OUTER JOIN b ON a.k = b.k
          |ORDER BY k""".stripMargin,
+
+    "q209_luhn_validate" ->
+      """WITH c AS (
+        |  SELECT doc_id AS id,
+        |         lpad(CAST((doc_id * 48271 + 11) % 100000000 AS VARCHAR), 8, '0')
+        |           || lpad(CAST((doc_id * 69621 + 17) % 100000000 AS VARCHAR), 8, '0')
+        |           AS cand
+        |  FROM documents
+        |),
+        |s AS (
+        |  SELECT id, cand,
+        |         CAST(list_sum(list_transform(range(1, length(cand) + 1), i ->
+        |           CASE WHEN (length(cand) - i) % 2 = 1
+        |                THEN CASE WHEN 2 * CAST(substr(cand, CAST(i AS INT), 1) AS INT) > 9
+        |                          THEN 2 * CAST(substr(cand, CAST(i AS INT), 1) AS INT) - 9
+        |                          ELSE 2 * CAST(substr(cand, CAST(i AS INT), 1) AS INT) END
+        |                ELSE CAST(substr(cand, CAST(i AS INT), 1) AS INT) END))
+        |           AS BIGINT) AS luhn_sum
+        |  FROM c
+        |)
+        |SELECT id, cand, CAST(length(cand) AS BIGINT) AS n_digits,
+        |       luhn_sum % 10 AS luhn_mod,
+        |       (luhn_sum % 10 = 0) AS luhn_valid
+        |FROM s ORDER BY id""".stripMargin,
 
     "q208_quantile_normalize" ->
       """WITH v AS (SELECT doc_id AS id, source AS grp, n_chars AS x FROM documents),

@@ -625,6 +625,42 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit(LongNumberPattern), lit(0)))
         .cast("long").as("n_numbers"))
 
+  /** Luhn checksum validation (ISO/IEC 7812) over digit-string
+    * candidates — the precision upgrade for [[redactPii]]'s digit-run
+    * pass: a 13–19-digit run that PASSES Luhn is near-certainly a real
+    * payment-card / IMEI-class identifier and must be redacted, while a
+    * failing run is usually an innocuous serial number worth keeping.
+    * Emits per candidate the digit count, the checksum residue
+    * (`luhn_mod`, 0 ⟺ valid), and the validity flag.
+    *
+    * Pure narrow projection — higher-order `transform`/`aggregate` over
+    * the digit positions (from the right, every second digit doubles,
+    * >9 folds by −9), entirely inside whole-stage codegen; no UDF, no
+    * shuffle. `cand` must be a nonempty all-digit string — the caller's
+    * regex guarantees it.
+    */
+  def luhnCheck(df: DataFrame, id: Column, cand: Column): DataFrame =
+    df.select(id.as("id"), cand.as("cand"))
+      .withColumn(
+        "luhn_sum",
+        aggregate(
+          transform(
+            sequence(lit(1), length(col("cand"))),
+            i => {
+              val d = col("cand").substr(i, lit(1)).cast("int")
+              when(
+                pmod(length(col("cand")) - i, lit(2)) === 1,
+                when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+              ).otherwise(d)
+            }),
+          lit(0),
+          (acc, x) => acc + x).cast("long"))
+      .select(
+        col("id"), col("cand"),
+        length(col("cand")).cast("long").as("n_digits"),
+        pmod(col("luhn_sum"), lit(10L)).as("luhn_mod"),
+        (pmod(col("luhn_sum"), lit(10L)) === 0L).as("luhn_valid"))
+
   /** Tokenizer-vocabulary construction: the `maxSize` most frequent
     * corpus tokens with at least `minCount` occurrences, assigned
     * contiguous ids in (frequency desc, token) order — the frequency

@@ -1176,4 +1176,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out.keys.forall(_._1 != "q q q"))
     assert(out.size === 3)
   }
+
+  test("luhnCheck validates the canonical card checksums, odd lengths included") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "4111111111111111"), // the classic valid 16-digit test PAN
+      (2L, "4111111111111112"), // off-by-one check digit — invalid
+      (3L, "79927398713"),      // Wikipedia's 11-digit Luhn example, valid
+      (4L, "79927398710"),      // same payload, wrong check digit
+      (5L, "0000000000000000"))
+      .toDF("doc_id", "cand")
+    val out = TextAnalysis.luhnCheck(df, col("doc_id"), col("cand")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_digits"), r.getAs[Long]("luhn_mod"), r.getAs[Boolean]("luhn_valid")))
+      .toMap
+    assert(out(1L) === ((16L, 0L, true)))
+    assert(out(2L)._3 === false && out(2L)._2 === 1L)
+    assert(out(3L) === ((11L, 0L, true)))
+    assert(out(4L)._3 === false)
+    assert(out(5L) === ((16L, 0L, true))) // all-zeros is trivially valid
+  }
 }
