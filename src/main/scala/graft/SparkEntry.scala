@@ -583,6 +583,13 @@ object SparkEntry {
     "q206_rolling_active_users" -> ((s, dir) =>
       Timeseries.rollingActiveUsers(Tables.events(s, dir)).orderBy("day")),
 
+    // Content-defined chunking (token-level FastCDC): boundaries where
+    // the word digest ≡ 0 mod 8 — variable chunks that survive offset
+    // shifts; the cross-doc duplicate-chunk inventory, text never
+    // shuffling (all per-doc array lambdas + one digest aggregate).
+    "q210_cdc_chunk_dups" -> ((s, dir) =>
+      Dedup.chunkDuplicates(Tables.documents(s, dir)).orderBy("dig")),
+
     // Luhn checksum validation over synthesized 16-digit candidates
     // (the corpus carries no digit runs, so the candidates derive
     // deterministically from doc_id — both engines replay the same
@@ -3829,6 +3836,42 @@ object SparkEntry {
          |         - COALESCE(n_a, 0) * COALESCE(sum_b, 0) AS shift_num
          |FROM a FULL OUTER JOIN b ON a.k = b.k
          |ORDER BY k""".stripMargin,
+
+    "q210_cdc_chunk_dups" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+        |         CAST(unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1))
+        |              AS BIGINT) AS pos,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+        |  FROM documents
+        |),
+        |b AS (
+        |  SELECT doc_id, pos, w,
+        |         CASE WHEN pos < n
+        |                   AND CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 8 = 0
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM w
+        |),
+        |c AS (
+        |  SELECT doc_id, pos, w,
+        |         COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+        |  FROM b
+        |),
+        |ch AS (
+        |  SELECT doc_id, chunk_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS n_words,
+        |         CAST('0x' || substr(md5(string_agg(w, ' ' ORDER BY pos)), 1, 15)
+        |              AS BIGINT) AS dig
+        |  FROM c GROUP BY doc_id, chunk_idx
+        |)
+        |SELECT dig,
+        |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |       CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |       CAST(MIN(n_words) AS BIGINT) AS n_words
+        |FROM ch GROUP BY dig HAVING COUNT(*) > 1
+        |ORDER BY dig""".stripMargin,
 
     "q209_luhn_validate" ->
       """WITH c AS (

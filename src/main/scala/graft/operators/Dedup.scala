@@ -1723,4 +1723,70 @@ object Dedup {
         deletionNeighborhood("wa", maxDist), deletionNeighborhood("wb", maxDist))))
       .select(col("wa"), col("wb"), col("dist"))
   }
+
+  /** Content-defined chunking at token granularity — the storage-dedup
+    * idea (Rabin/FastCDC boundaries) relationalized: a chunk boundary
+    * falls after every word whose 60-bit digest ≡ 0 (mod `modulus`), so
+    * boundaries are a pure function of LOCAL content and survive
+    * insertions/deletions anywhere else in the document — unlike
+    * [[passageDedup]]'s fixed windows (which shift) and like
+    * [[rollingPassageDedup]] but with VARIABLE-length chunks whose
+    * expected length is `modulus` words. Shared boilerplate then lands
+    * in identical chunks regardless of its offset in each document.
+    *
+    * Entirely per-document array computation — boundary positions by a
+    * higher-order `filter` over word positions, chunk spans by
+    * `zip_with(starts, ends)`, one `md5` per chunk — so the document
+    * text NEVER shuffles; the only exchange is the digest-level
+    * aggregate a caller puts on top. The final (no-op) boundary after
+    * the last word is dropped so chunks are always nonempty; an empty
+    * document is one chunk of the empty token.
+    *
+    * Output: `(doc_id, chunk_idx, start_pos, n_words, dig)` — 1-based
+    * `start_pos`, 0-based `chunk_idx`, `dig` = 60-bit md5 slice of the
+    * space-joined chunk text.
+    */
+  def contentDefinedChunks(docs: DataFrame, modulus: Int = 8): DataFrame = {
+    require(modulus >= 2, s"modulus=$modulus must be >= 2")
+    val n = size(col("ws"))
+    TextAnalysis.spread(docs)
+      .select(col("doc_id"), TextAnalysis.wordsCol.as("ws"))
+      .withColumn(
+        "bpos",
+        filter(
+          sequence(lit(1), n),
+          i => i < n && pmod(
+            graft.functions.Hashing.md5Long60(element_at(col("ws"), i)),
+            lit(modulus.toLong)) === 0L))
+      .withColumn(
+        "spans",
+        zip_with(
+          concat(array(lit(1)), transform(col("bpos"), p => p + 1)),
+          concat(col("bpos"), array(n)),
+          (s, e) => struct(s.as("s"), e.as("e"))))
+      .select(col("doc_id"), col("ws"), posexplode(col("spans")).as(Seq("chunk_idx", "sp")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        col("sp.s").cast("long").as("start_pos"),
+        (col("sp.e") - col("sp.s") + 1).cast("long").as("n_words"),
+        graft.functions.Hashing.md5Long60(
+          array_join(slice(col("ws"), col("sp.s"), col("sp.e") - col("sp.s") + 1), " "))
+          .as("dig"))
+  }
+
+  /** Cross-document duplicate-chunk summary over
+    * [[contentDefinedChunks]]: every chunk digest occurring more than
+    * once, with how many documents and occurrences share it — the
+    * offset-robust boilerplate inventory. One digest-keyed aggregate
+    * (counter state per distinct digest); text never shuffles.
+    */
+  def chunkDuplicates(docs: DataFrame, modulus: Int = 8): DataFrame =
+    contentDefinedChunks(docs, modulus)
+      .groupBy(col("dig"))
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("n_words")).as("n_words"))
+      .filter(col("n_occ") > 1L)
 }

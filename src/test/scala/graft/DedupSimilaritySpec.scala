@@ -1613,4 +1613,74 @@ class DedupSimilaritySpec extends SparkSpec {
     // Projections order with the dominant coordinate: 0 > 2 > 3 > 1.
     assert(out(0L)._1 > out(2L)._1 && out(2L)._1 > out(3L)._1 && out(3L)._1 > out(1L)._1)
   }
+
+  // Independent model of the 60-bit md5 slice (the differential pin the
+  // Md5Long60 expression already carries, re-derived here from
+  // java.security so the chunker test shares no code with the engine).
+  private def h60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16)
+  }
+
+  /** Brute-force CDC model: (chunk_idx, start_pos, n_words, dig). */
+  private def modelChunks(text: String, modulus: Int): Seq[(Long, Long, Long, Long)] = {
+    val ws = text.trim.split("\\s+", -1).toSeq
+    val n = ws.length
+    val bpos = (1 until n).filter(i => h60(ws(i - 1)) % modulus == 0)
+    val starts = 1L +: bpos.map(_ + 1L)
+    val ends = bpos.map(_.toLong) :+ n.toLong
+    starts.zip(ends).zipWithIndex.map { case ((s, e), i) =>
+      (i.toLong, s, e - s + 1,
+        h60(ws.slice(s.toInt - 1, e.toInt).mkString(" ")))
+    }
+  }
+
+  test("contentDefinedChunks: differential vs the brute-force model, incl. degenerate docs") {
+    val words = (0 until 80).map(i => s"tok$i").mkString(" ")
+    val cdcDocs = Seq(
+      (0L, words, "en", "s0", words.length.toLong),
+      (1L, "", "en", "s0", 0L), // empty doc: one chunk of the empty token
+      (2L, "  \t  ", "en", "s0", 5L), // whitespace-only: same shape
+      (3L, "single", "en", "s0", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = Dedup.contentDefinedChunks(cdcDocs, modulus = 4)
+      .collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.map(r => (r.getAs[Long]("chunk_idx"), r.getAs[Long]("start_pos"),
+        r.getAs[Long]("n_words"), r.getAs[Long]("dig"))).sortBy(_._1).toSeq).toMap
+    // Deterministic fixture sanity: the 80-token doc must actually chunk.
+    assert(modelChunks(words, 4).length >= 3, "fixture must produce multiple chunks")
+    assert(got(0L) === modelChunks(words, 4))
+    assert(got(1L) === modelChunks("", 4))
+    assert(got(2L) === modelChunks("  \t  ", 4))
+    assert(got(3L) === modelChunks("single", 4))
+    // Chunks partition each document: contiguous spans, full coverage.
+    got(0L).sliding(2).foreach { case Seq(a, b) => assert(b._2 === a._2 + a._3); case _ => }
+    assert(got(0L).map(_._3).sum === 80L)
+  }
+
+  test("chunkDuplicates: boundaries survive an offset shift (all-but-first chunks shared)") {
+    val words = (0 until 80).map(i => s"tok$i").mkString(" ")
+    val shifted = "noiseA noiseB noiseC " + words
+    val two = Seq(
+      (0L, words, "en", "s0", words.length.toLong),
+      (1L, shifted, "en", "s1", shifted.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val model0 = modelChunks(words, 4)
+    val model1 = modelChunks(shifted, 4)
+    val dups = Dedup.chunkDuplicates(two, modulus = 4).collect()
+      .map(r => r.getAs[Long]("dig") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occ"))).toMap
+    // The CDC property: every chunk of doc0 past the first boundary has a
+    // byte-identical twin in the shifted doc (fixed windows would shift).
+    val digs1 = model1.map(_._4).toSet
+    model0.tail.foreach { case (_, _, _, dig) =>
+      assert(digs1.contains(dig) && dups(dig) === ((2L, 2L)))
+    }
+    // And the engine's inventory is EXACTLY the two models' overlap (the
+    // head chunk joins it only if a noise word happens to end a chunk).
+    val expected = (model0 ++ model1).groupBy(_._4)
+      .collect { case (dig, cs) if cs.size > 1 => dig -> ((2L, cs.size.toLong)) }
+    assert(dups === expected)
+  }
 }
