@@ -1376,6 +1376,18 @@ object SparkEntry {
           col("event_type") === "purchase")
         .orderBy("bin")),
 
+    // Exact ROC curve of `value` predicting purchases, per day — the
+    // threshold-sweep q130 integrates: one row per distinct centi
+    // threshold, all-integer confusion prefix + ppm rates.
+    "q211_roc_curve" -> ((s, dir) =>
+      Stats.rocCurve(
+          Tables.events(s, dir),
+          date_format(col("ts"), "yyyy-MM-dd"),
+          col("value"),
+          col("event_type") === "purchase")
+        .withColumnRenamed("grp", "day")
+        .orderBy(col("day"), col("thr_centi").desc)),
+
     // DSIR-style importance weights vs the src0 target domain:
     // whole-bit unigram log-likelihood ratio, BIGINT end to end.
     "q131_importance_weights" -> ((s, dir) =>
@@ -3836,6 +3848,37 @@ object SparkEntry {
          |         - COALESCE(n_a, 0) * COALESCE(sum_b, 0) AS shift_num
          |FROM a FULL OUTER JOIN b ON a.k = b.k
          |ORDER BY k""".stripMargin,
+
+    "q211_roc_curve" ->
+      """WITH ev AS (
+        |  SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        |         CAST(round(value * 100) AS BIGINT) AS thr_centi,
+        |         (event_type = 'purchase') AS y
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |),
+        |per_t AS (
+        |  SELECT day, thr_centi,
+        |         CAST(SUM(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
+        |         CAST(SUM(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg
+        |  FROM ev GROUP BY day, thr_centi
+        |),
+        |win AS (
+        |  SELECT day, thr_centi,
+        |         CAST(SUM(c_pos) OVER (PARTITION BY day ORDER BY thr_centi DESC)
+        |              AS BIGINT) AS tp,
+        |         CAST(SUM(c_neg) OVER (PARTITION BY day ORDER BY thr_centi DESC)
+        |              AS BIGINT) AS fp,
+        |         CAST(SUM(c_pos) OVER (PARTITION BY day) AS BIGINT) AS n_pos,
+        |         CAST(SUM(c_neg) OVER (PARTITION BY day) AS BIGINT) AS n_neg
+        |  FROM per_t
+        |)
+        |SELECT day, thr_centi, tp, fp, n_pos, n_neg,
+        |       (1000000 * tp) // n_pos AS tpr_ppm,
+        |       (1000000 * fp) // n_neg AS fpr_ppm,
+        |       (1000000 * tp) // (tp + fp) AS precision_ppm
+        |FROM win
+        |WHERE n_pos > 0 AND n_neg > 0
+        |ORDER BY day, thr_centi DESC""".stripMargin,
 
     "q210_cdc_chunk_dups" ->
       """WITH w AS (

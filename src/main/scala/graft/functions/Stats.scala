@@ -549,6 +549,53 @@ object Stats {
       .drop("lo")
   }
 
+  /** Exact ROC curve points — the threshold-sweep view [[groupAuc]]
+    * integrates and [[calibrationBins]] marginalizes: per group, one row
+    * per distinct observed score threshold with the exact confusion
+    * prefix at "predict positive when score ≥ threshold". Operating-point
+    * selection (recall floors, precision gates) reads THIS table; AUC
+    * alone can't pick a threshold. Scores quantize to centi-units through
+    * the round(s·100) BIGINT path (q77's proven decimal bridge), so every
+    * column is integer: tp/fp counts by a descending cumulative window,
+    * tpr/fpr/precision as ppm floor divisions. `tp + fp ≥ 1` at every
+    * observed threshold (the threshold's own rows are in the prefix), so
+    * the precision division is never undefined; groups lacking a class
+    * are dropped (no TPR or FPR exists), matching [[groupAuc]].
+    *
+    * Scale: one map-side-combined groupBy down to distinct
+    * (group, threshold) cells, then one exchange on the group key shared
+    * by the cumulative and total windows — the curve's row count is
+    * bounded by distinct quantized scores per group, never raw rows.
+    */
+  def rocCurve(
+      df: DataFrame,
+      group: Column,
+      score: Column,
+      label: Column): DataFrame = {
+    val v = df
+      .select(group.as("grp"), score.cast("double").as("s"), label.cast("boolean").as("y"))
+      .filter(col("s").isNotNull && col("y").isNotNull)
+      .withColumn("thr_centi", round(col("s") * 100, 0).cast("long"))
+    val perThr = v.groupBy(col("grp"), col("thr_centi"))
+      .agg(
+        sum(when(col("y"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("y"), 0L).otherwise(1L)).as("c_neg"))
+    val desc = Window.partitionBy(col("grp")).orderBy(col("thr_centi").desc)
+    val tot = Window.partitionBy(col("grp"))
+    perThr
+      .withColumn("tp", sum(col("c_pos")).over(desc))
+      .withColumn("fp", sum(col("c_neg")).over(desc))
+      .withColumn("n_pos", sum(col("c_pos")).over(tot))
+      .withColumn("n_neg", sum(col("c_neg")).over(tot))
+      .filter(col("n_pos") > 0L && col("n_neg") > 0L)
+      .select(
+        col("grp"), col("thr_centi"), col("tp"), col("fp"),
+        col("n_pos"), col("n_neg"),
+        expr("(1000000 * tp) div n_pos").as("tpr_ppm"),
+        expr("(1000000 * fp) div n_neg").as("fpr_ppm"),
+        expr("(1000000 * tp) div (tp + fp)").as("precision_ppm"))
+  }
+
   /** Binary-classifier confusion matrix + exact ppm summary metrics —
     * the acceptance scorecard for every gate in the curation stack (is
     * the learned quality scorer faithful to its teacher? does the

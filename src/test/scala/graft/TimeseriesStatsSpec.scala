@@ -335,6 +335,33 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("pos_rate_ppm") === 666666L) // (2e6) div 3
   }
 
+  test("rocCurve: exact confusion prefixes per threshold, single-class drop, (1,1) endpoint") {
+    val df = Seq(
+      // g: pos {0.30, 0.20}, neg {0.20, 0.10} — thresholds 30, 20, 10.
+      ("g", 0.30, true), ("g", 0.20, true), ("g", 0.20, false), ("g", 0.10, false),
+      // h: single class — no curve.
+      ("h", 0.50, true))
+      .toDF("grp", "s", "y")
+    val out = Stats.rocCurve(df, col("grp"), col("s"), col("y")).collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Long]("thr_centi")) -> r).toMap
+    assert(!out.keys.exists(_._1 == "h"))
+    assert(out.size === 3)
+    val t30 = out(("g", 30L))
+    assert(t30.getAs[Long]("tp") === 1L && t30.getAs[Long]("fp") === 0L)
+    assert(t30.getAs[Long]("tpr_ppm") === 500000L)
+    assert(t30.getAs[Long]("fpr_ppm") === 0L)
+    assert(t30.getAs[Long]("precision_ppm") === 1000000L)
+    val t20 = out(("g", 20L))
+    assert(t20.getAs[Long]("tp") === 2L && t20.getAs[Long]("fp") === 1L)
+    assert(t20.getAs[Long]("tpr_ppm") === 1000000L)
+    assert(t20.getAs[Long]("fpr_ppm") === 500000L)
+    assert(t20.getAs[Long]("precision_ppm") === 666666L)
+    // The lowest observed threshold always classifies everything positive.
+    val t10 = out(("g", 10L))
+    assert(t10.getAs[Long]("tpr_ppm") === 1000000L && t10.getAs[Long]("fpr_ppm") === 1000000L)
+    assert(t10.getAs[Long]("n_pos") === 2L && t10.getAs[Long]("n_neg") === 2L)
+  }
+
   test("scd2Intervals collapses runs, chains validity, ties on event_id") {
     def us(s: String): Long = ts(s).getTime * 1000L
     val ev = Seq(
