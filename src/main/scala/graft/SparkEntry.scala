@@ -923,6 +923,39 @@ object SparkEntry {
         .orderBy("p")
     }),
 
+    // WordPiece training — the third standard subword family (BERT's):
+    // BPE's merge loop under the likelihood score cnt/(ca·cb), kept
+    // integral via the picounit floor quantization (BigInt here,
+    // HUGEINT in the oracle). The oracle replays every round in SQL.
+    "q212_wordpiece_train" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.wordpieceTrainMerges(Tables.documents(s, dir), numMerges = bpeOracleMerges)
+        .toDF("rank", "c1", "c2", "merged", "cnt", "ca", "cb", "score")
+        .orderBy("rank")
+    }),
+
+    // WordPiece encode over the whole corpus with the freshly-trained
+    // vocabulary: greedy longest-match with ## continuations, [UNK]
+    // fallback; per-doc conservation totals + piece-stream digest (the
+    // q96 surface). The oracle re-trains AND re-matches in SQL.
+    "q213_wordpiece_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.wordpieceTrainMerges(docs, numMerges = bpeOracleMerges)
+      TextAnalysis.wordpieceEncodeWords(docs, TextAnalysis.wordpieceVocab(docs, merges))
+        .withColumn("pstr", array_join(col("pieces"), "\u001f"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_words"),
+          sum(length(col("w"))).cast("long").as("n_chars_sum"),
+          sum(col("n_pieces")).as("n_pieces"),
+          md5(array_join(
+            transform(
+              sort_array(collect_list(struct(col("pos"), col("pstr")))),
+              x => x.getField("pstr")),
+            " ")).as("pieces_digest"))
+        .orderBy("doc_id")
+    }),
+
     // Unigram encode over the whole corpus with the freshly-trained
     // vocabulary: per-doc conservation totals + piece-stream digest
     // (q96's surface for the second tokenizer family). The oracle
@@ -4999,6 +5032,10 @@ object SparkEntry {
 
     "q150_unigram_train" -> uniTrainOracle,
 
+    "q212_wordpiece_train" -> wpTrainOracle,
+
+    "q213_wordpiece_encode" -> wpEncodeOracle,
+
     "q151_unigram_encode" -> uniEncodeOracle,
 
     "q155_bitext_mining" -> bitextOracle,
@@ -7011,6 +7048,163 @@ object SparkEntry {
        |       CAST(SUM(len(string_split(s.path, '$sep'))) AS BIGINT) AS n_pieces,
        |       md5(string_agg(s.path, ' ' ORDER BY t.pos)) AS pieces_digest
        |FROM tok t JOIN seg$enc s USING (w)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** Shared q212/q213 oracle prefix: tokenization, ##-prefixed char-split
+    * word types, and `bpeOracleMerges` unrolled WordPiece rounds — symbol
+    * counts + adjacent-pair counts → picounit likelihood argmax
+    * `(cnt·10¹²) // (ca·cb)` in HUGEINT (exact, mirroring the engine's
+    * BigInt) with `(score DESC, c1, c2)` ties → greedy merge application
+    * via q95's doubled-separator `replace` trick, the merged symbol being
+    * `c1 || strip-##(c2)`. Empty word types carry a bare separator pair
+    * (zero symbols), matching the engine's empty symbol list.
+    */
+  private def wpTrainSql: String = {
+    val sep = "\u001f"
+    val s1 = s"'$sep'"
+    val s2 = s"'$sep$sep'"
+    val s3 = s"'$sep$sep$sep'"
+    val head =
+      s"""tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+         |         CAST(unnest(range(len(regexp_split_to_array(trim(text), '\\s+')))) AS BIGINT) AS pos
+         |  FROM documents
+         |),
+         |wv0 AS MATERIALIZED (
+         |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc,
+         |         CASE WHEN length(w) = 0 THEN $s2
+         |              ELSE $s2 || array_to_string(list_prepend(w[1:1],
+         |                list_transform(range(2, length(w)+1), i -> '##' || w[i:i])), $s2) || $s2
+         |         END AS seq
+         |  FROM tok GROUP BY w
+         |)""".stripMargin
+    val rounds = (1 to bpeOracleMerges).map { r =>
+      s"""wsym$r AS MATERIALIZED (
+         |  SELECT x AS sym, CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, unnest(list_filter(string_split(seq, $s2), x -> x <> '')) AS x FROM wv${r - 1})
+         |  GROUP BY x
+         |),
+         |wp$r AS MATERIALIZED (
+         |  SELECT l[i] AS c1, l[i+1] AS c2, CAST(SUM(wc) AS BIGINT) AS cnt
+         |  FROM (SELECT wc, list_filter(string_split(seq, $s2), x -> x <> '') AS l FROM wv${r - 1}),
+         |       unnest(range(1, len(l))) AS u(i)
+         |  GROUP BY 1, 2
+         |),
+         |wm$r AS MATERIALIZED (
+         |  SELECT c1, c2, cnt, ca, cb,
+         |         CAST((CAST(cnt AS HUGEINT) * 1000000000000) // (CAST(ca AS HUGEINT) * cb) AS BIGINT) AS score,
+         |         c1 || CASE WHEN c2 LIKE '##%' THEN substr(c2, 3) ELSE c2 END AS merged
+         |  FROM (SELECT p.c1, p.c2, p.cnt, a.cnt AS ca, b.cnt AS cb
+         |        FROM wp$r p JOIN wsym$r a ON a.sym = p.c1 JOIN wsym$r b ON b.sym = p.c2)
+         |  ORDER BY score DESC, c1, c2 LIMIT 1
+         |),
+         |wv$r AS MATERIALIZED (
+         |  SELECT w, wc,
+         |         replace(seq,
+         |           coalesce($s1 || (SELECT c1 FROM wm$r) || $s2 || (SELECT c2 FROM wm$r) || $s1, $s3),
+         |           coalesce($s1 || (SELECT merged FROM wm$r) || $s1, $s3)) AS seq
+         |  FROM wv${r - 1}
+         |)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
+
+  private def wpTrainOracle: String = {
+    val unions = (1 to bpeOracleMerges).map { r =>
+      s"  SELECT ${r - 1} AS rank, c1, c2, merged, cnt, ca, cb, score FROM wm$r"
+    }.mkString("\n  UNION ALL\n")
+    s"WITH $wpTrainSql\nSELECT * FROM (\n$unions\n) ORDER BY rank"
+  }
+
+  /** q213's encode replay: the training-induced vocabulary (corpus
+    * alphabet + one token per merge), then the greedy longest-match
+    * unrolled by consumed-prefix length — `wg{k}` holds each word type
+    * whose unique greedy path reaches offset k, `wc{k}` its longest
+    * vocabulary match there (`ROW_NUMBER` over candidate lengths DESC);
+    * a word that stalls at any reached offset is `[UNK]`, matching
+    * [[graft.expressions.WordpieceEncode]].
+    */
+  private def wpEncodeOracle: String = {
+    val sep = "\u001f"
+    val maxLen = uniMaxWordLen
+    val mergeUnions = (1 to bpeOracleMerges)
+      .map(r => s"    SELECT merged AS p FROM wm$r")
+      .mkString("\n    UNION ALL\n")
+    val vocabCte =
+      s"""alpha AS MATERIALIZED (
+         |  SELECT DISTINCT CASE WHEN i = 1 THEN w[1:1] ELSE '##' || w[CAST(i AS INT):CAST(i AS INT)] END AS p
+         |  FROM (SELECT w FROM wv0 WHERE length(w) >= 1), unnest(range(1, length(w)+1)) AS u(i)
+         |),
+         |wvocab AS MATERIALIZED (
+         |  SELECT DISTINCT p FROM (
+         |    SELECT p FROM alpha
+         |    UNION ALL
+         |$mergeUnions
+         |  )
+         |)""".stripMargin
+    // Interleaved: wc{k} (the choice at offset k) references wg{k}, and
+    // wg{m} (reachers of offset m) references every wc{k<m} — CTEs may
+    // only look backward, so the emission order is wg0, wc0, wg1, wc1, …
+    val walk = (0 until maxLen).flatMap { k =>
+      val pfx = if (k == 0) "''" else "'##'"
+      val choice =
+        s"""wc$k AS MATERIALIZED (
+           |  SELECT w, path, piece, i FROM (
+           |    SELECT g.w, g.path, v.p AS piece, u.i,
+           |           ROW_NUMBER() OVER (PARTITION BY g.w ORDER BY u.i DESC) AS rn
+           |    FROM wg$k g
+           |    CROSS JOIN unnest(range(1, ${maxLen - k + 1})) AS u(i)
+           |    JOIN wvocab v ON v.p = $pfx || substr(g.w, ${k + 1}, CAST(u.i AS INT))
+           |    WHERE length(g.w) >= ${k} + u.i
+           |  ) WHERE rn = 1
+           |)""".stripMargin
+      val m = k + 1
+      val feeders = (0 until m).map { j =>
+        s"    SELECT w, path, piece FROM wc$j WHERE i = ${m - j}"
+      }.mkString("\n    UNION ALL\n")
+      val state =
+        s"""wg$m AS MATERIALIZED (
+           |  SELECT w, CASE WHEN path = '' THEN piece ELSE path || '$sep' || piece END AS path
+           |  FROM (
+           |$feeders
+           |  )
+           |)""".stripMargin
+      Seq(choice, state)
+    }
+    val unkUnions = (0 until maxLen).map { k =>
+      s"""    SELECT g.w FROM wg$k g WHERE length(g.w) > $k
+         |      AND NOT EXISTS (SELECT 1 FROM wc$k c WHERE c.w = g.w)""".stripMargin
+    }.mkString("\n    UNION ALL\n")
+    val segUnions = (1 to maxLen)
+      .map(m => s"    SELECT w, path FROM wg$m WHERE length(w) = $m")
+      .mkString("\n    UNION ALL\n")
+    s"""WITH $wpTrainSql,
+       |$vocabCte,
+       |wg0 AS MATERIALIZED (SELECT w, '' AS path FROM wv0 WHERE length(w) >= 1),
+       |${walk.mkString(",\n")},
+       |wunk AS MATERIALIZED (
+       |  SELECT DISTINCT w FROM (
+       |$unkUnions
+       |  )
+       |),
+       |wseg AS MATERIALIZED (
+       |  SELECT w, path FROM (
+       |$segUnions
+       |  ) WHERE w NOT IN (SELECT w FROM wunk)
+       |  UNION ALL
+       |  SELECT w, '' AS path FROM wv0 WHERE length(w) = 0
+       |  UNION ALL
+       |  SELECT w, '[UNK]' AS path FROM wunk
+       |)
+       |SELECT t.doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_words,
+       |       CAST(SUM(length(t.w)) AS BIGINT) AS n_chars_sum,
+       |       CAST(SUM(CASE WHEN s.path = '' THEN 0
+       |                     ELSE len(string_split(s.path, '$sep')) END) AS BIGINT) AS n_pieces,
+       |       md5(string_agg(s.path, ' ' ORDER BY t.pos)) AS pieces_digest
+       |FROM tok t JOIN wseg s USING (w)
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
   }

@@ -498,6 +498,138 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"), col("w"), col("pieces"), col("n_pieces"))
   }
 
+  /** WordPiece tokenizer training — the THIRD standard subword family
+    * next to BPE ([[bpeTrainMerges]]) and unigram-LM
+    * ([[unigramTrainVocab]]), the BERT-family trainer: the same greedy
+    * merge loop as BPE but selecting the pair that maximizes the
+    * LIKELIHOOD ratio `cnt(pair) / (cnt(a)·cnt(b))` over current symbol
+    * counts, not the raw pair count — merging what co-occurs more than
+    * its parts predict. Word types split as `first-char, ##char, ##char,
+    * …` (the `##` continuation prefix makes initial and medial symbols
+    * distinct, as WordPiece requires), and a merge of `(a, ##b)` yields
+    * `a ++ b` with the continuation prefix of the LEFT side kept.
+    *
+    * The ratio is kept integral by the house floor-quantization: the
+    * selection key is `score = (cnt · 10¹²) div (ca · cb)` in exact
+    * arbitrary-precision arithmetic (BigInt here, HUGEINT in the
+    * oracle), ties broken on `(c1, c2)` — fully deterministic and
+    * engine-bit-identical, the same discipline as the unigram family's
+    * whole-bit costs. ALL word types contribute symbol counts (a 1-char
+    * word has no pairs but its symbol still weights denominators).
+    *
+    * Scale: identical shape to [[bpeTrainMerges]] — the ONLY
+    * corpus-sized stage is the word-type count aggregate; the merge loop
+    * runs driver-side over the collected type table, bounded by
+    * vocabulary (Heaps' law), never corpus bytes.
+    *
+    * Returns `(rank, c1, c2, merged, cnt, ca, cb, score)` per merge.
+    */
+  def wordpieceTrainMerges(
+      docs: DataFrame,
+      numMerges: Int = 20): Seq[(Int, String, String, String, Long, Long, Long, Long)] = {
+    val types: Array[(List[String], Long)] = tokenize(docs)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wc"))
+      .collect()
+      .map { r =>
+        val w = r.getString(0)
+        val syms = w.zipWithIndex.map { case (c, i) =>
+          if (i == 0) c.toString else "##" + c
+        }.toList
+        (syms, r.getLong(1))
+      }
+    var words = types
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long, Long, Long, Long)]
+    val quant = BigInt(1000000000000L)
+    var rank = 0
+    while (rank < numMerges) {
+      val symCounts = scala.collection.mutable.Map.empty[String, Long]
+      val pairCounts = scala.collection.mutable.Map.empty[(String, String), Long]
+      words.foreach { case (syms, wc) =>
+        syms.foreach(s => symCounts(s) = symCounts.getOrElse(s, 0L) + wc)
+        syms.zip(syms.tail).foreach { p =>
+          pairCounts(p) = pairCounts.getOrElse(p, 0L) + wc
+        }
+      }
+      if (pairCounts.isEmpty) return merges.toSeq
+      val scored = pairCounts.toSeq.map { case ((a, b), c) =>
+        val score =
+          (BigInt(c) * quant / (BigInt(symCounts(a)) * BigInt(symCounts(b)))).toLong
+        ((a, b), c, score)
+      }
+      val ((c1, c2), cnt, score) = scored.minBy { case ((a, b), _, s) => (-s, a, b) }
+      val merged = c1 + c2.stripPrefix("##")
+      merges += ((rank, c1, c2, merged, cnt, symCounts(c1), symCounts(c2), score))
+      words = words.map { case (syms, wc) => (mergePairOnce(syms, c1, c2, merged), wc) }
+      rank += 1
+    }
+    merges.toSeq
+  }
+
+  /** One left-to-right greedy, non-overlapping merge pass with an
+    * explicit merged symbol ([[mergeOnce]] generalized for WordPiece's
+    * prefix-stripping concatenation).
+    */
+  private def mergePairOnce(
+      syms: List[String], c1: String, c2: String, merged: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var rest = syms
+    while (rest.nonEmpty) {
+      rest match {
+        case a :: b :: tail if a == c1 && b == c2 =>
+          out += merged; rest = tail
+        case a :: tail =>
+          out += a; rest = tail
+        case Nil =>
+      }
+    }
+    out.toList
+  }
+
+  /** The encode vocabulary a WordPiece training run induces: the corpus
+    * alphabet (every first-position char plus every `##`-prefixed medial
+    * char over word TYPES) plus one token per merge — HF-style, a merge's
+    * token stays in the vocabulary even if a later merge consumes it.
+    */
+  def wordpieceVocab(
+      docs: DataFrame,
+      merges: Seq[(Int, String, String, String, Long, Long, Long, Long)]): Seq[String] = {
+    val alphabet = tokenize(docs).select(col("w")).distinct()
+      .collect()
+      .flatMap { r =>
+        val w = r.getString(0)
+        w.zipWithIndex.map { case (c, i) => if (i == 0) c.toString else "##" + c }
+      }
+      .distinct
+    (alphabet ++ merges.map(_._4)).distinct.sorted
+  }
+
+  /** Apply a trained WordPiece vocabulary to every corpus word: greedy
+    * longest-match-first with `##` continuations, `[UNK]` for any word
+    * the vocabulary cannot cover. Output `(doc_id, pos, w, pieces,
+    * n_pieces)` — the exact [[bpeEncodeWords]] surface, same scale
+    * shape: the matcher runs ONCE PER WORD TYPE over a
+    * vocabulary-bounded distinct frame via the codegen'd
+    * [[graft.expressions.WordpieceEncode]], and the pieces
+    * broadcast-join back to token positions (the token stream never
+    * shuffles; set `broadcastVocab = false` for open-vocabulary corpora).
+    */
+  def wordpieceEncodeWords(
+      docs: DataFrame,
+      vocab: Seq[String],
+      broadcastVocab: Boolean = true): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    val toks = tokenize(docs)
+    val typePieces = toks.select(col("w")).distinct()
+      .withColumn("pieces", bridge.column(
+        graft.expressions.WordpieceEncode(bridge.expression(col("w")), vocab)))
+    val vocabSide = if (broadcastVocab) broadcast(typePieces) else typePieces
+    toks.join(vocabSide, Seq("w"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+      .select(col("doc_id"), col("pos"), col("w"), col("pieces"), col("n_pieces"))
+  }
+
   /** Per-document language-model surprise signals — the deterministic
     * core of a perplexity filter: each document's adjacent-token bigrams
     * (with multiplicity) are scored against the corpus model from

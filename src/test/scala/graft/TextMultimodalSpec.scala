@@ -1196,4 +1196,95 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(4L)._3 === false)
     assert(out(5L) === ((16L, 0L, true))) // all-zeros is trivially valid
   }
+
+  test("wordpiece trainer: likelihood beats raw count, exact picounit scores, early stop") {
+    // (a,##b) pair count 10 vs (c,##d) count 5 — but the DENOMINATORS
+    // differ: a occurs 100 times (90 bare 'a' words), ##b only inside
+    // 'ab'. score(a,##b) = 10·1e12/(100·10) = 1e10 < score(c,##d) =
+    // 5·1e12/(10·5) = 1e11 — WordPiece merges (c,##d) first where raw-
+    // count BPE would take (a,##b).
+    val words = Seq.fill(10)("ab") ++ Seq.fill(90)("a") ++ Seq.fill(90)("b") ++
+      Seq.fill(5)("cd") ++ Seq.fill(5)("c") ++ Seq.fill(5)("d")
+    val corpus = Seq(doc(0L, words.mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val merges = TextAnalysis.wordpieceTrainMerges(corpus, numMerges = 8)
+    assert(merges.map(m => (m._1, m._2, m._3, m._4)) ===
+      Seq((0, "c", "##d", "cd"), (1, "a", "##b", "ab")))
+    assert(merges(0)._5 === 5L && merges(0)._6 === 10L && merges(0)._7 === 5L)
+    assert(merges(0)._8 === 100000000000L) // 5e12 / 50
+    assert(merges(1)._8 === 10000000000L)  // 10e12 / 1000
+    // Early stop: only 2 mergeable pairs existed despite numMerges = 8.
+    assert(merges.length === 2)
+    // Determinism.
+    assert(TextAnalysis.wordpieceTrainMerges(corpus, numMerges = 8) === merges)
+  }
+
+  test("wordpiece trainer: ## continuation strips on merge, ties break lexicographically") {
+    val corpus = Seq(doc(0L, "abc abc abc"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val merges = TextAnalysis.wordpieceTrainMerges(corpus, numMerges = 4)
+    // Round 0: (a,##b) and (##b,##c) tie at score 1e12/3 — '#' < 'a'
+    // picks (##b,##c), whose merged symbol keeps the LEFT ## prefix.
+    assert(merges(0)._2 === "##b" && merges(0)._3 === "##c" && merges(0)._4 === "##bc")
+    assert(merges(0)._8 === 1000000000000L / 3L)
+    assert(merges(1)._2 === "a" && merges(1)._3 === "##bc" && merges(1)._4 === "abc")
+    assert(merges.length === 2)
+  }
+
+  test("wordpiece greedy matcher: maximal munch, UNK on stall, empty word") {
+    def seg(w: String, vocab: Seq[String]) = {
+      val s = new java.util.HashSet[String]()
+      vocab.foreach(s.add)
+      val maxRaw = vocab.map(p => if (p.startsWith("##")) p.length - 2 else p.length).max
+      graft.expressions.WordpieceEncode.segment(w, s, maxRaw).toSeq
+    }
+    assert(seg("abc", Seq("a", "##b", "ab", "##c")) === Seq("ab", "##c"))
+    // Greedy is NOT optimal: "abc"+"##d" (2 pieces) loses to nothing —
+    // greedy takes the longest head even when a shorter head would
+    // yield fewer total pieces elsewhere; here it IS "abc" then "##d".
+    assert(seg("abcd", Seq("ab", "##cd", "a", "##b", "##c", "##d", "abc"))
+      === Seq("abc", "##d"))
+    // Initial vs continuation vocab entries are distinct namespaces.
+    assert(seg("ba", Seq("a", "##b", "ab")) === Seq("[UNK]"))
+    // Mid-word stall: 'a' matches, '##z' absent.
+    assert(seg("az", Seq("a", "##b")) === Seq("[UNK]"))
+    assert(seg("", Seq("a")) === Seq.empty)
+  }
+
+  test("wordpiece encode: conservation, prefix discipline, broadcast replay per TYPE") {
+    val corpus = Seq(
+      doc(0L, Seq.fill(80)("abab").mkString(" ")),
+      doc(1L, Seq.fill(80)("dab cd").mkString(" ")))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val merges = TextAnalysis.wordpieceTrainMerges(corpus, numMerges = 6)
+    val vocab = TextAnalysis.wordpieceVocab(corpus, merges)
+    val df = TextAnalysis.wordpieceEncodeWords(corpus, vocab)
+    assert(df.count() === 240)
+    val vset = vocab.toSet
+    df.collect().foreach { r =>
+      val w = r.getAs[String]("w")
+      val ps = r.getSeq[String](r.fieldIndex("pieces"))
+      assert(ps.head == ps.head.stripPrefix("##"), "first piece is unprefixed")
+      assert(ps.tail.forall(_.startsWith("##")), s"medial pieces of $w carry ##")
+      assert(ps.head + ps.tail.map(_.stripPrefix("##")).mkString === w,
+        s"pieces must reconstruct $w")
+      assert(ps.forall(vset), s"pieces of $w outside vocab")
+    }
+    // The greedy replay must live on the broadcast distinct-type side.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def walk(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => q +: walk(q.plan)
+      case other => other +: other.children.flatMap(walk)
+    }
+    val plan = df.queryExecution.executedPlan
+    assert(walk(plan).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "type-table join must broadcast")
+    // An explicitly restricted vocabulary routes uncovered words to [UNK].
+    val restricted = TextAnalysis.wordpieceEncodeWords(corpus, Seq("a", "##b", "ab"))
+    val unk = restricted.filter(col("w") === "cd").select("pieces").head()
+    assert(unk.getSeq[String](0) === Seq("[UNK]"))
+  }
 }
