@@ -710,18 +710,23 @@ object SparkEntry {
         .orderBy("k")
     }),
 
-    // Tokenizer-family scorecard: BPE vs unigram-LM trained on the SAME
-    // corpus, compared on the numbers users actually pick tokenizers by
-    // — corpus compression (chars per piece, exact ppm) and vocabulary
-    // utilization (distinct pieces actually used). One row per family.
+    // Tokenizer-family scorecard: BPE vs unigram-LM vs WordPiece, all
+    // trained on the SAME corpus, compared on the numbers users actually
+    // pick tokenizers by — corpus compression (chars per piece, exact
+    // ppm) and vocabulary utilization (distinct pieces actually used).
+    // One row per family.
     "q196_tokenizer_scorecard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val bpe = TextAnalysis.bpeEncodeWords(
         docs, TextAnalysis.bpeTrainMerges(docs, numMerges = bpeOracleMerges))
       val uni = TextAnalysis.unigramEncodeWords(
         docs, TextAnalysis.unigramTrainVocab(docs))
+      val wpMerges = TextAnalysis.wordpieceTrainMerges(docs, numMerges = bpeOracleMerges)
+      val wp = TextAnalysis.wordpieceEncodeWords(
+        docs, TextAnalysis.wordpieceVocab(docs, wpMerges))
       TextAnalysis.tokenizerScorecard(bpe, "bpe")
         .unionByName(TextAnalysis.tokenizerScorecard(uni, "unigram"))
+        .unionByName(TextAnalysis.tokenizerScorecard(wp, "wordpiece"))
         .orderBy("family")
     }),
 
@@ -7118,15 +7123,16 @@ object SparkEntry {
     s"WITH $wpTrainSql\nSELECT * FROM (\n$unions\n) ORDER BY rank"
   }
 
-  /** q213's encode replay: the training-induced vocabulary (corpus
-    * alphabet + one token per merge), then the greedy longest-match
-    * unrolled by consumed-prefix length — `wg{k}` holds each word type
-    * whose unique greedy path reaches offset k, `wc{k}` its longest
-    * vocabulary match there (`ROW_NUMBER` over candidate lengths DESC);
-    * a word that stalls at any reached offset is `[UNK]`, matching
-    * [[graft.expressions.WordpieceEncode]].
+  /** q213's encode replay prefix, shared with the q196 scorecard: the
+    * training-induced vocabulary (corpus alphabet + one token per
+    * merge), then the greedy longest-match unrolled by consumed-prefix
+    * length — `wg{k}` holds each word type whose unique greedy path
+    * reaches offset k, `wc{k}` its longest vocabulary match there
+    * (`ROW_NUMBER` over candidate lengths DESC); a word that stalls at
+    * any reached offset is `[UNK]`, matching
+    * [[graft.expressions.WordpieceEncode]]. Ends in `wseg(w, path)`.
     */
-  private def wpEncodeOracle: String = {
+  private def wpPiecesSql: String = {
     val sep = "\u001f"
     val maxLen = uniMaxWordLen
     val mergeUnions = (1 to bpeOracleMerges)
@@ -7180,7 +7186,7 @@ object SparkEntry {
     val segUnions = (1 to maxLen)
       .map(m => s"    SELECT w, path FROM wg$m WHERE length(w) = $m")
       .mkString("\n    UNION ALL\n")
-    s"""WITH $wpTrainSql,
+    s"""$wpTrainSql,
        |$vocabCte,
        |wg0 AS MATERIALIZED (SELECT w, '' AS path FROM wv0 WHERE length(w) >= 1),
        |${walk.mkString(",\n")},
@@ -7197,7 +7203,12 @@ object SparkEntry {
        |  SELECT w, '' AS path FROM wv0 WHERE length(w) = 0
        |  UNION ALL
        |  SELECT w, '[UNK]' AS path FROM wunk
-       |)
+       |)""".stripMargin
+  }
+
+  private def wpEncodeOracle: String = {
+    val sep = "\u001f"
+    s"""WITH $wpPiecesSql
        |SELECT t.doc_id,
        |       CAST(COUNT(*) AS BIGINT) AS n_words,
        |       CAST(SUM(length(t.w)) AS BIGINT) AS n_chars_sum,
@@ -7209,8 +7220,8 @@ object SparkEntry {
        |ORDER BY t.doc_id""".stripMargin
   }
 
-  /** Mirrors q196: both tokenizer families' full train+encode chains,
-    * each scoped inside its OWN subquery-level WITH (the two chains
+  /** Mirrors q196: all THREE tokenizer families' full train+encode
+    * chains, each scoped inside its OWN subquery-level WITH (the chains
     * share CTE names like `tok`/`ty` — subquery scoping keeps them
     * apart), aggregated to the per-family compression scorecard.
     */
@@ -7257,6 +7268,25 @@ object SparkEntry {
        |         END AS cpp_ppm
        |  FROM t1 CROSS JOIN t2
        |) u
+       |UNION ALL
+       |SELECT 'wordpiece' AS family, wpf.* FROM (
+       |  WITH $wpPiecesSql,
+       |  j AS MATERIALIZED (
+       |    SELECT t.w, CASE WHEN s.path = '' THEN CAST([] AS VARCHAR[])
+       |                     ELSE string_split(s.path, '$sep') END AS pl
+       |    FROM tok t JOIN wseg s USING (w)
+       |  ),
+       |  t1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       |                CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       |                CAST(SUM(len(pl)) AS BIGINT) AS n_pieces FROM j),
+       |  t2 AS (SELECT CAST(COUNT(DISTINCT piece) AS BIGINT) AS distinct_pieces
+       |         FROM (SELECT unnest(pl) AS piece FROM j))
+       |  SELECT t1.n_words, t1.n_chars, t1.n_pieces, t2.distinct_pieces,
+       |         CASE WHEN t1.n_pieces > 0
+       |              THEN CAST((1000000 * t1.n_chars) // t1.n_pieces AS BIGINT)
+       |         END AS cpp_ppm
+       |  FROM t1 CROSS JOIN t2
+       |) wpf
        |) ORDER BY family""".stripMargin
   }
 
