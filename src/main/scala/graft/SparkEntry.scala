@@ -1308,6 +1308,24 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // Streaming Misra–Gries maintenance — the fourth (last) sketch
+    // family under streaming state: per-epoch MG summaries merged at
+    // read with the PODS'12 sum-then-trim rule. The gate is q80's
+    // theory contract on the MERGED state: every exact-heavy item
+    // present, every estimate inside n/(k+1) — same oracle SQL.
+    "q214_streaming_heavy_hitters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q214_mg").toString
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3) { (batch, id) =>
+        graft.streaming.StreamingOps.mgSink("source", "tok", path, k = 24)(
+          batch.select(col("source"), explode(TextAnalysis.wordsCol).as("tok")), id)
+      }
+      graft.streaming.StreamingOps.mergedHeavyHittersChecked(
+          docs.select(col("source"), explode(TextAnalysis.wordsCol).as("tok")),
+          "source", "tok", s, path, k = 24)
+        .orderBy("grp", "item")
+    }),
+
     // Streaming boilerplate state: per-epoch aligned passage counts
     // summed at read must clean the corpus exactly like the one-shot
     // batch pass (doc-disjoint shards ⇒ merged df = corpus df) — q84's
@@ -5949,17 +5967,12 @@ object SparkEntry {
     // The sketch side is engine-internal; the oracle checks the CONTRACT:
     // the exact-count-defined heavy set, with presence and error-bound
     // booleans asserted true.
-    "q80_heavy_hitters" ->
-      """WITH w AS (
-        |  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS item
-        |  FROM documents
-        |),
-        |c AS (SELECT grp, item, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY grp, item),
-        |t AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY grp)
-        |SELECT c.grp, c.item, c.cnt, t.n, TRUE AS present, TRUE AS bound_ok
-        |FROM c JOIN t USING (grp)
-        |WHERE c.cnt * 25 > t.n
-        |ORDER BY grp, item""".stripMargin,
+    "q80_heavy_hitters" -> heavyHittersOracle,
+
+    // Same theory-defined row set as q80: the exact-heavy items and the
+    // asserted presence/bound booleans — the engine side answers from
+    // the MERGED streaming MG state instead of the one-shot batch sketch.
+    "q214_streaming_heavy_hitters" -> heavyHittersOracle,
 
     // The sketch side is engine-internal; the oracle checks the CONTRACT:
     // group sizes exact, and the rank-error bound asserted true.
@@ -6876,6 +6889,23 @@ object SparkEntry {
     * in SQL — one materialized CTE triple per round — so this stays
     * small; the Spark side trains with the same number.
     */
+  /** Shared q80/q214 oracle: the exact-count-defined heavy set (k = 24 ⇒
+    * threshold ×25) with presence and error-bound booleans asserted true
+    * — the MG guarantee both the batch sketch and the merged streaming
+    * state must satisfy.
+    */
+  private val heavyHittersOracle =
+    """WITH w AS (
+      |  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS item
+      |  FROM documents
+      |),
+      |c AS (SELECT grp, item, CAST(COUNT(*) AS BIGINT) AS cnt FROM w GROUP BY grp, item),
+      |t AS (SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n FROM c GROUP BY grp)
+      |SELECT c.grp, c.item, c.cnt, t.n, TRUE AS present, TRUE AS bound_ok
+      |FROM c JOIN t USING (grp)
+      |WHERE c.cnt * 25 > t.n
+      |ORDER BY grp, item""".stripMargin
+
   private val bpeOracleMerges = 8
 
   /** Shared q95/q96 oracle prefix: tokenization, the char-split vocab,

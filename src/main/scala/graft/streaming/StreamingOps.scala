@@ -564,6 +564,98 @@ object StreamingOps {
     graft.operators.Dedup.mergePassageCounts(Seq(
       compactedStateView(spark, basePath, Seq("dig", "df"))))
 
+  /** Streaming Misra–Gries heavy-hitter maintenance, same epoch layout
+    * as [[countMinSink]] — the fourth (and last) batch sketch family
+    * put under streaming state. Each micro-batch's per-group MG summary
+    * ([[graft.functions.Sketches.heavyHitters]]) lands as exploded
+    * `(grp, item, est)` counter rows plus one `item IS NULL` row
+    * carrying the batch's group total `n` (additive, so totals survive
+    * compaction without a side table). The live summary is the PODS'12
+    * mergeable-summaries rule at read time ([[mergeMgRows]]).
+    */
+  def mgSink(
+      groupCol: String,
+      itemCol: String,
+      basePath: String,
+      k: Int = 24): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) => {
+      val sk = graft.functions.Sketches.heavyHitters(batch, groupCol, itemCol, k)
+      sk.select(col("grp"), explode(col("mg")).as(Seq("item", "est")))
+        .unionByName(
+          sk.select(col("grp"), lit(null).cast("string").as("item"), col("n").as("est")))
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+    }
+
+  /** The PODS'12 (Agarwal et al., "Mergeable Summaries") Misra–Gries
+    * merge over exploded counter rows: sum counters item-wise, then
+    * subtract the (k+1)-th largest summed counter from every survivor
+    * and drop non-positives — at most k counters remain per group and
+    * the merged summary keeps the full n/(k+1) guarantee. The proof
+    * telescopes over any number of inputs: each input satisfies
+    * `(k+1)·undercount ≤ nᵢ − Cᵢ`, and the trim's extra `d` satisfies
+    * `(k+1)·d ≤ C − C'` because at least k+1 counters shed ≥ d… so the
+    * total undercount stays ≤ n/(k+1). `item IS NULL` total rows sum
+    * straight through.
+    *
+    * Scale: counters entering the merge are ≤ k per (group, live
+    * epoch); the per-group window and the broadcast (k+1)-th-value
+    * table are both group-count-sized.
+    */
+  def mergeMgRows(rows: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("c").desc, col("item"))
+    val totals = rows.filter(col("item").isNull)
+      .groupBy(col("grp")).agg(sum(col("est")).as("est"))
+      .select(col("grp"), lit(null).cast("string").as("item"), col("est"))
+    val counters = rows.filter(col("item").isNotNull)
+      .groupBy(col("grp"), col("item")).agg(sum(col("est")).as("c"))
+    val kth = counters
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === k + 1)
+      .select(col("grp"), col("c").as("d"))
+    counters.join(broadcast(kth), Seq("grp"), "left")
+      .select(col("grp"), col("item"),
+        (col("c") - coalesce(col("d"), lit(0L))).as("est"))
+      .filter(col("est") > 0L)
+      .unionByName(totals)
+  }
+
+  /** The live merged MG summary over an [[mgSink]] directory:
+    * `(grp, item, est)` counter rows (≤ k per group) plus the
+    * `item IS NULL` group-total rows.
+    */
+  def mergedHeavyHitters(spark: SparkSession, basePath: String, k: Int = 24): DataFrame =
+    mergeMgRows(compactedStateView(spark, basePath, Seq("grp", "item", "est")), k)
+
+  /** [[graft.functions.Sketches.heavyHittersChecked]] against the MERGED
+    * streaming state: for every item whose EXACT count over `df` clears
+    * the n/(k+1) guarantee threshold, report presence in the merged
+    * summary and the error bound as exact integer booleans — the same
+    * deterministic, theory-defined row set as the batch q80 gate, so the
+    * streaming path faces the identical oracle.
+    */
+  def mergedHeavyHittersChecked(
+      df: DataFrame,
+      groupCol: String,
+      itemCol: String,
+      spark: SparkSession,
+      basePath: String,
+      k: Int = 24): DataFrame = {
+    val sk = mergedHeavyHitters(spark, basePath, k)
+    val counters = sk.filter(col("item").isNotNull)
+      .select(col("grp"), col("item"), col("est"))
+    val totals = sk.filter(col("item").isNull).select(col("grp"), col("est").as("n"))
+    df.groupBy(col(groupCol).as("grp"), col(itemCol).as("item"))
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), Seq("grp"))
+      .filter(col("cnt") * (k + 1) > col("n"))
+      .join(broadcast(counters), Seq("grp", "item"), "left")
+      .select(
+        col("grp"), col("item"), col("cnt"), col("n"),
+        col("est").isNotNull.as("present"),
+        ((col("cnt") - coalesce(col("est"), lit(0L))) * (k + 1) <= col("n")).as("bound_ok"))
+  }
+
   // ---------------------------------------------------------------------
   // Epoch compaction for the per-epoch sketch/state sinks
   // ---------------------------------------------------------------------
@@ -742,6 +834,17 @@ object StreamingOps {
   def compactRollingEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
     compactEpochs(spark, basePath, keepAfter, Seq("dig", "df"),
       df => graft.operators.Dedup.mergePassageCounts(Seq(df)))
+
+  /** [[compactEpochs]] for an [[mgSink]] directory: the PODS'12
+    * sum-then-trim merge keeps the base at ≤ k counters per group while
+    * preserving the n/(k+1) guarantee for every later read-time merge
+    * (trimmed summaries stay mergeable — the [[mergeMgRows]] telescoping
+    * argument); NULL-item totals sum additively through the fold.
+    */
+  def compactMgEpochs(
+      spark: SparkSession, basePath: String, keepAfter: Long, k: Int = 24): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq("grp", "item", "est"),
+      df => mergeMgRows(df, k))
 
   /** [[compactEpochs]] for a [[corpusAdmissionSink]] directory. Admitted
     * rows are the state itself — the "merge" is plain concatenation

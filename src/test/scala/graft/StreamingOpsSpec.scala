@@ -386,6 +386,57 @@ class StreamingOpsSpec extends SparkSpec {
       "aligned control unexpectedly caught the shifted boilerplate — fixture no longer shifted?")
   }
 
+  test("streaming MG sink: trim rule exact, replay-safe, guarantee holds on the merged state") {
+    import spark.implicits._
+    // Hand-checkable trim: two epochs of counters for one group, k = 2.
+    // Summed: a=10, b=6, c=4 → 3rd largest d=4 → kept a=6, b=2; c dies.
+    val rows = Seq(
+      ("g", "a", 6L), ("g", "b", 6L), ("g", null.asInstanceOf[String], 20L),
+      ("g", "a", 4L), ("g", "c", 4L), ("g", null.asInstanceOf[String], 12L))
+      .toDF("grp", "item", "est")
+    val merged = StreamingOps.mergeMgRows(rows, k = 2).collect()
+    val counters = merged.filter(_.get(1) != null)
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(counters === Map("a" -> 6L, "b" -> 2L))
+    val n = merged.filter(_.get(1) == null).map(_.getLong(2)).toSeq
+    assert(n === Seq(32L))
+
+    // End to end: skewed tokens over 3 epochs with a replay; the merged
+    // state must satisfy the q80 contract (presence + bound) for every
+    // exact-heavy item.
+    val dir = java.nio.file.Files.createTempDirectory("graft_mg_sink").toString
+    val sink = StreamingOps.mgSink("grp", "item", dir, k = 4)
+    def batch(seed: Int, hot: Int) =
+      ((0 until hot).map(_ => ("g", "hot")) ++
+        (0 until 120).map(i => ("g", s"t${(i * 7 + seed) % 40}")))
+        .toDF("grp", "item")
+    val b0 = batch(0, 60); val b1 = batch(1, 50); val b2 = batch(2, 40)
+    sink(b0, 0L); sink(b0, 0L) // replay must overwrite, not double-count
+    sink(b1, 1L); sink(b2, 2L)
+    val all = b0.unionByName(b1).unionByName(b2)
+    val checked = StreamingOps.mergedHeavyHittersChecked(
+      all, "grp", "item", spark, dir, k = 4).collect()
+    assert(checked.nonEmpty, "the hot token must clear the n/(k+1) threshold")
+    checked.foreach { r =>
+      assert(r.getAs[Boolean]("present"), s"${r.getAs[String]("item")} missing")
+      assert(r.getAs[Boolean]("bound_ok"), s"${r.getAs[String]("item")} out of bound")
+    }
+    // n in the merged state equals the exact token total (replay-safe).
+    val nMerged = StreamingOps.mergedHeavyHitters(spark, dir, k = 4)
+      .filter(col("item").isNull).collect().head.getLong(2)
+    assert(nMerged === all.count())
+    // Compaction applies the same sum-then-trim merge: the checked
+    // contract still holds and the per-group counter count is ≤ k.
+    StreamingOps.compactMgEpochs(spark, dir, keepAfter = 1L, k = 4)
+    val postCompact = StreamingOps.mergedHeavyHittersChecked(
+      all, "grp", "item", spark, dir, k = 4).collect()
+    assert(postCompact.map(r => (r.getString(1), r.getBoolean(4), r.getBoolean(5))).toSet
+      === checked.map(r => (r.getString(1), r.getBoolean(4), r.getBoolean(5))).toSet)
+    val kept = StreamingOps.mergedHeavyHitters(spark, dir, k = 4)
+      .filter(col("item").isNotNull).count()
+    assert(kept <= 4L)
+  }
+
   test("epoch compaction bounds state dirs and keeps old-epoch replays no-ops") {
     import graft.functions.Sketches
     import spark.implicits._
