@@ -1432,6 +1432,18 @@ object SparkEntry {
           col("event_type") === "purchase")
         .orderBy("bin")),
 
+    // BLEU sufficient statistics over adjacent-doc pairs (cand = doc i,
+    // ref = doc i+1): clipped n-gram matches, totals, exact-ppm modified
+    // precision for n = 1..4, plus both lengths for the brevity call.
+    "q215_bleu_stats" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val pairs = d.select(col("doc_id").as("pair_id"), col("text").as("cand"))
+        .join(
+          d.select((col("doc_id") - 1).as("pair_id"), col("text").as("ref")),
+          Seq("pair_id"))
+      TextAnalysis.bleuStats(pairs).orderBy("pair_id", "n")
+    }),
+
     // Exact ROC curve of `value` predicting purchases, per day — the
     // threshold-sweep q130 integrates: one row per distinct centi
     // threshold, all-integer confusion prefix + ppm rates.
@@ -3904,6 +3916,51 @@ object SparkEntry {
          |         - COALESCE(n_a, 0) * COALESCE(sum_b, 0) AS shift_num
          |FROM a FULL OUTER JOIN b ON a.k = b.k
          |ORDER BY k""".stripMargin,
+
+    "q215_bleu_stats" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS pair_id, a.text AS cand, b.text AS ref
+        |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        |),
+        |cw AS (SELECT pair_id, regexp_split_to_array(trim(cand), '\s+') AS ws FROM p),
+        |rw AS (SELECT pair_id, regexp_split_to_array(trim(ref), '\s+') AS ws FROM p),
+        |cg AS (
+        |  SELECT pair_id, CAST(n AS BIGINT) AS n,
+        |         CAST('0x' || substr(md5(array_to_string(ws[i:i+n-1], ' ')), 1, 15)
+        |              AS BIGINT) AS dig,
+        |         CAST(COUNT(*) AS BIGINT) AS cc
+        |  FROM cw, unnest(range(1, 5)) AS un(n), unnest(range(1, len(ws)-n+2)) AS ui(i)
+        |  GROUP BY 1, 2, 3
+        |),
+        |rg AS (
+        |  SELECT pair_id, CAST(n AS BIGINT) AS n,
+        |         CAST('0x' || substr(md5(array_to_string(ws[i:i+n-1], ' ')), 1, 15)
+        |              AS BIGINT) AS dig,
+        |         CAST(COUNT(*) AS BIGINT) AS rc
+        |  FROM rw, unnest(range(1, 5)) AS un(n), unnest(range(1, len(ws)-n+2)) AS ui(i)
+        |  GROUP BY 1, 2, 3
+        |),
+        |m AS (
+        |  SELECT pair_id, n,
+        |         CAST(SUM(cc) AS BIGINT) AS t,
+        |         CAST(SUM(LEAST(cc, COALESCE(rc, 0))) AS BIGINT) AS mm
+        |  FROM cg LEFT JOIN rg USING (pair_id, n, dig)
+        |  GROUP BY 1, 2
+        |),
+        |grid AS (
+        |  SELECT p.pair_id, CAST(n AS BIGINT) AS n,
+        |         CAST(len(cw.ws) AS BIGINT) AS cand_len,
+        |         CAST(len(rw.ws) AS BIGINT) AS ref_len
+        |  FROM p JOIN cw USING (pair_id) JOIN rw USING (pair_id),
+        |       unnest(range(1, 5)) AS un(n)
+        |)
+        |SELECT g.pair_id, g.n, g.cand_len, g.ref_len,
+        |       COALESCE(m.t, 0) AS n_total,
+        |       COALESCE(m.mm, 0) AS n_match,
+        |       CASE WHEN m.t > 0 THEN (1000000 * m.mm) // m.t END AS prec_ppm
+        |FROM grid g LEFT JOIN m ON m.pair_id = g.pair_id AND m.n = g.n
+        |ORDER BY g.pair_id, g.n""".stripMargin,
 
     "q211_roc_curve" ->
       """WITH ev AS (

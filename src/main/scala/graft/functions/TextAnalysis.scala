@@ -498,6 +498,72 @@ object TextAnalysis {
       .select(col("doc_id"), col("pos"), col("w"), col("pieces"), col("n_pieces"))
   }
 
+  /** BLEU sufficient statistics per (candidate, reference) text pair —
+    * the machine-translation eval brought to the curation stack (e.g.
+    * scoring paraphrase/near-dup pairs, or a cleaning pass against its
+    * input): for n = 1..`maxN`, the CLIPPED n-gram match count
+    * `Σ_g min(cnt_cand(g), cnt_ref(g))` (Papineni et al.'s modified
+    * precision numerator), the candidate n-gram total, and the exact-ppm
+    * modified precision, plus both side lengths for the brevity-penalty
+    * decision. Everything BIGINT — BLEU's geometric mean/exp is left to
+    * consumers because a libm exp chain is exactly the cross-engine
+    * float drift this engine bans; the emitted statistics determine it.
+    *
+    * Scale shape: n-grams leave the document as 60-bit digests
+    * immediately (text never shuffles); per-side counts are ONE
+    * map-combined aggregate on (pair, n, dig); the clip join reuses
+    * that partitioning (equi-join on the same key), and the final
+    * per-(pair, n) rollup ships `maxN` rows per pair. Rows are emitted
+    * for EVERY (pair, n) — a candidate shorter than n words reports
+    * totals of 0 with NULL precision, same as the oracle.
+    */
+  def bleuStats(pairs: DataFrame, maxN: Int = 4): DataFrame = {
+    require(maxN >= 1 && maxN <= 8, s"maxN=$maxN out of range [1, 8]")
+    val bridge = org.apache.spark.sql.graft.bridge
+    def wordsOf(c: Column): Column =
+      bridge.column(graft.expressions.WhitespaceTokens(bridge.expression(c)))
+    def shinglesOfDyn(words: Column, k: Column): Column =
+      when(
+        size(words) >= k,
+        transform(
+          sequence(lit(0), size(words) - k),
+          i => array_join(slice(words, i + 1, k), " ")))
+        .otherwise(array().cast("array<string>"))
+    val base = pairs.select(
+      col("pair_id"),
+      wordsOf(col("cand")).as("cw"),
+      wordsOf(col("ref")).as("rw"))
+    val lens = base.select(
+      col("pair_id"),
+      size(col("cw")).cast("long").as("cand_len"),
+      size(col("rw")).cast("long").as("ref_len"))
+    def gramCounts(ws: String, cnt: String): DataFrame = base
+      .select(col("pair_id"), col(ws).as("ws"),
+        explode(sequence(lit(1), lit(maxN))).as("n0"))
+      .select(col("pair_id"), col("n0").cast("long").as("n"),
+        explode(shinglesOfDyn(col("ws"), col("n0"))).as("g"))
+      .select(col("pair_id"), col("n"),
+        graft.functions.Hashing.md5Long60(col("g")).as("dig"))
+      .groupBy(col("pair_id"), col("n"), col("dig"))
+      .agg(count(lit(1)).as(cnt))
+    val matched = gramCounts("cw", "cc")
+      .join(gramCounts("rw", "rc"), Seq("pair_id", "n", "dig"), "left")
+      .groupBy(col("pair_id"), col("n"))
+      .agg(
+        sum(col("cc")).as("t"),
+        sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("m"))
+    lens
+      .select(col("pair_id"), col("cand_len"), col("ref_len"),
+        explode(sequence(lit(1), lit(maxN))).as("n0"))
+      .withColumn("n", col("n0").cast("long"))
+      .join(matched, Seq("pair_id", "n"), "left")
+      .select(
+        col("pair_id"), col("n"), col("cand_len"), col("ref_len"),
+        coalesce(col("t"), lit(0L)).as("n_total"),
+        coalesce(col("m"), lit(0L)).as("n_match"),
+        when(col("t") > 0L, expr("(1000000 * m) div t")).as("prec_ppm"))
+  }
+
   /** WordPiece tokenizer training — the THIRD standard subword family
     * next to BPE ([[bpeTrainMerges]]) and unigram-LM
     * ([[unigramTrainVocab]]), the BERT-family trainer: the same greedy

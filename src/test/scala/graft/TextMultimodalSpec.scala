@@ -1197,6 +1197,34 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(5L) === ((16L, 0L, true))) // all-zeros is trivially valid
   }
 
+  test("bleuStats: clipped modified precision, every (pair, n) row, short-side NULLs") {
+    val pairs = Seq(
+      // The classic clipping case: candidate repeats "the cat" —
+      // unigram matches clip at ref counts (the:2, cat:1).
+      (0L, "the cat the cat on the mat", "the cat is on the mat"),
+      // Shorter than n for n >= 3: totals 0, NULL precision.
+      (1L, "a b", "a b"))
+      .toDF("pair_id", "cand", "ref")
+    val out = TextAnalysis.bleuStats(pairs).collect()
+      .map(r => (r.getAs[Long]("pair_id"), r.getAs[Long]("n")) -> r).toMap
+    assert(out.size === 8, "4 rows per pair, present even when empty")
+    val u = out((0L, 1L))
+    assert(u.getAs[Long]("cand_len") === 7L && u.getAs[Long]("ref_len") === 6L)
+    assert(u.getAs[Long]("n_total") === 7L && u.getAs[Long]("n_match") === 5L)
+    assert(u.getAs[Long]("prec_ppm") === 714285L)
+    val b = out((0L, 2L))
+    assert(b.getAs[Long]("n_total") === 6L && b.getAs[Long]("n_match") === 3L)
+    val t = out((0L, 3L))
+    assert(t.getAs[Long]("n_total") === 5L && t.getAs[Long]("n_match") === 1L)
+    val q = out((0L, 4L))
+    assert(q.getAs[Long]("n_total") === 4L && q.getAs[Long]("n_match") === 0L)
+    assert(q.isNullAt(q.fieldIndex("prec_ppm")) === false && q.getAs[Long]("prec_ppm") === 0L)
+    val s3 = out((1L, 3L))
+    assert(s3.getAs[Long]("n_total") === 0L && s3.getAs[Long]("n_match") === 0L)
+    assert(s3.isNullAt(s3.fieldIndex("prec_ppm")))
+    assert(out((1L, 2L)).getAs[Long]("prec_ppm") === 1000000L)
+  }
+
   test("wordpiece trainer: likelihood beats raw count, exact picounit scores, early stop") {
     // (a,##b) pair count 10 vs (c,##d) count 5 — but the DENOMINATORS
     // differ: a occurs 100 times (90 bare 'a' words), ##b only inside
