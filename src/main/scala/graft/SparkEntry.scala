@@ -3943,9 +3943,10 @@ object SparkEntry {
         |),
         |m AS (
         |  SELECT pair_id, n,
-        |         CAST(SUM(cc) AS BIGINT) AS t,
-        |         CAST(SUM(LEAST(cc, COALESCE(rc, 0))) AS BIGINT) AS mm
-        |  FROM cg LEFT JOIN rg USING (pair_id, n, dig)
+        |         CAST(SUM(COALESCE(cc, 0)) AS BIGINT) AS t,
+        |         CAST(SUM(COALESCE(rc, 0)) AS BIGINT) AS rt,
+        |         CAST(SUM(LEAST(COALESCE(cc, 0), COALESCE(rc, 0))) AS BIGINT) AS mm
+        |  FROM cg FULL JOIN rg USING (pair_id, n, dig)
         |  GROUP BY 1, 2
         |),
         |grid AS (
@@ -3957,8 +3958,10 @@ object SparkEntry {
         |)
         |SELECT g.pair_id, g.n, g.cand_len, g.ref_len,
         |       COALESCE(m.t, 0) AS n_total,
+        |       COALESCE(m.rt, 0) AS n_ref_total,
         |       COALESCE(m.mm, 0) AS n_match,
-        |       CASE WHEN m.t > 0 THEN (1000000 * m.mm) // m.t END AS prec_ppm
+        |       CASE WHEN m.t > 0 THEN (1000000 * m.mm) // m.t END AS prec_ppm,
+        |       CASE WHEN m.rt > 0 THEN (1000000 * m.mm) // m.rt END AS rouge_recall_ppm
         |FROM grid g LEFT JOIN m ON m.pair_id = g.pair_id AND m.n = g.n
         |ORDER BY g.pair_id, g.n""".stripMargin,
 

@@ -503,9 +503,11 @@ object TextAnalysis {
     * scoring paraphrase/near-dup pairs, or a cleaning pass against its
     * input): for n = 1..`maxN`, the CLIPPED n-gram match count
     * `Σ_g min(cnt_cand(g), cnt_ref(g))` (Papineni et al.'s modified
-    * precision numerator), the candidate n-gram total, and the exact-ppm
-    * modified precision, plus both side lengths for the brevity-penalty
-    * decision. Everything BIGINT — BLEU's geometric mean/exp is left to
+    * precision numerator), BOTH sides' n-gram totals, the exact-ppm
+    * modified precision AND the clipped ROUGE-N recall (same numerator
+    * over the reference total — Lin's recall twin), plus both side
+    * lengths for the brevity-penalty decision. Everything BIGINT —
+    * BLEU's geometric mean/exp is left to
     * consumers because a libm exp chain is exactly the cross-engine
     * float drift this engine bans; the emitted statistics determine it.
     *
@@ -546,12 +548,15 @@ object TextAnalysis {
         graft.functions.Hashing.md5Long60(col("g")).as("dig"))
       .groupBy(col("pair_id"), col("n"), col("dig"))
       .agg(count(lit(1)).as(cnt))
+    // FULL outer: a reference n-gram absent from the candidate still
+    // counts into the ROUGE denominator (ref totals), and vice versa.
     val matched = gramCounts("cw", "cc")
-      .join(gramCounts("rw", "rc"), Seq("pair_id", "n", "dig"), "left")
+      .join(gramCounts("rw", "rc"), Seq("pair_id", "n", "dig"), "full")
       .groupBy(col("pair_id"), col("n"))
       .agg(
-        sum(col("cc")).as("t"),
-        sum(least(col("cc"), coalesce(col("rc"), lit(0L)))).as("m"))
+        sum(coalesce(col("cc"), lit(0L))).as("t"),
+        sum(coalesce(col("rc"), lit(0L))).as("rt"),
+        sum(least(coalesce(col("cc"), lit(0L)), coalesce(col("rc"), lit(0L)))).as("m"))
     lens
       .select(col("pair_id"), col("cand_len"), col("ref_len"),
         explode(sequence(lit(1), lit(maxN))).as("n0"))
@@ -560,8 +565,10 @@ object TextAnalysis {
       .select(
         col("pair_id"), col("n"), col("cand_len"), col("ref_len"),
         coalesce(col("t"), lit(0L)).as("n_total"),
+        coalesce(col("rt"), lit(0L)).as("n_ref_total"),
         coalesce(col("m"), lit(0L)).as("n_match"),
-        when(col("t") > 0L, expr("(1000000 * m) div t")).as("prec_ppm"))
+        when(col("t") > 0L, expr("(1000000 * m) div t")).as("prec_ppm"),
+        when(col("rt") > 0L, expr("(1000000 * m) div rt")).as("rouge_recall_ppm"))
   }
 
   /** WordPiece tokenizer training — the THIRD standard subword family

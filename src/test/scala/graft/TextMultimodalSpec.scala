@@ -1212,8 +1212,12 @@ class TextMultimodalSpec extends SparkSpec {
     assert(u.getAs[Long]("cand_len") === 7L && u.getAs[Long]("ref_len") === 6L)
     assert(u.getAs[Long]("n_total") === 7L && u.getAs[Long]("n_match") === 5L)
     assert(u.getAs[Long]("prec_ppm") === 714285L)
+    // ROUGE-1 recall: 5 clipped matches over 6 reference unigrams.
+    assert(u.getAs[Long]("n_ref_total") === 6L)
+    assert(u.getAs[Long]("rouge_recall_ppm") === 833333L)
     val b = out((0L, 2L))
     assert(b.getAs[Long]("n_total") === 6L && b.getAs[Long]("n_match") === 3L)
+    assert(b.getAs[Long]("n_ref_total") === 5L && b.getAs[Long]("rouge_recall_ppm") === 600000L)
     val t = out((0L, 3L))
     assert(t.getAs[Long]("n_total") === 5L && t.getAs[Long]("n_match") === 1L)
     val q = out((0L, 4L))
