@@ -1432,6 +1432,13 @@ object SparkEntry {
           col("event_type") === "purchase")
         .orderBy("bin")),
 
+    // kNN-distance outliers over the embedding corpus (Ramaswamy
+    // SIGMOD'00): exact integer L2² to the 5th neighbor + the
+    // Angiulli sum statistic, global outlier rank, top-2% flag.
+    "q216_knn_outliers" -> ((s, dir) =>
+      Similarity.knnDistOutliers(Tables.embeddings(s, dir))
+        .orderBy("out_rank")),
+
     // BLEU sufficient statistics over adjacent-doc pairs (cand = doc i,
     // ref = doc i+1): clipped n-gram matches, totals, exact-ppm modified
     // precision for n = 1..4, plus both lengths for the brevity call.
@@ -3916,6 +3923,33 @@ object SparkEntry {
          |         - COALESCE(n_a, 0) * COALESCE(sum_b, 0) AS shift_num
          |FROM a FULL OUTER JOIN b ON a.k = b.k
          |ORDER BY k""".stripMargin,
+
+    "q216_knn_outliers" ->
+      s"""WITH $quantizedEmbeddings,
+         |d AS (
+         |  SELECT a.vec_id, b.vec_id AS nb,
+         |         a.n2 + b.n2 - 2 * CAST(list_sum(
+         |           list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS d2
+         |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+         |),
+         |kn AS (
+         |  SELECT vec_id, d2,
+         |         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, nb) AS rnk
+         |  FROM d
+         |),
+         |sc AS (
+         |  SELECT vec_id, CAST(MAX(d2) AS BIGINT) AS kdist2,
+         |         CAST(SUM(d2) AS BIGINT) AS sum_d2
+         |  FROM kn WHERE rnk <= 5 GROUP BY vec_id
+         |),
+         |r AS (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY kdist2 DESC, vec_id) AS BIGINT) AS out_rank,
+         |         CAST(COUNT(*) OVER () AS BIGINT) AS nn
+         |  FROM sc
+         |)
+         |SELECT vec_id, kdist2, sum_d2, out_rank,
+         |       (out_rank <= nn // 50) AS is_outlier
+         |FROM r ORDER BY out_rank""".stripMargin,
 
     "q215_bleu_stats" ->
       """WITH d AS (SELECT doc_id, text FROM documents),

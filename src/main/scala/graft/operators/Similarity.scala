@@ -1671,4 +1671,70 @@ object Similarity {
       .select(col("vec_id"), dot(col("qe"), typedLit(v.toSeq)).as("proj"))
       .withColumn("proj_centered_xn", lit(n) * col("proj") - lit(shift.toLong))
   }
+
+  /** kNN-distance outlier detection over the embedding column — the
+    * Ramaswamy et al. (SIGMOD'00) density score brought to curation:
+    * a vector whose k-th nearest neighbor is FAR sits in a sparse region
+    * (mislabeled, off-distribution, or junk ingest). Per vector: the
+    * exact integer squared L2 distance to its k-th neighbor (`kdist2`,
+    * the Ramaswamy score — ranking by d² ≡ ranking by d), the sum of
+    * its k neighbor distances (`sum_d2`, the Angiulli–Pizzuti average-
+    * distance variant as an exact sufficient statistic), the global
+    * outlier rank under `(kdist2 DESC, vec_id)`, and the top-`1/outShare`
+    * flag. All integer — neighbors and ranks are total-ordered, so every
+    * cell is engine-bit-identical.
+    *
+    * Scale: the all-pairs neighbor scan is the exact demo baseline
+    * (the [[cosinePairs]] status) — at corpus scale the candidate set
+    * comes from the IVF/Hamming shortlist ([[ivfSearch]],
+    * [[hammingTopK]]) and everything downstream is unchanged. The
+    * global rank deliberately avoids a single-partition window:
+    * [[graft.functions.Stats.giniCoefficient]]'s distributed
+    * prefix-count — bounded approx_percentile boundaries (driver
+    * literal; boundary quality only balances partitions, never
+    * correctness), per-bucket counts to offsets via a window over ≤
+    * `numPartitions` rows, `row_number` only within a bucket.
+    */
+  def knnDistOutliers(
+      embeddings: DataFrame,
+      k: Int = 5,
+      outShare: Int = 50,
+      numPartitions: Int = 32): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(outShare >= 2, s"outShare=$outShare must be >= 2")
+    val e = withQuantized(embeddings)
+    val b = e.select(col("vec_id").as("nb"), col("qe").as("qe_b"), col("n2").as("n2_b"))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("nb"))
+    val scores = e.join(b, col("vec_id") =!= col("nb"))
+      .withColumn("d2", col("n2") + col("n2_b") - lit(2L) * dot(col("qe"), col("qe_b")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .groupBy(col("vec_id"))
+      .agg(max(col("d2")).as("kdist2"), sum(col("d2")).as("sum_d2"))
+    // Distributed global rank by (kdist2 DESC, vec_id ASC): the ascending
+    // prefix-count rank of the mirrored key, then n + 1 − rank.
+    val qs = (1 until numPartitions).map(i => i.toDouble / numPartitions)
+    val bounds: Seq[Long] =
+      if (qs.isEmpty) Seq.empty
+      else scores.agg(expr(s"approx_percentile(kdist2, array(${qs.mkString(", ")}), 10000)"))
+        .collect()(0).getSeq[Long](0)
+    val pid =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedLit(bounds), bnd => col("kdist2") >= bnd))
+    val t = scores.withColumn("_pid", pid)
+    val wOff = Window.orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val wB = Window.partitionBy(col("_pid")).orderBy(col("kdist2"), col("vec_id").desc)
+    val tot = scores.agg(count(lit(1)).as("n"))
+    t.join(broadcast(offsets), Seq("_pid"))
+      .withColumn("rank_asc", col("_off") + row_number().over(wB))
+      .crossJoin(broadcast(tot))
+      .select(
+        col("vec_id"), col("kdist2"), col("sum_d2"),
+        (col("n") + 1L - col("rank_asc")).as("out_rank"),
+        (col("n") + 1L - col("rank_asc") <= expr(s"n div $outShare")).as("is_outlier"))
+  }
 }

@@ -1614,6 +1614,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(0L)._1 > out(2L)._1 && out(2L)._1 > out(3L)._1 && out(3L)._1 > out(1L)._1)
   }
 
+  test("knnDistOutliers: exact scores and ranks, differential vs brute-force model") {
+    val vecs = ((0 until 11).map(i => (i.toLong, Seq(i * 0.001f, 0f, 0f, 0f))) :+
+      (11L, Seq(5f, 5f, 5f, 5f))) // the lone far point
+    val df = vecs.toDF("vec_id", "embedding")
+    val k = 3
+    // Brute-force model on the same floor(x*1e6) quantization.
+    val q = vecs.map { case (id, v) => id -> v.map(x => math.floor(x.toDouble * 1e6).toLong) }.toMap
+    def d2(a: Long, b: Long): Long =
+      q(a).zip(q(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    val model = vecs.map(_._1).map { id =>
+      val ds = vecs.map(_._1).filter(_ != id).map(o => (d2(id, o), o)).sorted.take(k)
+      (id, ds.map(_._1).max, ds.map(_._1).sum)
+    }
+    val ranked = model.sortBy { case (id, kd, _) => (-kd, id) }.zipWithIndex
+      .map { case ((id, kd, sm), i) => id -> ((kd, sm, i + 1L, i + 1L <= model.size / 6)) }.toMap
+    val got = Similarity.knnDistOutliers(df, k = k, outShare = 6).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("kdist2"), r.getAs[Long]("sum_d2"),
+          r.getAs[Long]("out_rank"), r.getAs[Boolean]("is_outlier")))).toMap
+    assert(got === ranked)
+    // Sanity: the far point is the rank-1 outlier and flagged (12 div 6 = 2 flags).
+    assert(got(11L)._3 === 1L && got(11L)._4)
+    assert(got.values.count(_._4) === 2)
+  }
+
   // Independent model of the 60-bit md5 slice (the differential pin the
   // Md5Long60 expression already carries, re-derived here from
   // java.security so the chunker test shares no code with the engine).
