@@ -1432,6 +1432,19 @@ object SparkEntry {
           col("event_type") === "purchase")
         .orderBy("bin")),
 
+    // Cluster purity of the sign-LSH buckets against the embedding
+    // labels — the external clustering eval: per-bucket majority label
+    // + exact-ppm purity ("are the cheap semantic partitions label-
+    // coherent enough to curate by?").
+    "q217_cluster_purity" -> ((s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      Stats.clusterPurity(
+          Similarity.signBuckets(e)
+            .select(col("vec_id").as("id"), col("bucket").as("cluster")),
+          e.select(col("vec_id").as("id"), col("label").cast("long").as("label")))
+        .orderBy("cluster")
+    }),
+
     // kNN-distance outliers over the embedding corpus (Ramaswamy
     // SIGMOD'00): exact integer L2² to the 5th neighbor + the
     // Angiulli sum statistic, global outlier rank, top-2% flag.
@@ -3923,6 +3936,8 @@ object SparkEntry {
          |         - COALESCE(n_a, 0) * COALESCE(sum_b, 0) AS shift_num
          |FROM a FULL OUTER JOIN b ON a.k = b.k
          |ORDER BY k""".stripMargin,
+
+    "q217_cluster_purity" -> clusterPurityOracle,
 
     "q216_knn_outliers" ->
       s"""WITH $quantizedEmbeddings,
@@ -7533,6 +7548,40 @@ object SparkEntry {
        |FROM tok t JOIN pieces p USING (w)
        |GROUP BY t.doc_id
        |ORDER BY t.doc_id""".stripMargin
+  }
+
+  /** Mirrors q217: the deterministic sign-LSH bucket replay (q29's plane
+    * literals) joined to labels, majority cell per bucket by
+    * `(cnt DESC, label)`, exact-ppm purity.
+    */
+  private def clusterPurityOracle: String = {
+    val planes = graft.operators.Similarity
+      .hyperplanes(graft.operators.Similarity.DefaultNumPlanes, 64)
+      .map(_.map(c => math.floor(c * 1000000).toLong))
+    val bucketExpr = planes.zipWithIndex.map { case (p, i) =>
+      val planeLit = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(range(1, 65), ii -> qe[ii] * ($planeLit)[ii])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("\n         + ")
+    s"""WITH e AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS qe
+       |  FROM embeddings
+       |),
+       |b AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |             CAST($bucketExpr AS BIGINT) AS cluster FROM e),
+       |cell AS (
+       |  SELECT cluster, label, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM b GROUP BY 1, 2
+       |),
+       |r AS (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY cnt DESC, label) AS rn,
+       |         CAST(SUM(cnt) OVER (PARTITION BY cluster) AS BIGINT) AS n
+       |  FROM cell
+       |)
+       |SELECT cluster, n, label AS top_label, cnt AS n_top,
+       |       (1000000 * cnt) // n AS purity_ppm
+       |FROM r WHERE rn = 1
+       |ORDER BY cluster""".stripMargin
   }
 
   private def annLshOracle: String = {

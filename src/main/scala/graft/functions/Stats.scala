@@ -549,6 +549,36 @@ object Stats {
       .drop("lo")
   }
 
+  /** Cluster purity against a labeled subset — the standard external
+    * clustering eval (purity = weighted majority-label share): per
+    * cluster, its size over the labeled rows, the majority label (ties
+    * break on the smaller label — deterministic), the majority count,
+    * and the exact-ppm purity. The corpus-level score is the
+    * n-weighted mean of these rows; emitting per-cluster cells keeps
+    * the output inspectable (which clusters are mixed?) and the
+    * aggregate derivable.
+    *
+    * Scale: one map-side-combined count to (cluster, label) cells —
+    * bounded by clusters × observed labels — then a window over each
+    * cluster's label cells. Nothing row-scale survives the first
+    * aggregate.
+    */
+  def clusterPurity(assign: DataFrame, labels: DataFrame): DataFrame = {
+    val cell = assign.join(labels, Seq("id"))
+      .groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("cluster")).orderBy(col("cnt").desc, col("label"))
+    val tot = Window.partitionBy(col("cluster"))
+    cell
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", sum(col("cnt")).over(tot))
+      .filter(col("rn") === 1)
+      .select(
+        col("cluster"), col("n"), col("label").as("top_label"),
+        col("cnt").as("n_top"),
+        expr("(1000000 * cnt) div n").as("purity_ppm"))
+  }
+
   /** Exact ROC curve points — the threshold-sweep view [[groupAuc]]
     * integrates and [[calibrationBins]] marginalizes: per group, one row
     * per distinct observed score threshold with the exact confusion

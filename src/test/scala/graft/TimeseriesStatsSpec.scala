@@ -335,6 +335,22 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("pos_rate_ppm") === 666666L) // (2e6) div 3
   }
 
+  test("clusterPurity: majority cells, smaller-label tie-break, exact ppm, unlabeled ignored") {
+    val assign = Seq((1L, "c1"), (2L, "c1"), (3L, "c1"), (4L, "c2"), (5L, "c2"),
+      (6L, "c3"), (99L, "c4")) // id 99 has no label row -> c4 absent
+      .toDF("id", "cluster")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 3L), (5L, 2L), (6L, 9L))
+      .toDF("id", "label")
+    val out = Stats.clusterPurity(assign, labels).collect()
+      .map(r => r.getAs[String]("cluster") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("top_label"),
+          r.getAs[Long]("n_top"), r.getAs[Long]("purity_ppm")))).toMap
+    assert(out("c1") === ((3L, 0L, 2L, 666666L)))
+    assert(out("c2") === ((2L, 2L, 1L, 500000L)), "count tie breaks on the smaller label")
+    assert(out("c3") === ((1L, 9L, 1L, 1000000L)))
+    assert(!out.contains("c4"))
+  }
+
   test("rocCurve: exact confusion prefixes per threshold, single-class drop, (1,1) endpoint") {
     val df = Seq(
       // g: pos {0.30, 0.20}, neg {0.20, 0.10} — thresholds 30, 20, 10.
