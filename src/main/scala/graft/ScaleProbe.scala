@@ -353,7 +353,38 @@ object ScaleProbe {
       "q204_spelling_canonicalize" -> byteFactor,
       // phrase search: tokenize scan + broadcast phrase join; survivors
       // are postings of the mined phrase words — corpus-proportional.
-      "q205_phrase_search" -> byteFactor)
+      "q205_phrase_search" -> byteFactor,
+      // r14 batch-4 (persist-free; q207 persists via labelPropagation
+      // and is bracket-measured below; q214 is streaming fixed-cost
+      // machinery, attributed in ISO like q116/q120-q123; q216 is
+      // deliberately NOT probed — its all-pairs neighbor scan is the
+      // documented quadratic demo baseline à la cosinePairs, and the
+      // scale path is the IVF/Hamming shortlist):
+      // rolling active users: events scan collapsing to user-interval
+      // rows, then day-calendar-bounded sweep — alpha tracks the scan.
+      "q206_rolling_active_users" -> rowFactor,
+      // quantile normalization: reads (source, n_chars) only — the
+      // distributed-prefix-count rank machinery must stay row-linear.
+      "q208_quantile_normalize" -> rowFactor,
+      // Luhn: pure narrow per-row lambda arithmetic, zero shuffle.
+      "q209_luhn_validate" -> rowFactor,
+      // content-defined chunking: per-doc array lambdas, one digest
+      // aggregate — the rolling-digest scan class.
+      "q210_cdc_chunk_dups" -> byteFactor,
+      // ROC curve: events scan to (day, centi) cells + two shared
+      // windows — curve rows bounded by distinct quantized scores.
+      "q211_roc_curve" -> rowFactor,
+      // WordPiece train+encode: corpus wordcount aggregate, driver-side
+      // merge loop over the collected (Heaps-bounded) type table, then
+      // the per-TYPE greedy broadcast join back — the q151 class.
+      "q213_wordpiece_encode" -> byteFactor,
+      // BLEU pair statistics: grams leave as digests immediately, one
+      // map-combined (pair, n, dig) aggregate per side; pair structure
+      // replicates per copy (adjacent ids pair within a replica).
+      "q215_bleu_stats" -> byteFactor,
+      // cluster purity: one sign-bucket scan collapsing to
+      // clusters × labels cells.
+      "q217_cluster_purity" -> rowFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
@@ -520,6 +551,11 @@ object ScaleProbe {
     bracket("q188_hits", SparkEntry.queries("q188_hits"), byteFactor)
     bracket("q196_tokenizer_scorecard",
       SparkEntry.queries("q196_tokenizer_scorecard"), byteFactor)
+    // r14 batch-4: modularity itself is three bounded aggregates, but
+    // the q207 query derives its communities via labelPropagation,
+    // which persists per-round state over the rare-shingle graph —
+    // bracket, byteFactor (the q154 argument).
+    bracket("q207_modularity", SparkEntry.queries("q207_modularity"), byteFactor)
 
     val fnFlag = SparkEntry.queries("q03_training_examples")
     val mf1 = measure(spark, fnFlag, sfDir)

@@ -1432,6 +1432,17 @@ object SparkEntry {
           col("event_type") === "purchase")
         .orderBy("bin")),
 
+    // Image-duplicate clusters: the dHash Hamming pair graph (q201)
+    // closed into components by the pointer-doubling CC (q47's
+    // machinery) — the full image-dedup story end to end: decode →
+    // perceptual hash → banded pairing → canonical clusters.
+    "q218_image_dup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(
+        Dedup.hammingNearDupPairs(
+            Multimodal.pgmDHash(s, Multimodal.toPgm(Tables.documents(s, dir))).toDF())
+          .select(col("ida").as("doc_a"), col("idb").as("doc_b")))
+        .orderBy("doc_id")),
+
     // Cluster purity of the sign-LSH buckets against the embedding
     // labels — the external clustering eval: per-bucket majority label
     // + exact-ppm purity ("are the cheap semantic partitions label-
@@ -3938,6 +3949,28 @@ object SparkEntry {
          |ORDER BY k""".stripMargin,
 
     "q217_cluster_purity" -> clusterPurityOracle,
+
+    // q201's pair graph closed by a recursive-CTE reachability (q47's
+    // CC oracle shape) — doc_id-min canonicals, cluster sizes.
+    "q218_image_dup_clusters" ->
+      s"""WITH RECURSIVE $dHashSql,
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM dh a JOIN dh b ON b.doc_id > a.doc_id
+         |  WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+         |),
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM p UNION SELECT doc_b, doc_a FROM p),
+         |reach(v, r) AS (
+         |  SELECT a, a FROM edges
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.v
+         |),
+         |lab AS (SELECT v AS doc_id, MIN(r) AS canonical_id FROM reach GROUP BY v),
+         |sz AS (SELECT canonical_id, COUNT(*) AS cluster_size FROM lab GROUP BY canonical_id)
+         |SELECT l.doc_id, l.canonical_id, s.cluster_size,
+         |       l.doc_id = l.canonical_id AS is_canonical
+         |FROM lab l JOIN sz s USING (canonical_id)
+         |ORDER BY doc_id""".stripMargin,
 
     "q216_knn_outliers" ->
       s"""WITH $quantizedEmbeddings,
