@@ -1432,6 +1432,33 @@ object SparkEntry {
           col("event_type") === "purchase")
         .orderBy("bin")),
 
+    // One-pass table profiler over orders: per column, rows / nulls /
+    // exact distincts, numeric+timestamp min/max as doubles — the
+    // ingest-gate data-quality report.
+    "q220_profile_orders" -> ((s, dir) =>
+      Stats.profileColumns(Tables.orders(s, dir)).orderBy("col_name")),
+
+    // The ranking-window family the SQL surface hadn't covered yet:
+    // rank / dense_rank (tie-invariant), percent_rank / cume_dist
+    // (exact rationals — one IEEE division of exact integers each),
+    // and ntile(4) under a TOTAL order so its row assignment is
+    // deterministic. One exchange; all five functions share it.
+    "q219_rank_family" -> ((s, dir) => {
+      val byPrice = Window.partitionBy(col("grp")).orderBy(col("o_totalprice"))
+      val total = Window.partitionBy(col("grp"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("grp"), col("o_orderkey"), col("o_totalprice"))
+        .select(
+          col("grp"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(byPrice).cast("long").as("rnk"),
+          dense_rank().over(byPrice).cast("long").as("drnk"),
+          percent_rank().over(byPrice).as("prank"),
+          cume_dist().over(byPrice).as("cdist"),
+          ntile(4).over(total).cast("long").as("quartile"))
+        .orderBy("grp", "o_totalprice", "o_orderkey")
+    }),
+
     // Image-duplicate clusters: the dHash Hamming pair graph (q201)
     // closed into components by the pointer-doubling CC (q47's
     // machinery) — the full image-dedup story end to end: decode →
@@ -3952,6 +3979,51 @@ object SparkEntry {
 
     // q201's pair graph closed by a recursive-CTE reachability (q47's
     // CC oracle shape) — doc_id-min canonicals, cluster sizes.
+    "q220_profile_orders" ->
+      """SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+        |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+        |       CAST(MIN(o_custkey) AS DOUBLE) AS min_num,
+        |       CAST(MAX(o_custkey) AS DOUBLE) AS max_num
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderdate', COUNT(*), COUNT(*) - COUNT(o_orderdate),
+        |       COUNT(DISTINCT o_orderdate),
+        |       CAST(epoch_us(MIN(o_orderdate)) AS DOUBLE),
+        |       CAST(epoch_us(MAX(o_orderdate)) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderkey', COUNT(*), COUNT(*) - COUNT(o_orderkey),
+        |       COUNT(DISTINCT o_orderkey),
+        |       CAST(MIN(o_orderkey) AS DOUBLE), CAST(MAX(o_orderkey) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', COUNT(*), COUNT(*) - COUNT(o_orderpriority),
+        |       COUNT(DISTINCT o_orderpriority), NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', COUNT(*), COUNT(*) - COUNT(o_orderstatus),
+        |       COUNT(DISTINCT o_orderstatus), NULL, NULL
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', COUNT(*), COUNT(*) - COUNT(o_totalprice),
+        |       COUNT(DISTINCT o_totalprice),
+        |       MIN(o_totalprice), MAX(o_totalprice)
+        |FROM orders
+        |ORDER BY col_name""".stripMargin,
+
+    "q219_rank_family" ->
+      """SELECT o_orderpriority AS grp, o_orderkey, o_totalprice,
+        |       CAST(rank() OVER w AS BIGINT) AS rnk,
+        |       CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |       percent_rank() OVER w AS prank,
+        |       cume_dist() OVER w AS cdist,
+        |       CAST(ntile(4) OVER w2 AS BIGINT) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice),
+        |       w2 AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY grp, o_totalprice, o_orderkey""".stripMargin,
+
     "q218_image_dup_clusters" ->
       s"""WITH RECURSIVE $dHashSql,
          |p AS (

@@ -549,6 +549,53 @@ object Stats {
       .drop("lo")
   }
 
+  /** One-pass table profiler — the data-quality report every warehouse
+    * runs before trusting a new source: per column, the row count, the
+    * null count, the EXACT distinct count, and (for numeric/timestamp
+    * columns) the min/max surfaced as doubles (timestamps as epoch
+    * micros — exact in the 53-bit mantissa for any realistic range;
+    * string columns report NULL bounds). The numbers every ingest gate
+    * reads first: unexpected nulls, exploded cardinality, out-of-range
+    * values.
+    *
+    * Scale: ONE aggregate computes every column's stats in a single
+    * pass — the multi-distinct plan is Spark's Expand (input ×
+    * column-count in the shuffle, the inherent cost of exact per-column
+    * distincts; swap in HLL sketches when approximate is acceptable) —
+    * then one row per column unpivots from the single result row.
+    */
+  def profileColumns(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val cols = df.schema.fields.toSeq
+    // TimestampNTZType is a distinct Catalyst type (and what the UTC-
+    // session parquet readers here surface); the cast to TIMESTAMP is
+    // instant-preserving under the engine's fixed UTC session zone.
+    def numExpr(f: StructField): Column = f.dataType match {
+      case _: NumericType => col(f.name).cast("double")
+      case _: TimestampType | _: TimestampNTZType =>
+        unix_micros(col(f.name).cast("timestamp")).cast("double")
+      case _ => lit(null).cast("double")
+    }
+    val aggs = cols.flatMap { f =>
+      Seq(
+        count(col(f.name)).as(s"_nn_${f.name}"),
+        countDistinct(col(f.name)).as(s"_nd_${f.name}"),
+        min(numExpr(f)).as(s"_mn_${f.name}"),
+        max(numExpr(f)).as(s"_mx_${f.name}"))
+    }
+    val wide = df.agg(count(lit(1)).as("_n"), aggs: _*)
+    wide.select(explode(array(cols.map { f =>
+      struct(
+        lit(f.name).as("col_name"),
+        col("_n").as("n_rows"),
+        (col("_n") - col(s"_nn_${f.name}")).as("n_null"),
+        col(s"_nd_${f.name}").as("n_distinct"),
+        col(s"_mn_${f.name}").as("min_num"),
+        col(s"_mx_${f.name}").as("max_num"))
+    }: _*)).as("p"))
+      .select(col("p.*"))
+  }
+
   /** Cluster purity against a labeled subset — the standard external
     * clustering eval (purity = weighted majority-label share): per
     * cluster, its size over the labeled rows, the majority label (ties

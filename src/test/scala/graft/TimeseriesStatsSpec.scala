@@ -335,6 +335,27 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("pos_rate_ppm") === 666666L) // (2e6) div 3
   }
 
+  test("profileColumns: one row per column, exact nulls/distincts, typed bounds") {
+    val df = Seq(
+      (1L, Option(2.5), Option("a")),
+      (2L, Option.empty[Double], Option("a")),
+      (3L, Option(7.5), Option.empty[String]))
+      .toDF("id", "x", "s")
+    val out = Stats.profileColumns(df).collect()
+      .map(r => r.getAs[String]("col_name") -> r).toMap
+    assert(out.size === 3)
+    val id = out("id")
+    assert(id.getAs[Long]("n_rows") === 3L && id.getAs[Long]("n_null") === 0L)
+    assert(id.getAs[Long]("n_distinct") === 3L)
+    assert(id.getAs[Double]("min_num") === 1.0 && id.getAs[Double]("max_num") === 3.0)
+    val x = out("x")
+    assert(x.getAs[Long]("n_null") === 1L && x.getAs[Long]("n_distinct") === 2L)
+    assert(x.getAs[Double]("min_num") === 2.5 && x.getAs[Double]("max_num") === 7.5)
+    val s = out("s")
+    assert(s.getAs[Long]("n_null") === 1L && s.getAs[Long]("n_distinct") === 1L)
+    assert(s.isNullAt(s.fieldIndex("min_num")) && s.isNullAt(s.fieldIndex("max_num")))
+  }
+
   test("clusterPurity: majority cells, smaller-label tie-break, exact ppm, unlabeled ignored") {
     val assign = Seq((1L, "c1"), (2L, "c1"), (3L, "c1"), (4L, "c2"), (5L, "c2"),
       (6L, "c3"), (99L, "c4")) // id 99 has no label row -> c4 absent
