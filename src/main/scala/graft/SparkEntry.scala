@@ -1432,6 +1432,13 @@ object SparkEntry {
           col("event_type") === "purchase")
         .orderBy("bin")),
 
+    // Benford first-digit audit of order totals — the fabricated-data
+    // tripwire: digit via the exact integer-string path (no libm log10),
+    // per-digit counts + exact-ppm shares over the dense 1..9 spine.
+    "q221_benford_digits" -> ((s, dir) =>
+      Stats.benfordDigits(Tables.orders(s, dir), col("o_totalprice"))
+        .orderBy("digit")),
+
     // One-pass table profiler over orders: per column, rows / nulls /
     // exact distincts, numeric+timestamp min/max as doubles — the
     // ingest-gate data-quality report.
@@ -3979,6 +3986,25 @@ object SparkEntry {
 
     // q201's pair graph closed by a recursive-CTE reachability (q47's
     // CC oracle shape) — doc_id-min canonicals, cluster sizes.
+    "q221_benford_digits" ->
+      """WITH v AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
+        |  FROM orders WHERE round(o_totalprice * 100) > 0
+        |),
+        |obs AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |         CAST(COUNT(*) AS BIGINT) AS n_obs
+        |  FROM v GROUP BY 1
+        |),
+        |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v)
+        |SELECT d.digit, CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+        |       t.n AS n_total,
+        |       CASE WHEN t.n > 0
+        |            THEN (1000000 * COALESCE(obs.n_obs, 0)) // t.n END AS obs_ppm
+        |FROM (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit) d
+        |LEFT JOIN obs USING (digit) CROSS JOIN t
+        |ORDER BY d.digit""".stripMargin,
+
     "q220_profile_orders" ->
       """SELECT 'o_custkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
         |       CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,

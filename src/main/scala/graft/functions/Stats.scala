@@ -596,6 +596,40 @@ object Stats {
       .select(col("p.*"))
   }
 
+  /** Benford first-digit audit — the classic fabricated-data /
+    * broken-ingest tripwire: naturally-occurring positive amounts
+    * follow `P(d) = log10(1 + 1/d)`; a uniform or spiked first-digit
+    * histogram flags synthetic or truncated values. Digits are
+    * extracted WITHOUT floating logs (a libm log10 at a power-of-ten
+    * boundary is exactly the cross-engine drift this engine bans):
+    * values quantize to integer centi-units through the proven
+    * round(x·100) bridge and the first digit is the first character of
+    * the integer's decimal string — integer-to-string is exact and
+    * identical in both engines. Output per digit 1..9: the observed
+    * count and exact-ppm share (digits with zero observations emit 0
+    * via the dense digit spine). Comparison against the Benford ppm
+    * expectations (301030, 176091, …) is the consumer's one join.
+    *
+    * Scale: one filter + one map-side-combined 9-group aggregate.
+    */
+  def benfordDigits(df: DataFrame, x: Column): DataFrame = {
+    val v = df.select(round(x.cast("double") * 100, 0).cast("long").as("v"))
+      .filter(col("v") > 0L)
+    val obs = v
+      .select(substring(col("v").cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+    val spine = df.sparkSession.range(1, 10).toDF("digit")
+    val tot = v.agg(count(lit(1)).as("n"))
+    spine.join(obs, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select(
+        col("digit"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        col("n").as("n_total"),
+        when(col("n") > 0L,
+          expr("(1000000 * coalesce(n_obs, 0)) div n")).as("obs_ppm"))
+  }
+
   /** Cluster purity against a labeled subset — the standard external
     * clustering eval (purity = weighted majority-label share): per
     * cluster, its size over the labeled rows, the majority label (ties

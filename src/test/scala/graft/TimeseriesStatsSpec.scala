@@ -335,6 +335,22 @@ class TimeseriesStatsSpec extends SparkSpec {
     assert(out(0).getAs[Long]("pos_rate_ppm") === 666666L) // (2e6) div 3
   }
 
+  test("benfordDigits: integer-string digit path, centi rounding edges, dense spine") {
+    // 0.004 rounds to 0 centi -> excluded; 9.996 -> 1000 -> digit 1;
+    // 0.2 -> 20 -> digit 2; 95.0 -> 9500 -> digit 9; nulls dropped.
+    val df = Seq(Option(0.004), Option(9.996), Option(0.2), Option(95.0),
+      Option(123.45), Option.empty[Double]).toDF("x")
+    val out = Stats.benfordDigits(df, col("x")).collect()
+      .map(r => r.getAs[Long]("digit") -> ((r.getAs[Long]("n_obs"), r.getAs[Long]("obs_ppm"))))
+      .toMap
+    assert(out.size === 9, "dense 1..9 spine")
+    assert(out(1L) === ((2L, 500000L))) // 9.996 and 123.45 (12345 centi)
+    assert(out(2L) === ((1L, 250000L)))
+    assert(out(9L) === ((1L, 250000L)))
+    assert(out(3L) === ((0L, 0L)))
+    assert(out.values.map(_._1).sum === 4L)
+  }
+
   test("profileColumns: one row per column, exact nulls/distincts, typed bounds") {
     val df = Seq(
       (1L, Option(2.5), Option("a")),
