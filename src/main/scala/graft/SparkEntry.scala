@@ -1432,6 +1432,25 @@ object SparkEntry {
           col("event_type") === "purchase")
         .orderBy("bin")),
 
+    // Chunk-level CDC dedup: whole content-defined chunks shared by 2+
+    // documents stripped at any byte offset — the passage family's
+    // variable-grid member (q84 aligned, q101 dense, q222 CDC).
+    "q222_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcDedup(Tables.documents(s, dir)).orderBy("doc_id")),
+
+    // Streaming CDC chunk state: per-epoch chunk-frequency tables over
+    // doc-disjoint shards, digest-wise summed at read — the merged
+    // clean must equal q222's one-shot batch pass (same oracle).
+    "q223_streaming_cdc_state" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q223_cdc").toString
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3)(
+        graft.streaming.StreamingOps.cdcCountsSink(path))
+      Dedup.cdcDedupAgainst(
+          docs, graft.streaming.StreamingOps.mergedCdcCounts(s, path))
+        .orderBy("doc_id")
+    }),
+
     // Benford first-digit audit of order totals — the fabricated-data
     // tripwire: digit via the exact integer-string path (no libm log10),
     // per-digit counts + exact-ppm shares over the dense 1..9 spine.
@@ -3986,6 +4005,10 @@ object SparkEntry {
 
     // q201's pair graph closed by a recursive-CTE reachability (q47's
     // CC oracle shape) — doc_id-min canonicals, cluster sizes.
+    "q222_cdc_dedup" -> cdcDedupOracle,
+
+    "q223_streaming_cdc_state" -> cdcDedupOracle,
+
     "q221_benford_digits" ->
       """WITH v AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v
@@ -7129,6 +7152,52 @@ object SparkEntry {
     * in SQL — one materialized CTE triple per round — so this stays
     * small; the Spark side trains with the same number.
     */
+  /** Shared q222/q223 oracle: q210's boundary prefix-sum chain extended
+    * with chunk text (ordered string_agg per chunk), cross-document
+    * frequencies, and the per-document rebuild of kept chunks — the
+    * batch pass q223's merged streaming state must equal exactly.
+    */
+  private val cdcDedupOracle =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
+      |         CAST(unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1))
+      |              AS BIGINT) AS pos,
+      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
+      |  FROM documents
+      |),
+      |b AS (
+      |  SELECT doc_id, pos, w,
+      |         CASE WHEN pos < n
+      |                   AND CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 8 = 0
+      |              THEN 1 ELSE 0 END AS brk
+      |  FROM w
+      |),
+      |c AS (
+      |  SELECT doc_id, pos, w,
+      |         COALESCE(SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+      |  FROM b
+      |),
+      |ch AS (
+      |  SELECT doc_id, chunk_idx, string_agg(w, ' ' ORDER BY pos) AS chunk_text,
+      |         CAST('0x' || substr(md5(string_agg(w, ' ' ORDER BY pos)), 1, 15)
+      |              AS BIGINT) AS dig
+      |  FROM c GROUP BY doc_id, chunk_idx
+      |),
+      |cnt AS (SELECT dig, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY dig),
+      |k AS (
+      |  SELECT ch.doc_id, ch.chunk_idx, ch.chunk_text, (cnt.df > 1) AS dropped
+      |  FROM ch JOIN cnt USING (dig)
+      |)
+      |SELECT doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+      |       COALESCE(string_agg(chunk_text, ' ' ORDER BY chunk_idx)
+      |                  FILTER (WHERE NOT dropped), '') AS clean_text
+      |FROM k GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** Shared q80/q214 oracle: the exact-count-defined heavy set (k = 24 ⇒
     * threshold ×25) with presence and error-bound booleans asserted true
     * — the MG guarantee both the batch sketch and the merged streaming

@@ -1789,4 +1789,74 @@ object Dedup {
         count(lit(1)).as("n_occ"),
         min(col("n_words")).as("n_words"))
       .filter(col("n_occ") > 1L)
+
+  /** Chunk-digest document frequencies — the CDC family's incremental
+    * state, shaped exactly like [[passageDigestCounts]] (`dig, df`) so
+    * [[mergePassageCounts]] and the per-epoch streaming machinery apply
+    * unchanged to variable content-defined chunks.
+    */
+  def chunkDigestCounts(docs: DataFrame, modulus: Int = 8): DataFrame =
+    contentDefinedChunks(docs, modulus)
+      .groupBy(col("dig"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+
+  /** Chunk-level cross-document boilerplate removal against a global
+    * chunk-frequency table — [[passageDedupAgainst]]'s content-defined
+    * sibling: the grid is CDC boundaries instead of a fixed stride, so
+    * shared spans are caught at ANY byte offset (the q210 property)
+    * while each document sheds whole chunks, never mid-chunk slivers
+    * like the dense-window pass. Output `(doc_id, n_chunks, n_dropped,
+    * clean_text)` — the passage family's exact surface.
+    *
+    * Scale: the batch re-derives its chunk spans per document (narrow
+    * array lambdas); only digests and chunk INDEXES shuffle — the
+    * boiler join and the per-doc drop set are digest/index-sized, and
+    * the text rebuild is a per-row lambda over the original words.
+    */
+  def cdcDedupAgainst(
+      batch: DataFrame,
+      globalCounts: DataFrame,
+      modulus: Int = 8,
+      maxDocFreq: Long = 1): DataFrame = {
+    val boiler = globalCounts.filter(col("df") > maxDocFreq).select("dig")
+    val drops = contentDefinedChunks(batch, modulus).join(boiler, Seq("dig"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("chunk_idx"))).as("drop_chunks"))
+    val n = size(col("ws"))
+    batch
+      .join(drops, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), TextAnalysis.wordsCol.as("ws"),
+        coalesce(col("drop_chunks"), array().cast("array<long>")).as("dc"))
+      .withColumn(
+        "bpos",
+        filter(
+          sequence(lit(1), n),
+          i => i < n && pmod(
+            graft.functions.Hashing.md5Long60(element_at(col("ws"), i)),
+            lit(modulus.toLong)) === 0L))
+      .withColumn(
+        "spans",
+        zip_with(
+          concat(array(lit(1)), transform(col("bpos"), p => p + 1)),
+          concat(col("bpos"), array(n)),
+          (s, e) => struct(s.as("s"), e.as("e"))))
+      .select(
+        col("doc_id"),
+        size(col("spans")).cast("long").as("n_chunks"),
+        size(col("dc")).cast("long").as("n_dropped"),
+        array_join(
+          transform(
+            filter(col("spans"), (_, i) => !array_contains(col("dc"), i.cast("long"))),
+            sp => array_join(
+              slice(col("ws"), sp.getField("s"),
+                sp.getField("e") - sp.getField("s") + 1), " ")),
+          " ").as("clean_text"))
+  }
+
+  /** One-shot chunk-level dedup of a whole corpus ([[passageDedup]]'s
+    * content-defined sibling).
+    */
+  def cdcDedup(docs: DataFrame, modulus: Int = 8, maxDocFreq: Long = 1): DataFrame =
+    cdcDedupAgainst(docs, chunkDigestCounts(docs, modulus), modulus, maxDocFreq)
 }

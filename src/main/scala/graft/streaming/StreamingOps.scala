@@ -564,6 +564,28 @@ object StreamingOps {
     graft.operators.Dedup.mergePassageCounts(Seq(
       compactedStateView(spark, basePath, Seq("dig", "df"))))
 
+  /** The passage family's content-defined third member: per-epoch
+    * CDC chunk-digest frequencies ([[graft.operators.Dedup.chunkDigestCounts]])
+    * in the same replay-idempotent layout, so
+    * `Dedup.cdcDedupAgainst(todaysBatch, mergedCdcCounts(...))` strips
+    * whole shared chunks that entered past batches at ANY offset —
+    * variable chunks where [[passageCountsSink]] is grid-aligned and
+    * [[rollingCountsSink]] pays a digest per token.
+    */
+  def cdcCountsSink(
+      basePath: String,
+      modulus: Int = 8): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.Dedup.chunkDigestCounts(batch, modulus)
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+
+  /** The merged global chunk-frequency state over a [[cdcCountsSink]]
+    * directory.
+    */
+  def mergedCdcCounts(spark: SparkSession, basePath: String): DataFrame =
+    graft.operators.Dedup.mergePassageCounts(Seq(
+      compactedStateView(spark, basePath, Seq("dig", "df"))))
+
   /** Streaming Misra–Gries heavy-hitter maintenance, same epoch layout
     * as [[countMinSink]] — the fourth (and last) batch sketch family
     * put under streaming state. Each micro-batch's per-group MG summary
@@ -832,6 +854,11 @@ object StreamingOps {
     * shape and merge are the aligned variant's (digest-wise sum).
     */
   def compactRollingEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq("dig", "df"),
+      df => graft.operators.Dedup.mergePassageCounts(Seq(df)))
+
+  /** [[compactEpochs]] for a [[cdcCountsSink]] directory (digest-wise sum). */
+  def compactCdcEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
     compactEpochs(spark, basePath, keepAfter, Seq("dig", "df"),
       df => graft.operators.Dedup.mergePassageCounts(Seq(df)))
 

@@ -1684,6 +1684,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got(0L).map(_._3).sum === 80L)
   }
 
+  test("cdcDedup: differential vs model — whole shared chunks dropped at shifted offsets") {
+    val words = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val boiler = (0 until 30).map(i => s"bp$i").mkString(" ")
+    val cdcDocs = Seq(
+      (0L, s"$words $boiler", "en", "s0", 0L),
+      (1L, s"off one two three $boiler", "en", "s1", 0L), // boiler shifted
+      (2L, "solo words only here", "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    // Independent model: chunks, cross-doc df, drop, rebuild.
+    val texts = Map(0L -> s"$words $boiler", 1L -> s"off one two three $boiler",
+      2L -> "solo words only here")
+    def chunksWithText(t: String) = {
+      val ws = t.trim.split("\\s+", -1).toSeq
+      modelChunks(t, 4).map { case (i, s, nw, dig) =>
+        (i, dig, ws.slice(s.toInt - 1, (s + nw - 1).toInt).mkString(" "))
+      }
+    }
+    val all = texts.view.mapValues(chunksWithText).toMap
+    val df = all.values.flatten.groupBy(_._2).view
+      .mapValues(cs => all.count { case (_, ch) => ch.exists(c => c._2 == cs.head._2) }).toMap
+    val expected = all.map { case (id, cs) =>
+      val kept = cs.filter(c => df(c._2) <= 1)
+      id -> ((cs.size.toLong, (cs.size - kept.size).toLong, kept.map(_._3).mkString(" ")))
+    }
+    // The shift property must actually engage: both docs shed chunks.
+    assert(expected(0L)._2 > 0L && expected(1L)._2 > 0L,
+      "fixture must drop shared boiler chunks in both docs")
+    assert(expected(2L)._2 === 0L)
+    val got = Dedup.cdcDedup(cdcDocs, modulus = 4).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_chunks"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(got === expected)
+  }
+
   test("chunkDuplicates: boundaries survive an offset shift (all-but-first chunks shared)") {
     val words = (0 until 80).map(i => s"tok$i").mkString(" ")
     val shifted = "noiseA noiseB noiseC " + words

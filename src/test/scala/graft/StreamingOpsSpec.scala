@@ -386,6 +386,34 @@ class StreamingOpsSpec extends SparkSpec {
       "aligned control unexpectedly caught the shifted boilerplate — fixture no longer shifted?")
   }
 
+  test("streaming CDC sink: replay-safe merge cleans a batch like the whole corpus") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def d(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val boiler = (0 until 30).map(i => s"bp$i").mkString(" ")
+    val b0 = Seq(d(0L, s"alpha beta gamma $boiler"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = Seq(d(10L, s"pre amble text here $boiler tail"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cdc_sink").toString
+    val sink = StreamingOps.cdcCountsSink(dir, modulus = 4)
+    sink(b0, 0L)
+    sink(b0, 0L) // replay must not double-count
+    sink(b1, 1L)
+    val whole = Dedup.cdcDedup(b0.unionByName(b1), modulus = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    val merged = Dedup.cdcDedupAgainst(
+      b0.unionByName(b1), StreamingOps.mergedCdcCounts(spark, dir), modulus = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(merged === whole, "merged per-epoch state must equal the one-shot batch pass")
+    assert(whole(0L)._2 > 0L && whole(10L)._2 > 0L,
+      "the shifted boiler must actually be caught in both docs")
+    // Replay must not inflate any digest's df.
+    val maxDf = StreamingOps.mergedCdcCounts(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("df")).collect().head.getLong(0)
+    assert(maxDf === 2L, s"replay inflated the merged df to $maxDf")
+  }
+
   test("streaming MG sink: trim rule exact, replay-safe, guarantee holds on the merged state") {
     import spark.implicits._
     // Hand-checkable trim: two epochs of counters for one group, k = 2.
