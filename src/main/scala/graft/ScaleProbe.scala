@@ -168,11 +168,22 @@ object ScaleProbe {
           exception: Exception): Unit = ()
     })
 
+    // Optional comma-separated query filter (SPARK_GRAFT_PROBE_ONLY):
+    // run only the named target/bracket rows and skip the fixed extra
+    // sections — a new operator gets its row without re-measuring the
+    // whole sweep. SPARK_GRAFT_PROBE_REUSE=1 additionally skips replica
+    // synthesis when the scaled directory already exists.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(',').map(_.trim).toSet)
+    def selected(name: String): Boolean = only.forall(_.contains(name))
+    val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") &&
+      new java.io.File(s"$scaledDir/documents.parquet/_SUCCESS").exists()
+
     val reps = spark.range(10).toDF("k")
 
     // --- synthesize the 10× tables --------------------------------------
     val d1 = spark.read.parquet(s"$sfDir/documents.parquet")
-    d1.crossJoin(reps)
+    if (!reuse) d1.crossJoin(reps)
       .select(
         (col("doc_id") + col("k") * Shift).as("doc_id"),
         when(col("k") === 0, col("text"))
@@ -184,7 +195,7 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$scaledDir/documents.parquet")
 
     val e1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    e1.crossJoin(reps)
+    if (!reuse) e1.crossJoin(reps)
       .select(
         (col("vec_id") + col("k") * Shift).as("vec_id"),
         transform(col("embedding"), (x, i) =>
@@ -194,7 +205,7 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$scaledDir/embeddings.parquet")
 
     val ev1 = spark.read.parquet(s"$sfDir/events.parquet") // ts copied as-read; Tables.events normalizes per-encoding
-    ev1.crossJoin(reps)
+    if (!reuse) ev1.crossJoin(reps)
       .select(
         (col("event_id") + col("k") * Shift).as("event_id"),
         col("ts"),
@@ -206,7 +217,7 @@ object ScaleProbe {
     // stay — 10× baskets over the same item vocabulary, which preserves
     // basket sizes (the pair-expansion bound) while pair counts grow.
     val li1 = spark.read.parquet(s"$sfDir/lineitem.parquet")
-    li1.crossJoin(reps)
+    if (!reuse) li1.crossJoin(reps)
       .select(
         (col("l_orderkey") + col("k") * Shift).as("l_orderkey") +:
           li1.columns.filter(_ != "l_orderkey").map(col): _*)
@@ -384,7 +395,15 @@ object ScaleProbe {
       "q215_bleu_stats" -> byteFactor,
       // cluster purity: one sign-bucket scan collapsing to
       // clusters × labels cells.
-      "q217_cluster_purity" -> rowFactor)
+      "q217_cluster_purity" -> rowFactor,
+      // r14 batch-5 (q218 composes q200+q201+q47, all measured; q219 is
+      // one orders exchange; q220/q221 are single aggregates — the
+      // three are argued by composition, not probed):
+      // chunk-level CDC dedup: the q210 per-doc-lambda scan class plus
+      // a digest join and the per-row text rebuild.
+      "q222_cdc_dedup" -> byteFactor,
+      // CDC chunk-duplicate inventory: q210 itself.
+      "q210_cdc_chunk_dups" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
@@ -392,7 +411,7 @@ object ScaleProbe {
       f"""{"probe":"scale_split","query":"$name","scale":"$scaleTag",$cold"warm_min_sec":${m.warmSec}%.3f,$coldScan"warm_scan_task_sec":${m.warm.scanTaskSec}%.3f,"files_mb":${m.warm.filesMb}%.1f,"shuffle_mb":${m.warm.shuffleMb}%.2f}"""
     }
 
-    targets.foreach { case (name, factor) =>
+    targets.filter(t => selected(t._1)).foreach { case (name, factor) =>
       val fn = SparkEntry.queries(name)
       val m1 = measure(spark, fn, sfDir)
       val m10 = measure(spark, fn, scaledDir)
@@ -408,6 +427,7 @@ object ScaleProbe {
     // input (α ≈ 0, an artifact). The probe's job is the operator:
     // rollingPassageDedup over every document of each dir, the highest
     // digest volume per input byte in the suite.
+    if (only.isEmpty || selected("rollingPassageDedup_full")) {
     val rollingFull: (SparkSession, String) => DataFrame = (s, d) =>
       graft.operators.Dedup.rollingPassageDedup(
         s.read.parquet(s"$d/documents.parquet").select("doc_id", "text"),
@@ -418,6 +438,7 @@ object ScaleProbe {
     println(splitJson("rollingPassageDedup_full", "10x", mr10))
     val rAlpha = math.log(mr10.warmSec / mr1.warmSec) / math.log(byteFactor)
     println(f"""{"probe":"scale10","query":"rollingPassageDedup_full","sec_1x":${mr1.warmSec}%.3f,"sec_10x":${mr10.warmSec}%.3f,"input_factor":$byteFactor%.3f,"alpha":$rAlpha%.3f,"superlinear":${rAlpha > 1.2}}""")
+    }
 
     // --- nearDupAgainst replica-aware 10× + the incremental pairing -----
     // Both sides scale here (kept = first 250 ids of EVERY replica),
@@ -434,6 +455,7 @@ object ScaleProbe {
     // bench's q44 pays) vs passed in pre-persisted (the production
     // path); only the kept index is amortized, per-snapshot work
     // repeats in both arms.
+    if (only.isEmpty || selected("nearDupAgainst_full")) {
     val incremental = for ((tag, d) <- Seq("1x" -> sfDir, "10x" -> scaledDir)) yield {
       val docs = spark.read.parquet(s"$d/documents.parquet")
       val kept = docs.filter(pmod(col("doc_id"), lit(Shift)) < 250)
@@ -456,12 +478,14 @@ object ScaleProbe {
     }
     val incAlpha = math.log(incremental(1) / incremental(0)) / math.log(byteFactor)
     println(f"""{"probe":"scale10","query":"nearDupAgainst_full","sec_1x":${incremental(0)}%.3f,"sec_10x":${incremental(1)}%.3f,"input_factor":$byteFactor%.3f,"alpha":$incAlpha%.3f,"superlinear":${incAlpha > 1.2}}""")
+    }
 
     // --- the flagship's 100× point --------------------------------------
     // q03 reads only the events-derived fixtures, and events replicate
     // by pure id-shift (row factor EXACTLY 100, per-user history shape
     // unchanged) — the cheapest honest two-decades-of-scale evidence.
     val dir100 = sys.env.getOrElse("SPARK_GRAFT_SCALE100_DIR", "/tmp/graft_scale100")
+    if (only.isEmpty) {
     val reps100 = spark.range(100).toDF("k")
     ev1.crossJoin(reps100)
       .select(
@@ -470,6 +494,7 @@ object ScaleProbe {
         (col("user_id") + col("k") * Shift).as("user_id"),
         col("event_type"), col("value"), col("props"))
       .write.mode("overwrite").parquet(s"$dir100/events.parquet")
+    }
     // --- internally-persisting r13 operators: bracket-measured ----------
     // q136 (pageRank materializes + caches its ranks) and q139
     // (prefixFilterPairs persists its digest table) would re-hit run 1's
@@ -490,8 +515,9 @@ object ScaleProbe {
         .filter(col("src") < col("dst"))
         .select("src", "dst")
     }
-    val edgeFactor = bucketEdges(scaledDir).count().toDouble / bucketEdges(sfDir).count()
-    def bracket(name: String, fn: (SparkSession, String) => DataFrame, factor: Double): Unit = {
+    lazy val edgeFactor = bucketEdges(scaledDir).count().toDouble / bucketEdges(sfDir).count()
+    def bracket(name: String, fn: (SparkSession, String) => DataFrame, factor: => Double): Unit = {
+      if (!selected(name)) return
       val mins = for ((tag, d) <- Seq("1x" -> sfDir, "10x" -> scaledDir)) yield {
         val runs = (1 to 3).map { _ =>
           spark.catalog.clearCache()
@@ -557,6 +583,7 @@ object ScaleProbe {
     // bracket, byteFactor (the q154 argument).
     bracket("q207_modularity", SparkEntry.queries("q207_modularity"), byteFactor)
 
+    if (only.isEmpty) {
     val fnFlag = SparkEntry.queries("q03_training_examples")
     val mf1 = measure(spark, fnFlag, sfDir)
     val mf100 = measure(spark, fnFlag, dir100)
@@ -564,6 +591,7 @@ object ScaleProbe {
     println(splitJson("q03_training_examples", "100x", mf100))
     val alpha100 = math.log(mf100.warmSec / mf1.warmSec) / math.log(100.0)
     println(f"""{"probe":"scale100","query":"q03_training_examples","sec_1x":${mf1.warmSec}%.3f,"sec_100x":${mf100.warmSec}%.3f,"input_factor":100.0,"alpha":$alpha100%.3f,"superlinear":${alpha100 > 1.2}}""")
+    }
     spark.stop()
   }
 }
