@@ -34,7 +34,16 @@ object Bench {
     // are recorded, so a per-query swing can be attributed to noise vs
     // code without a separate IsoBench session.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
-    val samples = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Targeted local iteration: SPARK_GRAFT_BENCH_ONLY=q187,q216 times just
+    // those queries (full sweep when unset — the driver never sets it).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (n, _) =>
+        names.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
+    val samples = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst prune the computed columns away) without
       // attributing file-writing cost to the query. Cache clear + GC fence

@@ -176,8 +176,12 @@ object ScaleProbe {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_PROBE_ONLY").map(_.split(',').map(_.trim).toSet)
     def selected(name: String): Boolean = only.forall(_.contains(name))
+    // Reuse only when EVERY scaled table committed (_SUCCESS): a previous
+    // run that died mid-synthesis leaves a half-built directory that would
+    // otherwise be silently probed against stale or missing inputs.
     val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") &&
-      new java.io.File(s"$scaledDir/documents.parquet/_SUCCESS").exists()
+      Seq("documents", "embeddings", "events", "lineitem").forall(t =>
+        new java.io.File(s"$scaledDir/$t.parquet/_SUCCESS").exists())
 
     val reps = spark.range(10).toDF("k")
 
@@ -400,10 +404,9 @@ object ScaleProbe {
       // one orders exchange; q220/q221 are single aggregates — the
       // three are argued by composition, not probed):
       // chunk-level CDC dedup: the q210 per-doc-lambda scan class plus
-      // a digest join and the per-row text rebuild.
-      "q222_cdc_dedup" -> byteFactor,
-      // CDC chunk-duplicate inventory: q210 itself.
-      "q210_cdc_chunk_dups" -> byteFactor)
+      // a digest join and the per-row text rebuild. (q222's inventory
+      // member is q210 itself, already probed above.)
+      "q222_cdc_dedup" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

@@ -7318,7 +7318,16 @@ object SparkEntry {
     }
     val seg = (1 to uniMaxWordLen)
       .map(i => s"  SELECT w, path FROM b${tag}_$i WHERE length(w) = $i")
-      .mkString("\n  UNION ALL\n")
+      .mkString("\n  UNION ALL\n") +
+      // Loud bound check: the DP is unrolled only to uniMaxWordLen, so a
+      // longer corpus word would silently vanish from seg (and the join
+      // would DROP it while the engine segments it). error() fires iff
+      // such a word exists.
+      s"""
+         |  UNION ALL
+         |  SELECT error('corpus word longer than the oracle DP bound $uniMaxWordLen: ' || w) AS w,
+         |         '' AS path
+         |  FROM ty WHERE length(w) > $uniMaxWordLen""".stripMargin
     (s"b${tag}_0 AS (SELECT w, CAST(0 AS BIGINT) AS cost, 0 AS np, '' AS path FROM ty)" +:
       levels :+ s"seg$tag AS MATERIALIZED (\n$seg\n)").mkString(",\n")
   }
@@ -7542,6 +7551,14 @@ object SparkEntry {
        |  SELECT w, '' AS path FROM wv0 WHERE length(w) = 0
        |  UNION ALL
        |  SELECT w, '[UNK]' AS path FROM wunk
+       |  UNION ALL
+       |  -- Loud bound check: the greedy walk above is unrolled only to
+       |  -- offset $maxLen, so a longer corpus word would silently vanish
+       |  -- from wseg (and the join would DROP it while the engine encodes
+       |  -- it). error() fires iff such a word exists.
+       |  SELECT error('corpus word longer than the oracle unroll bound $maxLen: ' || w) AS w,
+       |         '' AS path
+       |  FROM wv0 WHERE length(w) > $maxLen
        |)""".stripMargin
   }
 

@@ -570,28 +570,31 @@ object Stats {
     // TimestampNTZType is a distinct Catalyst type (and what the UTC-
     // session parquet readers here surface); the cast to TIMESTAMP is
     // instant-preserving under the engine's fixed UTC session zone.
+    // df(name) resolves the FIELD named `name` (col() would parse a dot as
+    // struct access), and intermediate aliases are index-based so a name
+    // containing a dot/backtick can't corrupt the alias or its reference.
     def numExpr(f: StructField): Column = f.dataType match {
-      case _: NumericType => col(f.name).cast("double")
+      case _: NumericType => df(f.name).cast("double")
       case _: TimestampType | _: TimestampNTZType =>
-        unix_micros(col(f.name).cast("timestamp")).cast("double")
+        unix_micros(df(f.name).cast("timestamp")).cast("double")
       case _ => lit(null).cast("double")
     }
-    val aggs = cols.flatMap { f =>
+    val aggs = cols.zipWithIndex.flatMap { case (f, i) =>
       Seq(
-        count(col(f.name)).as(s"_nn_${f.name}"),
-        countDistinct(col(f.name)).as(s"_nd_${f.name}"),
-        min(numExpr(f)).as(s"_mn_${f.name}"),
-        max(numExpr(f)).as(s"_mx_${f.name}"))
+        count(df(f.name)).as(s"_nn_$i"),
+        countDistinct(df(f.name)).as(s"_nd_$i"),
+        min(numExpr(f)).as(s"_mn_$i"),
+        max(numExpr(f)).as(s"_mx_$i"))
     }
     val wide = df.agg(count(lit(1)).as("_n"), aggs: _*)
-    wide.select(explode(array(cols.map { f =>
+    wide.select(explode(array(cols.zipWithIndex.map { case (f, i) =>
       struct(
         lit(f.name).as("col_name"),
         col("_n").as("n_rows"),
-        (col("_n") - col(s"_nn_${f.name}")).as("n_null"),
-        col(s"_nd_${f.name}").as("n_distinct"),
-        col(s"_mn_${f.name}").as("min_num"),
-        col(s"_mx_${f.name}").as("max_num"))
+        (col("_n") - col(s"_nn_$i")).as("n_null"),
+        col(s"_nd_$i").as("n_distinct"),
+        col(s"_mn_$i").as("min_num"),
+        col(s"_mx_$i").as("max_num"))
     }: _*)).as("p"))
       .select(col("p.*"))
   }

@@ -536,18 +536,30 @@ object Graphs {
     }
     var h = hubs.select(col("src").as("id"), lit(scale).as("h"))
     var a: DataFrame = null
+    // Eager per-round LINEAGE TRUNCATION: `renorm` references its input
+    // twice (max-broadcast side + main side) and the next round joins the
+    // result again, so the logical plan DOUBLES per round — ~2^iters
+    // re-execution unpersisted (measured 52 s for 4 rounds at sf0.1), and
+    // even persisted the exponential logical tree itself blows up analysis
+    // (a 2 GiB plan string, then driver OOM). `localCheckpoint(eager)`
+    // is the iterative-graph standard (what GraphFrames does): it
+    // materializes the node-sized per-round sums as RDD blocks AND resets
+    // the plan to a constant-size `LogicalRDD`, so every round analyzes,
+    // optimizes, and executes the same two edge-keyed joins.
     for (_ <- 1 to iters) {
       val aRaw = e
         .join(h.select(col("id").as("src"), col("h")), Seq("src"))
         .groupBy(col("dst"))
         .agg(sum(col("h")).as("v"))
         .select(col("dst").as("id"), col("v"))
+        .localCheckpoint(true)
       a = renorm(aRaw, "a")
       val hRaw = e
         .join(a.select(col("id").as("dst"), col("a")), Seq("dst"))
         .groupBy(col("src"))
         .agg(sum(col("a")).as("v"))
         .select(col("src").as("id"), col("v"))
+        .localCheckpoint(true)
       h = renorm(hRaw, "h")
     }
     val out = h.join(hubs.select(col("src").as("id"), col("odeg")), Seq("id"))

@@ -239,15 +239,27 @@ object Sinks {
     * `OPTIMIZE ZORDER`: sorting by the interleaved bits keeps rows close
     * in BOTH dimensions close on disk, so per-file min/max statistics
     * prune on x AND y where a lexicographic sort prunes on x only.
-    * Pure codegen'd integer expression (21 bit pairs → a 42-bit key);
-    * takes column NAMES (long-typed) — the interleave is generated as
-    * SQL text.
+    * One codegen'd integer expression ([[graft.expressions.MortonIndex]],
+    * 21 bit pairs → a 42-bit key); takes column NAMES (long-typed).
+    * Formerly an `expr("aggregate(sequence(0,20), ...)")` SQL fold —
+    * that `HigherOrderFunction` evaluates interpreted and gets
+    * duplicated into every consumer by `CollapseProject` (measured 70+ s
+    * vs 3.7 s for the byte-identical Hilbert machinery); the expression
+    * keeps the interleave one `bits`-step primitive loop per row.
     */
-  def zValue(x: String, y: String): Column =
-    expr(
-      "aggregate(sequence(0, 20), CAST(0 AS BIGINT), (acc, i) -> " +
-        s"acc + (((`$x` >> i) & 1) << (2 * i)) " +
-        s"+ (((`$y` >> i) & 1) << (2 * i + 1)))")
+  def zValue(x: String, y: String): Column = zValueN(Seq(x, y))
+
+  /** d-dimensional Morton interleave (bit `i` of dim `j` → position
+    * `i·d + j`) — `OPTIMIZE ZORDER BY (a, b, c)` is routinely 3-4
+    * columns; `bits` defaults to the most each dimension can carry in a
+    * nonnegative 63-bit long key.
+    */
+  def zValueN(cols: Seq[String], bits: Int = 0): Column = {
+    val b = if (bits > 0) bits else (63 / cols.size).min(21)
+    val bridge = org.apache.spark.sql.graft.bridge
+    bridge.column(graft.expressions.MortonIndex(
+      cols.map(c => bridge.expression(col(c))), b))
+  }
 
   /** The data-skipping audit for a Z-order layout: assign each row to
     * one of `numBuckets` equal-count files in Z-value order and report
@@ -330,10 +342,15 @@ object Sinks {
     * per-bucket min/max on both dimensions.
     */
   private def valueLayoutStats(
-      base: DataFrame,
+      base0: DataFrame,
       numBuckets: Int,
       numPartitions: Int): DataFrame = {
     require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
+    // Two passes read `base` — the boundary percentile action and the
+    // main rank/aggregate pass. Persist across them: the frame is the
+    // 3-long-column projection only (never the source's full width), so
+    // the cache is bounded and the scan + key computation run once.
+    val base = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = (1 until numPartitions).map(i => i.toDouble / numPartitions)
     val bounds: Seq[Long] =
       if (qs.isEmpty) Seq.empty
@@ -352,7 +369,7 @@ object Sinks {
         org.apache.spark.sql.expressions.Window.partitionBy()).as("_total"))
     val wRank = org.apache.spark.sql.expressions.Window
       .partitionBy(col("_pid")).orderBy(col("zv"), col("zx"), col("zy"))
-    t.join(broadcast(offsets), Seq("_pid"))
+    val out = t.join(broadcast(offsets), Seq("_pid"))
       .withColumn("rnk", col("_off") + row_number().over(wRank))
       .withColumn("bucket", expr(s"((rnk - 1) * ${numBuckets}L) div _total").cast("int"))
       .groupBy(col("bucket"))
@@ -360,6 +377,10 @@ object Sinks {
         count(lit(1)).as("n"),
         min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
         min(col("zy")).as("min_y"), max(col("zy")).as("max_y"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // numBuckets rows — materialize, then release the wide cache
+    base.unpersist()
+    out
   }
 }
 

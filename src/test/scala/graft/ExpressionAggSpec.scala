@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Specs for the round-15 codegen/aggregate expressions:
+  * [[graft.expressions.MortonIndex]] (d-dimensional Z-order interleave)
+  * and [[graft.expressions.TopKMin]] (bounded map-side k-smallest).
+  */
+class ExpressionAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val bridge = org.apache.spark.sql.graft.bridge
+
+  test("MortonIndex 3-D: bit i of dim j lands at position i*d+j; anchors + round-trip") {
+    // d=3: x at positions 0,3,6..., y at 1,4,7..., z at 2,5,8...
+    val df = Seq(
+      (0L, 0L, 0L), (1L, 0L, 0L), (0L, 1L, 0L), (0L, 0L, 1L),
+      (1L, 1L, 1L), (2L, 0L, 0L), (0L, 2L, 0L), (5L, 3L, 6L))
+      .toDF("x", "y", "z")
+      .withColumn("m", graft.sources.Sinks.zValueN(Seq("x", "y", "z")))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getAs[Long]("m")).toMap
+    def ref(x: Long, y: Long, z: Long): Long = {
+      var m = 0L
+      for (i <- 0 until 21; (v, j) <- Seq((x, 0), (y, 1), (z, 2)))
+        m |= ((v >> i) & 1L) << (i * 3 + j)
+      m
+    }
+    got.foreach { case ((x, y, z), m) =>
+      assert(m === ref(x, y, z), s"morton3($x, $y, $z)")
+    }
+    assert(got((1L, 0L, 0L)) === 1L && got((0L, 1L, 0L)) === 2L && got((0L, 0L, 1L)) === 4L)
+    assert(got((1L, 1L, 1L)) === 7L && got((2L, 0L, 0L)) === 8L)
+  }
+
+  test("MortonIndex: 2-D zValue equals the retired SQL fold; null in -> null out") {
+    val df = Seq((3L, 5L), (1234567L, 7654321L), (0L, (1L << 21) - 1L))
+      .toDF("zx", "zy")
+      .withColumn("m", graft.sources.Sinks.zValue("zx", "zy"))
+      .withColumn("legacy", expr(
+        "aggregate(sequence(0, 20), CAST(0 AS BIGINT), (acc, i) -> " +
+          "acc + (((zx >> i) & 1) << (2 * i)) + (((zy >> i) & 1) << (2 * i + 1)))"))
+    df.collect().foreach { r =>
+      assert(r.getAs[Long]("m") === r.getAs[Long]("legacy"),
+        s"zValue(${r.getLong(0)}, ${r.getLong(1)}) diverged from the SQL fold")
+    }
+    val withNull = Seq((Some(3L), None: Option[Long]), (None, Some(5L)), (Some(1L), Some(1L)))
+      .toDF("zx", "zy").withColumn("m", graft.sources.Sinks.zValue("zx", "zy"))
+      .select("m").collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(withNull.toSeq === Seq(None, None, Some(3L)))
+  }
+
+  test("TopKMin: equals the row_number-window k-smallest on skewed random groups") {
+    val rnd = new scala.util.Random(42)
+    val rows = (1 to 4000).map { i =>
+      (s"g${i % 7}", rnd.nextLong() % 1000L)
+    } ++ Seq(("tiny", 3L), ("tiny", 1L)) // a group with fewer than k rows
+    val df = rows.toDF("g", "v").repartition(8) // force multi-partition merge
+    val k = 5
+    val agg = df.groupBy(col("g"))
+      .agg(bridge.column(graft.expressions.TopKMin(
+        bridge.expression(col("v")), k).toAggregateExpression()).as("arr"))
+      .select(col("g"), col("arr"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val w = Window.partitionBy(col("g")).orderBy(col("v"))
+    val win = df.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("g")).agg(sort_array(collect_list(col("v"))).as("arr"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(agg.keySet === win.keySet)
+    agg.foreach { case (g, arr) =>
+      assert(arr === win(g), s"group $g: TopKMin diverged from the window k-smallest")
+      assert(arr === arr.sorted, s"group $g: output not ascending")
+    }
+    assert(agg("tiny") === Seq(1L, 3L))
+  }
+
+  test("TopKMin: partial aggregation bounds the exchange (partial_graft_topk_min in plan)") {
+    val df = (1 to 100).map(i => (i % 3, i.toLong)).toDF("g", "v")
+    val out = df.groupBy(col("g"))
+      .agg(bridge.column(graft.expressions.TopKMin(
+        bridge.expression(col("v")), 4).toAggregateExpression()).as("arr"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_graft_topk_min") || plan.contains("partial graft_topk_min"),
+      s"TopKMin must map-side combine (≤k values per group per partition):\n${plan.take(1500)}")
+  }
+}
