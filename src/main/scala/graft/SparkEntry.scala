@@ -576,6 +576,16 @@ object SparkEntry {
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket")),
 
+    // 3-column Z-order layout audit — `OPTIMIZE ZORDER BY (a, b, c)` is
+    // routinely 3-4 columns: the same equal-count bucket machinery as
+    // q187 over the 3-D Morton key (bit i of dim j at position 3i+j),
+    // per-file min/max boxes on ALL THREE clustering dimensions.
+    "q224_zorder3_layout" -> ((s, dir) =>
+      graft.sources.Sinks.zOrderLayoutStatsN(
+        Tables.lineitem(s, dir),
+        Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")))
+        .orderBy("bucket")),
+
     // Rolling distinct active users (the WAU curve): per-user interval
     // merge + sweep-line deltas + one days-sized running sum — rolling
     // COUNT(DISTINCT) with no distinct state anywhere; the naive
@@ -724,9 +734,12 @@ object SparkEntry {
       val wpMerges = TextAnalysis.wordpieceTrainMerges(docs, numMerges = bpeOracleMerges)
       val wp = TextAnalysis.wordpieceEncodeWords(
         docs, TextAnalysis.wordpieceVocab(docs, wpMerges))
+      val bb = TextAnalysis.byteBpeEncode(
+        docs, TextAnalysis.byteBpeTrainMerges(docs, numMerges = bpeOracleMerges))
       TextAnalysis.tokenizerScorecard(bpe, "bpe")
         .unionByName(TextAnalysis.tokenizerScorecard(uni, "unigram"))
         .unionByName(TextAnalysis.tokenizerScorecard(wp, "wordpiece"))
+        .unionByName(TextAnalysis.tokenizerScorecard(bb, "byte_bpe"))
         .orderBy("family")
     }),
 
@@ -890,6 +903,39 @@ object SparkEntry {
       TextAnalysis.bpeTrainMerges(Tables.documents(s, dir), numMerges = bpeOracleMerges)
         .toDF("rank", "c1", "c2", "cnt")
         .orderBy("rank")
+    }),
+
+    // BYTE-level BPE training (the GPT-2/tiktoken construction): regex
+    // pre-tokenization, the bytes_to_unicode alphabet (space -> Ġ), then
+    // the same replayed greedy merge loop — the tokenizer family's
+    // byte-fallback member, no [UNK] by construction. The oracle replays
+    // pre-tokenization + remap + every training round in SQL.
+    "q225_byte_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      TextAnalysis.byteBpeTrainMerges(Tables.documents(s, dir), numMerges = bpeOracleMerges)
+        .toDF("rank", "c1", "c2", "cnt")
+        .orderBy("rank")
+    }),
+
+    // Byte-level BPE encode over the whole corpus with freshly-trained
+    // merges: per-doc pre-token/byte/piece counts and the
+    // position-ordered pieces digest — q96's byte-level twin.
+    "q226_byte_bpe_encode" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.byteBpeTrainMerges(docs, numMerges = bpeOracleMerges)
+      TextAnalysis.byteBpeEncode(docs, merges)
+        .withColumn("pstr", array_join(col("pieces"), "\u001f"))
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_pretoks"),
+          sum(length(col("w"))).cast("long").as("n_bytes_sum"),
+          sum(col("n_pieces")).as("n_pieces"),
+          md5(array_join(
+            transform(
+              sort_array(collect_list(struct(col("pos"), col("pstr")))),
+              x => x.getField("pstr")),
+            " ")).as("pieces_digest"))
+        .orderBy("doc_id")
     }),
 
     // BPE encode over the whole corpus with the freshly-trained merges:
@@ -1271,6 +1317,15 @@ object SparkEntry {
       Dedup.selfRepeatedSubstrings(Tables.documents(s, dir))
         .orderBy("doc_id")),
 
+    // Corpus-wide EXACT-substring dedup (Lee et al. 2022 ExactSubstr at
+    // word granularity): every token covered by an 8-token span occurring
+    // >1 time ANYWHERE (cross-doc or self) is stripped from every
+    // occurrence; maximal duplicated regions found at any length by the
+    // islands trick — the suffix-array answer set, digest-only shuffles.
+    "q227_exact_substr_dedup" -> ((s, dir) =>
+      Dedup.exactSubstrDedup(Tables.documents(s, dir))
+        .orderBy("doc_id")),
+
     // Streaming Count-Min maintenance under the oracle gate: each
     // micro-batch's token cells land in their own epoch dir
     // (replay-idempotent overwrite) and the live sketch is the
@@ -1449,6 +1504,23 @@ object SparkEntry {
       Dedup.cdcDedupAgainst(
           docs, graft.streaming.StreamingOps.mergedCdcCounts(s, path))
         .orderBy("doc_id")
+    }),
+
+    // Streaming ANN (IVF) index maintenance: the quantizer is frozen up
+    // front (an index re-trained per batch would invalidate prior
+    // postings), each micro-batch assigns its vectors narrowly
+    // (broadcast-argmax, zero shuffle) into its own replay-idempotent
+    // epoch dir, and a search over the MERGED postings must equal the
+    // one-shot batch search — q39's oracle verbatim.
+    "q228_streaming_ivf_postings" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.placeholderCentroids(emb)
+      val path = java.nio.file.Files.createTempDirectory("graft_q228_ivf").toString
+      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3)(
+        graft.streaming.StreamingOps.ivfPostingsSink(cents, path))
+      Similarity.ivfSearchOverPostings(
+          graft.streaming.StreamingOps.mergedIvfPostings(s, path), emb, cents)
+        .orderBy("query_id", "rnk")
     }),
 
     // Benford first-digit audit of order totals — the fabricated-data
@@ -3001,6 +3073,46 @@ object SparkEntry {
     // Self-pairs at positive gap, islands per (doc, gap), longest
     // internal repeat with the engine's tie-break; in-doc digest
     // occurrences capped at 64 before pairing, exactly as the engine.
+    "q227_exact_substr_dedup" ->
+      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |w AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM t),
+        |win AS MATERIALIZED (
+        |  SELECT doc_id, CAST(i AS INT) AS start,
+        |         CAST('0x' || substr(md5(array_to_string(ws[i + 1: i + 8], ' ')), 1, 15) AS BIGINT) AS dig
+        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM t WHERE len(ws) >= 8)
+        |),
+        |b AS (SELECT dig FROM win GROUP BY dig HAVING COUNT(*) > 1),
+        |m AS MATERIALIZED (SELECT win.doc_id, win.start FROM win JOIN b USING (dig)),
+        |spans AS (
+        |  SELECT doc_id, CAST(COUNT(*) + 7 AS BIGINT) AS span_len
+        |  FROM (SELECT doc_id, start,
+        |               start - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) AS grp
+        |        FROM m)
+        |  GROUP BY doc_id, grp
+        |),
+        |sp AS (
+        |  SELECT doc_id, MAX(span_len) AS longest_dup_span,
+        |         CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+        |  FROM spans GROUP BY doc_id
+        |),
+        |drops AS (
+        |  SELECT DISTINCT m.doc_id, m.start + o.o AS pos
+        |  FROM m, (SELECT unnest(range(8)) AS o) o
+        |),
+        |k AS (
+        |  SELECT w.doc_id, w.pos, w.w, (dp.pos IS NOT NULL) AS dropped
+        |  FROM w LEFT JOIN drops dp ON w.doc_id = dp.doc_id AND w.pos = dp.pos
+        |)
+        |SELECT k.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+        |       CAST(COALESCE(MAX(sp.longest_dup_span), 0) AS BIGINT) AS longest_dup_span,
+        |       CAST(COALESCE(MAX(sp.n_dup_spans), 0) AS BIGINT) AS n_dup_spans,
+        |       COALESCE(string_agg(k.w, ' ' ORDER BY k.pos) FILTER (WHERE NOT dropped), '') AS clean_text
+        |FROM k LEFT JOIN sp USING (doc_id)
+        |GROUP BY k.doc_id
+        |ORDER BY k.doc_id""".stripMargin,
+
     "q119_self_repeats" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |win AS MATERIALIZED (
@@ -3434,21 +3546,11 @@ object SparkEntry {
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
-    "q39_ivf_search" ->
-      s"""WITH $quantizedEmbeddings,
-         |$ivfAssignCtes,
-         |scored AS (
-         |  SELECT p.query_id, a.vec_id,
-         |         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * p.q_qe[i])) AS BIGINT) AS dp
-         |  FROM assign a JOIN probes p USING (cell)
-         |  WHERE a.vec_id <> p.query_id
-         |),
-         |r AS (
-         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS INT) AS rnk
-         |  FROM scored
-         |)
-         |SELECT query_id, vec_id AS neighbor_id, rnk, dp FROM r WHERE rnk <= 10
-         |ORDER BY query_id, rnk""".stripMargin,
+    "q39_ivf_search" -> ivfSearchOracle,
+
+    // The streamed IVF index must answer searches identically to the
+    // one-shot batch assignment — same oracle as q39.
+    "q228_streaming_ivf_postings" -> ivfSearchOracle,
 
     "q40_pack_sequences" ->
       """WITH t AS (
@@ -4596,6 +4698,29 @@ object SparkEntry {
 
     "q188_hits" -> hitsOracle,
 
+    "q224_zorder3_layout" ->
+      """WITH t AS (
+        |  SELECT CAST(l_partkey AS BIGINT) AS zx, CAST(l_suppkey AS BIGINT) AS zy,
+        |         CAST(l_orderkey AS BIGINT) AS zz,
+        |         CAST(list_sum(list_transform(range(0, 21), i ->
+        |           (((CAST(l_partkey AS BIGINT) >> i) & 1) << (3 * i))
+        |           + (((CAST(l_suppkey AS BIGINT) >> i) & 1) << (3 * i + 1))
+        |           + (((CAST(l_orderkey AS BIGINT) >> i) & 1) << (3 * i + 2)))) AS BIGINT) AS zv
+        |  FROM lineitem
+        |),
+        |r AS (
+        |  SELECT zx, zy, zz,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY zv, zx, zy, zz) AS BIGINT) AS rnk,
+        |         CAST(COUNT(*) OVER () AS BIGINT) AS total
+        |  FROM t
+        |)
+        |SELECT CAST(((rnk - 1) * 32) // total AS INT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n,
+        |       MIN(zx) AS min_x, MAX(zx) AS max_x,
+        |       MIN(zy) AS min_y, MAX(zy) AS max_y,
+        |       MIN(zz) AS min_z, MAX(zz) AS max_z
+        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin,
+
     "q187_zorder_layout" ->
       """WITH t AS (
         |  SELECT CAST(l_partkey AS BIGINT) AS zx, CAST(l_suppkey AS BIGINT) AS zy,
@@ -5315,6 +5440,10 @@ object SparkEntry {
     "q95_bpe_merges" -> bpeMergesOracle,
 
     "q96_bpe_encode" -> bpeEncodeOracle,
+
+    "q225_byte_bpe_merges" -> byteBpeMergesOracle,
+
+    "q226_byte_bpe_encode" -> byteBpeEncodeOracle,
 
     "q150_unigram_train" -> uniTrainOracle,
 
@@ -7237,45 +7366,131 @@ object SparkEntry {
     * `v{r-1}`, and DuckDB's default CTE inlining would expand the chain
     * exponentially in the round count.
     */
-  private def bpeTrainSql: String = {
+  private def bpeTrainSql: String = bpeChainSql(
+    s"""tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+       |         CAST(unnest(range(len(regexp_split_to_array(trim(text), '\\s+')))) AS BIGINT) AS pos
+       |  FROM documents
+       |)""".stripMargin, "")
+
+  /** The train chain for any tokenizer: `tok(doc_id, pos, w)` (prefixed)
+    * in, `bpeOracleMerges` unrolled rounds of pair-count -> argmax ->
+    * greedy replace out (CTEs `v{r}` / `p{r}` / `m{r}`, all prefixed) -
+    * shared by the whitespace (q95/q96, prefix "") and byte-level
+    * (q225/q226, prefix "bb") tokenizer oracles.
+    */
+  private def bpeChainSql(tokCte: String, pfx: String): String = {
     val sep = "\u001f"
     val s1 = s"'$sep'"
     val s2 = s"'$sep$sep'"
     val head =
-      s"""tok AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
-         |         CAST(unnest(range(len(regexp_split_to_array(trim(text), '\\s+')))) AS BIGINT) AS pos
-         |  FROM documents
-         |),
-         |v0 AS MATERIALIZED (
+      s"""$tokCte,
+         |${pfx}v0 AS MATERIALIZED (
          |  SELECT w, CAST(COUNT(*) AS BIGINT) AS wc,
          |         $s2 || array_to_string(list_transform(range(1, length(w)+1), i -> w[i:i]), $s2) || $s2 AS seq
-         |  FROM tok WHERE length(w) >= 2 GROUP BY w
+         |  FROM ${pfx}tok WHERE length(w) >= 2 GROUP BY w
          |)""".stripMargin
     // When training exhausts before round r (no adjacent pairs left),
-    // m$r is empty and its scalar subqueries are NULL — replace(seq,
+    // m$r is empty and its scalar subqueries are NULL - replace(seq,
     // NULL, NULL) would NULL-poison every sequence. coalesce to a
     // pattern that can NEVER occur (three consecutive separators:
     // symbols are non-empty, so runs are exactly 2 long) makes the
     // exhausted rounds no-ops, matching the engine's early return.
     val s3 = s"'$sep$sep$sep'"
     val rounds = (1 to bpeOracleMerges).map { r =>
-      s"""p$r AS MATERIALIZED (
+      s"""${pfx}p$r AS MATERIALIZED (
          |  SELECT l[i] AS c1, l[i+1] AS c2, CAST(SUM(wc) AS BIGINT) AS cnt
-         |  FROM (SELECT wc, list_filter(string_split(seq, $s2), x -> x <> '') AS l FROM v${r - 1}),
+         |  FROM (SELECT wc, list_filter(string_split(seq, $s2), x -> x <> '') AS l FROM ${pfx}v${r - 1}),
          |       unnest(range(1, len(l))) AS u(i)
          |  GROUP BY 1, 2
          |),
-         |m$r AS MATERIALIZED (SELECT c1, c2, cnt FROM p$r ORDER BY cnt DESC, c1, c2 LIMIT 1),
-         |v$r AS MATERIALIZED (
+         |${pfx}m$r AS MATERIALIZED (SELECT c1, c2, cnt FROM ${pfx}p$r ORDER BY cnt DESC, c1, c2 LIMIT 1),
+         |${pfx}v$r AS MATERIALIZED (
          |  SELECT w, wc,
          |         replace(seq,
-         |           coalesce($s1 || (SELECT c1 FROM m$r) || $s2 || (SELECT c2 FROM m$r) || $s1, $s3),
-         |           coalesce($s1 || (SELECT c1 FROM m$r) || (SELECT c2 FROM m$r) || $s1, $s3)) AS seq
-         |  FROM v${r - 1}
+         |           coalesce($s1 || (SELECT c1 FROM ${pfx}m$r) || $s2 || (SELECT c2 FROM ${pfx}m$r) || $s1, $s3),
+         |           coalesce($s1 || (SELECT c1 FROM ${pfx}m$r) || (SELECT c2 FROM ${pfx}m$r) || $s1, $s3)) AS seq
+         |  FROM ${pfx}v${r - 1}
          |)""".stripMargin
     }
     (head +: rounds).mkString(",\n")
+  }
+
+  /** The byte-level tok CTE: GPT-2 regex pre-tokenization (RE2-safe, no
+    * lookahead - [[graft.functions.TextAnalysis.BytePretokenPattern]])
+    * then the bytes_to_unicode remap replayed per character. The oracle
+    * replays the remap for ASCII only (one char = one byte there) and
+    * error()s LOUDLY on any non-ASCII character rather than silently
+    * diverging from the engine's full 256-byte table
+    * ([[graft.expressions.ByteRemap]]).
+    */
+  private def byteBpeTokSql: String = {
+    val pat = "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+    s"""bbraw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS pt,
+       |         CAST(unnest(range(len(regexp_extract_all(text, '$pat')))) AS BIGINT) AS pos
+       |  FROM documents
+       |),
+       |bbtok AS MATERIALIZED (
+       |  SELECT doc_id, pos,
+       |         array_to_string(list_transform(string_split(pt, ''), c ->
+       |           CASE WHEN ascii(c) BETWEEN 33 AND 126 THEN c
+       |                WHEN ascii(c) BETWEEN 0 AND 32 THEN chr(256 + ascii(c))
+       |                WHEN ascii(c) = 127 THEN chr(289)
+       |                ELSE error('non-ascii char reaches the ascii-only oracle remap: ' || pt)
+       |           END), '') AS w
+       |  FROM bbraw
+       |)""".stripMargin
+  }
+
+  private def byteBpeMergesOracle: String = {
+    val union = (1 to bpeOracleMerges)
+      .map(r => s"SELECT ${r - 1} AS rank, c1, c2, cnt FROM bbm$r")
+      .mkString(" UNION ALL ")
+    s"WITH ${bpeChainSql(byteBpeTokSql, "bb")}\n" +
+      s"SELECT CAST(rank AS INT) AS rank, c1, c2, cnt FROM ($union) ORDER BY rank"
+  }
+
+  /** Shared q226/q196 CTE chain: byte-level BPE train + per-type greedy
+    * encode, ending in `bbpieces(w, pl)` next to `bbtok`.
+    */
+  private def byteBpePiecesSql: String = {
+    val sep = "\u001f"
+    val s1 = s"'$sep'"
+    val s2 = s"'$sep$sep'"
+    val s3 = s"'$sep$sep$sep'"
+    val encodeRounds = (1 to bpeOracleMerges).map { r =>
+      s"""bbe$r AS MATERIALIZED (
+         |  SELECT w, replace(seq,
+         |           coalesce($s1 || (SELECT c1 FROM bbm$r) || $s2 || (SELECT c2 FROM bbm$r) || $s1, $s3),
+         |           coalesce($s1 || (SELECT c1 FROM bbm$r) || (SELECT c2 FROM bbm$r) || $s1, $s3)) AS seq
+         |  FROM bbe${r - 1}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""${bpeChainSql(byteBpeTokSql, "bb")},
+       |bbe0 AS MATERIALIZED (
+       |  SELECT w,
+       |         $s2 || array_to_string(list_transform(range(1, length(w)+1), i -> w[i:i]), $s2) || $s2 AS seq
+       |  FROM (SELECT DISTINCT w FROM bbtok)
+       |),
+       |$encodeRounds,
+       |bbpieces AS MATERIALIZED (
+       |  SELECT w, list_filter(string_split(seq, $s2), x -> x <> '') AS pl FROM bbe$bpeOracleMerges
+       |)""".stripMargin
+  }
+
+  private def byteBpeEncodeOracle: String = {
+    val sep = "\u001f"
+    val s1 = s"'$sep'"
+    s"""WITH $byteBpePiecesSql
+       |SELECT t.doc_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pretoks,
+       |       CAST(SUM(length(t.w)) AS BIGINT) AS n_bytes_sum,
+       |       CAST(SUM(len(p.pl)) AS BIGINT) AS n_pieces,
+       |       md5(string_agg(array_to_string(p.pl, $s1), ' ' ORDER BY t.pos)) AS pieces_digest
+       |FROM bbtok t JOIN bbpieces p USING (w)
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
   }
 
   /** Unigram-LM oracle parameters — mirrored by
@@ -7624,6 +7839,23 @@ object SparkEntry {
        |         END AS cpp_ppm
        |  FROM t1 CROSS JOIN t2
        |) u
+       |UNION ALL
+       |SELECT 'byte_bpe' AS family, bb.* FROM (
+       |  WITH $byteBpePiecesSql,
+       |  j AS MATERIALIZED (
+       |    SELECT t.w, p.pl FROM bbtok t JOIN bbpieces p USING (w)
+       |  ),
+       |  t1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_words,
+       |                CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+       |                CAST(SUM(len(pl)) AS BIGINT) AS n_pieces FROM j),
+       |  t2 AS (SELECT CAST(COUNT(DISTINCT piece) AS BIGINT) AS distinct_pieces
+       |         FROM (SELECT unnest(pl) AS piece FROM j))
+       |  SELECT t1.n_words, t1.n_chars, t1.n_pieces, t2.distinct_pieces,
+       |         CASE WHEN t1.n_pieces > 0
+       |              THEN CAST((1000000 * t1.n_chars) // t1.n_pieces AS BIGINT)
+       |         END AS cpp_ppm
+       |  FROM t1 CROSS JOIN t2
+       |) bb
        |UNION ALL
        |SELECT 'wordpiece' AS family, wpf.* FROM (
        |  WITH $wpPiecesSql,
@@ -8339,6 +8571,25 @@ object SparkEntry {
     * per-vector nearest-cell assignment, and each query's 4 probed
     * cells (cosine ranking, centroid id on ties).
     */
+  /** Shared q39/q228 oracle: placeholder-quantizer IVF search (the
+    * streamed postings are the same assignment, epoch-unioned).
+    */
+  private def ivfSearchOracle: String =
+    s"""WITH $quantizedEmbeddings,
+       |$ivfAssignCtes,
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * p.q_qe[i])) AS BIGINT) AS dp
+       |  FROM assign a JOIN probes p USING (cell)
+       |  WHERE a.vec_id <> p.query_id
+       |),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS INT) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, rnk, dp FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+
   private val ivfAssignCtes =
     """cents AS (SELECT vec_id AS cent_id, qe AS c_qe, n2 AS c_n2 FROM n WHERE vec_id < 16),
       |assign AS (

@@ -1,0 +1,73 @@
+package graft.expressions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd byte-to-unicode remap — the GPT-2 `bytes_to_unicode` table
+  * (Radford et al. 2019; openai/gpt-2 encoder.py): every UTF-8 BYTE of
+  * the input maps to one printable unicode character, so a downstream
+  * byte-level BPE can treat characters of the remapped string as its
+  * byte alphabet with no unprintable or whitespace symbols. Printable
+  * bytes keep their own codepoint (`!`..`~`, `¡`..`¬`, `®`..`ÿ`); the
+  * 68 excluded bytes (controls, space, DEL, soft hyphen, …) map to
+  * `256 + n` in ascending byte order — hence space (0x20, the 33rd
+  * excluded byte counting from 0) becomes `Ġ` (U+0120), the leading
+  * marker every GPT-2-family vocabulary shows.
+  *
+  * Total and injective over all 256 byte values — ANY input string
+  * remaps losslessly (that is the point of byte-fallback: no `[UNK]`),
+  * and `length(remapped)` = UTF-8 byte count of the input.
+  */
+case class ByteRemap(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_byte_remap"
+
+  override def nullSafeEval(s: Any): Any =
+    ByteRemap.remap(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ByteRemap.remap($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteRemap =
+    copy(child = newChild)
+}
+
+object ByteRemap {
+
+  /** byte value → mapped char, the exact GPT-2 construction: kept bytes
+    * map to themselves, excluded bytes to 256+n in ascending order.
+    */
+  val table: Array[Char] = {
+    val t = new Array[Char](256)
+    var n = 0
+    var b = 0
+    while (b < 256) {
+      val kept = (b >= 33 && b <= 126) || (b >= 161 && b <= 172) || (b >= 174 && b <= 255)
+      if (kept) t(b) = b.toChar
+      else { t(b) = (256 + n).toChar; n += 1 }
+      b += 1
+    }
+    t
+  }
+
+  /** Static entry shared by interpreted eval and generated code. */
+  def remap(s: UTF8String): UTF8String = {
+    val bytes = s.getBytes
+    val sb = new java.lang.StringBuilder(bytes.length)
+    var i = 0
+    while (i < bytes.length) {
+      sb.append(table(bytes(i) & 0xff))
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+}

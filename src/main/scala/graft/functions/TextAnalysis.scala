@@ -306,6 +306,17 @@ object TextAnalysis {
       .agg(count(lit(1)).as("wc"))
       .collect()
       .map(r => (r.getString(0).map(_.toString).toList, r.getLong(1)))
+    trainMergesOnVocab(vocab, numMerges)
+  }
+
+  /** The greedy merge-selection loop shared by the whitespace and
+    * byte-level trainers: over the COLLECTED (symbols, weight) type
+    * table, each round counts adjacent pairs, picks the
+    * (count DESC, pair) argmax, and rewrites left-to-right greedily.
+    */
+  private def trainMergesOnVocab(
+      vocab: Array[(List[String], Long)],
+      numMerges: Int): Seq[(Int, String, String, Long)] = {
     var words = vocab
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var rank = 0
@@ -323,6 +334,79 @@ object TextAnalysis {
       rank += 1
     }
     merges.toSeq
+  }
+
+  /** The GPT-2 pre-tokenization pattern, minus the `\s+(?!\S)` trailing-
+    * whitespace lookahead (RE2 — and therefore the DuckDB oracle — has
+    * no lookahead; the divergence only redistributes runs of MULTIPLE
+    * spaces, and is pinned as spec): contractions, optional-leading-
+    * space letter runs, digit runs, punctuation runs, whitespace runs.
+    * Leading spaces attaching to words is THE byte-level idea — a word
+    * and its sentence-initial twin learn one vocabulary entry (`Ġword`),
+    * and encode(decode(x)) round-trips exactly because no byte is ever
+    * thrown away.
+    */
+  val BytePretokenPattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** One row per (doc_id, pos, w) pre-token, where `w` is ALREADY
+    * byte-remapped ([[graft.expressions.ByteRemap]] — UTF-8 bytes to the
+    * GPT-2 printable alphabet), so each CHARACTER of `w` is one byte
+    * symbol and the whole char-level BPE machinery (trainer loop,
+    * [[graft.expressions.BpeEncode]] replay) applies unchanged.
+    * Narrow: one regexp extract + posexplode + a codegen'd remap.
+    */
+  def bytePretokenize(docs: DataFrame): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    spread(docs)
+      .select(col("doc_id"),
+        posexplode(regexp_extract_all(col("text"), lit(BytePretokenPattern), lit(0)))
+          .as(Seq("pos", "pt")))
+      .select(col("doc_id"), col("pos"),
+        bridge.column(graft.expressions.ByteRemap(
+          bridge.expression(col("pt")))).as("w"))
+  }
+
+  /** Byte-level BPE training (the GPT-2/tiktoken construction):
+    * regex pre-tokenization → byte-fallback alphabet (every pre-token's
+    * UTF-8 bytes, remapped printable) → the same greedy merge loop as
+    * [[bpeTrainMerges]]. No `[UNK]` exists by construction — any input
+    * byte sequence is encodable. Scale shape identical to the
+    * whitespace trainer: ONE corpus-sized wordcount aggregate, then the
+    * driver loop over the collected (Heaps-bounded) type table.
+    */
+  def byteBpeTrainMerges(
+      docs: DataFrame, numMerges: Int = 20): Seq[(Int, String, String, Long)] = {
+    val vocab: Array[(List[String], Long)] = bytePretokenize(docs)
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("wc"))
+      .collect()
+      .map(r => (r.getString(0).map(_.toString).toList, r.getLong(1)))
+    trainMergesOnVocab(vocab, numMerges)
+  }
+
+  /** Byte-level BPE encode: apply a [[byteBpeTrainMerges]] table to the
+    * whole corpus. Identical shape to [[bpeEncodeWords]] — the merge
+    * replay ([[graft.expressions.BpeEncode]]) runs once per pre-token
+    * TYPE and broadcast-joins back to positions; the pieces are
+    * byte-alphabet strings (`Ġthe`-style). Output:
+    * `(doc_id, pos, w, pieces, n_pieces)`.
+    */
+  def byteBpeEncode(
+      docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)],
+      broadcastVocab: Boolean = true): DataFrame = {
+    val ranked = merges.sortBy(_._1).map { case (_, a, b, _) => (a, b) }
+    val bridge = org.apache.spark.sql.graft.bridge
+    val toks = bytePretokenize(docs)
+    val typePieces = toks.select(col("w")).distinct()
+      .withColumn("pieces", bridge.column(
+        graft.expressions.BpeEncode(bridge.expression(col("w")), ranked)))
+    val vocabSide = if (broadcastVocab) broadcast(typePieces) else typePieces
+    toks.join(vocabSide, Seq("w"))
+      .withColumn("n_pieces", size(col("pieces")).cast("long"))
+      .select(col("doc_id"), col("pos"), col("w"), col("pieces"), col("n_pieces"))
   }
 
   /** One left-to-right greedy, non-overlapping merge pass. */

@@ -1203,6 +1203,60 @@ object Dedup {
     * against the (persistable, `maxDigFreq`-capped) [[substringIndex]];
     * the one text-bearing join is the final per-doc assembly.
     */
+  /** Corpus-wide EXACT-substring dedup — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * ExactSubstr pass at word granularity, computed relationally instead
+    * of with their single-node suffix array: every token covered by some
+    * `windowLen`-token span occurring MORE THAN ONCE anywhere in the
+    * corpus (another document OR the same one — occurrence count, not
+    * document frequency, which is what separates this from
+    * [[rollingPassageDedup]]) is stripped from every occurrence, the
+    * paper's remove-all-copies semantics. A duplicated span longer than
+    * `windowLen` is the union of its overlapping duplicated windows, so
+    * it is found and removed in full at ANY length — the suffix-array
+    * answer set, reached by the islands trick over marked window starts.
+    *
+    * Per document: token/drop counts, the longest maximal duplicated
+    * REGION (`longest_dup_span` — contiguous union of duplicated
+    * windows, the exact span the removal strips; adjacent distinct
+    * repeats merge into one region), the region count, and the rebuilt
+    * clean text.
+    *
+    * Scale: window text is digested per document and DISCARDED before
+    * any shuffle ([[graft.expressions.RollingDigests]] — one fused
+    * codegen pass); the occurrence count is a digest-only map-side-
+    * combined aggregate, the mark-back join is digest-keyed, and
+    * spans/strip are doc-keyed with per-doc array lambdas. Nothing
+    * quadratic, no suffix array to shard.
+    */
+  def exactSubstrDedup(docs: DataFrame, windowLen: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val g = rollingDigests(docs, windowLen)
+    val dupDigs = g.groupBy(col("dig"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > 1L)
+      .select(col("dig"))
+    val marked = g.join(dupDigs, Seq("dig")).select(col("doc_id"), col("start"))
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    val spans = marked
+      .withColumn("grp", col("start") - row_number().over(byDoc))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(
+        max(col("run") + lit(windowLen - 1L)).as("longest_dup_span"),
+        count(lit(1)).as("n_dup_spans"))
+    val drops = marked.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("start"))).as("starts"))
+    stripWindowSpans(docs, drops, windowLen)
+      .join(spans, Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("n_tokens"), col("n_dropped"),
+        coalesce(col("longest_dup_span"), lit(0L)).as("longest_dup_span"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        col("clean_text"))
+  }
+
   def substringDecontaminateStrip(
       docs: DataFrame,
       reference: DataFrame,
@@ -1748,31 +1802,24 @@ object Dedup {
     */
   def contentDefinedChunks(docs: DataFrame, modulus: Int = 8): DataFrame = {
     require(modulus >= 2, s"modulus=$modulus must be >= 2")
-    val n = size(col("ws"))
+    // One fused codegen pass per document ([[graft.expressions.CdcChunks]]
+    // — boundary md5s and chunk digests together); digest-identical to the
+    // earlier filter/zip_with/slice HigherOrderFunction chain the DuckDB
+    // oracles replay, but never interpreted and never re-evaluated per
+    // consumer (the per-word md5 lambda was duplicated by CollapseProject:
+    // ~3.9 s → sub-second for the 5,000-doc scan).
+    val bridge = org.apache.spark.sql.graft.bridge
     TextAnalysis.spread(docs)
-      .select(col("doc_id"), TextAnalysis.wordsCol.as("ws"))
-      .withColumn(
-        "bpos",
-        filter(
-          sequence(lit(1), n),
-          i => i < n && pmod(
-            graft.functions.Hashing.md5Long60(element_at(col("ws"), i)),
-            lit(modulus.toLong)) === 0L))
-      .withColumn(
-        "spans",
-        zip_with(
-          concat(array(lit(1)), transform(col("bpos"), p => p + 1)),
-          concat(col("bpos"), array(n)),
-          (s, e) => struct(s.as("s"), e.as("e"))))
-      .select(col("doc_id"), col("ws"), posexplode(col("spans")).as(Seq("chunk_idx", "sp")))
+      .select(
+        col("doc_id"),
+        posexplode(bridge.column(graft.expressions.CdcChunks(
+          bridge.expression(TextAnalysis.wordsCol), modulus))).as(Seq("chunk_idx", "c")))
       .select(
         col("doc_id"),
         col("chunk_idx").cast("long").as("chunk_idx"),
-        col("sp.s").cast("long").as("start_pos"),
-        (col("sp.e") - col("sp.s") + 1).cast("long").as("n_words"),
-        graft.functions.Hashing.md5Long60(
-          array_join(slice(col("ws"), col("sp.s"), col("sp.e") - col("sp.s") + 1), " "))
-          .as("dig"))
+        col("c.start_pos").as("start_pos"),
+        col("c.n_words").as("n_words"),
+        col("c.dig").as("dig"))
   }
 
   /** Cross-document duplicate-chunk summary over
@@ -1818,29 +1865,20 @@ object Dedup {
       globalCounts: DataFrame,
       modulus: Int = 8,
       maxDocFreq: Long = 1): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
     val boiler = globalCounts.filter(col("df") > maxDocFreq).select("dig")
     val drops = contentDefinedChunks(batch, modulus).join(boiler, Seq("dig"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_set(col("chunk_idx"))).as("drop_chunks"))
-    val n = size(col("ws"))
     batch
       .join(drops, Seq("doc_id"), "left")
       .select(
         col("doc_id"), TextAnalysis.wordsCol.as("ws"),
         coalesce(col("drop_chunks"), array().cast("array<long>")).as("dc"))
       .withColumn(
-        "bpos",
-        filter(
-          sequence(lit(1), n),
-          i => i < n && pmod(
-            graft.functions.Hashing.md5Long60(element_at(col("ws"), i)),
-            lit(modulus.toLong)) === 0L))
-      .withColumn(
         "spans",
-        zip_with(
-          concat(array(lit(1)), transform(col("bpos"), p => p + 1)),
-          concat(col("bpos"), array(n)),
-          (s, e) => struct(s.as("s"), e.as("e"))))
+        bridge.column(graft.expressions.CdcChunks(
+          bridge.expression(col("ws")), modulus)))
       .select(
         col("doc_id"),
         size(col("spans")).cast("long").as("n_chunks"),
@@ -1849,8 +1887,8 @@ object Dedup {
           transform(
             filter(col("spans"), (_, i) => !array_contains(col("dc"), i.cast("long"))),
             sp => array_join(
-              slice(col("ws"), sp.getField("s"),
-                sp.getField("e") - sp.getField("s") + 1), " ")),
+              slice(col("ws"), sp.getField("start_pos").cast("int"),
+                sp.getField("n_words").cast("int")), " ")),
           " ").as("clean_text"))
   }
 

@@ -1052,6 +1052,15 @@ object Similarity {
       e.filter(col("vec_id") < numQueries)
         .select(col("vec_id").as("query_id"), col("qe").as("q_qe")),
       centsArr, nProbe)
+    rankProbedCandidates(assigned, probes, k)
+  }
+
+  /** The IVF candidate ranking shared by the one-shot search and the
+    * streamed-postings search: probed cells equi-join the assigned
+    * corpus, exact dot ranks the candidates.
+    */
+  private def rankProbedCandidates(
+      assigned: DataFrame, probes: DataFrame, k: Int): DataFrame = {
     val wr = Window.partitionBy(col("query_id")).orderBy(col("dp").desc, col("vec_id"))
     assigned.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -1059,6 +1068,53 @@ object Similarity {
       .withColumn("rnk", row_number().over(wr).cast("int"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("dp"))
+  }
+
+  /** The `vec_id < k` placeholder coarse centroids as bounded driver
+    * rows — the FROZEN quantizer handed to a streaming postings sink
+    * (an ANN index's quantizer is trained once and frozen; only
+    * assignments stream). Swap in [[trainIvfCentroids]]' output for the
+    * learned variant — both are `(cent_id, qe)` rows.
+    */
+  def placeholderCentroids(
+      embeddings: DataFrame, numCentroids: Int = 16): Seq[(Long, Seq[Long])] =
+    withQuantized(embeddings).filter(col("vec_id") < numCentroids)
+      .select(col("vec_id"), col("qe"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toSeq)).toSeq.sortBy(_._1)
+
+  /** Cell assignment under a frozen quantizer passed as driver rows —
+    * the per-micro-batch body of streaming IVF index maintenance. Fully
+    * narrow (broadcast-argmax, zero shuffle), so each epoch writes its
+    * own postings `(vec_id, qe, n2, cell)` independently.
+    */
+  def ivfAssignWith(
+      embeddings: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
+    val e = withQuantized(embeddings)
+    withCell(e, centroidFrame(e.sparkSession, cents), "qe")
+      .select(col("vec_id"), col("qe"), col("n2"), col("cell"))
+  }
+
+  /** IVF search against EXTERNALLY-MAINTAINED postings (the streamed
+    * index): probes rank cells under the same frozen quantizer, then the
+    * shared candidate ranking runs over the postings frame instead of a
+    * fresh full-corpus assignment. With vec-disjoint epochs the merged
+    * postings equal the one-shot assignment, so this must return exactly
+    * [[ivfSearch]]'s rows — the batch-parity gate.
+    */
+  def ivfSearchOverPostings(
+      postings: DataFrame,
+      queries: DataFrame,
+      cents: Seq[(Long, Seq[Long])],
+      numQueries: Int = 10,
+      k: Int = 10,
+      nProbe: Int = 4): DataFrame = {
+    val centsArr = centroidFrame(postings.sparkSession, cents)
+    val probes = probeCells(
+      withQuantized(queries).filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("qe").as("q_qe")),
+      centsArr, nProbe)
+    rankProbedCandidates(postings, probes, k)
   }
 
   /** Element-wise mean pooling of quantized embeddings per group — the

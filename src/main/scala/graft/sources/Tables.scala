@@ -289,6 +289,27 @@ object Sinks {
     valueLayoutStats(base, numBuckets, numPartitions)
   }
 
+  /** [[zOrderLayoutStats]] for d clustering dimensions — real
+    * `OPTIMIZE ZORDER BY (a, b, c)` is routinely 3-4 columns. Same
+    * bucket machinery; output bounding boxes are `min_x/max_x,
+    * min_y/max_y, min_z/max_z, min_w/max_w, …` in column order, so the
+    * 2-D audits stay file-for-file schema compatible.
+    */
+  def zOrderLayoutStatsN(
+      df: DataFrame,
+      dims: Seq[Column],
+      numBuckets: Int = 32,
+      numPartitions: Int = 32): DataFrame = {
+    require(dims.size >= 1 && dims.size <= dimLabels.size,
+      s"zOrderLayoutStatsN supports 1..${dimLabels.size} dimensions, got ${dims.size}")
+    val names = dims.indices.map(i => s"z${dimLabels(i)}")
+    val base = df.select(dims.zip(names).map { case (c, n) => c.cast("long").as(n) }: _*)
+      .withColumn("zv", zValueN(names))
+    valueLayoutStatsD(base, names, dimLabels.take(dims.size), numBuckets, numPartitions)
+  }
+
+  private val dimLabels = Seq("x", "y", "z", "w")
+
   /** Hilbert index of `(x, y)` appended as `hv` (plus the cast inputs as
     * `zx`/`zy`): the standard per-level quadrant walk (Wikipedia xy2d /
     * Butz's algorithm) over `bits`-bit coordinates, as ONE codegen'd
@@ -344,12 +365,20 @@ object Sinks {
   private def valueLayoutStats(
       base0: DataFrame,
       numBuckets: Int,
+      numPartitions: Int): DataFrame =
+    valueLayoutStatsD(base0, Seq("zx", "zy"), Seq("x", "y"), numBuckets, numPartitions)
+
+  private def valueLayoutStatsD(
+      base0: DataFrame,
+      dims: Seq[String],
+      labels: Seq[String],
+      numBuckets: Int,
       numPartitions: Int): DataFrame = {
     require(numBuckets >= 1, s"numBuckets=$numBuckets must be >= 1")
     // Two passes read `base` — the boundary percentile action and the
     // main rank/aggregate pass. Persist across them: the frame is the
-    // 3-long-column projection only (never the source's full width), so
-    // the cache is bounded and the scan + key computation run once.
+    // (d+1)-long-column projection only (never the source's full width),
+    // so the cache is bounded and the scan + key computation run once.
     val base = base0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qs = (1 until numPartitions).map(i => i.toDouble / numPartitions)
     val bounds: Seq[Long] =
@@ -368,15 +397,15 @@ object Sinks {
       .select(col("_pid"), col("_off"), sum(col("_c")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()).as("_total"))
     val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_pid")).orderBy(col("zv"), col("zx"), col("zy"))
+      .partitionBy(col("_pid")).orderBy(col("zv") +: dims.map(col): _*)
+    val boxes = dims.zip(labels).flatMap { case (d, l) =>
+      Seq(min(col(d)).as(s"min_$l"), max(col(d)).as(s"max_$l"))
+    }
     val out = t.join(broadcast(offsets), Seq("_pid"))
       .withColumn("rnk", col("_off") + row_number().over(wRank))
       .withColumn("bucket", expr(s"((rnk - 1) * ${numBuckets}L) div _total").cast("int"))
       .groupBy(col("bucket"))
-      .agg(
-        count(lit(1)).as("n"),
-        min(col("zx")).as("min_x"), max(col("zx")).as("max_x"),
-        min(col("zy")).as("min_y"), max(col("zy")).as("max_y"))
+      .agg(count(lit(1)).as("n"), boxes: _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     out.count() // numBuckets rows — materialize, then release the wide cache
     base.unpersist()

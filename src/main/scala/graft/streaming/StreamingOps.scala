@@ -586,6 +586,28 @@ object StreamingOps {
     graft.operators.Dedup.mergePassageCounts(Seq(
       compactedStateView(spark, basePath, Seq("dig", "df"))))
 
+  /** Streaming ANN (IVF) index maintenance — the FIFTH batch family put
+    * under the per-epoch replay-idempotent state layout: the coarse
+    * quantizer is trained once and FROZEN (standard ANN practice —
+    * re-training would invalidate every prior posting), each micro-batch
+    * assigns its vectors with the narrow broadcast-argmax
+    * ([[graft.operators.Similarity.ivfAssignWith]], zero shuffle) and
+    * lands its postings `(vec_id, qe, n2, cell)` in its own epoch dir.
+    * Vectors are batch-disjoint by construction, so the live index is
+    * the plain union of epochs — and a search over the merged postings
+    * must equal the one-shot batch search, which is the gate.
+    */
+  def ivfPostingsSink(
+      centroids: Seq[(Long, Seq[Long])],
+      basePath: String): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.Similarity.ivfAssignWith(batch, centroids)
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+
+  /** The live IVF postings over an [[ivfPostingsSink]] directory. */
+  def mergedIvfPostings(spark: SparkSession, basePath: String): DataFrame =
+    compactedStateView(spark, basePath, Seq("vec_id", "qe", "n2", "cell"))
+
   /** Streaming Misra–Gries heavy-hitter maintenance, same epoch layout
     * as [[countMinSink]] — the fourth (and last) batch sketch family
     * put under streaming state. Each micro-batch's per-group MG summary

@@ -1743,4 +1743,55 @@ class DedupSimilaritySpec extends SparkSpec {
       .collect { case (dig, cs) if cs.size > 1 => dig -> ((2L, cs.size.toLong)) }
     assert(dups === expected)
   }
+
+  test("exactSubstrDedup equals the brute-force ExactSubstr model (occurrence-based, all copies stripped)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val L = 4
+    // doc 10 repeats a 5-token phrase internally (self-repeat: covered at
+    // L=4 because both occurrences' windows collide); docs 11/12 share a
+    // 6-token span at different offsets (cross-doc); doc 13 is clean;
+    // doc 14 is shorter than L (no windows at all).
+    val texts = Seq(
+      10L -> "alpha beta gamma delta eps zeta alpha beta gamma delta eps end",
+      11L -> "one two three four five six seven tail tail2",
+      12L -> "head zero one two three four five six last",
+      13L -> "completely unique words nowhere else repeated at all here",
+      14L -> "tiny doc")
+    val docs = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    // Brute model: count every L-gram occurrence globally; a position is
+    // stripped iff some window containing it occurs > 1 time anywhere.
+    val toks = texts.map { case (id, t) => id -> t.split("\\s+").toSeq }
+    val grams = toks.flatMap { case (id, ws) =>
+      ws.sliding(L).zipWithIndex.filter(_._1.size == L)
+        .map { case (g, i) => (id, i, g.mkString(" ")) }.toSeq
+    }
+    val occ = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size }
+    val markedStarts = grams.filter(g => occ(g._3) > 1)
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(_._2).toSet }
+    val expect = toks.map { case (id, ws) =>
+      val starts = markedStarts.getOrElse(id, Set.empty)
+      val covered = starts.flatMap(s => s until (s + L))
+      val clean = ws.zipWithIndex.collect { case (w, i) if !covered(i) => w }.mkString(" ")
+      // maximal regions: islands over sorted marked starts
+      val sorted = starts.toSeq.sorted
+      val regions = sorted.zipWithIndex.groupBy { case (s, i) => s - i }.values
+        .map(_.size + L - 1).toSeq
+      (id, ws.size.toLong, covered.size.toLong,
+        if (regions.isEmpty) 0L else regions.max.toLong, regions.size.toLong, clean)
+    }.sortBy(_._1)
+    val got = Dedup.exactSubstrDedup(docs, windowLen = L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(got === expect)
+    // The self-repeat (doc 10) and cross-doc pair (11/12) must actually
+    // strip, and the clean doc must be untouched.
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(10L)._3 > 0, "self-repeat must be stripped (occurrence-based, not doc-frequency)")
+    assert(byId(11L)._3 > 0 && byId(12L)._3 > 0, "cross-doc shared span stripped from ALL copies")
+    assert(byId(13L)._3 === 0 && byId(13L)._6 === texts.toMap.apply(13L))
+  }
 }

@@ -75,6 +75,65 @@ class ExpressionAggSpec extends SparkSpec {
     assert(agg("tiny") === Seq(1L, 3L))
   }
 
+  test("ByteRemap: GPT-2 bytes_to_unicode — identity on printables, space->Ġ, total+injective") {
+    val t = graft.expressions.ByteRemap.table
+    // Printable ASCII keeps its codepoint; the excluded bytes shift to 256+n
+    // in ascending byte order (so space, the 33rd excluded byte from 0, is
+    // U+0120 Ġ — the marker every GPT-2-family vocab shows).
+    ('!' to '~').foreach(c => assert(t(c.toInt) === c))
+    assert(t(' '.toInt) === 'Ġ')
+    assert(t(0) === 'Ā' && t('\n'.toInt) === 'Ċ' && t(127) === 'ġ')
+    assert(t.distinct.length === 256, "byte table must be injective")
+    // Column-level: remap is per-UTF-8-BYTE (é = 2 bytes -> 2 chars).
+    val out = Seq(("a b", 1), ("é", 2)).toDF("s", "id")
+      .withColumn("r", bridge.column(graft.expressions.ByteRemap(
+        bridge.expression(col("s")))))
+      .orderBy("id").collect().map(_.getString(2))
+    assert(out(0) === "aĠb")
+    assert(out(1).length === 2 && out(1) === "Ã©") // 0xC3 0xA9 kept bytes
+  }
+
+  test("byte-level BPE: trainer equals a plain-Scala model on pretokenized+remapped text") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat", "en", "t"),
+      (2L, "the cats sat", "en", "t"),
+      (3L, "on the mat the cat sat", "en", "t"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val merges = graft.functions.TextAnalysis.byteBpeTrainMerges(docs, numMerges = 4)
+    // Plain-Scala twin: regex pretokenize, remap space->Ġ, greedy merges.
+    val pat = graft.functions.TextAnalysis.BytePretokenPattern.r
+    val pretoks = Seq("the cat sat on the mat", "the cats sat", "on the mat the cat sat")
+      .flatMap(t => pat.findAllIn(t).toSeq)
+      .map(_.map(c => graft.expressions.ByteRemap.table(c.toInt)).mkString)
+    var vocab = pretoks.filter(_.length >= 2).groupBy(identity)
+      .map { case (w, g) => (w.map(_.toString).toList, g.size.toLong) }.toArray
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 0 until 4) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, wc) =>
+        syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + wc) }
+      val ((c1, c2), cnt) = pc.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      expect += ((rank, c1, c2, cnt))
+      vocab = vocab.map { case (syms, wc) =>
+        val out = scala.collection.mutable.ListBuffer.empty[String]
+        var rest = syms
+        while (rest.nonEmpty) rest match {
+          case a :: b :: tl if a == c1 && b == c2 => out += (c1 + c2); rest = tl
+          case a :: tl => out += a; rest = tl
+          case Nil =>
+        }
+        (out.toList, wc)
+      }
+    }
+    assert(merges === expect.toSeq)
+    // Encode round-trip: concatenated pieces reproduce the remapped pretoken.
+    val enc = graft.functions.TextAnalysis.byteBpeEncode(docs, merges)
+      .select(col("w"), concat_ws("", col("pieces")).as("joined")).collect()
+    enc.foreach(r => assert(r.getString(0) === r.getString(1),
+      "byte-level pieces must concatenate back to the pre-token (no byte lost)"))
+  }
+
   test("TopKMin: partial aggregation bounds the exchange (partial_graft_topk_min in plan)") {
     val df = (1 to 100).map(i => (i % 3, i.toLong)).toDF("g", "v")
     val out = df.groupBy(col("g"))

@@ -414,6 +414,33 @@ class StreamingOpsSpec extends SparkSpec {
     assert(maxDf === 2L, s"replay inflated the merged df to $maxDf")
   }
 
+  test("streaming IVF postings sink: replay-safe; search over merged postings equals one-shot batch search") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // 40 deterministic 64-dim vectors; the frozen quantizer is the
+    // vec_id < 16 placeholder scheme on the FULL frame (same as batch).
+    val rnd = new scala.util.Random(7)
+    val emb = (0L until 40L).map { id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq, "l" + (id % 3))
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.placeholderCentroids(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_sink").toString
+    val sink = StreamingOps.ivfPostingsSink(cents, dir)
+    val b0 = emb.filter($"vec_id" % 2 === 0)
+    val b1 = emb.filter($"vec_id" % 2 === 1)
+    sink(b0, 0L)
+    sink(b0, 0L) // replay must not duplicate postings
+    sink(b1, 1L)
+    val postings = StreamingOps.mergedIvfPostings(spark, dir)
+    assert(postings.count() === 40L, "replayed epoch must overwrite, not append")
+    val got = Similarity.ivfSearchOverPostings(postings, emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Similarity.ivfSearch(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === batch, "streamed index must answer searches identically to the batch path")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming MG sink: trim rule exact, replay-safe, guarantee holds on the merged state") {
     import spark.implicits._
     // Hand-checkable trim: two epochs of counters for one group, k = 2.
