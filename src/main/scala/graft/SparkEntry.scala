@@ -1932,6 +1932,19 @@ object SparkEntry {
         .drop("idat_len")
         .orderBy("doc_id")),
 
+    // REAL baseline-JPEG (T.81 SOF0) round trip: deterministic DC-only
+    // grayscale payloads from document text (a flat-block stream is a
+    // valid baseline JPEG), decoded by a full table-driven parser —
+    // segment grammar, canonical Huffman DC+AC decode with EXTEND,
+    // byte-unstuffing, dequant, exact integer flat-block IDCT. The
+    // oracle replays the surviving lossy surface (quantized DC terms,
+    // Huffman bit counts, flat reconstruction) from the source text.
+    "q229_jpeg_features" -> ((s, dir) =>
+      Multimodal.decodeJpegFeatures(s, Multimodal.toJpeg(
+          Tables.documents(s, dir).filter(col("n_chars") >= 64)))
+        .toDF()
+        .orderBy("doc_id")),
+
     // BM25 more-like-this over word bigrams: the lexical retrieval leg —
     // doc_id % 25 probe set, exact-integer idf/tf-saturation, top-10.
     "q143_bm25_retrieval" -> ((s, dir) =>
@@ -3459,6 +3472,45 @@ object SparkEntry {
         |       CAST(list_sum(cps[1 : CAST(3 * w AS INT)]) AS DOUBLE)
         |         / CAST(3 * w AS DOUBLE) AS top_row_mean
         |FROM px
+        |ORDER BY doc_id""".stripMargin,
+
+    "q229_jpeg_features" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) // 64 AS BIGINT) AS nb
+        |  FROM documents WHERE length(text) >= 64
+        |),
+        |blk AS (
+        |  SELECT doc_id, nb, CAST(b AS BIGINT) AS b,
+        |         CAST(list_sum(list_transform(range(1, 65), i ->
+        |           unicode(text[CAST(64 * b + i AS INT):CAST(64 * b + i AS INT)]))) AS BIGINT) AS s
+        |  FROM d, unnest(range(nb)) AS u(b)
+        |),
+        |dc AS (
+        |  SELECT doc_id, nb, b, CAST((s - 8192 + 64) // 128 AS BIGINT) AS dcq
+        |  FROM blk
+        |),
+        |df AS (
+        |  SELECT doc_id, nb, b, dcq,
+        |         dcq - COALESCE(LAG(dcq) OVER (PARTITION BY doc_id ORDER BY b), 0) AS diff
+        |  FROM dc
+        |),
+        |per AS (
+        |  SELECT doc_id, nb, dcq,
+        |         CASE WHEN diff = 0 THEN 0 ELSE length(bin(abs(diff))) END AS cat
+        |  FROM df
+        |)
+        |SELECT doc_id,
+        |       CAST(MAX(8 * nb) AS INT) AS width,
+        |       CAST(8 AS INT) AS height,
+        |       MAX(nb) AS n_blocks,
+        |       CAST(SUM(dcq) AS BIGINT) AS dc_sum,
+        |       CAST(MIN(dcq) AS BIGINT) AS dc_min,
+        |       CAST(MAX(dcq) AS BIGINT) AS dc_max,
+        |       CAST(SUM((CASE WHEN cat = 0 THEN 2 WHEN cat <= 5 THEN 3 ELSE cat - 2 END)
+        |                + cat + 4) AS BIGINT) AS scan_bits,
+        |       CAST(SUM(64 * LEAST(255, GREATEST(0, 128 + (16 * dcq + 4) // 8))) AS BIGINT) AS recon_sum
+        |FROM per
+        |GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q156_png_features" ->

@@ -1046,4 +1046,405 @@ object Multimodal {
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) => PngCodec.decode(id, payload) })
   }
+
+  /** Deterministic baseline-JPEG payloads from document text: each 64
+    * consecutive codepoints form one 8×8 grayscale block (image = one
+    * block row, width 8·⌊chars/64⌋, height 8), DC-only encoding — the
+    * forward DCT's AC terms are deliberately quantized to zero (a flat-
+    * block stream is a perfectly VALID baseline JPEG any compliant
+    * decoder renders; it keeps the lossy pipeline's surviving surface —
+    * the quantized DC terms — exactly replayable by the DuckDB oracle,
+    * the same trick `toPng` plays with filter choice). Requires ≥ 64
+    * chars; callers filter.
+    */
+  def toJpeg(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, JpegCodec.encode(bytes)) })
+      .toDF("doc_id", "payload")
+      .select(
+        col("doc_id"),
+        col("payload"),
+        struct(
+          lit("image/jpeg").as("format"),
+          length(col("payload")).cast("long").as("n_bytes"),
+          lit(1).as("n_frames")).as("meta"))
+  }
+
+  case class JpegFeatures(
+      doc_id: Long, width: Int, height: Int, n_blocks: Long,
+      dc_sum: Long, dc_min: Long, dc_max: Long, scan_bits: Long,
+      recon_sum: Long)
+
+  /** Partition-parallel REAL baseline-JPEG decode of a payload column. */
+  def decodeJpegFeatures(spark: SparkSession, media: DataFrame): Dataset[JpegFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => JpegCodec.decode(id, payload) })
+  }
+
+  /** Minimal-but-real baseline JPEG codec (ITU-T T.81, SOF0): marker/
+    * segment grammar, DQT (8-bit, zigzag), SOF0 (8-bit grayscale,
+    * 1×1 sampling), DHT with CANONICAL table construction from the
+    * payload's own BITS/HUFFVAL (the decoder is table-driven, never
+    * hardcoded), SOS, an MSB-first entropy reader with 0xFF00
+    * byte-unstuffing, per-block Huffman DC-difference + AC
+    * run-length/zigzag decode (EOB and ZRL included — the decoder
+    * handles nonzero-AC streams a foreign encoder would emit), T.81
+    * §F.2.2.1 EXTEND sign recovery, dequantization, and IDCT.
+    *
+    * IDCT: blocks whose AC terms are all zero take the exact integer
+    * shortcut every production decoder special-cases —
+    * `clamp(128 + (dc·q + 4) quot 8)` (truncating division — the same
+    * semantics as DuckDB's `//`, so the oracle replays it verbatim) —
+    * which is the ONLY path the oracle surfaces (the encoder
+    * emits flat blocks by construction). General blocks run a
+    * double-precision separable 2-D IDCT (the `jpeg_idct_float` class),
+    * spec-checked against a direct-form reference, never oracle-hashed.
+    *
+    * Restart markers (DRI), progressive/extended SOFs, subsampling, and
+    * multi-component scans raise — the PGM/PNG codecs' restricted-but-
+    * real contract: reject loudly, never return garbage.
+    */
+  object JpegCodec {
+    // Standard luminance tables (T.81 Annex K) — written into DHT by the
+    // encoder; the decoder reconstructs whatever tables the payload
+    // declares.
+    private val DcBits: Array[Int] =
+      Array(0, 0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0) // index 1..16
+    private val DcVals: Array[Int] = (0 to 11).toArray
+    private val AcBits: Array[Int] =
+      Array(0, 0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+    private val AcVals: Array[Int] = Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+      0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+      0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+      0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+      0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+      0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+      0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+      0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+      0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+      0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+    private val Zigzag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    private val QDc = 16 // the encoder's DC quantizer step
+
+    /** Canonical Huffman code assignment (T.81 C.2): codes in HUFFVAL
+      * order with nondecreasing lengths. Returns value → (code, len).
+      */
+    private def canonicalCodes(
+        bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0
+      var k = 0
+      val out = scala.collection.mutable.Map.empty[Int, (Int, Int)]
+      for (len <- 1 to 16) {
+        var i = 0
+        while (i < bits(len)) {
+          out(vals(k)) = (code, len)
+          code += 1; k += 1; i += 1
+        }
+        code <<= 1
+      }
+      out.toMap
+    }
+
+    private class BitWriter {
+      private val buf = new scala.collection.mutable.ArrayBuffer[Byte](256)
+      private var acc = 0
+      private var nb = 0
+      def put(code: Int, len: Int): Unit = {
+        var i = len - 1
+        while (i >= 0) {
+          acc = (acc << 1) | ((code >> i) & 1)
+          nb += 1
+          if (nb == 8) {
+            buf += acc.toByte
+            if ((acc & 0xff) == 0xff) buf += 0x00.toByte // byte stuffing
+            acc = 0; nb = 0
+          }
+          i -= 1
+        }
+      }
+      def finish(): Array[Byte] = {
+        if (nb > 0) { // pad with 1-bits (T.81 F.1.2.3)
+          acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1)
+          buf += acc.toByte
+          if ((acc & 0xff) == 0xff) buf += 0x00.toByte
+          nb = 0
+        }
+        buf.toArray
+      }
+    }
+
+    private def seg(marker: Int, body: Array[Byte]): Array[Byte] =
+      Array(0xff.toByte, marker.toByte,
+        (((body.length + 2) >> 8) & 0xff).toByte,
+        ((body.length + 2) & 0xff).toByte) ++ body
+
+    def encode(textBytes: Array[Byte]): Array[Byte] = {
+      val nb = textBytes.length / 64
+      require(nb > 0, s"document too short for a JPEG raster: ${textBytes.length} bytes")
+      val w = 8 * nb
+      // Quantized DC per block: (Σ(s−128) + 64) quot (8·QDc) with
+      // TRUNCATING division — Scala `/`, Spark `div`, and DuckDB `//`
+      // all truncate toward zero, so the quantizer replays verbatim.
+      val dcs = (0 until nb).map { b =>
+        var s = 0L
+        var i = 0
+        while (i < 64) { s += (textBytes(64 * b + i) & 0xff); i += 1 }
+        ((s - 64L * 128L + 64L) / (8L * QDc)).toInt
+      }
+      val dcCodes = canonicalCodes(DcBits, DcVals)
+      val acCodes = canonicalCodes(AcBits, AcVals)
+      val eob = acCodes(0x00)
+      val bw = new BitWriter
+      var pred = 0
+      dcs.foreach { dc =>
+        val diff = dc - pred
+        pred = dc
+        val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        val (c, l) = dcCodes(cat)
+        bw.put(c, l)
+        if (cat > 0) {
+          val mag = if (diff >= 0) diff else diff + (1 << cat) - 1
+          bw.put(mag, cat)
+        }
+        bw.put(eob._1, eob._2) // all 63 ACs quantize to zero
+      }
+      val qt = Array.fill(64)(QDc.toByte) // uniform — zigzag order moot
+      val dqt = seg(0xdb, Array(0x00.toByte) ++ qt)
+      val sof = seg(0xc0, Array[Byte](
+        8, 0, 8, ((w >> 8) & 0xff).toByte, (w & 0xff).toByte, // height 8
+        1, 1, 0x11.toByte, 0))
+      val dht = seg(0xc4,
+        Array(0x00.toByte) ++ DcBits.drop(1).map(_.toByte) ++ DcVals.map(_.toByte) ++
+          Array(0x10.toByte) ++ AcBits.drop(1).map(_.toByte) ++ AcVals.map(_.toByte))
+      val sos = seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+      Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dht ++ sos ++
+        bw.finish() ++ Array(0xff.toByte, 0xd9.toByte)
+    }
+
+    // --- decoder ---------------------------------------------------------
+
+    private class HuffTable(bits: Array[Int], vals: Array[Int]) {
+      // (len → first code of len, index of first val of len) for the
+      // canonical walk decode (T.81 F.2.2.3's DECODE procedure).
+      val minCode = new Array[Int](17)
+      val maxCode = new Array[Int](17) // -1 = no codes at this length
+      val valPtr = new Array[Int](17)
+      val values: Array[Int] = vals
+      locally {
+        var code = 0
+        var k = 0
+        for (len <- 1 to 16) {
+          if (bits(len) == 0) { maxCode(len) = -1 }
+          else {
+            valPtr(len) = k
+            minCode(len) = code
+            code += bits(len); k += bits(len)
+            maxCode(len) = code - 1
+          }
+          code <<= 1
+        }
+      }
+    }
+
+    private class BitReader(data: Array[Byte], var pos: Int) {
+      private var acc = 0
+      private var nb = 0
+      var bitsConsumed = 0L // symbol bits only — stuffing never counted
+      def bit(): Int = {
+        if (nb == 0) {
+          require(pos < data.length, "entropy stream truncated")
+          val b = data(pos) & 0xff
+          pos += 1
+          if (b == 0xff) {
+            require(pos < data.length && data(pos) == 0x00,
+              "unexpected marker inside entropy-coded data")
+            pos += 1 // skip the stuffed zero
+          }
+          acc = b; nb = 8
+        }
+        nb -= 1
+        bitsConsumed += 1
+        (acc >> nb) & 1
+      }
+      def receive(n: Int): Int = {
+        var v = 0
+        var i = 0
+        while (i < n) { v = (v << 1) | bit(); i += 1 }
+        v
+      }
+      def decode(t: HuffTable): Int = {
+        var code = bit()
+        var len = 1
+        while (t.maxCode(len) < 0 || code > t.maxCode(len)) {
+          require(len < 16, "invalid Huffman code")
+          code = (code << 1) | bit()
+          len += 1
+        }
+        t.values(t.valPtr(len) + code - t.minCode(len))
+      }
+    }
+
+    /** T.81 F.2.2.1 EXTEND: recover the signed value from magnitude bits. */
+    private def extend(v: Int, cat: Int): Int =
+      if (cat == 0) 0 else if (v < (1 << (cat - 1))) v - (1 << cat) + 1 else v
+
+    private def clamp(v: Long): Long = math.max(0L, math.min(255L, v))
+
+    /** Double-precision separable 2-D IDCT (the jpeg_idct_float class)
+      * for blocks with nonzero AC terms; flat blocks take the exact
+      * integer shortcut in `decode` and never reach here.
+      */
+    private def idctGeneral(coef: Array[Int]): Array[Long] = {
+      val out = new Array[Long](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val cu = if (u == 0) 0.7071067811865476 else 1.0
+              val cv = if (v == 0) 0.7071067811865476 else 1.0
+              s += cu * cv * coef(8 * v + u) *
+                math.cos((2 * x + 1) * u * math.Pi / 16) *
+                math.cos((2 * y + 1) * v * math.Pi / 16)
+              u += 1
+            }
+            v += 1
+          }
+          out(8 * y + x) = clamp(math.round(s / 4.0) + 128L)
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def decode(id: Long, p: Array[Byte]): JpegFeatures = {
+      require(p.length > 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8,
+        s"not a JPEG (missing SOI) for doc $id")
+      var pos = 2
+      val qts = scala.collection.mutable.Map.empty[Int, Array[Int]]
+      var dcTab: HuffTable = null
+      var acTab: HuffTable = null
+      var w = -1
+      var h = -1
+      var qtSel = 0
+      var scanStart = -1
+      while (scanStart < 0) {
+        require((p(pos) & 0xff) == 0xff, s"bad marker alignment at $pos")
+        val m = p(pos + 1) & 0xff
+        pos += 2
+        m match {
+          case 0xdb => // DQT — possibly several tables in one segment
+            val len = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff)
+            var q = pos + 2
+            while (q < pos + len) {
+              val pq = (p(q) & 0xff) >> 4
+              val tq = p(q) & 0x0f
+              require(pq == 0, "16-bit quantization tables unsupported")
+              qts(tq) = (1 to 64).map(i => p(q + i) & 0xff).toArray
+              q += 65
+            }
+            pos += len
+          case 0xc0 => // SOF0 baseline
+            val len = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff)
+            require((p(pos + 2) & 0xff) == 8, "only 8-bit precision")
+            h = ((p(pos + 3) & 0xff) << 8) | (p(pos + 4) & 0xff)
+            w = ((p(pos + 5) & 0xff) << 8) | (p(pos + 6) & 0xff)
+            require((p(pos + 7) & 0xff) == 1, "only single-component (grayscale) scans")
+            require((p(pos + 9) & 0xff) == 0x11, "subsampling unsupported")
+            qtSel = p(pos + 10) & 0x0f
+            pos += len
+          case 0xc4 => // DHT — possibly several tables in one segment
+            val len = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff)
+            var q = pos + 2
+            while (q < pos + len) {
+              val tc = (p(q) & 0xff) >> 4
+              val bits = new Array[Int](17)
+              var total = 0
+              for (l <- 1 to 16) { bits(l) = p(q + l) & 0xff; total += bits(l) }
+              val vals = (0 until total).map(i => p(q + 17 + i) & 0xff).toArray
+              val t = new HuffTable(bits, vals)
+              if (tc == 0) dcTab = t else acTab = t
+              q += 17 + total
+            }
+            pos += len
+          case 0xda =>
+            val len = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff)
+            require((p(pos + 2) & 0xff) == 1, "only single-component scans")
+            scanStart = pos + len
+          case 0xdd => throw new IllegalArgumentException("restart intervals unsupported")
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf =>
+            throw new IllegalArgumentException(f"non-baseline SOF marker ff$m%02x")
+          case _ => // APPn / COM / other skippable segments
+            val len = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff)
+            pos += len
+        }
+      }
+      require(w > 0 && h > 0 && dcTab != null && acTab != null, "incomplete headers")
+      val qt = qts.getOrElse(qtSel, throw new IllegalArgumentException("missing DQT"))
+      val nBlocks = ((w + 7) / 8).toLong * ((h + 7) / 8).toLong
+      val br = new BitReader(p, scanStart)
+      var pred = 0
+      var dcSum = 0L
+      var dcMin = Long.MaxValue
+      var dcMax = Long.MinValue
+      var recon = 0L
+      var b = 0L
+      while (b < nBlocks) {
+        val cat = br.decode(dcTab)
+        val diff = extend(br.receive(cat), cat)
+        pred += diff
+        val coef = new Array[Int](64)
+        coef(0) = pred * qt(0)
+        var hasAc = false
+        var k = 1
+        var eob = false
+        while (k < 64 && !eob) {
+          val sym = br.decode(acTab)
+          val r = sym >> 4
+          val s = sym & 0x0f
+          if (s == 0) {
+            if (r == 15) k += 16 // ZRL: sixteen zeros
+            else eob = true
+          } else {
+            k += r
+            require(k < 64, "AC run past block end")
+            coef(Zigzag(k)) = extend(br.receive(s), s) * qt(Zigzag(k))
+            hasAc = true
+            k += 1
+          }
+        }
+        dcSum += pred
+        dcMin = math.min(dcMin, pred)
+        dcMax = math.max(dcMax, pred)
+        recon +=
+          (if (!hasAc) 64L * clamp(128L + (coef(0) + 4) / 8) // exact flat path
+           else idctGeneral(coef).sum)
+        b += 1
+      }
+      JpegFeatures(id, w, h, nBlocks, dcSum,
+        if (nBlocks == 0) 0L else dcMin, if (nBlocks == 0) 0L else dcMax,
+        br.bitsConsumed, recon)
+    }
+  }
 }

@@ -1319,4 +1319,65 @@ class TextMultimodalSpec extends SparkSpec {
     val unk = restricted.filter(col("w") === "cd").select("pieces").head()
     assert(unk.getSeq[String](0) === Seq("[UNK]"))
   }
+
+  test("JPEG codec: encode/decode round trip equals the plain-Scala DC model") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> ("the quick brown fox jumps over the lazy dog again and again! " * 3),
+      2L -> ("z" * 64), // single flat block, extreme value
+      3L -> ("a" * 63 + "Z" + "m" * 80)) // 2 blocks, a DC step between them
+    val docs = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Multimodal.decodeJpegFeatures(spark, Multimodal.toJpeg(docs))
+      .collect().map(f => f.doc_id -> f).toMap
+    texts.foreach { case (id, t) =>
+      val nb = t.length / 64
+      val dcs = (0 until nb).map { b =>
+        val s = (0 until 64).map(i => t(64 * b + i).toInt.toLong).sum
+        ((s - 8192L + 64L) / 128L) // truncating, the quantizer definition
+      }
+      val diffs = dcs.zip(0L +: dcs).map { case (d, p) => d - p }
+      val cats = diffs.map(d => if (d == 0) 0 else 64 - java.lang.Long.numberOfLeadingZeros(math.abs(d)))
+      val dcLen = Map(0 -> 2, 1 -> 3, 2 -> 3, 3 -> 3, 4 -> 3, 5 -> 3,
+        6 -> 4, 7 -> 5, 8 -> 6, 9 -> 7, 10 -> 8, 11 -> 9)
+      val bits = cats.map(c => dcLen(c) + c + 4L).sum
+      val f = got(id)
+      assert(f.width === 8 * nb && f.height === 8 && f.n_blocks === nb.toLong)
+      assert(f.dc_sum === dcs.sum && f.dc_min === dcs.min && f.dc_max === dcs.max,
+        s"doc $id dc stats")
+      assert(f.scan_bits === bits, s"doc $id scan bits")
+      val recon = dcs.map(d => 64L * math.max(0L, math.min(255L, 128L + (16L * d + 4L) / 8L))).sum
+      assert(f.recon_sum === recon, s"doc $id flat reconstruction")
+    }
+  }
+
+  test("JPEG decoder: nonzero-AC foreign stream decodes through Huffman+IDCT") {
+    // Splice a hand-written entropy stream (DC diff 0, one AC at zigzag
+    // index 1, EOB) into a codec-produced single-block header: exercises
+    // the AC run/size path and the general IDCT the DC-only gate never
+    // reaches. Canonical codes for the embedded standard tables:
+    // DC cat0 = '00' (2b); AC 0x01 = '00' (2b) + 1 magnitude bit; AC EOB
+    // = '1010' (4b). Bit stream: 00 00 1 1010 -> 0x0D, pad 1s -> 0x7F.
+    val base = Multimodal.JpegCodec.encode(Array.fill(64)('a'.toByte))
+    // Locate the entropy segment: starts right after the SOS segment
+    // (FF DA, len 8), ends at the EOI (FF D9) which terminates the file.
+    val sosAt = base.indices.find(i =>
+      (base(i) & 0xff) == 0xff && i + 1 < base.length && (base(i + 1) & 0xff) == 0xda).get
+    val scanStart = sosAt + 2 + (((base(sosAt + 2) & 0xff) << 8) | (base(sosAt + 3) & 0xff))
+    val header = base.slice(0, scanStart)
+    val spliced = header ++ Array(0x0d.toByte, 0x7f.toByte, 0xff.toByte, 0xd9.toByte)
+    val f = Multimodal.JpegCodec.decode(9L, spliced)
+    assert(f.n_blocks === 1L && f.dc_sum === 0L && f.scan_bits === 9L)
+    // Independent double-precision IDCT of the decoded coefficients
+    // (DC=0; AC at natural index (u=1, v=0) dequantized to 1*16).
+    var expect = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      val s = 16.0 * 0.7071067811865476 *
+        math.cos((2 * x + 1) * 1 * math.Pi / 16) // u=1 basis, v=0 (C=1/sqrt2 on v)
+      val px = math.max(0L, math.min(255L, math.round(s / 4.0) + 128L))
+      expect += px
+    }
+    assert(f.recon_sum === expect, "general-IDCT reconstruction sum")
+  }
 }
