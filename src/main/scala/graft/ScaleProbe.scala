@@ -406,7 +406,24 @@ object ScaleProbe {
       // chunk-level CDC dedup: the q210 per-doc-lambda scan class plus
       // a digest join and the per-row text rebuild. (q222's inventory
       // member is q210 itself, already probed above.)
-      "q222_cdc_dedup" -> byteFactor)
+      "q222_cdc_dedup" -> byteFactor,
+      // r15 batch: 3-D Z-order layout audit — codegen MortonIndex scan
+      // + the same bounded-percentile bucket machinery as q187; alpha
+      // must track the lineitem scan (the key is one primitive loop).
+      "q224_zorder3_layout" -> rowFactor,
+      // byte-level BPE train: ONE corpus wordcount aggregate + the
+      // driver merge loop over the collected (Heaps-bounded) type
+      // table — the q151 class with regex pre-tokenization.
+      "q225_byte_bpe_merges" -> byteFactor,
+      // byte-level BPE encode: per-TYPE codegen replay broadcast back
+      // to the pre-token stream; token stream never shuffles.
+      "q226_byte_bpe_encode" -> byteFactor,
+      // exact-substring dedup: fused rolling-digest scan, digest-only
+      // occurrence aggregate, doc-keyed strip — the q101 class with
+      // occurrence (not doc-frequency) counts.
+      "q227_exact_substr_dedup" -> byteFactor,
+      // JPEG round trip: per-row encode+decode CPU, zero shuffle.
+      "q229_jpeg_features" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

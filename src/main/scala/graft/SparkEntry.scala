@@ -917,6 +917,17 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Byte-fallback losslessness, gated end to end: detokenize(encode(
+    // text)) must equal the original text byte for byte — pieces
+    // concatenate to pre-tokens, pre-tokens partition the document, and
+    // ByteUnmap inverts the GPT-2 byte table exactly. The oracle hashes
+    // the ORIGINAL text; the engine hashes its full-chain rebuild.
+    "q230_byte_bpe_roundtrip" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.byteBpeTrainMerges(docs, numMerges = bpeOracleMerges)
+      TextAnalysis.byteBpeRoundTrip(docs, merges).orderBy("doc_id")
+    }),
+
     // Byte-level BPE encode over the whole corpus with freshly-trained
     // merges: per-doc pre-token/byte/piece counts and the
     // position-ordered pieces digest — q96's byte-level twin.
@@ -1503,6 +1514,20 @@ object SparkEntry {
         graft.streaming.StreamingOps.cdcCountsSink(path))
       Dedup.cdcDedupAgainst(
           docs, graft.streaming.StreamingOps.mergedCdcCounts(s, path))
+        .orderBy("doc_id")
+    }),
+
+    // ExactSubstr under streaming state: per-epoch window-digest
+    // OCCURRENCE counts (additive over doc-disjoint shards), merged at
+    // read; stripping the corpus against the merged state must equal
+    // q227's one-shot batch pass — same oracle.
+    "q231_streaming_exact_substr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q231_es").toString
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3)(
+        graft.streaming.StreamingOps.exactSubstrCountsSink(path))
+      Dedup.exactSubstrDedupAgainst(
+          docs, graft.streaming.StreamingOps.mergedExactSubstrCounts(s, path))
         .orderBy("doc_id")
     }),
 
@@ -3086,45 +3111,11 @@ object SparkEntry {
     // Self-pairs at positive gap, islands per (doc, gap), longest
     // internal repeat with the engine's tie-break; in-doc digest
     // occurrences capped at 64 before pairing, exactly as the engine.
-    "q227_exact_substr_dedup" ->
-      """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        |w AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM t),
-        |win AS MATERIALIZED (
-        |  SELECT doc_id, CAST(i AS INT) AS start,
-        |         CAST('0x' || substr(md5(array_to_string(ws[i + 1: i + 8], ' ')), 1, 15) AS BIGINT) AS dig
-        |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM t WHERE len(ws) >= 8)
-        |),
-        |b AS (SELECT dig FROM win GROUP BY dig HAVING COUNT(*) > 1),
-        |m AS MATERIALIZED (SELECT win.doc_id, win.start FROM win JOIN b USING (dig)),
-        |spans AS (
-        |  SELECT doc_id, CAST(COUNT(*) + 7 AS BIGINT) AS span_len
-        |  FROM (SELECT doc_id, start,
-        |               start - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) AS grp
-        |        FROM m)
-        |  GROUP BY doc_id, grp
-        |),
-        |sp AS (
-        |  SELECT doc_id, MAX(span_len) AS longest_dup_span,
-        |         CAST(COUNT(*) AS BIGINT) AS n_dup_spans
-        |  FROM spans GROUP BY doc_id
-        |),
-        |drops AS (
-        |  SELECT DISTINCT m.doc_id, m.start + o.o AS pos
-        |  FROM m, (SELECT unnest(range(8)) AS o) o
-        |),
-        |k AS (
-        |  SELECT w.doc_id, w.pos, w.w, (dp.pos IS NOT NULL) AS dropped
-        |  FROM w LEFT JOIN drops dp ON w.doc_id = dp.doc_id AND w.pos = dp.pos
-        |)
-        |SELECT k.doc_id,
-        |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        |       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
-        |       CAST(COALESCE(MAX(sp.longest_dup_span), 0) AS BIGINT) AS longest_dup_span,
-        |       CAST(COALESCE(MAX(sp.n_dup_spans), 0) AS BIGINT) AS n_dup_spans,
-        |       COALESCE(string_agg(k.w, ' ' ORDER BY k.pos) FILTER (WHERE NOT dropped), '') AS clean_text
-        |FROM k LEFT JOIN sp USING (doc_id)
-        |GROUP BY k.doc_id
-        |ORDER BY k.doc_id""".stripMargin,
+    "q227_exact_substr_dedup" -> exactSubstrOracle,
+
+    // The merged streaming occurrence state must strip identically to
+    // the one-shot batch pass.
+    "q231_streaming_exact_substr" -> exactSubstrOracle,
 
     "q119_self_repeats" ->
       """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
@@ -5494,6 +5485,15 @@ object SparkEntry {
     "q96_bpe_encode" -> bpeEncodeOracle,
 
     "q225_byte_bpe_merges" -> byteBpeMergesOracle,
+
+    "q230_byte_bpe_roundtrip" ->
+      ("""SELECT doc_id,
+         |       CAST(len(regexp_extract_all(text, '""" +
+        "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+" +
+        """')) AS BIGINT) AS n_pretoks,
+          |       md5(text) AS rebuilt_digest
+          |FROM documents
+          |ORDER BY doc_id""").stripMargin,
 
     "q226_byte_bpe_encode" -> byteBpeEncodeOracle,
 
@@ -8623,6 +8623,50 @@ object SparkEntry {
     * per-vector nearest-cell assignment, and each query's 4 probed
     * cells (cosine ranking, centroid id on ties).
     */
+  /** Shared q227/q231 oracle: ExactSubstr at word granularity — the
+    * merged streaming occurrence state is the same count table, so the
+    * strip is identical.
+    */
+  private val exactSubstrOracle =
+    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |w AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM t),
+      |win AS MATERIALIZED (
+      |  SELECT doc_id, CAST(i AS INT) AS start,
+      |         CAST('0x' || substr(md5(array_to_string(ws[i + 1: i + 8], ' ')), 1, 15) AS BIGINT) AS dig
+      |  FROM (SELECT doc_id, ws, unnest(range(len(ws) - 7)) AS i FROM t WHERE len(ws) >= 8)
+      |),
+      |b AS (SELECT dig FROM win GROUP BY dig HAVING COUNT(*) > 1),
+      |m AS MATERIALIZED (SELECT win.doc_id, win.start FROM win JOIN b USING (dig)),
+      |spans AS (
+      |  SELECT doc_id, CAST(COUNT(*) + 7 AS BIGINT) AS span_len
+      |  FROM (SELECT doc_id, start,
+      |               start - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY start) AS grp
+      |        FROM m)
+      |  GROUP BY doc_id, grp
+      |),
+      |sp AS (
+      |  SELECT doc_id, MAX(span_len) AS longest_dup_span,
+      |         CAST(COUNT(*) AS BIGINT) AS n_dup_spans
+      |  FROM spans GROUP BY doc_id
+      |),
+      |drops AS (
+      |  SELECT DISTINCT m.doc_id, m.start + o.o AS pos
+      |  FROM m, (SELECT unnest(range(8)) AS o) o
+      |),
+      |k AS (
+      |  SELECT w.doc_id, w.pos, w.w, (dp.pos IS NOT NULL) AS dropped
+      |  FROM w LEFT JOIN drops dp ON w.doc_id = dp.doc_id AND w.pos = dp.pos
+      |)
+      |SELECT k.doc_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_tokens,
+      |       CAST(COUNT(*) FILTER (WHERE dropped) AS BIGINT) AS n_dropped,
+      |       CAST(COALESCE(MAX(sp.longest_dup_span), 0) AS BIGINT) AS longest_dup_span,
+      |       CAST(COALESCE(MAX(sp.n_dup_spans), 0) AS BIGINT) AS n_dup_spans,
+      |       COALESCE(string_agg(k.w, ' ' ORDER BY k.pos) FILTER (WHERE NOT dropped), '') AS clean_text
+      |FROM k LEFT JOIN sp USING (doc_id)
+      |GROUP BY k.doc_id
+      |ORDER BY k.doc_id""".stripMargin
+
   /** Shared q39/q228 oracle: placeholder-quantizer IVF search (the
     * streamed postings are the same assignment, epoch-unioned).
     */

@@ -41,6 +41,32 @@ case class ByteRemap(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** The exact inverse of [[ByteRemap]] — detokenization's last step:
+  * each mapped character (codepoint < 324 by construction) turns back
+  * into its original byte, so `unmap(remap(s)) = s` for EVERY byte
+  * sequence. Characters outside the table's range raise (they cannot
+  * have come from [[ByteRemap]]) rather than decoding garbage.
+  */
+case class ByteUnmap(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "graft_byte_unmap"
+
+  override def nullSafeEval(s: Any): Any =
+    ByteRemap.unmap(s.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.ByteRemap.unmap($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteUnmap =
+    copy(child = newChild)
+}
+
 object ByteRemap {
 
   /** byte value → mapped char, the exact GPT-2 construction: kept bytes
@@ -57,6 +83,28 @@ object ByteRemap {
       b += 1
     }
     t
+  }
+
+  /** char → original byte; -1 marks codepoints no remap can produce. */
+  val inverse: Array[Int] = {
+    val inv = Array.fill(324)(-1) // table chars top out at 255 + 68 = 323
+    var b = 0
+    while (b < 256) { inv(table(b).toInt) = b; b += 1 }
+    inv
+  }
+
+  def unmap(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val out = new Array[Byte](str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i).toInt
+      val b = if (c < inverse.length) inverse(c) else -1
+      require(b >= 0, f"codepoint U+$c%04X is not in the byte-remap image")
+      out(i) = b.toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
   }
 
   /** Static entry shared by interpreted eval and generated code. */

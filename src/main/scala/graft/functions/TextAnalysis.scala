@@ -386,6 +386,36 @@ object TextAnalysis {
     trainMergesOnVocab(vocab, numMerges)
   }
 
+  /** Encode → decode round trip for the byte-level tokenizer — the
+    * losslessness property that is byte-fallback's whole point: pieces
+    * concatenate back to each pre-token, pre-tokens concatenate back to
+    * the document (the pre-token regex PARTITIONS the text), and
+    * [[graft.expressions.ByteUnmap]] inverts the byte table exactly, so
+    * `detokenize(encode(text)) = text` for every input. Output per doc:
+    * `(doc_id, n_pretoks, rebuilt_digest)` where the digest is md5 of
+    * the REBUILT text — the oracle hashes the original text directly,
+    * so any lost or reordered byte anywhere in the train/encode/decode
+    * chain hash-fails.
+    */
+  def byteBpeRoundTrip(
+      docs: DataFrame, merges: Seq[(Int, String, String, Long)]): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    byteBpeEncode(docs, merges)
+      .withColumn("pstr", concat_ws("", col("pieces")))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_pretoks"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("pstr")))),
+            x => x.getField("pstr")),
+          "").as("remapped"))
+      .select(
+        col("doc_id"), col("n_pretoks"),
+        md5(bridge.column(graft.expressions.ByteUnmap(
+          bridge.expression(col("remapped"))))).as("rebuilt_digest"))
+  }
+
   /** Byte-level BPE encode: apply a [[byteBpeTrainMerges]] table to the
     * whole corpus. Identical shape to [[bpeEncodeWords]] — the merge
     * replay ([[graft.expressions.BpeEncode]]) runs once per pre-token

@@ -1229,13 +1229,33 @@ object Dedup {
     * spans/strip are doc-keyed with per-doc array lambdas. Nothing
     * quadratic, no suffix array to shard.
     */
-  def exactSubstrDedup(docs: DataFrame, windowLen: Int = 8): DataFrame = {
+  def exactSubstrDedup(docs: DataFrame, windowLen: Int = 8): DataFrame =
+    exactSubstrDedupAgainst(docs, rollingOccurrenceCounts(docs, windowLen), windowLen)
+
+  /** ExactSubstr's incremental state: corpus-wide window-digest
+    * OCCURRENCE counts (not document frequencies — self-repeats must
+    * count, see [[exactSubstrDedup]]). Additive over doc-disjoint
+    * slices, so per-epoch streaming state merges by digest-wise sum
+    * ([[graft.streaming.StreamingOps.exactSubstrCountsSink]]).
+    */
+  def rollingOccurrenceCounts(docs: DataFrame, windowLen: Int = 8): DataFrame =
+    rollingDigests(docs, windowLen)
+      .groupBy(col("dig"))
+      .agg(count(lit(1)).as("occ"))
+
+  /** Strip `batch` against a GLOBAL occurrence-count state (which must
+    * already include the batch's own windows). Same output shape and
+    * semantics as [[exactSubstrDedup]] — with the global state the
+    * one-shot batch pass and the merged streaming state are the same
+    * frame, which is the q231 gate.
+    */
+  def exactSubstrDedupAgainst(
+      docs: DataFrame,
+      globalCounts: DataFrame,
+      windowLen: Int = 8): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = rollingDigests(docs, windowLen)
-    val dupDigs = g.groupBy(col("dig"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > 1L)
-      .select(col("dig"))
+    val dupDigs = globalCounts.filter(col("occ") > 1L).select(col("dig"))
     val marked = g.join(dupDigs, Seq("dig")).select(col("doc_id"), col("start"))
     val byDoc = Window.partitionBy("doc_id").orderBy("start")
     val spans = marked

@@ -586,6 +586,30 @@ object StreamingOps {
     graft.operators.Dedup.mergePassageCounts(Seq(
       compactedStateView(spark, basePath, Seq("dig", "df"))))
 
+  /** ExactSubstr (Lee et al. 2022) under streaming state: per-epoch
+    * window-digest OCCURRENCE counts
+    * ([[graft.operators.Dedup.rollingOccurrenceCounts]] — occurrences,
+    * not doc frequencies, because self-repeats count). Occurrences are
+    * additive over doc-disjoint micro-batches, so
+    * `Dedup.exactSubstrDedupAgainst(today, mergedExactSubstrCounts(...))`
+    * strips every ≥L-token span duplicated ANYWHERE in the ingested
+    * history — cross-batch, cross-doc, or within one document.
+    */
+  def exactSubstrCountsSink(
+      basePath: String,
+      windowLen: Int = 8): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.Dedup.rollingOccurrenceCounts(batch, windowLen)
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+
+  /** The merged global occurrence state over an [[exactSubstrCountsSink]]
+    * directory (digest-wise sum — the additive merge).
+    */
+  def mergedExactSubstrCounts(spark: SparkSession, basePath: String): DataFrame =
+    compactedStateView(spark, basePath, Seq("dig", "occ"))
+      .groupBy(col("dig"))
+      .agg(sum(col("occ")).as("occ"))
+
   /** Streaming ANN (IVF) index maintenance — the FIFTH batch family put
     * under the per-epoch replay-idempotent state layout: the coarse
     * quantizer is trained once and FROZEN (standard ANN practice —

@@ -414,6 +414,36 @@ class StreamingOpsSpec extends SparkSpec {
     assert(maxDf === 2L, s"replay inflated the merged df to $maxDf")
   }
 
+  test("streaming ExactSubstr sink: occurrence state merges additively; self-repeats caught; replay-safe") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def d(id: Long, t: String) = (id, t, "en", "s", t.length.toLong)
+    val shared = (0 until 8).map(i => s"sp$i").mkString(" ")
+    // b0's doc repeats a span INTERNALLY; b1's doc shares a span with b0
+    // that only duplicates once the states merge (occ 1 + 1 = 2).
+    val b0 = Seq(d(0L, s"a b $shared c d $shared e f")).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val b1 = Seq(d(10L, s"x y z $shared w v")).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("graft_es_sink").toString
+    val sink = StreamingOps.exactSubstrCountsSink(dir)
+    sink(b0, 0L)
+    sink(b0, 0L) // replay must not double-count occurrences
+    sink(b1, 1L)
+    val whole = Dedup.exactSubstrDedup(b0.unionByName(b1))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(5))).toMap
+    val merged = Dedup.exactSubstrDedupAgainst(
+        b0.unionByName(b1), StreamingOps.mergedExactSubstrCounts(spark, dir))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getString(5))).toMap
+    assert(merged === whole, "merged occurrence state must equal the one-shot batch pass")
+    assert(whole(0L)._1 > 0L && whole(10L)._1 > 0L,
+      "both the self-repeat and the cross-batch shared span must strip")
+    // A replayed epoch must not inflate occ: the shared span occurs
+    // twice in b0 (self-repeat) + once in b1 = 3; a double-counted b0
+    // epoch would read 5.
+    val occ1 = StreamingOps.mergedExactSubstrCounts(spark, dir)
+      .agg(org.apache.spark.sql.functions.max("occ")).collect().head.getLong(0)
+    assert(occ1 === 3L, s"replay inflated merged occurrence counts to $occ1")
+  }
+
   test("streaming IVF postings sink: replay-safe; search over merged postings equals one-shot batch search") {
     import graft.operators.Similarity
     import spark.implicits._
