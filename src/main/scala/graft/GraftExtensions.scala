@@ -47,6 +47,25 @@ object GraftFunctions {
     }
   }
 
+  /** A foldable `array(array('piece', '17'), ...)` cost table — the
+    * unigram model rides as 2-element string arrays (piece, decimal
+    * cost); a map literal would lose the deterministic entry order.
+    */
+  private def costsLit(e: Expression, what: String): Seq[(String, Long)] =
+    pairsLit(e, what).map { case (p, c) => (p, c.toLong) }
+
+  /** A foldable `array('piece', ...)` vocabulary literal. */
+  private def vocabLit(e: Expression, what: String): Seq[String] = {
+    val ok = e.foldable && (e.dataType match {
+      case ArrayType(StringType, _) => true
+      case _ => false
+    })
+    if (!ok) throw new IllegalArgumentException(
+      s"$what must be a foldable array of strings, got $e")
+    val arr = e.eval(null).asInstanceOf[ArrayData]
+    (0 until arr.numElements()).map(i => arr.getUTF8String(i).toString)
+  }
+
   private def fn(
       name: String,
       arity: Int,
@@ -82,7 +101,27 @@ object GraftFunctions {
     fn("graft_gram_stats", 2, c =>
       GramStats(c(0), intLit(c(1), "graft_gram_stats's n"))),
     fn("graft_bpe_encode", 2, c =>
-      BpeEncode(c(0), pairsLit(c(1), "graft_bpe_encode's merge table"))))
+      BpeEncode(c(0), pairsLit(c(1), "graft_bpe_encode's merge table"))),
+    fn("graft_unigram_encode", 2, c =>
+      UnigramEncode(c(0), costsLit(c(1), "graft_unigram_encode's cost table"))),
+    fn("graft_wordpiece_encode", 2, c =>
+      WordpieceEncode(c(0), vocabLit(c(1), "graft_wordpiece_encode's vocabulary"))),
+    fn("graft_hilbert", 3, c =>
+      HilbertIndex(c(0), c(1), intLit(c(2), "graft_hilbert's bits"))),
+    (
+      FunctionIdentifier("graft_morton"),
+      new ExpressionInfo(classOf[GraftFunctions.type].getName, "graft_morton"),
+      (children: Seq[Expression]) => {
+        require(children.length >= 2,
+          s"graft_morton expects (bits, dim1, dim2, ...), got ${children.length} arguments")
+        MortonIndex(children.drop(1), intLit(children.head, "graft_morton's bits"))
+      }),
+    fn("graft_byte_remap", 1, c => ByteRemap(c(0))),
+    fn("graft_byte_unmap", 1, c => ByteUnmap(c(0))),
+    fn("graft_cdc_chunks", 2, c =>
+      CdcChunks(c(0), intLit(c(1), "graft_cdc_chunks's modulus"))),
+    fn("graft_topk_min", 2, c =>
+      TopKMin(c(0), intLit(c(1), "graft_topk_min's k"))))
 
   /** Install the full surface on an already-running session. */
   def register(spark: SparkSession): Unit =

@@ -92,6 +92,38 @@ class SqlSurfaceSpec extends SparkSpec {
       err.getCause != null && err.getCause.getMessage.contains("integer literal"))
   }
 
+  test("r15 registrations: morton/hilbert keys, byte table, CDC chunks, top-k agg via SQL") {
+    val r = spark.sql(
+      """SELECT graft_morton(21, 3L, 5L) AS m2,
+        |       graft_morton(21, 1L, 1L, 1L) AS m3,
+        |       graft_hilbert(0L, 0L, 21) AS h0,
+        |       graft_byte_remap('a b') AS br,
+        |       graft_byte_unmap(graft_byte_remap('a b')) AS rt,
+        |       graft_cdc_chunks(graft_tokens('a b c d'), 4) AS ch
+        |""".stripMargin).collect().head
+    assert(r.getAs[Long]("m2") === 39L) // x=011 even bits, y=101 odd -> 100111
+    assert(r.getAs[Long]("m3") === 7L)
+    assert(r.getAs[Long]("h0") === 0L)
+    assert(r.getAs[String]("br") === "aĠb")
+    assert(r.getAs[String]("rt") === "a b")
+    val chunks = r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("ch"))
+    assert(chunks.map(_.getAs[Long]("n_words")).sum === 4L)
+    // Aggregate path: graft_topk_min groups and map-side combines in SQL.
+    spark.range(100).selectExpr("id % 3 AS g", "id AS v").createOrReplaceTempView("tk")
+    val agg = spark.sql(
+      "SELECT g, graft_topk_min(v, 2) AS ks FROM tk GROUP BY g ORDER BY g")
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+    assert(agg(0L) === Seq(0L, 3L) && agg(1L) === Seq(1L, 4L) && agg(2L) === Seq(2L, 5L))
+    // The tokenizer-replay registrations run their literal-table parsers.
+    val enc = spark.sql(
+      """SELECT graft_wordpiece_encode('abc', array('a', '##b', '##c')) AS wp,
+        |       graft_unigram_encode('abc', array(array('ab', '3'), array('c', '5'),
+        |                                         array('a', '9'), array('b', '9'))) AS un
+        |""".stripMargin).collect().head
+    assert(enc.getSeq[String](0) === Seq("a", "##b", "##c"))
+    assert(enc.getSeq[String](1) === Seq("ab", "c"))
+  }
+
   test("arity violations fail analysis, not execution") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_dot(array(1L))").collect()
