@@ -586,6 +586,15 @@ object SparkEntry {
         Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")))
         .orderBy("bucket")),
 
+    // 3-D HILBERT layout audit over the same clustering columns —
+    // Skilling's transpose walk (the d>2 continuous linearization);
+    // file-for-file comparable with q224 the way q191 is with q187.
+    "q232_hilbert3_layout" -> ((s, dir) =>
+      graft.sources.Sinks.hilbertLayoutStatsN(
+        Tables.lineitem(s, dir),
+        Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")))
+        .orderBy("bucket")),
+
     // Rolling distinct active users (the WAU curve): per-user interval
     // merge + sweep-line deltas + one days-sized running sum — rolling
     // COUNT(DISTINCT) with no distinct state anywhere; the naive
@@ -4741,6 +4750,8 @@ object SparkEntry {
 
     "q188_hits" -> hitsOracle,
 
+    "q232_hilbert3_layout" -> hilbert3Oracle,
+
     "q224_zorder3_layout" ->
       """WITH t AS (
         |  SELECT CAST(l_partkey AS BIGINT) AS zx, CAST(l_suppkey AS BIGINT) AS zy,
@@ -8666,6 +8677,72 @@ object SparkEntry {
       |FROM k LEFT JOIN sp USING (doc_id)
       |GROUP BY k.doc_id
       |ORDER BY k.doc_id""".stripMargin
+
+  /** q232: Skilling's d-dim Hilbert walk replayed in SQL, unrolled one
+    * CTE per bit plane (inverse-undo: reflect axis 0 or swap-mask, per
+    * axis sequentially via DuckDB lateral column aliases), then the
+    * Gray encode, the parity fix-up (bit_xor list fold), the bit-plane
+    * transpose, and q224's bucket/box tail.
+    */
+  private def hilbert3Oracle: String = {
+    val bits = 21
+    val levels = ((bits - 1) to 1 by -1).map { l =>
+      val q = 1L << l
+      val p = q - 1
+      val in = if (l == bits - 1) "h3base" else s"u${l + 1}"
+      // Lateral alias names carry the level suffix: the previous CTE's
+      // OUTPUT also contains its own a/b/nx columns, and DuckDB resolves
+      // a name to an input column before a lateral alias — unsuffixed
+      // names silently read the previous level's scratch values.
+      s"""u$l AS MATERIALIZED (
+         |  SELECT zx, zy, zz,
+         |         CASE WHEN (x0 & $q) > 0 THEN xor(x0, $p) ELSE x0 END AS a$l,
+         |         CASE WHEN (x1 & $q) > 0 THEN xor(a$l, $p)
+         |              ELSE xor(a$l, xor(a$l, x1) & $p) END AS b$l,
+         |         CASE WHEN (x1 & $q) > 0 THEN x1
+         |              ELSE xor(x1, xor(a$l, x1) & $p) END AS nx1_$l,
+         |         CASE WHEN (x2 & $q) > 0 THEN xor(b$l, $p)
+         |              ELSE xor(b$l, xor(b$l, x2) & $p) END AS nx0_$l,
+         |         CASE WHEN (x2 & $q) > 0 THEN x2
+         |              ELSE xor(x2, xor(b$l, x2) & $p) END AS nx2_$l,
+         |         nx0_$l AS x0, nx1_$l AS x1, nx2_$l AS x2
+         |  FROM $in
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h3base AS (
+       |  SELECT CAST(l_partkey AS BIGINT) AS zx, CAST(l_suppkey AS BIGINT) AS zy,
+       |         CAST(l_orderkey AS BIGINT) AS zz,
+       |         CAST(l_partkey AS BIGINT) AS x0, CAST(l_suppkey AS BIGINT) AS x1,
+       |         CAST(l_orderkey AS BIGINT) AS x2
+       |  FROM lineitem
+       |),
+       |$levels,
+       |hv3 AS MATERIALIZED (
+       |  SELECT zx, zy, zz,
+       |         x0 AS g0, xor(x1, x0) AS g1, xor(x2, xor(x1, x0)) AS g2,
+       |         COALESCE(list_aggregate(list_transform(range(1, $bits), i ->
+       |           CASE WHEN (g2 >> i) & 1 = 1
+       |                THEN (CAST(1 AS BIGINT) << i) - 1 ELSE CAST(0 AS BIGINT) END),
+       |           'bit_xor'), 0) AS t,
+       |         CAST(list_sum(list_transform(range(0, $bits), i ->
+       |           (((xor(g2, t) >> i) & 1) << (3 * i))
+       |           + (((xor(g1, t) >> i) & 1) << (3 * i + 1))
+       |           + (((xor(g0, t) >> i) & 1) << (3 * i + 2)))) AS BIGINT) AS hv
+       |  FROM u1
+       |),
+       |r AS (
+       |  SELECT zx, zy, zz,
+       |         CAST(ROW_NUMBER() OVER (ORDER BY hv, zx, zy, zz) AS BIGINT) AS rnk,
+       |         CAST(COUNT(*) OVER () AS BIGINT) AS total
+       |  FROM hv3
+       |)
+       |SELECT CAST(((rnk - 1) * 32) // total AS INT) AS bucket,
+       |       CAST(COUNT(*) AS BIGINT) AS n,
+       |       MIN(zx) AS min_x, MAX(zx) AS max_x,
+       |       MIN(zy) AS min_y, MAX(zy) AS max_y,
+       |       MIN(zz) AS min_z, MAX(zz) AS max_z
+       |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
 
   /** Shared q39/q228 oracle: placeholder-quantizer IVF search (the
     * streamed postings are the same assignment, epoch-unioned).

@@ -310,6 +310,28 @@ object Sinks {
 
   private val dimLabels = Seq("x", "y", "z", "w")
 
+  /** [[zOrderLayoutStatsN]]'s Hilbert twin for d ≥ 2 clustering columns
+    * ([[graft.expressions.HilbertIndexN]], Skilling's transpose walk) —
+    * same bucket machinery and box schema, so Z-order and Hilbert
+    * layouts compare file-for-file at any dimensionality (q224 vs q232
+    * is the 3-D pair the way q187 vs q191 is the 2-D one).
+    */
+  def hilbertLayoutStatsN(
+      df: DataFrame,
+      dims: Seq[Column],
+      numBuckets: Int = 32,
+      numPartitions: Int = 32): DataFrame = {
+    require(dims.size >= 2 && dims.size <= dimLabels.size,
+      s"hilbertLayoutStatsN supports 2..${dimLabels.size} dimensions, got ${dims.size}")
+    val bits = (63 / dims.size).min(21)
+    val names = dims.indices.map(i => s"z${dimLabels(i)}")
+    val bridge = org.apache.spark.sql.graft.bridge
+    val base = df.select(dims.zip(names).map { case (c, n) => c.cast("long").as(n) }: _*)
+      .withColumn("zv", bridge.column(graft.expressions.HilbertIndexN(
+        names.map(n => bridge.expression(col(n))), bits)))
+    valueLayoutStatsD(base, names, dimLabels.take(dims.size), numBuckets, numPartitions)
+  }
+
   /** Hilbert index of `(x, y)` appended as `hv` (plus the cast inputs as
     * `zx`/`zy`): the standard per-level quadrant walk (Wikipedia xy2d /
     * Butz's algorithm) over `bits`-bit coordinates, as ONE codegen'd

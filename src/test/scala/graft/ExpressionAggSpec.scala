@@ -75,6 +75,33 @@ class ExpressionAggSpec extends SparkSpec {
     assert(agg("tiny") === Seq(1L, 3L))
   }
 
+  test("HilbertIndexN: 3-D bits=2 is a continuous bijection (the Hilbert property); 1-D planes anchor") {
+    // Every (x,y,z) in the 4^3 grid maps to a distinct index in [0, 64)
+    // and CONSECUTIVE indices are Manhattan-adjacent cells — only a
+    // genuine Hilbert walk satisfies both.
+    val cells = for (x <- 0L until 4L; y <- 0L until 4L; z <- 0L until 4L)
+      yield (x, y, z)
+    val idx = cells.map { case (x, y, z) =>
+      graft.expressions.HilbertIndexN.compute(Array(x, y, z), 2) -> (x, y, z)
+    }.toMap
+    assert(idx.size === 64, "3-D index must be injective over the grid")
+    assert(idx.keySet === (0L until 64L).toSet, "3-D index must cover [0, 64)")
+    (0L until 63L).foreach { h =>
+      val (x1, y1, z1) = idx(h)
+      val (x2, y2, z2) = idx(h + 1)
+      val dist = math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2)
+      assert(dist === 1, s"steps $h -> ${h + 1} not adjacent: $idx")
+    }
+    // Column path agrees with the plain-Scala compute.
+    val viaCol = Seq((1L, 2L, 3L), (0L, 0L, 0L), (3L, 3L, 3L)).toDF("x", "y", "z")
+      .withColumn("h", bridge.column(graft.expressions.HilbertIndexN(
+        Seq("x", "y", "z").map(c => bridge.expression(col(c))), 2)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+    viaCol.foreach { case ((x, y, z), h) =>
+      assert(h === graft.expressions.HilbertIndexN.compute(Array(x, y, z), 2))
+    }
+  }
+
   test("ByteRemap: GPT-2 bytes_to_unicode — identity on printables, space->Ġ, total+injective") {
     val t = graft.expressions.ByteRemap.table
     // Printable ASCII keeps its codepoint; the excluded bytes shift to 256+n
