@@ -180,7 +180,7 @@ object ScaleProbe {
     // run that died mid-synthesis leaves a half-built directory that would
     // otherwise be silently probed against stale or missing inputs.
     val reuse = sys.env.get("SPARK_GRAFT_PROBE_REUSE").contains("1") &&
-      Seq("documents", "embeddings", "events", "lineitem").forall(t =>
+      Seq("documents", "embeddings", "events", "lineitem", "orders").forall(t =>
         new java.io.File(s"$scaledDir/$t.parquet/_SUCCESS").exists())
 
     val reps = spark.range(10).toDF("k")
@@ -226,6 +226,20 @@ object ScaleProbe {
         (col("l_orderkey") + col("k") * Shift).as("l_orderkey") +:
           li1.columns.filter(_ != "l_orderkey").map(col): _*)
       .write.mode("overwrite").parquet(s"$scaledDir/lineitem.parquet")
+
+    // Orders replicate with BOTH keys shifted: lineitem's shifted
+    // orderkeys join copy-k's orders, and shifted custkeys make the
+    // q188 interaction graph 10 genuinely disjoint bipartite copies
+    // sharing the part vocabulary (unshifted custkeys would replicate
+    // the SAME edges, which the HITS distinct() would collapse — a
+    // probe that measures nothing).
+    val o1 = spark.read.parquet(s"$sfDir/orders.parquet")
+    if (!reuse) o1.crossJoin(reps)
+      .select(
+        (col("o_orderkey") + col("k") * Shift).as("o_orderkey") +:
+          (col("o_custkey") + col("k") * Shift).as("o_custkey") +:
+          o1.columns.filterNot(c => c == "o_orderkey" || c == "o_custkey").map(col): _*)
+      .write.mode("overwrite").parquet(s"$scaledDir/orders.parquet")
 
     // Effective input factors (document text grows ~30% from the tags —
     // exponents must use what was actually read, not the nominal 10).
@@ -588,13 +602,13 @@ object ScaleProbe {
     bracket("q175_kcenter", SparkEntry.queries("q175_kcenter"), rowFactor)
     bracket("q178_personalized_pagerank",
       SparkEntry.queries("q178_personalized_pagerank"), byteFactor)
-    // r14 batch-3 internally-persisting operators: HITS materializes
-    // per-round hub/authority state over the rare-shingle graph (edge
-    // structure replicates per copy → byteFactor, the q136/q178
-    // argument); the tokenizer scorecard trains BOTH families
+    // r15: HITS localCheckpoints per-round hub/authority state over the
+    // lineitem x orders interaction graph — the scaled replica is 10
+    // disjoint bipartite copies (both order keys shifted), so edges grow
+    // by rows; the tokenizer scorecard trains all FOUR families
     // (driver-side loops over collected vocab tables) and re-encodes
     // per leg — cost is corpus token scans end to end.
-    bracket("q188_hits", SparkEntry.queries("q188_hits"), byteFactor)
+    bracket("q188_hits", SparkEntry.queries("q188_hits"), rowFactor)
     bracket("q196_tokenizer_scorecard",
       SparkEntry.queries("q196_tokenizer_scorecard"), byteFactor)
     // r14 batch-4: modularity itself is three bounded aggregates, but

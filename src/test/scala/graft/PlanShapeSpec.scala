@@ -198,6 +198,54 @@ class PlanShapeSpec extends SparkSpec {
       s"query tables stopped broadcasting:\n$ps")
   }
 
+  test("exactSubstrDedup: digest-keyed occurrence count, no cross product, bounded shuffles") {
+    // The ExactSubstr pass must stay: fused per-doc digest scan → ONE
+    // digest-keyed (map-combined) occurrence aggregate → digest-keyed
+    // mark-back join → doc-keyed spans/strip. No window text in any
+    // exchange, nothing quadratic.
+    val df = Dedup.exactSubstrDedup(Tables(dir))
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"), s"ExactSubstr grew a cross product:\n$p")
+    assert(shuffles(df) <= 10, s"ExactSubstr grew a shuffle:\n$p")
+  }
+
+  test("byte-level BPE encode: type table broadcasts; the pre-token stream never shuffles") {
+    val docs = Tables(dir)
+    val merges = graft.functions.TextAnalysis.byteBpeTrainMerges(docs, numMerges = 4)
+    val df = graft.functions.TextAnalysis.byteBpeEncode(docs, merges)
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"), s"type-pieces side stopped broadcasting:\n$p")
+    // Inherent exchanges: ONLY the vocab-bounded distinct(w) aggregate —
+    // the token stream joins the broadcast without repartitioning. The
+    // other two exchanges here are `spread`'s few-partition fixture
+    // repartitions (sf0.001 has fewer input splits than parallelism),
+    // which vanish at scale.
+    assert(shuffles(df) <= 3, s"byte-BPE encode grew a shuffle:\n$p")
+  }
+
+  test("3-D layout audits: no sampled range exchange, ranks from explicit boundaries") {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val dims = Seq(
+      org.apache.spark.sql.functions.col("l_partkey"),
+      org.apache.spark.sql.functions.col("l_suppkey"),
+      org.apache.spark.sql.functions.col("l_orderkey"))
+    Seq(
+      graft.sources.Sinks.zOrderLayoutStatsN(li, dims, numBuckets = 8),
+      graft.sources.Sinks.hilbertLayoutStatsN(li, dims, numBuckets = 8)
+    ).foreach { out =>
+      val rows = out.collect()
+      val n = rows.map(_.getAs[Long]("n")).sum
+      assert(n === li.count())
+      rows.foreach { r =>
+        val c = r.getAs[Long]("n")
+        assert(c === n / 8 || c === n / 8 + 1, s"bucket sizes not equal-count: $c vs $n/8")
+      }
+      val fin = out.queryExecution.executedPlan.toString
+      assert(!fin.contains("rangepartitioning"),
+        s"3-D layout audit must not depend on a sampled range exchange:\n${fin.take(1500)}")
+    }
+  }
+
   test("substring strip and self-repeats stay digest-keyed with no cross product") {
     val docs = Tables(dir)
     val strip = Dedup.substringDecontaminateStrip(
