@@ -1105,7 +1105,10 @@ object Multimodal {
     * double-precision separable 2-D IDCT (the `jpeg_idct_float` class),
     * spec-checked against a direct-form reference, never oracle-hashed.
     *
-    * Restart markers (DRI), progressive/extended SOFs, subsampling, and
+    * Restart intervals are SUPPORTED (DRI + cycling RSTn with byte
+    * realignment and T.81 E.2.4 DC-predictor reset — the error-
+    * resilience structure real encoders emit; out-of-order markers
+    * reject). Progressive/extended SOFs, subsampling, and
     * multi-component scans raise — the PGM/PNG codecs' restricted-but-
     * real contract: reject loudly, never return garbage.
     */
@@ -1177,15 +1180,20 @@ object Multimodal {
           i -= 1
         }
       }
-      def finish(): Array[Byte] = {
+      private def pad(): Unit =
         if (nb > 0) { // pad with 1-bits (T.81 F.1.2.3)
           acc = (acc << (8 - nb)) | ((1 << (8 - nb)) - 1)
           buf += acc.toByte
           if ((acc & 0xff) == 0xff) buf += 0x00.toByte
           nb = 0
         }
-        buf.toArray
+      /** Byte-align and emit RSTm (restart markers are NOT stuffed). */
+      def restart(m: Int): Unit = {
+        pad()
+        buf += 0xff.toByte
+        buf += (0xd0 + m).toByte
       }
+      def finish(): Array[Byte] = { pad(); buf.toArray }
     }
 
     private def seg(marker: Int, body: Array[Byte]): Array[Byte] =
@@ -1193,7 +1201,16 @@ object Multimodal {
         (((body.length + 2) >> 8) & 0xff).toByte,
         ((body.length + 2) & 0xff).toByte) ++ body
 
-    def encode(textBytes: Array[Byte]): Array[Byte] = {
+    def encode(textBytes: Array[Byte]): Array[Byte] =
+      encode(textBytes, restartInterval = 0)
+
+    /** `restartInterval > 0` emits a DRI segment and an RSTm marker
+      * (cycling m = 0..7, DC predictor reset, byte realignment) after
+      * every `restartInterval` MCUs — the error-resilience structure
+      * real encoders emit and the decoder's restart path needs a
+      * first-party producer for.
+      */
+    def encode(textBytes: Array[Byte], restartInterval: Int): Array[Byte] = {
       val nb = textBytes.length / 64
       require(nb > 0, s"document too short for a JPEG raster: ${textBytes.length} bytes")
       val w = 8 * nb
@@ -1211,7 +1228,16 @@ object Multimodal {
       val eob = acCodes(0x00)
       val bw = new BitWriter
       var pred = 0
+      var sinceRestart = 0
+      var nextRst = 0
       dcs.foreach { dc =>
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          bw.restart(nextRst)
+          nextRst = (nextRst + 1) % 8
+          pred = 0
+          sinceRestart = 0
+        }
+        sinceRestart += 1
         val diff = dc - pred
         pred = dc
         val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
@@ -1232,7 +1258,12 @@ object Multimodal {
         Array(0x00.toByte) ++ DcBits.drop(1).map(_.toByte) ++ DcVals.map(_.toByte) ++
           Array(0x10.toByte) ++ AcBits.drop(1).map(_.toByte) ++ AcVals.map(_.toByte))
       val sos = seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
-      Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dht ++ sos ++
+      val dri =
+        if (restartInterval > 0)
+          seg(0xdd, Array(
+            ((restartInterval >> 8) & 0xff).toByte, (restartInterval & 0xff).toByte))
+        else Array.empty[Byte]
+      Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dht ++ dri ++ sos ++
         bw.finish() ++ Array(0xff.toByte, 0xd9.toByte)
     }
 
@@ -1287,6 +1318,19 @@ object Multimodal {
         while (i < n) { v = (v << 1) | bit(); i += 1 }
         v
       }
+      /** Byte-align, skip optional 0xFF fill bytes, verify RSTm. */
+      def restartMarker(expect: Int): Unit = {
+        acc = 0; nb = 0 // discard the interval's 1-bit padding
+        require(pos + 1 < data.length, "truncated at restart marker")
+        require((data(pos) & 0xff) == 0xff, "expected a restart marker")
+        var q = pos + 1
+        while ((data(q) & 0xff) == 0xff) q += 1
+        val m = data(q) & 0xff
+        require(m == 0xd0 + expect,
+          f"expected RST$expect%d, got ff$m%02x")
+        pos = q + 1
+      }
+
       def decode(t: HuffTable): Int = {
         var code = bit()
         var len = 1
@@ -1341,6 +1385,7 @@ object Multimodal {
       require(p.length > 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8,
         s"not a JPEG (missing SOI) for doc $id")
       var pos = 2
+      var restartInterval = 0
       val qts = scala.collection.mutable.Map.empty[Int, Array[Int]]
       var dcTab: HuffTable = null
       var acTab: HuffTable = null
@@ -1391,7 +1436,10 @@ object Multimodal {
             val len = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff)
             require((p(pos + 2) & 0xff) == 1, "only single-component scans")
             scanStart = pos + len
-          case 0xdd => throw new IllegalArgumentException("restart intervals unsupported")
+          case 0xdd =>
+            val len = ((p(pos) & 0xff) << 8) | (p(pos + 1) & 0xff)
+            restartInterval = ((p(pos + 2) & 0xff) << 8) | (p(pos + 3) & 0xff)
+            pos += len
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
                0xcd | 0xce | 0xcf =>
             throw new IllegalArgumentException(f"non-baseline SOF marker ff$m%02x")
@@ -1410,7 +1458,16 @@ object Multimodal {
       var dcMax = Long.MinValue
       var recon = 0L
       var b = 0L
+      var sinceRestart = 0
+      var nextRst = 0
       while (b < nBlocks) {
+        if (restartInterval > 0 && sinceRestart == restartInterval) {
+          br.restartMarker(nextRst) // byte-align, verify RSTm, drop pad bits
+          nextRst = (nextRst + 1) % 8
+          pred = 0 // T.81 E.2.4: DC prediction resets at every restart
+          sinceRestart = 0
+        }
+        sinceRestart += 1
         val cat = br.decode(dcTab)
         val diff = extend(br.receive(cat), cat)
         pred += diff

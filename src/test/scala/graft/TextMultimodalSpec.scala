@@ -1352,6 +1352,35 @@ class TextMultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JPEG codec: restart intervals (DRI + cycling RSTn, DC predictor reset) round-trip") {
+    val text = ("a" * 63 + "Z" + "m" * 64 + "q" * 70).getBytes("UTF-8") // 3 blocks
+    val plainF = Multimodal.JpegCodec.decode(1L, Multimodal.JpegCodec.encode(text))
+    val rst = Multimodal.JpegCodec.encode(text, restartInterval = 1)
+    // The stream must really carry DRI and two restart markers.
+    assert(rst.sliding(2).exists(a => (a(0) & 0xff) == 0xff && (a(1) & 0xff) == 0xdd),
+      "DRI segment missing")
+    assert(rst.sliding(2).exists(a => (a(0) & 0xff) == 0xff && (a(1) & 0xff) == 0xd0) &&
+      rst.sliding(2).exists(a => (a(0) & 0xff) == 0xff && (a(1) & 0xff) == 0xd1),
+      "RST0/RST1 markers missing")
+    val rstF = Multimodal.JpegCodec.decode(1L, rst)
+    // Identical image content: dc/reconstruction stats match the plain
+    // stream; scan_bits legitimately differ (every interval's first DC
+    // diff re-encodes against a reset predictor).
+    assert(rstF.n_blocks === plainF.n_blocks)
+    assert(rstF.dc_sum === plainF.dc_sum && rstF.dc_min === plainF.dc_min &&
+      rstF.dc_max === plainF.dc_max)
+    assert(rstF.recon_sum === plainF.recon_sum)
+    // A wrong-order restart marker must reject loudly.
+    val idx = rst.indices.find(i =>
+      (rst(i) & 0xff) == 0xff && (rst(i + 1) & 0xff) == 0xd0).get
+    val corrupted = rst.clone()
+    corrupted(idx + 1) = 0xd5.toByte
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.JpegCodec.decode(1L, corrupted)
+    }
+    assert(err.getMessage.contains("RST"))
+  }
+
   test("JPEG decoder: nonzero-AC foreign stream decodes through Huffman+IDCT") {
     // Splice a hand-written entropy stream (DC diff 0, one AC at zigzag
     // index 1, EOB) into a codec-produced single-block header: exercises
