@@ -1319,6 +1319,38 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Decontamination RECALL on planted canaries — the needle test every
+    // decontamination stack owes its users: 10-token canaries with a
+    // vocabulary disjoint from the corpus (digits never appear in corpus
+    // words) planted at word offset 2 of each host; the detector must
+    // recover EVERY canary at exactly its planted span and alignment.
+    // Ground truth is known by construction, so the oracle is pure
+    // arithmetic — any miss, truncation, or mis-alignment hash-fails.
+    "q233_canary_recall" -> ((s, dir) => {
+      val hosts = Tables.documents(s, dir).filter(col("doc_id") < 20)
+      val canaryArr = transform(
+        sequence(lit(0), lit(9)),
+        j => concat(lit("cn"), col("cid").cast("string"), lit("w"), j.cast("string")))
+      val canaries = s.range(20)
+        .select((col("id") + 1000000L).as("doc_id"), col("id").as("cid"))
+        .select(col("doc_id"), array_join(canaryArr, " ").as("text"))
+        .withColumn("lang", lit("en")).withColumn("source", lit("canary"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      val planted = hosts
+        .withColumn("ws", split(trim(col("text")), "\\s+"))
+        .withColumn("cid", col("doc_id"))
+        .select(
+          col("doc_id"),
+          array_join(
+            concat(
+              slice(col("ws"), 1, 2),
+              canaryArr,
+              slice(col("ws"), lit(3), greatest(size(col("ws")) - 2, lit(0)))),
+            " ").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      Dedup.substringDecontaminate(planted, canaries).orderBy("doc_id")
+    }),
+
     // The act-on-it companion: every token covered by a matched
     // reference window is dropped, clean text rebuilt narrowly —
     // PaLM/GPT-style eval-overlap removal at any offset.
@@ -3121,6 +3153,18 @@ object SparkEntry {
     // internal repeat with the engine's tie-break; in-doc digest
     // occurrences capped at 64 before pairing, exactly as the engine.
     "q227_exact_substr_dedup" -> exactSubstrOracle,
+
+    "q233_canary_recall" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_split_to_array(trim(text), '\s+')) + 10 AS BIGINT) AS n_tokens,
+        |       CAST(10 AS BIGINT) AS max_match_len,
+        |       CAST(1000000 + doc_id AS BIGINT) AS best_ref_doc,
+        |       CAST(2 AS INT) AS best_start,
+        |       CAST(0 AS INT) AS best_ref_start,
+        |       CAST(3 AS BIGINT) AS n_matched_windows,
+        |       TRUE AS contaminated
+        |FROM documents WHERE doc_id < 20
+        |ORDER BY doc_id""".stripMargin,
 
     // The merged streaming occurrence state must strip identically to
     // the one-shot batch pass.

@@ -121,6 +121,54 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout REALLY skips data: row-group stats prune a y-slab an x-sort cannot") {
+    import org.apache.spark.sql.functions._
+    // Not a simulation: write the same table twice — once sorted by the
+    // Morton key, once lexicographically by x — as many small parquet
+    // FILES (the min/max pruning unit a real lakehouse scan uses), then
+    // run an identical 2-D box predicate against both and compare the
+    // scans' filesRead metric. The Z-order layout must touch strictly
+    // fewer files; file-level min/max stats ARE the bounding boxes the
+    // q187/q224 audits report.
+    val n = 1 << 14
+    val grid = spark.range(n).select(
+      (col("id") % 128).as("x"), expr("id div 128").as("y"))
+    val zDir = java.nio.file.Files.createTempDirectory("graft_skip_z").toString
+    val xDir = java.nio.file.Files.createTempDirectory("graft_skip_x").toString
+    grid.withColumn("zv", Sinks.zValue("x", "y"))
+      .repartitionByRange(16, col("zv")).sortWithinPartitions("zv")
+      .drop("zv").write.mode("overwrite").parquet(zDir)
+    grid.repartitionByRange(16, col("x"), col("y")).sortWithinPartitions("x", "y")
+      .write.mode("overwrite").parquet(xDir)
+    // The y-only slab is the case a lexicographic x-sort fundamentally
+    // cannot prune (every file spans all y); the Z layout keeps y-local
+    // cells together, so the parquet reader's row-group statistics skip
+    // most of the table. Scan-node numOutputRows = rows the reader
+    // actually surfaced AFTER row-group skipping — the real IO signal.
+    def rowsScanned(dir: String): Long = {
+      val df = spark.read.parquet(dir).filter(col("y").between(10, 20))
+      // collect() executes the dataset's OWN QueryExecution, so the scan
+      // metrics land on the plan inspected below (a .write would run a
+      // separate execution and leave these metrics at zero).
+      assert(df.collect().length === 11 * 128)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+      def scan(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[FileSourceScanExec] = p match {
+        case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
+        case f: FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scan)
+      }
+      scan(df.queryExecution.executedPlan)
+        .flatMap(_.metrics.get("numOutputRows")).map(_.value).sum
+    }
+    val zRows = rowsScanned(zDir)
+    val xRows = rowsScanned(xDir)
+    assert(zRows > 0, "the slab predicate must still match data")
+    assert(zRows * 2 <= xRows,
+      s"z-order must skip at least half the rows an x-sort reads: z=$zRows vs x=$xRows")
+  }
+
   test("hilbert index: matches the reference walk; the 16x16 corner is a continuous bijection") {
     import org.apache.spark.sql.functions._
     // Plain-Scala twin of the unrolled Column walk — catches translation
