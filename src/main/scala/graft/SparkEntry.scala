@@ -2011,6 +2011,21 @@ object SparkEntry {
         .toDF()
         .orderBy("doc_id")),
 
+    // Quarantined decode over a corpus with DETERMINISTIC corruption
+    // (every 7th payload's SOI byte zeroed): malformed payloads become
+    // inspectable (ok=false, err_kind) rows instead of task failures;
+    // clean payloads decode exactly as q229 — the PERMISSIVE-reader
+    // contract applied to binary columns.
+    "q234_decode_quarantine" -> ((s, dir) => {
+      val media = Multimodal.toJpeg(
+          Tables.documents(s, dir).filter(col("n_chars") >= 64))
+        .withColumn("payload",
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            expr("overlay(payload PLACING X'00' FROM 1)"))
+            .otherwise(col("payload")))
+      Multimodal.decodeJpegQuarantine(s, media).toDF().orderBy("doc_id")
+    }),
+
     // BM25 more-like-this over word bigrams: the lexical retrieval leg —
     // doc_id % 25 probe set, exact-integer idf/tf-saturation, top-10.
     "q143_bm25_retrieval" -> ((s, dir) =>
@@ -3519,43 +3534,40 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q229_jpeg_features" ->
-      """WITH d AS (
-        |  SELECT doc_id, text, CAST(length(text) // 64 AS BIGINT) AS nb
-        |  FROM documents WHERE length(text) >= 64
-        |),
-        |blk AS (
-        |  SELECT doc_id, nb, CAST(b AS BIGINT) AS b,
-        |         CAST(list_sum(list_transform(range(1, 65), i ->
-        |           unicode(text[CAST(64 * b + i AS INT):CAST(64 * b + i AS INT)]))) AS BIGINT) AS s
-        |  FROM d, unnest(range(nb)) AS u(b)
-        |),
-        |dc AS (
-        |  SELECT doc_id, nb, b, CAST((s - 8192 + 64) // 128 AS BIGINT) AS dcq
-        |  FROM blk
-        |),
-        |df AS (
-        |  SELECT doc_id, nb, b, dcq,
-        |         dcq - COALESCE(LAG(dcq) OVER (PARTITION BY doc_id ORDER BY b), 0) AS diff
-        |  FROM dc
-        |),
-        |per AS (
-        |  SELECT doc_id, nb, dcq,
-        |         CASE WHEN diff = 0 THEN 0 ELSE length(bin(abs(diff))) END AS cat
-        |  FROM df
-        |)
-        |SELECT doc_id,
-        |       CAST(MAX(8 * nb) AS INT) AS width,
-        |       CAST(8 AS INT) AS height,
-        |       MAX(nb) AS n_blocks,
-        |       CAST(SUM(dcq) AS BIGINT) AS dc_sum,
-        |       CAST(MIN(dcq) AS BIGINT) AS dc_min,
-        |       CAST(MAX(dcq) AS BIGINT) AS dc_max,
-        |       CAST(SUM((CASE WHEN cat = 0 THEN 2 WHEN cat <= 5 THEN 3 ELSE cat - 2 END)
-        |                + cat + 4) AS BIGINT) AS scan_bits,
-        |       CAST(SUM(64 * LEAST(255, GREATEST(0, 128 + (16 * dcq + 4) // 8))) AS BIGINT) AS recon_sum
-        |FROM per
-        |GROUP BY doc_id
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $jpegDcCtes
+         |SELECT doc_id,
+         |       CAST(MAX(8 * nb) AS INT) AS width,
+         |       CAST(8 AS INT) AS height,
+         |       MAX(nb) AS n_blocks,
+         |       CAST(SUM(dcq) AS BIGINT) AS dc_sum,
+         |       CAST(MIN(dcq) AS BIGINT) AS dc_min,
+         |       CAST(MAX(dcq) AS BIGINT) AS dc_max,
+         |       CAST(SUM((CASE WHEN cat = 0 THEN 2 WHEN cat <= 5 THEN 3 ELSE cat - 2 END)
+         |                + cat + 4) AS BIGINT) AS scan_bits,
+         |       CAST(SUM(64 * LEAST(255, GREATEST(0, 128 + (16 * dcq + 4) // 8))) AS BIGINT) AS recon_sum
+         |FROM per
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
+
+    "q234_decode_quarantine" ->
+      s"""WITH $jpegDcCtes
+         |SELECT doc_id,
+         |       (doc_id % 7 <> 0) AS ok,
+         |       CASE WHEN doc_id % 7 = 0 THEN 'IllegalArgumentException' ELSE '' END AS err_kind,
+         |       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE MAX(8 * nb) END AS INT) AS width,
+         |       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 8 END AS INT) AS height,
+         |       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE MAX(nb) END AS BIGINT) AS n_blocks,
+         |       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE SUM(dcq) END AS BIGINT) AS dc_sum,
+         |       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE MIN(dcq) END AS BIGINT) AS dc_min,
+         |       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE MAX(dcq) END AS BIGINT) AS dc_max,
+         |       CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+         |            ELSE SUM((CASE WHEN cat = 0 THEN 2 WHEN cat <= 5 THEN 3 ELSE cat - 2 END)
+         |                     + cat + 4) END AS BIGINT) AS scan_bits,
+         |       CAST(CASE WHEN doc_id % 7 = 0 THEN 0
+         |            ELSE SUM(64 * LEAST(255, GREATEST(0, 128 + (16 * dcq + 4) // 8))) END AS BIGINT) AS recon_sum
+         |FROM per
+         |GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q156_png_features" ->
       """WITH px AS (
@@ -8721,6 +8733,35 @@ object SparkEntry {
       |FROM k LEFT JOIN sp USING (doc_id)
       |GROUP BY k.doc_id
       |ORDER BY k.doc_id""".stripMargin
+
+  /** Shared q229/q234 oracle CTEs: the DC-path replay from document
+    * text (blocks, quantized DCs, diff categories).
+    */
+  private val jpegDcCtes =
+    """d AS (
+      |  SELECT doc_id, text, CAST(length(text) // 64 AS BIGINT) AS nb
+      |  FROM documents WHERE length(text) >= 64
+      |),
+      |blk AS (
+      |  SELECT doc_id, nb, CAST(b AS BIGINT) AS b,
+      |         CAST(list_sum(list_transform(range(1, 65), i ->
+      |           unicode(text[CAST(64 * b + i AS INT):CAST(64 * b + i AS INT)]))) AS BIGINT) AS s
+      |  FROM d, unnest(range(nb)) AS u(b)
+      |),
+      |dc AS (
+      |  SELECT doc_id, nb, b, CAST((s - 8192 + 64) // 128 AS BIGINT) AS dcq
+      |  FROM blk
+      |),
+      |df AS (
+      |  SELECT doc_id, nb, b, dcq,
+      |         dcq - COALESCE(LAG(dcq) OVER (PARTITION BY doc_id ORDER BY b), 0) AS diff
+      |  FROM dc
+      |),
+      |per AS (
+      |  SELECT doc_id, nb, dcq,
+      |         CASE WHEN diff = 0 THEN 0 ELSE length(bin(abs(diff))) END AS cat
+      |  FROM df
+      |)""".stripMargin
 
   /** q232: Skilling's d-dim Hilbert walk replayed in SQL, unrolled one
     * CTE per bit plane (inverse-undo: reflect axis 0 or swap-mask, per

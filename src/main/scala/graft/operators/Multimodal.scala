@@ -1086,6 +1086,36 @@ object Multimodal {
       .mapPartitions(_.map { case (id, payload) => JpegCodec.decode(id, payload) })
   }
 
+  case class JpegQuarantineRow(
+      doc_id: Long, ok: Boolean, err_kind: String,
+      width: Int, height: Int, n_blocks: Long,
+      dc_sum: Long, dc_min: Long, dc_max: Long, scan_bits: Long,
+      recon_sum: Long)
+
+  /** [[decodeJpegFeatures]] with QUARANTINE semantics — what a corpus-
+    * scale decode actually needs: a malformed payload must become an
+    * inspectable row, never a task failure that kills the scan. Decode
+    * errors land as `(ok = false, err_kind = <exception class>)` with
+    * zeroed features; clean payloads decode exactly as the strict path.
+    * Same pattern as the PERMISSIVE quarantine readers in
+    * [[graft.sources]], applied to binary payloads.
+    */
+  def decodeJpegQuarantine(spark: SparkSession, media: DataFrame): Dataset[JpegQuarantineRow] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        try {
+          val f = JpegCodec.decode(id, payload)
+          JpegQuarantineRow(id, ok = true, "", f.width, f.height, f.n_blocks,
+            f.dc_sum, f.dc_min, f.dc_max, f.scan_bits, f.recon_sum)
+        } catch {
+          case e: Exception =>
+            JpegQuarantineRow(id, ok = false, e.getClass.getSimpleName,
+              0, 0, 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      })
+  }
+
   /** Minimal-but-real baseline JPEG codec (ITU-T T.81, SOF0): marker/
     * segment grammar, DQT (8-bit, zigzag), SOF0 (8-bit grayscale,
     * 1×1 sampling), DHT with CANONICAL table construction from the
