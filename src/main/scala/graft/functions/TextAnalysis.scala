@@ -349,6 +349,16 @@ object TextAnalysis {
   val BytePretokenPattern: String =
     "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
 
+  /** The TRUE GPT-2 pattern including the `\s+(?!\S)` trailing-
+    * whitespace lookahead (Java regex supports it; RE2/DuckDB cannot, so
+    * the GATE pattern above drops it). The two patterns tokenize
+    * IDENTICALLY on any text without consecutive whitespace — the
+    * equivalence domain a spec pins, which covers the whole gate corpus
+    * — and differ only in how runs of 2+ spaces split.
+    */
+  val BytePretokenPatternGpt2: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+(?!\\S)|\\s+"
+
   /** One row per (doc_id, pos, w) pre-token, where `w` is ALREADY
     * byte-remapped ([[graft.expressions.ByteRemap]] — UTF-8 bytes to the
     * GPT-2 printable alphabet), so each CHARACTER of `w` is one byte

@@ -92,6 +92,18 @@ class ExpressionAggSpec extends SparkSpec {
       val dist = math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2)
       assert(dist === 1, s"steps $h -> ${h + 1} not adjacent: $idx")
     }
+    // 4-D, bits=1: the 2^4 hypercube corners must also form a
+    // Hamiltonian path (dimension-generic Hilbert property).
+    val corners = (0L until 16L).map { m =>
+      Array(0, 1, 2, 3).map(i => (m >> i) & 1L)
+    }
+    val idx4 = corners.map(c =>
+      graft.expressions.HilbertIndexN.compute(c.clone(), 1) -> c.toSeq).toMap
+    assert(idx4.keySet === (0L until 16L).toSet, "4-D bits=1 must be a bijection")
+    (0L until 15L).foreach { h =>
+      val d = idx4(h).zip(idx4(h + 1)).map { case (a, b) => math.abs(a - b) }.sum
+      assert(d === 1, s"4-D steps $h -> ${h + 1} not adjacent")
+    }
     // Column path agrees with the plain-Scala compute.
     val viaCol = Seq((1L, 2L, 3L), (0L, 0L, 0L), (3L, 3L, 3L)).toDF("x", "y", "z")
       .withColumn("h", bridge.column(graft.expressions.HilbertIndexN(
@@ -159,6 +171,34 @@ class ExpressionAggSpec extends SparkSpec {
       .select(col("w"), concat_ws("", col("pieces")).as("joined")).collect()
     enc.foreach(r => assert(r.getString(0) === r.getString(1),
       "byte-level pieces must concatenate back to the pre-token (no byte lost)"))
+  }
+
+  test("byte-BPE pre-token patterns: RE2-safe gate pattern ≡ true GPT-2 pattern on single-spaced text") {
+    import graft.functions.TextAnalysis.{BytePretokenPattern, BytePretokenPatternGpt2}
+    val gate = java.util.regex.Pattern.compile(BytePretokenPattern)
+    val gpt2 = java.util.regex.Pattern.compile(BytePretokenPatternGpt2)
+    def toks(p: java.util.regex.Pattern, s: String): Seq[String] = {
+      val m = p.matcher(s)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (m.find()) out += m.group()
+      out.toSeq
+    }
+    // Equivalence domain: no consecutive whitespace — the entire gate
+    // corpus (and both patterns always PARTITION the input: every char
+    // lands in exactly one pre-token).
+    val singleSpaced = Seq(
+      "the cat sat", "it's fine, really!", "a1 b2 3c", "word", " leading",
+      "trailing ", "punct... dashes-and_scores 42")
+    singleSpaced.foreach { s =>
+      assert(toks(gate, s) === toks(gpt2, s), s"patterns diverged on single-spaced: '$s'")
+      assert(toks(gate, s).mkString === s, s"gate pattern must partition '$s'")
+    }
+    // The ONLY divergence: runs of 2+ spaces — GPT-2's lookahead leaves
+    // the last space to attach to the next word; the RE2-safe pattern
+    // consumes the whole run. Pinned so the doc claim stays true.
+    assert(toks(gate, "a  b") === Seq("a", "  ", "b"))
+    assert(toks(gpt2, "a  b") === Seq("a", " ", " b"))
+    assert(toks(gpt2, "a  b").mkString === "a  b", "both still partition")
   }
 
   test("TopKMin: partial aggregation bounds the exchange (partial_graft_topk_min in plan)") {
