@@ -36,6 +36,9 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     // Targeted local iteration: SPARK_GRAFT_BENCH_ONLY=q187,q216 times just
     // those queries (full sweep when unset — the driver never sets it).
+    // Deliberately PREFIX-matched ("q22" selects every q22x query) for
+    // quick family runs — unlike SPARK_GRAFT_PROBE_ONLY's exact names,
+    // which gate which probe ROWS get emitted and must not over-select.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {

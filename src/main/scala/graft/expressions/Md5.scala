@@ -436,15 +436,29 @@ object Md5 {
       modulus: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
     val n = words.numElements()
     val md = tl.get()
-    val wb = wordBytes(words)
+    // NULL array elements keep the retired declarative chain's
+    // semantics: a null word is never a boundary (the filter lambda's
+    // `pmod(md5(null), m) = 0` is NULL → dropped) and vanishes from the
+    // chunk digest text (array_join skips nulls) while still occupying
+    // its position in the span arithmetic.
+    val wb = new Array[Array[Byte]](n)
+    var j = 0
+    while (j < n) {
+      wb(j) = if (words.isNullAt(j)) null else words.getUTF8String(j).getBytes
+      j += 1
+    }
     val mod = modulus.toLong
     // 1-based boundary position i (never the last word): span ends at i.
     val spans = new scala.collection.mutable.ArrayBuffer[(Int, Int)](8)
     var s = 1
     var i = 1
     while (i < n) {
-      val h = be64(shingleDigest(md, wb, i - 1, 1), 0) >>> 4
-      if (h % mod == 0L) { spans += ((s, i)); s = i + 1 }
+      if (wb(i - 1) != null) {
+        md.reset()
+        md.update(wb(i - 1))
+        val h = be64(md.digest(), 0) >>> 4
+        if (h % mod == 0L) { spans += ((s, i)); s = i + 1 }
+      }
       i += 1
     }
     spans += ((s, n)) // n = 0 keeps the declarative chain's (1, 0) span
@@ -452,7 +466,18 @@ object Md5 {
     var c = 0
     while (c < spans.size) {
       val (st, en) = spans(c)
-      val dig = be64(shingleDigest(md, wb, st - 1, en - st + 1), 0) >>> 4
+      md.reset()
+      var k = st - 1
+      var first = true
+      while (k < en) {
+        if (wb(k) != null) {
+          if (!first) md.update(' '.toByte)
+          md.update(wb(k))
+          first = false
+        }
+        k += 1
+      }
+      val dig = be64(md.digest(), 0) >>> 4
       out(c) = new GenericInternalRow(
         Array[Any](st.toLong, (en - st + 1).toLong, dig))
       c += 1

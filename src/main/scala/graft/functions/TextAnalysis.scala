@@ -410,7 +410,7 @@ object TextAnalysis {
   def byteBpeRoundTrip(
       docs: DataFrame, merges: Seq[(Int, String, String, Long)]): DataFrame = {
     val bridge = org.apache.spark.sql.graft.bridge
-    byteBpeEncode(docs, merges)
+    val perDoc = byteBpeEncode(docs, merges)
       .withColumn("pstr", concat_ws("", col("pieces")))
       .groupBy(col("doc_id"))
       .agg(
@@ -420,10 +420,17 @@ object TextAnalysis {
             sort_array(collect_list(struct(col("pos"), col("pstr")))),
             x => x.getField("pstr")),
           "").as("remapped"))
+    // Left join from the DOCS spine: a document producing zero
+    // pre-tokens (empty text — the regex is total otherwise) must still
+    // emit its row, rebuilding to the empty string, not silently vanish
+    // from the losslessness gate.
+    docs.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
       .select(
-        col("doc_id"), col("n_pretoks"),
+        col("doc_id"),
+        coalesce(col("n_pretoks"), lit(0L)).as("n_pretoks"),
         md5(bridge.column(graft.expressions.ByteUnmap(
-          bridge.expression(col("remapped"))))).as("rebuilt_digest"))
+          bridge.expression(coalesce(col("remapped"), lit("")))))).as("rebuilt_digest"))
   }
 
   /** Byte-level BPE encode: apply a [[byteBpeTrainMerges]] table to the

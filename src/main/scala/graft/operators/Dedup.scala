@@ -1189,20 +1189,6 @@ object Dedup {
     stripWindowSpans(batch, drops, windowLen)
   }
 
-  /** The act-on-it companion to [[substringDecontaminate]]: instead of
-    * REPORTING the longest shared span, DROP every token covered by any
-    * matched reference window — the PaLM/GPT-style "remove n-gram
-    * overlap with the eval set" decontamination step, offset-exact and
-    * span-shaped (a longer shared span is the union of its overlapping
-    * matched windows, so it is removed in full). Output per document is
-    * [[rollingPassageDedup]]'s shape: `(doc_id, n_tokens, n_dropped,
-    * clean_text)` with clean text rebuilt narrowly from surviving
-    * positions.
-    *
-    * Same scale posture as the report variant: digest-keyed probe join
-    * against the (persistable, `maxDigFreq`-capped) [[substringIndex]];
-    * the one text-bearing join is the final per-doc assembly.
-    */
   /** Corpus-wide EXACT-substring dedup — the Lee et al. 2022
     * ("Deduplicating Training Data Makes Language Models Better")
     * ExactSubstr pass at word granularity, computed relationally instead
@@ -1229,8 +1215,17 @@ object Dedup {
     * spans/strip are doc-keyed with per-doc array lambdas. Nothing
     * quadratic, no suffix array to shard.
     */
-  def exactSubstrDedup(docs: DataFrame, windowLen: Int = 8): DataFrame =
-    exactSubstrDedupAgainst(docs, rollingOccurrenceCounts(docs, windowLen), windowLen)
+  def exactSubstrDedup(docs: DataFrame, windowLen: Int = 8): DataFrame = {
+    // Persist the fused digest scan: the one-shot pass reads it for the
+    // occurrence count AND the mark-back join — unpersisted, the corpus
+    // scan (and per-window md5 work) would execute once per consumer.
+    // Bounded: 3 longs per window; the bench/verify harnesses clear
+    // caches per block (the hits/layout-audit precedent).
+    val g = rollingDigests(docs, windowLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = g.groupBy(col("dig")).agg(count(lit(1)).as("occ"))
+    exactSubstrFrom(g, docs, counts, windowLen)
+  }
 
   /** ExactSubstr's incremental state: corpus-wide window-digest
     * OCCURRENCE counts (not document frequencies — self-repeats must
@@ -1252,10 +1247,22 @@ object Dedup {
   def exactSubstrDedupAgainst(
       docs: DataFrame,
       globalCounts: DataFrame,
-      windowLen: Int = 8): DataFrame = {
+      windowLen: Int = 8): DataFrame =
+    exactSubstrFrom(rollingDigests(docs, windowLen), docs, globalCounts, windowLen)
+
+  private def exactSubstrFrom(
+      g: DataFrame,
+      docs: DataFrame,
+      globalCounts: DataFrame,
+      windowLen: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = rollingDigests(docs, windowLen)
     val dupDigs = globalCounts.filter(col("occ") > 1L).select(col("dig"))
+    // `marked` feeds both the span aggregate and the drop set, but is
+    // deliberately NOT persisted: both consumers live in ONE final plan,
+    // where the planner reuses the join's exchange — measured: adding a
+    // persist here cost q231 ~2 s (cache materialization + broken
+    // pipelines) while saving nothing. The BATCH wrapper persists `g`
+    // instead, which is what keeps the corpus scan single-pass.
     val marked = g.join(dupDigs, Seq("dig")).select(col("doc_id"), col("start"))
     val byDoc = Window.partitionBy("doc_id").orderBy("start")
     val spans = marked
@@ -1277,6 +1284,20 @@ object Dedup {
         col("clean_text"))
   }
 
+  /** The act-on-it companion to [[substringDecontaminate]]: instead of
+    * REPORTING the longest shared span, DROP every token covered by any
+    * matched reference window — the PaLM/GPT-style "remove n-gram
+    * overlap with the eval set" decontamination step, offset-exact and
+    * span-shaped (a longer shared span is the union of its overlapping
+    * matched windows, so it is removed in full). Output per document is
+    * [[rollingPassageDedup]]'s shape: `(doc_id, n_tokens, n_dropped,
+    * clean_text)` with clean text rebuilt narrowly from surviving
+    * positions.
+    *
+    * Same scale posture as the report variant: digest-keyed probe join
+    * against the (persistable, `maxDigFreq`-capped) [[substringIndex]];
+    * the one text-bearing join is the final per-doc assembly.
+    */
   def substringDecontaminateStrip(
       docs: DataFrame,
       reference: DataFrame,

@@ -1243,6 +1243,9 @@ object Multimodal {
     def encode(textBytes: Array[Byte], restartInterval: Int): Array[Byte] = {
       val nb = textBytes.length / 64
       require(nb > 0, s"document too short for a JPEG raster: ${textBytes.length} bytes")
+      // SOF0 carries width as 16 bits: reject at ENCODE time rather than
+      // silently wrapping into a corrupt payload (width 8·nb ≤ 65535).
+      require(nb <= 8191, s"document too large for one block row: $nb blocks > 8191")
       val w = 8 * nb
       // Quantized DC per block: (Σ(s−128) + 64) quot (8·QDc) with
       // TRUNCATING division — Scala `/`, Spark `div`, and DuckDB `//`
