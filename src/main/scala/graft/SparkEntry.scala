@@ -325,6 +325,15 @@ object SparkEntry {
     "q39_ivf_search" -> ((s, dir) =>
       Similarity.ivfSearch(Tables.embeddings(s, dir)).orderBy("query_id", "rnk")),
 
+    // Graph-based ANN (the DiskANN/HNSW family — the last ANN shape
+    // missing next to brute/LSH/IVF/PQ): beam search over a bounded-
+    // degree kNN graph from a deterministic entry point; per hop one
+    // frontier⋈edges join + a bounded beam window. The oracle replays
+    // the graph build and EVERY hop.
+    "q235_graph_ann" -> ((s, dir) =>
+      Similarity.graphAnnSearch(Tables.embeddings(s, dir))
+        .orderBy("query_id", "rnk")),
+
     // Curation: concat-split sequence packing into fixed token budgets.
     "q40_pack_sequences" -> ((s, dir) =>
       Curation.packSequences(Tables.documents(s, dir)).orderBy("doc_id")),
@@ -3655,6 +3664,8 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     "q39_ivf_search" -> ivfSearchOracle,
+
+    "q235_graph_ann" -> graphAnnOracle,
 
     // The streamed IVF index must answer searches identically to the
     // one-shot batch assignment — same oracle as q39.
@@ -8827,6 +8838,74 @@ object SparkEntry {
        |       MIN(zy) AS min_y, MAX(zy) AS max_y,
        |       MIN(zz) AS min_z, MAX(zz) AS max_z
        |FROM r GROUP BY 1 ORDER BY bucket""".stripMargin
+  }
+
+  /** q235: the graph-ANN beam search replayed hop by hop — exact
+    * top-`degree` neighbor lists, the lowest-vec_id entry point, then
+    * `hops` unrolled rounds of (beam = top-4 of visited) → out-edge
+    * expansion → exact re-scoring → dedup, and the final self-excluded
+    * top-10. MATERIALIZED per round: each visited set feeds both the
+    * next beam and the next union.
+    */
+  private def graphAnnOracle: String = {
+    val (degree, beamW, hops, numQueries, k) = (6, 4, 3, 10, 10)
+    val rounds = (1 to hops).map { r =>
+      s"""gf$r AS MATERIALIZED (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS rn
+         |    FROM gv${r - 1})
+         |  WHERE rn <= $beamW
+         |),
+         |gv$r AS MATERIALIZED (
+         |  SELECT u.query_id, u.vec_id, sc.dp FROM (
+         |    SELECT query_id, vec_id FROM gv${r - 1}
+         |    UNION
+         |    SELECT gf$r.query_id, ged.nb AS vec_id
+         |    FROM gf$r JOIN ged ON ged.src = gf$r.vec_id
+         |  ) u JOIN sc ON sc.query_id = u.query_id AND sc.vec_id = u.vec_id
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantizedEmbeddings,
+       |gap AS MATERIALIZED (
+       |  SELECT a.vec_id AS src, b.vec_id AS nb,
+       |         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * b.qe[i])) AS BIGINT) AS dp
+       |  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+       |),
+       |gfar AS MATERIALIZED (
+       |  SELECT a.vec_id AS src, b.vec_id AS nb
+       |  FROM n a,
+       |       (SELECT unnest(range(0, (SELECT length(bin(MAX(vec_id))) FROM n))) AS j) js
+       |  JOIN n b ON b.vec_id = xor(a.vec_id, CAST(1 AS BIGINT) << j)
+       |),
+       |ged AS MATERIALIZED (
+       |  SELECT src, nb FROM (
+       |    SELECT src, nb FROM (
+       |      SELECT src, nb, ROW_NUMBER() OVER (PARTITION BY src ORDER BY dp DESC, nb) AS rn
+       |      FROM gap)
+       |    WHERE rn <= $degree
+       |    UNION
+       |    SELECT src, nb FROM gfar)
+       |),
+       |q AS (SELECT vec_id AS query_id, qe AS q_qe FROM n WHERE vec_id < $numQueries),
+       |sc AS MATERIALIZED (
+       |  SELECT q.query_id, n.vec_id,
+       |         CAST(list_sum(list_transform(range(1, 65), i -> q.q_qe[i] * n.qe[i])) AS BIGINT) AS dp
+       |  FROM q CROSS JOIN n
+       |),
+       |ep AS (SELECT MIN(vec_id) AS entry FROM n),
+       |gv0 AS MATERIALIZED (
+       |  SELECT q.query_id, ep.entry AS vec_id, sc.dp
+       |  FROM q CROSS JOIN ep
+       |  JOIN sc ON sc.query_id = q.query_id AND sc.vec_id = ep.entry
+       |),
+       |$rounds
+       |SELECT query_id, vec_id AS neighbor_id, CAST(rnk AS INT) AS rnk, dp FROM (
+       |  SELECT query_id, vec_id, dp,
+       |         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS rnk
+       |  FROM gv$hops WHERE vec_id <> query_id)
+       |WHERE rnk <= $k
+       |ORDER BY query_id, rnk""".stripMargin
   }
 
   /** Shared q39/q228 oracle: placeholder-quantizer IVF search (the

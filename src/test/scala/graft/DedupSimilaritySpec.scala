@@ -728,6 +728,39 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(near.getAs[Double]("cosine") > 0.999)
   }
 
+  test("graph ANN: beam search over the kNN graph recalls most of exact top-k; visited set stays bounded") {
+    // Same clustered fixture the LSH recall spec uses: neighbors are
+    // graph-local, so a few hops from the entry point should reach the
+    // query's cluster. Recall floor is deliberately modest — beam search
+    // from ONE fixed entry is the recall-vs-work dial, and the gate pins
+    // exact replay, not recall.
+    val dim = 64
+    val rows = (0 until 200).map { i =>
+      val c = i % 10
+      val v = (0 until dim).map { d =>
+        val base = if ((c * dim + d) % 7 < 3) 1.0f else -1.0f
+        val noise = 0.08f * (((i * 31 + d * 17) % 11) - 5) / 5.0f
+        base + noise
+      }
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(Similarity.knnBruteForce(rows))
+    val walked = Similarity.graphAnnSearch(rows, degree = 8, beam = 6, hops = 4)
+    val got = pairsOf(walked)
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.5, f"graph-ANN recall $recall%.2f < 0.5")
+    // More hops/beam never hurt recall on a fixed graph.
+    val deeper = pairsOf(Similarity.graphAnnSearch(rows, degree = 8, beam = 10, hops = 6))
+    val recallDeep = (exact intersect deeper).size.toDouble / exact.size
+    assert(recallDeep >= recall, f"deeper walk lost recall: $recallDeep%.2f < $recall%.2f")
+    // Bounded work: answers come from the visited set, whose size per
+    // query is capped by 1 + hops*beam*degree — far below the corpus.
+    assert(walked.count() <= 10L * 10, "answer rows exceed k per query")
+  }
+
   test("multi-probe ANN recalls >=0.9 of exact top-k on clustered vectors") {
     // 10 clusters × 20 vectors (base pattern + small deterministic noise):
     // the regime LSH is built for, where true neighbors sit ~one flipped
