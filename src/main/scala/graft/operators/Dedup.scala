@@ -1223,8 +1223,7 @@ object Dedup {
     // caches per block (the hits/layout-audit precedent).
     val g = rollingDigests(docs, windowLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val counts = g.groupBy(col("dig")).agg(count(lit(1)).as("occ"))
-    exactSubstrFrom(g, docs, counts, windowLen)
+    exactSubstrFrom(g, docs, occurrenceCountsOf(g), windowLen)
   }
 
   /** ExactSubstr's incremental state: corpus-wide window-digest
@@ -1234,9 +1233,14 @@ object Dedup {
     * ([[graft.streaming.StreamingOps.exactSubstrCountsSink]]).
     */
   def rollingOccurrenceCounts(docs: DataFrame, windowLen: Int = 8): DataFrame =
-    rollingDigests(docs, windowLen)
-      .groupBy(col("dig"))
-      .agg(count(lit(1)).as("occ"))
+    occurrenceCountsOf(rollingDigests(docs, windowLen))
+
+  /** The ONE canonical digests→occurrence aggregation: the q231 gate's
+    * merge-equals-batch identity depends on the one-shot pass and the
+    * streaming state counting identically, so both call this.
+    */
+  private def occurrenceCountsOf(digests: DataFrame): DataFrame =
+    digests.groupBy(col("dig")).agg(count(lit(1)).as("occ"))
 
   /** Strip `batch` against a GLOBAL occurrence-count state (which must
     * already include the batch's own windows). Same output shape and

@@ -1165,7 +1165,8 @@ object Similarity {
     // geometry, so the HYPERCUBE edges v → v XOR 2^j (j over the id bit
     // width, targets that exist) are "random" links with log-n degree
     // and log-n diameter — one equi-join, no global sort, no RNG state.
-    val maxId = e.agg(max(col("vec_id"))).collect()(0).getLong(0) // bounded scalar
+    val bounds = e.agg(min(col("vec_id")), max(col("vec_id"))).collect()(0) // one job, two scalars
+    val (entry, maxId) = (bounds.getLong(0), bounds.getLong(1))
     val bitsN = (64 - java.lang.Long.numberOfLeadingZeros(math.max(maxId, 1L))).toInt
     val farTargets = (0 until bitsN).map(j => col("src").bitwiseXOR(lit(1L << j)))
     val farEdges = e.select(col("vec_id").as("src"))
@@ -1176,9 +1177,8 @@ object Similarity {
       .select(col("src"), col("nb"))
     val edges = nnEdges.unionByName(farEdges).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val queries = withQuantized(embeddings).filter(col("vec_id") < numQueries)
+    val queries = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
-    val entry = e.agg(min(col("vec_id"))).collect()(0).getLong(0) // bounded: one scalar
     def scored(ids: DataFrame): DataFrame =
       ids.join(e, Seq("vec_id"))
         .join(broadcast(queries), Seq("query_id"))

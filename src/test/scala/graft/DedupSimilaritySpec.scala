@@ -756,9 +756,18 @@ class DedupSimilaritySpec extends SparkSpec {
     val deeper = pairsOf(Similarity.graphAnnSearch(rows, degree = 8, beam = 10, hops = 6))
     val recallDeep = (exact intersect deeper).size.toDouble / exact.size
     assert(recallDeep >= recall, f"deeper walk lost recall: $recallDeep%.2f < $recall%.2f")
-    // Bounded work: answers come from the visited set, whose size per
-    // query is capped by 1 + hops*beam*degree — far below the corpus.
-    assert(walked.count() <= 10L * 10, "answer rows exceed k per query")
+    // Bounded work: with k unbounded, the answer IS the visited set
+    // (minus self) — assert the structural cap 1 + hops·beam·(degree +
+    // id-bits) per query holds and the walk did NOT touch the whole
+    // corpus (gate defaults: degree 6, beam 4, hops 3, 200 ids → 8 bits;
+    // cap = 169 < 200, so the assertion is not vacuous).
+    val visitedPerQuery = Similarity.graphAnnSearch(rows, k = Int.MaxValue)
+      .groupBy("query_id").count().collect().map(_.getLong(1))
+    val cap = 1 + 3 * 4 * (6 + 8)
+    visitedPerQuery.foreach { c =>
+      assert(c <= cap, s"visited set $c exceeds the structural cap $cap")
+      assert(c < 200, s"beam search degenerated into a full corpus scan: $c")
+    }
   }
 
   test("multi-probe ANN recalls >=0.9 of exact top-k on clustered vectors") {
