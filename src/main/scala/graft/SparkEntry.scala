@@ -935,6 +935,26 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // Per-SOURCE tokenizer fertility — the fairness cut of q196's
+    // corpus-level scorecard (the multilingual-equity metric applied to
+    // the corpus's source axis): a tokenizer that compresses one
+    // source's text far worse than another's taxes that source's
+    // context budget. Exact integers: pre-tokens, bytes, pieces, and
+    // pieces-per-pretoken in exact ppm, per source.
+    "q236_fertility_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val merges = TextAnalysis.byteBpeTrainMerges(docs, numMerges = bpeOracleMerges)
+      TextAnalysis.byteBpeEncode(docs, merges)
+        .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_pretoks"),
+          sum(length(col("w"))).cast("long").as("n_bytes"),
+          sum(col("n_pieces")).as("n_pieces"),
+          expr("(1000000 * sum(n_pieces)) div count(1)").as("fertility_ppm"))
+        .orderBy("source")
+    }),
+
     // Byte-fallback losslessness, gated end to end: detokenize(encode(
     // text)) must equal the original text byte for byte — pieces
     // concatenate to pre-tokens, pre-tokens partition the document, and
@@ -5574,6 +5594,22 @@ object SparkEntry {
           |ORDER BY doc_id""").stripMargin,
 
     "q226_byte_bpe_encode" -> byteBpeEncodeOracle,
+
+    "q236_fertility_by_source" ->
+      s"""WITH $byteBpePiecesSql,
+         |j AS MATERIALIZED (
+         |  SELECT d.source, t.w, p.pl
+         |  FROM bbtok t JOIN bbpieces p USING (w)
+         |  JOIN documents d ON d.doc_id = t.doc_id
+         |)
+         |SELECT source,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pretoks,
+         |       CAST(SUM(length(w)) AS BIGINT) AS n_bytes,
+         |       CAST(SUM(len(pl)) AS BIGINT) AS n_pieces,
+         |       CAST((1000000 * SUM(len(pl))) // COUNT(*) AS BIGINT) AS fertility_ppm
+         |FROM j
+         |GROUP BY source
+         |ORDER BY source""".stripMargin,
 
     "q150_unigram_train" -> uniTrainOracle,
 
