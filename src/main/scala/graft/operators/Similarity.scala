@@ -1146,18 +1146,20 @@ object Similarity {
       beam: Int = 4,
       hops: Int = 3,
       numQueries: Int = 10,
-      k: Int = 10): DataFrame = {
+      k: Int = 10,
+      edgeBuild: String = "lsh",
+      numPlanes: Int = DefaultNumPlanes,
+      probeBits: Int = 1,
+      dim: Int = 64): DataFrame = {
     require(degree >= 1 && beam >= 1 && hops >= 1 && hops <= 8)
     val e = withQuantized(embeddings).select(col("vec_id"), col("qe"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val wG = Window.partitionBy("src").orderBy(col("g_dp").desc, col("nb"))
-    val nnEdges = e.select(col("vec_id").as("src"), col("qe").as("qe_a"))
-      .join(e.select(col("vec_id").as("nb"), col("qe").as("qe_b")),
-        col("src") =!= col("nb"))
-      .withColumn("g_dp", dot(col("qe_a"), col("qe_b")))
-      .withColumn("rn", row_number().over(wG))
-      .filter(col("rn") <= degree)
-      .select(col("src"), col("nb"))
+    val nnEdges = edgeBuild match {
+      case "lsh"   => knnEdgesLsh(embeddings, degree, numPlanes, probeBits, dim)
+      case "exact" => knnEdgesExactFrom(e, degree)
+      case other   => throw new IllegalArgumentException(
+        s"edgeBuild=$other not in {lsh, exact}")
+    }
     // Long-range links — the NSW/HNSW long-edge role, without which the
     // kNN graph fragments into per-cluster islands no beam can cross
     // (measured: recall 0.18 on the clustered fixture, cluster-0 answers
@@ -1167,16 +1169,105 @@ object Similarity {
     // and log-n diameter — one equi-join, no global sort, no RNG state.
     val bounds = e.agg(min(col("vec_id")), max(col("vec_id"))).collect()(0) // one job, two scalars
     val (entry, maxId) = (bounds.getLong(0), bounds.getLong(1))
+    val edges = nnEdges.unionByName(hypercubeEdges(e, maxId)).distinct()
+    // graphAnnSearchOverEdges materializes its (bounded) answer before
+    // returning, so the corpus-scale vector cache can be released here
+    // rather than leaking past the call (ADVICE r15).
+    val out = graphAnnSearchOverEdges(e, edges, entry, beam, hops, numQueries, k)
+    e.unpersist()
+    out
+  }
+
+  /** Exact top-`degree` neighbor lists over all pairs — the n² arm, kept
+    * ONLY as the differential/recall baseline for [[knnEdgesLsh]] (the
+    * benched build). Output: `(src, nb)`.
+    */
+  def knnEdgesExact(embeddings: DataFrame, degree: Int = 6): DataFrame =
+    knnEdgesExactFrom(
+      withQuantized(embeddings).select(col("vec_id"), col("qe")), degree)
+
+  private def knnEdgesExactFrom(e: DataFrame, degree: Int): DataFrame =
+    topDegreeEdges(
+      e.select(col("vec_id").as("src"), col("qe").as("qe_a"))
+        .join(e.select(col("vec_id").as("nb"), col("qe").as("qe_b")),
+          col("src") =!= col("nb")),
+      degree)
+
+  /** Shortlist-built kNN edge lists — the 100 TB graph construction:
+    * candidates for each source are its deterministic multi-probe
+    * sign-LSH co-bucket mates ([[annLsh]]'s index — each vector lives in
+    * exactly one bucket and probed buckets are distinct, so the
+    * candidate join is a plain bucket equi-join, never all-pairs), and
+    * the top-`degree` by exact quantized dot (ties on `nb`) within the
+    * candidates become the out-edges. Approximation lives ONLY in
+    * candidate recall; every kept edge's score is exact, and the build
+    * is fully deterministic (fixed [[hyperplanes]]), so a SQL oracle
+    * replays it literally. Output: `(src, nb)`, ≤ `degree` per src
+    * (fewer where a probe neighborhood is sparse — the beam search's
+    * hypercube long links keep such nodes reachable regardless).
+    */
+  def knnEdgesLsh(
+      embeddings: DataFrame,
+      degree: Int = 6,
+      numPlanes: Int = DefaultNumPlanes,
+      probeBits: Int = 1,
+      dim: Int = 64): DataFrame = {
+    val b = signBucketsQuantized(embeddings, numPlanes, dim)
+      .select(col("vec_id"), col("_qe").as("qe"), col("bucket"))
+    val masks = probeMasks(numPlanes, probeBits)
+    val probes = b.select(
+      col("vec_id").as("src"), col("qe").as("qe_a"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    topDegreeEdges(
+      b.select(col("bucket"), col("vec_id").as("nb"), col("qe").as("qe_b"))
+        .join(probes, Seq("bucket"))
+        .filter(col("src") =!= col("nb")),
+      degree)
+  }
+
+  /** Rank candidate pairs `(src, qe_a, nb, qe_b)` by exact dot and keep
+    * the top `degree` per source — the shared tail of both edge builds.
+    */
+  private def topDegreeEdges(pairs: DataFrame, degree: Int): DataFrame = {
+    val wG = Window.partitionBy("src").orderBy(col("g_dp").desc, col("nb"))
+    pairs
+      .withColumn("g_dp", dot(col("qe_a"), col("qe_b")))
+      .withColumn("rn", row_number().over(wG))
+      .filter(col("rn") <= degree)
+      .select(col("src"), col("nb"))
+  }
+
+  /** The derandomized long-range links `v → v XOR 2^j` (targets that
+    * exist), given the id universe `e(vec_id, …)` and its max id.
+    */
+  private def hypercubeEdges(e: DataFrame, maxId: Long): DataFrame = {
     val bitsN = (64 - java.lang.Long.numberOfLeadingZeros(math.max(maxId, 1L))).toInt
     val farTargets = (0 until bitsN).map(j => col("src").bitwiseXOR(lit(1L << j)))
-    val farEdges = e.select(col("vec_id").as("src"))
+    e.select(col("vec_id").as("src"))
       .select(col("src"),
         explode(if (farTargets.isEmpty) array().cast("array<long>")
                 else array(farTargets: _*)).as("nb"))
       .join(e.select(col("vec_id").as("nb")), Seq("nb")) // only existing ids
       .select(col("src"), col("nb"))
-    val edges = nnEdges.unionByName(farEdges).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The beam search alone, over a PREBUILT edge frame `(src, nb)` and a
+    * fixed entry point — shared by [[graphAnnSearch]] and the streaming
+    * edge-state twin (where `edges` is the merged per-epoch state and
+    * `entry` is frozen with the index). `vectors` must carry
+    * `(vec_id, qe)`; callers own its persistence (the loop joins it once
+    * per hop).
+    */
+  def graphAnnSearchOverEdges(
+      vectors: DataFrame,
+      edges: DataFrame,
+      entry: Long,
+      beam: Int = 4,
+      hops: Int = 3,
+      numQueries: Int = 10,
+      k: Int = 10): DataFrame = {
+    val e = vectors.select(col("vec_id"), col("qe"))
+    val ePersisted = edges.persist(StorageLevel.MEMORY_AND_DISK)
     val queries = e.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("qe").as("q_qe"))
     def scored(ids: DataFrame): DataFrame =
@@ -1191,17 +1282,21 @@ object Similarity {
         .filter(col("rn") <= beam)
         .select(col("query_id"), col("vec_id"))
       val expanded = frontier
-        .join(edges, frontier("vec_id") === edges("src"))
+        .join(ePersisted, frontier("vec_id") === ePersisted("src"))
         .select(col("query_id"), col("nb").as("vec_id"))
         .distinct()
       visited = visited.unionByName(scored(expanded))
         .dropDuplicates("query_id", "vec_id")
     }
-    visited
+    val out = visited
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rnk", row_number().over(wB).cast("int"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("dp"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // bounded answer — materialize, then release the edge cache
+    ePersisted.unpersist()
+    out
   }
 
   /** Element-wise mean pooling of quantized embeddings per group — the
@@ -1847,19 +1942,87 @@ object Similarity {
     require(outShare >= 2, s"outShare=$outShare must be >= 2")
     val e = withQuantized(embeddings)
     val b = e.select(col("vec_id").as("nb"), col("qe").as("qe_b"), col("n2").as("n2_b"))
-    // Bounded map-side top-k ([[graft.expressions.TopKMin]]) instead of a
-    // `row_number` window: the window shuffles all n² pair rows to rank
-    // them; the aggregate's partials carry ≤ k values per vector into the
-    // exchange — and with the candidate side broadcast every pair for a
-    // vector is generated in one task, so the shuffle moves n·k values,
-    // not n². kdist2/sum_d2 are value-functions of the k-smallest multiset,
-    // so boundary ties cannot change them (see TopKMin's exactness note).
-    // Persist: `scores` is one row per vector (bounded), but FOUR consumers
-    // read it (the percentile action, the offsets subtree, the `tot` count,
-    // the main pass) — unpersisted, the n² subtree executed three times
-    // (measured 6.2 s at sf0.1); the percentile collect materializes it.
+    outlierRanks(
+      topKScores(e.join(b, col("vec_id") =!= col("nb")), k),
+      outShare, numPartitions)
+  }
+
+  /** [[knnDistOutliers]] with the candidate set from the deterministic
+    * multi-probe sign-LSH shortlist instead of all pairs — the benched
+    * 100 TB arm (the exact variant stays as its differential baseline).
+    * `kdist2`/`sum_d2` are computed over each vector's co-bucket
+    * candidates, i.e. the score is the SHORTLIST kNN distance — the
+    * standard approximate-kNN outlier construction: candidate recall is
+    * the only approximation, every emitted distance and rank is exact
+    * and deterministic (fixed [[hyperplanes]]), so a SQL oracle replays
+    * the build literally. Vectors with fewer than `k` candidates score
+    * over what they have (`kdist2` = the farthest available — so the
+    * exact-arm dominance `kdist2_lsh ≥ kdist2_exact` holds only at ≥ k
+    * candidates). Vectors whose probe neighborhood is empty
+    * (singleton buckets with no 1-bit neighbors) have no kNN evidence
+    * and are absent — at corpus scale such isolation is itself the
+    * strongest outlier signal, surfaced upstream by bucket-occupancy
+    * profiling rather than by an unscorable distance.
+    *
+    * Scale: the all-pairs join is replaced by one bucket equi-join
+    * (probe fan-out `|masks|` rows per vector, candidates bounded by
+    * bucket occupancy); everything downstream — [[graft.expressions
+    * .TopKMin]] partials, the distributed prefix-count rank — is
+    * unchanged from the exact arm.
+    */
+  def knnDistOutliersLsh(
+      embeddings: DataFrame,
+      k: Int = 5,
+      outShare: Int = 50,
+      numPartitions: Int = 32,
+      numPlanes: Int = DefaultNumPlanes,
+      probeBits: Int = 1,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    require(outShare >= 2, s"outShare=$outShare must be >= 2")
+    outlierRanks(
+      topKScores(lshCandidatePairs(embeddings, numPlanes, probeBits, dim), k),
+      outShare, numPartitions)
+  }
+
+  /** The multi-probe co-bucket candidate pair frame
+    * `(vec_id, qe, n2, nb, qe_b, n2_b)` — one bucket equi-join, probe
+    * fan-out `|masks|` rows per vector. Package-visible so
+    * PlanShapeSpec pins its join shape (a regression to a cross
+    * product here is the 100 TB failure mode).
+    */
+  private[graft] def lshCandidatePairs(
+      embeddings: DataFrame,
+      numPlanes: Int = DefaultNumPlanes,
+      probeBits: Int = 1,
+      dim: Int = 64): DataFrame = {
+    val b = signBucketsQuantized(embeddings, numPlanes, dim)
+      .select(col("vec_id"), col("_qe").as("qe"), col("bucket"))
+      .withColumn("n2", dot(col("qe"), col("qe")))
+    val masks = probeMasks(numPlanes, probeBits)
+    val probes = b.select(
+      col("vec_id"), col("qe"), col("n2"),
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    b.select(col("bucket"), col("vec_id").as("nb"), col("qe").as("qe_b"), col("n2").as("n2_b"))
+      .join(probes, Seq("bucket"))
+      .filter(col("vec_id") =!= col("nb"))
+  }
+
+  /** The per-vector k-smallest-distance sufficient statistics over a
+    * candidate pair frame `(vec_id, qe, n2, nb, qe_b, n2_b)`.
+    *
+    * Bounded map-side top-k ([[graft.expressions.TopKMin]]) instead of a
+    * `row_number` window: the window shuffles all pair rows to rank
+    * them; the aggregate's partials carry ≤ k values per vector into the
+    * exchange — and with the candidate side broadcast every pair for a
+    * vector is generated in one task, so the shuffle moves n·k values,
+    * not the pair count. kdist2/sum_d2 are value-functions of the
+    * k-smallest multiset, so boundary ties cannot change them (see
+    * TopKMin's exactness note).
+    */
+  private def topKScores(pairs: DataFrame, k: Int): DataFrame = {
     val bridge = org.apache.spark.sql.graft.bridge
-    val scores = e.join(b, col("vec_id") =!= col("nb"))
+    pairs
       .withColumn("d2", col("n2") + col("n2_b") - lit(2L) * dot(col("qe"), col("qe_b")))
       .groupBy(col("vec_id"))
       .agg(bridge.column(graft.expressions.TopKMin(
@@ -1868,7 +2031,22 @@ object Similarity {
         col("vec_id"),
         element_at(col("kd"), size(col("kd"))).as("kdist2"),
         aggregate(col("kd"), lit(0L), (acc, x) => acc + x).as("sum_d2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** The shared rank tail of both outlier arms: global outlier rank +
+    * top-`1/outShare` flag over a `(vec_id, kdist2, sum_d2)` score frame.
+    *
+    * Persist: `scores` is one row per vector (bounded), but FOUR consumers
+    * read it (the percentile action, the offsets subtree, the `tot` count,
+    * the main pass) — unpersisted, the candidate subtree executed three
+    * times (measured 6.2 s at sf0.1); the percentile collect materializes
+    * it.
+    */
+  private def outlierRanks(
+      scoresIn: DataFrame,
+      outShare: Int,
+      numPartitions: Int): DataFrame = {
+    val scores = scoresIn.persist(StorageLevel.MEMORY_AND_DISK)
     // Distributed global rank by (kdist2 DESC, vec_id ASC): the ascending
     // prefix-count rank of the mirrored key, then n + 1 − rank.
     val qs = (1 until numPartitions).map(i => i.toDouble / numPartitions)

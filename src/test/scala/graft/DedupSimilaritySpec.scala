@@ -748,10 +748,19 @@ class DedupSimilaritySpec extends SparkSpec {
       df.select("query_id", "neighbor_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSet
     val exact = pairsOf(Similarity.knnBruteForce(rows))
+    // Default (benched) arm: LSH-shortlist-built edges.
     val walked = Similarity.graphAnnSearch(rows, degree = 8, beam = 6, hops = 4)
     val got = pairsOf(walked)
     val recall = (exact intersect got).size.toDouble / exact.size
     assert(recall >= 0.5, f"graph-ANN recall $recall%.2f < 0.5")
+    // Differential arm: the n² exact edge build holds the same floor —
+    // the shortlist build may lose candidate recall but must not change
+    // the search machinery's behavior class.
+    val exactBuilt = pairsOf(Similarity.graphAnnSearch(
+      rows, degree = 8, beam = 6, hops = 4, edgeBuild = "exact"))
+    val recallExactBuild = (exact intersect exactBuilt).size.toDouble / exact.size
+    assert(recallExactBuild >= 0.5,
+      f"graph-ANN recall (exact build) $recallExactBuild%.2f < 0.5")
     // More hops/beam never hurt recall on a fixed graph.
     val deeper = pairsOf(Similarity.graphAnnSearch(rows, degree = 8, beam = 10, hops = 6))
     val recallDeep = (exact intersect deeper).size.toDouble / exact.size
@@ -1679,6 +1688,59 @@ class DedupSimilaritySpec extends SparkSpec {
     // Sanity: the far point is the rank-1 outlier and flagged (12 div 6 = 2 flags).
     assert(got(11L)._3 === 1L && got(11L)._4)
     assert(got.values.count(_._4) === 2)
+  }
+
+  test("knnDistOutliersLsh: equals the exact arm when one bucket holds the corpus; shortlist scores dominate in general") {
+    // All vectors on the SAME ray (+e1, scaled): every plane projection
+    // has the same sign for every vector, so all 12 land in ONE bucket,
+    // the shortlist candidate set is complete, and the LSH arm must
+    // reproduce the exact arm row for row — the differential that pins
+    // the shared rank machinery AND the candidate join at once.
+    val ray = ((0 until 11).map(i => (i.toLong, Seq((i + 1) * 0.001f, 0f, 0f, 0f))) :+
+      (11L, Seq(5f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("kdist2"), r.getAs[Long]("sum_d2"),
+        r.getAs[Long]("out_rank"), r.getAs[Boolean]("is_outlier"))).sortBy(_._1).toSeq
+    assert(
+      rowsOf(Similarity.knnDistOutliersLsh(ray, k = 3, outShare = 6, numPlanes = 8, dim = 4)) ===
+        rowsOf(Similarity.knnDistOutliers(ray, k = 3, outShare = 6)))
+    // General fixture (mixed directions → real bucketing): the shortlist
+    // candidate set is a SUBSET of all pairs, so each vector's k-th
+    // smallest candidate distance can only dominate the exact one.
+    val mixed = (0 until 24).map { i =>
+      (i.toLong, Seq(
+        (if (i % 3 == 0) 1f else -1f) * (1f + i * 0.01f),
+        (if (i % 2 == 0) 1f else -1f) * 0.5f,
+        0.25f * (i % 5), -0.7f + 0.05f * i))
+    }.toDF("vec_id", "embedding")
+    val exactKd = Similarity.knnDistOutliers(mixed, k = 2, outShare = 6)
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("kdist2")).toMap
+    val lshRows = Similarity.knnDistOutliersLsh(
+      mixed, k = 2, outShare = 6, numPlanes = 8, dim = 4).collect()
+    assert(lshRows.nonEmpty)
+    // Dominance holds only where the shortlist offers ≥ k candidates
+    // (with fewer, kdist2 is the max of what exists — documented).
+    val nCands = Similarity.lshCandidatePairs(mixed, numPlanes = 8, dim = 4)
+      .groupBy("vec_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lshRows.exists(r => nCands(r.getAs[Long]("vec_id")) >= 2),
+      "fixture must exercise the dominance branch")
+    lshRows.foreach { r =>
+      val (id, kd) = (r.getAs[Long]("vec_id"), r.getAs[Long]("kdist2"))
+      if (nCands(id) >= 2)
+        assert(kd >= exactKd(id),
+          s"shortlist kdist2 $kd below the exact kdist2 ${exactKd(id)} for vec $id")
+    }
+  }
+
+  test("knnEdgesLsh: equals the exact edge build when one bucket holds the corpus") {
+    val ray = ((0 until 11).map(i => (i.toLong, Seq((i + 1) * 0.001f, 0f, 0f, 0f))) :+
+      (11L, Seq(5f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    def edgesOf(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("nb"))).toSet
+    assert(
+      edgesOf(Similarity.knnEdgesLsh(ray, degree = 3, numPlanes = 8, dim = 4)) ===
+        edgesOf(Similarity.knnEdgesExact(ray, degree = 3)))
   }
 
   // Independent model of the 60-bit md5 slice (the differential pin the

@@ -505,6 +505,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(!pr.contains("CartesianProduct"), s"residual IVF-PQ grew a cross product:\n$pr")
   }
 
+  test("graph-ANN edge build + outlier candidates: bucket equi-joins, no cross product (r15 verdict items 1-2)") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // The benched builds: LSH co-bucket candidates only.
+    val eLsh = Similarity.knnEdgesLsh(emb)
+    val pl = plan(eLsh)
+    assert(!pl.contains("CartesianProduct") && !pl.contains("BroadcastNestedLoopJoin"),
+      s"shortlist edge build regressed to all-pairs:\n$pl")
+    val cands = Similarity.lshCandidatePairs(emb)
+    val pc = plan(cands)
+    assert(!pc.contains("CartesianProduct") && !pc.contains("BroadcastNestedLoopJoin"),
+      s"outlier candidate build regressed to all-pairs:\n$pc")
+    // Contrast proving the matcher bites: the exact differential arm IS
+    // the all-pairs join (a non-equi self-join plans as BNLJ or a
+    // cartesian product).
+    val pe = plan(Similarity.knnEdgesExact(emb))
+    assert(pe.contains("CartesianProduct") || pe.contains("BroadcastNestedLoopJoin"),
+      s"exact-arm contrast no longer matches — update this pin:\n$pe")
+  }
+
   test("rrf fusion joins depth-bounded lists only; no cross product") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val rf = Similarity.rrfFuse(emb)
