@@ -118,6 +118,11 @@ object GraftFunctions {
       }),
     fn("graft_byte_remap", 1, c => ByteRemap(c(0))),
     fn("graft_byte_unmap", 1, c => ByteUnmap(c(0))),
+    // Strict unmap raises on codepoints outside the remap image — only
+    // safe on provable graft_byte_remap output; the lenient twin NULLs
+    // instead, so ad-hoc SQL over arbitrary columns can't fail a
+    // corpus-scale scan on one stray string (r15 advice).
+    fn("graft_byte_unmap_lenient", 1, c => ByteUnmap(c(0), lenient = true)),
     fn("graft_cdc_chunks", 2, c =>
       CdcChunks(c(0), intLit(c(1), "graft_cdc_chunks's modulus"))),
     fn("graft_topk_min", 2, c =>

@@ -996,6 +996,38 @@ object SparkEntry {
       TextAnalysis.byteBpeRoundTrip(docs, merges).orderBy("doc_id")
     }),
 
+    // Streaming graph-ANN edge state (the sixth index family under
+    // per-epoch replay-idempotent state, closing the r15 verdict's
+    // "edges rebuild from scratch" gap): vec-disjoint epochs append
+    // candidate/long-link deltas under the frozen LSH planes, the
+    // top-degree selection happens at read time over the merged deltas,
+    // and the beam search over the merged state must equal the one-shot
+    // batch build — q235's oracle VERBATIM.
+    "q240_streaming_graph_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q240_gann").toString
+      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3)(
+        graft.streaming.StreamingOps.graphAnnEdgeSink(s, path))
+      val (vecs, edges) = graft.streaming.StreamingOps.mergedGraphAnnState(s, path)
+      val v = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val entry = v.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      val out = Similarity.graphAnnSearchOverEdges(v, edges, entry)
+      v.unpersist() // the bounded answer materialized inside the search
+      out.orderBy("query_id", "rnk")
+    }),
+
+    // Audio SPECTRAL analysis — the first signal past amplitude moments
+    // (r15 verdict's audio gap): exact-integer autocorrelation at fixed
+    // lags over the REAL 16-bit PCM decode (toWav16 -> full RIFF walk ->
+    // sample vector -> relational per-doc lambdas). The samples are an
+    // affine function of the text bytes, so the oracle reproduces every
+    // BIGINT cell from the text directly.
+    "q239_audio_autocorr" -> ((s, dir) =>
+      Multimodal.audioAutocorr(
+          Multimodal.decodeWavSamples(s, Multimodal.toWav16(Tables.documents(s, dir))))
+        .withColumn("lag", col("lag").cast("int"))
+        .orderBy("doc_id", "lag")),
+
     // q226's multilingual twin: encode digests over the rewritten corpus,
     // which forces the ORACLE's train + encode replay through the full
     // 256-entry bytes_to_unicode table (per-UTF-8-byte hex replay), not
@@ -3119,6 +3151,28 @@ object SparkEntry {
         |FROM documents d JOIN px USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // q239: samples are (b-128)*256 per text byte (the toWav16 mapping;
+    // ASCII corpus => byte == codepoint, the q114/q115 shared
+    // assumption); autocorrelation is a pure BIGINT sum per (doc, lag).
+    "q239_audio_autocorr" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> CAST((unicode(text[i:i]) - 128) * 256 AS BIGINT)) AS amps
+        |  FROM documents
+        |),
+        |l AS (SELECT unnest([0, 1, 2, 4, 8]) AS lag),
+        |r AS (
+        |  SELECT doc_id, lag,
+        |         CAST(GREATEST(len(amps) - lag, 0) AS BIGINT) AS n_terms,
+        |         CAST(COALESCE(list_sum(list_transform(
+        |           range(1, GREATEST(len(amps) - lag, 0) + 1),
+        |           i -> amps[i] * amps[i + lag])), 0) AS BIGINT) AS ac
+        |  FROM px CROSS JOIN l
+        |)
+        |SELECT doc_id, CAST(lag AS INT) AS lag, n_terms, ac
+        |FROM r ORDER BY doc_id, lag""".stripMargin,
+
     // The mu-law roundtrip is a pure function of the text byte, so the
     // oracle indexes the SAME compand->expand table the encoder/decoder
     // pair compiles (embedded as a 256-entry list literal).
@@ -3743,6 +3797,10 @@ object SparkEntry {
     "q39_ivf_search" -> ivfSearchOracle,
 
     "q235_graph_ann" -> graphAnnOracle,
+
+    // The streaming edge state's batch-parity gate: q235's SQL verbatim
+    // over the merged per-epoch deltas.
+    "q240_streaming_graph_ann" -> graphAnnOracle,
 
     // The streamed IVF index must answer searches identically to the
     // one-shot batch assignment — same oracle as q39.

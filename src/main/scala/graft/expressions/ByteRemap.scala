@@ -44,10 +44,21 @@ case class ByteRemap(child: Expression) extends UnaryExpression {
 /** The exact inverse of [[ByteRemap]] — detokenization's last step:
   * each mapped character (codepoint < 324 by construction) turns back
   * into its original byte, so `unmap(remap(s)) = s` for EVERY byte
-  * sequence. Characters outside the table's range raise (they cannot
-  * have come from [[ByteRemap]]) rather than decoding garbage.
+  * sequence.
+  *
+  * Strict by default: characters outside the table's image raise (they
+  * cannot have come from [[ByteRemap]]) rather than decoding garbage —
+  * the right contract for engine-internal round trips, where a stray
+  * codepoint is a BUG upstream. That contract is only safe when the
+  * input provably came from [[ByteRemap]]; for ad-hoc SQL over
+  * arbitrary columns one bad row would fail the whole task/stage, so
+  * `lenient = true` returns NULL on invalid input instead (the repo's
+  * PERMISSIVE/quarantine convention for user-facing decode surfaces) —
+  * registered as `graft_byte_unmap_lenient` next to the strict
+  * `graft_byte_unmap`.
   */
-case class ByteUnmap(child: Expression) extends UnaryExpression {
+case class ByteUnmap(child: Expression, lenient: Boolean = false)
+  extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -55,13 +66,34 @@ case class ByteUnmap(child: Expression) extends UnaryExpression {
       s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
 
   override def dataType: DataType = StringType
-  override def prettyName: String = "graft_byte_unmap"
+  override def nullable: Boolean = lenient || super.nullable
+  override def prettyName: String =
+    if (lenient) "graft_byte_unmap_lenient" else "graft_byte_unmap"
 
   override def nullSafeEval(s: Any): Any =
-    ByteRemap.unmap(s.asInstanceOf[UTF8String])
+    if (lenient) ByteRemap.unmapOrNull(s.asInstanceOf[UTF8String])
+    else ByteRemap.unmap(s.asInstanceOf[UTF8String])
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.expressions.ByteRemap.unmap($c)")
+    if (lenient) {
+      // Null-producing codegen: defineCodeGen can't emit a null result,
+      // so wire isNull to the helper's null return explicitly.
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      val c = child.genCode(ctx)
+      val code =
+        code"""
+          ${c.code}
+          boolean ${ev.isNull} = ${c.isNull};
+          UTF8String ${ev.value} = null;
+          if (!${ev.isNull}) {
+            ${ev.value} = graft.expressions.ByteRemap.unmapOrNull(${c.value});
+            ${ev.isNull} = ${ev.value} == null;
+          }
+        """
+      ev.copy(code = code)
+    } else {
+      defineCodeGen(ctx, ev, c => s"graft.expressions.ByteRemap.unmap($c)")
+    }
 
   override protected def withNewChildInternal(newChild: Expression): ByteUnmap =
     copy(child = newChild)
@@ -101,6 +133,24 @@ object ByteRemap {
       val c = str.charAt(i).toInt
       val b = if (c < inverse.length) inverse(c) else -1
       require(b >= 0, f"codepoint U+$c%04X is not in the byte-remap image")
+      out(i) = b.toByte
+      i += 1
+    }
+    UTF8String.fromBytes(out)
+  }
+
+  /** [[unmap]] returning null instead of raising on codepoints outside
+    * the remap image — the lenient SQL surface's helper (one stray row
+    * must not fail a corpus-scale scan).
+    */
+  def unmapOrNull(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val out = new Array[Byte](str.length)
+    var i = 0
+    while (i < str.length) {
+      val c = str.charAt(i).toInt
+      val b = if (c < inverse.length) inverse(c) else -1
+      if (b < 0) return null
       out(i) = b.toByte
       i += 1
     }

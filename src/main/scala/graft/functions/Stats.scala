@@ -570,19 +570,24 @@ object Stats {
     // TimestampNTZType is a distinct Catalyst type (and what the UTC-
     // session parquet readers here surface); the cast to TIMESTAMP is
     // instant-preserving under the engine's fixed UTC session zone.
-    // df(name) resolves the FIELD named `name` (col() would parse a dot as
-    // struct access), and intermediate aliases are index-based so a name
-    // containing a dot/backtick can't corrupt the alias or its reference.
+    // Backtick-quote the raw field name (doubling embedded backticks) so
+    // even a top-level column literally named `a.b` resolves as ONE
+    // attribute: both col() AND Dataset.col parse unquoted dots as
+    // struct-field access (resolveQuoted/parseAttributeName), so the
+    // quoting — not the df(...) accessor — is what makes dotted names
+    // safe. Intermediate aliases are index-based so a hostile name can't
+    // corrupt the alias or its reference.
+    def fieldCol(name: String): Column = df(s"`${name.replace("`", "``")}`")
     def numExpr(f: StructField): Column = f.dataType match {
-      case _: NumericType => df(f.name).cast("double")
+      case _: NumericType => fieldCol(f.name).cast("double")
       case _: TimestampType | _: TimestampNTZType =>
-        unix_micros(df(f.name).cast("timestamp")).cast("double")
+        unix_micros(fieldCol(f.name).cast("timestamp")).cast("double")
       case _ => lit(null).cast("double")
     }
     val aggs = cols.zipWithIndex.flatMap { case (f, i) =>
       Seq(
-        count(df(f.name)).as(s"_nn_$i"),
-        countDistinct(df(f.name)).as(s"_nd_$i"),
+        count(fieldCol(f.name)).as(s"_nn_$i"),
+        countDistinct(fieldCol(f.name)).as(s"_nd_$i"),
         min(numExpr(f)).as(s"_mn_$i"),
         max(numExpr(f)).as(s"_mx_$i"))
     }

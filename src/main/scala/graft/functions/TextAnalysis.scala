@@ -294,16 +294,27 @@ object TextAnalysis {
     * and rewrites the vocab's symbol sequences left-to-right
     * greedily (the standard BPE apply rule).
     *
+    * `minCount` prunes the type table BEFORE the driver collect: at
+    * open-web multilingual scale the table itself reaches 10⁸+ types,
+    * and rare types cannot win a greedy merge round anyway — the
+    * standard trainer cutoff. The driver-side bound is therefore
+    * explicitly |types with count ≥ minCount|; the default 1 keeps
+    * every type (bit-identical to the unpruned trainer).
+    *
     * Returns the learned merges as `(rank, c1, c2, cnt)` — `cnt` is the
     * pair's weighted frequency at SELECTION time (monotonically
     * non-increasing only per round, not across the table).
     */
-  def bpeTrainMerges(docs: DataFrame, numMerges: Int = 20): Seq[(Int, String, String, Long)] = {
+  def bpeTrainMerges(
+      docs: DataFrame,
+      numMerges: Int = 20,
+      minCount: Long = 1): Seq[(Int, String, String, Long)] = {
     val vocab: Array[(List[String], Long)] = spread(docs)
       .select(explode(wordsCol).as("w"))
       .filter(length(col("w")) >= 2)
       .groupBy(col("w"))
       .agg(count(lit(1)).as("wc"))
+      .filter(col("wc") >= minCount)
       .collect()
       .map(r => (r.getString(0).map(_.toString).toList, r.getLong(1)))
     trainMergesOnVocab(vocab, numMerges)
@@ -383,14 +394,19 @@ object TextAnalysis {
     * [[bpeTrainMerges]]. No `[UNK]` exists by construction — any input
     * byte sequence is encodable. Scale shape identical to the
     * whitespace trainer: ONE corpus-sized wordcount aggregate, then the
-    * driver loop over the collected (Heaps-bounded) type table.
+    * driver loop over the collected type table, `minCount`-pruned ahead
+    * of the collect so the driver-side bound is explicit
+    * (see [[bpeTrainMerges]]; default 1 ≡ unpruned).
     */
   def byteBpeTrainMerges(
-      docs: DataFrame, numMerges: Int = 20): Seq[(Int, String, String, Long)] = {
+      docs: DataFrame,
+      numMerges: Int = 20,
+      minCount: Long = 1): Seq[(Int, String, String, Long)] = {
     val vocab: Array[(List[String], Long)] = bytePretokenize(docs)
       .filter(length(col("w")) >= 2)
       .groupBy(col("w"))
       .agg(count(lit(1)).as("wc"))
+      .filter(col("wc") >= minCount)
       .collect()
       .map(r => (r.getString(0).map(_.toString).toList, r.getLong(1)))
     trainMergesOnVocab(vocab, numMerges)
@@ -535,6 +551,8 @@ object TextAnalysis {
     * corpus-sized stage is the word-type count aggregate; the EM loop
     * runs driver-side over the collected type table, bounded by
     * vocabulary (Heaps' law), never corpus bytes.
+    * `minCount` prunes the table ahead of the collect (explicit
+    * driver-side bound; default 1 ≡ unpruned — see [[bpeTrainMerges]]).
     *
     * Returns the final vocabulary as `(piece, cnt)` sorted by piece.
     */
@@ -543,10 +561,12 @@ object TextAnalysis {
       maxPieceLen: Int = 4,
       seedSize: Int = 40,
       numRounds: Int = 2,
-      vocabKeep: Int = 24): Seq[(String, Long)] = {
+      vocabKeep: Int = 24,
+      minCount: Long = 1): Seq[(String, Long)] = {
     val types: Array[(String, Long)] = tokenize(docs)
       .groupBy(col("w"))
       .agg(count(lit(1)).as("wc"))
+      .filter(col("wc") >= minCount)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
     val charW = scala.collection.mutable.Map.empty[String, Long]
@@ -725,15 +745,19 @@ object TextAnalysis {
     * corpus-sized stage is the word-type count aggregate; the merge loop
     * runs driver-side over the collected type table, bounded by
     * vocabulary (Heaps' law), never corpus bytes.
+    * `minCount` prunes the table ahead of the collect (explicit
+    * driver-side bound; default 1 ≡ unpruned — see [[bpeTrainMerges]]).
     *
     * Returns `(rank, c1, c2, merged, cnt, ca, cb, score)` per merge.
     */
   def wordpieceTrainMerges(
       docs: DataFrame,
-      numMerges: Int = 20): Seq[(Int, String, String, String, Long, Long, Long, Long)] = {
+      numMerges: Int = 20,
+      minCount: Long = 1): Seq[(Int, String, String, String, Long, Long, Long, Long)] = {
     val types: Array[(List[String], Long)] = tokenize(docs)
       .groupBy(col("w"))
       .agg(count(lit(1)).as("wc"))
+      .filter(col("wc") >= minCount)
       .collect()
       .map { r =>
         val w = r.getString(0)

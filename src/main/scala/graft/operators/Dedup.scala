@@ -1219,11 +1219,18 @@ object Dedup {
     // Persist the fused digest scan: the one-shot pass reads it for the
     // occurrence count AND the mark-back join — unpersisted, the corpus
     // scan (and per-window md5 work) would execute once per consumer.
-    // Bounded: 3 longs per window; the bench/verify harnesses clear
-    // caches per block (the hits/layout-audit precedent).
+    // Bounded: 3 longs per window. The digest cache is released once the
+    // RESULT materializes (the result owns the one remaining cache —
+    // the outlierRanks/graphAnnSearch convention), so repeated calls
+    // from a long-lived session don't accumulate digest blocks
+    // (r15 advice).
     val g = rollingDigests(docs, windowLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    exactSubstrFrom(g, docs, occurrenceCountsOf(g), windowLen)
+    val out = exactSubstrFrom(g, docs, occurrenceCountsOf(g), windowLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count()
+    g.unpersist()
+    out
   }
 
   /** ExactSubstr's incremental state: corpus-wide window-digest

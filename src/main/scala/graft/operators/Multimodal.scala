@@ -788,7 +788,11 @@ object Multimodal {
   object WavDecoder {
     private val ascii = java.nio.charset.StandardCharsets.US_ASCII
 
-    def decode(docId: Long, b: Array[Byte]): WavFeatures = {
+    /** The shared RIFF walk: `(audioFormat, channels, rate, bits,
+      * dataOffset, dataLen)` — validation identical for every consumer
+      * (moments, sample extraction).
+      */
+    private def parse(docId: Long, b: Array[Byte]): (Int, Int, Int, Int, Int, Int) = {
       def u8(i: Int): Int = b(i) & 0xff
       def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
       def le32(i: Int): Long =
@@ -829,6 +833,42 @@ object Multimodal {
       val bytesPerSample = bits / 8
       require(len % bytesPerSample == 0,
         s"doc $docId: data length $len not a multiple of the $bytesPerSample-byte sample size")
+      (audioFormat, channels, rate, bits, off, len)
+    }
+
+    /** One decoded linear sample at byte offset `j` (expanded for
+      * μ-law — analysis describes the signal, not the wire bytes).
+      */
+    private def sampleAt(b: Array[Byte], j: Int, audioFormat: Int, bits: Int): Int = {
+      def u8(i: Int): Int = b(i) & 0xff
+      if (audioFormat == 7) muLawDecodeByte(u8(j))
+      else if (bits == 8) u8(j)
+      else (u8(j) | (u8(j + 1) << 8)).toShort.toInt
+    }
+
+    /** The full decoded sample vector — the codec half of the spectral
+      * analysis path ([[Multimodal.audioAutocorr]] is the relational
+      * half).
+      */
+    def samples(docId: Long, b: Array[Byte]): Array[Int] = {
+      val (audioFormat, _, _, bits, off, len) = parse(docId, b)
+      val bytesPerSample = bits / 8
+      val out = new Array[Int](len / bytesPerSample)
+      var j = off
+      var k = 0
+      while (k < out.length) {
+        out(k) = sampleAt(b, j, audioFormat, bits)
+        j += bytesPerSample
+        k += 1
+      }
+      out
+    }
+
+    def decode(docId: Long, b: Array[Byte]): WavFeatures = {
+      def u8(i: Int): Int = b(i) & 0xff
+      def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+      val (audioFormat, channels, rate, bits, off, len) = parse(docId, b)
+      val bytesPerSample = bits / 8
       val n = (len / bytesPerSample).toLong
       if (n == 0) WavFeatures(docId, channels, rate, bits, 0L, None, None, None)
       else {
@@ -861,6 +901,56 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, payload) => WavDecoder.decode(id, payload) })
+  }
+
+  /** Partition-parallel decode to the FULL sample vector (one array row
+    * per document) — the codec step feeding the relational spectral
+    * analysis ([[audioAutocorr]]). Same batch shape as every decoder
+    * here: one pass per partition, payloads never leave their partition.
+    */
+  def decodeWavSamples(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) => (id, WavDecoder.samples(id, payload)) })
+      .toDF("doc_id", "samples")
+  }
+
+  /** Exact-integer autocorrelation of decoded audio at fixed lags — the
+    * first spectral-shape signal past amplitude moments: `ac(L) =
+    * Σ_{i} x_i·x_{i+L}` over the overlap (raw, unnormalized — callers
+    * normalize by `ac(0)` when they need a correlogram; keeping the
+    * sufficient statistic integral makes every cell engine-bit-identical
+    * and oracle-replayable, the repo's whole-bit convention). `ac(0)` is
+    * the signal energy; a strong `ac(L)/ac(0)` at some L flags
+    * periodicity at `sampleRate/L` Hz — the classic pitch/tone detector,
+    * and for curation a cheap synthetic-beep / silence discriminator.
+    *
+    * Headroom: |sample| ≤ 32768 ⇒ each term ≤ 2³⁰; exact in BIGINT to
+    * ~2³³ overlapping terms per document — far past any real clip.
+    *
+    * Scale: per-document array lambdas (`slice`/`zip_with`/`aggregate`)
+    * — narrow, no shuffle; lag fan-out is `|lags|` rows per doc.
+    * Output: `(doc_id, lag, n_terms, ac)`, one row per (doc, lag),
+    * `n_terms = max(n − L, 0)` (zero-overlap lags emit `ac = 0`).
+    */
+  def audioAutocorr(samples: DataFrame, lags: Seq[Int] = Seq(0, 1, 2, 4, 8)): DataFrame = {
+    require(lags.nonEmpty && lags.forall(_ >= 0), s"lags must be nonnegative: $lags")
+    val amps = transform(col("samples"), x => x.cast("long"))
+    val rows = lags.map { l =>
+      val nt = greatest(size(col("samples")) - l, lit(0))
+      struct(
+        lit(l).as("lag"),
+        nt.cast("long").as("n_terms"),
+        aggregate(
+          zip_with(
+            slice(amps, lit(1), nt),
+            slice(amps, lit(l + 1), nt),
+            (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x).as("ac"))
+    }
+    samples
+      .select(col("doc_id"), explode(array(rows: _*)).as("r"))
+      .select(col("doc_id"), col("r.lag"), col("r.n_terms"), col("r.ac"))
   }
 
   /** Wrap each document as a REAL PNG — the fourth codec class and the

@@ -1225,6 +1225,31 @@ object Similarity {
       degree)
   }
 
+  /** The bucketed quantized vector frame `(vec_id, qe, bucket)` — the
+    * unit of graph-ANN vector state, shared by the batch edge build and
+    * the streaming edge sink ([[graft.streaming.StreamingOps
+    * .graphAnnEdgeSink]]) so both sides bucket identically.
+    */
+  private[graft] def lshBucketedVectors(
+      embeddings: DataFrame,
+      numPlanes: Int = DefaultNumPlanes,
+      dim: Int = 64): DataFrame =
+    signBucketsQuantized(embeddings, numPlanes, dim)
+      .select(col("vec_id"), col("_qe").as("qe"), col("bucket"))
+
+  /** Rank LSH-candidate pairs by exact dot and keep the top `degree`
+    * per source, given distinct candidate rows `(src, nb, dp)` — the
+    * merge-time selection the streaming edge state replays ([[
+    * knnEdgesLsh]] inlines the same window over its one-shot pairs).
+    */
+  private[graft] def topDegreeFromCandidates(cand: DataFrame, degree: Int): DataFrame = {
+    val wG = Window.partitionBy("src").orderBy(col("dp").desc, col("nb"))
+    cand
+      .withColumn("rn", row_number().over(wG))
+      .filter(col("rn") <= degree)
+      .select(col("src"), col("nb"))
+  }
+
   /** Rank candidate pairs `(src, qe_a, nb, qe_b)` by exact dot and keep
     * the top `degree` per source — the shared tail of both edge builds.
     */

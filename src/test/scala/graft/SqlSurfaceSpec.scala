@@ -124,6 +124,26 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(enc.getSeq[String](1) === Seq("ab", "c"))
   }
 
+  test("graft_byte_unmap_lenient NULLs on out-of-image input; strict unmap raises") {
+    // The lenient twin is the ad-hoc-SQL surface: one stray row must not
+    // fail a corpus-scale scan (r15 advice). Valid inputs round-trip
+    // identically to the strict function; invalid codepoints (anything
+    // a remap cannot have produced, e.g. `Ǆ` U+01C4 ≥ 324) yield NULL.
+    val r = spark.sql(
+      """SELECT graft_byte_unmap_lenient(graft_byte_remap('a b')) AS ok,
+        |       graft_byte_unmap_lenient('aǄb') AS bad,
+        |       graft_byte_unmap_lenient(CAST(NULL AS STRING)) AS nul
+        |""".stripMargin).collect().head
+    assert(r.getAs[String]("ok") === "a b")
+    assert(r.isNullAt(r.fieldIndex("bad")))
+    assert(r.isNullAt(r.fieldIndex("nul")))
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_byte_unmap('aǄb')").collect()
+    }
+    assert(err.getMessage.contains("byte-remap image") ||
+      (err.getCause != null && err.getCause.getMessage.contains("byte-remap image")))
+  }
+
   test("arity violations fail analysis, not execution") {
     val err = intercept[Exception] {
       spark.sql("SELECT graft_dot(array(1L))").collect()

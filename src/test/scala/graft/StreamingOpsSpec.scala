@@ -444,6 +444,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(occ1 === 3L, s"replay inflated merged occurrence counts to $occ1")
   }
 
+  test("streaming graph-ANN edge sink: replay-safe; search over merged state equals the one-shot batch build") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    val rnd = new scala.util.Random(11)
+    val emb = (0L until 40L).map { id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq, "l" + (id % 3))
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gann_sink").toString
+    val sink = StreamingOps.graphAnnEdgeSink(spark, dir)
+    val b0 = emb.filter($"vec_id" % 2 === 0)
+    val b1 = emb.filter($"vec_id" % 2 === 1)
+    sink(b0, 0L)
+    sink(b0, 0L) // replay must overwrite its own deltas, not append
+    sink(b1, 1L)
+    val (vecs, edges) = StreamingOps.mergedGraphAnnState(spark, dir)
+    assert(vecs.count() === 40L, "replayed epoch must overwrite, not append")
+    // The merged edge list must equal the batch build exactly: every
+    // co-bucket pair is captured at max(epoch(a), epoch(b)), dp is
+    // pair-determined, and top-degree is a selection over the set.
+    val batchEdges = Similarity.knnEdgesLsh(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mergedNn = Similarity
+      .topDegreeFromCandidates(
+        spark.read.parquet(s"$dir/cand").select("src", "nb", "dp").distinct(), 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mergedNn === batchEdges,
+      "merged candidate deltas must select the exact batch edge list")
+    // End to end: the beam search over the merged state answers like
+    // the one-shot batch path.
+    val entry = vecs.agg(min(col("vec_id"))).collect()(0).getLong(0)
+    val got = Similarity.graphAnnSearchOverEdges(
+        vecs.persist(), edges, entry)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batch = Similarity.graphAnnSearch(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    vecs.unpersist()
+    assert(got === batch, "streamed edge state must answer searches identically to the batch path")
+    assert(batch.nonEmpty)
+  }
+
   test("streaming IVF postings sink: replay-safe; search over merged postings equals one-shot batch search") {
     import graft.operators.Similarity
     import spark.implicits._

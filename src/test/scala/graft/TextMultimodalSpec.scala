@@ -551,6 +551,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f2.mean_amp === Some(uniAmps.map(_.toLong).sum.toDouble / uniAmps.length))
   }
 
+  test("audioAutocorr: hand-computed lags over the decoded 16-bit samples, incl. degenerate overlaps") {
+    import Multimodal.{audioAutocorr, decodeWavSamples, toWav16}
+    // "ab" -> bytes 97, 98 -> samples -7936, -7680 (hand-derived):
+    //   lag 0: (-7936)² + (-7680)²       = 62 980 096 + 58 982 400 = 121 962 496
+    //   lag 1: (-7936)·(-7680)           = 60 948 480
+    //   lag 2: zero overlap              -> 0 terms, ac = 0
+    val d = Seq((1L, "ab"), (2L, "")).toDF("doc_id", "text")
+    val got = audioAutocorr(decodeWavSamples(spark, toWav16(d)), lags = Seq(0, 1, 2))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("lag")) ->
+        ((r.getAs[Long]("n_terms"), r.getAs[Long]("ac")))).toMap
+    assert(got((1L, 0)) === ((2L, 121962496L)))
+    assert(got((1L, 1)) === ((1L, 60948480L)))
+    assert(got((1L, 2)) === ((0L, 0L)))
+    // Empty text: every lag emits (0 terms, ac 0) — rows never vanish.
+    assert(got((2L, 0)) === ((0L, 0L)) && got((2L, 1)) === ((0L, 0L)))
+    // Periodicity detection: a period-4 signal's lag-4 autocorrelation
+    // must dominate lag 1 (sanity of the signal-shape claim).
+    val periodic = Seq((3L, "abcdabcdabcdabcd")).toDF("doc_id", "text")
+    val p = audioAutocorr(decodeWavSamples(spark, toWav16(periodic)), lags = Seq(1, 4))
+      .collect().map(r => r.getAs[Int]("lag") -> r.getAs[Long]("ac")).toMap
+    // Raw sums over different n_terms — compare per-term averages.
+    assert(p(4) / 12.0 > p(1) / 15.0, s"lag-4 per-term ac must dominate: $p")
+  }
+
   test("mu-law compand/expand: G.711 anchor values, monotonicity, segment error bound") {
     import Multimodal.{muLawDecodeByte, muLawEncodeSample}
     // Canonical anchors: linear 0 compands to 0xff and expands back to 0;
