@@ -626,6 +626,28 @@ object ScaleProbe {
     val alpha100 = math.log(mf100.warmSec / mf1.warmSec) / math.log(100.0)
     println(f"""{"probe":"scale100","query":"q03_training_examples","sec_1x":${mf1.warmSec}%.3f,"sec_100x":${mf100.warmSec}%.3f,"input_factor":100.0,"alpha":$alpha100%.3f,"superlinear":${alpha100 > 1.2}}""")
     }
+
+    // --- the flagship at the REFERENCE default max_history=1000 ---------
+    // Gate queries run maxHistory=8 for oracle practicality; the
+    // reference ships 1000, and SURVEY §7.4-5 flags the ~12 KB/row
+    // padded-array shuffle that implies. This row measures it on sf0.1:
+    // wall-clock AND the exchanges' shuffle-bytes-written (the concern
+    // is bytes, not time — padding is materialized by collect_list +
+    // pad, and the window/agg exchanges carry the full arrays).
+    if (only.forall(_.contains("q03_maxhist1000"))) {
+      def flagshipAt(maxHist: Int): (SparkSession, String) => DataFrame = (s, d) =>
+        graft.operators.TrainingPipeline.produceTrainingExamples(
+          graft.sources.EventFixtures.impressions(s, d),
+          graft.sources.EventFixtures.clicks(s, d),
+          graft.sources.EventFixtures.addToCarts(s, d),
+          graft.sources.EventFixtures.orders(s, d),
+          maxHistory = maxHist)
+      val m8 = measure(spark, flagshipAt(8), sfDir)
+      val m1000 = measure(spark, flagshipAt(1000), sfDir)
+      println(splitJson("q03_maxhist8", "1x", m8))
+      println(splitJson("q03_maxhist1000", "1x", m1000))
+      println(f"""{"probe":"maxhist","query":"q03_training_examples","sec_mh8":${m8.warmSec}%.3f,"sec_mh1000":${m1000.warmSec}%.3f,"shuffle_mb_mh8":${m8.warm.shuffleMb}%.1f,"shuffle_mb_mh1000":${m1000.warm.shuffleMb}%.1f,"time_ratio":${m1000.warmSec / m8.warmSec}%.2f,"shuffle_ratio":${m1000.warm.shuffleMb / math.max(m8.warm.shuffleMb, 0.001)}%.2f}""")
+    }
     spark.stop()
   }
 }

@@ -1006,7 +1006,9 @@ object SparkEntry {
     "q240_streaming_graph_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_q240_gann").toString
-      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3)(
+      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3,
+          stageKey = Some(s"q240_streaming_graph_ann:$dir"),
+          shufflePartitions = Some(8))(
         graft.streaming.StreamingOps.graphAnnEdgeSink(s, path))
       val (vecs, edges) = graft.streaming.StreamingOps.mergedGraphAnnState(s, path)
       val v = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1415,7 +1417,8 @@ object SparkEntry {
     "q116_streaming_admission" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       graft.streaming.StreamingOps.admitViaFileStream(
-          s, docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+          s, docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50),
+          stageKey = Some(s"q116_streaming_admission:$dir"))
         .select(col("doc_id"), col("batch_id").cast("int").as("batch_id"))
         .orderBy("doc_id")
     }),
@@ -1504,7 +1507,7 @@ object SparkEntry {
     "q120_streaming_count_min" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       val path = java.nio.file.Files.createTempDirectory("graft_q120_cms").toString
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3) { (batch, id) =>
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q120_streaming_count_min:$dir")) { (batch, id) =>
         graft.streaming.StreamingOps.countMinSink("source", "tok", path)(
           batch.select(col("source"), explode(TextAnalysis.wordsCol).as("tok")), id)
       }
@@ -1522,7 +1525,7 @@ object SparkEntry {
     // merged estimate must equal q76's whole-corpus construction.
     "q121_streaming_hll" -> ((s, dir) => {
       val path = java.nio.file.Files.createTempDirectory("graft_q121_hll").toString
-      graft.streaming.StreamingOps.streamShards(s, Tables.events(s, dir), "event_id", 3)(
+      graft.streaming.StreamingOps.streamShards(s, Tables.events(s, dir), "event_id", 3, stageKey = Some(s"q121_streaming_hll:$dir"))(
         graft.streaming.StreamingOps.hllSink("event_type", "user_id", path))
       graft.streaming.StreamingOps.mergedHllDistinct(s, path)
         .withColumnRenamed("grp", "event_type")
@@ -1537,7 +1540,7 @@ object SparkEntry {
     "q214_streaming_heavy_hitters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_q214_mg").toString
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3) { (batch, id) =>
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q214_streaming_heavy_hitters:$dir")) { (batch, id) =>
         graft.streaming.StreamingOps.mgSink("source", "tok", path, k = 24)(
           batch.select(col("source"), explode(TextAnalysis.wordsCol).as("tok")), id)
       }
@@ -1554,7 +1557,7 @@ object SparkEntry {
     "q122_streaming_passage_state" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_q122_pc").toString
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3)(
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q122_streaming_passage_state:$dir"))(
         graft.streaming.StreamingOps.passageCountsSink(path))
       Dedup.passageDedupAgainst(
           docs, graft.streaming.StreamingOps.mergedPassageCounts(s, path))
@@ -1665,7 +1668,7 @@ object SparkEntry {
     "q223_streaming_cdc_state" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_q223_cdc").toString
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3)(
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q223_streaming_cdc_state:$dir"))(
         graft.streaming.StreamingOps.cdcCountsSink(path))
       Dedup.cdcDedupAgainst(
           docs, graft.streaming.StreamingOps.mergedCdcCounts(s, path))
@@ -1679,7 +1682,7 @@ object SparkEntry {
     "q231_streaming_exact_substr" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_q231_es").toString
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3)(
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q231_streaming_exact_substr:$dir"))(
         graft.streaming.StreamingOps.exactSubstrCountsSink(path))
       Dedup.exactSubstrDedupAgainst(
           docs, graft.streaming.StreamingOps.mergedExactSubstrCounts(s, path))
@@ -1696,7 +1699,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val cents = Similarity.placeholderCentroids(emb)
       val path = java.nio.file.Files.createTempDirectory("graft_q228_ivf").toString
-      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3)(
+      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"))(
         graft.streaming.StreamingOps.ivfPostingsSink(cents, path))
       Similarity.ivfSearchOverPostings(
           graft.streaming.StreamingOps.mergedIvfPostings(s, path), emb, cents)
@@ -2086,7 +2089,9 @@ object SparkEntry {
         .select(col("user_id"), col("ts"), col("slice"))
       val outDir = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
       graft.streaming.StreamingOps.streamShardsThrough(
-          s, sliced, "slice", 3, outputMode = "update")(
+          s, sliced, "slice", 3, outputMode = "update",
+          stageKey = Some(s"q157_streaming_sessions:$dir"),
+          shufflePartitions = Some(8))(
           st => graft.streaming.StreamingOps
             .sessionize(s, st, watermarkDelay = "3650 days").toDF())(
           graft.streaming.StreamingOps.idempotentParquetSink(outDir))
@@ -2259,7 +2264,7 @@ object SparkEntry {
     "q123_streaming_rolling_state" -> ((s, dir) => {
       val shifted = shiftedBoilerplateCorpus(s, dir)
       val path = java.nio.file.Files.createTempDirectory("graft_q123_rc").toString
-      graft.streaming.StreamingOps.streamShards(s, shifted, "doc_id", 3)(
+      graft.streaming.StreamingOps.streamShards(s, shifted, "doc_id", 3, stageKey = Some(s"q123_streaming_rolling_state:$dir"))(
         graft.streaming.StreamingOps.rollingCountsSink(path))
       Dedup.rollingPassageDedupAgainst(
           shifted, graft.streaming.StreamingOps.mergedRollingCounts(s, path))

@@ -1242,12 +1242,18 @@ object Similarity {
     * merge-time selection the streaming edge state replays ([[
     * knnEdgesLsh]] inlines the same window over its one-shot pairs).
     */
-  private[graft] def topDegreeFromCandidates(cand: DataFrame, degree: Int): DataFrame = {
+  private[graft] def topDegreeFromCandidates(cand: DataFrame, degree: Int): DataFrame =
+    topDegreeCandidates(cand, degree).select(col("src"), col("nb"))
+
+  /** As [[topDegreeFromCandidates]] but keeps `dp` — the per-epoch prune
+    * of the streaming edge state (rows must stay mergeable).
+    */
+  private[graft] def topDegreeCandidates(cand: DataFrame, degree: Int): DataFrame = {
     val wG = Window.partitionBy("src").orderBy(col("dp").desc, col("nb"))
     cand
       .withColumn("rn", row_number().over(wG))
       .filter(col("rn") <= degree)
-      .select(col("src"), col("nb"))
+      .select(col("src"), col("nb"), col("dp"))
   }
 
   /** Rank candidate pairs `(src, qe_a, nb, qe_b)` by exact dot and keep
