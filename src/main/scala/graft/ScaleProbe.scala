@@ -437,7 +437,15 @@ object ScaleProbe {
       // occurrence (not doc-frequency) counts.
       "q227_exact_substr_dedup" -> byteFactor,
       // JPEG round trip: per-row encode+decode CPU, zero shuffle.
-      "q229_jpeg_features" -> byteFactor)
+      "q229_jpeg_features" -> byteFactor,
+      // r16: multilingual byte-BPE — the q225/q226 class over the
+      // deterministic UTF-8 rewrite (suffixes are per-doc constants, so
+      // corpus bytes still scale ~byteFactor).
+      "q237_byte_bpe_utf8_roundtrip" -> byteFactor,
+      "q238_byte_bpe_utf8_encode" -> byteFactor,
+      // r16: audio autocorrelation — WAV encode+decode scan plus one
+      // codegen dot per (doc, lag); zero shuffle past the decode.
+      "q239_audio_autocorr" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
@@ -616,6 +624,21 @@ object ScaleProbe {
     // which persists per-round state over the rare-shingle graph —
     // bracket, byteFactor (the q154 argument).
     bracket("q207_modularity", SparkEntry.queries("q207_modularity"), byteFactor)
+    // r16: the LSH-shortlist rebuilds of the two former all-pairs gate
+    // plans (both persist internally — outlierRanks materializes its
+    // score frame, graphAnnSearch its answer — so bracket-measured).
+    // Candidates come from co-bucket joins; the DEMO fixture has a
+    // fixed bucket count, so 10× vectors ≈ 100× co-bucket pairs — the
+    // honest exponent base is the measured co-bucket edge factor (the
+    // q136 argument), not corpus rows.
+    bracket("q216_knn_outliers_vs_edges", SparkEntry.queries("q216_knn_outliers"), edgeFactor)
+    bracket("q235_graph_ann_vs_edges", SparkEntry.queries("q235_graph_ann"), edgeFactor)
+    // r16: streaming graph-ANN edge maintenance — per-epoch deltas are
+    // co-bucket-pair-bounded like the batch build (pruned to top-degree
+    // before landing), so the same edge factor applies; the constant
+    // 3-restart stream machinery rides on top (ISO attributes it).
+    bracket("q240_streaming_graph_ann_vs_edges",
+      SparkEntry.queries("q240_streaming_graph_ann"), edgeFactor)
 
     if (only.isEmpty) {
     val fnFlag = SparkEntry.queries("q03_training_examples")
