@@ -1215,22 +1215,34 @@ object Dedup {
     * spans/strip are doc-keyed with per-doc array lambdas. Nothing
     * quadratic, no suffix array to shard.
     */
-  def exactSubstrDedup(docs: DataFrame, windowLen: Int = 8): DataFrame = {
+  def exactSubstrDedup(docs: DataFrame, windowLen: Int = 8): DataFrame =
+    exactSubstrDedupOwned(docs, windowLen)._1
+
+  /** [[exactSubstrDedup]] plus the release handle for the digest cache
+    * the call persists — the bracket form long-lived sessions want
+    * (call the second element once the returned frame is consumed; the
+    * [[graft.streaming.StreamingOps.corpusAdmissionSinkOwned]]
+    * convention). The plain wrapper leaves the cache to LRU eviction,
+    * acceptable for bounded runs (bench/verify clear caches per block).
+    *
+    * Why not materialize-and-release inside the call: the dependents of
+    * the digest frame are the RESULT (per-doc rebuilt clean text — a
+    * corpus copy, strictly worse to pin than 3 longs per window) and
+    * the occurrence counts (whose consumer, the mark-back join, reads
+    * the digest frame again anyway) — so unlike the bounded-answer
+    * operators (outlierRanks, graphAnnSearch) there is no small frame
+    * that can own the cache.
+    */
+  def exactSubstrDedupOwned(
+      docs: DataFrame, windowLen: Int = 8): (DataFrame, () => Unit) = {
     // Persist the fused digest scan: the one-shot pass reads it for the
     // occurrence count AND the mark-back join — unpersisted, the corpus
     // scan (and per-window md5 work) would execute once per consumer.
-    // Bounded: 3 longs per window. The digest cache is released once the
-    // RESULT materializes (the result owns the one remaining cache —
-    // the outlierRanks/graphAnnSearch convention), so repeated calls
-    // from a long-lived session don't accumulate digest blocks
-    // (r15 advice).
+    // Bounded: 3 longs per window.
     val g = rollingDigests(docs, windowLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = exactSubstrFrom(g, docs, occurrenceCountsOf(g), windowLen)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    g.unpersist()
-    out
+    (exactSubstrFrom(g, docs, occurrenceCountsOf(g), windowLen),
+      () => { g.unpersist(); () })
   }
 
   /** ExactSubstr's incremental state: corpus-wide window-digest

@@ -1152,10 +1152,16 @@ object Similarity {
       probeBits: Int = 1,
       dim: Int = 64): DataFrame = {
     require(degree >= 1 && beam >= 1 && hops >= 1 && hops <= 8)
-    val e = withQuantized(embeddings).select(col("vec_id"), col("qe"))
+    // ONE persisted corpus scan feeds everything: the bucketed frame
+    // serves the LSH edge build, the vector side of the search, and the
+    // long-link id universe (review finding r16: the first cut re-ran
+    // quantization+bucketing from the raw source on both sides of the
+    // candidate join — three corpus scans where one suffices).
+    val b = lshBucketedVectors(embeddings, numPlanes, dim)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val e = b.select(col("vec_id"), col("qe"))
     val nnEdges = edgeBuild match {
-      case "lsh"   => knnEdgesLsh(embeddings, degree, numPlanes, probeBits, dim)
+      case "lsh"   => knnEdgesLshFrom(b, degree, numPlanes, probeBits)
       case "exact" => knnEdgesExactFrom(e, degree)
       case other   => throw new IllegalArgumentException(
         s"edgeBuild=$other not in {lsh, exact}")
@@ -1171,10 +1177,10 @@ object Similarity {
     val (entry, maxId) = (bounds.getLong(0), bounds.getLong(1))
     val edges = nnEdges.unionByName(hypercubeEdges(e, maxId)).distinct()
     // graphAnnSearchOverEdges materializes its (bounded) answer before
-    // returning, so the corpus-scale vector cache can be released here
+    // returning, so the corpus-scale bucketed cache can be released here
     // rather than leaking past the call (ADVICE r15).
     val out = graphAnnSearchOverEdges(e, edges, entry, beam, hops, numQueries, k)
-    e.unpersist()
+    b.unpersist()
     out
   }
 
@@ -1211,9 +1217,19 @@ object Similarity {
       degree: Int = 6,
       numPlanes: Int = DefaultNumPlanes,
       probeBits: Int = 1,
-      dim: Int = 64): DataFrame = {
-    val b = signBucketsQuantized(embeddings, numPlanes, dim)
-      .select(col("vec_id"), col("_qe").as("qe"), col("bucket"))
+      dim: Int = 64): DataFrame =
+    knnEdgesLshFrom(lshBucketedVectors(embeddings, numPlanes, dim),
+      degree, numPlanes, probeBits)
+
+  /** [[knnEdgesLsh]] over an already-bucketed `(vec_id, qe, bucket)`
+    * frame — callers that reuse the bucketed scan (graphAnnSearch
+    * persists it once for the build AND the search) pass it here.
+    */
+  private[graft] def knnEdgesLshFrom(
+      b: DataFrame,
+      degree: Int,
+      numPlanes: Int = DefaultNumPlanes,
+      probeBits: Int = 1): DataFrame = {
     val masks = probeMasks(numPlanes, probeBits)
     val probes = b.select(
       col("vec_id").as("src"), col("qe").as("qe_a"),

@@ -430,6 +430,11 @@ object StreamingOps {
     require(numBatches >= 1, s"numBatches=$numBatches must be positive")
     def stageNow(): java.io.File = {
       val stage = java.nio.file.Files.createTempDirectory("graft_stream_stage").toFile
+      try stageInto(stage)
+      catch { case t: Throwable => deleteRecursively(stage); throw t }
+      stage
+    }
+    def stageInto(stage: java.io.File): Unit = {
       for (b <- 0 until numBatches) {
         val tmp = java.nio.file.Files.createTempDirectory(s"graft_stream_b$b").toFile
         try {
@@ -447,7 +452,6 @@ object StreamingOps {
             s"could not pin mtime for shard $b")
         } finally deleteRecursively(tmp)
       }
-      stage
     }
     // Keyed staging is memoized for the process (see [[stageDirs]]):
     // shards are a deterministic function of (frame, shardKey,
@@ -719,11 +723,17 @@ object StreamingOps {
       import graft.operators.Similarity
       val newB = Similarity.lshBucketedVectors(batch, numPlanes, dim)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val prior = scala.util.Try(
-        spark.read.parquet(s"$basePath/vecs")
+      // First epoch: no state dir yet. Catch ONLY the missing-path
+      // analysis error — a corrupt or unreadable state dir must fail
+      // the batch loudly, never silently read as an empty corpus.
+      val prior =
+        try spark.read.parquet(s"$basePath/vecs")
           .filter(col("batch_id").cast("long") < batchId)
-          .select(col("vec_id"), col("qe"), col("bucket")))
-        .getOrElse(newB.limit(0)) // first epoch: no state dir yet
+          .select(col("vec_id"), col("qe"), col("bucket"))
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getErrorClass == "PATH_NOT_FOUND" => newB.limit(0)
+        }
       val all = prior.unionByName(newB)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val masks = Similarity.probeMasks(numPlanes, probeBits)
@@ -751,8 +761,13 @@ object StreamingOps {
         .write.mode("overwrite").parquet(s"$basePath/cand/batch_id=$batchId")
       // Long links: a one-scalar job for the running max id bounds the
       // XOR bit width (capture-time coverage argued in the scaladoc).
-      val maxId = all.agg(max(col("vec_id"))).collect()(0).getLong(0)
-      val bitsN = (64 - java.lang.Long.numberOfLeadingZeros(math.max(maxId, 1L))).toInt
+      // Null max = no vectors seen yet (an empty epoch over an empty
+      // state): zero long-link bits, empty deltas — not an NPE.
+      val maxIdRow = all.agg(max(col("vec_id"))).collect()(0)
+      val maxId = if (maxIdRow.isNullAt(0)) 0L else maxIdRow.getLong(0)
+      val bitsN =
+        if (maxId <= 0L) 0
+        else (64 - java.lang.Long.numberOfLeadingZeros(maxId)).toInt
       val farTargets = (0 until bitsN).map(j => col("src").bitwiseXOR(lit(1L << j)))
       val farNew = newB.select(col("vec_id").as("src"))
         .select(col("src"),
@@ -763,6 +778,13 @@ object StreamingOps {
       farNew.unionByName(farNew.select(col("nb").as("src"), col("src").as("nb")))
         .distinct()
         .write.mode("overwrite").parquet(s"$basePath/far/batch_id=$batchId")
+      // The prune degree is part of the state's meaning (read-time
+      // selection must not exceed it — see the scaladoc); land it with
+      // the state so the merged read can ENFORCE the bound instead of
+      // silently under-selecting. One row, overwritten idempotently by
+      // every epoch (the degree is a constant of the sink closure).
+      spark.range(1).select(lit(degree).as("degree"))
+        .write.mode("overwrite").parquet(s"$basePath/sink_meta")
       // Vectors land LAST: a crash mid-epoch leaves at worst edge dirs
       // without their vecs dir, and the replay overwrites all three.
       newB.write.mode("overwrite").parquet(s"$basePath/vecs/batch_id=$batchId")
@@ -781,6 +803,12 @@ object StreamingOps {
       basePath: String,
       degree: Int = 6): (DataFrame, DataFrame) = {
     import graft.operators.Similarity
+    val sinkDegree = spark.read.parquet(s"$basePath/sink_meta")
+      .collect()(0).getAs[Int]("degree")
+    require(degree <= sinkDegree,
+      s"read degree $degree exceeds the sink's prune degree $sinkDegree — " +
+        "the state only retains the sink's top-degree rows per (src, epoch), " +
+        "so a wider read would silently diverge from the batch build")
     val vecs = spark.read.parquet(s"$basePath/vecs").select(col("vec_id"), col("qe"))
     val cand = spark.read.parquet(s"$basePath/cand")
       .select(col("src"), col("nb"), col("dp")).distinct()
