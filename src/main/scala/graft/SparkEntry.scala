@@ -1018,6 +1018,15 @@ object SparkEntry {
       out.orderBy("query_id", "rnk")
     }),
 
+    // Frame-wise audio profiling (the silence-trim / clipping-detect
+    // segmentation pass): per 64-sample frame, exact BIGINT count /
+    // sum / energy / min / max over the real 16-bit PCM decode — one
+    // narrow posexplode into a map-side-combined (doc, frame) agg.
+    "q241_audio_frame_stats" -> ((s, dir) =>
+      Multimodal.audioFrameStats(
+          Multimodal.decodeWavSamples(s, Multimodal.toWav16(Tables.documents(s, dir))))
+        .orderBy("doc_id", "frame_idx")),
+
     // Audio SPECTRAL analysis — the first signal past amplitude moments
     // (r15 verdict's audio gap): exact-integer autocorrelation at fixed
     // lags over the REAL 16-bit PCM decode (toWav16 -> full RIFF walk ->
@@ -3155,6 +3164,28 @@ object SparkEntry {
         |       CASE WHEN len(px.amps) > 0 THEN CAST(list_max(px.amps) AS INT) END AS max_amp
         |FROM documents d JOIN px USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,
+
+    // q241: the frame grouping is pure integer arithmetic over the same
+    // affine sample mapping as q239.
+    "q241_audio_frame_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> CAST((unicode(text[i:i]) - 128) * 256 AS BIGINT)) AS amps
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, CAST((i - 1) // 64 AS BIGINT) AS frame_idx, amps[i] AS v
+        |  FROM px, unnest(range(1, len(amps) + 1)) AS u(i)
+        |)
+        |SELECT doc_id, frame_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(v) AS BIGINT) AS sum_amp,
+        |       CAST(SUM(v * v) AS BIGINT) AS energy,
+        |       CAST(MIN(v) AS BIGINT) AS min_amp,
+        |       CAST(MAX(v) AS BIGINT) AS max_amp
+        |FROM f GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // q239: samples are (b-128)*256 per text byte (the toWav16 mapping;
     // ASCII corpus => byte == codepoint, the q114/q115 shared

@@ -919,6 +919,36 @@ object Multimodal {
       .toDF("doc_id", "samples")
   }
 
+  /** Frame-wise audio profiling over the decoded sample vector — the
+    * segmentation pass silence trimming and clipping detection read:
+    * frame `f` covers samples `[f·frameLen, (f+1)·frameLen)` and emits
+    * exact integer sufficient statistics — count, sum, energy (Σ v²),
+    * min, max. A frame whose energy sits near `n·mean²` is silence; one
+    * whose |min|/|max| pins the sample range is clipped — both pure
+    * BIGINT predicates callers derive without re-reading audio.
+    *
+    * Shape: one `posexplode` (narrow) into a map-side-combined
+    * (doc, frame) hash aggregate — everything codegen'd, the shuffle
+    * carries only frame rows (≈ samples/frameLen), never samples. The
+    * ragged last frame keeps its true `n_samples`; zero-sample docs
+    * emit no frames (their absence IS the signal).
+    *
+    * Headroom: |sample| ≤ 32768 ⇒ v² ≤ 2³⁰; exact in BIGINT to ~2³³
+    * samples per frame — any real frameLen is fine.
+    */
+  def audioFrameStats(samples: DataFrame, frameLen: Int = 64): DataFrame = {
+    require(frameLen >= 1, s"frameLen=$frameLen must be >= 1")
+    samples
+      .select(col("doc_id"), posexplode(col("samples")).as(Seq("pos", "v")))
+      .groupBy(col("doc_id"), expr(s"pos div $frameLen").cast("long").as("frame_idx"))
+      .agg(
+        count(lit(1)).as("n_samples"),
+        sum(col("v")).as("sum_amp"),
+        sum(col("v") * col("v")).as("energy"),
+        min(col("v")).as("min_amp"),
+        max(col("v")).as("max_amp"))
+  }
+
   /** Exact-integer autocorrelation of decoded audio at fixed lags — the
     * first spectral-shape signal past amplitude moments: `ac(L) =
     * Σ_{i} x_i·x_{i+L}` over the overlap (raw, unnormalized — callers

@@ -444,6 +444,29 @@ class StreamingOpsSpec extends SparkSpec {
     assert(occ1 === 3L, s"replay inflated merged occurrence counts to $occ1")
   }
 
+  test("keyed shard staging: a reused stage dir replays identical micro-batches") {
+    import spark.implicits._
+    val frame = (0L until 30L).map(i => (i, s"v$i")).toDF("doc_id", "text")
+    def runOnce(): Map[Long, Set[Long]] = {
+      val seen = scala.collection.mutable.Map.empty[Long, Set[Long]]
+      StreamingOps.streamShards(
+        spark, frame, "doc_id", 3, stageKey = Some("spec:staging-reuse")) {
+        (batch, id) =>
+          seen(id) = batch.select("doc_id").collect().map(_.getLong(0)).toSet
+      }
+      seen.toMap
+    }
+    val first = runOnce()
+    val second = runOnce() // second call reuses the memoized stage dir
+    assert(first === second, "keyed staging must replay the exact same shards")
+    assert(first.keySet === Set(0L, 1L, 2L))
+    assert(first.values.reduce(_ ++ _) === (0L until 30L).toSet)
+    // Shard b is exactly the pmod residue class — the mtime-pinned order.
+    (0 to 2).foreach { b =>
+      assert(first(b.toLong) === (0L until 30L).filter(_ % 3 == b).toSet)
+    }
+  }
+
   test("streaming graph-ANN edge sink: replay-safe; search over merged state equals the one-shot batch build") {
     import graft.operators.Similarity
     import spark.implicits._

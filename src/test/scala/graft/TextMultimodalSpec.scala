@@ -576,6 +576,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(p(4) / 12.0 > p(1) / 15.0, s"lag-4 per-term ac must dominate: $p")
   }
 
+  test("audioFrameStats: hand-computed frame aggregates incl. the ragged last frame") {
+    import Multimodal.{audioFrameStats, decodeWavSamples, toWav16}
+    // "abcde" -> samples -7936 -7680 -7424 -7168 -6912; frameLen 2:
+    //   frame 0 (a,b): sum -15616, energy 62980096+58982400=121962496
+    //   frame 1 (c,d): sum -14592, energy 55115776+51380224=106496000
+    //   frame 2 (e):   n=1, sum -6912, energy 47775744 (ragged tail)
+    val d = Seq((1L, "abcde"), (2L, "")).toDF("doc_id", "text")
+    val got = audioFrameStats(decodeWavSamples(spark, toWav16(d)), frameLen = 2)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        ((r.getAs[Long]("n_samples"), r.getAs[Long]("sum_amp"), r.getAs[Long]("energy"),
+          r.getAs[Long]("min_amp"), r.getAs[Long]("max_amp")))).toMap
+    assert(got((1L, 0L)) === ((2L, -15616L, 121962496L, -7936L, -7680L)))
+    assert(got((1L, 1L)) === ((2L, -14592L, 106496000L, -7424L, -7168L)))
+    assert(got((1L, 2L)) === ((1L, -6912L, 47775744L, -6912L, -6912L)))
+    // Zero-sample docs emit no frames — absence is the signal.
+    assert(!got.keys.exists(_._1 == 2L))
+    assert(got.size === 3)
+  }
+
   test("mu-law compand/expand: G.711 anchor values, monotonicity, segment error bound") {
     import Multimodal.{muLawDecodeByte, muLawEncodeSample}
     // Canonical anchors: linear 0 compands to 0xff and expands back to 0;
