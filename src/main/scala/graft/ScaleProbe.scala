@@ -445,7 +445,11 @@ object ScaleProbe {
       "q238_byte_bpe_utf8_encode" -> byteFactor,
       // r16: audio autocorrelation — WAV encode+decode scan plus one
       // codegen dot per (doc, lag); zero shuffle past the decode.
-      "q239_audio_autocorr" -> byteFactor)
+      "q239_audio_autocorr" -> byteFactor,
+      // r16: frame-wise audio profiling — the same codec scan into a
+      // map-side-combined (doc, frame) aggregate; the exchange carries
+      // frame rows (samples/64), so alpha tracks the decode scan.
+      "q241_audio_frame_stats" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

@@ -64,6 +64,29 @@ object SparkEntry {
           typedLit(Seq(" Grüße naïve", " 你好世界", " नमस्ते 🌍", " Ωμέγα καλά")),
           (col("doc_id") % 4 + 1).cast("int"))).as("text"))
 
+  /** The per-doc byte-BPE encode digest shared by q226 and its
+    * multilingual twin q238 (ONE definition — a digest-construction fix
+    * applied to one gate but not the other would silently gate
+    * different things): pre-token/byte/piece conservation totals plus
+    * md5 of the position-ordered piece sequence.
+    */
+  private def byteBpeEncodeDigest(
+      docs: DataFrame,
+      merges: Seq[(Int, String, String, Long)]): DataFrame =
+    TextAnalysis.byteBpeEncode(docs, merges)
+      .withColumn("pstr", array_join(col("pieces"), "\u001f"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_pretoks"),
+        sum(length(col("w"))).cast("long").as("n_bytes_sum"),
+        sum(col("n_pieces")).as("n_pieces"),
+        md5(array_join(
+          transform(
+            sort_array(collect_list(struct(col("pos"), col("pstr")))),
+            x => x.getField("pstr")),
+          " ")).as("pieces_digest"))
+      .orderBy("doc_id")
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1047,19 +1070,7 @@ object SparkEntry {
     "q238_byte_bpe_utf8_encode" -> ((s, dir) => {
       val docs = multilingualDocs(s, dir)
       val merges = TextAnalysis.byteBpeTrainMerges(docs, numMerges = bpeOracleMerges)
-      TextAnalysis.byteBpeEncode(docs, merges)
-        .withColumn("pstr", array_join(col("pieces"), "\u001f"))
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_pretoks"),
-          sum(length(col("w"))).cast("long").as("n_bytes_sum"),
-          sum(col("n_pieces")).as("n_pieces"),
-          md5(array_join(
-            transform(
-              sort_array(collect_list(struct(col("pos"), col("pstr")))),
-              x => x.getField("pstr")),
-            " ")).as("pieces_digest"))
-        .orderBy("doc_id")
+      byteBpeEncodeDigest(docs, merges)
     }),
 
     // Byte-level BPE encode over the whole corpus with freshly-trained
@@ -1068,19 +1079,7 @@ object SparkEntry {
     "q226_byte_bpe_encode" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val merges = TextAnalysis.byteBpeTrainMerges(docs, numMerges = bpeOracleMerges)
-      TextAnalysis.byteBpeEncode(docs, merges)
-        .withColumn("pstr", array_join(col("pieces"), "\u001f"))
-        .groupBy(col("doc_id"))
-        .agg(
-          count(lit(1)).as("n_pretoks"),
-          sum(length(col("w"))).cast("long").as("n_bytes_sum"),
-          sum(col("n_pieces")).as("n_pieces"),
-          md5(array_join(
-            transform(
-              sort_array(collect_list(struct(col("pos"), col("pstr")))),
-              x => x.getField("pstr")),
-            " ")).as("pieces_digest"))
-        .orderBy("doc_id")
+      byteBpeEncodeDigest(docs, merges)
     }),
 
     // BPE encode over the whole corpus with the freshly-trained merges:

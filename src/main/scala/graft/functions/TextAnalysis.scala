@@ -295,11 +295,16 @@ object TextAnalysis {
     * greedily (the standard BPE apply rule).
     *
     * `minCount` prunes the type table BEFORE the driver collect: at
-    * open-web multilingual scale the table itself reaches 10⁸+ types,
-    * and rare types cannot win a greedy merge round anyway — the
-    * standard trainer cutoff. The driver-side bound is therefore
-    * explicitly |types with count ≥ minCount|; the default 1 keeps
-    * every type (bit-identical to the unpruned trainer).
+    * open-web multilingual scale the table itself reaches 10⁸+ types —
+    * the standard trainer cutoff (SentencePiece/HF trainers expose the
+    * same knob). Pruning CAN change the learned merges (pair counts
+    * aggregate ACROSS types, so many rare types can collectively carry
+    * a pair that pruning removes) — semantically it equals training on
+    * the corpus with sub-threshold word occurrences deleted, which is
+    * exactly the trade the cutoff buys and the differential spec pins.
+    * The driver-side bound is explicitly |types with count ≥ minCount|;
+    * the default 1 keeps every type (bit-identical to the unpruned
+    * trainer, which is what every gate query runs).
     *
     * Returns the learned merges as `(rank, c1, c2, cnt)` — `cnt` is the
     * pair's weighted frequency at SELECTION time (monotonically

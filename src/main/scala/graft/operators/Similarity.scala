@@ -1230,10 +1230,9 @@ object Similarity {
       degree: Int,
       numPlanes: Int = DefaultNumPlanes,
       probeBits: Int = 1): DataFrame = {
-    val masks = probeMasks(numPlanes, probeBits)
-    val probes = b.select(
-      col("vec_id").as("src"), col("qe").as("qe_a"),
-      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val probes = probeExplode(
+      b.select(col("vec_id").as("src"), col("qe").as("qe_a"), col("bucket")),
+      numPlanes, probeBits)
     topDegreeEdges(
       b.select(col("bucket"), col("vec_id").as("nb"), col("qe").as("qe_b"))
         .join(probes, Seq("bucket"))
@@ -1382,6 +1381,21 @@ object Similarity {
   def probeMasks(numPlanes: Int, probeBits: Int): Seq[Long] =
     (0L until (1L << numPlanes)).filter(m => java.lang.Long.bitCount(m) <= probeBits)
 
+  /** Explode a bucketed frame's `bucket` column into its multi-probe
+    * neighborhood (bucket XOR each ≤ `probeBits`-bit mask) — THE one
+    * probe fan-out implementation. Every LSH consumer (annLsh, the edge
+    * builds, outlier candidates, incremental near-dup, the streaming
+    * edge sink) routes through here, so batch and streaming twins can
+    * never drift in how they probe.
+    */
+  private[graft] def probeExplode(
+      df: DataFrame, numPlanes: Int, probeBits: Int): DataFrame = {
+    val masks = probeMasks(numPlanes, probeBits)
+    df.withColumn(
+      "bucket",
+      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)))
+  }
+
   /** Approximate top-k: rank only candidates in the query's LSH bucket or
     * any bucket within `probeBits` flipped sign bits (multi-probe LSH —
     * near neighbors most often land one flipped hyperplane away, so
@@ -1401,12 +1415,10 @@ object Similarity {
       probeBits: Int = 1): DataFrame = {
     val e = signBucketsQuantized(embeddings, numPlanes, dim)
       .select(col("vec_id"), col("_qe").as("qe"), col("bucket"))
-    val masks = probeMasks(numPlanes, probeBits)
-    val q = e.filter(col("vec_id") < numQueries)
-      .select(
-        col("vec_id").as("query_id"),
-        col("qe").as("q_qe"),
-        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val q = probeExplode(
+      e.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("qe").as("q_qe"), col("bucket")),
+      numPlanes, probeBits)
     val w = Window.partitionBy(col("query_id")).orderBy(col("dp").desc, col("vec_id"))
     e.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
@@ -1476,12 +1488,10 @@ object Similarity {
         col("vec_id").as("kept_id"),
         col("_qe").as("k_qe"),
         col("bucket"))
-    val masks = probeMasks(numPlanes, probeBits)
-    val s = signBucketsQuantized(snapshot, numPlanes, dim)
-      .select(
-        col("vec_id"),
-        col("_qe").as("s_qe"),
-        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val s = probeExplode(
+      signBucketsQuantized(snapshot, numPlanes, dim)
+        .select(col("vec_id"), col("_qe").as("s_qe"), col("bucket")),
+      numPlanes, probeBits)
     val w = Window.partitionBy(col("vec_id")).orderBy(col("cosine").desc, col("kept_id"))
     k.join(s, Seq("bucket"))
       .withColumn("dp", dot(col("s_qe"), col("k_qe")))
@@ -2046,10 +2056,7 @@ object Similarity {
     val b = signBucketsQuantized(embeddings, numPlanes, dim)
       .select(col("vec_id"), col("_qe").as("qe"), col("bucket"))
       .withColumn("n2", dot(col("qe"), col("qe")))
-    val masks = probeMasks(numPlanes, probeBits)
-    val probes = b.select(
-      col("vec_id"), col("qe"), col("n2"),
-      explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+    val probes = probeExplode(b, numPlanes, probeBits)
     b.select(col("bucket"), col("vec_id").as("nb"), col("qe").as("qe_b"), col("n2").as("n2_b"))
       .join(probes, Seq("bucket"))
       .filter(col("vec_id") =!= col("nb"))

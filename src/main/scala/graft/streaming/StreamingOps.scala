@@ -407,6 +407,15 @@ object StreamingOps {
     */
   private val stageDirs =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+  // Process-lifetime ownership needs process-exit cleanup: without this
+  // hook every bench/verify PROCESS would permanently leak its keyed
+  // corpus copies in /tmp (the accumulation the original per-call
+  // cleanup guarded against, re-introduced at process granularity).
+  locally {
+    java.lang.Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      stageDirs.values().forEach(deleteRecursively(_))
+    }, "graft-stage-dir-cleanup"))
+  }
 
   /** [[streamShards]] with a STREAMING transform between the file source
     * and the sink — the driver for putting stateful streaming operators
@@ -736,10 +745,9 @@ object StreamingOps {
         }
       val all = prior.unionByName(newB)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val masks = Similarity.probeMasks(numPlanes, probeBits)
-      val probesNew = newB.select(
-        col("vec_id").as("src"), col("qe").as("qe_a"),
-        explode(array(masks.map(m => col("bucket").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      val probesNew = Similarity.probeExplode(
+        newB.select(col("vec_id").as("src"), col("qe").as("qe_a"), col("bucket")),
+        numPlanes, probeBits)
       val pairs = all
         .select(col("bucket"), col("vec_id").as("nb"), col("qe").as("qe_b"))
         .join(probesNew, Seq("bucket"))

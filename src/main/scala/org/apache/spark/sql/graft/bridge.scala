@@ -28,4 +28,14 @@ object bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry.registerFunction(name, info, builder)
+
+  /** Whether the session's CacheManager holds any cached plan — the
+    * observable for cache-release specs (the manager is `private[sql]`
+    * in Spark 4; `SparkContext.getPersistentRDDs` does not see Dataset
+    * caches until their blocks register, so it cannot pin release
+    * semantics).
+    */
+  def anyPlanCached(spark: org.apache.spark.sql.SparkSession): Boolean =
+    !spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
 }

@@ -1898,4 +1898,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(byId(11L)._3 > 0 && byId(12L)._3 > 0, "cross-doc shared span stripped from ALL copies")
     assert(byId(13L)._3 === 0 && byId(13L)._6 === texts.toMap.apply(13L))
   }
+
+  test("exactSubstrDedupOwned: the release handle frees the digest cache after consumption") {
+    val docs = Seq(
+      (0L, "a b c d e f g h a b c d e f g h", "en", "s0", 31L),
+      (1L, "p q r s t u v w", "en", "s0", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val bridge = org.apache.spark.sql.graft.bridge
+    spark.catalog.clearCache()
+    assert(!bridge.anyPlanCached(spark))
+    val (out, release) = Dedup.exactSubstrDedupOwned(docs, windowLen = 8)
+    assert(out.count() === 2L) // consume the frame — the cache materializes
+    assert(bridge.anyPlanCached(spark),
+      "the digest frame must be cached while the result is being consumed")
+    release()
+    assert(!bridge.anyPlanCached(spark),
+      "release() must drop the digest cache — the long-lived-session bracket")
+    // The plain wrapper stays behaviorally identical to the Owned frame.
+    assert(Dedup.exactSubstrDedup(docs, windowLen = 8).count() === 2L)
+    spark.catalog.clearCache()
+  }
 }

@@ -62,6 +62,28 @@ class TextMultimodalSpec extends SparkSpec {
     assert(TextAnalysis.bpeTrainMerges(corpus, numMerges = 5) === merges)
   }
 
+  test("minCount prune: equals training on the corpus with sub-threshold words deleted; default 1 is a no-op") {
+    // "xy" appears ONCE (a singleton type); "aab"/"ab" carry the mass.
+    val corpus = Seq(
+      doc(0L, "aab aab ab xy"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val pruned = TextAnalysis.bpeTrainMerges(corpus, numMerges = 5, minCount = 2)
+    // Type-table pruning at wc >= 2 ≡ deleting the singleton word's
+    // occurrences from the corpus (type counts are independent).
+    val deleted = Seq(doc(0L, "aab aab"))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(pruned === TextAnalysis.bpeTrainMerges(deleted, numMerges = 5))
+    // The prune is VISIBLE (the (x,y) pair vanishes) — it is a real
+    // cutoff, not a guaranteed-identical optimization...
+    val unpruned = TextAnalysis.bpeTrainMerges(corpus, numMerges = 5)
+    assert(unpruned.exists(m => m._2 == "x" && m._3 == "y"))
+    assert(!pruned.exists(m => m._2 == "x" && m._3 == "y"))
+    // ...and the default keeps every type (what all gate queries run).
+    assert(TextAnalysis.bpeTrainMerges(corpus, numMerges = 5, minCount = 1) === unpruned)
+    assert(TextAnalysis.byteBpeTrainMerges(corpus, numMerges = 5, minCount = 1) ===
+      TextAnalysis.byteBpeTrainMerges(corpus, numMerges = 5))
+  }
+
   test("BPE encode replays merges once per word TYPE, joined back to occurrences") {
     // 200 occurrences of only 2 distinct words: the merge-replay UDF
     // must project the distinct-word (broadcast-built) side, never the
