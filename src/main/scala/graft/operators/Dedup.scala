@@ -447,6 +447,21 @@ object Dedup {
       .filter(size(col("sigs")) > 0)
   }
 
+  /** A kept-corpus signature index minus tombstoned documents — the
+    * deletion path for the incremental near-dup index
+    * ([[nearDupAgainst]]'s persisted `keptSignatures`): anti-join the
+    * removed doc ids, so a taken-down kept document stops suppressing
+    * future snapshots' near-duplicates WITHOUT re-shingling the kept
+    * corpus. Exactly equals the from-scratch index over the surviving
+    * corpus — the index is per-document, so unlike the graph-ANN edge
+    * state there is no cross-document selection to repair and no slack
+    * bound to respect. `tombstones` carries `doc_id` (extra columns
+    * ignored) — a [[graft.streaming.StreamingOps.mergedTombstones]]
+    * frame with its `vec_id` renamed.
+    */
+  def signatureIndexWithout(index: DataFrame, tombstones: DataFrame): DataFrame =
+    index.join(tombstones.select(col("doc_id")), Seq("doc_id"), "left_anti")
+
   /** Incremental NEAR-dup dedup: keep only the snapshot documents with no
     * verified near-duplicate in an already-kept corpus — the MinHash
     * complement of [[graft.operators.Curation.dedupAgainst]] (which is

@@ -1334,15 +1334,20 @@ object Similarity {
       visited = visited.unionByName(scored(expanded))
         .dropDuplicates("query_id", "vec_id")
     }
-    val out = visited
+    val ranked = visited
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("rnk", row_number().over(wB).cast("int"))
       .filter(col("rnk") <= k)
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("rnk"), col("dp"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // bounded answer — materialize, then release the edge cache
+    // The answer is bounded (≤ numQueries·k rows) by construction — land
+    // it on the driver and return a LocalRelation, so NOTHING this search
+    // cached outlives the call (ADVICE r16: the persist-without-release
+    // here leaked one cached plan per search in a long-lived session; a
+    // lazy return can't release the edge cache it still depends on).
+    val rows = ranked.collect()
     ePersisted.unpersist()
-    out
+    vectors.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), ranked.schema)
   }
 
   /** Element-wise mean pooling of quantized embeddings per group — the

@@ -680,9 +680,23 @@ object StreamingOps {
       graft.operators.Similarity.ivfAssignWith(batch, centroids)
         .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
-  /** The live IVF postings over an [[ivfPostingsSink]] directory. */
-  def mergedIvfPostings(spark: SparkSession, basePath: String): DataFrame =
-    compactedStateView(spark, basePath, Seq("vec_id", "qe", "n2", "cell"))
+  /** The live IVF postings over an [[ivfPostingsSink]] directory
+    * (compaction-aware). `deletesPath` names a [[tombstoneSink]]
+    * directory: tombstoned vectors anti-join out of the postings at
+    * read time, so a search over the merged view equals the one-shot
+    * batch search over the SURVIVING corpus EXACTLY — postings are
+    * per-vector (nothing pruned at sink time, unlike the graph-ANN
+    * candidate deltas), so IVF deletion parity needs no slack. The
+    * q242 gate pins it against q39's oracle over the survivors.
+    */
+  def mergedIvfPostings(
+      spark: SparkSession,
+      basePath: String,
+      deletesPath: Option[String] = None): DataFrame = {
+    val postings = compactedStateView(spark, basePath, Seq("vec_id", "qe", "n2", "cell"))
+    deletesPath.fold(postings)(p =>
+      postings.join(mergedTombstones(spark, p), Seq("vec_id"), "left_anti"))
+  }
 
   /** Streaming graph-ANN edge-state maintenance — the SIXTH index family
     * under the per-epoch replay-idempotent layout (after CMS, HLL,
@@ -713,7 +727,11 @@ object StreamingOps {
     * must equal [[graft.operators.Similarity.graphAnnSearch]], which is
     * the q240 gate (q235's oracle verbatim). A replayed epoch re-reads
     * exactly the prior epochs (`batch_id < b`) and overwrites its own
-    * dirs — same rows, no duplication.
+    * dirs — same rows, no duplication; after [[compactGraphAnnEpochs]]
+    * a replay of a folded epoch is a write-side no-op (its deltas are
+    * final inside the base partitions). Deletions are tombstone epochs
+    * ([[tombstoneSink]]) anti-joined at read time — see
+    * [[mergedGraphAnnState]] for the prune-slack parity bound.
     *
     * Scale: the per-epoch cost is the new probes' bucket join against
     * the accumulated state (an incremental index update — never a
@@ -730,14 +748,27 @@ object StreamingOps {
       dim: Int = 64): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) => {
       import graft.operators.Similarity
+      // A replayed epoch at or below the compaction watermark is a
+      // write-side NO-OP (the admission-sink rule): its deltas are final
+      // inside the three base partitions, and recomputing would read its
+      // own vectors back out of the base as "prior" corpus. The vecs
+      // watermark is the authority — [[compactGraphAnnEpochs]] folds
+      // vecs LAST, so a crash mid-compaction leaves this guard
+      // conservative (still replaying), never skipping an epoch whose
+      // edge dirs were not folded yet.
+      val wm = epochWatermark(spark, s"$basePath/vecs")
+      if (!wm.exists(batchId <= _)) {
       val newB = Similarity.lshBucketedVectors(batch, numPlanes, dim)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // First epoch: no state dir yet. Catch ONLY the missing-path
       // analysis error — a corrupt or unreadable state dir must fail
       // the batch loudly, never silently read as an empty corpus.
+      // liveStateRows keeps the read compaction-aware: the newest valid
+      // base (all epochs ≤ w < batchId, negative id) plus live positive
+      // epochs below this one.
       val prior =
-        try spark.read.parquet(s"$basePath/vecs")
-          .filter(col("batch_id").cast("long") < batchId)
+        try liveStateRows(spark, s"$basePath/vecs")
+          .filter(col("batch_id") < batchId)
           .select(col("vec_id"), col("qe"), col("bucket"))
         catch {
           case e: org.apache.spark.sql.AnalysisException
@@ -798,6 +829,7 @@ object StreamingOps {
       newB.write.mode("overwrite").parquet(s"$basePath/vecs/batch_id=$batchId")
       all.unpersist()
       newB.unpersist()
+      }
     }
 
   /** The live graph-ANN state over a [[graphAnnEdgeSink]] directory:
@@ -805,11 +837,28 @@ object StreamingOps {
     * selection applied at read time over the merged candidate deltas
     * (dedup on the pair-determined `(src, nb, dp)` first, so replayed
     * or bidirectionally-emitted rows can never occupy two ranks).
+    * Compaction-aware on all three subdirectories (the
+    * [[compactedStateView]] base-partition contract).
+    *
+    * `deletesPath` names a [[tombstoneSink]] directory of removed
+    * vector ids: tombstoned vectors leave the vector side AND both
+    * endpoints of the edge state — critically, the candidate rows are
+    * anti-joined BEFORE the top-`degree` selection, so a deleted
+    * neighbor never occupies a rank a surviving candidate should hold.
+    * The read then equals the batch build over the surviving corpus
+    * PROVIDED the sink's prune left enough slack: the per-(src, epoch)
+    * prune kept only the sink-degree best rows, so exact parity needs
+    * `|tombstones| ≤ sinkDegree − degree` (any surviving global top-
+    * `degree` member ranked at worst `degree + |tombstones|` in its own
+    * epoch's delta). Provision the sink degree with the deletion slack
+    * the index must absorb between rebuilds — the q243 gate runs
+    * degree 6 reads over a degree-8 sink with 2 deletions.
     */
   def mergedGraphAnnState(
       spark: SparkSession,
       basePath: String,
-      degree: Int = 6): (DataFrame, DataFrame) = {
+      degree: Int = 6,
+      deletesPath: Option[String] = None): (DataFrame, DataFrame) = {
     import graft.operators.Similarity
     val sinkDegree = spark.read.parquet(s"$basePath/sink_meta")
       .collect()(0).getAs[Int]("degree")
@@ -817,13 +866,78 @@ object StreamingOps {
       s"read degree $degree exceeds the sink's prune degree $sinkDegree — " +
         "the state only retains the sink's top-degree rows per (src, epoch), " +
         "so a wider read would silently diverge from the batch build")
-    val vecs = spark.read.parquet(s"$basePath/vecs").select(col("vec_id"), col("qe"))
-    val cand = spark.read.parquet(s"$basePath/cand")
-      .select(col("src"), col("nb"), col("dp")).distinct()
-    val far = spark.read.parquet(s"$basePath/far").select(col("src"), col("nb"))
+    val dead = deletesPath.map(p => mergedTombstones(spark, p))
+    def alive(df: DataFrame, idCols: String*): DataFrame =
+      dead.fold(df)(t => idCols.foldLeft(df)((d, c) =>
+        d.join(t.select(col("vec_id").as(c)), Seq(c), "left_anti")))
+    val vecs = alive(
+      compactedStateView(spark, s"$basePath/vecs", Seq("vec_id", "qe")), "vec_id")
+    val cand = alive(
+      compactedStateView(spark, s"$basePath/cand", Seq("src", "nb", "dp")).distinct(),
+      "src", "nb")
+    val far = alive(
+      compactedStateView(spark, s"$basePath/far", Seq("src", "nb")), "src", "nb")
     val edges = Similarity.topDegreeFromCandidates(cand, degree)
       .unionByName(far).distinct()
     (vecs, edges)
+  }
+
+  /** Tombstone epochs — the deletion path for the incremental index
+    * state families ([[ivfPostingsSink]], [[graphAnnEdgeSink]],
+    * [[graft.operators.Dedup.nearDupAgainst]]'s signature index): each
+    * micro-batch of removals (takedowns, PII redactions, dedup
+    * retractions) lands its distinct ids in its own replay-idempotent
+    * `batch_id=<epoch>` directory, and readers anti-join the merged
+    * tombstone set at read time — a deleted vector stops being a search
+    * answer WITHOUT rebuilding the append-only index. Deletion is
+    * idempotent by construction (anti-join), so replays, double-deletes
+    * and deletes of never-ingested ids are all no-ops. MUST be a
+    * separate directory from the postings (the postings' partition
+    * discovery owns its root).
+    */
+  def tombstoneSink(basePath: String, idCol: String = "vec_id"): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      batch.select(col(idCol).cast("long").as("vec_id")).distinct()
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+
+  /** The merged tombstone id set over a [[tombstoneSink]] directory. */
+  def mergedTombstones(spark: SparkSession, basePath: String): DataFrame =
+    compactedStateView(spark, basePath, Seq("vec_id")).distinct()
+
+  /** [[compactEpochs]] for a [[tombstoneSink]] directory (distinct ids). */
+  def compactTombstoneEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq("vec_id"), _.distinct())
+
+  /** [[compactEpochs]] for an [[ivfPostingsSink]] directory: postings
+    * are vec-disjoint across epochs, so the fold is plain concatenation
+    * (the admission-sink convention) — the base stays O(corpus) rows
+    * and the read side stops listing one directory per historical
+    * micro-batch.
+    */
+  def compactIvfEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq("vec_id", "qe", "n2", "cell"), identity)
+
+  /** [[compactEpochs]] for a [[graphAnnEdgeSink]] trio: the candidate
+    * deltas fold through the SINK-degree prune (top-K selection is a
+    * semilattice under the total order (dp DESC, nb):
+    * `top_D(A ∪ B) = top_D(top_D(A) ∪ top_D(B))` per src — so the base
+    * stays O(srcs · sinkDegree) and read-time selection at any degree ≤
+    * sinkDegree is unchanged); long links dedup (set semantics); vectors
+    * concatenate (vec-disjoint). Vecs fold LAST: their watermark is the
+    * sink's replay-skip authority, so a crash mid-compaction leaves the
+    * guard conservative — the sink keeps replaying epochs whose edge
+    * dirs may not have folded yet, never skips one that did not.
+    */
+  def compactGraphAnnEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int = {
+    val sinkDegree = spark.read.parquet(s"$basePath/sink_meta")
+      .collect()(0).getAs[Int]("degree")
+    val nCand = compactEpochs(spark, s"$basePath/cand", keepAfter, Seq("src", "nb", "dp"),
+      df => graft.operators.Similarity.topDegreeCandidates(df.distinct(), sinkDegree))
+    val nFar = compactEpochs(spark, s"$basePath/far", keepAfter, Seq("src", "nb"),
+      _.distinct())
+    val nVecs = compactEpochs(spark, s"$basePath/vecs", keepAfter,
+      Seq("vec_id", "qe", "bucket"), identity)
+    nCand + nFar + nVecs
   }
 
   /** Streaming Misra–Gries heavy-hitter maintenance, same epoch layout
@@ -943,20 +1057,27 @@ object StreamingOps {
   def compactedStateView(
       spark: SparkSession,
       basePath: String,
-      stateCols: Seq[String]): DataFrame = {
+      stateCols: Seq[String]): DataFrame =
+    liveStateRows(spark, basePath).select(stateCols.map(col): _*)
+
+  /** The live rows of a `batch_id=<epoch>` state directory WITH their
+    * `batch_id` — [[compactedStateView]] minus the projection, for
+    * sinks whose incremental update reads its own prior state filtered
+    * by epoch (the graph-ANN edge sink). Partition ids come from ONE
+    * file listing (the same one [[compactEpochs]] plans from), not a
+    * Spark distinct() job — at the 10⁵-epoch scale that motivates
+    * compaction, a pre-read job touching every state file would double
+    * the cost the feature exists to bound.
+    */
+  private def liveStateRows(spark: SparkSession, basePath: String): DataFrame = {
     val df = spark.read.parquet(basePath)
       .withColumn("batch_id", col("batch_id").cast("long"))
-    // Partition ids come from ONE file listing (the same one
-    // [[compactEpochs]] plans from), not a Spark distinct() job — at the
-    // 10⁵-epoch scale that motivates compaction, a pre-read job touching
-    // every state file would double the cost the feature exists to bound.
-    val live = newestValidBase(spark, basePath) match {
+    newestValidBase(spark, basePath) match {
       case Some(newestBase) =>
         val w = -newestBase - 1
         df.filter(col("batch_id") === newestBase || col("batch_id") > w)
       case None => df
     }
-    live.select(stateCols.map(col): _*)
   }
 
   /** The newest COMMITTED base partition id (most negative), or None.

@@ -535,6 +535,145 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("IVF postings compaction: view unchanged, replay no-op, dirs bounded, equals from-scratch; tombstones delete exactly") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val emb = (0L until 40L).map { id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq, "l" + (id % 3))
+    }.toDF("vec_id", "embedding", "label")
+    val cents = Similarity.placeholderCentroids(emb)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_compact").toString
+    val sink = StreamingOps.ivfPostingsSink(cents, dir)
+    val batches = (0 to 2).map(b => emb.filter($"vec_id" % 3 === b))
+    batches.zipWithIndex.foreach { case (b, i) => sink(b, i.toLong) }
+    def view() = StreamingOps.mergedIvfPostings(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    def dirs() = new java.io.File(dir).listFiles().count(_.getName.startsWith("batch_id="))
+    val before = view()
+    // 1. The merged view is unchanged by compaction.
+    val removed = StreamingOps.compactIvfEpochs(spark, dir, keepAfter = 1L)
+    assert(removed === 2, "epochs 0 and 1 fold into the base")
+    assert(view() === before, "compaction changed the merged postings")
+    // 2. Dir count is bounded: one base + the live epoch.
+    assert(dirs() === 2)
+    // 3. A replay of a folded epoch is a read-side no-op.
+    sink(batches(0), 0L)
+    assert(view() === before, "replay of a compacted epoch duplicated postings")
+    // 4. Equals the from-scratch state: the one-shot batch assignment.
+    val scratch = Similarity.ivfAssignWith(emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSet
+    assert(view() === scratch, "compacted state diverged from the batch assignment")
+
+    // Tombstones: deleting ids 17 and 23 (≥ numCentroids, ≥ numQueries —
+    // quantizer and query panel unchanged) makes the merged search equal
+    // the one-shot batch search over the SURVIVORS, exactly.
+    val ddir = java.nio.file.Files.createTempDirectory("graft_ivf_tombs").toString
+    val tomb = StreamingOps.tombstoneSink(ddir)
+    tomb(Seq(17L).toDF("vec_id"), 0L)
+    tomb(Seq(17L).toDF("vec_id"), 0L) // replayed delete epoch: no-op
+    tomb(Seq(23L).toDF("vec_id"), 1L)
+    val got = Similarity.ivfSearchOverPostings(
+        StreamingOps.mergedIvfPostings(spark, dir, deletesPath = Some(ddir)), emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val survivors = emb.filter(!$"vec_id".isin(17L, 23L))
+    val batch = Similarity.ivfSearch(survivors)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === batch, "post-deletion merged search must equal the batch build on survivors")
+    assert(got.nonEmpty)
+    // Tombstone epochs compact like any other state dir.
+    assert(StreamingOps.compactTombstoneEpochs(spark, ddir, keepAfter = 1L) === 2)
+    val got2 = Similarity.ivfSearchOverPostings(
+        StreamingOps.mergedIvfPostings(spark, dir, deletesPath = Some(ddir)), emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got2 === batch, "tombstone compaction changed the deletion set")
+  }
+
+  test("graph-ANN state compaction + tombstones: view unchanged, replay skipped, equals batch build on survivors") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    val rnd = new scala.util.Random(17)
+    val emb = (0L until 40L).map { id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq, "l" + (id % 3))
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gann_compact").toString
+    // Sink degree 8 = read degree 6 + deletion slack 2 (the parity bound).
+    val sink = StreamingOps.graphAnnEdgeSink(spark, dir, degree = 8)
+    val batches = (0 to 2).map(b => emb.filter($"vec_id" % 3 === b))
+    batches.zipWithIndex.foreach { case (b, i) => sink(b, i.toLong) }
+    def search(deletes: Option[String] = None): Set[(Long, Long, Int)] = {
+      val (vecs, edges) = StreamingOps.mergedGraphAnnState(spark, dir, 6, deletes)
+      val v = vecs.persist()
+      val entry = v.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      val out = Similarity.graphAnnSearchOverEdges(v, edges, entry)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      v.unpersist()
+      out
+    }
+    def dirsIn(sub: String) =
+      new java.io.File(s"$dir/$sub").listFiles().count(_.getName.startsWith("batch_id="))
+    val before = search()
+    // 1. View unchanged; 2. dirs bounded (one base + one live per subdir).
+    val removed = StreamingOps.compactGraphAnnEpochs(spark, dir, keepAfter = 1L)
+    assert(removed === 6, "epochs 0 and 1 fold in each of cand/far/vecs")
+    assert(search() === before, "compaction changed the merged search answer")
+    assert(Seq("cand", "far", "vecs").map(dirsIn).toSet === Set(2))
+    // 3. A replayed folded epoch is a WRITE-side no-op (skip guard): no
+    // positive dirs reappear below the watermark.
+    sink(batches(0), 0L)
+    assert(Seq("cand", "far", "vecs").map(dirsIn).toSet === Set(2),
+      "replay below the watermark must not write any delta dir")
+    assert(search() === before)
+    // 4. Equals from-scratch: the one-shot batch build answers identically
+    // (read degree 6 over the degree-8 sink state).
+    val batchAns = Similarity.graphAnnSearch(emb)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(search() === batchAns)
+
+    // Deletion parity under the slack bound (|tombstones| = 2 ≤ 8 − 6):
+    // tombstoning ids 17, 23 (not the entry, not a query) makes the
+    // merged search equal the batch build over the SURVIVING corpus.
+    val ddir = java.nio.file.Files.createTempDirectory("graft_gann_tombs").toString
+    StreamingOps.tombstoneSink(ddir)(Seq(17L, 23L).toDF("vec_id"), 0L)
+    val gotDel = search(Some(ddir))
+    val batchDel = Similarity.graphAnnSearch(emb.filter(!$"vec_id".isin(17L, 23L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(gotDel === batchDel,
+      "post-deletion merged search must equal the batch build on survivors")
+    assert(gotDel.nonEmpty && gotDel != before,
+      "the deletion must actually change some answer for the parity to mean anything")
+  }
+
+  test("near-dup index deletion: signatureIndexWithout equals the from-scratch index over survivors") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"),
+      (3L, "completely unrelated text about streaming state compaction"),
+      (10L, "the quick brown fox jumps over the lazy dog today ok"),
+      (11L, "another unrelated snapshot document entirely its own"))
+      .toDF("doc_id", "text")
+    val kept = docs.filter($"doc_id" < 10L)
+    val snap = docs.filter($"doc_id" >= 10L)
+    // Doc 10 is a near-dup of kept docs 1/2; with doc 1 AND 2 tombstoned
+    // it must be admitted again.
+    val fullIdx = Dedup.signatureDigestIndex(kept)
+    val tombs = Seq(1L, 2L).toDF("doc_id")
+    val viaTombs = Dedup.nearDupAgainst(
+        kept, snap, keptSignatures = Some(Dedup.signatureIndexWithout(fullIdx, tombs)))
+      .collect().map(_.getLong(0)).toSet
+    val scratch = Dedup.nearDupAgainst(kept.filter($"doc_id" === 3L), snap)
+      .collect().map(_.getLong(0)).toSet
+    assert(viaTombs === scratch, "tombstoned index diverged from the survivor rebuild")
+    assert(viaTombs === Set(10L, 11L), "deleting the near-dup's kept twins must re-admit it")
+    // Contrast: with the full index, doc 10 is suppressed.
+    val full = Dedup.nearDupAgainst(kept, snap, keptSignatures = Some(fullIdx))
+      .collect().map(_.getLong(0)).toSet
+    assert(full === Set(11L))
+  }
+
   test("streaming MG sink: trim rule exact, replay-safe, guarantee holds on the merged state") {
     import spark.implicits._
     // Hand-checkable trim: two epochs of counters for one group, k = 2.
