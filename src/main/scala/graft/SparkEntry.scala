@@ -1033,11 +1033,40 @@ object SparkEntry {
           stageKey = Some(s"q240_streaming_graph_ann:$dir"),
           shufflePartitions = Some(8))(
         graft.streaming.StreamingOps.graphAnnEdgeSink(s, path))
+      // Search over a COMPACTED state (epochs 0-1 folded through the
+      // sink-degree prune into the base, epoch 2 live): the fold must be
+      // invisible to the merged read — same oracle, hash-pinned.
+      graft.streaming.StreamingOps.compactGraphAnnEpochs(s, path, keepAfter = 1L)
       val (vecs, edges) = graft.streaming.StreamingOps.mergedGraphAnnState(s, path)
       val v = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val entry = v.agg(min(col("vec_id"))).collect()(0).getLong(0)
       val out = Similarity.graphAnnSearchOverEdges(v, edges, entry)
       v.unpersist() // the bounded answer materialized inside the search
+      out.orderBy("query_id", "rnk")
+    }),
+
+    // Deletion/tombstone path for the streamed graph-ANN edge state: a
+    // degree-8 sink leaves the prune slack the parity bound needs
+    // (|tombstones| = 2 ≤ sinkDegree 8 − readDegree 6), vec_ids 17/23
+    // are tombstoned, and the degree-6 read over the surviving state
+    // must answer exactly like the one-shot batch build over the
+    // surviving corpus — q235's oracle over `corpus minus deleted`.
+    "q243_graph_ann_deletion" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val path = java.nio.file.Files.createTempDirectory("graft_q243_gann").toString
+      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3,
+          stageKey = Some(s"q240_streaming_graph_ann:$dir"),
+          shufflePartitions = Some(8))(
+        graft.streaming.StreamingOps.graphAnnEdgeSink(s, path, degree = 8))
+      val dels = java.nio.file.Files.createTempDirectory("graft_q243_dels").toString
+      graft.streaming.StreamingOps.tombstoneSink(dels)(Seq(17L, 23L).toDF("vec_id"), 0L)
+      val (vecs, edges) = graft.streaming.StreamingOps.mergedGraphAnnState(
+        s, path, degree = 6, deletesPath = Some(dels))
+      val v = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val entry = v.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      val out = Similarity.graphAnnSearchOverEdges(v, edges, entry)
+      v.unpersist()
       out.orderBy("query_id", "rnk")
     }),
 
@@ -1709,8 +1738,40 @@ object SparkEntry {
       val path = java.nio.file.Files.createTempDirectory("graft_q228_ivf").toString
       graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"))(
         graft.streaming.StreamingOps.ivfPostingsSink(cents, path))
+      // The gate searches over a COMPACTED state (epochs 0-1 folded into
+      // the base partition, epoch 2 live) — compaction must be invisible
+      // to the merged view, and this hash-pins it against the same oracle.
+      graft.streaming.StreamingOps.compactIvfEpochs(s, path, keepAfter = 1L)
       Similarity.ivfSearchOverPostings(
           graft.streaming.StreamingOps.mergedIvfPostings(s, path), emb, cents)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // Deletion/tombstone path for the streamed IVF index (the r16
+    // verdict's "a removed vector stays a search answer forever" gap):
+    // same streamed postings as q228, then tombstone epochs remove
+    // vec_ids 17 and 23 (neither a query nor a frozen centroid), and
+    // the read-time anti-join must make the merged search equal the
+    // one-shot batch search over the SURVIVING corpus — q39's oracle
+    // over `corpus minus deleted`. Postings are per-vector (no sink-side
+    // prune), so IVF deletion parity is exact with no slack bound.
+    "q242_ivf_deletion" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents = Similarity.placeholderCentroids(emb)
+      val path = java.nio.file.Files.createTempDirectory("graft_q242_ivf").toString
+      // Same frame/shardKey/numBatches as q228 → same staged shards
+      // (the stage-dir memoization contract), so the corpus copy is paid
+      // once across both gates.
+      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"))(
+        graft.streaming.StreamingOps.ivfPostingsSink(cents, path))
+      val dels = java.nio.file.Files.createTempDirectory("graft_q242_dels").toString
+      val tomb = graft.streaming.StreamingOps.tombstoneSink(dels)
+      tomb(Seq(17L).toDF("vec_id"), 0L)
+      tomb(Seq(23L).toDF("vec_id"), 1L)
+      Similarity.ivfSearchOverPostings(
+          graft.streaming.StreamingOps.mergedIvfPostings(s, path, deletesPath = Some(dels)),
+          emb, cents)
         .orderBy("query_id", "rnk")
     }),
 
@@ -3840,6 +3901,19 @@ object SparkEntry {
     // The streamed IVF index must answer searches identically to the
     // one-shot batch assignment — same oracle as q39.
     "q228_streaming_ivf_postings" -> ivfSearchOracle,
+
+    // Deletion parity: the tombstoned merged IVF index must equal the
+    // batch build over the corpus MINUS the deleted ids (q39's oracle
+    // with vec_ids 17/23 excluded from the assigned corpus only — the
+    // frozen quantizer and the query panel are id-ranges the gate
+    // deliberately does not delete from).
+    "q242_ivf_deletion" -> ivfSearchOracleDeleting(Seq(17L, 23L)),
+
+    // Deletion parity for the graph-ANN edge state: q235's oracle over
+    // the surviving corpus (build, long links, entry point, scoring all
+    // on survivors). Exactness rests on the prune-slack bound — the
+    // sink ran at degree 8, the read at 6, and 2 ≤ 8 − 6.
+    "q243_graph_ann_deletion" -> graphAnnOracleDeleting(Seq(17L, 23L)),
 
     "q40_pack_sequences" ->
       """WITH t AS (
@@ -9093,8 +9167,20 @@ object SparkEntry {
     * final self-excluded top-10. MATERIALIZED per round: each visited
     * set feeds both the next beam and the next union.
     */
-  private def graphAnnOracle: String = {
+  private def graphAnnOracle: String = graphAnnOracleDeleting(Nil)
+
+  /** [[graphAnnOracle]] over the corpus MINUS `deleted` — q243's oracle:
+    * the batch build/search replay runs on the survivor set everywhere
+    * the corpus appears (bucketing, long links and their bit width,
+    * entry point, query panel, scoring), which is exactly what the
+    * tombstoned merged state must equal under the prune-slack bound.
+    */
+  private def graphAnnOracleDeleting(deleted: Seq[Long]): String = {
     val (degree, beamW, hops, numQueries, k) = (6, 4, 3, 10, 10)
+    val corpus = if (deleted.isEmpty) "n" else "ns"
+    val survivorCte =
+      if (deleted.isEmpty) ""
+      else s"ns AS (SELECT * FROM n WHERE vec_id NOT IN (${deleted.mkString(", ")})),\n"
     val rounds = (1 to hops).map { r =>
       s"""gf$r AS MATERIALIZED (
          |  SELECT query_id, vec_id FROM (
@@ -9113,7 +9199,7 @@ object SparkEntry {
          |)""".stripMargin
     }.mkString(",\n")
     s"""WITH $quantizedEmbeddings,
-       |gb AS MATERIALIZED (SELECT vec_id, qe, $lshBucketExprSql AS bucket FROM n),
+       |${survivorCte}gb AS MATERIALIZED (SELECT vec_id, qe, $lshBucketExprSql AS bucket FROM $corpus),
        |gpr AS (
        |  SELECT vec_id AS src, qe AS qe_a, xor(bucket, m) AS bucket
        |  FROM gb CROSS JOIN (SELECT unnest($lshProbeMaskListSql) AS m)
@@ -9126,9 +9212,9 @@ object SparkEntry {
        |),
        |gfar AS MATERIALIZED (
        |  SELECT a.vec_id AS src, b.vec_id AS nb
-       |  FROM n a,
-       |       (SELECT unnest(range(0, (SELECT length(bin(MAX(vec_id))) FROM n))) AS j) js
-       |  JOIN n b ON b.vec_id = xor(a.vec_id, CAST(1 AS BIGINT) << j)
+       |  FROM $corpus a,
+       |       (SELECT unnest(range(0, (SELECT length(bin(MAX(vec_id))) FROM $corpus))) AS j) js
+       |  JOIN $corpus b ON b.vec_id = xor(a.vec_id, CAST(1 AS BIGINT) << j)
        |),
        |ged AS MATERIALIZED (
        |  SELECT src, nb FROM (
@@ -9139,13 +9225,13 @@ object SparkEntry {
        |    UNION
        |    SELECT src, nb FROM gfar)
        |),
-       |q AS (SELECT vec_id AS query_id, qe AS q_qe FROM n WHERE vec_id < $numQueries),
+       |q AS (SELECT vec_id AS query_id, qe AS q_qe FROM $corpus WHERE vec_id < $numQueries),
        |sc AS MATERIALIZED (
-       |  SELECT q.query_id, n.vec_id,
-       |         CAST(list_sum(list_transform(range(1, 65), i -> q.q_qe[i] * n.qe[i])) AS BIGINT) AS dp
-       |  FROM q CROSS JOIN n
+       |  SELECT q.query_id, c.vec_id,
+       |         CAST(list_sum(list_transform(range(1, 65), i -> q.q_qe[i] * c.qe[i])) AS BIGINT) AS dp
+       |  FROM q CROSS JOIN $corpus c
        |),
-       |ep AS (SELECT MIN(vec_id) AS entry FROM n),
+       |ep AS (SELECT MIN(vec_id) AS entry FROM $corpus),
        |gv0 AS MATERIALIZED (
        |  SELECT q.query_id, ep.entry AS vec_id, sc.dp
        |  FROM q CROSS JOIN ep
@@ -9163,9 +9249,17 @@ object SparkEntry {
   /** Shared q39/q228 oracle: placeholder-quantizer IVF search (the
     * streamed postings are the same assignment, epoch-unioned).
     */
-  private def ivfSearchOracle: String =
+  private def ivfSearchOracle: String = ivfSearchOracleDeleting(Nil)
+
+  /** [[ivfSearchOracle]] over the corpus MINUS `deleted` — q242's
+    * oracle: only the ASSIGNED corpus shrinks (postings are per-vector);
+    * the frozen quantizer (`vec_id < 16` of the full table) and the
+    * query panel (`vec_id < 10`) are untouched because the gate deletes
+    * ids outside both, matching the engine's frozen-index semantics.
+    */
+  private def ivfSearchOracleDeleting(deleted: Seq[Long]): String =
     s"""WITH $quantizedEmbeddings,
-       |$ivfAssignCtes,
+       |${ivfAssignCtesDeleting(deleted)},
        |scored AS (
        |  SELECT p.query_id, a.vec_id,
        |         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * p.q_qe[i])) AS BIGINT) AS dp
@@ -9179,8 +9273,13 @@ object SparkEntry {
        |SELECT query_id, vec_id AS neighbor_id, rnk, dp FROM r WHERE rnk <= 10
        |ORDER BY query_id, rnk""".stripMargin
 
-  private val ivfAssignCtes =
-    """cents AS (SELECT vec_id AS cent_id, qe AS c_qe, n2 AS c_n2 FROM n WHERE vec_id < 16),
+  private val ivfAssignCtes = ivfAssignCtesDeleting(Nil)
+
+  private def ivfAssignCtesDeleting(deleted: Seq[Long]): String = {
+    val keep =
+      if (deleted.isEmpty) ""
+      else s"\n    WHERE n.vec_id NOT IN (${deleted.mkString(", ")})"
+    s"""cents AS (SELECT vec_id AS cent_id, qe AS c_qe, n2 AS c_n2 FROM n WHERE vec_id < 16),
       |assign AS (
       |  SELECT vec_id, qe, cell FROM (
       |    SELECT n.vec_id, n.qe, c.cent_id AS cell,
@@ -9188,7 +9287,7 @@ object SparkEntry {
       |             CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * c.c_qe[i])) AS DOUBLE)
       |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
       |             c.cent_id) AS rn
-      |    FROM n CROSS JOIN cents c)
+      |    FROM n CROSS JOIN cents c$keep)
       |  WHERE rn = 1
       |),
       |probes AS (
@@ -9201,6 +9300,7 @@ object SparkEntry {
       |    FROM n CROSS JOIN cents c WHERE n.vec_id < 10)
       |  WHERE pn <= 4
       |)""".stripMargin
+  }
 
   /** Shared q124/q125/q126 PQ CTEs: the vec_id < 16 placeholder
     * codebooks (8 subspaces x 16 codes), all sub-distances, the chosen
