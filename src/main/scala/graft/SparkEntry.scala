@@ -140,6 +140,20 @@ object SparkEntry {
         .orderBy("dt", "ranking_id", "customer_id", "impression_pos", "impression_item_id")
     }),
 
+    // O4 at the reference's OWN default depth (max_history = 1000,
+    // pipeline.py:118): the gate otherwise runs MaxHist = 8 throughout,
+    // so this entry pins the default's SEMANTICS, not just its cost
+    // (ISO_r16 measured the cost: 1.10x wall, 2.2x shuffle, padding
+    // provably post-exchange). Identical chain, 125x wider pad arrays.
+    "q244_training_examples_default" -> ((s, dir) =>
+      scalarizeHist(TrainingPipeline.produceTrainingExamples(
+        EventFixtures.impressions(s, dir),
+        EventFixtures.clicks(s, dir),
+        EventFixtures.addToCarts(s, dir),
+        EventFixtures.orders(s, dir),
+        maxHistory = 1000))
+        .orderBy("dt", "ranking_id", "customer_id", "impression_pos", "impression_item_id")),
+
     // Hash aggregation with exact-decimal measures (TPC-H Q1 shape).
     "q06_pricing_summary" -> ((s, dir) =>
       Tables.lineitem(s, dir)
@@ -2791,6 +2805,9 @@ object SparkEntry {
          |ORDER BY dt, ranking_id, customer_id, impression_pos""".stripMargin,
 
     "q03_training_examples" -> trainingExamplesOracle,
+
+    // The reference's default depth: same replay at max_history = 1000.
+    "q244_training_examples_default" -> trainingExamplesOracleAt(1000),
 
     "q04_customer_history" ->
       s"""WITH $evActions,
@@ -9386,7 +9403,14 @@ object SparkEntry {
       |  FROM e
       |)""".stripMargin
 
-  private def trainingExamplesOracle: String =
+  private def trainingExamplesOracle: String = trainingExamplesOracleAt(MaxHist)
+
+  /** The full-pipeline replay at any history depth — `MaxHist` (8) for
+    * q03/q05, the reference's own default 1000 for q244. The zero pads
+    * are generated (`list_transform(range(K), …)`), not literals, so the
+    * two gates cannot drift in anything but K.
+    */
+  private def trainingExamplesOracleAt(maxHist: Int): String =
     s"""WITH $evActions,
        |$evImpressions,
        |joined AS (
@@ -9404,14 +9428,14 @@ object SparkEntry {
        |),
        |agg AS (
        |  SELECT dt, ranking_id, customer_id, impression_pos, impression_item_id, label,
-       |         list(item_id ORDER BY rn) FILTER (WHERE action_time IS NOT NULL AND rn <= 8) AS acts,
-       |         list(action_type ORDER BY rn) FILTER (WHERE action_time IS NOT NULL AND rn <= 8) AS atys
+       |         list(item_id ORDER BY rn) FILTER (WHERE action_time IS NOT NULL AND rn <= $maxHist) AS acts,
+       |         list(action_type ORDER BY rn) FILTER (WHERE action_time IS NOT NULL AND rn <= $maxHist) AS atys
        |  FROM ranked
        |  GROUP BY dt, ranking_id, customer_id, impression_pos, impression_item_id, label
        |)
        |SELECT dt, ranking_id, customer_id, impression_pos, impression_item_id, label,
-       |       array_to_string((COALESCE(acts, CAST([] AS BIGINT[])) || CAST([0,0,0,0,0,0,0,0] AS BIGINT[]))[1:8], ',') AS actions,
-       |       array_to_string((COALESCE(atys, CAST([] AS INT[])) || CAST([0,0,0,0,0,0,0,0] AS INT[]))[1:8], ',') AS action_types
+       |       array_to_string((COALESCE(acts, CAST([] AS BIGINT[])) || list_transform(range($maxHist), x -> CAST(0 AS BIGINT)))[1:$maxHist], ',') AS actions,
+       |       array_to_string((COALESCE(atys, CAST([] AS INT[])) || list_transform(range($maxHist), x -> CAST(0 AS INT)))[1:$maxHist], ',') AS action_types
        |FROM agg
        |ORDER BY dt, ranking_id, customer_id, impression_pos, impression_item_id""".stripMargin
 }
