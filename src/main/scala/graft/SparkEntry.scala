@@ -1093,6 +1093,20 @@ object SparkEntry {
           Multimodal.decodeWavSamples(s, Multimodal.toWav16(Tables.documents(s, dir))))
         .orderBy("doc_id", "frame_idx")),
 
+    // The segmentation VERDICTS the q241 frame stats exist for: per doc,
+    // the silence-trimmed frame span and the clipping flag, derived
+    // relationally from the frame table (audio never re-read). 8-sample
+    // frames so word-granular silence exists in this corpus; the rails
+    // are the corpus's true extremes (space -> |24576|), so clipping
+    // counts frames that pin them — with q239 this completes the audio
+    // raw -> feature -> verdict arc.
+    "q245_audio_segments" -> ((s, dir) =>
+      Multimodal.audioSegments(
+          Multimodal.audioFrameStats(
+            Multimodal.decodeWavSamples(s, Multimodal.toWav16(Tables.documents(s, dir))),
+            frameLen = 8))
+        .orderBy("doc_id")),
+
     // Audio SPECTRAL analysis — the first signal past amplitude moments
     // (r15 verdict's audio gap): exact-integer autocorrelation at fixed
     // lags over the REAL 16-bit PCM decode (toWav16 -> full RIFF walk ->
@@ -3263,6 +3277,39 @@ object SparkEntry {
         |       CAST(MAX(v) AS BIGINT) AS max_amp
         |FROM f GROUP BY doc_id, frame_idx
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q245: the same (b-128)*256 sample replay at 8-sample frames, then
+    // the segmentation predicates as pure arithmetic — loud iff peak
+    // magnitude > 8192 (any byte outside the lowercase band), clipped
+    // iff a sample pins the ±24576 rail (the space byte's magnitude).
+    "q245_audio_segments" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> CAST((unicode(text[i:i]) - 128) * 256 AS BIGINT)) AS amps
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, CAST((i - 1) // 8 AS BIGINT) AS frame_idx, amps[i] AS v
+        |  FROM px, unnest(range(1, len(amps) + 1)) AS u(i)
+        |),
+        |fs AS (
+        |  SELECT doc_id, frame_idx,
+        |         CAST(COUNT(*) AS BIGINT) AS ns,
+        |         GREATEST(ABS(MIN(v)), ABS(MAX(v))) > 8192 AS loud,
+        |         (MIN(v) <= -24576 OR MAX(v) >= 24576) AS clip
+        |  FROM f GROUP BY doc_id, frame_idx
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_frames,
+        |       CAST(SUM(ns) AS BIGINT) AS n_samples,
+        |       CAST(COALESCE(MIN(CASE WHEN loud THEN frame_idx END), -1) AS BIGINT) AS first_loud_frame,
+        |       CAST(COALESCE(MAX(CASE WHEN loud THEN frame_idx END), -1) AS BIGINT) AS last_loud_frame,
+        |       CAST(SUM(CASE WHEN loud THEN 1 ELSE 0 END) AS BIGINT) AS n_loud_frames,
+        |       CAST(SUM(CASE WHEN clip THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_frames,
+        |       BOOL_OR(clip) AS clipped
+        |FROM fs GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // q239: samples are (b-128)*256 per text byte (the toWav16 mapping;
     // ASCII corpus => byte == codepoint, the q114/q115 shared

@@ -949,6 +949,48 @@ object Multimodal {
         max(col("v")).as("max_amp"))
   }
 
+  /** The segmentation pass [[audioFrameStats]]' scaladoc promises, now
+    * as an operator: per document, the silence-trimmed span and the
+    * clipping verdict, derived RELATIONALLY from the frame-stat rows —
+    * audio is never re-read, and every predicate is pure BIGINT over
+    * the frame sufficient statistics.
+    *
+    *  - a frame is LOUD iff its peak magnitude
+    *    `greatest(|min_amp|, |max_amp|)` exceeds `silenceAmp`; the
+    *    trimmed span is `[first_loud_frame, last_loud_frame]`
+    *    (−1 sentinels for an all-silent document — sample offsets are
+    *    `frame_idx × frameLen` under the producing frame length);
+    *  - a frame is CLIPPED iff a sample pinned the configured rails:
+    *    `min_amp ≤ −clipAmp OR max_amp ≥ clipAmp`.
+    *
+    * Composed with [[audioFrameStats]] and [[audioAutocorr]] this gives
+    * audio the same raw → feature → verdict arc the text and image
+    * stacks have (q241 → q245, mirroring q84 → q89).
+    *
+    * Shape: ONE map-side-combined hash aggregate over the frame rows
+    * (≈ samples/frameLen), shuffled by doc_id only — strictly cheaper
+    * than the frame pass that feeds it.
+    */
+  def audioSegments(
+      frameStats: DataFrame,
+      silenceAmp: Long = 8192L,
+      clipAmp: Long = 24576L): DataFrame = {
+    require(silenceAmp >= 0 && clipAmp >= 0,
+      s"thresholds must be non-negative: silenceAmp=$silenceAmp clipAmp=$clipAmp")
+    val loud = greatest(abs(col("min_amp")), abs(col("max_amp"))) > silenceAmp
+    val clipped = col("min_amp") <= -clipAmp || col("max_amp") >= clipAmp
+    frameStats
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(col("n_samples")).as("n_samples"),
+        coalesce(min(when(loud, col("frame_idx"))), lit(-1L)).as("first_loud_frame"),
+        coalesce(max(when(loud, col("frame_idx"))), lit(-1L)).as("last_loud_frame"),
+        sum(when(loud, 1L).otherwise(0L)).as("n_loud_frames"),
+        sum(when(clipped, 1L).otherwise(0L)).as("n_clipped_frames"),
+        max(clipped).as("clipped"))
+  }
+
   /** Exact-integer autocorrelation of decoded audio at fixed lags — the
     * first spectral-shape signal past amplitude moments: `ac(L) =
     * Σ_{i} x_i·x_{i+L}` over the overlap (raw, unnormalized — callers

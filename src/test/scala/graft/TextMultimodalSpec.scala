@@ -618,6 +618,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("audioSegments: trim span, loud/clip predicates distinct, all-silent sentinel") {
+    import Multimodal.{audioFrameStats, audioSegments}
+    // Hand-built sample rows, frameLen 2 → frames:
+    //   doc 1: f0 (100, -100)      peak 100   silent, unclipped
+    //          f1 (9000, 50)       peak 9000  LOUD (>8192), unclipped (<24576)
+    //          f2 (-30000, 0)      peak 30000 loud AND clipped (≤ -24576)
+    //          f3 (10, 20)         silent tail → trim span = [1, 2]
+    //   doc 2: all below both thresholds → −1 sentinels, never clipped.
+    val samples = Seq(
+      (1L, Seq(100L, -100L, 9000L, 50L, -30000L, 0L, 10L, 20L)),
+      (2L, Seq(5L, -5L, 7L)))
+      .toDF("doc_id", "samples")
+    val got = audioSegments(audioFrameStats(samples, frameLen = 2))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_frames"), r.getAs[Long]("n_samples"),
+          r.getAs[Long]("first_loud_frame"), r.getAs[Long]("last_loud_frame"),
+          r.getAs[Long]("n_loud_frames"), r.getAs[Long]("n_clipped_frames"),
+          r.getAs[Boolean]("clipped")))).toMap
+    // Frame 1 proves loud ≠ clipped (9000 > 8192 but < 24576); frame 2
+    // proves the negative rail; the trim excludes both silent ends.
+    assert(got(1L) === ((4L, 8L, 1L, 2L, 2L, 1L, true)))
+    assert(got(2L) === ((2L, 3L, -1L, -1L, 0L, 0L, false)))
+  }
+
   test("mu-law compand/expand: G.711 anchor values, monotonicity, segment error bound") {
     import Multimodal.{muLawDecodeByte, muLawEncodeSample}
     // Canonical anchors: linear 0 compands to 0xff and expands back to 0;
