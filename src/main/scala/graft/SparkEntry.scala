@@ -538,6 +538,41 @@ object SparkEntry {
         .orderBy("doc_id", "bench_id")
     }),
 
+    // The reference domain and the curation stack composed in ONE plan
+    // (they shared a repo but never a query): q03's training examples
+    // flow through q68's benchmark-contamination scan — each impressed
+    // item maps to its landing-page document (id mod |documents|, the
+    // fixture's item→doc link), and per (dt, label) the gate counts
+    // examples, contaminated examples, and the real history length
+    // (non-pad action_types) carried by the contaminated ones. The
+    // contaminated doc set is eval-set-bounded by construction, hence
+    // broadcast; everything upstream keeps its own gate-audited shape.
+    "q246_contaminated_examples" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val contam = Dedup.benchmarkContamination(
+          docs.filter(col("doc_id") >= 50), docs.filter(col("doc_id") < 50))
+        .select(col("doc_id")).distinct()
+        .withColumn("contam", lit(true))
+      val nDocs = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L // one scalar
+      val ex = TrainingPipeline.produceTrainingExamples(
+        EventFixtures.impressions(s, dir),
+        EventFixtures.clicks(s, dir),
+        EventFixtures.addToCarts(s, dir),
+        EventFixtures.orders(s, dir),
+        maxHistory = MaxHist)
+      ex.select(
+          col("dt"), col("label"),
+          pmod(col("impression_item_id"), lit(nDocs)).as("doc_id"),
+          size(filter(col("action_types"), x => x =!= 0)).cast("long").as("hist_len"))
+        .join(broadcast(contam), Seq("doc_id"), "left_outer")
+        .groupBy(col("dt"), col("label"))
+        .agg(
+          count(lit(1)).as("n_examples"),
+          sum(when(col("contam"), 1L).otherwise(0L)).as("n_contaminated"),
+          sum(when(col("contam"), col("hist_len")).otherwise(0L)).as("contaminated_hist_len"))
+        .orderBy("dt", "label")
+    }),
+
     // Text: tokenizer vocabulary — top-1000 corpus tokens with ≥2
     // occurrences, contiguous ids in (frequency desc, token) order.
     "q69_vocabulary" -> ((s, dir) =>
@@ -4380,6 +4415,57 @@ object SparkEntry {
          |GROUP BY c.doc_id, b.bench_id
          |HAVING COUNT(*) >= 2
          |ORDER BY c.doc_id, b.bench_id""".stripMargin,
+
+    // q246: the q03 replay (joined→ranked, history depth 8) reduced to
+    // per-example real-history lengths, composed with the q68 replay
+    // (distinct contaminated corpus docs) through the item→doc modulus.
+    "q246_contaminated_examples" ->
+      s"""WITH $evActions,
+         |$evImpressions,
+         |$docShingles,
+         |shh AS (
+         |  SELECT doc_id, CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT) AS h
+         |  FROM sh
+         |),
+         |contam AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT c.doc_id
+         |    FROM (SELECT doc_id, h FROM shh WHERE doc_id >= 50) c
+         |    JOIN (SELECT doc_id AS bench_id, h FROM shh WHERE doc_id < 50) b USING (h)
+         |    GROUP BY c.doc_id, b.bench_id
+         |    HAVING COUNT(*) >= 2)
+         |),
+         |joined AS (
+         |  SELECT i.dt, i.ranking_id, i.customer_id, i.impression_pos,
+         |         i.impression_item_id, i.label,
+         |         a.item_id, a.action_type, a.action_time
+         |  FROM imp i LEFT JOIN actions a
+         |    ON i.customer_id = a.customer_id AND a.action_time < i.cutoff_ts
+         |),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY dt, ranking_id, customer_id, impression_pos, impression_item_id
+         |      ORDER BY action_time DESC, item_id, action_type) AS rn
+         |  FROM joined
+         |),
+         |exh AS (
+         |  SELECT dt, ranking_id, customer_id, impression_pos, impression_item_id, label,
+         |         CAST(COUNT(*) FILTER (WHERE action_time IS NOT NULL AND rn <= 8) AS BIGINT) AS hist_len
+         |  FROM ranked
+         |  GROUP BY dt, ranking_id, customer_id, impression_pos, impression_item_id, label
+         |),
+         |m AS (
+         |  SELECT dt, label, hist_len,
+         |         (impression_item_id % (SELECT MAX(doc_id) + 1 FROM documents))
+         |           IN (SELECT doc_id FROM contam) AS is_c
+         |  FROM exh
+         |)
+         |SELECT dt, label,
+         |       CAST(COUNT(*) AS BIGINT) AS n_examples,
+         |       CAST(SUM(CASE WHEN is_c THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+         |       CAST(SUM(CASE WHEN is_c THEN hist_len ELSE 0 END) AS BIGINT) AS contaminated_hist_len
+         |FROM m GROUP BY dt, label
+         |ORDER BY dt, label""".stripMargin,
 
     "q69_vocabulary" ->
       """WITH t AS (
