@@ -141,6 +141,45 @@ object Curation {
     if (dedupe) hashes.distinct() else hashes
   }
 
+  /** The combined admission-state row of a document — the near-dup
+    * signature index ([[Dedup.signatureDigestIndex]] shape) PLUS the
+    * exact-dedup content hash, from ONE text scan. This is the carried
+    * kept-corpus representation the streaming admission sink persists
+    * per delta: one scan and one cache entry per micro-batch where the
+    * split indexes cost two of each (ISO_r17 — at gate scale the
+    * admission DAG is plan-count-bound, and at 100 TB one fewer pass
+    * over each admitted delta is one fewer pass). Unlike
+    * [[Dedup.signatureDigestIndex]] it KEEPS shingle-less documents —
+    * their hash still participates in exact dedup; signature consumers
+    * filter `size(sigs) > 0` (the [[admissionSigView]] projection). No
+    * hash distinct: [[dedupAgainstHashes]]' anti-join tolerates
+    * duplicate digests, and skipping it keeps the build narrow.
+    */
+  def admissionIndex(docs: DataFrame, k: Int = 3, numHashes: Int = 8): DataFrame = {
+    val bridge = org.apache.spark.sql.graft.bridge
+    TextAnalysis.spread(docs)
+      .select(
+        col("doc_id"),
+        bridge.column(graft.expressions.MinHashSigDigests(
+          bridge.expression(TextAnalysis.wordsCol), k, numHashes)).as("sd"),
+        md5(normalizedTextCol(col("text"))).as("content_hash"))
+      .select(
+        col("doc_id"),
+        col("sd.sigs").as("sigs"),
+        col("sd.shl").as("shl"),
+        size(col("sd.shl")).cast("long").as("n_sh"),
+        col("content_hash"))
+  }
+
+  /** The `keptSignatures` view of an [[admissionIndex]] frame. */
+  def admissionSigView(idx: DataFrame): DataFrame =
+    idx.filter(size(col("sigs")) > 0)
+      .select(col("doc_id"), col("sigs"), col("shl"), col("n_sh"))
+
+  /** The `keptHashes` view of an [[admissionIndex]] frame. */
+  def admissionHashView(idx: DataFrame): DataFrame =
+    idx.select(col("content_hash"))
+
   /** [[dedupAgainst]] against a prebuilt [[contentHashIndex]]: the kept
     * corpus never re-hashes (only `incoming` is scanned). Duplicate
     * digests in `referenceHashes` are tolerated (anti-join semantics).
@@ -394,17 +433,21 @@ object Curation {
       keptHashes: Option[DataFrame] = None,
       snapshotBounded: Boolean = false)(f: DataFrame => T): T = {
     // `novel` feeds BOTH the near-dup index build and the final
-    // semi-join — persist it for the bracket so the quality-filter +
+    // anti-join — persist it for the bracket so the quality-filter +
     // exact-dedup front half runs once, not once per consumer.
     val novel = novelCandidates(kept, snapshot, keptHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      Dedup.withNearDupAgainst(
+      // Anti-join the DROPPED ids directly instead of materializing the
+      // survivor list and semi-joining it — same rows (dropped ⊆ novel,
+      // doc_id unique), one join and one broadcast fewer per call, which
+      // a per-micro-batch caller pays on every trigger.
+      Dedup.withNearDupDropped(
         kept, novel, minJaccard = minJaccard, keptSignatures = keptSignatures,
-        snapshotBounded = snapshotBounded) { survivors =>
+        snapshotBounded = snapshotBounded) { dropped =>
         f(novel.join(
-          if (snapshotBounded) broadcast(survivors) else survivors,
-          Seq("doc_id"), "left_semi"))
+          if (snapshotBounded) broadcast(dropped) else dropped,
+          Seq("doc_id"), "left_anti"))
       }
     } finally { novel.unpersist(); () }
   }

@@ -534,7 +534,53 @@ object Dedup {
     try f(result) finally cached.foreach(_.unpersist())
   }
 
+  /** [[withNearDupAgainst]]'s complement: the action runs over the
+    * DROPPED ids (snapshot docs WITH a verified kept near-duplicate)
+    * instead of the survivors. Callers holding the full snapshot frame
+    * anti-join the dropped set away directly — one join and one
+    * broadcast fewer per call than building the survivor list and
+    * semi-joining it, which is the admission sink's per-micro-batch
+    * steady state (ISO_r17: the gate-scale cost of that DAG is
+    * plan-count-dominated, so removed subtrees are the honest lever).
+    */
+  private[graft] def withNearDupDropped[T](
+      kept: DataFrame,
+      snapshot: DataFrame,
+      k: Int = 3,
+      numHashes: Int = 8,
+      numBands: Int = 4,
+      minSigAgreement: Double = 0.75,
+      keptSignatures: Option[DataFrame] = None,
+      exactVerify: Boolean = true,
+      minJaccard: Double = 0.75,
+      snapshotBounded: Boolean = false)(f: DataFrame => T): T = {
+    val (dropped, cached) = nearDupDroppedPlan(kept, snapshot, k, numHashes,
+      numBands, minSigAgreement, keptSignatures, exactVerify, minJaccard,
+      snapshotBounded)
+    try f(dropped) finally cached.foreach(_.unpersist())
+  }
+
   private def nearDupAgainstPlan(
+      kept: DataFrame,
+      snapshot: DataFrame,
+      k: Int,
+      numHashes: Int,
+      numBands: Int,
+      minSigAgreement: Double,
+      keptSignatures: Option[DataFrame],
+      exactVerify: Boolean,
+      minJaccard: Double,
+      snapshotBounded: Boolean): (DataFrame, Seq[DataFrame]) = {
+    val (dropped, cached) = nearDupDroppedPlan(kept, snapshot, k, numHashes,
+      numBands, minSigAgreement, keptSignatures, exactVerify, minJaccard,
+      snapshotBounded)
+    val out = snapshot.select(col("doc_id")).join(
+      if (snapshotBounded) broadcast(dropped) else dropped,
+      Seq("doc_id"), "left_anti")
+    (out, cached)
+  }
+
+  private def nearDupDroppedPlan(
       kept: DataFrame,
       snapshot: DataFrame,
       k: Int,
@@ -601,8 +647,7 @@ object Dedup {
     })
       .select(col("new_doc").as("doc_id"))
       .distinct()
-    (snapshot.select(col("doc_id")).join(bounded(dropped), Seq("doc_id"), "left_anti"),
-      ownedCaches)
+    (dropped, ownedCaches)
   }
 
   /** Benchmark/eval-set contamination scan: every (corpus doc, benchmark

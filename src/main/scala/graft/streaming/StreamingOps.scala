@@ -187,13 +187,13 @@ object StreamingOps {
     * with no transaction log, and the final corpus equals the
     * batch-computed sequential admission (pinned by spec).
     *
-    * The kept REPRESENTATION is incremental: the closure carries a
-    * persisted signature+digest index ([[graft.operators.Dedup
-    * .signatureDigestIndex]]) and content-hash index
-    * ([[graft.operators.Curation.contentHashIndex]]) across
+    * The kept REPRESENTATION is incremental: the closure carries ONE
+    * persisted combined index per delta — signatures, shingle digests
+    * and content hash from a single text scan
+    * ([[graft.operators.Curation.admissionIndex]]) — across
     * micro-batches, appending each batch's admitted delta (read back
-    * from the batch's own committed directory, so the index always
-    * reflects what the replay contract would rebuild). Kept TEXT is
+    * from the batch's own committed directory: replay authority AND
+    * lineage truncation — see the sink body). Kept TEXT is
     * re-read only when the carried index cannot serve the batch —
     * first batch of a driver lifetime, or a non-consecutive/replayed
     * epoch after restart, where the index rebuilds from `keptInit` +
@@ -260,7 +260,7 @@ object StreamingOps {
           streamBatch.sparkSession.conf.set("spark.sql.shuffle.partitions", n.toString)
         }
         try {
-        if (state.coveredThrough != batchId - 1 || state.sigs.isEmpty) {
+        if (state.coveredThrough != batchId - 1 || state.idx.isEmpty) {
           // Rebase: first batch of this driver lifetime, or a replay /
           // gap the carried index cannot serve. Kept text is read ONCE
           // here; consecutive successors ride the carried index.
@@ -277,10 +277,7 @@ object StreamingOps {
             }
             .getOrElse(batch.limit(0))
           val kept = keptInit.select(docCols: _*).unionByName(prior)
-          state.append(
-            graft.operators.Dedup.signatureDigestIndex(kept),
-            graft.operators.Curation.contentHashIndex(kept),
-            batchId - 1)
+          state.append(graft.operators.Curation.admissionIndex(kept), batchId - 1)
         }
         // Bracketed admission: the write is the action, after which the
         // per-batch SNAPSHOT-side index caches are released — the kept
@@ -292,14 +289,16 @@ object StreamingOps {
           admitted.write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
         }
         // Extend the carried index with this batch's committed output —
-        // read back from the sink, so index contents always equal what a
-        // from-disk rebuild would produce. Delta hashes skip the
-        // distinct (anti-join tolerates duplicate digests).
+        // read back from the sink. The read-back is load-bearing TWICE:
+        // the index always equals what a from-disk rebuild would produce
+        // (replay authority), and the parquet scan TRUNCATES lineage —
+        // building the delta from the in-memory admitted frame instead
+        // nests each batch's full admission DAG inside the next batch's
+        // carried-index plan, and the logical tree (hence per-batch
+        // planning/explain) grows without bound (measured: 5s → 68s by
+        // batch 3 at sf0.1 when this was tried, ISO_r17).
         val delta = spark.read.parquet(s"$basePath/batch_id=$batchId").select(docCols: _*)
-        state.append(
-          graft.operators.Dedup.signatureDigestIndex(delta),
-          graft.operators.Curation.contentHashIndex(delta, dedupe = false),
-          batchId)
+        state.append(graft.operators.Curation.admissionIndex(delta), batchId)
         } finally prevSp.foreach { case (p1, p2) =>
           spark.conf.set("spark.sql.shuffle.partitions", p1)
           streamBatch.sparkSession.conf.set("spark.sql.shuffle.partitions", p2)
@@ -316,21 +315,20 @@ object StreamingOps {
     * the authoritative state.
     */
   private final class AdmissionIndexState {
-    var sigs: Option[DataFrame] = None
-    var hashes: Option[DataFrame] = None
+    var idx: Option[DataFrame] = None
     var coveredThrough: Long = Long.MinValue
     private var owned: List[DataFrame] = Nil
-    def append(sigDelta: DataFrame, hashDelta: DataFrame, through: Long): Unit = {
-      val s = sigDelta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val h = hashDelta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      owned = s :: h :: owned
-      sigs = Some(sigs.fold(s)(_.unionByName(s)))
-      hashes = Some(hashes.fold(h)(_.unionByName(h)))
+    def append(idxDelta: DataFrame, through: Long): Unit = {
+      val d = idxDelta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      owned = d :: owned
+      idx = Some(idx.fold(d)(_.unionByName(d)))
       coveredThrough = through
     }
+    def sigs: Option[DataFrame] = idx.map(graft.operators.Curation.admissionSigView)
+    def hashes: Option[DataFrame] = idx.map(graft.operators.Curation.admissionHashView)
     def release(): Unit = {
       owned.foreach(_.unpersist())
-      owned = Nil; sigs = None; hashes = None; coveredThrough = Long.MinValue
+      owned = Nil; idx = None; coveredThrough = Long.MinValue
     }
   }
 
