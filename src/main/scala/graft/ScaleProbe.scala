@@ -449,7 +449,15 @@ object ScaleProbe {
       // r16: frame-wise audio profiling — the same codec scan into a
       // map-side-combined (doc, frame) aggregate; the exchange carries
       // frame rows (samples/64), so alpha tracks the decode scan.
-      "q241_audio_frame_stats" -> byteFactor)
+      "q241_audio_frame_stats" -> byteFactor,
+      // r17: audio segmentation — the q241 codec+frame class at
+      // 8-sample frames (8× the frame rows) plus one doc-keyed verdict
+      // aggregate; still decode-scan-bound.
+      "q245_audio_segments" -> byteFactor,
+      // r17: examples × contamination compose — cost is the q03 example
+      // chain (events replicate by rows); the contamination side is an
+      // eval-set-bounded broadcast that deliberately does NOT scale.
+      "q246_contaminated_examples" -> rowFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
@@ -643,6 +651,15 @@ object ScaleProbe {
     // 3-restart stream machinery rides on top (ISO attributes it).
     bracket("q240_streaming_graph_ann_vs_edges",
       SparkEntry.queries("q240_streaming_graph_ann"), edgeFactor)
+    // r17: the tombstoned graph-ANN read — q240's machinery (now with a
+    // degree-8 sink) plus delete-epoch writes and three read-time
+    // anti-joins; same co-bucket edge factor, same constant 3-restart
+    // stream machinery riding on top (ISO attributes it). The IVF twin
+    // q242 is the q228 streaming-fixed-cost class (ISO-attributed, like
+    // q116/q120-q123); q244 is the q03_maxhist1000 row below, measured
+    // since r16.
+    bracket("q243_graph_ann_deletion_vs_edges",
+      SparkEntry.queries("q243_graph_ann_deletion"), edgeFactor)
 
     if (only.isEmpty) {
     val fnFlag = SparkEntry.queries("q03_training_examples")

@@ -461,9 +461,24 @@ object StreamingOps {
       }
     }
     // Keyed staging is memoized for the process (see [[stageDirs]]):
-    // shards are a deterministic function of (frame, shardKey,
-    // numBatches), which the caller's key must identify.
-    val cached = stageKey.map(k => stageDirs.computeIfAbsent(k, _ => stageNow()))
+    // shards are a deterministic function of (frame CONTENTS, shardKey,
+    // numBatches), ALL of which the caller's key must identify for the
+    // life of the process. Gate queries key on (queryName, sfDir) —
+    // sound because the driver's testdata dirs are immutable within a
+    // run; a caller whose fixture files can be regenerated mid-process
+    // must fold a content fingerprint (mtimes/sizes) into the key or
+    // not pass one (ADVICE r16). Staging runs OUTSIDE the map's bin
+    // lock (computeIfAbsent would pin it across a full Spark write);
+    // a racing loser deletes its duplicate staging.
+    val cached = stageKey.map { k =>
+      Option(stageDirs.get(k)).getOrElse {
+        val fresh = stageNow()
+        Option(stageDirs.putIfAbsent(k, fresh)) match {
+          case Some(winner) => deleteRecursively(fresh); winner
+          case None => fresh
+        }
+      }
+    }
     val stage = cached.getOrElse(stageNow())
     val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toFile
     // Micro-batch plans cannot re-plan at runtime (AQE is pinned off for
@@ -473,6 +488,13 @@ object StreamingOps {
     // state-store-provider overhead on every exchange of every batch
     // (the corpusAdmissionSinkOwned lesson, applied at the stream level:
     // the conf at query start is what the cloned session inherits).
+    // SCOPE CAVEAT (ADVICE r16): the override narrows the SHARED
+    // session conf for the stream's duration — a concurrent batch job
+    // on the same SparkSession would silently inherit it. The gate
+    // harness is single-threaded per session by design; a multi-tenant
+    // caller must route the stream through a dedicated session (the
+    // static frames a transform closes over must then come from that
+    // session too — cross-session Dataset mixing throws).
     val prevSp = shufflePartitions.map(_ => spark.conf.get("spark.sql.shuffle.partitions"))
     shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
     try {
