@@ -1243,6 +1243,15 @@ object StreamingOps {
     compactEpochs(spark, basePath, keepAfter, Seq("dig", "df"),
       df => graft.operators.Dedup.mergePassageCounts(Seq(df)))
 
+  /** [[compactEpochs]] for an [[exactSubstrCountsSink]] directory —
+    * occurrence counts are additive, so the fold is the digest-wise sum
+    * (the same merge [[mergedExactSubstrCounts]] applies at read time).
+    * This was the one epoch family without a wrapper (r17).
+    */
+  def compactExactSubstrEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq("dig", "occ"),
+      df => df.groupBy(col("dig")).agg(sum(col("occ")).as("occ")))
+
   /** [[compactEpochs]] for an [[mgSink]] directory: the PODS'12
     * sum-then-trim merge keeps the base at ≤ k counters per group while
     * preserving the n/(k+1) guarantee for every later read-time merge

@@ -535,6 +535,25 @@ class StreamingOpsSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("ExactSubstr occurrence-state compaction: additive fold, view unchanged, dirs bounded") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_es_compact").toString
+    val sink = StreamingOps.exactSubstrCountsSink(dir, windowLen = 3)
+    val mk = (ids: Seq[Long]) => ids.map(i =>
+      (i, s"shared span alpha beta gamma delta tail$i unique$i")).toDF("doc_id", "text")
+    sink(mk(Seq(1L)), 0L); sink(mk(Seq(2L)), 1L); sink(mk(Seq(3L)), 2L)
+    def occs() = StreamingOps.mergedExactSubstrCounts(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = occs()
+    assert(StreamingOps.compactExactSubstrEpochs(spark, dir, keepAfter = 1L) === 2)
+    assert(occs() === before, "compaction changed the merged occurrence state")
+    assert(new java.io.File(dir).listFiles()
+      .count(_.getName.startsWith("batch_id=")) === 2)
+    sink(mk(Seq(1L)), 0L) // folded-epoch replay: read-side no-op
+    assert(occs() === before, "replay of a compacted epoch inflated occurrences")
+    assert(before.values.max >= 3L, "the shared span must accumulate across epochs")
+  }
+
   test("IVF postings compaction: view unchanged, replay no-op, dirs bounded, equals from-scratch; tombstones delete exactly") {
     import graft.operators.Similarity
     import spark.implicits._
