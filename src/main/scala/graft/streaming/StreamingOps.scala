@@ -933,9 +933,34 @@ object StreamingOps {
     * (the admission-sink convention) — the base stays O(corpus) rows
     * and the read side stops listing one directory per historical
     * micro-batch.
+    *
+    * With `deletesPath`, compaction ALSO applies the tombstones
+    * PHYSICALLY: folded rows anti-join the merged tombstone set before
+    * landing in the base, so a deleted vector leaves the DISK (the
+    * takedown/PII-redaction requirement), not just the merged view. The
+    * view is unchanged either way — the read-time anti-join is
+    * idempotent over already-removed rows — so keep reading with the
+    * same `deletesPath` (live epochs above the watermark still carry
+    * their rows until the next fold catches them).
     */
-  def compactIvfEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
-    compactEpochs(spark, basePath, keepAfter, Seq("vec_id", "qe", "n2", "cell"), identity)
+  def compactIvfEpochs(
+      spark: SparkSession,
+      basePath: String,
+      keepAfter: Long,
+      deletesPath: Option[String] = None): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq("vec_id", "qe", "n2", "cell"),
+      df => antiTombstone(spark, df, deletesPath, "vec_id"))
+
+  private def antiTombstone(
+      spark: SparkSession,
+      df: DataFrame,
+      deletesPath: Option[String],
+      idCols: String*): DataFrame =
+    deletesPath.fold(df) { p =>
+      val dead = mergedTombstones(spark, p)
+      idCols.foldLeft(df)((d, c) =>
+        d.join(dead.select(col("vec_id").as(c)), Seq(c), "left_anti"))
+    }
 
   /** [[compactEpochs]] for a [[graphAnnEdgeSink]] trio: the candidate
     * deltas fold through the SINK-degree prune (top-K selection is a
@@ -947,16 +972,32 @@ object StreamingOps {
     * sink's replay-skip authority, so a crash mid-compaction leaves the
     * guard conservative — the sink keeps replaying epochs whose edge
     * dirs may not have folded yet, never skips one that did not.
+    *
+    * With `deletesPath`, the fold applies the tombstones PHYSICALLY
+    * (vectors by id, candidates and long links by either endpoint,
+    * anti-joined BEFORE the sink-degree prune — early application of
+    * exactly the read-time filter, so the view is unchanged and the
+    * prune-slack parity bound of [[mergedGraphAnnState]] is consumed
+    * ONCE, at fold time, for the folded rows). Deleted vectors leave
+    * the disk; a deletion budget breached beyond the slack means an
+    * index REBUILD — re-run the sink over the surviving corpus into a
+    * fresh directory at a re-provisioned degree.
     */
-  def compactGraphAnnEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int = {
+  def compactGraphAnnEpochs(
+      spark: SparkSession,
+      basePath: String,
+      keepAfter: Long,
+      deletesPath: Option[String] = None): Int = {
     val sinkDegree = spark.read.parquet(s"$basePath/sink_meta")
       .collect()(0).getAs[Int]("degree")
     val nCand = compactEpochs(spark, s"$basePath/cand", keepAfter, Seq("src", "nb", "dp"),
-      df => graft.operators.Similarity.topDegreeCandidates(df.distinct(), sinkDegree))
+      df => graft.operators.Similarity.topDegreeCandidates(
+        antiTombstone(spark, df.distinct(), deletesPath, "src", "nb"), sinkDegree))
     val nFar = compactEpochs(spark, s"$basePath/far", keepAfter, Seq("src", "nb"),
-      _.distinct())
+      df => antiTombstone(spark, df.distinct(), deletesPath, "src", "nb"))
     val nVecs = compactEpochs(spark, s"$basePath/vecs", keepAfter,
-      Seq("vec_id", "qe", "bucket"), identity)
+      Seq("vec_id", "qe", "bucket"),
+      df => antiTombstone(spark, df, deletesPath, "vec_id"))
     nCand + nFar + nVecs
   }
 

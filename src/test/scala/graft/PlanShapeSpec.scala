@@ -524,6 +524,44 @@ class PlanShapeSpec extends SparkSpec {
       s"exact-arm contrast no longer matches — update this pin:\n$pe")
   }
 
+  test("audio segments: two bounded aggregates, no extra exchange") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val seg = Multimodal.audioSegments(
+      Multimodal.audioFrameStats(
+        Multimodal.decodeWavSamples(spark, Multimodal.toWav16(docs)), frameLen = 8))
+    val ps = plan(seg)
+    // (doc, frame) hash aggregate + the per-doc verdict aggregate — the
+    // exchanges carry frame rows and doc rows, never samples.
+    assert(shuffles(seg) <= 2, s"audio segments grew a shuffle:\n$ps")
+    assert(!ps.contains("CartesianProduct"), s"audio segments grew a cross product:\n$ps")
+  }
+
+  test("contaminated-examples compose: contamination side broadcasts, no cross product") {
+    val df = SparkEntry.queries("q246_contaminated_examples")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastExchange"),
+      s"the eval-set-bounded contaminated doc set stopped broadcasting:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the compose plan grew a cross product:\n$p")
+  }
+
+  test("tombstoned index reads: anti-joins stay hash/broadcast, never nested-loop") {
+    import graft.streaming.StreamingOps
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val gdir = java.nio.file.Files.createTempDirectory("graft_plan_gann").toString
+    StreamingOps.graphAnnEdgeSink(spark, gdir, degree = 8)(emb, 0L)
+    val ddir = java.nio.file.Files.createTempDirectory("graft_plan_tombs").toString
+    StreamingOps.tombstoneSink(ddir)(Seq(17L, 23L).toDF("vec_id"), 0L)
+    val (vecs, edges) = StreamingOps.mergedGraphAnnState(spark, gdir, 6, Some(ddir))
+    for ((name, df) <- Seq("vecs" -> vecs, "edges" -> edges)) {
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"tombstoned $name read grew a non-equi join:\n$p")
+    }
+  }
+
   test("rrf fusion joins depth-bounded lists only; no cross product") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val rf = Similarity.rrfFuse(emb)

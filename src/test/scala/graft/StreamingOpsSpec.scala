@@ -664,6 +664,61 @@ class StreamingOpsSpec extends SparkSpec {
       "the deletion must actually change some answer for the parity to mean anything")
   }
 
+  test("physical deletion at compaction: tombstoned vectors leave the disk, answers unchanged") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    val rnd = new scala.util.Random(29)
+    val emb = (0L until 40L).map { id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq, "l" + (id % 3))
+    }.toDF("vec_id", "embedding", "label")
+    // --- graph-ANN: degree-8 sink, 2 deletions (slack bound respected) ---
+    val gdir = java.nio.file.Files.createTempDirectory("graft_gann_phys").toString
+    val gsink = StreamingOps.graphAnnEdgeSink(spark, gdir, degree = 8)
+    (0 to 2).foreach(b => gsink(emb.filter($"vec_id" % 3 === b), b.toLong))
+    val gdels = java.nio.file.Files.createTempDirectory("graft_gann_phys_t").toString
+    StreamingOps.tombstoneSink(gdels)(Seq(17L, 23L).toDF("vec_id"), 0L)
+    val batchDel = Similarity.graphAnnSearch(emb.filter(!$"vec_id".isin(17L, 23L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(StreamingOps.compactGraphAnnEpochs(
+      spark, gdir, keepAfter = 2L, deletesPath = Some(gdels)) === 9)
+    // Physically gone from every folded subdir (raw reads, no view logic).
+    for (sub <- Seq("vecs", "cand", "far")) {
+      val raw = spark.read.parquet(s"$gdir/$sub")
+      val cols = if (sub == "vecs") Seq("vec_id") else Seq("src", "nb")
+      cols.foreach { c =>
+        assert(raw.filter(col(c).isin(17L, 23L)).count() === 0L,
+          s"$sub.$c still carries a tombstoned id on disk")
+      }
+    }
+    // Answers unchanged: with the tombstones (idempotent) AND, since the
+    // full fold left no live epochs, even without them.
+    for (dels <- Seq(Some(gdels), None)) {
+      val (vecs, edges) = StreamingOps.mergedGraphAnnState(spark, gdir, 6, dels)
+      val v = vecs.persist()
+      val entry = v.agg(min(col("vec_id"))).collect()(0).getLong(0)
+      val got = Similarity.graphAnnSearchOverEdges(v, edges, entry)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      v.unpersist()
+      assert(got === batchDel, s"post-physical-deletion search diverged (dels=$dels)")
+    }
+    // --- IVF: same physical guarantee ---
+    val cents = Similarity.placeholderCentroids(emb)
+    val idir = java.nio.file.Files.createTempDirectory("graft_ivf_phys").toString
+    val isink = StreamingOps.ivfPostingsSink(cents, idir)
+    (0 to 2).foreach(b => isink(emb.filter($"vec_id" % 3 === b), b.toLong))
+    assert(StreamingOps.compactIvfEpochs(
+      spark, idir, keepAfter = 2L, deletesPath = Some(gdels)) === 3)
+    assert(spark.read.parquet(idir).filter(col("vec_id").isin(17L, 23L)).count() === 0L,
+      "postings still carry a tombstoned vector on disk")
+    val got = Similarity.ivfSearchOverPostings(
+        StreamingOps.mergedIvfPostings(spark, idir), emb, cents)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val batchIvf = Similarity.ivfSearch(emb.filter(!$"vec_id".isin(17L, 23L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === batchIvf)
+  }
+
   test("near-dup index deletion: signatureIndexWithout equals the from-scratch index over survivors") {
     import graft.operators.Dedup
     import spark.implicits._
