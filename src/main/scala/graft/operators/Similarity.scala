@@ -1175,7 +1175,12 @@ object Similarity {
     // and log-n diameter — one equi-join, no global sort, no RNG state.
     val bounds = e.agg(min(col("vec_id")), max(col("vec_id"))).collect()(0) // one job, two scalars
     val (entry, maxId) = (bounds.getLong(0), bounds.getLong(1))
-    val edges = nnEdges.unionByName(hypercubeEdges(e, maxId)).distinct()
+    // No distinct on the edge union: the beam search dedups its
+    // expansion per hop on (query_id, vec_id), so duplicate (src, nb)
+    // rows cannot change any answer — and with AQE materializing every
+    // exchange as its own stage, one fewer corpus-edge shuffle is one
+    // fewer sequential stage on the search's critical path (ISO_r17).
+    val edges = nnEdges.unionByName(hypercubeEdges(e, maxId))
     // graphAnnSearchOverEdges materializes its (bounded) answer before
     // returning, so the corpus-scale bucketed cache can be released here
     // rather than leaking past the call (ADVICE r15).

@@ -897,8 +897,12 @@ object StreamingOps {
       "src", "nb")
     val far = alive(
       compactedStateView(spark, s"$basePath/far", Seq("src", "nb")), "src", "nb")
+    // No distinct on the union (the graphAnnSearch argument): the beam
+    // search dedups its expansion per hop, so duplicate edge rows are
+    // harmless — and one fewer exchange is one fewer sequential AQE
+    // stage per search.
     val edges = Similarity.topDegreeFromCandidates(cand, degree)
-      .unionByName(far).distinct()
+      .unionByName(far)
     (vecs, edges)
   }
 
