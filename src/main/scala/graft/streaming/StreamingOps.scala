@@ -794,6 +794,28 @@ object StreamingOps {
           case e: org.apache.spark.sql.AnalysisException
               if e.getErrorClass == "PATH_NOT_FOUND" => newB.limit(0)
         }
+      landGraphAnnEpoch(spark, basePath, batchId, newB, prior, degree, numPlanes, probeBits)
+      newB.unpersist()
+      }
+    }
+
+  /** The delta computation + landing shared by [[graphAnnEdgeSink]]
+    * (prior = the live accumulated state) and [[rebuildGraphAnnState]]
+    * (prior = empty, newB = the surviving corpus as epoch 0). Both
+    * sides carry the bucketed `(vec_id, qe, bucket)` shape, so the
+    * candidate join, the per-epoch top-degree prune, the long links and
+    * the write order are ONE implementation that cannot drift.
+    */
+  private def landGraphAnnEpoch(
+      spark: SparkSession,
+      basePath: String,
+      batchId: Long,
+      newB: DataFrame,
+      prior: DataFrame,
+      degree: Int,
+      numPlanes: Int,
+      probeBits: Int): Unit = {
+      import graft.operators.Similarity
       val all = prior.unionByName(newB)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val probesNew = Similarity.probeExplode(
@@ -848,9 +870,40 @@ object StreamingOps {
       // without their vecs dir, and the replay overwrites all three.
       newB.write.mode("overwrite").parquet(s"$basePath/vecs/batch_id=$batchId")
       all.unpersist()
-      newB.unpersist()
-      }
-    }
+  }
+
+  /** Rebuild the graph-ANN state into a fresh directory from its own
+    * surviving vectors — the recovery path for a deletion budget that
+    * outgrew the prune slack (|tombstones| > sinkDegree − readDegree,
+    * where [[mergedGraphAnnState]]'s parity bound no longer holds), or
+    * for re-provisioning the sink degree itself. The state already
+    * carries everything the build needs — `(vec_id, qe, bucket)` under
+    * the frozen planes — so the rebuild never touches raw embeddings:
+    * one [[landGraphAnnEpoch]] over the surviving vector set lands as
+    * epoch 0 of `newPath`, after which the old directory and the
+    * consumed tombstones can be retired together (a rebuilt index
+    * carries no deleted vectors, so reads of `newPath` pass
+    * `deletesPath = None` until new deletions arrive). Equals the batch
+    * build over the surviving corpus EXACTLY — the full candidate set
+    * is re-pruned in one epoch, so no slack bound applies.
+    */
+  def rebuildGraphAnnState(
+      spark: SparkSession,
+      basePath: String,
+      newPath: String,
+      degree: Int = 6,
+      numPlanes: Int = graft.operators.Similarity.DefaultNumPlanes,
+      probeBits: Int = 1,
+      deletesPath: Option[String] = None): Unit = {
+    val survivors = antiTombstone(
+        spark,
+        compactedStateView(spark, s"$basePath/vecs", Seq("vec_id", "qe", "bucket")),
+        deletesPath, "vec_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try landGraphAnnEpoch(
+      spark, newPath, 0L, survivors, survivors.limit(0), degree, numPlanes, probeBits)
+    finally { survivors.unpersist(); () }
+  }
 
   /** The live graph-ANN state over a [[graphAnnEdgeSink]] directory:
     * `(vectors (vec_id, qe), edges (src, nb))` with the top-`degree`
@@ -915,9 +968,12 @@ object StreamingOps {
     * tombstone set at read time — a deleted vector stops being a search
     * answer WITHOUT rebuilding the append-only index. Deletion is
     * idempotent by construction (anti-join), so replays, double-deletes
-    * and deletes of never-ingested ids are all no-ops. MUST be a
-    * separate directory from the postings (the postings' partition
-    * discovery owns its root).
+    * and deletes of never-ingested ids are all no-ops. Tombstones are
+    * PERMANENT by default: re-ingesting a tombstoned id stays masked
+    * until its tombstone is retired (rewrite the deletes state, or
+    * rebuild — [[rebuildGraphAnnState]] — and start a fresh deletes
+    * dir). MUST be a separate directory from the postings (the
+    * postings' partition discovery owns its root).
     */
   def tombstoneSink(basePath: String, idCol: String = "vec_id"): (DataFrame, Long) => Unit =
     (batch: DataFrame, batchId: Long) =>

@@ -719,6 +719,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(got === batchIvf)
   }
 
+  test("graph-ANN rebuild: a deletion budget past the slack recovers exactly via rebuildGraphAnnState") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, min}
+    val rnd = new scala.util.Random(31)
+    val emb = (0L until 40L).map { id =>
+      (id, Array.fill(64)(rnd.nextFloat() * 2f - 1f).toSeq, "l" + (id % 3))
+    }.toDF("vec_id", "embedding", "label")
+    val dir = java.nio.file.Files.createTempDirectory("graft_gann_rebuild_src").toString
+    val sink = StreamingOps.graphAnnEdgeSink(spark, dir, degree = 8)
+    (0 to 2).foreach(b => sink(emb.filter($"vec_id" % 3 === b), b.toLong))
+    // FOUR deletions: past the 8 − 6 = 2 slack, so the read-time mask's
+    // parity bound no longer holds — the rebuild is the recovery path.
+    val dels = java.nio.file.Files.createTempDirectory("graft_gann_rebuild_t").toString
+    StreamingOps.tombstoneSink(dels)(Seq(14L, 17L, 23L, 29L).toDF("vec_id"), 0L)
+    val fresh = java.nio.file.Files.createTempDirectory("graft_gann_rebuild_new").toString
+    StreamingOps.rebuildGraphAnnState(spark, dir, fresh, degree = 6, deletesPath = Some(dels))
+    // The rebuilt index carries no deleted vectors and needs no mask:
+    // it answers exactly like the one-shot batch build on the survivors
+    // (full candidate set re-pruned in one epoch — no slack bound).
+    val (vecs, edges) = StreamingOps.mergedGraphAnnState(spark, fresh, 6, None)
+    val v = vecs.persist()
+    assert(v.filter(col("vec_id").isin(14L, 17L, 23L, 29L)).count() === 0L)
+    val entry = v.agg(min(col("vec_id"))).collect()(0).getLong(0)
+    val got = Similarity.graphAnnSearchOverEdges(v, edges, entry)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    v.unpersist()
+    val batch = Similarity.graphAnnSearch(
+        emb.filter(!$"vec_id".isin(14L, 17L, 23L, 29L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === batch, "rebuilt state must equal the batch build on survivors, no slack bound")
+    // The new sink_meta carries the re-provisioned degree.
+    assert(spark.read.parquet(s"$fresh/sink_meta").collect()(0).getAs[Int]("degree") === 6)
+  }
+
   test("near-dup index deletion: signatureIndexWithout equals the from-scratch index over survivors") {
     import graft.operators.Dedup
     import spark.implicits._
