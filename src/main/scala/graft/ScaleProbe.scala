@@ -457,7 +457,12 @@ object ScaleProbe {
       // r17: examples × contamination compose — cost is the q03 example
       // chain (events replicate by rows); the contamination side is an
       // eval-set-bounded broadcast that deliberately does NOT scale.
-      "q246_contaminated_examples" -> rowFactor)
+      "q246_contaminated_examples" -> rowFactor,
+      // r17: video — container build + chunk-walking decode + per-frame
+      // stats / sampling, all scan-per-byte classes (the q114/q241
+      // argument with a container walk instead of a sample decode).
+      "q247_video_frame_stats" -> byteFactor,
+      "q248_video_frame_sample" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

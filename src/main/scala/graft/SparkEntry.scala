@@ -1128,6 +1128,26 @@ object SparkEntry {
           Multimodal.decodeWavSamples(s, Multimodal.toWav16(Tables.documents(s, dir))))
         .orderBy("doc_id", "frame_idx")),
 
+    // The missing MODALITY next to image/audio: video as a real RIFF/AVI
+    // container (avih header + movi frame chunks, word-aligned), decoded
+    // by a chunk-walking parser that cross-checks the header's frame
+    // count against the frames present — per-frame exact byte stats,
+    // oracle-replayed from the text (frames are 16-byte slices).
+    "q247_video_frame_stats" -> ((s, dir) =>
+      Multimodal.videoFrameStats(
+          Multimodal.decodeAviFrames(s, Multimodal.toAvi(Tables.documents(s, dir))))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Frame SAMPLING — the temporal subsample a video pipeline takes
+    // before feature extraction: every 4th frame with an md5 digest of
+    // the raw frame binary, so any byte lost anywhere in the container
+    // round trip hash-fails (the oracle digests the text slice the
+    // frame must equal).
+    "q248_video_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleVideoFrames(
+          Multimodal.decodeAviFrames(s, Multimodal.toAvi(Tables.documents(s, dir))))
+        .orderBy("doc_id", "frame_idx")),
+
     // The segmentation VERDICTS the q241 frame stats exist for: per doc,
     // the silence-trimmed frame span and the clipping flag, derived
     // relationally from the frame table (audio never re-read). 8-sample
@@ -3311,6 +3331,48 @@ object SparkEntry {
         |       CAST(MIN(v) AS BIGINT) AS min_amp,
         |       CAST(MAX(v) AS BIGINT) AS max_amp
         |FROM f GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q247: frames are consecutive 16-byte slices of the text (the
+    // toAvi mapping; ASCII corpus => byte == codepoint), so the stats
+    // replay from unicode() values grouped by (i-1)//16.
+    "q247_video_frame_stats" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> CAST(unicode(text[i:i]) AS BIGINT)) AS bs
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, CAST((i - 1) // 16 AS BIGINT) AS frame_idx, bs[i] AS v
+        |  FROM px, unnest(range(1, len(bs) + 1)) AS u(i)
+        |)
+        |SELECT doc_id, frame_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n_bytes,
+        |       CAST(SUM(v) AS BIGINT) AS sum_byte,
+        |       CAST(MIN(v) AS BIGINT) AS min_byte,
+        |       CAST(MAX(v) AS BIGINT) AS max_byte
+        |FROM f GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q248: every 4th frame; the digest is md5 of the exact text slice
+    // the frame chunk must carry — any container/decoder byte loss
+    // hash-fails.
+    "q248_video_frame_sample" ->
+      """WITH n AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS d,
+        |         CAST((length(text) + 15) // 16 AS BIGINT) AS nf
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+        |         CAST(LEAST(CAST(16 AS BIGINT), d - j * 16) AS BIGINT) AS n_bytes,
+        |         md5(text[CAST(j * 16 + 1 AS INT):CAST(LEAST(d, (j + 1) * 16) AS INT)]) AS frame_digest
+        |  FROM n, unnest(range(0, nf)) AS u(j)
+        |  WHERE d > 0
+        |)
+        |SELECT doc_id, frame_idx, n_bytes, frame_digest
+        |FROM f WHERE frame_idx % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // q245: the same (b-128)*256 sample replay at 8-sample frames, then

@@ -949,6 +949,169 @@ object Multimodal {
         max(col("v")).as("max_amp"))
   }
 
+  /** Wrap each document as a REAL RIFF/AVI container — the THIRD RIFF
+    * family next to WAVE and the missing MODALITY next to image/audio:
+    * video as an opaque binary column. Structure: `RIFF('AVI ')` holding
+    * `LIST('hdrl')` with the canonical 56-byte `avih` main header
+    * (µs/frame, total frames, stream count, width, height) and
+    * `LIST('movi')` with one `00db` (uncompressed DIB) chunk per frame —
+    * each frame is the next `frameBytes` bytes of the text (a
+    * `frameBytes`×1 8-bit raster; the last frame is ragged and RIFF
+    * word-alignment pads odd chunks). This is the structural minimum
+    * [[AviDecoder]] validates; production files add `strl`/`idx1`
+    * chunks, which the walker SKIPS by design (unknown chunks are the
+    * normal case in RIFF). Codegen'd string/binary expressions only —
+    * hex fields concatenated and `unhex`ed, frames cut by the anchored
+    * lookbehind split — never a UDF.
+    */
+  def toAvi(docs: DataFrame, frameBytes: Int = 16): DataFrame = {
+    require(frameBytes >= 2 && frameBytes % 2 == 0,
+      s"frameBytes=$frameBytes must be positive and even (RIFF word alignment)")
+    val bytes = encode(col("text"), "UTF-8")
+    val d = length(bytes).cast("long")
+    val nFrames = ((d + frameBytes - 1) / frameBytes).cast("long")
+    // Only the ragged last frame can be odd-sized (frameBytes is even).
+    val pad = when(pmod(pmod(d, lit(frameBytes.toLong)), lit(2L)) === 1L, 1L).otherwise(0L)
+    val moviSize = lit(4L) + lit(8L) * nFrames + d + pad
+    val riffSize = lit(4L) + lit(8L + 68L) + lit(8L) + moviSize
+    val avih = concat(
+      leHex(lit(40000L), 4),       // µs per frame (25 fps)
+      leHex(lit(0L), 4),           // max bytes/sec
+      leHex(lit(0L), 4),           // padding granularity
+      leHex(lit(0L), 4),           // flags
+      leHex(nFrames, 4),           // total frames
+      leHex(lit(0L), 4),           // initial frames
+      leHex(lit(1L), 4),           // streams
+      leHex(lit(0L), 4),           // suggested buffer
+      leHex(lit(frameBytes.toLong), 4), // width
+      leHex(lit(1L), 4),           // height
+      leHex(lit(0L), 4), leHex(lit(0L), 4), leHex(lit(0L), 4), leHex(lit(0L), 4))
+    val hdrl = concat(
+      lit(asciiHex("LIST")), leHex(lit(68L), 4), lit(asciiHex("hdrl")),
+      lit(asciiHex("avih")), leHex(lit(56L), 4), avih)
+    val h = lower(hex(bytes))
+    val pieces = filter(split(h, s"(?<=\\G.{${frameBytes * 2}})"), p => length(p) > 0)
+    val framesHex = array_join(
+      transform(pieces, p => concat(
+        lit(asciiHex("00db")),
+        leHex((length(p) / 2).cast("long"), 4),
+        p,
+        when(pmod(length(p), lit(4)) === 2, lit("00")).otherwise(lit("")))), "")
+    docs.select(
+      col("doc_id"),
+      unhex(concat(
+        lit(asciiHex("RIFF")), leHex(riffSize, 4), lit(asciiHex("AVI ")),
+        hdrl,
+        lit(asciiHex("LIST")), leHex(moviSize, 4), lit(asciiHex("movi")),
+        framesHex)).as("payload"),
+      struct(
+        lit("video/avi").as("format"),
+        (riffSize + 8L).as("n_bytes"),
+        nFrames.cast("int").as("n_frames")).as("meta"))
+  }
+
+  /** RIFF/AVI container walker — the video twin of [[WavDecoder]]:
+    * validates the RIFF form and size, reads the `avih` main header out
+    * of `LIST('hdrl')`, collects every `00db`/`00dc` frame chunk from
+    * `LIST('movi')` (word-aligned skip over everything else — `strl`,
+    * `idx1`, vendor chunks), and cross-checks the header's total-frame
+    * count against the frames actually present. Total and loud: any
+    * structural lie fails the document, never returns garbage frames.
+    */
+  object AviDecoder {
+    private val ascii = java.nio.charset.StandardCharsets.US_ASCII
+
+    /** `(frame_idx, frame bytes)` for every movi frame chunk, in file order. */
+    def frames(docId: Long, b: Array[Byte]): Seq[(Long, Array[Byte])] = {
+      def u8(i: Int): Int = b(i) & 0xff
+      def le32(i: Int): Long =
+        u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      def tag(i: Int): String = new String(b, i, 4, ascii)
+      require(b.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+        s"doc $docId: not a RIFF/AVI payload")
+      require(le32(4) == b.length - 8,
+        s"doc $docId: RIFF size ${le32(4)} != payload size ${b.length - 8}")
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Byte])]
+      var totalFrames = -1L
+      var i = 12
+      while (i + 8 <= b.length) {
+        val id = tag(i)
+        val sz = le32(i + 4).toInt
+        require(sz >= 0 && i + 8 + sz <= b.length, s"doc $docId: chunk $id truncated")
+        if (id == "LIST" && sz >= 4) {
+          val sub = tag(i + 8)
+          if (sub == "hdrl") {
+            // avih is the hdrl list's first chunk (the canonical layout).
+            require(sz >= 12 + 56 && tag(i + 12) == "avih",
+              s"doc $docId: hdrl list without a leading avih header")
+            totalFrames = le32(i + 12 + 8 + 16) // 5th u32 of the 56-byte avih
+          } else if (sub == "movi") {
+            var j = i + 12
+            val end = i + 8 + sz
+            while (j + 8 <= end) {
+              val fid = tag(j)
+              val fsz = le32(j + 4).toInt
+              require(fsz >= 0 && j + 8 + fsz <= end, s"doc $docId: frame chunk $fid truncated")
+              if (fid == "00db" || fid == "00dc")
+                out += ((out.size.toLong, java.util.Arrays.copyOfRange(b, j + 8, j + 8 + fsz)))
+              j += 8 + fsz + (fsz & 1) // word-aligned
+            }
+          }
+        }
+        i += 8 + sz + (sz & 1)
+      }
+      require(totalFrames >= 0, s"doc $docId: no avih main header found")
+      require(totalFrames == out.size,
+        s"doc $docId: avih claims $totalFrames frames, movi carries ${out.size}")
+      out.toSeq
+    }
+  }
+
+  /** Partition-parallel REAL video decode: one row per (doc, frame) with
+    * the raw frame binary AND its unsigned-byte values as `array<long>`
+    * (the relational analysis surface — the [[decodeWavSamples]]
+    * convention). Payloads never leave their partition; zero shuffle.
+    * Zero-frame documents emit no rows — absence is the signal.
+    */
+  def decodeAviFrames(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        AviDecoder.frames(id, payload).map { case (idx, f) =>
+          (id, idx, f, f.map(b => (b & 0xff).toLong).toSeq)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame", "samples")
+  }
+
+  /** Exact per-frame byte statistics over decoded video frames — pure
+    * array lambdas (narrow, no shuffle): byte count, sum, min, max.
+    */
+  def videoFrameStats(frames: DataFrame): DataFrame =
+    frames.select(
+      col("doc_id"), col("frame_idx"),
+      size(col("samples")).cast("long").as("n_bytes"),
+      aggregate(col("samples"), lit(0L), (acc, v) => acc + v).as("sum_byte"),
+      array_min(col("samples")).as("min_byte"),
+      array_max(col("samples")).as("max_byte"))
+
+  /** Every `every`-th frame with its content digest — the frame-SAMPLE
+    * operation a video pipeline runs before feature extraction (decode
+    * all, keep a deterministic temporal subsample). Pure filter +
+    * projection over the decoded frames: no shuffle, and the digest is
+    * over the raw frame binary so any byte lost in the container round
+    * trip hash-fails downstream.
+    */
+  def sampleVideoFrames(frames: DataFrame, every: Int = 4): DataFrame = {
+    require(every >= 1, s"every=$every must be positive")
+    frames
+      .filter(pmod(col("frame_idx"), lit(every.toLong)) === 0L)
+      .select(
+        col("doc_id"), col("frame_idx"),
+        size(col("samples")).cast("long").as("n_bytes"),
+        md5(col("frame")).as("frame_digest"))
+  }
+
   /** The segmentation pass [[audioFrameStats]]' scaladoc promises, now
     * as an operator: per document, the silence-trimmed span and the
     * clipping verdict, derived RELATIONALLY from the frame-stat rows —

@@ -618,6 +618,57 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.size === 3)
   }
 
+  test("AVI container: round trip, ragged pad, unknown-chunk skip, structural lies rejected") {
+    import Multimodal.{toAvi, AviDecoder, decodeAviFrames, videoFrameStats, sampleVideoFrames}
+    // 5 bytes at frameBytes=4 → frames [abcd], [e] (ragged, odd → padded).
+    val d = Seq((1L, "abcde"), (2L, "")).toDF("doc_id", "text")
+    val payload = toAvi(d, frameBytes = 4).filter($"doc_id" === 1L)
+      .select("payload").collect()(0).getAs[Array[Byte]](0)
+    val fr = AviDecoder.frames(1L, payload)
+    assert(fr.map(_._1) === Seq(0L, 1L))
+    assert(fr(0)._2.toSeq === "abcd".getBytes.toSeq)
+    assert(fr(1)._2.toSeq === "e".getBytes.toSeq, "ragged last frame must drop its pad byte")
+    // Word alignment on the wire: the ragged 1-byte chunk is padded.
+    assert(payload.length % 2 === 0)
+    // Zero-frame doc: no rows (absence is the signal).
+    val frames = decodeAviFrames(spark, toAvi(d, frameBytes = 4))
+    assert(frames.filter($"doc_id" === 2L).count() === 0L)
+    val stats = videoFrameStats(frames).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(stats((1L, 0L)) === ((4L, ('a' + 'b' + 'c' + 'd').toLong, 'a'.toLong, 'd'.toLong)))
+    assert(stats((1L, 1L)) === ((1L, 'e'.toLong, 'e'.toLong, 'e'.toLong)))
+    // Sampling keeps every Nth frame with the binary digest.
+    val sampled = sampleVideoFrames(frames, every = 2).collect()
+    assert(sampled.map(_.getLong(1)).toSet === Set(0L))
+    // Unknown chunks are skipped: splice a vendor chunk before the movi
+    // LIST and the walker must still find both frames.
+    val junk = "JUNK".getBytes ++ Array[Byte](2, 0, 0, 0, 7, 7)
+    val movi = {
+      // locate the movi LIST (search for the 'movi' subtype)
+      val idx = payload.indices.find(i => i + 12 <= payload.length &&
+        new String(payload, i, 4) == "LIST" &&
+        new String(payload, i + 8, 4) == "movi").get
+      payload.drop(idx)
+    }
+    val head = payload.take(payload.length - movi.length)
+    val spliced = head ++ junk ++ movi
+    // Fix the RIFF size for the splice.
+    val sz = spliced.length - 8
+    for (i <- 0 until 4) spliced(4 + i) = ((sz >> (8 * i)) & 0xff).toByte
+    assert(AviDecoder.frames(1L, spliced).map(_._1) === Seq(0L, 1L))
+    // Structural lies fail loudly: a header claiming the wrong frame count.
+    val lying = spliced.clone()
+    val avihAt = lying.indices.find(i => i + 4 <= lying.length &&
+      new String(lying, i, 4) == "avih").get
+    lying(avihAt + 8 + 16) = 9 // total_frames := 9
+    val e1 = intercept[IllegalArgumentException](AviDecoder.frames(1L, lying))
+    assert(e1.getMessage.contains("claims"))
+    val notAvi = payload.clone(); notAvi(8) = 'W'.toByte
+    val e2 = intercept[IllegalArgumentException](AviDecoder.frames(1L, notAvi))
+    assert(e2.getMessage.contains("not a RIFF/AVI"))
+  }
+
   test("audioSegments: trim span, loud/clip predicates distinct, all-silent sentinel") {
     import Multimodal.{audioFrameStats, audioSegments}
     // Hand-built sample rows, frameLen 2 → frames:
