@@ -462,7 +462,18 @@ object ScaleProbe {
       // stats / sampling, all scan-per-byte classes (the q114/q241
       // argument with a container walk instead of a sample decode).
       "q247_video_frame_stats" -> byteFactor,
-      "q248_video_frame_sample" -> byteFactor)
+      "q248_video_frame_sample" -> byteFactor,
+      // r17 batch-2: scene cuts are the decode scan plus ONE doc-keyed
+      // lag window over frame rows (per-document-bounded partitions);
+      // dup clusters add the digest-only fingerprint aggregate and a CC
+      // whose pair structure replicates per copy (replica word tags make
+      // replicas frame-disjoint) — both corpus-bytes classes.
+      "q249_video_scene_cuts" -> byteFactor,
+      "q250_video_dup_clusters" -> byteFactor,
+      // cross-modal alignment: the q249 chain plus one token-offset
+      // window and the as-of union window, both keyed by doc_id —
+      // token rows dominate, so corpus bytes is the honest base.
+      "q251_cut_token_alignment" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

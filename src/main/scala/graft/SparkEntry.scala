@@ -1148,6 +1148,45 @@ object SparkEntry {
           Multimodal.decodeAviFrames(s, Multimodal.toAvi(Tables.documents(s, dir))))
         .orderBy("doc_id", "frame_idx")),
 
+    // The shot-boundary VERDICTS the q247 frame decode exists for: per
+    // consecutive frame pair, the exact zero-padded SAD and the cut flag
+    // at the corpus-p97 threshold — with q247/q248 this gives video the
+    // same raw -> feature -> verdict arc audio closed with q245.
+    "q249_video_scene_cuts" -> ((s, dir) =>
+      Multimodal.videoSceneCuts(
+          Multimodal.decodeAviFrames(s, Multimodal.toAvi(Tables.documents(s, dir))))
+        .orderBy("doc_id", "frame_idx")),
+
+    // Video-duplicate clusters — the video twin of q218's image arc:
+    // decode -> sampled-frame digests -> per-video temporal fingerprint
+    // -> star pairs within each colliding fingerprint -> the SAME
+    // pointer-doubling CC machinery (q47/q218) closes them into
+    // canonical clusters. Only digests ever shuffle; collision groups
+    // are tiny, so the star-pair window is per-fingerprint-bounded.
+    "q250_video_dup_clusters" -> ((s, dir) => {
+      val fp = Multimodal.videoFingerprints(
+        Multimodal.sampleVideoFrames(
+          Multimodal.decodeAviFrames(s, Multimodal.toAvi(Tables.documents(s, dir)))))
+      val byFp = Window.partitionBy("video_fp")
+      val pairs = fp
+        .withColumn("rep", min(col("doc_id")).over(byFp))
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      Dedup.dedupClusters(pairs).orderBy("doc_id")
+    }),
+
+    // Cross-MODAL composition — the first gate plan where video and text
+    // meet: each q249 shot boundary aligned to the transcript token whose
+    // byte span contains the cut offset (subtitle alignment), via the
+    // SAME as-of-join machinery as q45 — one keyed window, no inequality
+    // join, no per-cut document re-scan.
+    "q251_cut_token_alignment" -> ((s, dir) =>
+      Multimodal.alignCutsToTokens(
+          Multimodal.videoSceneCuts(
+            Multimodal.decodeAviFrames(s, Multimodal.toAvi(Tables.documents(s, dir)))),
+          Tables.documents(s, dir))
+        .orderBy("doc_id", "frame_idx")),
+
     // The segmentation VERDICTS the q241 frame stats exist for: per doc,
     // the silence-trimmed frame span and the clipping flag, derived
     // relationally from the frame table (audio never re-read). 8-sample
@@ -3374,6 +3413,108 @@ object SparkEntry {
         |SELECT doc_id, frame_idx, n_bytes, frame_digest
         |FROM f WHERE frame_idx % 4 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q249: zero-padded 16-byte frame vectors from the text slices, the
+    // adjacent-pair SAD as exact BIGINT arithmetic, the cut flag at the
+    // engine's default threshold.
+    "q249_video_scene_cuts" ->
+      """WITH n AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS d,
+        |         CAST((length(text) + 15) // 16 AS BIGINT) AS nf
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+        |         list_transform(range(0, 16), i -> CASE WHEN j * 16 + i + 1 <= d
+        |           THEN CAST(unicode(text[CAST(j * 16 + i + 1 AS INT):CAST(j * 16 + i + 1 AS INT)]) AS BIGINT)
+        |           ELSE CAST(0 AS BIGINT) END) AS bs
+        |  FROM n, unnest(range(0, nf)) AS u(j)
+        |  WHERE d > 0
+        |),
+        |s AS (
+        |  SELECT a.doc_id, a.frame_idx,
+        |         CAST(list_sum(list_transform(range(1, 17),
+        |                                      i -> ABS(a.bs[i] - b.bs[i]))) AS BIGINT) AS sad
+        |  FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.frame_idx = b.frame_idx + 1
+        |)
+        |SELECT doc_id, frame_idx, sad, sad >= 1024 AS is_cut
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q250: sampled-frame digests (q248's md5-of-slice convention),
+    // per-doc temporal fingerprint = md5 of the ordered digest join,
+    // then clusters = fingerprint groups of size >= 2 with min-doc
+    // canonicals — exactly what star pairs + CC compute in the engine.
+    "q250_video_dup_clusters" ->
+      """WITH n AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS d,
+        |         CAST((length(text) + 15) // 16 AS BIGINT) AS nf
+        |  FROM documents
+        |),
+        |sf AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+        |         md5(text[CAST(j * 16 + 1 AS INT):CAST(LEAST(d, (j + 1) * 16) AS INT)]) AS frame_digest
+        |  FROM n, unnest(range(0, nf)) AS u(j)
+        |  WHERE d > 0 AND j % 4 = 0
+        |),
+        |fp AS (
+        |  SELECT doc_id, md5(string_agg(frame_digest, ',' ORDER BY frame_idx)) AS video_fp
+        |  FROM sf GROUP BY doc_id
+        |),
+        |g AS (
+        |  SELECT doc_id,
+        |         MIN(doc_id) OVER (PARTITION BY video_fp) AS canonical_id,
+        |         COUNT(*) OVER (PARTITION BY video_fp) AS cluster_size
+        |  FROM fp
+        |)
+        |SELECT doc_id, canonical_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+        |       doc_id = canonical_id AS is_canonical
+        |FROM g WHERE cluster_size >= 2 ORDER BY doc_id""".stripMargin,
+
+    // q251: q249's cuts (verdict rows only), token byte offsets from the
+    // exact single-space split (empties kept), containing token = last
+    // tok_start <= cut_off — the oracle takes the inequality-join +
+    // row_number road the engine's as-of join exists to avoid.
+    "q251_cut_token_alignment" ->
+      """WITH n AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS d,
+        |         CAST((length(text) + 15) // 16 AS BIGINT) AS nf
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+        |         list_transform(range(0, 16), i -> CASE WHEN j * 16 + i + 1 <= d
+        |           THEN CAST(unicode(text[CAST(j * 16 + i + 1 AS INT):CAST(j * 16 + i + 1 AS INT)]) AS BIGINT)
+        |           ELSE CAST(0 AS BIGINT) END) AS bs
+        |  FROM n, unnest(range(0, nf)) AS u(j)
+        |  WHERE d > 0
+        |),
+        |cuts AS (
+        |  SELECT a.doc_id, a.frame_idx, a.frame_idx * 16 AS cut_off
+        |  FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.frame_idx = b.frame_idx + 1
+        |  WHERE CAST(list_sum(list_transform(range(1, 17),
+        |                                     i -> ABS(a.bs[i] - b.bs[i]))) AS BIGINT) >= 1024
+        |),
+        |w AS (
+        |  SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, toks[i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |       unnest(range(1, len(toks) + 1)) AS u(i)
+        |),
+        |st AS (
+        |  SELECT doc_id, pos, w,
+        |         CAST(COALESCE(SUM(length(w) + 1) OVER (
+        |           PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+        |  FROM w
+        |),
+        |m AS (
+        |  SELECT c.doc_id, c.frame_idx, c.cut_off, t.tok_start, t.pos, t.w,
+        |         ROW_NUMBER() OVER (PARTITION BY c.doc_id, c.frame_idx
+        |                            ORDER BY t.tok_start DESC) AS rn
+        |  FROM cuts c JOIN st t ON c.doc_id = t.doc_id AND t.tok_start <= c.cut_off
+        |)
+        |SELECT doc_id, frame_idx, CAST(cut_off AS BIGINT) AS cut_off, tok_start,
+        |       pos AS token_pos, w AS token
+        |FROM m WHERE rn = 1 ORDER BY doc_id, frame_idx""".stripMargin,
 
     // q245: the same (b-128)*256 sample replay at 8-sample frames, then
     // the segmentation predicates as pure arithmetic — loud iff peak

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
@@ -86,17 +87,20 @@ object Multimodal {
   /** Magic-byte feature router — the entry point when a media frame
     * mixes formats, so a decodable payload can never silently degrade to
     * the byte-distribution stub: `P5` payloads decode through
-    * [[PgmDecoder]], `P6` through [[PpmDecoder]], `RI` (RIFF containers)
-    * through [[WavDecoder]], and ONLY formats with no decoder in this
-    * environment fall back to [[MultimodalStub.byteHistogram]]. Routing
-    * is content-based (first two payload bytes, codegen'd `substring` on
-    * the binary column) — four narrow filtered passes over the same
-    * frame, no shuffle. Output is a discriminated union: `kind ∈ {pgm,
-    * ppm, wav, histogram}` with exactly one of the feature columns
-    * non-null per row. A payload that CLAIMS a decodable format (netpbm
-    * magic, RIFF tag) but is malformed THROWS in its decoder rather
-    * than falling back — garbage media should fail loudly, not quietly
-    * become a histogram.
+    * [[PgmDecoder]], `P6` through [[PpmDecoder]], `RIFF…WAVE` through
+    * [[WavDecoder]], `RIFF…AVI ` through [[AviDecoder]] (summarized per
+    * document), `BM`+DIB through [[BmpDecoder]], the PNG signature
+    * through [[PngCodec]], the JPEG SOI through [[JpegCodec]], and ONLY
+    * formats with no decoder in this environment fall back to
+    * [[MultimodalStub.byteHistogram]]. Routing is content-based
+    * (codegen'd `substring` tests on the binary column) — eight narrow
+    * filtered passes over the same frame, no shuffle. Output is a
+    * discriminated union: `kind ∈ {pgm, ppm, wav, avi, bmp, png, jpeg,
+    * histogram}` with exactly one of the feature columns non-null per
+    * row. A payload that CLAIMS a decodable format (netpbm magic, RIFF
+    * form, PNG/JPEG signature) but is malformed THROWS in its decoder
+    * rather than falling back — garbage media should fail loudly, not
+    * quietly become a histogram.
     */
   def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
@@ -112,6 +116,19 @@ object Multimodal {
     // bytes 9-12 (after the 4-byte chunk size).
     val isRiff = substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii)) &&
       substring(col("payload"), 9, 4) === lit("WAVE".getBytes(ascii))
+    // The AVI form type of the same container family — now that a real
+    // walker exists ([[AviDecoder]], r16) the histogram fallback this
+    // route used to take would violate the router's own contract.
+    val isAvi = substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii)) &&
+      substring(col("payload"), 9, 4) === lit("AVI ".getBytes(ascii))
+    // PNG's full 8-byte signature (a 2-byte test would route any text
+    // starting with the two printable bytes); JPEG's 3-byte SOI+marker
+    // prefix FF D8 FF — neither prefix occurs in text payloads.
+    val isPng = substring(col("payload"), 1, 8) === lit(Array[Byte](
+      0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, '\r'.toByte, '\n'.toByte,
+      0x1a.toByte, '\n'.toByte))
+    val isJpeg = substring(col("payload"), 1, 3) ===
+      lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))
     // 'BM' alone is two bytes of plausible text (the RIFF lesson): the
     // route also requires the BITMAPINFOHEADER size field (bytes 15-18,
     // LE 40) so only payloads that actually claim the decodable DIB
@@ -125,15 +142,23 @@ object Multimodal {
     val pgm = nest(decodePgmFeatures(spark, media.filter(isP5)).toDF(), "pgm")
     val ppm = nest(decodePpmFeatures(spark, media.filter(isP6)).toDF(), "ppm")
     val wav = nest(decodeWavFeatures(spark, media.filter(isRiff)).toDF(), "wav")
+    val avi = nest(decodeAviSummary(spark, media.filter(isAvi)).toDF(), "avi")
     val bmp = nest(decodeBmpFeatures(spark, media.filter(isBmp)).toDF(), "bmp")
+    val png = nest(decodePngFeatures(spark, media.filter(isPng)).toDF(), "png")
+    val jpeg = nest(decodeJpegFeatures(spark, media.filter(isJpeg)).toDF(), "jpeg")
     val hist = extractByteHistogram(
-        spark, media.filter(not(isP5 || isP6 || isRiff || isBmp))).toDF()
+        spark,
+        media.filter(not(isP5 || isP6 || isRiff || isAvi || isBmp || isPng || isJpeg)))
+      .toDF()
       .select(col("doc_id"), lit("histogram").as("kind"), col("features").as("histogram"))
     pgm.unionByName(ppm, allowMissingColumns = true)
       .unionByName(wav, allowMissingColumns = true)
+      .unionByName(avi, allowMissingColumns = true)
       .unionByName(bmp, allowMissingColumns = true)
+      .unionByName(png, allowMissingColumns = true)
+      .unionByName(jpeg, allowMissingColumns = true)
       .unionByName(hist, allowMissingColumns = true)
-      .select("doc_id", "kind", "pgm", "ppm", "wav", "bmp", "histogram")
+      .select("doc_id", "kind", "pgm", "ppm", "wav", "avi", "bmp", "png", "jpeg", "histogram")
   }
 
   /** Wrap each document as a REAL binary PGM image — a 1-row grayscale
@@ -1067,6 +1092,26 @@ object Multimodal {
     }
   }
 
+  case class AviFeatures(
+      doc_id: Long, n_frames: Int, n_frame_bytes: Long, mean_byte: Option[Double])
+
+  /** Per-document video summary off the container walk — the
+    * router-facing AVI decode ([[extractFeatures]]): frame count, total
+    * frame payload bytes, mean byte value across all frames (None for a
+    * zero-frame document). Same total/loud validation as
+    * [[decodeAviFrames]]; payloads never leave their partition.
+    */
+  def decodeAviSummary(spark: SparkSession, media: DataFrame): Dataset[AviFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, payload) =>
+        val fs = AviDecoder.frames(id, payload)
+        val n = fs.iterator.map(_._2.length.toLong).sum
+        val s = fs.iterator.map(_._2.iterator.map(b => (b & 0xff).toLong).sum).sum
+        AviFeatures(id, fs.size, n, if (n == 0) None else Some(s.toDouble / n))
+      })
+  }
+
   /** Partition-parallel REAL video decode: one row per (doc, frame) with
     * the raw frame binary AND its unsigned-byte values as `array<long>`
     * (the relational analysis surface — the [[decodeWavSamples]]
@@ -1110,6 +1155,112 @@ object Multimodal {
         col("doc_id"), col("frame_idx"),
         size(col("samples")).cast("long").as("n_bytes"),
         md5(col("frame")).as("frame_digest"))
+  }
+
+  /** Shot-boundary (scene-cut) detection over decoded video frames — the
+    * classic sum-of-absolute-differences cut metric of the shot-detection
+    * literature (Boreczky–Rowe, SPIE '96): for every consecutive frame
+    * pair within a document, `sad = Σ_i |f_j[i] − f_{j−1}[i]|` with the
+    * shorter frame zero-padded (only the ragged LAST frame can be short
+    * under [[toAvi]]'s framing, so padding touches at most one pair per
+    * doc), and a CUT verdict where the metric reaches `cutSad`. Exact
+    * BIGINT arithmetic end to end, so a SQL oracle replays the verdicts
+    * byte for byte. The default threshold sits at ≈ the corpus p97 of
+    * the pairwise SAD (median 461, p99 1251 at sf0.01) — cuts are the
+    * discontinuity tail, not the prose-drift body.
+    *
+    * Shape: ONE shuffle by doc_id (the lag window over frame_idx; frame
+    * counts are per-document-bounded, so the window partition never
+    * grows with the corpus), then narrow array lambdas — each SAD is
+    * computed where its pair's rows land, and the output is one row per
+    * adjacent pair (≈ the frame-row count), strictly cheaper than the
+    * decode that feeds it.
+    */
+  def videoSceneCuts(frames: DataFrame, cutSad: Long = 1024L): DataFrame = {
+    require(cutSad >= 0, s"cutSad=$cutSad must be non-negative")
+    val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    frames
+      .select(col("doc_id"), col("frame_idx"), col("samples"))
+      .withColumn("prev", lag(col("samples"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(
+        col("doc_id"), col("frame_idx"),
+        aggregate(
+          zip_with(
+            col("samples"), col("prev"),
+            (a, b) => abs(coalesce(a, lit(0L)) - coalesce(b, lit(0L)))),
+          lit(0L), (acc, v) => acc + v).as("sad"))
+      .withColumn("is_cut", col("sad") >= cutSad)
+  }
+
+  /** Temporal video fingerprint — md5 over the ORDERED digests of the
+    * frame sample ([[sampleVideoFrames]]'s output): two videos collide
+    * iff every sampled frame matches byte for byte in sequence. This is
+    * the deterministic coarse pass of a video-dedup pipeline: cheap
+    * enough to group by at corpus scale (only 16-byte digests ever
+    * shuffle, never frames), collision groups are tiny by construction,
+    * and a byte-exact verify can run inside them — the video twin of the
+    * image stack's dHash→pairs→clusters arc (q218), with the sampled
+    * subsequence standing in for the perceptual hash.
+    *
+    * Shape: one groupBy(doc_id) over the sampled-frame digests (the
+    * collect_list is per-document-bounded — frames per doc, not corpus
+    * rows), sorted deterministically by frame_idx before hashing so the
+    * fingerprint is partitioning-independent.
+    */
+  def videoFingerprints(sampledFrames: DataFrame): DataFrame =
+    sampledFrames
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sampled"),
+        md5(concat_ws(
+          ",",
+          transform(
+            array_sort(collect_list(struct(col("frame_idx"), col("frame_digest")))),
+            x => x.getField("frame_digest")))).as("video_fp"))
+
+  /** Cross-modal caption alignment — map each shot boundary
+    * ([[videoSceneCuts]]'s verdict rows) to the TEXT TOKEN whose byte
+    * span contains the cut offset (`frame_idx × frameBytes`, the first
+    * byte of the frame that opens the new shot): the subtitle-alignment
+    * step of a multimodal training pipeline, where every temporal
+    * segment needs its transcript span. "Containing token" = the last
+    * token starting at or before the offset (a token's span includes its
+    * trailing separator), which is EXACTLY the as-of join — so alignment
+    * is one keyed window via [[Joins.asOfJoin]], never an inequality
+    * join, and never a per-cut document re-scan (a substring-based
+    * lookup would re-materialize O(cuts × doc bytes)).
+    *
+    * Token byte offsets come from an exact single-space split
+    * (`split(text, " ", -1)`, empties kept, so offsets stay bit-exact on
+    * any spacing) with a running byte-length sum whose window shares the
+    * as-of join's doc_id partitioning — two window passes over the same
+    * exchange, nothing corpus-crossing anywhere.
+    */
+  def alignCutsToTokens(
+      cuts: DataFrame, docs: DataFrame, frameBytes: Int = 16): DataFrame = {
+    require(frameBytes >= 1, s"frameBytes=$frameBytes must be positive")
+    val words = docs.select(
+      col("doc_id"),
+      posexplode(split(col("text"), " ", -1)).as(Seq("pos", "w")))
+    val run = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val starts = words.select(
+      col("doc_id"),
+      coalesce(
+        sum(length(encode(col("w"), "UTF-8")) + 1).over(run),
+        lit(0L)).cast("long").as("tok_start"),
+      col("pos").cast("long").as("pos"),
+      col("w"))
+    val offs = cuts.filter(col("is_cut")).select(
+      col("doc_id"), col("frame_idx"),
+      (col("frame_idx") * frameBytes).as("cut_off"))
+    Joins.asOfJoin(offs, starts, Seq("doc_id"), "cut_off", "tok_start", Seq("pos", "w"))
+      .select(
+        col("doc_id"), col("frame_idx"), col("cut_off"),
+        col("matched_tok_start").as("tok_start"),
+        col("matched_pos").as("token_pos"),
+        col("matched_w").as("token"))
   }
 
   /** The segmentation pass [[audioFrameStats]]' scaladoc promises, now

@@ -537,6 +537,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!ps.contains("CartesianProduct"), s"audio segments grew a cross product:\n$ps")
   }
 
+  test("video cuts/dup-clusters/alignment: doc-keyed windows, digest-only shuffles, no cross product") {
+    import graft.operators.Multimodal
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val frames = Multimodal.decodeAviFrames(spark, Multimodal.toAvi(docs))
+    // Scene cuts: exactly the one lag-window exchange by doc_id; the SAD
+    // lambdas stay narrow where the pair's rows land.
+    val cuts = Multimodal.videoSceneCuts(frames)
+    val pc = plan(cuts)
+    assert(shuffles(cuts) <= 1, s"scene cuts grew a shuffle:\n$pc")
+    assert(!pc.contains("CartesianProduct"), s"scene cuts grew a cross product:\n$pc")
+    // Fingerprints: exchanges may carry 16-byte digests and fingerprints,
+    // never the raw frame binary or the decoded samples array.
+    val fp = Multimodal.videoFingerprints(Multimodal.sampleVideoFrames(frames))
+    fp.write.format("noop").mode("overwrite").save()
+    val leaked = fp.queryExecution.executedPlan.collect {
+      case s: ShuffleExchangeExec
+        if s.output.exists(a => a.name == "frame" || a.name == "samples") => s
+    }
+    assert(leaked.isEmpty, s"video fingerprints shuffle raw frames:\n${plan(fp)}")
+    // Cross-modal alignment: one as-of union window — never an
+    // inequality join (the plan a naive containment join would take).
+    val aligned = Multimodal.alignCutsToTokens(cuts, docs)
+    val pa = plan(aligned)
+    assert(!pa.contains("CartesianProduct") && !pa.contains("BroadcastNestedLoopJoin"),
+      s"cut-token alignment regressed to an inequality join:\n$pa")
+  }
+
   test("contaminated-examples compose: contamination side broadcasts, no cross product") {
     val df = SparkEntry.queries("q246_contaminated_examples")(spark, dir)
     val p = plan(df)

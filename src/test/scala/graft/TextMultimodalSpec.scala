@@ -669,6 +669,71 @@ class TextMultimodalSpec extends SparkSpec {
     assert(e2.getMessage.contains("not a RIFF/AVI"))
   }
 
+  test("videoSceneCuts: hand-computed SAD incl. zero-padded ragged pair, verdicts, no-pair docs") {
+    import Multimodal.{decodeAviFrames, toAvi, videoSceneCuts}
+    // doc 1 "abcdabcze" @ frameBytes=4 → frames [abcd][abcz][e]:
+    //   pair 1: |a-a|+|b-b|+|c-c|+|z-d| = 22
+    //   pair 2 (ragged, zero-padded): |e-a|+|0-b|+|0-c|+|0-z| = 4+98+99+122 = 323
+    // doc 2: single frame → no pairs; doc 3: empty → no frames at all.
+    val d = Seq((1L, "abcdabcze"), (2L, "abcd"), (3L, "")).toDF("doc_id", "text")
+    val got = videoSceneCuts(decodeAviFrames(spark, toAvi(d, frameBytes = 4)), cutSad = 100L)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        ((r.getAs[Long]("sad"), r.getAs[Boolean]("is_cut")))).toMap
+    assert(got((1L, 1L)) === ((22L, false)))
+    assert(got((1L, 2L)) === ((323L, true)))
+    assert(got.size === 2, "single-frame and empty docs must emit no pairs")
+  }
+
+  test("videoFingerprints: collide iff every SAMPLED frame matches; order-deterministic") {
+    import Multimodal.{decodeAviFrames, sampleVideoFrames, toAvi, videoFingerprints}
+    // every=2 @ frameBytes=4 samples frames 0 and 2: docs 1/2 differ only
+    // in the unsampled frame 1 → same fingerprint (the honest coarse-pass
+    // semantics); doc 3 differs in a sampled frame → distinct.
+    val d = Seq(
+      (1L, "abcdXXXXefgh"),
+      (2L, "abcdYYYYefgh"),
+      (3L, "abcdXXXXzzzz")).toDF("doc_id", "text")
+    val fp = videoFingerprints(
+        sampleVideoFrames(decodeAviFrames(spark, toAvi(d, frameBytes = 4)), every = 2))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_sampled"), r.getAs[String]("video_fp")))).toMap
+    assert(fp(1L)._1 === 2L)
+    assert(fp(1L)._2 === fp(2L)._2, "unsampled-frame-only difference must collide")
+    assert(fp(1L)._2 !== fp(3L)._2, "sampled-frame difference must separate")
+    // Fingerprints are repartitioning-independent (array_sort before hash).
+    val fp8 = videoFingerprints(
+        sampleVideoFrames(
+          decodeAviFrames(spark, toAvi(d, frameBytes = 4)).repartition(8), every = 2))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(fp8 === fp.map { case (k, v) => k -> v._2 })
+  }
+
+  test("alignCutsToTokens: containing token incl. trailing-space attribution and empty tokens") {
+    import Multimodal.alignCutsToTokens
+    // doc 1 "aaaa bbbbzzzz cc": tokens aaaa@0, bbbbzzzz@5, cc@14.
+    //   cut at frame 1 (off 4, the space after "aaaa") → trailing
+    //   separator belongs to the preceding token → "aaaa";
+    //   cut at frame 3 (off 12, inside "bbbbzzzz") → "bbbbzzzz".
+    // doc 2 "a  b" (double space): tokens a@0, ""@2, b@3 — the exact
+    //   empties-kept split keeps offsets bit-exact; cut off 4 → "b"
+    //   (past the last token start, still the last token's span).
+    val docs = Seq((1L, "aaaa bbbbzzzz cc"), (2L, "a  b")).toDF("doc_id", "text")
+    val cuts = Seq(
+      (1L, 1L, true), (1L, 3L, true), (1L, 2L, false), (2L, 1L, true))
+      .toDF("doc_id", "frame_idx", "is_cut")
+    val got = alignCutsToTokens(cuts, docs, frameBytes = 4)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("frame_idx")) ->
+        ((r.getAs[Long]("cut_off"), r.getAs[Long]("tok_start"),
+          r.getAs[Long]("token_pos"), r.getAs[String]("token")))).toMap
+    assert(got((1L, 1L)) === ((4L, 0L, 0L, "aaaa")))
+    assert(got((1L, 3L)) === ((12L, 5L, 1L, "bbbbzzzz")))
+    assert(got((2L, 1L)) === ((4L, 3L, 2L, "b")))
+    assert(got.size === 3, "non-cut rows must not align")
+  }
+
   test("audioSegments: trim span, loud/clip predicates distinct, all-silent sentinel") {
     import Multimodal.{audioFrameStats, audioSegments}
     // Hand-built sample rows, frameLen 2 → frames:
@@ -754,11 +819,11 @@ class TextMultimodalSpec extends SparkSpec {
           // Starts with "RI" but is NOT RIFF: must take the histogram
           // path, never the throwing WAV decoder (4-byte magic check).
           doc(7L, "RIck's plain text"),
-          // A RIFF container that is NOT WAVE (AVI form type): 'RIFF'
-          // alone claims only the container — the router must also check
-          // bytes 9-12 == 'WAVE' and send this to the histogram fallback
-          // instead of the throwing WAV decoder.
-          doc(8L, "RIFF   AVI LIST frames")).toDF("doc_id", "text", "lang", "source", "n_chars")))
+          // A RIFF container that is neither WAVE nor AVI (WEBP form
+          // type, no decoder in this environment): 'RIFF' alone claims
+          // only the container — the router must check the form type and
+          // send this to the histogram fallback, not a throwing decoder.
+          doc(8L, "RIFF\u0010\u0000\u0000\u0000WEBP LIST frames")).toDF("doc_id", "text", "lang", "source", "n_chars")))
     val out = Multimodal.extractFeatures(spark, media).orderBy("doc_id").collect()
     assert(out.map(_.getAs[String]("kind")).toSeq === Seq("wav", "histogram", "histogram", "histogram"))
     val wavRow = out(0)
@@ -828,6 +893,47 @@ class TextMultimodalSpec extends SparkSpec {
     val out = Multimodal.extractFeatures(spark, bmp.unionByName(bmText)).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("kind")).toMap
     assert(out === Map(0L -> "bmp", 1L -> "histogram"))
+  }
+
+  test("magic-byte router routes AVI/PNG/JPEG to their real decoders, not the stub") {
+    // JpegCodec needs >= 64 text bytes for one raster block.
+    val jpegText = "jpeg blocks here: " + ("x" * 64)
+    val d = Seq((0L, "video payload text!!", "en", "s", 20L),
+      (1L, "png pixels here!", "en", "s", 16L),
+      (2L, jpegText, "en", "s", jpegText.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.toAvi(d.filter(col("doc_id") === 0L))
+      .select(col("doc_id"), col("payload"))
+      .unionByName(Multimodal.toPng(d.filter(col("doc_id") === 1L))
+        .select(col("doc_id"), col("payload")))
+      .unionByName(Multimodal.toJpeg(d.filter(col("doc_id") === 2L))
+        .select(col("doc_id"), col("payload")))
+      .unionByName(Multimodal.toMedia(
+          Seq(doc(3L, "just plain text")).toDF("doc_id", "text", "lang", "source", "n_chars"))
+        .select(col("doc_id"), col("payload")))
+    val out = Multimodal.extractFeatures(spark, media).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[String]("kind")).toSeq === Seq("avi", "png", "jpeg", "histogram"))
+    // The AVI summary carries the real container walk: 20 bytes at
+    // frameBytes=16 → 2 frames, 20 frame bytes total.
+    val aviRow = out(0).getAs[org.apache.spark.sql.Row]("avi")
+    assert(aviRow.getAs[Int]("n_frames") === 2)
+    assert(aviRow.getAs[Long]("n_frame_bytes") === 20L)
+    // Exactly one feature column non-null per row.
+    for (r <- out) {
+      val featCols = Seq("pgm", "ppm", "wav", "avi", "bmp", "png", "jpeg", "histogram")
+      assert(featCols.count(c => !r.isNullAt(r.fieldIndex(c))) === 1)
+    }
+    // A payload that CLAIMS the AVI form but lies about the RIFF size
+    // must THROW in the decoder (the router contract), never histogram.
+    val lyingAvi = Multimodal.toMedia(
+        Seq(doc(9L, "RIFF   AVI LIST frames"))
+          .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select(col("doc_id"), col("payload"))
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeatures(spark, lyingAvi).collect()
+    }
+    assert(ex.getMessage.contains("RIFF size")
+      || Option(ex.getCause).exists(_.getMessage.contains("RIFF size")))
   }
 
   test("collocations scores whole-bit PMI and prunes below minCount") {
