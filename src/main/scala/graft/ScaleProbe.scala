@@ -473,7 +473,10 @@ object ScaleProbe {
       // cross-modal alignment: the q249 chain plus one token-offset
       // window and the as-of union window, both keyed by doc_id —
       // token rows dominate, so corpus bytes is the honest base.
-      "q251_cut_token_alignment" -> byteFactor)
+      "q251_cut_token_alignment" -> byteFactor,
+      // modality router: one staged media write + eight pushdown scans
+      // with per-doc encode/decode — the codec scan class end to end.
+      "q252_modality_router" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

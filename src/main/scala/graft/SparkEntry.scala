@@ -1175,6 +1175,52 @@ object SparkEntry {
       Dedup.dedupClusters(pairs).orderBy("doc_id")
     }),
 
+    // The magic-byte ROUTER itself under the oracle: a mixed media frame
+    // (doc_id % 8 picks the format; sub-64-byte docs demote from jpeg to
+    // the raw bucket) routed purely by payload content through all eight
+    // kinds, with a decode-derived geometry stat per doc — the oracle
+    // replays both the routing rule and each builder's geometry, so a
+    // mis-route OR a wrong decode fails the hash. Eight narrow filtered
+    // passes over one frame, no shuffle before the final sort.
+    "q252_modality_router" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val sel = pmod(col("doc_id"), lit(8L))
+      val jpegOk = length(col("text")) >= 64
+      def bucket(m: Int) = d.filter(sel === m)
+      def pp(df: DataFrame) = df.select(col("doc_id"), col("payload"))
+      val media = pp(Multimodal.toPgm(bucket(0)))
+        .unionByName(pp(Multimodal.toPpm(bucket(1))))
+        .unionByName(pp(Multimodal.toWav(bucket(2))))
+        .unionByName(pp(Multimodal.toBmp(bucket(3))))
+        .unionByName(pp(Multimodal.toPng(bucket(4))))
+        .unionByName(pp(Multimodal.toJpeg(d.filter(sel === 5 && jpegOk))))
+        .unionByName(pp(Multimodal.toAvi(bucket(6))))
+        .unionByName(pp(Multimodal.toMedia(
+          d.filter(sel === 7 || (sel === 5 && !jpegOk)))))
+      // Land the mixed frame before routing — the realistic shape (a
+      // router runs over a media LAKE, not over in-plan synthesizers),
+      // and the load-bearing one here: extractFeatures makes eight
+      // filtered passes over its input, which over a parquet scan is
+      // eight cheap pushdown scans but over this 8-builder union would
+      // re-plan and re-execute all 64 builder subtrees (measured 93 s at
+      // sf0.1, driver-bound in planning/codegen; staged: ~2 s).
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft_router_media").toString
+      media.write.mode("overwrite").parquet(staged)
+      Multimodal.extractFeatures(s, s.read.parquet(staged))
+        .select(
+          col("doc_id"), col("kind"),
+          when(col("kind") === "pgm", col("pgm.width").cast("long"))
+            .when(col("kind") === "ppm", col("ppm.width").cast("long"))
+            .when(col("kind") === "wav", col("wav.n_samples"))
+            .when(col("kind") === "bmp", col("bmp.n_px"))
+            .when(col("kind") === "png", col("png.n_px"))
+            .when(col("kind") === "jpeg", col("jpeg.n_blocks"))
+            .when(col("kind") === "avi", col("avi.n_frames").cast("long"))
+            .otherwise(lit(-1L)).as("geom"))
+        .orderBy("doc_id")
+    }),
+
     // Cross-MODAL composition — the first gate plan where video and text
     // meet: each q249 shot boundary aligned to the transcript token whose
     // byte span contains the cut offset (subtitle alignment), via the
@@ -3469,6 +3515,37 @@ object SparkEntry {
         |SELECT doc_id, canonical_id, CAST(cluster_size AS BIGINT) AS cluster_size,
         |       doc_id = canonical_id AS is_canonical
         |FROM g WHERE cluster_size >= 2 ORDER BY doc_id""".stripMargin,
+
+    // q252: the routing rule and every builder's geometry replayed from
+    // text length alone (ASCII corpus: chars == bytes) — pgm/wav are
+    // byte-per-px/sample, ppm packs 3 bytes per pixel, bmp/png are 2-row
+    // (len//6)-wide rasters, jpeg is len//64 blocks (min one), avi is
+    // ceil(len/16) frames, raw text has no geometry (-1).
+    "q252_modality_router" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L, doc_id % 8 AS sel
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN sel = 0 THEN 'pgm'
+        |    WHEN sel = 1 THEN 'ppm'
+        |    WHEN sel = 2 THEN 'wav'
+        |    WHEN sel = 3 THEN 'bmp'
+        |    WHEN sel = 4 THEN 'png'
+        |    WHEN sel = 5 AND L >= 64 THEN 'jpeg'
+        |    WHEN sel = 6 THEN 'avi'
+        |    ELSE 'histogram' END AS kind,
+        |  CAST(CASE
+        |    WHEN sel = 0 THEN L
+        |    WHEN sel = 1 THEN L // 3
+        |    WHEN sel = 2 THEN L
+        |    WHEN sel = 3 THEN 2 * (L // 6)
+        |    WHEN sel = 4 THEN 2 * (L // 6)
+        |    WHEN sel = 5 AND L >= 64 THEN L // 64
+        |    WHEN sel = 6 THEN (L + 15) // 16
+        |    ELSE -1 END AS BIGINT) AS geom
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // q251: q249's cuts (verdict rows only), token byte offsets from the
     // exact single-space split (empties kept), containing token = last
