@@ -476,7 +476,10 @@ object ScaleProbe {
       "q251_cut_token_alignment" -> byteFactor,
       // modality router: one staged media write + eight pushdown scans
       // with per-doc encode/decode — the codec scan class end to end.
-      "q252_modality_router" -> byteFactor)
+      "q252_modality_router" -> byteFactor,
+      // quarantined router over the damaged lake — same shape; the
+      // per-row try adds nothing measurable to the decode scan.
+      "q253_media_inventory" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

@@ -87,6 +87,35 @@ object SparkEntry {
           " ")).as("pieces_digest"))
       .orderBy("doc_id")
 
+  /** The q252/q253 mixed media lake: doc_id % 8 picks the format
+    * (sub-64-byte docs demote from jpeg to the raw bucket), landed to a
+    * temp parquet dir before routing. Landing is load-bearing, not just
+    * realistic: the router makes eight filtered passes over its input,
+    * which over a parquet scan is eight pushdown scans but over the
+    * in-plan 8-builder union would re-plan and re-execute all 64
+    * synthesizer subtrees (measured 93 s vs 3.4 s at sf0.1, ISO_r17).
+    */
+  private def stagedMixedMedia(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val sel = pmod(col("doc_id"), lit(8L))
+    val jpegOk = length(col("text")) >= 64
+    def bucket(m: Int) = d.filter(sel === m)
+    def pp(df: DataFrame) = df.select(col("doc_id"), col("payload"))
+    val media = pp(Multimodal.toPgm(bucket(0)))
+      .unionByName(pp(Multimodal.toPpm(bucket(1))))
+      .unionByName(pp(Multimodal.toWav(bucket(2))))
+      .unionByName(pp(Multimodal.toBmp(bucket(3))))
+      .unionByName(pp(Multimodal.toPng(bucket(4))))
+      .unionByName(pp(Multimodal.toJpeg(d.filter(sel === 5 && jpegOk))))
+      .unionByName(pp(Multimodal.toAvi(bucket(6))))
+      .unionByName(pp(Multimodal.toMedia(
+        d.filter(sel === 7 || (sel === 5 && !jpegOk)))))
+    val staged = java.nio.file.Files
+      .createTempDirectory("graft_router_media").toString
+    media.write.mode("overwrite").parquet(staged)
+    s.read.parquet(staged)
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1182,32 +1211,8 @@ object SparkEntry {
     // replays both the routing rule and each builder's geometry, so a
     // mis-route OR a wrong decode fails the hash. Eight narrow filtered
     // passes over one frame, no shuffle before the final sort.
-    "q252_modality_router" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val sel = pmod(col("doc_id"), lit(8L))
-      val jpegOk = length(col("text")) >= 64
-      def bucket(m: Int) = d.filter(sel === m)
-      def pp(df: DataFrame) = df.select(col("doc_id"), col("payload"))
-      val media = pp(Multimodal.toPgm(bucket(0)))
-        .unionByName(pp(Multimodal.toPpm(bucket(1))))
-        .unionByName(pp(Multimodal.toWav(bucket(2))))
-        .unionByName(pp(Multimodal.toBmp(bucket(3))))
-        .unionByName(pp(Multimodal.toPng(bucket(4))))
-        .unionByName(pp(Multimodal.toJpeg(d.filter(sel === 5 && jpegOk))))
-        .unionByName(pp(Multimodal.toAvi(bucket(6))))
-        .unionByName(pp(Multimodal.toMedia(
-          d.filter(sel === 7 || (sel === 5 && !jpegOk)))))
-      // Land the mixed frame before routing — the realistic shape (a
-      // router runs over a media LAKE, not over in-plan synthesizers),
-      // and the load-bearing one here: extractFeatures makes eight
-      // filtered passes over its input, which over a parquet scan is
-      // eight cheap pushdown scans but over this 8-builder union would
-      // re-plan and re-execute all 64 builder subtrees (measured 93 s at
-      // sf0.1, driver-bound in planning/codegen; staged: ~2 s).
-      val staged = java.nio.file.Files
-        .createTempDirectory("graft_router_media").toString
-      media.write.mode("overwrite").parquet(staged)
-      Multimodal.extractFeatures(s, s.read.parquet(staged))
+    "q252_modality_router" -> ((s, dir) =>
+      Multimodal.extractFeatures(s, stagedMixedMedia(s, dir))
         .select(
           col("doc_id"), col("kind"),
           when(col("kind") === "pgm", col("pgm.width").cast("long"))
@@ -1218,7 +1223,24 @@ object SparkEntry {
             .when(col("kind") === "jpeg", col("jpeg.n_blocks"))
             .when(col("kind") === "avi", col("avi.n_frames").cast("long"))
             .otherwise(lit(-1L)).as("geom"))
-        .orderBy("doc_id")
+        .orderBy("doc_id")),
+
+    // The QUARANTINED router over a DAMAGED lake — q252's mixed frame
+    // with deterministic transmission damage (doc_id % 9 == 4 truncates
+    // the payload to its first 8 bytes), routed through mediaInventory:
+    // a truncated payload whose format CLAIM survives the cut (netpbm's
+    // 2-byte magic, PNG's exactly-8-byte signature, JPEG's 3-byte SOI)
+    // quarantines as an inspectable (ok=false, geom NULL) row, while one
+    // whose claim needed bytes past the cut (RIFF form types at 9-12,
+    // BMP's DIB field at 15-18) falls back to the histogram — the oracle
+    // replays claim survival, quarantine verdicts, and geometry, and a
+    // task failure anywhere would fail the whole gate.
+    "q253_media_inventory" -> ((s, dir) => {
+      val damaged = stagedMixedMedia(s, dir).select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(9L)) === 4L, substring(col("payload"), 1, 8))
+          .otherwise(col("payload")).as("payload"))
+      Multimodal.mediaInventory(s, damaged).orderBy("doc_id")
     }),
 
     // Cross-MODAL composition — the first gate plan where video and text
@@ -3537,6 +3559,45 @@ object SparkEntry {
         |    WHEN sel = 6 THEN 'avi'
         |    ELSE 'histogram' END AS kind,
         |  CAST(CASE
+        |    WHEN sel = 0 THEN L
+        |    WHEN sel = 1 THEN L // 3
+        |    WHEN sel = 2 THEN L
+        |    WHEN sel = 3 THEN 2 * (L // 6)
+        |    WHEN sel = 4 THEN 2 * (L // 6)
+        |    WHEN sel = 5 AND L >= 64 THEN L // 64
+        |    WHEN sel = 6 THEN (L + 15) // 16
+        |    ELSE -1 END AS BIGINT) AS geom
+        |FROM n ORDER BY doc_id""".stripMargin,
+
+    // q253: q252's routing + geometry replay, overlaid with the damage
+    // rule — truncation to 8 bytes kills claims that need later bytes
+    // (RIFF form types at 9-12, BMP's DIB field at 15-18 → histogram
+    // fallback) but not earlier ones (netpbm 2-byte magic, PNG's
+    // exactly-8-byte signature, JPEG's 3-byte SOI → quarantined decode:
+    // ok=false, geom NULL — no truncated raster can ever decode, every
+    // builder's minimum raster exceeds 8 bytes).
+    "q253_media_inventory" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L, doc_id % 8 AS sel,
+        |         doc_id % 9 = 4 AS dmg
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN dmg AND sel IN (2, 3, 6) THEN 'histogram'
+        |    WHEN sel = 0 THEN 'pgm'
+        |    WHEN sel = 1 THEN 'ppm'
+        |    WHEN sel = 2 THEN 'wav'
+        |    WHEN sel = 3 THEN 'bmp'
+        |    WHEN sel = 4 THEN 'png'
+        |    WHEN sel = 5 AND L >= 64 THEN 'jpeg'
+        |    WHEN sel = 6 THEN 'avi'
+        |    ELSE 'histogram' END AS kind,
+        |  NOT (dmg AND (sel IN (0, 1, 4) OR (sel = 5 AND L >= 64))) AS ok,
+        |  CAST(CASE
+        |    WHEN dmg THEN
+        |      CASE WHEN sel IN (0, 1, 4) OR (sel = 5 AND L >= 64)
+        |           THEN NULL ELSE -1 END
         |    WHEN sel = 0 THEN L
         |    WHEN sel = 1 THEN L // 3
         |    WHEN sel = 2 THEN L

@@ -102,39 +102,49 @@ object Multimodal {
     * rather than falling back — garbage media should fail loudly, not
     * quietly become a histogram.
     */
-  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
-    val ascii = java.nio.charset.StandardCharsets.US_ASCII
-    val magic = substring(col("payload"), 1, 2)
-    val isP5 = magic === lit("P5".getBytes(ascii))
-    val isP6 = magic === lit("P6".getBytes(ascii))
-    // RIFF's magic is 4 bytes (unlike netpbm's 2): a 2-byte "RI" test
-    // would route any text payload starting with "RI" into the throwing
-    // WAV decoder instead of the histogram fallback. And 'RIFF' alone
-    // claims only the container, not a decodable format — an AVI/WEBP/ANI
-    // payload in a mixed media frame must take the histogram fallback,
-    // not throw — so the route test also requires the WAVE form type at
-    // bytes 9-12 (after the 4-byte chunk size).
-    val isRiff = substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii)) &&
-      substring(col("payload"), 9, 4) === lit("WAVE".getBytes(ascii))
+  /** The router's format-claim predicates over a binary `payload`
+    * column — ONE definition shared by [[extractFeatures]] and
+    * [[mediaInventory]] so the strict and quarantined routers can never
+    * drift in what claims what.
+    *
+    *  - netpbm magics are 2 bytes;
+    *  - RIFF's magic is 4 bytes, and 'RIFF' alone claims only the
+    *    CONTAINER — the route also requires the form type at bytes 9-12
+    *    ('WAVE' / 'AVI '), so a WEBP/ANI payload (no decoder here)
+    *    takes the histogram fallback instead of a throwing decoder;
+    *  - 'BM' is two bytes of plausible text (the RIFF lesson), so the
+    *    route also requires the BITMAPINFOHEADER size field (LE 40 at
+    *    bytes 15-18);
+    *  - PNG uses its full 8-byte signature; JPEG its 3-byte SOI+marker
+    *    prefix FF D8 FF — neither occurs in text payloads.
+    */
+  private object RouterClaims {
+    private val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    private def magic = substring(col("payload"), 1, 2)
+    def isP5: Column = magic === lit("P5".getBytes(ascii))
+    def isP6: Column = magic === lit("P6".getBytes(ascii))
+    def isRiff: Column =
+      substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii)) &&
+        substring(col("payload"), 9, 4) === lit("WAVE".getBytes(ascii))
     // The AVI form type of the same container family — now that a real
     // walker exists ([[AviDecoder]], r16) the histogram fallback this
     // route used to take would violate the router's own contract.
-    val isAvi = substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii)) &&
-      substring(col("payload"), 9, 4) === lit("AVI ".getBytes(ascii))
-    // PNG's full 8-byte signature (a 2-byte test would route any text
-    // starting with the two printable bytes); JPEG's 3-byte SOI+marker
-    // prefix FF D8 FF — neither prefix occurs in text payloads.
-    val isPng = substring(col("payload"), 1, 8) === lit(Array[Byte](
+    def isAvi: Column =
+      substring(col("payload"), 1, 4) === lit("RIFF".getBytes(ascii)) &&
+        substring(col("payload"), 9, 4) === lit("AVI ".getBytes(ascii))
+    def isPng: Column = substring(col("payload"), 1, 8) === lit(Array[Byte](
       0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte, '\r'.toByte, '\n'.toByte,
       0x1a.toByte, '\n'.toByte))
-    val isJpeg = substring(col("payload"), 1, 3) ===
+    def isJpeg: Column = substring(col("payload"), 1, 3) ===
       lit(Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte))
-    // 'BM' alone is two bytes of plausible text (the RIFF lesson): the
-    // route also requires the BITMAPINFOHEADER size field (bytes 15-18,
-    // LE 40) so only payloads that actually claim the decodable DIB
-    // layout reach the throwing decoder.
-    val isBmp = substring(col("payload"), 1, 2) === lit("BM".getBytes(ascii)) &&
-      substring(col("payload"), 15, 4) === lit(Array[Byte](40, 0, 0, 0))
+    def isBmp: Column =
+      substring(col("payload"), 1, 2) === lit("BM".getBytes(ascii)) &&
+        substring(col("payload"), 15, 4) === lit(Array[Byte](40, 0, 0, 0))
+    def any: Column = isP5 || isP6 || isRiff || isAvi || isBmp || isPng || isJpeg
+  }
+
+  def extractFeatures(spark: SparkSession, media: DataFrame): DataFrame = {
+    import RouterClaims.{isP5, isP6, isRiff, isAvi, isBmp, isPng, isJpeg}
     def nest(df: DataFrame, kind: String): DataFrame =
       df.select(
         col("doc_id"), lit(kind).as("kind"),
@@ -159,6 +169,45 @@ object Multimodal {
       .unionByName(jpeg, allowMissingColumns = true)
       .unionByName(hist, allowMissingColumns = true)
       .select("doc_id", "kind", "pgm", "ppm", "wav", "avi", "bmp", "png", "jpeg", "histogram")
+  }
+
+  /** The QUARANTINED router — what a corpus-scale media ingest actually
+    * runs first: every payload classified by the same claim predicates
+    * as [[extractFeatures]] ([[RouterClaims]], shared so the two can
+    * never drift), decoded, and either its geometry recorded or the
+    * failure landed as an inspectable row — a corrupt payload must
+    * become data, never a task failure that kills a 100 TB scan (the
+    * [[decodeJpegQuarantine]] pattern, applied to the whole router).
+    *
+    * Output: one row per payload — `(doc_id, kind, ok, geom)` where
+    * `geom` is the kind's decode-derived geometry (pgm/ppm width, wav
+    * samples, bmp/png pixels, jpeg blocks, avi frames; −1 for the
+    * histogram fallback, which cannot fail) and NULL on a quarantined
+    * decode. Same shape as [[extractFeatures]]: eight narrow filtered
+    * passes, payloads never leave their partition, no shuffle.
+    */
+  def mediaInventory(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    import RouterClaims._
+    def inv(claim: Column, kind: String)(geom: (Long, Array[Byte]) => Long): DataFrame =
+      media.filter(claim).select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.map { case (id, b) =>
+          try (id, kind, true, Option(geom(id, b)))
+          catch { case _: Exception => (id, kind, false, Option.empty[Long]) }
+        })
+        .toDF("doc_id", "kind", "ok", "geom")
+    val hist = media.filter(not(any)).select(
+      col("doc_id"), lit("histogram").as("kind"),
+      lit(true).as("ok"), lit(-1L).as("geom"))
+    inv(isP5, "pgm")((id, b) => PgmDecoder.decode(id, b).width.toLong)
+      .unionByName(inv(isP6, "ppm")((id, b) => PpmDecoder.decode(id, b).width.toLong))
+      .unionByName(inv(isRiff, "wav")((id, b) => WavDecoder.decode(id, b).n_samples))
+      .unionByName(inv(isAvi, "avi")((id, b) => AviDecoder.frames(id, b).size.toLong))
+      .unionByName(inv(isBmp, "bmp")((id, b) => BmpDecoder.decode(id, b).n_px))
+      .unionByName(inv(isPng, "png")((id, b) => PngCodec.decode(id, b).n_px))
+      .unionByName(inv(isJpeg, "jpeg")((id, b) => JpegCodec.decode(id, b).n_blocks))
+      .unionByName(hist)
   }
 
   /** Wrap each document as a REAL binary PGM image — a 1-row grayscale

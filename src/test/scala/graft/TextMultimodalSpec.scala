@@ -936,6 +936,32 @@ class TextMultimodalSpec extends SparkSpec {
       || Option(ex.getCause).exists(_.getMessage.contains("RIFF size")))
   }
 
+  test("mediaInventory: corrupt payloads quarantine as rows; claim survival decides the route") {
+    val d = Seq((0L, "grayscale pixel data", "en", "s", 20L),
+      (1L, "sixteen samples!", "en", "s", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    def pp(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"), col("payload"))
+    val media = pp(Multimodal.toPgm(d.filter(col("doc_id") === 0L)))
+      .unionByName(pp(Multimodal.toWav(d.filter(col("doc_id") === 1L))))
+    // Undamaged: both decode with real geometry.
+    val clean = Multimodal.mediaInventory(spark, media).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(clean(0L) === (("pgm", true, Some(20L))))
+    assert(clean(1L) === (("wav", true, Some(16L))))
+    // Truncated to 8 bytes: the PGM claim (2-byte magic) survives and
+    // quarantines — an inspectable row, NOT a task failure; the WAV
+    // claim (form type at bytes 9-12) dies and falls back to the
+    // histogram, which cannot fail.
+    val damaged = media.select(
+      col("doc_id"), substring(col("payload"), 1, 8).as("payload"))
+    val inv = Multimodal.mediaInventory(spark, damaged).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(inv(0L) === (("pgm", false, None)))
+    assert(inv(1L) === (("histogram", true, Some(-1L))))
+  }
+
   test("collocations scores whole-bit PMI and prunes below minCount") {
     val docs = Seq(
       // "new york" x5 (york-new x4 falls below minCount and is pruned).
