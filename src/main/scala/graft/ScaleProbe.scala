@@ -479,7 +479,11 @@ object ScaleProbe {
       "q252_modality_router" -> byteFactor,
       // quarantined router over the damaged lake — same shape; the
       // per-row try adds nothing measurable to the decode scan.
-      "q253_media_inventory" -> byteFactor)
+      "q253_media_inventory" -> byteFactor,
+      // examples × media quarantine: the q246 compose class — the q03
+      // example chain dominates (events replicate by rows); the
+      // quarantined set is damage-bounded and broadcasts.
+      "q254_media_gated_examples" -> rowFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

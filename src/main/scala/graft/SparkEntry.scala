@@ -116,6 +116,17 @@ object SparkEntry {
     s.read.parquet(staged)
   }
 
+  /** q253/q254's deterministic transmission damage over the mixed lake:
+    * doc_id % 9 == 4 truncates the payload to its first 8 bytes (mod 9
+    * is coprime to the mod-8 format selector, so damage hits every
+    * bucket).
+    */
+  private def damagedMixedMedia(s: SparkSession, dir: String): DataFrame =
+    stagedMixedMedia(s, dir).select(
+      col("doc_id"),
+      when(pmod(col("doc_id"), lit(9L)) === 4L, substring(col("payload"), 1, 8))
+        .otherwise(col("payload")).as("payload"))
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -1235,12 +1246,41 @@ object SparkEntry {
     // BMP's DIB field at 15-18) falls back to the histogram — the oracle
     // replays claim survival, quarantine verdicts, and geometry, and a
     // task failure anywhere would fail the whole gate.
-    "q253_media_inventory" -> ((s, dir) => {
-      val damaged = stagedMixedMedia(s, dir).select(
-        col("doc_id"),
-        when(pmod(col("doc_id"), lit(9L)) === 4L, substring(col("payload"), 1, 8))
-          .otherwise(col("payload")).as("payload"))
-      Multimodal.mediaInventory(s, damaged).orderBy("doc_id")
+    "q253_media_inventory" -> ((s, dir) =>
+      Multimodal.mediaInventory(s, damagedMixedMedia(s, dir)).orderBy("doc_id")),
+
+    // The reference pipeline gated by the MEDIA quarantine — q246's
+    // compose shape with the multimodal stack standing in for the
+    // curation stack: each training example's impressed item maps to a
+    // document (the q246 modulus), and examples whose document's media
+    // failed the q253 ingest inventory are counted per (dt, label) —
+    // the "drop examples whose media is corrupt" pass a multimodal
+    // training pipeline runs before packing. The quarantined set is
+    // damage-bounded, so it broadcasts.
+    "q254_media_gated_examples" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val bad = Multimodal.mediaInventory(s, damagedMixedMedia(s, dir))
+        .filter(!col("ok")).select(col("doc_id"))
+        .withColumn("quarantined", lit(true))
+      val nDocs = docs.agg(max(col("doc_id"))).collect()(0).getLong(0) + 1L // one scalar
+      val ex = TrainingPipeline.produceTrainingExamples(
+        EventFixtures.impressions(s, dir),
+        EventFixtures.clicks(s, dir),
+        EventFixtures.addToCarts(s, dir),
+        EventFixtures.orders(s, dir),
+        maxHistory = MaxHist)
+      ex.select(
+          col("dt"), col("label"),
+          pmod(col("impression_item_id"), lit(nDocs)).as("doc_id"),
+          size(filter(col("action_types"), x => x =!= 0)).cast("long").as("hist_len"))
+        .join(broadcast(bad), Seq("doc_id"), "left_outer")
+        .groupBy(col("dt"), col("label"))
+        .agg(
+          count(lit(1)).as("n_examples"),
+          sum(when(col("quarantined"), 1L).otherwise(0L)).as("n_media_quarantined"),
+          sum(when(col("quarantined"), col("hist_len")).otherwise(0L))
+            .as("quarantined_hist_len"))
+        .orderBy("dt", "label")
     }),
 
     // Cross-MODAL composition — the first gate plan where video and text
@@ -3607,6 +3647,50 @@ object SparkEntry {
         |    WHEN sel = 6 THEN (L + 15) // 16
         |    ELSE -1 END AS BIGINT) AS geom
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // q254: q246's example-replay CTEs with the quarantined-doc set in
+    // place of the contamination set — the set is exactly the q253
+    // oracle's ok=false rows (damaged AND the claim survives the cut).
+    "q254_media_gated_examples" ->
+      s"""WITH $evActions,
+         |$evImpressions,
+         |bad AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE doc_id % 9 = 4
+         |    AND (doc_id % 8 IN (0, 1, 4)
+         |         OR (doc_id % 8 = 5 AND length(text) >= 64))
+         |),
+         |joined AS (
+         |  SELECT i.dt, i.ranking_id, i.customer_id, i.impression_pos,
+         |         i.impression_item_id, i.label,
+         |         a.item_id, a.action_type, a.action_time
+         |  FROM imp i LEFT JOIN actions a
+         |    ON i.customer_id = a.customer_id AND a.action_time < i.cutoff_ts
+         |),
+         |ranked AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY dt, ranking_id, customer_id, impression_pos, impression_item_id
+         |      ORDER BY action_time DESC, item_id, action_type) AS rn
+         |  FROM joined
+         |),
+         |exh AS (
+         |  SELECT dt, ranking_id, customer_id, impression_pos, impression_item_id, label,
+         |         CAST(COUNT(*) FILTER (WHERE action_time IS NOT NULL AND rn <= 8) AS BIGINT) AS hist_len
+         |  FROM ranked
+         |  GROUP BY dt, ranking_id, customer_id, impression_pos, impression_item_id, label
+         |),
+         |m AS (
+         |  SELECT dt, label, hist_len,
+         |         (impression_item_id % (SELECT MAX(doc_id) + 1 FROM documents))
+         |           IN (SELECT doc_id FROM bad) AS is_q
+         |  FROM exh
+         |)
+         |SELECT dt, label,
+         |       CAST(COUNT(*) AS BIGINT) AS n_examples,
+         |       CAST(SUM(CASE WHEN is_q THEN 1 ELSE 0 END) AS BIGINT) AS n_media_quarantined,
+         |       CAST(SUM(CASE WHEN is_q THEN hist_len ELSE 0 END) AS BIGINT) AS quarantined_hist_len
+         |FROM m GROUP BY dt, label
+         |ORDER BY dt, label""".stripMargin,
 
     // q251: q249's cuts (verdict rows only), token byte offsets from the
     // exact single-space split (empties kept), containing token = last
