@@ -483,7 +483,10 @@ object ScaleProbe {
       // examples × media quarantine: the q246 compose class — the q03
       // example chain dominates (events replicate by rows); the
       // quarantined set is damage-bounded and broadcasts.
-      "q254_media_gated_examples" -> rowFactor)
+      "q254_media_gated_examples" -> rowFactor,
+      // image resize: encode + box-decimate + re-encode + decode, all
+      // per-payload narrow lambdas — the mu-law/dHash codec scan class.
+      "q255_image_resize" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

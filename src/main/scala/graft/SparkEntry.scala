@@ -1283,6 +1283,20 @@ object SparkEntry {
         .orderBy("dt", "label")
     }),
 
+    // Image RESIZE — the multimodal op next to decode/feature-extract/
+    // frame-sample: stride-4 box decimation of each PGM payload,
+    // re-encoded as a REAL PGM and round-tripped through the decoder, so
+    // the oracle pins every output pixel (floor-mean of its 4-byte
+    // block) through resize, re-encode, AND re-decode in one hash.
+    "q255_image_resize" -> ((s, dir) =>
+      Multimodal.decodePgmFeatures(s,
+          Multimodal.resizePgm(s, Multimodal.toPgm(Tables.documents(s, dir)), kx = 4))
+        .toDF()
+        .select(
+          col("doc_id"), col("width"), col("height"), col("n_px"),
+          col("mean_px"), col("min_px"), col("max_px"))
+        .orderBy("doc_id")),
+
     // Cross-MODAL composition — the first gate plan where video and text
     // meet: each q249 shot boundary aligned to the transcript token whose
     // byte span contains the cut offset (subtitle alignment), via the
@@ -3691,6 +3705,33 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN is_q THEN hist_len ELSE 0 END) AS BIGINT) AS quarantined_hist_len
          |FROM m GROUP BY dt, label
          |ORDER BY dt, label""".stripMargin,
+
+    // q255: output pixel j of doc (1-row raster) = floor-mean of text
+    // bytes 4j+1..4j+4; the tail L%4 bytes are dropped (the decimation
+    // contract); stats replay the PGM decoder over those pixels.
+    "q255_image_resize" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> CAST(unicode(text[i:i]) AS BIGINT)) AS bs,
+        |         CAST(length(text) AS BIGINT) AS L
+        |  FROM documents
+        |),
+        |o AS (
+        |  SELECT doc_id,
+        |         (bs[CAST(4 * j + 1 AS INT)] + bs[CAST(4 * j + 2 AS INT)]
+        |          + bs[CAST(4 * j + 3 AS INT)] + bs[CAST(4 * j + 4 AS INT)]) // 4 AS v
+        |  FROM px, unnest(range(0, L // 4)) AS u(j)
+        |)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS INT) AS width,
+        |       CAST(1 AS INT) AS height,
+        |       CAST(COUNT(*) AS BIGINT) AS n_px,
+        |       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_px,
+        |       CAST(MIN(v) AS INT) AS min_px,
+        |       CAST(MAX(v) AS INT) AS max_px
+        |FROM o GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // q251: q249's cuts (verdict rows only), token byte offsets from the
     // exact single-space split (empties kept), containing token = last

@@ -281,6 +281,54 @@ object Multimodal {
     (width, height, maxVal, i + 1)
   }
 
+  /** REAL image RESIZE — the multimodal op next to decode /
+    * feature-extract / frame-sample: stride-(kx, ky) box decimation of a
+    * binary PGM payload, RE-ENCODED as a binary PGM payload so the
+    * output composes with every PGM consumer (the decoder, dHash, the
+    * router). Each output pixel is the floor-mean of its kx×ky input
+    * block; tail columns/rows that don't fill a block are dropped (the
+    * standard decimation contract). Exact integer arithmetic end to
+    * end, so an SQL oracle replays every output byte from the input
+    * bytes. Payloads never leave their partition; zero shuffle.
+    */
+  def resizePgm(
+      spark: SparkSession, media: DataFrame, kx: Int, ky: Int = 1): DataFrame = {
+    require(kx >= 1 && ky >= 1, s"factors must be positive: kx=$kx ky=$ky")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val (w, h, maxVal, start) = parseNetpbmHeader(id, b, 0, '5')
+        require(start + w.toLong * h <= b.length, s"doc $id: truncated raster")
+        val ow = w / kx
+        val oh = h / ky
+        require(ow >= 1 && oh >= 1,
+          s"doc $id: ${w}x$h cannot decimate by ${kx}x$ky")
+        val out = new Array[Byte](ow * oh)
+        val block = kx.toLong * ky
+        var oy = 0
+        while (oy < oh) {
+          var ox = 0
+          while (ox < ow) {
+            var sum = 0L
+            var dy = 0
+            while (dy < ky) {
+              val rowBase = start + (oy * ky + dy) * w + ox * kx
+              var dx = 0
+              while (dx < kx) { sum += b(rowBase + dx) & 0xff; dx += 1 }
+              dy += 1
+            }
+            out(oy * ow + ox) = (sum / block).toByte
+            ox += 1
+          }
+          oy += 1
+        }
+        val header = s"P5\n$ow $oh\n$maxVal\n"
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+        (id, header ++ out)
+      })
+      .toDF("doc_id", "payload")
+  }
+
   object PgmDecoder {
     def decode(docId: Long, b: Array[Byte]): PgmFeatures = decodeAt(docId, b, 0)._1
 

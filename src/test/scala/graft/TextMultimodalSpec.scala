@@ -936,6 +936,35 @@ class TextMultimodalSpec extends SparkSpec {
       || Option(ex.getCause).exists(_.getMessage.contains("RIFF size")))
   }
 
+  test("resizePgm: 1-D and 2-D box decimation, ragged tail dropped, real PGM round trip") {
+    // 1-row: "abcdefghij" @ kx=4 → pixels floor((97..100)/4)=98,
+    // floor((101..104)/4)=102; tail "ij" dropped.
+    val d = Seq((1L, "abcdefghij", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val resized = Multimodal.resizePgm(spark, Multimodal.toPgm(d), kx = 4)
+    val f = Multimodal.decodePgmFeatures(spark, resized).collect().head
+    assert(f.width === 2 && f.height === 1 && f.n_px === 2L)
+    assert(f.min_px === Some(98) && f.max_px === Some(102))
+    assert(f.mean_px === Some(100.0))
+    // 2-D: a hand-built 4x2 raster decimated 2x2 → 2x1 block means.
+    val raster = Array(10, 20, 30, 40, 50, 60, 70, 80).map(_.toByte)
+    val payload = "P5\n4 2\n255\n".getBytes("US-ASCII") ++ raster
+    val media2 = Seq((2L, payload)).toDF("doc_id", "payload")
+    val f2 = Multimodal.decodePgmFeatures(
+      spark, Multimodal.resizePgm(spark, media2, kx = 2, ky = 2)).collect().head
+    assert(f2.width === 2 && f2.height === 1)
+    assert(f2.min_px === Some((10 + 20 + 50 + 60) / 4) &&
+      f2.max_px === Some((30 + 40 + 70 + 80) / 4))
+    // Too-small input fails loudly, never emits a degenerate raster.
+    val tiny = Seq((3L, "abc", "en", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.resizePgm(spark, Multimodal.toPgm(tiny), kx = 4).collect()
+    }
+    assert(ex.getMessage.contains("cannot decimate")
+      || Option(ex.getCause).exists(_.getMessage.contains("cannot decimate")))
+  }
+
   test("mediaInventory: corrupt payloads quarantine as rows; claim survival decides the route") {
     val d = Seq((0L, "grayscale pixel data", "en", "s", 20L),
       (1L, "sixteen samples!", "en", "s", 16L))
