@@ -486,7 +486,9 @@ object ScaleProbe {
       "q254_media_gated_examples" -> rowFactor,
       // image resize: encode + box-decimate + re-encode + decode, all
       // per-payload narrow lambdas — the mu-law/dHash codec scan class.
-      "q255_image_resize" -> byteFactor)
+      "q255_image_resize" -> byteFactor,
+      // audio resample: the same codec scan class at 2 bytes/sample.
+      "q256_audio_resample" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

@@ -1283,6 +1283,17 @@ object SparkEntry {
         .orderBy("dt", "label")
     }),
 
+    // Audio RESAMPLE — the audio member of the transform triple (q255
+    // image resize / this / q248 video frame-sample): factor-4 box
+    // decimation of the decoded 16-bit stream, re-encoded as a real
+    // 2 kHz PCM WAV and round-tripped through the decoder — format
+    // fields, sample count, and exact amplitude moments in one hash.
+    "q256_audio_resample" -> ((s, dir) =>
+      Multimodal.decodeWavFeatures(s,
+          Multimodal.resampleWav(s, Multimodal.toWav16(Tables.documents(s, dir)), k = 4))
+        .toDF()
+        .orderBy("doc_id")),
+
     // Image RESIZE — the multimodal op next to decode/feature-extract/
     // frame-sample: stride-4 box decimation of each PGM payload,
     // re-encoded as a REAL PGM and round-tripped through the decoder, so
@@ -3705,6 +3716,34 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN is_q THEN hist_len ELSE 0 END) AS BIGINT) AS quarantined_hist_len
          |FROM m GROUP BY dt, label
          |ORDER BY dt, label""".stripMargin,
+
+    // q256: resampled sample j = floor-mean of four consecutive
+    // (b-128)*256 amplitudes (exact: the sum is divisible by 4×64);
+    // format fields pin the re-encode (16-bit mono at 8000/4 Hz).
+    "q256_audio_resample" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> CAST((unicode(text[i:i]) - 128) * 256 AS BIGINT)) AS amps,
+        |         CAST(length(text) AS BIGINT) AS L
+        |  FROM documents
+        |),
+        |o AS (
+        |  SELECT doc_id,
+        |         (amps[CAST(4 * j + 1 AS INT)] + amps[CAST(4 * j + 2 AS INT)]
+        |          + amps[CAST(4 * j + 3 AS INT)] + amps[CAST(4 * j + 4 AS INT)]) // 4 AS v
+        |  FROM px, unnest(range(0, L // 4)) AS u(j)
+        |)
+        |SELECT doc_id,
+        |       CAST(1 AS INT) AS n_channels,
+        |       CAST(2000 AS INT) AS sample_rate,
+        |       CAST(16 AS INT) AS bits_per_sample,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_amp,
+        |       CAST(MIN(v) AS INT) AS min_amp,
+        |       CAST(MAX(v) AS INT) AS max_amp
+        |FROM o GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
 
     // q255: output pixel j of doc (1-row raster) = floor-mean of text
     // bytes 4j+1..4j+4; the tail L%4 bytes are dropped (the decimation

@@ -1071,6 +1071,56 @@ object Multimodal {
         max(col("v")).as("max_amp"))
   }
 
+  /** REAL audio RESAMPLE — the audio member of the transform triple
+    * (image [[resizePgm]], audio resample, video [[sampleVideoFrames]]):
+    * factor-`k` decimation of a decoded WAV stream with a box
+    * anti-aliasing filter — each output sample is the floor-mean
+    * (`Math.floorDiv`, matching SQL `//` on negative sums) of `k`
+    * consecutive input samples, the tail partial block dropped — and
+    * RE-ENCODED as a canonical 44-byte-header 16-bit PCM mono WAV at
+    * `rate / k`, so the output composes with every WAV consumer
+    * ([[WavDecoder]], the router, [[audioFrameStats]]). Accepts any
+    * input the decoder does (8/16-bit PCM, G.711 μ-law). Exact integer
+    * arithmetic; payloads never leave their partition; zero shuffle.
+    */
+  def resampleWav(spark: SparkSession, media: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"factor k=$k must be positive")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val s = WavDecoder.samples(id, b)
+        val n = s.length / k
+        val out = new Array[Int](n)
+        var j = 0
+        while (j < n) {
+          var sum = 0L
+          var d = 0
+          while (d < k) { sum += s(j * k + d); d += 1 }
+          out(j) = Math.floorDiv(sum, k.toLong).toInt
+          j += 1
+        }
+        val rate = WavSampleRate / k
+        val dataLen = n * 2
+        val bb = java.nio.ByteBuffer
+          .allocate(44 + dataLen)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+          .put("WAVE".getBytes("US-ASCII"))
+          .put("fmt ".getBytes("US-ASCII")).putInt(16)
+          .putShort(1.toShort)            // PCM
+          .putShort(1.toShort)            // mono
+          .putInt(rate)
+          .putInt(rate * 2)               // byte rate (2 bytes/sample)
+          .putShort(2.toShort)            // block align
+          .putShort(16.toShort)           // bits per sample
+          .put("data".getBytes("US-ASCII")).putInt(dataLen)
+        var i = 0
+        while (i < n) { bb.putShort(out(i).toShort); i += 1 }
+        (id, bb.array())
+      })
+      .toDF("doc_id", "payload")
+  }
+
   /** Wrap each document as a REAL RIFF/AVI container — the THIRD RIFF
     * family next to WAVE and the missing MODALITY next to image/audio:
     * video as an opaque binary column. Structure: `RIFF('AVI ')` holding

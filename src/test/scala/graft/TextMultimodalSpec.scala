@@ -965,6 +965,27 @@ class TextMultimodalSpec extends SparkSpec {
       || Option(ex.getCause).exists(_.getMessage.contains("cannot decimate")))
   }
 
+  test("resampleWav: box decimation with floor-mean, mu-law input accepted, WAV round trip") {
+    // "abcdefgh" 16-bit: amps (97..104 - 128)*256; k=4 →
+    //   sample 0 = ((97+98+99+100)/4 - 128... ) exact: sum=-12544*... compute:
+    //   amps sum block 0 = ((97+98+99+100)-4*128)*256 = (394-512)*256 = -30208 → /4 = -7552
+    //   block 1 = ((101+102+103+104)-512)*256 = (410-512)*256 = -26112 → /4 = -6528
+    val d = Seq((1L, "abcdefgh", "en", "s", 8L)).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.decodeWavFeatures(
+      spark, Multimodal.resampleWav(spark, Multimodal.toWav16(d), k = 4)).collect().head
+    assert(f.n_channels === 1 && f.sample_rate === 2000 && f.bits_per_sample === 16)
+    assert(f.n_samples === 2L)
+    assert(f.min_amp === Some(-7552) && f.max_amp === Some(-6528))
+    assert(f.mean_amp === Some((-7552.0 - 6528.0) / 2))
+    // Floor semantics on a negative non-exact sum (mu-law input decodes
+    // to values that don't divide evenly): floorDiv matches SQL //.
+    val mu = Multimodal.decodeWavFeatures(
+      spark, Multimodal.resampleWav(spark, Multimodal.toWavMuLaw(d), k = 3)).collect().head
+    assert(mu.n_samples === 2L && mu.sample_rate === 2666)
+    // Tail block dropped; resampled stream still a decodable WAV.
+    assert(mu.bits_per_sample === 16)
+  }
+
   test("mediaInventory: corrupt payloads quarantine as rows; claim survival decides the route") {
     val d = Seq((0L, "grayscale pixel data", "en", "s", 20L),
       (1L, "sixteen samples!", "en", "s", 16L))
