@@ -565,6 +565,24 @@ class PlanShapeSpec extends SparkSpec {
       s"cut-token alignment regressed to an inequality join:\n$pa")
   }
 
+  test("media transforms and inventory: zero-shuffle codec chains") {
+    import graft.operators.Multimodal
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // resize and resample are per-payload codec chains end to end — any
+    // exchange means payloads started travelling.
+    val resized = Multimodal.decodePgmFeatures(
+      spark, Multimodal.resizePgm(spark, Multimodal.toPgm(docs), kx = 4)).toDF()
+    assert(shuffles(resized) === 0, s"image resize grew a shuffle:\n${plan(resized)}")
+    val resampled = Multimodal.decodeWavFeatures(
+      spark, Multimodal.resampleWav(spark, Multimodal.toWav16(docs), k = 4)).toDF()
+    assert(shuffles(resampled) === 0, s"audio resample grew a shuffle:\n${plan(resampled)}")
+    // The quarantined router: eight filtered passes, no shuffle, and no
+    // exchange ever carries a payload.
+    val invDf = Multimodal.mediaInventory(
+      spark, Multimodal.toPgm(docs).select("doc_id", "payload"))
+    assert(shuffles(invDf) === 0, s"media inventory grew a shuffle:\n${plan(invDf)}")
+  }
+
   test("contaminated-examples compose: contamination side broadcasts, no cross product") {
     val df = SparkEntry.queries("q246_contaminated_examples")(spark, dir)
     val p = plan(df)
