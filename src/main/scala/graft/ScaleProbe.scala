@@ -488,7 +488,15 @@ object ScaleProbe {
       // per-payload narrow lambdas — the mu-law/dHash codec scan class.
       "q255_image_resize" -> byteFactor,
       // audio resample: the same codec scan class at 2 bytes/sample.
-      "q256_audio_resample" -> byteFactor)
+      "q256_audio_resample" -> byteFactor,
+      // r18: video resize — container walk + per-frame box decimation +
+      // re-encode + re-decode + per-frame stats; the q247 decode-scan
+      // class with a second encode/decode leg on top.
+      "q257_video_resize" -> byteFactor,
+      // r18: quarantined transforms over the damaged lake — the q253
+      // staged-scan shape with the transform kernels (resize/resample/
+      // video-resize then re-decode) in place of bare decodes.
+      "q259_media_transform_inventory" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
@@ -691,6 +699,20 @@ object ScaleProbe {
     // since r16.
     bracket("q243_graph_ann_deletion_vs_edges",
       SparkEntry.queries("q243_graph_ann_deletion"), edgeFactor)
+    // r18: IVF rebuild — the q228 streaming-fixed-cost class (3-restart
+    // stream, narrow assignment epochs) plus the sample-bounded Lloyd
+    // re-train and one postings re-assign scan; embeddings replicate by
+    // rows. Bracket-measured: the trainer persists its sample and the
+    // rebuild its survivors (both released internally, but each run
+    // must re-do full work under a cleared cache to be honest).
+    bracket("q258_ivf_rebuild", SparkEntry.queries("q258_ivf_rebuild"), rowFactor)
+    // r18: occurrence takedown — q231's stream + one subtraction epoch
+    // + a clamped compaction + the survivor strip; document text scans
+    // end to end (the q227 class). q261/q262 are the same shape over
+    // the rolling/aligned states (attributed, not re-measured — one
+    // family exemplar, the SCALE_r17 q242 convention).
+    bracket("q260_exact_substr_takedown",
+      SparkEntry.queries("q260_exact_substr_takedown"), byteFactor)
 
     if (only.isEmpty) {
     val fnFlag = SparkEntry.queries("q03_training_examples")
@@ -700,6 +722,39 @@ object ScaleProbe {
     println(splitJson("q03_training_examples", "100x", mf100))
     val alpha100 = math.log(mf100.warmSec / mf1.warmSec) / math.log(100.0)
     println(f"""{"probe":"scale100","query":"q03_training_examples","sec_1x":${mf1.warmSec}%.3f,"sec_100x":${mf100.warmSec}%.3f,"input_factor":100.0,"alpha":$alpha100%.3f,"superlinear":${alpha100 > 1.2}}""")
+    }
+
+    // --- video bytes at 100× (VERDICT r17 #7) ----------------------------
+    // The video family's scan-class claim (q247-q251, α ≈ 0.6-0.8 at 10×)
+    // anchored at the decade that matters: 100× document bytes through
+    // the container build + chunk-walk decode + per-frame stats core
+    // (q247 — every other video query rides the same decode scan).
+    // Replicas carry the 10× synthesis' word tags, so the TRUE byte
+    // factor is measured and used as the exponent base.
+    if (only.forall(_.contains("q247_video_100x"))) {
+      val d100 = s"$dir100/documents.parquet"
+      if (!new java.io.File(s"$d100/_SUCCESS").exists()) {
+        d1.crossJoin(spark.range(100).toDF("k"))
+          .select(
+            (col("doc_id") + col("k") * Shift).as("doc_id"),
+            when(col("k") === 0, col("text"))
+              .otherwise(regexp_replace(
+                col("text"), lit("(\\S+)"),
+                concat(lit("r"), col("k").cast("string"), lit("$1")))).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.mode("overwrite").parquet(d100)
+      }
+      def bytesOf(p: String): Double =
+        spark.read.parquet(p).agg(sum(length(col("text")))).collect()(0).getLong(0).toDouble
+      val vFactor = bytesOf(d100) / bytesOf(s"$sfDir/documents.parquet")
+      val fnV = SparkEntry.queries("q247_video_frame_stats")
+      val v1 = measure(spark, fnV, sfDir)
+      val v100 = measure(spark, fnV, dir100)
+      println(splitJson("q247_video_frame_stats", "1x", v1))
+      println(splitJson("q247_video_frame_stats", "100x", v100))
+      val aV = math.log(v100.warmSec / v1.warmSec) / math.log(vFactor)
+      println(f"""{"probe":"scale100","query":"q247_video_frame_stats","sec_1x":${v1.warmSec}%.3f,"sec_100x":${v100.warmSec}%.3f,"input_factor":$vFactor%.3f,"alpha":$aV%.3f,"superlinear":${aV > 1.2}}""")
     }
 
     // --- the flagship at the REFERENCE default max_history=1000 ---------

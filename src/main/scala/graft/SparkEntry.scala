@@ -47,6 +47,22 @@ object SparkEntry {
     .withColumn("actions", concat_ws(",", col("actions").cast("array<string>")))
     .withColumn("action_types", concat_ws(",", col("action_types").cast("array<string>")))
 
+  /** Land a BOUNDED result on the driver and return it as a
+    * LocalRelation — the q235 cache-lifecycle pattern
+    * (Similarity.graphAnnSearch): gate entries whose operator persists
+    * intermediate state evaluate eagerly inside a `with…` bracket and
+    * hand the driver a frame that depends on NO cached plan, so a
+    * min-of-3 bench sweep in a long-lived JVM never accumulates
+    * session-lifetime caches (VERDICT r17: q139/q44 `weak`). Only for
+    * answers bounded by construction (verified dup pairs, survivor ids)
+    * — never a data-sized frame.
+    */
+  private def landed(df: DataFrame): DataFrame = {
+    val rows = df.collect()
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
   /** The q237/q238 gate corpus: a deterministic multilingual rewrite of
     * `documents` ([[documentsMlSql]] is its oracle twin) — `translate`
     * swaps four ASCII letters for 2-byte Latin-1 letters, and a
@@ -88,31 +104,65 @@ object SparkEntry {
       .orderBy("doc_id")
 
   /** The q252/q253 mixed media lake: doc_id % 8 picks the format
-    * (sub-64-byte docs demote from jpeg to the raw bucket), landed to a
-    * temp parquet dir before routing. Landing is load-bearing, not just
-    * realistic: the router makes eight filtered passes over its input,
-    * which over a parquet scan is eight pushdown scans but over the
-    * in-plan 8-builder union would re-plan and re-execute all 64
-    * synthesizer subtrees (measured 93 s vs 3.4 s at sf0.1, ISO_r17).
+    * (sub-64-CHAR docs demote from jpeg and sub-6-char docs from png to
+    * the raw bucket — png's raster needs `len/6 ≥ 1`, so without the
+    * demotion a 5-byte doc would crash the encoder while the oracle
+    * emitted kind='png'; ADVICE r17. Char thresholds are crash-safe
+    * even off-ASCII since UTF-8 bytes ≥ chars, and the oracle replays
+    * the same char-length rule), landed to a temp parquet dir before
+    * routing. Landing is load-bearing, not just realistic: the router
+    * makes eight filtered passes over its input, which over a parquet
+    * scan is eight pushdown scans but over the in-plan 8-builder union
+    * would re-plan and re-execute all 64 synthesizer subtrees (measured
+    * 93 s vs 3.4 s at sf0.1, ISO_r17). The staged path is cached per
+    * (session, dir) — q252/q253/q254 share ONE landing instead of
+    * staging three full media-lake copies per gate pass (ADVICE r17) —
+    * and registered for JVM-exit deletion.
     */
+  private val stagedMediaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+
+  /** Create a temp dir deleted recursively at JVM exit — bounded use
+    * only (one per cached media staging / streaming checkpoint family),
+    * so the hook count stays O(gate entries), never O(rows).
+    */
+  private[graft] def exitCleanedTempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(p)) {
+        val walk = Files.walk(p)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(f => Files.deleteIfExists(f))
+        finally walk.close()
+      }
+    }))
+    p.toString
+  }
+
   private def stagedMixedMedia(s: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(s, dir)
-    val sel = pmod(col("doc_id"), lit(8L))
-    val jpegOk = length(col("text")) >= 64
-    def bucket(m: Int) = d.filter(sel === m)
-    def pp(df: DataFrame) = df.select(col("doc_id"), col("payload"))
-    val media = pp(Multimodal.toPgm(bucket(0)))
-      .unionByName(pp(Multimodal.toPpm(bucket(1))))
-      .unionByName(pp(Multimodal.toWav(bucket(2))))
-      .unionByName(pp(Multimodal.toBmp(bucket(3))))
-      .unionByName(pp(Multimodal.toPng(bucket(4))))
-      .unionByName(pp(Multimodal.toJpeg(d.filter(sel === 5 && jpegOk))))
-      .unionByName(pp(Multimodal.toAvi(bucket(6))))
-      .unionByName(pp(Multimodal.toMedia(
-        d.filter(sel === 7 || (sel === 5 && !jpegOk)))))
-    val staged = java.nio.file.Files
-      .createTempDirectory("graft_router_media").toString
-    media.write.mode("overwrite").parquet(staged)
+    val staged = stagedMediaCache.computeIfAbsent(
+      (System.identityHashCode(s).toString, dir), _ => {
+        val d = Tables.documents(s, dir)
+        val sel = pmod(col("doc_id"), lit(8L))
+        val jpegOk = length(col("text")) >= 64
+        val pngOk = length(col("text")) >= 6
+        def bucket(m: Int) = d.filter(sel === m)
+        def pp(df: DataFrame) = df.select(col("doc_id"), col("payload"))
+        val media = pp(Multimodal.toPgm(bucket(0)))
+          .unionByName(pp(Multimodal.toPpm(bucket(1))))
+          .unionByName(pp(Multimodal.toWav(bucket(2))))
+          .unionByName(pp(Multimodal.toBmp(bucket(3))))
+          .unionByName(pp(Multimodal.toPng(d.filter(sel === 4 && pngOk))))
+          .unionByName(pp(Multimodal.toJpeg(d.filter(sel === 5 && jpegOk))))
+          .unionByName(pp(Multimodal.toAvi(bucket(6))))
+          .unionByName(pp(Multimodal.toMedia(
+            d.filter(sel === 7 || (sel === 5 && !jpegOk) || (sel === 4 && !pngOk)))))
+        val path = exitCleanedTempDir("graft_router_media")
+        media.write.mode("overwrite").parquet(path)
+        path
+      })
     s.read.parquet(staged)
   }
 
@@ -460,11 +510,17 @@ object SparkEntry {
     // generate candidates; each candidate verifies by EXACT jaccard over
     // the 60-bit shingle-digest sets carried in the index — deterministic
     // at the threshold, unlike 8-hash signature agreement (⅛-quantized).
+    // Gate entry uses the lifecycle bracket + driver landing: the
+    // survivor set is snapshot-bounded, and the signature index the call
+    // persists is released before the frame is handed back — so a
+    // min-of-3 sweep never stacks three session-lifetime caches
+    // (VERDICT r17 `weak`).
     "q44_near_dedup_against" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      Dedup.nearDupAgainst(
-        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250))
-        .orderBy("doc_id")
+      Dedup.withNearDupAgainst(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250)) {
+        surv => landed(surv.orderBy("doc_id"))
+      }
     }),
 
     // Quantile binning: per-order-priority quartile cutoffs of the order
@@ -1117,7 +1173,7 @@ object SparkEntry {
     // batch build — q235's oracle VERBATIM.
     "q240_streaming_graph_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_q240_gann").toString
+      val path = exitCleanedTempDir("graft_q240_gann")
       graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3,
           stageKey = Some(s"q240_streaming_graph_ann:$dir"),
           shufflePartitions = Some(8))(
@@ -1143,12 +1199,12 @@ object SparkEntry {
     "q243_graph_ann_deletion" -> ((s, dir) => {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_q243_gann").toString
+      val path = exitCleanedTempDir("graft_q243_gann")
       graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3,
           stageKey = Some(s"q240_streaming_graph_ann:$dir"),
           shufflePartitions = Some(8))(
         graft.streaming.StreamingOps.graphAnnEdgeSink(s, path, degree = 8))
-      val dels = java.nio.file.Files.createTempDirectory("graft_q243_dels").toString
+      val dels = exitCleanedTempDir("graft_q243_dels")
       graft.streaming.StreamingOps.tombstoneSink(dels)(Seq(17L, 23L).toDF("vec_id"), 0L)
       val (vecs, edges) = graft.streaming.StreamingOps.mergedGraphAnnState(
         s, path, degree = 6, deletesPath = Some(dels))
@@ -1798,7 +1854,7 @@ object SparkEntry {
     // it anyway.
     "q120_streaming_count_min" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
-      val path = java.nio.file.Files.createTempDirectory("graft_q120_cms").toString
+      val path = exitCleanedTempDir("graft_q120_cms")
       graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q120_streaming_count_min:$dir")) { (batch, id) =>
         graft.streaming.StreamingOps.countMinSink("source", "tok", path)(
           batch.select(col("source"), explode(TextAnalysis.wordsCol).as("tok")), id)
@@ -1816,7 +1872,7 @@ object SparkEntry {
     // register tables, register-wise MAX at read — idempotent, so the
     // merged estimate must equal q76's whole-corpus construction.
     "q121_streaming_hll" -> ((s, dir) => {
-      val path = java.nio.file.Files.createTempDirectory("graft_q121_hll").toString
+      val path = exitCleanedTempDir("graft_q121_hll")
       graft.streaming.StreamingOps.streamShards(s, Tables.events(s, dir), "event_id", 3, stageKey = Some(s"q121_streaming_hll:$dir"))(
         graft.streaming.StreamingOps.hllSink("event_type", "user_id", path))
       graft.streaming.StreamingOps.mergedHllDistinct(s, path)
@@ -1831,7 +1887,7 @@ object SparkEntry {
     // present, every estimate inside n/(k+1) — same oracle SQL.
     "q214_streaming_heavy_hitters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_q214_mg").toString
+      val path = exitCleanedTempDir("graft_q214_mg")
       graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q214_streaming_heavy_hitters:$dir")) { (batch, id) =>
         graft.streaming.StreamingOps.mgSink("source", "tok", path, k = 24)(
           batch.select(col("source"), explode(TextAnalysis.wordsCol).as("tok")), id)
@@ -1848,7 +1904,7 @@ object SparkEntry {
     // oracle verbatim.
     "q122_streaming_passage_state" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_q122_pc").toString
+      val path = exitCleanedTempDir("graft_q122_pc")
       graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q122_streaming_passage_state:$dir"))(
         graft.streaming.StreamingOps.passageCountsSink(path))
       Dedup.passageDedupAgainst(
@@ -1959,7 +2015,7 @@ object SparkEntry {
     // clean must equal q222's one-shot batch pass (same oracle).
     "q223_streaming_cdc_state" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_q223_cdc").toString
+      val path = exitCleanedTempDir("graft_q223_cdc")
       graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q223_streaming_cdc_state:$dir"))(
         graft.streaming.StreamingOps.cdcCountsSink(path))
       Dedup.cdcDedupAgainst(
@@ -1973,7 +2029,7 @@ object SparkEntry {
     // q227's one-shot batch pass — same oracle.
     "q231_streaming_exact_substr" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_q231_es").toString
+      val path = exitCleanedTempDir("graft_q231_es")
       graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q231_streaming_exact_substr:$dir"))(
         graft.streaming.StreamingOps.exactSubstrCountsSink(path))
       Dedup.exactSubstrDedupAgainst(
@@ -1990,7 +2046,7 @@ object SparkEntry {
     "q228_streaming_ivf_postings" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val cents = Similarity.placeholderCentroids(emb)
-      val path = java.nio.file.Files.createTempDirectory("graft_q228_ivf").toString
+      val path = exitCleanedTempDir("graft_q228_ivf")
       graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"))(
         graft.streaming.StreamingOps.ivfPostingsSink(cents, path))
       // The gate searches over a COMPACTED state (epochs 0-1 folded into
@@ -2014,13 +2070,13 @@ object SparkEntry {
       import s.implicits._
       val emb = Tables.embeddings(s, dir)
       val cents = Similarity.placeholderCentroids(emb)
-      val path = java.nio.file.Files.createTempDirectory("graft_q242_ivf").toString
+      val path = exitCleanedTempDir("graft_q242_ivf")
       // Same frame/shardKey/numBatches as q228 → same staged shards
       // (the stage-dir memoization contract), so the corpus copy is paid
       // once across both gates.
       graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"))(
         graft.streaming.StreamingOps.ivfPostingsSink(cents, path))
-      val dels = java.nio.file.Files.createTempDirectory("graft_q242_dels").toString
+      val dels = exitCleanedTempDir("graft_q242_dels")
       val tomb = graft.streaming.StreamingOps.tombstoneSink(dels)
       tomb(Seq(17L).toDF("vec_id"), 0L)
       tomb(Seq(23L).toDF("vec_id"), 1L)
@@ -2067,6 +2123,107 @@ object SparkEntry {
     // Image-duplicate clusters: the dHash Hamming pair graph (q201)
     // closed into components by the pointer-doubling CC (q47's
     // machinery) — the full image-dedup story end to end: decode →
+    // Video RESIZE — the video member of the transform triple (q255
+    // image / q256 audio / this; VERDICT r17 #2): stride-4 spatial box
+    // decimation of every frame under the AVI container walk, re-encoded
+    // as a valid AVI at the reduced geometry and round-tripped through
+    // the frame decoder — per-frame byte count, exact sum, min, max in
+    // one hash (a sub-4-byte ragged tail re-encodes as a zero-length
+    // chunk: n_bytes 0, sum 0, min/max NULL on both sides).
+    "q257_video_resize" -> ((s, dir) =>
+      Multimodal.videoFrameStats(
+          Multimodal.decodeAviFrames(s,
+            Multimodal.resizeAvi(s, Multimodal.toAvi(Tables.documents(s, dir)), kx = 4)))
+        .orderBy("doc_id", "frame_idx")),
+
+    // IVF state REBUILD (VERDICT r17 #3 — the recovery the graph family
+    // got in r17): the same streamed postings as q228 (frozen
+    // placeholder quantizer), then rebuildIvfState re-trains the coarse
+    // quantizer from the state's OWN posting vectors (deterministic
+    // Lloyd — raw embeddings never re-read), re-assigns, and lands a
+    // fresh epoch-0 state; the search over the rebuilt state must equal
+    // the one-shot LEARNED-quantizer search, whose 8 Lloyd iterations
+    // the oracle replays verbatim.
+    "q258_ivf_rebuild" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents0 = Similarity.placeholderCentroids(emb)
+      val path = exitCleanedTempDir("graft_q258_ivf")
+      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"))(
+        graft.streaming.StreamingOps.ivfPostingsSink(cents0, path))
+      val rebuilt = exitCleanedTempDir("graft_q258_ivf_rebuilt")
+      val cents = graft.streaming.StreamingOps.rebuildIvfState(s, path, rebuilt)
+      Similarity.ivfSearchOverPostings(
+          graft.streaming.StreamingOps.mergedIvfPostings(s, rebuilt), emb, cents)
+        .orderBy("query_id", "rnk")
+    }),
+
+    // QUARANTINED media transforms (VERDICT r17 #4 — q253's contract
+    // extended from decode to transform): the real resize/resample
+    // kernels over the damaged mixed lake, where a corrupt payload
+    // yields an inspectable (ok=false, geom NULL) row instead of the
+    // task failure that would kill a 100 TB transform sweep; valid
+    // payloads transform AND re-decode (out_geom pins the output's
+    // geometry), non-transformable formats pass through untouched.
+    "q259_media_transform_inventory" -> ((s, dir) =>
+      Multimodal.mediaTransformInventory(s, damagedMixedMedia(s, dir))
+        .orderBy("doc_id")),
+
+    // TAKEDOWN for the additive ExactSubstr occurrence state (VERDICT
+    // r17 #5): q231's streamed adds, then a SUBTRACTION epoch landing
+    // the removed docs' window-digest counts negated (counts are
+    // additive — the inverse is exact), a mid-lifecycle compaction
+    // folding adds AND the subtraction through the positive clamp, and
+    // the strip of the SURVIVORS against the merged state must equal
+    // q227's batch pass over the surviving corpus — its oracle verbatim
+    // on `doc_id % 7 <> 3`.
+    "q260_exact_substr_takedown" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = exitCleanedTempDir("graft_q260_es")
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q231_streaming_exact_substr:$dir"))(
+        graft.streaming.StreamingOps.exactSubstrCountsSink(path))
+      graft.streaming.StreamingOps.exactSubstrDeleteSink(path)(
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3L), 3L)
+      graft.streaming.StreamingOps.compactExactSubstrEpochs(s, path, keepAfter = 3L)
+      Dedup.exactSubstrDedupAgainst(
+          docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L),
+          graft.streaming.StreamingOps.mergedExactSubstrCounts(s, path))
+        .orderBy("doc_id")
+    }),
+
+    // Same takedown for the dense-window (rolling) boilerplate state
+    // over q101's shifted corpus — q101's oracle verbatim on the
+    // surviving shifted ids (no compaction here: q260 pins the clamped
+    // fold; this pins the pure epoch-sum read with a live subtraction).
+    "q261_rolling_takedown" -> ((s, dir) => {
+      val shifted = shiftedBoilerplateCorpus(s, dir)
+      val path = exitCleanedTempDir("graft_q261_rc")
+      graft.streaming.StreamingOps.streamShards(s, shifted, "doc_id", 3, stageKey = Some(s"q123_streaming_rolling_state:$dir"))(
+        graft.streaming.StreamingOps.rollingCountsSink(path))
+      graft.streaming.StreamingOps.rollingCountsDeleteSink(path)(
+        shifted.filter(pmod(col("doc_id"), lit(7L)) === 3L), 3L)
+      Dedup.rollingPassageDedupAgainst(
+          shifted.filter(pmod(col("doc_id"), lit(7L)) =!= 3L),
+          graft.streaming.StreamingOps.mergedRollingCounts(s, path))
+        .orderBy("doc_id")
+    }),
+
+    // And for the aligned passage state — q84's oracle verbatim on the
+    // survivors (doc frequencies subtract exactly like occurrences:
+    // add epochs are doc-disjoint and the delete epoch mirrors the
+    // removed docs once).
+    "q262_passage_takedown" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = exitCleanedTempDir("graft_q262_pc")
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q122_streaming_passage_state:$dir"))(
+        graft.streaming.StreamingOps.passageCountsSink(path))
+      graft.streaming.StreamingOps.passageCountsDeleteSink(path)(
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3L), 3L)
+      Dedup.passageDedupAgainst(
+          docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L),
+          graft.streaming.StreamingOps.mergedPassageCounts(s, path))
+        .orderBy("doc_id")
+    }),
+
     // perceptual hash → banded pairing → canonical clusters.
     "q218_image_dup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(
@@ -2165,9 +2322,16 @@ object SparkEntry {
     // Prefix-filter exact set-similarity join (AllPairs): every pair at
     // jaccard >= 50% — the oracle is the BRUTE-FORCE all-pairs join, so
     // the gate proves the filter lossless.
+    // Gate entry uses the lifecycle bracket + driver landing: the answer
+    // is pair-bounded (verified jaccard>=50% dups only), and the digest
+    // table the operator persists is released before the frame is handed
+    // back (VERDICT r17 `weak`: the un-released MEMORY_AND_DISK cache
+    // squeezed execution memory across a min-of-3 sweep in a degraded
+    // long-lived JVM, 1.4 s committed vs 16.5 s driver).
     "q139_prefix_filter_pairs" -> ((s, dir) =>
-      Dedup.prefixFilterPairs(Tables.documents(s, dir))
-        .orderBy("doc_a", "doc_b")),
+      Dedup.withPrefixFilterPairs(Tables.documents(s, dir)) {
+        pairs => landed(pairs.orderBy("doc_a", "doc_b"))
+      }),
 
     // Recall@10 of the binary-Hamming index against exact brute force —
     // the acceptance gate an approximate index passes before replacing
@@ -2411,7 +2575,7 @@ object SparkEntry {
       val sliced = ev.crossJoin(broadcast(bounds))
         .withColumn("slice", expr("((unix_micros(ts) - lo) * 3) div (hi - lo + 1)"))
         .select(col("user_id"), col("ts"), col("slice"))
-      val outDir = java.nio.file.Files.createTempDirectory("graft_sess_out").toString
+      val outDir = exitCleanedTempDir("graft_sess_out")
       graft.streaming.StreamingOps.streamShardsThrough(
           s, sliced, "slice", 3, outputMode = "update",
           stageKey = Some(s"q157_streaming_sessions:$dir"),
@@ -2587,7 +2751,7 @@ object SparkEntry {
     // q101 shifted corpus — q101's oracle verbatim.
     "q123_streaming_rolling_state" -> ((s, dir) => {
       val shifted = shiftedBoilerplateCorpus(s, dir)
-      val path = java.nio.file.Files.createTempDirectory("graft_q123_rc").toString
+      val path = exitCleanedTempDir("graft_q123_rc")
       graft.streaming.StreamingOps.streamShards(s, shifted, "doc_id", 3, stageKey = Some(s"q123_streaming_rolling_state:$dir"))(
         graft.streaming.StreamingOps.rollingCountsSink(path))
       Dedup.rollingPassageDedupAgainst(
@@ -3619,7 +3783,7 @@ object SparkEntry {
         |    WHEN sel = 1 THEN 'ppm'
         |    WHEN sel = 2 THEN 'wav'
         |    WHEN sel = 3 THEN 'bmp'
-        |    WHEN sel = 4 THEN 'png'
+        |    WHEN sel = 4 AND L >= 6 THEN 'png'
         |    WHEN sel = 5 AND L >= 64 THEN 'jpeg'
         |    WHEN sel = 6 THEN 'avi'
         |    ELSE 'histogram' END AS kind,
@@ -3628,7 +3792,7 @@ object SparkEntry {
         |    WHEN sel = 1 THEN L // 3
         |    WHEN sel = 2 THEN L
         |    WHEN sel = 3 THEN 2 * (L // 6)
-        |    WHEN sel = 4 THEN 2 * (L // 6)
+        |    WHEN sel = 4 AND L >= 6 THEN 2 * (L // 6)
         |    WHEN sel = 5 AND L >= 64 THEN L // 64
         |    WHEN sel = 6 THEN (L + 15) // 16
         |    ELSE -1 END AS BIGINT) AS geom
@@ -3654,20 +3818,22 @@ object SparkEntry {
         |    WHEN sel = 1 THEN 'ppm'
         |    WHEN sel = 2 THEN 'wav'
         |    WHEN sel = 3 THEN 'bmp'
-        |    WHEN sel = 4 THEN 'png'
+        |    WHEN sel = 4 AND L >= 6 THEN 'png'
         |    WHEN sel = 5 AND L >= 64 THEN 'jpeg'
         |    WHEN sel = 6 THEN 'avi'
         |    ELSE 'histogram' END AS kind,
-        |  NOT (dmg AND (sel IN (0, 1, 4) OR (sel = 5 AND L >= 64))) AS ok,
+        |  NOT (dmg AND (sel IN (0, 1) OR (sel = 4 AND L >= 6)
+        |                OR (sel = 5 AND L >= 64))) AS ok,
         |  CAST(CASE
         |    WHEN dmg THEN
-        |      CASE WHEN sel IN (0, 1, 4) OR (sel = 5 AND L >= 64)
+        |      CASE WHEN sel IN (0, 1) OR (sel = 4 AND L >= 6)
+        |                OR (sel = 5 AND L >= 64)
         |           THEN NULL ELSE -1 END
         |    WHEN sel = 0 THEN L
         |    WHEN sel = 1 THEN L // 3
         |    WHEN sel = 2 THEN L
         |    WHEN sel = 3 THEN 2 * (L // 6)
-        |    WHEN sel = 4 THEN 2 * (L // 6)
+        |    WHEN sel = 4 AND L >= 6 THEN 2 * (L // 6)
         |    WHEN sel = 5 AND L >= 64 THEN L // 64
         |    WHEN sel = 6 THEN (L + 15) // 16
         |    ELSE -1 END AS BIGINT) AS geom
@@ -3682,7 +3848,8 @@ object SparkEntry {
          |bad AS (
          |  SELECT doc_id FROM documents
          |  WHERE doc_id % 9 = 4
-         |    AND (doc_id % 8 IN (0, 1, 4)
+         |    AND (doc_id % 8 IN (0, 1)
+         |         OR (doc_id % 8 = 4 AND length(text) >= 6)
          |         OR (doc_id % 8 = 5 AND length(text) >= 64))
          |),
          |joined AS (
@@ -3716,6 +3883,67 @@ object SparkEntry {
          |       CAST(SUM(CASE WHEN is_q THEN hist_len ELSE 0 END) AS BIGINT) AS quarantined_hist_len
          |FROM m GROUP BY dt, label
          |ORDER BY dt, label""".stripMargin,
+
+    // q257: frame f of doc covers text bytes [16f+1, min(16(f+1), L)];
+    // resized output byte j of that frame = truncated mean of its 4
+    // consecutive bytes; the sub-4-byte ragged tail yields an empty
+    // list (sum COALESCEs to 0, min/max stay NULL — the engine's
+    // aggregate-with-init / array_min-of-empty semantics).
+    "q257_video_resize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+        |         CAST((length(text) + 15) // 16 AS BIGINT) AS nf
+        |  FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, text, CAST(j AS BIGINT) AS frame_idx, j * 16 AS base,
+        |         CASE WHEN j = nf - 1 AND L % 16 <> 0 THEN L % 16 ELSE 16 END AS len_f
+        |  FROM n, unnest(range(0, nf)) AS u(j)
+        |  WHERE L > 0
+        |),
+        |o AS (
+        |  SELECT doc_id, frame_idx,
+        |         list_transform(range(0, len_f // 4), j ->
+        |           (CAST(unicode(text[CAST(base + 4 * j + 1 AS INT):CAST(base + 4 * j + 1 AS INT)]) AS BIGINT)
+        |            + unicode(text[CAST(base + 4 * j + 2 AS INT):CAST(base + 4 * j + 2 AS INT)])
+        |            + unicode(text[CAST(base + 4 * j + 3 AS INT):CAST(base + 4 * j + 3 AS INT)])
+        |            + unicode(text[CAST(base + 4 * j + 4 AS INT):CAST(base + 4 * j + 4 AS INT)])) // 4) AS vs
+        |  FROM f
+        |)
+        |SELECT doc_id, frame_idx,
+        |       CAST(len(vs) AS BIGINT) AS n_bytes,
+        |       CAST(COALESCE(list_sum(vs), 0) AS BIGINT) AS sum_byte,
+        |       CAST(list_min(vs) AS BIGINT) AS min_byte,
+        |       CAST(list_max(vs) AS BIGINT) AS max_byte
+        |FROM o ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // q259: the transform routing + output geometry replayed from the
+    // q253 damage rule — only the TRANSFORMABLE claims matter here (P5
+    // survives the 8-byte cut and quarantines at transform; WAVE/AVI
+    // claims die with the cut and pass through), everything else is a
+    // passthrough row; out_geom = resized pixels L//4 (pgm), resampled
+    // samples L//4 (wav), total resized frame bytes 4*(L//16)+(L%16)//4
+    // (avi), -1 for passthrough.
+    "q259_media_transform_inventory" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L, doc_id % 8 AS sel,
+        |         doc_id % 9 = 4 AS dmg
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN sel = 0 THEN 'pgm'
+        |    WHEN sel = 2 AND NOT dmg THEN 'wav'
+        |    WHEN sel = 6 AND NOT dmg THEN 'avi'
+        |    ELSE 'passthrough' END AS kind,
+        |  NOT (sel = 0 AND dmg) AS ok,
+        |  CAST(CASE
+        |    WHEN sel = 0 AND dmg THEN NULL
+        |    WHEN sel = 0 THEN L // 4
+        |    WHEN sel = 2 AND NOT dmg THEN L // 4
+        |    WHEN sel = 6 AND NOT dmg THEN 4 * (L // 16) + (L % 16) // 4
+        |    ELSE -1 END AS BIGINT) AS out_geom
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // q256: resampled sample j = floor-mean of four consecutive
     // (b-128)*256 amplitudes (exact: the sum is divisible by 4×64);
@@ -3802,8 +4030,10 @@ object SparkEntry {
         |       unnest(range(1, len(toks) + 1)) AS u(i)
         |),
         |st AS (
+        |  -- strlen = BYTE length (the engine's UTF-8 offsets); length()
+        |  -- would count chars and misalign on any multi-byte token.
         |  SELECT doc_id, pos, w,
-        |         CAST(COALESCE(SUM(length(w) + 1) OVER (
+        |         CAST(COALESCE(SUM(strlen(w) + 1) OVER (
         |           PARTITION BY doc_id ORDER BY pos
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
         |  FROM w
@@ -4512,6 +4742,21 @@ object SparkEntry {
     // frozen quantizer and the query panel are id-ranges the gate
     // deliberately does not delete from).
     "q242_ivf_deletion" -> ivfSearchOracleDeleting(Seq(17L, 23L)),
+
+    // q258: the LEARNED-quantizer IVF search — the oracle replays the
+    // deterministic Lloyd trainer verbatim (md5-ordered 4096-sample,
+    // first-16 seeds, 8 unrolled assign/mean iterations with truncating
+    // integer means and empty-cell carry), then q39's probe/rank tail
+    // under the trained centroids. The engine side trains from the
+    // streamed state's own postings — parity IS the gate.
+    "q258_ivf_rebuild" -> ivfLearnedSearchOracle,
+
+    // q260/q261/q262: the batch oracles verbatim over the SURVIVING
+    // corpus — what the merged state must equal after the subtraction
+    // epochs cancel the removed docs' contributions.
+    "q260_exact_substr_takedown" -> exactSubstrOracleOver(" WHERE doc_id % 7 <> 3"),
+    "q261_rolling_takedown" -> rollingPassageOracleOver(" WHERE doc_id % 7 <> 3"),
+    "q262_passage_takedown" -> passageDedupOracleOver(" WHERE doc_id % 7 <> 3"),
 
     // Deletion parity for the graph-ANN edge state: q235's oracle over
     // the surviving corpus (build, long links, entry point, scoring all
@@ -7825,11 +8070,16 @@ object SparkEntry {
     * the streaming per-epoch digest-count merge must clean the corpus
     * exactly like the one-shot batch operator.
     */
-  private val passageDedupOracle =
-      """WITH w AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
-        |         unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS pos
-        |  FROM documents
+  private val passageDedupOracle = passageDedupOracleOver("")
+
+  /** [[passageDedupOracle]] over a restricted corpus — the takedown
+    * gate (q262) runs the batch pass verbatim on the SURVIVORS.
+    */
+  private def passageDedupOracleOver(where: String) =
+      s"""WITH w AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+        |         unnest(range(len(regexp_split_to_array(trim(text), '\\s+')))) AS pos
+        |  FROM documents$where
         |),
         |p AS (
         |  SELECT doc_id, CAST(pos // 8 AS INT) AS chunk,
@@ -7857,16 +8107,24 @@ object SparkEntry {
     * removal over the shifted synthetic corpus — the streaming rolling
     * state merge must equal the batch pass.
     */
-  private val rollingPassageOracle =
-      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
-        |corpus AS (
+  private val rollingPassageOracle = rollingPassageOracleOver("")
+
+  /** [[rollingPassageOracle]] over a restricted shifted corpus — the
+    * takedown gate (q261) runs the batch pass verbatim on the SURVIVORS
+    * (the restriction applies to the SHIFTED ids, matching the engine's
+    * delete-epoch selection).
+    */
+  private def rollingPassageOracleOver(where: String) =
+      s"""WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 150),
+        |corpus0 AS (
         |  SELECT doc_id * 2 AS doc_id, 'hdr one two ' || text AS text FROM base
         |  UNION ALL
         |  SELECT doc_id * 2 + 1 AS doc_id, 'pre ' || text AS text FROM base
         |),
+        |corpus AS (SELECT * FROM corpus0$where),
         |w AS (
-        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
-        |         unnest(range(len(regexp_split_to_array(trim(text), '\s+')))) AS pos
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+        |         unnest(range(len(regexp_split_to_array(trim(text), '\\s+')))) AS pos
         |  FROM corpus
         |),
         |win AS (
@@ -9679,8 +9937,14 @@ object SparkEntry {
     * merged streaming occurrence state is the same count table, so the
     * strip is identical.
     */
-  private val exactSubstrOracle =
-    """WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+  private val exactSubstrOracle = exactSubstrOracleOver("")
+
+  /** [[exactSubstrOracle]] over a restricted corpus — the takedown gate
+    * (q260) runs the batch strip verbatim on the SURVIVORS, which the
+    * merged state after subtraction epochs must equal.
+    */
+  private def exactSubstrOracleOver(where: String) =
+    s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents$where),
       |w AS (SELECT doc_id, unnest(ws) AS w, unnest(range(len(ws))) AS pos FROM t),
       |win AS MATERIALIZED (
       |  SELECT doc_id, CAST(i AS INT) AS start,
@@ -9929,6 +10193,91 @@ object SparkEntry {
        |ORDER BY query_id, rnk""".stripMargin
 
   private val ivfAssignCtes = ivfAssignCtesDeleting(Nil)
+
+  /** q258: [[ivfSearchOracle]]'s probe/rank tail under a LEARNED coarse
+    * quantizer, with the deterministic Lloyd trainer
+    * (`Similarity.trainIvfCentroids` — md5-ordered sample capped at
+    * 4096, the first 16 sampled vectors as seeds, 8 iterations of
+    * cosine-argmax assignment + truncating per-dimension integer means,
+    * emptied cells carrying their previous centroid) unrolled one
+    * assign/mean/centroid CTE triple per iteration — the q232 Hilbert
+    * convention for iterative engine loops. Integer means use `//`,
+    * which truncates toward zero exactly like Spark's `DIV` (both
+    * verified on negative operands; the drift spec pins Spark's side).
+    */
+  private def ivfLearnedSearchOracle: String = {
+    val iters = 8
+    val steps = (1 to iters).map { t =>
+      val prev = if (t == 1) "c0" else s"c${t - 1}"
+      s"""a$t AS MATERIALIZED (
+         |  SELECT vec_id, qe, cell FROM (
+         |    SELECT s.vec_id, s.qe, c.cent_id AS cell,
+         |           ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+         |             CAST(list_sum(list_transform(range(1, 65), i -> s.qe[i] * c.c_qe[i])) AS DOUBLE)
+         |               / (sqrt(CAST(s.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+         |             c.cent_id) AS rn
+         |    FROM samp s CROSS JOIN $prev c)
+         |  WHERE rn = 1
+         |),
+         |m$t AS (
+         |  SELECT cell, pos, CAST(SUM(v) AS BIGINT) // COUNT(*) AS m
+         |  FROM (SELECT cell, unnest(qe) AS v, unnest(range(64)) AS pos FROM a$t)
+         |  GROUP BY cell, pos
+         |),
+         |g$t AS (SELECT cell AS cent_id, list(m ORDER BY pos) AS c_qe FROM m$t GROUP BY cell),
+         |c$t AS MATERIALIZED (
+         |  SELECT p.cent_id,
+         |         COALESCE(g.c_qe, p.c_qe) AS c_qe,
+         |         CAST(list_sum(list_transform(COALESCE(g.c_qe, p.c_qe), x -> x * x)) AS BIGINT) AS c_n2
+         |  FROM $prev p LEFT JOIN g$t g USING (cent_id)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $quantizedEmbeddings,
+       |samp AS MATERIALIZED (
+       |  SELECT vec_id, qe, n2, sr FROM (
+       |    SELECT vec_id, qe, n2,
+       |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS sr
+       |    FROM n)
+       |  WHERE sr <= 4096
+       |),
+       |c0 AS MATERIALIZED (
+       |  SELECT CAST(sr - 1 AS BIGINT) AS cent_id, qe AS c_qe, n2 AS c_n2
+       |  FROM samp WHERE sr <= 16
+       |),
+       |$steps,
+       |assign AS (
+       |  SELECT vec_id, qe, cell FROM (
+       |    SELECT n.vec_id, n.qe, c.cent_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * c.c_qe[i])) AS DOUBLE)
+       |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+       |             c.cent_id) AS rn
+       |    FROM n CROSS JOIN c$iters c)
+       |  WHERE rn = 1
+       |),
+       |probes AS (
+       |  SELECT query_id, q_qe, cell FROM (
+       |    SELECT n.vec_id AS query_id, n.qe AS q_qe, c.cent_id AS cell,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |             CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * c.c_qe[i])) AS DOUBLE)
+       |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
+       |             c.cent_id) AS pn
+       |    FROM n CROSS JOIN c$iters c WHERE n.vec_id < 10)
+       |  WHERE pn <= 4
+       |),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id,
+       |         CAST(list_sum(list_transform(range(1, 65), i -> a.qe[i] * p.q_qe[i])) AS BIGINT) AS dp
+       |  FROM assign a JOIN probes p USING (cell)
+       |  WHERE a.vec_id <> p.query_id
+       |),
+       |r AS (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dp DESC, vec_id) AS INT) AS rnk
+       |  FROM scored
+       |)
+       |SELECT query_id, vec_id AS neighbor_id, rnk, dp FROM r WHERE rnk <= 10
+       |ORDER BY query_id, rnk""".stripMargin
+  }
 
   private def ivfAssignCtesDeleting(deleted: Seq[Long]): String = {
     val keep =

@@ -925,12 +925,33 @@ object Dedup {
     * lifecycle: the digest table this call builds stays persisted — the
     * result plan reads it three times (df, prefix, verify sets) — and
     * is owned by the caller's evaluation of the result, like
-    * [[jaccardPairs]]'s.
+    * [[jaccardPairs]]'s; one-shot callers should use
+    * [[withPrefixFilterPairs]], which unpersists it after the action.
     */
   def prefixFilterPairs(
       docs: DataFrame,
       k: Int = 3,
-      minJaccardPct: Int = 50): DataFrame = {
+      minJaccardPct: Int = 50): DataFrame =
+    prefixFilterPairsPlan(docs, k, minJaccardPct)._1
+
+  /** [[prefixFilterPairs]] as a caller-owned-lifecycle bracket: runs the
+    * action `f` over the pairs frame, then unpersists the digest table
+    * this call persisted. Use for one-shot joins (a bench sweep, a
+    * one-off audit) so long-lived sessions don't accumulate
+    * session-lifetime caches — the [[withNearDupAgainst]] convention.
+    */
+  def withPrefixFilterPairs[T](
+      docs: DataFrame,
+      k: Int = 3,
+      minJaccardPct: Int = 50)(f: DataFrame => T): T = {
+    val (result, cached) = prefixFilterPairsPlan(docs, k, minJaccardPct)
+    try f(result) finally cached.unpersist()
+  }
+
+  private def prefixFilterPairsPlan(
+      docs: DataFrame,
+      k: Int,
+      minJaccardPct: Int): (DataFrame, DataFrame) = {
     require(minJaccardPct >= 1 && minJaccardPct <= 100,
       s"minJaccardPct=$minJaccardPct outside [1, 100]")
     val pct = minJaccardPct.toLong
@@ -947,7 +968,7 @@ object Dedup {
       .distinct()
     val sets = shAll.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("shh"))).as("set"), count(lit(1)).as("n_sh"))
-    cand
+    val verified = cand
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("n_sh").as("n_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("n_sh").as("n_b")), Seq("doc_b"))
       .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
@@ -957,6 +978,7 @@ object Dedup {
         col("n_common").cast("double") /
           (col("n_a") + col("n_b") - col("n_common")).cast("double"))
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("n_a"), col("n_b"), col("jaccard"))
+    (verified, shAll)
   }
 
   /** Asymmetric CONTAINMENT join — quote/excerpt detection, the

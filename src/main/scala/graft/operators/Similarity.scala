@@ -321,8 +321,23 @@ object Similarity {
       embeddings: DataFrame,
       numCentroids: Int = 16,
       iters: Int = 8,
+      sampleSize: Int = 4096): Seq[(Long, Seq[Long])] =
+    trainIvfCentroidsQuantized(withQuantized(embeddings), numCentroids, iters, sampleSize)
+
+  /** [[trainIvfCentroids]] over ALREADY-QUANTIZED vectors
+    * `(vec_id, qe, n2)` — the rebuild path's trainer
+    * ([[graft.streaming.StreamingOps.rebuildIvfState]]): a streamed IVF
+    * state carries its postings' `qe` vectors, so re-training the
+    * quantizer never re-reads raw embeddings. Identical arithmetic to
+    * the raw-embedding path (ONE body — the raw entry quantizes then
+    * delegates here), so training on `withQuantized(corpus)` and on the
+    * state's own postings of the same corpus yields the same centroids.
+    */
+  def trainIvfCentroidsQuantized(
+      e: DataFrame,
+      numCentroids: Int = 16,
+      iters: Int = 8,
       sampleSize: Int = 4096): Seq[(Long, Seq[Long])] = {
-    val e = withQuantized(embeddings)
     val sampled = e
       .withColumn("_r", md5(col("vec_id").cast("string")))
       .orderBy(col("_r"), col("vec_id"))
@@ -333,7 +348,7 @@ object Similarity {
       .map(_.getAs[scala.collection.Seq[Long]]("qe").toSeq)
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
     for (_ <- 1 to iters) {
-      val perCell = withCell(sampled, centroidFrame(embeddings.sparkSession, cents), "qe")
+      val perCell = withCell(sampled, centroidFrame(e.sparkSession, cents), "qe")
         .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "v")))
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
@@ -1089,11 +1104,17 @@ object Similarity {
     * own postings `(vec_id, qe, n2, cell)` independently.
     */
   def ivfAssignWith(
-      embeddings: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame = {
-    val e = withQuantized(embeddings)
+      embeddings: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame =
+    ivfAssignWithQuantized(withQuantized(embeddings), cents)
+
+  /** [[ivfAssignWith]] over ALREADY-QUANTIZED vectors `(vec_id, qe, n2)`
+    * — re-assignment during an IVF state rebuild, where the vectors come
+    * from the state's own postings, never a raw-embedding re-read.
+    */
+  def ivfAssignWithQuantized(
+      e: DataFrame, cents: Seq[(Long, Seq[Long])]): DataFrame =
     withCell(e, centroidFrame(e.sparkSession, cents), "qe")
       .select(col("vec_id"), col("qe"), col("n2"), col("cell"))
-  }
 
   /** IVF search against EXTERNALLY-MAINTAINED postings (the streamed
     * index): probes rank cells under the same frozen quantizer, then the

@@ -607,11 +607,45 @@ object StreamingOps {
         .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
   /** The merged global digest-frequency state over a
-    * [[passageCountsSink]] directory.
+    * [[passageCountsSink]] directory. The post-sum `df > 0` filter is
+    * the read half of the SUBTRACTION-epoch contract
+    * ([[passageCountsDeleteSink]]): a digest whose every occurrence
+    * came from since-removed docs must VANISH from the state, exactly
+    * as in the batch build over the survivors; with no delete epochs
+    * the filter is a no-op (add epochs only ever sum to ≥ 1).
     */
   def mergedPassageCounts(spark: SparkSession, basePath: String): DataFrame =
     graft.operators.Dedup.mergePassageCounts(Seq(
       compactedStateView(spark, basePath, Seq("dig", "df"))))
+      .filter(col("df") > 0L)
+
+  /** TAKEDOWN (subtraction) epochs for the additive occurrence/frequency
+    * states — the retraction path the tombstone family
+    * ([[tombstoneSink]]) cannot provide here, because these states keep
+    * no per-doc rows to anti-join: a removed document's contribution is
+    * already summed into digest counts. Counts are ADDITIVE, so the
+    * inverse is exact: a delete epoch lands the removed docs' digest
+    * counts NEGATED in the same directory and layout, the merge stays
+    * the plain digest-wise sum, and a delete epoch that mirrors docs
+    * ingested exactly once cancels their contribution exactly — the
+    * merged state then equals the batch build over the surviving corpus
+    * (the q260/q261/q262 gates). Contract: feed a delete epoch the SAME
+    * doc frames (same `doc_id`+`text`) its add epochs ingested, once
+    * each — over-deletion drives counts negative, which read
+    * ([[mergedPassageCounts]]'s `> 0` filter) and compaction (the
+    * positive-clamp fold) clamp rather than propagate. Replay
+    * idempotence is inherited: an epoch overwrites its own dir, so
+    * re-delivery of a delete epoch is a no-op, and epoch ids must be
+    * unique across add AND delete epochs of one directory (they share
+    * the `batch_id=` namespace).
+    */
+  def passageCountsDeleteSink(
+      basePath: String,
+      passageLen: Int = 8): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.Dedup.passageDigestCounts(batch, passageLen)
+        .select(col("dig"), (-col("df")).as("df"))
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
   /** [[passageCountsSink]]'s offset-robust twin: per-epoch DENSE-window
     * digest counts ([[graft.operators.Dedup.rollingDigestCounts]]), so
@@ -630,11 +664,25 @@ object StreamingOps {
         .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
   /** The merged global dense-window frequency state over a
-    * [[rollingCountsSink]] directory.
+    * [[rollingCountsSink]] directory ([[mergedPassageCounts]]'s
+    * subtraction-aware `> 0` read filter applies identically).
     */
   def mergedRollingCounts(spark: SparkSession, basePath: String): DataFrame =
     graft.operators.Dedup.mergePassageCounts(Seq(
       compactedStateView(spark, basePath, Seq("dig", "df"))))
+      .filter(col("df") > 0L)
+
+  /** [[passageCountsDeleteSink]] for the dense-window (rolling) state —
+    * same negate-and-land contract over
+    * [[graft.operators.Dedup.rollingDigestCounts]].
+    */
+  def rollingCountsDeleteSink(
+      basePath: String,
+      windowLen: Int = 8): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.Dedup.rollingDigestCounts(batch, windowLen)
+        .select(col("dig"), (-col("df")).as("df"))
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
   /** The passage family's content-defined third member: per-epoch
     * CDC chunk-digest frequencies ([[graft.operators.Dedup.chunkDigestCounts]])
@@ -652,11 +700,25 @@ object StreamingOps {
         .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
   /** The merged global chunk-frequency state over a [[cdcCountsSink]]
-    * directory.
+    * directory ([[mergedPassageCounts]]'s subtraction-aware `> 0` read
+    * filter applies identically).
     */
   def mergedCdcCounts(spark: SparkSession, basePath: String): DataFrame =
     graft.operators.Dedup.mergePassageCounts(Seq(
       compactedStateView(spark, basePath, Seq("dig", "df"))))
+      .filter(col("df") > 0L)
+
+  /** [[passageCountsDeleteSink]] for the CDC chunk state — same
+    * negate-and-land contract over
+    * [[graft.operators.Dedup.chunkDigestCounts]].
+    */
+  def cdcCountsDeleteSink(
+      basePath: String,
+      modulus: Int = 8): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.Dedup.chunkDigestCounts(batch, modulus)
+        .select(col("dig"), (-col("df")).as("df"))
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
   /** ExactSubstr (Lee et al. 2022) under streaming state: per-epoch
     * window-digest OCCURRENCE counts
@@ -675,12 +737,29 @@ object StreamingOps {
         .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
   /** The merged global occurrence state over an [[exactSubstrCountsSink]]
-    * directory (digest-wise sum — the additive merge).
+    * directory (digest-wise sum — the additive merge;
+    * [[mergedPassageCounts]]'s subtraction-aware `> 0` read filter
+    * applies identically).
     */
   def mergedExactSubstrCounts(spark: SparkSession, basePath: String): DataFrame =
     compactedStateView(spark, basePath, Seq("dig", "occ"))
       .groupBy(col("dig"))
       .agg(sum(col("occ")).as("occ"))
+      .filter(col("occ") > 0L)
+
+  /** [[passageCountsDeleteSink]] for the ExactSubstr occurrence state —
+    * same negate-and-land contract over
+    * [[graft.operators.Dedup.rollingOccurrenceCounts]] (occurrences,
+    * not doc frequencies: a removed doc's SELF-repeats subtract too,
+    * exactly as they added).
+    */
+  def exactSubstrDeleteSink(
+      basePath: String,
+      windowLen: Int = 8): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.Dedup.rollingOccurrenceCounts(batch, windowLen)
+        .select(col("dig"), (-col("occ")).as("occ"))
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
   /** Streaming ANN (IVF) index maintenance — the FIFTH batch family put
     * under the per-epoch replay-idempotent state layout: the coarse
@@ -716,6 +795,56 @@ object StreamingOps {
     val postings = compactedStateView(spark, basePath, Seq("vec_id", "qe", "n2", "cell"))
     deletesPath.fold(postings)(p =>
       postings.join(mergedTombstones(spark, p), Seq("vec_id"), "left_anti"))
+  }
+
+  /** Rebuild the streamed IVF state into a fresh directory with a
+    * RE-TRAINED coarse quantizer — the recovery the graph family got in
+    * r17 ([[rebuildGraphAnnState]]) and the IVF family lacked: the sink's
+    * quantizer is frozen at stream start (correctly — re-training
+    * per-batch would invalidate prior postings), so as the streamed
+    * corpus drifts away from it, cell skew grows and recall decays with
+    * no recourse short of discarding the state. The state already
+    * carries everything a re-train needs — each posting's quantized
+    * vector — so the rebuild NEVER re-reads raw embeddings:
+    * [[graft.operators.Similarity.trainIvfCentroidsQuantized]] fits
+    * fresh centroids on the surviving postings (same deterministic
+    * Lloyd, same sample/seed rule, identical arithmetic to the
+    * raw-embedding trainer), re-assignment is the same narrow
+    * broadcast-argmax as the sink's, and the re-assigned postings land
+    * as epoch 0 of `newPath` — after which the old directory and the
+    * consumed tombstones retire together (reads of `newPath` pass
+    * `deletesPath = None` until new deletions arrive). Returns the
+    * trained centroids — the frozen quantizer for `newPath`'s onward
+    * sink AND for search probes, which must use the SAME quantizer the
+    * postings were assigned under.
+    *
+    * Scale: the train is sample-bounded (≤ `sampleSize` vectors cached,
+    * centroid-row aggregates per iteration), the re-assign one narrow
+    * scan of the postings, the land one write — no all-pairs step, no
+    * driver collect beyond k×dim centroid rows.
+    */
+  def rebuildIvfState(
+      spark: SparkSession,
+      basePath: String,
+      newPath: String,
+      numCentroids: Int = 16,
+      iters: Int = 8,
+      sampleSize: Int = 4096,
+      deletesPath: Option[String] = None): Seq[(Long, Seq[Long])] = {
+    import graft.operators.Similarity
+    val survivors = antiTombstone(
+        spark,
+        compactedStateView(spark, basePath, Seq("vec_id", "qe", "n2", "cell")),
+        deletesPath, "vec_id")
+      .select(col("vec_id"), col("qe"), col("n2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val cents = Similarity.trainIvfCentroidsQuantized(
+        survivors, numCentroids, iters, sampleSize)
+      Similarity.ivfAssignWithQuantized(survivors, cents)
+        .write.mode("overwrite").parquet(s"$newPath/batch_id=0")
+      cents
+    } finally { survivors.unpersist(); () }
   }
 
   /** Streaming graph-ANN edge-state maintenance — the SIXTH index family
@@ -1327,22 +1456,33 @@ object StreamingOps {
     compactEpochs(spark, basePath, keepAfter, Seq("grp", "reg", "r"),
       df => graft.functions.Sketches.mergeHllRegisters("grp", Seq(df)))
 
-  /** [[compactEpochs]] for a [[passageCountsSink]] directory (digest-wise sum). */
+  /** [[compactEpochs]] for a [[passageCountsSink]] directory: digest-wise
+    * sum, then the POSITIVE CLAMP (`df > 0` rows only) — folding a
+    * subtraction epoch ([[passageCountsDeleteSink]]) whose digests fully
+    * cancel must not store zero rows in the base, and the drop is exact:
+    * a later add epoch re-sums from the digest's true remaining count
+    * (0) either way. Under the exactly-once delete contract counts
+    * never go negative; a violated contract clamps here instead of
+    * carrying a phantom debt into future adds.
+    */
   def compactPassageEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
     compactEpochs(spark, basePath, keepAfter, Seq("dig", "df"),
-      df => graft.operators.Dedup.mergePassageCounts(Seq(df)))
+      df => graft.operators.Dedup.mergePassageCounts(Seq(df)).filter(col("df") > 0L))
 
   /** [[compactEpochs]] for a [[rollingCountsSink]] directory — the state
-    * shape and merge are the aligned variant's (digest-wise sum).
+    * shape, merge, and positive clamp are the aligned variant's
+    * ([[compactPassageEpochs]]).
     */
   def compactRollingEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
     compactEpochs(spark, basePath, keepAfter, Seq("dig", "df"),
-      df => graft.operators.Dedup.mergePassageCounts(Seq(df)))
+      df => graft.operators.Dedup.mergePassageCounts(Seq(df)).filter(col("df") > 0L))
 
-  /** [[compactEpochs]] for a [[cdcCountsSink]] directory (digest-wise sum). */
+  /** [[compactEpochs]] for a [[cdcCountsSink]] directory (digest-wise
+    * sum + [[compactPassageEpochs]]' positive clamp).
+    */
   def compactCdcEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
     compactEpochs(spark, basePath, keepAfter, Seq("dig", "df"),
-      df => graft.operators.Dedup.mergePassageCounts(Seq(df)))
+      df => graft.operators.Dedup.mergePassageCounts(Seq(df)).filter(col("df") > 0L))
 
   /** [[compactEpochs]] for an [[exactSubstrCountsSink]] directory —
     * occurrence counts are additive, so the fold is the digest-wise sum
@@ -1351,7 +1491,8 @@ object StreamingOps {
     */
   def compactExactSubstrEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
     compactEpochs(spark, basePath, keepAfter, Seq("dig", "occ"),
-      df => df.groupBy(col("dig")).agg(sum(col("occ")).as("occ")))
+      df => df.groupBy(col("dig")).agg(sum(col("occ")).as("occ"))
+        .filter(col("occ") > 0L))
 
   /** [[compactEpochs]] for an [[mgSink]] directory: the PODS'12
     * sum-then-trim merge keeps the base at ≤ k counters per group while

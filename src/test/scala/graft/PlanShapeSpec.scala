@@ -581,6 +581,14 @@ class PlanShapeSpec extends SparkSpec {
     val invDf = Multimodal.mediaInventory(
       spark, Multimodal.toPgm(docs).select("doc_id", "payload"))
     assert(shuffles(invDf) === 0, s"media inventory grew a shuffle:\n${plan(invDf)}")
+    // r18: the video member of the transform triple, and the quarantined
+    // transform pass — both stay per-payload codec chains.
+    val vResized = Multimodal.decodeAviSummary(
+      spark, Multimodal.resizeAvi(spark, Multimodal.toAvi(docs), kx = 4)).toDF()
+    assert(shuffles(vResized) === 0, s"video resize grew a shuffle:\n${plan(vResized)}")
+    val tInv = Multimodal.mediaTransformInventory(
+      spark, Multimodal.toPgm(docs).select("doc_id", "payload"))
+    assert(shuffles(tInv) === 0, s"transform inventory grew a shuffle:\n${plan(tInv)}")
   }
 
   test("contaminated-examples compose: contamination side broadcasts, no cross product") {

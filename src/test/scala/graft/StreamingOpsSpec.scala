@@ -1121,4 +1121,140 @@ class StreamingOpsSpec extends SparkSpec {
     query.stop()
     assert(out.length === 1 && out.head.getAs[Int]("action_type") === 1)
   }
+
+  test("occurrence takedown: a subtraction epoch cancels the removed doc exactly; fully-cancelled digests vanish; compaction clamps") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def mk(rows: (Long, String)*) = rows.map { case (id, t) =>
+      (id, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val shared = (0 until 8).map(i => s"sp$i").mkString(" ")
+    val d0 = mk(0L -> s"a b $shared c d")
+    val d1 = mk(10L -> s"x y z $shared w v only here$shared")
+    val d2 = mk(20L -> "p q r s t u v w2 none shared")
+    val dir = java.nio.file.Files.createTempDirectory("graft_es_takedown").toString
+    val sink = StreamingOps.exactSubstrCountsSink(dir)
+    sink(d0, 0L); sink(d1, 1L); sink(d2, 2L)
+    // Before takedown the shared span strips from both carriers.
+    val before = Dedup.exactSubstrDedupAgainst(
+        d0.unionByName(d2), StreamingOps.mergedExactSubstrCounts(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(before(0L) > 0L, "shared span must strip while doc 10 is in the state")
+    // Subtraction epoch: doc 10 removed. Merged state must now equal the
+    // batch occurrence counts over the survivors, digest for digest —
+    // doc-10-only digests VANISH (not zero rows), and the shared span's
+    // occ drops to 1 so the survivor strip keeps it.
+    StreamingOps.exactSubstrDeleteSink(dir)(d1, 3L)
+    val survivors = d0.unionByName(d2)
+    def stateMap() = StreamingOps.mergedExactSubstrCounts(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val batchMap = Dedup.rollingOccurrenceCounts(survivors)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stateMap() === batchMap,
+      "merged state after subtraction must equal the survivor batch counts")
+    val after = Dedup.exactSubstrDedupAgainst(
+        survivors, StreamingOps.mergedExactSubstrCounts(spark, dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val oneShot = Dedup.exactSubstrDedup(survivors)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(after === oneShot, "survivor strip against the state must equal the batch strip")
+    assert(after(0L) === 0L, "with doc 10 gone nothing in doc 0 is duplicated")
+    // Replay of the delete epoch: overwrite, not double-subtraction.
+    StreamingOps.exactSubstrDeleteSink(dir)(d1, 3L)
+    assert(stateMap() === batchMap, "a replayed delete epoch must not subtract twice")
+    // Compaction folds adds + subtraction through the positive clamp:
+    // view unchanged, and the base carries no zero/negative rows.
+    assert(StreamingOps.compactExactSubstrEpochs(spark, dir, keepAfter = 3L) === 4)
+    assert(stateMap() === batchMap, "compaction changed the merged state")
+    val base = spark.read.parquet(dir).filter(col("occ") <= 0L).count()
+    assert(base === 0L, s"compacted base carries $base non-positive occurrence rows")
+  }
+
+  test("passage and rolling takedown: doc-frequency subtraction equals the survivor batch state") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def mk(rows: (Long, String)*) = rows.map { case (id, t) =>
+      (id, t, "en", "s", t.length.toLong)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val boiler = (0 until 8).map(i => s"tos$i").mkString(" ")
+    val d0 = mk(0L -> s"$boiler alpha beta gamma delta eps zeta eta theta")
+    val d1 = mk(1L -> s"$boiler iota kappa lambda mu nu xi omicron pi")
+    val d2 = mk(2L -> "wholly original content spanning eight tokens here ok")
+    // Aligned passage state: with d1 deleted the boilerplate df drops to
+    // 1 — the survivor strip must keep it (df > 1 is the drop rule).
+    val pDir = java.nio.file.Files.createTempDirectory("graft_pc_takedown").toString
+    val pSink = StreamingOps.passageCountsSink(pDir)
+    pSink(d0, 0L); pSink(d1, 1L); pSink(d2, 2L)
+    StreamingOps.passageCountsDeleteSink(pDir)(d1, 3L)
+    val pState = StreamingOps.mergedPassageCounts(spark, pDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pBatch = Dedup.passageDigestCounts(d0.unionByName(d2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pState === pBatch, "passage state after subtraction must equal survivor batch counts")
+    val pStrip = Dedup.passageDedupAgainst(
+        d0.unionByName(d2), StreamingOps.mergedPassageCounts(spark, pDir))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(pStrip.values.forall(_ === 0L), "nothing should strip once the other carrier is gone")
+    // Rolling (dense-window) state: same contract, window digests.
+    val rDir = java.nio.file.Files.createTempDirectory("graft_rc_takedown").toString
+    val rSink = StreamingOps.rollingCountsSink(rDir)
+    rSink(d0, 0L); rSink(d1, 1L); rSink(d2, 2L)
+    StreamingOps.rollingCountsDeleteSink(rDir)(d1, 3L)
+    val rState = StreamingOps.mergedRollingCounts(spark, rDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rBatch = Dedup.rollingDigestCounts(d0.unionByName(d2))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rState === rBatch, "rolling state after subtraction must equal survivor batch counts")
+  }
+
+  test("IVF rebuild: re-trained quantizer from the state's own postings; recall recovers on a drifted corpus; parity with the learned batch search") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // Spark `DIV` truncates toward zero like DuckDB `//` — the trainer's
+    // per-dimension integer means rely on it (q258's oracle replays them
+    // with `//`), so pin it against silent semantics drift.
+    assert(spark.sql("SELECT -7 DIV 2").collect()(0).getLong(0) === -3L)
+    // The DedupSimilaritySpec drift fixture: the first 20 vec_ids are all
+    // cluster 0, so the frozen vec_id<16 placeholder quantizer is
+    // degenerate for the drifted remainder of the stream.
+    val dim = 64
+    val rows = (0 until 200).map { i =>
+      val c = i / 20
+      val v = (0 until dim).map { d =>
+        val base = if ((2 * c + d) % 11 < 5) 1.0f else -1.0f
+        base + 0.08f * (((i * 31 + d * 17) % 11) - 5) / 5.0f
+      }
+      (i.toLong, v, c)
+    }.toDF("vec_id", "embedding", "label")
+    val cents0 = Similarity.placeholderCentroids(rows)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rebuild").toString
+    val sink = StreamingOps.ivfPostingsSink(cents0, dir)
+    sink(rows.filter($"vec_id" < 100), 0L)
+    sink(rows.filter($"vec_id" >= 100), 1L)
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairsOf(Similarity.knnBruteForce(rows))
+    val frozen = pairsOf(Similarity.ivfSearchOverPostings(
+      StreamingOps.mergedIvfPostings(spark, dir), rows, cents0))
+    val rebuiltDir = java.nio.file.Files.createTempDirectory("graft_ivf_rebuilt").toString
+    val cents = StreamingOps.rebuildIvfState(spark, dir, rebuiltDir)
+    val rebuilt = Similarity.ivfSearchOverPostings(
+      StreamingOps.mergedIvfPostings(spark, rebuiltDir), rows, cents)
+    val rebuiltPairs = pairsOf(rebuilt)
+    val recallFrozen = (exact intersect frozen).size.toDouble / exact.size
+    val recallRebuilt = (exact intersect rebuiltPairs).size.toDouble / exact.size
+    assert(recallRebuilt >= 0.9, f"rebuilt recall $recallRebuilt%.2f < 0.9")
+    assert(recallRebuilt > recallFrozen,
+      f"rebuild didn't recover recall ($recallRebuilt%.2f <= $recallFrozen%.2f)")
+    // Parity: searching the rebuilt state equals the one-shot LEARNED
+    // batch search — the trainer saw only postings, never raw embeddings.
+    val learned = Similarity.ivfSearchLearned(rows)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    val got = rebuilt
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got === learned, "rebuilt-state search must equal the learned batch search")
+    // And the centroids themselves match the raw-embedding trainer's.
+    assert(cents === Similarity.trainIvfCentroids(rows))
+  }
 }

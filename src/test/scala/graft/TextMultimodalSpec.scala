@@ -955,14 +955,12 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f2.width === 2 && f2.height === 1)
     assert(f2.min_px === Some((10 + 20 + 50 + 60) / 4) &&
       f2.max_px === Some((30 + 40 + 70 + 80) / 4))
-    // Too-small input fails loudly, never emits a degenerate raster.
+    // Sub-block input produces NO output row (the whole-image tail case
+    // — matches the SQL oracle's empty GROUP BY; ADVICE r17), never a
+    // degenerate raster and never a task failure.
     val tiny = Seq((3L, "abc", "en", "s", 3L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
-    val ex = intercept[org.apache.spark.SparkException] {
-      Multimodal.resizePgm(spark, Multimodal.toPgm(tiny), kx = 4).collect()
-    }
-    assert(ex.getMessage.contains("cannot decimate")
-      || Option(ex.getCause).exists(_.getMessage.contains("cannot decimate")))
+    assert(Multimodal.resizePgm(spark, Multimodal.toPgm(tiny), kx = 4).collect().isEmpty)
   }
 
   test("resampleWav: box decimation with floor-mean, mu-law input accepted, WAV round trip") {
@@ -977,13 +975,91 @@ class TextMultimodalSpec extends SparkSpec {
     assert(f.n_samples === 2L)
     assert(f.min_amp === Some(-7552) && f.max_amp === Some(-6528))
     assert(f.mean_amp === Some((-7552.0 - 6528.0) / 2))
-    // Floor semantics on a negative non-exact sum (mu-law input decodes
-    // to values that don't divide evenly): floorDiv matches SQL //.
+    // mu-law input accepted (decodes to values that don't divide evenly);
+    // tail block dropped; resampled stream still a decodable WAV.
     val mu = Multimodal.decodeWavFeatures(
       spark, Multimodal.resampleWav(spark, Multimodal.toWavMuLaw(d), k = 3)).collect().head
     assert(mu.n_samples === 2L && mu.sample_rate === 2666)
-    // Tail block dropped; resampled stream still a decodable WAV.
     assert(mu.bits_per_sample === 16)
+    // TRUNCATED mean on a negative non-divisible sum — DuckDB's // rounds
+    // toward zero (verified: -7 // 2 = -3), so so does the engine
+    // (ADVICE r17: floorDiv here would diverge): samples (-1,-2,-4)
+    // sum -7, k=3 → -2 (floor would give -3).
+    val neg = Seq(-1, -2, -4).map(_.toShort)
+    val bb = java.nio.ByteBuffer.allocate(44 + 6)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + 6)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort).putShort(1.toShort)
+      .putInt(8000).putInt(16000).putShort(2.toShort).putShort(16.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(6)
+    neg.foreach(bb.putShort)
+    val negWav = Seq((9L, bb.array())).toDF("doc_id", "payload")
+    val nf = Multimodal.decodeWavFeatures(
+      spark, Multimodal.resampleWav(spark, negWav, k = 3)).collect().head
+    assert(nf.n_samples === 1L && nf.min_amp === Some(-2) && nf.max_amp === Some(-2))
+    // A stream shorter than one block yields NO row (the oracle's empty
+    // GROUP BY), not an n_samples=0 WAV.
+    assert(Multimodal.resampleWav(spark, negWav, k = 4).collect().isEmpty)
+  }
+
+  test("resizeAvi: per-frame box decimation, header carried through, zero-length ragged output, real AVI round trip") {
+    // 22 chars → frames of 16 + 6; kx=4 → 4 + 1 output bytes.
+    val d = Seq((1L, "abcdefghijklmnopqrstuv", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val resized = Multimodal.resizeAvi(spark, Multimodal.toAvi(d), kx = 4)
+    val sum = Multimodal.decodeAviSummary(spark, resized).collect().head
+    assert(sum.n_frames === 2 && sum.n_frame_bytes === 5L)
+    // f0 means: (97..100)/4=98, 102, 106, 110; f1: (113..116)/4=114.
+    assert(sum.mean_byte === Some((98 + 102 + 106 + 110 + 114) / 5.0))
+    // The re-encoded header: µs/frame preserved, width divided, count kept.
+    val payload = resized.select("payload").collect().head.getAs[Array[Byte]](0)
+    val (hdr, fs) = Multimodal.AviDecoder.headerAndFrames(1L, payload)
+    assert(hdr === Multimodal.AviHeader(40000L, 4L, 1L))
+    assert(fs.map(_._2.toSeq) === Seq(Seq(98, 102, 106, 110).map(_.toByte), Seq(114.toByte)))
+    // A sub-4-byte ragged tail re-encodes as a ZERO-LENGTH chunk (frame
+    // count must keep matching the avih header), and videoFrameStats
+    // reads it as n_bytes 0 / sum 0 / min-max NULL.
+    val d2 = Seq((2L, "abcdefghijklmnopqr", "en", "s", 18L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val stats = Multimodal.videoFrameStats(
+        Multimodal.decodeAviFrames(spark, Multimodal.resizeAvi(spark, Multimodal.toAvi(d2), kx = 4)))
+      .orderBy("frame_idx").collect()
+    assert(stats.length === 2)
+    assert(stats(1).getAs[Long]("n_bytes") === 0L)
+    assert(stats(1).getAs[Long]("sum_byte") === 0L)
+    assert(stats(1).isNullAt(stats(1).fieldIndex("min_byte")))
+    // The output is still router-recognizable video.
+    val routed = Multimodal.extractFeatures(spark, resized).collect().head
+    assert(routed.getAs[String]("kind") === "avi")
+  }
+
+  test("mediaTransformInventory: valid payloads transform and re-decode; corrupt ones quarantine; the rest pass through") {
+    def pp(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"), col("payload"))
+    val mk = (id: Long, t: String) => Seq((id, t, "en", "s", t.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = pp(Multimodal.toPgm(mk(0L, "abcdefghij")))              // 10 px → 2
+      .unionByName(pp(Multimodal.toWav(mk(1L, "abcdefgh"))))            // 8 samples → 2
+      .unionByName(pp(Multimodal.toAvi(mk(2L, "abcdefghijklmnopqrstuv")))) // 22 bytes → 5
+      .unionByName(pp(Multimodal.toPng(mk(3L, "pngpayload here"))))     // no transform
+      .unionByName(pp(Multimodal.toMedia(mk(4L, "raw text"))))          // no claim
+      .unionByName(pp(Multimodal.toPgm(mk(5L, "abc"))))                 // sub-block → 0
+    // Doc 6: a PGM whose claim survives but whose raster is cut — the
+    // transform must quarantine it, not kill the task.
+    val damaged = pp(Multimodal.toPgm(mk(6L, "grayscale pixel data")))
+      .select(col("doc_id"), substring(col("payload"), 1, 8).as("payload"))
+    val out = Multimodal.mediaTransformInventory(spark, media.unionByName(damaged))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
+    assert(out(0L) === (("pgm", true, Some(2L))))
+    assert(out(1L) === (("wav", true, Some(2L))))
+    assert(out(2L) === (("avi", true, Some(5L))))
+    assert(out(3L) === (("passthrough", true, Some(-1L))))
+    assert(out(4L) === (("passthrough", true, Some(-1L))))
+    assert(out(5L) === (("pgm", true, Some(0L))))
+    assert(out(6L) === (("pgm", false, None)))
   }
 
   test("mediaInventory: corrupt payloads quarantine as rows; claim survival decides the route") {
