@@ -2224,6 +2224,47 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // The family's fourth member: takedown for the CDC chunk state —
+    // q222's oracle verbatim on the survivors (chunk doc-frequencies
+    // subtract exactly like the aligned/rolling states').
+    "q263_cdc_takedown" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = exitCleanedTempDir("graft_q263_cdc")
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q223_streaming_cdc_state:$dir"))(
+        graft.streaming.StreamingOps.cdcCountsSink(path))
+      graft.streaming.StreamingOps.cdcCountsDeleteSink(path)(
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3L), 3L)
+      Dedup.cdcDedupAgainst(
+          docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L),
+          graft.streaming.StreamingOps.mergedCdcCounts(s, path))
+        .orderBy("doc_id")
+    }),
+
+    // Rebuild UNDER DELETION — q258's lifecycle composed with q242's:
+    // tombstones remove vec_ids 17/23 from the streamed postings, the
+    // rebuild re-trains on the SURVIVORS (sample, seeds, and assignment
+    // all shift — the oracle's Lloyd replay runs over the survivor set),
+    // and the rebuilt state carries no deleted vectors, so the search
+    // reads it with NO deletesPath: takedown consumed, not masked.
+    "q264_ivf_rebuild_deletion" -> ((s, dir) => {
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val cents0 = Similarity.placeholderCentroids(emb)
+      val path = exitCleanedTempDir("graft_q264_ivf")
+      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"))(
+        graft.streaming.StreamingOps.ivfPostingsSink(cents0, path))
+      val dels = exitCleanedTempDir("graft_q264_dels")
+      val tomb = graft.streaming.StreamingOps.tombstoneSink(dels)
+      tomb(Seq(17L).toDF("vec_id"), 0L)
+      tomb(Seq(23L).toDF("vec_id"), 1L)
+      val rebuilt = exitCleanedTempDir("graft_q264_ivf_rebuilt")
+      val cents = graft.streaming.StreamingOps.rebuildIvfState(
+        s, path, rebuilt, deletesPath = Some(dels))
+      Similarity.ivfSearchOverPostings(
+          graft.streaming.StreamingOps.mergedIvfPostings(s, rebuilt), emb, cents)
+        .orderBy("query_id", "rnk")
+    }),
+
     // perceptual hash → banded pairing → canonical clusters.
     "q218_image_dup_clusters" -> ((s, dir) =>
       Dedup.dedupClusters(
@@ -4757,6 +4798,11 @@ object SparkEntry {
     "q260_exact_substr_takedown" -> exactSubstrOracleOver(" WHERE doc_id % 7 <> 3"),
     "q261_rolling_takedown" -> rollingPassageOracleOver(" WHERE doc_id % 7 <> 3"),
     "q262_passage_takedown" -> passageDedupOracleOver(" WHERE doc_id % 7 <> 3"),
+    "q263_cdc_takedown" -> cdcDedupOracleOver(" WHERE doc_id % 7 <> 3"),
+
+    // q264: the Lloyd replay over the SURVIVING vectors (sample, seeds,
+    // assignment all shift with the deletion), full-table query panel.
+    "q264_ivf_rebuild_deletion" -> ivfLearnedSearchOracleDeleting(Seq(17L, 23L)),
 
     // Deletion parity for the graph-ANN edge state: q235's oracle over
     // the surviving corpus (build, long links, entry point, scoring all
@@ -8614,14 +8660,19 @@ object SparkEntry {
     * frequencies, and the per-document rebuild of kept chunks — the
     * batch pass q223's merged streaming state must equal exactly.
     */
-  private val cdcDedupOracle =
-    """WITH w AS (
+  private val cdcDedupOracle = cdcDedupOracleOver("")
+
+  /** [[cdcDedupOracle]] over a restricted corpus — the takedown gate
+    * (q263) runs the batch pass verbatim on the SURVIVORS.
+    */
+  private def cdcDedupOracleOver(where: String) =
+    s"""WITH w AS (
       |  SELECT doc_id,
-      |         unnest(regexp_split_to_array(trim(text), '\s+')) AS w,
-      |         CAST(unnest(range(1, len(regexp_split_to_array(trim(text), '\s+')) + 1))
+      |         unnest(regexp_split_to_array(trim(text), '\\s+')) AS w,
+      |         CAST(unnest(range(1, len(regexp_split_to_array(trim(text), '\\s+')) + 1))
       |              AS BIGINT) AS pos,
-      |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n
-      |  FROM documents
+      |         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n
+      |  FROM documents$where
       |),
       |b AS (
       |  SELECT doc_id, pos, w,
@@ -10205,7 +10256,22 @@ object SparkEntry {
     * which truncates toward zero exactly like Spark's `DIV` (both
     * verified on negative operands; the drift spec pins Spark's side).
     */
-  private def ivfLearnedSearchOracle: String = {
+  private def ivfLearnedSearchOracle: String = ivfLearnedSearchOracleDeleting(Nil)
+
+  /** [[ivfLearnedSearchOracle]] with the corpus restricted to survivors
+    * — q264's oracle: the trainer's sample/seeds AND the assigned corpus
+    * come from the surviving vectors (a rebuild-under-deletion re-trains
+    * on what remains), while the query panel stays the full table's
+    * `vec_id < 10` (the gate deletes ids outside it, the q242
+    * convention).
+    */
+  private def ivfLearnedSearchOracleDeleting(deleted: Seq[Long]): String = {
+    val keep =
+      if (deleted.isEmpty) ""
+      else s" WHERE vec_id NOT IN (${deleted.mkString(", ")})"
+    val keepN =
+      if (deleted.isEmpty) ""
+      else s" WHERE n.vec_id NOT IN (${deleted.mkString(", ")})"
     val iters = 8
     val steps = (1 to iters).map { t =>
       val prev = if (t == 1) "c0" else s"c${t - 1}"
@@ -10237,7 +10303,7 @@ object SparkEntry {
        |  SELECT vec_id, qe, n2, sr FROM (
        |    SELECT vec_id, qe, n2,
        |           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS sr
-       |    FROM n)
+       |    FROM n$keep)
        |  WHERE sr <= 4096
        |),
        |c0 AS MATERIALIZED (
@@ -10252,7 +10318,7 @@ object SparkEntry {
        |             CAST(list_sum(list_transform(range(1, 65), i -> n.qe[i] * c.c_qe[i])) AS DOUBLE)
        |               / (sqrt(CAST(n.n2 AS DOUBLE)) * sqrt(CAST(c.c_n2 AS DOUBLE))) DESC,
        |             c.cent_id) AS rn
-       |    FROM n CROSS JOIN c$iters c)
+       |    FROM n CROSS JOIN c$iters c$keepN)
        |  WHERE rn = 1
        |),
        |probes AS (
