@@ -166,6 +166,38 @@ object SparkEntry {
     s.read.parquet(staged)
   }
 
+  /** q265's TRANSFORMED mixed lake — the clean staged lake pushed
+    * through `Multimodal.transformMedia` (resize/resample/video-resize
+    * applied, the rest byte-identical) and LANDED like the input lake
+    * (same eight-pushdown-scan argument), cached per (session, dir).
+    */
+  private def transformedMixedMedia(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedMediaCache.computeIfAbsent(
+      ("xform:" + System.identityHashCode(s), dir), _ => {
+        val path = exitCleanedTempDir("graft_router_media_xform")
+        Multimodal.transformMedia(s, stagedMixedMedia(s, dir))
+          .write.mode("overwrite").parquet(path)
+        path
+      })
+    s.read.parquet(staged)
+  }
+
+  /** The q252/q265 router-geometry projection — ONE definition so the
+    * clean-lake and transformed-lake gates pin the same decode-derived
+    * scalar per kind.
+    */
+  private def routerGeometry(routed: DataFrame): DataFrame =
+    routed.select(
+      col("doc_id"), col("kind"),
+      when(col("kind") === "pgm", col("pgm.width").cast("long"))
+        .when(col("kind") === "ppm", col("ppm.width").cast("long"))
+        .when(col("kind") === "wav", col("wav.n_samples"))
+        .when(col("kind") === "bmp", col("bmp.n_px"))
+        .when(col("kind") === "png", col("png.n_px"))
+        .when(col("kind") === "jpeg", col("jpeg.n_blocks"))
+        .when(col("kind") === "avi", col("avi.n_frames").cast("long"))
+        .otherwise(lit(-1L)).as("geom"))
+
   /** q253/q254's deterministic transmission damage over the mixed lake:
     * doc_id % 9 == 4 truncates the payload to its first 8 bytes (mod 9
     * is coprime to the mod-8 format selector, so damage hits every
@@ -1279,17 +1311,17 @@ object SparkEntry {
     // mis-route OR a wrong decode fails the hash. Eight narrow filtered
     // passes over one frame, no shuffle before the final sort.
     "q252_modality_router" -> ((s, dir) =>
-      Multimodal.extractFeatures(s, stagedMixedMedia(s, dir))
-        .select(
-          col("doc_id"), col("kind"),
-          when(col("kind") === "pgm", col("pgm.width").cast("long"))
-            .when(col("kind") === "ppm", col("ppm.width").cast("long"))
-            .when(col("kind") === "wav", col("wav.n_samples"))
-            .when(col("kind") === "bmp", col("bmp.n_px"))
-            .when(col("kind") === "png", col("png.n_px"))
-            .when(col("kind") === "jpeg", col("jpeg.n_blocks"))
-            .when(col("kind") === "avi", col("avi.n_frames").cast("long"))
-            .otherwise(lit(-1L)).as("geom"))
+      routerGeometry(Multimodal.extractFeatures(s, stagedMixedMedia(s, dir)))
+        .orderBy("doc_id")),
+
+    // The transformed LAKE re-routed — q259's inventory twin with the
+    // payloads actually written back: the clean lake pushed through the
+    // transform pass (resize/resample/video-resize; sub-block docs drop
+    // by the decimation contract), landed, and routed through q252's
+    // geometry projection — every transformed payload must still claim
+    // its format and decode to the transformed geometry.
+    "q265_transformed_lake_router" -> ((s, dir) =>
+      routerGeometry(Multimodal.extractFeatures(s, transformedMixedMedia(s, dir)))
         .orderBy("doc_id")),
 
     // The QUARANTINED router over a DAMAGED lake — q252's mixed frame
@@ -3985,6 +4017,41 @@ object SparkEntry {
         |    WHEN sel = 6 AND NOT dmg THEN 4 * (L // 16) + (L % 16) // 4
         |    ELSE -1 END AS BIGINT) AS out_geom
         |FROM n ORDER BY doc_id""".stripMargin,
+
+    // q265: q252's routing rule with the TRANSFORMED geometry where a
+    // transform applies — pgm width and wav samples become L//4, avi
+    // keeps its frame count (spatial resize preserves temporal
+    // structure), everything else is byte-identical passthrough; docs
+    // whose image/stream is smaller than one block DROP (the transform
+    // emits nothing for them).
+    "q265_transformed_lake_router" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L, doc_id % 8 AS sel
+        |  FROM documents
+        |)
+        |SELECT doc_id, kind, geom FROM (
+        |  SELECT doc_id, sel, L,
+        |    CASE
+        |      WHEN sel = 0 THEN 'pgm'
+        |      WHEN sel = 1 THEN 'ppm'
+        |      WHEN sel = 2 THEN 'wav'
+        |      WHEN sel = 3 THEN 'bmp'
+        |      WHEN sel = 4 AND L >= 6 THEN 'png'
+        |      WHEN sel = 5 AND L >= 64 THEN 'jpeg'
+        |      WHEN sel = 6 THEN 'avi'
+        |      ELSE 'histogram' END AS kind,
+        |    CAST(CASE
+        |      WHEN sel = 0 THEN L // 4
+        |      WHEN sel = 1 THEN L // 3
+        |      WHEN sel = 2 THEN L // 4
+        |      WHEN sel = 3 THEN 2 * (L // 6)
+        |      WHEN sel = 4 AND L >= 6 THEN 2 * (L // 6)
+        |      WHEN sel = 5 AND L >= 64 THEN L // 64
+        |      WHEN sel = 6 THEN (L + 15) // 16
+        |      ELSE -1 END AS BIGINT) AS geom
+        |  FROM n)
+        |WHERE NOT (sel IN (0, 2) AND L < 4)
+        |ORDER BY doc_id""".stripMargin,
 
     // q256: resampled sample j = floor-mean of four consecutive
     // (b-128)*256 amplitudes (exact: the sum is divisible by 4×64);

@@ -268,6 +268,31 @@ object Multimodal {
       .unionByName(pass)
   }
 
+  /** The TRANSFORMED mixed lake — [[mediaTransformInventory]]'s payload
+    * twin: where the inventory reports verdicts, this APPLIES the
+    * transforms and returns the new lake (the write-back half of a
+    * corpus-scale media transform pass). Transformable claims map
+    * through the real kernels (P5 → [[resizePgm]], RIFF/WAVE →
+    * [[resampleWav]], RIFF/AVI → [[resizeAvi]]); everything else
+    * passes through byte-identical. Sub-block images/streams DROP
+    * (their transforms emit nothing — the documented decimation
+    * contract), so the output lake can be strictly smaller than the
+    * input. Same [[RouterClaims]] predicates as every router, so the
+    * four can never drift; narrow filtered passes, no shuffle.
+    */
+  def transformMedia(
+      spark: SparkSession,
+      media: DataFrame,
+      kx: Int = 4,
+      k: Int = 4): DataFrame = {
+    import RouterClaims._
+    def pp(df: DataFrame) = df.select(col("doc_id"), col("payload"))
+    pp(resizePgm(spark, media.filter(isP5), kx))
+      .unionByName(pp(resampleWav(spark, media.filter(isRiff), k)))
+      .unionByName(pp(resizeAvi(spark, media.filter(isAvi), kx)))
+      .unionByName(pp(media.filter(not(isP5 || isRiff || isAvi))))
+  }
+
   /** Wrap each document as a REAL binary PGM image — a 1-row grayscale
     * strip whose pixels are the document's bytes — including a `#`
     * comment line so round-trips exercise the parser's comment handling.
