@@ -1382,6 +1382,16 @@ object SparkEntry {
         .toDF()
         .orderBy("doc_id")),
 
+    // COLOR image RESIZE — q255's three-channel twin: stride-4 box
+    // decimation of each PPM payload with channels kept separate,
+    // re-encoded as a real PPM and round-tripped through the color
+    // decoder, so per-channel means pin that R/G/B never mix.
+    "q266_color_resize" -> ((s, dir) =>
+      Multimodal.decodePpmFeatures(s,
+          Multimodal.resizePpm(s, Multimodal.toPpm(Tables.documents(s, dir)), kx = 4))
+        .toDF()
+        .orderBy("doc_id")),
+
     // Image RESIZE — the multimodal op next to decode/feature-extract/
     // frame-sample: stride-4 box decimation of each PGM payload,
     // re-encoded as a REAL PGM and round-tripped through the decoder, so
@@ -3991,12 +4001,12 @@ object SparkEntry {
         |FROM o ORDER BY doc_id, frame_idx""".stripMargin,
 
     // q259: the transform routing + output geometry replayed from the
-    // q253 damage rule — only the TRANSFORMABLE claims matter here (P5
-    // survives the 8-byte cut and quarantines at transform; WAVE/AVI
-    // claims die with the cut and pass through), everything else is a
-    // passthrough row; out_geom = resized pixels L//4 (pgm), resampled
-    // samples L//4 (wav), total resized frame bytes 4*(L//16)+(L%16)//4
-    // (avi), -1 for passthrough.
+    // q253 damage rule — only the TRANSFORMABLE claims matter here
+    // (netpbm's 2-byte magics survive the 8-byte cut and quarantine at
+    // transform; WAVE/AVI claims die with the cut and pass through),
+    // everything else is a passthrough row; out_geom = resized pixels
+    // L//4 (pgm) / (L//3)//4 (ppm), resampled samples L//4 (wav), total
+    // resized frame bytes 4*(L//16)+(L%16)//4 (avi), -1 for passthrough.
     "q259_media_transform_inventory" ->
       """WITH n AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L, doc_id % 8 AS sel,
@@ -4006,24 +4016,26 @@ object SparkEntry {
         |SELECT doc_id,
         |  CASE
         |    WHEN sel = 0 THEN 'pgm'
+        |    WHEN sel = 1 THEN 'ppm'
         |    WHEN sel = 2 AND NOT dmg THEN 'wav'
         |    WHEN sel = 6 AND NOT dmg THEN 'avi'
         |    ELSE 'passthrough' END AS kind,
-        |  NOT (sel = 0 AND dmg) AS ok,
+        |  NOT (sel IN (0, 1) AND dmg) AS ok,
         |  CAST(CASE
-        |    WHEN sel = 0 AND dmg THEN NULL
+        |    WHEN sel IN (0, 1) AND dmg THEN NULL
         |    WHEN sel = 0 THEN L // 4
+        |    WHEN sel = 1 THEN (L // 3) // 4
         |    WHEN sel = 2 AND NOT dmg THEN L // 4
         |    WHEN sel = 6 AND NOT dmg THEN 4 * (L // 16) + (L % 16) // 4
         |    ELSE -1 END AS BIGINT) AS out_geom
         |FROM n ORDER BY doc_id""".stripMargin,
 
     // q265: q252's routing rule with the TRANSFORMED geometry where a
-    // transform applies — pgm width and wav samples become L//4, avi
-    // keeps its frame count (spatial resize preserves temporal
-    // structure), everything else is byte-identical passthrough; docs
-    // whose image/stream is smaller than one block DROP (the transform
-    // emits nothing for them).
+    // transform applies — pgm width and wav samples become L//4, ppm
+    // width (L//3)//4, avi keeps its frame count (spatial resize
+    // preserves temporal structure), everything else is byte-identical
+    // passthrough; docs whose image/stream is smaller than one block
+    // DROP (the transform emits nothing for them).
     "q265_transformed_lake_router" ->
       """WITH n AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L, doc_id % 8 AS sel
@@ -4042,7 +4054,7 @@ object SparkEntry {
         |      ELSE 'histogram' END AS kind,
         |    CAST(CASE
         |      WHEN sel = 0 THEN L // 4
-        |      WHEN sel = 1 THEN L // 3
+        |      WHEN sel = 1 THEN (L // 3) // 4
         |      WHEN sel = 2 THEN L // 4
         |      WHEN sel = 3 THEN 2 * (L // 6)
         |      WHEN sel = 4 AND L >= 6 THEN 2 * (L // 6)
@@ -4050,7 +4062,39 @@ object SparkEntry {
         |      WHEN sel = 6 THEN (L + 15) // 16
         |      ELSE -1 END AS BIGINT) AS geom
         |  FROM n)
-        |WHERE NOT (sel IN (0, 2) AND L < 4)
+        |WHERE NOT ((sel IN (0, 2) AND L < 4) OR (sel = 1 AND L < 12))
+        |ORDER BY doc_id""".stripMargin,
+
+    // q266: output pixel j channel c = truncated mean of input pixels
+    // 4j..4j+3's channel c (channels never mix); input pixel p channel
+    // c is text byte 3p+c; means replay the decoder's exact-sum /
+    // n_px division; min/max span all channels.
+    "q266_color_resize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+        |         (CAST(length(text) AS BIGINT) // 3) // 4 AS ow
+        |  FROM documents
+        |  WHERE (CAST(length(text) AS BIGINT) // 3) // 4 >= 1
+        |),
+        |px AS (
+        |  SELECT doc_id, ow, CAST(c AS INT) AS c,
+        |         (CAST(unicode(text[CAST(3 * (4 * j + 0) + c + 1 AS INT):CAST(3 * (4 * j + 0) + c + 1 AS INT)]) AS BIGINT)
+        |          + unicode(text[CAST(3 * (4 * j + 1) + c + 1 AS INT):CAST(3 * (4 * j + 1) + c + 1 AS INT)])
+        |          + unicode(text[CAST(3 * (4 * j + 2) + c + 1 AS INT):CAST(3 * (4 * j + 2) + c + 1 AS INT)])
+        |          + unicode(text[CAST(3 * (4 * j + 3) + c + 1 AS INT):CAST(3 * (4 * j + 3) + c + 1 AS INT)])) // 4 AS v
+        |  FROM n, unnest(range(0, ow)) AS u(j), unnest(range(0, 3)) AS uc(c)
+        |)
+        |SELECT doc_id,
+        |       CAST(ow AS INT) AS width,
+        |       CAST(1 AS INT) AS height,
+        |       CAST(255 AS INT) AS max_val,
+        |       CAST(ow AS BIGINT) AS n_px,
+        |       CAST(SUM(v) FILTER (WHERE c = 0) AS DOUBLE) / CAST(ow AS DOUBLE) AS r_mean,
+        |       CAST(SUM(v) FILTER (WHERE c = 1) AS DOUBLE) / CAST(ow AS DOUBLE) AS g_mean,
+        |       CAST(SUM(v) FILTER (WHERE c = 2) AS DOUBLE) / CAST(ow AS DOUBLE) AS b_mean,
+        |       CAST(MIN(v) AS INT) AS min_px,
+        |       CAST(MAX(v) AS INT) AS max_px
+        |FROM px GROUP BY doc_id, ow
         |ORDER BY doc_id""".stripMargin,
 
     // q256: resampled sample j = floor-mean of four consecutive

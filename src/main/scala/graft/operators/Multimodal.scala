@@ -218,7 +218,7 @@ object Multimodal {
     * never the task failure the bare transforms (correctly, for trusted
     * input) raise. Routing is the SAME [[RouterClaims]] predicates as
     * both routers, so the three can never drift on what claims what:
-    * payloads claiming a TRANSFORMABLE format (P5 → resize, RIFF/WAVE →
+    * payloads claiming a TRANSFORMABLE format (P5/P6 → resize, RIFF/WAVE →
     * resample, RIFF/AVI → video resize) run transform-then-re-decode —
     * `out_geom` is the re-decoded OUTPUT's geometry (resized pixels,
     * resampled samples, total resized frame bytes; 0 when the input is
@@ -246,7 +246,7 @@ object Multimodal {
           catch { case _: Exception => (id, kind, false, Option.empty[Long]) }
         })
         .toDF("doc_id", "kind", "ok", "out_geom")
-    val pass = media.filter(not(isP5 || isRiff || isAvi)).select(
+    val pass = media.filter(not(isP5 || isP6 || isRiff || isAvi)).select(
       col("doc_id"), lit("passthrough").as("kind"),
       lit(true).as("ok"), lit(-1L).as("out_geom"))
     inv(isP5, "pgm") { (id, b) =>
@@ -257,6 +257,10 @@ object Multimodal {
         else PgmDecoder.decode(
           id, resizedPgm(id, b, start, w, maxVal, kx, 1, ow, h).next()._2).n_px
       }
+      .unionByName(inv(isP6, "ppm") { (id, b) =>
+        resizedPpmPayload(id, b, kx, 1)
+          .fold(0L)(out => PpmDecoder.decode(id, out).n_px)
+      })
       .unionByName(inv(isRiff, "wav") { (id, b) =>
         resampledWavPayload(id, b, k)
           .fold(0L)(out => WavDecoder.decode(id, out).n_samples)
@@ -272,8 +276,8 @@ object Multimodal {
     * twin: where the inventory reports verdicts, this APPLIES the
     * transforms and returns the new lake (the write-back half of a
     * corpus-scale media transform pass). Transformable claims map
-    * through the real kernels (P5 → [[resizePgm]], RIFF/WAVE →
-    * [[resampleWav]], RIFF/AVI → [[resizeAvi]]); everything else
+    * through the real kernels (P5 → [[resizePgm]], P6 → [[resizePpm]],
+    * RIFF/WAVE → [[resampleWav]], RIFF/AVI → [[resizeAvi]]); everything else
     * passes through byte-identical. Sub-block images/streams DROP
     * (their transforms emit nothing — the documented decimation
     * contract), so the output lake can be strictly smaller than the
@@ -288,9 +292,10 @@ object Multimodal {
     import RouterClaims._
     def pp(df: DataFrame) = df.select(col("doc_id"), col("payload"))
     pp(resizePgm(spark, media.filter(isP5), kx))
+      .unionByName(pp(resizePpm(spark, media.filter(isP6), kx)))
       .unionByName(pp(resampleWav(spark, media.filter(isRiff), k)))
       .unionByName(pp(resizeAvi(spark, media.filter(isAvi), kx)))
-      .unionByName(pp(media.filter(not(isP5 || isRiff || isAvi))))
+      .unionByName(pp(media.filter(not(isP5 || isP6 || isRiff || isAvi))))
   }
 
   /** Wrap each document as a REAL binary PGM image — a 1-row grayscale
@@ -419,6 +424,66 @@ object Multimodal {
     val header = s"P5\n$ow $oh\n$maxVal\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     Iterator.single((id, header ++ out))
+  }
+
+  /** [[resizePgm]]'s COLOR twin — stride-(kx, ky) per-CHANNEL box
+    * decimation of a binary PPM payload, re-encoded as a binary PPM so
+    * the output composes with every PPM consumer. Each output pixel's
+    * R/G/B is the truncated mean of its block's R/G/B respectively
+    * (channels never mix); the same sub-block drop contract as the
+    * grayscale op. Exact integer arithmetic; zero shuffle.
+    */
+  def resizePpm(
+      spark: SparkSession, media: DataFrame, kx: Int, ky: Int = 1): DataFrame = {
+    require(kx >= 1 && ky >= 1, s"factors must be positive: kx=$kx ky=$ky")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        resizedPpmPayload(id, b, kx, ky).map(out => (id, out)).iterator
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** [[resizePpm]]'s per-payload kernel, shared with
+    * [[mediaTransformInventory]] and [[transformMedia]] so the strict
+    * and quarantined paths cannot drift. None = sub-block input.
+    */
+  private def resizedPpmPayload(
+      id: Long, b: Array[Byte], kx: Int, ky: Int): Option[Array[Byte]] = {
+    val (w, h, maxVal, start) = parseNetpbmHeader(id, b, 0, '6')
+    require(start + 3L * w * h <= b.length, s"doc $id: truncated RGB raster")
+    val ow = w / kx
+    val oh = h / ky
+    if (ow < 1 || oh < 1) None else Some {
+      val out = new Array[Byte](3 * ow * oh)
+      val block = kx.toLong * ky
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var c = 0
+          while (c < 3) {
+            var sum = 0L
+            var dy = 0
+            while (dy < ky) {
+              var dx = 0
+              while (dx < kx) {
+                sum += b(start + 3 * ((oy * ky + dy) * w + ox * kx + dx) + c) & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            out(3 * (oy * ow + ox) + c) = (sum / block).toByte
+            c += 1
+          }
+          ox += 1
+        }
+        oy += 1
+      }
+      val header = s"P6\n$ow $oh\n$maxVal\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      header ++ out
+    }
   }
 
   object PgmDecoder {

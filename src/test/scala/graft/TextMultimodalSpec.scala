@@ -1046,10 +1046,13 @@ class TextMultimodalSpec extends SparkSpec {
       .unionByName(pp(Multimodal.toMedia(mk(4L, "raw text"))))          // no claim
       .unionByName(pp(Multimodal.toPgm(mk(5L, "abc"))))                 // sub-block → 0
     // Doc 6: a PGM whose claim survives but whose raster is cut — the
-    // transform must quarantine it, not kill the task.
+    // transform must quarantine it, not kill the task. Doc 7: color —
+    // 24 text bytes = 8 RGB pixels → 2 output pixels.
     val damaged = pp(Multimodal.toPgm(mk(6L, "grayscale pixel data")))
       .select(col("doc_id"), substring(col("payload"), 1, 8).as("payload"))
-    val out = Multimodal.mediaTransformInventory(spark, media.unionByName(damaged))
+    val color = pp(Multimodal.toPpm(mk(7L, "abcdefghijklmnopqrstuvwx")))
+    val out = Multimodal.mediaTransformInventory(
+        spark, media.unionByName(damaged).unionByName(color))
       .collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2),
         if (r.isNullAt(3)) None else Some(r.getLong(3))))).toMap
@@ -1060,6 +1063,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(4L) === (("passthrough", true, Some(-1L))))
     assert(out(5L) === (("pgm", true, Some(0L))))
     assert(out(6L) === (("pgm", false, None)))
+    assert(out(7L) === (("ppm", true, Some(2L))))
+  }
+
+  test("resizePpm: per-channel box decimation never mixes channels; sub-block drops; real PPM round trip") {
+    // 24 chars = 8 RGB pixels; kx=4 → 2 output pixels. Channel c of
+    // output pixel j = trunc mean of bytes {3(4j+p)+c}: e.g. output 0's
+    // R = mean('a','d','g','j') = (97+100+103+106)/4 = 101.
+    val d = Seq((1L, "abcdefghijklmnopqrstuvwx", "en", "s", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.decodePpmFeatures(
+      spark, Multimodal.resizePpm(spark, Multimodal.toPpm(d), kx = 4)).collect().head
+    assert(f.width === 2 && f.height === 1 && f.n_px === 2L)
+    assert(f.r_mean === Some((101 + 113) / 2.0))
+    assert(f.g_mean === Some((102 + 114) / 2.0))
+    assert(f.b_mean === Some((103 + 115) / 2.0))
+    assert(f.min_px === Some(101) && f.max_px === Some(115))
+    // Sub-block input (fewer than 4 pixels) produces no output row.
+    val tiny = Seq((2L, "abcdefghi", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Multimodal.resizePpm(spark, Multimodal.toPpm(tiny), kx = 4).collect().isEmpty)
   }
 
   test("mediaInventory: corrupt payloads quarantine as rows; claim survival decides the route") {
