@@ -496,7 +496,12 @@ object ScaleProbe {
       // r18: quarantined transforms over the damaged lake — the q253
       // staged-scan shape with the transform kernels (resize/resample/
       // video-resize then re-decode) in place of bare decodes.
-      "q259_media_transform_inventory" -> byteFactor)
+      "q259_media_transform_inventory" -> byteFactor,
+      // r18: the transform pass's write-back half — transform + land +
+      // re-route; two staged scans around the per-payload kernels.
+      "q265_transformed_lake_router" -> byteFactor,
+      // r18: color resize — the q255 codec-scan class at 3 bytes/pixel.
+      "q266_color_resize" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

@@ -2266,6 +2266,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // VIDEO under streaming state — the third modality joins the
+    // replay-idempotent epoch layout: per-batch AVI decode → temporal
+    // subsample → one fingerprint row per doc (digests only; frames die
+    // in the epoch's scan), takedown via TOMBSTONES (per-doc rows
+    // anti-join; contrast the occurrence states' subtraction epochs),
+    // a mid-lifecycle compaction applying them PHYSICALLY, and the dup
+    // clusters over the merged survivors must equal q250's batch pass
+    // over the surviving corpus — its oracle verbatim on
+    // `doc_id % 7 <> 3`.
+    "q267_streaming_video_dups" -> ((s, dir) => {
+      val media = Multimodal.toAvi(Tables.documents(s, dir)).select("doc_id", "payload")
+      val path = exitCleanedTempDir("graft_q267_vfp")
+      graft.streaming.StreamingOps.streamShards(s, media, "doc_id", 3, stageKey = Some(s"q267_streaming_video_dups:$dir"))(
+        graft.streaming.StreamingOps.videoFingerprintsSink(path))
+      val dels = exitCleanedTempDir("graft_q267_dels")
+      graft.streaming.StreamingOps.tombstoneSink(dels, idCol = "doc_id")(
+        Tables.documents(s, dir)
+          .filter(pmod(col("doc_id"), lit(7L)) === 3L).select("doc_id"), 0L)
+      graft.streaming.StreamingOps.compactVideoFingerprintEpochs(
+        s, path, keepAfter = 1L, deletesPath = Some(dels))
+      val fp = graft.streaming.StreamingOps.mergedVideoFingerprints(
+        s, path, deletesPath = Some(dels))
+      val byFp = Window.partitionBy("video_fp")
+      val pairs = fp
+        .withColumn("rep", min(col("doc_id")).over(byFp))
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
+      Dedup.dedupClusters(pairs).orderBy("doc_id")
+    }),
+
     // The family's fourth member: takedown for the CDC chunk state —
     // q222's oracle verbatim on the survivors (chunk doc-frequencies
     // subtract exactly like the aligned/rolling states').
@@ -3824,31 +3854,12 @@ object SparkEntry {
     // per-doc temporal fingerprint = md5 of the ordered digest join,
     // then clusters = fingerprint groups of size >= 2 with min-doc
     // canonicals — exactly what star pairs + CC compute in the engine.
-    "q250_video_dup_clusters" ->
-      """WITH n AS (
-        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS d,
-        |         CAST((length(text) + 15) // 16 AS BIGINT) AS nf
-        |  FROM documents
-        |),
-        |sf AS (
-        |  SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
-        |         md5(text[CAST(j * 16 + 1 AS INT):CAST(LEAST(d, (j + 1) * 16) AS INT)]) AS frame_digest
-        |  FROM n, unnest(range(0, nf)) AS u(j)
-        |  WHERE d > 0 AND j % 4 = 0
-        |),
-        |fp AS (
-        |  SELECT doc_id, md5(string_agg(frame_digest, ',' ORDER BY frame_idx)) AS video_fp
-        |  FROM sf GROUP BY doc_id
-        |),
-        |g AS (
-        |  SELECT doc_id,
-        |         MIN(doc_id) OVER (PARTITION BY video_fp) AS canonical_id,
-        |         COUNT(*) OVER (PARTITION BY video_fp) AS cluster_size
-        |  FROM fp
-        |)
-        |SELECT doc_id, canonical_id, CAST(cluster_size AS BIGINT) AS cluster_size,
-        |       doc_id = canonical_id AS is_canonical
-        |FROM g WHERE cluster_size >= 2 ORDER BY doc_id""".stripMargin,
+    "q250_video_dup_clusters" -> videoDupOracleOver(""),
+
+    // q267: q250's batch replay over the SURVIVING corpus — what the
+    // merged fingerprint state must equal after the tombstones mask
+    // (and compaction physically removes) the taken-down docs.
+    "q267_streaming_video_dups" -> videoDupOracleOver(" WHERE doc_id % 7 <> 3"),
 
     // q252: the routing rule and every builder's geometry replayed from
     // text length alone (ASCII corpus: chars == bytes) — pgm/wav are
@@ -10099,6 +10110,36 @@ object SparkEntry {
     * merged streaming occurrence state is the same count table, so the
     * strip is identical.
     */
+  /** Shared q250/q267 oracle: sampled-frame digests → per-doc
+    * fingerprint → collision clusters, over the full corpus (q250) or
+    * the takedown survivors (q267).
+    */
+  private def videoDupOracleOver(where: String) =
+    s"""WITH n AS (
+      |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS d,
+      |         CAST((length(text) + 15) // 16 AS BIGINT) AS nf
+      |  FROM documents$where
+      |),
+      |sf AS (
+      |  SELECT doc_id, CAST(j AS BIGINT) AS frame_idx,
+      |         md5(text[CAST(j * 16 + 1 AS INT):CAST(LEAST(d, (j + 1) * 16) AS INT)]) AS frame_digest
+      |  FROM n, unnest(range(0, nf)) AS u(j)
+      |  WHERE d > 0 AND j % 4 = 0
+      |),
+      |fp AS (
+      |  SELECT doc_id, md5(string_agg(frame_digest, ',' ORDER BY frame_idx)) AS video_fp
+      |  FROM sf GROUP BY doc_id
+      |),
+      |g AS (
+      |  SELECT doc_id,
+      |         MIN(doc_id) OVER (PARTITION BY video_fp) AS canonical_id,
+      |         COUNT(*) OVER (PARTITION BY video_fp) AS cluster_size
+      |  FROM fp
+      |)
+      |SELECT doc_id, canonical_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+      |       doc_id = canonical_id AS is_canonical
+      |FROM g WHERE cluster_size >= 2 ORDER BY doc_id""".stripMargin
+
   private val exactSubstrOracle = exactSubstrOracleOver("")
 
   /** [[exactSubstrOracle]] over a restricted corpus — the takedown gate

@@ -761,6 +761,56 @@ object StreamingOps {
         .select(col("dig"), (-col("occ")).as("occ"))
         .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
+  /** Streaming VIDEO-fingerprint state — the third modality under the
+    * per-epoch replay-idempotent layout: each micro-batch of AVI
+    * payloads decodes, temporally subsamples, and lands one
+    * `(doc_id, n_sampled, video_fp)` row per document
+    * ([[graft.operators.Multimodal.videoFingerprints]] — the md5 over
+    * ordered sampled-frame digests), so cross-batch video duplicates
+    * surface from fingerprint collisions over the merged state without
+    * ever re-decoding past epochs. Unlike the occurrence states, rows
+    * are PER-DOCUMENT — so takedown is the tombstone anti-join
+    * ([[tombstoneSink]] with `idCol = "doc_id"`), not subtraction
+    * epochs: [[mergedVideoFingerprints]] masks removed docs exactly,
+    * and compaction ([[compactVideoFingerprintEpochs]]) applies them
+    * physically. Only 16-byte digests ever land or shuffle; frames die
+    * inside the epoch's decode scan.
+    */
+  def videoFingerprintsSink(
+      basePath: String,
+      every: Int = 4): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.Multimodal.videoFingerprints(
+          graft.operators.Multimodal.sampleVideoFrames(
+            graft.operators.Multimodal.decodeAviFrames(batch.sparkSession, batch), every))
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+
+  /** The live fingerprint state over a [[videoFingerprintsSink]]
+    * directory; `deletesPath` names a [[tombstoneSink]] directory of
+    * removed doc ids (anti-joined at read time — per-doc rows need no
+    * subtraction arithmetic).
+    */
+  def mergedVideoFingerprints(
+      spark: SparkSession,
+      basePath: String,
+      deletesPath: Option[String] = None): DataFrame =
+    antiTombstone(
+      spark,
+      compactedStateView(spark, basePath, Seq("doc_id", "n_sampled", "video_fp")),
+      deletesPath, "doc_id")
+
+  /** [[compactEpochs]] for a [[videoFingerprintsSink]] directory:
+    * doc-disjoint epochs concatenate (the IVF-postings fold), and
+    * tombstones apply PHYSICALLY when `deletesPath` is given.
+    */
+  def compactVideoFingerprintEpochs(
+      spark: SparkSession,
+      basePath: String,
+      keepAfter: Long,
+      deletesPath: Option[String] = None): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq("doc_id", "n_sampled", "video_fp"),
+      df => antiTombstone(spark, df, deletesPath, "doc_id"))
+
   /** Streaming ANN (IVF) index maintenance — the FIFTH batch family put
     * under the per-epoch replay-idempotent state layout: the coarse
     * quantizer is trained once and FROZEN (standard ANN practice —

@@ -1207,6 +1207,41 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rState === rBatch, "rolling state after subtraction must equal survivor batch counts")
   }
 
+  test("streaming video fingerprints: cross-epoch dups surface; tombstones mask exactly; compaction deletes physically") {
+    import graft.operators.Multimodal
+    import spark.implicits._
+    def media(rows: (Long, String)*) = Multimodal.toAvi(
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+      .select(col("doc_id"), col("payload"))
+    val clip = "identical video payload content here for the dup cluster"
+    val dir = java.nio.file.Files.createTempDirectory("graft_vfp_sink").toString
+    val sink = StreamingOps.videoFingerprintsSink(dir)
+    sink(media(0L -> clip, 2L -> "a wholly different clip"), 0L)
+    sink(media(0L -> clip, 2L -> "a wholly different clip"), 0L) // replay: overwrite
+    sink(media(1L -> clip, 10L -> clip), 1L)
+    def clusters(dels: Option[String]) = {
+      val fp = StreamingOps.mergedVideoFingerprints(spark, dir, dels)
+      assert(fp.count() === fp.select("doc_id").distinct().count(), "replay duplicated rows")
+      fp.filter(col("video_fp").isin(
+          fp.groupBy("video_fp").count().filter(col("count") > 1)
+            .collect().map(_.getString(0)).toSeq: _*))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    }
+    assert(clusters(None) === Set(0L, 1L, 10L),
+      "the cross-epoch dup cluster must surface from the merged state")
+    // Takedown: doc 1 tombstones out; the cluster shrinks, nothing else moves.
+    val dels = java.nio.file.Files.createTempDirectory("graft_vfp_dels").toString
+    StreamingOps.tombstoneSink(dels, idCol = "doc_id")(Seq(1L).toDF("doc_id"), 0L)
+    assert(clusters(Some(dels)) === Set(0L, 10L))
+    // Compaction with deletes: doc 1 leaves the DISK; the view is unchanged.
+    assert(StreamingOps.compactVideoFingerprintEpochs(
+      spark, dir, keepAfter = 1L, deletesPath = Some(dels)) === 2)
+    assert(spark.read.parquet(dir).filter(col("doc_id") === 1L).count() === 0L,
+      "physical deletion must remove the tombstoned doc's fingerprint row")
+    assert(clusters(Some(dels)) === Set(0L, 10L), "compaction changed the merged view")
+  }
+
   test("IVF rebuild: re-trained quantizer from the state's own postings; recall recovers on a drifted corpus; parity with the learned batch search") {
     import graft.operators.Similarity
     import spark.implicits._
