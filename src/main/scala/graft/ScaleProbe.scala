@@ -718,6 +718,11 @@ object ScaleProbe {
     // family exemplar, the SCALE_r17 q242 convention).
     bracket("q260_exact_substr_takedown",
       SparkEntry.queries("q260_exact_substr_takedown"), byteFactor)
+    // r18: streamed video fingerprints — the q231/q240 streaming-machinery
+    // class with a per-epoch AVI decode scan (bytes) feeding digest-only
+    // state; tombstone + physical-deletion compaction ride on top.
+    bracket("q267_streaming_video_dups",
+      SparkEntry.queries("q267_streaming_video_dups"), byteFactor)
 
     if (only.isEmpty) {
     val fnFlag = SparkEntry.queries("q03_training_examples")
