@@ -2266,6 +2266,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // CMS takedown — the only SKETCH family with an exact inverse
+    // (cells are cell-wise additive; HLL max-merges and MG trims, so
+    // their takedown is a rebuild, documented at the sink): q120's
+    // streamed cells + one subtraction epoch for the removed docs'
+    // tokens, probed with the SURVIVORS' exact counts — q120's oracle
+    // verbatim on `doc_id % 7 <> 3`.
+    "q268_cms_takedown" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
+      val path = exitCleanedTempDir("graft_q268_cms")
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q120_streaming_count_min:$dir")) { (batch, id) =>
+        graft.streaming.StreamingOps.countMinSink("source", "tok", path)(
+          batch.select(col("source"), explode(TextAnalysis.wordsCol).as("tok")), id)
+      }
+      graft.streaming.StreamingOps.countMinDeleteSink("source", "tok", path)(
+        docs.filter(pmod(col("doc_id"), lit(7L)) === 3L)
+          .select(col("source"), explode(TextAnalysis.wordsCol).as("tok")), 3L)
+      val survivors = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 3L)
+      val exact = survivors
+        .select(col("source").as("grp"), explode(TextAnalysis.wordsCol).as("item"))
+        .groupBy(col("grp"), col("item")).agg(count(lit(1)).as("exact_cnt"))
+      graft.functions.Sketches.probeCountMin(
+          graft.streaming.StreamingOps.mergedCountMinCells(s, path), exact)
+        .withColumn("overcount", col("cms_est") - col("exact_cnt"))
+        .orderBy("grp", "item")
+    }),
+
     // VIDEO under streaming state — the third modality joins the
     // replay-idempotent epoch layout: per-batch AVI decode → temporal
     // subsample → one fingerprint row per doc (digests only; frames die
@@ -7726,30 +7752,12 @@ object SparkEntry {
     // The streaming cell merge must equal the batch sketch of the same
     // corpus (cells are additive over doc-disjoint shards): q86's
     // construction over the doc_id < 500 streamed universe.
-    "q120_streaming_count_min" ->
-      """WITH w AS (
-        |  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\s+')) AS item
-        |  FROM documents WHERE doc_id < 500
-        |),
-        |rs AS (SELECT CAST(unnest(range(4)) AS INT) AS r),
-        |h AS (
-        |  SELECT grp, item, r,
-        |         CAST('0x' || substr(md5(item), 1 + 8 * r, 8) AS BIGINT) % 64 AS bucket
-        |  FROM w CROSS JOIN rs
-        |),
-        |sk AS (SELECT grp, r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY grp, r, bucket),
-        |e AS (SELECT grp, item, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM w GROUP BY grp, item),
-        |pr AS (
-        |  SELECT grp, item, exact_cnt, r,
-        |         CAST('0x' || substr(md5(item), 1 + 8 * r, 8) AS BIGINT) % 64 AS bucket
-        |  FROM e CROSS JOIN rs
-        |)
-        |SELECT pr.grp, pr.item, pr.exact_cnt,
-        |       MIN(sk.c) AS cms_est,
-        |       MIN(sk.c) - pr.exact_cnt AS overcount
-        |FROM pr JOIN sk ON pr.grp = sk.grp AND pr.r = sk.r AND pr.bucket = sk.bucket
-        |GROUP BY pr.grp, pr.item, pr.exact_cnt
-        |ORDER BY pr.grp, pr.item""".stripMargin,
+    "q120_streaming_count_min" -> cmsProbeOracleOver(""),
+
+    // q268: q120's sketch construction + probe, corpus restricted to the
+    // takedown survivors — what the merged cells must equal after the
+    // subtraction epoch cancels the removed docs' token cells.
+    "q268_cms_takedown" -> cmsProbeOracleOver(" AND doc_id % 7 <> 3"),
 
     "q87_semantic_dedup" -> semanticDedupOracle,
 
@@ -10110,6 +10118,35 @@ object SparkEntry {
     * merged streaming occurrence state is the same count table, so the
     * strip is identical.
     */
+  /** Shared q120/q268 oracle: the Count-Min construction + exact-set
+    * probe, over the full (doc_id < 500) corpus or the takedown
+    * survivors.
+    */
+  private def cmsProbeOracleOver(andWhere: String) =
+    s"""WITH w AS (
+      |  SELECT source AS grp, unnest(regexp_split_to_array(trim(text), '\\s+')) AS item
+      |  FROM documents WHERE doc_id < 500$andWhere
+      |),
+      |rs AS (SELECT CAST(unnest(range(4)) AS INT) AS r),
+      |h AS (
+      |  SELECT grp, item, r,
+      |         CAST('0x' || substr(md5(item), 1 + 8 * r, 8) AS BIGINT) % 64 AS bucket
+      |  FROM w CROSS JOIN rs
+      |),
+      |sk AS (SELECT grp, r, bucket, CAST(COUNT(*) AS BIGINT) AS c FROM h GROUP BY grp, r, bucket),
+      |e AS (SELECT grp, item, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM w GROUP BY grp, item),
+      |pr AS (
+      |  SELECT grp, item, exact_cnt, r,
+      |         CAST('0x' || substr(md5(item), 1 + 8 * r, 8) AS BIGINT) % 64 AS bucket
+      |  FROM e CROSS JOIN rs
+      |)
+      |SELECT pr.grp, pr.item, pr.exact_cnt,
+      |       MIN(sk.c) AS cms_est,
+      |       MIN(sk.c) - pr.exact_cnt AS overcount
+      |FROM pr JOIN sk ON pr.grp = sk.grp AND pr.r = sk.r AND pr.bucket = sk.bucket
+      |GROUP BY pr.grp, pr.item, pr.exact_cnt
+      |ORDER BY pr.grp, pr.item""".stripMargin
+
   /** Shared q250/q267 oracle: sampled-frame digests → per-doc
     * fingerprint → collision clusters, over the full corpus (q250) or
     * the takedown survivors (q267).

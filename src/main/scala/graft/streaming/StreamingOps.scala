@@ -559,11 +559,38 @@ object StreamingOps {
         .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
   /** The live sketch over a [[countMinSink]] directory: cell-wise sum of
-    * every epoch's cells.
+    * every epoch's cells. The post-sum `c > 0` filter is the CMS arm of
+    * the subtraction-epoch contract ([[countMinDeleteSink]]): a cell
+    * whose every count came from since-removed docs reads as ABSENT,
+    * which under [[graft.functions.Sketches.probeCountMin]]'s
+    * dense-matrix semantics (absent = 0) makes the merged sketch
+    * cell-equivalent to the batch sketch over the survivors; with no
+    * delete epochs the filter is a no-op (cells sum to ≥ 1).
     */
   def mergedCountMinCells(spark: SparkSession, basePath: String): DataFrame =
     graft.functions.Sketches.mergeCountMinCells(Seq(
       compactedStateView(spark, basePath, Seq("grp", "row", "bucket", "c"))))
+      .filter(col("c") > 0L)
+
+  /** [[passageCountsDeleteSink]]'s CMS arm — Count-Min cells are
+    * cell-wise ADDITIVE, so a delete epoch landing the removed rows'
+    * cells NEGATED cancels their contribution exactly under the plain
+    * cell sum (same exactly-once delete contract). This is the ONLY
+    * sketch family with an exact inverse: HLL registers are max-merged
+    * and Misra–Gries summaries trim — neither is invertible, so their
+    * takedown path is a rebuild from the surviving source, not a
+    * subtraction epoch (documented here so nobody reaches for one).
+    */
+  def countMinDeleteSink(
+      groupCol: String,
+      itemCol: String,
+      basePath: String,
+      depth: Int = 4,
+      width: Int = 64): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.functions.Sketches.countMinCells(batch, groupCol, itemCol, depth, width)
+        .select(col("grp"), col("row"), col("bucket"), (-col("c")).as("c"))
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
 
   /** Streaming HLL distinct-count maintenance, same epoch layout as
     * [[countMinSink]]. HLL is even friendlier to at-least-once delivery
@@ -1496,10 +1523,13 @@ object StreamingOps {
     doomed.size
   }
 
-  /** [[compactEpochs]] for a [[countMinSink]] directory (cell-wise sum). */
+  /** [[compactEpochs]] for a [[countMinSink]] directory (cell-wise sum
+    * + [[compactPassageEpochs]]' positive clamp — fully-cancelled cells
+    * leave the base, matching the dense-matrix absent-reads-as-0 rule).
+    */
   def compactCountMinEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =
     compactEpochs(spark, basePath, keepAfter, Seq("grp", "row", "bucket", "c"),
-      df => graft.functions.Sketches.mergeCountMinCells(Seq(df)))
+      df => graft.functions.Sketches.mergeCountMinCells(Seq(df)).filter(col("c") > 0L))
 
   /** [[compactEpochs]] for an [[hllSink]] directory (register-wise max). */
   def compactHllEpochs(spark: SparkSession, basePath: String, keepAfter: Long): Int =

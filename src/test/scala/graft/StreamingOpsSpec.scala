@@ -1207,6 +1207,37 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rState === rBatch, "rolling state after subtraction must equal survivor batch counts")
   }
 
+  test("CMS takedown: a subtraction epoch cancels removed rows' cells exactly; cancelled cells read as absent") {
+    import graft.functions.Sketches
+    import spark.implicits._
+    def rows(xs: (String, String)*) = xs.toDF("grp", "item")
+    val dir = java.nio.file.Files.createTempDirectory("graft_cms_takedown").toString
+    val sink = StreamingOps.countMinSink("grp", "item", dir)
+    val b0 = rows("g" -> "alpha", "g" -> "alpha", "g" -> "beta")
+    val b1 = rows("g" -> "alpha", "g" -> "gamma")
+    sink(b0, 0L); sink(b1, 1L)
+    // Take down b1's contribution; the merged cells must equal the batch
+    // sketch of b0 alone, cell for cell (fully-cancelled cells vanish —
+    // dense-matrix semantics read them as 0 either way).
+    StreamingOps.countMinDeleteSink("grp", "item", dir)(b1, 2L)
+    def cellMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val merged = cellMap(StreamingOps.mergedCountMinCells(spark, dir))
+    val batch = cellMap(Sketches.countMinCells(b0, "grp", "item"))
+    assert(merged === batch, "merged cells after subtraction must equal the survivor batch cells")
+    // Probe parity: estimates over the merged state equal the survivor
+    // batch sketch's (alpha back to 2; gamma's cells cancelled → 0).
+    val probes = rows("g" -> "alpha", "g" -> "gamma").distinct()
+    val est = Sketches.probeCountMin(StreamingOps.mergedCountMinCells(spark, dir), probes)
+      .collect().map(r => r.getAs[String]("item") -> r.getAs[Long]("cms_est")).toMap
+    assert(est("alpha") === 2L)
+    assert(est("gamma") === 0L, "a fully-taken-down item must read 0, not a stale count")
+    // Compaction folds through the positive clamp; view unchanged.
+    assert(StreamingOps.compactCountMinEpochs(spark, dir, keepAfter = 2L) === 3)
+    assert(cellMap(StreamingOps.mergedCountMinCells(spark, dir)) === batch)
+    assert(spark.read.parquet(dir).filter(col("c") <= 0L).count() === 0L)
+  }
+
   test("streaming video fingerprints: cross-epoch dups surface; tombstones mask exactly; compaction deletes physically") {
     import graft.operators.Multimodal
     import spark.implicits._
