@@ -1382,6 +1382,19 @@ object SparkEntry {
         .toDF()
         .orderBy("doc_id")),
 
+    // PNG RESIZE — the first transform across a COMPRESSED format:
+    // inflate + un-filter to pixels, per-channel box decimation, then
+    // deflate + re-filter back to a real truecolor PNG; the gate decodes
+    // the output, so the hash pins geometry and exact pixel stats
+    // through decompress → transform → recompress (never compressed
+    // bytes, which the deflate encoder owns).
+    "q269_png_resize" -> ((s, dir) =>
+      Multimodal.decodePngFeatures(s,
+          Multimodal.resizePng(s, Multimodal.toPng(Tables.documents(s, dir)), kx = 4))
+        .toDF()
+        .drop("idat_len")
+        .orderBy("doc_id")),
+
     // COLOR image RESIZE — q255's three-channel twin: stride-4 box
     // decimation of each PPM payload with channels kept separate,
     // re-encoded as a real PPM and round-tripped through the color
@@ -4039,11 +4052,13 @@ object SparkEntry {
 
     // q259: the transform routing + output geometry replayed from the
     // q253 damage rule — only the TRANSFORMABLE claims matter here
-    // (netpbm's 2-byte magics survive the 8-byte cut and quarantine at
-    // transform; WAVE/AVI claims die with the cut and pass through),
-    // everything else is a passthrough row; out_geom = resized pixels
-    // L//4 (pgm) / (L//3)//4 (ppm), resampled samples L//4 (wav), total
-    // resized frame bytes 4*(L//16)+(L%16)//4 (avi), -1 for passthrough.
+    // (netpbm's 2-byte magics and PNG's exactly-8-byte signature
+    // survive the 8-byte cut and quarantine at transform; WAVE/AVI
+    // claims die with the cut and pass through), everything else is a
+    // passthrough row; out_geom = resized pixels L//4 (pgm) /
+    // (L//3)//4 (ppm) / 2*((L//6)//4) (png), resampled samples L//4
+    // (wav), total resized frame bytes 4*(L//16)+(L%16)//4 (avi), -1
+    // for passthrough.
     "q259_media_transform_inventory" ->
       """WITH n AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L, doc_id % 8 AS sel,
@@ -4054,14 +4069,16 @@ object SparkEntry {
         |  CASE
         |    WHEN sel = 0 THEN 'pgm'
         |    WHEN sel = 1 THEN 'ppm'
+        |    WHEN sel = 4 AND L >= 6 THEN 'png'
         |    WHEN sel = 2 AND NOT dmg THEN 'wav'
         |    WHEN sel = 6 AND NOT dmg THEN 'avi'
         |    ELSE 'passthrough' END AS kind,
-        |  NOT (sel IN (0, 1) AND dmg) AS ok,
+        |  NOT ((sel IN (0, 1) OR (sel = 4 AND L >= 6)) AND dmg) AS ok,
         |  CAST(CASE
-        |    WHEN sel IN (0, 1) AND dmg THEN NULL
+        |    WHEN (sel IN (0, 1) OR (sel = 4 AND L >= 6)) AND dmg THEN NULL
         |    WHEN sel = 0 THEN L // 4
         |    WHEN sel = 1 THEN (L // 3) // 4
+        |    WHEN sel = 4 AND L >= 6 THEN 2 * ((L // 6) // 4)
         |    WHEN sel = 2 AND NOT dmg THEN L // 4
         |    WHEN sel = 6 AND NOT dmg THEN 4 * (L // 16) + (L % 16) // 4
         |    ELSE -1 END AS BIGINT) AS out_geom
@@ -4094,12 +4111,53 @@ object SparkEntry {
         |      WHEN sel = 1 THEN (L // 3) // 4
         |      WHEN sel = 2 THEN L // 4
         |      WHEN sel = 3 THEN 2 * (L // 6)
-        |      WHEN sel = 4 AND L >= 6 THEN 2 * (L // 6)
+        |      WHEN sel = 4 AND L >= 6 THEN 2 * ((L // 6) // 4)
         |      WHEN sel = 5 AND L >= 64 THEN L // 64
         |      WHEN sel = 6 THEN (L + 15) // 16
         |      ELSE -1 END AS BIGINT) AS geom
         |  FROM n)
-        |WHERE NOT ((sel IN (0, 2) AND L < 4) OR (sel = 1 AND L < 12))
+        |WHERE NOT ((sel IN (0, 2) AND L < 4) OR (sel = 1 AND L < 12)
+        |           OR (sel = 4 AND L >= 6 AND L < 24))
+        |ORDER BY doc_id""".stripMargin,
+
+    // q269: the input PNG's raster is 2 rows of w = L//6 pixels (row r
+    // covers text bytes [3wr+1, 3w(r+1)]); resize kx=4 keeps both rows
+    // at ow = w//4 pixels, channel c of output (r, j) = truncated mean
+    // of the 4 consecutive input pixels' channel c; features replay the
+    // decoder (means per channel over both rows, min/max over all,
+    // top_row_mean over row 0's 3·ow values, raw_len = unfiltered
+    // scanline bytes). idat_len is compressor-owned and excluded.
+    "q269_png_resize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |         CAST(length(text) AS BIGINT) // 6 AS w,
+        |         (CAST(length(text) AS BIGINT) // 6) // 4 AS ow
+        |  FROM documents
+        |  WHERE (CAST(length(text) AS BIGINT) // 6) // 4 >= 1
+        |),
+        |px AS (
+        |  SELECT doc_id, ow, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+        |         (CAST(unicode(text[CAST(3 * w * r + 3 * (4 * j + 0) + c + 1 AS INT):CAST(3 * w * r + 3 * (4 * j + 0) + c + 1 AS INT)]) AS BIGINT)
+        |          + unicode(text[CAST(3 * w * r + 3 * (4 * j + 1) + c + 1 AS INT):CAST(3 * w * r + 3 * (4 * j + 1) + c + 1 AS INT)])
+        |          + unicode(text[CAST(3 * w * r + 3 * (4 * j + 2) + c + 1 AS INT):CAST(3 * w * r + 3 * (4 * j + 2) + c + 1 AS INT)])
+        |          + unicode(text[CAST(3 * w * r + 3 * (4 * j + 3) + c + 1 AS INT):CAST(3 * w * r + 3 * (4 * j + 3) + c + 1 AS INT)])) // 4 AS v
+        |  FROM n, unnest(range(0, 2)) AS ur(r), unnest(range(0, ow)) AS uj(j),
+        |       unnest(range(0, 3)) AS uc(c)
+        |)
+        |SELECT doc_id,
+        |       CAST(ow AS INT) AS width,
+        |       CAST(2 AS INT) AS height,
+        |       CAST(8 AS INT) AS bit_depth,
+        |       CAST(2 AS INT) AS color_type,
+        |       CAST(2 * ow AS BIGINT) AS n_px,
+        |       CAST(SUM(v) FILTER (WHERE c = 0) AS DOUBLE) / CAST(2 * ow AS DOUBLE) AS r_mean,
+        |       CAST(SUM(v) FILTER (WHERE c = 1) AS DOUBLE) / CAST(2 * ow AS DOUBLE) AS g_mean,
+        |       CAST(SUM(v) FILTER (WHERE c = 2) AS DOUBLE) / CAST(2 * ow AS DOUBLE) AS b_mean,
+        |       CAST(MIN(v) AS INT) AS min_px,
+        |       CAST(MAX(v) AS INT) AS max_px,
+        |       CAST(SUM(v) FILTER (WHERE r = 0) AS DOUBLE) / CAST(3 * ow AS DOUBLE) AS top_row_mean,
+        |       CAST(2 * (1 + 3 * ow) AS BIGINT) AS raw_len
+        |FROM px GROUP BY doc_id, ow
         |ORDER BY doc_id""".stripMargin,
 
     // q266: output pixel j channel c = truncated mean of input pixels

@@ -246,7 +246,7 @@ object Multimodal {
           catch { case _: Exception => (id, kind, false, Option.empty[Long]) }
         })
         .toDF("doc_id", "kind", "ok", "out_geom")
-    val pass = media.filter(not(isP5 || isP6 || isRiff || isAvi)).select(
+    val pass = media.filter(not(isP5 || isP6 || isPng || isRiff || isAvi)).select(
       col("doc_id"), lit("passthrough").as("kind"),
       lit(true).as("ok"), lit(-1L).as("out_geom"))
     inv(isP5, "pgm") { (id, b) =>
@@ -260,6 +260,10 @@ object Multimodal {
       .unionByName(inv(isP6, "ppm") { (id, b) =>
         resizedPpmPayload(id, b, kx, 1)
           .fold(0L)(out => PpmDecoder.decode(id, out).n_px)
+      })
+      .unionByName(inv(isPng, "png") { (id, b) =>
+        resizedPngPayload(id, b, kx, 1)
+          .fold(0L)(out => PngCodec.decode(id, out).n_px)
       })
       .unionByName(inv(isRiff, "wav") { (id, b) =>
         resampledWavPayload(id, b, k)
@@ -277,6 +281,7 @@ object Multimodal {
     * transforms and returns the new lake (the write-back half of a
     * corpus-scale media transform pass). Transformable claims map
     * through the real kernels (P5 → [[resizePgm]], P6 → [[resizePpm]],
+    * PNG → [[resizePng]] — across the compression boundary,
     * RIFF/WAVE → [[resampleWav]], RIFF/AVI → [[resizeAvi]]); everything else
     * passes through byte-identical. Sub-block images/streams DROP
     * (their transforms emit nothing — the documented decimation
@@ -293,9 +298,10 @@ object Multimodal {
     def pp(df: DataFrame) = df.select(col("doc_id"), col("payload"))
     pp(resizePgm(spark, media.filter(isP5), kx))
       .unionByName(pp(resizePpm(spark, media.filter(isP6), kx)))
+      .unionByName(pp(resizePng(spark, media.filter(isPng), kx)))
       .unionByName(pp(resampleWav(spark, media.filter(isRiff), k)))
       .unionByName(pp(resizeAvi(spark, media.filter(isAvi), kx)))
-      .unionByName(pp(media.filter(not(isP5 || isP6 || isRiff || isAvi))))
+      .unionByName(pp(media.filter(not(isP5 || isP6 || isPng || isRiff || isAvi))))
   }
 
   /** Wrap each document as a REAL binary PGM image — a 1-row grayscale
@@ -483,6 +489,67 @@ object Multimodal {
       val header = s"P6\n$ow $oh\n$maxVal\n"
         .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
       header ++ out
+    }
+  }
+
+  /** The first resize across a COMPRESSED format — the full
+    * decode → transform → re-encode arc: inflate + un-filter the PNG to
+    * image-order pixels ([[PngCodec.pixels]]), stride-(kx, ky)
+    * per-channel box decimation (the [[resizePpm]] kernel over the
+    * decoded raster), then deflate + re-filter back to a REAL truecolor
+    * PNG ([[PngCodec.encodeRaster]]) that every PNG consumer accepts.
+    * The PIXELS round-trip bit-exactly whatever the deflate encoder
+    * does (the codec's determinism note), so gates hash geometry and
+    * pixel stats, never compressed bytes. Same sub-block drop contract
+    * as the raw-raster resizes. Payloads never leave their partition.
+    */
+  def resizePng(
+      spark: SparkSession, media: DataFrame, kx: Int, ky: Int = 1): DataFrame = {
+    require(kx >= 1 && ky >= 1, s"factors must be positive: kx=$kx ky=$ky")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        resizedPngPayload(id, b, kx, ky).map(out => (id, out)).iterator
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** [[resizePng]]'s per-payload kernel, shared with
+    * [[mediaTransformInventory]] and [[transformMedia]]. None =
+    * sub-block input.
+    */
+  private def resizedPngPayload(
+      id: Long, b: Array[Byte], kx: Int, ky: Int): Option[Array[Byte]] = {
+    val (w, h, px, _) = PngCodec.pixels(id, b)
+    val ow = w / kx
+    val oh = h / ky
+    if (ow < 1 || oh < 1) None else Some {
+      val out = new Array[Byte](3 * ow * oh)
+      val block = kx.toLong * ky
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var c = 0
+          while (c < 3) {
+            var sum = 0L
+            var dy = 0
+            while (dy < ky) {
+              var dx = 0
+              while (dx < kx) {
+                sum += px(3 * ((oy * ky + dy) * w + ox * kx + dx) + c)
+                dx += 1
+              }
+              dy += 1
+            }
+            out(3 * (oy * ow + ox) + c) = (sum / block).toByte
+            c += 1
+          }
+          ox += 1
+        }
+        oy += 1
+      }
+      PngCodec.encodeRaster(out, ow, oh)
     }
   }
 
@@ -1826,20 +1893,37 @@ object Multimodal {
     def encode(textBytes: Array[Byte]): Array[Byte] = {
       val w = textBytes.length / 6
       require(w > 0, s"document too short for a PNG raster: ${textBytes.length} bytes")
-      val h = 2
-      // Scanlines: row 0 filter None (0), row 1 filter Sub (1) — the
-      // second row stores left-deltas, so inflate alone is NOT decode.
+      encodeRaster(java.util.Arrays.copyOf(textBytes, 6 * w), w, 2)
+    }
+
+    /** Serialize an RGB raster (row-major, 3 bytes/pixel) as the codec's
+      * canonical truecolor PNG — row 0 filter None, every later row
+      * filter Sub (left-deltas, so inflate alone is NOT decode). The
+      * re-encode half of [[resizePng]]; [[encode]] is the 2-row
+      * text-raster special case.
+      */
+    def encodeRaster(rgb: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      require(w > 0 && h > 0 && rgb.length == 3 * w * h,
+        s"raster shape mismatch: ${rgb.length} bytes for ${w}x$h RGB")
       val raw = new Array[Byte](h * (1 + 3 * w))
-      raw(0) = 0
-      System.arraycopy(textBytes, 0, raw, 1, 3 * w)
-      val r1 = 1 + 3 * w
-      raw(r1) = 1
-      var i = 0
-      while (i < 3 * w) {
-        val cur = textBytes(3 * w + i) & 0xff
-        val left = if (i < 3) 0 else textBytes(3 * w + i - 3) & 0xff
-        raw(r1 + 1 + i) = ((cur - left) & 0xff).toByte
-        i += 1
+      var r = 0
+      while (r < h) {
+        val base = r * (1 + 3 * w)
+        val src = r * 3 * w
+        if (r == 0) {
+          raw(base) = 0
+          System.arraycopy(rgb, src, raw, base + 1, 3 * w)
+        } else {
+          raw(base) = 1
+          var i = 0
+          while (i < 3 * w) {
+            val cur = rgb(src + i) & 0xff
+            val left = if (i < 3) 0 else rgb(src + i - 3) & 0xff
+            raw(base + 1 + i) = ((cur - left) & 0xff).toByte
+            i += 1
+          }
+        }
+        r += 1
       }
       val deflater = new java.util.zip.Deflater(6)
       deflater.setInput(raw); deflater.finish()
@@ -1854,6 +1938,27 @@ object Multimodal {
     }
 
     def decode(docId: Long, b: Array[Byte]): PngFeatures = {
+      val (w, h, px, idatLen) = pixels(docId, b)
+      val nPx = h.toLong * w
+      def meanOf(ch: Int): Option[Double] =
+        if (nPx == 0) None
+        else Some(px.indices.collect { case i if i % 3 == ch => px(i) }.sum.toDouble / nPx)
+      val topMean =
+        if (w == 0) None else Some(px.slice(0, 3 * w).sum.toDouble / (3 * w))
+      PngFeatures(
+        docId, w, h, 8, 2, nPx,
+        meanOf(0), meanOf(1), meanOf(2),
+        if (px.isEmpty) None else Some(px.min),
+        if (px.isEmpty) None else Some(px.max),
+        topMean, idatLen, (h * (1 + 3 * w)).toLong)
+    }
+
+    /** The decode core shared by [[decode]] and [[resizePng]]: chunk
+      * walk (CRCs verified), IHDR validation, multi-IDAT inflate, and
+      * scanline UN-FILTERING into image-order pixel values. Returns
+      * `(w, h, pixels, idat bytes)`.
+      */
+    def pixels(docId: Long, b: Array[Byte]): (Int, Int, Array[Int], Long) = {
       require(b.length >= 8 && Signature.indices.forall(i => b(i) == Signature(i)),
         s"doc $docId: not a PNG (bad signature)")
       def u8(i: Int): Int = b(i) & 0xff
@@ -1921,18 +2026,8 @@ object Multimodal {
         }
         r += 1
       }
-      val nPx = h.toLong * w
-      def meanOf(ch: Int): Option[Double] =
-        if (nPx == 0) None
-        else Some(px.indices.collect { case i if i % 3 == ch => px(i) }.sum.toDouble / nPx)
-      val topMean =
-        if (w == 0) None else Some(px.slice(0, 3 * w).sum.toDouble / (3 * w))
-      PngFeatures(
-        docId, w, h, depth, color, nPx,
-        meanOf(0), meanOf(1), meanOf(2),
-        if (px.isEmpty) None else Some(px.min),
-        if (px.isEmpty) None else Some(px.max),
-        topMean, idat.size().toLong, raw.length.toLong)
+      val _ = (depth, color) // IHDR-validated above (8-bit truecolor)
+      (w, h, px, idat.size().toLong)
     }
   }
 

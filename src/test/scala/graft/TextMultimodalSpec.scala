@@ -1085,6 +1085,33 @@ class TextMultimodalSpec extends SparkSpec {
     assert(Multimodal.resizePpm(spark, Multimodal.toPpm(tiny), kx = 4).collect().isEmpty)
   }
 
+  test("resizePng: decode through the compression boundary, per-channel decimation, real PNG round trip") {
+    // 24 chars → 2 rows × 4 RGB pixels; kx=4 → 1 pixel per row.
+    // Row 0 ch0 = mean('a','d','g','j') = 101; row 1 ch0 = 113 (trunc).
+    val d = Seq((1L, "abcdefghijklmnopqrstuvwx", "en", "s", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.decodePngFeatures(
+      spark, Multimodal.resizePng(spark, Multimodal.toPng(d), kx = 4)).collect().head
+    assert(f.width === 1 && f.height === 2 && f.n_px === 2L)
+    assert(f.r_mean === Some((101 + 113) / 2.0))
+    assert(f.g_mean === Some((102 + 114) / 2.0))
+    assert(f.b_mean === Some((103 + 115) / 2.0))
+    assert(f.min_px === Some(101) && f.max_px === Some(115))
+    assert(f.top_row_mean === Some((101 + 102 + 103) / 3.0))
+    // 2-D: ky=2 folds both rows into one; block = 2×2 pixels per channel.
+    val f2 = Multimodal.decodePngFeatures(
+      spark, Multimodal.resizePng(spark, Multimodal.toPng(d), kx = 2, ky = 2)).collect().head
+    assert(f2.width === 2 && f2.height === 1)
+    assert(f2.min_px === Some((97 + 100 + 109 + 112) / 4))
+    // Sub-block input drops; the router still claims the resized output.
+    val tiny = Seq((2L, "abcdefghijklmnopqrst", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Multimodal.resizePng(spark, Multimodal.toPng(tiny), kx = 4).collect().isEmpty)
+    val routed = Multimodal.extractFeatures(
+      spark, Multimodal.resizePng(spark, Multimodal.toPng(d), kx = 4)).collect().head
+    assert(routed.getAs[String]("kind") === "png")
+  }
+
   test("mediaInventory: corrupt payloads quarantine as rows; claim survival decides the route") {
     val d = Seq((0L, "grayscale pixel data", "en", "s", 20L),
       (1L, "sixteen samples!", "en", "s", 16L))
