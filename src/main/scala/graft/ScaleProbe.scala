@@ -501,7 +501,10 @@ object ScaleProbe {
       // re-route; two staged scans around the per-payload kernels.
       "q265_transformed_lake_router" -> byteFactor,
       // r18: color resize — the q255 codec-scan class at 3 bytes/pixel.
-      "q266_color_resize" -> byteFactor)
+      "q266_color_resize" -> byteFactor,
+      // r18: PNG resize — the codec scan class with a deflate/inflate
+      // leg on each side of the decimation.
+      "q269_png_resize" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

@@ -1388,9 +1388,14 @@ object SparkEntry {
     // the output, so the hash pins geometry and exact pixel stats
     // through decompress → transform → recompress (never compressed
     // bytes, which the deflate encoder owns).
+    // (The explicit n_chars >= 6 guard is the q229 convention — the PNG
+    // builder needs a 6-byte raster row; the oracle's ow >= 1 restriction
+    // subsumes it, so engine and oracle drop identical doc sets.)
     "q269_png_resize" -> ((s, dir) =>
       Multimodal.decodePngFeatures(s,
-          Multimodal.resizePng(s, Multimodal.toPng(Tables.documents(s, dir)), kx = 4))
+          Multimodal.resizePng(s,
+            Multimodal.toPng(Tables.documents(s, dir).filter(col("n_chars") >= 6)),
+            kx = 4))
         .toDF()
         .drop("idat_len")
         .orderBy("doc_id")),
