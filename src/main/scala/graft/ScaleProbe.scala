@@ -504,7 +504,10 @@ object ScaleProbe {
       "q266_color_resize" -> byteFactor,
       // r18: PNG resize — the codec scan class with a deflate/inflate
       // leg on each side of the decimation.
-      "q269_png_resize" -> byteFactor)
+      "q269_png_resize" -> byteFactor,
+      // r18: BMP resize — the raw-raster codec scan class (stride/
+      // swizzle arithmetic only; no compression legs).
+      "q270_bmp_resize" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")

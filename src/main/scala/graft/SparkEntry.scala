@@ -1400,6 +1400,19 @@ object SparkEntry {
         .drop("idat_len")
         .orderBy("doc_id")),
 
+    // BMP RESIZE — the DIB member of the raster-resize family (every
+    // decodable raster codec now transforms: PGM/PPM/PNG/BMP; JPEG
+    // stays decode-only by design): decode normalizes bottom-up rows,
+    // stride padding, and the BGR swizzle to image-order RGB, the
+    // shared per-channel kernel decimates, and the re-encode restores
+    // all three — the gate round-trips through the decoder, so a
+    // swizzle or stride slip anywhere hash-fails.
+    "q270_bmp_resize" -> ((s, dir) =>
+      Multimodal.decodeBmpFeatures(s,
+          Multimodal.resizeBmp(s, Multimodal.toBmp(Tables.documents(s, dir)), kx = 4))
+        .toDF()
+        .orderBy("doc_id")),
+
     // COLOR image RESIZE — q255's three-channel twin: stride-4 box
     // decimation of each PPM payload with channels kept separate,
     // re-encoded as a real PPM and round-tripped through the color
@@ -4076,6 +4089,7 @@ object SparkEntry {
         |    WHEN sel = 1 THEN 'ppm'
         |    WHEN sel = 4 AND L >= 6 THEN 'png'
         |    WHEN sel = 2 AND NOT dmg THEN 'wav'
+        |    WHEN sel = 3 AND NOT dmg THEN 'bmp'
         |    WHEN sel = 6 AND NOT dmg THEN 'avi'
         |    ELSE 'passthrough' END AS kind,
         |  NOT ((sel IN (0, 1) OR (sel = 4 AND L >= 6)) AND dmg) AS ok,
@@ -4085,6 +4099,7 @@ object SparkEntry {
         |    WHEN sel = 1 THEN (L // 3) // 4
         |    WHEN sel = 4 AND L >= 6 THEN 2 * ((L // 6) // 4)
         |    WHEN sel = 2 AND NOT dmg THEN L // 4
+        |    WHEN sel = 3 AND NOT dmg THEN 2 * ((L // 6) // 4)
         |    WHEN sel = 6 AND NOT dmg THEN 4 * (L // 16) + (L % 16) // 4
         |    ELSE -1 END AS BIGINT) AS out_geom
         |FROM n ORDER BY doc_id""".stripMargin,
@@ -4115,14 +4130,14 @@ object SparkEntry {
         |      WHEN sel = 0 THEN L // 4
         |      WHEN sel = 1 THEN (L // 3) // 4
         |      WHEN sel = 2 THEN L // 4
-        |      WHEN sel = 3 THEN 2 * (L // 6)
+        |      WHEN sel = 3 THEN 2 * ((L // 6) // 4)
         |      WHEN sel = 4 AND L >= 6 THEN 2 * ((L // 6) // 4)
         |      WHEN sel = 5 AND L >= 64 THEN L // 64
         |      WHEN sel = 6 THEN (L + 15) // 16
         |      ELSE -1 END AS BIGINT) AS geom
         |  FROM n)
         |WHERE NOT ((sel IN (0, 2) AND L < 4) OR (sel = 1 AND L < 12)
-        |           OR (sel = 4 AND L >= 6 AND L < 24))
+        |           OR (sel IN (3, 4) AND L >= 6 AND L < 24) OR (sel = 3 AND L < 6))
         |ORDER BY doc_id""".stripMargin,
 
     // q269: the input PNG's raster is 2 rows of w = L//6 pixels (row r
@@ -4162,6 +4177,41 @@ object SparkEntry {
         |       CAST(MAX(v) AS INT) AS max_px,
         |       CAST(SUM(v) FILTER (WHERE r = 0) AS DOUBLE) / CAST(3 * ow AS DOUBLE) AS top_row_mean,
         |       CAST(2 * (1 + 3 * ow) AS BIGINT) AS raw_len
+        |FROM px GROUP BY doc_id, ow
+        |ORDER BY doc_id""".stripMargin,
+
+    // q270: same raster replay as q269 (2 rows × L//6 RGB pixels from
+    // text bytes, resized to ow = (L//6)//4 per row) with the BMP
+    // feature surface — the swizzle/stride/bottom-up machinery must be
+    // invisible to the pixel math.
+    "q270_bmp_resize" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |         CAST(length(text) AS BIGINT) // 6 AS w,
+        |         (CAST(length(text) AS BIGINT) // 6) // 4 AS ow
+        |  FROM documents
+        |  WHERE (CAST(length(text) AS BIGINT) // 6) // 4 >= 1
+        |),
+        |px AS (
+        |  SELECT doc_id, ow, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+        |         (CAST(unicode(text[CAST(3 * w * r + 3 * (4 * j + 0) + c + 1 AS INT):CAST(3 * w * r + 3 * (4 * j + 0) + c + 1 AS INT)]) AS BIGINT)
+        |          + unicode(text[CAST(3 * w * r + 3 * (4 * j + 1) + c + 1 AS INT):CAST(3 * w * r + 3 * (4 * j + 1) + c + 1 AS INT)])
+        |          + unicode(text[CAST(3 * w * r + 3 * (4 * j + 2) + c + 1 AS INT):CAST(3 * w * r + 3 * (4 * j + 2) + c + 1 AS INT)])
+        |          + unicode(text[CAST(3 * w * r + 3 * (4 * j + 3) + c + 1 AS INT):CAST(3 * w * r + 3 * (4 * j + 3) + c + 1 AS INT)])) // 4 AS v
+        |  FROM n, unnest(range(0, 2)) AS ur(r), unnest(range(0, ow)) AS uj(j),
+        |       unnest(range(0, 3)) AS uc(c)
+        |)
+        |SELECT doc_id,
+        |       CAST(ow AS INT) AS width,
+        |       CAST(2 AS INT) AS height,
+        |       CAST(24 AS INT) AS bit_count,
+        |       CAST(2 * ow AS BIGINT) AS n_px,
+        |       CAST(SUM(v) FILTER (WHERE c = 0) AS DOUBLE) / CAST(2 * ow AS DOUBLE) AS r_mean,
+        |       CAST(SUM(v) FILTER (WHERE c = 1) AS DOUBLE) / CAST(2 * ow AS DOUBLE) AS g_mean,
+        |       CAST(SUM(v) FILTER (WHERE c = 2) AS DOUBLE) / CAST(2 * ow AS DOUBLE) AS b_mean,
+        |       CAST(MIN(v) AS INT) AS min_px,
+        |       CAST(MAX(v) AS INT) AS max_px,
+        |       CAST(SUM(v) FILTER (WHERE r = 0) AS DOUBLE) / CAST(3 * ow AS DOUBLE) AS top_row_mean
         |FROM px GROUP BY doc_id, ow
         |ORDER BY doc_id""".stripMargin,
 

@@ -246,7 +246,7 @@ object Multimodal {
           catch { case _: Exception => (id, kind, false, Option.empty[Long]) }
         })
         .toDF("doc_id", "kind", "ok", "out_geom")
-    val pass = media.filter(not(isP5 || isP6 || isPng || isRiff || isAvi)).select(
+    val pass = media.filter(not(isP5 || isP6 || isPng || isBmp || isRiff || isAvi)).select(
       col("doc_id"), lit("passthrough").as("kind"),
       lit(true).as("ok"), lit(-1L).as("out_geom"))
     inv(isP5, "pgm") { (id, b) =>
@@ -265,6 +265,10 @@ object Multimodal {
         resizedPngPayload(id, b, kx, 1)
           .fold(0L)(out => PngCodec.decode(id, out).n_px)
       })
+      .unionByName(inv(isBmp, "bmp") { (id, b) =>
+        resizedBmpPayload(id, b, kx, 1)
+          .fold(0L)(out => BmpDecoder.decode(id, out).n_px)
+      })
       .unionByName(inv(isRiff, "wav") { (id, b) =>
         resampledWavPayload(id, b, k)
           .fold(0L)(out => WavDecoder.decode(id, out).n_samples)
@@ -282,7 +286,8 @@ object Multimodal {
     * corpus-scale media transform pass). Transformable claims map
     * through the real kernels (P5 → [[resizePgm]], P6 → [[resizePpm]],
     * PNG → [[resizePng]] — across the compression boundary,
-    * RIFF/WAVE → [[resampleWav]], RIFF/AVI → [[resizeAvi]]); everything else
+    * BMP → [[resizeBmp]], RIFF/WAVE → [[resampleWav]],
+    * RIFF/AVI → [[resizeAvi]]); everything else
     * passes through byte-identical. Sub-block images/streams DROP
     * (their transforms emit nothing — the documented decimation
     * contract), so the output lake can be strictly smaller than the
@@ -299,9 +304,10 @@ object Multimodal {
     pp(resizePgm(spark, media.filter(isP5), kx))
       .unionByName(pp(resizePpm(spark, media.filter(isP6), kx)))
       .unionByName(pp(resizePng(spark, media.filter(isPng), kx)))
+      .unionByName(pp(resizeBmp(spark, media.filter(isBmp), kx)))
       .unionByName(pp(resampleWav(spark, media.filter(isRiff), k)))
       .unionByName(pp(resizeAvi(spark, media.filter(isAvi), kx)))
-      .unionByName(pp(media.filter(not(isP5 || isP6 || isPng || isRiff || isAvi))))
+      .unionByName(pp(media.filter(not(isP5 || isP6 || isPng || isBmp || isRiff || isAvi))))
   }
 
   /** Wrap each document as a REAL binary PGM image — a 1-row grayscale
@@ -550,6 +556,89 @@ object Multimodal {
         oy += 1
       }
       PngCodec.encodeRaster(out, ow, oh)
+    }
+  }
+
+  /** [[resizePpm]]'s DIB sibling — per-channel box decimation of a
+    * 24-bit BI_RGB BMP, re-encoded as a real bottom-up BMP with proper
+    * row-stride padding ([[toBmp]]'s canonical 54-byte header), so the
+    * output composes with every BMP consumer. Same kernel and drop
+    * contract as the other raster resizes; the BGR↔RGB swizzle and the
+    * bottom-up row order live entirely inside the codec halves
+    * ([[BmpDecoder.pixels]] / the encoder here), never in the math.
+    */
+  def resizeBmp(
+      spark: SparkSession, media: DataFrame, kx: Int, ky: Int = 1): DataFrame = {
+    require(kx >= 1 && ky >= 1, s"factors must be positive: kx=$kx ky=$ky")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        resizedBmpPayload(id, b, kx, ky).map(out => (id, out)).iterator
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** [[resizeBmp]]'s per-payload kernel, shared with
+    * [[mediaTransformInventory]] and [[transformMedia]]. None =
+    * sub-block input.
+    */
+  private def resizedBmpPayload(
+      id: Long, b: Array[Byte], kx: Int, ky: Int): Option[Array[Byte]] = {
+    val (w, h, px) = BmpDecoder.pixels(id, b)
+    val ow = w / kx
+    val oh = h / ky
+    if (ow < 1 || oh < 1) None else Some {
+      val out = new Array[Int](3 * ow * oh)
+      val block = kx.toLong * ky
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var c = 0
+          while (c < 3) {
+            var sum = 0L
+            var dy = 0
+            while (dy < ky) {
+              var dx = 0
+              while (dx < kx) {
+                sum += px(3 * ((oy * ky + dy) * w + ox * kx + dx) + c)
+                dx += 1
+              }
+              dy += 1
+            }
+            out(3 * (oy * ow + ox) + c) = (sum / block).toInt
+            c += 1
+          }
+          ox += 1
+        }
+        oy += 1
+      }
+      val stride = ((ow * 3 + 3) / 4) * 4
+      val imageSize = stride * oh
+      val bb = java.nio.ByteBuffer
+        .allocate(54 + imageSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + imageSize)
+        .putInt(0).putInt(54)
+        .putInt(40).putInt(ow).putInt(oh)            // bottom-up (positive)
+        .putShort(1.toShort).putShort(24.toShort)
+        .putInt(0).putInt(imageSize)
+        .putInt(2835).putInt(2835).putInt(0).putInt(0)
+      var imgRow = oh - 1                             // bottom row stored first
+      while (imgRow >= 0) {
+        var x = 0
+        while (x < ow) {
+          val base = 3 * (imgRow * ow + x)
+          bb.put(out(base + 2).toByte)                // B
+            .put(out(base + 1).toByte)                // G
+            .put(out(base).toByte)                    // R
+          x += 1
+        }
+        var p = 3 * ow
+        while (p < stride) { bb.put(0.toByte); p += 1 }
+        imgRow -= 1
+      }
+      bb.array()
     }
   }
 
@@ -1053,6 +1142,36 @@ object Multimodal {
     */
   object BmpDecoder {
     def decode(docId: Long, b: Array[Byte]): BmpFeatures = {
+      val (width, height, px) = pixels(docId, b)
+      val nPx = width.toLong * height
+      if (nPx == 0)
+        BmpFeatures(docId, width, height, 24, 0L, None, None, None, None, None, None)
+      else {
+        val sums = new Array[Long](3) // R, G, B
+        var topSum = 0L
+        var lo = 255; var hi = 0
+        var i = 0
+        while (i < px.length) {
+          val v = px(i)
+          sums(i % 3) += v
+          if (i < 3 * width) topSum += v
+          if (v < lo) lo = v
+          if (v > hi) hi = v
+          i += 1
+        }
+        val n = nPx.toDouble
+        BmpFeatures(docId, width, height, 24, nPx,
+          Some(sums(0) / n), Some(sums(1) / n), Some(sums(2) / n),
+          Some(lo), Some(hi), Some(topSum / (3.0d * width)))
+      }
+    }
+
+    /** The decode core shared by [[decode]] and [[resizeBmp]]: header
+      * validation (24-bit BI_RGB only), stride arithmetic, bottom-up /
+      * top-down normalization, and the BGR→RGB swizzle — returns
+      * `(width, height, pixels)` in IMAGE order (row 0 = top), RGB.
+      */
+    def pixels(docId: Long, b: Array[Byte]): (Int, Int, Array[Int]) = {
       def u8(i: Int): Int = b(i) & 0xff
       def le16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
       def le32(i: Int): Int =
@@ -1077,37 +1196,22 @@ object Multimodal {
       val stride = ((width * 3 + 3) / 4) * 4
       require(b.length.toLong - dataOffset >= stride.toLong * height,
         s"doc $docId: raster truncated (${b.length - dataOffset} bytes for $height×$stride)")
-      val nPx = width.toLong * height
-      if (nPx == 0)
-        BmpFeatures(docId, width, height, bitCount, 0L, None, None, None, None, None, None)
-      else {
-        val sums = new Array[Long](3) // R, G, B
-        var topSum = 0L
-        var lo = 255; var hi = 0
-        var imgRow = 0
-        while (imgRow < height) {
-          val storedRow = if (topDown) imgRow else height - 1 - imgRow
-          val rowStart = dataOffset + storedRow * stride
-          var x = 0
-          while (x < width) {
-            val bb = u8(rowStart + 3 * x)
-            val g = u8(rowStart + 3 * x + 1)
-            val r = u8(rowStart + 3 * x + 2)
-            sums(0) += r; sums(1) += g; sums(2) += bb
-            if (imgRow == 0) topSum += r + g + bb
-            val mn = math.min(bb, math.min(g, r))
-            val mx = math.max(bb, math.max(g, r))
-            if (mn < lo) lo = mn
-            if (mx > hi) hi = mx
-            x += 1
-          }
-          imgRow += 1
+      val px = new Array[Int](3 * width * height)
+      var imgRow = 0
+      while (imgRow < height) {
+        val storedRow = if (topDown) imgRow else height - 1 - imgRow
+        val rowStart = dataOffset + storedRow * stride
+        var x = 0
+        while (x < width) {
+          val base = 3 * (imgRow * width + x)
+          px(base) = u8(rowStart + 3 * x + 2)     // R
+          px(base + 1) = u8(rowStart + 3 * x + 1) // G
+          px(base + 2) = u8(rowStart + 3 * x)     // B
+          x += 1
         }
-        val n = nPx.toDouble
-        BmpFeatures(docId, width, height, bitCount, nPx,
-          Some(sums(0) / n), Some(sums(1) / n), Some(sums(2) / n),
-          Some(lo), Some(hi), Some(topSum / (3.0d * width)))
+        imgRow += 1
       }
+      (width, height, px)
     }
   }
 

@@ -1042,9 +1042,10 @@ class TextMultimodalSpec extends SparkSpec {
     val media = pp(Multimodal.toPgm(mk(0L, "abcdefghij")))              // 10 px → 2
       .unionByName(pp(Multimodal.toWav(mk(1L, "abcdefgh"))))            // 8 samples → 2
       .unionByName(pp(Multimodal.toAvi(mk(2L, "abcdefghijklmnopqrstuv")))) // 22 bytes → 5
-      .unionByName(pp(Multimodal.toPng(mk(3L, "pngpayload here"))))     // no transform
+      .unionByName(pp(Multimodal.toPng(mk(3L, "pngpayload here"))))     // 2 px/row → sub-block
       .unionByName(pp(Multimodal.toMedia(mk(4L, "raw text"))))          // no claim
       .unionByName(pp(Multimodal.toPgm(mk(5L, "abc"))))                 // sub-block → 0
+      .unionByName(pp(Multimodal.toBmp(mk(8L, "abcdefghijklmnopqrstuvwx")))) // 4 px/row → 1
     // Doc 6: a PGM whose claim survives but whose raster is cut — the
     // transform must quarantine it, not kill the task. Doc 7: color —
     // 24 text bytes = 8 RGB pixels → 2 output pixels.
@@ -1059,11 +1060,15 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(0L) === (("pgm", true, Some(2L))))
     assert(out(1L) === (("wav", true, Some(2L))))
     assert(out(2L) === (("avi", true, Some(5L))))
-    assert(out(3L) === (("passthrough", true, Some(-1L))))
+    // PNG is transformable since r18's resizePng: 15 chars → 2 px/row →
+    // sub-block at kx=4 → geom 0 (was a passthrough before the arm).
+    assert(out(3L) === (("png", true, Some(0L))))
     assert(out(4L) === (("passthrough", true, Some(-1L))))
     assert(out(5L) === (("pgm", true, Some(0L))))
     assert(out(6L) === (("pgm", false, None)))
     assert(out(7L) === (("ppm", true, Some(2L))))
+    // BMP: 24 chars → 2 rows × 4 px → 1 px/row → n_px 2.
+    assert(out(8L) === (("bmp", true, Some(2L))))
   }
 
   test("resizePpm: per-channel box decimation never mixes channels; sub-block drops; real PPM round trip") {
@@ -1110,6 +1115,32 @@ class TextMultimodalSpec extends SparkSpec {
     val routed = Multimodal.extractFeatures(
       spark, Multimodal.resizePng(spark, Multimodal.toPng(d), kx = 4)).collect().head
     assert(routed.getAs[String]("kind") === "png")
+  }
+
+  test("resizeBmp: bottom-up rows, stride padding, and the BGR swizzle stay invisible to the pixel math") {
+    // Same raster as the PNG test (2 rows × 4 RGB px from 24 chars), so
+    // the expected stats are identical — any swizzle/stride/row-order
+    // slip in either codec half shows up as a disagreement here.
+    val d = Seq((1L, "abcdefghijklmnopqrstuvwx", "en", "s", 24L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val f = Multimodal.decodeBmpFeatures(
+      spark, Multimodal.resizeBmp(spark, Multimodal.toBmp(d), kx = 4)).collect().head
+    assert(f.width === 1 && f.height === 2 && f.n_px === 2L && f.bit_count === 24)
+    assert(f.r_mean === Some((101 + 113) / 2.0))
+    assert(f.g_mean === Some((102 + 114) / 2.0))
+    assert(f.b_mean === Some((103 + 115) / 2.0))
+    assert(f.min_px === Some(101) && f.max_px === Some(115))
+    assert(f.top_row_mean === Some((101 + 102 + 103) / 3.0))
+    // ky=2: both rows fold — matches resizePng's 2-D case exactly.
+    val f2 = Multimodal.decodeBmpFeatures(
+      spark, Multimodal.resizeBmp(spark, Multimodal.toBmp(d), kx = 2, ky = 2)).collect().head
+    assert(f2.width === 2 && f2.height === 1)
+    assert(f2.min_px === Some((97 + 100 + 109 + 112) / 4))
+    // Sub-block drops; output stride padding still decodes (width 1 →
+    // 3-byte rows padded to 4).
+    val tiny = Seq((2L, "abcdefghijklmnopqrst", "en", "s", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    assert(Multimodal.resizeBmp(spark, Multimodal.toBmp(tiny), kx = 4).collect().isEmpty)
   }
 
   test("mediaInventory: corrupt payloads quarantine as rows; claim survival decides the route") {
