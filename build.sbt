@@ -28,4 +28,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   "-Duser.timezone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // Opt-in code-cache constraint for ISO experiments (reproducing the
+  // driver sweep's late-JVM codegen-class starvation locally); unset =
+  // JVM default, which every normal bench/test run uses.
+  sys.env.get("SPARK_GRAFT_CODECACHE").map(v => s"-XX:ReservedCodeCacheSize=$v").toSeq

@@ -729,6 +729,22 @@ object ScaleProbe {
     // state; tombstone + physical-deletion compaction ride on top.
     bracket("q267_streaming_video_dups",
       SparkEntry.queries("q267_streaming_video_dups"), byteFactor)
+    // r19: JPEG resize — the codec-scan class with a forward-DCT/
+    // entropy-encode leg on each side of the decimation (the q269/q270
+    // per-byte CPU shape); document text scans end to end.
+    bracket("q271_jpeg_resize", SparkEntry.queries("q271_jpeg_resize"), byteFactor)
+    // r19: bilinear to an explicit target — per-byte kernel work like
+    // the stride resizes, OUTPUT size fixed (48/32 px per doc), so the
+    // scan dominates even harder at scale.
+    bracket("q272_bilinear_resize", SparkEntry.queries("q272_bilinear_resize"), byteFactor)
+    bracket("q273_bilinear_color_resize",
+      SparkEntry.queries("q273_bilinear_color_resize"), byteFactor)
+    // r19: streamed signature index — the q231/q267 streaming-machinery
+    // class (3-restart stream + compaction) with per-epoch shingle
+    // digest scans (bytes) feeding per-doc index rows; the read side is
+    // nearDupAgainst over the merged state.
+    bracket("q274_streaming_signature_index",
+      SparkEntry.queries("q274_streaming_signature_index"), byteFactor)
 
     if (only.isEmpty) {
     val fnFlag = SparkEntry.queries("q03_training_examples")
@@ -771,6 +787,48 @@ object ScaleProbe {
       println(splitJson("q247_video_frame_stats", "100x", v100))
       val aV = math.log(v100.warmSec / v1.warmSec) / math.log(vFactor)
       println(f"""{"probe":"scale100","query":"q247_video_frame_stats","sec_1x":${v1.warmSec}%.3f,"sec_100x":${v100.warmSec}%.3f,"input_factor":$vFactor%.3f,"alpha":$aV%.3f,"superlinear":${aV > 1.2}}""")
+    }
+
+    // --- embeddings/ANN at 100× (VERDICT r18 #6) -------------------------
+    // The graph-ANN family (q235/q240/q243 — the sweep's most expensive
+    // family) and one IVF/PQ representative anchored at the decade that
+    // matters. 100 replicas of the embeddings table, each copy's signs
+    // deterministically flipped per (k, dim) — replicas land in
+    // DIFFERENT sign-LSH buckets, so co-bucket occupancy (the quadratic
+    // term the DEMO fixture concentrates) grows by the MEASURED edge
+    // factor, not by a silent 10⁴; that measured factor is the honest
+    // exponent base for the graph-ANN row (the q136/q235 convention),
+    // while the IVF/PQ row is scan+assign per vector → row factor 100.
+    if (only.exists(_.contains("q235_graph_ann_100x"))) {
+      val e100 = s"$dir100/embeddings.parquet"
+      if (!new java.io.File(s"$e100/_SUCCESS").exists()) {
+        e1.crossJoin(spark.range(100).toDF("k"))
+          .select(
+            (col("vec_id") + col("k") * Shift).as("vec_id"),
+            transform(col("embedding"), (x, i) =>
+              (x * when(col("k") === 0 || pmod(hash(col("k"), i), lit(2)) === 0, lit(1.0f))
+                .otherwise(lit(-1.0f))).cast("float")).as("embedding"),
+            col("label"))
+          .write.mode("overwrite").parquet(e100)
+      }
+      val edgeF100 = bucketEdges(dir100).count().toDouble / bucketEdges(sfDir).count()
+      println(f"""{"probe":"scale100_inputs","embedding_row_factor":100.0,"cobucket_edge_factor":$edgeF100%.3f}""")
+      for ((name, factor) <- Seq(
+          "q235_graph_ann" -> edgeF100,
+          "q133_ivf_pq_residual" -> 100.0)) {
+        val fn = SparkEntry.queries(name)
+        val mins = for ((tag, d) <- Seq("1x" -> sfDir, "100x" -> dir100)) yield {
+          val runs = (1 to 3).map { _ =>
+            spark.catalog.clearCache()
+            System.gc()
+            time(drain(fn(spark, d)))
+          }
+          println(f"""{"probe":"bracket","query":"$name","scale":"$tag","min_sec":${runs.min}%.3f}""")
+          runs.min
+        }
+        val a = math.log(mins(1) / mins(0)) / math.log(factor)
+        println(f"""{"probe":"scale100","query":"$name","sec_1x":${mins(0)}%.3f,"sec_100x":${mins(1)}%.3f,"input_factor":$factor%.3f,"alpha":$a%.3f,"superlinear":${a > 1.2}}""")
+      }
     }
 
     // --- the flagship at the REFERENCE default max_history=1000 ---------

@@ -57,10 +57,36 @@ object SparkEntry {
     * answers bounded by construction (verified dup pairs, survivor ids)
     * — never a data-sized frame.
     */
-  private def landed(df: DataFrame): DataFrame = {
-    val rows = df.collect()
+  private def landed(df: DataFrame, maxRows: Int = 250000): DataFrame = {
+    // take(N+1) + require enforces the "bounded by construction" claim
+    // instead of trusting it (ADVICE r18): a pathological corpus whose
+    // verified pair set grows quadratically fails loudly here rather
+    // than OOMing the driver inside an unbounded collect().
+    val rows = df.take(maxRows + 1)
+    require(rows.length <= maxRows,
+      s"landed() result exceeds $maxRows rows — not driver-boundable; " +
+        "stage it to parquet instead")
     df.sparkSession.createDataFrame(
       java.util.Arrays.asList(rows: _*), df.schema)
+  }
+
+  /** [[landed]] plus session-cache release — the gate-side lifecycle
+    * bracket for operators whose documented contract hands their FINAL
+    * persisted state to the caller (the iterative graph family,
+    * [[graft.operators.Dedup.dedupClusters]], [[graft.operators.Dedup
+    * .jaccardPairs]], the layout samplers): the returned plan reads
+    * that state, so an operator-side unpersist-before-return would
+    * re-execute the whole fixpoint per consumer. The gate IS the sole
+    * caller in a sweep JVM, so after evaluating the bounded answer
+    * onto the driver it releases every cache the evaluation left —
+    * no session-lifetime cache survives into the next gate's min-of-3
+    * block (BASELINE.md sweep-JVM convention; CacheLifecycleSpec
+    * enforces it over every gate entry).
+    */
+  private def landedSwept(df: DataFrame, maxRows: Int = 250000): DataFrame = {
+    val out = landed(df, maxRows)
+    df.sparkSession.catalog.clearCache()
+    out
   }
 
   /** The q237/q238 gate corpus: a deterministic multilingual rewrite of
@@ -119,31 +145,55 @@ object SparkEntry {
     * staging three full media-lake copies per gate pass (ADVICE r17) —
     * and registered for JVM-exit deletion.
     */
+  // WeakHashMap keyed on the SESSION OBJECT (identity equals), not its
+  // identity hash (ADVICE r18: identity hashes can be reused after a
+  // session is GC'd, silently serving a dead session's staged paths).
+  // The inner map keys on `dir`, which the gate contract holds immutable
+  // for a JVM lifetime (driver-generated testdata is never regenerated
+  // in-place mid-sweep).
   private val stagedMediaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, String]]())
 
-  /** Create a temp dir deleted recursively at JVM exit — bounded use
-    * only (one per cached media staging / streaming checkpoint family),
-    * so the hook count stays O(gate entries), never O(rows).
-    */
-  private[graft] def exitCleanedTempDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+  private def stagedPathFor(s: SparkSession, dir: String)(land: => String): String =
+    stagedMediaCache.synchronized {
+      stagedMediaCache.computeIfAbsent(
+        s, _ => new java.util.concurrent.ConcurrentHashMap[String, String]())
+    }.computeIfAbsent(dir, _ => land)
+
+  // ONE JVM shutdown hook over a concurrent registry of paths (ADVICE
+  // r18: a hook per call accumulates Thread objects for the JVM
+  // lifetime over a min-of-3 sweep of the media/streaming gates).
+  private val exitCleanupPaths =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val exitCleanupHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      if (Files.exists(p)) {
-        val walk = Files.walk(p)
-        try walk.sorted(Comparator.reverseOrder[Path]())
-          .forEach(f => Files.deleteIfExists(f))
-        finally walk.close()
+      exitCleanupPaths.forEach { p =>
+        if (Files.exists(p)) {
+          val walk = Files.walk(p)
+          try walk.sorted(Comparator.reverseOrder[Path]())
+            .forEach(f => Files.deleteIfExists(f))
+          finally walk.close()
+        }
       }
     }))
+
+  /** Create a temp dir deleted recursively at JVM exit — bounded use
+    * only (one per cached media staging / streaming checkpoint family),
+    * so the registry stays O(gate entries), never O(rows).
+    */
+  private[graft] def exitCleanedTempDir(prefix: String): String = {
+    exitCleanupHook
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    exitCleanupPaths.add(p)
     p.toString
   }
 
   private def stagedMixedMedia(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedMediaCache.computeIfAbsent(
-      (System.identityHashCode(s).toString, dir), _ => {
+    val staged = stagedPathFor(s, "clean:" + dir) {
         val d = Tables.documents(s, dir)
         val sel = pmod(col("doc_id"), lit(8L))
         val jpegOk = length(col("text")) >= 64
@@ -162,7 +212,7 @@ object SparkEntry {
         val path = exitCleanedTempDir("graft_router_media")
         media.write.mode("overwrite").parquet(path)
         path
-      })
+      }
     s.read.parquet(staged)
   }
 
@@ -172,13 +222,12 @@ object SparkEntry {
     * (same eight-pushdown-scan argument), cached per (session, dir).
     */
   private def transformedMixedMedia(s: SparkSession, dir: String): DataFrame = {
-    val staged = stagedMediaCache.computeIfAbsent(
-      ("xform:" + System.identityHashCode(s), dir), _ => {
+    val staged = stagedPathFor(s, "xform:" + dir) {
         val path = exitCleanedTempDir("graft_router_media_xform")
         Multimodal.transformMedia(s, stagedMixedMedia(s, dir))
           .write.mode("overwrite").parquet(path)
         path
-      })
+      }
     s.read.parquet(staged)
   }
 
@@ -379,8 +428,8 @@ object SparkEntry {
       Dedup.lshCandidatePairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
 
     // Dedup: exact 3-shingle Jaccard over co-shingled pairs.
-    "q20_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+    "q20_jaccard_pairs" -> ((s, dir) => landedSwept(
+      Dedup.jaccardPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b"))),
 
     // Dedup: 64-bit tf-weighted SimHash.
     "q21_simhash" -> ((s, dir) =>
@@ -395,8 +444,12 @@ object SparkEntry {
       Similarity.cosinePairs(Tables.embeddings(s, dir), 0.45).orderBy("vec_a", "vec_b")),
 
     // Dedup at scale: LSH candidates verified by exact set intersection.
+    // Lifecycle bracket + driver landing: pair-bounded answer, signature
+    // cache released before return (BASELINE.md sweep-JVM convention).
     "q25_lsh_verified_pairs" -> ((s, dir) =>
-      Dedup.lshVerifiedPairs(Tables.documents(s, dir)).orderBy("doc_a", "doc_b")),
+      Dedup.withLshVerifiedPairs(Tables.documents(s, dir)) {
+        pairs => landed(pairs.orderBy("doc_a", "doc_b"))
+      }),
 
     // Pivot: per-day event-type matrix (conditional aggregation).
     "q26_event_type_pivot" -> ((s, dir) =>
@@ -799,29 +852,29 @@ object SparkEntry {
     // files in interleaved-bit order, per-file min/max bounding boxes on
     // BOTH dimensions — the data-skipping statistics a scan prunes
     // against; tight two-axis boxes are the OPTIMIZE ZORDER win.
-    "q187_zorder_layout" -> ((s, dir) =>
+    "q187_zorder_layout" -> ((s, dir) => landedSwept(
       graft.sources.Sinks.zOrderLayoutStats(
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
-        .orderBy("bucket")),
+        .orderBy("bucket"))),
 
     // 3-column Z-order layout audit — `OPTIMIZE ZORDER BY (a, b, c)` is
     // routinely 3-4 columns: the same equal-count bucket machinery as
     // q187 over the 3-D Morton key (bit i of dim j at position 3i+j),
     // per-file min/max boxes on ALL THREE clustering dimensions.
-    "q224_zorder3_layout" -> ((s, dir) =>
+    "q224_zorder3_layout" -> ((s, dir) => landedSwept(
       graft.sources.Sinks.zOrderLayoutStatsN(
         Tables.lineitem(s, dir),
         Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")))
-        .orderBy("bucket")),
+        .orderBy("bucket"))),
 
     // 3-D HILBERT layout audit over the same clustering columns —
     // Skilling's transpose walk (the d>2 continuous linearization);
     // file-for-file comparable with q224 the way q191 is with q187.
-    "q232_hilbert3_layout" -> ((s, dir) =>
+    "q232_hilbert3_layout" -> ((s, dir) => landedSwept(
       graft.sources.Sinks.hilbertLayoutStatsN(
         Tables.lineitem(s, dir),
         Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")))
-        .orderBy("bucket")),
+        .orderBy("bucket"))),
 
     // Rolling distinct active users (the WAU curve): per-user interval
     // merge + sweep-line deltas + one days-sized running sum — rolling
@@ -891,7 +944,7 @@ object SparkEntry {
     // variant-linked word labeled with its component's least word — the
     // normalization table a fuzzy-join pipeline applies before exact
     // grouping.
-    "q204_spelling_canonicalize" -> ((s, dir) =>
+    "q204_spelling_canonicalize" -> ((s, dir) => landedSwept(
       Dedup.dedupClusters(
         Dedup.editDistancePairs(
           TextAnalysis.tokenize(Tables.documents(s, dir)).select("w").distinct())
@@ -899,7 +952,7 @@ object SparkEntry {
         .select(
           col("doc_id").as("w"), col("canonical_id").as("canonical_w"),
           col("cluster_size"), col("is_canonical"))
-        .orderBy("w")),
+        .orderBy("w"))),
 
     // Lagged cross-correlation of the click and purchase daily series:
     // exact integer Pearson pieces per lag 0..7 — sign, r² in ppm —
@@ -1030,10 +1083,10 @@ object SparkEntry {
     // consecutive index step is Manhattan-adjacent, so equal-count file
     // buckets avoid Z's quadrant-seam jumps. Same bucket machinery and
     // schema, file-for-file comparable.
-    "q191_hilbert_layout" -> ((s, dir) =>
+    "q191_hilbert_layout" -> ((s, dir) => landedSwept(
       graft.sources.Sinks.hilbertLayoutStats(
         Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
-        .orderBy("bucket")),
+        .orderBy("bucket"))),
 
     // χ² feature selection against the quality label: the top-50 tokens
     // whose PRESENCE carries keep/drop signal, with direction — the
@@ -1057,12 +1110,12 @@ object SparkEntry {
     // bipartite graph (orders ⋈ lineitem): integer-exact
     // mutual-reinforcement scores — which customers buy
     // well-endorsed parts, which parts are bought by broad buyers.
-    "q188_hits" -> ((s, dir) => {
+    "q188_hits" -> ((s, dir) => landedSwept({
       val edges = Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("src"), col("l_partkey").as("dst"))
       Graphs.hits(edges).orderBy("kind", "id")
-    }),
+    })),
 
     // Incremental aggregate maintenance (IVM): a per-source (count,
     // chars) dashboard updated from an insert/delete change feed — one
@@ -1108,9 +1161,12 @@ object SparkEntry {
 
     // Per-source curation funnel: where each source's documents went
     // through the q89 pipeline, plus boilerplate volume and split mix.
+    // Lifecycle bracket + driver landing: |sources|-bounded answer, the
+    // q89 cleaned-table cache released before return.
     "q99_curation_funnel" -> ((s, dir) =>
-      Curation.curationFunnel(Tables.documents(s, dir))
-        .orderBy("source")),
+      Curation.withCurationFunnel(Tables.documents(s, dir)) {
+        funnel => landed(funnel.orderBy("source"))
+      }),
 
     // Deterministic uniform k-sample per source (reservoir-equivalent):
     // salted-md5 rank, exactly min(k, |group|) rows, engine-reproducible.
@@ -1291,7 +1347,7 @@ object SparkEntry {
     // pointer-doubling CC machinery (q47/q218) closes them into
     // canonical clusters. Only digests ever shuffle; collision groups
     // are tiny, so the star-pair window is per-fingerprint-bounded.
-    "q250_video_dup_clusters" -> ((s, dir) => {
+    "q250_video_dup_clusters" -> ((s, dir) => landedSwept({
       val fp = Multimodal.videoFingerprints(
         Multimodal.sampleVideoFrames(
           Multimodal.decodeAviFrames(s, Multimodal.toAvi(Tables.documents(s, dir)))))
@@ -1301,7 +1357,7 @@ object SparkEntry {
         .filter(col("doc_id") =!= col("rep"))
         .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
       Dedup.dedupClusters(pairs).orderBy("doc_id")
-    }),
+    })),
 
     // The magic-byte ROUTER itself under the oracle: a mixed media frame
     // (doc_id % 8 picks the format; sub-64-byte docs demote from jpeg to
@@ -1400,9 +1456,54 @@ object SparkEntry {
         .drop("idat_len")
         .orderBy("doc_id")),
 
+    // BILINEAR resize to an EXPLICIT target — the non-integer-scale
+    // kernel a real preprocessing pass runs ("resize to 224×224"),
+    // where the stride family can only express integer downscales:
+    // every strip resamples to exactly 48×1 (downscale for long docs,
+    // upscale with interpolation for short ones — both paths exercised
+    // by the same gate). Half-pixel fixed-point sampling, floor-exact
+    // integers end to end, so the oracle replays every output pixel.
+    "q272_bilinear_resize" -> ((s, dir) =>
+      Multimodal.decodePgmFeatures(s,
+          Multimodal.resizePgmTo(s,
+            Multimodal.toPgm(Tables.documents(s, dir).filter(col("n_chars") >= 1)),
+            targetW = 48, targetH = 1))
+        .toDF()
+        .orderBy("doc_id")),
+
+    // q272's COLOR twin with a VERTICAL upscale: every 1-row PPM strip
+    // resamples per channel to 32×2 (both output rows clamp-sample the
+    // single source row — the edge-clamp branch under the oracle), so
+    // R/G/B independence and the vertical pass both pin.
+    "q273_bilinear_color_resize" -> ((s, dir) =>
+      Multimodal.decodePpmFeatures(s,
+          Multimodal.resizePpmTo(s,
+            Multimodal.toPpm(Tables.documents(s, dir).filter(col("n_chars") >= 3)),
+            targetW = 32, targetH = 2))
+        .toDF()
+        .orderBy("doc_id")),
+
+    // JPEG RESIZE — the LOSSY member of the raster transform family,
+    // closing the boundary q270 documented: decode (flat blocks take
+    // the exact integer path) → stride-4 box decimation → re-encode
+    // through the REAL forward-DCT / quantize / zigzag-RLE-Huffman
+    // path → re-decode, all in one hash. The hash pins geometry and
+    // quantized-DC stats — exact integers the oracle replays from the
+    // pixel block sums — while scan_bits and recon_sum are
+    // quantizer/compressor-owned and excluded (the q269 PNG convention
+    // extended across a lossy codec).
+    "q271_jpeg_resize" -> ((s, dir) =>
+      Multimodal.decodeJpegFeatures(s,
+          Multimodal.resizeJpeg(s,
+            Multimodal.toJpeg(Tables.documents(s, dir).filter(col("n_chars") >= 64)),
+            kx = 4))
+        .toDF()
+        .drop("scan_bits", "recon_sum")
+        .orderBy("doc_id")),
+
     // BMP RESIZE — the DIB member of the raster-resize family (every
-    // decodable raster codec now transforms: PGM/PPM/PNG/BMP; JPEG
-    // stays decode-only by design): decode normalizes bottom-up rows,
+    // decodable raster codec transforms: PGM/PPM/PNG/BMP, and q271
+    // closes the lossy boundary for JPEG): decode normalizes bottom-up rows,
     // stride padding, and the BGR swizzle to image-order RGB, the
     // shared per-channel kernel decimates, and the re-encode restores
     // all three — the gate round-trips through the decoder, so a
@@ -1912,9 +2013,9 @@ object SparkEntry {
     // >1 time ANYWHERE (cross-doc or self) is stripped from every
     // occurrence; maximal duplicated regions found at any length by the
     // islands trick — the suffix-array answer set, digest-only shuffles.
-    "q227_exact_substr_dedup" -> ((s, dir) =>
+    "q227_exact_substr_dedup" -> ((s, dir) => landedSwept(
       Dedup.exactSubstrDedup(Tables.documents(s, dir))
-        .orderBy("doc_id")),
+        .orderBy("doc_id"))),
 
     // Streaming Count-Min maintenance under the oracle gate: each
     // micro-batch's token cells land in their own epoch dir
@@ -2108,6 +2209,29 @@ object SparkEntry {
       Dedup.exactSubstrDedupAgainst(
           docs, graft.streaming.StreamingOps.mergedExactSubstrCounts(s, path))
         .orderBy("doc_id")
+    }),
+
+    // Streaming MINHASH SIGNATURE INDEX — the kept-corpus near-dup
+    // index maintained as per-epoch state instead of re-derived from
+    // kept TEXT per admission batch (VERDICT r18 gap): the kept half
+    // (< 250) streams in 3 doc-disjoint micro-batches, each landing its
+    // signature+digest rows in its own replay-idempotent epoch; a
+    // mid-lifecycle compaction folds epochs 0-1 into the base; and
+    // nearDupAgainst over the MERGED index must equal q44's one-shot
+    // batch answer — q44's oracle verbatim. Text is scanned once at
+    // admission; the search never touches it again.
+    "q274_streaming_signature_index" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = docs.filter(col("doc_id") < 250)
+      val path = exitCleanedTempDir("graft_q274_sig")
+      graft.streaming.StreamingOps.streamShards(s, kept, "doc_id", 3,
+          stageKey = Some(s"q274_streaming_signature_index:$dir"))(
+        graft.streaming.StreamingOps.signatureIndexSink(path))
+      graft.streaming.StreamingOps.compactSignatureIndexEpochs(s, path, keepAfter = 1L)
+      Dedup.withNearDupAgainst(kept, docs.filter(col("doc_id") >= 250),
+          keptSignatures = Some(graft.streaming.StreamingOps.mergedSignatureIndex(s, path))) {
+        surv => landed(surv.orderBy("doc_id"))
+      }
     }),
 
     // Streaming ANN (IVF) index maintenance: the quantizer is frozen up
@@ -2332,7 +2456,7 @@ object SparkEntry {
     // clusters over the merged survivors must equal q250's batch pass
     // over the surviving corpus — its oracle verbatim on
     // `doc_id % 7 <> 3`.
-    "q267_streaming_video_dups" -> ((s, dir) => {
+    "q267_streaming_video_dups" -> ((s, dir) => landedSwept({
       val media = Multimodal.toAvi(Tables.documents(s, dir)).select("doc_id", "payload")
       val path = exitCleanedTempDir("graft_q267_vfp")
       graft.streaming.StreamingOps.streamShards(s, media, "doc_id", 3, stageKey = Some(s"q267_streaming_video_dups:$dir"))(
@@ -2351,7 +2475,7 @@ object SparkEntry {
         .filter(col("doc_id") =!= col("rep"))
         .select(col("rep").as("doc_a"), col("doc_id").as("doc_b"))
       Dedup.dedupClusters(pairs).orderBy("doc_id")
-    }),
+    })),
 
     // The family's fourth member: takedown for the CDC chunk state —
     // q222's oracle verbatim on the survivors (chunk doc-frequencies
@@ -2395,12 +2519,12 @@ object SparkEntry {
     }),
 
     // perceptual hash → banded pairing → canonical clusters.
-    "q218_image_dup_clusters" -> ((s, dir) =>
+    "q218_image_dup_clusters" -> ((s, dir) => landedSwept(
       Dedup.dedupClusters(
         Dedup.hammingNearDupPairs(
             Multimodal.pgmDHash(s, Multimodal.toPgm(Tables.documents(s, dir))).toDF())
           .select(col("ida").as("doc_a"), col("idb").as("doc_b")))
-        .orderBy("doc_id")),
+        .orderBy("doc_id"))),
 
     // Cluster purity of the sign-LSH buckets against the embedding
     // labels — the external clustering eval: per-bucket majority label
@@ -2422,9 +2546,9 @@ object SparkEntry {
     // candidate path — no all-pairs join anywhere in the plan); the
     // exact all-pairs scorer remains as its differential baseline in
     // DedupSimilaritySpec.
-    "q216_knn_outliers" -> ((s, dir) =>
+    "q216_knn_outliers" -> ((s, dir) => landedSwept(
       Similarity.knnDistOutliersLsh(Tables.embeddings(s, dir))
-        .orderBy("out_rank")),
+        .orderBy("out_rank"))),
 
     // BLEU sufficient statistics over adjacent-doc pairs (cand = doc i,
     // ref = doc i+1): clipped n-gram matches, totals, exact-ppm modified
@@ -2515,17 +2639,23 @@ object SparkEntry {
     // MMR diversification of each query's top-20: greedy
     // lambda*rel - (1-lambda)*maxSim picks, all-integer scores — the
     // near-copy-suppressing re-rank for retrieval/sampling.
-    "q141_mmr_diversify" -> ((s, dir) =>
+    "q141_mmr_diversify" -> ((s, dir) => landedSwept(
       Similarity.mmrDiversify(Tables.embeddings(s, dir))
-        .orderBy("query_id", "rnk")),
+        .orderBy("query_id", "rnk"))),
 
     // Asymmetric containment join (quote/excerpt detection): ordered
     // pairs where >=80% of the source's shingles sit inside the
     // destination — the direction jaccard is blind to. Oracle is brute
     // force, so the one-sided prefix filter is proven lossless.
+    // Gate entry uses the lifecycle bracket + driver landing: the answer
+    // is pair-bounded, and the digest table the operator persists is
+    // released before the frame is handed back (VERDICT r18 `weak`: the
+    // unbracketed gate leaked the cache across the sweep, 1.18 s
+    // committed vs 4.08 s driver — the q139/q44 defect class).
     "q142_containment_pairs" -> ((s, dir) =>
-      Dedup.containmentPairs(Tables.documents(s, dir))
-        .orderBy("src_doc", "dst_doc")),
+      Dedup.withContainmentPairs(Tables.documents(s, dir)) {
+        pairs => landed(pairs.orderBy("src_doc", "dst_doc"))
+      }),
 
     // Third real codec class: 24-bit BI_RGB BMP round-trip — bottom-up
     // rows, 4-byte stride padding, B,G,R channel order all exercised;
@@ -2667,43 +2797,43 @@ object SparkEntry {
     // shared-phrase pairs) next to q147's local closure; the oracle
     // unrolls every round's max(least(rank, estimate)) neighbor-list
     // H-index exactly.
-    "q161_coreness" -> ((s, dir) =>
+    "q161_coreness" -> ((s, dir) => landedSwept(
       Graphs.corenessHIndex(Dedup.rareShingleEdges(Tables.documents(s, dir)))
-        .orderBy("id")),
+        .orderBy("id"))),
 
     // HyperBall over the rare-shingle graph: per-node 3-hop ball-size
     // estimates by HLL-register propagation — register-max along edges
     // makes round t EXACTLY the HLL of the true t-hop ball, so distance
     // distributions cost linear passes, not per-node BFS.
-    "q172_hyperball" -> ((s, dir) =>
+    "q172_hyperball" -> ((s, dir) => landedSwept(
       Graphs.hyperBall(Dedup.rareShingleEdges(Tables.documents(s, dir)))
-        .orderBy("id")),
+        .orderBy("id"))),
 
     // Multi-source BFS hop distance from a trusted seed set (doc_id %
     // 23 == 0) over the rare-shingle graph — the discrete TrustRank
     // proximity prior; the oracle unrolls the same min-relaxation
     // rounds.
-    "q162_seed_distance" -> ((s, dir) => {
+    "q162_seed_distance" -> ((s, dir) => landedSwept({
       val docs = Tables.documents(s, dir)
       Graphs.seedDistances(
           Dedup.rareShingleEdges(docs),
           docs.filter(pmod(col("doc_id"), lit(23L)) === 0L)
             .select(col("doc_id").as("id")))
         .orderBy("id")
-    }),
+    })),
 
     // Personalized PageRank / TrustRank from the same seed set as q162:
     // teleport mass concentrated on the seeds, so rank measures
     // path-multiplicity-weighted trust proximity — what the discrete
     // BFS hop count cannot see.
-    "q178_personalized_pagerank" -> ((s, dir) => {
+    "q178_personalized_pagerank" -> ((s, dir) => landedSwept({
       val docs = Tables.documents(s, dir)
       Graphs.personalizedPageRank(
           Dedup.rareShingleEdges(docs),
           docs.filter(pmod(col("doc_id"), lit(23L)) === 0L)
             .select(col("doc_id").as("id")))
         .orderBy("id")
-    }),
+    })),
 
     // Rendezvous sharding at n=5 and n=6 side by side: the hash gate
     // itself proves minimal disruption on real data — every moved key's
@@ -2809,9 +2939,9 @@ object SparkEntry {
 
     // BM25 more-like-this over word bigrams: the lexical retrieval leg —
     // doc_id % 25 probe set, exact-integer idf/tf-saturation, top-10.
-    "q143_bm25_retrieval" -> ((s, dir) =>
+    "q143_bm25_retrieval" -> ((s, dir) => landedSwept(
       TextAnalysis.bm25MoreLikeThis(Tables.documents(s, dir))
-        .orderBy("query_id", "rnk")),
+        .orderBy("query_id", "rnk"))),
 
     // Character-entropy quality scores: whole-bit surprisal per doc —
     // the binary-junk/padding-spam detector, exact BIGINT millibits.
@@ -2839,9 +2969,9 @@ object SparkEntry {
     // Exact triangle counts + ppm clustering coefficients over the
     // rare-shingle co-occurrence graph (df 2-3 shared 3-shingles) —
     // degree-oriented compact-forward, never neighbors-of-neighbors.
-    "q147_triangle_counts" -> ((s, dir) =>
+    "q147_triangle_counts" -> ((s, dir) => landedSwept(
       Graphs.triangleCounts(Dedup.rareShingleEdges(Tables.documents(s, dir)))
-        .orderBy("id")),
+        .orderBy("id"))),
 
     // Margin-based parallel-pair mining (Artetxe & Schwenk absolute
     // margin over sign-LSH candidates): cross-side pairs scored by how
@@ -2849,28 +2979,28 @@ object SparkEntry {
     // averages, mutual-argmax + positive-margin filtered. Sides = even
     // vs odd label. Exact integer end to end (lo-shifted floor-division
     // neighborhood averages).
-    "q155_bitext_mining" -> ((s, dir) =>
+    "q155_bitext_mining" -> ((s, dir) => landedSwept(
       Similarity.marginBitextPairs(
           Tables.embeddings(s, dir), pmod(col("label"), lit(2)) === 0)
-        .orderBy("a_id", "b_id")),
+        .orderBy("a_id", "b_id"))),
 
     // Synchronous label propagation over the rare-shingle graph —
     // community detection (template families) with the deterministic
     // smallest-label tie-break; the oracle replays every round's
     // neighbor-label argmax as unrolled CTEs.
-    "q154_label_propagation" -> ((s, dir) =>
+    "q154_label_propagation" -> ((s, dir) => landedSwept(
       Graphs.labelPropagation(Dedup.rareShingleEdges(Tables.documents(s, dir)))
-        .orderBy("id")),
+        .orderBy("id"))),
 
     // Newman modularity of the q154 communities: exact BIGINT
     // sufficient statistics (4·m·m_c − d_c²) per community + one IEEE
     // division — the clustering-quality grade (negative rows ARE
     // meaningful: worse-than-random communities).
-    "q207_modularity" -> ((s, dir) => {
+    "q207_modularity" -> ((s, dir) => landedSwept({
       val edges = Dedup.rareShingleEdges(Tables.documents(s, dir))
       Graphs.modularity(edges, Graphs.labelPropagation(edges))
         .orderBy("label")
-    }),
+    })),
 
     // Interval-overlap join: SCD2 attribute versions × sessions per user
     // (which version was in effect during each session) — day-bucket
@@ -2907,7 +3037,7 @@ object SparkEntry {
 
     // Scaled-integer PageRank over the sign-LSH co-bucket graph of the
     // embedding corpus — exact BIGINT centrality, 4 rounds.
-    "q136_pagerank" -> ((s, dir) => {
+    "q136_pagerank" -> ((s, dir) => landedSwept({
       val b = Similarity.signBuckets(Tables.embeddings(s, dir))
         .select(col("vec_id"), col("bucket"))
       val edges = b.select(col("vec_id").as("src"), col("bucket"))
@@ -2915,7 +3045,7 @@ object SparkEntry {
         .filter(col("src") < col("dst"))
         .select(col("src"), col("dst"))
       Graphs.pageRank(edges).orderBy("id")
-    }),
+    })),
 
     // Same for the dense-window (offset-robust) rolling state over the
     // q101 shifted corpus — q101's oracle verbatim.
@@ -2948,23 +3078,33 @@ object SparkEntry {
 
     // Hybrid semantic+lexical near-dup report: embedding-LSH candidate
     // recall, exact shingle-jaccard precision, both scores per pair.
+    // Lifecycle bracket + driver landing: pair-bounded answer, both
+    // index caches released before return (BASELINE.md convention).
     "q90_hybrid_near_dup" -> ((s, dir) =>
-      Dedup.hybridNearDupPairs(Tables.documents(s, dir), Tables.embeddings(s, dir))
-        .orderBy("doc_a", "doc_b")),
+      Dedup.withHybridNearDupPairs(Tables.documents(s, dir), Tables.embeddings(s, dir)) {
+        pairs => landed(pairs.orderBy("doc_a", "doc_b"))
+      }),
 
     // End-to-end batch curation flagship: quality filter → boilerplate
     // removal → exact dedup on CLEANED text → split, with a verdict row
     // per input document.
+    // Lifecycle bracket + driver landing: one verdict row per input doc
+    // (corpus-row-bounded — fine at gate SF, capped by landed()), the
+    // cleaned-table cache released before return.
     "q89_curate_corpus" -> ((s, dir) =>
-      Curation.curateCorpus(Tables.documents(s, dir))
-        .orderBy("doc_id")),
+      Curation.withCurateCorpus(Tables.documents(s, dir)) {
+        verdicts => landed(verdicts.orderBy("doc_id"))
+      }),
 
     // Per-source token-distribution drift vs the corpus: top chi²
     // contributions per source (emitted per row — a summed statistic
     // would be an order-dependent float fold).
+    // Lifecycle bracket + driver landing: sources×topK-bounded answer,
+    // the (source, token) count cache released before return.
     "q88_source_drift" -> ((s, dir) =>
-      TextAnalysis.sourceDrift(Tables.documents(s, dir))
-        .orderBy("source", "rnk")),
+      TextAnalysis.withSourceDrift(Tables.documents(s, dir)) {
+        drift => landed(drift.orderBy("source", "rnk"))
+      }),
 
     // Sub-document boilerplate removal: 8-token passages whose digest
     // appears in more than one document are dropped from every document;
@@ -2992,22 +3132,26 @@ object SparkEntry {
 
     // SemDeDup-style semantic dedup: sign-LSH buckets as the cluster
     // step, within-bucket exact cosine, lowest-id canonical survivor.
+    // Lifecycle bracket + driver landing: one verdict row per vector
+    // (embedding-row-bounded at gate SF, capped by landed()), the
+    // bucketed-quantized cache released before return.
     "q87_semantic_dedup" -> ((s, dir) =>
-      Similarity.semanticDedup(Tables.embeddings(s, dir), minCosine = 0.2)
-        .orderBy("vec_id")),
+      Similarity.withSemanticDedup(Tables.embeddings(s, dir), minCosine = 0.2) {
+        verdicts => landed(verdicts.orderBy("vec_id"))
+      }),
 
     // Cluster-aware split — the FIX for q82's leakage: hash-split on the
     // near-dup cluster's canonical id, so whole components share a split.
-    "q83_cluster_split" -> ((s, dir) =>
+    "q83_cluster_split" -> ((s, dir) => landedSwept(
       Curation.clusterAwareSplit(Tables.documents(s, dir))
-        .orderBy("doc_id")),
+        .orderBy("doc_id"))),
 
     // Split-leakage audit: verified near-dup pairs straddling a hash-split
     // boundary — the within-corpus contamination check run between
     // splitting and training (q37 assigns, q25 verifies, this joins them).
-    "q82_split_leakage" -> ((s, dir) =>
+    "q82_split_leakage" -> ((s, dir) => landedSwept(
       Curation.splitLeakage(Tables.documents(s, dir))
-        .orderBy("doc_a", "doc_b")),
+        .orderBy("doc_a", "doc_b"))),
 
     // BPE tokenizer training, iteration-1 pair counts: corpus → vocabulary
     // (the only corpus-sized shuffle) → adjacent-char pairs weighted by
@@ -3215,10 +3359,10 @@ object SparkEntry {
 
     // Dedup: transitive closure of verified near-dup pairs into canonical
     // clusters (hash-min connected components).
-    "q47_dedup_clusters" -> ((s, dir) =>
+    "q47_dedup_clusters" -> ((s, dir) => landedSwept(
       Dedup.dedupClusters(
         Dedup.lshVerifiedPairs(Tables.documents(s, dir), minJaccard = 0.5))
-        .orderBy("doc_id")),
+        .orderBy("doc_id"))),
 
     // As-of join: each purchase matched to the user's most recent view at
     // or before it (union + one window pass — no inequality join).
@@ -4070,13 +4214,14 @@ object SparkEntry {
 
     // q259: the transform routing + output geometry replayed from the
     // q253 damage rule — only the TRANSFORMABLE claims matter here
-    // (netpbm's 2-byte magics and PNG's exactly-8-byte signature
-    // survive the 8-byte cut and quarantine at transform; WAVE/AVI
-    // claims die with the cut and pass through), everything else is a
-    // passthrough row; out_geom = resized pixels L//4 (pgm) /
-    // (L//3)//4 (ppm) / 2*((L//6)//4) (png), resampled samples L//4
-    // (wav), total resized frame bytes 4*(L//16)+(L%16)//4 (avi), -1
-    // for passthrough.
+    // (netpbm's 2-byte magics, PNG's exactly-8-byte signature, and
+    // JPEG's 3-byte SOI survive the 8-byte cut and quarantine at
+    // transform; WAVE/AVI claims die with the cut and pass through),
+    // everything else is a passthrough row; out_geom = resized pixels
+    // L//4 (pgm) / (L//3)//4 (ppm) / 2*((L//6)//4) (png), resized
+    // blocks (L//64+3)//4 (jpeg), resampled samples L//4 (wav), total
+    // resized frame bytes 4*(L//16)+(L%16)//4 (avi), -1 for
+    // passthrough.
     "q259_media_transform_inventory" ->
       """WITH n AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L, doc_id % 8 AS sel,
@@ -4088,16 +4233,18 @@ object SparkEntry {
         |    WHEN sel = 0 THEN 'pgm'
         |    WHEN sel = 1 THEN 'ppm'
         |    WHEN sel = 4 AND L >= 6 THEN 'png'
+        |    WHEN sel = 5 AND L >= 64 THEN 'jpeg'
         |    WHEN sel = 2 AND NOT dmg THEN 'wav'
         |    WHEN sel = 3 AND NOT dmg THEN 'bmp'
         |    WHEN sel = 6 AND NOT dmg THEN 'avi'
         |    ELSE 'passthrough' END AS kind,
-        |  NOT ((sel IN (0, 1) OR (sel = 4 AND L >= 6)) AND dmg) AS ok,
+        |  NOT ((sel IN (0, 1) OR (sel = 4 AND L >= 6) OR (sel = 5 AND L >= 64)) AND dmg) AS ok,
         |  CAST(CASE
-        |    WHEN (sel IN (0, 1) OR (sel = 4 AND L >= 6)) AND dmg THEN NULL
+        |    WHEN (sel IN (0, 1) OR (sel = 4 AND L >= 6) OR (sel = 5 AND L >= 64)) AND dmg THEN NULL
         |    WHEN sel = 0 THEN L // 4
         |    WHEN sel = 1 THEN (L // 3) // 4
         |    WHEN sel = 4 AND L >= 6 THEN 2 * ((L // 6) // 4)
+        |    WHEN sel = 5 AND L >= 64 THEN (L // 64 + 3) // 4
         |    WHEN sel = 2 AND NOT dmg THEN L // 4
         |    WHEN sel = 3 AND NOT dmg THEN 2 * ((L // 6) // 4)
         |    WHEN sel = 6 AND NOT dmg THEN 4 * (L // 16) + (L % 16) // 4
@@ -4106,10 +4253,11 @@ object SparkEntry {
 
     // q265: q252's routing rule with the TRANSFORMED geometry where a
     // transform applies — pgm width and wav samples become L//4, ppm
-    // width (L//3)//4, avi keeps its frame count (spatial resize
-    // preserves temporal structure), everything else is byte-identical
-    // passthrough; docs whose image/stream is smaller than one block
-    // DROP (the transform emits nothing for them).
+    // width (L//3)//4, jpeg blocks (L//64+3)//4 (the resized stream's
+    // ceil(2·nb/8) block row), avi keeps its frame count (spatial
+    // resize preserves temporal structure), everything else is
+    // byte-identical passthrough; docs whose image/stream is smaller
+    // than one block DROP (the transform emits nothing for them).
     "q265_transformed_lake_router" ->
       """WITH n AS (
         |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L, doc_id % 8 AS sel
@@ -4132,7 +4280,7 @@ object SparkEntry {
         |      WHEN sel = 2 THEN L // 4
         |      WHEN sel = 3 THEN 2 * ((L // 6) // 4)
         |      WHEN sel = 4 AND L >= 6 THEN 2 * ((L // 6) // 4)
-        |      WHEN sel = 5 AND L >= 64 THEN L // 64
+        |      WHEN sel = 5 AND L >= 64 THEN (L // 64 + 3) // 4
         |      WHEN sel = 6 THEN (L + 15) // 16
         |      ELSE -1 END AS BIGINT) AS geom
         |  FROM n)
@@ -4903,6 +5051,116 @@ object SparkEntry {
         |       CAST(list_sum(cps[1 : CAST(3 * w AS INT)]) AS DOUBLE)
         |         / CAST(3 * w AS DOUBLE) AS top_row_mean
         |FROM px
+        |ORDER BY doc_id""".stripMargin,
+
+    // q272: fixed-point bilinear replay. Output x samples source
+    // position ((2x+1)·L − 48)/96; num ≤ 0 clamps to byte 1,
+    // num ≥ (L−1)·96 clamps to byte L, else the two-neighbor weighted
+    // floor — every division non-negative, so // replays the engine's
+    // integer math exactly for downscale AND upscale.
+    "q272_bilinear_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L
+        |  FROM documents WHERE length(text) >= 1
+        |),
+        |p0 AS (
+        |  SELECT doc_id, text, L, (2 * ox + 1) * L - 48 AS num
+        |  FROM d, unnest(range(0, 48)) AS u(ox)
+        |),
+        |px AS (
+        |  SELECT doc_id,
+        |    CASE WHEN num <= 0 THEN unicode(text[1:1])
+        |         WHEN num >= (L - 1) * 96 THEN unicode(text[CAST(L AS INT):CAST(L AS INT)])
+        |         ELSE ((96 - num % 96) * unicode(text[CAST(num // 96 + 1 AS INT):CAST(num // 96 + 1 AS INT)])
+        |               + (num % 96) * unicode(text[CAST(num // 96 + 2 AS INT):CAST(num // 96 + 2 AS INT)])) // 96
+        |    END AS v
+        |  FROM p0
+        |)
+        |SELECT doc_id,
+        |       CAST(48 AS INT) AS width, CAST(1 AS INT) AS height,
+        |       CAST(255 AS INT) AS max_val, CAST(48 AS BIGINT) AS n_px,
+        |       CAST(SUM(v) AS DOUBLE) / 48.0 AS mean_px,
+        |       CAST(MIN(v) AS INT) AS min_px, CAST(MAX(v) AS INT) AS max_px
+        |FROM px GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // q273: the color twin — per-channel horizontal bilinear to 32 wide
+    // (w = L//3 source pixels, channel c of source pixel i = byte
+    // 3i+c+1), then the vertical pass to 2 rows, which for a 1-row
+    // source clamps both rows to row 0 — per-channel means double the
+    // one-row sums over n_px = 64.
+    "q273_bilinear_color_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) // 3 AS w
+        |  FROM documents WHERE length(text) >= 3
+        |),
+        |p0 AS (
+        |  SELECT doc_id, text, w, CAST(c AS BIGINT) AS c, (2 * ox + 1) * w - 32 AS num
+        |  FROM d, unnest(range(0, 32)) AS u(ox), unnest(range(0, 3)) AS uc(c)
+        |),
+        |px AS (
+        |  SELECT doc_id, c,
+        |    CASE WHEN num <= 0 THEN unicode(text[CAST(c + 1 AS INT):CAST(c + 1 AS INT)])
+        |         WHEN num >= (w - 1) * 64 THEN unicode(text[CAST(3 * (w - 1) + c + 1 AS INT):CAST(3 * (w - 1) + c + 1 AS INT)])
+        |         ELSE ((64 - num % 64) * unicode(text[CAST(3 * (num // 64) + c + 1 AS INT):CAST(3 * (num // 64) + c + 1 AS INT)])
+        |               + (num % 64) * unicode(text[CAST(3 * (num // 64 + 1) + c + 1 AS INT):CAST(3 * (num // 64 + 1) + c + 1 AS INT)])) // 64
+        |    END AS v
+        |  FROM p0
+        |)
+        |SELECT doc_id,
+        |       CAST(32 AS INT) AS width, CAST(2 AS INT) AS height,
+        |       CAST(255 AS INT) AS max_val, CAST(64 AS BIGINT) AS n_px,
+        |       CAST(2 * SUM(v) FILTER (WHERE c = 0) AS DOUBLE) / 64.0 AS r_mean,
+        |       CAST(2 * SUM(v) FILTER (WHERE c = 1) AS DOUBLE) / 64.0 AS g_mean,
+        |       CAST(2 * SUM(v) FILTER (WHERE c = 2) AS DOUBLE) / 64.0 AS b_mean,
+        |       CAST(MIN(v) AS INT) AS min_px, CAST(MAX(v) AS INT) AS max_px
+        |FROM px GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // q271: the resize replayed from text. Input block b's decoded flat
+    // value v_b = clamp(128 + (16·dcq_b + 4)//8) with
+    // dcq_b = (S_b − 8192 + 64)//128 (the q229 DC path); stride-4
+    // decimation of the width-8nb raster never crosses a block boundary
+    // (4-runs start at col ≡ 0 mod 4, blocks at mod 8), so output col x
+    // = v_{x//2} exactly; output block j sums 8 rows × cols 8j..8j+7
+    // with edge replication past 2nb-1, and its re-encoded DC is the
+    // same exact integer quantizer — scan_bits/recon_sum (AC float
+    // path) are excluded from the gate.
+    "q271_jpeg_resize" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) // 64 AS BIGINT) AS nb
+        |  FROM documents WHERE length(text) >= 64
+        |),
+        |blk AS (
+        |  SELECT doc_id, nb, CAST(b AS BIGINT) AS b,
+        |         CAST(list_sum(list_transform(range(1, 65), i ->
+        |           unicode(text[CAST(64 * b + i AS INT):CAST(64 * b + i AS INT)]))) AS BIGINT) AS s
+        |  FROM d, unnest(range(nb)) AS u(b)
+        |),
+        |v AS (
+        |  SELECT doc_id, nb, b,
+        |         LEAST(255, GREATEST(0, 128 + (16 * ((s - 8192 + 64) // 128) + 4) // 8)) AS v
+        |  FROM blk
+        |),
+        |cols AS (
+        |  SELECT d.doc_id, d.nb, CAST(j AS BIGINT) AS j,
+        |         LEAST(8 * j + c, 2 * d.nb - 1) // 2 AS b
+        |  FROM d, unnest(range((d.nb + 3) // 4)) AS uj(j), unnest(range(8)) AS uc(c)
+        |),
+        |odc AS (
+        |  SELECT cols.doc_id, cols.nb, cols.j,
+        |         CAST((SUM(8 * v.v) - 8192 + 64) // 128 AS BIGINT) AS dcq
+        |  FROM cols JOIN v ON v.doc_id = cols.doc_id AND v.b = cols.b
+        |  GROUP BY cols.doc_id, cols.nb, cols.j
+        |)
+        |SELECT doc_id,
+        |       CAST(MAX(2 * nb) AS INT) AS width,
+        |       CAST(8 AS INT) AS height,
+        |       CAST(MAX((nb + 3) // 4) AS BIGINT) AS n_blocks,
+        |       CAST(SUM(dcq) AS BIGINT) AS dc_sum,
+        |       CAST(MIN(dcq) AS BIGINT) AS dc_min,
+        |       CAST(MAX(dcq) AS BIGINT) AS dc_max
+        |FROM odc GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     "q229_jpeg_features" ->
@@ -8238,35 +8496,13 @@ object SparkEntry {
         | AND c.t >= er.t AND c.t <= er.t + 600000000
         |ORDER BY c.user_id, error_id, click_id""".stripMargin,
 
-    "q44_near_dedup_against" ->
-      s"""WITH $docShingles,
-         |$minhashBands,
-         |cands AS (
-         |  SELECT DISTINCT s.doc_id AS new_doc, kb.doc_id AS kept_doc
-         |  FROM bands s JOIN bands kb
-         |    ON s.band = kb.band AND s.band_sig = kb.band_sig
-         |  WHERE s.doc_id >= 250 AND kb.doc_id < 250
-         |),
-         |sets AS (
-         |  SELECT doc_id,
-         |         list(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS shl,
-         |         CAST(COUNT(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS BIGINT) AS n_sh
-         |  FROM sh GROUP BY doc_id
-         |),
-         |v AS (
-         |  SELECT c.new_doc,
-         |         CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS n_common,
-         |         sa.n_sh AS n_a, sb.n_sh AS n_b
-         |  FROM cands c
-         |  JOIN sets sa ON c.new_doc = sa.doc_id
-         |  JOIN sets sb ON c.kept_doc = sb.doc_id
-         |)
-         |SELECT doc_id FROM documents
-         |WHERE doc_id >= 250
-         |  AND doc_id NOT IN (
-         |    SELECT new_doc FROM v
-         |    WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.75)
-         |ORDER BY doc_id""".stripMargin,
+    "q44_near_dedup_against" -> nearDedupAgainstOracle,
+
+    // q274: the SAME answer must come out of the STREAMED signature
+    // index — the oracle is q44's verbatim (the merged per-epoch index
+    // must be indistinguishable from the batch-derived one, through a
+    // mid-lifecycle compaction).
+    "q274_streaming_signature_index" -> nearDedupAgainstOracle,
 
     "q41_repetition" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents),
@@ -8733,6 +8969,41 @@ object SparkEntry {
       |         string_agg(CAST(sig AS VARCHAR), '_' ORDER BY j) AS band_sig
       |  FROM hs GROUP BY doc_id, CAST(j // 2 AS INT)
       |)""".stripMargin
+
+  /** Shared q44/q274 oracle: brute minhash-band candidates + exact
+    * digest-set jaccard; survivors of the snapshot (>= 250) against the
+    * kept (< 250) corpus. q274 must reproduce it from the STREAMED,
+    * mid-lifecycle-compacted signature index.
+    */
+  private def nearDedupAgainstOracle: String =
+    s"""WITH $docShingles,
+       |$minhashBands,
+       |cands AS (
+       |  SELECT DISTINCT s.doc_id AS new_doc, kb.doc_id AS kept_doc
+       |  FROM bands s JOIN bands kb
+       |    ON s.band = kb.band AND s.band_sig = kb.band_sig
+       |  WHERE s.doc_id >= 250 AND kb.doc_id < 250
+       |),
+       |sets AS (
+       |  SELECT doc_id,
+       |         list(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS shl,
+       |         CAST(COUNT(DISTINCT CAST('0x' || substr(md5(sh), 1, 15) AS BIGINT)) AS BIGINT) AS n_sh
+       |  FROM sh GROUP BY doc_id
+       |),
+       |v AS (
+       |  SELECT c.new_doc,
+       |         CAST(len(list_intersect(sa.shl, sb.shl)) AS BIGINT) AS n_common,
+       |         sa.n_sh AS n_a, sb.n_sh AS n_b
+       |  FROM cands c
+       |  JOIN sets sa ON c.new_doc = sa.doc_id
+       |  JOIN sets sb ON c.kept_doc = sb.doc_id
+       |)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id >= 250
+       |  AND doc_id NOT IN (
+       |    SELECT new_doc FROM v
+       |    WHERE CAST(n_common AS DOUBLE) / CAST(n_a + n_b - n_common AS DOUBLE) >= 0.75)
+       |ORDER BY doc_id""".stripMargin
 
   /** Oracle for the sign-LSH ANN query: the deterministic hyperplanes are
     * generated by the same Scala code as the engine

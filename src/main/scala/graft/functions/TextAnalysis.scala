@@ -928,7 +928,22 @@ object TextAnalysis {
     * tables broadcast back, and the rank window partitions by source
     * over vocab-bounded input.
     */
-  def sourceDrift(docs: DataFrame, topK: Int = 10): DataFrame = {
+  def sourceDrift(docs: DataFrame, topK: Int = 10): DataFrame =
+    sourceDriftPlan(docs, topK)._1
+
+  /** [[sourceDrift]] as a caller-owned-lifecycle bracket: runs the
+    * action `f` over the drift frame, then unpersists the
+    * (source, token) count table this call persisted — the
+    * [[graft.operators.Dedup.withNearDupAgainst]] convention for
+    * one-shot callers, so long-lived sessions never accumulate
+    * session-lifetime caches.
+    */
+  def withSourceDrift[T](docs: DataFrame, topK: Int = 10)(f: DataFrame => T): T = {
+    val (result, cached) = sourceDriftPlan(docs, topK)
+    try f(result) finally cached.unpersist()
+  }
+
+  private def sourceDriftPlan(docs: DataFrame, topK: Int): (DataFrame, DataFrame) = {
     val st = spread(docs)
       .select(col("source"), explode(wordsCol).as("token"))
       .groupBy(col("source"), col("token"))
@@ -938,7 +953,7 @@ object TextAnalysis {
     val srcTotal = st.groupBy(col("source")).agg(sum(col("obs")).as("src_total"))
     val corpusTotal = corpusTok.agg(sum(col("corpus_cnt")).as("corpus_total"))
     val obsD = col("obs").cast("double")
-    st
+    val drift = st
       .join(broadcast(corpusTok), Seq("token"))
       .join(broadcast(srcTotal), Seq("source"))
       .crossJoin(broadcast(corpusTotal))
@@ -960,6 +975,7 @@ object TextAnalysis {
             .orderBy(col("chi2_term").desc, col("token"))).cast("int"))
       .filter(col("rnk") <= topK)
       .select(col("source"), col("token"), col("obs"), col("expected"), col("chi2_term"), col("rnk"))
+    (drift, st)
   }
 
   /** PII scrubbing: replace email addresses and long digit runs (phone/

@@ -705,7 +705,41 @@ object Curation {
   def curateCorpus(
       docs: DataFrame,
       passageLen: Int = 8,
-      maxDocFreq: Long = 1): DataFrame = {
+      maxDocFreq: Long = 1): DataFrame =
+    curateCorpusPlan(docs, passageLen, maxDocFreq)._1
+
+  /** [[curateCorpus]] as a caller-owned-lifecycle bracket: runs the
+    * action `f` over the verdict frame, then unpersists the cleaned
+    * table this call persisted — the
+    * [[graft.operators.Dedup.withNearDupAgainst]] convention for
+    * one-shot callers, so long-lived sessions never accumulate
+    * session-lifetime caches.
+    */
+  def withCurateCorpus[T](
+      docs: DataFrame,
+      passageLen: Int = 8,
+      maxDocFreq: Long = 1)(f: DataFrame => T): T = {
+    val (result, cached) = curateCorpusPlan(docs, passageLen, maxDocFreq)
+    try f(result) finally cached.unpersist()
+  }
+
+  /** [[curationFunnel]] under the same bracket: the funnel consumes
+    * [[curateCorpus]]'s plan (and therefore its persisted cleaned
+    * table), so the one-shot form must release that cache after the
+    * action exactly like [[withCurateCorpus]].
+    */
+  def withCurationFunnel[T](
+      docs: DataFrame,
+      passageLen: Int = 8,
+      maxDocFreq: Long = 1)(f: DataFrame => T): T = {
+    val (verdicts, cached) = curateCorpusPlan(docs, passageLen, maxDocFreq)
+    try f(funnelOf(docs, verdicts)) finally cached.unpersist()
+  }
+
+  private def curateCorpusPlan(
+      docs: DataFrame,
+      passageLen: Int,
+      maxDocFreq: Long): (DataFrame, DataFrame) = {
     val q = TextAnalysis.qualityFilter(docs)
     val passing = docs.join(q.filter(col("keep")).select("doc_id"), Seq("doc_id"), "left_semi")
     val cleaned = Dedup.passageDedup(passing, passageLen, maxDocFreq)
@@ -718,7 +752,7 @@ object Curation {
       .join(canon, Seq("h"))
       .drop("h")
     val split = hashSplit(withCanon.filter(col("doc_id") === col("canonical_id")))
-    q.select(col("doc_id"), col("keep"), col("reject_reasons"))
+    val verdicts = q.select(col("doc_id"), col("keep"), col("reject_reasons"))
       .join(withCanon, Seq("doc_id"), "left_outer")
       .join(split.select(col("doc_id"), col("split")), Seq("doc_id"), "left_outer")
       .select(
@@ -730,6 +764,7 @@ object Curation {
         coalesce(col("n_dropped"), lit(0L)).as("n_dropped_passages"),
         when(col("doc_id") =!= col("canonical_id"), col("canonical_id")).as("dup_of"),
         col("split"))
+    (verdicts, cleaned)
   }
 
   /** Per-source curation funnel — the monitoring view a pipeline team
@@ -749,7 +784,10 @@ object Curation {
       docs: DataFrame,
       passageLen: Int = 8,
       maxDocFreq: Long = 1): DataFrame =
-    curateCorpus(docs, passageLen, maxDocFreq)
+    funnelOf(docs, curateCorpus(docs, passageLen, maxDocFreq))
+
+  private def funnelOf(docs: DataFrame, verdicts: DataFrame): DataFrame =
+    verdicts
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(

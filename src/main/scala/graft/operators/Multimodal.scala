@@ -246,7 +246,8 @@ object Multimodal {
           catch { case _: Exception => (id, kind, false, Option.empty[Long]) }
         })
         .toDF("doc_id", "kind", "ok", "out_geom")
-    val pass = media.filter(not(isP5 || isP6 || isPng || isBmp || isRiff || isAvi)).select(
+    val pass = media.filter(
+      not(isP5 || isP6 || isPng || isBmp || isJpeg || isRiff || isAvi)).select(
       col("doc_id"), lit("passthrough").as("kind"),
       lit(true).as("ok"), lit(-1L).as("out_geom"))
     inv(isP5, "pgm") { (id, b) =>
@@ -269,6 +270,10 @@ object Multimodal {
         resizedBmpPayload(id, b, kx, 1)
           .fold(0L)(out => BmpDecoder.decode(id, out).n_px)
       })
+      .unionByName(inv(isJpeg, "jpeg") { (id, b) =>
+        resizedJpegPayload(id, b, kx, 1)
+          .fold(0L)(out => JpegCodec.decode(id, out).n_blocks)
+      })
       .unionByName(inv(isRiff, "wav") { (id, b) =>
         resampledWavPayload(id, b, k)
           .fold(0L)(out => WavDecoder.decode(id, out).n_samples)
@@ -286,7 +291,8 @@ object Multimodal {
     * corpus-scale media transform pass). Transformable claims map
     * through the real kernels (P5 → [[resizePgm]], P6 → [[resizePpm]],
     * PNG → [[resizePng]] — across the compression boundary,
-    * BMP → [[resizeBmp]], RIFF/WAVE → [[resampleWav]],
+    * BMP → [[resizeBmp]], JPEG → [[resizeJpeg]] — across the LOSSY
+    * DCT/entropy boundary, RIFF/WAVE → [[resampleWav]],
     * RIFF/AVI → [[resizeAvi]]); everything else
     * passes through byte-identical. Sub-block images/streams DROP
     * (their transforms emit nothing — the documented decimation
@@ -305,9 +311,11 @@ object Multimodal {
       .unionByName(pp(resizePpm(spark, media.filter(isP6), kx)))
       .unionByName(pp(resizePng(spark, media.filter(isPng), kx)))
       .unionByName(pp(resizeBmp(spark, media.filter(isBmp), kx)))
+      .unionByName(pp(resizeJpeg(spark, media.filter(isJpeg), kx)))
       .unionByName(pp(resampleWav(spark, media.filter(isRiff), k)))
       .unionByName(pp(resizeAvi(spark, media.filter(isAvi), kx)))
-      .unionByName(pp(media.filter(not(isP5 || isP6 || isPng || isBmp || isRiff || isAvi))))
+      .unionByName(pp(media.filter(
+        not(isP5 || isP6 || isPng || isBmp || isJpeg || isRiff || isAvi))))
   }
 
   /** Wrap each document as a REAL binary PGM image — a 1-row grayscale
@@ -436,6 +444,173 @@ object Multimodal {
     val header = s"P5\n$ow $oh\n$maxVal\n"
       .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
     Iterator.single((id, header ++ out))
+  }
+
+  /** Exact fixed-point BILINEAR plane resample to an EXPLICIT target
+    * geometry — the kernel a training pipeline actually runs ("resize
+    * everything to 224×224"), next to the integer-stride box family
+    * (which can only express integer downscales). Half-pixel-center
+    * sampling: output x samples source position
+    * `((2x+1)·w − ow) / (2·ow)` — the numerator/denominator stay exact
+    * integers, the two neighbor weights are the remainder split, and
+    * the final value floors — so an SQL oracle replays every output
+    * pixel from the input bytes with no float anywhere. Edge samples
+    * clamp (the `num ≤ 0` / `num ≥ (n−1)·den` branches, which also
+    * keep every division non-negative — truncating and flooring agree,
+    * so engine and oracle cannot diverge on negatives). Separable:
+    * horizontal pass then vertical, each flooring — the documented
+    * two-pass semantics the oracle replays. Handles upscale and
+    * downscale alike; never drops (any source ≥ 1×1 maps to any
+    * target), unlike the stride family's sub-block contract.
+    */
+  private[graft] def bilinearPlane(
+      pix: Array[Int], w: Int, h: Int, ow: Int, oh: Int): Array[Int] = {
+    require(w >= 1 && h >= 1, s"degenerate source ${w}x$h")
+    require(ow >= 1 && oh >= 1, s"degenerate target ${ow}x$oh")
+    def axis(src: Array[Int], n: Int, on: Int, lines: Int,
+             at: (Int, Int) => Int, put: (Array[Int], Int, Int, Int) => Unit): Array[Int] = {
+      val den = 2L * on
+      val out = new Array[Int](on * lines)
+      var l = 0
+      while (l < lines) {
+        var o = 0
+        while (o < on) {
+          val num = (2L * o + 1) * n - on
+          val v =
+            if (num <= 0) src(at(l, 0))
+            else if (num >= (n - 1).toLong * den) src(at(l, n - 1))
+            else {
+              val i0 = (num / den).toInt
+              val r = num - i0 * den
+              (((den - r) * src(at(l, i0)) + r * src(at(l, i0 + 1))) / den).toInt
+            }
+          put(out, l, o, v)
+          o += 1
+        }
+        l += 1
+      }
+      out
+    }
+    // Horizontal: rows are lines, index (row, x) = row*w + x.
+    val hx = axis(pix, w, ow, h,
+      (row, x) => row * w + x, (a, row, x, v) => a(row * ow + x) = v)
+    // Vertical: columns are lines over the ow-wide intermediate.
+    axis(hx, h, oh, ow,
+      (colIdx, y) => y * ow + colIdx, (a, colIdx, y, v) => a(y * ow + colIdx) = v)
+  }
+
+  /** BILINEAR resize of a PGM payload to an explicit targetW×targetH —
+    * [[bilinearPlane]] under the netpbm round trip; exact integers end
+    * to end, zero shuffle, no drop contract (bilinear maps any source
+    * geometry to any target).
+    */
+  def resizePgmTo(
+      spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, s"degenerate target ${targetW}x$targetH")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        val (w, h, maxVal, start) = parseNetpbmHeader(id, b, 0, '5')
+        require(start + w.toLong * h <= b.length, s"doc $id: truncated raster")
+        if (w < 1 || h < 1) Iterator.empty
+        else {
+          val pix = Array.tabulate(w * h)(i => b(start + i) & 0xff)
+          val out = bilinearPlane(pix, w, h, targetW, targetH)
+          val header = s"P5\n$targetW $targetH\n$maxVal\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          Iterator.single((id, header ++ out.map(_.toByte)))
+        }
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** [[resizePgmTo]]'s COLOR twin: per-channel [[bilinearPlane]] over
+    * the de-interleaved R/G/B planes (channels never mix), re-encoded
+    * as a real PPM.
+    */
+  def resizePpmTo(
+      spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, s"degenerate target ${targetW}x$targetH")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        val (w, h, maxVal, start) = parseNetpbmHeader(id, b, 0, '6')
+        require(start + 3L * w * h <= b.length, s"doc $id: truncated RGB raster")
+        if (w < 1 || h < 1) Iterator.empty
+        else {
+          val out = new Array[Byte](3 * targetW * targetH)
+          var c = 0
+          while (c < 3) {
+            val plane = Array.tabulate(w * h)(i => b(start + 3 * i + c) & 0xff)
+            val rp = bilinearPlane(plane, w, h, targetW, targetH)
+            var i = 0
+            while (i < rp.length) { out(3 * i + c) = rp(i).toByte; i += 1 }
+            c += 1
+          }
+          val header = s"P6\n$targetW $targetH\n$maxVal\n"
+            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+          Iterator.single((id, header ++ out))
+        }
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** The LOSSY member of the raster-resize family — JPEG in, JPEG out,
+    * across the entropy/DCT boundary: [[JpegCodec.decodeGrayPixels]]
+    * reconstructs the full raster (flat blocks by the exact integer
+    * shortcut, AC blocks by the float IDCT), the shared stride-(kx, ky)
+    * floor-mean box kernel decimates, and [[JpegCodec.encodeGray]]
+    * re-encodes — forward DCT, quantization, zigzag run-length Huffman
+    * coding — into a real baseline stream the decoder round-trips.
+    * Same sub-block drop contract as every resize. Lossy by nature:
+    * gates hash the re-decoded GEOMETRY and quantized-DC stats (exact
+    * integers an SQL oracle replays from the pixel block sums), never
+    * AC-reconstruction values or compressed bytes, which the
+    * quantizer/compressor own — the q269 PNG convention extended to a
+    * lossy codec. Payloads never leave their partition; zero shuffle.
+    */
+  def resizeJpeg(
+      spark: SparkSession, media: DataFrame, kx: Int, ky: Int = 1): DataFrame = {
+    require(kx >= 1 && ky >= 1, s"factors must be positive: kx=$kx ky=$ky")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        resizedJpegPayload(id, b, kx, ky).map(out => (id, out)).iterator
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** [[resizeJpeg]]'s per-payload kernel, shared with
+    * [[mediaTransformInventory]] and [[transformMedia]] so the strict
+    * and quarantined paths cannot drift. None = sub-block input.
+    */
+  private def resizedJpegPayload(
+      id: Long, b: Array[Byte], kx: Int, ky: Int): Option[Array[Byte]] = {
+    val (w, h, pix) = JpegCodec.decodeGrayPixels(id, b)
+    val ow = w / kx
+    val oh = h / ky
+    if (ow < 1 || oh < 1) None else Some {
+      val out = new Array[Int](ow * oh)
+      val block = kx.toLong * ky
+      var oy = 0
+      while (oy < oh) {
+        var ox = 0
+        while (ox < ow) {
+          var sum = 0L
+          var dy = 0
+          while (dy < ky) {
+            val rowBase = (oy * ky + dy) * w + ox * kx
+            var dx = 0
+            while (dx < kx) { sum += pix(rowBase + dx); dx += 1 }
+            dy += 1
+          }
+          out(oy * ow + ox) = (sum / block).toInt
+          ox += 1
+        }
+        oy += 1
+      }
+      JpegCodec.encodeGray(ow, oh, out)
+    }
   }
 
   /** [[resizePgm]]'s COLOR twin — stride-(kx, ky) per-CHANNEL box
@@ -1726,6 +1901,11 @@ object Multimodal {
     val ascii = java.nio.charset.StandardCharsets.US_ASCII
     val moviSize = 4L + frames.iterator.map(f => 8L + f.length + (f.length & 1)).sum
     val riffSize = 4L + (8L + 68L) + 8L + moviSize
+    // Fail loudly on a >2 GiB aggregate payload like the other codecs'
+    // structural checks — the Int casts below would otherwise wrap
+    // silently and emit a corrupt AVI (ADVICE r18).
+    require(8L + riffSize <= Int.MaxValue,
+      s"doc payload too large to re-encode as one AVI: $riffSize bytes")
     val bb = java.nio.ByteBuffer
       .allocate((8 + riffSize).toInt)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -2509,7 +2689,16 @@ object Multimodal {
       out
     }
 
-    def decode(id: Long, p: Array[Byte]): JpegFeatures = {
+    private case class JpegParsed(
+        w: Int, h: Int, qt: Array[Int], dcTab: HuffTable, acTab: HuffTable,
+        restartInterval: Int, scanStart: Int) {
+      def nBlocks: Long = ((w + 7) / 8).toLong * ((h + 7) / 8).toLong
+    }
+
+    /** Marker-grammar walk shared by the stats and pixel decoders:
+      * parses DQT/SOF0/DHT/DRI up to SOS and returns the scan offset.
+      */
+    private def parseHeaders(id: Long, p: Array[Byte]): JpegParsed = {
       require(p.length > 4 && (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xd8,
         s"not a JPEG (missing SOI) for doc $id")
       var pos = 2
@@ -2578,34 +2767,39 @@ object Multimodal {
       }
       require(w > 0 && h > 0 && dcTab != null && acTab != null, "incomplete headers")
       val qt = qts.getOrElse(qtSel, throw new IllegalArgumentException("missing DQT"))
-      val nBlocks = ((w + 7) / 8).toLong * ((h + 7) / 8).toLong
-      val br = new BitReader(p, scanStart)
+      JpegParsed(w, h, qt, dcTab, acTab, restartInterval, scanStart)
+    }
+
+    /** Entropy-decode every block in MCU (row-major) order, invoking
+      * `f(blockIndex, predictedDc, dequantizedCoef, hasAc)` per block;
+      * returns the symbol bits consumed. The single scan loop both
+      * decoders share — stats and pixel placement diverge only in `f`.
+      */
+    private def decodeBlocks(id: Long, p: Array[Byte], hd: JpegParsed)(
+        f: (Long, Int, Array[Int], Boolean) => Unit): Long = {
+      val br = new BitReader(p, hd.scanStart)
       var pred = 0
-      var dcSum = 0L
-      var dcMin = Long.MaxValue
-      var dcMax = Long.MinValue
-      var recon = 0L
       var b = 0L
       var sinceRestart = 0
       var nextRst = 0
-      while (b < nBlocks) {
-        if (restartInterval > 0 && sinceRestart == restartInterval) {
+      while (b < hd.nBlocks) {
+        if (hd.restartInterval > 0 && sinceRestart == hd.restartInterval) {
           br.restartMarker(nextRst) // byte-align, verify RSTm, drop pad bits
           nextRst = (nextRst + 1) % 8
           pred = 0 // T.81 E.2.4: DC prediction resets at every restart
           sinceRestart = 0
         }
         sinceRestart += 1
-        val cat = br.decode(dcTab)
+        val cat = br.decode(hd.dcTab)
         val diff = extend(br.receive(cat), cat)
         pred += diff
         val coef = new Array[Int](64)
-        coef(0) = pred * qt(0)
+        coef(0) = pred * hd.qt(0)
         var hasAc = false
         var k = 1
         var eob = false
         while (k < 64 && !eob) {
-          val sym = br.decode(acTab)
+          val sym = br.decode(hd.acTab)
           val r = sym >> 4
           val s = sym & 0x0f
           if (s == 0) {
@@ -2614,22 +2808,188 @@ object Multimodal {
           } else {
             k += r
             require(k < 64, "AC run past block end")
-            coef(Zigzag(k)) = extend(br.receive(s), s) * qt(Zigzag(k))
+            coef(Zigzag(k)) = extend(br.receive(s), s) * hd.qt(Zigzag(k))
             hasAc = true
             k += 1
           }
         }
+        f(b, pred, coef, hasAc)
+        b += 1
+      }
+      br.bitsConsumed
+    }
+
+    def decode(id: Long, p: Array[Byte]): JpegFeatures = {
+      val hd = parseHeaders(id, p)
+      var dcSum = 0L
+      var dcMin = Long.MaxValue
+      var dcMax = Long.MinValue
+      var recon = 0L
+      val bits = decodeBlocks(id, p, hd) { (_, pred, coef, hasAc) =>
         dcSum += pred
         dcMin = math.min(dcMin, pred)
         dcMax = math.max(dcMax, pred)
         recon +=
           (if (!hasAc) 64L * clamp(128L + (coef(0) + 4) / 8) // exact flat path
            else idctGeneral(coef).sum)
-        b += 1
       }
-      JpegFeatures(id, w, h, nBlocks, dcSum,
-        if (nBlocks == 0) 0L else dcMin, if (nBlocks == 0) 0L else dcMax,
-        br.bitsConsumed, recon)
+      JpegFeatures(id, hd.w, hd.h, hd.nBlocks, dcSum,
+        if (hd.nBlocks == 0) 0L else dcMin, if (hd.nBlocks == 0) 0L else dcMax,
+        bits, recon)
+    }
+
+    /** Full grayscale raster decode — the transform path's input half:
+      * every block IDCTs to pixels (flat blocks by the exact integer
+      * shortcut, AC blocks by the float IDCT) and lands in image order,
+      * cropped to the declared w×h (edge blocks decode all 64 samples;
+      * only the visible region is returned, T.81 A.2.4).
+      */
+    def decodeGrayPixels(id: Long, p: Array[Byte]): (Int, Int, Array[Int]) = {
+      val hd = parseHeaders(id, p)
+      val bxN = (hd.w + 7) / 8
+      val out = new Array[Int](hd.w * hd.h)
+      decodeBlocks(id, p, hd) { (b, _, coef, hasAc) =>
+        val bx = (b % bxN).toInt
+        val by = (b / bxN).toInt
+        val px: Array[Long] =
+          if (!hasAc) Array.fill(64)(clamp(128L + (coef(0) + 4) / 8))
+          else idctGeneral(coef)
+        var y = 0
+        while (y < 8) {
+          val iy = 8 * by + y
+          if (iy < hd.h) {
+            var x = 0
+            while (x < 8) {
+              val ix = 8 * bx + x
+              if (ix < hd.w) out(iy * hd.w + ix) = px(8 * y + x).toInt
+              x += 1
+            }
+          }
+          y += 1
+        }
+      }
+      (hd.w, hd.h, out)
+    }
+
+    // Precomputed cos((2x+1)·u·π/16) for the forward DCT.
+    private val CosT: Array[Array[Double]] =
+      Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+
+    /** General grayscale baseline encoder — the transform path's output
+      * half: edge-replicated 8×8 blocks, DC quantized by the SAME exact
+      * integer formula as [[encode]] (`(Σs − 8192 + 64) quot 128` — so
+      * an SQL oracle replays every decoded DC from the pixel sums),
+      * ACs through the float forward DCT quantized at step [[QDc]]
+      * (round-half-up — compressor-owned precision the gates never
+      * hash), zigzag run-length Huffman coding with ZRL/EOB against the
+      * standard Annex K tables. Emits the same restricted-but-real
+      * stream class the decoder accepts: 8-bit, single component,
+      * multi-block-row SOF0.
+      */
+    def encodeGray(w: Int, h: Int, pix: Array[Int]): Array[Byte] = {
+      require(w >= 1 && h >= 1, s"degenerate raster ${w}x$h")
+      require(w <= 65535 && h <= 65535, s"SOF0 geometry overflow: ${w}x$h")
+      require(pix.length == w * h, s"raster length ${pix.length} != ${w}x$h")
+      val bxN = (w + 7) / 8
+      val byN = (h + 7) / 8
+      val dcCodes = canonicalCodes(DcBits, DcVals)
+      val acCodes = canonicalCodes(AcBits, AcVals)
+      val bw = new BitWriter
+      var pred = 0
+      val s = new Array[Int](64)
+      var by = 0
+      while (by < byN) {
+        var bx = 0
+        while (bx < bxN) {
+          // Gather with edge replication (the standard MCU padding).
+          var y = 0
+          while (y < 8) {
+            val iy = math.min(8 * by + y, h - 1)
+            var x = 0
+            while (x < 8) {
+              val ix = math.min(8 * bx + x, w - 1)
+              s(8 * y + x) = pix(iy * w + ix)
+              x += 1
+            }
+            y += 1
+          }
+          var sum = 0L
+          var i = 0
+          while (i < 64) { sum += s(i); i += 1 }
+          val dc = ((sum - 64L * 128L) + 64L) / (8L * QDc)
+          val coefq = new Array[Int](64) // natural order, [0] unused
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              if (u != 0 || v != 0) {
+                var acc = 0.0
+                var yy = 0
+                while (yy < 8) {
+                  var xx = 0
+                  while (xx < 8) {
+                    acc += (s(8 * yy + xx) - 128) * CosT(xx)(u) * CosT(yy)(v)
+                    xx += 1
+                  }
+                  yy += 1
+                }
+                val cu = if (u == 0) 0.7071067811865476 else 1.0
+                val cv = if (v == 0) 0.7071067811865476 else 1.0
+                coefq(8 * v + u) = math.round(acc * cu * cv / (4.0 * QDc)).toInt
+              }
+              u += 1
+            }
+            v += 1
+          }
+          // DC difference
+          val diff = (dc - pred).toInt
+          pred = dc.toInt
+          val cat = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          val (c, l) = dcCodes(cat)
+          bw.put(c, l)
+          if (cat > 0) {
+            val mag = if (diff >= 0) diff else diff + (1 << cat) - 1
+            bw.put(mag, cat)
+          }
+          // AC zigzag run-length coding (T.81 F.1.4)
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            val av = coefq(Zigzag(k))
+            if (av == 0) run += 1
+            else {
+              while (run >= 16) {
+                val (zc, zl) = acCodes(0xf0) // ZRL
+                bw.put(zc, zl)
+                run -= 16
+              }
+              val sz = 32 - Integer.numberOfLeadingZeros(math.abs(av))
+              require(sz <= 10, s"AC magnitude out of Annex K range: $av")
+              val (ac, al) = acCodes((run << 4) | sz)
+              bw.put(ac, al)
+              val mag = if (av >= 0) av else av + (1 << sz) - 1
+              bw.put(mag, sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) { val (ec, el) = acCodes(0x00); bw.put(ec, el) } // EOB
+          bx += 1
+        }
+        by += 1
+      }
+      val qt = Array.fill(64)(QDc.toByte)
+      val dqt = seg(0xdb, Array(0x00.toByte) ++ qt)
+      val sof = seg(0xc0, Array[Byte](
+        8, ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
+        ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
+        1, 1, 0x11.toByte, 0))
+      val dht = seg(0xc4,
+        Array(0x00.toByte) ++ DcBits.drop(1).map(_.toByte) ++ DcVals.map(_.toByte) ++
+          Array(0x10.toByte) ++ AcBits.drop(1).map(_.toByte) ++ AcVals.map(_.toByte))
+      val sos = seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+      Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dht ++ sos ++
+        bw.finish() ++ Array(0xff.toByte, 0xd9.toByte)
     }
   }
 }

@@ -109,7 +109,30 @@ object Similarity {
       embeddings: DataFrame,
       minCosine: Double = 0.2,
       numPlanes: Int = DefaultNumPlanes,
-      dim: Int = 64): DataFrame = {
+      dim: Int = 64): DataFrame =
+    semanticDedupPlan(embeddings, minCosine, numPlanes, dim)._1
+
+  /** [[semanticDedup]] as a caller-owned-lifecycle bracket: runs the
+    * action `f` over the verdict frame, then unpersists the bucketed
+    * quantized table this call persisted — the
+    * [[graft.operators.Dedup.withNearDupAgainst]] convention for
+    * one-shot callers (a bench sweep, a one-off audit), so long-lived
+    * sessions never accumulate session-lifetime caches.
+    */
+  def withSemanticDedup[T](
+      embeddings: DataFrame,
+      minCosine: Double = 0.2,
+      numPlanes: Int = DefaultNumPlanes,
+      dim: Int = 64)(f: DataFrame => T): T = {
+    val (result, cached) = semanticDedupPlan(embeddings, minCosine, numPlanes, dim)
+    try f(result) finally cached.unpersist()
+  }
+
+  private def semanticDedupPlan(
+      embeddings: DataFrame,
+      minCosine: Double,
+      numPlanes: Int,
+      dim: Int): (DataFrame, DataFrame) = {
     // Both self-join sides consume the quantize+bucket pass — persist so
     // the corpus is scanned once, not once per side.
     val b = signBucketsQuantized(embeddings, numPlanes, dim)
@@ -132,12 +155,13 @@ object Similarity {
         row_number().over(Window.partitionBy(col("vec_id")).orderBy(col("dup_id"))))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("dup_id").as("dup_of"), col("dp"), col("cosine"))
-    embeddings
+    val verdicts = embeddings
       .select(col("vec_id"))
       .join(best, Seq("vec_id"), "left_outer")
       .select(
         col("vec_id"), col("dup_of").isNull.as("kept"),
         col("dup_of"), col("dp"), col("cosine"))
+    (verdicts, b)
   }
 
   /** Deterministic random hyperplanes: component (p, d) is derived from

@@ -838,6 +838,57 @@ object StreamingOps {
     compactEpochs(spark, basePath, keepAfter, Seq("doc_id", "n_sampled", "video_fp"),
       df => antiTombstone(spark, df, deletesPath, "doc_id"))
 
+  /** Streaming MINHASH SIGNATURE-INDEX state — the kept-corpus near-dup
+    * index ([[graft.operators.Dedup.signatureDigestIndex]]: one
+    * `(doc_id, sigs, shl, n_sh)` row per admitted document from the
+    * fused one-md5-per-shingle pass) maintained incrementally instead
+    * of re-derived per admission batch (VERDICT r18 gap #3: the q44
+    * index was rebuilt from kept TEXT on every call). Each micro-batch
+    * of admitted documents lands its own replay-idempotent epoch;
+    * because rows are per-document and batches are doc-disjoint, the
+    * live index is the plain union of epochs, takedown is the tombstone
+    * anti-join (the [[videoFingerprintsSink]] convention — no
+    * subtraction arithmetic), and
+    * [[graft.operators.Dedup.nearDupAgainst]]`(keptSignatures = ...)`
+    * consumes the merged view directly: text is scanned once at
+    * admission time and never again. Only signatures and 60-bit digest
+    * sets land or shuffle.
+    */
+  def signatureIndexSink(
+      basePath: String,
+      k: Int = 3,
+      numHashes: Int = 8): (DataFrame, Long) => Unit =
+    (batch: DataFrame, batchId: Long) =>
+      graft.operators.Dedup.signatureDigestIndex(batch, k, numHashes)
+        .write.mode("overwrite").parquet(s"$basePath/batch_id=$batchId")
+
+  /** The live signature index over a [[signatureIndexSink]] directory
+    * (compaction-aware); `deletesPath` names a [[tombstoneSink]]
+    * directory of taken-down doc ids, anti-joined at read time so a
+    * removed document stops suppressing near-duplicates immediately.
+    */
+  def mergedSignatureIndex(
+      spark: SparkSession,
+      basePath: String,
+      deletesPath: Option[String] = None): DataFrame =
+    antiTombstone(
+      spark,
+      compactedStateView(spark, basePath, Seq("doc_id", "sigs", "shl", "n_sh")),
+      deletesPath, "doc_id")
+
+  /** [[compactEpochs]] for a [[signatureIndexSink]] directory:
+    * doc-disjoint epochs concatenate, and tombstones apply PHYSICALLY
+    * when `deletesPath` is given (the taken-down document's signatures
+    * leave the state files, not just the view).
+    */
+  def compactSignatureIndexEpochs(
+      spark: SparkSession,
+      basePath: String,
+      keepAfter: Long,
+      deletesPath: Option[String] = None): Int =
+    compactEpochs(spark, basePath, keepAfter, Seq("doc_id", "sigs", "shl", "n_sh"),
+      df => antiTombstone(spark, df, deletesPath, "doc_id"))
+
   /** Streaming ANN (IVF) index maintenance — the FIFTH batch family put
     * under the per-epoch replay-idempotent state layout: the coarse
     * quantizer is trained once and FROZEN (standard ANN practice —

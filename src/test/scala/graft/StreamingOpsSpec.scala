@@ -1273,6 +1273,53 @@ class StreamingOpsSpec extends SparkSpec {
     assert(clusters(Some(dels)) === Set(0L, 10L), "compaction changed the merged view")
   }
 
+  test("streaming signature index: replay-safe; merged search equals batch nearDupAgainst; tombstones unsuppress; compaction deletes physically") {
+    import graft.operators.Dedup
+    import spark.implicits._
+    def docs(rows: (Long, String)*) =
+      rows.map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val near = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    val kept = docs(
+      0L -> near,
+      1L -> "a completely different kept document about spark shuffles and joins",
+      2L -> "yet another unrelated kept text concerning parquet column pruning")
+    val snap = docs(
+      10L -> near, // near-dup of kept 0: must drop
+      11L -> "fresh snapshot material with no counterpart in the kept corpus at all")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sig_sink").toString
+    val sink = StreamingOps.signatureIndexSink(dir)
+    sink(kept.filter(col("doc_id") === 0L), 0L)
+    sink(kept.filter(col("doc_id") === 0L), 0L) // replay: overwrite, not duplicate
+    sink(kept.filter(col("doc_id") > 0L), 1L)
+    def survivors(dels: Option[String]) =
+      Dedup.withNearDupAgainst(kept, snap,
+          keptSignatures = Some(StreamingOps.mergedSignatureIndex(spark, dir, dels))) {
+        s => s.collect().map(_.getLong(0)).toSet
+      }
+    // Merged-index search equals the text-derived batch answer.
+    val batch = Dedup.withNearDupAgainst(kept, snap) {
+      s => s.collect().map(_.getLong(0)).toSet
+    }
+    assert(survivors(None) === batch)
+    assert(batch === Set(11L), "the planted near-dup must drop against the kept corpus")
+    // Replay did not duplicate rows.
+    val merged = StreamingOps.mergedSignatureIndex(spark, dir)
+    assert(merged.count() === merged.select("doc_id").distinct().count())
+    // Takedown: kept doc 0 tombstones out -> its near-dup stops being
+    // suppressed immediately at read time.
+    val dels = java.nio.file.Files.createTempDirectory("graft_sig_dels").toString
+    StreamingOps.tombstoneSink(dels, idCol = "doc_id")(Seq(0L).toDF("doc_id"), 0L)
+    assert(survivors(Some(dels)) === Set(10L, 11L))
+    // Compaction with deletes: doc 0's signatures leave the DISK; the
+    // merged view (and the search) is unchanged.
+    assert(StreamingOps.compactSignatureIndexEpochs(
+      spark, dir, keepAfter = 1L, deletesPath = Some(dels)) === 2)
+    assert(spark.read.parquet(dir).filter(col("doc_id") === 0L).count() === 0L,
+      "physical deletion must remove the tombstoned doc's signature rows")
+    assert(survivors(Some(dels)) === Set(10L, 11L), "compaction changed the merged search")
+  }
+
   test("IVF rebuild: re-trained quantizer from the state's own postings; recall recovers on a drifted corpus; parity with the learned batch search") {
     import graft.operators.Similarity
     import spark.implicits._

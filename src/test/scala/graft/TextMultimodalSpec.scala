@@ -1890,4 +1890,151 @@ class TextMultimodalSpec extends SparkSpec {
     }
     assert(f.recon_sum === expect, "general-IDCT reconstruction sum")
   }
+
+  test("bilinearPlane: identity, exact midpoints, edge clamp, upscale, 2-D separability") {
+    // Identity: same geometry returns the same pixels (num lands exactly
+    // on each source center, remainder 0).
+    val src = Array(10, 20, 30, 40, 50)
+    assert(Multimodal.bilinearPlane(src, 5, 1, 5, 1).toSeq === src.toSeq)
+    // 2x upscale of a 2-pixel row: centers at src positions -0.25, 0.25,
+    // 0.75, 1.25 -> clamp, 3/4-1/4 mix, 1/4-3/4 mix, clamp.
+    assert(Multimodal.bilinearPlane(Array(0, 100), 2, 1, 4, 1).toSeq ===
+      Seq(0, 25, 75, 100))
+    // 5 -> 3 non-integer downscale: x=1 samples source 7/6 ->
+    // floor((5*20+5*30... ) ) exact fixed-point: num=(2x+1)*5-3, den=6.
+    // x=0: num=2 -> i0=0,r=2 -> (4*10+2*20)/6=13; x=1: num=12 -> i0=2,r=0
+    // -> 30; x=2: num=22 -> i0=3,r=4 -> (2*40+4*50)/6=46.
+    assert(Multimodal.bilinearPlane(src, 5, 1, 3, 1).toSeq === Seq(13, 30, 46))
+    // Separability: a 2-D gradient through both passes, hand-checked
+    // corners (clamped) keep their values.
+    val g = Array(
+      0, 60,
+      120, 255)
+    val up = Multimodal.bilinearPlane(g, 2, 2, 4, 4)
+    assert(up(0) === 0 && up(3) === 60 && up(12) === 120 && up(15) === 255)
+    // Interior pixel (1,1): horizontal pass row0 -> (6*0+2*60)/8=15,
+    // row1 -> (6*120+2*255)/8=153; vertical (6*15+2*153)/8=49.
+    assert(up(4 * 1 + 1) === 49)
+  }
+
+  test("resizePgmTo / resizePpmTo: explicit-target bilinear round-trips through the codecs") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "ab", // upscale path (2 -> 48)
+      3L -> ("x" * 100))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val pg = Multimodal.decodePgmFeatures(spark,
+        Multimodal.resizePgmTo(spark, Multimodal.toPgm(docs), 48, 1))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(pg.size === 3)
+    docs.select("doc_id", "text").as[(Long, String)].collect().foreach { case (id, t) =>
+      val f = pg(id)
+      assert(f.width === 48 && f.height === 1 && f.n_px === 48L)
+      val bytes = t.getBytes("UTF-8").map(_ & 0xff)
+      val expect = (0 until 48).map { ox =>
+        val num = (2L * ox + 1) * bytes.length - 48
+        if (num <= 0) bytes(0)
+        else if (num >= (bytes.length - 1).toLong * 96) bytes.last
+        else {
+          val i0 = (num / 96).toInt; val r = num - i0 * 96
+          (((96 - r) * bytes(i0) + r * bytes(i0 + 1)) / 96).toInt
+        }
+      }
+      assert(f.mean_px.get === expect.sum.toDouble / 48.0, s"doc $id mean")
+      assert(f.min_px.get === expect.min && f.max_px.get === expect.max, s"doc $id extremes")
+    }
+    // Color twin: constant-channel text pins channel independence (R
+    // always 'a', G 'b', B 'c' -> means are exactly those bytes).
+    val cdocs = Seq(4L -> ("abc" * 20)).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val pp = Multimodal.decodePpmFeatures(spark,
+        Multimodal.resizePpmTo(spark, Multimodal.toPpm(cdocs), 32, 2))
+      .collect().head
+    assert(pp.width === 32 && pp.height === 2 && pp.n_px === 64L)
+    assert(pp.r_mean.get === 'a'.toInt.toDouble && pp.g_mean.get === 'b'.toInt.toDouble &&
+      pp.b_mean.get === 'c'.toInt.toDouble)
+    assert(pp.min_px.get === 'a'.toInt && pp.max_px.get === 'c'.toInt)
+  }
+
+  test("JPEG decodeGrayPixels: flat stream reconstructs per-block constant raster") {
+    val t = "a" * 63 + "Z" + "m" * 80 // 2 blocks with a DC step
+    val (w, h, pix) = Multimodal.JpegCodec.decodeGrayPixels(
+      1L, Multimodal.JpegCodec.encode(t.getBytes("UTF-8")))
+    assert(w === 16 && h === 8 && pix.length === 128)
+    val vs = (0 until 2).map { b =>
+      val s = (0 until 64).map(i => t(64 * b + i).toLong).sum
+      val dc = (s - 8192L + 64L) / 128L
+      math.max(0L, math.min(255L, 128L + (16L * dc + 4L) / 8L)).toInt
+    }
+    for (y <- 0 until 8; x <- 0 until 16)
+      assert(pix(y * 16 + x) === vs(x / 8), s"pixel ($x,$y)")
+  }
+
+  test("JPEG encodeGray: block-constant images round-trip pixel-exact; steps bounded by the quantizer") {
+    // Block-constant: every AC is exactly zero, so decode takes the
+    // exact integer flat path — output equals the DC-quantized constant.
+    val w = 16; val h = 16
+    val pix = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      Seq(40, 200, 130, 90)(2 * by + bx)
+    }
+    val (w2, h2, out) = Multimodal.JpegCodec.decodeGrayPixels(
+      2L, Multimodal.JpegCodec.encodeGray(w, h, pix))
+    assert(w2 === w && h2 === h)
+    for (i <- pix.indices) {
+      val s = 64L * pix(i)
+      val dc = (s - 8192L + 64L) / 128L
+      val v = math.max(0L, math.min(255L, 128L + (16L * dc + 4L) / 8L)).toInt
+      assert(out(i) === v, s"pixel $i")
+    }
+    // A step-function block exercises the real AC path (forward DCT ->
+    // quantize -> RLE-Huffman -> decode -> float IDCT); lossy, but the
+    // error is bounded by the quantizer step.
+    val step = Array.tabulate(64)(i => if (i % 8 < 4) 60 else 190)
+    val (_, _, back) = Multimodal.JpegCodec.decodeGrayPixels(
+      3L, Multimodal.JpegCodec.encodeGray(8, 8, step))
+    val errs = step.zip(back).map { case (a, b) => math.abs(a - b) }
+    assert(errs.max <= 32, s"max error ${errs.max} beyond quantizer bound")
+    assert(errs.sum.toDouble / 64 <= 8.0, s"mean error ${errs.sum / 64.0}")
+    // Odd geometry (not a multiple of 8) survives edge replication and
+    // crops back to the declared size.
+    val odd = Array.tabulate(10 * 3)(i => (i * 7) % 256)
+    val (ow, oh, oback) = Multimodal.JpegCodec.decodeGrayPixels(
+      4L, Multimodal.JpegCodec.encodeGray(10, 3, odd))
+    assert(ow === 10 && oh === 3 && oback.length === 30)
+  }
+
+  test("resizeJpeg: decode -> decimate -> re-encode matches the exact DC model end to end") {
+    import spark.implicits._
+    val texts = Seq(
+      1L -> ("the quick brown fox jumps over the lazy dog again and again! " * 5),
+      2L -> ("a" * 63 + "Z" + "m" * 64 + "q" * 70 + "x" * 130)) // 5 blocks: ragged output block
+    val docs = texts.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Multimodal.decodeJpegFeatures(spark,
+        Multimodal.resizeJpeg(spark, Multimodal.toJpeg(docs), kx = 4))
+      .collect().map(f => f.doc_id -> f).toMap
+    texts.foreach { case (id, t) =>
+      val nb = t.length / 64
+      val vs = (0 until nb).map { b =>
+        val s = (0 until 64).map(i => t(64 * b + i).toLong).sum
+        val dc = (s - 8192L + 64L) / 128L
+        math.max(0L, math.min(255L, 128L + (16L * dc + 4L) / 8L))
+      }
+      val onb = (nb + 3) / 4
+      val dcs = (0 until onb).map { j =>
+        val sum = 8L * (0 until 8).map(c => vs(math.min(8 * j + c, 2 * nb - 1) / 2)).sum
+        (sum - 8192L + 64L) / 128L
+      }
+      val f = got(id)
+      assert(f.width === 2 * nb && f.height === 8 && f.n_blocks === onb.toLong, s"doc $id geometry")
+      assert(f.dc_sum === dcs.sum && f.dc_min === dcs.min && f.dc_max === dcs.max,
+        s"doc $id resized dc stats")
+    }
+  }
 }
