@@ -18,8 +18,28 @@ object IsoBench {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "graft", org.apache.logging.log4j.Level.INFO)
     spark.range(1000).selectExpr("sum(id)").collect()
+    // Measurement-only variants not in the gate registry: the
+    // prefix-filter family's alternate verify strategy (ISO_r19 — the
+    // data behind the verifyByCounts default).
+    val extras: Map[String, (SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+      "q139_counts_verify" -> ((s: SparkSession, dir: String) => {
+        val (result, cached) = graft.operators.Dedup.prefixFilterPairsPlan(
+          graft.sources.Tables.documents(s, dir), 3, 50, verifyByCounts = true)
+        try {
+          val rows = result.orderBy("doc_a", "doc_b").collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+        } finally cached.unpersist()
+      }),
+      "q142_counts_verify" -> ((s: SparkSession, dir: String) => {
+        val (result, cached) = graft.operators.Dedup.containmentPairsPlan(
+          graft.sources.Tables.documents(s, dir), 3, 80, verifyByCounts = true)
+        try {
+          val rows = result.orderBy("src_doc", "dst_doc").collect()
+          s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+        } finally cached.unpersist()
+      }))
     names.foreach { name =>
-      val fn = SparkEntry.queries(name)
+      val fn = extras.getOrElse(name, SparkEntry.queries(name))
       // Same fences as Bench: operator-persisted intermediates from one
       // query must not squeeze the next query's execution memory.
       spark.catalog.clearCache()

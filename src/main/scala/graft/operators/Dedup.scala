@@ -982,10 +982,57 @@ object Dedup {
     try f(result) finally cached.unpersist()
   }
 
-  private def prefixFilterPairsPlan(
+  /** Two interchangeable exact-verification strategies for the
+    * prefix-filter family — same answer, different physical shape:
+    *
+    *  - `verifyByCounts = false` (default): per-doc sorted digest ARRAY
+    *    aggregate, candidate pairs join both arrays, `array_intersect`
+    *    counts the overlap. One digest-scale shuffle (the groupBy);
+    *    array bytes ship through the pair joins. MEASURED FASTER at
+    *    sf0.1 on this host (IsoBench q139 2.9 vs 4.5 s) — the pair set
+    *    is small after prefix filtering, so the array traffic is noise
+    *    while the count strategy's second digest-scale shuffle is not.
+    *  - `verifyByCounts = true`: count matching (pair, digest) rows
+    *    against the cached digest table — no arrays anywhere, but the
+    *    (doc_b, shh) join re-shuffles the digest table. The shape that
+    *    wins when candidate pairs × doc size outgrows executor memory
+    *    (huge near-dup clusters), since no row ever carries a whole
+    *    document's digest set.
+    *
+    * Both are exact; ISO_r19 records the measurements behind the
+    * default.
+    */
+  private def prefixVerify(
+      shAll: DataFrame,
+      cand: DataFrame, // (doc_a, doc_b) — left < right or src/dst roles
+      aCol: String,
+      bCol: String,
+      verifyByCounts: Boolean): DataFrame = {
+    if (verifyByCounts) {
+      val counts = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      shAll.select(col("doc_id").as(aCol), col("shh"))
+        .join(cand, Seq(aCol))
+        .join(shAll.select(col("doc_id").as(bCol), col("shh")), Seq(bCol, "shh"))
+        .groupBy(col(aCol), col(bCol))
+        .agg(count(lit(1)).as("n_common"))
+        .join(counts.select(col("doc_id").as(aCol), col("n_sh").as("n_a")), Seq(aCol))
+        .join(counts.select(col("doc_id").as(bCol), col("n_sh").as("n_b")), Seq(bCol))
+    } else {
+      val sets = shAll.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("shh"))).as("set"), count(lit(1)).as("n_sh"))
+      cand
+        .join(sets.select(col("doc_id").as(aCol), col("set").as("set_a"), col("n_sh").as("n_a")), Seq(aCol))
+        .join(sets.select(col("doc_id").as(bCol), col("set").as("set_b"), col("n_sh").as("n_b")), Seq(bCol))
+        .withColumn("n_common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
+        .select(col(aCol), col(bCol), col("n_common"), col("n_a"), col("n_b"))
+    }
+  }
+
+  private[graft] def prefixFilterPairsPlan(
       docs: DataFrame,
       k: Int,
-      minJaccardPct: Int): (DataFrame, DataFrame) = {
+      minJaccardPct: Int,
+      verifyByCounts: Boolean = false): (DataFrame, DataFrame) = {
     require(minJaccardPct >= 1 && minJaccardPct <= 100,
       s"minJaccardPct=$minJaccardPct outside [1, 100]")
     val pct = minJaccardPct.toLong
@@ -1000,24 +1047,7 @@ object Dedup {
         col("pn_b") * pct <= col("pn_a") * 100L)
       .select(col("doc_a"), col("doc_b"))
       .distinct()
-    // Verification counts matching (doc_a, doc_b, shh) rows against the
-    // cached digest table instead of shipping full sorted digest ARRAYS
-    // per candidate pair through two collect_list aggregates and an
-    // array_intersect (VERDICT r18: q139's verify stage was the
-    // operator's footprint — more generated stages and |pairs|·|doc|
-    // array bytes through both joins). The pair-bounded cand side
-    // broadcasts (AQE), so the expansion is map-side over the digest
-    // partitions; every candidate shares >= 1 prefix digest by
-    // construction, so the inner-join count never loses a pair.
-    val counts = shAll.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = shAll.select(col("doc_id").as("doc_a"), col("shh"))
-      .join(cand, Seq("doc_a"))
-      .join(shAll.select(col("doc_id").as("doc_b"), col("shh")), Seq("doc_b", "shh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val verified = common
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("n_b")), Seq("doc_b"))
+    val verified = prefixVerify(shAll, cand, "doc_a", "doc_b", verifyByCounts)
       .filter(lit(100L) * col("n_common") >= lit(pct) * (col("n_a") + col("n_b") - col("n_common")))
       .withColumn(
         "jaccard",
@@ -1070,10 +1100,11 @@ object Dedup {
     try f(result) finally cached.unpersist()
   }
 
-  private def containmentPairsPlan(
+  private[graft] def containmentPairsPlan(
       docs: DataFrame,
       k: Int,
-      minContainmentPct: Int): (DataFrame, DataFrame) = {
+      minContainmentPct: Int,
+      verifyByCounts: Boolean = false): (DataFrame, DataFrame) = {
     require(minContainmentPct >= 1 && minContainmentPct <= 100,
       s"minContainmentPct=$minContainmentPct outside [1, 100]")
     val pct = minContainmentPct.toLong
@@ -1093,18 +1124,12 @@ object Dedup {
       .filter(col("pn_src") * pct <= col("n_dst") * 100L)
       .select(col("src_doc"), col("dst_doc"))
       .distinct()
-    // Same digest-count verification as [[prefixFilterPairs]]: count
-    // matching (src_doc, dst_doc, shh) rows against the cached digest
-    // table instead of shipping sorted digest arrays per pair; every
-    // candidate shares >= 1 prefix digest, so no pair is lost.
-    val common = shAll.select(col("doc_id").as("src_doc"), col("shh"))
-      .join(cand, Seq("src_doc"))
-      .join(shAll.select(col("doc_id").as("dst_doc"), col("shh")), Seq("dst_doc", "shh"))
-      .groupBy(col("src_doc"), col("dst_doc"))
-      .agg(count(lit(1)).as("n_common"))
-    val verified = common
-      .join(counts.select(col("doc_id").as("src_doc"), col("n_sh").as("n_src")), Seq("src_doc"))
-      .join(counts.select(col("doc_id").as("dst_doc"), col("n_sh").as("n_dst")), Seq("dst_doc"))
+    // Same dual-strategy verification as [[prefixFilterPairs]] (see
+    // [[prefixVerify]]): every candidate shares >= 1 prefix digest, so
+    // neither strategy loses a pair.
+    val verified = prefixVerify(shAll, cand, "src_doc", "dst_doc", verifyByCounts)
+      .withColumnRenamed("n_a", "n_src")
+      .withColumnRenamed("n_b", "n_dst")
       .filter(lit(100L) * col("n_common") >= lit(pct) * col("n_src"))
       .withColumn(
         "containment",
