@@ -231,6 +231,22 @@ object SparkEntry {
     s.read.parquet(staged)
   }
 
+  /** q276's THUMBNAILED mixed lake — the clean staged lake pushed
+    * through `Multimodal.thumbnailMedia` (every decodable raster
+    * bilinear-resampled to 24×16, audio to 2 kHz, AVI/raw passthrough)
+    * and LANDED like the input lake (the same eight-pushdown-scan
+    * argument as q265), cached per (session, dir).
+    */
+  private def thumbnailedMixedMedia(s: SparkSession, dir: String): DataFrame = {
+    val staged = stagedPathFor(s, "thumb:" + dir) {
+        val path = exitCleanedTempDir("graft_router_media_thumb")
+        Multimodal.thumbnailMedia(s, stagedMixedMedia(s, dir))
+          .write.mode("overwrite").parquet(path)
+        path
+      }
+    s.read.parquet(staged)
+  }
+
   /** The q252/q265 router-geometry projection — ONE definition so the
     * clean-lake and transformed-lake gates pin the same decode-derived
     * scalar per kind.
@@ -1454,6 +1470,34 @@ object SparkEntry {
             kx = 4))
         .toDF()
         .drop("idat_len")
+        .orderBy("doc_id")),
+
+    // Audio RESAMPLE to an EXPLICIT rate — the 1-D twin of q272's
+    // bilinear kernel and the non-integer-ratio capability q256's
+    // stride resampler lacks (8000 -> 3000 Hz = x8/3): output length
+    // floor(3L/8), each sample the fixed-point linear blend of its two
+    // source neighbors (half-sample centers, edge clamps), value
+    // blends truncating on possibly-negative amplitudes — the q256
+    // div-convention — re-encoded as a real 16-bit PCM WAV and
+    // round-tripped through the decoder.
+    "q275_linear_resample" -> ((s, dir) =>
+      Multimodal.decodeWavFeatures(s,
+          Multimodal.resampleWavTo(s,
+            Multimodal.toWav16(Tables.documents(s, dir)), targetRate = 3000))
+        .toDF()
+        .orderBy("doc_id")),
+
+    // The media-lake NORMALIZATION pass — q272/q273's kernel composed
+    // through EVERY codec round trip at once: the clean mixed lake's
+    // rasters all bilinear-thumbnail to 24x16 (PGM/PPM/BMP/PNG across
+    // the compression boundary/JPEG across the lossy boundary — whose
+    // 3x2-block output exercises the multi-block-row encode+decode
+    // in-gate), audio resamples to 2 kHz, AVI and raw pass through;
+    // the result lands and re-routes through q252's geometry
+    // projection, so every thumbnail must still claim its format and
+    // decode to the TARGET geometry.
+    "q276_media_thumbnails" -> ((s, dir) =>
+      routerGeometry(Multimodal.extractFeatures(s, thumbnailedMixedMedia(s, dir)))
         .orderBy("doc_id")),
 
     // BILINEAR resize to an EXPLICIT target — the non-integer-scale
@@ -5051,6 +5095,81 @@ object SparkEntry {
         |       CAST(list_sum(cps[1 : CAST(3 * w AS INT)]) AS DOUBLE)
         |         / CAST(3 * w AS DOUBLE) AS top_row_mean
         |FROM px
+        |ORDER BY doc_id""".stripMargin,
+
+    // q275: the q272 bilinear formula over signed 16-bit amplitudes
+    // (amps[i] = (byte−128)·256): n' = 3L//8 output samples, sample j
+    // at source position ((2j+1)·L − n')/(2n') — clamps at the edges,
+    // two-neighbor weighted blend elsewhere; the blend numerator can
+    // be NEGATIVE, where Spark div and DuckDB // both truncate (the
+    // q256 convention).
+    "q275_linear_resample" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |         list_transform(range(1, length(text) + 1),
+        |                        i -> CAST((unicode(text[i:i]) - 128) * 256 AS BIGINT)) AS amps,
+        |         CAST(length(text) AS BIGINT) AS L,
+        |         CAST(3 * length(text) AS BIGINT) // 8 AS n2
+        |  FROM documents
+        |  WHERE CAST(3 * length(text) AS BIGINT) // 8 >= 1
+        |),
+        |o AS (
+        |  SELECT doc_id, n2,
+        |    CASE WHEN (2 * j + 1) * L - n2 <= 0 THEN amps[1]
+        |         WHEN (2 * j + 1) * L - n2 >= (L - 1) * 2 * n2 THEN amps[CAST(L AS INT)]
+        |         ELSE ((2 * n2 - ((2 * j + 1) * L - n2) % (2 * n2))
+        |                 * amps[CAST(((2 * j + 1) * L - n2) // (2 * n2) + 1 AS INT)]
+        |               + (((2 * j + 1) * L - n2) % (2 * n2))
+        |                 * amps[CAST(((2 * j + 1) * L - n2) // (2 * n2) + 2 AS INT)]) // (2 * n2)
+        |    END AS v
+        |  FROM px, unnest(range(0, n2)) AS u(j)
+        |)
+        |SELECT doc_id,
+        |       CAST(1 AS INT) AS n_channels,
+        |       CAST(3000 AS INT) AS sample_rate,
+        |       CAST(16 AS INT) AS bits_per_sample,
+        |       CAST(COUNT(*) AS BIGINT) AS n_samples,
+        |       CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mean_amp,
+        |       CAST(MIN(v) AS INT) AS min_amp,
+        |       CAST(MAX(v) AS INT) AS max_amp
+        |FROM o GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // q276: q252's routing rule with the THUMBNAIL geometry — every
+    // raster kind lands at the fixed 24x16 target (pgm/ppm width 24,
+    // bmp/png n_px 384, jpeg ceil(24/8)*ceil(16/8) = 6 blocks), audio
+    // at L//4 samples (8000 -> 2000 Hz), avi keeps its frame count,
+    // raw stays histogram; only degenerate sources drop (bilinear
+    // imposes no sub-block contract — empty rasters and zero-sample
+    // audio only).
+    "q276_media_thumbnails" ->
+      """WITH n AS (
+        |  SELECT doc_id, CAST(length(text) AS BIGINT) AS L, doc_id % 8 AS sel
+        |  FROM documents
+        |)
+        |SELECT doc_id, kind, geom FROM (
+        |  SELECT doc_id, sel, L,
+        |    CASE
+        |      WHEN sel = 0 THEN 'pgm'
+        |      WHEN sel = 1 THEN 'ppm'
+        |      WHEN sel = 2 THEN 'wav'
+        |      WHEN sel = 3 THEN 'bmp'
+        |      WHEN sel = 4 AND L >= 6 THEN 'png'
+        |      WHEN sel = 5 AND L >= 64 THEN 'jpeg'
+        |      WHEN sel = 6 THEN 'avi'
+        |      ELSE 'histogram' END AS kind,
+        |    CAST(CASE
+        |      WHEN sel = 0 THEN 24
+        |      WHEN sel = 1 THEN 24
+        |      WHEN sel = 2 THEN L // 4
+        |      WHEN sel = 3 THEN 384
+        |      WHEN sel = 4 AND L >= 6 THEN 384
+        |      WHEN sel = 5 AND L >= 64 THEN 6
+        |      WHEN sel = 6 THEN (L + 15) // 16
+        |      ELSE -1 END AS BIGINT) AS geom
+        |  FROM n)
+        |WHERE NOT ((sel = 0 AND L < 1) OR (sel = 1 AND L < 3)
+        |           OR (sel = 2 AND L < 4) OR (sel = 3 AND L < 6))
         |ORDER BY doc_id""".stripMargin,
 
     // q272: fixed-point bilinear replay. Output x samples source

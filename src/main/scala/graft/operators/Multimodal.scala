@@ -510,16 +510,7 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
-        val (w, h, maxVal, start) = parseNetpbmHeader(id, b, 0, '5')
-        require(start + w.toLong * h <= b.length, s"doc $id: truncated raster")
-        if (w < 1 || h < 1) Iterator.empty
-        else {
-          val pix = Array.tabulate(w * h)(i => b(start + i) & 0xff)
-          val out = bilinearPlane(pix, w, h, targetW, targetH)
-          val header = s"P5\n$targetW $targetH\n$maxVal\n"
-            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-          Iterator.single((id, header ++ out.map(_.toByte)))
-        }
+        pgmToTarget(id, b, targetW, targetH).map(out => (id, out)).iterator
       })
       .toDF("doc_id", "payload")
   }
@@ -534,25 +525,206 @@ object Multimodal {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, b) =>
-        val (w, h, maxVal, start) = parseNetpbmHeader(id, b, 0, '6')
-        require(start + 3L * w * h <= b.length, s"doc $id: truncated RGB raster")
-        if (w < 1 || h < 1) Iterator.empty
-        else {
-          val out = new Array[Byte](3 * targetW * targetH)
-          var c = 0
-          while (c < 3) {
-            val plane = Array.tabulate(w * h)(i => b(start + 3 * i + c) & 0xff)
-            val rp = bilinearPlane(plane, w, h, targetW, targetH)
-            var i = 0
-            while (i < rp.length) { out(3 * i + c) = rp(i).toByte; i += 1 }
-            c += 1
-          }
-          val header = s"P6\n$targetW $targetH\n$maxVal\n"
-            .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-          Iterator.single((id, header ++ out))
-        }
+        ppmToTarget(id, b, targetW, targetH).map(out => (id, out)).iterator
       })
       .toDF("doc_id", "payload")
+  }
+
+  /** Per-channel [[bilinearPlane]] over an interleaved RGB raster —
+    * channels never mix; shared by every color explicit-target resize.
+    */
+  private def bilinearRgb(
+      px: Array[Int], w: Int, h: Int, tw: Int, th: Int): Array[Int] = {
+    val out = new Array[Int](3 * tw * th)
+    var c = 0
+    while (c < 3) {
+      val plane = Array.tabulate(w * h)(i => px(3 * i + c))
+      val rp = bilinearPlane(plane, w, h, tw, th)
+      var i = 0
+      while (i < rp.length) { out(3 * i + c) = rp(i); i += 1 }
+      c += 1
+    }
+    out
+  }
+
+  /** [[resizeBmp]]'s encoder half, factored so the stride and
+    * explicit-target paths share one 54-byte-header/bottom-up/BGR/
+    * stride-padded writer.
+    */
+  private def encodeBmp24(out: Array[Int], ow: Int, oh: Int): Array[Byte] = {
+    val stride = ((ow * 3 + 3) / 4) * 4
+    val imageSize = stride * oh
+    val bb = java.nio.ByteBuffer
+      .allocate(54 + imageSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + imageSize)
+      .putInt(0).putInt(54)
+      .putInt(40).putInt(ow).putInt(oh)            // bottom-up (positive)
+      .putShort(1.toShort).putShort(24.toShort)
+      .putInt(0).putInt(imageSize)
+      .putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var imgRow = oh - 1                             // bottom row stored first
+    while (imgRow >= 0) {
+      var x = 0
+      while (x < ow) {
+        val base = 3 * (imgRow * ow + x)
+        bb.put(out(base + 2).toByte)                // B
+          .put(out(base + 1).toByte)                // G
+          .put(out(base).toByte)                    // R
+        x += 1
+      }
+      var p = 3 * ow
+      while (p < stride) { bb.put(0.toByte); p += 1 }
+      imgRow -= 1
+    }
+    bb.array()
+  }
+
+  /** Explicit-target bilinear kernels per payload format — the
+    * [[thumbnailMedia]] arms, one per decodable raster codec plus the
+    * audio rate resampler, each a decode → [[bilinearPlane]] →
+    * re-encode round trip through the format's own codec halves.
+    * None = degenerate source (empty raster / zero target samples),
+    * the explicit-target analog of the stride family's sub-block drop.
+    */
+  private def pgmToTarget(
+      id: Long, b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    val (w, h, maxVal, start) = parseNetpbmHeader(id, b, 0, '5')
+    require(start + w.toLong * h <= b.length, s"doc $id: truncated raster")
+    if (w < 1 || h < 1) None else Some {
+      val pix = Array.tabulate(w * h)(i => b(start + i) & 0xff)
+      val out = bilinearPlane(pix, w, h, tw, th)
+      val header = s"P5\n$tw $th\n$maxVal\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      header ++ out.map(_.toByte)
+    }
+  }
+
+  private def ppmToTarget(
+      id: Long, b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    val (w, h, maxVal, start) = parseNetpbmHeader(id, b, 0, '6')
+    require(start + 3L * w * h <= b.length, s"doc $id: truncated RGB raster")
+    if (w < 1 || h < 1) None else Some {
+      val px = Array.tabulate(3 * w * h)(i => b(start + i) & 0xff)
+      val out = bilinearRgb(px, w, h, tw, th)
+      val header = s"P6\n$tw $th\n$maxVal\n"
+        .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      header ++ out.map(_.toByte)
+    }
+  }
+
+  private def bmpToTarget(
+      id: Long, b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    val (w, h, px) = BmpDecoder.pixels(id, b)
+    if (w < 1 || h < 1) None
+    else Some(encodeBmp24(bilinearRgb(px, w, h, tw, th), tw, th))
+  }
+
+  private def pngToTarget(
+      id: Long, b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    val (w, h, px, _) = PngCodec.pixels(id, b)
+    if (w < 1 || h < 1) None
+    else Some(PngCodec.encodeRaster(
+      bilinearRgb(px, w, h, tw, th).map(_.toByte), tw, th))
+  }
+
+  private def jpegToTarget(
+      id: Long, b: Array[Byte], tw: Int, th: Int): Option[Array[Byte]] = {
+    val (w, h, pix) = JpegCodec.decodeGrayPixels(id, b)
+    if (w < 1 || h < 1) None
+    else Some(JpegCodec.encodeGray(tw, th, bilinearPlane(pix, w, h, tw, th)))
+  }
+
+  /** [[encodeWav16]] — the 16-bit mono PCM writer shared by the stride
+    * resampler and the explicit-rate path.
+    */
+  private def encodeWav16(out: Array[Int], rate: Int): Array[Byte] = {
+    val dataLen = out.length * 2
+    val bb = java.nio.ByteBuffer
+      .allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1.toShort)            // PCM
+      .putShort(1.toShort)            // mono
+      .putInt(rate)
+      .putInt(rate * 2)               // byte rate (2 bytes/sample)
+      .putShort(2.toShort)            // block align
+      .putShort(16.toShort)           // bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < out.length) { bb.putShort(out(i).toShort); i += 1 }
+    bb.array()
+  }
+
+  private def wavToRate(
+      id: Long, b: Array[Byte], targetRate: Int): Option[Array[Byte]] = {
+    val f = WavDecoder.decode(id, b)
+    val s = WavDecoder.samples(id, b)
+    val outN = (s.length.toLong * targetRate / f.sample_rate).toInt
+    if (outN < 1) None
+    else Some(encodeWav16(bilinearPlane(s, s.length, 1, outN, 1), targetRate))
+  }
+
+  /** Linear-interpolation RESAMPLE to an EXPLICIT target rate —
+    * [[bilinearPlane]]'s 1-D audio twin (the stride [[resampleWav]]
+    * can only express integer rate divisions; a real pipeline
+    * normalizes everything to one fixed rate): output length
+    * `⌊n·target/srcRate⌋`, each output sample the fixed-point linear
+    * blend of its two source neighbors (half-sample centers, edge
+    * clamp). Value blends run TRUNCATING division on possibly-negative
+    * 16-bit amplitudes — the same Spark-`div`≡DuckDB-`//` convention
+    * q256's oracle already relies on. Re-encoded as 16-bit mono PCM at
+    * the target rate; sources shorter than one output sample drop.
+    */
+  def resampleWavTo(
+      spark: SparkSession, media: DataFrame, targetRate: Int): DataFrame = {
+    require(targetRate >= 1, s"degenerate target rate $targetRate")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        wavToRate(id, b, targetRate).map(out => (id, out)).iterator
+      })
+      .toDF("doc_id", "payload")
+  }
+
+  /** The NORMALIZATION pass a multimodal training pipeline actually
+    * runs over a media lake: every decodable raster — PGM, PPM, BMP,
+    * PNG (across the compression boundary), JPEG (across the lossy
+    * boundary) — bilinear-resamples to ONE fixed targetW×targetH
+    * thumbnail through its own codec round trip, and audio resamples to
+    * ONE fixed rate; AVI and unclaimed payloads pass through
+    * byte-identical (temporal media normalizes via
+    * [[sampleVideoFrames]]/[[resizeAvi]], a different contract). Same
+    * [[RouterClaims]] predicates as every router; narrow filtered
+    * passes, zero shuffle. Unlike the stride transform pass
+    * ([[transformMedia]]), nothing drops for being small — bilinear
+    * maps any source geometry to the target (only truly degenerate
+    * payloads — empty rasters, zero-sample audio — drop).
+    */
+  def thumbnailMedia(
+      spark: SparkSession,
+      media: DataFrame,
+      targetW: Int = 24,
+      targetH: Int = 16,
+      targetRate: Int = 2000): DataFrame = {
+    import spark.implicits._
+    import RouterClaims._
+    def arm(claim: Column)(f: (Long, Array[Byte]) => Option[Array[Byte]]): DataFrame =
+      media.filter(claim).select(col("doc_id"), col("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions(_.flatMap { case (id, b) => f(id, b).map(out => (id, out)).iterator })
+        .toDF("doc_id", "payload")
+    arm(isP5)(pgmToTarget(_, _, targetW, targetH))
+      .unionByName(arm(isP6)(ppmToTarget(_, _, targetW, targetH)))
+      .unionByName(arm(isBmp)(bmpToTarget(_, _, targetW, targetH)))
+      .unionByName(arm(isPng)(pngToTarget(_, _, targetW, targetH)))
+      .unionByName(arm(isJpeg)(jpegToTarget(_, _, targetW, targetH)))
+      .unionByName(arm(isRiff)(wavToRate(_, _, targetRate)))
+      .unionByName(media.filter(
+          not(isP5 || isP6 || isBmp || isPng || isJpeg || isRiff))
+        .select(col("doc_id"), col("payload")))
   }
 
   /** The LOSSY member of the raster-resize family — JPEG in, JPEG out,
@@ -788,32 +960,7 @@ object Multimodal {
         }
         oy += 1
       }
-      val stride = ((ow * 3 + 3) / 4) * 4
-      val imageSize = stride * oh
-      val bb = java.nio.ByteBuffer
-        .allocate(54 + imageSize)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put('B'.toByte).put('M'.toByte).putInt(54 + imageSize)
-        .putInt(0).putInt(54)
-        .putInt(40).putInt(ow).putInt(oh)            // bottom-up (positive)
-        .putShort(1.toShort).putShort(24.toShort)
-        .putInt(0).putInt(imageSize)
-        .putInt(2835).putInt(2835).putInt(0).putInt(0)
-      var imgRow = oh - 1                             // bottom row stored first
-      while (imgRow >= 0) {
-        var x = 0
-        while (x < ow) {
-          val base = 3 * (imgRow * ow + x)
-          bb.put(out(base + 2).toByte)                // B
-            .put(out(base + 1).toByte)                // G
-            .put(out(base).toByte)                    // R
-          x += 1
-        }
-        var p = 3 * ow
-        while (p < stride) { bb.put(0.toByte); p += 1 }
-        imgRow -= 1
-      }
-      bb.array()
+      encodeBmp24(out, ow, oh)
     }
   }
 
@@ -1620,24 +1767,7 @@ object Multimodal {
         out(j) = (sum / k).toInt
         j += 1
       }
-      val rate = WavSampleRate / k
-      val dataLen = n * 2
-      val bb = java.nio.ByteBuffer
-        .allocate(44 + dataLen)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
-        .put("WAVE".getBytes("US-ASCII"))
-        .put("fmt ".getBytes("US-ASCII")).putInt(16)
-        .putShort(1.toShort)            // PCM
-        .putShort(1.toShort)            // mono
-        .putInt(rate)
-        .putInt(rate * 2)               // byte rate (2 bytes/sample)
-        .putShort(2.toShort)            // block align
-        .putShort(16.toShort)           // bits per sample
-        .put("data".getBytes("US-ASCII")).putInt(dataLen)
-      var i = 0
-      while (i < n) { bb.putShort(out(i).toShort); i += 1 }
-      bb.array()
+      encodeWav16(out, WavSampleRate / k)
     }
   }
 

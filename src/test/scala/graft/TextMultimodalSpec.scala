@@ -1960,6 +1960,85 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pp.min_px.get === 'a'.toInt && pp.max_px.get === 'c'.toInt)
   }
 
+  test("resampleWavTo: non-integer rate ratio, signed blends, drop rule, 16-bit round trip") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "ab", // 3*2/8 = 0 output samples -> drops
+      3L -> "abc") // exactly one output sample (clamped blend)
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val got = Multimodal.decodeWavFeatures(spark,
+        Multimodal.resampleWavTo(spark, Multimodal.toWav16(docs), targetRate = 3000))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(got.keySet === Set(1L, 3L), "sub-sample doc must drop")
+    docs.filter(col("doc_id") =!= 2L).select("doc_id", "text").as[(Long, String)]
+      .collect().foreach { case (id, t) =>
+        val amps = t.map(c => (c.toInt - 128) * 256)
+        val n = amps.length
+        val n2 = 3 * n / 8
+        val expect = (0 until n2).map { j =>
+          val num = (2L * j + 1) * n - n2
+          val den = 2L * n2
+          if (num <= 0) amps(0)
+          else if (num >= (n - 1).toLong * den) amps(n - 1)
+          else {
+            val i0 = (num / den).toInt; val r = num - i0 * den
+            (((den - r) * amps(i0) + r * amps(i0 + 1)) / den).toInt
+          }
+        }
+        val f = got(id)
+        assert(f.sample_rate === 3000 && f.bits_per_sample === 16 && f.n_channels === 1)
+        assert(f.n_samples === n2.toLong, s"doc $id n_samples")
+        assert(f.mean_amp.get === expect.sum.toDouble / n2, s"doc $id mean")
+        assert(f.min_amp.get === expect.min && f.max_amp.get === expect.max, s"doc $id extremes")
+      }
+  }
+
+  test("thumbnailMedia: every raster claim lands at the fixed target, audio at the fixed rate, rest passthrough") {
+    import spark.implicits._
+    type DF = org.apache.spark.sql.DataFrame
+    def lake(rows: (Long, DF => DF)*): DF = {
+      val base = Seq(
+        (0L, "the quick brown fox jumps over the lazy dog and more text here!" * 2))
+        .toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      rows.map { case (id, mk) =>
+        mk(base.withColumn("doc_id", lit(id)))
+          .select(col("doc_id"), col("payload"))
+      }.reduce(_.unionByName(_))
+    }
+    val media = lake(
+      1L -> (d => Multimodal.toPgm(d)),
+      2L -> (d => Multimodal.toPpm(d)),
+      3L -> (d => Multimodal.toBmp(d)),
+      4L -> (d => Multimodal.toPng(d)),
+      5L -> (d => Multimodal.toJpeg(d)),
+      6L -> (d => Multimodal.toWav(d)),
+      7L -> (d => Multimodal.toAvi(d)),
+      8L -> (d => Multimodal.toMedia(d)))
+    val thumbs = Multimodal.thumbnailMedia(spark, media, targetW = 24, targetH = 16)
+    val routed = Multimodal.extractFeatures(spark, thumbs)
+      .select(col("doc_id"), col("kind"),
+        col("pgm.width").as("pgw"), col("ppm.width").as("ppw"),
+        col("bmp.n_px").as("bpx"), col("png.n_px").as("gpx"),
+        col("jpeg.width").as("jw"), col("jpeg.height").as("jh"),
+        col("jpeg.n_blocks").as("jb"),
+        col("wav.sample_rate").as("rate"), col("avi.n_frames").as("nf"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(routed(1L).getString(1) === "pgm" && routed(1L).getInt(2) === 24)
+    assert(routed(2L).getString(1) === "ppm" && routed(2L).getInt(3) === 24)
+    assert(routed(3L).getString(1) === "bmp" && routed(3L).getLong(4) === 384L)
+    assert(routed(4L).getString(1) === "png" && routed(4L).getLong(5) === 384L)
+    assert(routed(5L).getString(1) === "jpeg" && routed(5L).getInt(6) === 24 &&
+      routed(5L).getInt(7) === 16 && routed(5L).getLong(8) === 6L)
+    assert(routed(6L).getString(1) === "wav" && routed(6L).getInt(9) === 2000)
+    assert(routed(7L).getString(1) === "avi", "AVI must pass through untouched")
+    assert(routed(8L).getString(1) === "histogram", "raw media must pass through")
+  }
+
   test("JPEG decodeGrayPixels: flat stream reconstructs per-block constant raster") {
     val t = "a" * 63 + "Z" + "m" * 80 // 2 blocks with a DC step
     val (w, h, pix) = Multimodal.JpegCodec.decodeGrayPixels(
