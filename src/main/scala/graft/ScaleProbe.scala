@@ -745,6 +745,13 @@ object ScaleProbe {
     // nearDupAgainst over the merged state.
     bracket("q274_streaming_signature_index",
       SparkEntry.queries("q274_streaming_signature_index"), byteFactor)
+    // r19: audio rate resample — the q256 scan class with the linear
+    // blend in place of the box mean; output grows with input (3n/8).
+    bracket("q275_linear_resample", SparkEntry.queries("q275_linear_resample"), byteFactor)
+    // r19: lake thumbnail pass — stage (8 builder arms) + per-payload
+    // bilinear kernels + land + the 8-scan router; the q265 shape with
+    // FIXED-size outputs, so the router side stops growing entirely.
+    bracket("q276_media_thumbnails", SparkEntry.queries("q276_media_thumbnails"), byteFactor)
 
     if (only.isEmpty) {
     val fnFlag = SparkEntry.queries("q03_training_examples")
