@@ -1500,6 +1500,23 @@ object SparkEntry {
       routerGeometry(Multimodal.extractFeatures(s, thumbnailedMixedMedia(s, dir)))
         .orderBy("doc_id")),
 
+    // The bilinear -> forward-DCT COMPOSITION pinned exactly: q276
+    // routes the jpeg thumbnail and pins its GEOMETRY; this gate pins
+    // the quantized-DC stats of the same 24x16 thumbnail — the
+    // horizontal blend of flat-block values is exact integer math
+    // (clamps at both edges fire for nb <= 3 source blocks), the 16
+    // output rows are identical (vertical blends of equal rows are
+    // exact), and the 3x2 output blocks duplicate three distinct DC
+    // values, all of which the oracle replays from text block sums.
+    "q277_jpeg_thumbnail" -> ((s, dir) =>
+      Multimodal.decodeJpegFeatures(s,
+          Multimodal.resizeJpegTo(s,
+            Multimodal.toJpeg(Tables.documents(s, dir).filter(col("n_chars") >= 64)),
+            targetW = 24, targetH = 16))
+        .toDF()
+        .drop("scan_bits", "recon_sum")
+        .orderBy("doc_id")),
+
     // BILINEAR resize to an EXPLICIT target — the non-integer-scale
     // kernel a real preprocessing pass runs ("resize to 224×224"),
     // where the stride family can only express integer downscales:
@@ -5170,6 +5187,69 @@ object SparkEntry {
         |  FROM n)
         |WHERE NOT ((sel = 0 AND L < 1) OR (sel = 1 AND L < 3)
         |           OR (sel = 2 AND L < 4) OR (sel = 3 AND L < 6))
+        |ORDER BY doc_id""".stripMargin,
+
+    // q277: the thumbnail DC replay. Source col i of the decoded flat
+    // raster carries v_{i//8} (the q271 value path); output col x
+    // blends source cols i0 = num//48 and i0+1 at weight r = num%48
+    // with num = (2x+1)·8nb − 24 (edge clamps when num ≤ 0 or
+    // num ≥ (8nb−1)·48); the 16 identical rows make each of the 3
+    // block columns contribute one DC to BOTH block rows:
+    // dcq_bx = (8·Σ_{c=0..7} col(8bx+c) − 8192 + 64)//128, dc_sum
+    // doubles the column sums, min/max ignore duplication.
+    "q277_jpeg_thumbnail" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) // 64 AS BIGINT) AS nb
+        |  FROM documents WHERE length(text) >= 64
+        |),
+        |blk AS (
+        |  SELECT doc_id, nb, CAST(b AS BIGINT) AS b,
+        |         CAST(list_sum(list_transform(range(1, 65), i ->
+        |           unicode(text[CAST(64 * b + i AS INT):CAST(64 * b + i AS INT)]))) AS BIGINT) AS s
+        |  FROM d, unnest(range(nb)) AS u(b)
+        |),
+        |v AS (
+        |  SELECT doc_id, nb, b,
+        |         LEAST(255, GREATEST(0, 128 + (16 * ((s - 8192 + 64) // 128) + 4) // 8)) AS v
+        |  FROM blk
+        |),
+        |cols AS (
+        |  SELECT d.doc_id, d.nb, CAST(x AS BIGINT) AS x,
+        |         (2 * x + 1) * 8 * d.nb - 24 AS num
+        |  FROM d, unnest(range(0, 24)) AS ux(x)
+        |),
+        |cw AS (
+        |  SELECT doc_id, nb, x,
+        |    CASE WHEN num <= 0 THEN 0
+        |         WHEN num >= (8 * nb - 1) * 48 THEN nb - 1
+        |         ELSE (num // 48) // 8 END AS b0,
+        |    CASE WHEN num <= 0 THEN 0
+        |         WHEN num >= (8 * nb - 1) * 48 THEN nb - 1
+        |         ELSE (num // 48 + 1) // 8 END AS b1,
+        |    CASE WHEN num <= 0 OR num >= (8 * nb - 1) * 48 THEN 0
+        |         ELSE num % 48 END AS r
+        |  FROM cols
+        |),
+        |cv AS (
+        |  SELECT cw.doc_id, cw.x // 8 AS bx,
+        |         ((48 - cw.r) * va.v + cw.r * vb.v) // 48 AS val
+        |  FROM cw
+        |  JOIN v va ON va.doc_id = cw.doc_id AND va.b = cw.b0
+        |  JOIN v vb ON vb.doc_id = cw.doc_id AND vb.b = cw.b1
+        |),
+        |odc AS (
+        |  SELECT doc_id, bx,
+        |         CAST((8 * SUM(val) - 8192 + 64) // 128 AS BIGINT) AS dcq
+        |  FROM cv GROUP BY doc_id, bx
+        |)
+        |SELECT doc_id,
+        |       CAST(24 AS INT) AS width,
+        |       CAST(16 AS INT) AS height,
+        |       CAST(6 AS BIGINT) AS n_blocks,
+        |       CAST(2 * SUM(dcq) AS BIGINT) AS dc_sum,
+        |       CAST(MIN(dcq) AS BIGINT) AS dc_min,
+        |       CAST(MAX(dcq) AS BIGINT) AS dc_max
+        |FROM odc GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
 
     // q272: fixed-point bilinear replay. Output x samples source

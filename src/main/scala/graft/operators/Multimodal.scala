@@ -635,6 +635,24 @@ object Multimodal {
     else Some(JpegCodec.encodeGray(tw, th, bilinearPlane(pix, w, h, tw, th)))
   }
 
+  /** BILINEAR resize of a JPEG payload to an explicit targetW×targetH —
+    * [[resizePgmTo]]'s lossy twin and [[thumbnailMedia]]'s jpeg arm as
+    * a first-class op: full-raster decode, fixed-point bilinear, REAL
+    * forward-DCT/quantize/Huffman re-encode. The quantized-DC path
+    * stays exact-integer end to end, so gates pin the re-decoded DC
+    * stats through decode → bilinear → DCT → entropy round trip.
+    */
+  def resizeJpegTo(
+      spark: SparkSession, media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    require(targetW >= 1 && targetH >= 1, s"degenerate target ${targetW}x$targetH")
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, b) =>
+        jpegToTarget(id, b, targetW, targetH).map(out => (id, out)).iterator
+      })
+      .toDF("doc_id", "payload")
+  }
+
   /** [[encodeWav16]] — the 16-bit mono PCM writer shared by the stride
     * resampler and the explicit-rate path.
     */
