@@ -1,5 +1,139 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-run decomposition for the sweep's WATCH set (VERDICT r19 #2):
+  * q139 has run ~5× slower under the driver's sweep than on the same
+  * host committed-tree for three rounds, and the forced code-cache
+  * starvation reproduction no longer finds the sensitivity — so the
+  * gate now carries its own attribution. For each watched query, every
+  * timed run records
+  *   - Spark stage metrics (SparkListener): executor run/CPU time, JVM
+  *     GC time, shuffle fetch-wait, task count, and the top stages by
+  *     run time — separates "the operator did more work" from "the
+  *     environment stalled it";
+  *   - JVM counters (before/after deltas): JIT total compilation time
+  *     (code-cache churn shows up as re-JIT), whole-stage-codegen
+  *     compilation count + cumulative ms
+  *     (`CodegenMetrics.METRIC_COMPILATION_TIME`), process GC time, and
+  *     the CodeHeap pools' used bytes (starvation = pools pinned at
+  *     capacity).
+  * The decomposition is printed to stderr per run, embedded compactly
+  * in the final summary JSON (the line that survives the harness'
+  * stdout tail → `BENCH_r{N}.json`), and dumped in full next to
+  * `bench_results.json` as `bench_watch.json`.
+  */
+private object BenchWatch {
+  import java.lang.management.ManagementFactory
+  import scala.jdk.CollectionConverters._
+  import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+
+  case class StageRow(
+      id: Int, name: String, runMs: Long, cpuMs: Long, gcMs: Long,
+      fetchWaitMs: Long, tasks: Int)
+
+  class StageAgg extends SparkListener {
+    val stages = new scala.collection.mutable.ArrayBuffer[StageRow]
+    override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
+      val i = e.stageInfo
+      val m = i.taskMetrics
+      stages.synchronized {
+        stages += StageRow(
+          i.stageId,
+          i.name.takeWhile(_ != '\n').take(72),
+          m.executorRunTime,
+          m.executorCpuTime / 1000000L,
+          m.jvmGCTime,
+          m.shuffleReadMetrics.fetchWaitTime,
+          i.numTasks)
+      }
+    }
+    /** Stage-completed events post async; wait until the count is
+      * stable (bounded — a missing event degrades the row, never hangs
+      * the sweep).
+      */
+    def settle(): Seq[StageRow] = {
+      var last = -1
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 2000) {
+        Thread.sleep(100); waited += 100
+        val cur = stages.synchronized(stages.size)
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      stages.synchronized(stages.toSeq)
+    }
+  }
+
+  case class JvmSnap(
+      jitMs: Long, gcMs: Long, codegenN: Long, codegenMs: Long,
+      codeHeapUsed: Long, codeHeapMax: Long)
+
+  def jvmSnap(): JvmSnap = {
+    val jit = Option(ManagementFactory.getCompilationMXBean)
+      .filter(_.isCompilationTimeMonitoringSupported)
+      .map(_.getTotalCompilationTime).getOrElse(0L)
+    val gc = ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(b => math.max(0L, b.getCollectionTime)).sum
+    val cgHist = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME
+    // Histogram carries count exactly; cumulative ms is approximated as
+    // count × snapshot mean (the reservoir is corpus-sized at our
+    // compile counts, so the approximation is tight).
+    val cgN = cgHist.getCount
+    val cgMs = (cgHist.getSnapshot.getMean * cgN).toLong
+    val pools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getName.startsWith("CodeHeap"))
+    val used = pools.map(_.getUsage.getUsed).sum
+    val max = pools.map(p => math.max(0L, p.getUsage.getMax)).sum
+    JvmSnap(jit, gc, cgN, cgMs, used, max)
+  }
+
+  case class RunDecomp(
+      wallSec: Double, stageRunMs: Long, stageCpuMs: Long, stageGcMs: Long,
+      fetchWaitMs: Long, jitMs: Long, procGcMs: Long, codegenN: Long,
+      codegenMs: Long, codeHeapUsedMb: Double, codeHeapPct: Double,
+      topStages: Seq[StageRow])
+
+  def decompose(rows: Seq[StageRow], before: JvmSnap, after: JvmSnap,
+                wallSec: Double): RunDecomp =
+    RunDecomp(
+      wallSec,
+      rows.map(_.runMs).sum,
+      rows.map(_.cpuMs).sum,
+      rows.map(_.gcMs).sum,
+      rows.map(_.fetchWaitMs).sum,
+      after.jitMs - before.jitMs,
+      after.gcMs - before.gcMs,
+      after.codegenN - before.codegenN,
+      after.codegenMs - before.codegenMs,
+      after.codeHeapUsed / 1e6,
+      if (after.codeHeapMax <= 0) 0.0
+      else 100.0 * after.codeHeapUsed / after.codeHeapMax,
+      rows.sortBy(-_.runMs).take(3))
+
+  def runJson(d: RunDecomp): String = {
+    val tops = d.topStages.map(s =>
+      s"""{"stage":${s.id},"run_ms":${s.runMs},"cpu_ms":${s.cpuMs},"gc_ms":${s.gcMs},"tasks":${s.tasks},"name":"${s.name.replace("\"", "'")}"}""")
+      .mkString("[", ",", "]")
+    f"""{"wall_sec":${d.wallSec}%.3f,"stage_run_ms":${d.stageRunMs},"stage_cpu_ms":${d.stageCpuMs},"stage_gc_ms":${d.stageGcMs},"fetch_wait_ms":${d.fetchWaitMs},"jit_ms":${d.jitMs},"proc_gc_ms":${d.procGcMs},"codegen_compiles":${d.codegenN},"codegen_ms":${d.codegenMs},"codeheap_used_mb":${d.codeHeapUsedMb}%.1f,"codeheap_pct":${d.codeHeapPct}%.1f,"top_stages":$tops}"""
+  }
+
+  /** The compact per-query summary embedded in the tail-surviving
+    * summary line: per-run wall + the decomposition fields as arrays.
+    */
+  def compactJson(runs: Seq[RunDecomp]): String = {
+    def arr(f: RunDecomp => String): String = runs.map(f).mkString("[", ",", "]")
+    s"""{"wall_sec":${arr(d => f"${d.wallSec}%.2f")},""" +
+      s""""run_ms":${arr(_.stageRunMs.toString)},""" +
+      s""""cpu_ms":${arr(_.stageCpuMs.toString)},""" +
+      s""""gc_ms":${arr(_.stageGcMs.toString)},""" +
+      s""""fetch_ms":${arr(_.fetchWaitMs.toString)},""" +
+      s""""jit_ms":${arr(_.jitMs.toString)},""" +
+      s""""cg_n":${arr(_.codegenN.toString)},""" +
+      s""""cg_ms":${arr(_.codegenMs.toString)},""" +
+      f""""codeheap_pct":${runs.lastOption.map(_.codeHeapPct).getOrElse(0.0)}%.1f}"""
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,6 +180,14 @@ object Bench {
         names.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
+    // The WATCH set (VERDICT r19 #2): queries whose driver-sweep times
+    // have diverged from same-host committed runs get a per-run
+    // stage/codegen/GC/JIT decomposition recorded from INSIDE the sweep
+    // (the environment that counts). Prefix-matched like BENCH_ONLY.
+    val watch = sys.env.getOrElse("SPARK_GRAFT_BENCH_WATCH", "q139,q142,q188,q240")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    val watchRuns =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[BenchWatch.RunDecomp]]
     val samples = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       // noop sink: forces full evaluation of every output column (count()
       // would let Catalyst prune the computed columns away) without
@@ -59,9 +201,14 @@ object Bench {
       // compilation.
       spark.catalog.clearCache()
       System.gc()
-      val times = (1 to runs).map { _ =>
+      val watched = watch.exists(name.startsWith)
+      val decomps = scala.collection.mutable.ArrayBuffer.empty[BenchWatch.RunDecomp]
+      val times = (1 to runs).map { r =>
+        val agg = if (watched) Some(new BenchWatch.StageAgg) else None
+        agg.foreach(spark.sparkContext.addSparkListener)
+        val before = if (watched) Some(BenchWatch.jvmSnap()) else None
         val t0 = System.nanoTime()
-        try {
+        val wall = try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
           (System.nanoTime() - t0) / 1e9
         } catch {
@@ -71,7 +218,17 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             Double.MaxValue
         }
+        agg.foreach { a =>
+          val rows = a.settle() // bounded async-event drain (≤ 2 s)
+          spark.sparkContext.removeSparkListener(a)
+          val d = BenchWatch.decompose(rows, before.get, BenchWatch.jvmSnap(),
+            if (wall == Double.MaxValue) -1.0 else wall)
+          decomps += d
+          System.err.println(s"""[bench-watch] {"query":"$name","run":$r,${BenchWatch.runJson(d).drop(1)}""")
+        }
+        wall
       }
+      if (watched) watchRuns(name) = decomps.toSeq
       name -> times
     }
     val results = samples.map { case (n, ts) => n -> ts.min }.toMap
@@ -80,11 +237,27 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val totalFirst = if (firstRun.nonEmpty) firstRun.values.sum else 0.0
+    val watchJson = watchRuns.map { case (n, ds) =>
+      s"\"$n\":${BenchWatch.compactJson(ds)}" }.mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":${vec(results)},""" +
         s""""runs_per_query":$runs,"single_pass_total":$totalFirst,""" +
-        s""""queries_single_pass":${vec(firstRun)},"sf":"$sfDir"}"""
+        s""""queries_single_pass":${vec(firstRun)},"watch":$watchJson,"sf":"$sfDir"}"""
     println(full)
+    // Full per-run watch decomposition (every run, all fields, top
+    // stages) next to bench_results.json — the judge-readable artifact.
+    try {
+      val detail = watchRuns.map { case (n, ds) =>
+        s"\"$n\":${ds.map(BenchWatch.runJson).mkString("[", ",", "]")}"
+      }.mkString("{\"watch\":{", ",", "}}")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_WATCH_OUT", "bench_watch.json")),
+        detail.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[bench] could not persist watch detail: ${e.getMessage}")
+    }
     // The harness keeps only a bounded tail of stdout, which truncates the
     // full line above at ~80 queries — so ALSO persist the complete
     // per-query vector to a file (judge item: rounds must diff complete
@@ -107,7 +280,7 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$slowest,"watch":$watchJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

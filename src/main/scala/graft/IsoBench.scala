@@ -37,7 +37,30 @@ object IsoBench {
           val rows = result.orderBy("src_doc", "dst_doc").collect()
           s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
         } finally cached.unpersist()
-      }))
+      })) ++
+      // Streaming-floor decomposition (VERDICT r19 #5): the q240 gate
+      // body at micro-batch shufflePartitions 8 (gate default) / 4 / 2 —
+      // same oracle answer (partition width never changes results),
+      // purely a task/exchange-overhead measurement over the 3-batch
+      // stream + compaction + merged read.
+      Seq(8, 4, 2).map { sp =>
+        s"q240_sp$sp" -> ((s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions.{col, min}
+          val emb = graft.sources.Tables.embeddings(s, dir)
+          val path = SparkEntry.exitCleanedTempDir(s"graft_iso_q240_sp$sp")
+          graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3,
+              stageKey = Some(s"q240_streaming_graph_ann:$dir"),
+              shufflePartitions = Some(sp))(
+            graft.streaming.StreamingOps.graphAnnEdgeSink(s, path))
+          graft.streaming.StreamingOps.compactGraphAnnEpochs(s, path, keepAfter = 1L)
+          val (vecs, edges) = graft.streaming.StreamingOps.mergedGraphAnnState(s, path)
+          val v = vecs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val entry = v.agg(min(col("vec_id"))).collect()(0).getLong(0)
+          val out = graft.operators.Similarity.graphAnnSearchOverEdges(v, edges, entry)
+          v.unpersist()
+          out.orderBy("query_id", "rnk")
+        })
+      }.toMap
     names.foreach { name =>
       val fn = extras.getOrElse(name, SparkEntry.queries(name))
       // Same fences as Bench: operator-persisted intermediates from one

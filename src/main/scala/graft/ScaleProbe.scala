@@ -507,7 +507,17 @@ object ScaleProbe {
       "q269_png_resize" -> byteFactor,
       // r18: BMP resize — the raw-raster codec scan class (stride/
       // swizzle arithmetic only; no compression legs).
-      "q270_bmp_resize" -> byteFactor)
+      "q270_bmp_resize" -> byteFactor,
+      // r20: color JPEG — the q271 codec-scan class with the fixed-point
+      // color transform + 4:2:0 subsample legs (encode: 3 plane builds +
+      // 6 blocks/MCU; decode: multi-table MCU-interleaved scan).
+      "q279_color_jpeg" -> byteFactor,
+      // r20: the full color arc (decode → bilinear → re-encode →
+      // re-decode) — same class, two codec legs.
+      "q280_color_jpeg_thumbnail" -> byteFactor,
+      // r20: video explicit-target resize — the q257 container-walk
+      // class with the bilinear kernel in place of the stride box.
+      "q278_video_thumbnail" -> byteFactor)
 
     def splitJson(name: String, scaleTag: String, m: Measurement): String = {
       val cold = m.coldSec.map(c => f""""cold_first_sec":$c%.3f,""").getOrElse("")
@@ -794,6 +804,66 @@ object ScaleProbe {
       println(splitJson("q247_video_frame_stats", "100x", v100))
       val aV = math.log(v100.warmSec / v1.warmSec) / math.log(vFactor)
       println(f"""{"probe":"scale100","query":"q247_video_frame_stats","sec_1x":${v1.warmSec}%.3f,"sec_100x":${v100.warmSec}%.3f,"input_factor":$vFactor%.3f,"alpha":$aV%.3f,"superlinear":${aV > 1.2}}""")
+    }
+
+    // --- text/dedup decade at 100× (VERDICT r19 #4) ----------------------
+    // The documents table is the highest-volume 100 TB surface and
+    // carries the dedup story; SCALE_r19's knob-scaling methodology
+    // applies: MinHash banding needs NO capacity scaling (its bucket
+    // space is the 2⁶⁴ digest domain, not a fixed grid — unlike the
+    // sign-LSH planes), and the df-cap class knobs stay constant
+    // because replicas are shingle-disjoint so per-shingle document
+    // frequency is corpus-invariant (BASELINE.md "Knob-scaling" rule).
+    // The honest work unit is therefore the MEASURED byte factor.
+    // Representatives (one per family, the SCALE_r17 exemplar rule):
+    // q139's prefix-filter, q227's exact-substring dedup, and the q44
+    // operator with BOTH sides scaled (kept = first 250 ids of every
+    // replica). All bracket-measured — each run clears the cache, so
+    // internally-persisting operators re-do full work per run. Runs per
+    // scale are env-tunable (multi-minute runs; default 2 — the swing
+    // min-of-3 guards against is amortized at this duration).
+    if (only.exists(_.contains("text_dedup_100x"))) {
+      val d100 = s"$dir100/documents.parquet"
+      if (!new java.io.File(s"$d100/_SUCCESS").exists()) {
+        d1.crossJoin(spark.range(100).toDF("k"))
+          .select(
+            (col("doc_id") + col("k") * Shift).as("doc_id"),
+            when(col("k") === 0, col("text"))
+              .otherwise(regexp_replace(
+                col("text"), lit("(\\S+)"),
+                concat(lit("r"), col("k").cast("string"), lit("$1")))).as("text"),
+            col("lang"), col("source"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .write.mode("overwrite").parquet(d100)
+      }
+      def bytesOf(p: String): Double =
+        spark.read.parquet(p).agg(sum(length(col("text")))).collect()(0).getLong(0).toDouble
+      val tFactor = bytesOf(d100) / bytesOf(s"$sfDir/documents.parquet")
+      val runs100 = sys.env.getOrElse("SPARK_GRAFT_SCALE100_RUNS", "2").toInt.max(1)
+      println(f"""{"probe":"scale100_inputs","doc_byte_factor":$tFactor%.3f,"runs_per_scale":$runs100,"knob_scaling":"minhash bands capacity-free (digest-domain buckets); df-caps corpus-invariant (shingle-disjoint replicas)"}""")
+      def bracket100(name: String, fn: String => Unit): Unit = {
+        val mins = for ((tag, d) <- Seq("1x" -> sfDir, "100x" -> dir100)) yield {
+          val rs = (1 to runs100).map { _ =>
+            spark.catalog.clearCache()
+            System.gc()
+            time(fn(d))
+          }
+          println(f"""{"probe":"bracket","query":"$name","scale":"$tag","min_sec":${rs.min}%.3f}""")
+          rs.min
+        }
+        val a = math.log(mins(1) / mins(0)) / math.log(tFactor)
+        println(f"""{"probe":"scale100","query":"$name","sec_1x":${mins(0)}%.3f,"sec_100x":${mins(1)}%.3f,"input_factor":$tFactor%.3f,"alpha":$a%.3f,"superlinear":${a > 1.2}}""")
+      }
+      bracket100("q139_prefix_filter_pairs",
+        d => drain(SparkEntry.queries("q139_prefix_filter_pairs")(spark, d)))
+      bracket100("q227_exact_substr_dedup",
+        d => drain(SparkEntry.queries("q227_exact_substr_dedup")(spark, d)))
+      bracket100("nearDupAgainst_bothsides", { d =>
+        val docs = spark.read.parquet(s"$d/documents.parquet")
+        val kept = docs.filter(pmod(col("doc_id"), lit(Shift)) < 250)
+        val snap = docs.filter(pmod(col("doc_id"), lit(Shift)) >= 250)
+        graft.operators.Dedup.withNearDupAgainst(kept, snap)(drain)
+      })
     }
 
     // --- embeddings/ANN at 100× (VERDICT r18 #6) -------------------------

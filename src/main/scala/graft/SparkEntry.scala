@@ -1492,10 +1492,12 @@ object SparkEntry {
     // rasters all bilinear-thumbnail to 24x16 (PGM/PPM/BMP/PNG across
     // the compression boundary/JPEG across the lossy boundary — whose
     // 3x2-block output exercises the multi-block-row encode+decode
-    // in-gate), audio resamples to 2 kHz, AVI and raw pass through;
-    // the result lands and re-routes through q252's geometry
-    // projection, so every thumbnail must still claim its format and
-    // decode to the TARGET geometry.
+    // in-gate), audio resamples to 2 kHz, every AVI FRAME bilinears to
+    // the 24-byte target row (frame count preserved — the routed geom
+    // is unchanged while the payload bytes all change; r20 closes the
+    // r19 pass-through), raw passes through; the result lands and
+    // re-routes through q252's geometry projection, so every thumbnail
+    // must still claim its format and decode to the TARGET geometry.
     "q276_media_thumbnails" -> ((s, dir) =>
       routerGeometry(Multimodal.extractFeatures(s, thumbnailedMixedMedia(s, dir)))
         .orderBy("doc_id")),
@@ -1516,6 +1518,56 @@ object SparkEntry {
         .toDF()
         .drop("scan_bits", "recon_sum")
         .orderBy("doc_id")),
+
+    // COLOR JPEG (VERDICT r19 #1, the lead ask) — the multi-component
+    // YCbCr 4:2:0 boundary closed: every 3 text bytes become one SOLID
+    // 16×16 RGB MCU, encoded through the REAL color encoder
+    // (fixed-point RGB→YCbCr, 2×2 box chroma subsample, per-plane
+    // forward DCT/quant through the shared block encoder, four-table
+    // MCU-interleaved Huffman with per-component DC predictors) and
+    // decoded back through the multi-component scan walk. Solid MCUs
+    // make every block flat, so the gate hashes geometry + per-CHANNEL
+    // quantized-DC stats — exact integers the oracle replays through
+    // the forward transform (q271's lossy-codec convention, per
+    // channel).
+    "q279_color_jpeg" -> ((s, dir) =>
+      Multimodal.decodeJpegColorFeatures(s,
+          Multimodal.toJpegColor(Tables.documents(s, dir).filter(col("n_chars") >= 3)))
+        .toDF()
+        .orderBy("doc_id")),
+
+    // The ENTIRE color arc composed and pinned exactly (q277's depth in
+    // color): color decode (flat blocks on the exact integer path,
+    // chroma upsampled by replication, fixed-point INVERSE transform)
+    // → per-channel bilinear to 24×16 → color re-encode (fixed-point
+    // FORWARD transform, 2×2 chroma subsample, edge-replicated padding
+    // to the 32-wide MCU grid, per-plane DC quantization) → re-decode,
+    // in ONE hash. Every step is exact integer arithmetic the oracle
+    // replays from text bytes: 8 Y blocks collapse to 4 distinct DCs
+    // (the 2 block rows are identical), chroma to 2 blocks per channel.
+    "q280_color_jpeg_thumbnail" -> ((s, dir) =>
+      Multimodal.decodeJpegColorFeatures(s,
+          Multimodal.resizeJpegTo(s,
+            Multimodal.toJpegColor(Tables.documents(s, dir).filter(col("n_chars") >= 3)),
+            targetW = 24, targetH = 16))
+        .toDF()
+        .orderBy("doc_id")),
+
+    // VIDEO to an EXPLICIT per-frame target (VERDICT r19 #3) — the
+    // bilinear family's temporal member: every frame (a len×1 raster;
+    // 16 bytes except the ragged last) resamples to EXACTLY 12 bytes —
+    // a non-integer 3/4 scale for full frames and a different ratio per
+    // ragged tail (upscales included) — then the resized container
+    // round-trips through the chunk walk into per-frame stats, so the
+    // oracle replays every output byte through resize → re-encode →
+    // re-decode in one hash. Frame count and µs/frame are preserved
+    // (temporal subsampling stays q248's job).
+    "q278_video_thumbnail" -> ((s, dir) =>
+      Multimodal.videoFrameStats(
+          Multimodal.decodeAviFrames(s,
+            Multimodal.resizeAviTo(s,
+              Multimodal.toAvi(Tables.documents(s, dir)), targetBytes = 12)))
+        .orderBy("doc_id", "frame_idx")),
 
     // BILINEAR resize to an EXPLICIT target — the non-integer-scale
     // kernel a real preprocessing pass runs ("resize to 224×224"),
@@ -5251,6 +5303,204 @@ object SparkEntry {
         |       CAST(MAX(dcq) AS BIGINT) AS dc_max
         |FROM odc GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin,
+
+    // q279: the color-JPEG DC replay. MCU m's solid color is text bytes
+    // (3m+1, 3m+2, 3m+3); the fixed-point forward transform (truncating
+    // division — DuckDB // ≡ Scala / on the negative chroma numerators)
+    // gives the flat plane values; each quantizes by the shared
+    // (64v − 8192 + 64)//128 formula. The 4 Y blocks per MCU duplicate
+    // one DC (sum ×4, min/max unaffected); chroma is one block per MCU.
+    "q279_color_jpeg" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) // 3 AS BIGINT) AS nm
+        |  FROM documents WHERE length(text) >= 3
+        |),
+        |mcu AS (
+        |  SELECT doc_id, nm, CAST(m AS BIGINT) AS m,
+        |         unicode(text[CAST(3*m+1 AS INT):CAST(3*m+1 AS INT)]) AS r,
+        |         unicode(text[CAST(3*m+2 AS INT):CAST(3*m+2 AS INT)]) AS g,
+        |         unicode(text[CAST(3*m+3 AS INT):CAST(3*m+3 AS INT)]) AS b
+        |  FROM d, unnest(range(nm)) AS u(m)
+        |),
+        |q AS (
+        |  SELECT doc_id, nm,
+        |    (64 * ((77*r + 150*g + 29*b) // 256) - 8192 + 64) // 128 AS qy,
+        |    (64 * (128 + (128*b - 43*r - 85*g) // 256) - 8192 + 64) // 128 AS qcb,
+        |    (64 * (128 + (128*r - 107*g - 21*b) // 256) - 8192 + 64) // 128 AS qcr
+        |  FROM mcu
+        |)
+        |SELECT doc_id,
+        |       CAST(MAX(16 * nm) AS INT) AS width,
+        |       CAST(16 AS INT) AS height,
+        |       CAST(MAX(nm) AS BIGINT) AS n_mcus,
+        |       CAST(4 * SUM(qy) AS BIGINT) AS y_dc_sum,
+        |       CAST(MIN(qy) AS BIGINT) AS y_dc_min,
+        |       CAST(MAX(qy) AS BIGINT) AS y_dc_max,
+        |       CAST(SUM(qcb) AS BIGINT) AS cb_dc_sum,
+        |       CAST(MIN(qcb) AS BIGINT) AS cb_dc_min,
+        |       CAST(MAX(qcb) AS BIGINT) AS cb_dc_max,
+        |       CAST(SUM(qcr) AS BIGINT) AS cr_dc_sum,
+        |       CAST(MIN(qcr) AS BIGINT) AS cr_dc_min,
+        |       CAST(MAX(qcr) AS BIGINT) AS cr_dc_max
+        |FROM q GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // q280: the color thumbnail DC replay — the whole arc in SQL.
+    // rec: MCU m's reconstructed flat plane values through quantize →
+    // dequantize (clamps load-bearing at the range edges); rgbm: the
+    // fixed-point INVERSE transform (truncating // on the negative
+    // chroma terms, clamps load-bearing); xw/px: the q272 bilinear
+    // blend per channel across MCU-boundary columns; pad: columns
+    // 24..31 edge-replicate column 23 (the encoder's MCU padding);
+    // fwd: the FORWARD transform of each output column (in range by
+    // construction — no clamp fires); ydc: Y block DCs over 8-column
+    // groups ×8 identical rows; csub/cdc: the exact 2×2 chroma box
+    // ((2a+2b)//4 ≡ (a+b)//2 — per-PAIR truncation, then the block
+    // sum); the two identical Y block rows double y_dc_sum.
+    "q280_color_jpeg_thumbnail" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) // 3 AS BIGINT) AS nm
+        |  FROM documents WHERE length(text) >= 3
+        |),
+        |mcu AS (
+        |  SELECT doc_id, nm, CAST(m AS BIGINT) AS m,
+        |         unicode(text[CAST(3*m+1 AS INT):CAST(3*m+1 AS INT)]) AS r,
+        |         unicode(text[CAST(3*m+2 AS INT):CAST(3*m+2 AS INT)]) AS g,
+        |         unicode(text[CAST(3*m+3 AS INT):CAST(3*m+3 AS INT)]) AS b
+        |  FROM d, unnest(range(nm)) AS u(m)
+        |),
+        |rec AS (
+        |  SELECT doc_id, nm, m,
+        |    LEAST(255, GREATEST(0, 128 + (16 * ((64 * ((77*r + 150*g + 29*b) // 256) - 8128) // 128) + 4) // 8)) AS yv,
+        |    LEAST(255, GREATEST(0, 128 + (16 * ((64 * (128 + (128*b - 43*r - 85*g) // 256) - 8128) // 128) + 4) // 8)) AS cbv,
+        |    LEAST(255, GREATEST(0, 128 + (16 * ((64 * (128 + (128*r - 107*g - 21*b) // 256) - 8128) // 128) + 4) // 8)) AS crv
+        |  FROM mcu
+        |),
+        |rgbm AS (
+        |  SELECT doc_id, nm, m,
+        |    LEAST(255, GREATEST(0, yv + (359 * (crv - 128)) // 256)) AS r1,
+        |    LEAST(255, GREATEST(0, yv - (88 * (cbv - 128) + 183 * (crv - 128)) // 256)) AS g1,
+        |    LEAST(255, GREATEST(0, yv + (454 * (cbv - 128)) // 256)) AS b1
+        |  FROM rec
+        |),
+        |xs AS (
+        |  SELECT d.doc_id, d.nm, CAST(x AS BIGINT) AS x,
+        |         (2 * x + 1) * 16 * d.nm - 24 AS num
+        |  FROM d, unnest(range(0, 24)) AS ux(x)
+        |),
+        |xw AS (
+        |  SELECT doc_id, nm, x,
+        |    CASE WHEN num <= 0 THEN 0
+        |         WHEN num >= (16 * nm - 1) * 48 THEN nm - 1
+        |         ELSE (num // 48) // 16 END AS m0,
+        |    CASE WHEN num <= 0 THEN 0
+        |         WHEN num >= (16 * nm - 1) * 48 THEN nm - 1
+        |         ELSE (num // 48 + 1) // 16 END AS m1,
+        |    CASE WHEN num <= 0 OR num >= (16 * nm - 1) * 48 THEN 0
+        |         ELSE num % 48 END AS rr
+        |  FROM xs
+        |),
+        |px AS (
+        |  SELECT xw.doc_id, xw.x,
+        |    ((48 - xw.rr) * a.r1 + xw.rr * c.r1) // 48 AS r2,
+        |    ((48 - xw.rr) * a.g1 + xw.rr * c.g1) // 48 AS g2,
+        |    ((48 - xw.rr) * a.b1 + xw.rr * c.b1) // 48 AS b2
+        |  FROM xw
+        |  JOIN rgbm a ON a.doc_id = xw.doc_id AND a.m = xw.m0
+        |  JOIN rgbm c ON c.doc_id = xw.doc_id AND c.m = xw.m1
+        |),
+        |cgrid AS (
+        |  SELECT d.doc_id, CAST(cc AS BIGINT) AS c
+        |  FROM d, unnest(range(0, 32)) AS uc(cc)
+        |),
+        |fwd AS (
+        |  SELECT cgrid.doc_id, cgrid.c,
+        |    (77 * px.r2 + 150 * px.g2 + 29 * px.b2) // 256 AS y2,
+        |    128 + (128 * px.b2 - 43 * px.r2 - 85 * px.g2) // 256 AS cb2,
+        |    128 + (128 * px.r2 - 107 * px.g2 - 21 * px.b2) // 256 AS cr2
+        |  FROM cgrid
+        |  JOIN px ON px.doc_id = cgrid.doc_id AND px.x = LEAST(cgrid.c, 23)
+        |),
+        |ydc AS (
+        |  SELECT doc_id, c // 8 AS bx,
+        |         CAST((8 * SUM(y2) - 8128) // 128 AS BIGINT) AS dcq
+        |  FROM fwd GROUP BY doc_id, c // 8
+        |),
+        |csub AS (
+        |  SELECT doc_id, c // 2 AS cx,
+        |         CAST(SUM(cb2) // 2 AS BIGINT) AS cbs,
+        |         CAST(SUM(cr2) // 2 AS BIGINT) AS crs
+        |  FROM fwd GROUP BY doc_id, c // 2
+        |),
+        |cdc AS (
+        |  SELECT doc_id, cx // 8 AS blk,
+        |         CAST((8 * SUM(cbs) - 8128) // 128 AS BIGINT) AS cbq,
+        |         CAST((8 * SUM(crs) - 8128) // 128 AS BIGINT) AS crq
+        |  FROM csub GROUP BY doc_id, cx // 8
+        |),
+        |ys AS (
+        |  SELECT doc_id, CAST(2 * SUM(dcq) AS BIGINT) AS ysum,
+        |         MIN(dcq) AS ymin, MAX(dcq) AS ymax
+        |  FROM ydc GROUP BY doc_id
+        |),
+        |cs AS (
+        |  SELECT doc_id, SUM(cbq) AS cbsum, MIN(cbq) AS cbmin, MAX(cbq) AS cbmax,
+        |         SUM(crq) AS crsum, MIN(crq) AS crmin, MAX(crq) AS crmax
+        |  FROM cdc GROUP BY doc_id
+        |)
+        |SELECT ys.doc_id,
+        |       CAST(24 AS INT) AS width,
+        |       CAST(16 AS INT) AS height,
+        |       CAST(2 AS BIGINT) AS n_mcus,
+        |       CAST(ysum AS BIGINT) AS y_dc_sum,
+        |       CAST(ymin AS BIGINT) AS y_dc_min,
+        |       CAST(ymax AS BIGINT) AS y_dc_max,
+        |       CAST(cbsum AS BIGINT) AS cb_dc_sum,
+        |       CAST(cbmin AS BIGINT) AS cb_dc_min,
+        |       CAST(cbmax AS BIGINT) AS cb_dc_max,
+        |       CAST(crsum AS BIGINT) AS cr_dc_sum,
+        |       CAST(crmin AS BIGINT) AS cr_dc_min,
+        |       CAST(crmax AS BIGINT) AS cr_dc_max
+        |FROM ys JOIN cs ON cs.doc_id = ys.doc_id
+        |ORDER BY ys.doc_id""".stripMargin,
+
+    // q278: the per-frame bilinear replay. Frame j of a doc is text
+    // bytes 16j+1 .. 16j+lf (lf = 16, ragged last lf = L − 16(nf−1));
+    // output byte x of the resized frame is the q272 fixed-point
+    // formula with L → lf and a 16j base offset: num = (2x+1)·lf − 12,
+    // den = 24, edge clamps at both ends, floor blends — every
+    // division non-negative so // replays the engine exactly.
+    "q278_video_thumbnail" ->
+      """WITH d AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS L,
+        |         CAST((length(text) + 15) // 16 AS BIGINT) AS nf
+        |  FROM documents WHERE length(text) >= 1
+        |),
+        |fr AS (
+        |  SELECT doc_id, text, CAST(j AS BIGINT) AS j,
+        |         CASE WHEN j < nf - 1 THEN 16 ELSE L - 16 * (nf - 1) END AS lf
+        |  FROM d, unnest(range(nf)) AS u(j)
+        |),
+        |px AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN (2 * x + 1) * lf - 12 <= 0
+        |           THEN unicode(text[CAST(16 * j + 1 AS INT):CAST(16 * j + 1 AS INT)])
+        |         WHEN (2 * x + 1) * lf - 12 >= (lf - 1) * 24
+        |           THEN unicode(text[CAST(16 * j + lf AS INT):CAST(16 * j + lf AS INT)])
+        |         ELSE ((24 - ((2 * x + 1) * lf - 12) % 24)
+        |                 * unicode(text[CAST(16 * j + ((2 * x + 1) * lf - 12) // 24 + 1 AS INT):CAST(16 * j + ((2 * x + 1) * lf - 12) // 24 + 1 AS INT)])
+        |               + (((2 * x + 1) * lf - 12) % 24)
+        |                 * unicode(text[CAST(16 * j + ((2 * x + 1) * lf - 12) // 24 + 2 AS INT):CAST(16 * j + ((2 * x + 1) * lf - 12) // 24 + 2 AS INT)])) // 24
+        |    END AS v
+        |  FROM fr, unnest(range(0, 12)) AS ux(x)
+        |)
+        |SELECT doc_id, j AS frame_idx,
+        |       CAST(12 AS BIGINT) AS n_bytes,
+        |       CAST(SUM(v) AS BIGINT) AS sum_byte,
+        |       CAST(MIN(v) AS BIGINT) AS min_byte,
+        |       CAST(MAX(v) AS BIGINT) AS max_byte
+        |FROM px GROUP BY doc_id, j
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // q272: fixed-point bilinear replay. Output x samples source
     // position ((2x+1)·L − 48)/96; num ≤ 0 clamps to byte 1,

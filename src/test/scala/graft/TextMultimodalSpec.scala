@@ -2035,8 +2035,130 @@ class TextMultimodalSpec extends SparkSpec {
     assert(routed(5L).getString(1) === "jpeg" && routed(5L).getInt(6) === 24 &&
       routed(5L).getInt(7) === 16 && routed(5L).getLong(8) === 6L)
     assert(routed(6L).getString(1) === "wav" && routed(6L).getInt(9) === 2000)
-    assert(routed(7L).getString(1) === "avi", "AVI must pass through untouched")
+    // AVI thumbnails per frame: count preserved (128 text bytes → 8
+    // frames of 16), every frame now exactly targetW bytes.
+    assert(routed(7L).getString(1) === "avi" && routed(7L).getInt(10) === 8)
+    val aviThumb = thumbs.filter(col("doc_id") === 7L)
+      .select("payload").collect().head.getAs[Array[Byte]](0)
+    val (thHdr, thFs) = Multimodal.AviDecoder.headerAndFrames(7L, aviThumb)
+    assert(thHdr.width === 24L && thHdr.usPerFrame === 40000L)
+    assert(thFs.forall(_._2.length === 24))
     assert(routed(8L).getString(1) === "histogram", "raw media must pass through")
+  }
+
+  test("resizeAviTo: per-frame bilinear to an explicit target, ragged tail gets its own ratio, zero-length frames survive") {
+    // 22 chars → frames of 16 and 6; target 12 → 16→12 (non-integer 3/4
+    // downscale) and 6→12 (upscale) under one kernel.
+    val d = Seq((1L, "abcdefghijklmnopqrstuv", "en", "s", 22L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val resized = Multimodal.resizeAviTo(spark, Multimodal.toAvi(d), targetBytes = 12)
+    val payload = resized.select("payload").collect().head.getAs[Array[Byte]](0)
+    val (hdr, fs) = Multimodal.AviDecoder.headerAndFrames(1L, payload)
+    assert(hdr === Multimodal.AviHeader(40000L, 12L, 1L))
+    assert(fs.map(_._2.length) === Seq(12, 12))
+    // Frame 0 replays the shared bilinear kernel over bytes 'a'..'p'.
+    val f0 = Multimodal.bilinearPlane(
+      Array.tabulate(16)(i => 'a' + i), 16, 1, 12, 1).map(_.toByte).toSeq
+    assert(fs.head._2.toSeq === f0)
+    // Frame 1 upsamples the 6-byte tail 'q'..'v' to 12.
+    val f1 = Multimodal.bilinearPlane(
+      Array.tabulate(6)(i => 'q' + i), 6, 1, 12, 1).map(_.toByte).toSeq
+    assert(fs(1)._2.toSeq === f1)
+    // A zero-length frame (producible by the stride resize) stays a
+    // zero-length chunk: the avih count keeps matching movi.
+    val zeroFrame = Multimodal.resizeAviTo(spark,
+      Multimodal.resizeAvi(spark, Multimodal.toAvi(
+        Seq((2L, "abcdefghijklmnopqr", "en", "s", 18L))
+          .toDF("doc_id", "text", "lang", "source", "n_chars")), kx = 4),
+      targetBytes = 5)
+    val (h2, fs2) = Multimodal.AviDecoder.headerAndFrames(
+      2L, zeroFrame.select("payload").collect().head.getAs[Array[Byte]](0))
+    assert(h2.width === 5L)
+    assert(fs2.map(_._2.length) === Seq(5, 0))
+    // The output is still router-recognizable video.
+    assert(Multimodal.extractFeatures(spark, resized)
+      .collect().head.getAs[String]("kind") === "avi")
+  }
+
+  test("JPEG color: encodeColor/decodeColor replays the fixed-point transform per channel") {
+    // Two solid 16×16 MCUs — every Y/Cb/Cr block flat, so the quantized
+    // DC chain is exact-integer end to end.
+    val mcus = Seq((10, 200, 30), (250, 5, 125))
+    val w = 16 * mcus.size
+    val h = 16
+    val rgb = new Array[Int](3 * w * h)
+    for (((r, g, b), m) <- mcus.zipWithIndex; yy <- 0 until h; xx <- 0 until 16) {
+      val i = 3 * (yy * w + 16 * m + xx)
+      rgb(i) = r; rgb(i + 1) = g; rgb(i + 2) = b
+    }
+    val p = Multimodal.JpegCodec.encodeColor(w, h, rgb)
+    val f = Multimodal.JpegCodec.decodeColor(1L, p)
+    def fwd(r: Int, g: Int, b: Int): (Int, Int, Int) = (
+      (77 * r + 150 * g + 29 * b) / 256,
+      128 + (128 * b - 43 * r - 85 * g) / 256,
+      128 + (128 * r - 107 * g - 21 * b) / 256)
+    def q(v: Int): Long = (64L * v - 8192L + 64L) / 128L
+    val ys = mcus.map { case (r, g, b) => q(fwd(r, g, b)._1) }
+    val cbs = mcus.map { case (r, g, b) => q(fwd(r, g, b)._2) }
+    val crs = mcus.map { case (r, g, b) => q(fwd(r, g, b)._3) }
+    assert(f.width === w && f.height === 16 && f.n_mcus === 2L)
+    assert(f.y_dc_sum === 4 * ys.sum && f.y_dc_min === ys.min && f.y_dc_max === ys.max)
+    assert(f.cb_dc_sum === cbs.sum && f.cb_dc_min === cbs.min && f.cb_dc_max === cbs.max)
+    assert(f.cr_dc_sum === crs.sum && f.cr_dc_min === crs.min && f.cr_dc_max === crs.max)
+    // The router-shape decode pools channels: 6 blocks per MCU.
+    val pooled = Multimodal.JpegCodec.decode(1L, p)
+    assert(pooled.n_blocks === 12L && pooled.width === w && pooled.height === 16)
+    // Full RGB decode: flat blocks round-trip within the quantizer bound.
+    val (dw, dh, px) = Multimodal.JpegCodec.decodeRgbPixels(1L, p)
+    assert(dw === w && dh === h)
+    for (m <- mcus.indices) {
+      val i = 3 * (5 * w + 16 * m + 3) // an interior pixel of MCU m
+      val (r0, g0, b0) = mcus(m)
+      assert(math.abs(px(i) - r0) <= 20, s"R of MCU $m: ${px(i)} vs $r0")
+      assert(math.abs(px(i + 1) - g0) <= 20, s"G of MCU $m: ${px(i + 1)} vs $g0")
+      assert(math.abs(px(i + 2) - b0) <= 20, s"B of MCU $m: ${px(i + 2)} vs $b0")
+    }
+  }
+
+  test("JPEG color: smooth gradient survives the lossy round trip, non-MCU-multiple geometry crops exactly") {
+    val w = 40 // pads to 48 (edge replication), crops back on decode
+    val h = 24 // pads to 32
+    val rgb = Array.tabulate(3 * w * h) { i =>
+      val pxi = i / 3
+      val x = pxi % w
+      val y = pxi / w
+      (i % 3: @unchecked) match {
+        case 0 => x * 5        // ≤ 195, no wrap — smooth planes
+        case 1 => y * 9        // ≤ 207
+        case 2 => x * 3 + y * 2 // ≤ 163
+      }
+    }
+    val p = Multimodal.JpegCodec.encodeColor(w, h, rgb)
+    val (dw, dh, out) = Multimodal.JpegCodec.decodeRgbPixels(1L, p)
+    assert(dw === w && dh === h && out.length === 3 * w * h)
+    val mae = (0 until 3 * w * h).map(i => math.abs(out(i) - rgb(i))).sum.toDouble / (3 * w * h)
+    assert(mae < 16.0, s"mean abs error $mae exceeds the uniform-16 quantizer class")
+  }
+
+  test("JPEG color: stride resize and explicit-target thumbnail route through the color codec; router decodes color") {
+    val d = Seq((1L, "abcdefghij", "en", "s", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val media = Multimodal.toJpegColor(d) // 3 MCUs, 48×16
+    val f0 = Multimodal.decodeJpegColorFeatures(spark, media).collect().head
+    assert(f0.width === 48 && f0.height === 16 && f0.n_mcus === 3L)
+    // Stride 4×4: 48×16 → 12×4, still color.
+    val fr = Multimodal.decodeJpegColorFeatures(spark,
+      Multimodal.resizeJpeg(spark, media, kx = 4, ky = 4)).collect().head
+    assert(fr.width === 12 && fr.height === 4 && fr.n_mcus === 1L)
+    // Explicit-target 24×16 thumbnail, still color.
+    val ft = Multimodal.decodeJpegColorFeatures(spark,
+      Multimodal.resizeJpegTo(spark, media, targetW = 24, targetH = 16)).collect().head
+    assert(ft.width === 24 && ft.height === 16 && ft.n_mcus === 2L)
+    // The router's jpeg arm decodes color instead of throwing.
+    val routed = Multimodal.extractFeatures(spark, media).collect().head
+    assert(routed.getAs[String]("kind") === "jpeg")
+    assert(Multimodal.mediaInventory(spark, media).collect()
+      .head.getAs[Long]("geom") === 18L) // pooled blocks: 6 per MCU
   }
 
   test("JPEG decodeGrayPixels: flat stream reconstructs per-block constant raster") {
