@@ -43,6 +43,29 @@ object IsoBench {
       // same oracle answer (partition width never changes results),
       // purely a task/exchange-overhead measurement over the 3-batch
       // stream + compaction + merged read.
+      Map(
+        // q274's gate body with the micro-batch width pinned to 2 —
+        // the gate passes None (inherits the session's 32); the delta
+        // vs the registry's q274 row is the pure stream-floor saving.
+        "q274_sp2" -> ((s: SparkSession, dir: String) => {
+          import org.apache.spark.sql.functions.col
+          val docs = graft.sources.Tables.documents(s, dir)
+          val kept = docs.filter(col("doc_id") < 250)
+          val path = SparkEntry.exitCleanedTempDir("graft_iso_q274_sp2")
+          graft.streaming.StreamingOps.streamShards(s, kept, "doc_id", 3,
+              stageKey = Some(s"q274_streaming_signature_index:$dir"),
+              shufflePartitions = Some(2))(
+            graft.streaming.StreamingOps.signatureIndexSink(path))
+          graft.streaming.StreamingOps.compactSignatureIndexEpochs(s, path, keepAfter = 1L)
+          graft.operators.Dedup.withNearDupAgainst(
+              kept, docs.filter(col("doc_id") >= 250),
+              keptSignatures =
+                Some(graft.streaming.StreamingOps.mergedSignatureIndex(s, path))) {
+            surv =>
+              val rows = surv.orderBy("doc_id").take(250001)
+              s.createDataFrame(java.util.Arrays.asList(rows: _*), surv.schema)
+          }
+        })) ++
       Seq(8, 4, 2).map { sp =>
         s"q240_sp$sp" -> ((s: SparkSession, dir: String) => {
           import org.apache.spark.sql.functions.{col, min}

@@ -1280,7 +1280,12 @@ object SparkEntry {
       val path = exitCleanedTempDir("graft_q240_gann")
       graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3,
           stageKey = Some(s"q240_streaming_graph_ann:$dir"),
-          shufflePartitions = Some(8))(
+          // Micro-batch width 2: the measured winner at gate scale
+          // (ISO_r20: sp8 11.44 s / sp4 10.50 / sp2 10.04 fresh-JVM
+          // min-of-3 — the 3 shard-sized batches pay pure task overhead
+          // at wider widths). Results are partition-count-invariant;
+          // the oracle re-pins them.
+          shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.graphAnnEdgeSink(s, path))
       // Search over a COMPACTED state (epochs 0-1 folded through the
       // sink-degree prune into the base, epoch 2 live): the fold must be
@@ -1306,7 +1311,12 @@ object SparkEntry {
       val path = exitCleanedTempDir("graft_q243_gann")
       graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3,
           stageKey = Some(s"q240_streaming_graph_ann:$dir"),
-          shufflePartitions = Some(8))(
+          // Micro-batch width 2: the measured winner at gate scale
+          // (ISO_r20: sp8 11.44 s / sp4 10.50 / sp2 10.04 fresh-JVM
+          // min-of-3 — the 3 shard-sized batches pay pure task overhead
+          // at wider widths). Results are partition-count-invariant;
+          // the oracle re-pins them.
+          shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.graphAnnEdgeSink(s, path, degree = 8))
       val dels = exitCleanedTempDir("graft_q243_dels")
       graft.streaming.StreamingOps.tombstoneSink(dels)(Seq(17L, 23L).toDF("vec_id"), 0L)
@@ -1530,10 +1540,25 @@ object SparkEntry {
     // quantized-DC stats — exact integers the oracle replays through
     // the forward transform (q271's lossy-codec convention, per
     // channel).
+    // Two fixture-shape notes (not operator semantics; diagnosed with
+    // the r20 watch instrumentation, which showed two 1-task CPU-bound
+    // stages): (1) the color codec amplifies work ~256× per text byte —
+    // 3 bytes become a 16×16 MCU — while the sf fixture is ONE small
+    // parquet file = one scan partition, so the gate repartitions the
+    // kilobytes of text to an EXPLICIT width before the heavy map (a
+    // column-only repartition gets AQE-coalesced back to 1 because the
+    // shuffle bytes are tiny; the explicit count is a hard requirement
+    // AQE honors — a 100 TB corpus arrives in thousands of files and
+    // needs neither). (2) the result lands bounded BEFORE the total
+    // order: a plain orderBy range-samples its input, evaluating the
+    // whole codec chain twice.
     "q279_color_jpeg" -> ((s, dir) =>
-      Multimodal.decodeJpegColorFeatures(s,
-          Multimodal.toJpegColor(Tables.documents(s, dir).filter(col("n_chars") >= 3)))
-        .toDF()
+      landed(
+        Multimodal.decodeJpegColorFeatures(s,
+            Multimodal.toJpegColor(
+              Tables.documents(s, dir).filter(col("n_chars") >= 3)
+                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
+          .toDF())
         .orderBy("doc_id")),
 
     // The ENTIRE color arc composed and pinned exactly (q277's depth in
@@ -1546,11 +1571,14 @@ object SparkEntry {
     // replays from text bytes: 8 Y blocks collapse to 4 distinct DCs
     // (the 2 block rows are identical), chroma to 2 blocks per channel.
     "q280_color_jpeg_thumbnail" -> ((s, dir) =>
-      Multimodal.decodeJpegColorFeatures(s,
-          Multimodal.resizeJpegTo(s,
-            Multimodal.toJpegColor(Tables.documents(s, dir).filter(col("n_chars") >= 3)),
-            targetW = 24, targetH = 16))
-        .toDF()
+      landed(
+        Multimodal.decodeJpegColorFeatures(s,
+            Multimodal.resizeJpegTo(s,
+              Multimodal.toJpegColor(
+                Tables.documents(s, dir).filter(col("n_chars") >= 3)
+                  .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+              targetW = 24, targetH = 16)) // q279's fixture-shape notes
+          .toDF())
         .orderBy("doc_id")),
 
     // VIDEO to an EXPLICIT per-frame target (VERDICT r19 #3) — the
@@ -2338,7 +2366,10 @@ object SparkEntry {
       val kept = docs.filter(col("doc_id") < 250)
       val path = exitCleanedTempDir("graft_q274_sig")
       graft.streaming.StreamingOps.streamShards(s, kept, "doc_id", 3,
-          stageKey = Some(s"q274_streaming_signature_index:$dir"))(
+          stageKey = Some(s"q274_streaming_signature_index:$dir"),
+          // ISO_r20: 3.28 -> 3.15 s with the micro-batch width pinned
+          // to the shard volume instead of inheriting the session's 32.
+          shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.signatureIndexSink(path))
       graft.streaming.StreamingOps.compactSignatureIndexEpochs(s, path, keepAfter = 1L)
       Dedup.withNearDupAgainst(kept, docs.filter(col("doc_id") >= 250),

@@ -3245,32 +3245,52 @@ object Multimodal {
         y += 1
       }
       var sum = 0L
+      var flat = true
       var i = 0
-      while (i < 64) { sum += s(i); i += 1 }
+      while (i < 64) {
+        sum += s(i)
+        if (s(i) != s(0)) flat = false
+        i += 1
+      }
       val dc = ((sum - 64L * 128L) + 64L) / (8L * QDc)
       val coefq = new Array[Int](64) // natural order, [0] unused
-      var v = 0
-      while (v < 8) {
-        var u = 0
-        while (u < 8) {
-          if (u != 0 || v != 0) {
+      // FLAT blocks (every sample equal — the solid-MCU producers and
+      // any uniform region of a real image) have ACs EXACTLY zero: skip
+      // the transform entirely, the shortcut every production encoder
+      // takes. General blocks run the SEPARABLE float forward DCT
+      // (rows then columns, 2·8·64 multiplies instead of the direct
+      // form's 64·64) — AC precision is compressor-owned (never
+      // oracle-hashed), so the summation-order change is gate-neutral.
+      if (!flat) {
+        val tmp = new Array[Double](64) // tmp(u + 8·y) = Σ_x (s−128)·CosT(x)(u)
+        var y0 = 0
+        while (y0 < 8) {
+          var u = 0
+          while (u < 8) {
             var acc = 0.0
-            var yy = 0
-            while (yy < 8) {
-              var xx = 0
-              while (xx < 8) {
-                acc += (s(8 * yy + xx) - 128) * CosT(xx)(u) * CosT(yy)(v)
-                xx += 1
-              }
-              yy += 1
-            }
-            val cu = if (u == 0) 0.7071067811865476 else 1.0
-            val cv = if (v == 0) 0.7071067811865476 else 1.0
-            coefq(8 * v + u) = math.round(acc * cu * cv / (4.0 * QDc)).toInt
+            var xx = 0
+            while (xx < 8) { acc += (s(8 * y0 + xx) - 128) * CosT(xx)(u); xx += 1 }
+            tmp(8 * y0 + u) = acc
+            u += 1
           }
-          u += 1
+          y0 += 1
         }
-        v += 1
+        var v = 0
+        while (v < 8) {
+          var u = 0
+          while (u < 8) {
+            if (u != 0 || v != 0) {
+              var acc = 0.0
+              var yy = 0
+              while (yy < 8) { acc += tmp(8 * yy + u) * CosT(yy)(v); yy += 1 }
+              val cu = if (u == 0) 0.7071067811865476 else 1.0
+              val cv = if (v == 0) 0.7071067811865476 else 1.0
+              coefq(8 * v + u) = math.round(acc * cu * cv / (4.0 * QDc)).toInt
+            }
+            u += 1
+          }
+          v += 1
+        }
       }
       // DC difference
       val diff = (dc - pred).toInt
