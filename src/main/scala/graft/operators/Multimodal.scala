@@ -3424,7 +3424,17 @@ object Multimodal {
       * canonical 4:2:0 MCU interleave (Y00 Y01 Y10 Y11 Cb Cr) with
       * per-component DC predictors.
       */
-    def encodeColor(w: Int, h: Int, rgb: Array[Int]): Array[Byte] = {
+    def encodeColor(w: Int, h: Int, rgb: Array[Int]): Array[Byte] =
+      encodeColor(w, h, rgb, restartInterval = 0)
+
+    /** `restartInterval > 0` emits DRI + cycling RSTm after every
+      * `restartInterval` MCUs with all three DC predictors reset
+      * (T.81 E.2.4) — the color twin of the grayscale encoder's restart
+      * path, so the multi-component restart decode has a first-party
+      * producer.
+      */
+    def encodeColor(
+        w: Int, h: Int, rgb: Array[Int], restartInterval: Int): Array[Byte] = {
       require(w >= 1 && h >= 1, s"degenerate raster ${w}x$h")
       require(w <= 65535 && h <= 65535, s"SOF0 geometry overflow: ${w}x$h")
       require(rgb.length == 3 * w * h, s"raster length ${rgb.length} != 3*${w}x$h")
@@ -3477,10 +3487,19 @@ object Multimodal {
       var predY = 0
       var predCb = 0
       var predCr = 0
+      var sinceRestart = 0
+      var nextRst = 0
       var my = 0
       while (my < mY) {
         var mx = 0
         while (mx < mX) {
+          if (restartInterval > 0 && sinceRestart == restartInterval) {
+            bw.restart(nextRst)
+            nextRst = (nextRst + 1) % 8
+            predY = 0; predCb = 0; predCr = 0
+            sinceRestart = 0
+          }
+          sinceRestart += 1
           var dy = 0
           while (dy < 2) {
             var dx = 0
@@ -3516,7 +3535,12 @@ object Multimodal {
           Array(0x11.toByte) ++ AcBitsC.drop(1).map(_.toByte) ++ AcValsC.map(_.toByte))
       val sos = seg(0xda, Array[Byte](
         3, 1, 0x00, 2, 0x11.toByte, 3, 0x11.toByte, 0, 63, 0))
-      Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dht ++ sos ++
+      val dri =
+        if (restartInterval > 0)
+          seg(0xdd, Array(
+            ((restartInterval >> 8) & 0xff).toByte, (restartInterval & 0xff).toByte))
+        else Array.empty[Byte]
+      Array(0xff.toByte, 0xd8.toByte) ++ dqt ++ sof ++ dht ++ dri ++ sos ++
         bw.finish() ++ Array(0xff.toByte, 0xd9.toByte)
     }
 

@@ -2161,6 +2161,31 @@ class TextMultimodalSpec extends SparkSpec {
       .head.getAs[Long]("geom") === 18L) // pooled blocks: 6 per MCU
   }
 
+  test("JPEG color: restart markers reset all three DC predictors; stats equal the no-restart stream") {
+    // 5 solid MCUs with a DRI of 2: RST fires twice mid-scan, the
+    // per-component predictors reset, and the decoded per-channel DC
+    // stats must equal the restart-free encoding of the same raster.
+    val mcus = Seq((10, 200, 30), (250, 5, 125), (0, 0, 0), (255, 255, 255), (90, 40, 210))
+    val w = 16 * mcus.size
+    val h = 16
+    val rgb = new Array[Int](3 * w * h)
+    for (((r, g, b), m) <- mcus.zipWithIndex; yy <- 0 until h; xx <- 0 until 16) {
+      val i = 3 * (yy * w + 16 * m + xx)
+      rgb(i) = r; rgb(i + 1) = g; rgb(i + 2) = b
+    }
+    val plain = Multimodal.JpegCodec.decodeColor(
+      1L, Multimodal.JpegCodec.encodeColor(w, h, rgb))
+    val restarted = Multimodal.JpegCodec.decodeColor(
+      1L, Multimodal.JpegCodec.encodeColor(w, h, rgb, restartInterval = 2))
+    assert(restarted === plain)
+    // And the full RGB decode agrees pixel-for-pixel.
+    val (_, _, a) = Multimodal.JpegCodec.decodeRgbPixels(
+      1L, Multimodal.JpegCodec.encodeColor(w, h, rgb))
+    val (_, _, b) = Multimodal.JpegCodec.decodeRgbPixels(
+      1L, Multimodal.JpegCodec.encodeColor(w, h, rgb, restartInterval = 2))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("JPEG decodeGrayPixels: flat stream reconstructs per-block constant raster") {
     val t = "a" * 63 + "Z" + "m" * 80 // 2 blocks with a DC step
     val (w, h, pix) = Multimodal.JpegCodec.decodeGrayPixels(
