@@ -457,7 +457,10 @@ object SparkEntry {
 
     // Similarity: all-pairs cosine near-dup detection (exact baseline).
     "q23_cosine_pairs" -> ((s, dir) =>
-      Similarity.cosinePairs(Tables.embeddings(s, dir), 0.45).orderBy("vec_a", "vec_b")),
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+      Similarity.cosinePairs(Tables.embeddings(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id")), 0.45))
+        .orderBy("vec_a", "vec_b")),
 
     // Dedup at scale: LSH candidates verified by exact set intersection.
     // Lifecycle bracket + driver landing: pair-bounded answer, signature
@@ -870,7 +873,9 @@ object SparkEntry {
     // against; tight two-axis boxes are the OPTIMIZE ZORDER win.
     "q187_zorder_layout" -> ((s, dir) => landedSwept(
       graft.sources.Sinks.zOrderLayoutStats(
-        Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
+        Tables.lineitem(s, dir) // 1-file scan spread (q279 note)
+          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
+        col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket"))),
 
     // 3-column Z-order layout audit — `OPTIMIZE ZORDER BY (a, b, c)` is
@@ -879,7 +884,8 @@ object SparkEntry {
     // per-file min/max boxes on ALL THREE clustering dimensions.
     "q224_zorder3_layout" -> ((s, dir) => landedSwept(
       graft.sources.Sinks.zOrderLayoutStatsN(
-        Tables.lineitem(s, dir),
+        Tables.lineitem(s, dir) // 1-file scan spread (q279 note)
+          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
         Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")))
         .orderBy("bucket"))),
 
@@ -888,7 +894,8 @@ object SparkEntry {
     // file-for-file comparable with q224 the way q191 is with q187.
     "q232_hilbert3_layout" -> ((s, dir) => landedSwept(
       graft.sources.Sinks.hilbertLayoutStatsN(
-        Tables.lineitem(s, dir),
+        Tables.lineitem(s, dir) // 1-file scan spread (q279 note)
+          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
         Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")))
         .orderBy("bucket"))),
 
@@ -983,8 +990,11 @@ object SparkEntry {
     // once by its lowest agreeing band. The brute-force all-pairs
     // oracle's hash match proves the banding lossless AND dup-free.
     "q201_dhash_pairs" -> ((s, dir) =>
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
       Dedup.hammingNearDupPairs(
-        Multimodal.pgmDHash(s, Multimodal.toPgm(Tables.documents(s, dir))).toDF())
+        Multimodal.pgmDHash(s,
+          Multimodal.toPgm(Tables.documents(s, dir)
+            .repartition(s.sparkContext.defaultParallelism, col("doc_id")))).toDF()))
         .orderBy("ida", "idb")),
 
     // Perceptual dHash over the REAL binary-PGM decode: segment-mean
@@ -1101,7 +1111,9 @@ object SparkEntry {
     // schema, file-for-file comparable.
     "q191_hilbert_layout" -> ((s, dir) => landedSwept(
       graft.sources.Sinks.hilbertLayoutStats(
-        Tables.lineitem(s, dir), col("l_partkey"), col("l_suppkey"))
+        Tables.lineitem(s, dir) // 1-file scan spread (q279 note)
+          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
+        col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket"))),
 
     // χ² feature selection against the quality label: the top-50 tokens
@@ -1334,8 +1346,11 @@ object SparkEntry {
     // sum / energy / min / max over the real 16-bit PCM decode — one
     // narrow posexplode into a map-side-combined (doc, frame) agg.
     "q241_audio_frame_stats" -> ((s, dir) =>
-      Multimodal.audioFrameStats(
-          Multimodal.decodeWavSamples(s, Multimodal.toWav16(Tables.documents(s, dir))))
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.audioFrameStats(
+          Multimodal.decodeWavSamples(s,
+            Multimodal.toWav16(Tables.documents(s, dir)
+              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))))
         .orderBy("doc_id", "frame_idx")),
 
     // The missing MODALITY next to image/audio: video as a real RIFF/AVI
@@ -1344,8 +1359,12 @@ object SparkEntry {
     // count against the frames present — per-frame exact byte stats,
     // oracle-replayed from the text (frames are 16-byte slices).
     "q247_video_frame_stats" -> ((s, dir) =>
-      Multimodal.videoFrameStats(
-          Multimodal.decodeAviFrames(s, Multimodal.toAvi(Tables.documents(s, dir))))
+      // q279's fixture-shape notes (repartition + landed-before-order).
+      landed(
+        Multimodal.videoFrameStats(
+          Multimodal.decodeAviFrames(s,
+            Multimodal.toAvi(Tables.documents(s, dir)
+              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))))
         .orderBy("doc_id", "frame_idx")),
 
     // Frame SAMPLING — the temporal subsample a video pipeline takes
@@ -1354,8 +1373,11 @@ object SparkEntry {
     // round trip hash-fails (the oracle digests the text slice the
     // frame must equal).
     "q248_video_frame_sample" -> ((s, dir) =>
-      Multimodal.sampleVideoFrames(
-          Multimodal.decodeAviFrames(s, Multimodal.toAvi(Tables.documents(s, dir))))
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.sampleVideoFrames(
+          Multimodal.decodeAviFrames(s,
+            Multimodal.toAvi(Tables.documents(s, dir)
+              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))))
         .orderBy("doc_id", "frame_idx")),
 
     // The shot-boundary VERDICTS the q247 frame decode exists for: per
@@ -1363,8 +1385,11 @@ object SparkEntry {
     // at the corpus-p97 threshold — with q247/q248 this gives video the
     // same raw -> feature -> verdict arc audio closed with q245.
     "q249_video_scene_cuts" -> ((s, dir) =>
-      Multimodal.videoSceneCuts(
-          Multimodal.decodeAviFrames(s, Multimodal.toAvi(Tables.documents(s, dir))))
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.videoSceneCuts(
+          Multimodal.decodeAviFrames(s,
+            Multimodal.toAvi(Tables.documents(s, dir)
+              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))))
         .orderBy("doc_id", "frame_idx")),
 
     // Video-duplicate clusters — the video twin of q218's image arc:
@@ -1459,9 +1484,13 @@ object SparkEntry {
     // 2 kHz PCM WAV and round-tripped through the decoder — format
     // fields, sample count, and exact amplitude moments in one hash.
     "q256_audio_resample" -> ((s, dir) =>
-      Multimodal.decodeWavFeatures(s,
-          Multimodal.resampleWav(s, Multimodal.toWav16(Tables.documents(s, dir)), k = 4))
-        .toDF()
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.decodeWavFeatures(s,
+            Multimodal.resampleWav(s,
+              Multimodal.toWav16(Tables.documents(s, dir)
+                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+              k = 4))
+          .toDF())
         .orderBy("doc_id")),
 
     // PNG RESIZE — the first transform across a COMPRESSED format:
@@ -1474,12 +1503,14 @@ object SparkEntry {
     // builder needs a 6-byte raster row; the oracle's ow >= 1 restriction
     // subsumes it, so engine and oracle drop identical doc sets.)
     "q269_png_resize" -> ((s, dir) =>
-      Multimodal.decodePngFeatures(s,
-          Multimodal.resizePng(s,
-            Multimodal.toPng(Tables.documents(s, dir).filter(col("n_chars") >= 6)),
-            kx = 4))
-        .toDF()
-        .drop("idat_len")
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.decodePngFeatures(s,
+            Multimodal.resizePng(s,
+              Multimodal.toPng(Tables.documents(s, dir).filter(col("n_chars") >= 6)
+                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+              kx = 4))
+          .toDF()
+          .drop("idat_len"))
         .orderBy("doc_id")),
 
     // Audio RESAMPLE to an EXPLICIT rate — the 1-D twin of q272's
@@ -1491,10 +1522,13 @@ object SparkEntry {
     // div-convention — re-encoded as a real 16-bit PCM WAV and
     // round-tripped through the decoder.
     "q275_linear_resample" -> ((s, dir) =>
-      Multimodal.decodeWavFeatures(s,
-          Multimodal.resampleWavTo(s,
-            Multimodal.toWav16(Tables.documents(s, dir)), targetRate = 3000))
-        .toDF()
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.decodeWavFeatures(s,
+            Multimodal.resampleWavTo(s,
+              Multimodal.toWav16(Tables.documents(s, dir)
+                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+              targetRate = 3000))
+          .toDF())
         .orderBy("doc_id")),
 
     // The media-lake NORMALIZATION pass — q272/q273's kernel composed
@@ -1521,12 +1555,14 @@ object SparkEntry {
     // exact), and the 3x2 output blocks duplicate three distinct DC
     // values, all of which the oracle replays from text block sums.
     "q277_jpeg_thumbnail" -> ((s, dir) =>
-      Multimodal.decodeJpegFeatures(s,
-          Multimodal.resizeJpegTo(s,
-            Multimodal.toJpeg(Tables.documents(s, dir).filter(col("n_chars") >= 64)),
-            targetW = 24, targetH = 16))
-        .toDF()
-        .drop("scan_bits", "recon_sum")
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.decodeJpegFeatures(s,
+            Multimodal.resizeJpegTo(s,
+              Multimodal.toJpeg(Tables.documents(s, dir).filter(col("n_chars") >= 64)
+                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+              targetW = 24, targetH = 16))
+          .toDF()
+          .drop("scan_bits", "recon_sum"))
         .orderBy("doc_id")),
 
     // COLOR JPEG (VERDICT r19 #1, the lead ask) — the multi-component
@@ -1591,10 +1627,13 @@ object SparkEntry {
     // re-decode in one hash. Frame count and µs/frame are preserved
     // (temporal subsampling stays q248's job).
     "q278_video_thumbnail" -> ((s, dir) =>
-      Multimodal.videoFrameStats(
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.videoFrameStats(
           Multimodal.decodeAviFrames(s,
             Multimodal.resizeAviTo(s,
-              Multimodal.toAvi(Tables.documents(s, dir)), targetBytes = 12)))
+              Multimodal.toAvi(Tables.documents(s, dir)
+                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+              targetBytes = 12))))
         .orderBy("doc_id", "frame_idx")),
 
     // BILINEAR resize to an EXPLICIT target — the non-integer-scale
@@ -1634,12 +1673,14 @@ object SparkEntry {
     // quantizer/compressor-owned and excluded (the q269 PNG convention
     // extended across a lossy codec).
     "q271_jpeg_resize" -> ((s, dir) =>
-      Multimodal.decodeJpegFeatures(s,
-          Multimodal.resizeJpeg(s,
-            Multimodal.toJpeg(Tables.documents(s, dir).filter(col("n_chars") >= 64)),
-            kx = 4))
-        .toDF()
-        .drop("scan_bits", "recon_sum")
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.decodeJpegFeatures(s,
+            Multimodal.resizeJpeg(s,
+              Multimodal.toJpeg(Tables.documents(s, dir).filter(col("n_chars") >= 64)
+                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+              kx = 4))
+          .toDF()
+          .drop("scan_bits", "recon_sum"))
         .orderBy("doc_id")),
 
     // BMP RESIZE — the DIB member of the raster-resize family (every
@@ -1650,9 +1691,13 @@ object SparkEntry {
     // all three — the gate round-trips through the decoder, so a
     // swizzle or stride slip anywhere hash-fails.
     "q270_bmp_resize" -> ((s, dir) =>
-      Multimodal.decodeBmpFeatures(s,
-          Multimodal.resizeBmp(s, Multimodal.toBmp(Tables.documents(s, dir)), kx = 4))
-        .toDF()
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.decodeBmpFeatures(s,
+            Multimodal.resizeBmp(s,
+              Multimodal.toBmp(Tables.documents(s, dir)
+                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+              kx = 4))
+          .toDF())
         .orderBy("doc_id")),
 
     // COLOR image RESIZE — q255's three-channel twin: stride-4 box
@@ -1660,6 +1705,9 @@ object SparkEntry {
     // re-encoded as a real PPM and round-tripped through the color
     // decoder, so per-channel means pin that R/G/B never mix.
     "q266_color_resize" -> ((s, dir) =>
+      // Measured 0.34 -> 0.77 s under the q279 fixture-shape treatment
+      // (ISO r20): the PPM chain is too cheap for the repartition+landed
+      // overhead to pay for the double-eval it removes. Left as-is.
       Multimodal.decodePpmFeatures(s,
           Multimodal.resizePpm(s, Multimodal.toPpm(Tables.documents(s, dir)), kx = 4))
         .toDF()
@@ -1699,10 +1747,13 @@ object SparkEntry {
     // counts frames that pin them — with q239 this completes the audio
     // raw -> feature -> verdict arc.
     "q245_audio_segments" -> ((s, dir) =>
-      Multimodal.audioSegments(
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.audioSegments(
           Multimodal.audioFrameStats(
-            Multimodal.decodeWavSamples(s, Multimodal.toWav16(Tables.documents(s, dir))),
-            frameLen = 8))
+            Multimodal.decodeWavSamples(s,
+              Multimodal.toWav16(Tables.documents(s, dir)
+                .repartition(s.sparkContext.defaultParallelism, col("doc_id")))),
+            frameLen = 8)))
         .orderBy("doc_id")),
 
     // Audio SPECTRAL analysis — the first signal past amplitude moments
@@ -1712,9 +1763,12 @@ object SparkEntry {
     // affine function of the text bytes, so the oracle reproduces every
     // BIGINT cell from the text directly.
     "q239_audio_autocorr" -> ((s, dir) =>
-      Multimodal.audioAutocorr(
-          Multimodal.decodeWavSamples(s, Multimodal.toWav16(Tables.documents(s, dir))))
-        .withColumn("lag", col("lag").cast("int"))
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.audioAutocorr(
+            Multimodal.decodeWavSamples(s,
+              Multimodal.toWav16(Tables.documents(s, dir)
+                .repartition(s.sparkContext.defaultParallelism, col("doc_id")))))
+          .withColumn("lag", col("lag").cast("int")))
         .orderBy("doc_id", "lag")),
 
     // q226's multilingual twin: encode digests over the rewritten corpus,
@@ -2053,7 +2107,13 @@ object SparkEntry {
     // (all-negative for ASCII), so `le16(...).toShort` — spec-only until
     // now — gets a full hash-matched oracle too.
     "q115_wav16_features" -> ((s, dir) =>
-      Multimodal.decodeWavFeatures(s, Multimodal.toWav16(Tables.documents(s, dir))).toDF()
+      // q279's fixture-shape notes: explicit-width repartition before the
+      // 1-file scan's codec chain, landed bounded before the total order.
+      landed(
+        Multimodal.decodeWavFeatures(s,
+            Multimodal.toWav16(Tables.documents(s, dir)
+              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
+          .toDF())
         .orderBy("doc_id")),
 
     // G.711 mu-law WAV (format tag 7 — the first NON-PCM codec branch):
@@ -2062,7 +2122,11 @@ object SparkEntry {
     // oracle replays the full compand->expand roundtrip via the
     // compiled 256-entry table.
     "q174_mulaw_features" -> ((s, dir) =>
-      Multimodal.decodeWavFeatures(s, Multimodal.toWavMuLaw(Tables.documents(s, dir))).toDF()
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.decodeWavFeatures(s,
+            Multimodal.toWavMuLaw(Tables.documents(s, dir)
+              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
+          .toDF())
         .orderBy("doc_id")),
 
     // First streaming-FED oracle entry: documents with 50 <= doc_id <
@@ -2170,7 +2234,7 @@ object SparkEntry {
     "q120_streaming_count_min" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       val path = exitCleanedTempDir("graft_q120_cms")
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q120_streaming_count_min:$dir")) { (batch, id) =>
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q120_streaming_count_min:$dir"), shufflePartitions = Some(2)) { (batch, id) =>
         graft.streaming.StreamingOps.countMinSink("source", "tok", path)(
           batch.select(col("source"), explode(TextAnalysis.wordsCol).as("tok")), id)
       }
@@ -2203,7 +2267,7 @@ object SparkEntry {
     "q214_streaming_heavy_hitters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = exitCleanedTempDir("graft_q214_mg")
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q214_streaming_heavy_hitters:$dir")) { (batch, id) =>
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q214_streaming_heavy_hitters:$dir"), shufflePartitions = Some(2)) { (batch, id) =>
         graft.streaming.StreamingOps.mgSink("source", "tok", path, k = 24)(
           batch.select(col("source"), explode(TextAnalysis.wordsCol).as("tok")), id)
       }
@@ -2220,7 +2284,7 @@ object SparkEntry {
     "q122_streaming_passage_state" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = exitCleanedTempDir("graft_q122_pc")
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q122_streaming_passage_state:$dir"))(
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q122_streaming_passage_state:$dir"), shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.passageCountsSink(path))
       Dedup.passageDedupAgainst(
           docs, graft.streaming.StreamingOps.mergedPassageCounts(s, path))
@@ -2232,14 +2296,18 @@ object SparkEntry {
     // trainer is spec-gated), exact integer L2² argmin per subspace.
     // One row per (vector, subspace) with the chosen code + residual.
     "q124_pq_encode" -> ((s, dir) =>
-      Similarity.pqEncode(Tables.embeddings(s, dir))
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+      Similarity.pqEncode(Tables.embeddings(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))))
         .orderBy("vec_id", "sub")),
 
     // PQ asymmetric-distance search: exact per-query distance tables,
     // corpus scanned in the compressed code domain, top-10 by summed
     // table lookups.
     "q125_pq_search" -> ((s, dir) =>
-      Similarity.pqSearch(Tables.embeddings(s, dir))
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+      Similarity.pqSearch(Tables.embeddings(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))))
         .orderBy("query_id", "rnk")),
 
     // Margin-based uncertainty sampling over label centroids: the 50
@@ -2261,14 +2329,18 @@ object SparkEntry {
     // integer distance in the corpus scan — the 4x-compression,
     // near-exact-recall point between PQ and raw floats.
     "q173_sq8_search" -> ((s, dir) =>
-      Similarity.sqSearch(Tables.embeddings(s, dir))
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+      Similarity.sqSearch(Tables.embeddings(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))))
         .orderBy("query_id", "rnk")),
 
     // The composed IVF-PQ stack: coarse cells prune candidates, ADC
     // ranks within the probed cells — the canonical billion-vector ANN
     // shape, q39's probing over q125's compressed domain.
     "q126_ivf_pq_search" -> ((s, dir) =>
-      Similarity.ivfPqSearch(Tables.embeddings(s, dir))
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+      Similarity.ivfPqSearch(Tables.embeddings(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))))
         .orderBy("query_id", "rnk")),
 
     // Hard-negative mining: top-10 nearest DIFFERENT-label neighbors
@@ -2331,7 +2403,7 @@ object SparkEntry {
     "q223_streaming_cdc_state" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = exitCleanedTempDir("graft_q223_cdc")
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q223_streaming_cdc_state:$dir"))(
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q223_streaming_cdc_state:$dir"), shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.cdcCountsSink(path))
       Dedup.cdcDedupAgainst(
           docs, graft.streaming.StreamingOps.mergedCdcCounts(s, path))
@@ -2345,7 +2417,7 @@ object SparkEntry {
     "q231_streaming_exact_substr" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = exitCleanedTempDir("graft_q231_es")
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q231_streaming_exact_substr:$dir"))(
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q231_streaming_exact_substr:$dir"), shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.exactSubstrCountsSink(path))
       Dedup.exactSubstrDedupAgainst(
           docs, graft.streaming.StreamingOps.mergedExactSubstrCounts(s, path))
@@ -2388,7 +2460,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val cents = Similarity.placeholderCentroids(emb)
       val path = exitCleanedTempDir("graft_q228_ivf")
-      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"))(
+      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"), shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.ivfPostingsSink(cents, path))
       // The gate searches over a COMPACTED state (epochs 0-1 folded into
       // the base partition, epoch 2 live) — compaction must be invisible
@@ -2415,7 +2487,7 @@ object SparkEntry {
       // Same frame/shardKey/numBatches as q228 → same staged shards
       // (the stage-dir memoization contract), so the corpus copy is paid
       // once across both gates.
-      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"))(
+      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"), shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.ivfPostingsSink(cents, path))
       val dels = exitCleanedTempDir("graft_q242_dels")
       val tomb = graft.streaming.StreamingOps.tombstoneSink(dels)
@@ -2472,9 +2544,13 @@ object SparkEntry {
     // one hash (a sub-4-byte ragged tail re-encodes as a zero-length
     // chunk: n_bytes 0, sum 0, min/max NULL on both sides).
     "q257_video_resize" -> ((s, dir) =>
-      Multimodal.videoFrameStats(
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.videoFrameStats(
           Multimodal.decodeAviFrames(s,
-            Multimodal.resizeAvi(s, Multimodal.toAvi(Tables.documents(s, dir)), kx = 4)))
+            Multimodal.resizeAvi(s,
+              Multimodal.toAvi(Tables.documents(s, dir)
+                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+              kx = 4))))
         .orderBy("doc_id", "frame_idx")),
 
     // IVF state REBUILD (VERDICT r17 #3 — the recovery the graph family
@@ -2489,7 +2565,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val cents0 = Similarity.placeholderCentroids(emb)
       val path = exitCleanedTempDir("graft_q258_ivf")
-      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"))(
+      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"), shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.ivfPostingsSink(cents0, path))
       val rebuilt = exitCleanedTempDir("graft_q258_ivf_rebuilt")
       val cents = graft.streaming.StreamingOps.rebuildIvfState(s, path, rebuilt)
@@ -2520,7 +2596,7 @@ object SparkEntry {
     "q260_exact_substr_takedown" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = exitCleanedTempDir("graft_q260_es")
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q231_streaming_exact_substr:$dir"))(
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q231_streaming_exact_substr:$dir"), shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.exactSubstrCountsSink(path))
       graft.streaming.StreamingOps.exactSubstrDeleteSink(path)(
         docs.filter(pmod(col("doc_id"), lit(7L)) === 3L), 3L)
@@ -2538,7 +2614,7 @@ object SparkEntry {
     "q261_rolling_takedown" -> ((s, dir) => {
       val shifted = shiftedBoilerplateCorpus(s, dir)
       val path = exitCleanedTempDir("graft_q261_rc")
-      graft.streaming.StreamingOps.streamShards(s, shifted, "doc_id", 3, stageKey = Some(s"q123_streaming_rolling_state:$dir"))(
+      graft.streaming.StreamingOps.streamShards(s, shifted, "doc_id", 3, stageKey = Some(s"q123_streaming_rolling_state:$dir"), shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.rollingCountsSink(path))
       graft.streaming.StreamingOps.rollingCountsDeleteSink(path)(
         shifted.filter(pmod(col("doc_id"), lit(7L)) === 3L), 3L)
@@ -2555,7 +2631,7 @@ object SparkEntry {
     "q262_passage_takedown" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = exitCleanedTempDir("graft_q262_pc")
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q122_streaming_passage_state:$dir"))(
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q122_streaming_passage_state:$dir"), shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.passageCountsSink(path))
       graft.streaming.StreamingOps.passageCountsDeleteSink(path)(
         docs.filter(pmod(col("doc_id"), lit(7L)) === 3L), 3L)
@@ -2574,7 +2650,7 @@ object SparkEntry {
     "q268_cms_takedown" -> ((s, dir) => {
       val docs = Tables.documents(s, dir).filter(col("doc_id") < 500)
       val path = exitCleanedTempDir("graft_q268_cms")
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q120_streaming_count_min:$dir")) { (batch, id) =>
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q120_streaming_count_min:$dir"), shufflePartitions = Some(2)) { (batch, id) =>
         graft.streaming.StreamingOps.countMinSink("source", "tok", path)(
           batch.select(col("source"), explode(TextAnalysis.wordsCol).as("tok")), id)
       }
@@ -2627,7 +2703,7 @@ object SparkEntry {
     "q263_cdc_takedown" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = exitCleanedTempDir("graft_q263_cdc")
-      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q223_streaming_cdc_state:$dir"))(
+      graft.streaming.StreamingOps.streamShards(s, docs, "doc_id", 3, stageKey = Some(s"q223_streaming_cdc_state:$dir"), shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.cdcCountsSink(path))
       graft.streaming.StreamingOps.cdcCountsDeleteSink(path)(
         docs.filter(pmod(col("doc_id"), lit(7L)) === 3L), 3L)
@@ -2648,7 +2724,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       val cents0 = Similarity.placeholderCentroids(emb)
       val path = exitCleanedTempDir("graft_q264_ivf")
-      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"))(
+      graft.streaming.StreamingOps.streamShards(s, emb, "vec_id", 3, stageKey = Some(s"q228_streaming_ivf_postings:$dir"), shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.ivfPostingsSink(cents0, path))
       val dels = exitCleanedTempDir("graft_q264_dels")
       val tomb = graft.streaming.StreamingOps.tombstoneSink(dels)
@@ -2666,7 +2742,9 @@ object SparkEntry {
     "q218_image_dup_clusters" -> ((s, dir) => landedSwept(
       Dedup.dedupClusters(
         Dedup.hammingNearDupPairs(
-            Multimodal.pgmDHash(s, Multimodal.toPgm(Tables.documents(s, dir))).toDF())
+            Multimodal.pgmDHash(s,
+              Multimodal.toPgm(Tables.documents(s, dir)
+                .repartition(s.sparkContext.defaultParallelism, col("doc_id")))).toDF())
           .select(col("ida").as("doc_a"), col("idb").as("doc_b")))
         .orderBy("doc_id"))),
 
@@ -2734,6 +2812,9 @@ object SparkEntry {
     // PQ-coded on coarse-centroid residuals, one ADC table per
     // (query, probed cell) from the query's own residual.
     "q133_ivf_pq_residual" -> ((s, dir) =>
+      // Measured: the q279 repartition treatment made this slightly SLOWER
+      // (1.65 -> 1.87 s ISO r20) — multi-pass Lloyd re-reads pay the extra
+      // exchange per pass. Left as committed.
       Similarity.ivfPqResidualSearch(Tables.embeddings(s, dir))
         .orderBy("query_id", "rnk")),
 
@@ -2807,8 +2888,12 @@ object SparkEntry {
     // re-ordering). Shares q24/q114's ASCII-corpus byte==codepoint
     // assumption.
     "q137_bmp_features" -> ((s, dir) =>
-      Multimodal.decodeBmpFeatures(s, Multimodal.toBmp(Tables.documents(s, dir)))
-        .toDF().orderBy("doc_id")),
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.decodeBmpFeatures(s,
+            Multimodal.toBmp(Tables.documents(s, dir)
+              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
+          .toDF())
+        .orderBy("doc_id")),
 
     // Stupid Backoff LM scoring (Brants 2007) on a HELD-OUT probe slice
     // (doc_id % 4 == 0) against a model trained on the rest — observed
@@ -2959,8 +3044,11 @@ object SparkEntry {
     // rounds.
     "q162_seed_distance" -> ((s, dir) => landedSwept({
       val docs = Tables.documents(s, dir)
+      // Same persisted-edges bracket as q161/q172 (digest chain once).
+      val edges = Dedup.rareShingleEdges(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Graphs.seedDistances(
-          Dedup.rareShingleEdges(docs),
+          edges,
           docs.filter(pmod(col("doc_id"), lit(23L)) === 0L)
             .select(col("doc_id").as("id")))
         .orderBy("id")
@@ -2972,8 +3060,11 @@ object SparkEntry {
     // BFS hop count cannot see.
     "q178_personalized_pagerank" -> ((s, dir) => landedSwept({
       val docs = Tables.documents(s, dir)
+      // Same persisted-edges bracket as q161/q172 (digest chain once).
+      val edges = Dedup.rareShingleEdges(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Graphs.personalizedPageRank(
-          Dedup.rareShingleEdges(docs),
+          edges,
           docs.filter(pmod(col("doc_id"), lit(23L)) === 0L)
             .select(col("doc_id").as("id")))
         .orderBy("id")
@@ -3048,9 +3139,12 @@ object SparkEntry {
     // them from the text bytes; idat_len (deflate-impl-specific) is
     // engine-asserted in the spec, not hash-gated.
     "q156_png_features" -> ((s, dir) =>
-      Multimodal.decodePngFeatures(s, Multimodal.toPng(Tables.documents(s, dir)))
-        .toDF()
-        .drop("idat_len")
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        Multimodal.decodePngFeatures(s,
+            Multimodal.toPng(Tables.documents(s, dir)
+              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
+          .toDF()
+          .drop("idat_len"))
         .orderBy("doc_id")),
 
     // REAL baseline-JPEG (T.81 SOF0) round trip: deterministic DC-only
@@ -3090,7 +3184,9 @@ object SparkEntry {
     // Character-entropy quality scores: whole-bit surprisal per doc —
     // the binary-junk/padding-spam detector, exact BIGINT millibits.
     "q144_char_entropy" -> ((s, dir) =>
-      TextAnalysis.charEntropy(Tables.documents(s, dir))
+      landed( // q279's fixture-shape notes (repartition + landed-before-order)
+        TextAnalysis.charEntropy(Tables.documents(s, dir)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
         .orderBy("doc_id")),
 
     // k-anonymity + l-diversity audit over (nation, segment) quasi-ids
@@ -3141,7 +3237,11 @@ object SparkEntry {
     // division — the clustering-quality grade (negative rows ARE
     // meaningful: worse-than-random communities).
     "q207_modularity" -> ((s, dir) => landedSwept({
+      // Persisted: labelPropagation symmetrizes it (2 refs) and
+      // modularity reads it three more times (totals, degrees, intra) —
+      // unpersisted, the digest+self-join subtree executes ~5x.
       val edges = Dedup.rareShingleEdges(Tables.documents(s, dir))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       Graphs.modularity(edges, Graphs.labelPropagation(edges))
         .orderBy("label")
     })),
@@ -3196,7 +3296,7 @@ object SparkEntry {
     "q123_streaming_rolling_state" -> ((s, dir) => {
       val shifted = shiftedBoilerplateCorpus(s, dir)
       val path = exitCleanedTempDir("graft_q123_rc")
-      graft.streaming.StreamingOps.streamShards(s, shifted, "doc_id", 3, stageKey = Some(s"q123_streaming_rolling_state:$dir"))(
+      graft.streaming.StreamingOps.streamShards(s, shifted, "doc_id", 3, stageKey = Some(s"q123_streaming_rolling_state:$dir"), shufflePartitions = Some(2))(
         graft.streaming.StreamingOps.rollingCountsSink(path))
       Dedup.rollingPassageDedupAgainst(
           shifted, graft.streaming.StreamingOps.mergedRollingCounts(s, path))

@@ -51,7 +51,23 @@ object TextAnalysis {
   private[graft] def spread(docs: DataFrame): DataFrame = {
     if (docs.isStreaming) return docs.repartition(col("doc_id"))
     val parallelism = docs.sparkSession.sparkContext.defaultParallelism
-    if (numPartitionsOf(docs) < parallelism) docs.repartition(col("doc_id"))
+    // EXPLICIT width, not repartition(col): a column-only repartition is
+    // REPARTITION_BY_COL, which AQE coalesces back to ~1 partition when
+    // the shuffled text is small (advisoryPartitionSizeInBytes) — exactly
+    // the 1-task serialization this guard exists to prevent (the q280
+    // fixture-shape lesson, ISO_r20 §3). The explicit count is a hard
+    // requirement AQE honors. Width = a QUARTER of the cores, measured
+    // (OPTIMIZATION_r20): full width wins single-pass heavy chains by a
+    // hair but multiplies task overhead for operators that re-execute
+    // small subtrees per round (tokenizer training, iterative cluster
+    // closure) — q196 4.74 s at cores vs 2.41 s at cores/4, q20 1.85 vs
+    // 1.18, while q238/q139/q205 move < 10%. Still scale-adaptive (no
+    // local constant), and at real scale the guard never fires at all.
+    // Streaming keeps the column form above: micro-batch plans pin AQE
+    // off and deliberately narrow spark.sql.shuffle.partitions, which
+    // the column form inherits.
+    if (numPartitionsOf(docs) < parallelism)
+      docs.repartition(math.max(2, parallelism / 4), col("doc_id"))
     else docs
   }
 

@@ -329,12 +329,19 @@ object Graphs {
     var dist = seeds.select(col("id")).distinct()
       .select(col("id"), lit(0L).as("dist"))
     for (_ <- 1 to maxHops) {
+      // Eager per-round lineage truncation (the [[hits]] standard): each
+      // round references `dist` TWICE (carry-forward union side + frontier
+      // join side), so the unmaterialized plan doubles per hop — 2^maxHops
+      // subtree re-executions by the last round. `localCheckpoint(eager)`
+      // lands the ≤|V|-row round state as RDD blocks and resets the plan
+      // to a constant-size LogicalRDD.
       dist = dist
         .union(sym
           .join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
           .select(col("dst").as("id"), (col("dist") + 1L).as("dist")))
         .groupBy(col("id"))
         .agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
     }
     val out = dist.persist(StorageLevel.MEMORY_AND_DISK)
     out.count()
