@@ -4,13 +4,19 @@ object IsoBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val names = args.toSeq
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // Measurement-only conf overrides (comma-separated k=v) for isolated
+    // A/Bs, e.g. SPARK_GRAFT_ISO_CONF=spark.sql.codegen.wholeStage=false.
+    sys.env.get("SPARK_GRAFT_ISO_CONF").foreach(_.split(',').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Operator telemetry (e.g. dedupClusters round counts) logs at INFO
     // under the graft namespace — that's the signal IsoBench exists to

@@ -389,9 +389,11 @@ object StreamingOps {
       shardKey: String,
       numBatches: Int,
       stageKey: Option[String] = None,
-      shufflePartitions: Option[Int] = None)(sink: (DataFrame, Long) => Unit): Unit =
+      shufflePartitions: Option[Int] = None,
+      batchCodegen: Option[Boolean] = None)(sink: (DataFrame, Long) => Unit): Unit =
     streamShardsThrough(spark, frame, shardKey, numBatches,
-      stageKey = stageKey, shufflePartitions = shufflePartitions)(identity)(sink)
+      stageKey = stageKey, shufflePartitions = shufflePartitions,
+      batchCodegen = batchCodegen)(identity)(sink)
 
   /** Memoized staged-shard directories, keyed by the caller's
     * `stageKey`. The staging itself is deterministic (pmod shards,
@@ -432,7 +434,8 @@ object StreamingOps {
       numBatches: Int,
       outputMode: String = "append",
       stageKey: Option[String] = None,
-      shufflePartitions: Option[Int] = None)(transform: DataFrame => DataFrame)(
+      shufflePartitions: Option[Int] = None,
+      batchCodegen: Option[Boolean] = None)(transform: DataFrame => DataFrame)(
       sink: (DataFrame, Long) => Unit): Unit = {
     require(numBatches >= 1, s"numBatches=$numBatches must be positive")
     def stageNow(): java.io.File = {
@@ -497,6 +500,16 @@ object StreamingOps {
     // session too — cross-session Dataset mixing throws).
     val prevSp = shufflePartitions.map(_ => spark.conf.get("spark.sql.shuffle.partitions"))
     shufflePartitions.foreach(n => spark.conf.set("spark.sql.shuffle.partitions", n.toString))
+    // Same static-sizing argument as the width, applied to CODEGEN: a
+    // shard-sized micro-batch never amortizes whole-stage compilation —
+    // the r20 watch decomposition showed q240 spending ~4 s/run in
+    // JIT+codegen (316 compiles per run, EVERY run: each restart is a new
+    // streaming query with fresh epoch-literal plans) against ~0.5 s of
+    // parallel stage work. Callers whose per-trigger volume is real leave
+    // this None (codegen on, the default); the measured A/B for the
+    // shard-sized gates is in OPTIMIZATION_r20.md.
+    val prevCg = batchCodegen.map(_ => spark.conf.get("spark.sql.codegen.wholeStage"))
+    batchCodegen.foreach(b => spark.conf.set("spark.sql.codegen.wholeStage", b.toString))
     try {
       val query = transform(
         spark.readStream
@@ -517,6 +530,7 @@ object StreamingOps {
       // the process by design. The SINK's output dirs are the caller's
       // (they are read lazily after return).
       prevSp.foreach(v => spark.conf.set("spark.sql.shuffle.partitions", v))
+      prevCg.foreach(v => spark.conf.set("spark.sql.codegen.wholeStage", v))
       deleteRecursively(ckpt)
       if (cached.isEmpty) deleteRecursively(stage)
     }
