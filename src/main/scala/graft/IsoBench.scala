@@ -10,6 +10,9 @@ object IsoBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Suite-sized codegen compile cache — see Bench.scala (r21).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE_ENTRIES", "4096"))
     // Measurement-only conf overrides (comma-separated k=v) for isolated
     // A/Bs, e.g. SPARK_GRAFT_ISO_CONF=spark.sql.codegen.wholeStage=false.
     sys.env.get("SPARK_GRAFT_ISO_CONF").foreach(_.split(',').foreach { kv =>

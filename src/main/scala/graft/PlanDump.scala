@@ -27,6 +27,10 @@ object PlanDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // Dump the PRE-landed plan for landed/landedSwept gates (VERDICT r20
+    // #4): without this the eager landed() evaluation happens before the
+    // dump and the file shows only a LocalTableScan of the answer.
+    SparkEntry.dumpInnerPlans = true
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => names.exists(n.startsWith) }
       .foreach { case (name, fn) =>

@@ -57,7 +57,42 @@ object SparkEntry {
     * answers bounded by construction (verified dup pairs, survivor ids)
     * — never a data-sized frame.
     */
+  /** Guarded gate-side input spread (VERDICT r20 #8). The media /
+    * embeddings / layout gates repartition their input before heavy
+    * narrow codec or per-vector chains because the TEST tables arrive
+    * as ONE parquet file with ONE row group — an unsplittable 1-task
+    * scan that would serialize the whole chain on one core (the r20
+    * "1-task leaf" finding). On a real multi-file corpus the scan
+    * already yields ≥ cores splits, where this repartition would be a
+    * redundant full shuffle of the input — so like
+    * [[graft.functions.TextAnalysis.spread]] it fires ONLY when the
+    * scan's split count is below the session parallelism. Width stays
+    * FULL parallelism (not spread's cores/4): these are single-pass
+    * heavy chains, the shape the r20 width calibration measured at
+    * full width, not re-executed small subtrees.
+    */
+  private implicit class SpreadWideOps(df: DataFrame) {
+    def spreadWide(key: String): DataFrame = {
+      val parallelism = df.sparkSession.sparkContext.defaultParallelism
+      if (TextAnalysis.numPartitionsOf(df) < parallelism)
+        df.repartition(parallelism, col(key))
+      else df
+    }
+  }
+
+  /** PlanDump-only switch (VERDICT r20 #4): when set, [[landed]] /
+    * [[landedSwept]] pass their input through LAZILY instead of
+    * evaluating it onto the driver, so `.explain` dumps show the
+    * executed subplan (Exchanges, join strategies, codegen spans)
+    * rather than an 8-line post-landed LocalTableScan. Rows are
+    * unchanged either way — landed is identity up to materialization —
+    * but the driver-bound `require` is skipped, so nothing but
+    * [[graft.PlanDump]] (which never collects) may set this.
+    */
+  @volatile private[graft] var dumpInnerPlans: Boolean = false
+
   private def landed(df: DataFrame, maxRows: Int = 250000): DataFrame = {
+    if (dumpInnerPlans) return df
     // take(N+1) + require enforces the "bounded by construction" claim
     // instead of trusting it (ADVICE r18): a pathological corpus whose
     // verified pair set grows quadratically fails loudly here rather
@@ -459,7 +494,7 @@ object SparkEntry {
     "q23_cosine_pairs" -> ((s, dir) =>
       landed( // q279's fixture-shape notes (repartition + landed-before-order)
       Similarity.cosinePairs(Tables.embeddings(s, dir)
-          .repartition(s.sparkContext.defaultParallelism, col("vec_id")), 0.45))
+          .spreadWide("vec_id"), 0.45))
         .orderBy("vec_a", "vec_b")),
 
     // Dedup at scale: LSH candidates verified by exact set intersection.
@@ -874,7 +909,7 @@ object SparkEntry {
     "q187_zorder_layout" -> ((s, dir) => landedSwept(
       graft.sources.Sinks.zOrderLayoutStats(
         Tables.lineitem(s, dir) // 1-file scan spread (q279 note)
-          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
+          .spreadWide("l_orderkey"),
         col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket"))),
 
@@ -885,7 +920,7 @@ object SparkEntry {
     "q224_zorder3_layout" -> ((s, dir) => landedSwept(
       graft.sources.Sinks.zOrderLayoutStatsN(
         Tables.lineitem(s, dir) // 1-file scan spread (q279 note)
-          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
+          .spreadWide("l_orderkey"),
         Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")))
         .orderBy("bucket"))),
 
@@ -895,7 +930,7 @@ object SparkEntry {
     "q232_hilbert3_layout" -> ((s, dir) => landedSwept(
       graft.sources.Sinks.hilbertLayoutStatsN(
         Tables.lineitem(s, dir) // 1-file scan spread (q279 note)
-          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
+          .spreadWide("l_orderkey"),
         Seq(col("l_partkey"), col("l_suppkey"), col("l_orderkey")))
         .orderBy("bucket"))),
 
@@ -994,7 +1029,7 @@ object SparkEntry {
       Dedup.hammingNearDupPairs(
         Multimodal.pgmDHash(s,
           Multimodal.toPgm(Tables.documents(s, dir)
-            .repartition(s.sparkContext.defaultParallelism, col("doc_id")))).toDF()))
+            .spreadWide("doc_id"))).toDF()))
         .orderBy("ida", "idb")),
 
     // Perceptual dHash over the REAL binary-PGM decode: segment-mean
@@ -1010,9 +1045,12 @@ object SparkEntry {
     // teaching new vocabulary?" corpus-health curve; a type's decile is
     // its FIRST document's, so the cumulative distincts are one exact
     // min-bucket aggregate, never distinct-over-prefix re-scans.
-    "q199_vocabulary_growth" -> ((s, dir) =>
+    // landedSwept: the operator persists its per-doc rank table for the
+    // distributed prefix-count (r21 global-window fix); the bounded
+    // (≤ buckets rows) answer lands and the cache releases here.
+    "q199_vocabulary_growth" -> ((s, dir) => landedSwept(
       TextAnalysis.vocabularyGrowth(Tables.documents(s, dir))
-        .orderBy("bucket")),
+        .orderBy("bucket"))),
 
     // KMV set-overlap audit: how much of the part-key dimension does the
     // fact table touch, estimated from two 256-row sketches instead of a
@@ -1112,7 +1150,7 @@ object SparkEntry {
     "q191_hilbert_layout" -> ((s, dir) => landedSwept(
       graft.sources.Sinks.hilbertLayoutStats(
         Tables.lineitem(s, dir) // 1-file scan spread (q279 note)
-          .repartition(s.sparkContext.defaultParallelism, col("l_orderkey")),
+          .spreadWide("l_orderkey"),
         col("l_partkey"), col("l_suppkey"))
         .orderBy("bucket"))),
 
@@ -1350,7 +1388,7 @@ object SparkEntry {
         Multimodal.audioFrameStats(
           Multimodal.decodeWavSamples(s,
             Multimodal.toWav16(Tables.documents(s, dir)
-              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))))
+              .spreadWide("doc_id")))))
         .orderBy("doc_id", "frame_idx")),
 
     // The missing MODALITY next to image/audio: video as a real RIFF/AVI
@@ -1364,7 +1402,7 @@ object SparkEntry {
         Multimodal.videoFrameStats(
           Multimodal.decodeAviFrames(s,
             Multimodal.toAvi(Tables.documents(s, dir)
-              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))))
+              .spreadWide("doc_id")))))
         .orderBy("doc_id", "frame_idx")),
 
     // Frame SAMPLING — the temporal subsample a video pipeline takes
@@ -1377,7 +1415,7 @@ object SparkEntry {
         Multimodal.sampleVideoFrames(
           Multimodal.decodeAviFrames(s,
             Multimodal.toAvi(Tables.documents(s, dir)
-              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))))
+              .spreadWide("doc_id")))))
         .orderBy("doc_id", "frame_idx")),
 
     // The shot-boundary VERDICTS the q247 frame decode exists for: per
@@ -1389,7 +1427,7 @@ object SparkEntry {
         Multimodal.videoSceneCuts(
           Multimodal.decodeAviFrames(s,
             Multimodal.toAvi(Tables.documents(s, dir)
-              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))))
+              .spreadWide("doc_id")))))
         .orderBy("doc_id", "frame_idx")),
 
     // Video-duplicate clusters — the video twin of q218's image arc:
@@ -1488,7 +1526,7 @@ object SparkEntry {
         Multimodal.decodeWavFeatures(s,
             Multimodal.resampleWav(s,
               Multimodal.toWav16(Tables.documents(s, dir)
-                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+                .spreadWide("doc_id")),
               k = 4))
           .toDF())
         .orderBy("doc_id")),
@@ -1507,7 +1545,7 @@ object SparkEntry {
         Multimodal.decodePngFeatures(s,
             Multimodal.resizePng(s,
               Multimodal.toPng(Tables.documents(s, dir).filter(col("n_chars") >= 6)
-                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+                .spreadWide("doc_id")),
               kx = 4))
           .toDF()
           .drop("idat_len"))
@@ -1526,7 +1564,7 @@ object SparkEntry {
         Multimodal.decodeWavFeatures(s,
             Multimodal.resampleWavTo(s,
               Multimodal.toWav16(Tables.documents(s, dir)
-                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+                .spreadWide("doc_id")),
               targetRate = 3000))
           .toDF())
         .orderBy("doc_id")),
@@ -1559,7 +1597,7 @@ object SparkEntry {
         Multimodal.decodeJpegFeatures(s,
             Multimodal.resizeJpegTo(s,
               Multimodal.toJpeg(Tables.documents(s, dir).filter(col("n_chars") >= 64)
-                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+                .spreadWide("doc_id")),
               targetW = 24, targetH = 16))
           .toDF()
           .drop("scan_bits", "recon_sum"))
@@ -1593,7 +1631,7 @@ object SparkEntry {
         Multimodal.decodeJpegColorFeatures(s,
             Multimodal.toJpegColor(
               Tables.documents(s, dir).filter(col("n_chars") >= 3)
-                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
+                .spreadWide("doc_id")))
           .toDF())
         .orderBy("doc_id")),
 
@@ -1612,7 +1650,7 @@ object SparkEntry {
             Multimodal.resizeJpegTo(s,
               Multimodal.toJpegColor(
                 Tables.documents(s, dir).filter(col("n_chars") >= 3)
-                  .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+                  .spreadWide("doc_id")),
               targetW = 24, targetH = 16)) // q279's fixture-shape notes
           .toDF())
         .orderBy("doc_id")),
@@ -1632,7 +1670,7 @@ object SparkEntry {
           Multimodal.decodeAviFrames(s,
             Multimodal.resizeAviTo(s,
               Multimodal.toAvi(Tables.documents(s, dir)
-                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+                .spreadWide("doc_id")),
               targetBytes = 12))))
         .orderBy("doc_id", "frame_idx")),
 
@@ -1677,7 +1715,7 @@ object SparkEntry {
         Multimodal.decodeJpegFeatures(s,
             Multimodal.resizeJpeg(s,
               Multimodal.toJpeg(Tables.documents(s, dir).filter(col("n_chars") >= 64)
-                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+                .spreadWide("doc_id")),
               kx = 4))
           .toDF()
           .drop("scan_bits", "recon_sum"))
@@ -1695,7 +1733,7 @@ object SparkEntry {
         Multimodal.decodeBmpFeatures(s,
             Multimodal.resizeBmp(s,
               Multimodal.toBmp(Tables.documents(s, dir)
-                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+                .spreadWide("doc_id")),
               kx = 4))
           .toDF())
         .orderBy("doc_id")),
@@ -1752,7 +1790,7 @@ object SparkEntry {
           Multimodal.audioFrameStats(
             Multimodal.decodeWavSamples(s,
               Multimodal.toWav16(Tables.documents(s, dir)
-                .repartition(s.sparkContext.defaultParallelism, col("doc_id")))),
+                .spreadWide("doc_id"))),
             frameLen = 8)))
         .orderBy("doc_id")),
 
@@ -1767,7 +1805,7 @@ object SparkEntry {
         Multimodal.audioAutocorr(
             Multimodal.decodeWavSamples(s,
               Multimodal.toWav16(Tables.documents(s, dir)
-                .repartition(s.sparkContext.defaultParallelism, col("doc_id")))))
+                .spreadWide("doc_id"))))
           .withColumn("lag", col("lag").cast("int")))
         .orderBy("doc_id", "lag")),
 
@@ -2112,7 +2150,7 @@ object SparkEntry {
       landed(
         Multimodal.decodeWavFeatures(s,
             Multimodal.toWav16(Tables.documents(s, dir)
-              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
+              .spreadWide("doc_id")))
           .toDF())
         .orderBy("doc_id")),
 
@@ -2125,7 +2163,7 @@ object SparkEntry {
       landed( // q279's fixture-shape notes (repartition + landed-before-order)
         Multimodal.decodeWavFeatures(s,
             Multimodal.toWavMuLaw(Tables.documents(s, dir)
-              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
+              .spreadWide("doc_id")))
           .toDF())
         .orderBy("doc_id")),
 
@@ -2298,7 +2336,7 @@ object SparkEntry {
     "q124_pq_encode" -> ((s, dir) =>
       landed( // q279's fixture-shape notes (repartition + landed-before-order)
       Similarity.pqEncode(Tables.embeddings(s, dir)
-          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))))
+          .spreadWide("vec_id")))
         .orderBy("vec_id", "sub")),
 
     // PQ asymmetric-distance search: exact per-query distance tables,
@@ -2307,7 +2345,7 @@ object SparkEntry {
     "q125_pq_search" -> ((s, dir) =>
       landed( // q279's fixture-shape notes (repartition + landed-before-order)
       Similarity.pqSearch(Tables.embeddings(s, dir)
-          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))))
+          .spreadWide("vec_id")))
         .orderBy("query_id", "rnk")),
 
     // Margin-based uncertainty sampling over label centroids: the 50
@@ -2331,7 +2369,7 @@ object SparkEntry {
     "q173_sq8_search" -> ((s, dir) =>
       landed( // q279's fixture-shape notes (repartition + landed-before-order)
       Similarity.sqSearch(Tables.embeddings(s, dir)
-          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))))
+          .spreadWide("vec_id")))
         .orderBy("query_id", "rnk")),
 
     // The composed IVF-PQ stack: coarse cells prune candidates, ADC
@@ -2340,7 +2378,7 @@ object SparkEntry {
     "q126_ivf_pq_search" -> ((s, dir) =>
       landed( // q279's fixture-shape notes (repartition + landed-before-order)
       Similarity.ivfPqSearch(Tables.embeddings(s, dir)
-          .repartition(s.sparkContext.defaultParallelism, col("vec_id"))))
+          .spreadWide("vec_id")))
         .orderBy("query_id", "rnk")),
 
     // Hard-negative mining: top-10 nearest DIFFERENT-label neighbors
@@ -2549,7 +2587,7 @@ object SparkEntry {
           Multimodal.decodeAviFrames(s,
             Multimodal.resizeAvi(s,
               Multimodal.toAvi(Tables.documents(s, dir)
-                .repartition(s.sparkContext.defaultParallelism, col("doc_id"))),
+                .spreadWide("doc_id")),
               kx = 4))))
         .orderBy("doc_id", "frame_idx")),
 
@@ -2744,7 +2782,7 @@ object SparkEntry {
         Dedup.hammingNearDupPairs(
             Multimodal.pgmDHash(s,
               Multimodal.toPgm(Tables.documents(s, dir)
-                .repartition(s.sparkContext.defaultParallelism, col("doc_id")))).toDF())
+                .spreadWide("doc_id"))).toDF())
           .select(col("ida").as("doc_a"), col("idb").as("doc_b")))
         .orderBy("doc_id"))),
 
@@ -2891,7 +2929,7 @@ object SparkEntry {
       landed( // q279's fixture-shape notes (repartition + landed-before-order)
         Multimodal.decodeBmpFeatures(s,
             Multimodal.toBmp(Tables.documents(s, dir)
-              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
+              .spreadWide("doc_id")))
           .toDF())
         .orderBy("doc_id")),
 
@@ -3142,7 +3180,7 @@ object SparkEntry {
       landed( // q279's fixture-shape notes (repartition + landed-before-order)
         Multimodal.decodePngFeatures(s,
             Multimodal.toPng(Tables.documents(s, dir)
-              .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
+              .spreadWide("doc_id")))
           .toDF()
           .drop("idat_len"))
         .orderBy("doc_id")),
@@ -3186,7 +3224,7 @@ object SparkEntry {
     "q144_char_entropy" -> ((s, dir) =>
       landed( // q279's fixture-shape notes (repartition + landed-before-order)
         TextAnalysis.charEntropy(Tables.documents(s, dir)
-          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))))
+          .spreadWide("doc_id")))
         .orderBy("doc_id")),
 
     // k-anonymity + l-diversity audit over (nation, segment) quasi-ids

@@ -251,6 +251,8 @@ object Stats {
       if (bounds.isEmpty) lit(0)
       else size(filter(typedLit(bounds), b => col("x") >= b))
     val t = v.withColumn("_pid", pid)
+    // Bounded-input invariant (r21 window audit): one row per _pid
+    // bucket (≤ numPartitions rows), never the data rows.
     val wOff = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = t.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
@@ -1004,6 +1006,9 @@ object Stats {
       .select(group.cast("string").as("grp"), x.cast("long").as("x"))
       .filter(col("grp").isNotNull && col("x").isNotNull)
     val perVal = v.groupBy(col("x")).agg(count(lit(1)).as("n_v"))
+    // Bounded-input invariant (r21 window audit): the cumulative window
+    // walks DISTINCT measure values (the scaladoc's value-domain bound —
+    // lengths, centi-scores), never the pooled rows.
     val wcum = Window.orderBy(col("x")).rowsBetween(Window.unboundedPreceding, -1)
     val ranked = perVal
       .withColumn("cum_less", coalesce(sum(col("n_v")).over(wcum), lit(0L)))

@@ -74,7 +74,7 @@ object TextAnalysis {
   private val partsMemo =
     new java.util.WeakHashMap[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Integer]()
 
-  private def numPartitionsOf(docs: DataFrame): Int = {
+  private[graft] def numPartitionsOf(docs: DataFrame): Int = {
     val key = docs.queryExecution.logical
     partsMemo.synchronized {
       val cached = partsMemo.get(key)
@@ -1083,6 +1083,8 @@ object TextAnalysis {
       .limit(maxSize)
       .withColumn(
         "token_id",
+        // Bounded-input invariant (r21 window audit): runs AFTER
+        // .limit(maxSize) — ≤ maxSize vocabulary rows, never the corpus.
         row_number().over(
           org.apache.spark.sql.expressions.Window.orderBy(order: _*)))
       .select(col("token_id"), col("token"), col("n"))
@@ -1632,13 +1634,38 @@ object TextAnalysis {
   def vocabularyGrowth(docs: DataFrame, buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 1000, s"buckets=$buckets out of range [2, 1000]")
     val tok = spread(docs).select(col("doc_id"), explode(wordsCol).as("w"))
+    // Persisted for the bracket: read 3× below (totals, rank-bucket
+    // boundaries, the ranked frame) — one row per document.
     val perDoc = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = perDoc.agg(count(lit(1)).as("n_docs"))
-    val db = perDoc.crossJoin(broadcast(tot))
+    // doc_rank via the distributed prefix-count idiom (quantileNormalize /
+    // giniCoefficient): a bare row_number() over ALL documents would move
+    // one row PER DOCUMENT through a single-partition window — the one
+    // unbounded global-window site the r20 audit found. Boundary quality
+    // only balances partitions; the rank (hence every bucket and count
+    // downstream) is exact regardless.
+    val w = org.apache.spark.sql.expressions.Window
+    val qs = (1 until 32).map(i => i.toDouble / 32)
+    val bounds: Seq[Long] = perDoc
+      .agg(expr(s"approx_percentile(doc_id, array(${qs.mkString(", ")}), 10000)"))
+      .collect()(0).getSeq[Long](0)
+    val pid =
+      if (bounds.isEmpty) lit(0)
+      else size(filter(typedLit(bounds), b => col("doc_id") >= b))
+    val t = perDoc.withColumn("_pid", pid)
+    // Offsets window: ONE row per bucket id (≤ 32 rows) — bounded by
+    // construction, unlike the per-document rank it replaces.
+    val wOff = w.orderBy(col("_pid"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = t.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val db = t.join(broadcast(offsets), Seq("_pid"))
       .withColumn(
         "doc_rank",
-        row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))))
+        col("_off") + row_number().over(w.partitionBy(col("_pid")).orderBy(col("doc_id"))))
+      .crossJoin(broadcast(tot))
       .withColumn("bucket", expr(s"((doc_rank - 1) * $buckets) div n_docs"))
       .select(col("doc_id"), col("n_tok"), col("bucket"))
     val bt = db.groupBy(col("bucket"))
@@ -1646,6 +1673,8 @@ object TextAnalysis {
     val nt = tok.join(db.select(col("doc_id"), col("bucket")), Seq("doc_id"))
       .groupBy(col("w")).agg(min(col("bucket")).as("bucket"))
       .groupBy(col("bucket")).agg(count(lit(1)).as("new_types"))
+    // Bounded-input invariant (r21 window audit): one row per decile
+    // bucket (≤ `buckets` ≤ 1000 rows), never the documents.
     val wb = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     bt.join(nt, Seq("bucket"), "left_outer")

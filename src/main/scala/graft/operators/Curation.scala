@@ -302,6 +302,9 @@ object Curation {
     val avail = perDoc
       .groupBy(group.as("grp"))
       .agg(sum(weight.cast("long")).as("available"))
+    // Bounded-input invariant (r21 window audit): both windows run over
+    // the per-GROUP availability aggregate — one row per quota group,
+    // never the documents.
     val byAvail = Window.orderBy(col("available"), col("grp"))
     val all = Window.partitionBy()
     avail
@@ -494,6 +497,9 @@ object Curation {
       weight: Column,
       budget: Long): DataFrame = {
     require(budget >= 0, s"budget=$budget must be non-negative")
+    // Bounded-input invariant (r21 window audit): both windows run over
+    // the per-GROUP seat table — one row per quota group, never the
+    // documents.
     val all = Window.partitionBy()
     val bySeat = Window.orderBy(col("rem").desc, col("grp"))
     perDoc
@@ -846,6 +852,8 @@ object Curation {
         "_off",
         coalesce(
           sum(col("_t")).over(
+            // Bounded-input invariant (r21 window audit): one row per
+            // _pid bucket (≤ numPartitions rows), never the documents.
             Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .select(col("_pid"), col("_off"))
@@ -1168,6 +1176,8 @@ object Curation {
         "_off",
         coalesce(
           sum(col("_t")).over(
+            // Bounded-input invariant (r21 window audit): one row per
+            // _pid bucket (≤ numPartitions rows), never the documents.
             Window.orderBy(col("_pid")).rowsBetween(Window.unboundedPreceding, -1)),
           lit(0L)))
       .withColumn("total", sum(col("_t")).over(Window.partitionBy()))
@@ -1271,6 +1281,9 @@ object Curation {
       .withColumn("vj", expr(s"($grid * (v - vlo)) div (vhi - vlo + 1)"))
       .drop("clo", "chi", "vlo", "vhi")
     val cells = withCell.groupBy(col("ci"), col("vj")).agg(count(lit(1)).as("n_pts"))
+    // Bounded-input invariant (r21 window audit): both skyline windows
+    // below run over per-CELL maxima — ≤ grid² rows (grid is a small
+    // constant), never the points.
     val wci = Window.orderBy(col("ci")).rowsBetween(Window.unboundedPreceding, -1)
     val live = cells
       .groupBy(col("ci")).agg(max(col("vj")).as("maxvj"))

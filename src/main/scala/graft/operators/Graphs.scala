@@ -12,6 +12,39 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graphs {
 
+  /** Scoped per-round shuffle width for the iterative loops (r21, guide
+    * §2 right-sizing; VERDICT r20 #2: q188/q172/q161 run FASTER at 8
+    * cores than 32 — per-round exchanges at cluster width cost more in
+    * task scheduling than they parallelize when the round volume is
+    * small). The bracket narrows `spark.sql.shuffle.partitions` for the
+    * duration of the loop's eager actions and restores it after, with
+    * the width derived from the MEASURED row volume flowing through a
+    * round (edge rows × per-row state), never from the core count alone:
+    * `width = clamp(rows / 64k, 2, defaultParallelism)` — a graph with
+    * ≥ 64k·parallelism round rows keeps the full session width, so this
+    * is a fixture-shape correction that vanishes at scale, like
+    * TextAnalysis.spread's guard. Session-conf scoping follows the
+    * streamShards precedent: the gate harness is single-threaded per
+    * session; the returned frame plans AFTER restore, at session width.
+    *
+    * Width never changes results: every loop is integer/order-
+    * independent arithmetic with total-ordered windows (the oracle
+    * replays them), which is also why the session-wide 8-vs-32 A/B that
+    * motivated this (ISO r21: q161 4.33→2.82, q188 5.66→4.47) could run
+    * against the same oracle.
+    */
+  private def withRoundWidth[T](
+      df: DataFrame, roundRows: Long)(body: => T): T = {
+    // Measurement-only kill switch for A/Bs (IsoBench control runs).
+    if (sys.env.get("SPARK_GRAFT_ROUND_WIDTH").contains("off")) return body
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val p = spark.sparkContext.defaultParallelism.toLong
+    val width = math.max(2L, math.min(p, roundRows / 65536L + 1L)).toInt
+    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Deterministic scaled-integer PageRank over an undirected graph —
     * the quality-propagation / centrality pass (harmonic-rank corpus
     * weighting, hub detection in near-dup graphs) computed EXACTLY:
@@ -54,26 +87,31 @@ object Graphs {
     val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val symd = sym.join(deg, Seq("src")).persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = deg.select(col("src").as("id"), col("deg"))
-    val base = scale * 15L / 100L
-    var ranks = nodes.select(col("id"), lit(scale).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = symd
-        .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
-        .select(col("dst").as("id"), expr("r * 85 div (100 * deg)").as("c"))
-        .groupBy(col("id"))
-        .agg(sum(col("c")).as("in_sum"))
-      ranks = nodes.select(col("id"))
-        .join(contrib, Seq("id"), "left_outer")
-        .select(col("id"), (lit(base) + coalesce(col("in_sum"), lit(0L))).as("r"))
+    // One count fills both persists and measures the per-round rank-join
+    // volume for the scoped width bracket.
+    val edgeRows = symd.count()
+    withRoundWidth(symd, edgeRows) {
+      val nodes = deg.select(col("src").as("id"), col("deg"))
+      val base = scale * 15L / 100L
+      var ranks = nodes.select(col("id"), lit(scale).as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = symd
+          .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
+          .select(col("dst").as("id"), expr("r * 85 div (100 * deg)").as("c"))
+          .groupBy(col("id"))
+          .agg(sum(col("c")).as("in_sum"))
+        ranks = nodes.select(col("id"))
+          .join(contrib, Seq("id"), "left_outer")
+          .select(col("id"), (lit(base) + coalesce(col("in_sum"), lit(0L))).as("r"))
+      }
+      val out = nodes.join(ranks, Seq("id"))
+        .select(col("id"), col("deg"), col("r").as("rank_scaled"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      symd.unpersist()
+      deg.unpersist()
+      out
     }
-    val out = nodes.join(ranks, Seq("id"))
-      .select(col("id"), col("deg"), col("r").as("rank_scaled"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    symd.unpersist()
-    deg.unpersist()
-    out
   }
 
   /** Personalized PageRank / TrustRank (Haveliwala 2002; Gyöngyi et al.
@@ -110,36 +148,41 @@ object Graphs {
     val symd = sym.join(deg, Seq("src")).persist(StorageLevel.MEMORY_AND_DISK)
     val seedIds = seeds.select(col("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = deg.select(col("src").as("id"), col("deg"))
-    val withSeed = nodes
-      .join(broadcast(seedIds.select(col("id"), lit(true).as("is_seed"))), Seq("id"), "left_outer")
-      .select(col("id"), col("deg"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val base = scale * 15L / 100L
-    var ranks = withSeed.select(
-      col("id"), when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r"))
-    for (_ <- 1 to iters) {
-      val contrib = symd
-        .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
-        .select(col("dst").as("id"), expr("r * 85 div (100 * deg)").as("c"))
-        .groupBy(col("id"))
-        .agg(sum(col("c")).as("in_sum"))
-      ranks = withSeed.select(col("id"), col("is_seed"))
-        .join(contrib, Seq("id"), "left_outer")
-        .select(
-          col("id"),
-          (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
-            coalesce(col("in_sum"), lit(0L))).as("r"))
+    // One count fills the edge persists and measures the per-round
+    // rank-join volume for the scoped width bracket.
+    val edgeRows = symd.count()
+    withRoundWidth(symd, edgeRows) {
+      val nodes = deg.select(col("src").as("id"), col("deg"))
+      val withSeed = nodes
+        .join(broadcast(seedIds.select(col("id"), lit(true).as("is_seed"))), Seq("id"), "left_outer")
+        .select(col("id"), col("deg"), coalesce(col("is_seed"), lit(false)).as("is_seed"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val base = scale * 15L / 100L
+      var ranks = withSeed.select(
+        col("id"), when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("r"))
+      for (_ <- 1 to iters) {
+        val contrib = symd
+          .join(ranks.select(col("id").as("src"), col("r")), Seq("src"))
+          .select(col("dst").as("id"), expr("r * 85 div (100 * deg)").as("c"))
+          .groupBy(col("id"))
+          .agg(sum(col("c")).as("in_sum"))
+        ranks = withSeed.select(col("id"), col("is_seed"))
+          .join(contrib, Seq("id"), "left_outer")
+          .select(
+            col("id"),
+            (when(col("is_seed"), lit(base)).otherwise(lit(0L)) +
+              coalesce(col("in_sum"), lit(0L))).as("r"))
+      }
+      val out = withSeed.join(ranks, Seq("id"))
+        .select(col("id"), col("deg"), col("is_seed"), col("r").as("trust_scaled"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      symd.unpersist()
+      deg.unpersist()
+      seedIds.unpersist()
+      withSeed.unpersist()
+      out
     }
-    val out = withSeed.join(ranks, Seq("id"))
-      .select(col("id"), col("deg"), col("is_seed"), col("r").as("trust_scaled"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    symd.unpersist()
-    deg.unpersist()
-    seedIds.unpersist()
-    withSeed.unpersist()
-    out
   }
 
   /** Exact per-node triangle counts + whole-graph-exact local clustering
@@ -280,25 +323,30 @@ object Graphs {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .select(col("src").as("id"), col("deg"))
-    var h = deg.select(col("id"), col("deg").as("h"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("dst")).orderBy(col("e").desc, col("src"))
-    for (_ <- 1 to iters) {
-      h = sym
-        .join(h.select(col("id").as("src"), col("h").as("e")), Seq("src"))
-        .withColumn("rn", row_number().over(w))
-        .select(col("dst").as("id"), least(col("rn").cast("long"), col("e")).as("le"))
-        .groupBy(col("id"))
-        .agg(max(col("le")).as("h"))
+    // One count fills the persist (the first round would anyway) and
+    // measures the per-round join volume for the scoped width.
+    val edgeRows = sym.count()
+    withRoundWidth(sym, edgeRows) {
+      val deg = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("id"), col("deg"))
+      var h = deg.select(col("id"), col("deg").as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst")).orderBy(col("e").desc, col("src"))
+      for (_ <- 1 to iters) {
+        h = sym
+          .join(h.select(col("id").as("src"), col("h").as("e")), Seq("src"))
+          .withColumn("rn", row_number().over(w))
+          .select(col("dst").as("id"), least(col("rn").cast("long"), col("e")).as("le"))
+          .groupBy(col("id"))
+          .agg(max(col("le")).as("h"))
+      }
+      val out = deg.join(h, Seq("id"))
+        .select(col("id"), col("deg"), col("h").as("coreness"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      sym.unpersist()
+      out
     }
-    val out = deg.join(h, Seq("id"))
-      .select(col("id"), col("deg"), col("h").as("coreness"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    sym.unpersist()
-    out
   }
 
   /** Multi-source BFS hop distance from a trusted seed set — the
@@ -326,27 +374,32 @@ object Graphs {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var dist = seeds.select(col("id")).distinct()
-      .select(col("id"), lit(0L).as("dist"))
-    for (_ <- 1 to maxHops) {
-      // Eager per-round lineage truncation (the [[hits]] standard): each
-      // round references `dist` TWICE (carry-forward union side + frontier
-      // join side), so the unmaterialized plan doubles per hop — 2^maxHops
-      // subtree re-executions by the last round. `localCheckpoint(eager)`
-      // lands the ≤|V|-row round state as RDD blocks and resets the plan
-      // to a constant-size LogicalRDD.
-      dist = dist
-        .union(sym
-          .join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
-          .select(col("dst").as("id"), (col("dist") + 1L).as("dist")))
-        .groupBy(col("id"))
-        .agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+    // One count fills the persist and measures the per-hop frontier-join
+    // volume for the scoped width bracket.
+    val edgeRows = sym.count()
+    withRoundWidth(sym, edgeRows) {
+      var dist = seeds.select(col("id")).distinct()
+        .select(col("id"), lit(0L).as("dist"))
+      for (_ <- 1 to maxHops) {
+        // Eager per-round lineage truncation (the [[hits]] standard): each
+        // round references `dist` TWICE (carry-forward union side + frontier
+        // join side), so the unmaterialized plan doubles per hop — 2^maxHops
+        // subtree re-executions by the last round. `localCheckpoint(eager)`
+        // lands the ≤|V|-row round state as RDD blocks and resets the plan
+        // to a constant-size LogicalRDD.
+        dist = dist
+          .union(sym
+            .join(dist.select(col("id").as("src"), col("dist")), Seq("src"))
+            .select(col("dst").as("id"), (col("dist") + 1L).as("dist")))
+          .groupBy(col("id"))
+          .agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+      }
+      val out = dist.persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      sym.unpersist()
+      out
     }
-    val out = dist.persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    sym.unpersist()
-    out
   }
 
   def labelPropagation(edges: DataFrame, iters: Int = 3): DataFrame = {
@@ -356,24 +409,29 @@ object Graphs {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = sym.select(col("src").as("id")).distinct()
-    var labels = nodes.select(col("id"), col("id").as("l"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("dst")).orderBy(col("n").desc, col("l"))
-    for (_ <- 1 to iters) {
-      labels = sym
-        .join(labels.select(col("id").as("src"), col("l")), Seq("src"))
-        .groupBy(col("dst"), col("l"))
-        .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("dst").as("id"), col("l"))
+    // One count fills the persist and measures the per-round label-join
+    // volume for the scoped width bracket.
+    val edgeRows = sym.count()
+    withRoundWidth(sym, edgeRows) {
+      val nodes = sym.select(col("src").as("id")).distinct()
+      var labels = nodes.select(col("id"), col("id").as("l"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst")).orderBy(col("n").desc, col("l"))
+      for (_ <- 1 to iters) {
+        labels = sym
+          .join(labels.select(col("id").as("src"), col("l")), Seq("src"))
+          .groupBy(col("dst"), col("l"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("dst").as("id"), col("l"))
+      }
+      val out = labels.select(col("id"), col("l").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      out.count()
+      sym.unpersist()
+      out
     }
-    val out = labels.select(col("id"), col("l").as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count()
-    sym.unpersist()
-    out
   }
 
   /** Newman modularity of a community assignment — the "are these
@@ -468,26 +526,31 @@ object Graphs {
       .filter(col("src") =!= col("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = sym.select(col("src").as("id")).distinct()
-    var regs = graft.functions.Sketches.hllRegisters(nodes, "id", "id", p)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    regs.count()
-    for (_ <- 1 to rounds) {
-      val prop = sym
-        .join(regs.select(col("id").as("src"), col("reg"), col("r")), Seq("src"))
-        .select(col("dst").as("id"), col("reg"), col("r"))
-      val next = regs.unionByName(prop)
-        .groupBy(col("id"), col("reg"))
-        .agg(max(col("r")).as("r"))
+    // Round volume = m registers flowing per edge (the prop join), the
+    // dominant per-round shuffle; one count fills the persist.
+    val roundRows = sym.count() * (1L << p)
+    withRoundWidth(sym, roundRows) {
+      val nodes = sym.select(col("src").as("id")).distinct()
+      var regs = graft.functions.Sketches.hllRegisters(nodes, "id", "id", p)
         .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      regs.unpersist()
-      regs = next
+      regs.count()
+      for (_ <- 1 to rounds) {
+        val prop = sym
+          .join(regs.select(col("id").as("src"), col("reg"), col("r")), Seq("src"))
+          .select(col("dst").as("id"), col("reg"), col("r"))
+        val next = regs.unionByName(prop)
+          .groupBy(col("id"), col("reg"))
+          .agg(max(col("r")).as("r"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        regs.unpersist()
+        regs = next
+      }
+      val out = graft.functions.Sketches.hllEstimate(regs, "id", p)
+        .withColumnRenamed("est_distinct", "est_ball")
+      sym.unpersist()
+      out
     }
-    val out = graft.functions.Sketches.hllEstimate(regs, "id", p)
-      .withColumnRenamed("est_distinct", "est_ball")
-    sym.unpersist()
-    out
   }
 
   /** HITS hubs & authorities (Kleinberg 1999) over a DIRECTED edge table,
@@ -530,6 +593,10 @@ object Graphs {
     require(scale >= 1000L, s"scale=$scale too small for meaningful quantization")
     val e = edges.select(col("src"), col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // One count fills the persist and measures the per-half-round score
+    // join volume for the scoped width bracket below.
+    val edgeRows = e.count()
+    withRoundWidth(e, edgeRows) {
     val hubs = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val auths = e.groupBy(col("dst")).agg(count(lit(1)).as("ideg"))
@@ -582,5 +649,6 @@ object Graphs {
     hubs.unpersist()
     auths.unpersist()
     out
+    }
   }
 }

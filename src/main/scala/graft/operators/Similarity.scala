@@ -1708,7 +1708,9 @@ object Similarity {
     val second = scored.filter(col("crn") === 2).select(
       col("vec_id"), col("c_label").as("second_label"), col("cosine").as("cos_second"))
     // TakeOrdered FIRST (never a global sort over the corpus); the rank
-    // window then runs over k rows only.
+    // window then runs over k rows only. Bounded-input invariant for the
+    // unpartitioned window below: its single-partition barrier sees the
+    // ≤ k TakeOrdered survivors, never the corpus (r21 window audit).
     val wAmb = Window.orderBy(col("margin").asc, col("vec_id"))
     best.join(second, Seq("vec_id"))
       .withColumn("margin", col("cos_best") - col("cos_second"))
@@ -2167,6 +2169,9 @@ object Similarity {
       if (bounds.isEmpty) lit(0)
       else size(filter(typedLit(bounds), bnd => col("kdist2") >= bnd))
     val t = scores.withColumn("_pid", pid)
+    // Bounded-input invariant (r21 window audit): this global window runs
+    // over the per-bucket count table — ONE row per _pid bucket (≤
+    // numPartitions rows), never the scored rows themselves.
     val wOff = Window.orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offsets = t.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))

@@ -80,6 +80,9 @@ object Timeseries {
         col("event_type"),
         unix_date(to_date(col("ts"))).cast("long").as("epoch_day"))
       .agg(count(lit(1)).as("n"))
+    // Bounded-input invariant (r21 window audit): `global` runs over the
+    // per-(event_type, day) AGGREGATE — rows ≤ #event types × day span,
+    // a calendar-bounded frame, never the raw events.
     val global = Window.partitionBy()
     val byType = Window.partitionBy(col("event_type")).orderBy(col("epoch_day"))
     def zeroRun(from: Column, to: Column): Column =
@@ -562,6 +565,9 @@ object Timeseries {
       .agg(sum(col("delta")).as("delta"))
     val range = ud.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
     val grid = range.select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    // Bounded-input invariant (r21 window audit): the running sum walks
+    // the DAY GRID (one row per day in [lo, hi]) — calendar-bounded,
+    // never the interval rows.
     val wDay = Window.orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     grid

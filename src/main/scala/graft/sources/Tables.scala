@@ -411,6 +411,8 @@ object Sinks {
       if (bounds.isEmpty) lit(0)
       else size(filter(typedLit(bounds), b => col("zv") >= b))
     val t = base.withColumn("_pid", pid)
+    // Bounded-input invariant (r21 window audit): one row per _pid
+    // bucket (≤ numPartitions rows), never the base rows.
     val wOff = org.apache.spark.sql.expressions.Window
       .partitionBy().orderBy(col("_pid"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
