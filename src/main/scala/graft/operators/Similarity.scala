@@ -1381,8 +1381,16 @@ object Similarity {
         .join(ePersisted, frontier("vec_id") === ePersisted("src"))
         .select(col("query_id"), col("nb").as("vec_id"))
         .distinct()
+      // Eager per-hop lineage truncation (the seedDistances/hits
+      // standard, r21): `visited` is referenced TWICE per hop (the
+      // carry-forward union side + the frontier window side), so left
+      // lazy the subtree doubles per hop — 2^hops re-executions of the
+      // entry scoring chain inside the final collect, and one deep AQE
+      // plan whose every exchange is a sequential stage. The per-hop
+      // state is ≤ numQueries·(1 + beam·degree·hop) rows — driver-tiny.
       visited = visited.unionByName(scored(expanded))
         .dropDuplicates("query_id", "vec_id")
+        .localCheckpoint(true)
     }
     val ranked = visited
       .filter(col("vec_id") =!= col("query_id"))

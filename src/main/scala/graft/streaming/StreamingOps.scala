@@ -1133,10 +1133,17 @@ object StreamingOps {
       // The prune degree is part of the state's meaning (read-time
       // selection must not exceed it — see the scaladoc); land it with
       // the state so the merged read can ENFORCE the bound instead of
-      // silently under-selecting. One row, overwritten idempotently by
-      // every epoch (the degree is a constant of the sink closure).
-      spark.range(1).select(lit(degree).as("degree"))
-        .write.mode("overwrite").parquet(s"$basePath/sink_meta")
+      // silently under-selecting. One row, written ONCE per state
+      // directory (r21): the degree is a constant of the sink closure,
+      // so re-writing an identical 1-row parquet every epoch spent a
+      // Spark job per micro-batch for no information — the committed
+      // (_SUCCESS) marker is the idempotence authority, and a crash
+      // between meta and vecs replays the epoch into the same value.
+      val metaSuccess = new org.apache.hadoop.fs.Path(s"$basePath/sink_meta/_SUCCESS")
+      val metaFs = metaSuccess.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!metaFs.exists(metaSuccess))
+        spark.range(1).select(lit(degree).as("degree"))
+          .write.mode("overwrite").parquet(s"$basePath/sink_meta")
       // Vectors land LAST: a crash mid-epoch leaves at worst edge dirs
       // without their vecs dir, and the replay overwrites all three.
       newB.write.mode("overwrite").parquet(s"$basePath/vecs/batch_id=$batchId")
