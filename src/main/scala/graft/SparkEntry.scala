@@ -1024,13 +1024,17 @@ object SparkEntry {
     // exactly on some band), XOR-popcount verify, each pair emitted
     // once by its lowest agreeing band. The brute-force all-pairs
     // oracle's hash match proves the banding lossless AND dup-free.
-    "q201_dhash_pairs" -> ((s, dir) =>
-      landed( // q279's fixture-shape notes (repartition + landed-before-order)
-      Dedup.hammingNearDupPairs(
-        Multimodal.pgmDHash(s,
+    "q201_dhash_pairs" -> ((s, dir) => landedSwept({
+      // The banded self-join reads its input TWICE (both sides of the
+      // pair join, alias-renamed — no exchange reuse), so the heavy PGM
+      // encode+decode chain executed twice; one |docs|-row persist
+      // (doc_id, n, dhash) feeds both sides (r21). landedSwept releases.
+      val hashes = Multimodal.pgmDHash(s,
           Multimodal.toPgm(Tables.documents(s, dir)
-            .spreadWide("doc_id"))).toDF()))
-        .orderBy("ida", "idb")),
+            .spreadWide("doc_id"))).toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Dedup.hammingNearDupPairs(hashes).orderBy("ida", "idb")
+    })),
 
     // Perceptual dHash over the REAL binary-PGM decode: segment-mean
     // difference bits compared by exact cross-multiplication — the
@@ -2777,6 +2781,12 @@ object SparkEntry {
     }),
 
     // perceptual hash → banded pairing → canonical clusters.
+    // NOT persisted like q201's dHash frame (r21, measured twice): here
+    // dedupClusters' edges persist already bounds downstream reads to one
+    // pairs-subtree fill, inside which the banded join's two chain
+    // executions run as PARALLEL wide stages — caching the dHash table
+    // serialized fill-then-join and measured WORSE (ISO pairs 7.3/6.2 s
+    // cached vs 5.4/5.4 s uncached).
     "q218_image_dup_clusters" -> ((s, dir) => landedSwept(
       Dedup.dedupClusters(
         Dedup.hammingNearDupPairs(
