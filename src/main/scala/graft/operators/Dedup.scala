@@ -367,6 +367,12 @@ object Dedup {
     var prevCache: Option[DataFrame] = None
     var converged = false
     var it = 0
+    // Scoped round width (r21, the Graphs-loop standard): each round's
+    // label join flows ≤ |Eₛ| rows (already counted above for the skew
+    // gate) — cluster-width exchanges on fixture-sized graphs are pure
+    // task-scheduling overhead; the width returns to session scale at
+    // ≥ 64k·parallelism edge rows.
+    Graphs.withRoundWidth(edges, edgeCount) {
     while (!converged && it < maxIters) {
       val roundStart = System.nanoTime()
       val dstLabels = labels.select(col("doc_id").as("dst"), col("label"))
@@ -424,6 +430,7 @@ object Dedup {
       // is indistinguishable from a depth blow-up without per-round
       // numbers, and at 100 TB an unbounded round count IS the bottleneck.
       log.info(f"dedupClusters round $it: ${(System.nanoTime() - roundStart) / 1e9}%.2fs converged=$converged")
+    }
     }
     log.info(s"dedupClusters: rounds=$it edges=$edgeCount skewSplit=$splitNeeded maxIters=$maxIters")
     // edges is only read inside the loop; lineage survives unpersist, so

@@ -821,6 +821,10 @@ object Similarity {
       .filter(col("va") =!= col("vb"))
       .select(col("query_id"), col("va"), col("vb"), dot(col("qe_a"), col("qe_b")).as("sim_dp"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Scoped round width (r21, the Graphs-loop standard): every frame the
+    // greedy loop touches is ≤ numQueries·candidates² rows — per-round
+    // exchanges at cluster width are pure task-scheduling overhead.
+    Graphs.withRoundWidth(e, numQueries.toLong * candidates * candidates) {
     var selected = cand.filter(col("crnk") === 1)
       .select(
         col("query_id"), lit(1).as("rnk"), col("vec_id").as("neighbor_id"),
@@ -868,6 +872,7 @@ object Similarity {
     cand.unpersist()
     pairs.unpersist()
     selected
+    }
   }
 
   /** Greedy k-center / farthest-point coreset selection (Gonzalez 1985;
