@@ -1644,27 +1644,37 @@ object TextAnalysis {
     // one row PER DOCUMENT through a single-partition window — the one
     // unbounded global-window site the r20 audit found. Boundary quality
     // only balances partitions; the rank (hence every bucket and count
-    // downstream) is exact regardless.
+    // downstream) is exact regardless, so BOTH paths below return
+    // identical rows. Guarded like spread: a fixture-sized scan (fewer
+    // splits than cores) takes the single cheap window — the
+    // prefix-count path's extra boundary pass measured +0.5 s on the
+    // 1-file fixture (r21 mid-sweep) for a window over a few thousand
+    // rows; a multi-file corpus takes the distributed path.
     val w = org.apache.spark.sql.expressions.Window
-    val qs = (1 until 32).map(i => i.toDouble / 32)
-    val bounds: Seq[Long] = perDoc
-      .agg(expr(s"approx_percentile(doc_id, array(${qs.mkString(", ")}), 10000)"))
-      .collect()(0).getSeq[Long](0)
-    val pid =
-      if (bounds.isEmpty) lit(0)
-      else size(filter(typedLit(bounds), b => col("doc_id") >= b))
-    val t = perDoc.withColumn("_pid", pid)
-    // Offsets window: ONE row per bucket id (≤ 32 rows) — bounded by
-    // construction, unlike the per-document rank it replaces.
-    val wOff = w.orderBy(col("_pid"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    val offsets = t.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
-      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
-      .select(col("_pid"), col("_off"))
-    val db = t.join(broadcast(offsets), Seq("_pid"))
-      .withColumn(
-        "doc_rank",
-        col("_off") + row_number().over(w.partitionBy(col("_pid")).orderBy(col("doc_id"))))
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    val db = (if (numPartitionsOf(docs) < parallelism) {
+      perDoc.withColumn("doc_rank", row_number().over(w.orderBy(col("doc_id"))))
+    } else {
+      val qs = (1 until 32).map(i => i.toDouble / 32)
+      val bounds: Seq[Long] = perDoc
+        .agg(expr(s"approx_percentile(doc_id, array(${qs.mkString(", ")}), 10000)"))
+        .collect()(0).getSeq[Long](0)
+      val pid =
+        if (bounds.isEmpty) lit(0)
+        else size(filter(typedLit(bounds), b => col("doc_id") >= b))
+      val t = perDoc.withColumn("_pid", pid)
+      // Offsets window: ONE row per bucket id (≤ 32 rows) — bounded by
+      // construction, unlike the per-document rank it replaces.
+      val wOff = w.orderBy(col("_pid"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val offsets = t.groupBy(col("_pid")).agg(count(lit(1)).as("_c"))
+        .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+        .select(col("_pid"), col("_off"))
+      t.join(broadcast(offsets), Seq("_pid"))
+        .withColumn(
+          "doc_rank",
+          col("_off") + row_number().over(w.partitionBy(col("_pid")).orderBy(col("doc_id"))))
+    })
       .crossJoin(broadcast(tot))
       .withColumn("bucket", expr(s"((doc_rank - 1) * $buckets) div n_docs"))
       .select(col("doc_id"), col("n_tok"), col("bucket"))

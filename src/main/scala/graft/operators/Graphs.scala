@@ -33,7 +33,7 @@ object Graphs {
     * motivated this (ISO r21: q161 4.33→2.82, q188 5.66→4.47) could run
     * against the same oracle.
     */
-  private[operators] def withRoundWidth[T](
+  private[graft] def withRoundWidth[T](
       df: DataFrame, roundRows: Long)(body: => T): T = {
     // Measurement-only kill switch for A/Bs (IsoBench control runs).
     if (sys.env.get("SPARK_GRAFT_ROUND_WIDTH").contains("off")) return body

@@ -371,6 +371,10 @@ object Similarity {
     var cents: Seq[(Long, Seq[Long])] = sampled.limit(numCentroids).collect()
       .map(_.getAs[scala.collection.Seq[Long]]("qe").toSeq)
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+    // Scoped round width (r21): each Lloyd iteration shuffles at most
+    // sampleSize × dim exploded cells — sample-bounded by construction,
+    // so cluster-width exchanges are pure scheduling overhead.
+    Graphs.withRoundWidth(sampled, sampleSize.toLong * 64L) {
     for (_ <- 1 to iters) {
       val perCell = withCell(sampled, centroidFrame(e.sparkSession, cents), "qe")
         .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "v")))
@@ -388,6 +392,7 @@ object Similarity {
       // An emptied cell keeps its previous centroid (deterministic, and
       // leaves it eligible to re-acquire vectors next iteration).
       cents = cents.map { case (id, v) => (id, perCell.getOrElse(id, v)) }
+    }
     }
     sampled.unpersist()
     cents

