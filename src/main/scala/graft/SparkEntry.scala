@@ -119,6 +119,7 @@ object SparkEntry {
     * enforces it over every gate entry).
     */
   private def landedSwept(df: DataFrame, maxRows: Int = 250000): DataFrame = {
+    if (dumpInnerPlans) return df // keep caches registered so dumps show them
     val out = landed(df, maxRows)
     df.sparkSession.catalog.clearCache()
     out

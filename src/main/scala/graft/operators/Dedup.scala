@@ -371,8 +371,13 @@ object Dedup {
     // label join flows ≤ |Eₛ| rows (already counted above for the skew
     // gate) — cluster-width exchanges on fixture-sized graphs are pure
     // task-scheduling overhead; the width returns to session scale at
-    // ≥ 64k·parallelism edge rows.
-    Graphs.withRoundWidth(edges, edgeCount) {
+    // ≥ 64k·parallelism edge rows. When the EXACT SKEW GATE is armed
+    // (splitNeeded), the loop keeps the full session width regardless:
+    // skew mitigation needs width to spread the cold remainder, and the
+    // per-task read bound DedupSkewSpec pins is a width-dependent
+    // guarantee (narrowing would re-concentrate uniform keys into
+    // hub-degree-sized tasks at exactly the scales the split protects).
+    Graphs.withRoundWidth(edges, if (splitNeeded) Long.MaxValue / 2 else edgeCount) {
     while (!converged && it < maxIters) {
       val roundStart = System.nanoTime()
       val dstLabels = labels.select(col("doc_id").as("dst"), col("label"))

@@ -39,8 +39,14 @@ object Graphs {
     if (sys.env.get("SPARK_GRAFT_ROUND_WIDTH").contains("off")) return body
     val spark = df.sparkSession
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    val p = spark.sparkContext.defaultParallelism.toLong
-    val width = math.max(2L, math.min(p, roundRows / 65536L + 1L)).toInt
+    // Cap at the SESSION's configured width, not defaultParallelism: a
+    // session that deliberately runs shuffle.partitions above the core
+    // count (production posture, DedupSkewSpec's pinned skew regime)
+    // must keep that width whenever the round volume warrants it — this
+    // bracket only ever NARROWS for small rounds, never re-widths.
+    val cap = math.max(2L, scala.util.Try(prev.toLong).getOrElse(
+      spark.sparkContext.defaultParallelism.toLong))
+    val width = math.max(2L, math.min(cap, roundRows / 65536L + 1L)).toInt
     spark.conf.set("spark.sql.shuffle.partitions", width.toString)
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }

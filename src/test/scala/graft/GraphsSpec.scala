@@ -299,12 +299,12 @@ class GraphsSpec extends SparkSpec {
     }
     assert(spark.conf.get("spark.sql.shuffle.partitions") === before,
       "width restored by the finally even when the body throws")
-    // Large round volumes keep the full session parallelism (the
-    // at-scale no-op guarantee).
+    // Large round volumes keep the session's CONFIGURED width (the
+    // at-scale no-op guarantee — the bracket narrows, never re-widths).
     val wide = Graphs.withRoundWidth(df, roundRows = Long.MaxValue / 2) {
       spark.conf.get("spark.sql.shuffle.partitions").toInt
     }
-    assert(wide === spark.sparkContext.defaultParallelism)
+    assert(wide === before.toInt)
     assert(spark.conf.get("spark.sql.shuffle.partitions") === before)
     // And the narrowed loop computes the same ranks as the session width
     // (width never changes results — the oracle's invariant, pinned here
